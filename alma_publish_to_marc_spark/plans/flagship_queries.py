@@ -1,0 +1,45 @@
+"""queries()/oracle_sql() entries for the flagship plan and its pieces."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .item_info import ITEM_INFO_SQL, event_counts_per_user, item_info, latest_event_per_user
+
+
+def _asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-J7/OP-W1 in isolation: latest event per user."""
+    return latest_event_per_user(load(spark, sf_dir, "events")).orderBy("user_id")
+
+
+_ASOF_SQL = """
+SELECT user_id, event_type AS last_event_type, ts AS last_event_ts
+FROM (
+    SELECT user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def _correlated_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-J8/OP-A6 in isolation: filtered per-key counts."""
+    return event_counts_per_user(load(spark, sf_dir, "events"))
+
+
+_COUNTS_SQL = """
+SELECT user_id,
+       count(CASE WHEN event_type <> 'error' THEN 1 END) AS event_cnt,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error_cnt
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "item_info_flagship": (item_info, ITEM_INFO_SQL),
+    "asof_latest_event": (_asof_latest, _ASOF_SQL),
+    "correlated_event_counts": (_correlated_counts, _COUNTS_SQL),
+}

@@ -1,0 +1,67 @@
+"""Loaders for the driver-provided parquet star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings. Schemas are fixed by the driver; we read them as-is
+(parquet carries the schema — no inference cost) and never widen the scan:
+callers select the columns they need so Catalyst prunes the parquet read.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@functools.lru_cache(maxsize=None)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark reads as
+    long under spark.sql.legacy.parquet.nanosAsLong. Detected once per
+    file from parquet metadata (driver-side, O(footer))."""
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_columns(path):
+        # nanos since epoch (long) → microsecond timestamp, truncating —
+        # same truncation DuckDB applies when reading nanos into its
+        # microsecond TIMESTAMP, so oracle comparisons stay exact.
+        # integer division — a double intermediate would lose precision
+        # at nanosecond-epoch magnitude (~1.7e18 > 2^53). Cast to NTZ so
+        # these columns match natively-read micros timestamp columns
+        # (session TZ is pinned UTC, so the cast is a no-op on values).
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
