@@ -1,0 +1,380 @@
+"""queries()/oracle_sql() entries exercising §2.3–2.7 relational operators
+on the driver's TPC-H stand-ins (FIXTURES.md §6 mapping)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import relational as R
+
+
+# --- OP-J1: broadcast dimension lookup (supplier -> nation -> region) ----
+def _broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "s_nationkey")
+    region = load(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey")
+    out = R.broadcast_lookup(supplier, nation, ["s_nationkey"])
+    out = R.broadcast_lookup(out, region, ["n_regionkey"])
+    return out.select("s_suppkey", "s_name",
+                      F.col("n_name").alias("nation_name"),
+                      F.col("r_name").alias("region_name"))
+
+
+_BROADCAST_LOOKUP_SQL = """
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name, r.r_name AS region_name
+FROM supplier s
+LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# --- OP-J2/J3: anti-join delete set ------------------------------------
+def _anti_join_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no recent large order = the 'stale rows to delete'
+    set (the >200000 filter keeps the result non-trivial at every sf)."""
+    customer = load(spark, sf_dir, "customer")
+    recent = (load(spark, sf_dir, "orders")
+              .where(F.col("o_totalprice") > 200000)
+              .withColumnRenamed("o_custkey", "c_custkey"))
+    return (R.anti_join_deletes(customer, recent, ["c_custkey"])
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+"""
+
+
+# --- OP-J9: semi-join existence check -----------------------------------
+def _semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    big = (load(spark, sf_dir, "orders")
+           .where(F.col("o_totalprice") > 300000)
+           .withColumnRenamed("o_custkey", "c_custkey"))
+    return R.semi_join(customer, big, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+# --- OP-J10: self-referential edge join (bib_part analog) ---------------
+def _self_join_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("mms_id"),
+                      F.col("n_name").alias("host_name"),
+                      F.col("n_regionkey").alias("rk"))
+    b = nation.select(F.col("n_nationkey").alias("part_mms_id"),
+                      F.col("n_name").alias("part_name"),
+                      F.col("n_regionkey").alias("rk"))
+    return (a.join(b, on="rk")
+             .where(F.col("mms_id") < F.col("part_mms_id"))
+             .select("mms_id", "part_mms_id", "host_name", "part_name"))
+
+
+_SELF_JOIN_SQL = """
+SELECT a.n_nationkey AS mms_id, b.n_nationkey AS part_mms_id,
+       a.n_name AS host_name, b.n_name AS part_name
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+"""
+
+
+# --- OP-J4/J5: multi-way join with constant-filtered dimension ----------
+def _multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation through a 6-table join; the
+    region filter is the OP-J5 'constant predicate on the dim' pattern —
+    filter the dim BEFORE the join so the broadcast side stays minimal."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        lineitem
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_MULTIWAY_SQL = """
+SELECT n.n_name AS nation_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'EUROPE'
+GROUP BY n.n_name
+"""
+
+
+# --- OP-W3: last-writer-wins per key ------------------------------------
+def _last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (R.latest_per_key(events, ["user_id", "event_type"], "ts", ["event_id"])
+            .select("user_id", "event_type",
+                    F.col("ts").alias("last_ts"),
+                    F.col("value").alias("last_value")))
+
+
+_LWW_SQL = """
+SELECT user_id, event_type, ts AS last_ts, value AS last_value
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+# --- OP-A7: first-per-group (analytics first-row-per-pid) ----------------
+def _first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (R.first_per_group(events, ["user_id"], ["ts", "event_id"])
+            .select("user_id",
+                    F.col("event_type").alias("first_event_type"),
+                    F.col("ts").alias("first_ts")))
+
+
+_FIRST_SQL = """
+SELECT user_id, event_type AS first_event_type, ts AS first_ts
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+# --- OP-W2: adjacent-change detection ------------------------------------
+def _changed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    out = R.changed_rows(events, ["user_id"], "event_id", "event_type")
+    return out.where(F.col("changed")).select("user_id", "event_id", "event_type")
+
+
+_CHANGED_SQL = """
+SELECT user_id, event_id, event_type
+FROM (
+    SELECT user_id, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+    FROM events
+) WHERE prev IS NULL OR prev <> event_type
+"""
+
+
+# --- OP-A5: max-per-group -------------------------------------------------
+def _max_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.max("o_orderdate").alias("latest_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_MAX_SQL = """
+SELECT o_custkey AS c_custkey, max(o_totalprice) AS max_price,
+       max(o_orderdate) AS latest_order, count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --- OP-A2/A3: distinct + collect_set ------------------------------------
+def _distinct_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+_DISTINCT_COLLECT_SQL = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS event_types,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+# --- OP-A8: collect_list per group (items-per-holding) --------------------
+def _collect_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("linenumbers"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_COLLECT_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       list_sort(list(l_linenumber)) AS linenumbers,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --- OP-A4: group-size assertion -> error stream --------------------------
+def _group_size_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference rejects records whose holdings count mismatches the
+    control-group count (`alma_publish_parser.py:108-110`); stand-in:
+    orders whose lineitem count exceeds 6 are routed to the error stream."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+            .agg(F.count(F.lit(1)).alias("n_items"))
+            .where(F.col("n_items") > 6))
+
+
+_GROUP_SIZE_SQL = """
+SELECT l_orderkey AS o_orderkey, count(*) AS n_items
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 6
+"""
+
+
+# --- OP-S2: priority select (ISBN-13-first analog) -------------------------
+def _priority_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference promotes the first ISBN with len>=13 to the front, else
+    keeps the original first (`marc/helper.py:116-127`). Stand-in: per
+    customer pick the earliest order with totalprice>=200000, else the
+    earliest order overall. One aggregation pass with conditional min on
+    a (price-qualifies, orderdate, orderkey) struct — no join, no window."""
+    orders = load(spark, sf_dir, "orders")
+    qual = F.when(F.col("o_totalprice") >= 200000,
+                  F.struct("o_orderdate", "o_orderkey"))
+    anyo = F.struct("o_orderdate", "o_orderkey")
+    return (orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+            .agg(F.min(qual).alias("_q"), F.min(anyo).alias("_a"))
+            .select("c_custkey",
+                    F.coalesce(F.col("_q.o_orderkey"), F.col("_a.o_orderkey"))
+                     .alias("picked_orderkey")))
+
+
+_PRIORITY_SQL = """
+SELECT o_custkey AS c_custkey,
+       coalesce(
+         min(CASE WHEN o_totalprice >= 200000
+                  THEN {'d': o_orderdate, 'k': o_orderkey} END),
+         min({'d': o_orderdate, 'k': o_orderkey})
+       ).k AS picked_orderkey
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --- OP-S3: first-match limit-1 -------------------------------------------
+def _first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+            .agg(F.min(F.when(F.col("l_quantity") >= 40, F.col("l_linenumber")))
+                  .alias("first_heavy_line")))
+
+
+_FIRST_MATCH_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       min(CASE WHEN l_quantity >= 40 THEN l_linenumber END) AS first_heavy_line
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --- OP-SET1: NOT-IN membership --------------------------------------------
+def _not_in_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    poor = (load(spark, sf_dir, "supplier")
+            .where(F.col("s_acctbal") < 0)
+            .select(F.col("s_suppkey").alias("l_suppkey")))
+    return (R.anti_join_deletes(lineitem, poor, ["l_suppkey"])
+            .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+            .agg(F.count(F.lit(1)).alias("n_items")))
+
+
+_NOT_IN_SQL = """
+SELECT l_suppkey AS s_suppkey, count(*) AS n_items
+FROM lineitem
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY l_suppkey
+"""
+
+
+# --- OP-SET2: delete-then-insert replace ------------------------------------
+def _replace_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored = click events; batch = purchase events. Users appearing in
+    the batch have their rows wholesale-replaced (OP-SET2)."""
+    events = load(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    stored = events.where(F.col("event_type") == "click").select(*cols)
+    batch = events.where(F.col("event_type") == "purchase").select(*cols)
+    return R.replace_by_key(stored, batch, ["user_id"])
+
+
+_REPLACE_SQL = """
+WITH stored AS (SELECT event_id, user_id, event_type, ts FROM events WHERE event_type = 'click'),
+     batch  AS (SELECT event_id, user_id, event_type, ts FROM events WHERE event_type = 'purchase')
+SELECT * FROM stored WHERE user_id NOT IN (SELECT user_id FROM batch)
+UNION ALL
+SELECT * FROM batch
+"""
+
+
+# --- OP-SET3: union of multi-source extracts ---------------------------------
+def _union_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-place-from-260∪264∪752 analog: one id set assembled
+    from several sources, distinct."""
+    orders = load(spark, sf_dir, "orders")
+    events = load(spark, sf_dir, "events")
+    a = (orders.where(F.col("o_orderstatus") == "F")
+         .select(F.col("o_custkey").alias("id")))
+    b = (events.where(F.col("event_type") == "signup")
+         .select(F.col("user_id").alias("id")))
+    return a.unionByName(b).distinct()
+
+
+_UNION_SQL = """
+SELECT DISTINCT id FROM (
+  SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT user_id AS id FROM events WHERE event_type = 'signup'
+)
+"""
+
+
+QUERIES = {
+    "broadcast_dim_lookup": (_broadcast_lookup, _BROADCAST_LOOKUP_SQL),
+    "anti_join_deletes": (_anti_join_deletes, _ANTI_JOIN_SQL),
+    "semi_join_exists": (_semi_join, _SEMI_JOIN_SQL),
+    "self_join_edges": (_self_join_edges, _SELF_JOIN_SQL),
+    "multiway_join_revenue": (_multiway_revenue, _MULTIWAY_SQL),
+    "last_writer_wins": (_last_writer_wins, _LWW_SQL),
+    "first_per_group": (_first_per_group, _FIRST_SQL),
+    "adjacent_change_detect": (_changed_rows, _CHANGED_SQL),
+    "max_per_group": (_max_per_group, _MAX_SQL),
+    "distinct_collect_set": (_distinct_collect, _DISTINCT_COLLECT_SQL),
+    "collect_list_per_group": (_collect_group, _COLLECT_SQL),
+    "group_size_assertion": (_group_size_check, _GROUP_SIZE_SQL),
+    "priority_select": (_priority_select, _PRIORITY_SQL),
+    "first_match_limit1": (_first_match, _FIRST_MATCH_SQL),
+    "not_in_membership": (_not_in_membership, _NOT_IN_SQL),
+    "replace_by_key": (_replace_by_key, _REPLACE_SQL),
+    "union_multi_extract": (_union_extracts, _UNION_SQL),
+}

@@ -1,0 +1,69 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via the noop sink — forces every column
+and operator to execute without paying collect/transfer cost, so the
+number measures the engine, not the driver link.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headliners: the flagship plus the operators that dominate a real run
+# (multi-way join, window dedup, group-collect, text dedup, ANN).
+HEADLINE = [
+    "item_info_flagship",
+    "multiway_join_revenue",
+    "asof_latest_event",
+    "last_writer_wins",
+    "collect_list_per_group",
+    "exact_dedup",
+    "minhash_lsh_neardup",
+    "ann_cosine_topk",
+    "doc_quality_score",
+]
+
+
+def main() -> None:
+    from alma_publish_to_marc_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once so timings measure steady state
+    spark.range(1).count()
+
+    names = [n for n in HEADLINE if n in qs]
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
