@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, language ID, quality scoring, document fingerprinting,
+shingling, and the portable hash primitives the dedup operators build on.
+
+Everything is built from JVM-side Column expressions (array HOFs —
+``transform``/``filter``/``aggregate``) so the hot path stays inside
+whole-stage codegen; there are no Python UDFs in this module.
+
+The hash primitives are *portable*: a polynomial rolling hash mod
+1,000,000,007 that the DuckDB oracles reproduce exactly with
+``list_reduce`` — so MinHash/SimHash pipelines are value-checkable
+cross-engine (Spark's xxhash64 would be opaque to the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+
+# Deterministic stopword marker sets for the n-gram language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "un", "est"),
+}
+
+_PUNCT_CHARS = ".,;:!?"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; trim first so leading/trailing whitespace
+    doesn't create empty tokens (split semantics differ across engines
+    for boundary matches — trimming removes the ambiguity)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def poly_hash(str_col: Column) -> Column:
+    """Portable rolling hash: fold ascii codes left-to-right,
+    acc = (acc*31 + code) mod 1e9+7. Equivalent DuckDB:
+    list_reduce(list_prepend(0::BIGINT, codes), (a,b)->(a*31+b)%1000000007).
+    """
+    return F.aggregate(
+        F.split(str_col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(HASH_MOD),
+    )
+
+
+def marker_score(col: Column, markers: tuple[str, ...]) -> Column:
+    toks = tokens(F.lower(col))
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language heuristic (deterministic argmax, tie broken
+    by the fixed language order en > es > fr, 'und' when all zero)."""
+    scores = {lang: marker_score(col, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties via later .when overwrite
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def punct_ratio(col: Column) -> Column:
+    chars = F.split(col, "")
+    punct = F.size(F.filter(chars, lambda c: c.isin(*list(_PUNCT_CHARS))))
+    return F.round(punct / F.greatest(F.length(col), F.lit(1)), 4)
+
+
+def stopword_ratio(col: Column, markers: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    n = token_count(col)
+    return F.round(marker_score(col, markers) / F.greatest(n, F.lit(1)), 4)
+
+
+def avg_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t))
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, words not too
+    short/long, some stopwords, low punctuation noise. Deterministic
+    arithmetic only — no model, no randomness."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    atl = avg_token_len(col)
+    word_score = F.when((atl >= 3) & (atl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 10, F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.2 * word_score + 0.2 * stop_score + 0.2 * punct_score, 4)
+
+
+def word_shingles(col: Column, n: int = 5, max_tokens: int | None = None) -> Column:
+    """Distinct word n-gram shingles. ``max_tokens`` caps work per doc
+    (prefix shingling) so cost is bounded at 100 TB; the dedup operators
+    use the cap as their scale knob."""
+    toks = tokens(col)
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """OP-style document fingerprint: rolling hash over the whole text
+    (order-sensitive, whitespace-insensitive via single-space join)."""
+    return poly_hash(F.array_join(tokens(col), " "))

@@ -1,0 +1,145 @@
+"""Oracle-checked text-analysis queries over the `documents` table.
+
+The DuckDB SQL mirrors the Spark expressions primitive-for-primitive
+(same tokenization, same rolling hash, same arithmetic order) so values
+hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import text as T
+
+# --- shared SQL fragments (keep in lockstep with functions/text.py) -----
+SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+SQL_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ord(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return (f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"t -> list_contains({arr}, t)))")
+
+
+# --- token stats ---------------------------------------------------------
+def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.avg_token_len(F.col("text")).alias("avg_token_len"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len({SQL_TOKS}) AS n_tokens,
+       round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform({SQL_TOKS}, t -> CAST(length(t) AS BIGINT))),
+             (a, b) -> a + b)
+             / greatest(len({SQL_TOKS}), 1), 4) AS avg_token_len,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+# --- language ID ---------------------------------------------------------
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_tagged"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _lang_id_sql() -> str:
+    s = {lang: _marker_sql(m) for lang, m in T.LANG_MARKERS.items()}
+    return f"""
+SELECT doc_id, lang AS lang_tagged,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN s_en = best THEN 'en'
+            WHEN s_es = best THEN 'es'
+            WHEN s_fr = best THEN 'fr'
+       END AS lang_pred
+FROM (
+    SELECT doc_id, lang, s_en, s_es, s_fr,
+           greatest(s_en, s_es, s_fr) AS best
+    FROM (
+        SELECT doc_id, lang,
+               {s['en']} AS s_en,
+               {s['es']} AS s_es,
+               {s['fr']} AS s_fr
+        FROM documents
+    )
+)
+"""
+
+
+# --- quality score -------------------------------------------------------
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _quality_sql() -> str:
+    en = _marker_sql(T.LANG_MARKERS["en"])
+    toks = SQL_TOKS
+    atl = (f"round(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           f"list_transform({toks}, t -> CAST(length(t) AS BIGINT))), "
+           f"(a, b) -> a + b) / greatest(len({toks}), 1), 4)")
+    punct = ("round(len(list_filter(string_split(text, ''), "
+             "c -> list_contains(['.', ',', ';', ':', '!', '?'], c))) "
+             "/ greatest(length(text), 1), 4)")
+    stop = f"round({en} / greatest(len({toks}), 1), 4)"
+    return f"""
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.2 * (CASE WHEN avg_tl >= 3 AND avg_tl <= 10 THEN 1.0 ELSE 0.5 END)
+           + 0.2 * least(stopword_ratio * 5, 1.0)
+           + 0.2 * (1.0 - least(punct_ratio * 10, 1.0)), 4) AS quality
+FROM (
+    SELECT doc_id,
+           len({toks}) AS n_tokens,
+           {stop} AS stopword_ratio,
+           {punct} AS punct_ratio,
+           {atl} AS avg_tl
+    FROM documents
+)
+"""
+
+
+# --- rolling fingerprint -------------------------------------------------
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       {SQL_POLY.format(s=f"array_to_string({SQL_TOKS}, ' ')")} AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "doc_token_stats": (_token_stats, _TOKEN_STATS_SQL),
+    "doc_lang_id": (_lang_id, _lang_id_sql()),
+    "doc_quality_score": (_quality, _quality_sql()),
+    "doc_fingerprint": (_fingerprint, _FINGERPRINT_SQL),
+}

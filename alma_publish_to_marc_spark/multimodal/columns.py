@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked STUB: `_decode_image_real` raises NotImplementedError and
+the pipeline uses `_decode_image_fake`, a deterministic byte-derived fake
+with the exact schema/batching a real (PIL/ffmpeg) decoder would use.
+Everything Spark-side — schemas, partitioning, Arrow batch shapes,
+explode of frame samples — is real and tested.
+
+Scale notes: binary payloads ride in their own column so Parquet column
+pruning keeps metadata-only queries from ever reading bytes; decode is a
+narrow mapInPandas stage (no shuffle), so it scales linearly with input
+splits. `frame_sample` explodes K rows per video — the only fan-out —
+and is bounded by the sample count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+MEDIA_FORMATS = ("jpeg", "png", "wav")
+
+DECODED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("media_format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("checksum", StringType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_no", IntegerType()),
+    StructField("frame_bytes", BinaryType()),
+])
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stand-in payload builder: encodes text bytes as the opaque binary
+    column a real pipeline would get from `spark.read.format('binaryFile')`,
+    plus the typed metadata columns (format tag, byte size)."""
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in MEDIA_FORMATS]),
+        (F.col(id_col) % len(MEDIA_FORMATS) + 1).cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        fmt.alias("media_format"),
+    ).withColumn("n_bytes", F.length("payload"))
+
+
+def _decode_image_real(payload: bytes, media_format: str):
+    """Real decoder — requires PIL/soundfile, absent in this container."""
+    raise NotImplementedError(
+        "image/audio codecs not available in this environment; "
+        "the pipeline uses the deterministic fake decoder instead")
+
+
+def _decode_image_fake(payload: bytes, media_format: str) -> tuple[int, int, int, str]:
+    """Deterministic fake: dimensions derived from the payload digest —
+    stable across runs/engines, exercises the full Arrow path."""
+    digest = hashlib.md5(payload).hexdigest()
+    width = 16 + int(digest[:4], 16) % 2048
+    height = 16 + int(digest[4:8], 16) % 2048
+    channels = 1 if media_format == "wav" else 3
+    return width, height, channels, digest
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: (doc_id, payload, media_format) →
+    DECODED_SCHEMA. One Arrow batch in, one out; no shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _decode_image_fake(p, f)
+                for p, f in zip(pdf["payload"], pdf["media_format"])
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "media_format": pdf["media_format"].values,
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_channels": [d[2] for d in decoded],
+                "checksum": [d[3] for d in decoded],
+            })
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4,
+                 frame_bytes: int = 256) -> DataFrame:
+    """Deterministic frame sampling: K evenly-spaced byte windows per
+    payload (a real sampler would seek keyframes). Column-expression
+    explode — the payload is sliced JVM-side, no Python round-trip."""
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    out = df.select(
+        "doc_id",
+        F.explode(idx).alias("frame_no"),
+        F.col("payload"),
+        F.col("n_bytes"),
+    ).withColumn(
+        "offset",
+        (F.col("frame_no") * F.greatest(
+            (F.col("n_bytes") / n_frames).cast("int"), F.lit(1)) + 1),
+    ).withColumn(
+        "frame_bytes",
+        F.expr(f"substring(payload, offset, {frame_bytes})").cast("binary"),
+    )
+    return out.select("doc_id", F.col("frame_no").cast("int").alias("frame_no"),
+                      "frame_bytes")

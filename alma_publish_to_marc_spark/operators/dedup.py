@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all DataFrame-native, no Python UDFs:
+
+- exact_dedup      : hash-groupBy on content (one shuffle on the text key)
+- jaccard_pairs    : exact n-gram Jaccard via shingle-join (candidate
+                     pairs only materialize where a shingle is shared)
+- minhash_lsh      : MinHash signatures + banded LSH bucketing; candidate
+                     pairs verified with exact Jaccard
+- simhash          : bitwise-majority token-hash signature per document
+
+Scale notes (100 TB):
+- exact dedup on raw text shuffles the full text; at scale dedup on
+  `poly_hash(text)` (or both) so the shuffle key is 8 bytes. The query
+  keeps the text key to make the oracle exact.
+- shingle-join cost is Σ_docs(shingles); the `max_tokens` prefix cap
+  bounds it per document. Popular shingles (boilerplate) explode the
+  join — `max_shingle_freq` drops shingles shared by more than N docs,
+  the standard stop-shingle mitigation, before the pair join.
+- MinHash/LSH replaces the all-pairs comparison with band-bucket
+  grouping: cost is #docs × #perms plus bucket-local pairs. Permutation
+  constants are fixed literals so results are reproducible and
+  oracle-checkable (portable poly hash, not xxhash64).
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import HASH_MOD, poly_hash, word_shingles
+
+# Fixed MinHash permutation constants (seed 42), shared with the DuckDB
+# oracle generators — regenerate only in lockstep with minhash_perm_sql().
+_rng = random.Random(42)
+N_PERMS = 16
+PERM_A: Sequence[int] = [_rng.randrange(1, HASH_MOD) for _ in range(N_PERMS)]
+PERM_B: Sequence[int] = [_rng.randrange(0, HASH_MOD) for _ in range(N_PERMS)]
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Representative (min id) + multiplicity per distinct content."""
+    return (df.groupBy(text_col)
+            .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+            .select(id_col, "n_copies", text_col))
+
+
+def shingle_hashes(text_col: Column, n: int = 5,
+                   max_tokens: int | None = None) -> Column:
+    """Distinct shingles → portable 64-bit-safe hashes (array<long>)."""
+    return F.transform(word_shingles(text_col, n, max_tokens),
+                       lambda s: poly_hash(s))
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int,
+                       max_tokens: int | None,
+                       max_shingle_freq: int | None) -> DataFrame:
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingle_hashes(F.col(text_col), n, max_tokens)).alias("shingle"),
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_freq"))
+        sh = (sh.join(freq, "shingle")
+                .where(F.col("_freq") <= max_shingle_freq).drop("_freq"))
+    return sh
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 5, threshold: float = 0.5,
+                  max_tokens: int | None = None,
+                  max_shingle_freq: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing ≥1 shingle.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6
+    (rounded AFTER thresholding comparisons use the same rounded value,
+    keeping cross-engine comparisons deterministic)."""
+    sh = _exploded_shingles(df, id_col, text_col, n, max_tokens, max_shingle_freq)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (inter
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("n_shingles").alias("size_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("n_shingles").alias("size_b")), "id_b")
+           .withColumn("jaccard", F.round(
+               F.col("n_inter")
+               / (F.col("size_a") + F.col("size_b") - F.col("n_inter")), 6)))
+    return (out.where(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "jaccard"))
+
+
+def signature_from_hashes(hashes: Column) -> Column:
+    """array<long> of N_PERMS minhash values from an array of shingle
+    hashes; empty-shingle docs get HASH_MOD (sentinel larger than any
+    real hash) in every slot."""
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_MOD)
+
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(hashes, perm(PERM_A[j], PERM_B[j]))),
+            F.lit(HASH_MOD),
+        )
+        for j in range(N_PERMS)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signature(text_col: Column, n: int = 5,
+                      max_tokens: int | None = None) -> Column:
+    return signature_from_hashes(shingle_hashes(text_col, n, max_tokens))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 5, threshold: float = 0.25,
+                      max_tokens: int | None = None) -> DataFrame:
+    """Banded-LSH candidate generation + exact-Jaccard verification.
+
+    Two docs collide if any band (ROWS_PER_BAND consecutive sig values)
+    matches exactly; collisions are then verified against the real
+    shingle sets. Output: (id_a, id_b, jaccard)."""
+    # hash shingles ONCE per doc; signatures derive from the same column
+    # (and the narrow projection is pipelined, not recomputed per use)
+    sigs = (df.select(
+                F.col(id_col),
+                shingle_hashes(F.col(text_col), n, max_tokens).alias("shingles"))
+            .withColumn("sig", signature_from_hashes(F.col("shingles"))))
+    bands = sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("_", *[
+                    F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ]).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ])).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    cand = (a.join(b, ["band_id", "band_key"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+
+    sh = sigs.select(id_col, "shingles")
+    verified = (cand
+        .join(sh.select(F.col(id_col).alias("id_a"),
+                        F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.round(
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")), 6)))
+    return (verified.where(F.col("jaccard") >= threshold)
+                    .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Bitwise-majority signature over token hashes (multiset semantics —
+    repeated tokens vote repeatedly). Implemented as explode → one
+    aggregation with `bits` conditional sums: partial aggregation happens
+    map-side, so the shuffle carries `bits` longs per doc, not tokens."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", poly_hash(F.col("tok")))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return agg.select(id_col, sig.alias("simhash"))

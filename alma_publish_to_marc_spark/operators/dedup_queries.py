@@ -1,0 +1,191 @@
+"""Oracle-checked dedup queries over `documents`.
+
+The corpus is augmented in-query with deterministic duplicates (exact
+copies, near-dup variants with an appended tail) so the operators have
+real work at every scale factor; the DuckDB oracle builds the identical
+corpus. MinHash permutation constants come from operators/dedup.py and
+are injected into the generated SQL, so Spark and DuckDB compute the
+same signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import dedup as D
+
+NEAR_DUP_TAIL = "synthetic near dup tail"
+
+# ---- SQL fragment generators (lockstep with functions/text.py hashes) ----
+def sql_toks(text: str = "text") -> str:
+    return rf"regexp_split_to_array(trim({text}), '\s+')"
+
+
+def sql_poly(s: str) -> str:
+    return ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split({s}, ''), c -> CAST(ord(c) AS BIGINT))), "
+            "(a, b) -> (a * 31 + b) % 1000000007)")
+
+
+def sql_shingle_hashes(text: str = "text", n: int = 5) -> str:
+    toks = sql_toks(text)
+    grams = (f"list_distinct(list_transform("
+             f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+             f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))")
+    return f"list_transform({grams}, g -> {sql_poly('g')})"
+
+
+SQL_NEAR_CORPUS = f"""
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' {NEAR_DUP_TAIL}' AS text
+    FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+SQL_EXACT_CORPUS = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = (docs.where(F.col("doc_id") % 5 == 0)
+                .select((F.col("doc_id") + 100000).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" " + NEAR_DUP_TAIL))
+                         .alias("text")))
+    return docs.unionByName(variants)
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (docs.where(F.col("doc_id") % 7 == 0)
+              .select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    return docs.unionByName(copies)
+
+
+# ---- exact dedup ----------------------------------------------------------
+def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (D.exact_dedup(_exact_corpus(spark, sf_dir), "doc_id", "text")
+            .select("doc_id", "n_copies"))
+
+
+_EXACT_SQL = f"""
+WITH {SQL_EXACT_CORPUS}
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM corpus GROUP BY text
+"""
+
+
+# ---- exact n-gram Jaccard pairs -------------------------------------------
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(_near_dup_corpus(spark, sf_dir),
+                           "doc_id", "text", n=5, threshold=0.5)
+
+
+_NGRAM_SQL = f"""
+WITH {SQL_NEAR_CORPUS},
+sh AS (
+    SELECT doc_id, unnest({sql_shingle_hashes()}) AS shingle FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= 0.5
+"""
+
+
+# ---- MinHash + LSH ---------------------------------------------------------
+def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_near_dup_corpus(spark, sf_dir),
+                               "doc_id", "text", n=5, threshold=0.5)
+
+
+def _minhash_sql() -> str:
+    p = D.HASH_MOD
+    sig_cols = ", ".join(
+        f"coalesce(list_min(list_transform(hashes, "
+        f"h -> ({D.PERM_A[j]} * h + {D.PERM_B[j]}) % {p})), {p}) AS s{j}"
+        for j in range(D.N_PERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '_' || ".join(
+            f"CAST(s{b * D.ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(D.ROWS_PER_BAND))
+        + " AS band_key FROM sigs"
+        for b in range(D.N_BANDS)
+    )
+    return f"""
+WITH {SQL_NEAR_CORPUS},
+hashed AS (
+    SELECT doc_id, {sql_shingle_hashes()} AS hashes FROM corpus
+),
+sigs AS (SELECT doc_id, hashes, {sig_cols} FROM hashed),
+bands AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT id_a, id_b,
+           len(list_intersect(ha.hashes, hb.hashes)) AS n_inter,
+           len(ha.hashes) AS size_a, len(hb.hashes) AS size_b
+    FROM cand
+    JOIN hashed ha ON ha.doc_id = id_a
+    JOIN hashed hb ON hb.doc_id = id_b
+)
+SELECT id_a, id_b,
+       round(n_inter / (size_a + size_b - n_inter), 6) AS jaccard
+FROM verified
+WHERE round(n_inter / (size_a + size_b - n_inter), 6) >= 0.5
+"""
+
+
+# ---- SimHash ----------------------------------------------------------------
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash(docs, "doc_id", "text")
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(D.SIMHASH_BITS))
+    assemble = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({2 ** i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(D.SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({sql_toks()}) AS tok FROM documents
+),
+h AS (SELECT doc_id, {sql_poly('tok')} AS h FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, {assemble} AS simhash FROM v
+"""
+
+
+QUERIES = {
+    "exact_dedup": (_exact_dedup, _EXACT_SQL),
+    "ngram_jaccard_neardup": (_ngram_jaccard, _NGRAM_SQL),
+    "minhash_lsh_neardup": (_minhash_lsh, _minhash_sql()),
+    "simhash_fingerprint": (_simhash, _simhash_sql()),
+}

@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline. Cross join of Q queries ×
+  N candidates — at 100 TB this broadcasts the (small) query set so the
+  candidate scan stays shuffle-free and embarrassingly parallel.
+- random-hyperplane LSH buckets: the scale path. Each vector gets a
+  b-bit signature (sign of projection onto b fixed hyperplanes);
+  candidates are compared only within a query's bucket, cutting the
+  pairwise work by ~2^b at the cost of recall.
+
+Determinism: dot products are explicit left folds from 0.0 (same
+summation order as the DuckDB oracle's list_reduce), hyperplanes are
+fixed literal constants — results are bit-reproducible cross-engine.
+All math is JVM-side Column expressions; no UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+_rng = random.Random(7)
+# fixed literal hyperplanes, 6-decimal uniforms (exact as doubles in both
+# engines' literal parsers); regenerate only in lockstep with the oracle
+HYPERPLANES: list[list[float]] = [
+    [round(_rng.uniform(-1, 1), 6) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic left-fold dot product (matches oracle fold order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """b-bit signature: bit j = [vec · H_j >= 0]."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(HYPERPLANES):
+        h = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(vec, h) >= 0, F.lit(2 ** j).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return bucket
+
+
+def brute_force_topk(emb: DataFrame, id_col: str, vec_col: str,
+                     query_ids: list[int], k: int = 10) -> DataFrame:
+    """Exact top-k neighbors for each query id. The query set is tiny →
+    broadcast; ranking is one window shuffle over (qid)."""
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    q = (e.where(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("qid"), F.col("v").alias("qv")))
+    pairs = (e.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
+             .withColumn("cosine", cosine(F.col("qv"), F.col("v"))))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", F.col(id_col).alias("neighbor_id"), "cosine", "rank"))
+
+
+def lsh_topk(emb: DataFrame, id_col: str, vec_col: str,
+             query_ids: list[int], k: int = 10) -> DataFrame:
+    """ANN variant: same ranking but candidates restricted to the
+    query's hyperplane bucket (recall < 1, cost ~ N/2^b per query)."""
+    e = (emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+         .withColumn("bucket", lsh_bucket(F.col("v"))))
+    q = (e.where(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("qid"), F.col("v").alias("qv"),
+                 F.col("bucket")))
+    pairs = (e.join(F.broadcast(q), "bucket")
+             .where(F.col(id_col) != F.col("qid"))
+             .withColumn("cosine", cosine(F.col("qv"), F.col("v"))))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", F.col(id_col).alias("neighbor_id"), "cosine", "rank"))
+
+
+def embedding_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str,
+                            threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket prefiltered:
+    only same-bucket pairs are compared (each bucket is a hash-join
+    partition — no all-pairs blowup)."""
+    e = (emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+         .withColumn("bucket", lsh_bucket(F.col("v"))))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

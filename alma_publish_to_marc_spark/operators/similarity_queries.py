@@ -1,0 +1,135 @@
+"""Oracle-checked similarity-search queries over `embeddings`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import load
+from . import similarity as S
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+K = 10
+
+
+def _sql_vec(col: str = "embedding") -> str:
+    return f"list_transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Left fold from 0.0 — same order as similarity.dot."""
+    return (f"list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1, {S.DIM} + 1), i -> {a}[i] * {b}[i])), "
+            f"(acc, x) -> acc + x)")
+
+
+def _sql_norm(a: str) -> str:
+    return (f"sqrt(list_reduce(list_prepend(0.0, "
+            f"list_transform({a}, x -> x * x)), (acc, x) -> acc + x))")
+
+
+def _sql_plane(j: int) -> str:
+    return "[" + ", ".join(repr(v) for v in S.HYPERPLANES[j]) + "]"
+
+
+def _sql_bucket(v: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_sql_dot(v, _sql_plane(j))} >= 0 "
+        f"THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(S.N_PLANES))
+    return f"({bits})"
+
+
+def _brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K)
+
+
+_BRUTE_SQL = f"""
+WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e
+      WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+pairs AS (
+    SELECT q.qid, e.vec_id,
+           round({_sql_dot('q.qv', 'e.v')}
+                 / ({_sql_norm('q.qv')} * {_sql_norm('e.v')}), 6) AS cosine
+    FROM e JOIN q ON e.vec_id <> q.qid
+),
+ranked AS (
+    SELECT qid, vec_id AS neighbor_id, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM pairs
+)
+SELECT qid, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def _lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, "vec_id", "embedding", QUERY_IDS, K)
+
+
+_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, {_sql_vec()} AS v,
+                  {_sql_bucket(_sql_vec())} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e
+      WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+pairs AS (
+    SELECT q.qid, e.vec_id,
+           round({_sql_dot('q.qv', 'e.v')}
+                 / ({_sql_norm('q.qv')} * {_sql_norm('e.v')}), 6) AS cosine
+    FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.qid
+),
+ranked AS (
+    SELECT qid, vec_id AS neighbor_id, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM pairs
+)
+SELECT qid, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def _neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus augmented with scaled copies (cosine-invariant → exact
+    near-dups) for every 10th vector, mirroring the oracle's CTE."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    variants = (emb.where(F.col("vec_id") % 10 == 0)
+                .select((F.col("vec_id") + 100000).alias("vec_id"),
+                        F.transform("embedding", lambda x: x * F.lit(0.5))
+                         .alias("embedding")))
+    corpus = emb.unionByName(variants)
+    return S.embedding_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.9)
+
+
+_NEARDUP_SQL = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(embedding, x -> x * 0.5) AS embedding
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+e AS (SELECT vec_id, {_sql_vec()} AS v,
+             {_sql_bucket(_sql_vec())} AS bucket
+      FROM corpus),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_dot('a.v', 'b.v')}
+                 / ({_sql_norm('a.v')} * {_sql_norm('b.v')}), 6) AS cosine
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": (_brute, _BRUTE_SQL),
+    "ann_lsh_topk": (_lsh, _LSH_SQL),
+    "embedding_neardup": (_neardup, _NEARDUP_SQL),
+}

@@ -1,0 +1,57 @@
+"""Multimodal plumbing tests: Arrow batch shape, decode determinism,
+frame-sample fan-out, and the explicit real-decoder stub contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+
+from alma_publish_to_marc_spark.multimodal import columns as M
+
+
+def _payloads(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=0, text="hello world " * 50),
+        Row(doc_id=1, text="short"),
+        Row(doc_id=2, text="audio-ish content " * 20),
+    ])
+    return M.attach_binary_payload(df, "doc_id", "text")
+
+
+def test_payload_metadata(spark):
+    rows = {r["doc_id"]: r for r in _payloads(spark).collect()}
+    assert rows[0]["media_format"] == "jpeg"
+    assert rows[1]["media_format"] == "png"
+    assert rows[2]["media_format"] == "wav"
+    assert rows[1]["n_bytes"] == len(b"short")
+    assert bytes(rows[1]["payload"]) == b"short"
+
+
+def test_decode_media_deterministic_fake(spark):
+    out = {r["doc_id"]: r for r in M.decode_media(_payloads(spark)).collect()}
+    digest = hashlib.md5(b"short").hexdigest()
+    assert out[1]["checksum"] == digest
+    assert out[1]["width"] == 16 + int(digest[:4], 16) % 2048
+    assert out[1]["height"] == 16 + int(digest[4:8], 16) % 2048
+    assert out[2]["n_channels"] == 1   # wav → mono
+    assert out[0]["n_channels"] == 3   # jpeg → rgb
+    # schema is the declared one
+    assert M.decode_media(_payloads(spark)).schema == M.DECODED_SCHEMA
+
+
+def test_frame_sample_fanout(spark):
+    frames = M.frame_sample(_payloads(spark), n_frames=4).collect()
+    assert len(frames) == 3 * 4
+    by_doc = [f for f in frames if f["doc_id"] == 0]
+    assert sorted(f["frame_no"] for f in by_doc) == [0, 1, 2, 3]
+    # frames are byte windows of the payload
+    payload = b"hello world " * 50
+    f0 = next(f for f in by_doc if f["frame_no"] == 0)
+    assert bytes(f0["frame_bytes"]) == payload[:256]
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        M._decode_image_real(b"x", "jpeg")
