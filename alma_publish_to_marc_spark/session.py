@@ -15,10 +15,41 @@ settings are what we would ship on a multi-executor cluster:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_shipped: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's cwd: zip the package and addPyFile it (UDF/mapInPandas
+    closures reference these modules by import, so workers must be able
+    to import them — sys.path hacks on the driver don't propagate)."""
+    key = id(spark.sparkContext)
+    if key in _shipped:
+        return
+    try:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(tempfile.gettempdir(),
+                             "alma_publish_to_marc_spark_pyfiles.zip")
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join("alma_publish_to_marc_spark",
+                                       os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+        spark.sparkContext.addPyFile(zpath)
+        _shipped.add(key)
+    except Exception:
+        pass  # best effort; co-located cwd still works without it
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -39,6 +70,7 @@ def tune(spark: SparkSession) -> SparkSession:
     # The driver testdata stores TIMESTAMP(NANOS) which the vectorized
     # reader rejects; read as long and convert in tables.load().
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
     return spark
 
 
