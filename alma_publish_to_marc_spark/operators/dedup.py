@@ -54,7 +54,14 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingle_hashes(text_col: Column, n: int = 5,
                    max_tokens: int | None = None) -> Column:
-    """Distinct shingles → portable 64-bit-safe hashes (array<long>)."""
+    """Distinct shingles → portable hashes (array<long>).
+
+    NOTE a two-level variant (hash tokens once, fold token hashes per
+    gram) looks asymptotically better but is a trap in expression land:
+    the token-hash array is a sub-expression of the per-gram lambda, and
+    Catalyst inlines (not CSEs) lambda sub-expressions, so it recomputes
+    per gram — measured 3× slower at sf0.1. The flat form hashes each
+    gram string once."""
     return F.transform(word_shingles(text_col, n, max_tokens),
                        lambda s: poly_hash(s))
 
@@ -133,12 +140,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     Two docs collide if any band (ROWS_PER_BAND consecutive sig values)
     matches exactly; collisions are then verified against the real
     shingle sets. Output: (id_a, id_b, jaccard)."""
-    # hash shingles ONCE per doc; signatures derive from the same column
-    # (and the narrow projection is pipelined, not recomputed per use)
+    # hash shingles ONCE per doc; signatures derive from the same column.
+    # Persisted because both the banding branch and the verify branch
+    # consume it — without this the text is re-shingled and re-hashed
+    # per branch (2× the dominant cost). MEMORY_AND_DISK: shingle arrays
+    # for a 100 TB corpus won't fit in memory; spilled blocks still beat
+    # recompute.
+    from pyspark import StorageLevel
+
     sigs = (df.select(
                 F.col(id_col),
                 shingle_hashes(F.col(text_col), n, max_tokens).alias("shingles"))
-            .withColumn("sig", signature_from_hashes(F.col("shingles"))))
+            .withColumn("sig", signature_from_hashes(F.col("shingles")))
+            .persist(StorageLevel.MEMORY_AND_DISK))
     bands = sigs.select(
         id_col,
         F.explode(F.array(*[

@@ -1,0 +1,135 @@
+"""Oracle-checked queries for the warehouse write path: versioned
+temporal-guard merge (SRC-11/12, OP-ST3/W3) and CDC delete-with-history
+(OP-ST6), staged on the events/orders/lineitem stand-ins."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import relational as R
+from . import upsert as U
+
+
+def _stored_incoming(spark: SparkSession, sf_dir: str):
+    """stored = latest 'view' per user (version-1 rows); incoming =
+    latest 'click' per user. Some clicks are older than the stored view
+    → the temporal guard must reject those updates."""
+    events = load(spark, sf_dir, "events")
+    stored = (R.latest_per_key(events.where(F.col("event_type") == "view"),
+                               ["user_id"], "ts", ["event_id"])
+              .select("user_id", "value", "ts")
+              .withColumn("create_date_time", F.col("ts"))
+              .withColumn("update_date_time", F.col("ts"))
+              .withColumn("version", F.lit(1).cast("long")))
+    incoming = (events.where(F.col("event_type") == "click")
+                .select("user_id", "value", "ts"))
+    return stored, incoming
+
+
+def _versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stored, incoming = _stored_incoming(spark, sf_dir)
+    return U.merge_upsert(stored, incoming, ["user_id"], "ts",
+                          guard=True, tiebreak=[])
+
+
+_MERGE_SQL = """
+WITH sv AS (
+    SELECT user_id, value, ts FROM (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'view') WHERE rn = 1
+),
+ck AS (
+    SELECT user_id, value, ts FROM (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1
+),
+m AS (
+    SELECT coalesce(sv.user_id, ck.user_id) AS user_id,
+           sv.user_id IS NULL AS is_insert,
+           ck.user_id IS NOT NULL AND (sv.user_id IS NULL OR ck.ts > sv.ts)
+               AS take_incoming,
+           sv.value AS s_value, sv.ts AS s_ts, ck.value AS i_value, ck.ts AS i_ts
+    FROM sv FULL OUTER JOIN ck ON sv.user_id = ck.user_id
+)
+SELECT user_id,
+       CASE WHEN take_incoming THEN i_value ELSE s_value END AS value,
+       CASE WHEN take_incoming THEN i_ts ELSE s_ts END AS ts,
+       CASE WHEN is_insert THEN i_ts ELSE s_ts END AS create_date_time,
+       CASE WHEN take_incoming THEN i_ts ELSE s_ts END AS update_date_time,
+       CASE WHEN is_insert THEN 1
+            WHEN take_incoming THEN 2 ELSE 1 END AS version
+FROM m
+"""
+
+
+def _insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stored, incoming = _stored_incoming(spark, sf_dir)
+    return U.insert_ignore(stored, incoming, ["user_id"], "ts")
+
+
+_INSERT_IGNORE_SQL = """
+WITH sv AS (
+    SELECT user_id, value, ts FROM (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'view') WHERE rn = 1
+),
+ck AS (
+    SELECT user_id, value, ts FROM (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1
+)
+SELECT user_id, value, ts, ts AS create_date_time, ts AS update_date_time,
+       CAST(1 AS BIGINT) AS version
+FROM sv
+UNION ALL
+SELECT ck.user_id, ck.value, ck.ts, ck.ts, ck.ts, CAST(1 AS BIGINT)
+FROM ck WHERE ck.user_id NOT IN (SELECT user_id FROM sv)
+"""
+
+
+def _delete_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("holding_id"),
+        F.col("o_custkey").cast("string").alias("mms_id"),
+        "o_totalprice")
+    items = load(spark, sf_dir, "lineitem").join(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("pid"),
+        F.col("l_orderkey").cast("string").alias("holding_id"),
+        F.col("o_custkey").cast("string").alias("mms_id"))
+    doomed = orders.where(F.col("o_totalprice") > 300000) \
+                   .select("holding_id")
+    _, _, history = U.cascade_delete_holdings(orders, items, doomed)
+    return history
+
+
+_DELETE_HISTORY_SQL = """
+WITH doomed AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+SELECT 'holding' AS record_type,
+       CAST(o_custkey AS VARCHAR) AS mms_id,
+       CAST(o_orderkey AS VARCHAR) AS record_id
+FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM doomed)
+UNION ALL
+SELECT 'item' AS record_type,
+       CAST(o.o_custkey AS VARCHAR) AS mms_id,
+       CAST(l.l_orderkey AS VARCHAR) || '-' || CAST(l.l_linenumber AS VARCHAR)
+           AS record_id
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_orderkey IN (SELECT o_orderkey FROM doomed)
+"""
+
+
+QUERIES = {
+    "versioned_temporal_merge": (_versioned_merge, _MERGE_SQL),
+    "insert_ignore": (_insert_ignore, _INSERT_IGNORE_SQL),
+    "delete_with_history": (_delete_history, _DELETE_HISTORY_SQL),
+}

@@ -20,6 +20,7 @@ _MODULES = (
     "alma_publish_to_marc_spark.operators.relational_queries",
     "alma_publish_to_marc_spark.functions.scalar_queries",
     "alma_publish_to_marc_spark.operators.dedup_queries",
+    "alma_publish_to_marc_spark.operators.upsert_queries",
     "alma_publish_to_marc_spark.operators.similarity_queries",
     "alma_publish_to_marc_spark.functions.text_queries",
     "alma_publish_to_marc_spark.plans.domain_queries",
