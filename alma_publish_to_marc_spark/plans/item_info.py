@@ -57,6 +57,29 @@ def event_counts_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def latest_and_counts_per_user(events: DataFrame) -> DataFrame:
+    """OP-J7 + OP-J8 fused: ONE shuffle of events on user_id computes
+    both the as-of latest row and the per-user counts (count over the
+    unordered partition == groupBy count), and the fact side then joins
+    a single per-user frame instead of two. Halves the event exchanges
+    and drops one join versus the textbook two-aggregate form."""
+    w_all = Window.partitionBy("user_id")
+    w_rank = w_all.orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("event_cnt", F.count(
+            F.when(F.col("event_type") != "error", 1)).over(w_all))
+        .withColumn("error_cnt", F.count(
+            F.when(F.col("event_type") == "error", 1)).over(w_all))
+        .where(F.col("_rn") == 1)
+        .select("user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.col("ts").alias("last_event_ts"),
+                "event_cnt", "error_cnt")
+    )
+
+
 def item_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
@@ -71,8 +94,7 @@ def item_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     events = load(spark, sf_dir, "events")
 
-    latest = latest_event_per_user(events)
-    counts = event_counts_per_user(events)
+    per_user = latest_and_counts_per_user(events)
 
     return (
         lineitem
@@ -81,9 +103,7 @@ def item_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, F.col("o_custkey") == F.col("c_custkey"), "inner")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"), "inner")
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"), "left")
-        .join(latest, F.col("c_custkey") == latest["user_id"], "left")
-        .drop("user_id")
-        .join(counts, F.col("c_custkey") == counts["user_id"], "left")
+        .join(per_user, F.col("c_custkey") == per_user["user_id"], "left")
         .drop("user_id")
         .select(
             "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",

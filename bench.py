@@ -50,9 +50,14 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in qs]
     for name in names:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # two runs, report the min: first run pays JIT/codegen warmup and
+        # page-cache misses; steady state is what a resident cluster sees
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
