@@ -26,8 +26,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, IntegerType, StringType,
+                               StructField, StructType)
 
 from ..schemas import PUBLISH_RECORD
 from . import marclib
@@ -192,6 +192,46 @@ def with_serialized_marc(records: DataFrame, xml: bool = True,
             yield pdf
 
     return records.mapInPandas(run, schema)
+
+
+SIZE_GUARD_SCHEMA = StructType([
+    StructField("mms_id", StringType()),
+    StructField("action", StringType()),   # kept | bib_dropped | skipped
+    StructField("n_bytes", IntegerType()), # null when skipped
+])
+
+
+def apply_size_guard(records: DataFrame,
+                     limit: int = marclib.MAX_RECORD_BYTES) -> DataFrame:
+    """OP-P9 (`alma_publish_to_database.py:176-184`): serialize to
+    ISO 2709; if over the cap, drop the BIB field and retry; still over
+    → skip (null bytes). The reference's `==`-for-`=` typo meant its
+    retry never took effect — this implements the evident intent
+    (SURVEY.md §7 'bugs not to replicate')."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                r = _row_to_dict(rec)
+                blob = marclib.to_iso2709(r)
+                if len(blob) <= limit:
+                    out.append({"mms_id": r["mms_id"], "action": "kept",
+                                "n_bytes": len(blob)})
+                    continue
+                r["fields"] = [f for f in r["fields"] if f["tag"] != "BIB"]
+                blob = marclib.to_iso2709(r)
+                if len(blob) <= limit:
+                    out.append({"mms_id": r["mms_id"],
+                                "action": "bib_dropped",
+                                "n_bytes": len(blob)})
+                else:
+                    out.append({"mms_id": r["mms_id"], "action": "skipped",
+                                "n_bytes": None})
+            yield pd.DataFrame(out, columns=["mms_id", "action", "n_bytes"])
+
+    return records.mapInPandas(run, SIZE_GUARD_SCHEMA)
 
 
 def write_jsonl(df: DataFrame, path: str, max_records_per_file: int) -> None:

@@ -1,0 +1,73 @@
+"""Event-time streaming operators (beyond the reference, which has no
+event-time windows — SURVEY.md §2.9 note): tumbling-window aggregation
+with watermarked late-data handling, and a custom stateful operator via
+applyInPandasWithState (running per-key counters that survive across
+micro-batches and restarts through the state store).
+
+These give the engine the streaming-analytics surface a training-data
+pipeline needs (rate monitoring, incremental per-source counters)
+while staying exactly-once under checkpointing."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (LongType, StringType, StructField, StructType,
+                               TimestampType)
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time windows with a watermark: counts and value
+    sums per (window, event_type). Works identically on a batch frame
+    (watermark is a no-op) — tests pin streaming == batch."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (src.groupBy(F.window("ts", window).alias("w"),
+                        F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "value_sum"))
+
+
+RUNNING_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("last_ts", TimestampType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+])
+
+
+def _update_running(key: tuple, batches: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    n = state.get[0] if state.exists else 0
+    last_ts = None
+    for pdf in batches:
+        n += len(pdf)
+        m = pdf["ts"].max()
+        last_ts = m if last_ts is None else max(last_ts, m)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "last_ts": [last_ts]})
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user event
+    counters accumulated across micro-batches; the state store (under
+    the query checkpoint) carries them across restarts."""
+    return (events.groupBy("user_id").applyInPandasWithState(
+        _update_running,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

@@ -1,0 +1,91 @@
+"""Streaming windowed aggregation ≡ batch, and stateful running
+counters accumulating across checkpointed drains."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from alma_publish_to_marc_spark.streaming import windows as W
+
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double")
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(path)
+
+
+def _drain(spark, src_dir, checkpoint, build, out_dir):
+    """availableNow drain into an append-parquet foreachBatch sink (the
+    memory sink cannot recover from a checkpoint across drains)."""
+    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir))
+
+    def sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (build(stream).writeStream
+         .foreachBatch(sink)
+         .outputMode("update")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    from datetime import datetime
+
+    src = str(tmp_path / "events")
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 5), 1, "click", 1.0),
+        (2, datetime(2024, 1, 1, 10, 55), 1, "click", 2.0),
+        (3, datetime(2024, 1, 1, 11, 5), 2, "view", 3.0),
+        (4, datetime(2024, 1, 1, 9, 59), 2, "view", 4.0),   # late, in watermark
+    ]
+    _write_events(spark, src, rows)
+
+    out1 = str(tmp_path / "win_out")
+    _drain(spark, src, str(tmp_path / "ck1"), W.windowed_event_counts, out1)
+    got = {(r["window_start"].isoformat(), r["event_type"]): (r["n"], r["value_sum"])
+           for r in spark.read.parquet(out1).collect()}
+
+    batch = W.windowed_event_counts(spark.read.schema(EVENTS_SCHEMA).parquet(src))
+    want = {(r["window_start"].isoformat(), r["event_type"]): (r["n"], r["value_sum"])
+            for r in batch.collect()}
+    assert got == want
+    assert got[("2024-01-01T10:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01T09:00:00", "view")] == (1, 4.0)
+
+
+def test_stateful_running_counts_across_drains(spark, tmp_path):
+    from datetime import datetime
+
+    src = str(tmp_path / "events2")
+    ck = str(tmp_path / "ck2")
+    _write_events(spark, src, [
+        (1, datetime(2024, 1, 1, 10), 7, "click", 1.0),
+        (2, datetime(2024, 1, 1, 11), 7, "click", 1.0),
+        (3, datetime(2024, 1, 1, 10), 8, "view", 1.0),
+    ])
+    out1 = str(tmp_path / "run_out1")
+    _drain(spark, src, ck, W.running_user_counts, out1)
+    got1 = {r["user_id"]: r["n_events"]
+            for r in spark.read.parquet(out1).collect()}
+    assert got1 == {7: 2, 8: 1}
+
+    # second drain with NEW events only → state carries the old counts
+    _write_events(spark, src, [
+        (4, datetime(2024, 1, 2, 10), 7, "click", 1.0),
+        (5, datetime(2024, 1, 2, 11), 9, "signup", 1.0),
+    ])
+    out2 = str(tmp_path / "run_out2")
+    _drain(spark, src, ck, W.running_user_counts, out2)
+    got2 = {r["user_id"]: r["n_events"]
+            for r in spark.read.parquet(out2).collect()}
+    # update-mode output only carries touched keys; user 7 accumulated
+    assert got2[7] == 3
+    assert got2[9] == 1
+    assert 8 not in got2
