@@ -1,5 +1,8 @@
-"""MARC field-extraction expression library (SURVEY.md §2.2/2.8, OP-P1..P8,
-OP-F17, and the brief-extraction rules of /root/reference/marc/helper.py).
+"""MARC field-extraction expression library (SURVEY.md §2.2/2.8: OP-P1,
+OP-P2 multi-tag projection union, OP-P3, OP-P4, OP-P7 skip-subfield
+filter, OP-P8, OP-SET4 suffix-tuple membership, OP-F17; the scalar
+extractor surface OP-U4) reproducing the brief-extraction rules of
+/root/reference/marc/helper.py.
 
 All functions operate on the nested arrays of schemas.PUBLISH_RECORD /
 HOLDING_RECORD — pure Column expressions over array HOFs, no UDFs, so the
@@ -185,8 +188,8 @@ def _fields_without_skip(fields: Column, tag: str, skip_codes: str) -> Column:
 
 
 def extract_values_with_skip(fields: Column, tag: str, skip_codes: str) -> Column:
-    """⇐ extract_values (marc/helper.py:145-151): first field of the tag
-    with no skip-coded subfield and a $a → its $a values (array)."""
+    """OP-P7 (extract_values, marc/helper.py:145-151): first field of the
+    tag with no skip-coded subfield and a $a → its $a values (array)."""
     ok = F.filter(_fields_without_skip(fields, tag, skip_codes),
                   lambda f: F.size(subfield_values(f, "a")) > 0)
     first = F.try_element_at(ok, F.lit(1))

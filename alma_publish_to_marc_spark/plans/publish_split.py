@@ -1,6 +1,11 @@
 """Publish-record normalization: 1 nested record → bib + N holdings +
 M items + error stream (OP-U3, OP-J12, OP-F18, OP-P11, OP-F8, OP-A2/A4).
 
+The reference's pluggable callback dict (OP-U1) and record-processor
+injection (OP-U2) dissolve into this API: the engine *returns* the four
+entity DataFrames and sinks are ordinary .write / foreachBatch; a custom
+per-record processor is a mapInPandas stage over the same nested schema.
+
 The reference does this imperatively per record with pymarc callbacks
 (`/root/reference/alma_publish_parser.py:91-189`). Here the entire split
 is a *pure Column-expression program* over the nested arrays of

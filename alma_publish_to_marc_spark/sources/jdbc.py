@@ -73,8 +73,8 @@ def generate_upsert_sql(table: str, key_columns: Sequence[str],
 
 def upsert_partition_batches(rows, columns: Sequence[str],
                              batch_size: int = 1000):
-    """Yield executemany-sized tuples batches (the reference commits per
-    1000, alma_analytics_to_item_status.py:44-46)."""
+    """OP-S4/OP-S5: yield executemany-sized tuple batches (the reference
+    commits per 1000, alma_analytics_to_item_status.py:44-46)."""
     batch = []
     for row in rows:
         batch.append(tuple(row[c] for c in columns))

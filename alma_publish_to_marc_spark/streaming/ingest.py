@@ -10,6 +10,11 @@
   delete-on-main-thread ordering.
 - OP-ST3: the timestamp-guarded merge (operators/upsert.merge_upsert)
   makes replays and out-of-order batches idempotent.
+- OP-ST4: cross-file dedup state is per-batch dropDuplicates + the
+  idempotent merge — replay-safe without a global state store.
+- OP-ST7: webhook-fed event tables (record_update, item_base_status,
+  request_event) use the same readStream → foreachBatch → merge path;
+  the HTTP endpoint itself is out of scope (SURVEY.md §2.9).
 - OP-ST2 (SFTP stability gate) is unnecessary for local/HDFS sources —
   file-source listing is atomic; a driver-side gate stays in front only
   when pulling from SFTP (sources beyond Spark's reach).

@@ -1,0 +1,50 @@
+"""SRC-18: the catalog bootstrap creates all 19 warehouse tables,
+re-runs idempotently, and the tables accept typed inserts."""
+
+from __future__ import annotations
+
+import pytest
+
+from alma_publish_to_marc_spark.warehouse_ddl import (
+    WAREHOUSE_TABLES, bootstrap_catalog, cluster_key, ddl_statements)
+
+EXPECTED_TABLES = {
+    "bib_brief", "bib_marc", "bib_marc_xml", "bib_part", "circ_desk",
+    "code_table_value", "deleted_record", "holding_brief", "holding_marc",
+    "item", "item_base_status", "item_data", "library", "location",
+    "location_circ_desk", "record_set", "record_update", "external_id",
+    "request_event", "user_details",
+}
+
+
+def test_declared_inventory_matches_reference_ddl():
+    # 19 CREATE TABLE statements + user_details in data_sync_db.sql
+    assert set(WAREHOUSE_TABLES) == EXPECTED_TABLES
+    for t, (cols, key) in WAREHOUSE_TABLES.items():
+        names = [n for n, _ in cols]
+        assert len(names) == len(set(names)), f"dup column in {t}"
+        assert all(k in names for k in key), f"cluster key not a column: {t}"
+
+
+def test_bootstrap_creates_and_is_idempotent(spark, tmp_path):
+    loc = str(tmp_path / "wh")
+    created = bootstrap_catalog(spark, "ddl_test", location=loc)
+    assert set(created) >= EXPECTED_TABLES
+    # idempotent re-run (the reference's init is re-runnable too)
+    bootstrap_catalog(spark, "ddl_test", location=loc)
+
+    spark.sql("INSERT INTO ddl_test.bib_part VALUES ('99a', '99b')")
+    assert spark.sql("SELECT * FROM ddl_test.bib_part").count() == 1
+    # typed schema round-trips
+    item_cols = dict(WAREHOUSE_TABLES["item"][0])
+    got = {f.name: f.dataType.simpleString()
+           for f in spark.table("ddl_test.item").schema}
+    assert got == item_cols
+    spark.sql("DROP DATABASE ddl_test CASCADE")
+
+
+def test_cluster_keys_align_big_tables():
+    # the three big pid-keyed tables share a bucket key → co-located join
+    assert cluster_key("item") == cluster_key("item_base_status") \
+        == cluster_key("item_data") == ["pid"]
+    assert len(ddl_statements()) == len(WAREHOUSE_TABLES) + 1
