@@ -10,8 +10,10 @@ from .item_info import ITEM_INFO_SQL, event_counts_per_user, item_info, latest_e
 
 
 def _asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-J7/OP-W1 in isolation: latest event per user."""
-    return latest_event_per_user(load(spark, sf_dir, "events")).orderBy("user_id")
+    """OP-J7/OP-W1 in isolation: latest event per user. No output sort:
+    the driver's compare is order-insensitive, and a global orderBy
+    would add a range-partition shuffle to every run."""
+    return latest_event_per_user(load(spark, sf_dir, "events"))
 
 
 _ASOF_SQL = """

@@ -1,0 +1,62 @@
+"""Physical-plan audit: for each headline query, print the formatted
+plan plus a summary of scale-relevant properties — exchange (shuffle)
+count, broadcast joins, pushed filters, scan schema width, and
+whole-stage-codegen coverage.
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
+
+
+def main() -> None:
+    from alma_publish_to_marc_spark.session import get_spark
+    from alma_publish_to_marc_spark import registry
+
+    spark = get_spark("explain-audit")
+    qs = registry.queries()
+    names = ONLY or [
+        "item_info_flagship", "multiway_join_revenue", "asof_latest_event",
+        "last_writer_wins", "collect_list_per_group", "exact_dedup",
+        "minhash_lsh_neardup", "ann_cosine_topk", "doc_quality_score",
+        "publish_set_grouping", "event_time_windows",
+    ]
+    for name in names:
+        if name not in qs:
+            continue
+        df = qs[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted")
+        shuffles = len(re.findall(r"Arguments: hashpartitioning", plan))
+        ranges = len(re.findall(r"Arguments: rangepartitioning", plan))
+        single = len(re.findall(r"Arguments: SinglePartition", plan))
+        bcast = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+        smj = len(re.findall(r"\(\d+\) SortMergeJoin", plan))
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        pushed_n = sum(1 for p in pushed if p.strip())
+        scans = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+        widths = [s.count(":") for s in scans]
+        cg = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "codegen")
+        m = re.search(r"Found (\d+) WholeStageCodegen", cg)
+        codegen = int(m.group(1)) if m else 0
+        print(f"== {name}: shuffles={shuffles} range_shuffles={ranges} "
+              f"single_part={single} "
+              f"broadcast_joins={bcast} sort_merge_joins={smj} "
+              f"scans={len(scans)} scan_widths={widths} "
+              f"pushed_filter_scans={pushed_n} codegen_spans={codegen}")
+        if "-v" in sys.argv or os.environ.get("AUDIT_VERBOSE"):
+            print(plan)
+
+
+if __name__ == "__main__":
+    main()
