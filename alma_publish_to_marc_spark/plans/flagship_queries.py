@@ -40,8 +40,23 @@ FROM events GROUP BY user_id
 """
 
 
+def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's acceptance queries are point lookups on item_info
+    (barcode / mms_id, README.md:62-67), served there by b-tree indexes.
+    Here the key filter lands on top of the view and Catalyst pushes it
+    through every join to the scans — the columnar analog of the index
+    path (parquet min/max + dictionary skip the irrelevant row groups)."""
+    return item_info(spark, sf_dir).where(F.col("c_custkey") == 42)
+
+
+_POINT_LOOKUP_SQL = (
+    "SELECT * FROM (" + ITEM_INFO_SQL + ") WHERE c_custkey = 42"
+)
+
+
 QUERIES = {
     "item_info_flagship": (item_info, ITEM_INFO_SQL),
     "asof_latest_event": (_asof_latest, _ASOF_SQL),
     "correlated_event_counts": (_correlated_counts, _COUNTS_SQL),
+    "item_info_point_lookup": (_point_lookup, _POINT_LOOKUP_SQL),
 }
