@@ -76,6 +76,30 @@ def replace_by_key(stored: DataFrame, incoming: DataFrame,
     return survivors.unionByName(incoming.select(*survivors.columns))
 
 
+def salted_join(skewed: DataFrame, other: DataFrame, key: str,
+                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join (beyond the reference, which never joins
+    at scale): explode the *small/replicable* side into ``salt_buckets``
+    copies and salt the skewed side's key with a uniform random-ish
+    bucket, so one hot key (a bib with millions of items, one dominant
+    library) spreads across ``salt_buckets`` reducers instead of pinning
+    a single task. Deterministic salt — hash of the whole row modulo
+    buckets — keeps reruns/retries stable (no rand(), which breaks task
+    retry idempotency). Result is exactly the plain join.
+
+    AQE's skew-join split (spark.sql.adaptive.skewJoin) covers sort-merge
+    cases automatically; explicit salting remains the tool when the
+    planner can't see the skew (e.g. key computed late) or for
+    aggregation-style fan-in before a groupBy."""
+    salt = (F.abs(F.hash(*[F.col(c) for c in skewed.columns]))
+            % salt_buckets).alias("_salt")
+    left = skewed.select("*", salt)
+    right = other.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        .alias("_salt"))
+    return left.join(right, [key, "_salt"], how).drop("_salt")
+
+
 def changed_rows(df: DataFrame, keys: Sequence[str], order_col: str,
                  value_col: str) -> DataFrame:
     """OP-W2 adjacent-change detection (`alma_analytics_to_item_status.py:

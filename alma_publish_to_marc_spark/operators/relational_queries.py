@@ -359,8 +359,29 @@ SELECT DISTINCT id FROM (
 """
 
 
+# --- salted skew join: must equal the plain join exactly ------------------
+def _salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice")
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name")
+    joined = R.salted_join(li, sup, "suppkey", salt_buckets=8)
+    return (joined.groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue")))
+
+
+_SALTED_SQL = """
+SELECT s.s_name, count(*) AS n_items,
+       round(sum(l.l_extendedprice), 2) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+"""
+
+
 QUERIES = {
     "broadcast_dim_lookup": (_broadcast_lookup, _BROADCAST_LOOKUP_SQL),
+    "salted_skew_join": (_salted_skew_join, _SALTED_SQL),
     "anti_join_deletes": (_anti_join_deletes, _ANTI_JOIN_SQL),
     "semi_join_exists": (_semi_join, _SEMI_JOIN_SQL),
     "self_join_edges": (_self_join_edges, _SELF_JOIN_SQL),

@@ -65,3 +65,21 @@ def test_first_per_group_deterministic_order(spark):
     ])
     out = R.first_per_group(df, ["k"], ["ord1", "ord2"]).collect()
     assert out[0]["v"] == "first"
+
+
+def test_salted_join_equals_plain_join_under_hot_key(spark):
+    # one hot key (90% of rows) + a key absent from the dim side
+    skewed = spark.createDataFrame(
+        [Row(suppkey=1, v=i) for i in range(90)]
+        + [Row(suppkey=2, v=i) for i in range(9)]
+        + [Row(suppkey=99, v=0)])
+    dim = spark.createDataFrame([Row(suppkey=1, name="hot"),
+                                 Row(suppkey=2, name="cold"),
+                                 Row(suppkey=3, name="unused")])
+    got = R.salted_join(skewed, dim, "suppkey", salt_buckets=4)
+    plain = skewed.join(dim, "suppkey")
+    assert got.count() == plain.count() == 99
+    assert sorted(got.columns) == sorted(plain.columns)
+    by_name = {r["name"]: r["count"] for r in
+               got.groupBy("name").count().collect()}
+    assert by_name == {"hot": 90, "cold": 9}
