@@ -138,26 +138,45 @@ WAREHOUSE_TABLES: dict[str, tuple[list[tuple[str, str]], list[str]]] = {
 }
 
 
+# The tables big enough at 100 TB to bucket (facts + their satellites).
+# Dimensions stay unbucketed — they're broadcast, never shuffled.
+BUCKETED_TABLES = ("item", "item_base_status", "item_data", "holding_brief",
+                   "holding_marc", "bib_brief", "bib_marc", "bib_marc_xml",
+                   "request_event")
+
+
 def ddl_statements(database: str = "datasync",
-                   location: str | None = None) -> list[str]:
+                   location: str | None = None,
+                   buckets: int = 0) -> list[str]:
     """CREATE statements for the full warehouse. Parquet-backed managed
-    tables; `location` pins an explicit warehouse dir for tests."""
+    tables; `location` pins an explicit warehouse dir for tests.
+
+    With ``buckets`` > 0 the big tables are CLUSTERED BY their key: the
+    three pid-keyed satellites share bucket key AND count, so the
+    item_info probe-side joins are exchange-free (bucketed scan feeds
+    SortMergeJoin directly — see tests/test_warehouse_ddl.py)."""
     loc = f" LOCATION '{location}/{{t}}'" if location else ""
     stmts = [f"CREATE DATABASE IF NOT EXISTS {database}"
              + (f" LOCATION '{location}'" if location else "")]
-    for t, (cols, _key) in WAREHOUSE_TABLES.items():
+    for t, (cols, key) in WAREHOUSE_TABLES.items():
         col_sql = ", ".join(f"{n} {typ}" for n, typ in cols)
+        bucket_sql = ""
+        if buckets and t in BUCKETED_TABLES:
+            k = ", ".join(key)
+            bucket_sql = (f" CLUSTERED BY ({k}) SORTED BY ({k}) "
+                          f"INTO {buckets} BUCKETS")
         stmts.append(
             f"CREATE TABLE IF NOT EXISTS {database}.{t} ({col_sql}) "
-            f"USING parquet{loc.format(t=t)}")
+            f"USING parquet{bucket_sql}{loc.format(t=t)}")
     return stmts
 
 
 def bootstrap_catalog(spark: SparkSession, database: str = "datasync",
-                      location: str | None = None) -> list[str]:
+                      location: str | None = None,
+                      buckets: int = 0) -> list[str]:
     """Execute the DDL (idempotent — IF NOT EXISTS everywhere, like the
     reference's re-runnable init). Returns the created table names."""
-    for stmt in ddl_statements(database, location):
+    for stmt in ddl_statements(database, location, buckets):
         spark.sql(stmt)
     return [t.name for t in spark.catalog.listTables(database)]
 

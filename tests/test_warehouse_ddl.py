@@ -43,6 +43,40 @@ def test_bootstrap_creates_and_is_idempotent(spark, tmp_path):
     spark.sql("DROP DATABASE ddl_test CASCADE")
 
 
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """The 100 TB payoff of shared bucket keys: item ⋈ item_base_status
+    ⋈ item_data on pid plans with NO Exchange — bucketed scans feed the
+    sort-merge join directly."""
+    loc = str(tmp_path / "bwh")
+    bootstrap_catalog(spark, "bkt_test", location=loc, buckets=4)
+    spark.sql("""
+        INSERT INTO bkt_test.item (pid, holding_id, barcode, sequence_number)
+        SELECT CAST(id AS STRING), CAST(id % 100 AS STRING),
+               CAST(id + 7000 AS STRING), CAST(id % 3 AS INT)
+        FROM range(1000)""")
+    spark.sql("""
+        INSERT INTO bkt_test.item_base_status (pid, status_code)
+        SELECT CAST(id AS STRING), CAST(id % 2 AS STRING) FROM range(1000)""")
+    spark.sql("""
+        INSERT INTO bkt_test.item_data (pid, data)
+        SELECT CAST(id AS STRING), '{}' FROM range(1000)""")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.sql("""
+            SELECT i.pid, s.status_code, d.data
+            FROM bkt_test.item i
+            JOIN bkt_test.item_base_status s ON i.pid = s.pid
+            JOIN bkt_test.item_data d ON i.pid = d.pid""")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            joined._jdf.queryExecution(), "formatted")
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE bkt_test CASCADE")
+
+
 def test_cluster_keys_align_big_tables():
     # the three big pid-keyed tables share a bucket key → co-located join
     assert cluster_key("item") == cluster_key("item_base_status") \
