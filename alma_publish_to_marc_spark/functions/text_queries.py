@@ -137,9 +137,45 @@ FROM documents
 """
 
 
+# --- deterministic train/val/test split ----------------------------------
+_SPLIT_MOD = 1_000_000_007
+_SPLIT_MULT = 2_654_435_761  # Knuth multiplicative constant
+
+
+def _dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline staple: a stable 80/10/10 split keyed on doc_id
+    so membership never changes as the corpus grows or repartitions.
+    Pure integer arithmetic (multiplicative hash mod 1e9+7, bounded so
+    ANSI bigint never overflows) — identical in any engine, no rand()."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") % _SPLIT_MOD) * _SPLIT_MULT) % _SPLIT_MOD % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "validation")
+             .otherwise("test"))
+    return (docs.select(split.alias("split"), "n_chars")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+_SPLIT_SQL = f"""
+SELECT CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'validation'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+    SELECT n_chars,
+           ((doc_id % {_SPLIT_MOD}) * {_SPLIT_MULT}) % {_SPLIT_MOD} % 100 AS b
+    FROM documents
+) GROUP BY 1
+"""
+
+
 QUERIES = {
     "doc_token_stats": (_token_stats, _TOKEN_STATS_SQL),
     "doc_lang_id": (_lang_id, _lang_id_sql()),
     "doc_quality_score": (_quality, _quality_sql()),
     "doc_fingerprint": (_fingerprint, _FINGERPRINT_SQL),
+    "dataset_split": (_dataset_split, _SPLIT_SQL),
 }

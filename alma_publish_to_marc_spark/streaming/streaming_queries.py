@@ -27,6 +27,49 @@ GROUP BY 1, 2, 3
 """
 
 
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session) via
+    Spark's native session_window — merge-on-overlap, usable identically
+    in batch and streaming. One shuffle on user_id; at 100 TB the state
+    store handles the streaming variant with watermark eviction."""
+    from pyspark.sql import functions as F
+
+    events = load(spark, sf_dir, "events")
+    return (events
+            .groupBy("user_id",
+                     F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "value_sum"))
+
+
+_SESSION_SQL = """
+WITH g AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "event_time_windows": (_event_time_windows, _WINDOWS_SQL),
+    "event_sessionization": (_sessionize, _SESSION_SQL),
 }
