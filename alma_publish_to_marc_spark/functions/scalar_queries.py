@@ -91,7 +91,7 @@ FROM d
 """
 
 
-# --- OP-F9/F10: JSON path extraction --------------------------------------
+# --- OP-F9/OP-F10: JSON path extraction --------------------------------------
 def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     k = SC.json_value(F.col("props"), "$.k").cast("int")

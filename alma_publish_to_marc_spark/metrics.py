@@ -40,7 +40,8 @@ def run_counters(split_outputs: dict[str, DataFrame],
 
 
 def throughput(count: int, elapsed_seconds: float) -> float:
-    """OP-A9 (`alma_analytics_to_item_status.py:75-77`)."""
+    """OP-A9/OP-F19 (`alma_analytics_to_item_status.py:75-77`): the
+    reference's only arithmetic — counters, records/sec, mod-1000."""
     return count / elapsed_seconds if elapsed_seconds > 0 else 0.0
 
 

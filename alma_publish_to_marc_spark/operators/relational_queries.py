@@ -203,7 +203,7 @@ FROM orders GROUP BY o_custkey
 """
 
 
-# --- OP-A2/A3: distinct + collect_set ------------------------------------
+# --- OP-A2/OP-A3: distinct + collect_set ------------------------------------
 def _distinct_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
