@@ -128,8 +128,60 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9
 """
 
 
+# vec_ids spread across the id range at every sf (ids are dense from 0)
+CENTROID_IDS = [10, 40, 70, 100, 130, 160, 190, 220, 250, 280,
+                310, 340, 370, 400, 430, 460]
+NPROBE = 2
+
+
+def _ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, "vec_id", "embedding", QUERY_IDS,
+                      CENTROID_IDS, K, NPROBE)
+
+
+_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      WHERE vec_id IN ({", ".join(map(str, CENTROID_IDS))})),
+scored AS (
+    SELECT e.vec_id, e.v, c.cent_id,
+           round({_sql_dot('e.v', 'c.cv')}
+                 / ({_sql_norm('e.v')} * {_sql_norm('c.cv')}), 6) AS cs,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_sql_dot('e.v', 'c.cv')}
+                 / ({_sql_norm('e.v')} * {_sql_norm('c.cv')}), 6) DESC,
+                              c.cent_id ASC) AS crank
+    FROM e CROSS JOIN c
+),
+cells AS (SELECT vec_id, v, cent_id AS cell FROM scored WHERE crank = 1),
+probes AS (
+    SELECT vec_id AS qid, v AS qv, cent_id AS cell
+    FROM scored
+    WHERE crank <= {NPROBE}
+      AND vec_id IN ({", ".join(map(str, QUERY_IDS))})
+),
+pairs AS (
+    SELECT p.qid, cells.vec_id,
+           round({_sql_dot('p.qv', 'cells.v')}
+                 / ({_sql_norm('p.qv')} * {_sql_norm('cells.v')}), 6) AS cosine
+    FROM cells JOIN probes p ON cells.cell = p.cell
+    WHERE cells.vec_id <> p.qid
+),
+ranked AS (
+    SELECT qid, vec_id AS neighbor_id, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM pairs
+)
+SELECT qid, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (_brute, _BRUTE_SQL),
     "ann_lsh_topk": (_lsh, _LSH_SQL),
+    "ann_ivf_topk": (_ivf, _IVF_SQL),
     "embedding_neardup": (_neardup, _NEARDUP_SQL),
 }
