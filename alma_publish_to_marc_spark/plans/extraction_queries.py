@@ -308,10 +308,50 @@ FROM orders
 """
 
 
+def _cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (li.cube(F.col("l_returnflag").alias("returnflag"),
+                    F.col("l_linestatus").alias("linestatus"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty")))
+
+
+_CUBE_SQL = """
+SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (one shuffle;
+    Spark sorts within each hash partition — no global sort). At 100 TB
+    swap to percentile_approx (t-digest, mergeable map-side sketch) when
+    exactness can be traded for a single-pass bound."""
+    events = load(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(*[F.round(F.expr(f"percentile(value, {p})"), 4)
+                   .alias(f"p{int(p * 100)}") for p in (0.5, 0.9, 0.99)],
+                 F.count(F.lit(1)).alias("n")))
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "marc_field_extraction": (_marc_extraction, _marc_extraction_sql()),
     "item_json_roundtrip": (_item_json, _ITEM_JSON_SQL),
     "marc_size_guard": (_size_guard, _size_guard_sql()),
     "rollup_revenue": (_rollup, _ROLLUP_SQL),
     "running_total_window": (_running_total, _RUNNING_SQL),
+    "cube_lineitem_status": (_cube, _CUBE_SQL),
+    "group_percentiles": (_percentiles, _PERCENTILES_SQL),
 }
