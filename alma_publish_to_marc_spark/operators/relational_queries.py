@@ -379,9 +379,68 @@ GROUP BY s.s_name
 """
 
 
+# --- pivot: one aggregation pass, fixed column domain ---------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user event-type counts. The pivot value list is pinned
+    (no discovery pass) so the plan is a single groupBy — at scale an
+    unpinned pivot costs an extra distinct-collect job on the driver."""
+    events = load(spark, sf_dir, "events")
+    out = (events.groupBy("user_id")
+           .pivot("event_type", list(_EVENT_TYPES)).count())
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                     for t in _EVENT_TYPES])
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+# --- INTERSECT / EXCEPT (absent from the reference; free in Spark) --------
+def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys that signed up but never purchased (EXCEPT) and keys that
+    did both (INTERSECT), labeled and unioned — the set-algebra surface
+    over the same shuffle key."""
+    events = load(spark, sf_dir, "events")
+    signup = events.where(F.col("event_type") == "signup").select("user_id")
+    purchase = events.where(F.col("event_type") == "purchase").select("user_id")
+    never = (signup.subtract(purchase)  # EXCEPT DISTINCT semantics
+             .select("user_id", F.lit("signup_only").alias("cohort")))
+    both = (signup.intersect(purchase)
+            .select("user_id", F.lit("signup_and_purchase").alias("cohort")))
+    return never.unionByName(both)
+
+
+_SET_OPS_SQL = """
+SELECT user_id, 'signup_only' AS cohort FROM (
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT user_id, 'signup_and_purchase' AS cohort FROM (
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
 QUERIES = {
     "broadcast_dim_lookup": (_broadcast_lookup, _BROADCAST_LOOKUP_SQL),
     "salted_skew_join": (_salted_skew_join, _SALTED_SQL),
+    "pivot_event_counts": (_pivot_event_counts, _PIVOT_SQL),
+    "set_intersect_except": (_set_ops, _SET_OPS_SQL),
     "anti_join_deletes": (_anti_join_deletes, _ANTI_JOIN_SQL),
     "semi_join_exists": (_semi_join, _SEMI_JOIN_SQL),
     "self_join_edges": (_self_join_edges, _SELF_JOIN_SQL),
