@@ -1,0 +1,122 @@
+"""Iterative graph clustering for the dedup pipeline: connected
+components over near-duplicate candidate pairs → duplicate clusters
+with a canonical representative per cluster.
+
+This is the step after pair generation (MinHash/LSH, SimHash,
+Levenshtein blocking) in a training-data dedup pipeline: pairs are only
+edges; keeping ONE doc per duplicate *cluster* requires the transitive
+closure. The reference's closest relative is the bib_part edge table
+(`ddl/data_sync_db.sql:82-85`) queried from either side — here we take
+the graph semantics to completion.
+
+Algorithm: min-label propagation with pointer jumping (label-of-label),
+converging in O(log n) rounds instead of O(diameter). Each round is two
+shuffles on a frame that only shrinks; the loop runs on the driver but
+all data stays distributed — at 100 TB this is the same shape as
+GraphFrames' connected components (alternating large-star/small-star).
+
+The DuckDB oracle computes the same components with a recursive CTE —
+one of the few genuinely iterative computations ANSI SQL can express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+_MAX_ROUNDS = 25  # 2^25 ≫ any component diameter after pointer jumping
+
+
+def _candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking edges: same (lang, source), length within ±20 chars.
+    Equi keys carry the hash join; doc_a < doc_b dedups the pair."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    a, b = docs.alias("a"), docs.alias("b")
+    return (a.join(b, ((F.col("a.lang") == F.col("b.lang"))
+                       & (F.col("a.source") == F.col("b.source"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id"))
+                       & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20)))
+            .select(F.col("a.doc_id").alias("src"),
+                    F.col("b.doc_id").alias("dst")))
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation with path compression over undirected
+    edges(src, dst). Returns (node, cluster_id) where cluster_id is the
+    smallest node id in the component. Deterministic: min() is
+    order-independent."""
+    und = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    und = und.localCheckpoint()  # sever lineage; edges reused every round
+    labels = (und.select(F.col("src").alias("node")).distinct()
+              .withColumn("lbl", F.col("node"))).localCheckpoint()
+
+    for _ in range(_MAX_ROUNDS):
+        # 1-hop: smallest label among neighbours
+        nbr = (und.join(labels, und.dst == labels.node)
+               .groupBy("src").agg(F.min("lbl").alias("nbr_lbl")))
+        # pointer jump: label of my current label
+        jump = labels.select(F.col("node").alias("lbl"),
+                             F.col("lbl").alias("jump_lbl"))
+        new_labels = (labels
+                      .join(nbr, labels.node == nbr.src, "left")
+                      .join(jump, "lbl", "left")
+                      .select("node",
+                              F.least("lbl",
+                                      F.coalesce("nbr_lbl", F.col("lbl")),
+                                      F.coalesce("jump_lbl", F.col("lbl")))
+                              .alias("lbl"))).localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = connected_components(_candidate_edges(spark, sf_dir))
+    sizes = comps.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (comps.join(sizes, "cluster_id")
+            .select(F.col("node").alias("doc_id"), "cluster_id",
+                    "cluster_size",
+                    (F.col("node") == F.col("cluster_id")).alias("is_canonical")))
+
+
+_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 20
+),
+und AS (
+    SELECT src, dst FROM pairs
+    UNION ALL
+    SELECT dst, src FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, und.dst FROM reach JOIN und ON und.src = reach.r
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+sized AS (
+    SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+       c.node = c.cluster_id AS is_canonical
+FROM comp c JOIN sized s USING (cluster_id)
+"""
+
+
+QUERIES = {
+    "neardup_clusters": (_neardup_clusters, _CLUSTERS_SQL),
+}

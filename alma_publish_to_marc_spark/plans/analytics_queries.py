@@ -230,8 +230,74 @@ WHERE rnk <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# approx_distinct_bounds: HLL++ sketch vs exact, asserted in-query
+# --------------------------------------------------------------------------
+def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for COUNT(DISTINCT): approx_count_distinct is a
+    mergeable HLL++ sketch — one pass, map-side combinable, no
+    shuffle-the-world expand like exact distinct. The sketch value
+    itself is engine-specific, so the contract exported to the oracle
+    is the BOUND: |approx - exact| / exact <= 5% (rsd=0.01 leaves wide
+    margin). Spark's HLL is deterministic for fixed data, so the
+    boolean is a stable, hashable result."""
+    events = load(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("approx"))
+    return agg.select(
+        "event_type", "exact_users",
+        (F.abs(F.col("approx") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).alias("approx_ok"))
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# array_ops_suite: array HOFs over grouped data
+# --------------------------------------------------------------------------
+def _array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is order-nondeterministic under shuffle — every
+    array here is canonicalized with array_sort before leaving the
+    aggregate, the only way grouped arrays can ever be hash-compared
+    (or reproducibly written) on a cluster. qty_sum folds the sorted
+    array with F.aggregate to exercise the lambda path."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.array_sort(F.collect_list(F.col("l_quantity").cast("long")))
+    return (li.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_items"),
+                 qty.alias("qty_sorted"),
+                 F.array_sort(F.collect_set("l_returnflag")).alias("flags"))
+            .select("l_orderkey", "n_items", "qty_sorted", "flags",
+                    F.slice(F.sort_array(F.col("qty_sorted"), asc=False),
+                            1, 2).alias("qty_top2"),
+                    F.aggregate("qty_sorted", F.lit(0).cast("long"),
+                                lambda acc, x: acc + x).alias("qty_sum")))
+
+
+_ARRAY_OPS_SQL = """
+SELECT l_orderkey,
+       CAST(count(*) AS INT) AS n_items,
+       list_sort(list(CAST(l_quantity AS BIGINT))) AS qty_sorted,
+       list_sort(list_distinct(list(l_returnflag))) AS flags,
+       list_sort(list(CAST(l_quantity AS BIGINT)), 'DESC')[1:2] AS qty_top2,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_sort(list(CAST(l_quantity AS BIGINT)))),
+                   (a, b) -> a + b) AS qty_sum
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
 QUERIES = {
     "window_frame_suite": (_window_frames, _WINDOW_FRAMES_SQL),
+    "approx_distinct_bounds": (_approx_distinct, _APPROX_DISTINCT_SQL),
+    "array_ops_suite": (_array_ops, _ARRAY_OPS_SQL),
     "range_interval_join": (_range_join, _RANGE_JOIN_SQL),
     "grouping_sets_revenue": (_grouping_sets, _GROUPING_SETS_SQL),
     "levenshtein_neardup": (_levenshtein_neardup, _LEVENSHTEIN_SQL),
