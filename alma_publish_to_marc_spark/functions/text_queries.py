@@ -172,8 +172,93 @@ FROM (
 """
 
 
+# --- sliding-window document chunking ------------------------------------
+_CHUNK = 500   # chars per chunk
+_STRIDE = 400  # 100-char overlap between adjacent chunks
+
+
+def _doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training data: each document becomes
+    ⌈L/stride⌉ overlapping 500-char windows. Pure narrow ops — sequence
+    + explode never shuffle; output partitioning inherits the scan, so
+    at 100 TB this runs scan-speed with zero exchanges."""
+    docs = load(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.floor((F.greatest(F.length("text"), F.lit(1)) - 1)
+                          / _STRIDE))
+    chunk = F.substring(F.col("text"), F.col("chunk_idx") * _STRIDE + 1,
+                        _CHUNK)
+    return (docs.select("doc_id", "lang", "text",
+                        F.explode(starts).alias("chunk_idx"))
+            .select("doc_id", "lang",
+                    F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                    chunk.alias("chunk_text"),
+                    F.length(chunk).alias("chunk_len")))
+
+
+_CHUNKING_SQL = f"""
+SELECT doc_id, lang,
+       CAST(i AS INT) AS chunk_idx,
+       substr(text, CAST(i * {_STRIDE} + 1 AS BIGINT), {_CHUNK}) AS chunk_text,
+       length(substr(text, CAST(i * {_STRIDE} + 1 AS BIGINT), {_CHUNK}))
+           AS chunk_len
+FROM documents,
+     unnest(generate_series(0,
+         CAST(floor((greatest(length(text), 1) - 1) / {_STRIDE}) AS BIGINT)))
+     AS t(i)
+"""
+
+
+# --- sequence packing (concat-then-split token binning) -------------------
+_PACK_BUDGET = 256  # tokens per packed sequence
+
+
+def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style sequence packing: concatenate documents in a
+    stable order (doc_id) per language stream, then split at fixed
+    token-budget boundaries. pack_id = floor(start_offset / budget) via
+    a window cumsum — one shuffle on lang, exact integer arithmetic, so
+    membership is reproducible on any cluster layout."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = docs.select("doc_id", "lang", n_tok.cast("long").alias("n_tok"))
+    packed = toks.select(
+        "lang", "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET)
+         .alias("pack_id"))
+    return (packed.groupBy("lang", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("tokens_in_pack")))
+
+
+_PACKING_SQL = f"""
+SELECT lang, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_in_pack
+FROM (
+    SELECT lang,
+           n_tok,
+           CAST(floor((sum(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, lang,
+               CAST(len({SQL_TOKS}) AS BIGINT) AS n_tok
+        FROM documents
+    )
+)
+GROUP BY lang, pack_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": (_token_stats, _TOKEN_STATS_SQL),
+    "doc_chunking": (_doc_chunking, _CHUNKING_SQL),
+    "sequence_packing": (_sequence_packing, _PACKING_SQL),
     "doc_lang_id": (_lang_id, _lang_id_sql()),
     "doc_quality_score": (_quality, _quality_sql()),
     "doc_fingerprint": (_fingerprint, _FINGERPRINT_SQL),

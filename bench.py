@@ -34,6 +34,10 @@ HEADLINE = [
     "minhash_lsh_neardup",
     "ann_cosine_topk",
     "doc_quality_score",
+    "window_frame_suite",
+    "range_interval_join",
+    "tfidf_top_terms",
+    "doc_chunking",
 ]
 
 
