@@ -255,10 +255,48 @@ GROUP BY lang, pack_id
 """
 
 
+# --- stratified deterministic sampling -----------------------------------
+_SAMPLE_PCT = 30  # per-stratum keep fraction
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stratified sampling: EXACTLY the lowest 30% of each language
+    stratum by a multiplicative doc_id hash (percent_rank over the hash
+    order). Membership is a pure function of the data — identical on any
+    cluster, partitioning, or run, unlike rand()/sampleBy which need
+    seeds AND a stable partition layout. One shuffle (the stratum
+    window); the hash order also makes the per-stratum fraction exact,
+    which a plain `hash % 100 < 30` filter only hits in expectation."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % _SPLIT_MOD) * (_SPLIT_MULT + 17)) % _SPLIT_MOD
+    w = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    return (docs.withColumn("_h", h)
+            .withColumn("_pr", F.percent_rank().over(w))
+            .where(F.col("_pr") <= _SAMPLE_PCT / 100.0)
+            .select("doc_id", "lang", "source"))
+
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source
+FROM (
+    SELECT doc_id, lang, source,
+           percent_rank() OVER (
+               PARTITION BY lang
+               ORDER BY ((doc_id % {_SPLIT_MOD}) * {_SPLIT_MULT + 17})
+                        % {_SPLIT_MOD}, doc_id) AS pr
+    FROM documents
+)
+WHERE pr <= {_SAMPLE_PCT / 100.0}
+"""
+
+
 QUERIES = {
     "doc_token_stats": (_token_stats, _TOKEN_STATS_SQL),
     "doc_chunking": (_doc_chunking, _CHUNKING_SQL),
     "sequence_packing": (_sequence_packing, _PACKING_SQL),
+    "stratified_sample": (_stratified_sample, _STRATIFIED_SQL),
     "doc_lang_id": (_lang_id, _lang_id_sql()),
     "doc_quality_score": (_quality, _quality_sql()),
     "doc_fingerprint": (_fingerprint, _FINGERPRINT_SQL),

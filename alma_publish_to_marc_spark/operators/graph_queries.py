@@ -153,6 +153,49 @@ FROM comp c JOIN sized s USING (cluster_id)
 """
 
 
+def _dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's end product: the corpus with every
+    non-canonical cluster member removed (the canonical survivor is the
+    min doc_id of each component). Docs outside any candidate pair pass
+    through untouched — a left-anti join against the non-canonical set,
+    so the big side streams with one shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    comps = connected_components(_candidate_edges(spark, sf_dir))
+    losers = (comps.where(F.col("node") != F.col("cluster_id"))
+              .select(F.col("node").alias("doc_id")))
+    return (docs.join(losers, "doc_id", "left_anti")
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+_DEDUP_CANONICAL_SQL = """
+WITH RECURSIVE pairs AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 20
+),
+und AS (
+    SELECT src, dst FROM pairs
+    UNION ALL
+    SELECT dst, src FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, und.dst FROM reach JOIN und ON und.src = reach.r
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE NOT EXISTS (
+    SELECT 1 FROM comp c WHERE c.node = d.doc_id AND c.node <> c.cluster_id
+)
+"""
+
+
 QUERIES = {
     "neardup_clusters": (_neardup_clusters, _CLUSTERS_SQL),
+    "dedup_keep_canonical": (_dedup_keep_canonical, _DEDUP_CANONICAL_SQL),
 }
