@@ -294,10 +294,81 @@ FROM lineitem GROUP BY l_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# recursive_cte_depth: hierarchical walk with Spark 4's WITH RECURSIVE
+# --------------------------------------------------------------------------
+def _recursive_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (Spark 4) walking an implicit binary
+    hierarchy doc → doc DIV 2 up to the root — the SQL-surface
+    counterpart of the reference's bib_part host↔constituent traversal
+    (ddl/data_sync_db.sql:82-85). Spark's recursion is UNION ALL-only,
+    so this walk is acyclic by construction; cyclic closure lives in
+    connected_components (operators/graph_queries.py)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("rc_docs")
+    return spark.sql("""
+        WITH RECURSIVE walk(doc_id, cur, depth) AS (
+            SELECT doc_id, doc_id, 0 FROM rc_docs
+            UNION ALL
+            SELECT doc_id, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+        )
+        SELECT doc_id, max(depth) AS depth_to_root,
+               CAST(sum(cur) AS BIGINT) AS path_sum
+        FROM walk GROUP BY doc_id
+    """)
+
+
+_RECURSIVE_DEPTH_SQL = """
+WITH RECURSIVE walk(doc_id, cur, depth) AS (
+    SELECT doc_id, doc_id, 0 FROM documents
+    UNION ALL
+    SELECT doc_id, cur // 2, depth + 1 FROM walk WHERE cur > 1
+)
+SELECT doc_id, max(depth) AS depth_to_root,
+       CAST(sum(cur) AS BIGINT) AS path_sum
+FROM walk GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# unpivot_metrics: wide → long reshaping
+# --------------------------------------------------------------------------
+def _unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.unpivot (ANSI UNPIVOT): the inverse of pivot_event_counts.
+    Values are copied, not recomputed, so the reshape is exact; the
+    oracle mirrors with a UNION ALL expansion (portable to engines
+    without UNPIVOT)."""
+    orders = load(spark, sf_dir, "orders")
+    wide = (orders.groupBy("o_orderstatus")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price"),
+                 F.round(F.min("o_totalprice"), 2).alias("min_price")))
+    return wide.unpivot(["o_orderstatus"],
+                        ["sum_price", "max_price", "min_price"],
+                        "metric", "val")
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+    SELECT o_orderstatus,
+           round(sum(o_totalprice), 2) AS sum_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(min(o_totalprice), 2) AS min_price
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS val FROM wide
+UNION ALL
+SELECT o_orderstatus, 'max_price' AS metric, max_price AS val FROM wide
+UNION ALL
+SELECT o_orderstatus, 'min_price' AS metric, min_price AS val FROM wide
+"""
+
+
 QUERIES = {
     "window_frame_suite": (_window_frames, _WINDOW_FRAMES_SQL),
     "approx_distinct_bounds": (_approx_distinct, _APPROX_DISTINCT_SQL),
     "array_ops_suite": (_array_ops, _ARRAY_OPS_SQL),
+    "recursive_cte_depth": (_recursive_depth, _RECURSIVE_DEPTH_SQL),
+    "unpivot_metrics": (_unpivot, _UNPIVOT_SQL),
     "range_interval_join": (_range_join, _RANGE_JOIN_SQL),
     "grouping_sets_revenue": (_grouping_sets, _GROUPING_SETS_SQL),
     "levenshtein_neardup": (_levenshtein_neardup, _LEVENSHTEIN_SQL),
