@@ -363,12 +363,121 @@ SELECT o_orderstatus, 'min_price' AS metric, min_price AS val FROM wide
 """
 
 
+# --------------------------------------------------------------------------
+# scd2_intervals: slowly-changing-dimension type-2 history from events
+# --------------------------------------------------------------------------
+def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 materialization: each user's event stream becomes validity
+    intervals [valid_from, valid_to) with an is_current flag — the
+    interval form of the reference's versioned rows + update_date_time
+    audit (README.md:77-80). One window shuffle on the key; lead() is
+    evaluated map-side after it (WindowExec, no extra exchange)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+_SCD2_SQL = """
+SELECT user_id,
+       event_type AS state,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# time_gap_fill: dense hourly spine with zero-filled gaps
+# --------------------------------------------------------------------------
+def _gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-with-gap-fill: per event_type, a dense hourly spine from
+    min to max hour (sequence + explode — generated, never collected),
+    left-joined to the observed per-hour counts, absent hours = 0. The
+    spine side is tiny (types × hours) so Catalyst broadcasts it; the
+    count side aggregates map-side before its single shuffle."""
+    events = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = (events.groupBy(F.col("event_type"), hour.alias("hour_ts"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    spine = (events.groupBy("event_type")
+             .agg(F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         "h0", "h1", F.expr("INTERVAL 1 HOUR")))
+                     .alias("hour_ts")))
+    return (spine.join(counts, ["event_type", "hour_ts"], "left")
+            .select("event_type", "hour_ts",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events")))
+
+
+_GAP_FILL_SQL = """
+WITH counts AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+           count(*) AS n_events
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (
+    SELECT event_type,
+           min(date_trunc('hour', ts)) AS h0,
+           max(date_trunc('hour', ts)) AS h1
+    FROM events GROUP BY event_type
+),
+spine AS (
+    SELECT b.event_type, t.hour_ts
+    FROM bounds b,
+         unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS t(hour_ts)
+)
+SELECT s.event_type, s.hour_ts,
+       coalesce(c.n_events, 0) AS n_events
+FROM spine s
+LEFT JOIN counts c
+  ON s.event_type = c.event_type AND s.hour_ts = c.hour_ts
+"""
+
+
+# --------------------------------------------------------------------------
+# variant_json_extract: Spark 4 VariantType ingestion of semi-structured
+# --------------------------------------------------------------------------
+def _variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Variant path for semi-structured columns: parse once into
+    the binary Variant encoding, then typed try_variant_get extraction —
+    the shredded-at-scan successor to get_json_object string re-parsing
+    (reference JSON ops: README.md:65, OP-F9/F10)."""
+    events = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return events.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_val"),
+        F.isnull(F.try_variant_get(v, "$.missing", "string"))
+         .alias("missing_is_null"),
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+FROM events
+"""
+
+
 QUERIES = {
     "window_frame_suite": (_window_frames, _WINDOW_FRAMES_SQL),
     "approx_distinct_bounds": (_approx_distinct, _APPROX_DISTINCT_SQL),
     "array_ops_suite": (_array_ops, _ARRAY_OPS_SQL),
     "recursive_cte_depth": (_recursive_depth, _RECURSIVE_DEPTH_SQL),
     "unpivot_metrics": (_unpivot, _UNPIVOT_SQL),
+    "scd2_intervals": (_scd2, _SCD2_SQL),
+    "time_gap_fill": (_gap_fill, _GAP_FILL_SQL),
+    "variant_json_extract": (_variant_extract, _VARIANT_SQL),
     "range_interval_join": (_range_join, _RANGE_JOIN_SQL),
     "grouping_sets_revenue": (_grouping_sets, _GROUPING_SETS_SQL),
     "levenshtein_neardup": (_levenshtein_neardup, _LEVENSHTEIN_SQL),
