@@ -1,7 +1,11 @@
-"""Multimodal queries. `multimodal_metadata` is fully oracle-checked
-(byte metadata is SQL-expressible); the decode/frame stages go through
-mapInPandas (not SQL-expressible) → rows-only checks, with value-level
-assertions living in tests/test_multimodal.py."""
+"""Multimodal queries — ALL fully oracle-checked. The decode/frame
+stages run through mapInPandas / binary slicing on the Spark side; their
+oracles are expressible because (a) the fake decoder derives dimensions
+from md5 of the payload, and DuckDB's md5(VARCHAR) hashes the same UTF-8
+bytes, and (b) the driver corpus is pure ASCII at every sf (verified
+octet_length == length), so DuckDB's character slicing equals Spark's
+byte slicing. Value-level assertions also live in
+tests/test_multimodal.py."""
 
 from __future__ import annotations
 
@@ -47,8 +51,30 @@ def _frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.md5("frame_bytes").alias("frame_checksum"))
 
 
+# Mirrors columns._decode_image_fake: dims from md5-hex nibbles.
+_DECODE_SQL = f"""
+SELECT doc_id,
+       {_FORMATS_CASE} AS media_format,
+       CAST(16 + CAST('0x' || substr(md5(text), 1, 4) AS INT) % 2048 AS INT)
+           AS width,
+       CAST(16 + CAST('0x' || substr(md5(text), 5, 4) AS INT) % 2048 AS INT)
+           AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 3 END AS INT) AS n_channels,
+       md5(text) AS checksum
+FROM documents
+"""
+
+# Mirrors columns.frame_sample: 4 evenly-spaced 256-byte windows.
+_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(i AS INT) AS frame_no,
+       md5(substr(text, CAST(i * greatest(length(text) // 4, 1) + 1 AS BIGINT),
+                  256)) AS frame_checksum
+FROM documents, unnest(generate_series(0, 3)) AS t(i)
+"""
+
 QUERIES = {
     "multimodal_metadata": (_metadata, _METADATA_SQL),
-    "media_decode_stub": (_decode, None),   # mapInPandas → rows-only check
-    "media_frame_sample": (_frames, None),  # binary slicing → rows-only check
+    "media_decode_stub": (_decode, _DECODE_SQL),
+    "media_frame_sample": (_frames, _FRAMES_SQL),
 }
