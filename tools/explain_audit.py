@@ -29,6 +29,10 @@ def main() -> None:
         "last_writer_wins", "collect_list_per_group", "exact_dedup",
         "minhash_lsh_neardup", "ann_cosine_topk", "doc_quality_score",
         "publish_set_grouping", "event_time_windows",
+        "window_frame_suite", "range_interval_join", "tfidf_top_terms",
+        "doc_chunking", "sequence_packing", "scd2_intervals",
+        "time_gap_fill", "grouping_sets_revenue", "levenshtein_neardup",
+        "stratified_sample", "dedup_keep_canonical",
     ]
     for name in names:
         if name not in qs:
