@@ -116,7 +116,10 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "doc_id", "text", n=5, threshold=0.5)
 
 
-def _minhash_sql() -> str:
+def minhash_pairs_cte() -> str:
+    """The MinHash+LSH pair computation as a reusable WITH-body ending
+    in ``pairs(id_a, id_b, jaccard)`` — shared by the standalone query
+    and the end-to-end dedup pipeline (operators/graph_queries.py)."""
     p = D.HASH_MOD
     sig_cols = ", ".join(
         f"coalesce(list_min(list_transform(hashes, "
@@ -132,7 +135,7 @@ def _minhash_sql() -> str:
         for b in range(D.N_BANDS)
     )
     return f"""
-WITH {SQL_NEAR_CORPUS},
+{SQL_NEAR_CORPUS},
 hashed AS (
     SELECT doc_id, {sql_shingle_hashes()} AS hashes FROM corpus
 ),
@@ -151,12 +154,17 @@ verified AS (
     FROM cand
     JOIN hashed ha ON ha.doc_id = id_a
     JOIN hashed hb ON hb.doc_id = id_b
-)
-SELECT id_a, id_b,
-       round(n_inter / (size_a + size_b - n_inter), 6) AS jaccard
-FROM verified
-WHERE round(n_inter / (size_a + size_b - n_inter), 6) >= 0.5
-"""
+),
+pairs AS (
+    SELECT id_a, id_b,
+           round(n_inter / (size_a + size_b - n_inter), 6) AS jaccard
+    FROM verified
+    WHERE round(n_inter / (size_a + size_b - n_inter), 6) >= 0.5
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"WITH {minhash_pairs_cte()}\nSELECT id_a, id_b, jaccard FROM pairs"
 
 
 # ---- SimHash ----------------------------------------------------------------

@@ -195,7 +195,54 @@ WHERE NOT EXISTS (
 """
 
 
+def _dedup_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete training-data dedup pipeline in one query:
+    shingle → MinHash signature → LSH banding → candidate pairs →
+    Jaccard verification → connected components → canonical survivor
+    per cluster. Every stage is the production-shaped operator (banded
+    join, not all-pairs; distributed label propagation, not a driver
+    union-find), so the same plan runs at corpus scale."""
+    from .dedup_queries import _near_dup_corpus
+    from . import dedup as D
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, "doc_id", "text", n=5, threshold=0.5)
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    losers = (comps.where(F.col("node") != F.col("cluster_id"))
+              .select(F.col("node").alias("doc_id")))
+    return (corpus.join(losers, "doc_id", "left_anti")
+            .select("doc_id", (F.col("doc_id") < 100000).alias("is_original")))
+
+
+def _dedup_pipeline_sql() -> str:
+    from .dedup_queries import minhash_pairs_cte
+
+    return f"""
+WITH RECURSIVE {minhash_pairs_cte()},
+und AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, und.dst FROM reach JOIN und ON und.src = reach.r
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT c.doc_id, c.doc_id < 100000 AS is_original
+FROM corpus c
+WHERE NOT EXISTS (
+    SELECT 1 FROM comp WHERE comp.node = c.doc_id
+      AND comp.node <> comp.cluster_id
+)
+"""
+
+
 QUERIES = {
     "neardup_clusters": (_neardup_clusters, _CLUSTERS_SQL),
     "dedup_keep_canonical": (_dedup_keep_canonical, _DEDUP_CANONICAL_SQL),
+    "dedup_pipeline_end2end": (_dedup_pipeline_end2end, _dedup_pipeline_sql()),
 }
