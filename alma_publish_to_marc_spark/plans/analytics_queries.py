@@ -364,6 +364,39 @@ SELECT o_orderstatus, 'min_price' AS metric, min_price AS val FROM wide
 
 
 # --------------------------------------------------------------------------
+# approx_percentile_bounds: mergeable quantile sketch vs exact, asserted
+# --------------------------------------------------------------------------
+def _approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for exact group percentiles (group_percentiles):
+    percentile_approx is a mergeable sketch — single pass, map-side
+    combinable, bounded memory — where exact percentile must sort each
+    group. As with the HLL query, the exported contract is the BOUND
+    (approx within the observed value range and within 5% rank error ≈
+    value tolerance via min/max normalization), asserted in-query; the
+    sketch itself is deterministic for fixed data."""
+    events = load(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("approx_p50"),
+        F.min("value").alias("lo"), F.max("value").alias("hi"))
+    spread = F.col("hi") - F.col("lo")
+    return agg.select(
+        "event_type",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        ((F.abs(F.col("approx_p50") - F.col("exact_p50")) <= 0.05 * spread)
+         & (F.col("approx_p50") >= F.col("lo"))
+         & (F.col("approx_p50") <= F.col("hi"))).alias("approx_ok"))
+
+
+_APPROX_PCTL_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS exact_p50,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # scd2_intervals: slowly-changing-dimension type-2 history from events
 # --------------------------------------------------------------------------
 def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,6 +508,7 @@ QUERIES = {
     "array_ops_suite": (_array_ops, _ARRAY_OPS_SQL),
     "recursive_cte_depth": (_recursive_depth, _RECURSIVE_DEPTH_SQL),
     "unpivot_metrics": (_unpivot, _UNPIVOT_SQL),
+    "approx_percentile_bounds": (_approx_percentile, _APPROX_PCTL_SQL),
     "scd2_intervals": (_scd2, _SCD2_SQL),
     "time_gap_fill": (_gap_fill, _GAP_FILL_SQL),
     "variant_json_extract": (_variant_extract, _VARIANT_SQL),
