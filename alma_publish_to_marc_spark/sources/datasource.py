@@ -1,0 +1,90 @@
+"""Spark 4 Python DataSource for Alma publish drops: after
+``register(spark)``, ``spark.read.format("marcpublish").load(glob)``
+yields the same nested-record frame as
+``publish.read_publish_records`` (SRC-1/2 + SRC-6 routing,
+`alma_publish_parser.py:197-238,291-292`).
+
+Why both exist: the binaryFile+mapInPandas path composes with other
+DataFrame sources and inherits Spark's file-split scheduling; the
+DataSource form is the catalog-friendly packaging (usable from pure SQL
+via ``CREATE TABLE ... USING marcpublish``) and carries its own
+partition planning — one input partition per publish file, the same
+parallelism unit as the reference's per-file ThreadPool tasks.
+
+Scale: partition planning is a driver-side listing (cheap metadata);
+each partition streams one file through the tar/XML codec on an
+executor, so a 100 TB backlog scales with file count exactly like the
+mapInPandas path. No shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition)
+
+from ..schemas import PUBLISH_RECORD
+from . import marclib
+from .publish import _extract_xml_payloads
+
+
+def _rec_tuple(rec: dict) -> tuple:
+    """Nested dict → schema-ordered tuples (the DataSource row form)."""
+    return (
+        rec.get("mms_id"),
+        rec.get("leader"),
+        [(cf.get("tag"), cf.get("data"))
+         for cf in rec.get("control_fields") or []],
+        [(f.get("tag"), f.get("ind1"), f.get("ind2"),
+          [(s.get("code"), s.get("value")) for s in f.get("subfields") or []])
+         for f in rec.get("fields") or []],
+        rec.get("source_file"),
+    )
+
+
+class MarcPublishReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path") or ""
+
+    def partitions(self):  # driver-side: one partition per upsert file
+        pattern = self.path
+        if os.path.isdir(pattern):
+            pattern = os.path.join(pattern, "*")
+        paths = sorted(
+            p for p in _glob.glob(pattern)
+            if os.path.isfile(p) and "delete" not in os.path.basename(p))
+        return [InputPartition(p) for p in paths]
+
+    def read(self, partition):  # executor-side: stream one file
+        path = partition.value
+        with open(path, "rb") as fh:
+            content = fh.read()
+        try:
+            for payload in _extract_xml_payloads(path, content):
+                for rec in marclib.from_marcxml(payload, source_file=path):
+                    yield _rec_tuple(rec)
+        except Exception:
+            # log-and-continue per file (parse_file semantics): a
+            # null-mms_id row routes to split_publish's error stream
+            yield _rec_tuple(marclib.new_record(source_file=path))
+
+
+class MarcPublishDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "marcpublish"
+
+    def schema(self):
+        return PUBLISH_RECORD
+
+    def reader(self, schema) -> MarcPublishReader:
+        return MarcPublishReader(self.options)
+
+
+def register(spark) -> None:
+    from ..session import tune
+
+    tune(spark)  # ships the package so executors can unpickle the reader
+    spark.dataSource.register(MarcPublishDataSource)

@@ -109,3 +109,24 @@ def test_binary_marc_source(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 2
     assert rows[0]["mms_id"] == rec["mms_id"]
+
+
+def test_marcpublish_datasource_matches_mapinpandas(spark, publish_dir):
+    """The Python DataSource and the binaryFile+mapInPandas reader must
+    produce identical nested records for the same drop directory."""
+    from alma_publish_to_marc_spark.sources import datasource
+
+    datasource.register(spark)
+    via_ds = (spark.read.format("marcpublish")
+              .load(publish_dir + "/*").collect())
+    via_mip = publish.read_publish_records(spark, publish_dir + "/*").collect()
+
+    def key(r):
+        return (r["mms_id"], r["source_file"])
+
+    assert len(via_ds) == len(via_mip) == 2
+    for a, b in zip(sorted(via_ds, key=key), sorted(via_mip, key=key)):
+        assert a["mms_id"] == b["mms_id"]
+        assert a["leader"] == b["leader"]
+        assert a["control_fields"] == b["control_fields"]
+        assert a["fields"] == b["fields"]
