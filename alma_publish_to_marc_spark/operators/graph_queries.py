@@ -57,10 +57,22 @@ def connected_components(edges: DataFrame) -> DataFrame:
     unchanged on a real cluster (shared FS / object store), which is how
     GraphFrames paces its own iterative jobs."""
     import shutil
-    import tempfile
+    import uuid
+    from urllib.parse import urlparse
 
     spark = edges.sparkSession
-    workdir = tempfile.mkdtemp(prefix="cc-rounds-")
+    # stage under the warehouse dir: shared storage on a real cluster
+    # (executors write the rounds, so a driver-local tempdir would not
+    # be readable back); locally it's the ordinary spark-warehouse dir
+    base = spark.conf.get("spark.sql.warehouse.dir")
+    workdir = f"{base.rstrip('/')}/_cc_rounds/{uuid.uuid4().hex}"
+    local_dir = urlparse(workdir).path if workdir.startswith("file:") \
+        else (None if "://" in workdir else workdir)
+
+    def rmtree(name: str) -> None:
+        if local_dir is not None:
+            shutil.rmtree(f"{local_dir}/{name}" if name else local_dir,
+                          ignore_errors=True)
 
     def cut(df: DataFrame, name: str) -> DataFrame:
         path = f"{workdir}/{name}"
@@ -77,10 +89,10 @@ def connected_components(edges: DataFrame) -> DataFrame:
         # lineage roots at a single file, then drop every intermediate
         result = cut(_propagate(und, labels, cut), "final")
     except BaseException:
-        shutil.rmtree(workdir, ignore_errors=True)
+        rmtree("")
         raise
     for name in ("und", "labels-init", "labels-0", "labels-1"):
-        shutil.rmtree(f"{workdir}/{name}", ignore_errors=True)
+        rmtree(name)
     return result
 
 
