@@ -397,6 +397,46 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# asof_prior_event: per-row backward as-of join (pandas merge_asof shape)
+# --------------------------------------------------------------------------
+def _asof_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general as-of join — every row matched to the most recent
+    PRIOR row of a predicate class, not just the partition-global
+    latest (OP-J7's window idiom generalized, data_sync_db.sql:504-507).
+    A conditional max over an unbounded-preceding-to-1-preceding frame
+    does it in ONE shuffle with no self-join at all — the formulation
+    that survives 100 TB, where the naive ts-range self-join explodes."""
+    events = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior_err = F.max(
+        F.when(F.col("event_type") == "error", F.col("ts"))).over(w)
+    staged = events.select(
+        "event_id", "user_id", "event_type", "ts",
+        prior_err.alias("prior_error_ts"))
+    return staged.select(
+        "event_id", "user_id", "event_type", "prior_error_ts",
+        F.expr("timestampdiff(MICROSECOND, coalesce(prior_error_ts, ts), ts) "
+               "div 1000000").alias("secs_since_error"))
+
+
+_ASOF_PRIOR_SQL = """
+SELECT event_id, user_id, event_type,
+       prior_error_ts,
+       CAST((epoch_us(ts) - epoch_us(coalesce(prior_error_ts, ts)))
+            // 1000000 AS BIGINT) AS secs_since_error
+FROM (
+    SELECT event_id, user_id, event_type, ts,
+           max(CASE WHEN event_type = 'error' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_error_ts
+    FROM events
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # scd2_intervals: slowly-changing-dimension type-2 history from events
 # --------------------------------------------------------------------------
 def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,6 +549,7 @@ QUERIES = {
     "recursive_cte_depth": (_recursive_depth, _RECURSIVE_DEPTH_SQL),
     "unpivot_metrics": (_unpivot, _UNPIVOT_SQL),
     "approx_percentile_bounds": (_approx_percentile, _APPROX_PCTL_SQL),
+    "asof_prior_event": (_asof_prior, _ASOF_PRIOR_SQL),
     "scd2_intervals": (_scd2, _SCD2_SQL),
     "time_gap_fill": (_gap_fill, _GAP_FILL_SQL),
     "variant_json_extract": (_variant_extract, _VARIANT_SQL),
