@@ -201,9 +201,13 @@ def extract_isbns(fields: Column) -> Column:
     marc/helper.py:116-127) — OP-S2 priority reorder."""
     vals = extract_values_with_skip(fields, "020", "z")
     best = F.try_element_at(F.filter(vals, lambda v: F.length(v) >= 13), F.lit(1))
+    # Pop only the FIRST occurrence of `best` (reference uses values.index →
+    # .pop); duplicates of the best ISBN must survive the reorder.
+    pos = F.array_position(vals, best)
     reordered = F.concat(
         F.array(best),
-        F.filter(vals, lambda v: v != best),
+        F.slice(vals, F.lit(1), pos - 1),
+        F.slice(vals, pos + 1, F.size(vals) - pos),
     )
     return F.when(vals.isNull(), F.lit(None).cast("array<string>")) \
             .when(best.isNull(), vals).otherwise(reordered)
@@ -233,8 +237,14 @@ def extract_oclcs(fields: Column) -> Column:
 def extract_system_dates(fields: Column, tag: str) -> Column:
     """⇐ extract_system_dates (marc/helper.py:150-155): first field of the
     tag with $1 (create) and $2-else-$1 (update); returns struct of the
-    raw strings (parsing is the caller's concern)."""
-    first = F.try_element_at(fields_with_tag(fields, tag), F.lit(1))
+    raw strings (parsing is the caller's concern). The reference scans
+    fields of the tag until one has a $1 — mirror that by filtering to
+    fields carrying a $1 before taking the first."""
+    with_create = F.filter(
+        fields_with_tag(fields, tag),
+        lambda f: F.size(subfield_values(f, "1")) > 0,
+    )
+    first = F.try_element_at(with_create, F.lit(1))
     c = F.try_element_at(subfield_values(first, "1"), F.lit(1))
     d = F.coalesce(F.try_element_at(subfield_values(first, "2"), F.lit(1)), c)
     return F.struct(c.alias("create_raw"), d.alias("update_raw"))

@@ -152,24 +152,28 @@ FROM x
 """
 
 
-# --- OP-F6: date parse with timezone-alias (fixed-offset EST path) --------
+# --- OP-F6: date parse with timezone-alias ---------------------------------
 def _tz_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date strings synthesized from events.ts; half carry a 'US/Eastern'
-    suffix that must shift the parse by the EST offset (+5h to UTC) —
-    the reference's alias normalization (marc/helper.py:161-166). The
-    DST-aware America/New_York path is covered by unit tests; here both
-    engines use the fixed EST offset so the oracle is portable."""
-    events = load(spark, sf_dir, "events")
+    suffix that must shift the parse to UTC — the reference's alias
+    normalization (marc/helper.py:161-166). Spark runs the real DST-aware
+    parse_date_tz_alias (to_utc_timestamp America/New_York); rows are
+    restricted to Dec/Jan/Feb where that zone is firmly EST (+5h), which a
+    fixed-interval DuckDB oracle can model without ICU. Summer/EDT behavior
+    is unit-tested."""
+    events = load(spark, sf_dir, "events").where(
+        F.month("ts").isin(12, 1, 2))
     s = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
     tagged = F.when(F.col("event_id") % 2 == 0, F.concat(s, F.lit(" US/Eastern"))) \
               .otherwise(s)
-    naive = F.to_timestamp(F.trim(F.regexp_replace(tagged, "US/Eastern", "")),
-                           "yyyy-MM-dd HH:mm:ss")
-    parsed = F.when(tagged.contains("US/Eastern"),
-                    naive + F.expr("INTERVAL 5 HOURS")).otherwise(naive)
+    parsed = SC.parse_date_tz_alias(tagged)
     return events.select("event_id", parsed.cast("timestamp_ntz").alias("parsed_ts"))
 
 
+# Winter months only (Dec/Jan/Feb): America/New_York is firmly on EST (UTC-5)
+# there, so the DST-aware to_utc_timestamp path in parse_date_tz_alias equals
+# this portable fixed '+ INTERVAL 5 HOUR' oracle; summer (EDT, +4h) behavior
+# is covered by unit tests, which DuckDB's non-ICU build can't model.
 _TZ_DATE_SQL = """
 WITH s AS (
     SELECT event_id,
@@ -177,6 +181,7 @@ WITH s AS (
                 THEN strftime(ts, '%Y-%m-%d %H:%M:%S') || ' US/Eastern'
                 ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS raw
     FROM events
+    WHERE month(ts) IN (12, 1, 2)
 )
 SELECT event_id,
        CASE WHEN contains(raw, 'US/Eastern')

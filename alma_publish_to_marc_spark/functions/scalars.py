@@ -112,7 +112,10 @@ def remove_suffix(col: Column, suffix: str) -> Column:
 
 # OP-P5 suppress flag (alma_publish_to_database.py:145,243)
 def suppress_flag(col: Column) -> Column:
-    return F.when(col != "false", F.lit("Y")).otherwise(F.lit("N"))
+    """Reference computes ``'Y' if value != 'false' else 'N'`` where a
+    *missing* suppress subfield (None) compares unequal and therefore yields
+    'Y' (suppressed). NULL-safe so missing input suppresses, not publishes."""
+    return F.when(col.isNull() | (col != "false"), F.lit("Y")).otherwise(F.lit("N"))
 
 
 # OP-P8 prefix-match classifier (marc/helper.py:132-142)

@@ -91,8 +91,10 @@ def salted_join(skewed: DataFrame, other: DataFrame, key: str,
     cases automatically; explicit salting remains the tool when the
     planner can't see the skew (e.g. key computed late) or for
     aggregation-style fan-in before a groupBy."""
-    salt = (F.abs(F.hash(*[F.col(c) for c in skewed.columns]))
-            % salt_buckets).alias("_salt")
+    # pmod, not abs+%: abs(Integer.MIN_VALUE) overflows negative and would
+    # silently drop the row (no replicated bucket matches a negative salt).
+    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]),
+                  F.lit(salt_buckets)).alias("_salt")
     left = skewed.select("*", salt)
     right = other.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

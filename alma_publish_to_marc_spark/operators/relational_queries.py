@@ -207,14 +207,14 @@ FROM orders GROUP BY o_custkey
 def _distinct_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
         F.countDistinct("event_type").alias("n_types"),
     )
 
 
 _DISTINCT_COLLECT_SQL = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS event_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
        count(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id
 """
@@ -224,14 +224,16 @@ FROM events GROUP BY user_id
 def _collect_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     return lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-        F.array_sort(F.collect_list("l_linenumber")).alias("linenumbers"),
+        F.array_join(
+            F.array_sort(F.collect_list("l_linenumber")).cast("array<string>"), ","
+        ).alias("linenumbers"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 _COLLECT_SQL = """
 SELECT l_orderkey AS o_orderkey,
-       list_sort(list(l_linenumber)) AS linenumbers,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
        count(*) AS n_items
 FROM lineitem GROUP BY l_orderkey
 """

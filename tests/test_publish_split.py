@@ -113,3 +113,36 @@ def test_brief_extraction_rules(spark):
     assert row["sierra"] == "b12345678"                 # (CtY-L) prefix, last char dropped
     assert row["f008"].startswith("200101s2020")
     assert row["dates"]["create_raw"].startswith("2020-01-01")
+
+
+def _fields_df(spark, fields):
+    from .fixtures_publish import GOOD_RECORD
+    rec = dict(GOOD_RECORD)
+    rec["fields"] = fields
+    return spark.createDataFrame([rec], PUBLISH_RECORD)
+
+
+def test_extract_isbns_keeps_duplicate_best(spark):
+    """Reference pops only the FIRST occurrence of the best ISBN
+    (marc/helper.py:116-127 uses values.index) — duplicates survive."""
+    from .fixtures_publish import df_, sf
+    fields = [df_("020", " ", " ", sf("a", "111"), sf("a", "9781234567897"),
+                  sf("a", "9781234567897"))]
+    row = _fields_df(spark, fields).select(
+        M.extract_isbns(F.col("fields")).alias("isbns")).collect()[0]
+    assert row["isbns"] == ["9781234567897", "111", "9781234567897"]
+
+
+def test_extract_system_dates_scans_past_fields_without_create(spark):
+    """Reference loops fields of the tag until one has $1 — a first field
+    lacking $1 must not shadow a later valid one (marc/helper.py:150-155)."""
+    from .fixtures_publish import df_, sf
+    fields = [
+        df_("BIB", " ", " ", sf("a", "false")),  # no $1
+        df_("BIB", " ", " ", sf("1", "2021-02-03 04:05:06"),
+            sf("2", "2022-03-04 05:06:07")),
+    ]
+    row = _fields_df(spark, fields).select(
+        M.extract_system_dates(F.col("fields"), "BIB").alias("d")).collect()[0]
+    assert row["d"]["create_raw"] == "2021-02-03 04:05:06"
+    assert row["d"]["update_raw"] == "2022-03-04 05:06:07"

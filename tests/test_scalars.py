@@ -58,6 +58,16 @@ def test_parse_date_tz_alias_dst_aware(spark):
                    "2024-07-15T12:00:00"]
 
 
+def test_suppress_flag_null_means_suppressed(spark):
+    """Missing suppress subfield (NULL) must map to 'Y': the reference's
+    `'Y' if value != 'false' else 'N'` treats None as unequal."""
+    df = spark.createDataFrame(
+        [Row(s="false"), Row(s="true"), Row(s=None)],
+        "s: string")
+    out = [r["f"] for r in df.select(SC.suppress_flag(F.col("s")).alias("f")).collect()]
+    assert out == ["N", "Y", "Y"]
+
+
 def test_format_oclc_branches(spark):
     df = spark.createDataFrame([
         Row(s="(OCoLC)12345678"), Row(s="(OCoLC)123456789"),
