@@ -31,12 +31,25 @@ _MAX_ROUNDS = 25  # 2^25 ≫ any component diameter after pointer jumping
 
 def _candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking edges: same (lang, source), length within ±20 chars.
-    Equi keys carry the hash join; doc_a < doc_b dedups the pair."""
+
+    The length band is an equi key: ``floor(n_chars/20)`` buckets, with
+    the probe side exploded to its own and both adjacent buckets so any
+    ±20-char pair shares a (lang, source, bucket) key. This keeps
+    candidate pairs near-linear in corpus size — (lang, source) alone
+    gives blocks that grow linearly and pair counts that grow
+    quadratically at 100×. The exact band stays as residual;
+    doc_a < doc_b dedups the pair (each unordered pair meets in exactly
+    one bucket, b's own, so the 3-probe explode introduces no dupes)."""
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars")
-    a, b = docs.alias("a"), docs.alias("b")
+        "doc_id", "lang", "source", "n_chars",
+        F.floor(F.col("n_chars") / 20).alias("bucket"))
+    probe = docs.withColumn(
+        "bucket", F.explode(F.array(F.col("bucket") - 1, F.col("bucket"),
+                                    F.col("bucket") + 1)))
+    a, b = probe.alias("a"), docs.alias("b")
     return (a.join(b, ((F.col("a.lang") == F.col("b.lang"))
                        & (F.col("a.source") == F.col("b.source"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
                        & (F.col("a.doc_id") < F.col("b.doc_id"))
                        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20)))
             .select(F.col("a.doc_id").alias("src"),
@@ -96,10 +109,14 @@ def connected_components(edges: DataFrame) -> DataFrame:
     return result
 
 
-_CUT_EVERY = 3  # rounds between plan cuts: growth is ~2×/round, so ≤8×
-
-
 def _propagate(und: DataFrame, labels: DataFrame, cut) -> DataFrame:
+    """One job per round: the staged parquet write IS the convergence
+    probe. The changed-label count rides the write job as an observed
+    metric (`DataFrame.observe`), so no second pass recomputes the
+    lineage, and the per-round plan cut keeps Catalyst re-analysis flat
+    (checkpoint()/localCheckpoint() do not truncate the plan here)."""
+    from pyspark.sql import Observation
+
     for rnd in range(_MAX_ROUNDS):
         # 1-hop: smallest label among neighbours
         nbr = (und.join(labels, und.dst == labels.node)
@@ -107,8 +124,6 @@ def _propagate(und: DataFrame, labels: DataFrame, cut) -> DataFrame:
         # pointer jump: label of my current label
         jump = labels.select(F.col("node").alias("lbl"),
                              F.col("lbl").alias("jump_lbl"))
-        # keep the previous label in-frame so convergence is read off the
-        # same materialization — no extra join-and-count job per round
         stepped = (labels
                    .join(nbr, labels.node == nbr.src, "left")
                    .join(jump, "lbl", "left")
@@ -117,11 +132,12 @@ def _propagate(und: DataFrame, labels: DataFrame, cut) -> DataFrame:
                                    F.coalesce("nbr_lbl", F.col("lbl")),
                                    F.coalesce("jump_lbl", F.col("lbl")))
                            .alias("lbl")))
-        if rnd % _CUT_EVERY == _CUT_EVERY - 1:
-            stepped = cut(stepped, f"labels-{(rnd // _CUT_EVERY) % 2}")
-        changed = stepped.where(F.col("lbl") != F.col("old_lbl")).count()
-        labels = stepped.select("node", "lbl")
-        if changed == 0:
+        obs = Observation(f"cc-round-{rnd}")
+        stepped = stepped.observe(
+            obs, F.sum((F.col("lbl") != F.col("old_lbl")).cast("long"))
+                  .alias("changed"))
+        labels = cut(stepped.drop("old_lbl"), f"labels-{rnd % 2}")
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 

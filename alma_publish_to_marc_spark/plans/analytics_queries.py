@@ -143,17 +143,28 @@ GROUP BY GROUPING SETS ((n_name), (o_orderstatus),
 # --------------------------------------------------------------------------
 def _levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking = the scale story: candidate pairs only within the same
-    (lang, source) block and ±20 chars of length, so the quadratic term
-    is bounded per block instead of corpus-wide (sf0.1: 12.9k pairs from
-    5k docs, not 12.5M). Distance runs on an 80-char prefix — an upper
-    screen the way MinHash bands screen Jaccard."""
+    (lang, source) block and ±20 chars of length. The length band is an
+    EQUI key, not a residual: docs are bucketed by ``floor(n_chars/20)``
+    and the probe side explodes to its own and both adjacent buckets, so
+    any pair within ±20 chars shares a (lang, source, bucket) join key.
+    Without the bucket key, block size grows linearly with the corpus
+    and within-block pairs quadratically; with it, candidates stay
+    near-linear (bucket population is corpus-density-, not corpus-
+    size-, bound per key). The exact ±20 check remains as residual.
+    Distance runs on an 80-char prefix — an upper screen the way
+    MinHash bands screen Jaccard."""
     docs = (load(spark, sf_dir, "documents")
             .select("doc_id", "lang", "source", "n_chars",
-                    F.substring("text", 1, 80).alias("prefix")))
-    a = docs.alias("a")
+                    F.substring("text", 1, 80).alias("prefix"),
+                    F.floor(F.col("n_chars") / 20).alias("bucket")))
+    probe = docs.withColumn(
+        "bucket", F.explode(F.array(F.col("bucket") - 1, F.col("bucket"),
+                                    F.col("bucket") + 1)))
+    a = probe.alias("a")
     b = docs.alias("b")
     pair_cond = ((F.col("a.lang") == F.col("b.lang"))
                  & (F.col("a.source") == F.col("b.source"))
+                 & (F.col("a.bucket") == F.col("b.bucket"))
                  & (F.col("a.doc_id") < F.col("b.doc_id"))
                  & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20))
     dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
@@ -183,7 +194,16 @@ def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three aggregations, all map-side combinable: term frequency per
     (doc, term), document frequency per term, corpus size as a 1-row
     broadcast (never a driver-side collect). The final top-3 window is
-    planned as WindowGroupLimit — map-side top-k before the shuffle."""
+    planned as WindowGroupLimit — map-side top-k before the shuffle.
+
+    The tf⋈dfreq join is deliberately NOT broadcast: dfreq has one row
+    per distinct term in the corpus, which at 100 TB is a 10⁸⁺-row
+    vocabulary that would OOM the driver and every executor. Both sides
+    are keyed by `term`, so it's pinned to a shuffle sort-merge join
+    (AQE skew-split handles stop-word keys); statistics-driven planning
+    would re-broadcast here because the sf0.01 vocabulary is tiny, which
+    is exactly the estimate that inverts at scale. Only the 1-row n_docs
+    aggregate is a guaranteed broadcast."""
     docs = load(spark, sf_dir, "documents")
     toks = (docs.select(
                 "doc_id",
@@ -195,7 +215,7 @@ def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("n_tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc(score), "term")
-    return (tf.join(F.broadcast(dfreq), "term")
+    return (tf.join(dfreq.hint("merge"), "term")
             .crossJoin(F.broadcast(n_docs))
             .select("doc_id", "term", "n_tf",
                     F.round(score, 4).alias("tfidf"),
