@@ -27,13 +27,14 @@ def _sql_norm(a: str) -> str:
             f"list_transform({a}, x -> x * x)), (acc, x) -> acc + x))")
 
 
-def _sql_plane(j: int) -> str:
-    return "[" + ", ".join(repr(v) for v in S.HYPERPLANES[j]) + "]"
+def _sql_plane(j: int, planes: list[list[float]] | None = None) -> str:
+    src = planes if planes is not None else S.HYPERPLANES
+    return "[" + ", ".join(repr(v) for v in src[j]) + "]"
 
 
-def _sql_bucket(v: str) -> str:
+def _sql_bucket(v: str, planes: list[list[float]] | None = None) -> str:
     bits = " + ".join(
-        f"(CASE WHEN {_sql_dot(v, _sql_plane(j))} >= 0 "
+        f"(CASE WHEN {_sql_dot(v, _sql_plane(j, planes))} >= 0 "
         f"THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for j in range(S.N_PLANES))
     return f"({bits})"
@@ -115,16 +116,21 @@ WITH corpus AS (
            list_transform(embedding, x -> x * 0.5) AS embedding
     FROM embeddings WHERE vec_id % 10 = 0
 ),
-e AS (SELECT vec_id, {_sql_vec()} AS v,
-             {_sql_bucket(_sql_vec())} AS bucket
-      FROM corpus),
+e AS (SELECT vec_id, {_sql_vec()} AS v FROM corpus),
+bands AS (
+{" UNION ALL ".join(
+    f"SELECT vec_id, v, {band} AS band, "
+    f"{_sql_bucket('v', planes)} AS sig FROM e"
+    for band, planes in enumerate(S.BAND_PLANES))}
+),
 pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_sql_dot('a.v', 'b.v')}
                  / ({_sql_norm('a.v')} * {_sql_norm('b.v')}), 6) AS cosine
-    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9
+SELECT DISTINCT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9
 """
 
 
