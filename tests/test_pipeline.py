@@ -126,3 +126,55 @@ def test_list_ids(spark, tmp_path):
     _write_drop(run1, [GOOD_RECORD])
     ids = PL.list_record_ids(spark, str(run1) + "/*").collect()
     assert ids[0]["mms_id"] == GOOD_RECORD["mms_id"]
+
+
+def test_backfill_migration_stage_and_swap(spark, tmp_path):
+    """Whole-table backfill (reference migrations add_item_policy /
+    update_item_temp_locations) rewrites the item table atomically."""
+    from pyspark.sql import Row, functions as F
+    from alma_publish_to_marc_spark.plans import migrations as MIG
+
+    wh = str(tmp_path / "wh")
+    items = spark.createDataFrame([
+        Row(pid="p1", policy=None, temp_location_id=None),
+        Row(pid="p2", policy="OLD", temp_location_id=7),
+        Row(pid="p3", policy=None, temp_location_id=None),
+    ], "pid string, policy string, temp_location_id long")
+    items.write.parquet(wh + "/item")
+
+    item_json = spark.createDataFrame([
+        Row(pid="p1", data='{"item_data": {"policy": {"value": "BOOK"}}}'),
+        Row(pid="p2", data='{"item_data": {"policy": {"value": ""}}}'),
+        Row(pid="p3", data='{"item_data": {}}'),
+    ])
+    MIG.run_backfill(
+        spark, wh, "item",
+        lambda cur: MIG.backfill_item_policy(cur, item_json).drop("updated"))
+
+    got = {r["pid"]: r["policy"]
+           for r in spark.read.parquet(wh + "/item").collect()}
+    # non-empty JSON policy applied; empty/missing keep the stored value
+    assert got == {"p1": "BOOK", "p2": "OLD", "p3": None}
+    # staged copy cleaned up after the swap
+    import os
+    assert not os.path.exists(wh + "/item._staged")
+
+    location = spark.createDataFrame(
+        [Row(id=41, library_code="L1", code="C1")])
+    tl_json = spark.createDataFrame([
+        Row(pid="p1", data='{"holding_data": {"in_temp_location": true, '
+                           '"temp_library": {"value": "L1"}, '
+                           '"temp_location": {"value": "C1"}}}'),
+        Row(pid="p2", data='{"holding_data": {"in_temp_location": true, '
+                           '"temp_library": {"value": "L9"}, '
+                           '"temp_location": {"value": "C9"}}}'),
+        Row(pid="p3", data='{"holding_data": {"in_temp_location": false}}'),
+    ])
+    MIG.run_backfill(
+        spark, wh, "item",
+        lambda cur: MIG.backfill_temp_locations(cur, tl_json, location)
+                       .drop("updated"))
+    got_tl = {r["pid"]: r["temp_location_id"]
+              for r in spark.read.parquet(wh + "/item").collect()}
+    # hit resolves, miss updates to NULL (reference quirk), false untouched
+    assert got_tl == {"p1": 41, "p2": None, "p3": None}
