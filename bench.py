@@ -71,7 +71,45 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "regressions": _regressions(timings, sf),
     }))
+
+
+# Regression guard: compare against the previous round's recorded bench.
+# Run-to-run noise on this box is 20-30%, so only flag >1.5x slowdowns.
+_REGRESSION_FACTOR = 1.5
+
+
+def _prev_timings(sf) -> dict[str, float]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: dict[str, float] | None = None
+    best_n = -1
+    for fn in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(here, fn)) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed") or rec
+        if parsed.get("sf") != sf or "queries" not in parsed:
+            continue
+        if int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), parsed["queries"]
+    return best or {}
+
+
+def _regressions(timings: dict[str, float], sf) -> dict[str, dict[str, float]]:
+    prev = _prev_timings(sf)
+    out = {}
+    for name, sec in timings.items():
+        base = prev.get(name)
+        if base and base > 0 and sec > base * _REGRESSION_FACTOR:
+            out[name] = {"prev_sec": base, "now_sec": sec,
+                         "factor": round(sec / base, 2)}
+    return out
 
 
 if __name__ == "__main__":
