@@ -292,8 +292,169 @@ WHERE pr <= {_SAMPLE_PCT / 100.0}
 """
 
 
+# --- PII redaction --------------------------------------------------------
+# Conservative literal-class regexes, identical under Java regex and RE2.
+_RE_EMAIL = r"[a-z0-9]+@[a-z]+\.com"
+_RE_PHONE = r"\+1-555-[0-9]{4}"
+_RE_IP = r"10\.0\.[0-9]+\.1"
+
+
+def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline PII scrub: count and redact emails / phone
+    numbers / IPs. Both engines synthesize the same dirty text in-query
+    (the corpus carries no PII), then redact with the same regexes; the
+    redacted payload is compared by md5 (corpus is pure ASCII, so
+    DuckDB's md5(VARCHAR) hashes the same bytes). Pure regexp column
+    ops — scan-speed, no shuffle, no UDFs."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.col("text"), F.lit(" Contact user"), d, F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, _RE_EMAIL, "<EMAIL>"),
+            _RE_PHONE, "<PHONE>"),
+        _RE_IP, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(_RE_EMAIL)).alias("n_emails"),
+        F.regexp_count(dirty, F.lit(_RE_PHONE)).alias("n_phones"),
+        F.regexp_count(dirty, F.lit(_RE_IP)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"))
+
+
+_PII_SQL = rf"""
+WITH d AS (
+    SELECT doc_id,
+           text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+               AS dirty
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(dirty, '{_RE_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(dirty, '{_RE_PHONE}')) AS INT)
+           AS n_phones,
+       CAST(len(regexp_extract_all(dirty, '{_RE_IP}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+               '{_RE_EMAIL}', '<EMAIL>', 'g'),
+               '{_RE_PHONE}', '<PHONE>', 'g'),
+               '{_RE_IP}', '<IP>', 'g')) AS redacted_md5
+FROM d
+"""
+
+
+# --- benchmark decontamination (n-gram overlap) ---------------------------
+_DECON_N = 8          # words per shingle
+_DECON_BENCH_MOD = 7  # doc_id % mod == 0 -> benchmark member
+
+
+def _shingles(col, n: int):
+    words = F.split(F.trim(col), r"\s+")
+    idx = F.when(F.size(words) >= n,
+                 F.sequence(F.lit(1), F.size(words) - (n - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+
+
+def _decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, the eval-leakage gate every training
+    pipeline needs: flag corpus documents sharing any 8-word shingle
+    with the benchmark set (here: doc_id % 7 == 0 stands in for the
+    held-out benchmark). The benchmark shingle set is fixed-size by
+    definition (it does NOT grow with the corpus), so it is broadcast
+    and the corpus-side scan stays shuffle-free until the final per-doc
+    count — the same shape at 100 TB with a real eval suite."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % _DECON_BENCH_MOD == 0
+    sh = docs.select("doc_id", is_bench.alias("is_bench"),
+                     F.explode(_shingles(F.col("text"), _DECON_N))
+                      .alias("shingle"))
+    bench = (sh.where(F.col("is_bench"))
+             .select("shingle").distinct())
+    return (sh.where(~F.col("is_bench"))
+            .join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("shingle").alias("n_contaminated_shingles")))
+
+
+_DECON_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, doc_id % {_DECON_BENCH_MOD} = 0 AS is_bench, s.shingle
+    FROM documents,
+         unnest(list_transform(
+             generate_series(1, greatest(
+                 len(regexp_split_to_array(trim(text), '\\s+'))
+                     - {_DECON_N - 1}, 0)),
+             i -> array_to_string(
+                 regexp_split_to_array(trim(text), '\\s+')[i:i+{_DECON_N - 1}],
+                 ' '))) AS s(shingle)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE is_bench)
+SELECT doc_id, count(DISTINCT sh.shingle) AS n_contaminated_shingles
+FROM sh JOIN bench USING (shingle)
+WHERE NOT is_bench
+GROUP BY doc_id
+"""
+
+
+# --- repetition / gibberish quality stats ---------------------------------
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction,
+    duplicate-trigram fraction, symbol ratio. All pure array/regexp
+    column expressions over the scan — no shuffle, no UDF; at 100 TB
+    this runs at parquet-scan speed and feeds a quality filter."""
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.size(words)
+    tg = F.when(n >= 3, F.sequence(F.lit(1), n - 2)) \
+          .otherwise(F.array().cast("array<int>"))
+    trigrams = F.transform(tg, lambda i: F.array_join(F.slice(words, i, 3), " "))
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(1 - F.size(F.array_distinct(words)) / F.greatest(n, F.lit(1)), 4)
+         .alias("dup_word_frac"),
+        F.round(1 - F.size(F.array_distinct(trigrams))
+                / F.greatest(F.size(trigrams), F.lit(1)), 4)
+         .alias("dup_trigram_frac"),
+        F.round(F.regexp_count(F.lower("text"), F.lit("[^a-z0-9 ]"))
+                / F.greatest(F.length("text"), F.lit(1)), 4)
+         .alias("symbol_ratio"))
+
+
+_REPETITION_SQL = r"""
+WITH w AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS words
+    FROM documents
+)
+SELECT doc_id,
+       len(words) AS n_words,
+       round(1 - len(list_distinct(words)) / greatest(len(words), 1), 4)
+           AS dup_word_frac,
+       round(1 - len(list_distinct(tg)) / greatest(len(tg), 1), 4)
+           AS dup_trigram_frac,
+       round(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+             / greatest(length(text), 1), 4) AS symbol_ratio
+FROM (
+    SELECT doc_id, text, words,
+           list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                          i -> array_to_string(words[i:i+2], ' ')) AS tg
+    FROM w
+)
+"""
+
+
 QUERIES = {
     "doc_token_stats": (_token_stats, _TOKEN_STATS_SQL),
+    "pii_redaction": (_pii_redaction, _PII_SQL),
+    "benchmark_decontamination": (_decontamination, _DECON_SQL),
+    "doc_repetition_stats": (_repetition_stats, _REPETITION_SQL),
     "doc_chunking": (_doc_chunking, _CHUNKING_SQL),
     "sequence_packing": (_sequence_packing, _PACKING_SQL),
     "stratified_sample": (_stratified_sample, _STRATIFIED_SQL),
