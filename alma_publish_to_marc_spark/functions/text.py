@@ -40,6 +40,31 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenizer: alpha runs, digit runs, symbol runs — the GPT-2
+# pattern minus lookahead/apostrophe classes, so it parses identically
+# under Java regex and RE2 (DuckDB). Case-folded before matching.
+BPE_PRETOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_pretokens(col: Column) -> Column:
+    # idx=0: whole-match extraction (the pattern has no capture groups)
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """Subword token count estimate without a vocabulary: each pre-token
+    contributes max(1, ceil(len/4)) — short/common words stay one token,
+    long or rare runs split into ~4-char pieces, which tracks how a
+    trained BPE behaves on average. Pure column expressions; the real
+    tokenizer-by-vocab would be an Arrow pandas UDF behind the same
+    signature."""
+    per = F.transform(
+        bpe_pretokens(col),
+        lambda t: F.greatest(F.lit(1).cast("long"),
+                             F.ceil(F.length(t) / 4)))
+    return F.aggregate(per, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
 def poly_hash(str_col: Column) -> Column:
     """Portable rolling hash: fold ascii codes left-to-right,
     acc = (acc*31 + code) mod 1e9+7. Equivalent DuckDB:

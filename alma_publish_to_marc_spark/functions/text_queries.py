@@ -292,6 +292,33 @@ WHERE pr <= {_SAMPLE_PCT / 100.0}
 """
 
 
+# --- BPE-ish token estimation ---------------------------------------------
+def _bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting for training data: whitespace tokens vs BPE-ish
+    subword estimate (pre-tokenize into alpha/digit/symbol runs, charge
+    max(1, ceil(len/4)) per run). Scan-speed column ops, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+        F.size(T.bpe_pretokens(F.col("text"))).alias("n_pretokens"),
+        T.bpe_token_estimate(F.col("text")).alias("n_bpe_est"))
+
+
+_BPE_SQL = rf"""
+SELECT doc_id,
+       len({SQL_TOKS}) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{T.BPE_PRETOKEN_RE}')) AS INT)
+           AS n_pretokens,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_extract_all(lower(text), '{T.BPE_PRETOKEN_RE}'),
+               t -> greatest(CAST(1 AS BIGINT),
+                             CAST(ceil(length(t) / 4.0) AS BIGINT)))),
+           (a, b) -> a + b) AS n_bpe_est
+FROM documents
+"""
+
+
 # --- PII redaction --------------------------------------------------------
 # Conservative literal-class regexes, identical under Java regex and RE2.
 _RE_EMAIL = r"[a-z0-9]+@[a-z]+\.com"
@@ -453,6 +480,7 @@ FROM (
 QUERIES = {
     "doc_token_stats": (_token_stats, _TOKEN_STATS_SQL),
     "pii_redaction": (_pii_redaction, _PII_SQL),
+    "bpe_token_estimate": (_bpe_tokens, _BPE_SQL),
     "benchmark_decontamination": (_decontamination, _DECON_SQL),
     "doc_repetition_stats": (_repetition_stats, _REPETITION_SQL),
     "doc_chunking": (_doc_chunking, _CHUNKING_SQL),
