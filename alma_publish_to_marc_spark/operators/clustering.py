@@ -79,7 +79,12 @@ def kmeans_refine(emb: DataFrame, seed_ids: list[int],
                   n_iters: int = N_ITERS) -> DataFrame:
     """n_iters Lloyd rounds from data-point seeds; returns per-cell
     size and an integer centroid checksum (sum of cv[d]·(d+1))."""
-    vecs = _quantized(emb)
+    from pyspark import StorageLevel
+
+    # quantization is HOF compute over every component and feeds
+    # n_iters+1 assignment passes — persist once, spill-safe (same
+    # pattern as the MinHash shingle persist in operators/dedup.py)
+    vecs = _quantized(emb).persist(StorageLevel.MEMORY_AND_DISK)
     cents = (vecs.where(F.col("vec_id").isin(seed_ids))
              .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
     for _ in range(n_iters):
@@ -93,7 +98,7 @@ def kmeans_refine(emb: DataFrame, seed_ids: list[int],
                        F.sequence(F.lit(1).cast("long"), F.lit(DIM).cast("long")),
                        lambda c, i: c * i),
             F.lit(0).cast("long"), lambda a, x: a + x).alias("centroid_checksum"))
-    return sizes.join(checksum, "cell")
+    return sizes.join(F.broadcast(checksum), "cell")
 
 
 def _kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,6 +33,10 @@ def main() -> None:
         "doc_chunking", "sequence_packing", "scd2_intervals",
         "time_gap_fill", "grouping_sets_revenue", "levenshtein_neardup",
         "stratified_sample", "dedup_keep_canonical",
+        "embedding_neardup", "benchmark_decontamination", "pii_redaction",
+        "doc_repetition_stats", "bpe_token_estimate",
+        "backfill_item_policy", "backfill_temp_locations",
+        "kmeans_fixed_point",
     ]
     for name in names:
         if name not in qs:
