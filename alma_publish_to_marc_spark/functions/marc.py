@@ -178,6 +178,23 @@ def extract_voyager_or_sierra_id(fields: Column) -> Column:
     )
 
 
+def extract_library_location(fields: Column) -> Column:
+    """⇐ extract_library_and_location_code (marc/helper.py:106-113): the
+    FIRST 852 carrying BOTH $b and $c supplies the pair (first value of
+    each); fields with only one of the two are skipped, and codes are
+    never mixed across fields."""
+    both = F.filter(
+        fields_with_tag(fields, "852"),
+        lambda f: (F.size(subfield_values(f, "b")) > 0)
+        & (F.size(subfield_values(f, "c")) > 0))
+    first = F.try_element_at(both, F.lit(1))
+    return F.struct(
+        F.try_element_at(subfield_values(first, "b"), F.lit(1))
+         .alias("library_code"),
+        F.try_element_at(subfield_values(first, "c"), F.lit(1))
+         .alias("location_code"))
+
+
 def _fields_without_skip(fields: Column, tag: str, skip_codes: str) -> Column:
     skip_arr = F.array(*[F.lit(c) for c in skip_codes])
     return F.filter(

@@ -28,8 +28,8 @@ from ..operators import upsert as U
 from ..sources import publish as P
 from .publish_split import split_publish
 
-WAREHOUSE_TABLES = ("bib_brief", "holding_brief", "item", "deleted_record",
-                    "errors")
+WAREHOUSE_TABLES = ("bib_brief", "holding_brief", "item", "bib_part",
+                    "deleted_record", "errors")
 
 
 def extract_bib_brief(bibs: DataFrame, batch_ts) -> DataFrame:
@@ -71,8 +71,11 @@ def extract_holding_brief(holdings: DataFrame, location: DataFrame | None,
     location lookup on (library_code=852$b, code=852$c)."""
     fields = F.col("fields")
     dates = M.extract_system_dates(fields, "HLD")
-    lib = M.subfields_as_string(fields, "852", "b")
-    loc = M.subfields_as_string(fields, "852", "c")
+    # paired extraction: both codes must come from the SAME 852 (the
+    # reference skips fields carrying only one of the two)
+    libloc = M.extract_library_location(fields)
+    lib = libloc["library_code"]
+    loc = libloc["location_code"]
     out = holdings.select(
         "holding_id", "mms_id",
         M.extract_call_number(fields).alias("display_call_number"),
@@ -81,6 +84,7 @@ def extract_holding_brief(holdings: DataFrame, location: DataFrame | None,
         M.first_fixed_field(F.col("control_fields"), "008").alias("field008"),
         suppress_flag(M.subfields_as_string(fields, "HLD", "a"))
             .alias("suppress"),
+        M.extract_voyager_or_sierra_id(fields).alias("voyager_holding_id"),
         lib.alias("library_code"),
         loc.alias("location_code"),
         F.lit(batch_ts).cast("timestamp_ntz").alias("batch_ts"),
@@ -123,6 +127,25 @@ def extract_items(items: DataFrame, batch_ts) -> DataFrame:
         F.col("in_temp_location"),
         F.lit(batch_ts).cast("timestamp_ntz").alias("batch_ts"),
     )
+
+
+def extract_bib_parts(bibs: DataFrame) -> DataFrame:
+    """bib_part host↔constituent edges (store_constituent_units,
+    alma_publish_to_database.py:216-221): the first $w of each 774 whose
+    value starts with the bib prefix '99' and ends with an institution
+    suffix. The PK (mms_id, part_mms_id) + ON CONFLICT DO NOTHING in the
+    reference dedups — dropDuplicates is the batch equivalent."""
+    from ..functions.scalars import INSTITUTION_SUFFIXES
+
+    suffix_re = "(" + "|".join(INSTITUTION_SUFFIXES) + ")$"
+    w_firsts = F.transform(
+        M.fields_with_tag(F.col("fields"), "774"),
+        lambda f: F.try_element_at(M.subfield_values(f, "w"), F.lit(1)))
+    parts = F.filter(
+        w_firsts,
+        lambda v: v.isNotNull() & v.startswith("99") & v.rlike(suffix_re))
+    return (bibs.select("mms_id", F.explode(parts).alias("part_mms_id"))
+            .dropDuplicates(["mms_id", "part_mms_id"]))
 
 
 def _read_table(spark: SparkSession, warehouse_dir: str, name: str,
@@ -223,15 +246,26 @@ def run_publish_pipeline(spark: SparkSession, landing_dir: str,
                .withColumn("create_date_time",
                            F.lit(batch_ts).cast("timestamp_ntz")))
 
+    # bib_part: wholesale replace per published bib (the reference
+    # deletes every published mms_id's edges, then re-inserts; no FK, so
+    # delete manifests do NOT cascade here — data_sync_db.sql:363-364)
+    parts = extract_bib_parts(out["bibs"])
+    stored_p = _read_table(spark, warehouse_dir, "bib_part", parts)
+    merged_p = (stored_p
+                .join(out["bibs"].select("mms_id").dropDuplicates(),
+                      "mms_id", "left_anti")
+                .unionByName(parts))
+
     # stage everything (reads originals), then swap — see _stage_table
     _stage_table(merged_b, warehouse_dir, "bib_brief")
     _stage_table(merged_h, warehouse_dir, "holding_brief")
     _stage_table(merged_i, warehouse_dir, "item")
+    _stage_table(merged_p, warehouse_dir, "bib_part")
     history.write.mode("append").parquet(
         os.path.join(warehouse_dir, "deleted_record"))
     out["errors"].write.mode("append").parquet(
         os.path.join(warehouse_dir, "errors"))
-    for name in ("bib_brief", "holding_brief", "item"):
+    for name in ("bib_brief", "holding_brief", "item", "bib_part"):
         _swap_table(spark, warehouse_dir, name)
 
     counters = metrics.run_counters(out, records)

@@ -120,6 +120,40 @@ def test_two_run_lifecycle(spark, tmp_path, location_dim):
     assert bib3["version"] == 2                      # strict > guard held
 
 
+def test_bib_parts_replaced_per_published_bib(spark, tmp_path, location_dim):
+    """774$w constituent edges land in bib_part and are wholesale-
+    replaced when the bib republishes (store_constituent_units,
+    alma_publish_to_database.py:216-221)."""
+    from datetime import datetime
+    wh = str(tmp_path / "wh")
+    run1 = tmp_path / "run1"
+    run1.mkdir()
+    _write_drop(run1, [GOOD_RECORD])
+    PL.run_publish_pipeline(spark, str(run1) + "/*", wh,
+                            datetime(2024, 7, 5), location_dim)
+    got = {(r["mms_id"], r["part_mms_id"]) for r in
+           spark.read.parquet(wh + "/bib_part").collect()}
+    assert got == {("9910008651", "9920008651")}
+
+    # holding brief carries the voyager id extracted from the SAME record
+    hb = spark.read.parquet(wh + "/holding_brief").collect()[0]
+    assert "voyager_holding_id" in hb.asDict()
+
+    # republish with the 774 edge changed -> old edge replaced
+    rec2 = {**GOOD_RECORD,
+            "fields": [f if f["tag"] != "774" else
+                       {**f, "subfields": [{"code": "w", "value": "9930008651"}]}
+                       for f in GOOD_RECORD["fields"]]}
+    run2 = tmp_path / "run2"
+    run2.mkdir()
+    _write_drop(run2, [rec2], name="incremental-2_new_1.tar.gz")
+    PL.run_publish_pipeline(spark, str(run2) + "/*", wh,
+                            datetime(2024, 7, 6), location_dim)
+    got2 = {(r["mms_id"], r["part_mms_id"]) for r in
+            spark.read.parquet(wh + "/bib_part").collect()}
+    assert got2 == {("9910008651", "9930008651")}
+
+
 def test_list_ids(spark, tmp_path):
     run1 = tmp_path / "drop"
     run1.mkdir()

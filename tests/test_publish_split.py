@@ -133,6 +133,28 @@ def test_extract_isbns_keeps_duplicate_best(spark):
     assert row["isbns"] == ["9781234567897", "111", "9781234567897"]
 
 
+def test_library_location_requires_both_codes_in_one_field(spark):
+    """Reference takes (b, c) from the first 852 having BOTH; fields
+    with only $b (or only $c) must not contribute half a pair
+    (marc/helper.py:106-113)."""
+    from .fixtures_publish import df_, sf
+    fields = [
+        df_("852", "0", " ", sf("b", "LIBONLY")),            # skipped
+        df_("852", "0", " ", sf("c", "LOCONLY")),            # skipped
+        df_("852", "0", " ", sf("b", "LIB1"), sf("b", "LIB2"),
+            sf("c", "LOC1")),                                 # wins; first $b
+    ]
+    row = _fields_df(spark, fields).select(
+        M.extract_library_location(F.col("fields")).alias("ll")).collect()[0]
+    assert row["ll"]["library_code"] == "LIB1"
+    assert row["ll"]["location_code"] == "LOC1"
+
+    none_row = _fields_df(spark, [df_("852", "0", " ", sf("b", "X"))]).select(
+        M.extract_library_location(F.col("fields")).alias("ll")).collect()[0]
+    assert none_row["ll"]["library_code"] is None
+    assert none_row["ll"]["location_code"] is None
+
+
 def test_extract_system_dates_scans_past_fields_without_create(spark):
     """Reference loops fields of the tag until one has $1 — a first field
     lacking $1 must not shadow a later valid one (marc/helper.py:150-155)."""
