@@ -1,0 +1,262 @@
+"""Training-corpus curation operators beyond the reference surface.
+
+Four oracle-checked queries a 100 TB pretraining-data pipeline needs on
+top of the dedup/quality/similarity stack that already exists:
+
+- ``duplicate_ngram_spans`` — exact duplicated-substring statistics
+  (the span-level dedup signal from "Deduplicating Training Data Makes
+  Language Models Better": a doc whose 8-gram spans mostly occur
+  elsewhere in the corpus is boilerplate/copy).
+- ``domain_mixture_weights`` — temperature-scaled source-mixing weights
+  (the alpha-sampling rule used to rebalance corpora before training).
+- ``training_order_shuffle`` — deterministic, seeded global shuffle
+  into shards: the materialization step that turns a curated corpus
+  into a training-order dataset.
+- ``event_regression_stats`` — per-group second-moment / regression
+  aggregates (stddev, covariance, corr, OLS slope) — the profiling
+  pass run before and after every curation step.
+
+Scale notes are on each query; none of them collects to the driver and
+each shuffles at most once beyond its aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+NGRAM = 8  # words per span; 8 keeps the sf0.01 corpus (10-99 words/doc) honest
+
+
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span statistics over word 8-grams.
+
+    A span is "duplicated" when the identical 8-word sequence occurs
+    more than once in the whole corpus (within- or cross-document).
+    Output: span count, duplicated-span count, and the dup ratio that a
+    span-level dedup pass would use as its removal signal.
+
+    Scale: one explode (~n_words spans/doc) and one shuffle keyed by the
+    span text. At 100 TB, carry ``xxhash64(gram)`` instead of the gram
+    string so the shuffle moves 8 bytes per span, not 50+ (string kept
+    here for exact DuckDB parity); counts are map-side combined either
+    way, and the join back to spans is a plain shuffle-hash join on the
+    same key so AQE can coalesce it. No driver-side state.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                # sequence(1, n) DESCENDS when n < 1 ([1, 0]) — gate short
+                # docs to an empty span list instead
+                F.when(
+                    F.size("w") >= NGRAM,
+                    F.sequence(F.lit(1), F.size("w") - (NGRAM - 1)),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.array_join(F.slice(F.col("w"), i, NGRAM), " "),
+            )
+        ).alias("gram"),
+    )
+    counts = spans.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        spans.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+    )
+    base = load(spark, sf_dir, "documents").select("doc_id")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.round(
+            F.coalesce("n_dup_spans", F.lit(0))
+            / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+            4,
+        ).alias("dup_ratio"),
+    )
+
+
+_DUP_SPANS_SQL = rf"""
+WITH words AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+pos AS (
+    SELECT doc_id, w,
+           unnest(range(1, greatest(len(w) - {NGRAM - 1}, 0) + 1)) AS i
+    FROM words
+),
+spans AS (
+    SELECT doc_id, array_to_string(w[i : i + {NGRAM - 1}], ' ') AS gram
+    FROM pos
+),
+counts AS (SELECT gram, count(*) AS cnt FROM spans GROUP BY gram),
+per_doc AS (
+    SELECT s.doc_id, count(*) AS n_spans,
+           sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+    FROM spans s JOIN counts c USING (gram)
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       round(coalesce(p.n_dup_spans, 0)
+             / greatest(coalesce(p.n_spans, 0), 1), 4) AS dup_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+ALPHA = 0.5  # mixture temperature: w_i ∝ share_i^alpha (alpha<1 upweights tails)
+
+
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing weights.
+
+    Per source: doc/char volume, corpus share p_i, and the normalized
+    sampling weight ``p_i^alpha / sum_j p_j^alpha`` (alpha = 0.5) plus
+    the expected draw count per 10k sampled documents. This is the
+    standard rebalancing rule for multi-source pretraining mixes.
+
+    Scale: one aggregation to ~#sources rows, then a windowed normalize
+    over that tiny frame — the window runs on a single partition of a
+    handful of rows, which is exactly right (the per-source table is
+    never large; the *documents* table never moves).
+    """
+    per_src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("n_chars"))
+    )
+    w = Window.partitionBy()
+    share = F.col("n_chars") / F.sum("n_chars").over(w)
+    raw = F.pow(share, F.lit(ALPHA))
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(share, 6).alias("char_share"),
+        F.round(raw / F.sum(raw).over(w), 6).alias("mix_weight"),
+        F.round(raw / F.sum(raw).over(w) * 10000, 2).alias("docs_per_10k"),
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH per_src AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source
+),
+shared AS (
+    SELECT source, n_docs, n_chars,
+           n_chars / sum(n_chars) OVER () AS share,
+           pow(n_chars / sum(n_chars) OVER (), {ALPHA}) AS raw
+    FROM per_src
+)
+SELECT source, n_docs, n_chars,
+       round(share, 6) AS char_share,
+       round(raw / sum(raw) OVER (), 6) AS mix_weight,
+       round(raw / sum(raw) OVER () * 10000, 2) AS docs_per_10k
+FROM shared
+"""
+
+
+SEED = "42"
+N_SHARD_HEX = 1  # first hex char of the key → 16 shards
+
+
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle into training shards.
+
+    Every document gets a pseudorandom but reproducible position:
+    ``key = md5(doc_id || ':' || seed)``, shard = the key's first hex
+    digit (16 shards), position = rank of the key within its shard. Two
+    runs with the same seed produce byte-identical training order —
+    the property a resumable data loader needs.
+
+    Scale: this is ONE hash-partitioned shuffle (exchange on shard,
+    sort by key within partitions); at 100 TB you'd raise the digit
+    count so shards ≈ output files and let each task write its shard
+    sorted — no global sort, no driver involvement. The md5 keys are
+    uniform, so shards are balanced by construction (no skew handling
+    needed, unlike natural keys).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + SEED)))
+    keyed = docs.select(
+        "doc_id", key.alias("shuffle_key"),
+        F.substring(key, 1, N_SHARD_HEX).alias("shard"))
+    pos = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard",
+        F.row_number().over(pos).cast("long").alias("position"))
+
+
+_SHUFFLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':{SEED}') AS shuffle_key
+    FROM documents
+)
+SELECT doc_id,
+       substr(shuffle_key, 1, {N_SHARD_HEX}) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY substr(shuffle_key, 1, {N_SHARD_HEX})
+            ORDER BY shuffle_key, doc_id) AS BIGINT) AS position
+FROM keyed
+"""
+
+
+def event_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type profiling aggregates: n, mean, sample stddev and
+    variance of ``value``, covariance / Pearson correlation / OLS slope
+    and intercept of ``value`` against hour-of-day.
+
+    All second-moment aggregates are single-pass, map-side-combinable
+    built-ins (Spark merges per-partition (n, mean, M2, C2) states), so
+    the whole query is one partial-aggregated shuffle to #event_types
+    rows — the profiling shape that stays cheap at any corpus size.
+    Results round to 4 dp: the merge order differs between engines, so
+    the last bits of a double are not contractual.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", F.hour("ts").cast("double").alias("h"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.covar_samp("value", "h"), 4).alias("covar_vh"),
+        F.round(F.corr("value", "h"), 4).alias("corr_vh"),
+        F.round(F.regr_slope("value", "h"), 4).alias("slope_vh"),
+        F.round(F.regr_intercept("value", "h"), 4).alias("intercept_vh"),
+    )
+
+
+_REGR_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(value), 4) AS mean_value,
+       round(stddev_samp(value), 4) AS sd_value,
+       round(var_samp(value), 4) AS var_value,
+       round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS covar_vh,
+       round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_vh,
+       round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 4) AS slope_vh,
+       round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 4) AS intercept_vh
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "duplicate_ngram_spans": (duplicate_ngram_spans, _DUP_SPANS_SQL),
+    "domain_mixture_weights": (domain_mixture_weights, _MIXTURE_SQL),
+    "training_order_shuffle": (training_order_shuffle, _SHUFFLE_SQL),
+    "event_regression_stats": (event_regression_stats, _REGR_SQL),
+}

@@ -26,6 +26,7 @@ _MODULES = (
     "alma_publish_to_marc_spark.plans.domain_queries",
     "alma_publish_to_marc_spark.plans.extraction_queries",
     "alma_publish_to_marc_spark.plans.analytics_queries",
+    "alma_publish_to_marc_spark.plans.corpus_queries",
     "alma_publish_to_marc_spark.plans.migrations",
     "alma_publish_to_marc_spark.operators.graph_queries",
     "alma_publish_to_marc_spark.operators.clustering",

@@ -1,0 +1,59 @@
+"""Unit tests for plans/corpus_queries.py (training-corpus curation ops)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from alma_publish_to_marc_spark.plans import corpus_queries as C
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_duplicate_ngram_spans_short_docs_have_zero_spans(spark, tmp_path):
+    # a doc with < NGRAM words contributes no spans and a 0.0 ratio
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c", " ".join(["tok"] * 12)]}
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           C.duplicate_ngram_spans(spark, str(tmp_path)).collect()}
+    assert out[1]["n_spans"] == 0 and out[1]["dup_ratio"] == 0.0
+    # doc 2: 12 words -> 5 spans, all identical ("tok"*8) -> all duplicated
+    assert out[2]["n_spans"] == 5
+    assert out[2]["n_dup_spans"] == 5
+    assert out[2]["dup_ratio"] == 1.0
+
+
+def test_mixture_weights_normalize(spark):
+    rows = C.domain_mixture_weights(spark, SF_DIR).collect()
+    assert sum(r["mix_weight"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["char_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    # alpha < 1 compresses the range: max weight below max share
+    assert max(r["mix_weight"] for r in rows) <= max(r["char_share"] for r in rows)
+
+
+def test_training_order_shuffle_deterministic_and_dense(spark):
+    a = C.training_order_shuffle(spark, SF_DIR).collect()
+    b = C.training_order_shuffle(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # positions are 1..n_shard dense within each shard
+    per_shard: dict[str, list[int]] = {}
+    for r in a:
+        per_shard.setdefault(r["shard"], []).append(r["position"])
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_event_regression_stats_shapes(spark):
+    df = C.event_regression_stats(spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "expected one row per event_type"
+    for r in rows:
+        assert r["n"] > 0
+        if r["corr_vh"] is not None:
+            assert -1.0 <= r["corr_vh"] <= 1.0
+        # var = sd^2 up to rounding
+        if r["sd_value"] is not None:
+            assert r["var_value"] == pytest.approx(r["sd_value"] ** 2, rel=1e-2)

@@ -37,6 +37,8 @@ def main() -> None:
         "doc_repetition_stats", "bpe_token_estimate",
         "backfill_item_policy", "backfill_temp_locations",
         "kmeans_fixed_point",
+        "duplicate_ngram_spans", "domain_mixture_weights",
+        "training_order_shuffle", "event_regression_stats",
     ]
     for name in names:
         if name not in qs:
