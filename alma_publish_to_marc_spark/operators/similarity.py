@@ -89,15 +89,47 @@ def brute_force_topk(emb: DataFrame, id_col: str, vec_col: str,
             .select("qid", F.col(id_col).alias("neighbor_id"), "cosine", "rank"))
 
 
+PROBE_RADIUS = 2
+
+
+def probe_masks(n_planes: int = N_PLANES,
+                radius: int = PROBE_RADIUS) -> list[int]:
+    """XOR masks for the Hamming ball of the given radius: the probe
+    set of multi-probe LSH (probe the query's own bucket plus every
+    bucket whose signature differs in ≤ radius bits)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if radius >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return masks
+
+
 def lsh_topk(emb: DataFrame, id_col: str, vec_col: str,
              query_ids: list[int], k: int = 10) -> DataFrame:
-    """ANN variant: same ranking but candidates restricted to the
-    query's hyperplane bucket (recall < 1, cost ~ N/2^b per query)."""
+    """Multi-probe hyperplane-LSH ANN: candidates are vectors whose
+    b-bit signature lies within Hamming distance ``PROBE_RADIUS`` of
+    the query's signature (the query side explodes its probe-bucket
+    list; candidates still hash once and join on one equi key).
+
+    Cost/recall: scan fraction ≈ |ball| / 2^b = (1 + b + C(b,2)) / 2^b
+    (37/256 ≈ 14% at b=8, r=2); measured recall vs exact on the
+    uniform-random test vectors is ~0.36 vs 0.0 for the radius-0
+    single-bucket probe (see ``ann_recall_eval``) — uniform vectors are
+    LSH's worst case, clustered real embeddings sit much higher. At
+    scale, size b ≈ log₂(N / target_bucket) to pin bucket occupancy,
+    then tune the radius to buy recall: each probe costs one bucket
+    (~constant rows), so cost is explicit and the candidate join stays
+    a broadcast of |queries| × |ball| probe rows — the corpus never
+    reshuffles."""
     e = (emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
          .withColumn("bucket", lsh_bucket(F.col("v"))))
     q = (e.where(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("qid"), F.col("v").alias("qv"),
-                 F.col("bucket")))
+                 F.explode(F.array(*[
+                     F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
+                     for m in probe_masks()])).alias("bucket")))
     pairs = (e.join(F.broadcast(q), "bucket")
              .where(F.col(id_col) != F.col("qid"))
              .withColumn("cosine", cosine(F.col("qv"), F.col("v"))))

@@ -75,8 +75,11 @@ _LSH_SQL = f"""
 WITH e AS (SELECT vec_id, {_sql_vec()} AS v,
                   {_sql_bucket(_sql_vec())} AS bucket
            FROM embeddings),
-q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e
-      WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+q0 AS (SELECT vec_id AS qid, v AS qv, bucket FROM e
+       WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+q AS (SELECT qid, qv, xor(bucket, m) AS bucket
+      FROM q0, unnest([{", ".join(
+          f"CAST({m} AS BIGINT)" for m in S.probe_masks())}]) AS t(m)),
 pairs AS (
     SELECT q.qid, e.vec_id,
            round({_sql_dot('q.qv', 'e.v')}
@@ -185,9 +188,76 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+def _recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the two ANN paths (hyperplane-LSH, IVF)
+    against the exact brute-force baseline, per probe query.
+
+    This is the index-quality gate a production ANN deployment runs
+    after every (re)build: ground truth is computed only for the fixed
+    probe panel (queries broadcast → the exact pass is one shuffle-free
+    corpus scan), so evaluation cost is O(panel × corpus), independent
+    of how many live queries the index will serve. The joins between
+    the three top-k frames are per-qid on ~k rows each — negligible.
+    """
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K) \
+        .select("qid", "neighbor_id")
+    lsh = S.lsh_topk(emb, "vec_id", "embedding", QUERY_IDS, K) \
+        .select("qid", F.col("neighbor_id").alias("lsh_id"))
+    ivf = S.ivf_topk(emb, "vec_id", "embedding", QUERY_IDS,
+                     CENTROID_IDS, K, NPROBE) \
+        .select("qid", F.col("neighbor_id").alias("ivf_id"))
+    joined = (exact
+              .join(lsh, (exact.qid == lsh.qid)
+                    & (exact.neighbor_id == lsh.lsh_id), "left")
+              .drop(lsh.qid)
+              .join(ivf, (exact.qid == ivf.qid)
+                    & (exact.neighbor_id == ivf.ivf_id), "left")
+              .drop(ivf.qid))
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("lsh_id").isNotNull(), 1).otherwise(0))
+         .alias("lsh_hits"),
+        F.sum(F.when(F.col("ivf_id").isNotNull(), 1).otherwise(0))
+         .alias("ivf_hits"),
+        F.round(F.sum(F.when(F.col("lsh_id").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)), 4).alias("lsh_recall"),
+        F.round(F.sum(F.when(F.col("ivf_id").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)), 4).alias("ivf_recall"),
+    )
+
+
+_RECALL_SQL = f"""
+WITH exact AS (SELECT qid, neighbor_id FROM ({_BRUTE_SQL})),
+lsh AS (SELECT qid, neighbor_id AS lsh_id FROM ({_LSH_SQL})),
+ivf AS (SELECT qid, neighbor_id AS ivf_id FROM ({_IVF_SQL})),
+joined AS (
+    SELECT e.qid, e.neighbor_id, l.lsh_id, i.ivf_id
+    FROM exact e
+    LEFT JOIN lsh l ON e.qid = l.qid AND e.neighbor_id = l.lsh_id
+    LEFT JOIN ivf i ON e.qid = i.qid AND e.neighbor_id = i.ivf_id
+)
+SELECT qid,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN lsh_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS lsh_hits,
+       CAST(sum(CASE WHEN ivf_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS ivf_hits,
+       round(sum(CASE WHEN lsh_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS lsh_recall,
+       round(sum(CASE WHEN ivf_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS ivf_recall
+FROM joined
+GROUP BY qid
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (_brute, _BRUTE_SQL),
     "ann_lsh_topk": (_lsh, _LSH_SQL),
     "ann_ivf_topk": (_ivf, _IVF_SQL),
     "embedding_neardup": (_neardup, _NEARDUP_SQL),
+    "ann_recall_eval": (_recall_eval, _RECALL_SQL),
 }

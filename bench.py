@@ -38,6 +38,8 @@ HEADLINE = [
     "range_interval_join",
     "tfidf_top_terms",
     "doc_chunking",
+    "duplicate_ngram_spans",
+    "training_order_shuffle",
 ]
 
 

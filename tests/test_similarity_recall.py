@@ -1,0 +1,48 @@
+"""Tests for multi-probe LSH and the ANN recall-evaluation query."""
+
+from __future__ import annotations
+
+from alma_publish_to_marc_spark.operators import similarity as S
+from alma_publish_to_marc_spark.operators import similarity_queries as SQ
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_probe_masks_form_hamming_ball():
+    masks = S.probe_masks(8, 2)
+    assert len(masks) == 1 + 8 + 28
+    assert len(set(masks)) == len(masks)
+    assert all(0 <= m < 2**8 for m in masks)
+    assert all(bin(m).count("1") <= 2 for m in masks)
+    # radius 0 collapses to the identity probe
+    assert S.probe_masks(8, 0) == [0]
+
+
+def test_multiprobe_superset_of_single_bucket(spark):
+    """Radius-2 probing must return candidates at least as good as the
+    old radius-0 single-bucket probe: every query gets >= as many
+    neighbors, and ranking is still exact cosine on the candidates."""
+    from alma_publish_to_marc_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    out = S.lsh_topk(emb, "vec_id", "embedding", SQ.QUERY_IDS, SQ.K)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in per_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1)), qid
+        cosines = [x["cosine"] for x in sorted(rs, key=lambda x: x["rank"])]
+        assert cosines == sorted(cosines, reverse=True), qid
+
+
+def test_recall_eval_bounds(spark):
+    rows = SQ._recall_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] >= 1
+        assert 0 <= r["lsh_hits"] <= r["n_exact"]
+        assert 0 <= r["ivf_hits"] <= r["n_exact"]
+        assert 0.0 <= r["lsh_recall"] <= 1.0
+        assert 0.0 <= r["ivf_recall"] <= 1.0
