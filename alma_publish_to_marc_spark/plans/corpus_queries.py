@@ -254,9 +254,97 @@ GROUP BY event_type
 """
 
 
+QUALITY_MIN = 0.5
+DUP_RATIO_MAX = 0.2
+
+
+def corpus_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel as ONE declarative plan: language ID →
+    quality score → duplicated-span (boilerplate) ratio → benchmark
+    decontamination, producing a per-document verdict with the first
+    failing stage as ``drop_reason`` (the audit trail a data-governance
+    review asks for) and a ``kept`` flag for the surviving corpus.
+
+    Composition, not re-implementation: each stage is the SAME operator
+    that runs standalone (`doc_lang_id`, `doc_quality_score`,
+    `duplicate_ngram_spans`, `benchmark_decontamination`), joined back
+    on doc_id. Catalyst plans the per-doc scalar stages into one scan;
+    the two aggregate stages (span counts, contamination) each keep
+    their own documented shuffle shape. At 100 TB the doc_id joins are
+    hash joins on the natural key with AQE free to broadcast the small
+    contamination side — no stage materializes to the driver.
+    """
+    from ..functions import text as T
+    from ..functions import text_queries as TQ
+
+    docs = load(spark, sf_dir, "documents")
+    scalars = docs.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    spans = duplicate_ngram_spans(spark, sf_dir).select("doc_id", "dup_ratio")
+    contam = TQ._decontamination(spark, sf_dir).select(
+        "doc_id", F.col("n_contaminated_shingles"))
+    joined = (
+        docs.select("doc_id")
+        .where(F.col("doc_id") % TQ._DECON_BENCH_MOD != 0)
+        .join(scalars, "doc_id")
+        .join(spans, "doc_id")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id", "lang_pred", "quality", "dup_ratio",
+            F.coalesce("n_contaminated_shingles", F.lit(0))
+             .cast("long").alias("n_contaminated"),
+        )
+    )
+    # severity order: unusable (lang/quality) → leakage (contaminated,
+    # reported ahead of boilerplate: an eval-leaked doc must never be
+    # explained away as mere duplication) → boilerplate
+    reason = (
+        F.when(F.col("lang_pred") == "und", F.lit("lang"))
+        .when(F.col("quality") < QUALITY_MIN, F.lit("quality"))
+        .when(F.col("n_contaminated") > 0, F.lit("contaminated"))
+        .when(F.col("dup_ratio") >= DUP_RATIO_MAX, F.lit("boilerplate"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.withColumn("drop_reason", reason).withColumn(
+        "kept", F.col("drop_reason") == "kept")
+
+
+def _curation_sql() -> str:
+    from ..functions import text_queries as TQ
+
+    return f"""
+WITH lang AS (SELECT doc_id, lang_pred FROM ({TQ._lang_id_sql()})),
+qual AS (SELECT doc_id, quality FROM ({TQ._quality_sql()})),
+spans AS (SELECT doc_id, dup_ratio FROM ({_DUP_SPANS_SQL})),
+contam AS (SELECT doc_id, n_contaminated_shingles FROM ({TQ._DECON_SQL})),
+verdict AS (
+    SELECT d.doc_id, l.lang_pred, q.quality, s.dup_ratio,
+           CAST(coalesce(c.n_contaminated_shingles, 0) AS BIGINT)
+               AS n_contaminated,
+           CASE WHEN l.lang_pred = 'und' THEN 'lang'
+                WHEN q.quality < {QUALITY_MIN} THEN 'quality'
+                WHEN coalesce(c.n_contaminated_shingles, 0) > 0
+                    THEN 'contaminated'
+                WHEN s.dup_ratio >= {DUP_RATIO_MAX} THEN 'boilerplate'
+                ELSE 'kept' END AS drop_reason
+    FROM documents d
+    JOIN lang l USING (doc_id)
+    JOIN qual q USING (doc_id)
+    JOIN spans s USING (doc_id)
+    LEFT JOIN contam c USING (doc_id)
+    WHERE d.doc_id % {TQ._DECON_BENCH_MOD} <> 0
+)
+SELECT *, drop_reason = 'kept' AS kept FROM verdict
+"""
+
+
 QUERIES = {
     "duplicate_ngram_spans": (duplicate_ngram_spans, _DUP_SPANS_SQL),
     "domain_mixture_weights": (domain_mixture_weights, _MIXTURE_SQL),
     "training_order_shuffle": (training_order_shuffle, _SHUFFLE_SQL),
     "event_regression_stats": (event_regression_stats, _REGR_SQL),
+    "corpus_curation_end2end": (corpus_curation_end2end, _curation_sql()),
 }

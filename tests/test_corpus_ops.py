@@ -46,6 +46,22 @@ def test_training_order_shuffle_deterministic_and_dense(spark):
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
 
 
+def test_curation_funnel_consistency(spark):
+    rows = C.corpus_curation_end2end(spark, SF_DIR).collect()
+    assert rows
+    reasons = {"lang", "quality", "contaminated", "boilerplate", "kept"}
+    for r in rows:
+        assert r["drop_reason"] in reasons
+        assert r["kept"] == (r["drop_reason"] == "kept")
+        # benchmark members are excluded from the curated corpus
+        assert r["doc_id"] % 7 != 0
+        if r["kept"]:
+            assert r["lang_pred"] != "und"
+            assert r["quality"] >= C.QUALITY_MIN
+            assert r["dup_ratio"] < C.DUP_RATIO_MAX
+            assert r["n_contaminated"] == 0
+
+
 def test_event_regression_stats_shapes(spark):
     df = C.event_regression_stats(spark, SF_DIR)
     rows = df.collect()

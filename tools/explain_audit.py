@@ -39,7 +39,7 @@ def main() -> None:
         "kmeans_fixed_point",
         "duplicate_ngram_spans", "domain_mixture_weights",
         "training_order_shuffle", "event_regression_stats",
-        "ann_lsh_topk", "ann_recall_eval",
+        "ann_lsh_topk", "ann_recall_eval", "corpus_curation_end2end",
     ]
     for name in names:
         if name not in qs:
