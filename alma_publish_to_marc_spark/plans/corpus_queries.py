@@ -341,10 +341,80 @@ SELECT *, drop_reason = 'kept' AS kept FROM verdict
 """
 
 
+MERGE_TOP_K = 20
+
+
+def vocab_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First step of BPE vocabulary training, distributed: build the
+    word-frequency table from the corpus pre-tokenizer, then count
+    adjacent character pairs weighted by word frequency and rank the
+    top merge candidates (count desc, pair asc for determinism).
+
+    Scale shape: the corpus is touched ONCE (explode pretokens →
+    map-side-combined count); everything after runs on the *vocabulary*
+    table (distinct pre-tokens), which is orders of magnitude smaller
+    and essentially constant in corpus size (Heaps' law). A full BPE
+    trainer loops this pair-count + merge step K times — each iteration
+    is an aggregation on the vocab table only, so the driver-paced loop
+    never rescans the corpus. Ranking the final candidate table is a
+    single small sort, not a corpus sort.
+    """
+    from ..functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    words = (docs
+             .select(F.explode(T.bpe_pretokens(F.col("text"))).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("word_count")))
+    pairs = (words
+             .where(F.length("tok") >= 2)
+             .select("word_count",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(1), F.length("tok") - 1),
+                         lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+                     )).alias("pair")))
+    counts = pairs.groupBy("pair").agg(
+        F.sum("word_count").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= MERGE_TOP_K)
+            .select("rank", "pair", "pair_count"))
+
+
+def _vocab_merge_sql() -> str:
+    from ..functions import text as T
+
+    return rf"""
+WITH words AS (
+    SELECT tok, count(*) AS word_count
+    FROM (SELECT unnest(regexp_extract_all(lower(text),
+                        '{T.BPE_PRETOKEN_RE}')) AS tok
+          FROM documents)
+    GROUP BY tok
+),
+pos AS (
+    SELECT tok, word_count, unnest(range(1, length(tok))) AS i
+    FROM words WHERE length(tok) >= 2
+),
+counts AS (
+    SELECT substr(tok, i, 2) AS pair,
+           CAST(sum(word_count) AS BIGINT) AS pair_count
+    FROM pos GROUP BY 1
+),
+ranked AS (
+    SELECT pair, pair_count,
+           row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS rank
+    FROM counts
+)
+SELECT CAST(rank AS INT) AS rank, pair, pair_count
+FROM ranked WHERE rank <= {MERGE_TOP_K}
+"""
+
+
 QUERIES = {
     "duplicate_ngram_spans": (duplicate_ngram_spans, _DUP_SPANS_SQL),
     "domain_mixture_weights": (domain_mixture_weights, _MIXTURE_SQL),
     "training_order_shuffle": (training_order_shuffle, _SHUFFLE_SQL),
     "event_regression_stats": (event_regression_stats, _REGR_SQL),
     "corpus_curation_end2end": (corpus_curation_end2end, _curation_sql()),
+    "vocab_merge_induction": (vocab_merge_induction, _vocab_merge_sql()),
 }

@@ -40,6 +40,7 @@ HEADLINE = [
     "doc_chunking",
     "duplicate_ngram_spans",
     "training_order_shuffle",
+    "corpus_curation_end2end",
 ]
 
 

@@ -62,6 +62,16 @@ def test_curation_funnel_consistency(spark):
             assert r["n_contaminated"] == 0
 
 
+def test_vocab_merge_induction_ranked_pairs(spark):
+    rows = sorted(C.vocab_merge_induction(spark, SF_DIR).collect(),
+                  key=lambda r: r["rank"])
+    assert rows and len(rows) <= C.MERGE_TOP_K
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r["pair"]) == 2 for r in rows)
+
+
 def test_event_regression_stats_shapes(spark):
     df = C.event_regression_stats(spark, SF_DIR)
     rows = df.collect()
