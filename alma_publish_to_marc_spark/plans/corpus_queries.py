@@ -30,6 +30,16 @@ from ..tables import load
 NGRAM = 8  # words per span; 8 keeps the sf0.01 corpus (10-99 words/doc) honest
 
 
+def _shingle_list(text):
+    """Word 8-gram list of a text column. sequence(1, n) DESCENDS when
+    n < 1 (returns [1, 0]) — gate short docs to an empty list instead."""
+    w = F.split(F.trim(text), r"\s+")
+    idx = F.when(F.size(w) >= NGRAM,
+                 F.sequence(F.lit(1), F.size(w) - (NGRAM - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, NGRAM), " "))
+
+
 def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span statistics over word 8-grams.
 
@@ -45,22 +55,9 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     way, and the join back to spans is a plain shuffle-hash join on the
     same key so AQE can coalesce it. No driver-side state.
     """
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    docs = load(spark, sf_dir, "documents")
     spans = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                # sequence(1, n) DESCENDS when n < 1 ([1, 0]) — gate short
-                # docs to an empty span list instead
-                F.when(
-                    F.size("w") >= NGRAM,
-                    F.sequence(F.lit(1), F.size("w") - (NGRAM - 1)),
-                ).otherwise(F.array().cast("array<int>")),
-                lambda i: F.array_join(F.slice(F.col("w"), i, NGRAM), " "),
-            )
-        ).alias("gram"),
-    )
+        "doc_id", F.explode(_shingle_list(F.col("text"))).alias("gram"))
     counts = spans.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = (
         spans.join(counts, "gram")
@@ -283,18 +280,51 @@ def corpus_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.lang_id(F.col("text")).alias("lang_pred"),
         T.quality_score(F.col("text")).alias("quality"),
     )
-    spans = duplicate_ngram_spans(spark, sf_dir).select("doc_id", "dup_ratio")
-    contam = TQ._decontamination(spark, sf_dir).select(
-        "doc_id", F.col("n_contaminated_shingles"))
+    # Span-dup and decontamination both explode the SAME word 8-grams
+    # (NGRAM == TQ._DECON_N): fuse them — one explode, one gram-keyed
+    # shuffle that carries both the corpus-wide occurrence count and the
+    # benchmark-membership count, one doc-keyed aggregate for both
+    # verdict inputs. The standalone queries stay as the executable
+    # spec; the oracle SQL composes them, so this fusion is
+    # value-checked against the unfused definition every round.
+    assert NGRAM == TQ._DECON_N
+    sh = docs.select(
+        "doc_id",
+        (F.col("doc_id") % TQ._DECON_BENCH_MOD == 0).alias("is_bench"),
+        F.explode(_shingle_list(F.col("text"))).alias("gram"),
+    )
+    counts = sh.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("is_bench"), 1).otherwise(0)).alias("bench_cnt"),
+    )
+    per_doc = (
+        sh.where(~F.col("is_bench"))
+        .join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+             .alias("n_dup_spans"),
+            F.countDistinct(F.when(F.col("bench_cnt") > 0, F.col("gram")))
+             .alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("n_dup_spans")
+                    / F.greatest(F.col("n_spans"), F.lit(1)), 4)
+             .alias("dup_ratio"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        )
+    )
     joined = (
         docs.select("doc_id")
         .where(F.col("doc_id") % TQ._DECON_BENCH_MOD != 0)
         .join(scalars, "doc_id")
-        .join(spans, "doc_id")
-        .join(contam, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
-            "doc_id", "lang_pred", "quality", "dup_ratio",
-            F.coalesce("n_contaminated_shingles", F.lit(0))
+            "doc_id", "lang_pred", "quality",
+            F.coalesce("dup_ratio", F.lit(0.0)).alias("dup_ratio"),
+            F.coalesce("n_contaminated", F.lit(0))
              .cast("long").alias("n_contaminated"),
         )
     )
