@@ -71,3 +71,21 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     ))
+
+
+def deduped_event_stream(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once dedup by event_id — the across-restart
+    form of OP-A2/OP-ST4 (the batch form is a plain ``dropDuplicates``
+    inside each micro-batch). ``dropDuplicatesWithinWatermark`` keys
+    the state store by event_id and EXPIRES entries once the watermark
+    passes them, so dedup state is bounded by (arrival rate × watermark
+    horizon) instead of growing with the corpus — the property that
+    keeps this runnable forever on a cluster. Duplicates are only
+    guaranteed caught while inside the watermark window, which matches
+    the reference's per-run dedup contract (its set state also reset
+    per run; SURVEY.md OP-A2)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(["event_id"])
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))

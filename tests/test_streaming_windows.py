@@ -89,3 +89,51 @@ def test_stateful_running_counts_across_drains(spark, tmp_path):
     assert got2[7] == 3
     assert got2[9] == 1
     assert 8 not in got2
+
+
+def test_dedup_within_watermark_across_drains(spark, tmp_path):
+    from datetime import datetime
+
+    src = str(tmp_path / "events3")
+    ck = str(tmp_path / "ck3")
+    # drain 1: event 1 duplicated in-batch, plus event 2
+    _write_events(spark, src, [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (1, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (2, datetime(2024, 1, 1, 10, 30), 2, "view", 2.0),
+    ])
+    out = str(tmp_path / "dedup_out")
+
+    def build(stream):
+        return W.deduped_event_stream(stream)
+
+    def drain():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (build(stream).writeStream.foreachBatch(sink)
+             .outputMode("append")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    ids1 = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids1 == [1, 2]
+
+    # drain 2: event 2 re-arrives inside the watermark window (same ts)
+    # plus a genuinely new event 3 — only 3 is emitted
+    _write_events(spark, src, [
+        (2, datetime(2024, 1, 1, 10, 30), 2, "view", 2.0),
+        (3, datetime(2024, 1, 1, 11, 0), 3, "click", 3.0),
+    ])
+    drain()
+    ids2 = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids2 == [1, 2, 3]
+
+    # batch form degrades to plain dropDuplicates
+    batch = W.deduped_event_stream(
+        spark.read.schema(EVENTS_SCHEMA).parquet(src))
+    assert sorted(r["event_id"] for r in batch.collect()) == [1, 2, 3]
