@@ -210,6 +210,32 @@ FROM keyed
 """
 
 
+def write_training_shards(docs: DataFrame, out_dir: str,
+                          seed: str = SEED) -> None:
+    """Materialize the seeded training order (see
+    ``training_order_shuffle``) as on-disk shards: one directory per
+    shard, rows inside each file sorted by the shuffle key, so a data
+    loader can stream shard files sequentially and replay the exact
+    order from any position.
+
+    Plan shape: ``repartition(shard)`` is the single shuffle (16 hash
+    partitions here; raise N_SHARD_HEX so partitions ≈ target file
+    count at real scale), then ``sortWithinPartitions`` sorts each
+    shard locally during the write — there is NO global sort and no
+    range exchange. Writers emit one file per (task, shard) via
+    partitionBy, all executor-side."""
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed)))
+    keyed = docs.select(
+        "doc_id", key.alias("shuffle_key"),
+        F.substring(key, 1, N_SHARD_HEX).alias("shard"))
+    # sort key list leads with the partition column: the dynamic-
+    # partition writer requires rows ordered by shard and would insert
+    # its own (unstable) sort otherwise, losing the shuffle-key order
+    (keyed.repartition("shard")
+     .sortWithinPartitions("shard", "shuffle_key")
+     .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
+
+
 def event_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type profiling aggregates: n, mean, sample stddev and
     variance of ``value``, covariance / Pearson correlation / OLS slope

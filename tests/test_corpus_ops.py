@@ -83,3 +83,47 @@ def test_event_regression_stats_shapes(spark):
         # var = sd^2 up to rounding
         if r["sd_value"] is not None:
             assert r["var_value"] == pytest.approx(r["sd_value"] ** 2, rel=1e-2)
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from alma_publish_to_marc_spark.tables import load
+
+    out = str(tmp_path / "shards")
+    docs = load(spark, SF_DIR, "documents").select("doc_id")
+    C.write_training_shards(docs, out)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # shard dirs materialized, and each file's rows are sorted by key
+    shards = [r["shard"] for r in back.select("shard").distinct().collect()]
+    assert all(len(s) == C.N_SHARD_HEX for s in shards)
+    one = back.where(back.shard == shards[0]).collect()
+    keys = [r["shuffle_key"] for r in one]
+    assert keys == sorted(keys)
+    # same order the training_order_shuffle query declares
+    expect = {r["doc_id"]: (r["shard"], r["position"])
+              for r in C.training_order_shuffle(spark, SF_DIR).collect()}
+    got_sorted = sorted((r["shard"], r["shuffle_key"], r["doc_id"]) for r in back.collect())
+    for shard, _key, doc_id in got_sorted:
+        assert expect[doc_id][0] == shard
+
+
+def test_shingle_list_matches_python_reference(spark):
+    """Property: _shingle_list == the obvious Python n-gram reference."""
+    import pandas as pd
+
+    texts = [
+        "",
+        "one",
+        " ".join(f"w{i}" for i in range(7)),   # exactly NGRAM-1 words
+        " ".join(f"w{i}" for i in range(8)),   # exactly NGRAM
+        " ".join(f"w{i % 3}" for i in range(25)),
+        "  leading and trailing   spaces padded out to eight words  ",
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = [r["g"] for r in
+           sdf.select(C._shingle_list(sdf.text).alias("g")).collect()]
+    for text, grams in zip(texts, got):
+        words = text.split()
+        want = [" ".join(words[i:i + C.NGRAM])
+                for i in range(len(words) - C.NGRAM + 1)]
+        assert grams == want, text
