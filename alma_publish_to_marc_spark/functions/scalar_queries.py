@@ -228,6 +228,39 @@ FROM m
 """
 
 
+def _blob_printable(spark, sf_dir):
+    """⇐ OP-F12 bytea escape decode (`encode(raw_marc,'escape')`,
+    README.md:69): human-readable views of a binary column — base64,
+    hex, and UTF-8 printable decode. The binary is derived
+    deterministically from the text column (first 24 ASCII chars) so
+    the byte-level results are oracle-checkable; on real MARC blobs the
+    same three expressions apply unchanged. Pure scan-speed column
+    ops, zero shuffles."""
+    from pyspark.sql import functions as F
+
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    bin_col = F.substring("text", 1, 24).cast("binary")
+    return docs.select(
+        "doc_id",
+        F.base64(bin_col).alias("b64"),
+        F.lower(F.hex(bin_col)).alias("hx"),
+        bin_col.cast("string").alias("printable"),
+        F.length(bin_col).alias("n_bytes"),
+    )
+
+
+_BLOB_SQL = """
+SELECT doc_id,
+       base64(encode(substr(text, 1, 24))) AS b64,
+       lower(hex(encode(substr(text, 1, 24)))) AS hx,
+       substr(text, 1, 24) AS printable,
+       CAST(octet_length(encode(substr(text, 1, 24))) AS INT) AS n_bytes
+FROM documents
+"""
+
+
 QUERIES = {
     "string_cleanup": (_string_cleanup, _cleanup_sql()),
     "id_normalize": (_id_normalize, _ID_NORMALIZE_SQL),
@@ -235,4 +268,5 @@ QUERIES = {
     "xpath_extract": (_xpath_extract, _XPATH_SQL),
     "tz_date_parse": (_tz_date_parse, _TZ_DATE_SQL),
     "flags_and_classify": (_flags_classify, _FLAGS_SQL),
+    "blob_printable": (_blob_printable, _BLOB_SQL),
 }
