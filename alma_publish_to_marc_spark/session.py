@@ -67,6 +67,11 @@ def tune(spark: SparkSession) -> SparkSession:
     # Parquet scans: keep row-group pruning + column pruning effective.
     conf.set("spark.sql.parquet.filterPushdown", "true")
     conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # Runtime bloom-filter join pruning: when one side of a shuffle join
+    # is selective, inject a bloom filter of its keys into the other
+    # side's scan — at 100 TB this cuts the probe-side shuffle of the
+    # sort-merge joins (e.g. tfidf's tf⋈dfreq on term) before exchange.
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     # The driver testdata stores TIMESTAMP(NANOS) which the vectorized
     # reader rejects; read as long and convert in tables.load().
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
