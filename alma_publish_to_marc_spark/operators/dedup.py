@@ -140,32 +140,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     Two docs collide if any band (ROWS_PER_BAND consecutive sig values)
     matches exactly; collisions are then verified against the real
     shingle sets. Output: (id_a, id_b, jaccard)."""
-    # hash shingles ONCE per doc; signatures derive from the same column.
-    # Persisted because both the banding branch and the verify branch
-    # consume it — without this the text is re-shingled and re-hashed
-    # per branch (2× the dominant cost). MEMORY_AND_DISK: shingle arrays
-    # for a 100 TB corpus won't fit in memory; spilled blocks still beat
-    # recompute.
-    from pyspark import StorageLevel
-
-    sigs = (df.select(
-                F.col(id_col),
-                shingle_hashes(F.col(text_col), n, max_tokens).alias("shingles"))
-            .withColumn("sig", signature_from_hashes(F.col("shingles")))
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    bands = sigs.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws("_", *[
-                    F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1)
-                    for r in range(ROWS_PER_BAND)
-                ]).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ])).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_key")
+    # hash shingles ONCE per doc (persisted in _sigs_and_bands because
+    # both the banding branch and the verify branch consume them —
+    # without it the text is re-shingled and re-hashed per branch, 2×
+    # the dominant cost)
+    sigs, bands = _sigs_and_bands(df, id_col, text_col, n, max_tokens)
 
     a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
     b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
@@ -209,3 +188,69 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
                .otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return agg.select(id_col, sig.alias("simhash"))
+
+
+def _sigs_and_bands(df: DataFrame, id_col: str, text_col: str,
+                    n: int, max_tokens: int | None):
+    """(sigs, bands) pair for banded MinHash: sigs carries the shingle
+    hashes + signature per doc (persisted MEMORY_AND_DISK — both the
+    banding and verification branches consume it), bands is the
+    exploded (id, band_id, band_key) table."""
+    from pyspark import StorageLevel
+
+    sigs = (df.select(
+                F.col(id_col),
+                shingle_hashes(F.col(text_col), n, max_tokens).alias("shingles"))
+            .withColumn("sig", signature_from_hashes(F.col("shingles")))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    bands = sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("_", *[
+                    F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ]).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ])).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+    return sigs, bands
+
+
+def incremental_minhash_pairs(corpus: DataFrame, arrivals: DataFrame,
+                              id_col: str, text_col: str,
+                              n: int = 5, threshold: float = 0.5,
+                              max_tokens: int | None = None) -> DataFrame:
+    """Dedup an ARRIVING batch against the standing corpus — the
+    incremental-ingest shape: no corpus×corpus pair is ever considered,
+    only (new, corpus) collisions. Output (new_id, corpus_id, jaccard).
+
+    Scale: the corpus signature/band tables are computed once here; in
+    a deployment they are the PERSISTED dedup index (band table bucketed
+    by band_key), so each batch costs one scan of the batch plus a join
+    that touches corpus rows only where bands collide. The batch band
+    table is batch-sized → broadcast, and the corpus side never
+    reshuffles. Within-batch duplicates are a separate (cheap)
+    ``minhash_lsh_pairs`` call on the batch alone.
+    """
+    c_sigs, c_bands = _sigs_and_bands(corpus, id_col, text_col, n, max_tokens)
+    a_sigs, a_bands = _sigs_and_bands(arrivals, id_col, text_col, n, max_tokens)
+    cand = (c_bands
+            .join(F.broadcast(a_bands.select(
+                F.col(id_col).alias("new_id"), "band_id", "band_key")),
+                ["band_id", "band_key"])
+            .select(F.col("new_id"), F.col(id_col).alias("corpus_id"))
+            .distinct())
+    verified = (cand
+        .join(a_sigs.select(F.col(id_col).alias("new_id"),
+                            F.col("shingles").alias("sh_a")), "new_id")
+        .join(c_sigs.select(F.col(id_col).alias("corpus_id"),
+                            F.col("shingles").alias("sh_b")), "corpus_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.round(
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")), 6)))
+    return (verified.where(F.col("jaccard") >= threshold)
+                    .select("new_id", "corpus_id", "jaccard"))

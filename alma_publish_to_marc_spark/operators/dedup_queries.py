@@ -191,9 +191,73 @@ SELECT doc_id, {assemble} AS simhash FROM v
 """
 
 
+def _incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arriving batch = the synthetic tail-variants of every 5th doc;
+    standing corpus = the documents table. Cross (new, corpus)
+    near-dups only — the incremental-ingest dedup shape."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    arrivals = (docs.where(F.col("doc_id") % 5 == 0)
+                .select((F.col("doc_id") + 100000).alias("doc_id"),
+                        F.concat(F.col("text"),
+                                 F.lit(" " + NEAR_DUP_TAIL)).alias("text")))
+    return D.incremental_minhash_pairs(docs, arrivals, "doc_id", "text",
+                                       n=5, threshold=0.5)
+
+
+def _incremental_sql() -> str:
+    p = D.HASH_MOD
+
+    def sig_cols():
+        return ", ".join(
+            f"coalesce(list_min(list_transform(hashes, "
+            f"h -> ({D.PERM_A[j]} * h + {D.PERM_B[j]}) % {p})), {p}) AS s{j}"
+            for j in range(D.N_PERMS))
+
+    def band_selects(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            + " || '_' || ".join(
+                f"CAST(s{b * D.ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(D.ROWS_PER_BAND))
+            + f" AS band_key FROM {src}"
+            for b in range(D.N_BANDS))
+
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+arrivals AS (
+    SELECT doc_id + 100000 AS doc_id, text || ' {NEAR_DUP_TAIL}' AS text
+    FROM documents WHERE doc_id % 5 = 0
+),
+hashed_c AS (SELECT doc_id, {sql_shingle_hashes()} AS hashes FROM corpus),
+hashed_a AS (SELECT doc_id, {sql_shingle_hashes()} AS hashes FROM arrivals),
+sigs_c AS (SELECT doc_id, hashes, {sig_cols()} FROM hashed_c),
+sigs_a AS (SELECT doc_id, hashes, {sig_cols()} FROM hashed_a),
+bands_c AS ({band_selects('sigs_c')}),
+bands_a AS ({band_selects('sigs_a')}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands_a a JOIN bands_c c
+      ON a.band_id = c.band_id AND a.band_key = c.band_key
+),
+verified AS (
+    SELECT new_id, corpus_id,
+           len(list_intersect(ha.hashes, hb.hashes)) AS n_inter,
+           len(ha.hashes) AS size_a, len(hb.hashes) AS size_b
+    FROM cand
+    JOIN hashed_a ha ON ha.doc_id = new_id
+    JOIN hashed_c hb ON hb.doc_id = corpus_id
+)
+SELECT new_id, corpus_id,
+       round(n_inter / (size_a + size_b - n_inter), 6) AS jaccard
+FROM verified
+WHERE round(n_inter / (size_a + size_b - n_inter), 6) >= 0.5
+"""
+
+
 QUERIES = {
     "exact_dedup": (_exact_dedup, _EXACT_SQL),
     "ngram_jaccard_neardup": (_ngram_jaccard, _NGRAM_SQL),
     "minhash_lsh_neardup": (_minhash_lsh, _minhash_sql()),
     "simhash_fingerprint": (_simhash, _simhash_sql()),
+    "incremental_neardup": (_incremental, _incremental_sql()),
 }

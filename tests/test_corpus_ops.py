@@ -127,3 +127,22 @@ def test_shingle_list_matches_python_reference(spark):
         want = [" ".join(words[i:i + C.NGRAM])
                 for i in range(len(words) - C.NGRAM + 1)]
         assert grams == want, text
+
+
+def test_incremental_neardup_finds_planted_pairs(spark):
+    """Every arriving tail-variant must match its source doc (jaccard
+    well above 0.5 for a 1-shingle-tail change), and no pair may point
+    at another arrival (corpus side only)."""
+    from alma_publish_to_marc_spark.operators import dedup_queries as DQ
+
+    rows = DQ._incremental(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["new_id"] >= 100000
+        assert r["corpus_id"] < 100000
+        assert r["jaccard"] >= 0.5
+    # each variant's own source is among its matches
+    matched = {(r["new_id"], r["corpus_id"]) for r in rows}
+    sources = {n for n, _ in matched}
+    for new_id in sources:
+        assert (new_id, new_id - 100000) in matched

@@ -40,6 +40,7 @@ def main() -> None:
         "duplicate_ngram_spans", "domain_mixture_weights",
         "training_order_shuffle", "event_regression_stats",
         "ann_lsh_topk", "ann_recall_eval", "corpus_curation_end2end",
+        "vocab_merge_induction", "incremental_neardup", "blob_printable",
     ]
     for name in names:
         if name not in qs:
