@@ -181,8 +181,8 @@ def xpath_first(col: Column, path: str) -> Column:
 
 # OP-P4 institution-id predicate (alma_publish_parser.py:18-19,191-195)
 INSTITUTION_SUFFIXES = ("8651", "0521", "0541", "1021", "0951", "0121")
+INSTITUTION_SUFFIX_RE = "(" + "|".join(INSTITUTION_SUFFIXES) + ")$"
 
 
 def is_institution_holding_id(col: Column) -> Column:
-    return col.startswith("22") & col.rlike(
-        "(" + "|".join(INSTITUTION_SUFFIXES) + ")$")
+    return col.startswith("22") & col.rlike(INSTITUTION_SUFFIX_RE)

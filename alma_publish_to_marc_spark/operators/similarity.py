@@ -93,10 +93,13 @@ PROBE_RADIUS = 2
 
 
 def probe_masks(n_planes: int = N_PLANES,
-                radius: int = PROBE_RADIUS) -> list[int]:
-    """XOR masks for the Hamming ball of the given radius: the probe
-    set of multi-probe LSH (probe the query's own bucket plus every
-    bucket whose signature differs in ≤ radius bits)."""
+                radius: int | None = None) -> list[int]:
+    """XOR masks for the Hamming ball of the given radius (default:
+    module-level PROBE_RADIUS, read at call time): the probe set of
+    multi-probe LSH (the query's own bucket plus every bucket whose
+    signature differs in ≤ radius bits)."""
+    if radius is None:
+        radius = PROBE_RADIUS
     masks = [0]
     if radius >= 1:
         masks += [1 << i for i in range(n_planes)]

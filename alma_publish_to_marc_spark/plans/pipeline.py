@@ -135,9 +135,7 @@ def extract_bib_parts(bibs: DataFrame) -> DataFrame:
     value starts with the bib prefix '99' and ends with an institution
     suffix. The PK (mms_id, part_mms_id) + ON CONFLICT DO NOTHING in the
     reference dedups — dropDuplicates is the batch equivalent."""
-    from ..functions.scalars import INSTITUTION_SUFFIXES
-
-    suffix_re = "(" + "|".join(INSTITUTION_SUFFIXES) + ")$"
+    from ..functions.scalars import INSTITUTION_SUFFIX_RE as suffix_re
     w_firsts = F.transform(
         M.fields_with_tag(F.col("fields"), "774"),
         lambda f: F.try_element_at(M.subfield_values(f, "w"), F.lit(1)))
@@ -152,9 +150,19 @@ def _read_table(spark: SparkSession, warehouse_dir: str, name: str,
                 template: DataFrame) -> DataFrame:
     path = os.path.join(warehouse_dir, name)
     try:
-        return spark.read.parquet(path)
+        stored = spark.read.parquet(path)
     except Exception:
         return template.limit(0)
+    # Schema evolution: a warehouse written by an older engine version
+    # may lack columns added since (e.g. holding_brief gained
+    # voyager_holding_id); align to the template with typed nulls so the
+    # merge plan resolves — the reference's ALTER TABLE ... ADD COLUMN
+    # migration path, done lazily at read time.
+    have = set(stored.columns)
+    for f in template.schema.fields:
+        if f.name not in have:
+            stored = stored.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return stored
 
 
 def _stage_table(df: DataFrame, warehouse_dir: str, name: str) -> None:

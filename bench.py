@@ -57,6 +57,8 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in qs]
     for name in names:
+        # drop blocks persisted by the previous query (minhash sigs etc.)
+        spark.catalog.clearCache()
         # two runs, report the min: first run pays JIT/codegen warmup and
         # page-cache misses; steady state is what a resident cluster sees
         best = float("inf")

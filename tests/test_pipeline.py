@@ -212,3 +212,33 @@ def test_backfill_migration_stage_and_swap(spark, tmp_path):
               for r in spark.read.parquet(wh + "/item").collect()}
     # hit resolves, miss updates to NULL (reference quirk), false untouched
     assert got_tl == {"p1": 41, "p2": None, "p3": None}
+
+
+def test_pipeline_upgrades_old_warehouse_schema(spark, tmp_path, location_dim):
+    """A warehouse written before a column was added (holding_brief
+    gained voyager_holding_id) must still merge: _read_table aligns the
+    stored side to the current schema with typed nulls."""
+    from datetime import datetime as dt
+
+    wh = str(tmp_path / "wh")
+    run1 = tmp_path / "run1"
+    run1.mkdir()
+    _write_drop(run1, [GOOD_RECORD])
+    PL.run_publish_pipeline(spark, str(run1) + "/*", wh,
+                            dt(2024, 6, 1), location_dim)
+
+    # simulate the pre-upgrade warehouse: rewrite holding_brief WITHOUT
+    # the newer column
+    old = spark.read.parquet(wh + "/holding_brief").drop("voyager_holding_id")
+    old.write.mode("overwrite").parquet(wh + "/holding_brief._old")
+    spark.read.parquet(wh + "/holding_brief._old").write \
+        .mode("overwrite").parquet(wh + "/holding_brief")
+
+    run2 = tmp_path / "run2"
+    run2.mkdir()
+    _write_drop(run2, [GOOD_RECORD])
+    PL.run_publish_pipeline(spark, str(run2) + "/*", wh,
+                            dt(2024, 6, 2), location_dim)
+    rows = spark.read.parquet(wh + "/holding_brief").collect()
+    assert rows
+    assert "voyager_holding_id" in rows[0].asDict()

@@ -18,15 +18,35 @@ def test_probe_masks_form_hamming_ball():
     assert S.probe_masks(8, 0) == [0]
 
 
-def test_multiprobe_superset_of_single_bucket(spark):
-    """Radius-2 probing must return candidates at least as good as the
-    old radius-0 single-bucket probe: every query gets >= as many
-    neighbors, and ranking is still exact cosine on the candidates."""
+def test_multiprobe_superset_of_single_bucket(spark, monkeypatch):
+    """Radius-2 probing must return candidates at least as good as a
+    radius-0 single-bucket probe: every query retrieves a superset of
+    the single-bucket neighbors, and ranking is exact cosine."""
     from alma_publish_to_marc_spark.tables import load
 
     emb = load(spark, SF_DIR, "embeddings")
     out = S.lsh_topk(emb, "vec_id", "embedding", SQ.QUERY_IDS, SQ.K)
     rows = out.collect()
+
+    # radius-0 baseline through the same code path
+    monkeypatch.setattr(S, "PROBE_RADIUS", 0)
+    base = S.lsh_topk(emb, "vec_id", "embedding", SQ.QUERY_IDS, SQ.K).collect()
+    monkeypatch.undo()
+
+    multi = {}
+    for r in rows:
+        multi.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    single = {}
+    for r in base:
+        single.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    # a multi-probe top-k candidate pool contains the single-bucket pool,
+    # so per query: at least as many neighbors, and any single-bucket
+    # neighbor missing from multi's top-k was outranked by a better one
+    for qid, s_ids in single.items():
+        assert len(multi.get(qid, set())) >= len(s_ids), qid
+    assert sum(len(v) for v in multi.values()) \
+        > sum(len(v) for v in single.values())
+
     per_q = {}
     for r in rows:
         per_q.setdefault(r["qid"], []).append(r)

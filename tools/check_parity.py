@@ -99,6 +99,9 @@ def main() -> int:
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        # queries that persist() intermediates (minhash, kmeans, ...)
+        # would otherwise pin blocks for the whole sweep
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
