@@ -397,6 +397,69 @@ SELECT *, drop_reason = 'kept' AS kept FROM verdict
 """
 
 
+# Fixed logistic-regression weights for the classifier-scoring query:
+# (intercept, n_tokens/100, stopword_ratio, punct_ratio, avg_token_len/10).
+# Stand-ins for trained coefficients — the serving plan is what matters.
+CLF_W = (-1.5, 1.2, 3.0, -8.0, 0.7)
+CLF_THRESHOLD = 0.5
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve a trained quality classifier over the corpus — the
+    fasttext-style filter step of a pretraining pipeline, expressed as
+    pure column math: featurize (token count, stopword ratio,
+    punctuation ratio, average token length), apply fixed logistic-
+    regression weights, sigmoid to a probability, threshold to a
+    keep/drop label.
+
+    Scale: zero shuffles — featurization and scoring fuse into the
+    scan, so throughput is parquet-read-bound. Swapping in real
+    coefficients (or a quantized MLP as a Pandas UDF over the same
+    feature columns) changes only the scoring expression, not the plan.
+    Weights are literals in both engines, so the oracle is exact to the
+    4-dp rounding.
+    """
+    from ..functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    w0, w1, w2, w3, w4 = CLF_W
+    z = (F.lit(w0)
+         + F.lit(w1) * (T.token_count(F.col("text")) / 100.0)
+         + F.lit(w2) * T.stopword_ratio(F.col("text"))
+         + F.lit(w3) * T.punct_ratio(F.col("text"))
+         + F.lit(w4) * (T.avg_token_len(F.col("text")) / 10.0))
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return docs.select(
+        "doc_id",
+        prob.alias("quality_prob"),
+        (prob >= CLF_THRESHOLD).alias("keep"),
+    )
+
+
+def _clf_sql() -> str:
+    from ..functions import text_queries as TQ
+    from ..functions import text as T
+
+    toks = TQ.SQL_TOKS
+    en = TQ._marker_sql(T.LANG_MARKERS["en"])
+    stop = f"round({en} / greatest(len({toks}), 1), 4)"
+    punct = ("round(len(list_filter(string_split(text, ''), "
+             "c -> list_contains(['.', ',', ';', ':', '!', '?'], c))) "
+             "/ greatest(length(text), 1), 4)")
+    atl = (f"round(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           f"list_transform({toks}, t -> CAST(length(t) AS BIGINT))), "
+           f"(a, b) -> a + b) / greatest(len({toks}), 1), 4)")
+    w0, w1, w2, w3, w4 = CLF_W
+    z = (f"({w0} + {w1} * (len({toks}) / 100.0) + {w2} * {stop} "
+         f"+ {w3} * {punct} + {w4} * ({atl} / 10.0))")
+    return f"""
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-{z})), 4) AS quality_prob,
+       round(1.0 / (1.0 + exp(-{z})), 4) >= {CLF_THRESHOLD} AS keep
+FROM documents
+"""
+
+
 MERGE_TOP_K = 20
 
 
@@ -473,4 +536,5 @@ QUERIES = {
     "event_regression_stats": (event_regression_stats, _REGR_SQL),
     "corpus_curation_end2end": (corpus_curation_end2end, _curation_sql()),
     "vocab_merge_induction": (vocab_merge_induction, _vocab_merge_sql()),
+    "quality_classifier_score": (quality_classifier_score, _clf_sql()),
 }

@@ -146,3 +146,14 @@ def test_incremental_neardup_finds_planted_pairs(spark):
     sources = {n for n, _ in matched}
     for new_id in sources:
         assert (new_id, new_id - 100000) in matched
+
+
+def test_quality_classifier_score_bounds(spark):
+    rows = C.quality_classifier_score(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["quality_prob"] <= 1.0
+        assert r["keep"] == (r["quality_prob"] >= C.CLF_THRESHOLD)
+    # non-degenerate at sf0.001: both labels occur
+    labels = {r["keep"] for r in rows}
+    assert labels == {True, False}
