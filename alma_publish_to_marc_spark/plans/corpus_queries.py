@@ -30,14 +30,23 @@ from ..tables import load
 NGRAM = 8  # words per span; 8 keeps the sf0.01 corpus (10-99 words/doc) honest
 
 
-def _shingle_list(text):
-    """Word 8-gram list of a text column. sequence(1, n) DESCENDS when
-    n < 1 (returns [1, 0]) — gate short docs to an empty list instead."""
-    w = F.split(F.trim(text), r"\s+")
+def _shingles_from_words(w):
+    """Word 8-gram list from an already-split words column. The caller
+    must project the split into a named column FIRST — this expression
+    references ``w`` three times (gate, index range, slice), and an
+    inlined split would be recomputed per reference (~3× tokenization
+    cost, measured). sequence(1, n) DESCENDS when n < 1 (returns
+    [1, 0]) — gate short docs to an empty list instead."""
     idx = F.when(F.size(w) >= NGRAM,
                  F.sequence(F.lit(1), F.size(w) - (NGRAM - 1))) \
            .otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.array_join(F.slice(w, i, NGRAM), " "))
+
+
+def _shingle_list(text):
+    """Convenience form over raw text (tests); hot paths should project
+    the split and use :func:`_shingles_from_words`."""
+    return _shingles_from_words(F.split(F.trim(text), r"\s+"))
 
 
 def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,8 +65,10 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     same key so AQE can coalesce it. No driver-side state.
     """
     docs = load(spark, sf_dir, "documents")
-    spans = docs.select(
-        "doc_id", F.explode(_shingle_list(F.col("text"))).alias("gram"))
+    spans = (docs
+             .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+             .select("doc_id",
+                     F.explode(_shingles_from_words(F.col("w"))).alias("gram")))
     counts = spans.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = (
         spans.join(counts, "gram")
@@ -314,11 +325,12 @@ def corpus_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spec; the oracle SQL composes them, so this fusion is
     # value-checked against the unfused definition every round.
     assert NGRAM == TQ._DECON_N
-    sh = docs.select(
-        "doc_id",
-        (F.col("doc_id") % TQ._DECON_BENCH_MOD == 0).alias("is_bench"),
-        F.explode(_shingle_list(F.col("text"))).alias("gram"),
-    )
+    sh = (docs
+          .select("doc_id",
+                  (F.col("doc_id") % TQ._DECON_BENCH_MOD == 0).alias("is_bench"),
+                  F.split(F.trim("text"), r"\s+").alias("w"))
+          .select("doc_id", "is_bench",
+                  F.explode(_shingles_from_words(F.col("w"))).alias("gram")))
     counts = sh.groupBy("gram").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("is_bench"), 1).otherwise(0)).alias("bench_cnt"),
