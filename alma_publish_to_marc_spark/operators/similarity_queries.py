@@ -254,10 +254,88 @@ GROUP BY qid
 """
 
 
+def _center_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preprocessing for the ANN stack: subtract the corpus
+    mean vector, renormalize to unit length. Centering spreads vectors
+    over the hypersphere, which is what makes random-hyperplane buckets
+    balanced — run this before building the LSH/IVF index.
+
+    Scale shape: the mean vector is ONE posexplode + groupBy(pos) pass
+    (64 output rows regardless of corpus size, partial-aggregated
+    map-side), rebuilt into an array and broadcast back via a 1-row
+    cross join — the corpus is scanned twice and never shuffled (the
+    pos aggregation shuffles 64 rows per partition). Mean components
+    round to 4 dp before centering in BOTH engines, so downstream
+    arithmetic is deterministic cross-engine.
+    """
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    mean_vec = (e.select(F.posexplode("v").alias("pos", "x"))
+                .groupBy("pos").agg(F.round(F.avg("x"), 4).alias("m"))
+                .groupBy()
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                .select(F.transform("pm", lambda s: s["m"]).alias("mean_v")))
+    centered = (e.crossJoin(F.broadcast(mean_vec))
+                .select("vec_id",
+                        F.zip_with("v", "mean_v", lambda a, b: a - b)
+                         .alias("c")))
+    norm = S.norm(F.col("c"))
+    return centered.select(
+        "vec_id",
+        F.round(norm, 6).alias("norm_centered"),
+        F.when(norm == 0, F.transform("c", lambda x: x * 0.0))
+         .otherwise(F.transform("c", lambda x: F.round(x / norm, 6)))
+         .alias("unit_centered"),
+    ).select(
+        "vec_id", "norm_centered",
+        # driver canonicalizer cannot hash raw arrays — emit joined text
+        F.array_join(F.transform("unit_centered",
+                                 lambda x: F.format_number(x, 6)), ",")
+         .alias("unit_csv"),
+    )
+
+
+def _center_normalize_sql() -> str:
+    dim = S.DIM
+    return f"""
+WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+pos AS (
+    SELECT t.i AS pos, avg(v[t.i]) AS m
+    FROM e, generate_series(1, {dim}) AS t(i)
+    GROUP BY t.i
+),
+mean_v AS (
+    SELECT list_transform(
+        list_sort(list(struct_pack(pos := pos, m := round(m, 4)))),
+        s -> s.m) AS mv
+    FROM pos
+),
+centered AS (
+    SELECT vec_id,
+           list_transform(range(1, {dim} + 1), i -> v[i] - mv[i]) AS c
+    FROM e CROSS JOIN mean_v
+),
+n AS (
+    SELECT vec_id, c, {_sql_norm('c')} AS nm FROM centered
+)
+SELECT vec_id,
+       round(nm, 6) AS norm_centered,
+       array_to_string(
+           list_transform(c, x -> format('{{:.6f}}',
+               CASE WHEN nm = 0 THEN x * 0.0 ELSE round(x / nm, 6) END)),
+           ',') AS unit_csv
+FROM n
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (_brute, _BRUTE_SQL),
     "ann_lsh_topk": (_lsh, _LSH_SQL),
     "ann_ivf_topk": (_ivf, _IVF_SQL),
     "embedding_neardup": (_neardup, _NEARDUP_SQL),
     "ann_recall_eval": (_recall_eval, _RECALL_SQL),
+    "embedding_center_normalize": (_center_normalize, _center_normalize_sql()),
 }

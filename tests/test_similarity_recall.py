@@ -66,3 +66,15 @@ def test_recall_eval_bounds(spark):
         assert 0 <= r["ivf_hits"] <= r["n_exact"]
         assert 0.0 <= r["lsh_recall"] <= 1.0
         assert 0.0 <= r["ivf_recall"] <= 1.0
+
+
+def test_center_normalize_unit_vectors(spark):
+    rows = SQ._center_normalize(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:20]:
+        vals = [float(x) for x in r["unit_csv"].split(",")]
+        assert len(vals) == S.DIM
+        n = sum(v * v for v in vals) ** 0.5
+        # unit length up to the 6-dp component rounding
+        assert abs(n - 1.0) < 1e-3, (r["vec_id"], n)
+        assert r["norm_centered"] > 0

@@ -41,7 +41,7 @@ def main() -> None:
         "training_order_shuffle", "event_regression_stats",
         "ann_lsh_topk", "ann_recall_eval", "corpus_curation_end2end",
         "vocab_merge_induction", "incremental_neardup", "blob_printable",
-        "quality_classifier_score",
+        "quality_classifier_score", "embedding_center_normalize",
     ]
     for name in names:
         if name not in qs:
