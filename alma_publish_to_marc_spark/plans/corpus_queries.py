@@ -541,6 +541,101 @@ FROM ranked WHERE rank <= {MERGE_TOP_K}
 """
 
 
+SAMPLE_K = 200
+
+
+def uniform_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample, deterministic under the seed: rank all
+    docs by a salted hash and keep the k smallest. Unlike
+    ``df.sample(fraction)`` (approximate size, partition-dependent) this
+    yields the same k rows on any cluster layout — what an eval-set
+    carve-out needs.
+
+    Scale: Spark plans global ORDER BY + LIMIT as TakeOrdered — each
+    partition keeps its local top-k and only k rows per partition reach
+    the driver-side merge; the corpus is never globally sorted or
+    shuffled. (The returned frame re-sorts k rows for a deterministic
+    output order — k rows, not the corpus.)"""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample" + SEED)))
+    ranked = (docs.select("doc_id", key.alias("k"))
+              .orderBy("k", "doc_id").limit(SAMPLE_K))
+    w = Window.orderBy("k", "doc_id")
+    return ranked.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("sample_rank"))
+
+
+_SAMPLE_SQL = f"""
+WITH ranked AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':sample{SEED}') AS k
+    FROM documents
+    ORDER BY k, doc_id
+    LIMIT {SAMPLE_K}
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS sample_rank
+FROM ranked
+"""
+
+
+SKEW_TOP = 20
+
+
+def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew profiling of a join key: the top heavy-hitter keys
+    with their row counts and share of the table. This is the query you
+    run BEFORE a big fact-fact join to decide between plain hash join,
+    AQE skew splitting, and explicit salting — the reference relies on
+    Postgres statistics for the same decision; a Spark pipeline has to
+    measure.
+
+    Scale: map-side-combined count per key, then a global top-k over the
+    aggregated per-key frame — TakeOrdered, no full sort. The totals
+    branch re-aggregates the same width-1 key column (two narrow scans;
+    persist per_key instead if the key table itself is huge), and joins
+    back as a broadcast 1-row frame."""
+    ev = load(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = per_key.groupBy().agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"))
+    top = (per_key.orderBy(F.desc("n_rows"), F.asc("user_id"))
+           .limit(SKEW_TOP))
+    w = Window.orderBy(F.desc("n_rows"), F.asc("user_id"))
+    return (top.crossJoin(F.broadcast(total))
+            .select(
+                F.row_number().over(w).cast("long").alias("rank"),
+                "user_id", "n_rows",
+                F.round(F.col("n_rows") / F.col("total_rows"), 6)
+                 .alias("row_share"),
+                (F.col("n_rows") * F.col("n_keys") / F.col("total_rows"))
+                 .alias("skew_factor"),
+            ))
+
+
+_SKEW_SQL = f"""
+WITH per_key AS (
+    SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+),
+total AS (
+    SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           count(*) AS n_keys
+    FROM per_key
+),
+top AS (
+    SELECT user_id, n_rows FROM per_key
+    ORDER BY n_rows DESC, user_id ASC LIMIT {SKEW_TOP}
+)
+SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, user_id ASC) AS BIGINT)
+           AS rank,
+       user_id, n_rows,
+       round(n_rows / total_rows, 6) AS row_share,
+       n_rows * n_keys / CAST(total_rows AS DOUBLE) AS skew_factor
+FROM top CROSS JOIN total
+"""
+
+
 QUERIES = {
     "duplicate_ngram_spans": (duplicate_ngram_spans, _DUP_SPANS_SQL),
     "domain_mixture_weights": (domain_mixture_weights, _MIXTURE_SQL),
@@ -549,4 +644,6 @@ QUERIES = {
     "corpus_curation_end2end": (corpus_curation_end2end, _curation_sql()),
     "vocab_merge_induction": (vocab_merge_induction, _vocab_merge_sql()),
     "quality_classifier_score": (quality_classifier_score, _clf_sql()),
+    "uniform_sample_exact": (uniform_sample_exact, _SAMPLE_SQL),
+    "join_skew_diagnostics": (join_skew_diagnostics, _SKEW_SQL),
 }

@@ -157,3 +157,23 @@ def test_quality_classifier_score_bounds(spark):
     # non-degenerate at sf0.001: both labels occur
     labels = {r["keep"] for r in rows}
     assert labels == {True, False}
+
+
+def test_uniform_sample_exact_k_and_deterministic(spark):
+    a = C.uniform_sample_exact(spark, SF_DIR).collect()
+    b = C.uniform_sample_exact(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == min(C.SAMPLE_K, 50) or len(a) == C.SAMPLE_K
+    ranks = sorted(r["sample_rank"] for r in a)
+    assert ranks == list(range(1, len(a) + 1))
+
+
+def test_join_skew_diagnostics_shares(spark):
+    rows = sorted(C.join_skew_diagnostics(spark, SF_DIR).collect(),
+                  key=lambda r: r["rank"])
+    assert rows
+    counts = [r["n_rows"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0 < r["row_share"] <= 1 for r in rows)
+    # skew_factor 1.0 == perfectly uniform key
+    assert all(r["skew_factor"] > 0 for r in rows)

@@ -1,0 +1,64 @@
+"""Property tests: the duplicated-span operator must agree with a
+driver-side pure-Python reference on arbitrary small corpora (random
+word salads reach duplication patterns the fixed fixtures don't)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from alma_publish_to_marc_spark.plans import corpus_queries as C
+
+# small vocabulary → high collision probability between documents
+word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+doc = st.lists(word, min_size=0, max_size=14).map(" ".join)
+corpus = st.lists(doc, min_size=1, max_size=8)
+
+
+def _ref_dup_spans(texts):
+    grams_per_doc = []
+    for t in texts:
+        w = t.split()
+        grams_per_doc.append([
+            " ".join(w[i:i + C.NGRAM])
+            for i in range(len(w) - C.NGRAM + 1)])
+    counts = {}
+    for grams in grams_per_doc:
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+    out = {}
+    for i, grams in enumerate(grams_per_doc):
+        n = len(grams)
+        dup = sum(1 for g in grams if counts[g] > 1)
+        out[i] = (n, dup, round(dup / max(n, 1), 4))
+    return out
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(corpus)
+def test_duplicate_ngram_spans_matches_reference(spark, tmp_path_factory, texts):
+    tmp = tmp_path_factory.mktemp("docs")
+    pd.DataFrame({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+    }).to_parquet(str(tmp / "documents.parquet"))
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ratio"])
+           for r in C.duplicate_ngram_spans(spark, str(tmp)).collect()}
+    assert got == _ref_dup_spans(texts)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True))
+def test_training_order_is_a_permutation(spark, tmp_path_factory, ids):
+    tmp = tmp_path_factory.mktemp("docs")
+    pd.DataFrame({"doc_id": ids, "text": ["x"] * len(ids)}) \
+        .to_parquet(str(tmp / "documents.parquet"))
+    rows = C.training_order_shuffle(spark, str(tmp)).collect()
+    # exactly one position per doc; dense 1..n within each shard
+    assert sorted(r["doc_id"] for r in rows) == sorted(ids)
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r["position"])
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard

@@ -42,6 +42,7 @@ def main() -> None:
         "ann_lsh_topk", "ann_recall_eval", "corpus_curation_end2end",
         "vocab_merge_induction", "incremental_neardup", "blob_printable",
         "quality_classifier_score", "embedding_center_normalize",
+        "uniform_sample_exact", "join_skew_diagnostics",
     ]
     for name in names:
         if name not in qs:
