@@ -96,16 +96,31 @@ def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_sql() -> str:
+# DuckDB twins of text.avg_token_len / punct_ratio / stopword_ratio —
+# shared by every oracle that featurizes text (quality score, classifier
+# serving); keep in lockstep with functions/text.py
+def sql_avg_token_len(toks: str = SQL_TOKS) -> str:
+    return (f"round(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform({toks}, t -> CAST(length(t) AS BIGINT))), "
+            f"(a, b) -> a + b) / greatest(len({toks}), 1), 4)")
+
+
+def sql_punct_ratio() -> str:
+    return ("round(len(list_filter(string_split(text, ''), "
+            "c -> list_contains(['.', ',', ';', ':', '!', '?'], c))) "
+            "/ greatest(length(text), 1), 4)")
+
+
+def sql_stopword_ratio(toks: str = SQL_TOKS) -> str:
     en = _marker_sql(T.LANG_MARKERS["en"])
+    return f"round({en} / greatest(len({toks}), 1), 4)"
+
+
+def _quality_sql() -> str:
     toks = SQL_TOKS
-    atl = (f"round(list_reduce(list_prepend(CAST(0 AS BIGINT), "
-           f"list_transform({toks}, t -> CAST(length(t) AS BIGINT))), "
-           f"(a, b) -> a + b) / greatest(len({toks}), 1), 4)")
-    punct = ("round(len(list_filter(string_split(text, ''), "
-             "c -> list_contains(['.', ',', ';', ':', '!', '?'], c))) "
-             "/ greatest(length(text), 1), 4)")
-    stop = f"round({en} / greatest(len({toks}), 1), 4)"
+    atl = sql_avg_token_len()
+    punct = sql_punct_ratio()
+    stop = sql_stopword_ratio()
     return f"""
 SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
        round(0.4 * least(n_tokens / 100.0, 1.0)

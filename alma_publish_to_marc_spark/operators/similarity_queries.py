@@ -281,20 +281,23 @@ def _center_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     centered = (e.crossJoin(F.broadcast(mean_vec))
                 .select("vec_id",
                         F.zip_with("v", "mean_v", lambda a, b: a - b)
-                         .alias("c")))
-    norm = S.norm(F.col("c"))
+                         .alias("c"))
+                # project the norm ONCE: the fold is O(dim), and inlining
+                # it in the per-element lambda would recompute it per
+                # component (O(dim^2)/row — same trap as the shingle split)
+                .withColumn("nm", S.norm(F.col("c"))))
+    # `+ 0.0` collapses IEEE -0.0 to +0.0 in both engines: Spark round()
+    # (BigDecimal) drops the sign but DuckDB round() keeps it, and
+    # "-0.000000" vs "0.000000" is a hard string mismatch in the gate
+    unit = (F.when(F.col("nm") == 0, F.transform("c", lambda x: x * 0.0))
+            .otherwise(F.transform(
+                "c", lambda x: F.round(x / F.col("nm"), 6) + 0.0)))
     return centered.select(
         "vec_id",
-        F.round(norm, 6).alias("norm_centered"),
-        F.when(norm == 0, F.transform("c", lambda x: x * 0.0))
-         .otherwise(F.transform("c", lambda x: F.round(x / norm, 6)))
-         .alias("unit_centered"),
-    ).select(
-        "vec_id", "norm_centered",
+        F.round(F.col("nm"), 6).alias("norm_centered"),
         # driver canonicalizer cannot hash raw arrays — emit joined text
-        F.array_join(F.transform("unit_centered",
-                                 lambda x: F.format_number(x, 6)), ",")
-         .alias("unit_csv"),
+        F.array_join(F.transform(unit, lambda x: F.format_number(x, 6)),
+                     ",").alias("unit_csv"),
     )
 
 
@@ -325,7 +328,8 @@ SELECT vec_id,
        round(nm, 6) AS norm_centered,
        array_to_string(
            list_transform(c, x -> format('{{:.6f}}',
-               CASE WHEN nm = 0 THEN x * 0.0 ELSE round(x / nm, 6) END)),
+               CASE WHEN nm = 0 THEN x * 0.0
+                    ELSE round(x / nm, 6) + 0.0 END)),
            ',') AS unit_csv
 FROM n
 """

@@ -450,17 +450,11 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _clf_sql() -> str:
     from ..functions import text_queries as TQ
-    from ..functions import text as T
 
     toks = TQ.SQL_TOKS
-    en = TQ._marker_sql(T.LANG_MARKERS["en"])
-    stop = f"round({en} / greatest(len({toks}), 1), 4)"
-    punct = ("round(len(list_filter(string_split(text, ''), "
-             "c -> list_contains(['.', ',', ';', ':', '!', '?'], c))) "
-             "/ greatest(length(text), 1), 4)")
-    atl = (f"round(list_reduce(list_prepend(CAST(0 AS BIGINT), "
-           f"list_transform({toks}, t -> CAST(length(t) AS BIGINT))), "
-           f"(a, b) -> a + b) / greatest(len({toks}), 1), 4)")
+    stop = TQ.sql_stopword_ratio()
+    punct = TQ.sql_punct_ratio()
+    atl = TQ.sql_avg_token_len()
     w0, w1, w2, w3, w4 = CLF_W
     z = (f"({w0} + {w1} * (len({toks}) / 100.0) + {w2} * {stop} "
          f"+ {w3} * {punct} + {w4} * ({atl} / 10.0))")

@@ -163,7 +163,10 @@ def test_uniform_sample_exact_k_and_deterministic(spark):
     a = C.uniform_sample_exact(spark, SF_DIR).collect()
     b = C.uniform_sample_exact(spark, SF_DIR).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
-    assert len(a) == min(C.SAMPLE_K, 50) or len(a) == C.SAMPLE_K
+    from alma_publish_to_marc_spark.tables import load
+
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(a) == min(C.SAMPLE_K, n_docs)
     ranks = sorted(r["sample_rank"] for r in a)
     assert ranks == list(range(1, len(a) + 1))
 
