@@ -630,6 +630,74 @@ FROM top CROSS JOIN total
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+_EPS = 1e-6  # Laplace-ish floor so KL is defined when a type vanishes
+
+
+def event_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift alarm between consecutive event-time windows:
+    per hour, the event-type distribution, and its KL divergence from
+    the previous hour — the ingest-monitoring signal that catches a
+    source going bad (schema rot, bot floods, collector outages) before
+    the data reaches training.
+
+    Shape: ONE aggregation to (hour × 5 pinned type columns) — the type
+    domain is a fixed literal list, so no driver-side distinct pass —
+    then lag windows over the tiny hourly frame compute the divergence.
+    The corpus shuffles once (hour key); everything after runs on
+    #hours rows. Probabilities floor at 1e-6 and round to 6 dp before
+    the log arithmetic so the KL is identical cross-engine.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   *[F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+                     .alias(f"n_{t}") for t in EVENT_TYPES]))
+    probs = hourly.select(
+        "window_start", "n_events",
+        *[F.round(F.greatest(F.col(f"n_{t}") / F.col("n_events"),
+                             F.lit(_EPS)), 6).alias(f"p_{t}")
+          for t in EVENT_TYPES])
+    w = Window.orderBy("window_start")
+    kl_terms = [
+        F.col(f"p_{t}") * F.log(F.col(f"p_{t}")
+                                / F.lag(f"p_{t}", 1).over(w))
+        for t in EVENT_TYPES
+    ]
+    kl = F.round(sum(kl_terms[1:], kl_terms[0]), 6)
+    return probs.select(
+        "window_start", "n_events",
+        *[f"p_{t}" for t in EVENT_TYPES],
+        kl.alias("kl_vs_prev"),
+    )
+
+
+def _drift_sql() -> str:
+    counts = ", ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+        for t in EVENT_TYPES)
+    probs = ", ".join(
+        f"round(greatest(n_{t} / n_events, {_EPS}), 6) AS p_{t}"
+        for t in EVENT_TYPES)
+    kl = " + ".join(
+        f"p_{t} * ln(p_{t} / lag(p_{t}, 1) OVER (ORDER BY window_start))"
+        for t in EVENT_TYPES)
+    return f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n_events, {counts}
+    FROM events GROUP BY 1
+),
+probs AS (
+    SELECT window_start, CAST(n_events AS BIGINT) AS n_events, {probs}
+    FROM hourly
+)
+SELECT window_start, n_events, {", ".join(f"p_{t}" for t in EVENT_TYPES)},
+       round({kl}, 6) AS kl_vs_prev
+FROM probs
+"""
+
+
 QUERIES = {
     "duplicate_ngram_spans": (duplicate_ngram_spans, _DUP_SPANS_SQL),
     "domain_mixture_weights": (domain_mixture_weights, _MIXTURE_SQL),
@@ -640,4 +708,5 @@ QUERIES = {
     "quality_classifier_score": (quality_classifier_score, _clf_sql()),
     "uniform_sample_exact": (uniform_sample_exact, _SAMPLE_SQL),
     "join_skew_diagnostics": (join_skew_diagnostics, _SKEW_SQL),
+    "event_drift_monitor": (event_drift_monitor, _drift_sql()),
 }

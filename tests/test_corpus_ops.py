@@ -180,3 +180,19 @@ def test_join_skew_diagnostics_shares(spark):
     assert all(0 < r["row_share"] <= 1 for r in rows)
     # skew_factor 1.0 == perfectly uniform key
     assert all(r["skew_factor"] > 0 for r in rows)
+
+
+def test_event_drift_monitor_distributions(spark):
+    rows = sorted(C.event_drift_monitor(spark, SF_DIR).collect(),
+                  key=lambda r: r["window_start"])
+    assert rows
+    assert rows[0]["kl_vs_prev"] is None  # no previous window
+    for r in rows:
+        ps = [r[f"p_{t}"] for t in C.EVENT_TYPES]
+        assert all(0 < p <= 1 for p in ps)
+        # probabilities sum to ~1 (up to the epsilon floor + rounding)
+        assert abs(sum(ps) - 1.0) < 0.01
+    # KL is finite wherever defined
+    for r in rows[1:]:
+        if r["kl_vs_prev"] is not None:
+            assert abs(r["kl_vs_prev"]) < 50
