@@ -630,6 +630,80 @@ FROM top CROSS JOIN total
 """
 
 
+SAMPLE_RATE = 0.5  # target overall corpus fraction for the weighted sample
+
+
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mixture as an actual deterministic
+    sample: each source's acceptance rate is chosen so the SAMPLED
+    corpus's source distribution matches ``domain_mixture_weights``
+    (upweighting tail sources), and each doc's accept/reject decision
+    is a pure hash comparison — the same sample on any cluster layout,
+    no RNG state.
+
+    Mechanics: per-source accept rate a_s = min(1, T·w_s / n_s) with T
+    the target sample size; a doc is kept iff the first 8 hex chars of
+    its salted md5 are lexicographically below a_s·2³² rendered as
+    8-digit hex. Both engines compute identical md5 strings and
+    identical hex thresholds, so the kept set is bit-reproducible.
+
+    Scale: the per-source table is a handful of rows → broadcast; the
+    decision is scan-fused per doc; no shuffle of the corpus at all."""
+    weights = domain_mixture_weights(spark, sf_dir) \
+        .select("source", "n_docs", "mix_weight")
+    total = weights.groupBy().agg(
+        F.floor(F.sum("n_docs") * SAMPLE_RATE).cast("long").alias("target"))
+    rates = (weights.crossJoin(F.broadcast(total))
+             .select("source",
+                     F.least(F.lit(1.0),
+                             F.col("target") * F.col("mix_weight")
+                             / F.col("n_docs")).alias("accept_rate")))
+    thr_int = F.least(F.floor(F.col("accept_rate") * F.lit(2.0 ** 32)),
+                      F.lit(2 ** 32 - 1)).cast("long")
+    rates = rates.select(
+        "source", F.round("accept_rate", 6).alias("accept_rate"),
+        F.lpad(F.lower(F.hex(thr_int)), 8, "0").alias("thr_hex"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = docs.withColumn(
+        "h8", F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                         F.lit(":mix" + SEED))), 1, 8))
+    return (keyed.join(F.broadcast(rates), "source")
+            .where((F.col("accept_rate") >= 1.0) | (F.col("h8") < F.col("thr_hex")))
+            .select("doc_id", "source", "accept_rate"))
+
+
+_MIX_SAMPLE_SQL = f"""
+WITH per_src AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source
+),
+shared AS (
+    SELECT source, n_docs,
+           pow(n_chars / sum(n_chars) OVER (), {ALPHA}) AS raw
+    FROM per_src
+),
+weights AS (
+    SELECT source, n_docs,
+           round(raw / sum(raw) OVER (), 6) AS mix_weight,
+           CAST(floor(sum(n_docs) OVER () * {SAMPLE_RATE}) AS BIGINT) AS target
+    FROM shared
+),
+rates AS (
+    SELECT source,
+           round(least(1.0, target * mix_weight / n_docs), 6) AS accept_rate,
+           lpad(lower(to_hex(CAST(least(
+               floor(least(1.0, target * mix_weight / n_docs) * 4294967296.0),
+               4294967295) AS BIGINT))), 8, '0') AS thr_hex
+    FROM weights
+)
+SELECT d.doc_id, d.source, r.accept_rate
+FROM documents d JOIN rates r USING (source)
+WHERE r.accept_rate >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix{SEED}'), 1, 8) < r.thr_hex
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 _EPS = 1e-6  # Laplace-ish floor so KL is defined when a type vanishes
 
@@ -709,4 +783,5 @@ QUERIES = {
     "uniform_sample_exact": (uniform_sample_exact, _SAMPLE_SQL),
     "join_skew_diagnostics": (join_skew_diagnostics, _SKEW_SQL),
     "event_drift_monitor": (event_drift_monitor, _drift_sql()),
+    "mixture_weighted_sample": (mixture_weighted_sample, _MIX_SAMPLE_SQL),
 }

@@ -196,3 +196,31 @@ def test_event_drift_monitor_distributions(spark):
     for r in rows[1:]:
         if r["kl_vs_prev"] is not None:
             assert abs(r["kl_vs_prev"]) < 50
+
+
+def test_mixture_weighted_sample_expected_counts(spark):
+    """Deterministic sample whose per-source size tracks the acceptance
+    rate within binomial tolerance (the corpus is near-uniform, so a
+    share-vs-weight comparison would just measure hash noise)."""
+    import math
+
+    sf = "/root/testdata/sf0.01"  # 500 docs
+    a = C.mixture_weighted_sample(spark, sf).collect()
+    b = C.mixture_weighted_sample(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert a
+    from alma_publish_to_marc_spark.tables import load
+
+    n_docs = {r["source"]: r["count"] for r in
+              load(spark, sf, "documents").groupBy("source").count().collect()}
+    rate = {}
+    got = {}
+    for r in a:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+        rate[r["source"]] = r["accept_rate"]
+    for s, a_s in rate.items():
+        assert 0.0 < a_s <= 1.0
+        n, k = n_docs[s], got.get(s, 0)
+        assert k <= n
+        tol = 4 * math.sqrt(n * a_s * (1 - a_s)) + 1
+        assert abs(k - a_s * n) <= tol, (s, k, a_s * n)

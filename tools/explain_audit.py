@@ -43,7 +43,7 @@ def main() -> None:
         "vocab_merge_induction", "incremental_neardup", "blob_printable",
         "quality_classifier_score", "embedding_center_normalize",
         "uniform_sample_exact", "join_skew_diagnostics",
-        "event_drift_monitor",
+        "event_drift_monitor", "mixture_weighted_sample",
     ]
     for name in names:
         if name not in qs:
