@@ -82,3 +82,29 @@ def test_cluster_keys_align_big_tables():
     assert cluster_key("item") == cluster_key("item_base_status") \
         == cluster_key("item_data") == ["pid"]
     assert len(ddl_statements()) == len(WAREHOUSE_TABLES) + 1
+
+
+def test_partitioned_layout_prunes_scan(spark, tmp_path):
+    """The 100 TB layout story: a fact table written partitioned by its
+    coarse key is read with partition pruning — the filtered scan's
+    PartitionFilters carry the predicate and non-matching partition
+    directories are never listed in the plan's selected partitions."""
+    import pyspark.sql.functions as F
+
+    from alma_publish_to_marc_spark.tables import load
+
+    path = str(tmp_path / "events_by_type")
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+    df = (spark.read.parquet(path)
+          .where(F.col("event_type") == "click")
+          .select("event_id", "user_id"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan
+    assert "isnotnull(event_type" in plan or "event_type" in plan.split(
+        "PartitionFilters")[1].split("]")[0]
+    # correctness: pruned read equals filtered full read
+    full = ev.where(F.col("event_type") == "click").count()
+    assert df.count() == full
