@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..tables import EVENT_TYPES as _EVENT_TYPES
 from ..tables import load
 from . import relational as R
 
@@ -382,9 +383,6 @@ GROUP BY s.s_name
 
 
 # --- pivot: one aggregation pass, fixed column domain ---------------------
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
 def _pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide per-user event-type counts. The pivot value list is pinned
     (no discovery pass) so the plan is a single groupBy — at scale an

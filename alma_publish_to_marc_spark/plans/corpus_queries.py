@@ -653,15 +653,19 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "mix_weight")
     total = weights.groupBy().agg(
         F.floor(F.sum("n_docs") * SAMPLE_RATE).cast("long").alias("target"))
+    want = F.col("target") * F.col("mix_weight") / F.col("n_docs")
     rates = (weights.crossJoin(F.broadcast(total))
              .select("source",
-                     F.least(F.lit(1.0),
-                             F.col("target") * F.col("mix_weight")
-                             / F.col("n_docs")).alias("accept_rate")))
+                     F.least(F.lit(1.0), want).alias("accept_rate"),
+                     # a tail source too small to supply its target
+                     # share caps at 1.0: the sample then undershoots
+                     # the target size and the realized mix deviates —
+                     # surfaced per row, not silently absorbed
+                     (want > 1.0).alias("clipped")))
     thr_int = F.least(F.floor(F.col("accept_rate") * F.lit(2.0 ** 32)),
                       F.lit(2 ** 32 - 1)).cast("long")
     rates = rates.select(
-        "source", F.round("accept_rate", 6).alias("accept_rate"),
+        "source", F.round("accept_rate", 6).alias("accept_rate"), "clipped",
         F.lpad(F.lower(F.hex(thr_int)), 8, "0").alias("thr_hex"))
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     keyed = docs.withColumn(
@@ -669,57 +673,57 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.lit(":mix" + SEED))), 1, 8))
     return (keyed.join(F.broadcast(rates), "source")
             .where((F.col("accept_rate") >= 1.0) | (F.col("h8") < F.col("thr_hex")))
-            .select("doc_id", "source", "accept_rate"))
+            .select("doc_id", "source", "accept_rate", "clipped"))
 
 
+# oracle composes the registered mixture-weights oracle verbatim, so the
+# weight formula has ONE source of truth per engine
 _MIX_SAMPLE_SQL = f"""
-WITH per_src AS (
-    SELECT source, count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS n_chars
-    FROM documents GROUP BY source
-),
-shared AS (
-    SELECT source, n_docs,
-           pow(n_chars / sum(n_chars) OVER (), {ALPHA}) AS raw
-    FROM per_src
-),
+WITH w AS ({_MIXTURE_SQL}),
 weights AS (
-    SELECT source, n_docs,
-           round(raw / sum(raw) OVER (), 6) AS mix_weight,
+    SELECT source, n_docs, mix_weight,
            CAST(floor(sum(n_docs) OVER () * {SAMPLE_RATE}) AS BIGINT) AS target
-    FROM shared
+    FROM w
 ),
 rates AS (
     SELECT source,
            round(least(1.0, target * mix_weight / n_docs), 6) AS accept_rate,
+           (target * mix_weight / n_docs) > 1.0 AS clipped,
            lpad(lower(to_hex(CAST(least(
                floor(least(1.0, target * mix_weight / n_docs) * 4294967296.0),
                4294967295) AS BIGINT))), 8, '0') AS thr_hex
     FROM weights
 )
-SELECT d.doc_id, d.source, r.accept_rate
+SELECT d.doc_id, d.source, r.accept_rate, r.clipped
 FROM documents d JOIN rates r USING (source)
 WHERE r.accept_rate >= 1.0
    OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix{SEED}'), 1, 8) < r.thr_hex
 """
 
 
-EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+from ..tables import EVENT_TYPES
+
 _EPS = 1e-6  # Laplace-ish floor so KL is defined when a type vanishes
+# probability buckets: the pinned types plus a catch-all, so a NOVEL
+# event type (schema rot) shows up as p_other drift instead of silently
+# deflating the pinned probabilities
+_DRIFT_BUCKETS = EVENT_TYPES + ("other",)
 
 
 def event_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift alarm between consecutive event-time windows:
-    per hour, the event-type distribution, and its KL divergence from
-    the previous hour — the ingest-monitoring signal that catches a
-    source going bad (schema rot, bot floods, collector outages) before
-    the data reaches training.
+    per hour, the event-type distribution (pinned types + an ``other``
+    bucket for unseen types), and its KL divergence from the previous
+    hour — the ingest-monitoring signal that catches a source going bad
+    (schema rot → p_other rises; bot flood → one type's share spikes;
+    collector outage → the hour appears with n_events=0 and every
+    probability at the floor, which itself alarms).
 
-    Shape: ONE aggregation to (hour × 5 pinned type columns) — the type
-    domain is a fixed literal list, so no driver-side distinct pass —
-    then lag windows over the tiny hourly frame compute the divergence.
-    The corpus shuffles once (hour key); everything after runs on
-    #hours rows. Probabilities floor at 1e-6 and round to 6 dp before
+    Shape: ONE aggregation over the corpus (hour key, map-side
+    combined), then a dense hourly spine (sequence over [min, max] —
+    the same gap-fill pattern as ``time_gap_fill``) left-joined so
+    EMPTY hours still produce rows, then lag windows over the tiny
+    hourly frame. Probabilities floor at 1e-6 and round to 6 dp before
     the log arithmetic so the KL is identical cross-engine.
     """
     ev = load(spark, sf_dir, "events")
@@ -727,21 +731,34 @@ def event_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_events"),
                    *[F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
                      .alias(f"n_{t}") for t in EVENT_TYPES]))
-    probs = hourly.select(
-        "window_start", "n_events",
-        *[F.round(F.greatest(F.col(f"n_{t}") / F.col("n_events"),
+    spine = (hourly.groupBy()
+             .agg(F.min("window_start").alias("lo"),
+                  F.max("window_start").alias("hi"))
+             .select(F.explode(F.sequence(
+                 "lo", "hi", F.expr("interval 1 hour"))).alias("window_start")))
+    dense = (spine.join(hourly, "window_start", "left")
+             .select("window_start",
+                     F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                     *[F.coalesce(f"n_{t}", F.lit(0)).alias(f"n_{t}")
+                       for t in EVENT_TYPES]))
+    n_other = F.col("n_events") - sum(
+        [F.col(f"n_{t}") for t in EVENT_TYPES[1:]], F.col(f"n_{EVENT_TYPES[0]}"))
+    probs = dense.withColumn("n_other", n_other).select(
+        "window_start", F.col("n_events").cast("long").alias("n_events"),
+        *[F.round(F.greatest(F.col(f"n_{t}")
+                             / F.greatest(F.col("n_events"), F.lit(1)),
                              F.lit(_EPS)), 6).alias(f"p_{t}")
-          for t in EVENT_TYPES])
+          for t in _DRIFT_BUCKETS])
     w = Window.orderBy("window_start")
     kl_terms = [
         F.col(f"p_{t}") * F.log(F.col(f"p_{t}")
                                 / F.lag(f"p_{t}", 1).over(w))
-        for t in EVENT_TYPES
+        for t in _DRIFT_BUCKETS
     ]
     kl = F.round(sum(kl_terms[1:], kl_terms[0]), 6)
     return probs.select(
         "window_start", "n_events",
-        *[f"p_{t}" for t in EVENT_TYPES],
+        *[f"p_{t}" for t in _DRIFT_BUCKETS],
         kl.alias("kl_vs_prev"),
     )
 
@@ -750,23 +767,40 @@ def _drift_sql() -> str:
     counts = ", ".join(
         f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
         for t in EVENT_TYPES)
+    fills = ", ".join(
+        f"coalesce(n_{t}, 0) AS n_{t}" for t in EVENT_TYPES)
+    n_other = "n_events - (" + " + ".join(f"n_{t}" for t in EVENT_TYPES) + ")"
     probs = ", ".join(
-        f"round(greatest(n_{t} / n_events, {_EPS}), 6) AS p_{t}"
-        for t in EVENT_TYPES)
+        f"round(greatest(n_{t} / greatest(n_events, 1), {_EPS}), 6) AS p_{t}"
+        for t in _DRIFT_BUCKETS)
     kl = " + ".join(
         f"p_{t} * ln(p_{t} / lag(p_{t}, 1) OVER (ORDER BY window_start))"
-        for t in EVENT_TYPES)
+        for t in _DRIFT_BUCKETS)
     return f"""
 WITH hourly AS (
     SELECT date_trunc('hour', ts) AS window_start,
            count(*) AS n_events, {counts}
     FROM events GROUP BY 1
 ),
+spine AS (
+    SELECT unnest(generate_series(
+        (SELECT min(window_start) FROM hourly),
+        (SELECT max(window_start) FROM hourly),
+        INTERVAL 1 HOUR)) AS window_start
+),
+dense AS (
+    SELECT s.window_start, coalesce(h.n_events, 0) AS n_events, {fills}
+    FROM spine s LEFT JOIN hourly h USING (window_start)
+),
+withother AS (
+    SELECT *, {n_other} AS n_other FROM dense
+),
 probs AS (
     SELECT window_start, CAST(n_events AS BIGINT) AS n_events, {probs}
-    FROM hourly
+    FROM withother
 )
-SELECT window_start, n_events, {", ".join(f"p_{t}" for t in EVENT_TYPES)},
+SELECT window_start, n_events,
+       {", ".join(f"p_{t}" for t in _DRIFT_BUCKETS)},
        round({kl}, 6) AS kl_vs_prev
 FROM probs
 """

@@ -15,6 +15,11 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# The events table's closed type domain (driver generator). Pinning it
+# in one place keeps pivot columns and drift-probability columns in
+# lockstep across modules.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
 TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -187,11 +187,19 @@ def test_event_drift_monitor_distributions(spark):
                   key=lambda r: r["window_start"])
     assert rows
     assert rows[0]["kl_vs_prev"] is None  # no previous window
+    starts = [r["window_start"] for r in rows]
+    # dense spine: every hour between min and max is present
+    for a_t, b_t in zip(starts, starts[1:]):
+        assert (b_t - a_t).total_seconds() == 3600, (a_t, b_t)
     for r in rows:
-        ps = [r[f"p_{t}"] for t in C.EVENT_TYPES]
+        ps = [r[f"p_{t}"] for t in C._DRIFT_BUCKETS]
         assert all(0 < p <= 1 for p in ps)
-        # probabilities sum to ~1 (up to the epsilon floor + rounding)
-        assert abs(sum(ps) - 1.0) < 0.01
+        if r["n_events"] == 0:
+            # collector-outage hour: a row exists, all probs at the floor
+            assert all(p == pytest.approx(1e-6) for p in ps)
+        else:
+            # probabilities sum to ~1 (up to the epsilon floor + rounding)
+            assert abs(sum(ps) - 1.0) < 0.01
     # KL is finite wherever defined
     for r in rows[1:]:
         if r["kl_vs_prev"] is not None:
@@ -218,6 +226,10 @@ def test_mixture_weighted_sample_expected_counts(spark):
     for r in a:
         got[r["source"]] = got.get(r["source"], 0) + 1
         rate[r["source"]] = r["accept_rate"]
+        assert isinstance(r["clipped"], bool)
+    # EVERY corpus source must appear (rates here are ~0.5, so a source
+    # missing from the sample means the join or threshold broke)
+    assert set(rate) == set(n_docs)
     for s, a_s in rate.items():
         assert 0.0 < a_s <= 1.0
         n, k = n_docs[s], got.get(s, 0)

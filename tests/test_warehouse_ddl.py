@@ -102,9 +102,10 @@ def test_partitioned_layout_prunes_scan(spark, tmp_path):
           .select("event_id", "user_id"))
     plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted")
-    assert "PartitionFilters" in plan
-    assert "isnotnull(event_type" in plan or "event_type" in plan.split(
-        "PartitionFilters")[1].split("]")[0]
+    # the predicate must be INSIDE the PartitionFilters bracket — a plan
+    # with empty PartitionFilters plus a post-scan Filter must fail here
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in part_filters, plan
     # correctness: pruned read equals filtered full read
     full = ev.where(F.col("event_type") == "click").count()
     assert df.count() == full
