@@ -49,6 +49,12 @@ def main() -> None:
         if name not in qs:
             continue
         df = qs[name](spark, SF_DIR)
+        # AQE wraps un-executed plans in AdaptiveSparkPlan, under which
+        # the "codegen" explain reports 0 WholeStageCodegen subtrees
+        # (compiled only at execution). Disable it AFTER building the
+        # frame (the query wrapper's tune() re-enables it) so the audit
+        # sees the static plan; runtime behavior still uses AQE.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted")
         shuffles = len(re.findall(r"Arguments: hashpartitioning", plan))
