@@ -630,6 +630,60 @@ FROM top CROSS JOIN total
 """
 
 
+CURRICULUM_BANDS = ((0.7, "high"), (0.5, "mid"), (0.0, "low"))
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: documents are banded by their
+    classifier quality score (high → mid → low, the
+    clean-data-first schedule) and deterministically shuffled WITHIN
+    each band — band-major order with no quality correlation inside a
+    band.
+
+    Scale: no global sort. The order is materialized the same way as
+    ``training_order_shuffle``: a (band, shard) hash layout with dense
+    positions per shard, so a data loader walks bands in sequence and
+    shards within a band in parallel. One shuffle (band+shard key) over
+    doc ids; the scoring itself is scan-fused (see
+    ``quality_classifier_score``)."""
+    scored = quality_classifier_score(spark, sf_dir).select(
+        "doc_id", "quality_prob")
+    band = F.when(F.col("quality_prob") >= CURRICULUM_BANDS[0][0],
+                  F.lit(CURRICULUM_BANDS[0][1]))
+    band = band.when(F.col("quality_prob") >= CURRICULUM_BANDS[1][0],
+                     F.lit(CURRICULUM_BANDS[1][1]))
+    band = band.otherwise(F.lit(CURRICULUM_BANDS[2][1]))
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cur" + SEED)))
+    keyed = scored.select(
+        "doc_id", band.alias("band"), key.alias("k"),
+        F.substring(key, 1, N_SHARD_HEX).alias("shard"))
+    pos = Window.partitionBy("band", "shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id", "band", "shard",
+        F.row_number().over(pos).cast("long").alias("position"))
+
+
+def _curriculum_sql() -> str:
+    hi, mid = CURRICULUM_BANDS[0], CURRICULUM_BANDS[1]
+    return f"""
+WITH scored AS (SELECT doc_id, quality_prob FROM ({_clf_sql()})),
+keyed AS (
+    SELECT doc_id,
+           CASE WHEN quality_prob >= {hi[0]} THEN '{hi[1]}'
+                WHEN quality_prob >= {mid[0]} THEN '{mid[1]}'
+                ELSE '{CURRICULUM_BANDS[2][1]}' END AS band,
+           md5(CAST(doc_id AS VARCHAR) || ':cur{SEED}') AS k
+    FROM scored
+)
+SELECT doc_id, band,
+       substr(k, 1, {N_SHARD_HEX}) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY band, substr(k, 1, {N_SHARD_HEX})
+            ORDER BY k, doc_id) AS BIGINT) AS position
+FROM keyed
+"""
+
+
 SAMPLE_RATE = 0.5  # target overall corpus fraction for the weighted sample
 
 
@@ -818,4 +872,5 @@ QUERIES = {
     "join_skew_diagnostics": (join_skew_diagnostics, _SKEW_SQL),
     "event_drift_monitor": (event_drift_monitor, _drift_sql()),
     "mixture_weighted_sample": (mixture_weighted_sample, _MIX_SAMPLE_SQL),
+    "curriculum_order": (curriculum_order, _curriculum_sql()),
 }

@@ -236,3 +236,23 @@ def test_mixture_weighted_sample_expected_counts(spark):
         assert k <= n
         tol = 4 * math.sqrt(n * a_s * (1 - a_s)) + 1
         assert abs(k - a_s * n) <= tol, (s, k, a_s * n)
+
+
+def test_curriculum_order_bands_and_density(spark):
+    rows = C.curriculum_order(spark, SF_DIR).collect()
+    assert rows
+    bands = {r["band"] for r in rows}
+    assert bands <= {"high", "mid", "low"}
+    # positions dense per (band, shard)
+    per = {}
+    for r in rows:
+        per.setdefault((r["band"], r["shard"]), []).append(r["position"])
+    for k, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), k
+    # band assignment consistent with the classifier scores
+    scores = {r["doc_id"]: r["quality_prob"]
+              for r in C.quality_classifier_score(spark, SF_DIR).collect()}
+    for r in rows:
+        s = scores[r["doc_id"]]
+        want = ("high" if s >= 0.7 else "mid" if s >= 0.5 else "low")
+        assert r["band"] == want, (r["doc_id"], s)

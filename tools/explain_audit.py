@@ -44,6 +44,7 @@ def main() -> None:
         "quality_classifier_score", "embedding_center_normalize",
         "uniform_sample_exact", "join_skew_diagnostics",
         "event_drift_monitor", "mixture_weighted_sample",
+        "curriculum_order",
     ]
     for name in names:
         if name not in qs:
