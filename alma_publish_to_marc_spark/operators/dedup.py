@@ -10,9 +10,9 @@ Four families, all DataFrame-native, no Python UDFs:
 - simhash          : bitwise-majority token-hash signature per document
 
 Scale notes (100 TB):
-- exact dedup on raw text shuffles the full text; at scale dedup on
-  `poly_hash(text)` (or both) so the shuffle key is 8 bytes. The query
-  keeps the text key to make the oracle exact.
+- exact dedup shuffles a 16-byte `unhex(md5(text))` content key, never
+  the text itself; DuckDB's md5 matches Spark's, so the oracle groups
+  on the identical key and parity stays exact.
 - shingle-join cost is Σ_docs(shingles); the `max_tokens` prefix cap
   bounds it per document. Popular shingles (boilerplate) explode the
   join — `max_shingle_freq` drops shingles shared by more than N docs,
@@ -45,10 +45,27 @@ ROWS_PER_BAND = N_PERMS // N_BANDS
 SIMHASH_BITS = 32
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Representative (min id) + multiplicity per distinct content."""
-    return (df.groupBy(text_col)
+def exact_dedup(df: DataFrame, id_col: str, text_col: str,
+                keep_text: bool = False) -> DataFrame:
+    """Representative (min id) + multiplicity per distinct content.
+
+    The shuffle key is ``unhex(md5(text))`` — 16 fixed bytes — not the
+    document text, so at 100 TB the aggregation exchange moves
+    ~32 bytes/row regardless of document size. md5 is collision-safe at
+    any realistic corpus cardinality and computes identically in DuckDB
+    (``unhex(md5(..))``), so the oracle groups on the very same key.
+    With ``keep_text`` the representative's text is joined back by id
+    AFTER the aggregate — only surviving representatives carry text
+    through that join, never the pre-dedup corpus.
+    """
+    key = F.unhex(F.md5(F.col(text_col))).alias("_content_key")
+    reps = (df.select(key, F.col(id_col))
+            .groupBy("_content_key")
             .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+            .select(id_col, "n_copies"))
+    if not keep_text:
+        return reps
+    return (reps.join(df.select(id_col, text_col), id_col)
             .select(id_col, "n_copies", text_col))
 
 

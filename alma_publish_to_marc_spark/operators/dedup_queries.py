@@ -73,14 +73,13 @@ def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- exact dedup ----------------------------------------------------------
 def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (D.exact_dedup(_exact_corpus(spark, sf_dir), "doc_id", "text")
-            .select("doc_id", "n_copies"))
+    return D.exact_dedup(_exact_corpus(spark, sf_dir), "doc_id", "text")
 
 
 _EXACT_SQL = f"""
 WITH {SQL_EXACT_CORPUS}
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-FROM corpus GROUP BY text
+FROM corpus GROUP BY unhex(md5(text))
 """
 
 

@@ -57,21 +57,24 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: span count, duplicated-span count, and the dup ratio that a
     span-level dedup pass would use as its removal signal.
 
-    Scale: one explode (~n_words spans/doc) and one shuffle keyed by the
-    span text. At 100 TB, carry ``xxhash64(gram)`` instead of the gram
-    string so the shuffle moves 8 bytes per span, not 50+ (string kept
-    here for exact DuckDB parity); counts are map-side combined either
-    way, and the join back to spans is a plain shuffle-hash join on the
-    same key so AQE can coalesce it. No driver-side state.
+    Scale: one explode (~n_words spans/doc) and one shuffle keyed by
+    ``unhex(md5(gram))`` — 16 fixed bytes per span instead of the 50-80
+    byte Zipf-skewed gram string (the gram text never leaves the map
+    side). DuckDB's md5 is bit-identical to Spark's, so the oracle
+    groups on the very same key and parity stays exact. Counts are
+    map-side combined, and the join back to spans is a plain
+    shuffle-hash join on the same fixed-width key so AQE can coalesce
+    it. No driver-side state.
     """
     docs = load(spark, sf_dir, "documents")
     spans = (docs
              .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
              .select("doc_id",
-                     F.explode(_shingles_from_words(F.col("w"))).alias("gram")))
-    counts = spans.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+                     F.explode(_shingles_from_words(F.col("w"))).alias("gram"))
+             .select("doc_id", F.unhex(F.md5("gram")).alias("gram_key")))
+    counts = spans.groupBy("gram_key").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = (
-        spans.join(counts, "gram")
+        spans.join(counts, "gram_key")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -101,14 +104,15 @@ pos AS (
     FROM words
 ),
 spans AS (
-    SELECT doc_id, array_to_string(w[i : i + {NGRAM - 1}], ' ') AS gram
+    SELECT doc_id,
+           unhex(md5(array_to_string(w[i : i + {NGRAM - 1}], ' '))) AS gram_key
     FROM pos
 ),
-counts AS (SELECT gram, count(*) AS cnt FROM spans GROUP BY gram),
+counts AS (SELECT gram_key, count(*) AS cnt FROM spans GROUP BY gram_key),
 per_doc AS (
     SELECT s.doc_id, count(*) AS n_spans,
            sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS n_dup_spans
-    FROM spans s JOIN counts c USING (gram)
+    FROM spans s JOIN counts c USING (gram_key)
     GROUP BY s.doc_id
 )
 SELECT d.doc_id,
@@ -318,11 +322,12 @@ def corpus_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score(F.col("text")).alias("quality"),
     )
     # Span-dup and decontamination both explode the SAME word 8-grams
-    # (NGRAM == TQ._DECON_N): fuse them — one explode, one gram-keyed
-    # shuffle that carries both the corpus-wide occurrence count and the
-    # benchmark-membership count, one doc-keyed aggregate for both
-    # verdict inputs. The standalone queries stay as the executable
-    # spec; the oracle SQL composes them, so this fusion is
+    # (NGRAM == TQ._DECON_N): fuse them — one explode, one shuffle keyed
+    # by the 16-byte unhex(md5(gram)) span key (the gram string never
+    # leaves the map side) that carries both the corpus-wide occurrence
+    # count and the benchmark-membership count, one doc-keyed aggregate
+    # for both verdict inputs. The standalone queries stay as the
+    # executable spec; the oracle SQL composes them, so this fusion is
     # value-checked against the unfused definition every round.
     assert NGRAM == TQ._DECON_N
     sh = (docs
@@ -330,20 +335,22 @@ def corpus_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("doc_id") % TQ._DECON_BENCH_MOD == 0).alias("is_bench"),
                   F.split(F.trim("text"), r"\s+").alias("w"))
           .select("doc_id", "is_bench",
-                  F.explode(_shingles_from_words(F.col("w"))).alias("gram")))
-    counts = sh.groupBy("gram").agg(
+                  F.explode(_shingles_from_words(F.col("w"))).alias("gram"))
+          .select("doc_id", "is_bench",
+                  F.unhex(F.md5("gram")).alias("gram_key")))
+    counts = sh.groupBy("gram_key").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("is_bench"), 1).otherwise(0)).alias("bench_cnt"),
     )
     per_doc = (
         sh.where(~F.col("is_bench"))
-        .join(counts, "gram")
+        .join(counts, "gram_key")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
              .alias("n_dup_spans"),
-            F.countDistinct(F.when(F.col("bench_cnt") > 0, F.col("gram")))
+            F.countDistinct(F.when(F.col("bench_cnt") > 0, F.col("gram_key")))
              .alias("n_contaminated"),
         )
         .select(
