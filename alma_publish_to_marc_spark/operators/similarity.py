@@ -198,26 +198,35 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     keeps it constant) and add bands to buy the recall back; both are
     constants baked as literals so the DuckDB oracle stays in lockstep.
 
-    Pair dedup (a pair colliding in several bands) happens AFTER the
-    threshold filter: duplicate rows are bit-identical (deterministic
-    cosine), so `distinct` runs on the small surviving set instead of
-    shuffling vectors."""
+    The band self-join ships ONLY ``(id, band, sig)`` — the vectors
+    stay out of the candidate shuffle entirely (they'd otherwise ride
+    every band replica, ~2·N_BANDS copies of the embedding payload).
+    Candidate pairs are deduped (a pair colliding in several bands)
+    while still just id pairs, then the two vectors are joined back by
+    id for the surviving candidates only and the exact cosine runs
+    once per pair. At 100 TB this turns the heaviest exchange from
+    vectors×bands into 20-byte id/sig rows, and AQE is free to
+    broadcast the (small) candidate set into the vector joins."""
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     sigs = e.select(
-        id_col, "v",
+        id_col,
         F.explode(F.array(*[
             F.struct(F.lit(band).alias("band"),
                      lsh_bucket(F.col("v"), planes).alias("sig"))
             for band, planes in enumerate(BAND_PLANES)])).alias("bs"),
-    ).select(id_col, "v", F.col("bs.band").alias("band"),
+    ).select(id_col, F.col("bs.band").alias("band"),
              F.col("bs.sig").alias("sig"))
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                    "band", "sig")
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                    "band", "sig")
-    return (a.join(b, ["band", "sig"])
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (a.join(b, ["band", "sig"])
             .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
+    return (cand
+            .join(e.select(F.col(id_col).alias("id_a"),
+                           F.col("v").alias("va")), "id_a")
+            .join(e.select(F.col(id_col).alias("id_b"),
+                           F.col("v").alias("vb")), "id_b")
             .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
             .where(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine")
-            .distinct())
+            .select("id_a", "id_b", "cosine"))
