@@ -207,12 +207,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     return agg.select(id_col, sig.alias("simhash"))
 
 
+# Frames persisted by _sigs_and_bands, so long-lived sessions can release
+# them: the persist must outlive the (lazy) verify join, which no library
+# function here ever materializes itself, so eager unpersist is impossible —
+# callers run their action, then call unpersist_cached().
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_cached() -> int:
+    """Release every signature frame persisted by the MinHash paths.
+
+    Call after the consuming action has materialized. Returns the number
+    of frames released. Library callers in long-lived sessions that skip
+    this (and don't spark.catalog.clearCache()) accumulate pinned blocks
+    — one sigs frame per minhash_lsh_pairs / two per
+    incremental_minhash_pairs call."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
 def _sigs_and_bands(df: DataFrame, id_col: str, text_col: str,
                     n: int, max_tokens: int | None):
     """(sigs, bands) pair for banded MinHash: sigs carries the shingle
     hashes + signature per doc (persisted MEMORY_AND_DISK — both the
-    banding and verification branches consume it), bands is the
-    exploded (id, band_id, band_key) table."""
+    banding and verification branches consume it; tracked in
+    ``_PERSISTED`` for :func:`unpersist_cached`), bands is the exploded
+    (id, band_id, band_key) table."""
     from pyspark import StorageLevel
 
     sigs = (df.select(
@@ -220,6 +242,7 @@ def _sigs_and_bands(df: DataFrame, id_col: str, text_col: str,
                 shingle_hashes(F.col(text_col), n, max_tokens).alias("shingles"))
             .withColumn("sig", signature_from_hashes(F.col("shingles")))
             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(sigs)
     bands = sigs.select(
         id_col,
         F.explode(F.array(*[

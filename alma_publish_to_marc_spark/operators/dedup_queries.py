@@ -37,28 +37,43 @@ def sql_shingle_hashes(text: str = "text", n: int = 5) -> str:
     return f"list_transform({grams}, g -> {sql_poly('g')})"
 
 
+# Synthetic-copy ids are offset by max(doc_id)+1 — NOT a fixed constant —
+# so they can never alias a real corpus id at any scale factor (a fixed
+# +100000 collides once `documents` reaches 100k rows). Both engines
+# compute the identical data-derived offset, keeping parity exact; the
+# one-row aggregate broadcasts, so the corpus never reshuffles for it.
+SQL_ID_OFFSET = "(SELECT max(doc_id) + 1 FROM documents)"
+
 SQL_NEAR_CORPUS = f"""
 corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 100000 AS doc_id, text || ' {NEAR_DUP_TAIL}' AS text
+    SELECT doc_id + {SQL_ID_OFFSET} AS doc_id,
+           text || ' {NEAR_DUP_TAIL}' AS text
     FROM documents WHERE doc_id % 5 = 0
 )
 """
 
-SQL_EXACT_CORPUS = """
+SQL_EXACT_CORPUS = f"""
 corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    SELECT doc_id + {SQL_ID_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id % 7 = 0
 )
 """
+
+
+def _id_offset(docs: DataFrame) -> DataFrame:
+    """One-row (broadcast) frame holding max(doc_id)+1."""
+    return F.broadcast(docs.agg((F.max("doc_id") + F.lit(1)).alias("_id_off")))
 
 
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     variants = (docs.where(F.col("doc_id") % 5 == 0)
-                .select((F.col("doc_id") + 100000).alias("doc_id"),
+                .crossJoin(_id_offset(docs))
+                .select((F.col("doc_id") + F.col("_id_off")).alias("doc_id"),
                         F.concat(F.col("text"), F.lit(" " + NEAR_DUP_TAIL))
                          .alias("text")))
     return docs.unionByName(variants)
@@ -67,7 +82,9 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     copies = (docs.where(F.col("doc_id") % 7 == 0)
-              .select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+              .crossJoin(_id_offset(docs))
+              .select((F.col("doc_id") + F.col("_id_off")).alias("doc_id"),
+                      "text"))
     return docs.unionByName(copies)
 
 
@@ -196,7 +213,8 @@ def _incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups only — the incremental-ingest dedup shape."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     arrivals = (docs.where(F.col("doc_id") % 5 == 0)
-                .select((F.col("doc_id") + 100000).alias("doc_id"),
+                .crossJoin(_id_offset(docs))
+                .select((F.col("doc_id") + F.col("_id_off")).alias("doc_id"),
                         F.concat(F.col("text"),
                                  F.lit(" " + NEAR_DUP_TAIL)).alias("text")))
     return D.incremental_minhash_pairs(docs, arrivals, "doc_id", "text",
@@ -224,7 +242,8 @@ def _incremental_sql() -> str:
     return f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
 arrivals AS (
-    SELECT doc_id + 100000 AS doc_id, text || ' {NEAR_DUP_TAIL}' AS text
+    SELECT doc_id + {SQL_ID_OFFSET} AS doc_id,
+           text || ' {NEAR_DUP_TAIL}' AS text
     FROM documents WHERE doc_id % 5 = 0
 ),
 hashed_c AS (SELECT doc_id, {sql_shingle_hashes()} AS hashes FROM corpus),

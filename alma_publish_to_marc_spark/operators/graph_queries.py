@@ -230,7 +230,8 @@ def _dedup_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cluster. Every stage is the production-shaped operator (banded
     join, not all-pairs; distributed label propagation, not a driver
     union-find), so the same plan runs at corpus scale."""
-    from .dedup_queries import _near_dup_corpus
+    from ..tables import load
+    from .dedup_queries import _id_offset, _near_dup_corpus
     from . import dedup as D
 
     corpus = _near_dup_corpus(spark, sf_dir)
@@ -239,8 +240,13 @@ def _dedup_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     losers = (comps.where(F.col("node") != F.col("cluster_id"))
               .select(F.col("node").alias("doc_id")))
+    # synthetic copies carry ids >= max(real id)+1 (see dedup_queries);
+    # anything below that offset is an original document
+    off = _id_offset(load(spark, sf_dir, "documents").select("doc_id"))
     return (corpus.join(losers, "doc_id", "left_anti")
-            .select("doc_id", (F.col("doc_id") < 100000).alias("is_original")))
+            .crossJoin(off)
+            .select("doc_id",
+                    (F.col("doc_id") < F.col("_id_off")).alias("is_original")))
 
 
 def _dedup_pipeline_sql() -> str:
@@ -260,7 +266,8 @@ reach(node, r) AS (
     SELECT reach.node, und.dst FROM reach JOIN und ON und.src = reach.r
 ),
 comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
-SELECT c.doc_id, c.doc_id < 100000 AS is_original
+SELECT c.doc_id,
+       c.doc_id < (SELECT max(doc_id) + 1 FROM documents) AS is_original
 FROM corpus c
 WHERE NOT EXISTS (
     SELECT 1 FROM comp WHERE comp.node = c.doc_id

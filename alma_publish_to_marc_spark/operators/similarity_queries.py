@@ -103,8 +103,12 @@ def _neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # variant ids offset by max(vec_id)+1, never a fixed constant that a
+    # bigger scale factor could alias (both engines derive the same value)
+    off = F.broadcast(emb.agg((F.max("vec_id") + F.lit(1)).alias("_id_off")))
     variants = (emb.where(F.col("vec_id") % 10 == 0)
-                .select((F.col("vec_id") + 100000).alias("vec_id"),
+                .crossJoin(off)
+                .select((F.col("vec_id") + F.col("_id_off")).alias("vec_id"),
                         F.transform("embedding", lambda x: x * F.lit(0.5))
                          .alias("embedding")))
     corpus = emb.unionByName(variants)
@@ -115,7 +119,7 @@ _NEARDUP_SQL = f"""
 WITH corpus AS (
     SELECT vec_id, embedding FROM embeddings
     UNION ALL
-    SELECT vec_id + 100000 AS vec_id,
+    SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
            list_transform(embedding, x -> x * 0.5) AS embedding
     FROM embeddings WHERE vec_id % 10 = 0
 ),

@@ -155,14 +155,19 @@ def _read_table(spark: SparkSession, warehouse_dir: str, name: str,
         return template.limit(0)
     # Schema evolution: a warehouse written by an older engine version
     # may lack columns added since (e.g. holding_brief gained
-    # voyager_holding_id); align to the template with typed nulls so the
-    # merge plan resolves — the reference's ALTER TABLE ... ADD COLUMN
-    # migration path, done lazily at read time.
+    # voyager_holding_id), carry a column whose type was since widened,
+    # or carry columns since dropped. Align fully to the template —
+    # missing columns become typed nulls, present columns are cast to
+    # the template's type, stale extras are dropped — so the merge plan
+    # always resolves against exactly the template schema (the
+    # reference's ALTER TABLE migration path, done lazily at read time).
     have = set(stored.columns)
-    for f in template.schema.fields:
-        if f.name not in have:
-            stored = stored.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return stored
+    aligned = [
+        (F.col(f.name).cast(f.dataType) if f.name in have
+         else F.lit(None).cast(f.dataType)).alias(f.name)
+        for f in template.schema.fields
+    ]
+    return stored.select(aligned)
 
 
 def _stage_table(df: DataFrame, warehouse_dir: str, name: str) -> None:

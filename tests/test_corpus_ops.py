@@ -256,3 +256,17 @@ def test_curriculum_order_bands_and_density(spark):
         s = scores[r["doc_id"]]
         want = ("high" if s >= 0.7 else "mid" if s >= 0.5 else "low")
         assert r["band"] == want, (r["doc_id"], s)
+
+
+def test_minhash_unpersist_cached_releases_tracked_frames(spark):
+    from alma_publish_to_marc_spark.operators import dedup as D
+
+    D.unpersist_cached()  # clean slate
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + str(i % 3))
+         for i in range(12)], ["doc_id", "text"])
+    D.minhash_lsh_pairs(df, "doc_id", "text", n=5).count()
+    assert len(D._PERSISTED) == 1 and D._PERSISTED[0].is_cached
+    frame = D._PERSISTED[0]
+    assert D.unpersist_cached() == 1
+    assert not D._PERSISTED and not frame.is_cached

@@ -53,11 +53,19 @@ def main() -> None:
         # AQE wraps un-executed plans in AdaptiveSparkPlan, under which
         # the "codegen" explain reports 0 WholeStageCodegen subtrees
         # (compiled only at execution). Disable it AFTER building the
-        # frame (the query wrapper's tune() re-enables it) so the audit
-        # sees the static plan; runtime behavior still uses AQE.
+        # frame so the audit sees the static plan, and restore the
+        # previous value in `finally` — anything built in this session
+        # outside the registry wrappers (whose tune() re-enables AQE)
+        # must not silently plan without it.
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), "formatted")
+        try:
+            plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                df._jdf.queryExecution(), "formatted")
+            cg = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                df._jdf.queryExecution(), "codegen")
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         shuffles = len(re.findall(r"Arguments: hashpartitioning", plan))
         ranges = len(re.findall(r"Arguments: rangepartitioning", plan))
         single = len(re.findall(r"Arguments: SinglePartition", plan))
@@ -67,8 +75,6 @@ def main() -> None:
         pushed_n = sum(1 for p in pushed if p.strip())
         scans = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
         widths = [s.count(":") for s in scans]
-        cg = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), "codegen")
         m = re.search(r"Found (\d+) WholeStageCodegen", cg)
         codegen = int(m.group(1)) if m else 0
         print(f"== {name}: shuffles={shuffles} range_shuffles={ranges} "
