@@ -542,6 +542,137 @@ FROM ranked WHERE rank <= {MERGE_TOP_K}
 """
 
 
+BPE_K = 8          # merge rounds for the full trainer
+_BPE_SEP = "\x1f"  # symbol delimiter; pre-tokens containing it are dropped
+                   # (identically in both engines) so it can never be data
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str,
+                     k: int = BPE_K) -> DataFrame:
+    """The FULL BPE trainer loop — ``BPE_K`` merge rounds, driver-paced
+    (the same shape as ``connected_components``): each round counts
+    adjacent symbol pairs weighted by word frequency, picks the argmax
+    pair (count desc, pair asc — deterministic), and rewrites every
+    word's symbol sequence with that pair merged. Extends
+    :func:`vocab_merge_induction` (the single-round spec) to the
+    iterative algorithm that actually induces a vocabulary — the
+    data-derived analog of the reference's hard-coded tag specs
+    (marc/helper.py:21-84 drives extraction from a fixed table; here
+    the table is learned from the corpus).
+
+    Word state is a delimiter-framed string — each symbol wrapped as
+    ``\\x1f sym \\x1f`` and concatenated — so one merge round is a
+    single non-overlapping left-to-right ``replace`` of
+    ``\\x1f a \\x1f\\x1f b \\x1f`` with ``\\x1f ab \\x1f``: exactly
+    BPE's greedy merge semantics ("aaa" + merge(a,a) → [aa, a]), and
+    ``replace`` computes identically in Spark and DuckDB (whose oracle
+    unrolls the K rounds as CTEs).
+
+    Scale: the corpus is scanned ONCE (pre-token explode → map-side
+    combined count into the persisted vocab table); every round after
+    runs on the vocab table only — ~Heaps'-law constant in corpus size
+    — and ships exactly ONE row (the argmax pair) to the driver. The
+    K replace rewrites stay lazy column expressions over the same
+    persisted vocab, so no round rescans or reshuffles anything
+    corpus-sized.
+    """
+    from ..functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    words = (docs
+             .select(F.explode(T.bpe_pretokens(F.col("text"))).alias("tok"))
+             .where(~F.col("tok").contains(_BPE_SEP))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("word_count"))
+             .persist())
+    sep2 = _BPE_SEP * 2
+    state = F.concat(F.lit(_BPE_SEP),
+                     F.array_join(F.split(F.col("tok"), ""), sep2),
+                     F.lit(_BPE_SEP))
+    merges: list[tuple] = []
+    try:
+        for rank in range(1, k + 1):
+            syms = F.filter(F.split(state, _BPE_SEP),
+                            lambda s: s != F.lit(""))
+            idx = F.when(F.size(syms) >= 2,
+                         F.sequence(F.lit(1), F.size(syms) - 1)) \
+                   .otherwise(F.array().cast("array<int>"))
+            pair = F.explode(F.transform(idx, lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + 1).alias("b"))))
+            counts = (words.select("word_count", pair.alias("p"))
+                      .groupBy("p.a", "p.b")
+                      .agg(F.sum("word_count").alias("pair_count")))
+            best = (counts.orderBy(F.desc("pair_count"),
+                                   F.asc("a"), F.asc("b"))
+                    .limit(1).collect())
+            if not best:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], best[0]["pair_count"]
+            merges.append((rank, a, b, a + b, int(cnt)))
+            state = F.replace(
+                state,
+                F.lit(f"{_BPE_SEP}{a}{sep2}{b}{_BPE_SEP}"),
+                F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"))
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges,
+        schema="rank int, pair_a string, pair_b string, "
+               "merged string, pair_count bigint")
+
+
+def _bpe_train_sql() -> str:
+    """K-round unrolled oracle: vK = replace(v{{K-1}}, best-pair pattern)."""
+    from ..functions import text as T
+
+    def syms_split(src: str) -> str:
+        return (f"list_filter(string_split({src}, chr(31)), s -> s <> '')")
+
+    ctes = [rf"""words AS (
+    SELECT tok, count(*) AS word_count
+    FROM (SELECT unnest(regexp_extract_all(lower(text),
+                        '{T.BPE_PRETOKEN_RE}')) AS tok
+          FROM documents)
+    WHERE tok NOT LIKE '%' || chr(31) || '%'
+    GROUP BY tok
+)""", """v0 AS (
+    SELECT chr(31) || array_to_string(string_split(tok, ''),
+                                      chr(31) || chr(31)) || chr(31) AS state,
+           word_count
+    FROM words
+)"""]
+    for k in range(1, BPE_K + 1):
+        prev = f"v{k - 1}"
+        ctes.append(f"""s{k} AS (
+    SELECT {syms_split('state')} AS s, word_count FROM {prev}
+),
+i{k} AS (
+    SELECT s, word_count, unnest(range(1, len(s))) AS i
+    FROM s{k} WHERE len(s) >= 2
+),
+p{k} AS (
+    SELECT s[i] AS a, s[i + 1] AS b,
+           CAST(sum(word_count) AS BIGINT) AS pair_count
+    FROM i{k} GROUP BY 1, 2
+),
+b{k} AS (
+    SELECT a, b, pair_count FROM p{k}
+    ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+),
+v{k} AS (
+    SELECT replace(v.state,
+                   chr(31) || bb.a || chr(31) || chr(31) || bb.b || chr(31),
+                   chr(31) || bb.a || bb.b || chr(31)) AS state,
+           v.word_count
+    FROM {prev} v, b{k} bb
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS rank, a AS pair_a, b AS pair_b, "
+        f"a || b AS merged, pair_count FROM b{k}"
+        for k in range(1, BPE_K + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 SAMPLE_K = 200
 
 
@@ -874,6 +1005,7 @@ QUERIES = {
     "event_regression_stats": (event_regression_stats, _REGR_SQL),
     "corpus_curation_end2end": (corpus_curation_end2end, _curation_sql()),
     "vocab_merge_induction": (vocab_merge_induction, _vocab_merge_sql()),
+    "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
     "quality_classifier_score": (quality_classifier_score, _clf_sql()),
     "uniform_sample_exact": (uniform_sample_exact, _SAMPLE_SQL),
     "join_skew_diagnostics": (join_skew_diagnostics, _SKEW_SQL),

@@ -5,7 +5,7 @@ word salads reach duplication patterns the fixed fixtures don't)."""
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from alma_publish_to_marc_spark.plans import corpus_queries as C
@@ -62,3 +62,23 @@ def test_training_order_is_a_permutation(spark, tmp_path_factory, ids):
         per_shard.setdefault(r["shard"], []).append(r["position"])
     for shard, ps in per_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+@given(st.lists(
+    st.text(alphabet="ab cd", min_size=1, max_size=40), min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_merges_prefix_stable_in_k(spark, tmp_path_factory, texts):
+    """Training K then K+n merges must agree on the first K rows — the
+    greedy argmax at round i depends only on rounds < i."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("bpe")
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}) \
+        .to_parquet(str(tmp / "documents.parquet"))
+    short = C.bpe_train_merges(spark, str(tmp), k=3).collect()
+    long = C.bpe_train_merges(spark, str(tmp), k=6).collect()
+    assert long[:len(short)] == short
+    assert len(short) <= 3 and len(long) <= 6
+    # every merge rank appears exactly once and in order
+    assert [r["rank"] for r in long] == list(range(1, len(long) + 1))
