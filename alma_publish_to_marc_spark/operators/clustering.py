@@ -75,20 +75,54 @@ def _update(assigned: DataFrame) -> DataFrame:
                 lambda s: s["cval"]).alias("cv")))
 
 
-def kmeans_refine(emb: DataFrame, seed_ids: list[int],
-                  n_iters: int = N_ITERS) -> DataFrame:
-    """n_iters Lloyd rounds from data-point seeds; returns per-cell
-    size and an integer centroid checksum (sum of cv[d]·(d+1))."""
+# Persisted quantized-vector frames, releasable via unpersist_cached()
+# (same contract as operators/dedup.py — the persist must outlive the
+# lazy consumer, so eager unpersist inside the builders is impossible).
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_cached() -> int:
+    """Release quantized-vector frames persisted by the k-means paths."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
+def _refined_int_cents(emb: DataFrame, seed_ids: list[int],
+                       n_iters: int) -> tuple[DataFrame, DataFrame]:
+    """(vecs, cents) after n_iters Lloyd rounds, both in quantized
+    integer space; vecs is persisted (quantization is HOF compute over
+    every component and feeds n_iters+1 assignment passes)."""
     from pyspark import StorageLevel
 
-    # quantization is HOF compute over every component and feeds
-    # n_iters+1 assignment passes — persist once, spill-safe (same
-    # pattern as the MinHash shingle persist in operators/dedup.py)
     vecs = _quantized(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(vecs)
     cents = (vecs.where(F.col("vec_id").isin(seed_ids))
              .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
     for _ in range(n_iters):
         cents = _update(_assign(vecs, cents))
+    return vecs, cents
+
+
+def refined_centroids(emb: DataFrame, seed_ids: list[int] | None = None,
+                      n_iters: int = N_ITERS) -> DataFrame:
+    """The trained coarse quantizer for :func:`similarity.ivf_topk`:
+    (cent_id, cv: array<double>) after ``n_iters`` Lloyd rounds,
+    de-quantized back to embedding space (integer/Q_SCALE is a single
+    correctly-rounded IEEE division, so both engines produce identical
+    doubles)."""
+    _, cents = _refined_int_cents(emb, seed_ids or SEED_IDS, n_iters)
+    return cents.select(
+        "cent_id",
+        F.transform("cv", lambda x: x.cast("double") / Q_SCALE).alias("cv"))
+
+
+def kmeans_refine(emb: DataFrame, seed_ids: list[int],
+                  n_iters: int = N_ITERS) -> DataFrame:
+    """n_iters Lloyd rounds from data-point seeds; returns per-cell
+    size and an integer centroid checksum (sum of cv[d]·(d+1))."""
+    vecs, cents = _refined_int_cents(emb, seed_ids, n_iters)
     final = _assign(vecs, cents)
     sizes = final.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
     checksum = cents.select(
@@ -134,14 +168,23 @@ def _update_sql(assign_cte: str) -> str:
 
 
 _SEEDS = ", ".join(map(str, SEED_IDS))
+
+
+def kmeans_cents_cte(n_iters: int = N_ITERS) -> str:
+    """CTE chain ``vecs, c0, a0, c1, … c{n_iters}`` whose last table is
+    the refined quantized-integer centroid set — composable into other
+    oracles (the refined-quantizer IVF query reuses it)."""
+    parts = [f"vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings)",
+             "c0 AS (SELECT vec_id AS cent_id, v AS cv FROM vecs\n"
+             f"       WHERE vec_id IN ({_SEEDS}))"]
+    for i in range(n_iters):
+        parts.append(f"a{i} AS ({_assign_sql('vecs', f'c{i}')})")
+        parts.append(f"c{i + 1} AS ({_update_sql(f'a{i}')})")
+    return ",\n".join(parts)
+
+
 _KMEANS_SQL = f"""
-WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cent_id, v AS cv FROM vecs
-       WHERE vec_id IN ({_SEEDS})),
-a0 AS ({_assign_sql('vecs', 'c0')}),
-c1 AS ({_update_sql('a0')}),
-a1 AS ({_assign_sql('vecs', 'c1')}),
-c2 AS ({_update_sql('a1')}),
+WITH {kmeans_cents_cte()},
 a2 AS ({_assign_sql('vecs', 'c2')}),
 sizes AS (SELECT cell, count(*) AS n_vecs FROM a2 GROUP BY cell),
 checks AS (

@@ -143,8 +143,9 @@ def lsh_topk(emb: DataFrame, id_col: str, vec_col: str,
 
 
 def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
-             query_ids: list[int], centroid_ids: list[int],
-             k: int = 10, nprobe: int = 2) -> DataFrame:
+             query_ids: list[int], centroid_ids: list[int] | None = None,
+             k: int = 10, nprobe: int = 2,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-style ANN, the coarse-quantizer scale path: vectors are
     assigned to their nearest centroid cell (one pass over the data —
     centroids broadcast), a query probes only its ``nprobe`` nearest
@@ -152,13 +153,19 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
     from N to ~N·nprobe/n_cells per query; at 100 TB the cell id also
     becomes the partition key, so one probe touches few partitions.
 
-    Centroids are the embeddings of fixed ids — data-derived yet fully
-    deterministic (a k-means refinement would run as an iterative
-    driver loop over the same assignment step; the query shape is
-    identical, so the simpler quantizer keeps the oracle exact)."""
+    The quantizer is either the embeddings of fixed ``centroid_ids``
+    (deterministic seed quantizer) or a trained ``centroids`` frame
+    (cent_id, cv) — e.g. :func:`clustering.refined_centroids`, the
+    k-means refinement of those same seeds. Measured on the sf0.01
+    uniform-random test vectors (``ann_recall_eval``), 2 Lloyd rounds
+    lift mean recall@10 from 0.30 (seed cells) to 0.40 (refined cells)
+    at the same nprobe=2 — see tests/test_similarity_recall.py."""
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    cents = (e.where(F.col(id_col).isin(centroid_ids))
-             .select(F.col(id_col).alias("cent_id"), F.col("v").alias("cv")))
+    if centroids is None:
+        centroids = (e.where(F.col(id_col).isin(centroid_ids))
+                     .select(F.col(id_col).alias("cent_id"),
+                             F.col("v").alias("cv")))
+    cents = centroids
     scored = (e.join(F.broadcast(cents))
               .withColumn("cs", cosine(F.col("v"), F.col("cv"))))
     w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cent_id"))

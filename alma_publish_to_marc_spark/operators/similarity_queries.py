@@ -153,10 +153,27 @@ def _ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CENTROID_IDS, K, NPROBE)
 
 
-_IVF_SQL = f"""
-WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
-c AS (SELECT vec_id AS cent_id, v AS cv FROM e
-      WHERE vec_id IN ({", ".join(map(str, CENTROID_IDS))})),
+def _ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the k-means-refined quantizer instead of raw seed
+    embeddings: clustering.refined_centroids runs the fixed-point Lloyd
+    rounds (bit-exact in both engines), the centroids de-quantize to
+    doubles, and the search plan is byte-for-byte the same ivf_topk —
+    only the broadcast centroid table changes."""
+    from .clustering import refined_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = refined_centroids(emb)
+    return S.ivf_topk(emb, "vec_id", "embedding", QUERY_IDS,
+                      k=K, nprobe=NPROBE, centroids=cents)
+
+
+def _ivf_sql(cents_sql: str, extra_ctes: str = "") -> str:
+    """IVF search oracle parameterized by the centroid table: the seed
+    quantizer passes a SELECT over ``e``; the refined quantizer prepends
+    the k-means CTE chain and de-quantizes its last table."""
+    return f"""
+WITH {extra_ctes}e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+c AS ({cents_sql}),
 scored AS (
     SELECT e.vec_id, e.v, c.cent_id,
            round({_sql_dot('e.v', 'c.cv')}
@@ -192,6 +209,24 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+def _seed_cents_sql() -> str:
+    return ("SELECT vec_id AS cent_id, v AS cv FROM e\n"
+            f"      WHERE vec_id IN ({', '.join(map(str, CENTROID_IDS))})")
+
+
+def _refined_cents_ctes() -> tuple[str, str]:
+    from . import clustering as CL
+
+    extra = CL.kmeans_cents_cte() + ",\n"
+    cents = (f"SELECT cent_id, list_transform(cv, x -> x / {CL.Q_SCALE}.0) "
+             f"AS cv FROM c{CL.N_ITERS}")
+    return cents, extra
+
+
+_IVF_SQL = _ivf_sql(_seed_cents_sql())
+_IVF_REFINED_SQL = _ivf_sql(*_refined_cents_ctes())
+
+
 def _recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@k of the two ANN paths (hyperplane-LSH, IVF)
     against the exact brute-force baseline, per probe query.
@@ -205,6 +240,8 @@ def _recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from .clustering import refined_centroids
+
     emb = load(spark, sf_dir, "embeddings")
     exact = S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K) \
         .select("qid", "neighbor_id")
@@ -213,6 +250,10 @@ def _recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = S.ivf_topk(emb, "vec_id", "embedding", QUERY_IDS,
                      CENTROID_IDS, K, NPROBE) \
         .select("qid", F.col("neighbor_id").alias("ivf_id"))
+    ivfr = S.ivf_topk(emb, "vec_id", "embedding", QUERY_IDS,
+                      k=K, nprobe=NPROBE,
+                      centroids=refined_centroids(emb)) \
+        .select("qid", F.col("neighbor_id").alias("ivfr_id"))
     joined = (exact
               .join(lsh, (exact.qid == lsh.qid)
                     & (exact.neighbor_id == lsh.lsh_id), "left")
@@ -220,16 +261,24 @@ def _recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(ivf, (exact.qid == ivf.qid)
                     & (exact.neighbor_id == ivf.ivf_id), "left")
               .drop(ivf.qid))
+    joined = (joined
+              .join(ivfr, (joined.qid == ivfr.qid)
+                    & (joined.neighbor_id == ivfr.ivfr_id), "left")
+              .drop(ivfr.qid))
     return joined.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.sum(F.when(F.col("lsh_id").isNotNull(), 1).otherwise(0))
          .alias("lsh_hits"),
         F.sum(F.when(F.col("ivf_id").isNotNull(), 1).otherwise(0))
          .alias("ivf_hits"),
+        F.sum(F.when(F.col("ivfr_id").isNotNull(), 1).otherwise(0))
+         .alias("ivf_refined_hits"),
         F.round(F.sum(F.when(F.col("lsh_id").isNotNull(), 1).otherwise(0))
                 / F.count(F.lit(1)), 4).alias("lsh_recall"),
         F.round(F.sum(F.when(F.col("ivf_id").isNotNull(), 1).otherwise(0))
                 / F.count(F.lit(1)), 4).alias("ivf_recall"),
+        F.round(F.sum(F.when(F.col("ivfr_id").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)), 4).alias("ivf_refined_recall"),
     )
 
 
@@ -237,11 +286,13 @@ _RECALL_SQL = f"""
 WITH exact AS (SELECT qid, neighbor_id FROM ({_BRUTE_SQL})),
 lsh AS (SELECT qid, neighbor_id AS lsh_id FROM ({_LSH_SQL})),
 ivf AS (SELECT qid, neighbor_id AS ivf_id FROM ({_IVF_SQL})),
+ivfr AS (SELECT qid, neighbor_id AS ivfr_id FROM ({_IVF_REFINED_SQL})),
 joined AS (
-    SELECT e.qid, e.neighbor_id, l.lsh_id, i.ivf_id
+    SELECT e.qid, e.neighbor_id, l.lsh_id, i.ivf_id, r.ivfr_id
     FROM exact e
     LEFT JOIN lsh l ON e.qid = l.qid AND e.neighbor_id = l.lsh_id
     LEFT JOIN ivf i ON e.qid = i.qid AND e.neighbor_id = i.ivf_id
+    LEFT JOIN ivfr r ON e.qid = r.qid AND e.neighbor_id = r.ivfr_id
 )
 SELECT qid,
        count(*) AS n_exact,
@@ -249,10 +300,14 @@ SELECT qid,
            AS lsh_hits,
        CAST(sum(CASE WHEN ivf_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS ivf_hits,
+       CAST(sum(CASE WHEN ivfr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS ivf_refined_hits,
        round(sum(CASE WHEN lsh_id IS NOT NULL THEN 1 ELSE 0 END)
              / count(*), 4) AS lsh_recall,
        round(sum(CASE WHEN ivf_id IS NOT NULL THEN 1 ELSE 0 END)
-             / count(*), 4) AS ivf_recall
+             / count(*), 4) AS ivf_recall,
+       round(sum(CASE WHEN ivfr_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS ivf_refined_recall
 FROM joined
 GROUP BY qid
 """
@@ -343,6 +398,7 @@ QUERIES = {
     "ann_cosine_topk": (_brute, _BRUTE_SQL),
     "ann_lsh_topk": (_lsh, _LSH_SQL),
     "ann_ivf_topk": (_ivf, _IVF_SQL),
+    "ann_ivf_refined_topk": (_ivf_refined, _IVF_REFINED_SQL),
     "embedding_neardup": (_neardup, _NEARDUP_SQL),
     "ann_recall_eval": (_recall_eval, _RECALL_SQL),
     "embedding_center_normalize": (_center_normalize, _center_normalize_sql()),

@@ -78,3 +78,17 @@ def test_center_normalize_unit_vectors(spark):
         # unit length up to the 6-dp component rounding
         assert abs(n - 1.0) < 1e-3, (r["vec_id"], n)
         assert r["norm_centered"] > 0
+
+
+def test_refined_quantizer_beats_seed_quantizer_on_mean_recall(spark):
+    """The measured-improvement claim in ivf_topk's docstring: 2 Lloyd
+    rounds must not lose recall vs the raw seed cells on the fixed
+    panel (strictly better on this dataset: 0.30 -> 0.40)."""
+    rows = SQ._recall_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["ivf_refined_hits"] <= r["n_exact"]
+        assert 0.0 <= r["ivf_refined_recall"] <= 1.0
+    mean_seed = sum(r["ivf_recall"] for r in rows) / len(rows)
+    mean_ref = sum(r["ivf_refined_recall"] for r in rows) / len(rows)
+    assert mean_ref >= mean_seed
