@@ -1,0 +1,176 @@
+"""Incremental corpus-curation pipeline (streaming end-to-end).
+
+``availableNow`` stream of document drops → per-batch curation funnel
+(language ID → quality → batch-vs-corpus near-dup → within-batch
+near-dup) → durable band INDEX append → training-shard materialization.
+Each run drains whatever landed since the last one, exactly once
+(checkpointed); the persisted MinHash band index is what makes run N+1
+incremental — new batches dedup against every previously kept document
+WITHOUT ever recomputing or reshuffling the standing corpus, the shape
+``operators/dedup.incremental_minhash_pairs`` documents.
+
+Mirror of the reference's incremental publish-set ingest
+(/root/reference/README.md:87-90 "incremental-*" drops;
+alma_publish_parser.py:280-308 per-run drain + durable warehouse): the
+landing dir is the SFTP drop, the band index + kept table are the
+warehouse, and replays are idempotent because batch ids are checkpointed
+and every write is keyed by batch.
+
+State layout under ``state_dir``:
+
+- ``index_bands/``  (doc_id, band_id, band_key) — LSH probe table; at
+  scale this is the bucketed-by-band_key dedup index.
+- ``index_sigs/``   (doc_id, shingles)          — verification sets.
+- ``audit/``        (doc_id, batch_id, lang_pred, quality, drop_reason,
+  kept) — the per-document governance trail, every batch appended.
+- ``shards/batch_id=N/`` — training shards for batch N's survivors
+  (plans/corpus_queries.write_training_shards layout), append-only so
+  a loader can replay batches in arrival order.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..functions import text as T
+
+QUALITY_MIN = 0.5
+JACCARD_THRESHOLD = 0.5
+_EMPTY_BANDS = "doc_id long, band_id int, band_key string"
+_EMPTY_SIGS = "doc_id long, shingles array<bigint>"
+
+
+def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.isdir(path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _jaccard(sh_a, sh_b):
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    return F.round(inter / (F.size(sh_a) + F.size(sh_b) - inter), 6)
+
+
+def _dup_vs_index(batch_sigs: DataFrame, batch_bands: DataFrame,
+                  index_bands: DataFrame, index_sigs: DataFrame,
+                  threshold: float) -> DataFrame:
+    """new_ids near-duplicate of ANY indexed doc. The batch band table
+    broadcasts; the index side is probed on its band key and never
+    reshuffles — per-batch cost is independent of corpus size."""
+    cand = (index_bands
+            .join(F.broadcast(batch_bands.select(
+                F.col("doc_id").alias("new_id"), "band_id", "band_key")),
+                ["band_id", "band_key"])
+            .select("new_id", F.col("doc_id").alias("corpus_id"))
+            .distinct())
+    verified = (cand
+        .join(batch_sigs.select(F.col("doc_id").alias("new_id"),
+                                F.col("shingles").alias("sh_a")), "new_id")
+        .join(index_sigs.select(F.col("doc_id").alias("corpus_id"),
+                                F.col("shingles").alias("sh_b")), "corpus_id")
+        .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b"))))
+    return (verified.where(F.col("jaccard") >= threshold)
+            .select("new_id").distinct())
+
+
+def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
+                 batch_id: int, quality_min: float = QUALITY_MIN,
+                 threshold: float = JACCARD_THRESHOLD) -> None:
+    """One funnel pass over a batch: verdict every document, append the
+    audit trail, extend the band index with survivors, and shard them.
+
+    Severity order matches plans/corpus_queries.corpus_curation_end2end:
+    unusable (lang/quality) → corpus duplicate → within-batch duplicate
+    → kept. Within-batch dedup keeps the lowest doc_id of each
+    near-dup pair (id_a < id_b → id_b drops), after corpus duplicates
+    are already excluded so a batch twin of a corpus dup is charged to
+    the corpus, not its sibling.
+    """
+    batch = batch.dropDuplicates(["doc_id"])
+    scalars = batch.select(
+        "doc_id", "text",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"))
+    usable = scalars.where(
+        (F.col("lang_pred") != "und") & (F.col("quality") >= quality_min))
+
+    index_bands = _read_state(spark, os.path.join(state_dir, "index_bands"),
+                              _EMPTY_BANDS)
+    index_sigs = _read_state(spark, os.path.join(state_dir, "index_sigs"),
+                             _EMPTY_SIGS)
+    sigs, bands = D._sigs_and_bands(usable, "doc_id", "text",
+                                    n=5, max_tokens=None)
+    try:
+        corpus_dups = _dup_vs_index(sigs, bands, index_bands, index_sigs,
+                                    threshold)
+        batch_pairs = D.minhash_lsh_pairs(usable, "doc_id", "text",
+                                          n=5, threshold=threshold)
+        batch_dups = (batch_pairs
+                      .join(corpus_dups.withColumnRenamed("new_id", "id_a"),
+                            "id_a", "left_anti")
+                      .select(F.col("id_b").alias("new_id")).distinct())
+
+        verdict = (scalars
+            .join(corpus_dups.withColumnRenamed("new_id", "doc_id")
+                  .withColumn("_corpus_dup", F.lit(True)), "doc_id", "left")
+            .join(batch_dups.withColumnRenamed("new_id", "doc_id")
+                  .withColumn("_batch_dup", F.lit(True)), "doc_id", "left")
+            .select(
+                "doc_id", "lang_pred", "quality",
+                F.when(F.col("lang_pred") == "und", F.lit("lang"))
+                 .when(F.col("quality") < quality_min, F.lit("quality"))
+                 .when(F.col("_corpus_dup"), F.lit("corpus_duplicate"))
+                 .when(F.col("_batch_dup"), F.lit("batch_duplicate"))
+                 .otherwise(F.lit("kept")).alias("drop_reason"))
+            .withColumn("kept", F.col("drop_reason") == "kept")
+            .withColumn("batch_id", F.lit(batch_id).cast("long")))
+        # audit first: committed even for batches with zero survivors
+        (verdict.write.mode("append")
+         .parquet(os.path.join(state_dir, "audit")))
+
+        kept_ids = verdict.where("kept").select("doc_id")
+        (bands.join(kept_ids, "doc_id")
+         .write.mode("append")
+         .parquet(os.path.join(state_dir, "index_bands")))
+        (sigs.select("doc_id", "shingles").join(kept_ids, "doc_id")
+         .write.mode("append")
+         .parquet(os.path.join(state_dir, "index_sigs")))
+
+        from ..plans.corpus_queries import write_training_shards
+        survivors = batch.join(kept_ids, "doc_id")
+        if survivors.take(1):
+            write_training_shards(
+                survivors,
+                os.path.join(state_dir, "shards", f"batch_id={batch_id}"))
+    finally:
+        D.unpersist_cached()
+
+
+def run_incremental_curation(spark: SparkSession, landing_dir: str,
+                             state_dir: str, checkpoint_dir: str,
+                             quality_min: float = QUALITY_MIN,
+                             threshold: float = JACCARD_THRESHOLD) -> None:
+    """Drain the landing dir once (availableNow), curating each batch in
+    order through :func:`curate_batch`. Re-running with the same
+    checkpoint skips already-committed batches (exactly-once), so a
+    crashed run resumes where it stopped — the streaming analog of the
+    reference's per-run incremental drain."""
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .parquet(landing_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        curate_batch(spark, batch_df, state_dir, batch_id,
+                     quality_min=quality_min, threshold=threshold)
+
+    q = (stream.writeStream
+         .foreachBatch(process)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -1,0 +1,86 @@
+"""End-to-end incremental curation pipeline: two consecutive availableNow
+runs, the second deduping against the first run's persisted band index."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from alma_publish_to_marc_spark.streaming import curation as CU
+
+GOOD_A = ("the quick brown fox jumps over the lazy dog and then the fox "
+          "runs back to the den with a bone for the young pups to chew on "
+          "while the sun sets over the quiet hills in the far west")
+GOOD_B = ("a tall ship sails on the open sea with the wind at its back and "
+          "the crew sings songs of home while the captain charts a course "
+          "to the islands where the trade winds blow warm all year")
+LOW_QUALITY = "the !!! the ??? the ... and ;;; of :::"
+UND_LANG = "zzz qqq xxx vvv kkk zzz qqq xxx vvv kkk"
+
+
+def _drop(landing: str, name: str, rows: list[tuple[int, str]]) -> None:
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(landing, name))
+
+
+def _audit(spark, state: str) -> dict[int, dict]:
+    rows = spark.read.parquet(os.path.join(state, "audit")).collect()
+    return {r["doc_id"]: r.asDict() for r in rows}
+
+
+def test_two_batch_incremental_curation(spark, tmp_path):
+    landing = tmp_path / "landing"
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+
+    # ---- run 1: two good docs, one low-quality, one unknown-language,
+    # and an exact within-batch twin of GOOD_A
+    _drop(str(landing), "drop1.parquet", [
+        (1, GOOD_A), (2, GOOD_B), (3, LOW_QUALITY), (4, UND_LANG),
+        (5, GOOD_A),
+    ])
+    CU.run_incremental_curation(spark, str(landing), str(state), str(ckpt))
+
+    audit = _audit(spark, str(state))
+    assert audit[1]["drop_reason"] == "kept"
+    assert audit[2]["drop_reason"] == "kept"
+    assert audit[3]["drop_reason"] == "quality"
+    assert audit[4]["drop_reason"] == "lang"
+    assert audit[5]["drop_reason"] == "batch_duplicate"  # 1 < 5 keeps 1
+    kept_run1 = {d for d, r in audit.items() if r["kept"]}
+    assert kept_run1 == {1, 2}
+
+    index_ids = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(str(state), "index_sigs")).collect()}
+    assert index_ids == {1, 2}
+    shard_rows = spark.read.parquet(
+        os.path.join(str(state), "shards")).collect()
+    assert {r["doc_id"] for r in shard_rows} == {1, 2}
+
+    # ---- run 2: a near-dup of GOOD_A (tail variant) must be caught by
+    # the PERSISTED index from run 1; a fresh doc must survive
+    _drop(str(landing), "drop2.parquet", [
+        (10, GOOD_A + " with one extra tail"),
+        (11, ("deep in the green valley the river bends past the old mill "
+              "and the miller waves to the children who race their paper "
+              "boats along the bank until the evening bell calls them in")),
+    ])
+    CU.run_incremental_curation(spark, str(landing), str(state), str(ckpt))
+
+    audit = _audit(spark, str(state))
+    assert audit[10]["drop_reason"] == "corpus_duplicate"
+    assert audit[10]["batch_id"] != audit[1]["batch_id"]
+    assert audit[11]["drop_reason"] == "kept"
+    index_ids = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(str(state), "index_sigs")).collect()}
+    assert index_ids == {1, 2, 11}
+    shard_rows = spark.read.parquet(
+        os.path.join(str(state), "shards")).collect()
+    assert {r["doc_id"] for r in shard_rows} == {1, 2, 11}
+
+    # ---- replay with the same checkpoint: nothing new lands, state
+    # unchanged (exactly-once)
+    CU.run_incremental_curation(spark, str(landing), str(state), str(ckpt))
+    assert len(_audit(spark, str(state))) == 7
