@@ -41,6 +41,7 @@ HEADLINE = [
     "duplicate_ngram_spans",
     "training_order_shuffle",
     "corpus_curation_end2end",
+    "bucketed_item_info_join",
 ]
 
 

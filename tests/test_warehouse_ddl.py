@@ -109,3 +109,23 @@ def test_partitioned_layout_prunes_scan(spark, tmp_path):
     # correctness: pruned read equals filtered full read
     full = ev.where(F.col("event_type") == "click").count()
     assert df.count() == full
+
+
+def test_bucketed_item_info_join_only_shuffles_the_aggregate(spark):
+    """The registered bench headliner: pid joins consume the bucketed
+    layout, so the ONLY hashpartitioning exchange is the final
+    status_code aggregate."""
+    from alma_publish_to_marc_spark.plans import warehouse_bench as WB
+
+    df = WB.bucketed_item_info_join(spark, "/root/testdata/sf0.001")
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert plan.count("SortMergeJoin") >= 2, plan
+    rows = df.collect()
+    assert rows and sum(r["n_items"] for r in rows) > 0

@@ -44,7 +44,8 @@ def main() -> None:
         "quality_classifier_score", "embedding_center_normalize",
         "uniform_sample_exact", "join_skew_diagnostics",
         "event_drift_monitor", "mixture_weighted_sample",
-        "curriculum_order",
+        "curriculum_order", "bucketed_item_info_join",
+        "ann_ivf_refined_topk",
     ]
     for name in names:
         if name not in qs:
