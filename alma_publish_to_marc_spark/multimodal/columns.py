@@ -59,11 +59,57 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     ).withColumn("n_bytes", F.length("payload"))
 
 
+def available_codecs() -> dict[str, bool]:
+    """Capability probe, run at stage-build time on the driver: which
+    media families can be decoded for real in this environment. Audio
+    is always true (stdlib ``wave``); images need PIL."""
+    try:
+        import PIL.Image  # noqa: F401
+        image = True
+    except ImportError:
+        image = False
+    return {"image": image, "audio": True}
+
+
 def _decode_image_real(payload: bytes, media_format: str):
-    """Real decoder — requires PIL/soundfile, absent in this container."""
-    raise NotImplementedError(
-        "image/audio codecs not available in this environment; "
-        "the pipeline uses the deterministic fake decoder instead")
+    """Real decoder: stdlib ``wave`` for audio (width = frames,
+    height = sample rate), PIL for images (raises ImportError where PIL
+    is absent — callers choose via :func:`pick_decoder`, which probes
+    first). Same 4-tuple contract as the deterministic fake."""
+    import io
+
+    digest = hashlib.md5(payload).hexdigest()
+    if media_format == "wav":
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            return (w.getnframes(), w.getframerate(), w.getnchannels(),
+                    digest)
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    return img.size[0], img.size[1], len(img.getbands()), digest
+
+
+def pick_decoder(strict: bool = False):
+    """Stage-build-time selection: the real decoder when this
+    environment can decode (images need PIL), else the deterministic
+    fake. With ``strict=False`` (the default) the real decoder is also
+    wrapped per payload: a corrupt blob falls back to the fake instead
+    of failing the job — at 100 TB a handful of truncated files must
+    never kill the stage, and the fake's digest-derived row is still
+    deterministic and join-safe."""
+    if not available_codecs()["image"]:
+        return _decode_image_fake
+    if strict:
+        return _decode_image_real
+
+    def tolerant(payload: bytes, media_format: str):
+        try:
+            return _decode_image_real(payload, media_format)
+        except Exception:
+            return _decode_image_fake(payload, media_format)
+    return tolerant
 
 
 def _decode_image_fake(payload: bytes, media_format: str) -> tuple[int, int, int, str]:
@@ -76,13 +122,20 @@ def _decode_image_fake(payload: bytes, media_format: str) -> tuple[int, int, int
     return width, height, channels, digest
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas decode stage: (doc_id, payload, media_format) →
-    DECODED_SCHEMA. One Arrow batch in, one out; no shuffle."""
+    DECODED_SCHEMA. One Arrow batch in, one out; no shuffle.
+
+    ``decoder`` defaults to :func:`pick_decoder`'s probe result (real
+    codecs when present, deterministic fake otherwise); the oracled
+    queries pin ``_decode_image_fake`` explicitly so their values are
+    environment-independent."""
+    decoder = decoder or pick_decoder()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [
-                _decode_image_fake(p, f)
+                decoder(p, f)
                 for p, f in zip(pdf["payload"], pdf["media_format"])
             ]
             yield pd.DataFrame({

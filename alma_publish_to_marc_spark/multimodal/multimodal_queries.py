@@ -40,7 +40,11 @@ FROM documents
 
 def _decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return M.decode_media(M.attach_binary_payload(docs, "doc_id", "text"))
+    # pin the deterministic fake: the oracle's values must not depend on
+    # which codecs happen to be installed (pick_decoder is the
+    # production default)
+    return M.decode_media(M.attach_binary_payload(docs, "doc_id", "text"),
+                          decoder=M._decode_image_fake)
 
 
 def _frames(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,6 +52,58 @@ def test_frame_sample_fanout(spark):
     assert bytes(f0["frame_bytes"]) == payload[:256]
 
 
-def test_real_decoder_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
+def test_real_image_decoder_raises_where_pil_absent():
+    """In a codec-less container the strict image path fails loudly
+    (ImportError), which is why pick_decoder probes before choosing."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; covered by test_real_image_decode_with_pil")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
         M._decode_image_real(b"x", "jpeg")
+
+
+def test_real_wav_decode_via_stdlib():
+    """Audio decode is REAL even in this container (stdlib wave):
+    width=frames, height=sample rate, channels as encoded."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 2 * 100)  # 100 stereo frames
+    payload = buf.getvalue()
+    width, height, channels, digest = M._decode_image_real(payload, "wav")
+    assert (width, height, channels) == (100, 8000, 2)
+    import hashlib
+    assert digest == hashlib.md5(payload).hexdigest()
+
+
+def test_real_image_decode_with_pil():
+    """Runs wherever PIL is installed; skipped in codec-less containers."""
+    pytest.importorskip("PIL")
+    import io
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 7)).save(buf, format="PNG")
+    width, height, channels, _ = M._decode_image_real(buf.getvalue(), "png")
+    assert (width, height, channels) == (5, 7, 3)
+
+
+def test_pick_decoder_probe_matches_environment():
+    codecs = M.available_codecs()
+    assert codecs["audio"] is True
+    chosen = M.pick_decoder()
+    if codecs["image"]:
+        # tolerant wrapper: corrupt payloads fall back to the fake row
+        assert chosen(b"not an image", "png") == \
+            M._decode_image_fake(b"not an image", "png")
+    else:
+        assert chosen is M._decode_image_fake
+    assert M.pick_decoder(strict=True) in (M._decode_image_real,
+                                           M._decode_image_fake)
