@@ -135,17 +135,22 @@ def test_incremental_neardup_finds_planted_pairs(spark):
     at another arrival (corpus side only)."""
     from alma_publish_to_marc_spark.operators import dedup_queries as DQ
 
+    from alma_publish_to_marc_spark.tables import load
+
+    # arrival ids are offset by max(doc_id)+1 (collision-safe at any sf)
+    off = load(spark, SF_DIR, "documents") \
+        .agg(F.max("doc_id")).collect()[0][0] + 1
     rows = DQ._incremental(spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert r["new_id"] >= 100000
-        assert r["corpus_id"] < 100000
+        assert r["new_id"] >= off
+        assert r["corpus_id"] < off
         assert r["jaccard"] >= 0.5
     # each variant's own source is among its matches
     matched = {(r["new_id"], r["corpus_id"]) for r in rows}
     sources = {n for n, _ in matched}
     for new_id in sources:
-        assert (new_id, new_id - 100000) in matched
+        assert (new_id, new_id - off) in matched
 
 
 def test_quality_classifier_score_bounds(spark):
