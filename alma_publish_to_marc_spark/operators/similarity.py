@@ -188,6 +188,54 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
                     "cosine", "rank"))
 
 
+def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
+                   centroid_ids: list[int], threshold: float = 0.9,
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every vector to its
+    nearest coarse-quantizer cell, then within each cell drop any vector
+    that has a LOWER-id cell-mate at cosine ≥ ``threshold`` (the
+    deterministic keep-first tie-break of the SemDeDup recipe — one
+    survivor per semantic near-dup set, no iterative clustering).
+
+    Output: (id, cell, dup_of, kept) — ``dup_of`` is the smallest
+    lower-id near-duplicate, null for survivors.
+
+    Scale: the quantizer is broadcast (same as :func:`ivf_topk`); the
+    only shuffle is the cell-keyed self-join, and pairs exist ONLY
+    within a cell. At 100 TB the cell count is sized ∝ N/target so the
+    per-cell pair work stays constant (SemDeDup runs k-means with k in
+    the tens of thousands for exactly this reason — here the trained
+    :mod:`clustering` centroids slot in via ``centroids``); cross-cell
+    near-dups are missed by design, the recall/cost knob of the method.
+    The join ships (id, cell, v) once per side; the pair filter
+    evaluates the cosine inside the join, so nothing materializes
+    beyond surviving pairs.
+    """
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    if centroids is None:
+        centroids = (e.where(F.col(id_col).isin(centroid_ids))
+                     .select(F.col(id_col).alias("cent_id"),
+                             F.col("v").alias("cv")))
+    scored = (e.join(F.broadcast(centroids))
+              .withColumn("cs", cosine(F.col("v"), F.col("cv"))))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cent_id"))
+    cells = (scored.withColumn("crank", F.row_number().over(w))
+             .where(F.col("crank") == 1)
+             .select(id_col, "v", F.col("cent_id").alias("cell")))
+    a = cells.select(F.col(id_col).alias("id_a"),
+                     F.col("v").alias("va"), "cell")
+    b = cells.select(F.col(id_col).alias("id_b"),
+                     F.col("v").alias("vb"), "cell")
+    dup = (a.join(b, "cell")
+           .where(F.col("id_b") < F.col("id_a"))
+           .where(cosine(F.col("va"), F.col("vb")) >= threshold)
+           .groupBy("id_a").agg(F.min("id_b").alias("dup_of")))
+    return (cells
+            .join(dup, cells[id_col] == dup.id_a, "left")
+            .select(F.col(id_col), "cell", "dup_of",
+                    F.col("dup_of").isNull().alias("kept")))
+
+
 def embedding_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str,
                             threshold: float = 0.9) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-band hyperplane

@@ -97,7 +97,7 @@ FROM ranked WHERE rank <= {K}
 """
 
 
-def _neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus augmented with scaled copies (cosine-invariant → exact
     near-dups) for every 10th vector, mirroring the oracle's CTE."""
     from pyspark.sql import functions as F
@@ -111,18 +111,25 @@ def _neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select((F.col("vec_id") + F.col("_id_off")).alias("vec_id"),
                         F.transform("embedding", lambda x: x * F.lit(0.5))
                          .alias("embedding")))
-    corpus = emb.unionByName(variants)
-    return S.embedding_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.9)
+    return emb.unionByName(variants)
 
 
-_NEARDUP_SQL = f"""
-WITH corpus AS (
+_CORPUS_CTE = """corpus AS (
     SELECT vec_id, embedding FROM embeddings
     UNION ALL
     SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
            list_transform(embedding, x -> x * 0.5) AS embedding
     FROM embeddings WHERE vec_id % 10 = 0
-),
+)"""
+
+
+def _neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _augmented_corpus(spark, sf_dir)
+    return S.embedding_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.9)
+
+
+_NEARDUP_SQL = f"""
+WITH {_CORPUS_CTE},
 e AS (SELECT vec_id, {_sql_vec()} AS v FROM corpus),
 bands AS (
 {" UNION ALL ".join(
@@ -313,6 +320,49 @@ GROUP BY qid
 """
 
 
+SEMDEDUP_TAU = 0.9
+
+
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the near-dup-augmented corpus: every injected
+    scaled copy (cosine exactly 1.0 with its source, and guaranteed to
+    land in the same quantizer cell — cell assignment is cosine-based,
+    hence scale-invariant) must be dropped in favor of its lower-id
+    source; genuinely distinct vectors survive."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    return S.semantic_dedup(corpus, "vec_id", "embedding",
+                            CENTROID_IDS, SEMDEDUP_TAU)
+
+
+_SEMDEDUP_SQL = f"""
+WITH {_CORPUS_CTE},
+e AS (SELECT vec_id, {_sql_vec()} AS v FROM corpus),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      WHERE vec_id IN ({", ".join(map(str, CENTROID_IDS))})),
+scored AS (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_sql_dot('e.v', 'c.cv')}
+                 / ({_sql_norm('e.v')} * {_sql_norm('c.cv')}), 6) DESC,
+                              c.cent_id ASC) AS crank
+    FROM e CROSS JOIN c
+),
+cells AS (SELECT vec_id, v, cent_id AS cell FROM scored WHERE crank = 1),
+dup AS (
+    SELECT a.vec_id AS id_a, min(b.vec_id) AS dup_of
+    FROM cells a JOIN cells b
+      ON a.cell = b.cell AND b.vec_id < a.vec_id
+    WHERE round({_sql_dot('a.v', 'b.v')}
+                / ({_sql_norm('a.v')} * {_sql_norm('b.v')}), 6)
+          >= {SEMDEDUP_TAU}
+    GROUP BY a.vec_id
+)
+SELECT cells.vec_id, cells.cell, dup.dup_of,
+       dup.dup_of IS NULL AS kept
+FROM cells LEFT JOIN dup ON cells.vec_id = dup.id_a
+"""
+
+
 def _center_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding preprocessing for the ANN stack: subtract the corpus
     mean vector, renormalize to unit length. Centering spreads vectors
@@ -400,6 +450,7 @@ QUERIES = {
     "ann_ivf_topk": (_ivf, _IVF_SQL),
     "ann_ivf_refined_topk": (_ivf_refined, _IVF_REFINED_SQL),
     "embedding_neardup": (_neardup, _NEARDUP_SQL),
+    "semantic_dedup": (_semantic_dedup, _SEMDEDUP_SQL),
     "ann_recall_eval": (_recall_eval, _RECALL_SQL),
     "embedding_center_normalize": (_center_normalize, _center_normalize_sql()),
 }

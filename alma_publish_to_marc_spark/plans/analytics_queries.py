@@ -251,6 +251,101 @@ WHERE rnk <= 3
 
 
 # --------------------------------------------------------------------------
+# bm25_topk: keyword retrieval over the documents corpus
+# --------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "merge")
+BM25_TOPK = 20
+
+
+def _bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query-term set (the ranking
+    function of every keyword search engine — Robertson/Sparck Jones
+    weights with Lucene's +1 idf floor so scores stay positive).
+
+    Scale: the term filter lands BEFORE the tf aggregation, so only
+    posting rows for the |Q| query terms ever reach a shuffle —
+    everything else dies in the scan's explode. df is |Q| rows and
+    broadcast; N/avgdl is a 1-row broadcast aggregate (token counts are
+    integer sums → avgdl is bit-deterministic cross-engine). The final
+    top-k is orderBy+limit — Spark plans TakeOrdered (per-partition
+    heap + driver merge of k rows), never a global sort. Ranking
+    compares the ROUNDED score in both engines so the rank column is
+    stable under sub-ulp summation differences.
+    """
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                     .alias("w")))
+    lens = docs.select(
+        "doc_id",
+        F.size(F.filter("w", lambda t: t != F.lit(""))).alias("dl"))
+    tf = (docs.select("doc_id", F.explode("w").alias("term"))
+          .where(F.col("term").isin(*BM25_TERMS))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = lens.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    per_term = idf * (F.col("n_tf") * (BM25_K1 + 1)
+                      / (F.col("n_tf")
+                         + BM25_K1 * (1 - BM25_B
+                                      + BM25_B * F.col("dl") / F.col("avgdl"))))
+    scored = (tf.join(lens, "doc_id")
+              .join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_terms_matched"),
+                   F.round(F.sum(per_term), 4).alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select("doc_id", "n_terms_matched", "score",
+                      F.row_number().over(w).alias("rank"))
+
+
+_BM25_SQL = rf"""
+WITH docs AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+    FROM documents
+),
+lens AS (
+    SELECT doc_id, len(list_filter(w, t -> t <> '')) AS dl FROM docs
+),
+toks AS (SELECT doc_id, unnest(w) AS term FROM docs),
+tf AS (
+    SELECT doc_id, term, count(*) AS n_tf
+    FROM toks WHERE term IN ({", ".join(repr(t) for t in BM25_TERMS)})
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+scored AS (
+    SELECT tf.doc_id,
+           count(*) AS n_terms_matched,
+           round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * (n_tf * ({BM25_K1} + 1)
+                  / (n_tf + {BM25_K1} * (1 - {BM25_B}
+                     + {BM25_B} * dl / avgdl)))), 4) AS score
+    FROM tf
+    JOIN lens USING (doc_id)
+    JOIN dfreq USING (term)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, n_terms_matched, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # approx_distinct_bounds: HLL++ sketch vs exact, asserted in-query
 # --------------------------------------------------------------------------
 def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,4 +672,5 @@ QUERIES = {
     "grouping_sets_revenue": (_grouping_sets, _GROUPING_SETS_SQL),
     "levenshtein_neardup": (_levenshtein_neardup, _LEVENSHTEIN_SQL),
     "tfidf_top_terms": (_tfidf, _TFIDF_SQL),
+    "bm25_topk": (_bm25, _BM25_SQL),
 }

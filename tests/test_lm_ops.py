@@ -1,0 +1,54 @@
+"""Unit tests for plans/lm_queries.py (statistical LM operators)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from alma_publish_to_marc_spark.plans import lm_queries as L
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_perplexity_hand_computed(spark, tmp_path):
+    # corpus: "a b" x2 and "a c". unigrams: a=3, b=2(with doc text) ...
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b", "a b", "a c"],
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           L.ngram_lm_perplexity(spark, str(tmp_path)).collect()}
+    # model: c(a)=3, c(b)=2, c(c)=1; V=3; c(a,b)=2, c(a,c)=1
+    lp_ab = math.log((2 + 1) / (3 + 3))
+    lp_ac = math.log((1 + 1) / (3 + 3))
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["cross_entropy"] == pytest.approx(-lp_ab, abs=1e-4)
+    assert out[3]["cross_entropy"] == pytest.approx(-lp_ac, abs=1e-4)
+    # the rarer continuation scores strictly higher entropy
+    assert out[3]["cross_entropy"] > out[1]["cross_entropy"]
+    assert out[1]["perplexity"] == pytest.approx(
+        math.exp(-lp_ab), abs=1e-3)
+
+
+def test_perplexity_short_doc_is_null(spark, tmp_path):
+    pd.DataFrame({"doc_id": [1, 2], "text": ["lonely", "two words"]}) \
+        .to_parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           L.ngram_lm_perplexity(spark, str(tmp_path)).collect()}
+    assert out[1]["n_bigrams"] == 0
+    assert out[1]["cross_entropy"] is None
+    assert out[2]["n_bigrams"] == 1
+
+
+def test_perplexity_corpus_ranks_repetitive_low(spark):
+    # every doc scored; entropy finite and positive on the test corpus
+    rows = L.ngram_lm_perplexity(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["n_bigrams"] > 0:
+            assert r["cross_entropy"] is not None
+            assert 0.0 < r["cross_entropy"] < 20.0
+            assert r["perplexity"] == pytest.approx(
+                math.exp(r["cross_entropy"]), rel=1e-3)

@@ -92,3 +92,23 @@ def test_refined_quantizer_beats_seed_quantizer_on_mean_recall(spark):
     mean_seed = sum(r["ivf_recall"] for r in rows) / len(rows)
     mean_ref = sum(r["ivf_refined_recall"] for r in rows) / len(rows)
     assert mean_ref >= mean_seed
+
+
+def test_semantic_dedup_drops_injected_copies(spark):
+    import duckdb
+
+    from alma_publish_to_marc_spark.operators import similarity_queries as SQ
+
+    max_orig = duckdb.sql(
+        "select max(vec_id) from '/root/testdata/sf0.001/embeddings.parquet'"
+    ).fetchone()[0]
+    rows = SQ._semantic_dedup(spark, "/root/testdata/sf0.001").collect()
+    injected = [r for r in rows if r["vec_id"] > max_orig]
+    assert injected, "augmented corpus must add scaled copies"
+    # every injected copy is dropped in favor of its lower-id source
+    for r in injected:
+        assert not r["kept"]
+        assert r["dup_of"] is not None and r["dup_of"] < r["vec_id"]
+    # the flag is exactly "no lower-id near-dup cell-mate"
+    for r in rows:
+        assert r["kept"] == (r["dup_of"] is None)
