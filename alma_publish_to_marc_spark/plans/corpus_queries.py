@@ -124,6 +124,95 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REWRITE: delete every word covered by a
+    corpus-duplicated 8-gram and emit the cleaned text (the removal
+    pass of "Deduplicating Training Data Makes Language Models Better"
+    — :func:`duplicate_ngram_spans` computes the signal, this applies
+    it). Word j is removed iff some duplicated span [s, s+7] covers it.
+
+    Scale: identical shuffle profile to the stats query — one explode,
+    span counts keyed by 16-byte ``unhex(md5(gram))``, map-side
+    combined — plus one doc_id-keyed aggregation collecting each doc's
+    duplicated span STARTS (bounded by words/doc, not corpus size).
+    The rewrite itself is a scan-fused array filter: per word, an
+    exists() over the doc's dup-start list — O(words × dup_starts)
+    per doc, both factors document-local (a production variant would
+    pre-merge starts into disjoint intervals for O(words + starts);
+    at ≤1e3 words/doc the quadratic corner is noise). The start list
+    order never matters (pure membership test), so collect_list's
+    nondeterministic order is safe.
+    """
+    docs = load(spark, sf_dir, "documents") \
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    spans = (docs
+             .select("doc_id", F.posexplode(_shingles_from_words(F.col("w")))
+                     .alias("i0", "gram"))
+             .select("doc_id", (F.col("i0") + 1).alias("i"),
+                     F.unhex(F.md5("gram")).alias("gram_key")))
+    counts = spans.groupBy("gram_key").agg(F.count(F.lit(1)).alias("cnt"))
+    dup_starts = (spans.join(counts, "gram_key")
+                  .where(F.col("cnt") > 1)
+                  .groupBy("doc_id")
+                  .agg(F.collect_list("i").alias("starts")))
+    joined = (docs.join(dup_starts, "doc_id", "left")
+              .select("doc_id", "w",
+                      F.coalesce("starts", F.array().cast("array<int>"))
+                       .alias("starts")))
+    kept = F.filter(
+        "w",
+        lambda t, j: ~F.exists(
+            "starts",
+            lambda s: (s <= j + 1) & (j + 1 <= s + (NGRAM - 1))))
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_words"),
+        (F.size("w") - F.size(kept)).cast("int").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"))
+
+
+_SPAN_REMOVAL_SQL = rf"""
+WITH words AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+pos AS (
+    SELECT doc_id, w,
+           unnest(range(1, greatest(len(w) - {NGRAM - 1}, 0) + 1)) AS i
+    FROM words
+),
+spans AS (
+    SELECT doc_id, i,
+           unhex(md5(array_to_string(w[i : i + {NGRAM - 1}], ' '))) AS gram_key
+    FROM pos
+),
+counts AS (SELECT gram_key, count(*) AS cnt FROM spans GROUP BY gram_key),
+dup_starts AS (
+    SELECT s.doc_id, list(s.i) AS starts
+    FROM spans s JOIN counts c USING (gram_key)
+    WHERE c.cnt > 1
+    GROUP BY s.doc_id
+),
+joined AS (
+    SELECT d.doc_id, d.w, coalesce(ds.starts, []) AS starts
+    FROM words d LEFT JOIN dup_starts ds USING (doc_id)
+),
+cleaned AS (
+    SELECT doc_id, w,
+           list_filter(w, (t, j) ->
+               len(list_filter(starts,
+                   s -> s <= j AND j <= s + {NGRAM - 1})) = 0) AS kept
+    FROM joined
+)
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_words,
+       CAST(len(w) - len(kept) AS INT) AS n_removed,
+       -- array_to_string([]) is NULL in DuckDB but '' under Spark's
+       -- array_join; a fully-removed doc must read as empty text
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM cleaned
+"""
+
+
 ALPHA = 0.5  # mixture temperature: w_i ∝ share_i^alpha (alpha<1 upweights tails)
 
 
@@ -1000,6 +1089,7 @@ FROM probs
 
 QUERIES = {
     "duplicate_ngram_spans": (duplicate_ngram_spans, _DUP_SPANS_SQL),
+    "duplicate_span_removal": (duplicate_span_removal, _SPAN_REMOVAL_SQL),
     "domain_mixture_weights": (domain_mixture_weights, _MIXTURE_SQL),
     "training_order_shuffle": (training_order_shuffle, _SHUFFLE_SQL),
     "event_regression_stats": (event_regression_stats, _REGR_SQL),

@@ -275,3 +275,41 @@ def test_minhash_unpersist_cached_releases_tracked_frames(spark):
     frame = D._PERSISTED[0]
     assert D.unpersist_cached() == 1
     assert not D._PERSISTED and not frame.is_cached
+
+
+def test_span_removal_hand_case(spark, tmp_path):
+    import pandas as pd
+
+    # doc 1+2 share one 8-gram ("t1..t8"); doc 3 is unique; doc 4 short
+    shared = " ".join(f"t{i}" for i in range(1, 9))
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [shared + " uniqA uniqB",
+                 "lead " + shared,
+                 " ".join(f"u{i}" for i in range(1, 12)),
+                 "a b c"],
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           C.duplicate_span_removal(spark, str(tmp_path)).collect()}
+    # docs 1 and 2: the shared 8 words vanish, the rest survives
+    assert out[1]["clean_text"] == "uniqA uniqB"
+    assert out[1]["n_removed"] == 8
+    assert out[2]["clean_text"] == "lead"
+    assert out[2]["n_removed"] == 8
+    # unique doc untouched
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"].startswith("u1 u2")
+    # short doc has no spans, hence no removal
+    assert out[4]["n_removed"] == 0 and out[4]["clean_text"] == "a b c"
+
+
+def test_span_removal_consistent_with_span_stats(spark):
+    stats = {r["doc_id"]: r for r in
+             C.duplicate_ngram_spans(spark, SF_DIR).collect()}
+    rem = {r["doc_id"]: r for r in
+           C.duplicate_span_removal(spark, SF_DIR).collect()}
+    assert stats.keys() == rem.keys()
+    for did, s in stats.items():
+        # words are removed exactly when duplicated spans exist
+        assert (rem[did]["n_removed"] > 0) == (s["n_dup_spans"] > 0)
+        assert rem[did]["n_removed"] <= rem[did]["n_words"]
