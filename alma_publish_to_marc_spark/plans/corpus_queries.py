@@ -665,6 +665,18 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
     persisted vocab, so no round rescans or reshuffles anything
     corpus-sized.
     """
+    merges = _trained_merge_list(spark, sf_dir, k)
+    return spark.createDataFrame(
+        merges,
+        schema="rank int, pair_a string, pair_b string, "
+               "merged string, pair_count bigint")
+
+
+def _trained_merge_list(spark: SparkSession, sf_dir: str,
+                        k: int = BPE_K) -> list[tuple]:
+    """The trainer loop itself; returns [(rank, a, b, merged, count)].
+    Shared by :func:`bpe_train_merges` (emits it as a DataFrame) and
+    :func:`bpe_encode_docs` (bakes it into the encode expressions)."""
     from ..functions import text as T
 
     docs = load(spark, sf_dir, "documents")
@@ -704,14 +716,65 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
                 F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"))
     finally:
         words.unpersist()
-    return spark.createDataFrame(
-        merges,
-        schema="rank int, pair_a string, pair_b string, "
-               "merged string, pair_count bigint")
+    return merges
 
 
-def _bpe_train_sql() -> str:
-    """K-round unrolled oracle: vK = replace(v{{K-1}}, best-pair pattern)."""
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the TRAINED vocabulary — the other half
+    of the BPE story (:func:`bpe_train_merges` learns the merge list;
+    this applies it): every document's pre-tokens are rewritten through
+    the K merges in rank order and the per-doc token counts reported —
+    the pass that sizes a training run (tokens per doc / per corpus)
+    after the tokenizer is frozen.
+
+    Scale: the trainer cost is unchanged (one corpus scan into the
+    persisted vocab table + K vocab-sized rounds, one argmax row per
+    round to the driver). The ENCODE pass is a single corpus scan with
+    the merge list baked in as literal expressions — exactly how a
+    production tokenizer ships its frozen vocab to executors (broadcast
+    constants), so it's scan-fused: zero shuffles, zero UDFs, per-token
+    chained non-overlapping ``replace`` identical in both engines.
+
+    Greedy-application caveat (documented, intentional): like the
+    trainer's rewrite, merges apply in RANK order, each one globally
+    left-to-right — the reference BPE algorithm. A doc containing
+    "abab" under merges [ab, ba] yields [ab, ab], never [a, ba, b].
+    """
+    merges = _trained_merge_list(spark, sf_dir, BPE_K)
+    sep, sep2 = _BPE_SEP, _BPE_SEP * 2
+
+    def encoded_syms(t):
+        state = F.concat(F.lit(sep),
+                         F.array_join(F.split(t, ""), sep2), F.lit(sep))
+        for _rank, a, b, _m, _cnt in merges:
+            state = F.replace(state,
+                              F.lit(f"{sep}{a}{sep2}{b}{sep}"),
+                              F.lit(f"{sep}{a}{b}{sep}"))
+        return F.size(F.filter(F.split(state, sep), lambda s: s != F.lit("")))
+
+    from ..functions import text as T
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", T.bpe_pretokens(F.col("text")).alias("toks0"))
+            .select("doc_id",
+                    F.filter("toks0",
+                             lambda t: ~t.contains(sep)).alias("toks")))
+    n_chars = F.aggregate("toks", F.lit(0),
+                          lambda acc, t: acc + F.length(t))
+    n_bpe = F.aggregate(F.transform("toks", encoded_syms), F.lit(0),
+                        lambda acc, x: acc + x)
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_pretokens"),
+        n_chars.cast("int").alias("n_chars"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        F.round(n_chars / F.nullif(n_bpe.cast("int"), F.lit(0)), 4)
+         .alias("chars_per_token"))
+
+
+def _bpe_shared_ctes() -> list[str]:
+    """The trainer's CTE chain (words, v0, per-round s/i/p/b/v) shared
+    by the train and encode oracles."""
     from ..functions import text as T
 
     def syms_split(src: str) -> str:
@@ -755,11 +818,60 @@ v{k} AS (
            v.word_count
     FROM {prev} v, b{k} bb
 )""")
+    return ctes
+
+
+def _bpe_train_sql() -> str:
+    """K-round unrolled oracle: vK = replace(v{{K-1}}, best-pair pattern)."""
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS INT) AS rank, a AS pair_a, b AS pair_b, "
         f"a || b AS merged, pair_count FROM b{k}"
         for k in range(1, BPE_K + 1))
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return "WITH " + ",\n".join(_bpe_shared_ctes()) + "\n" + union
+
+
+def _bpe_encode_sql() -> str:
+    """Encode oracle: re-derives the same K merges (CTEs b1..bK), then
+    chains the K replaces over every DOCUMENT pre-token and aggregates
+    per-doc counts — the unrolled-CTE mirror of bpe_encode_docs."""
+    from ..functions import text as T
+
+    ctes = _bpe_shared_ctes()
+    ctes.append(rf"""e0 AS (
+    SELECT doc_id, tok,
+           chr(31) || array_to_string(string_split(tok, ''),
+                                      chr(31) || chr(31)) || chr(31) AS state
+    FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                '{T.BPE_PRETOKEN_RE}')) AS tok
+          FROM documents)
+    WHERE tok NOT LIKE '%' || chr(31) || '%'
+)""")
+    for k in range(1, BPE_K + 1):
+        ctes.append(f"""e{k} AS (
+    SELECT e.doc_id, e.tok,
+           replace(e.state,
+                   chr(31) || bb.a || chr(31) || chr(31) || bb.b || chr(31),
+                   chr(31) || bb.a || bb.b || chr(31)) AS state
+    FROM e{k - 1} e, b{k} bb
+)""")
+    ctes.append(f"""enc AS (
+    SELECT doc_id,
+           count(*) AS n_pretokens,
+           sum(len(tok)) AS n_chars,
+           sum(len(list_filter(string_split(state, chr(31)),
+                               s -> s <> ''))) AS n_bpe
+    FROM e{BPE_K}
+    GROUP BY doc_id
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT d.doc_id,
+       CAST(coalesce(enc.n_pretokens, 0) AS INT) AS n_pretokens,
+       CAST(coalesce(enc.n_chars, 0) AS INT) AS n_chars,
+       CAST(coalesce(enc.n_bpe, 0) AS INT) AS n_bpe_tokens,
+       round(enc.n_chars / nullif(CAST(enc.n_bpe AS INT), 0), 4)
+           AS chars_per_token
+FROM documents d LEFT JOIN enc USING (doc_id)
+""")
 
 
 SAMPLE_K = 200
@@ -1096,6 +1208,7 @@ QUERIES = {
     "corpus_curation_end2end": (corpus_curation_end2end, _curation_sql()),
     "vocab_merge_induction": (vocab_merge_induction, _vocab_merge_sql()),
     "bpe_train_merges": (bpe_train_merges, _bpe_train_sql()),
+    "bpe_encode_docs": (bpe_encode_docs, _bpe_encode_sql()),
     "quality_classifier_score": (quality_classifier_score, _clf_sql()),
     "uniform_sample_exact": (uniform_sample_exact, _SAMPLE_SQL),
     "join_skew_diagnostics": (join_skew_diagnostics, _SKEW_SQL),

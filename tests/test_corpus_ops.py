@@ -313,3 +313,30 @@ def test_span_removal_consistent_with_span_stats(spark):
         # words are removed exactly when duplicated spans exist
         assert (rem[did]["n_removed"] > 0) == (s["n_dup_spans"] > 0)
         assert rem[did]["n_removed"] <= rem[did]["n_words"]
+
+
+def test_bpe_encode_hand_case(spark, tmp_path):
+    import pandas as pd
+
+    # corpus dominated by "abab": merges learn ab then abab...
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["abab abab abab", "abab ab", "xy"],
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           C.bpe_encode_docs(spark, str(tmp_path)).collect()}
+    # with enough merge rounds every frequent word collapses to 1 symbol
+    assert out[1]["n_pretokens"] == 3
+    assert out[1]["n_bpe_tokens"] == 3  # "abab" -> one merged symbol
+    assert out[2]["n_bpe_tokens"] == 2  # "abab" + "ab", both single syms
+    assert out[1]["chars_per_token"] == 4.0
+
+
+def test_bpe_encode_bounds_on_corpus(spark):
+    rows = C.bpe_encode_docs(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # merging only ever shrinks: pretokens <= bpe tokens <= chars
+        assert r["n_pretokens"] <= r["n_bpe_tokens"] <= r["n_chars"]
+        if r["n_bpe_tokens"]:
+            assert r["chars_per_token"] >= 1.0
