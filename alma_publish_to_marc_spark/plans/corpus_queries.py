@@ -213,6 +213,87 @@ FROM cleaned
 """
 
 
+SHORT_DOC_CHARS = 100  # data-card "short document" threshold
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-card rollup — the summary table a curation run
+    publishes alongside the corpus (doc/char/token volumes, language
+    mix, short-doc share per source). One row per source.
+
+    Scale: two map-side-combined aggregations (per-source stats, and
+    per-(source, lang) counts for the dominant language) plus a
+    source-keyed join of two source-cardinality frames — every shuffle
+    is over per-group rows, never documents. Token counts are computed
+    scan-side from the split; nothing explodes.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(F.sum(F.when(F.col("n_chars") < SHORT_DOC_CHARS, 1)
+                      .otherwise(0)) / F.count(F.lit(1)), 4)
+         .alias("short_doc_share"))
+    lang_counts = docs.groupBy("source", "lang") \
+        .agg(F.count(F.lit(1)).alias("lc"))
+    w = Window.partitionBy("source").orderBy(F.desc("lc"), F.asc("lang"))
+    dominant = (lang_counts.withColumn("r", F.row_number().over(w))
+                .where(F.col("r") == 1)
+                .select("source", F.col("lang").alias("dominant_lang"),
+                        F.col("lc").alias("dom_count")))
+    return (stats.join(dominant, "source")
+            .select("source", "n_docs", "total_chars", "avg_chars",
+                    "total_tokens", "avg_tokens", "n_langs",
+                    "dominant_lang",
+                    F.round(F.col("dom_count") / F.col("n_docs"), 4)
+                     .alias("dominant_lang_share"),
+                    "short_doc_share"))
+
+
+_DATACARD_SQL = rf"""
+WITH docs AS (
+    SELECT source, lang, n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+    FROM documents
+),
+stats AS (
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(sum(CASE WHEN n_chars < {SHORT_DOC_CHARS} THEN 1 ELSE 0 END)
+                 / count(*), 4) AS short_doc_share
+    FROM docs GROUP BY source
+),
+lang_counts AS (
+    SELECT source, lang, count(*) AS lc FROM docs GROUP BY source, lang
+),
+dominant AS (
+    SELECT source, lang AS dominant_lang, lc AS dom_count
+    FROM (SELECT source, lang, lc,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY lc DESC, lang ASC) AS r
+          FROM lang_counts)
+    WHERE r = 1
+)
+SELECT s.source, s.n_docs, s.total_chars, s.avg_chars,
+       s.total_tokens, s.avg_tokens, s.n_langs,
+       d.dominant_lang,
+       round(d.dom_count / s.n_docs, 4) AS dominant_lang_share,
+       s.short_doc_share
+FROM stats s JOIN dominant d USING (source)
+"""
+
+
 ALPHA = 0.5  # mixture temperature: w_i ∝ share_i^alpha (alpha<1 upweights tails)
 
 
@@ -1202,6 +1283,7 @@ FROM probs
 QUERIES = {
     "duplicate_ngram_spans": (duplicate_ngram_spans, _DUP_SPANS_SQL),
     "duplicate_span_removal": (duplicate_span_removal, _SPAN_REMOVAL_SQL),
+    "corpus_datacard": (corpus_datacard, _DATACARD_SQL),
     "domain_mixture_weights": (domain_mixture_weights, _MIXTURE_SQL),
     "training_order_shuffle": (training_order_shuffle, _SHUFFLE_SQL),
     "event_regression_stats": (event_regression_stats, _REGR_SQL),

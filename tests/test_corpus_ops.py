@@ -340,3 +340,17 @@ def test_bpe_encode_bounds_on_corpus(spark):
         assert r["n_pretokens"] <= r["n_bpe_tokens"] <= r["n_chars"]
         if r["n_bpe_tokens"]:
             assert r["chars_per_token"] >= 1.0
+
+
+def test_datacard_shares_and_totals(spark):
+    rows = C.corpus_datacard(spark, SF_DIR).collect()
+    assert rows
+    import duckdb
+    n_docs = duckdb.sql(
+        f"select count(*) from '{SF_DIR}/documents.parquet'").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 < r["dominant_lang_share"] <= 1.0
+        assert 0.0 <= r["short_doc_share"] <= 1.0
+        assert r["total_tokens"] >= r["n_docs"]  # every doc has >=1 token
+        assert r["n_langs"] >= 1
