@@ -188,6 +188,98 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
                     "cosine", "rank"))
 
 
+PQ_M = 4                      # subspaces
+PQ_SUB = DIM // PQ_M          # dims per subspace
+PQ_KSUB = 8                   # sub-centroids per subspace
+
+
+def _sub(vec: Column, m: int) -> Column:
+    """1-based subspace slice m ∈ [1, PQ_M]."""
+    return F.slice(vec, 1 + PQ_SUB * (m - 1), PQ_SUB)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Deterministic left-fold squared L2 (matches the oracle's order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(emb: DataFrame, id_col: str, vec_col: str,
+              seed_ids: list[int]) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``PQ_M``
+    subvectors and store, per subspace, the id of the nearest
+    sub-centroid (L2, ties to the lowest centroid id via struct-min —
+    deterministic in both engines). The codebook is the subspace slices
+    of ``PQ_KSUB`` seed vectors (data-derived, broadcast).
+
+    Output: (id, c1..c{PQ_M}) — the vector compressed to PQ_M small
+    ints. At 64 dims × float32 → 4 codes this is a 64× memory cut,
+    which is the point: at 100 TB the codes table fits where the
+    vectors don't, so the ANN probe below never touches raw vectors
+    except for the query panel. The encode pass is one broadcast
+    cross join (KSUB rows) + one map-side-combinable min aggregation.
+    """
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    cents = (e.where(F.col(id_col).isin(seed_ids))
+             .select(F.col(id_col).alias("cent_id"), F.col("v").alias("cv")))
+    scored = e.join(F.broadcast(cents)).select(
+        id_col,
+        "cent_id",
+        *[_l2sq(_sub(F.col("v"), m), _sub(F.col("cv"), m)).alias(f"d{m}")
+          for m in range(1, PQ_M + 1)])
+    return scored.groupBy(id_col).agg(*[
+        F.min(F.struct(F.col(f"d{m}").alias("d"),
+                       F.col("cent_id").alias("cid")))
+         .getField("cid").alias(f"c{m}")
+        for m in range(1, PQ_M + 1)])
+
+
+def pq_adc_topk(emb: DataFrame, id_col: str, vec_col: str,
+                query_ids: list[int], seed_ids: list[int],
+                k: int = 10) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
+    represented ONLY by its codes; each query precomputes its distance
+    to every sub-centroid (a |Q| × PQ_M × PQ_KSUB lookup table — 160
+    rows here — broadcast), and the approximate distance to a stored
+    vector is the sum of the PQ_M looked-up entries.
+
+    Scale: after the encode aggregation, the probe is PQ_M broadcast
+    hash joins against the tiny lookup table and a scan-side 4-term
+    add — the corpus-sized frame never reshuffles and never rehydrates
+    raw vectors. The final per-query top-k is the same windowed rank as
+    the exact baseline (rank on the ROUNDED distance, ties to the lower
+    id, so cross-engine ordering is stable)."""
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    codes = pq_encode(emb, id_col, vec_col, seed_ids)
+    cents = (e.where(F.col(id_col).isin(seed_ids))
+             .select(F.col(id_col).alias("cent_id"), F.col("v").alias("cv")))
+    qt = (e.where(F.col(id_col).isin(query_ids))
+          .select(F.col(id_col).alias("qid"), F.col("v").alias("qv"))
+          .join(F.broadcast(cents))
+          .select("qid", "cent_id",
+                  *[_l2sq(_sub(F.col("qv"), m), _sub(F.col("cv"), m))
+                    .alias(f"qd{m}") for m in range(1, PQ_M + 1)]))
+    out = codes
+    for m in range(1, PQ_M + 1):
+        t = qt.select(F.col("qid") if m == 1 else F.col("qid").alias(f"_q{m}"),
+                      F.col("cent_id").alias(f"_c{m}"),
+                      F.col(f"qd{m}"))
+        cond = out[f"c{m}"] == t[f"_c{m}"]
+        if m > 1:
+            cond = cond & (out["qid"] == t[f"_q{m}"])
+        out = out.join(F.broadcast(t), cond).drop(f"_c{m}", f"_q{m}")
+    total = F.col("qd1")
+    for m in range(2, PQ_M + 1):
+        total = total + F.col(f"qd{m}")
+    adc = (out.where(F.col(id_col) != F.col("qid"))
+           .select("qid", F.col(id_col).alias("neighbor_id"),
+                   F.round(total, 6).alias("adc_dist")))
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"),
+                                          F.asc("neighbor_id"))
+    return (adc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
                    centroid_ids: list[int], threshold: float = 0.9,
                    centroids: DataFrame | None = None) -> DataFrame:

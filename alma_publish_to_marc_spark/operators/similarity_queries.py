@@ -320,6 +320,81 @@ GROUP BY qid
 """
 
 
+PQ_SEED_IDS = CENTROID_IDS[:S.PQ_KSUB]
+
+
+def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(emb, "vec_id", "embedding", QUERY_IDS,
+                         PQ_SEED_IDS, K)
+
+
+def _sql_sub(v: str, m: int) -> str:
+    return f"{v}[{1 + S.PQ_SUB * (m - 1)} : {S.PQ_SUB * m}]"
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    """Left-fold squared L2 over a subspace (same order as _l2sq)."""
+    return (f"list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1, {S.PQ_SUB} + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+            f"(acc, x) -> acc + x)")
+
+
+def _pq_sql() -> str:
+    d_cols = ",\n           ".join(
+        _sql_l2sq("(" + _sql_sub("e.v", m) + ")",
+                  "(" + _sql_sub("c.cv", m) + ")") + f" AS d{m}"
+        for m in range(1, S.PQ_M + 1))
+    code_cols = ",\n           ".join(
+        f"(min(struct_pack(d := d{m}, cid := cent_id))).cid AS c{m}"
+        for m in range(1, S.PQ_M + 1))
+    qd_cols = ",\n           ".join(
+        _sql_l2sq("(" + _sql_sub("q.qv", m) + ")",
+                  "(" + _sql_sub("c.cv", m) + ")") + f" AS qd{m}"
+        for m in range(1, S.PQ_M + 1))
+    joins = "\n    ".join(
+        f"JOIN qt q{m} ON q{m}.cent_id = codes.c{m}"
+        + ("" if m == 1 else " AND q{m}.qid = q1.qid".format(m=m))
+        for m in range(1, S.PQ_M + 1))
+    total = " + ".join(f"q{m}.qd{m}" for m in range(1, S.PQ_M + 1))
+    return f"""
+WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+c AS (SELECT vec_id AS cent_id, v AS cv FROM e
+      WHERE vec_id IN ({", ".join(map(str, PQ_SEED_IDS))})),
+scored AS (
+    SELECT e.vec_id, c.cent_id,
+           {d_cols}
+    FROM e CROSS JOIN c
+),
+codes AS (
+    SELECT vec_id,
+           {code_cols}
+    FROM scored GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e
+      WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+qt AS (
+    SELECT q.qid, c.cent_id,
+           {qd_cols}
+    FROM q CROSS JOIN c
+),
+adc AS (
+    SELECT q1.qid, codes.vec_id AS neighbor_id,
+           round({total}, 6) AS adc_dist
+    FROM codes
+    {joins}
+    WHERE codes.vec_id <> q1.qid
+)
+SELECT qid, neighbor_id, adc_dist,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY adc_dist ASC, neighbor_id ASC)
+            AS INT) AS rank
+FROM adc
+QUALIFY rank <= {K}
+"""
+
+
 SEMDEDUP_TAU = 0.9
 
 
@@ -451,6 +526,7 @@ QUERIES = {
     "ann_ivf_refined_topk": (_ivf_refined, _IVF_REFINED_SQL),
     "embedding_neardup": (_neardup, _NEARDUP_SQL),
     "semantic_dedup": (_semantic_dedup, _SEMDEDUP_SQL),
+    "pq_adc_topk": (_pq_adc, _pq_sql()),
     "ann_recall_eval": (_recall_eval, _RECALL_SQL),
     "embedding_center_normalize": (_center_normalize, _center_normalize_sql()),
 }

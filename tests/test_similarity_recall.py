@@ -112,3 +112,34 @@ def test_semantic_dedup_drops_injected_copies(spark):
     # the flag is exactly "no lower-id near-dup cell-mate"
     for r in rows:
         assert r["kept"] == (r["dup_of"] is None)
+
+
+def test_pq_codes_and_adc_shape(spark):
+    from alma_publish_to_marc_spark.operators import similarity as S
+    from alma_publish_to_marc_spark.operators import similarity_queries as SQ
+    from alma_publish_to_marc_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = [int(r["vec_id"]) for r in
+             emb.select("vec_id").orderBy("vec_id").limit(S.PQ_KSUB).collect()]
+    codes = {r["vec_id"]: r for r in
+             S.pq_encode(emb, "vec_id", "embedding", seeds).collect()}
+    # every vector gets a full code tuple drawn from the seed set
+    assert len(codes) == emb.count()
+    for r in codes.values():
+        for m in range(1, S.PQ_M + 1):
+            assert r[f"c{m}"] in seeds
+    # a seed vector's own code is itself in every subspace (distance 0)
+    for s in seeds:
+        for m in range(1, S.PQ_M + 1):
+            assert codes[s][f"c{m}"] == s
+
+    top = SQ._pq_adc(spark, "/root/testdata/sf0.001").collect()
+    per_q = {}
+    for r in top:
+        per_q.setdefault(r["qid"], []).append(r)
+        assert r["adc_dist"] >= 0.0
+    for qid, rows in per_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+        ds = [r["adc_dist"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert ds == sorted(ds)
