@@ -49,7 +49,11 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``unhex(md5(..))`` keys (16 bytes) rather than word strings, so the
     Zipf head ("the") hashes to the same few bytes instead of shipping
     text; AQE handles the residual key skew with skew-join splitting.
-    Nothing collects to the driver; V rides a broadcast one-row frame.
+    The unigram denominator is folded INTO the bigram model at build
+    time (a vocab-sized join — each bigram key functionally determines
+    its first word), so the corpus-sized probe is ONE join against one
+    model table, not two. Nothing collects to the driver; V rides a
+    broadcast one-row frame.
 
     Float determinism: the per-pair ln() inputs are integer-ratio
     doubles (bit-identical cross-engine); the per-doc sum is
@@ -74,11 +78,15 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.unhex(F.md5("p.a")).alias("uk"),
                      F.unhex(F.md5(F.concat_ws("\x1f", "p.a", "p.b")))
                       .alias("bk")))
-    big = pairs.groupBy("bk").agg(F.count(F.lit(1)).alias("bc"))
+    # model build: bigram counts, then the vocab-sized denominator join
+    # (uk is functionally dependent on bk, so it rides the groupBy key)
+    model = (pairs.groupBy("bk", "uk")
+             .agg(F.count(F.lit(1)).alias("bc"))
+             .join(uni, "uk")
+             .select("bk", "bc", "uc"))
 
-    scored = (pairs
-              .join(uni, "uk")
-              .join(big, "bk")
+    scored = (pairs.drop("uk")
+              .join(model, "bk")
               .crossJoin(F.broadcast(vstats))
               .select("doc_id",
                       F.log((F.col("bc") + 1) / (F.col("uc") + F.col("v_size")))

@@ -42,6 +42,9 @@ HEADLINE = [
     "training_order_shuffle",
     "corpus_curation_end2end",
     "bucketed_item_info_join",
+    "bm25_topk",
+    "ngram_lm_perplexity",
+    "duplicate_span_removal",
 ]
 
 
