@@ -9,7 +9,7 @@ tests/test_multimodal.py."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -77,8 +77,89 @@ SELECT doc_id,
 FROM documents, unnest(generate_series(0, 3)) AS t(i)
 """
 
+SHARD_BYTES = 16384   # target shard size (WebDataset-style tar budget)
+SHARD_BLOCK = 100     # ids per prefix-scan block
+
+
+def _shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack media payloads into byte-budgeted shards in id order — the
+    WebDataset layout step: a loader streams shard k as one sequential
+    read, and an item's shard is a pure function of the corpus, so the
+    layout is reproducible.
+
+    Shard id = floor(global_byte_offset / SHARD_BYTES) (offset-based
+    packing: an item straddling a boundary belongs to the shard where
+    it starts). The global running offset is computed as a DISTRIBUTED
+    two-level prefix scan, never a single global window: per-block
+    totals (one small aggregation over doc_id div SHARD_BLOCK blocks)
+    get block-prefix offsets via a window over the tiny block table,
+    then each block computes its within-block running sum in parallel
+    (window partitioned BY block). The only single-partition window
+    touches #blocks rows — corpus_size / SHARD_BLOCK — not documents;
+    all sums are exact integers, so the layout is bit-deterministic.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sized = (M.attach_binary_payload(docs, "doc_id", "text")
+             .select("doc_id", "n_bytes",
+                     (F.col("doc_id") - F.pmod("doc_id", F.lit(SHARD_BLOCK)))
+                     .alias("block")))
+    totals = sized.groupBy("block").agg(F.sum("n_bytes").alias("block_bytes"))
+    wb = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "block", F.coalesce(F.sum("block_bytes").over(wb), F.lit(0))
+        .alias("block_offset"))
+    ww = Window.partitionBy("block").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    placed = (sized.join(F.broadcast(offsets), "block")
+              .select("doc_id", "n_bytes",
+                      (F.col("block_offset")
+                       + F.coalesce(F.sum("n_bytes").over(ww), F.lit(0)))
+                      .alias("byte_offset")))
+    return placed.select(
+        "doc_id", "n_bytes", "byte_offset",
+        F.floor(F.col("byte_offset") / SHARD_BYTES).cast("int")
+         .alias("shard_id"),
+        F.pmod("byte_offset", F.lit(SHARD_BYTES)).cast("long")
+         .alias("shard_offset"))
+
+
+_SHARD_SQL = f"""
+WITH sized AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           doc_id - (doc_id % {SHARD_BLOCK}) AS block
+    FROM documents
+),
+totals AS (
+    SELECT block, sum(n_bytes) AS block_bytes FROM sized GROUP BY block
+),
+offsets AS (
+    SELECT block,
+           coalesce(sum(block_bytes) OVER (
+               ORDER BY block
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS block_offset
+    FROM totals
+),
+placed AS (
+    SELECT s.doc_id, s.n_bytes,
+           o.block_offset + coalesce(sum(s.n_bytes) OVER (
+               PARTITION BY s.block ORDER BY s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS byte_offset
+    FROM sized s JOIN offsets o USING (block)
+)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(byte_offset AS BIGINT) AS byte_offset,
+       CAST(floor(byte_offset / {SHARD_BYTES}) AS INT) AS shard_id,
+       CAST(byte_offset % {SHARD_BYTES} AS BIGINT) AS shard_offset
+FROM placed
+"""
+
+
 QUERIES = {
     "multimodal_metadata": (_metadata, _METADATA_SQL),
     "media_decode_stub": (_decode, _DECODE_SQL),
     "media_frame_sample": (_frames, _FRAMES_SQL),
+    "media_shard_assignment": (_shard_assignment, _SHARD_SQL),
 }

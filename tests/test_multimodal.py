@@ -107,3 +107,21 @@ def test_pick_decoder_probe_matches_environment():
         assert chosen is M._decode_image_fake
     assert M.pick_decoder(strict=True) in (M._decode_image_real,
                                            M._decode_image_fake)
+
+
+def test_shard_assignment_is_a_valid_packing(spark):
+    from alma_publish_to_marc_spark.multimodal import multimodal_queries as MQ
+
+    rows = sorted(MQ._shard_assignment(spark, "/root/testdata/sf0.001")
+                  .collect(), key=lambda r: r["doc_id"])
+    assert rows
+    # offsets are the exact running sum in doc_id order
+    cum = 0
+    for r in rows:
+        assert r["byte_offset"] == cum
+        assert r["shard_id"] == cum // MQ.SHARD_BYTES
+        assert r["shard_offset"] == cum % MQ.SHARD_BYTES
+        cum += r["n_bytes"]
+    # shard ids are contiguous from 0
+    shards = {r["shard_id"] for r in rows}
+    assert shards == set(range(max(shards) + 1))
