@@ -251,6 +251,82 @@ WHERE rnk <= 3
 
 
 # --------------------------------------------------------------------------
+# event_ewma_features: windowed EWMA / rolling features per user stream
+# --------------------------------------------------------------------------
+EWMA_ALPHA = 0.7   # per-event decay
+EWMA_W = 8         # lag window (bounded => no overflow, frame-local state)
+
+
+def _ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-stream feature engineering: gap since the
+    previous event, rolling mean over the last ``EWMA_W`` events, and a
+    windowed EWMA (weights α^j over lags j=0..W-1, renormalized over
+    the lags that exist near the stream head).
+
+    Determinism note: every aggregate here is an EXPLICIT left-to-right
+    fold over ``lag(value, j)`` columns — never a windowed sum/avg —
+    because bounded-frame window aggregates associate differently
+    across engines (running vs segment-tree) and double addition isn't
+    associative. A lag fold is the same `+` chain in both engines, so
+    results are bit-identical before rounding.
+
+    Scale: ONE window pass (partitionBy user, orderBy ts/event_id
+    — one hash shuffle on user_id); all W lags share that single sort,
+    and the folds are scan-fused codegen. W is a literal, so state per
+    row is W values — no unbounded frames, no per-user collect."""
+    ev = load(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", j).over(w) for j in range(EWMA_W)]
+    present = [F.when(lag.isNotNull(), 1.0).otherwise(0.0) for lag in lags]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    tot = F.lit(0.0)
+    cnt = F.lit(0.0)
+    for j, (lag, pres) in enumerate(zip(lags, present)):
+        wt = EWMA_ALPHA ** j
+        num = num + F.coalesce(lag, F.lit(0.0)) * wt
+        den = den + pres * wt
+        tot = tot + F.coalesce(lag, F.lit(0.0))
+        cnt = cnt + pres
+    # exact integer microseconds in both engines (epoch seconds would
+    # truncate in Spark but keep fractions in DuckDB)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (us - F.lag(us).over(w)) / 60_000_000.0
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.round(gap, 2).alias("gap_minutes"),
+        F.round(tot / cnt, 6).alias("roll_mean"),
+        F.round(num / den, 6).alias("ewma_value"),
+        cnt.cast("int").alias("n_window"))
+
+
+def _ewma_sql() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {j}) OVER w, 0.0) * {EWMA_ALPHA ** j!r}"
+        for j in range(EWMA_W))
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN 1.0 "
+        f"ELSE 0.0 END) * {EWMA_ALPHA ** j!r}"
+        for j in range(EWMA_W))
+    tot = " + ".join(
+        f"coalesce(lag(value, {j}) OVER w, 0.0)" for j in range(EWMA_W))
+    cnt = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN 1.0 "
+        f"ELSE 0.0 END)" for j in range(EWMA_W))
+    return f"""
+SELECT event_id, user_id, ts, value,
+       round((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 60000000.0, 2)
+           AS gap_minutes,
+       round(({tot}) / ({cnt}), 6) AS roll_mean,
+       round(({num}) / ({den}), 6) AS ewma_value,
+       CAST(({cnt}) AS INT) AS n_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # bm25_topk: keyword retrieval over the documents corpus
 # --------------------------------------------------------------------------
 BM25_K1 = 1.2
@@ -673,4 +749,5 @@ QUERIES = {
     "levenshtein_neardup": (_levenshtein_neardup, _LEVENSHTEIN_SQL),
     "tfidf_top_terms": (_tfidf, _TFIDF_SQL),
     "bm25_topk": (_bm25, _BM25_SQL),
+    "event_ewma_features": (_ewma_features, _ewma_sql()),
 }

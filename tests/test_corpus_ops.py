@@ -354,3 +354,29 @@ def test_datacard_shares_and_totals(spark):
         assert 0.0 <= r["short_doc_share"] <= 1.0
         assert r["total_tokens"] >= r["n_docs"]  # every doc has >=1 token
         assert r["n_langs"] >= 1
+
+
+def test_ewma_features_semantics(spark):
+    from alma_publish_to_marc_spark.plans import analytics_queries as A
+
+    rows = A._ewma_features(spark, SF_DIR).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        # first event: no gap, window of exactly itself
+        assert evs[0]["gap_minutes"] is None
+        assert evs[0]["n_window"] == 1
+        assert evs[0]["ewma_value"] == pytest.approx(evs[0]["value"], abs=1e-4)
+        assert evs[0]["roll_mean"] == pytest.approx(evs[0]["value"], abs=1e-4)
+        for i, r in enumerate(evs):
+            assert r["n_window"] == min(i + 1, A.EWMA_W)
+            if i:
+                assert r["gap_minutes"] >= 0.0
+        # hand-check the second event's ewma: (v1 + a*v0) / (1 + a)
+        if len(evs) >= 2:
+            a = A.EWMA_ALPHA
+            want = (evs[1]["value"] + a * evs[0]["value"]) / (1 + a)
+            assert evs[1]["ewma_value"] == pytest.approx(want, abs=1e-4)
