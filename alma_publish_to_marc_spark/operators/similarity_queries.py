@@ -395,6 +395,58 @@ QUALIFY rank <= {K}
 """
 
 
+def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of PQ/ADC against the exact cosine baseline —
+    the index-quality gate for the compressed path (ADC ranks by
+    L2 over un-normalized vectors, the exact panel by cosine, so this
+    also measures the metric mismatch a deployment must budget for).
+    Same shape as ann_recall_eval: ground truth only for the fixed
+    probe panel, so cost is O(panel x corpus).
+
+    Measured at sf0.01: recall@10 of 0.0-0.4 per query (mean ~0.14) —
+    the honest number for an 8-centroid codebook on uniform-random
+    vectors (PQ's worst case: no cluster structure to quantize, plus
+    the L2-vs-cosine mismatch). Real embedding corpora sit far higher;
+    the production knobs are KSUB (k-means-trained, per subspace) and
+    a re-rank of the top ADC candidates with exact distances."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K) \
+        .select("qid", "neighbor_id")
+    pq = S.pq_adc_topk(emb, "vec_id", "embedding", QUERY_IDS,
+                       PQ_SEED_IDS, K) \
+        .select("qid", F.col("neighbor_id").alias("pq_id"))
+    joined = (exact
+              .join(pq, (exact.qid == pq.qid)
+                    & (exact.neighbor_id == pq.pq_id), "left")
+              .drop(pq.qid))
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("pq_id").isNotNull(), 1).otherwise(0))
+         .alias("pq_hits"),
+        F.round(F.sum(F.when(F.col("pq_id").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)), 4).alias("pq_recall"))
+
+
+def _pq_recall_sql() -> str:
+    return f"""
+WITH exact AS (SELECT qid, neighbor_id FROM ({_BRUTE_SQL})),
+pq AS (SELECT qid, neighbor_id AS pq_id FROM ({_pq_sql()})),
+joined AS (
+    SELECT e.qid, e.neighbor_id, p.pq_id
+    FROM exact e
+    LEFT JOIN pq p ON e.qid = p.qid AND e.neighbor_id = p.pq_id
+)
+SELECT qid, count(*) AS n_exact,
+       CAST(sum(CASE WHEN pq_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS pq_hits,
+       round(sum(CASE WHEN pq_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS pq_recall
+FROM joined GROUP BY qid
+"""
+
+
 SEMDEDUP_TAU = 0.9
 
 
@@ -527,6 +579,7 @@ QUERIES = {
     "embedding_neardup": (_neardup, _NEARDUP_SQL),
     "semantic_dedup": (_semantic_dedup, _SEMDEDUP_SQL),
     "pq_adc_topk": (_pq_adc, _pq_sql()),
+    "pq_recall_eval": (_pq_recall, _pq_recall_sql()),
     "ann_recall_eval": (_recall_eval, _RECALL_SQL),
     "embedding_center_normalize": (_center_normalize, _center_normalize_sql()),
 }
