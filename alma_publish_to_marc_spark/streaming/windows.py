@@ -89,3 +89,44 @@ def deduped_event_stream(events: DataFrame,
         return events.dropDuplicates(["event_id"])
     return (events.withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def attribution_interval_join(clicks: DataFrame, purchases: DataFrame,
+                              watermark: str = "2 hours",
+                              horizon_minutes: int = 60) -> DataFrame:
+    """Stream-stream event-time INTERVAL join — the attribution shape:
+    each purchase joins the clicks of the same user that happened at
+    most ``horizon_minutes`` before it.
+
+    This is the streaming join class the rest of the surface lacked
+    (windowed aggs, dedup, sessionization, stateful counters are
+    covered elsewhere): both sides are watermarked, and the join
+    condition carries the event-time bound, so Spark can expire
+    buffered state — a click is held for at most
+    watermark + horizon, purchases for the watermark. Without the
+    interval bound the state store would grow without limit; with it,
+    state per user is O(events inside the horizon).
+
+    Works identically on batch frames (watermarks are a no-op), which
+    is what the test pins: stream drain == batch join, row for row.
+    """
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("ts", watermark)
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("ts", watermark)
+    c = clicks.select(F.col("user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+    p = purchases.select(F.col("user_id").alias("p_user_id"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+    return (c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts")
+           + F.expr(f"INTERVAL {horizon_minutes} MINUTES")))
+        .select("user_id", "click_id", "click_ts",
+                "purchase_id", "purchase_ts", "purchase_value"))

@@ -137,3 +137,50 @@ def test_dedup_within_watermark_across_drains(spark, tmp_path):
     batch = W.deduped_event_stream(
         spark.read.schema(EVENTS_SCHEMA).parquet(src))
     assert sorted(r["event_id"] for r in batch.collect()) == [1, 2, 3]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    from datetime import datetime
+
+    src = str(tmp_path / "ssj_events")
+    rows = [
+        # user 1: click at 10:00; purchases at 10:30 (in horizon) and
+        # 12:00 (outside)
+        (1, datetime(2024, 1, 1, 10, 0), 1, "click", 0.0),
+        (2, datetime(2024, 1, 1, 10, 30), 1, "purchase", 9.5),
+        (3, datetime(2024, 1, 1, 12, 0), 1, "purchase", 1.0),
+        # user 2: purchase with no prior click
+        (4, datetime(2024, 1, 1, 10, 15), 2, "purchase", 5.0),
+        # user 3: click after the purchase -> no match
+        (5, datetime(2024, 1, 1, 11, 0), 3, "purchase", 2.0),
+        (6, datetime(2024, 1, 1, 11, 30), 3, "click", 0.0),
+    ]
+    _write_events(spark, src, rows)
+
+    def build_stream(streaming_events):
+        return W.attribution_interval_join(
+            streaming_events.where(F.col("event_type") == "click"),
+            streaming_events.where(F.col("event_type") == "purchase"))
+
+    out = str(tmp_path / "ssj_out")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+
+    def sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (build_stream(stream).writeStream
+         .foreachBatch(sink)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ssj_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    batch_events = spark.read.schema(EVENTS_SCHEMA).parquet(src)
+    want = sorted(map(tuple, W.attribution_interval_join(
+        batch_events.where(F.col("event_type") == "click"),
+        batch_events.where(F.col("event_type") == "purchase")).collect()))
+    assert got == want
+    # exactly one attribution: user 1's 10:30 purchase to the 10:00 click
+    assert len(got) == 1
+    assert got[0][0] == 1 and got[0][3] == 2 and got[0][5] == 9.5
