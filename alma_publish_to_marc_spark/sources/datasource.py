@@ -23,7 +23,7 @@ import glob as _glob
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    DataSourceStreamReader, InputPartition)
 
 from ..schemas import PUBLISH_RECORD
 from . import marclib
@@ -44,31 +44,77 @@ def _rec_tuple(rec: dict) -> tuple:
     )
 
 
+def _upsert_files(path: str) -> list[str]:
+    """Sorted upsert files under a path/glob (SRC-4 lexicographic
+    order; delete manifests route elsewhere)."""
+    pattern = path
+    if os.path.isdir(pattern):
+        pattern = os.path.join(pattern, "*")
+    return sorted(
+        p for p in _glob.glob(pattern)
+        if os.path.isfile(p) and "delete" not in os.path.basename(p))
+
+
+def _read_file(path: str):
+    """Executor-side: stream one publish file into record tuples."""
+    with open(path, "rb") as fh:
+        content = fh.read()
+    try:
+        for payload in _extract_xml_payloads(path, content):
+            for rec in marclib.from_marcxml(payload, source_file=path):
+                yield _rec_tuple(rec)
+    except Exception:
+        # log-and-continue per file (parse_file semantics): a
+        # null-mms_id row routes to split_publish's error stream
+        yield _rec_tuple(marclib.new_record(source_file=path))
+
+
 class MarcPublishReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.path = options.get("path") or ""
 
     def partitions(self):  # driver-side: one partition per upsert file
-        pattern = self.path
-        if os.path.isdir(pattern):
-            pattern = os.path.join(pattern, "*")
-        paths = sorted(
-            p for p in _glob.glob(pattern)
-            if os.path.isfile(p) and "delete" not in os.path.basename(p))
-        return [InputPartition(p) for p in paths]
+        return [InputPartition(p) for p in _upsert_files(self.path)]
 
-    def read(self, partition):  # executor-side: stream one file
-        path = partition.value
-        with open(path, "rb") as fh:
-            content = fh.read()
-        try:
-            for payload in _extract_xml_payloads(path, content):
-                for rec in marclib.from_marcxml(payload, source_file=path):
-                    yield _rec_tuple(rec)
-        except Exception:
-            # log-and-continue per file (parse_file semantics): a
-            # null-mms_id row routes to split_publish's error stream
-            yield _rec_tuple(marclib.new_record(source_file=path))
+    def read(self, partition):
+        yield from _read_file(partition.value)
+
+
+class MarcPublishStreamReader(DataSourceStreamReader):
+    """Micro-batch incremental reader over the publish landing dir —
+    the streaming form of the same source: each trigger picks up files
+    that arrived since the last committed offset.
+
+    The offset is the lexicographically-largest file name processed so
+    far, which is exactly the contract the batch surface already relies
+    on (SRC-4: drops are timestamped, names arrive in order —
+    `alma_publish_parser.py:197-238`'s sorted listing). Offsets are
+    tiny (one name), replayable (``partitions(start, end)`` re-derives
+    the file set from the two bounds, so a failed batch re-reads the
+    same files — exactly-once with a checkpointed sink), and partition
+    planning stays a driver-side listing with one partition per new
+    file, read executor-side like the batch reader."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path") or ""
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        files = _upsert_files(self.path)
+        return {"last": files[-1] if files else ""}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        return [InputPartition(p) for p in _upsert_files(self.path)
+                if lo < p <= hi]
+
+    def read(self, partition):
+        yield from _read_file(partition.value)
+
+    def commit(self, end: dict) -> None:
+        pass  # processed files stay in place; the offset is the cursor
 
 
 class MarcPublishDataSource(DataSource):
@@ -81,6 +127,9 @@ class MarcPublishDataSource(DataSource):
 
     def reader(self, schema) -> MarcPublishReader:
         return MarcPublishReader(self.options)
+
+    def streamReader(self, schema) -> MarcPublishStreamReader:
+        return MarcPublishStreamReader(self.options)
 
 
 def register(spark) -> None:
