@@ -447,6 +447,81 @@ FROM joined GROUP BY qid
 """
 
 
+DECON_TAU = 0.95
+
+
+def _embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space twin of
+    the 8-gram `benchmark_decontamination`: a corpus item is
+    contaminated when its cosine to ANY benchmark-panel vector reaches
+    ``DECON_TAU``. The panel is vec_id % 7 == 0 (the same held-out rule
+    as the text query); planted contamination (scaled copies of every
+    3rd panel vector, cosine exactly 1.0) proves the gate fires.
+
+    Scale: the panel is broadcast — the corpus scans once, computes all
+    panel cosines scan-side, and the only shuffle is the per-vector
+    struct-max aggregation (map-side combinable). argmax ties break to
+    the LOWEST benchmark id via max(struct(cos, -bench_id)) — the same
+    deterministic struct-extremum idiom as the PQ encoder. A panel too
+    large to broadcast would reuse the banded-LSH candidate path of
+    `embedding_neardup` instead of the dense scan."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    panel = (emb.where(F.col("vec_id") % 7 == 0)
+             .select(F.col("vec_id").alias("bench_id"),
+                     S.as_double(F.col("embedding")).alias("bv")))
+    off = F.broadcast(emb.agg((F.max("vec_id") + F.lit(1)).alias("_off")))
+    planted = (emb.where((F.col("vec_id") % 7 == 0)
+                         & (F.col("vec_id") % 3 == 0))
+               .crossJoin(off)
+               .select((F.col("vec_id") + F.col("_off")).alias("vec_id"),
+                       F.transform("embedding", lambda x: x * F.lit(0.5))
+                        .alias("embedding")))
+    corpus = (emb.where(F.col("vec_id") % 7 != 0).unionByName(planted)
+              .select("vec_id", S.as_double(F.col("embedding")).alias("v")))
+    best = (corpus.join(F.broadcast(panel))
+            .select("vec_id",
+                    F.struct(S.cosine(F.col("v"), F.col("bv")).alias("c"),
+                             (-F.col("bench_id")).alias("nb")).alias("s"))
+            .groupBy("vec_id")
+            .agg(F.max("s").alias("m")))
+    return best.select(
+        "vec_id",
+        F.col("m.c").alias("max_benchmark_cosine"),
+        (-F.col("m.nb")).alias("nearest_benchmark_id"),
+        (F.col("m.c") >= DECON_TAU).alias("contaminated"))
+
+
+_DECON_SQL = f"""
+WITH panel AS (
+    SELECT vec_id AS bench_id, {_sql_vec()} AS bv
+    FROM embeddings WHERE vec_id % 7 = 0
+),
+corpus AS (
+    SELECT vec_id, {_sql_vec()} AS v FROM embeddings WHERE vec_id % 7 <> 0
+    UNION ALL
+    SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
+           list_transform({_sql_vec()}, x -> x * 0.5) AS v
+    FROM embeddings WHERE vec_id % 7 = 0 AND vec_id % 3 = 0
+),
+best AS (
+    SELECT c.vec_id,
+           max(struct_pack(
+               c := round({_sql_dot('c.v', 'p.bv')}
+                          / ({_sql_norm('c.v')} * {_sql_norm('p.bv')}), 6),
+               nb := -p.bench_id)) AS m
+    FROM corpus c CROSS JOIN panel p
+    GROUP BY c.vec_id
+)
+SELECT vec_id,
+       m.c AS max_benchmark_cosine,
+       -m.nb AS nearest_benchmark_id,
+       m.c >= {DECON_TAU} AS contaminated
+FROM best
+"""
+
+
 SEMDEDUP_TAU = 0.9
 
 
@@ -580,6 +655,7 @@ QUERIES = {
     "semantic_dedup": (_semantic_dedup, _SEMDEDUP_SQL),
     "pq_adc_topk": (_pq_adc, _pq_sql()),
     "pq_recall_eval": (_pq_recall, _pq_recall_sql()),
+    "embedding_decontamination": (_embedding_decontamination, _DECON_SQL),
     "ann_recall_eval": (_recall_eval, _RECALL_SQL),
     "embedding_center_normalize": (_center_normalize, _center_normalize_sql()),
 }

@@ -138,6 +138,82 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+ZIPF_TOP = 100
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary rank-frequency diagnostics: the log-log OLS fit of
+    the top-``ZIPF_TOP`` term frequencies against their ranks. Natural
+    corpora sit near slope −1 (Zipf's law); a corpus whose slope is far
+    off is template spam (too flat: every doc the same words) or noise
+    (too steep: no shared vocabulary) — a one-row corpus health gate a
+    curation run can assert on.
+
+    Scale: term counts are one map-side-combined aggregation; the
+    top-K is orderBy+limit (TakeOrdered — per-partition heaps, no
+    global sort), and ranking + regression run on the K-row result
+    (single tiny partition by construction). The corpus never shuffles
+    more than (term, count) pairs.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+          .where(F.col("t") != "")
+          .groupBy("t").agg(F.count(F.lit(1)).alias("cnt")))
+    top = tf.orderBy(F.desc("cnt"), F.asc("t")).limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("cnt"), F.asc("t"))
+    pts = top.select(F.log(F.row_number().over(w).cast("double")).alias("x"),
+                     F.log(F.col("cnt").cast("double")).alias("y"))
+    agg = pts.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("y") * F.col("y")).alias("syy"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                   * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+    return agg.select(
+        F.col("n").cast("int").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+         .alias("intercept"),
+        F.round((r_num / r_den) * (r_num / r_den), 4).alias("r2"))
+
+
+_ZIPF_SQL = rf"""
+WITH tf AS (
+    SELECT t, count(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+          FROM documents)
+    WHERE t <> '' GROUP BY t
+),
+top AS (SELECT t, cnt FROM tf ORDER BY cnt DESC, t ASC LIMIT {ZIPF_TOP}),
+pts AS (
+    SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, t ASC) AS DOUBLE))
+               AS x,
+           ln(CAST(cnt AS DOUBLE)) AS y
+    FROM top
+),
+agg AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM pts
+)
+SELECT CAST(n AS INT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+           AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+FROM agg
+"""
+
+
 QUERIES = {
     "ngram_lm_perplexity": (ngram_lm_perplexity, _LM_SQL),
+    "token_zipf_fit": (token_zipf_fit, _ZIPF_SQL),
 }

@@ -52,3 +52,38 @@ def test_perplexity_corpus_ranks_repetitive_low(spark):
             assert 0.0 < r["cross_entropy"] < 20.0
             assert r["perplexity"] == pytest.approx(
                 math.exp(r["cross_entropy"]), rel=1e-3)
+
+
+def test_zipf_fit_on_true_zipf_corpus(spark, tmp_path):
+    # counts ~ 1/rank: term t_r appears round(1200/r) times
+    words = []
+    for r in range(1, 21):
+        words += [f"t{r:02d}"] * round(1200 / r)
+    pd.DataFrame({"doc_id": [1], "text": [" ".join(words)]}) \
+        .to_parquet(str(tmp_path / "documents.parquet"))
+    row = L.token_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row["n_terms"] == 20
+    assert row["zipf_slope"] == pytest.approx(-1.0, abs=0.02)
+    assert row["r2"] > 0.999
+
+
+def test_embedding_decontamination_flags_planted(spark):
+    from alma_publish_to_marc_spark.operators.similarity_queries import (
+        _embedding_decontamination)
+    import duckdb
+
+    max_id = duckdb.sql(
+        "select max(vec_id) from "
+        "'/root/testdata/sf0.001/embeddings.parquet'").fetchone()[0]
+    rows = _embedding_decontamination(spark, "/root/testdata/sf0.001") \
+        .collect()
+    planted = [r for r in rows if r["vec_id"] > max_id]
+    assert planted
+    for r in planted:
+        # scaled panel copies sit at cosine 1.0 with their source
+        assert r["contaminated"]
+        assert r["max_benchmark_cosine"] == 1.0
+        assert (r["vec_id"] - (max_id + 1)) == r["nearest_benchmark_id"]
+    # untouched corpus vectors are clean on this uniform-random corpus
+    clean = [r for r in rows if r["vec_id"] <= max_id]
+    assert clean and all(not r["contaminated"] for r in clean)
