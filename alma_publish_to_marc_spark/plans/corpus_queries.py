@@ -213,6 +213,85 @@ FROM cleaned
 """
 
 
+def longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LONGEST duplicated span, in words — the exact-
+    substring dedup signal the 8-gram family approximates: a maximal
+    run of R consecutive duplicated 8-gram starts covers R+7 words of
+    text that occur verbatim elsewhere in the corpus. Docs whose
+    longest span rivals their length are wholesale copies; short spans
+    are quotes/boilerplate.
+
+    Scale: the span/count stages are the md5-keyed shape of
+    `duplicate_ngram_spans`; run detection is the classic gaps-and-
+    islands trick — ``i - row_number()`` is constant within a
+    consecutive run — so it costs one doc-keyed window plus one
+    (doc, run)-keyed aggregation over DUPLICATED starts only (bounded
+    by words/doc). No arrays ride the shuffles; every row is
+    (doc_id, int).
+    """
+    docs = load(spark, sf_dir, "documents") \
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    spans = (docs
+             .select("doc_id", F.posexplode(_shingles_from_words(F.col("w")))
+                     .alias("i0", "gram"))
+             .select("doc_id", (F.col("i0") + 1).alias("i"),
+                     F.unhex(F.md5("gram")).alias("gram_key")))
+    counts = spans.groupBy("gram_key").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = (spans.join(counts, "gram_key")
+           .where(F.col("cnt") > 1)
+           .select("doc_id", "i"))
+    wrun = Window.partitionBy("doc_id").orderBy("i")
+    runs = (dup.withColumn("grp", F.col("i") - F.row_number().over(wrun))
+            .groupBy("doc_id", "grp")
+            .agg(F.count(F.lit(1)).alias("run_len")))
+    longest = runs.groupBy("doc_id").agg(
+        (F.max("run_len") + (NGRAM - 1)).cast("int")
+        .alias("longest_dup_words"))
+    base = load(spark, sf_dir, "documents").select("doc_id")
+    return base.join(longest, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("longest_dup_words", F.lit(0)).cast("int")
+         .alias("longest_dup_words"))
+
+
+_LONGEST_SPAN_SQL = rf"""
+WITH words AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+),
+pos AS (
+    SELECT doc_id, w,
+           unnest(range(1, greatest(len(w) - {NGRAM - 1}, 0) + 1)) AS i
+    FROM words
+),
+spans AS (
+    SELECT doc_id, i,
+           unhex(md5(array_to_string(w[i : i + {NGRAM - 1}], ' '))) AS gram_key
+    FROM pos
+),
+counts AS (SELECT gram_key, count(*) AS cnt FROM spans GROUP BY gram_key),
+dup AS (
+    SELECT s.doc_id, s.i
+    FROM spans s JOIN counts c USING (gram_key) WHERE c.cnt > 1
+),
+grps AS (
+    SELECT doc_id,
+           i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+    FROM dup
+),
+runs AS (
+    SELECT doc_id, grp, count(*) AS run_len FROM grps GROUP BY doc_id, grp
+),
+longest AS (
+    SELECT doc_id, CAST(max(run_len) + {NGRAM - 1} AS INT)
+               AS longest_dup_words
+    FROM runs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(l.longest_dup_words, 0) AS INT) AS longest_dup_words
+FROM documents d LEFT JOIN longest l USING (doc_id)
+"""
+
+
 SHORT_DOC_CHARS = 100  # data-card "short document" threshold
 
 
@@ -1284,6 +1363,7 @@ QUERIES = {
     "duplicate_ngram_spans": (duplicate_ngram_spans, _DUP_SPANS_SQL),
     "duplicate_span_removal": (duplicate_span_removal, _SPAN_REMOVAL_SQL),
     "corpus_datacard": (corpus_datacard, _DATACARD_SQL),
+    "longest_dup_span": (longest_dup_span, _LONGEST_SPAN_SQL),
     "domain_mixture_weights": (domain_mixture_weights, _MIXTURE_SQL),
     "training_order_shuffle": (training_order_shuffle, _SHUFFLE_SQL),
     "event_regression_stats": (event_regression_stats, _REGR_SQL),

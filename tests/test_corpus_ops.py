@@ -380,3 +380,37 @@ def test_ewma_features_semantics(spark):
             a = A.EWMA_ALPHA
             want = (evs[1]["value"] + a * evs[0]["value"]) / (1 + a)
             assert evs[1]["ewma_value"] == pytest.approx(want, abs=1e-4)
+
+
+def test_longest_dup_span_hand_case(spark, tmp_path):
+    import pandas as pd
+
+    # docs 1+2 share a 12-word run -> longest span 12 (5 dup starts);
+    # doc 3 shares only the minimal 8-gram -> longest span 8
+    run12 = " ".join(f"r{i}" for i in range(12))
+    run8 = " ".join(f"s{i}" for i in range(8))
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [run12 + " endA", "pre " + run12,
+                 run8 + " three extra words",
+                 "lead-in " + run8,
+                 " ".join(f"u{i}" for i in range(15))],
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r["longest_dup_words"] for r in
+           C.longest_dup_span(spark, str(tmp_path)).collect()}
+    assert out[1] == 12 and out[2] == 12
+    assert out[3] == 8 and out[4] == 8
+    assert out[5] == 0
+
+
+def test_longest_dup_span_bounded_by_doc(spark):
+    stats = {r["doc_id"]: r for r in
+             C.duplicate_ngram_spans(spark, SF_DIR).collect()}
+    longest = {r["doc_id"]: r["longest_dup_words"] for r in
+               C.longest_dup_span(spark, SF_DIR).collect()}
+    for did, s in stats.items():
+        if s["n_dup_spans"] == 0:
+            assert longest[did] == 0
+        else:
+            # a run of R dup starts spans R+7 words, R <= n_dup_spans
+            assert C.NGRAM <= longest[did] <= s["n_dup_spans"] + C.NGRAM - 1

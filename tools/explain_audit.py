@@ -46,6 +46,11 @@ def main() -> None:
         "event_drift_monitor", "mixture_weighted_sample",
         "curriculum_order", "bucketed_item_info_join",
         "ann_ivf_refined_topk",
+        "ngram_lm_perplexity", "bm25_topk", "semantic_dedup",
+        "duplicate_span_removal", "bpe_encode_docs", "corpus_datacard",
+        "pq_adc_topk", "logreg_train_fixed_point",
+        "media_shard_assignment", "event_ewma_features",
+        "embedding_decontamination", "token_zipf_fit",
     ]
     for name in names:
         if name not in qs:
