@@ -536,11 +536,26 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             CENTROID_IDS, SEMDEDUP_TAU)
 
 
-_SEMDEDUP_SQL = f"""
-WITH {_CORPUS_CTE},
+def _semantic_dedup_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup served from the k-means-refined quantizer (the
+    same composition as ann_ivf_refined_topk): the quantizer trains on
+    the CLEAN corpus, dedup runs over the augmented one. Better cells
+    concentrate near-dups, so the cell-local rule loses fewer
+    cross-cell pairs — the production knob SemDeDup actually tunes."""
+    from .clustering import refined_centroids
+
+    base = load(spark, sf_dir, "embeddings")
+    corpus = _augmented_corpus(spark, sf_dir)
+    return S.semantic_dedup(corpus, "vec_id", "embedding",
+                            centroid_ids=[], threshold=SEMDEDUP_TAU,
+                            centroids=refined_centroids(base))
+
+
+def _semdedup_sql(cents_sql: str, extra_ctes: str = "") -> str:
+    return f"""
+WITH {extra_ctes}{_CORPUS_CTE},
 e AS (SELECT vec_id, {_sql_vec()} AS v FROM corpus),
-c AS (SELECT vec_id AS cent_id, v AS cv FROM e
-      WHERE vec_id IN ({", ".join(map(str, CENTROID_IDS))})),
+c AS ({cents_sql}),
 scored AS (
     SELECT e.vec_id, e.v, c.cent_id,
            row_number() OVER (PARTITION BY e.vec_id
@@ -563,6 +578,12 @@ SELECT cells.vec_id, cells.cell, dup.dup_of,
        dup.dup_of IS NULL AS kept
 FROM cells LEFT JOIN dup ON cells.vec_id = dup.id_a
 """
+
+
+_SEMDEDUP_SQL = _semdedup_sql(
+    "SELECT vec_id AS cent_id, v AS cv FROM e\n"
+    f"      WHERE vec_id IN ({', '.join(map(str, CENTROID_IDS))})")
+_SEMDEDUP_REFINED_SQL = _semdedup_sql(*_refined_cents_ctes())
 
 
 def _center_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,6 +677,7 @@ QUERIES = {
     "pq_adc_topk": (_pq_adc, _pq_sql()),
     "pq_recall_eval": (_pq_recall, _pq_recall_sql()),
     "embedding_decontamination": (_embedding_decontamination, _DECON_SQL),
+    "semantic_dedup_refined": (_semantic_dedup_refined, _SEMDEDUP_REFINED_SQL),
     "ann_recall_eval": (_recall_eval, _RECALL_SQL),
     "embedding_center_normalize": (_center_normalize, _center_normalize_sql()),
 }
