@@ -251,6 +251,41 @@ WHERE rnk <= 3
 
 
 # --------------------------------------------------------------------------
+# lateral_topk_per_group: correlated LATERAL subquery (SQL-surface parity)
+# --------------------------------------------------------------------------
+def _lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers per nation via a correlated LATERAL subquery —
+    the SQL-surface form of per-group top-k (Spark 4 and DuckDB both
+    execute LATERAL; Spark decorrelates it into the same
+    WindowGroupLimit plan the DataFrame window form produces, which is
+    the point: a user porting LATERAL SQL keeps both the semantics and
+    the scalable plan). Registered from pure SQL to exercise that
+    path; the DataFrame twin is first_per_group/max_per_group."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_v n,
+        LATERAL (
+            SELECT c_name, c_acctbal FROM customer_v c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+        ) t
+    """)
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_name, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+) t
+"""
+
+
+# --------------------------------------------------------------------------
 # event_ewma_features: windowed EWMA / rolling features per user stream
 # --------------------------------------------------------------------------
 EWMA_ALPHA = 0.7   # per-event decay
@@ -750,4 +785,5 @@ QUERIES = {
     "tfidf_top_terms": (_tfidf, _TFIDF_SQL),
     "bm25_topk": (_bm25, _BM25_SQL),
     "event_ewma_features": (_ewma_features, _ewma_sql()),
+    "lateral_topk_per_group": (_lateral_topk, _LATERAL_SQL),
 }
