@@ -130,3 +130,67 @@ def attribution_interval_join(clicks: DataFrame, purchases: DataFrame,
            + F.expr(f"INTERVAL {horizon_minutes} MINUTES")))
         .select("user_id", "click_id", "click_ts",
                 "purchase_id", "purchase_ts", "purchase_value"))
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class RecentFeatureProcessor(StatefulProcessor):
+    """Spark 4 ``transformWithStateInPandas`` processor: per-user
+    last-N feature state. Keeps a bounded ListState of the most recent
+    ``EWMA_W`` (ts, value) pairs plus a ValueState event counter, and
+    on every micro-batch emits the user's windowed EWMA — the exact
+    streaming twin of the batch ``event_ewma_features`` query (same
+    ALPHA/W constants, same renormalized alpha^j weights), so the
+    serving path and the backfill path compute the same feature.
+
+    State is O(W) per user by construction (the list is truncated on
+    every update), and the new-API state store gives TTL/timers for
+    free if eviction is ever needed — this is the Spark-4 replacement
+    for the applyInPandasWithState counter above."""
+
+    def init(self, handle) -> None:
+        self._recent = handle.getListState("recent", "ts timestamp, value double")
+        self._count = handle.getValueState("n", "n bigint")
+
+    def close(self) -> None:
+        pass
+
+    def handleInputRows(self, key, rows, timer_values):
+        from ..plans.analytics_queries import EWMA_ALPHA, EWMA_W
+
+        new = pd.concat(list(rows), ignore_index=True)
+        new = new.sort_values(["ts", "event_id"])
+        hist = [(r[0], r[1]) for r in self._recent.get()]
+        hist += list(zip(new["ts"], new["value"]))
+        hist = hist[-EWMA_W:]
+        self._recent.clear()
+        self._recent.put([(t, float(v)) for t, v in hist])
+        n = (self._count.get()[0] if self._count.exists() else 0) + len(new)
+        self._count.update((n,))
+        num = den = 0.0
+        for j, (_, v) in enumerate(reversed(hist)):
+            w = EWMA_ALPHA ** j
+            num += v * w
+            den += w
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "last_ts": [hist[-1][0]],
+            "ewma_value": [round(num / den, 6)],
+        })
+
+
+RECENT_FEATURES_SCHEMA = ("user_id long, n_events bigint, "
+                          "last_ts timestamp, ewma_value double")
+
+
+def recent_feature_stream(events: DataFrame) -> DataFrame:
+    """Wire the processor over a (streaming or batch-test) events
+    frame; grouping key is user_id, update-mode output."""
+    return (events.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RecentFeatureProcessor(),
+                outputStructType=RECENT_FEATURES_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))

@@ -184,3 +184,76 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     # exactly one attribution: user 1's 10:30 purchase to the 10:00 click
     assert len(got) == 1
     assert got[0][0] == 1 and got[0][3] == 2 and got[0][5] == 9.5
+
+
+def test_transform_with_state_matches_batch_ewma(spark, tmp_path):
+    """The transformWithStateInPandas feature server must agree with
+    the batch event_ewma_features query: after draining all events,
+    each user's served ewma equals the batch query's LAST row."""
+    # the transformWithState channel serializes state over protobuf;
+    # not installed in this container, runs anywhere it is (same env
+    # gate as the real media codecs)
+    pytest.importorskip("google.protobuf")
+    from datetime import datetime, timedelta
+
+    from alma_publish_to_marc_spark.plans import analytics_queries as A
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    src = str(tmp_path / "tws_events")
+    base = datetime(2024, 1, 1, 9, 0)
+    rows = []
+    eid = 0
+    for user in (1, 2):
+        for k in range(12):  # > EWMA_W so truncation is exercised
+            eid += 1
+            rows.append((eid, base + timedelta(minutes=10 * k + user),
+                         user, "view", float(user * 100 + k)))
+    # two chunks so state must carry across micro-batches
+    _write_events(spark, src, rows[:10])
+    _write_events(spark, src, rows[10:])
+
+    out = str(tmp_path / "tws_out")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+
+    def sink(batch_df, _bid):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (W.recent_feature_stream(stream).writeStream
+         .foreachBatch(sink)
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "tws_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    served = {}
+    for r in spark.read.parquet(out).collect():
+        # keep the latest emission per user (max n_events)
+        if r["user_id"] not in served or r["n_events"] > served[r["user_id"]]["n_events"]:
+            served[r["user_id"]] = r
+
+    # write the same events under documents-free dir for the batch query
+    batch = A._ewma_features.__wrapped__ if hasattr(A._ewma_features, "__wrapped__") \
+        else A._ewma_features
+    events_df = spark.read.schema(EVENTS_SCHEMA).parquet(src)
+    events_df.createOrReplaceTempView("_unused")
+    # reuse the query body by pointing tables.load at a dir: simplest is
+    # to write events.parquet into a fresh sf-style dir
+    sf_dir = str(tmp_path / "sfdir")
+    import os
+    os.makedirs(sf_dir, exist_ok=True)
+    events_df.coalesce(1).write.mode("overwrite").parquet(sf_dir + "/events.parquet")
+    want_rows = batch(spark, sf_dir).collect()
+    last_per_user = {}
+    for r in want_rows:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or (r["ts"], r["event_id"]) > (cur["ts"], cur["event_id"]):
+            last_per_user[r["user_id"]] = r
+
+    assert set(served) == set(last_per_user)
+    for user, srow in served.items():
+        assert srow["n_events"] == 12
+        assert srow["ewma_value"] == pytest.approx(
+            last_per_user[user]["ewma_value"], abs=1e-6)
