@@ -127,6 +127,46 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                .select("id_a", "id_b", "jaccard"))
 
 
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 5, threshold: float = 0.9,
+                      max_tokens: int | None = None,
+                      max_shingle_freq: int | None = None) -> DataFrame:
+    """ASYMMETRIC shingle containment: c(A→B) = |A∩B| / |A|. Catches
+    the duplication Jaccard structurally misses — a snippet wholly
+    quoted inside a longer document has containment ≈ 1.0 from the
+    snippet's side but Jaccard ≈ |snippet|/|doc| (arbitrarily small).
+    This is the subset/quote/wrapper dedup signal (Lee et al. §4 use
+    exactly this to catch partial duplication).
+
+    Returns (id_a, id_b, containment_a_in_b, containment_b_in_a) with
+    id_a < id_b, kept when EITHER direction reaches ``threshold``.
+    Same shuffle profile as :func:`jaccard_pairs` (shared-shingle
+    candidate join over stop-shingle-capped hashes); at 100 TB the
+    candidate set is gated by the same LSH banding before this exact
+    verify runs."""
+    sh = _exploded_shingles(df, id_col, text_col, n, max_tokens,
+                            max_shingle_freq)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (inter
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("n_shingles").alias("size_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("n_shingles").alias("size_b")), "id_b")
+           .select("id_a", "id_b",
+                   F.round(F.col("n_inter") / F.col("size_a"), 6)
+                    .alias("containment_a_in_b"),
+                   F.round(F.col("n_inter") / F.col("size_b"), 6)
+                    .alias("containment_b_in_a")))
+    return out.where(F.greatest("containment_a_in_b",
+                                "containment_b_in_a") >= threshold)
+
+
 def signature_from_hashes(hashes: Column) -> Column:
     """array<long> of N_PERMS minhash values from an array of shingle
     hashes; empty-shingle docs get HASH_MOD (sentinel larger than any

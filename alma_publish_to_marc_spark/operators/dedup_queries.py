@@ -126,6 +126,63 @@ WHERE round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6) >= 0.5
 """
 
 
+# ---- asymmetric containment (snippet/subset duplication) ------------------
+SNIPPET_WORDS = 15
+
+
+def _snippet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with planted SNIPPETS: the first 15 words of every 4th
+    long document, under new ids — near-subsets of their sources
+    (containment ≈ 1.0 from the snippet side, Jaccard small)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim("text"), r"\s+")
+    snips = (docs.where((F.col("doc_id") % 4 == 0) & (F.size(w) >= 30))
+             .crossJoin(_id_offset(docs))
+             .select((F.col("doc_id") + F.col("_id_off")).alias("doc_id"),
+                     F.array_join(F.slice(w, 1, SNIPPET_WORDS), " ")
+                      .alias("text")))
+    return docs.unionByName(snips)
+
+
+def _containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(_snippet_corpus(spark, sf_dir),
+                               "doc_id", "text", n=5, threshold=0.9)
+
+
+_SNIPPET_CORPUS_SQL = rf"""corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+           array_to_string(
+               (regexp_split_to_array(trim(text), '\s+'))[1 : {SNIPPET_WORDS}],
+               ' ') AS text
+    FROM documents
+    WHERE doc_id % 4 = 0
+      AND len(regexp_split_to_array(trim(text), '\s+')) >= 30
+)"""
+
+_CONTAINMENT_SQL = f"""
+WITH {_SNIPPET_CORPUS_SQL},
+sh AS (
+    SELECT doc_id, unnest({sql_shingle_hashes()}) AS shingle FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter / sa.n_shingles, 6) AS containment_a_in_b,
+       round(n_inter / sb.n_shingles, 6) AS containment_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(round(n_inter / sa.n_shingles, 6),
+               round(n_inter / sb.n_shingles, 6)) >= 0.9
+"""
+
+
 # ---- MinHash + LSH ---------------------------------------------------------
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_near_dup_corpus(spark, sf_dir),
@@ -274,6 +331,7 @@ WHERE round(n_inter / (size_a + size_b - n_inter), 6) >= 0.5
 
 QUERIES = {
     "exact_dedup": (_exact_dedup, _EXACT_SQL),
+    "containment_neardup": (_containment, _CONTAINMENT_SQL),
     "ngram_jaccard_neardup": (_ngram_jaccard, _NGRAM_SQL),
     "minhash_lsh_neardup": (_minhash_lsh, _minhash_sql()),
     "simhash_fingerprint": (_simhash, _simhash_sql()),

@@ -414,3 +414,28 @@ def test_longest_dup_span_bounded_by_doc(spark):
         else:
             # a run of R dup starts spans R+7 words, R <= n_dup_spans
             assert C.NGRAM <= longest[did] <= s["n_dup_spans"] + C.NGRAM - 1
+
+
+def test_containment_catches_snippets_jaccard_misses(spark, tmp_path):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.operators import dedup as D
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    snippet = " ".join(f"w{i}" for i in range(15))
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [long_doc, snippet,
+                 " ".join(f"z{i}" for i in range(20))],
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    cont = D.containment_pairs(docs, "doc_id", "text",
+                               n=5, threshold=0.9).collect()
+    jacc = D.jaccard_pairs(docs, "doc_id", "text",
+                           n=5, threshold=0.9).collect()
+    # containment flags the snippet pair at 1.0; Jaccard at 0.9 misses it
+    assert len(cont) == 1
+    assert (cont[0]["id_a"], cont[0]["id_b"]) == (1, 2)
+    assert cont[0]["containment_b_in_a"] == 1.0
+    assert cont[0]["containment_a_in_b"] < 0.5
+    assert jacc == []
