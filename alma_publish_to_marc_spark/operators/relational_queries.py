@@ -436,6 +436,52 @@ SELECT user_id, 'signup_and_purchase' AS cohort FROM (
 """
 
 
+# ---- full outer reconciliation -------------------------------------------
+def _full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation — the one join type the rest of
+    the surface doesn't exercise: customers vs event activity on the
+    shared key space, classifying every key as both / customer_only /
+    events_only. The reconciliation report shape (which master rows
+    never saw activity, which activity has no master row) that data
+    QA runs after every sync — the reference's ids listings diff the
+    same way (ids_from_database.py vs ids_from_files.py).
+
+    Scale: the event side pre-aggregates to one row per key before the
+    join (partial-aggregated), so the full-outer shuffle moves two
+    key-counted frames, never raw events; AQE picks the join strategy.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .groupBy(F.col("user_id").alias("key"))
+          .agg(F.count(F.lit(1)).alias("n_events")))
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ckey"), "c_acctbal")
+    j = cust.join(ev, cust.ckey == ev.key, "full_outer")
+    presence = (F.when(F.col("ckey").isNotNull() & F.col("key").isNotNull(),
+                       "both")
+                .when(F.col("ckey").isNotNull(), "customer_only")
+                .otherwise("events_only"))
+    return j.select(
+        F.coalesce("ckey", "key").alias("entity_key"),
+        presence.alias("presence"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("c_acctbal"))
+
+
+_FULL_OUTER_SQL = """
+WITH ev AS (
+    SELECT user_id AS key, count(*) AS n_events FROM events GROUP BY user_id
+),
+cust AS (SELECT c_custkey AS ckey, c_acctbal FROM customer)
+SELECT coalesce(ckey, key) AS entity_key,
+       CASE WHEN ckey IS NOT NULL AND key IS NOT NULL THEN 'both'
+            WHEN ckey IS NOT NULL THEN 'customer_only'
+            ELSE 'events_only' END AS presence,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       c_acctbal
+FROM cust FULL OUTER JOIN ev ON cust.ckey = ev.key
+"""
+
+
 QUERIES = {
     "broadcast_dim_lookup": (_broadcast_lookup, _BROADCAST_LOOKUP_SQL),
     "salted_skew_join": (_salted_skew_join, _SALTED_SQL),
@@ -457,4 +503,5 @@ QUERIES = {
     "not_in_membership": (_not_in_membership, _NOT_IN_SQL),
     "replace_by_key": (_replace_by_key, _REPLACE_SQL),
     "union_multi_extract": (_union_extracts, _UNION_SQL),
+    "full_outer_reconcile": (_full_outer_reconcile, _FULL_OUTER_SQL),
 }
