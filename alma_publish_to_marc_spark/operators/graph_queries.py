@@ -276,8 +276,121 @@ WHERE NOT EXISTS (
 """
 
 
+# ---- fixed-point PageRank --------------------------------------------------
+PR_SCALE = 1_000_000_000_000  # tera units: integer mass, exact everywhere
+PR_ITERS = 2
+_SUPP_NS = 1_000_000          # supplier node-id namespace offset
+
+
+def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier bipartite graph (edges =
+    distinct (custkey, suppkey) pairs from lineitem⋈orders), PR_ITERS
+    power-iteration rounds with damping 0.85 — importance scoring, the
+    second iterative graph algorithm class after connected components.
+
+    Fixed-point discipline (the clustering.py recipe): rank mass lives
+    in integer tera units; per-round contributions are
+    ``floor(pr / deg)`` and the update is
+    ``floor(15·S/(100·n)) + floor(85·Σcontrib/100)`` — every quotient
+    is a rational with a small denominator, never pathologically close
+    to an integer, so the floors are bit-identical across engines (the
+    oracle unrolls the same rounds as CTEs). Mass leaks a few units per
+    node per round to flooring, which is fine for a RANKING — ordering,
+    not conservation, is the contract.
+
+    Scale: each round joins the rank table onto the undirected edge
+    list by src (one shuffle) and aggregates contributions by dst
+    (map-side combinable) — the standard distributed PageRank; degrees
+    ride the same node-keyed join. At 100 TB the driver-paced loop
+    stages rounds through parquet cuts exactly like
+    :func:`connected_components`; there are no dangling nodes by
+    construction (every node enters via an edge).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .distinct())
+    und = (e0.select(F.col("c").alias("src"),
+                     (F.col("s") + _SUPP_NS).alias("dst"))
+           .unionByName(e0.select((F.col("s") + _SUPP_NS).alias("src"),
+                                  F.col("c").alias("dst"))))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    pr = (nodes.crossJoin(nn)
+          .select("node",
+                  F.floor(F.lit(PR_SCALE) / F.col("n")).cast("long")
+                   .alias("pr")))
+    for _ in range(PR_ITERS):
+        contrib = (und
+                   .join(pr.withColumnRenamed("node", "src"), "src")
+                   .join(deg, "src")
+                   .select("dst",
+                           F.floor(F.col("pr") / F.col("deg")).cast("long")
+                            .alias("contrib"))
+                   .groupBy("dst")
+                   .agg(F.sum("contrib").alias("s")))
+        pr = (nodes.crossJoin(nn)
+              .join(contrib, nodes.node == contrib.dst, "left")
+              .select("node",
+                      (F.floor(F.lit(15 * PR_SCALE) / (100 * F.col("n")))
+                       .cast("long")
+                       + F.floor(F.coalesce("s", F.lit(0)) * 85 / 100)
+                          .cast("long")).alias("pr")))
+    return (pr.join(nodes.select("node", "deg"), "node")
+            .select(F.col("node").alias("node_id"),
+                    F.when(F.col("node") >= _SUPP_NS, "supplier")
+                     .otherwise("customer").alias("node_type"),
+                    F.col("pr").alias("pr_tera"),
+                    F.col("deg").cast("long").alias("degree")))
+
+
+def _pagerank_sql() -> str:
+    ctes = [f"""e0 AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""", f"""und AS (
+    SELECT c AS src, s + {_SUPP_NS} AS dst FROM e0
+    UNION ALL
+    SELECT s + {_SUPP_NS} AS src, c AS dst FROM e0
+)""", """deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src)""",
+        """nodes AS (SELECT src AS node, deg FROM deg)""",
+        """nn AS (SELECT count(*) AS n FROM nodes)""",
+        f"""p0 AS (
+    SELECT node, CAST(floor({PR_SCALE} / n) AS BIGINT) AS pr
+    FROM nodes CROSS JOIN nn
+)"""]
+    for i in range(PR_ITERS):
+        ctes.append(f"""c{i + 1} AS (
+    SELECT u.dst, CAST(sum(CAST(floor(p.pr / d.deg) AS BIGINT)) AS BIGINT)
+               AS s
+    FROM und u
+    JOIN p{i} p ON u.src = p.node
+    JOIN deg d ON u.src = d.src
+    GROUP BY u.dst
+)""")
+        ctes.append(f"""p{i + 1} AS (
+    SELECT nodes.node,
+           CAST(floor({15 * PR_SCALE} / (100 * nn.n)) AS BIGINT)
+           + CAST(floor(coalesce(c{i + 1}.s, 0) * 85 / 100) AS BIGINT) AS pr
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN c{i + 1} ON nodes.node = c{i + 1}.dst
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT p.node AS node_id,
+       CASE WHEN p.node >= {_SUPP_NS} THEN 'supplier' ELSE 'customer' END
+           AS node_type,
+       p.pr AS pr_tera,
+       CAST(nodes.deg AS BIGINT) AS degree
+FROM p{PR_ITERS} p JOIN nodes ON p.node = nodes.node
+""")
+
+
 QUERIES = {
     "neardup_clusters": (_neardup_clusters, _CLUSTERS_SQL),
     "dedup_keep_canonical": (_dedup_keep_canonical, _DEDUP_CANONICAL_SQL),
     "dedup_pipeline_end2end": (_dedup_pipeline_end2end, _dedup_pipeline_sql()),
+    "pagerank_fixed_point": (pagerank_fixed_point, _pagerank_sql()),
 }

@@ -42,3 +42,24 @@ def test_bridged_components_merge(spark):
     out = _components(spark, edges)
     assert set(out.values()) == {100}
     assert len(out) == 10
+
+
+def test_pagerank_fixed_point_properties(spark):
+    from alma_publish_to_marc_spark.operators.graph_queries import (
+        PR_SCALE, pagerank_fixed_point)
+
+    rows = pagerank_fixed_point(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total = sum(r["pr_tera"] for r in rows)
+    # flooring only leaks mass downward; ranks stay positive
+    assert 0 < total <= PR_SCALE
+    for r in rows:
+        assert r["pr_tera"] > 0
+        assert r["node_type"] in ("customer", "supplier")
+    # suppliers aggregate many customers: the max-degree node outranks
+    # the min-degree node (power iteration moves mass to hubs)
+    by_deg = sorted(rows, key=lambda r: r["degree"])
+    assert by_deg[-1]["pr_tera"] > by_deg[0]["pr_tera"]
+    # determinism
+    again = pagerank_fixed_point(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
