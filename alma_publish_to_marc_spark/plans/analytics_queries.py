@@ -251,6 +251,80 @@ WHERE rnk <= 3
 
 
 # --------------------------------------------------------------------------
+# value_histogram: fixed-width histogram (width_bucket)
+# --------------------------------------------------------------------------
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 100.0, 10
+
+
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values via width_bucket — the
+    profiling primitive behind every distribution dashboard. Bucket
+    bounds are literals, so the whole thing is ONE map-side-combined
+    aggregation over a scan; out-of-range values land in the 0 /
+    buckets+1 sentinel bins per SQL-standard width_bucket semantics.
+    DuckDB has no width_bucket builtin, so BOTH engines evaluate the
+    same explicit floor formula — textual identity beats relying on
+    two implementations agreeing at bucket boundaries."""
+    ev = load(spark, sf_dir, "events")
+    step = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = (F.when(F.col("value") < HIST_LO, F.lit(0))
+              .when(F.col("value") >= HIST_HI, F.lit(HIST_BUCKETS + 1))
+              .otherwise(F.floor((F.col("value") - HIST_LO) / step) + 1))
+    return (ev.groupBy(bucket.cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 4).alias("lo_seen"),
+                 F.round(F.max("value"), 4).alias("hi_seen")))
+
+
+_HISTOGRAM_SQL = f"""
+SELECT CAST(CASE WHEN value < {HIST_LO} THEN 0
+                 WHEN value >= {HIST_HI} THEN {HIST_BUCKETS + 1}
+                 ELSE floor((value - {HIST_LO})
+                            / {(HIST_HI - HIST_LO) / HIST_BUCKETS}) + 1
+            END AS INT) AS bucket,
+       count(*) AS n,
+       round(min(value), 4) AS lo_seen,
+       round(max(value), 4) AS hi_seen
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# range_frame_rolling: time-interval RANGE window frame
+# --------------------------------------------------------------------------
+def _range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour rolling stats per user via a RANGE frame over
+    event-time seconds — the window class rows-frames can't express
+    (the frame is defined by VALUE distance, so all ties are peers and
+    gaps shrink the frame). Spark's rangeBetween needs a numeric order
+    key, so both engines order by integer epoch seconds — exact, and
+    tie-order-independent by construction (RANGE includes all peers).
+    One window pass = one hash shuffle on user_id."""
+    ev = load(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts", "value")
+    secs = F.unix_micros(F.col("ts").cast("timestamp"))
+    sdiv = (secs / 1_000_000).cast("long")
+    w = (Window.partitionBy("user_id").orderBy(sdiv)
+         .rangeBetween(-3600, 0))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_hour"),
+        F.round(F.sum("value").over(w), 4).alias("sum_trailing_hour"))
+
+
+_RANGE_FRAME_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_hour,
+       round(sum(value) OVER w, 4) AS sum_trailing_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
 # lateral_topk_per_group: correlated LATERAL subquery (SQL-surface parity)
 # --------------------------------------------------------------------------
 def _lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,4 +860,6 @@ QUERIES = {
     "bm25_topk": (_bm25, _BM25_SQL),
     "event_ewma_features": (_ewma_features, _ewma_sql()),
     "lateral_topk_per_group": (_lateral_topk, _LATERAL_SQL),
+    "value_histogram": (_value_histogram, _HISTOGRAM_SQL),
+    "range_frame_rolling": (_range_frame_rolling, _RANGE_FRAME_SQL),
 }

@@ -69,7 +69,46 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def _hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) event-time windows — 1-hour windows every 30
+    minutes, so each event lands in exactly 2 windows. Same
+    batch≡streaming code path as the tumbling query (F.window with a
+    slideDuration); the oracle materializes the 2 covering windows per
+    event via unnest. One shuffle keyed by (window, type); streaming
+    state per window expires at the watermark like the tumbling case.
+    """
+    from pyspark.sql import functions as F
+
+    events = load(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "value_sum"))
+
+
+_HOPPING_SQL = """
+WITH covering AS (
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+               - INTERVAL 30 MINUTE * i AS window_start,
+           event_type, value
+    FROM events, unnest(generate_series(0, 1)) AS t(i)
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS value_sum
+FROM covering
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "event_time_windows": (_event_time_windows, _WINDOWS_SQL),
     "event_sessionization": (_sessionize, _SESSION_SQL),
+    "hopping_window_counts": (_hopping_windows, _HOPPING_SQL),
 }
