@@ -251,6 +251,87 @@ WHERE rnk <= 3
 
 
 # --------------------------------------------------------------------------
+# inverted_index_build: postings construction for the retrieval stack
+# --------------------------------------------------------------------------
+POSTINGS_K = 10
+
+
+def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the indexing half of the retrieval stack
+    (bm25_topk is the serving half): per term, document frequency,
+    total term frequency, and the top-``POSTINGS_K`` postings (by tf
+    desc, doc asc) serialized as a compact string. Real postings lists
+    would go to a sink partitioned by term-hash; serializing the head
+    keeps the result value-hash comparable.
+
+    Scale: tf is the usual (doc, term) map-side-combined aggregation;
+    the per-term top-K is WindowGroupLimit (map-side heads before the
+    term shuffle), and the postings string is built by collect_list of
+    ALREADY-LIMITED rows — ≤K per term by construction, so no
+    unbounded per-group state. Sort inside the collected array is
+    explicit (array_sort on a rank-prefixed struct) — collect_list
+    order is never trusted."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+         .alias("term"))
+        .where(F.col("term") != ""))
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    top = tf.withColumn("rnk", F.row_number().over(w)) \
+            .where(F.col("rnk") <= POSTINGS_K)
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"))
+    postings = top.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "doc_id", "tf"))),
+                lambda s: F.concat_ws(":", s["doc_id"].cast("string"),
+                                      s["tf"].cast("string"))),
+            ",").alias("postings_head"))
+    return (stats.join(postings, "term")
+            .select("term", "df", "total_tf", "postings_head"))
+
+
+_INVERTED_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT term, doc_id, count(*) AS tf
+    FROM toks WHERE term <> '' GROUP BY term, doc_id
+),
+top AS (
+    SELECT term, doc_id, tf,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id ASC) AS rnk
+    FROM tf QUALIFY rnk <= {POSTINGS_K}
+),
+stats AS (
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM tf GROUP BY term
+),
+postings AS (
+    SELECT term,
+           array_to_string(
+               list_transform(
+                   list_sort(list(struct_pack(rnk := rnk, doc_id := doc_id,
+                                              tf := tf))),
+                   s -> CAST(s.doc_id AS VARCHAR) || ':'
+                        || CAST(s.tf AS VARCHAR)),
+               ',') AS postings_head
+    FROM top GROUP BY term
+)
+SELECT stats.term, stats.df, stats.total_tf, postings.postings_head
+FROM stats JOIN postings USING (term)
+"""
+
+
+# --------------------------------------------------------------------------
 # value_histogram: fixed-width histogram (width_bucket)
 # --------------------------------------------------------------------------
 HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 100.0, 10
@@ -861,5 +942,6 @@ QUERIES = {
     "event_ewma_features": (_ewma_features, _ewma_sql()),
     "lateral_topk_per_group": (_lateral_topk, _LATERAL_SQL),
     "value_histogram": (_value_histogram, _HISTOGRAM_SQL),
+    "inverted_index_build": (_inverted_index, _INVERTED_SQL),
     "range_frame_rolling": (_range_frame_rolling, _RANGE_FRAME_SQL),
 }
