@@ -18,6 +18,38 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2:]
 
 
+def summarize(spark, df) -> dict:
+    """Scale-relevant physical-plan properties of an (un-executed)
+    DataFrame, with AQE disabled for the static view. Keys double as
+    the structural contract tests/test_plan_properties.py pins."""
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted")
+        cg = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    scans = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    m = re.search(r"Found (\d+) WholeStageCodegen", cg)
+    return {
+        "shuffles": len(re.findall(r"Arguments: hashpartitioning", plan)),
+        "range_shuffles": len(re.findall(r"Arguments: rangepartitioning", plan)),
+        "single_part": len(re.findall(r"Arguments: SinglePartition", plan)),
+        "broadcast_joins": len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)),
+        "broadcast_nl_joins": len(
+            re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)),
+        "sort_merge_joins": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
+        "scans": len(scans),
+        "scan_widths": [s.count(":") for s in scans],
+        "pushed_filter_scans": sum(1 for p in pushed if p.strip()),
+        "codegen_spans": int(m.group(1)) if m else 0,
+        "_plan": plan,
+    }
+
+
 def main() -> None:
     from alma_publish_to_marc_spark.session import get_spark
     from alma_publish_to_marc_spark import registry
@@ -63,31 +95,10 @@ def main() -> None:
         # previous value in `finally` — anything built in this session
         # outside the registry wrappers (whose tune() re-enables AQE)
         # must not silently plan without it.
-        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-                df._jdf.queryExecution(), "formatted")
-            cg = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-                df._jdf.queryExecution(), "codegen")
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-        shuffles = len(re.findall(r"Arguments: hashpartitioning", plan))
-        ranges = len(re.findall(r"Arguments: rangepartitioning", plan))
-        single = len(re.findall(r"Arguments: SinglePartition", plan))
-        bcast = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
-        smj = len(re.findall(r"\(\d+\) SortMergeJoin", plan))
-        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-        pushed_n = sum(1 for p in pushed if p.strip())
-        scans = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
-        widths = [s.count(":") for s in scans]
-        m = re.search(r"Found (\d+) WholeStageCodegen", cg)
-        codegen = int(m.group(1)) if m else 0
-        print(f"== {name}: shuffles={shuffles} range_shuffles={ranges} "
-              f"single_part={single} "
-              f"broadcast_joins={bcast} sort_merge_joins={smj} "
-              f"scans={len(scans)} scan_widths={widths} "
-              f"pushed_filter_scans={pushed_n} codegen_spans={codegen}")
+        props = summarize(spark, df)
+        plan = props.pop("_plan")
+        print(f"== {name}: " + " ".join(
+            f"{k}={v}" for k, v in props.items()))
         if "-v" in sys.argv or os.environ.get("AUDIT_VERBOSE"):
             print(plan)
 
