@@ -7,7 +7,7 @@ hash-match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -135,6 +135,94 @@ FROM (
            {atl} AS avg_tl
     FROM documents
 )
+"""
+
+
+# --- preference pairs (alignment-data prep) ------------------------------
+PREF_PAIRS_PER_SOURCE = 3
+
+
+def _preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward-model / DPO data prep: per source, pair the i-th BEST
+    document with the i-th WORST by quality score (i ≤ 3), keeping only
+    pairs with a strictly positive gap — the chosen/rejected pair
+    construction an alignment pipeline runs over scored corpora.
+
+    Scale: two WindowGroupLimit rank passes over the same source-keyed
+    shuffle (top-k and bottom-k are both map-side-pruned to ≤k rows per
+    source before the exchange), then a join on (source, rank) between
+    two ≤k·|sources| frames — negligible. Deterministic tie-breaks:
+    best ranks break ties by ascending doc_id, worst by descending, so
+    a source whose docs all tie yields no pairs (gap filter) rather
+    than arbitrary ones."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source",
+                         T.quality_score(F.col("text")).alias("quality"))
+    w_hi = Window.partitionBy("source").orderBy(F.desc("quality"),
+                                                F.asc("doc_id"))
+    w_lo = Window.partitionBy("source").orderBy(F.asc("quality"),
+                                                F.desc("doc_id"))
+    hi = (scored.withColumn("pair_rank", F.row_number().over(w_hi))
+          .where(F.col("pair_rank") <= PREF_PAIRS_PER_SOURCE)
+          .select("source", "pair_rank",
+                  F.col("doc_id").alias("chosen_doc"),
+                  F.col("quality").alias("chosen_quality")))
+    lo = (scored.withColumn("pair_rank", F.row_number().over(w_lo))
+          .where(F.col("pair_rank") <= PREF_PAIRS_PER_SOURCE)
+          .select("source", "pair_rank",
+                  F.col("doc_id").alias("rejected_doc"),
+                  F.col("quality").alias("rejected_quality")))
+    return (hi.join(lo, ["source", "pair_rank"])
+            .where(F.col("chosen_quality") > F.col("rejected_quality"))
+            .select("source", "pair_rank", "chosen_doc", "rejected_doc",
+                    F.round(F.col("chosen_quality")
+                            - F.col("rejected_quality"), 4)
+                     .alias("quality_gap")))
+
+
+def _preference_pairs_sql() -> str:
+    toks = SQL_TOKS
+    atl = sql_avg_token_len()
+    punct = sql_punct_ratio()
+    stop = sql_stopword_ratio()
+    p = PREF_PAIRS_PER_SOURCE
+    return f"""
+WITH feats AS (
+    SELECT doc_id, source,
+           len({toks}) AS n_tokens,
+           {stop} AS stopword_ratio,
+           {punct} AS punct_ratio,
+           {atl} AS avg_tl
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, source,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.2 * (CASE WHEN avg_tl >= 3 AND avg_tl <= 10
+                             THEN 1.0 ELSE 0.5 END)
+               + 0.2 * least(stopword_ratio * 5, 1.0)
+               + 0.2 * (1.0 - least(punct_ratio * 10, 1.0)), 4) AS quality
+    FROM feats
+),
+hi AS (
+    SELECT source, doc_id AS chosen_doc, quality AS chosen_quality,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY quality DESC, doc_id ASC)
+               AS pair_rank
+    FROM scored QUALIFY pair_rank <= {p}
+),
+lo AS (
+    SELECT source, doc_id AS rejected_doc, quality AS rejected_quality,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY quality ASC, doc_id DESC)
+               AS pair_rank
+    FROM scored QUALIFY pair_rank <= {p}
+)
+SELECT hi.source, CAST(hi.pair_rank AS INT) AS pair_rank,
+       hi.chosen_doc, lo.rejected_doc,
+       round(hi.chosen_quality - lo.rejected_quality, 4) AS quality_gap
+FROM hi JOIN lo ON hi.source = lo.source AND hi.pair_rank = lo.pair_rank
+WHERE hi.chosen_quality > lo.rejected_quality
 """
 
 
@@ -503,6 +591,7 @@ QUERIES = {
     "stratified_sample": (_stratified_sample, _STRATIFIED_SQL),
     "doc_lang_id": (_lang_id, _lang_id_sql()),
     "doc_quality_score": (_quality, _quality_sql()),
+    "preference_pairs": (_preference_pairs, _preference_pairs_sql()),
     "doc_fingerprint": (_fingerprint, _FINGERPRINT_SQL),
     "dataset_split": (_dataset_split, _SPLIT_SQL),
 }

@@ -183,6 +183,79 @@ WHERE greatest(round(n_inter / sa.n_shingles, 6),
 """
 
 
+# ---- train/test leakage audit ---------------------------------------------
+def _split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene audit: near-duplicate pairs that CROSS dataset
+    splits. A test doc with a near-dup in train is leaked evaluation —
+    the check every training run should gate on after splitting
+    (dedup-then-split is the fix; this measures how much you need it).
+
+    Composes the stable hash split of ``dataset_split`` (membership is
+    a pure function of doc_id, so no join is needed — the split is
+    computed directly on each pair's endpoint ids) with the exact
+    Jaccard pair generation. Output: pair counts per unordered split
+    combination with a crosses_split flag; the leakage number is the
+    sum of crossing rows."""
+    from ..functions.text_queries import _SPLIT_MOD, _SPLIT_MULT
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = D.jaccard_pairs(corpus, "doc_id", "text", n=5, threshold=0.5)
+
+    def split_of(col):
+        b = ((col % _SPLIT_MOD) * _SPLIT_MULT) % _SPLIT_MOD % 100
+        return (F.when(b < 80, "train")
+                .when(b < 90, "validation")
+                .otherwise("test"))
+
+    sa, sb = split_of(F.col("id_a")), split_of(F.col("id_b"))
+    return (pairs
+            .select(F.least(sa, sb).alias("split_a"),
+                    F.greatest(sa, sb).alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .withColumn("crosses_split",
+                        F.col("split_a") != F.col("split_b")))
+
+
+def _split_leakage_sql() -> str:
+    from ..functions.text_queries import _SPLIT_MOD, _SPLIT_MULT
+
+    split_of = (
+        "CASE WHEN (({c} % {m}) * {k}) % {m} % 100 < 80 THEN 'train' "
+        "WHEN (({c} % {m}) * {k}) % {m} % 100 < 90 THEN 'validation' "
+        "ELSE 'test' END")
+    sa = split_of.format(c="id_a", m=_SPLIT_MOD, k=_SPLIT_MULT)
+    sb = split_of.format(c="id_b", m=_SPLIT_MOD, k=_SPLIT_MULT)
+    return f"""
+WITH {SQL_NEAR_CORPUS},
+sh AS (
+    SELECT doc_id, unnest({sql_shingle_hashes()}) AS shingle FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6)
+          >= 0.5
+),
+tagged AS (
+    SELECT least({sa}, {sb}) AS split_a,
+           greatest({sa}, {sb}) AS split_b
+    FROM pairs
+)
+SELECT split_a, split_b, count(*) AS n_pairs,
+       split_a <> split_b AS crosses_split
+FROM tagged GROUP BY split_a, split_b
+"""
+
+
 # ---- MinHash + LSH ---------------------------------------------------------
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_near_dup_corpus(spark, sf_dir),
@@ -332,6 +405,7 @@ WHERE round(n_inter / (size_a + size_b - n_inter), 6) >= 0.5
 QUERIES = {
     "exact_dedup": (_exact_dedup, _EXACT_SQL),
     "containment_neardup": (_containment, _CONTAINMENT_SQL),
+    "split_leakage_check": (_split_leakage, _split_leakage_sql()),
     "ngram_jaccard_neardup": (_ngram_jaccard, _NGRAM_SQL),
     "minhash_lsh_neardup": (_minhash_lsh, _minhash_sql()),
     "simhash_fingerprint": (_simhash, _simhash_sql()),

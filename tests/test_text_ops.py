@@ -99,3 +99,31 @@ def test_repetition_fractions(spark):
     ).collect()[0]
     assert row["dw"] == 0.5
     assert row["dt"] == 0.25
+
+
+def test_preference_pairs_are_strictly_ordered(spark):
+    from alma_publish_to_marc_spark.functions.text_queries import (
+        PREF_PAIRS_PER_SOURCE, _preference_pairs)
+
+    rows = _preference_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["quality_gap"] > 0
+        assert r["chosen_doc"] != r["rejected_doc"]
+        assert 1 <= r["pair_rank"] <= PREF_PAIRS_PER_SOURCE
+    # at most K pairs per source
+    per_src: dict[str, int] = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert all(n <= PREF_PAIRS_PER_SOURCE for n in per_src.values())
+
+
+def test_split_leakage_detects_cross_split_neardups(spark):
+    from alma_publish_to_marc_spark.operators.dedup_queries import (
+        _split_leakage)
+
+    rows = _split_leakage(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["crosses_split"] == (r["split_a"] != r["split_b"])
+        assert r["n_pairs"] > 0
