@@ -341,7 +341,7 @@ def _sql_l2sq(a: str, b: str) -> str:
             f"(acc, x) -> acc + x)")
 
 
-def _pq_sql() -> str:
+def _pq_sql(k: int = K) -> str:
     d_cols = ",\n           ".join(
         _sql_l2sq("(" + _sql_sub("e.v", m) + ")",
                   "(" + _sql_sub("c.cv", m) + ")") + f" AS d{m}"
@@ -391,6 +391,38 @@ SELECT qid, neighbor_id, adc_dist,
                                ORDER BY adc_dist ASC, neighbor_id ASC)
             AS INT) AS rank
 FROM adc
+QUALIFY rank <= {k}
+"""
+
+
+RERANK_SHORTLIST = 50
+
+
+def _pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.pq_rerank_topk(emb, "vec_id", "embedding", QUERY_IDS,
+                            PQ_SEED_IDS, K, RERANK_SHORTLIST)
+
+
+def _pq_rerank_sql() -> str:
+    return f"""
+WITH cand AS (SELECT qid, neighbor_id FROM ({_pq_sql(RERANK_SHORTLIST)})),
+e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e
+      WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+scored AS (
+    SELECT c.qid, c.neighbor_id,
+           round({_sql_dot('q.qv', 'e.v')}
+                 / ({_sql_norm('q.qv')} * {_sql_norm('e.v')}), 6) AS cosine
+    FROM cand c
+    JOIN e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.qid = c.qid
+)
+SELECT qid, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, neighbor_id ASC)
+            AS INT) AS rank
+FROM scored
 QUALIFY rank <= {K}
 """
 
@@ -676,6 +708,7 @@ QUERIES = {
     "semantic_dedup": (_semantic_dedup, _SEMDEDUP_SQL),
     "pq_adc_topk": (_pq_adc, _pq_sql()),
     "pq_recall_eval": (_pq_recall, _pq_recall_sql()),
+    "pq_rerank_topk": (_pq_rerank, _pq_rerank_sql()),
     "embedding_decontamination": (_embedding_decontamination, _DECON_SQL),
     "semantic_dedup_refined": (_semantic_dedup_refined, _SEMDEDUP_REFINED_SQL),
     "ann_recall_eval": (_recall_eval, _RECALL_SQL),

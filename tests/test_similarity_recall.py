@@ -143,3 +143,26 @@ def test_pq_codes_and_adc_shape(spark):
         assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
         ds = [r["adc_dist"] for r in sorted(rows, key=lambda r: r["rank"])]
         assert ds == sorted(ds)
+
+
+def test_pq_rerank_recovers_recall(spark):
+    """Two-stage (ADC shortlist -> exact rerank) must beat plain ADC
+    recall@10 against the exact baseline, measuring the compressed
+    index's real serving quality."""
+    from alma_publish_to_marc_spark.operators import similarity as S
+    from alma_publish_to_marc_spark.operators import similarity_queries as SQ
+    from alma_publish_to_marc_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    emb = load(spark, sf, "embeddings")
+    exact = {(r["qid"], r["neighbor_id"]) for r in S.brute_force_topk(
+        emb, "vec_id", "embedding", SQ.QUERY_IDS, SQ.K).collect()}
+    adc = {(r["qid"], r["neighbor_id"]) for r in S.pq_adc_topk(
+        emb, "vec_id", "embedding", SQ.QUERY_IDS, SQ.PQ_SEED_IDS,
+        SQ.K).collect()}
+    rer = {(r["qid"], r["neighbor_id"]) for r in SQ._pq_rerank(
+        spark, sf).collect()}
+    recall_adc = len(exact & adc) / len(exact)
+    recall_rer = len(exact & rer) / len(exact)
+    assert recall_rer > recall_adc
+    assert recall_rer >= 0.2  # measured 0.26 vs 0.14 plain ADC at sf0.01
