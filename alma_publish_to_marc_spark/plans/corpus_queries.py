@@ -213,6 +213,73 @@ FROM cleaned
 """
 
 
+ALPHA = 0.5  # mixture temperature: w_i ∝ share_i^alpha (alpha<1 upweights tails)
+TOKEN_BUDGET = 1_000_000  # training-run token budget (literal plan input)
+
+
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-run token accounting: allocate a fixed token budget
+    across sources by the temperature-scaled mixture rule and report,
+    per source, the available tokens, the allocated target, and the
+    REPEAT FACTOR (epochs over that source's data — >1 means the mix
+    upsamples it; the number a data plan caps to avoid memorizing small
+    domains). The planning pass run before every pretraining mix is
+    frozen.
+
+    Scale: one map-side-combined aggregation to #sources rows; the
+    normalization windows run on that tiny frame. Token counts are
+    scan-side split sizes; the documents table never reshuffles.
+    """
+    per_src = (load(spark, sf_dir, "documents")
+               .select("source",
+                       F.size(F.split(F.trim("text"), r"\s+"))
+                        .alias("n_tokens"))
+               .groupBy("source")
+               .agg(F.sum("n_tokens").cast("long").alias("tokens_available")))
+    w = Window.partitionBy()
+    share = F.col("tokens_available") / F.sum("tokens_available").over(w)
+    raw = F.pow(share, F.lit(ALPHA))
+    weight = raw / F.sum(raw).over(w)
+    target = F.round(weight * TOKEN_BUDGET, 0).cast("long")
+    return per_src.select(
+        "source",
+        "tokens_available",
+        F.round(weight, 6).alias("mix_weight"),
+        target.alias("target_tokens"),
+        F.round(target / F.col("tokens_available"), 4)
+         .alias("repeat_factor"),
+        (target > F.col("tokens_available")).alias("upsampled"))
+
+
+_TOKEN_BUDGET_SQL = rf"""
+WITH per_src AS (
+    SELECT source,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                AS BIGINT) AS tokens_available
+    FROM documents GROUP BY source
+),
+shared AS (
+    SELECT source, tokens_available,
+           pow(tokens_available / sum(tokens_available) OVER (), {ALPHA})
+               AS raw
+    FROM per_src
+),
+planned AS (
+    SELECT source, tokens_available,
+           raw / sum(raw) OVER () AS weight,
+           CAST(round(raw / sum(raw) OVER () * {TOKEN_BUDGET}, 0) AS BIGINT)
+               AS target_tokens
+    FROM shared
+)
+SELECT source, tokens_available,
+       round(weight, 6) AS mix_weight,
+       target_tokens,
+       round(target_tokens / tokens_available, 4) AS repeat_factor,
+       target_tokens > tokens_available AS upsampled
+FROM planned
+"""
+
+
 def longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document LONGEST duplicated span, in words — the exact-
     substring dedup signal the 8-gram family approximates: a maximal
@@ -373,7 +440,6 @@ FROM stats s JOIN dominant d USING (source)
 """
 
 
-ALPHA = 0.5  # mixture temperature: w_i ∝ share_i^alpha (alpha<1 upweights tails)
 
 
 def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1364,6 +1430,7 @@ QUERIES = {
     "duplicate_span_removal": (duplicate_span_removal, _SPAN_REMOVAL_SQL),
     "corpus_datacard": (corpus_datacard, _DATACARD_SQL),
     "longest_dup_span": (longest_dup_span, _LONGEST_SPAN_SQL),
+    "token_budget_plan": (token_budget_plan, _TOKEN_BUDGET_SQL),
     "domain_mixture_weights": (domain_mixture_weights, _MIXTURE_SQL),
     "training_order_shuffle": (training_order_shuffle, _SHUFFLE_SQL),
     "event_regression_stats": (event_regression_stats, _REGR_SQL),

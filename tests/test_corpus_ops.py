@@ -439,3 +439,19 @@ def test_containment_catches_snippets_jaccard_misses(spark, tmp_path):
     assert cont[0]["containment_b_in_a"] == 1.0
     assert cont[0]["containment_a_in_b"] < 0.5
     assert jacc == []
+
+
+def test_token_budget_plan_allocates_budget(spark):
+    rows = C.token_budget_plan(spark, SF_DIR).collect()
+    assert rows
+    # targets sum to ~the budget (rounding slack one token per source)
+    assert abs(sum(r["target_tokens"] for r in rows) - C.TOKEN_BUDGET) \
+        <= len(rows)
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r["upsampled"] == (r["target_tokens"] > r["tokens_available"])
+        assert r["repeat_factor"] > 0
+    # temperature < 1 upsamples the smallest source more than the largest
+    smallest = min(rows, key=lambda r: r["tokens_available"])
+    largest = max(rows, key=lambda r: r["tokens_available"])
+    assert smallest["repeat_factor"] > largest["repeat_factor"]
