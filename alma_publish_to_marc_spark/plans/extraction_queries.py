@@ -346,6 +346,68 @@ FROM events GROUP BY event_type
 """
 
 
+def _iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-fence anomaly detection per event type — the monitoring
+    filter that flags value outliers before they pollute training
+    features: fences at Q1/Q3 ± 1.5·IQR, reporting per-type fence
+    bounds and outlier counts/share.
+
+    Scale: one percentile aggregation to #types rows (exact here;
+    percentile_approx at 100 TB), broadcast back onto the scan for the
+    fence test — the events table never reshuffles for the flagging
+    pass, and the output is #types rows."""
+    events = load(spark, sf_dir, "events")
+    fences = (events.groupBy("event_type")
+              .agg(F.expr("percentile(value, 0.25)").alias("q1"),
+                   F.expr("percentile(value, 0.75)").alias("q3"))
+              .select("event_type", "q1", "q3",
+                      (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+                      .alias("lo_fence"),
+                      (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+                      .alias("hi_fence")))
+    flagged = (events.join(F.broadcast(fences), "event_type")
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when((F.col("value") < F.col("lo_fence"))
+                                 | (F.col("value") > F.col("hi_fence")), 1)
+                          .otherwise(0)).alias("n_outliers")))
+    return (flagged.join(fences, "event_type")
+            .select("event_type", "n",
+                    F.col("n_outliers").cast("long").alias("n_outliers"),
+                    F.round(F.col("n_outliers") / F.col("n"), 4)
+                     .alias("outlier_share"),
+                    F.round("lo_fence", 4).alias("lo_fence"),
+                    F.round("hi_fence", 4).alias("hi_fence")))
+
+
+_IQR_SQL = """
+WITH fences AS (
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS q1,
+           quantile_cont(value, 0.75) AS q3
+    FROM events GROUP BY event_type
+),
+f AS (
+    SELECT event_type,
+           q1 - 1.5 * (q3 - q1) AS lo_fence,
+           q3 + 1.5 * (q3 - q1) AS hi_fence
+    FROM fences
+),
+flagged AS (
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN f USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT flagged.event_type, flagged.n, flagged.n_outliers,
+       round(flagged.n_outliers / flagged.n, 4) AS outlier_share,
+       round(f.lo_fence, 4) AS lo_fence,
+       round(f.hi_fence, 4) AS hi_fence
+FROM flagged JOIN f USING (event_type)
+"""
+
+
 QUERIES = {
     "marc_field_extraction": (_marc_extraction, _marc_extraction_sql()),
     "item_json_roundtrip": (_item_json, _ITEM_JSON_SQL),
@@ -354,4 +416,5 @@ QUERIES = {
     "running_total_window": (_running_total, _RUNNING_SQL),
     "cube_lineitem_status": (_cube, _CUBE_SQL),
     "group_percentiles": (_percentiles, _PERCENTILES_SQL),
+    "iqr_outlier_filter": (_iqr_outliers, _IQR_SQL),
 }
