@@ -849,6 +849,85 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 # --------------------------------------------------------------------------
+# scd2_point_in_time_join: facts joined to the dimension version valid
+# at fact time
+# --------------------------------------------------------------------------
+def _scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness — the temporal-join discipline feature
+    pipelines need to avoid label leakage: each purchase event joins
+    the user-state version (built from the user's NON-purchase events,
+    compressed to state-change intervals) that was valid at purchase
+    time. A purchase before the user's first state interval keeps a
+    NULL state (left join) rather than leaking a future version.
+
+    Scale: interval construction is two window passes over one user_id
+    shuffle (change-compression then lead()); the PIT join is a user_id
+    equi-join with the interval bound as a residual predicate — at
+    100 TB both sides are user-bucketed so this co-locates, and an
+    AS-OF rewrite (union + window) is the documented alternative when
+    versions per user are huge."""
+    ev = load(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim0 = ev.where(F.col("event_type") != "purchase")
+    changes = (dim0
+               .withColumn("prev", F.lag("event_type").over(w))
+               .where(F.col("prev").isNull()
+                      | (F.col("event_type") != F.col("prev")))
+               .select("user_id", F.col("event_type").alias("state"),
+                       F.col("ts").alias("valid_from"), "event_id"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = changes.select(
+        "user_id", "state", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"))
+    facts = (ev.where(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", F.col("ts").alias("purchase_ts")))
+    cond = ((facts.user_id == dim.user_id)
+            & (facts.purchase_ts >= dim.valid_from)
+            & (dim.valid_to.isNull()
+               | (facts.purchase_ts < dim.valid_to)))
+    return (facts.join(dim, cond, "left")
+            .select("event_id", facts.user_id.alias("user_id"),
+                    "purchase_ts",
+                    F.col("state").alias("state_at_purchase"),
+                    F.col("valid_from").alias("state_since")))
+
+
+_SCD2_PIT_SQL = """
+WITH ev AS (
+    SELECT event_id, user_id, ts, event_type FROM events
+),
+changes AS (
+    SELECT user_id, event_type AS state, ts AS valid_from, event_id
+    FROM (
+        SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+        FROM ev WHERE event_type <> 'purchase'
+    )
+    WHERE prev IS NULL OR event_type <> prev
+),
+dim AS (
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to
+    FROM changes
+),
+facts AS (
+    SELECT event_id, user_id, ts AS purchase_ts
+    FROM ev WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.purchase_ts,
+       d.state AS state_at_purchase,
+       d.valid_from AS state_since
+FROM facts f
+LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.purchase_ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.purchase_ts < d.valid_to)
+"""
+
+
+# --------------------------------------------------------------------------
 # time_gap_fill: dense hourly spine with zero-filled gaps
 # --------------------------------------------------------------------------
 def _gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,5 +1022,6 @@ QUERIES = {
     "lateral_topk_per_group": (_lateral_topk, _LATERAL_SQL),
     "value_histogram": (_value_histogram, _HISTOGRAM_SQL),
     "inverted_index_build": (_inverted_index, _INVERTED_SQL),
+    "scd2_point_in_time_join": (_scd2_pit_join, _SCD2_PIT_SQL),
     "range_frame_rolling": (_range_frame_rolling, _RANGE_FRAME_SQL),
 }
