@@ -128,8 +128,71 @@ WHERE l.l_orderkey IN (SELECT o_orderkey FROM doomed)
 """
 
 
+RETAIN_VERSIONS = 3
+
+
+def _retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History retention policy over a CDC-style version log (the
+    events stream as per-user versions): KEEP a row iff it is one of
+    the key's newest ``RETAIN_VERSIONS`` versions OR falls inside the
+    retention window (on/after the corpus-derived cutoff = max(ts) -
+    7 days). Returns the per-user purge accounting (kept vs purged,
+    oldest surviving version) — the VACUUM/retention pass every
+    versioned warehouse schedules; the reference's analog is the
+    version+update_date_time audit columns its triggers maintain.
+
+    Scale: one window rank over the key-hashed shuffle (WindowGroupLimit
+    prunes map-side for the rank predicate) + one map-side-combined
+    aggregation; the cutoff is a 1-row broadcast aggregate, never a
+    driver round-trip."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "ts")
+    cutoff = F.broadcast(ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    ranked = (ev.crossJoin(cutoff)
+              .withColumn("vrank", F.row_number().over(w))
+              .withColumn("keep", (F.col("vrank") <= RETAIN_VERSIONS)
+                          | (F.col("ts") >= F.col("cutoff"))))
+    return (ranked.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_versions"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                  .cast("long").alias("n_kept"),
+                 F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+                  .cast("long").alias("n_purged"),
+                 F.min(F.when(F.col("keep"), F.col("ts")))
+                  .alias("oldest_kept_ts")))
+
+
+_RETENTION_SQL = f"""
+WITH cutoff AS (SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events),
+ranked AS (
+    SELECT user_id, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS vrank
+    FROM events
+),
+kept AS (
+    SELECT r.user_id, r.ts,
+           (r.vrank <= {RETAIN_VERSIONS} OR r.ts >= c.cutoff) AS keep
+    FROM ranked r CROSS JOIN cutoff c
+)
+SELECT user_id,
+       count(*) AS n_versions,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purged,
+       min(CASE WHEN keep THEN ts END) AS oldest_kept_ts
+FROM kept GROUP BY user_id
+"""
+
+
 QUERIES = {
     "versioned_temporal_merge": (_versioned_merge, _MERGE_SQL),
     "insert_ignore": (_insert_ignore, _INSERT_IGNORE_SQL),
     "delete_with_history": (_delete_history, _DELETE_HISTORY_SQL),
+    "history_retention_purge": (_retention_purge, _RETENTION_SQL),
 }
