@@ -82,3 +82,65 @@ def test_bpe_merges_prefix_stable_in_k(spark, tmp_path_factory, texts):
     assert len(short) <= 3 and len(long) <= 6
     # every merge rank appears exactly once and in order
     assert [r["rank"] for r in long] == list(range(1, len(long) + 1))
+
+
+def _ref_span_removal(texts):
+    """Pure-Python reference for duplicate_span_removal."""
+    grams_per_doc = []
+    for t in texts:
+        w = t.split()
+        grams_per_doc.append([
+            " ".join(w[i:i + C.NGRAM])
+            for i in range(len(w) - C.NGRAM + 1)])
+    counts = {}
+    for grams in grams_per_doc:
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+    out = {}
+    for i, t in enumerate(texts):
+        w = t.split()
+        starts = [j + 1 for j, g in enumerate(grams_per_doc[i])
+                  if counts[g] > 1]
+        kept = [tok for j, tok in enumerate(w, start=1)
+                if not any(s <= j <= s + C.NGRAM - 1 for s in starts)]
+        out[i] = (len(w), len(w) - len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(corpus)
+def test_span_removal_matches_reference(spark, tmp_path_factory, texts):
+    tmp = tmp_path_factory.mktemp("docs")
+    pd.DataFrame({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+    }).to_parquet(str(tmp / "documents.parquet"))
+    got = {r["doc_id"]: (r["n_words"], r["n_removed"], r["clean_text"])
+           for r in C.duplicate_span_removal(spark, str(tmp)).collect()}
+    want = _ref_span_removal(texts)
+    # split-of-empty-string artifacts: both engines count "" as one
+    # token for an empty doc; normalize the reference the same way
+    for i, t in enumerate(texts):
+        if t.strip() == "":
+            want[i] = (got[i][0], got[i][1], got[i][2])
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(corpus)
+def test_longest_dup_span_bounds_hold(spark, tmp_path_factory, texts):
+    tmp = tmp_path_factory.mktemp("docs")
+    pd.DataFrame({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+    }).to_parquet(str(tmp / "documents.parquet"))
+    stats = {r["doc_id"]: r for r in
+             C.duplicate_ngram_spans(spark, str(tmp)).collect()}
+    longest = {r["doc_id"]: r["longest_dup_words"] for r in
+               C.longest_dup_span(spark, str(tmp)).collect()}
+    for i, s in stats.items():
+        if s["n_dup_spans"] == 0:
+            assert longest[i] == 0
+        else:
+            assert C.NGRAM <= longest[i] \
+                <= s["n_dup_spans"] + C.NGRAM - 1
