@@ -555,8 +555,10 @@ def write_training_shards(docs: DataFrame, out_dir: str,
     range exchange. Writers emit one file per (task, shard) via
     partitionBy, all executor-side."""
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + seed)))
+    # every input column rides along — a shard must carry the content a
+    # loader trains on, not just ids
     keyed = docs.select(
-        "doc_id", key.alias("shuffle_key"),
+        "*", key.alias("shuffle_key"),
         F.substring(key, 1, N_SHARD_HEX).alias("shard"))
     # sort key list leads with the partition column: the dynamic-
     # partition writer requires rows ordered by shard and would insert

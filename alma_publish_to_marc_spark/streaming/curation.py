@@ -23,9 +23,16 @@ State layout under ``state_dir``:
 - ``index_sigs/``   (doc_id, shingles)          — verification sets.
 - ``audit/``        (doc_id, batch_id, lang_pred, quality, drop_reason,
   kept) — the per-document governance trail, every batch appended.
+- ``gram_counts/`` (gram_key, cnt) — append-only per-batch deltas of
+  8-gram occurrence counts over KEPT documents; summed on read. The
+  span-removal index: batch N+1's shard text drops any span whose gram
+  was already seen (in the standing corpus or twice within the batch),
+  without rescanning the corpus — the rewrite twin of the band index.
 - ``shards/batch_id=N/`` — training shards for batch N's survivors
   (plans/corpus_queries.write_training_shards layout), append-only so
-  a loader can replay batches in arrival order.
+  a loader can replay batches in arrival order. Shard text is the
+  SPAN-CLEANED form; the gram index is extended with the original
+  kept text so later arrivals dedup against what was actually seen.
 """
 
 from __future__ import annotations
@@ -76,6 +83,59 @@ def _dup_vs_index(batch_sigs: DataFrame, batch_bands: DataFrame,
         .withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b"))))
     return (verified.where(F.col("jaccard") >= threshold)
             .select("new_id").distinct())
+
+
+_EMPTY_GRAMS = "gram_key binary, cnt long"
+
+
+def _span_clean_vs_index(batch_kept: DataFrame,
+                         gram_index: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(cleaned, gram_deltas): rewrite each kept doc with every word
+    covered by an already-seen 8-gram removed — "seen" = total count
+    (standing index + this batch) > 1 — and the batch's own gram
+    counts as the delta to append.
+
+    Scale: the index side is probed with a broadcast of the batch's
+    gram keys and never reshuffles (same probe shape as the band
+    index); the rewrite is the scan-fused array filter of
+    ``plans/corpus_queries.duplicate_span_removal``."""
+    from ..plans.corpus_queries import NGRAM, _shingles_from_words
+
+    docs = batch_kept.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    spans = (docs
+             .select("doc_id",
+                     F.posexplode(_shingles_from_words(F.col("w")))
+                      .alias("i0", "gram"))
+             .select("doc_id", (F.col("i0") + 1).alias("i"),
+                     F.unhex(F.md5("gram")).alias("gram_key")))
+    deltas = spans.groupBy("gram_key").agg(F.count(F.lit(1)).alias("cnt"))
+    idx_hits = (gram_index
+                .join(F.broadcast(deltas.select("gram_key")), "gram_key")
+                .groupBy("gram_key").agg(F.sum("cnt").alias("idx_cnt")))
+    totals = (deltas
+              .join(idx_hits, "gram_key", "left")
+              .select("gram_key",
+                      (F.col("cnt") + F.coalesce("idx_cnt", F.lit(0)))
+                      .alias("total")))
+    dup_starts = (spans.join(totals, "gram_key")
+                  .where(F.col("total") > 1)
+                  .groupBy("doc_id")
+                  .agg(F.collect_list("i").alias("starts")))
+    joined = (docs.join(dup_starts, "doc_id", "left")
+              .select("doc_id", "w",
+                      F.coalesce("starts", F.array().cast("array<int>"))
+                       .alias("starts")))
+    kept_words = F.filter(
+        "w",
+        lambda t, j: ~F.exists(
+            "starts",
+            lambda s: (s <= j + 1) & (j + 1 <= s + (NGRAM - 1))))
+    cleaned = joined.select(
+        "doc_id",
+        F.array_join(kept_words, " ").alias("clean_text"),
+        (F.size("w") - F.size(kept_words)).cast("int").alias("n_removed"))
+    return cleaned, deltas
 
 
 def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
@@ -144,9 +204,19 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
         from ..plans.corpus_queries import write_training_shards
         survivors = batch.join(kept_ids, "doc_id")
         if survivors.take(1):
+            gram_index = _read_state(
+                spark, os.path.join(state_dir, "gram_counts"), _EMPTY_GRAMS)
+            cleaned, deltas = _span_clean_vs_index(survivors, gram_index)
+            # shards carry the span-cleaned text; the index is extended
+            # with the ORIGINAL kept grams so later arrivals dedup
+            # against what was actually published into the corpus
             write_training_shards(
-                survivors,
+                survivors.drop("text")
+                .join(cleaned.select(
+                    "doc_id", F.col("clean_text").alias("text")), "doc_id"),
                 os.path.join(state_dir, "shards", f"batch_id={batch_id}"))
+            (deltas.write.mode("append")
+             .parquet(os.path.join(state_dir, "gram_counts")))
     finally:
         D.unpersist_cached()
 

@@ -84,3 +84,45 @@ def test_two_batch_incremental_curation(spark, tmp_path):
     # unchanged (exactly-once)
     CU.run_incremental_curation(spark, str(landing), str(state), str(ckpt))
     assert len(_audit(spark, str(state))) == 7
+
+
+def test_incremental_span_removal_against_gram_index(spark, tmp_path):
+    """Run 3 of the pipeline: a kept doc that QUOTES an 8-gram from an
+    earlier batch's kept doc ships to its shard with that span removed
+    (the persisted gram index drives the rewrite), while the quoted
+    doc's own shard text stays intact."""
+    import os
+
+    landing = tmp_path / "landing"
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+
+    doc11 = ("deep in the green valley the river bends past the old mill "
+             "and the miller waves to the children who race their paper "
+             "boats along the bank until the evening bell calls them in")
+    _drop(str(landing), "d1.parquet", [(11, doc11)])
+    CU.run_incremental_curation(spark, str(landing), str(state), str(ckpt))
+
+    span = "deep in the green valley the river bends"  # doc11's first 8
+    filler_a = ("orchard stones gather moss and a quiet lane of elm trees "
+                "is winding toward sunrise")
+    filler_b = ("while copper lanterns glow and a ferry of travelers is "
+                "crossing under pale stars toward harbor lights tonight")
+    doc20 = f"{filler_a} {span} {filler_b}"
+    _drop(str(landing), "d2.parquet", [(20, doc20)])
+    CU.run_incremental_curation(spark, str(landing), str(state), str(ckpt))
+
+    audit = _audit(spark, str(state))
+    assert audit[11]["kept"] and audit[20]["kept"]  # quote != near-dup
+
+    shards = {r["doc_id"]: r["text"] for r in spark.read.parquet(
+        os.path.join(str(state), "shards")).collect()}
+    # the quoted doc keeps its text verbatim
+    assert shards[11] == doc11
+    # the quoting doc lost exactly the 8 span words, nothing else
+    got_words = shards[20].split()
+    assert len(got_words) == len(doc20.split()) - 8
+    assert "valley" not in got_words and "bends" not in got_words
+    assert got_words[:3] == ["orchard", "stones", "gather"]
+    assert got_words[-3:] == ["harbor", "lights", "tonight"]
