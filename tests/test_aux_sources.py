@@ -149,3 +149,24 @@ def test_run_counters(spark):
     with pytest.raises(Exception):
         metrics.cloudwatch_emitter()  # boto3 absent or no credentials
     _ = emitted
+
+
+def test_compact_parquet_dir_reduces_file_count(spark, tmp_path):
+    from alma_publish_to_marc_spark.sources.maintenance import (
+        compact_parquet_dir)
+
+    src = str(tmp_path / "frag")
+    # 20 tiny single-row appends: the streaming-sink fragmentation shape
+    for i in range(20):
+        spark.range(i * 10, i * 10 + 10).toDF("id") \
+            .coalesce(1).write.mode("append").parquet(src)
+    n_in = sum(1 for _r, _d, fs in __import__("os").walk(src)
+               for f in fs if f.endswith(".parquet"))
+    assert n_in >= 20
+
+    out = str(tmp_path / "compact")
+    n_out = compact_parquet_dir(spark, src, out, target_bytes=10**9)
+    assert n_out == 1
+    a = sorted(r["id"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert a == b
