@@ -319,32 +319,33 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
     nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
-    pr = (nodes.crossJoin(nn)
-          .select("node",
-                  F.floor(F.lit(PR_SCALE) / F.col("n")).cast("long")
-                   .alias("pr")))
+    # state carries (node, deg, pr) so each round's contribution join
+    # touches ONE table — degree never needs its own join per round
+    state = (nodes.crossJoin(nn)
+             .select("node", "deg",
+                     F.floor(F.lit(PR_SCALE) / F.col("n")).cast("long")
+                      .alias("pr")))
     for _ in range(PR_ITERS):
         contrib = (und
-                   .join(pr.withColumnRenamed("node", "src"), "src")
-                   .join(deg, "src")
+                   .join(state.withColumnRenamed("node", "src"), "src")
                    .select("dst",
                            F.floor(F.col("pr") / F.col("deg")).cast("long")
                             .alias("contrib"))
                    .groupBy("dst")
                    .agg(F.sum("contrib").alias("s")))
-        pr = (nodes.crossJoin(nn)
-              .join(contrib, nodes.node == contrib.dst, "left")
-              .select("node",
-                      (F.floor(F.lit(15 * PR_SCALE) / (100 * F.col("n")))
-                       .cast("long")
-                       + F.floor(F.coalesce("s", F.lit(0)) * 85 / 100)
-                          .cast("long")).alias("pr")))
-    return (pr.join(nodes.select("node", "deg"), "node")
-            .select(F.col("node").alias("node_id"),
-                    F.when(F.col("node") >= _SUPP_NS, "supplier")
-                     .otherwise("customer").alias("node_type"),
-                    F.col("pr").alias("pr_tera"),
-                    F.col("deg").cast("long").alias("degree")))
+        state = (nodes.crossJoin(nn)
+                 .join(contrib, nodes.node == contrib.dst, "left")
+                 .select("node", "deg",
+                         (F.floor(F.lit(15 * PR_SCALE) / (100 * F.col("n")))
+                          .cast("long")
+                          + F.floor(F.coalesce("s", F.lit(0)) * 85 / 100)
+                             .cast("long")).alias("pr")))
+    return state.select(
+        F.col("node").alias("node_id"),
+        F.when(F.col("node") >= _SUPP_NS, "supplier")
+         .otherwise("customer").alias("node_type"),
+        F.col("pr").alias("pr_tera"),
+        F.col("deg").cast("long").alias("degree"))
 
 
 def _pagerank_sql() -> str:
