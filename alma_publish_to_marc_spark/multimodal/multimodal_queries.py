@@ -77,6 +77,42 @@ SELECT doc_id,
 FROM documents, unnest(generate_series(0, 3)) AS t(i)
 """
 
+def _byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return M.byte_histogram_features(
+        M.attach_binary_payload(docs, "doc_id", "text"))
+
+
+# ASCII corpus (octet_length == length) → DuckDB can mirror the byte
+# math on characters: bucket = ascii(ch) // 16. Dominant bucket ties
+# break to the LOWEST bucket via struct-min on (-count, bucket) —
+# numpy argmax returns the first maximum, same rule.
+_BYTE_FEATURES_SQL = """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+bc AS (
+    SELECT doc_id, ascii(ch) // 16 AS bucket, count(*) AS c
+    FROM chars GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total FROM bc
+        GROUP BY doc_id),
+ent AS (
+    SELECT bc.doc_id,
+           round(-sum((c / total) * log2(c / total)), 4) AS byte_entropy,
+           min(struct_pack(negc := -c, b := bucket)) AS dom
+    FROM bc JOIN tot USING (doc_id)
+    GROUP BY bc.doc_id
+)
+SELECT ent.doc_id,
+       CAST(tot.total AS INT) AS n_bytes,
+       ent.byte_entropy,
+       CAST((ent.dom).b AS INT) AS dominant_bucket,
+       round(-(ent.dom).negc / tot.total, 4) AS dominant_share
+FROM ent JOIN tot USING (doc_id)
+"""
+
+
 SHARD_BYTES = 16384   # target shard size (WebDataset-style tar budget)
 SHARD_BLOCK = 100     # ids per prefix-scan block
 
@@ -162,4 +198,5 @@ QUERIES = {
     "media_decode_stub": (_decode, _DECODE_SQL),
     "media_frame_sample": (_frames, _FRAMES_SQL),
     "media_shard_assignment": (_shard_assignment, _SHARD_SQL),
+    "media_byte_features": (_byte_features, _BYTE_FEATURES_SQL),
 }

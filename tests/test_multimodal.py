@@ -125,3 +125,18 @@ def test_shard_assignment_is_a_valid_packing(spark):
     # shard ids are contiguous from 0
     shards = {r["shard_id"] for r in rows}
     assert shards == set(range(max(shards) + 1))
+
+
+def test_byte_features_real_computation(spark):
+    from alma_publish_to_marc_spark.multimodal import multimodal_queries as MQ
+
+    rows = {r["doc_id"]: r for r in
+            MQ._byte_features(spark, "/root/testdata/sf0.001").collect()}
+    assert rows
+    import math
+    for r in rows.values():
+        # ASCII corpus spans at most buckets 2..7 -> entropy < 3 bits
+        assert 0.0 < r["byte_entropy"] <= math.log2(16)
+        assert 2 <= r["dominant_bucket"] <= 7
+        assert 0.0 < r["dominant_share"] <= 1.0
+        assert r["n_bytes"] > 0
