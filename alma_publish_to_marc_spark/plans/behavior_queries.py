@@ -1,0 +1,247 @@
+"""Behavioral / product-analytics operators over the events stream —
+the OLAP query family a warehouse serves to analysts on top of the
+sync pipeline (funnel conversion, cohort retention, distribution
+drift). All pure DataFrame ops with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+
+# --------------------------------------------------------------------------
+# conversion_funnel: ordered view → click → purchase progression
+# --------------------------------------------------------------------------
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: a user converts a stage only if it happens
+    STRICTLY AFTER the previous stage's first completion (first view,
+    then first click after that view, then first purchase after that
+    click). One row: stage populations and step conversion rates.
+
+    Scale: three conditional-min aggregations, each keyed by user_id —
+    stage N+1's pass joins the events scan to stage N's per-user
+    timestamps (user-keyed, co-partitioned under user bucketing, and
+    the per-user frame is one row so AQE broadcasts it at any realistic
+    user cardinality « events). No windows, no event reshuffle beyond
+    the per-user aggregations."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+         .alias("t_view"))
+    s2 = (ev.join(s1, "user_id")
+          .groupBy("user_id")
+          .agg(F.first("t_view").alias("t_view"),
+               F.min(F.when((F.col("event_type") == "click")
+                            & (F.col("ts") > F.col("t_view")), F.col("ts")))
+                .alias("t_click")))
+    s3 = (ev.join(s2, "user_id")
+          .groupBy("user_id")
+          .agg(F.first("t_view").alias("t_view"),
+               F.first("t_click").alias("t_click"),
+               F.min(F.when((F.col("event_type") == "purchase")
+                            & (F.col("ts") > F.col("t_click")), F.col("ts")))
+                .alias("t_purchase")))
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+         .cast("long").alias("n_viewed"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0))
+         .cast("long").alias("n_clicked_after_view"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0))
+         .cast("long").alias("n_purchased_after_click"),
+        F.round(F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0))
+                / F.greatest(
+                    F.sum(F.when(F.col("t_view").isNotNull(), 1)
+                          .otherwise(0)), F.lit(1)), 4)
+         .alias("view_to_click_rate"),
+        F.round(F.sum(F.when(F.col("t_purchase").isNotNull(), 1)
+                      .otherwise(0))
+                / F.greatest(
+                    F.sum(F.when(F.col("t_click").isNotNull(), 1)
+                          .otherwise(0)), F.lit(1)), 4)
+         .alias("click_to_purchase_rate"))
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+    FROM events GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, any_value(s1.t_view) AS t_view,
+           min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+                    THEN e.ts END) AS t_click
+    FROM events e JOIN s1 USING (user_id)
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, any_value(s2.t_view) AS t_view,
+           any_value(s2.t_click) AS t_click,
+           min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+                    THEN e.ts END) AS t_purchase
+    FROM events e JOIN s2 USING (user_id)
+    GROUP BY e.user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_viewed,
+       CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clicked_after_view,
+       CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchased_after_click,
+       round(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+             / greatest(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END),
+                        1), 4) AS view_to_click_rate,
+       round(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+             / greatest(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END),
+                        1), 4) AS click_to_purchase_rate
+FROM s3
+"""
+
+
+# --------------------------------------------------------------------------
+# cohort_retention: first-seen-day cohorts × day offset
+# --------------------------------------------------------------------------
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort table: users grouped by first-seen day; for each
+    (cohort_day, day_offset), how many of that cohort were active —
+    the retention curve every growth dashboard plots.
+
+    Scale: first-seen is one user-keyed aggregation; activity is a
+    distinct over (user, day) — both map-side combinable — and the
+    cohort join is user-keyed. The output is |days|² rows max."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    joined = (active.join(first, "user_id")
+              .select("user_id", "cohort_day",
+                      F.datediff("day", "cohort_day").alias("day_offset")))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    ret = (joined.groupBy("cohort_day", "day_offset")
+           .agg(F.countDistinct("user_id").alias("n_active")))
+    # day as ISO string: DuckDB DATE surfaces as pandas Timestamp while
+    # Spark DATE stays datetime.date — strings compare identically
+    return (ret.join(sizes, "cohort_day")
+            .select(F.date_format("cohort_day", "yyyy-MM-dd")
+                     .alias("cohort_day"),
+                    F.col("day_offset").cast("int").alias("day_offset"),
+                    "n_active", "cohort_size",
+                    F.round(F.col("n_active") / F.col("cohort_size"), 4)
+                     .alias("retention_rate")))
+
+
+_COHORT_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, day FROM ev),
+joined AS (
+    SELECT a.user_id, f.cohort_day,
+           date_diff('day', f.cohort_day, a.day) AS day_offset
+    FROM active a JOIN first f USING (user_id)
+),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM first
+          GROUP BY cohort_day),
+ret AS (
+    SELECT cohort_day, day_offset, count(DISTINCT user_id) AS n_active
+    FROM joined GROUP BY cohort_day, day_offset
+)
+SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(r.day_offset AS INT) AS day_offset,
+       r.n_active, s.cohort_size,
+       round(r.n_active / s.cohort_size, 4) AS retention_rate
+FROM ret r JOIN sizes s USING (cohort_day)
+"""
+
+
+# --------------------------------------------------------------------------
+# ks_drift_test: two-sample Kolmogorov–Smirnov statistic per event type
+# --------------------------------------------------------------------------
+def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the first and second half of the
+    observation window, per event type: the two-sample KS statistic
+    ``max_v |F_early(v) − F_late(v)|`` over the value column — the
+    numeric-distribution complement of the categorical KL monitor
+    (``event_drift_monitor``).
+
+    Computed exactly: per (type, value) counts in each half, then one
+    window pass per type (ordered by value) accumulating both CDFs and
+    taking the max gap. Integer counts → the CDF ratios are identical
+    cross-engine; the midpoint comes from a 1-row broadcast min/max
+    aggregate, never the driver.
+
+    Scale: counts are map-side combined to per-(type, distinct value)
+    rows; the window runs over those — bounded by value cardinality,
+    not events. At extreme cardinality, quantize values first (the
+    histogram operator) and run KS on buckets."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    span = F.broadcast(ev.agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")))
+    halves = (ev.crossJoin(span)
+              .select("event_type", "value",
+                      (F.unix_micros(F.col("ts").cast("timestamp"))
+                       <= (F.unix_micros(F.col("t0").cast("timestamp"))
+                           + F.unix_micros(F.col("t1").cast("timestamp")))
+                       / F.lit(2.0)).alias("early")))
+    counts = (halves.groupBy("event_type", "value")
+              .agg(F.sum(F.when(F.col("early"), 1).otherwise(0))
+                    .alias("ca"),
+                   F.sum(F.when(~F.col("early"), 1).otherwise(0))
+                    .alias("cb")))
+    totals = counts.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = (Window.partitionBy("event_type").orderBy("value")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    gaps = (counts.join(totals, "event_type")
+            .withColumn("gap", F.abs(
+                F.sum("ca").over(w) / F.col("na")
+                - F.sum("cb").over(w) / F.col("nb"))))
+    return (gaps.groupBy("event_type")
+            .agg(F.round(F.max("gap"), 4).alias("ks_stat"),
+                 F.max("na").cast("long").alias("n_early"),
+                 F.max("nb").cast("long").alias("n_late")))
+
+
+_KS_SQL = """
+WITH span AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM events),
+halves AS (
+    SELECT event_type, value,
+           epoch_us(e.ts) <= (epoch_us(s.t0) + epoch_us(s.t1)) / 2.0
+               AS early
+    FROM events e CROSS JOIN span s
+),
+counts AS (
+    SELECT event_type, value,
+           sum(CASE WHEN early THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS cb
+    FROM halves GROUP BY event_type, value
+),
+totals AS (
+    SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+    FROM counts GROUP BY event_type
+),
+gaps AS (
+    SELECT c.event_type,
+           abs(sum(c.ca) OVER w / t.na - sum(c.cb) OVER w / t.nb) AS gap,
+           t.na, t.nb
+    FROM counts c JOIN totals t USING (event_type)
+    WINDOW w AS (PARTITION BY c.event_type ORDER BY c.value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, round(max(gap), 4) AS ks_stat,
+       CAST(max(na) AS BIGINT) AS n_early,
+       CAST(max(nb) AS BIGINT) AS n_late
+FROM gaps GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "conversion_funnel": (conversion_funnel, _FUNNEL_SQL),
+    "cohort_retention": (cohort_retention, _COHORT_SQL),
+    "ks_drift_test": (ks_drift_test, _KS_SQL),
+}
