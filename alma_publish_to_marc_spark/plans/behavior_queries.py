@@ -240,8 +240,74 @@ FROM gaps GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# ab_test_ztest: two-proportion z-test on conversion by variant
+# --------------------------------------------------------------------------
+def ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B split (variant = user_id parity
+    — a deterministic stand-in for an assignment column): per-variant
+    user counts and conversion rates (any purchase), plus the pooled
+    z-statistic — the readout every experimentation platform computes.
+    |z| < 1.96 on this hash-random split is exactly the expected null
+    result, which the unit test asserts.
+
+    Scale: one user-keyed conditional aggregation, then two-row
+    arithmetic. Nothing beyond the per-user reduce ever shuffles."""
+    ev = load(spark, sf_dir, "events") \
+        .select("user_id", "event_type", "value")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("value") > 90), 1)
+                           .otherwise(0)).alias("converted"))
+                .select(F.pmod("user_id", F.lit(2)).cast("int")
+                         .alias("variant"), "converted"))
+    stats = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"))
+    a = stats.where(F.col("variant") == 0) \
+        .select(F.col("n_users").alias("n0"),
+                F.col("n_converted").alias("c0"))
+    b = stats.where(F.col("variant") == 1) \
+        .select(F.col("n_users").alias("n1"),
+                F.col("n_converted").alias("c1"))
+    j = a.crossJoin(b)
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(pp * (1 - pp)
+                           * (1 / F.col("n0") + 1 / F.col("n1")))
+    return j.select(
+        "n0", "c0", F.round(p0, 4).alias("rate_a"),
+        "n1", "c1", F.round(p1, 4).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"))
+
+
+_AB_SQL = """
+WITH per_user AS (
+    SELECT user_id % 2 AS variant,
+           max(CASE WHEN event_type = 'purchase' AND value > 90
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id
+),
+stats AS (
+    SELECT variant, count(*) AS n_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted
+    FROM per_user GROUP BY variant
+),
+a AS (SELECT n_users AS n0, n_converted AS c0 FROM stats WHERE variant = 0),
+b AS (SELECT n_users AS n1, n_converted AS c1 FROM stats WHERE variant = 1)
+SELECT n0, c0, round(c0 / n0, 4) AS rate_a,
+       n1, c1, round(c1 / n1, 4) AS rate_b,
+       round((c1 / n1 - c0 / n0)
+             / sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 4) AS z_stat
+FROM a CROSS JOIN b
+"""
+
+
 QUERIES = {
     "conversion_funnel": (conversion_funnel, _FUNNEL_SQL),
+    "ab_test_ztest": (ab_test_ztest, _AB_SQL),
     "cohort_retention": (cohort_retention, _COHORT_SQL),
     "ks_drift_test": (ks_drift_test, _KS_SQL),
 }

@@ -1143,6 +1143,59 @@ FROM ranked
 SKEW_TOP = 20
 
 
+ES_K = 100
+
+
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k WEIGHTED sampling without replacement via the
+    Efraimidis–Spirakis key: each doc draws a deterministic uniform
+    u ∈ (0,1) from a salted md5 and is ranked by ``ln(u)/weight``
+    (monotone in u^(1/w)); the k largest keys are the sample. Inclusion
+    probability ∝ weight (n_chars here: longer docs proportionally
+    likelier — byte-budget sampling), and the draw is reproducible on
+    any cluster layout, unlike rand()-based sampling.
+
+    Scale: same TakeOrdered shape as ``uniform_sample_exact`` — global
+    ORDER BY + LIMIT plans as per-partition heaps + a k-row driver
+    merge, never a global sort. The uniform comes from the first 8 md5
+    hex chars → (i+1)/(2^32+1), bit-identical in both engines; ln and
+    the divide are single correctly-rounded ops on identical doubles.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h8 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(":es" + SEED))), 1, 8)
+    u = ((F.conv(h8, 16, 10).cast("double") + 1.0)
+         / F.lit(float(2 ** 32) + 1.0))
+    key = F.log(u) / F.col("n_chars")
+    ranked = (docs.select("doc_id", "n_chars", key.alias("es_key"))
+              .orderBy(F.desc("es_key"), F.asc("doc_id")).limit(ES_K))
+    w = Window.orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return ranked.select(
+        "doc_id", "n_chars",
+        F.row_number().over(w).cast("long").alias("sample_rank"))
+
+
+_ES_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':es{SEED}'),
+                                   1, 8) AS BIGINT) + 1.0)
+              / (4294967296.0 + 1.0)) / n_chars AS es_key
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, n_chars, es_key FROM keyed
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT {ES_K}
+)
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS BIGINT)
+           AS sample_rank
+FROM ranked
+"""
+
+
 def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-join skew profiling of a join key: the top heavy-hitter keys
     with their row counts and share of the table. This is the query you
@@ -1433,6 +1486,7 @@ QUERIES = {
     "corpus_datacard": (corpus_datacard, _DATACARD_SQL),
     "longest_dup_span": (longest_dup_span, _LONGEST_SPAN_SQL),
     "token_budget_plan": (token_budget_plan, _TOKEN_BUDGET_SQL),
+    "weighted_sample_es": (weighted_sample_es, _ES_SQL),
     "domain_mixture_weights": (domain_mixture_weights, _MIXTURE_SQL),
     "training_order_shuffle": (training_order_shuffle, _SHUFFLE_SQL),
     "event_regression_stats": (event_regression_stats, _REGR_SQL),

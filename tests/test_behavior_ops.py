@@ -81,3 +81,31 @@ def test_ks_statistic_bounds_and_shift_detection(spark, tmp_path):
     assert out["shift"]["ks_stat"] == 1.0
     assert out["same"]["ks_stat"] == 0.0
     assert out["shift"]["n_early"] == out["shift"]["n_late"] == 10
+
+
+def test_ab_ztest_null_on_hash_split(spark):
+    r = B.ab_test_ztest(spark, "/root/testdata/sf0.01").collect()[0]
+    # parity split of hash-random users: expect the null result
+    assert abs(r["z_stat"]) < 1.96
+    assert r["n0"] + r["n1"] == 150
+    assert 0.0 < r["rate_a"] < 1.0 and 0.0 < r["rate_b"] < 1.0
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    import duckdb
+
+    from alma_publish_to_marc_spark.plans import corpus_queries as C
+
+    rows = C.weighted_sample_es(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == C.ES_K
+    ranks = sorted(r["sample_rank"] for r in rows)
+    assert ranks == list(range(1, C.ES_K + 1))
+    mean_all = duckdb.sql(
+        "select avg(n_chars) from "
+        "'/root/testdata/sf0.01/documents.parquet'").fetchone()[0]
+    mean_sample = sum(r["n_chars"] for r in rows) / len(rows)
+    # inclusion probability ∝ n_chars: the sample skews heavy
+    assert mean_sample > mean_all
+    # deterministic
+    again = C.weighted_sample_es(spark, "/root/testdata/sf0.01").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
