@@ -305,9 +305,57 @@ FROM a CROSS JOIN b
 """
 
 
+# --------------------------------------------------------------------------
+# event_transition_matrix: first-order Markov transitions per user stream
+# --------------------------------------------------------------------------
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: for each ordered
+    (from_type → to_type) pair of CONSECUTIVE events within a user's
+    stream, the transition count and conditional probability
+    P(to | from) — the sequence-mining readout behind "what do users do
+    next" analyses and behavioral anomaly scoring.
+
+    Scale: one window pass (lead over the user-keyed shuffle) and one
+    map-side-combined aggregation to |types|² rows; the row-count
+    normalization joins two tiny per-type frames."""
+    ev = load(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("from_type"),
+                       F.lead("event_type").over(w).alias("to_type"))
+             .where(F.col("to_type").isNotNull()))
+    counts = pairs.groupBy("from_type", "to_type") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    outs = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (counts.join(outs, "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.col("n_from"), 4)
+                     .alias("p_transition")))
+
+
+_TRANSITION_SQL = """
+WITH pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+outs AS (SELECT from_type, sum(n) AS n_from FROM counts GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       round(c.n / o.n_from, 4) AS p_transition
+FROM counts c JOIN outs o USING (from_type)
+"""
+
+
 QUERIES = {
     "conversion_funnel": (conversion_funnel, _FUNNEL_SQL),
     "ab_test_ztest": (ab_test_ztest, _AB_SQL),
+    "event_transition_matrix": (event_transition_matrix, _TRANSITION_SQL),
     "cohort_retention": (cohort_retention, _COHORT_SQL),
     "ks_drift_test": (ks_drift_test, _KS_SQL),
 }

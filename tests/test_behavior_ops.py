@@ -109,3 +109,14 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     # deterministic
     again = C.weighted_sample_es(spark, "/root/testdata/sf0.01").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_transition_matrix_rows_normalize(spark):
+    rows = B.event_transition_matrix(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    per_from: dict[str, float] = {}
+    for r in rows:
+        per_from[r["from_type"]] = per_from.get(r["from_type"], 0.0) \
+            + r["p_transition"]
+    for t, total in per_from.items():
+        assert total == pytest.approx(1.0, abs=1e-2), t
