@@ -23,7 +23,8 @@ import glob as _glob
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, InputPartition)
+                                    DataSourceStreamReader,
+                                    DataSourceWriter, InputPartition)
 
 from ..schemas import PUBLISH_RECORD
 from . import marclib
@@ -117,6 +118,66 @@ class MarcPublishStreamReader(DataSourceStreamReader):
         pass  # processed files stay in place; the offset is the cursor
 
 
+class MarcPublishWriter(DataSourceWriter):
+    """Executor-side binary MARC sink (the DataSource form of SRC-15:
+    `alma_publish_to_marc.py:16-24,36-37`'s MARCWriter): each task
+    serializes its partition of nested records to ISO 2709 and writes
+    one ``part-<uuid>.mrc`` file under the target directory; the commit
+    message carries (path, n_records) back to the driver, where
+    ``commit`` writes a ``_SUCCESS`` manifest listing every part — the
+    usual all-or-nothing file-sink protocol (readers key on _SUCCESS,
+    half-written runs without it are invisible). ``abort`` removes this
+    task's file so retries can't double-publish."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path") or ""
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.mrc")
+        n = 0
+        with open(out, "wb") as fh:
+            for row in iterator:
+                rec = {
+                    "mms_id": row.mms_id,
+                    "leader": row.leader,
+                    "control_fields": [
+                        {"tag": cf.tag, "data": cf.data}
+                        for cf in row.control_fields or []],
+                    "fields": [
+                        {"tag": f.tag, "ind1": f.ind1, "ind2": f.ind2,
+                         "subfields": [{"code": s.code, "value": s.value}
+                                       for s in f.subfields or []]}
+                        for f in row.fields or []],
+                }
+                fh.write(marclib.to_iso2709(rec))
+                n += 1
+        if n == 0:
+            os.remove(out)  # no empty part files
+            return WriterCommitMessage()
+        msg = WriterCommitMessage()
+        msg.path, msg.count = out, n  # type: ignore[attr-defined]
+        return msg
+
+    def commit(self, messages):
+        parts = sorted(
+            (m.path, m.count) for m in messages
+            if m is not None and getattr(m, "path", None))
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            for path, count in parts:
+                fh.write(f"{os.path.basename(path)}\t{count}\n")
+
+    def abort(self, messages):
+        for m in messages or []:
+            p = getattr(m, "path", None)
+            if p and os.path.exists(p):
+                os.remove(p)
+
+
 class MarcPublishDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -130,6 +191,9 @@ class MarcPublishDataSource(DataSource):
 
     def streamReader(self, schema) -> MarcPublishStreamReader:
         return MarcPublishStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> MarcPublishWriter:
+        return MarcPublishWriter(self.options)
 
 
 def register(spark) -> None:

@@ -181,3 +181,24 @@ def test_marcpublish_stream_reader_incremental(spark, tmp_path):
     both = spark.read.parquet(out).collect()
     assert len(both) == 5
     assert sum("20240102" in r["source_file"] for r in both) == 3
+
+
+def test_marcpublish_datasource_writer_roundtrip(spark, publish_dir, tmp_path):
+    """format('marcpublish') write path: records -> ISO2709 part files
+    + _SUCCESS manifest; read back through the binary MARC source."""
+    from alma_publish_to_marc_spark.sources import datasource
+
+    datasource.register(spark)
+    records = spark.read.format("marcpublish").load(publish_dir + "/*")
+    out = str(tmp_path / "mrc_out")
+    records.write.format("marcpublish").mode("append").save(out)
+
+    import os
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    manifest = open(os.path.join(out, "_SUCCESS")).read().strip().splitlines()
+    assert sum(int(line.split("\t")[1]) for line in manifest) == 2
+
+    back = publish.read_binary_marc(spark, out + "/*.mrc").collect()
+    assert len(back) == 2
+    want = sorted(r["mms_id"] for r in records.collect())
+    assert sorted(r["mms_id"] for r in back) == want
