@@ -51,11 +51,33 @@ _EMPTY_BANDS = "doc_id long, band_id int, band_key string"
 _EMPTY_SIGS = "doc_id long, shingles array<bigint>"
 
 
-def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def _read_state(spark: SparkSession, path: str, schema: str,
+                before_batch: int | None = None) -> DataFrame:
+    """Read a per-batch-partitioned state table (hive-style
+    ``batch_id=N`` subdirs). ``before_batch`` excludes the CURRENT
+    batch's own rows — the replay guard: a batch re-executed after a
+    mid-batch crash must never see its failed attempt's partial state
+    (it would flag its own docs as corpus duplicates and span-strip
+    its own shard text)."""
+    full = schema + ", batch_id long"
     if os.path.isdir(path) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+        df = spark.read.schema(full).parquet(path)
+    else:
+        df = spark.createDataFrame([], full)
+    if before_batch is not None:
+        df = df.where(F.col("batch_id") < before_batch)
+    return df.drop("batch_id")
+
+
+def _write_state(df: DataFrame, state_dir: str, table: str,
+                 batch_id: int) -> None:
+    """Idempotent per-batch state write: everything lands under the
+    batch's own partition dir with overwrite, so an at-least-once
+    replay of the batch produces byte-identical state instead of
+    doubled appends."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(state_dir, table, f"batch_id={batch_id}"))
 
 
 def _jaccard(sh_a, sh_b):
@@ -150,7 +172,17 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
     near-dup pair (id_a < id_b → id_b drops), after corpus duplicates
     are already excluded so a batch twin of a corpus dup is charged to
     the corpus, not its sibling.
+
+    Replay safety (foreachBatch is at-least-once): every state write
+    overwrites THIS batch's partition dir, and every state READ
+    excludes this batch's id — so re-executing a batch after a
+    mid-batch crash rewrites identical state instead of double-
+    appending, and never sees its failed attempt's partial rows (which
+    would flag its own docs as corpus duplicates and span-strip its
+    own shards).
     """
+    from pyspark import StorageLevel
+
     batch = batch.dropDuplicates(["doc_id"])
     scalars = batch.select(
         "doc_id", "text",
@@ -160,11 +192,12 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
         (F.col("lang_pred") != "und") & (F.col("quality") >= quality_min))
 
     index_bands = _read_state(spark, os.path.join(state_dir, "index_bands"),
-                              _EMPTY_BANDS)
+                              _EMPTY_BANDS, before_batch=batch_id)
     index_sigs = _read_state(spark, os.path.join(state_dir, "index_sigs"),
-                             _EMPTY_SIGS)
+                             _EMPTY_SIGS, before_batch=batch_id)
     sigs, bands = D._sigs_and_bands(usable, "doc_id", "text",
                                     n=5, max_tokens=None)
+    verdict = None
     try:
         corpus_dups = _dup_vs_index(sigs, bands, index_bands, index_sigs,
                                     threshold)
@@ -175,6 +208,9 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
                             "id_a", "left_anti")
                       .select(F.col("id_b").alias("new_id")).distinct())
 
+        # persisted: five downstream actions (audit/bands/sigs/take/
+        # shards) would otherwise each replay the scoring + LSH + index
+        # probe lineage
         verdict = (scalars
             .join(corpus_dups.withColumnRenamed("new_id", "doc_id")
                   .withColumn("_corpus_dup", F.lit(True)), "doc_id", "left")
@@ -188,24 +224,22 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
                  .when(F.col("_batch_dup"), F.lit("batch_duplicate"))
                  .otherwise(F.lit("kept")).alias("drop_reason"))
             .withColumn("kept", F.col("drop_reason") == "kept")
-            .withColumn("batch_id", F.lit(batch_id).cast("long")))
+            .persist(StorageLevel.MEMORY_AND_DISK))
         # audit first: committed even for batches with zero survivors
-        (verdict.write.mode("append")
-         .parquet(os.path.join(state_dir, "audit")))
+        _write_state(verdict, state_dir, "audit", batch_id)
 
         kept_ids = verdict.where("kept").select("doc_id")
-        (bands.join(kept_ids, "doc_id")
-         .write.mode("append")
-         .parquet(os.path.join(state_dir, "index_bands")))
-        (sigs.select("doc_id", "shingles").join(kept_ids, "doc_id")
-         .write.mode("append")
-         .parquet(os.path.join(state_dir, "index_sigs")))
+        _write_state(bands.join(kept_ids, "doc_id"),
+                     state_dir, "index_bands", batch_id)
+        _write_state(sigs.select("doc_id", "shingles").join(kept_ids, "doc_id"),
+                     state_dir, "index_sigs", batch_id)
 
         from ..plans.corpus_queries import write_training_shards
         survivors = batch.join(kept_ids, "doc_id")
         if survivors.take(1):
             gram_index = _read_state(
-                spark, os.path.join(state_dir, "gram_counts"), _EMPTY_GRAMS)
+                spark, os.path.join(state_dir, "gram_counts"), _EMPTY_GRAMS,
+                before_batch=batch_id)
             cleaned, deltas = _span_clean_vs_index(survivors, gram_index)
             # shards carry the span-cleaned text; the index is extended
             # with the ORIGINAL kept grams so later arrivals dedup
@@ -215,9 +249,10 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
                 .join(cleaned.select(
                     "doc_id", F.col("clean_text").alias("text")), "doc_id"),
                 os.path.join(state_dir, "shards", f"batch_id={batch_id}"))
-            (deltas.write.mode("append")
-             .parquet(os.path.join(state_dir, "gram_counts")))
+            _write_state(deltas, state_dir, "gram_counts", batch_id)
     finally:
+        if verdict is not None:
+            verdict.unpersist()
         D.unpersist_cached()
 
 

@@ -126,3 +126,36 @@ def test_incremental_span_removal_against_gram_index(spark, tmp_path):
     assert "valley" not in got_words and "bends" not in got_words
     assert got_words[:3] == ["orchard", "stones", "gather"]
     assert got_words[-3:] == ["harbor", "lights", "tonight"]
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-executing the SAME batch id
+    (a crash between state writes and the checkpoint commit) must
+    leave state and shards byte-identical — no doubled audit rows, no
+    self-flagged corpus duplicates, no span-stripped shards."""
+    import os
+
+    state = str(tmp_path / "state")
+    doc = ("the quick brown fox jumps over the lazy dog and then the fox "
+           "runs back to the den with a bone for the young pups to chew")
+    batch = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+
+    CU.curate_batch(spark, batch, state, batch_id=0)
+    audit1 = sorted(map(tuple, spark.read.parquet(
+        os.path.join(state, "audit")).collect()))
+    shards1 = sorted(map(tuple, spark.read.parquet(
+        os.path.join(state, "shards")).collect()))
+
+    # replay the same batch (same id): the crash-recovery path
+    CU.curate_batch(spark, batch, state, batch_id=0)
+    audit2 = sorted(map(tuple, spark.read.parquet(
+        os.path.join(state, "audit")).collect()))
+    shards2 = sorted(map(tuple, spark.read.parquet(
+        os.path.join(state, "shards")).collect()))
+    assert audit1 == audit2
+    assert shards1 == shards2
+    # the doc stayed kept with its text intact (no self-dup, no strip)
+    assert len(audit2) == 1 and audit2[0][3] == "kept"
+    texts = {r["text"] for r in spark.read.parquet(
+        os.path.join(state, "shards")).collect()}
+    assert texts == {doc}
