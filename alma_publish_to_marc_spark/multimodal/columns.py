@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked STUB: `_decode_image_real` raises NotImplementedError and
-the pipeline uses `_decode_image_fake`, a deterministic byte-derived fake
-with the exact schema/batching a real (PIL/ffmpeg) decoder would use.
+Decode picks its implementation at stage-build time (`pick_decoder`):
+the REAL decoder (stdlib ``wave`` for audio, PIL for images) when this
+environment can decode that family, else `_decode_image_fake`, a
+deterministic byte-derived fake with the exact schema/batching the real
+decoder uses — so the oracled queries pin the fake explicitly and stay
+environment-independent, while real-codec environments decode for real
+(unit-tested behind importorskip). `byte_histogram_features` needs no
+codecs at all — it computes entropy triage on the raw bytes.
 Everything Spark-side — schemas, partitioning, Arrow batch shapes,
 explode of frame samples — is real and tested.
 
@@ -99,14 +103,23 @@ def pick_decoder(strict: bool = False):
     of failing the job — at 100 TB a handful of truncated files must
     never kill the stage, and the fake's digest-derived row is still
     deterministic and join-safe."""
-    if not available_codecs()["image"]:
-        return _decode_image_fake
+    caps = available_codecs()
+
+    def per_format(payload: bytes, media_format: str):
+        # route per FAMILY: wav decodes for real wherever stdlib wave
+        # exists even if PIL is absent (the probe reports audio and
+        # image independently — honor both, not just image)
+        family = "audio" if media_format == "wav" else "image"
+        if not caps[family]:
+            return _decode_image_fake(payload, media_format)
+        return _decode_image_real(payload, media_format)
+
     if strict:
-        return _decode_image_real
+        return per_format
 
     def tolerant(payload: bytes, media_format: str):
         try:
-            return _decode_image_real(payload, media_format)
+            return per_format(payload, media_format)
         except Exception:
             return _decode_image_fake(payload, media_format)
     return tolerant
@@ -209,6 +222,14 @@ def byte_histogram_features(df: DataFrame) -> DataFrame:
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 counts = np.bincount(arr >> 4, minlength=16)
                 total = int(counts.sum())
+                if total == 0:
+                    # zero-length payload: emit a row, never NaN-crash
+                    # the whole Arrow batch (triage must be robust)
+                    out["n_bytes"].append(0)
+                    out["byte_entropy"].append(0.0)
+                    out["dominant_bucket"].append(0)
+                    out["dominant_share"].append(0.0)
+                    continue
                 ent = 0.0
                 for c in counts:  # fixed bucket order: deterministic sum
                     if c:

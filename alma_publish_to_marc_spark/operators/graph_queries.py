@@ -279,7 +279,10 @@ WHERE NOT EXISTS (
 # ---- fixed-point PageRank --------------------------------------------------
 PR_SCALE = 1_000_000_000_000  # tera units: integer mass, exact everywhere
 PR_ITERS = 2
-_SUPP_NS = 1_000_000          # supplier node-id namespace offset
+# supplier node ids are namespaced ABOVE max(custkey)+1, derived from the
+# data (a fixed constant would alias customers with suppliers at larger
+# scale factors — the same bug class the dedup corpora fixed by deriving
+# offsets from max(id)+1)
 
 
 def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,10 +315,12 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.col("o_custkey").alias("c"),
                   F.col("l_suppkey").alias("s"))
           .distinct())
-    und = (e0.select(F.col("c").alias("src"),
-                     (F.col("s") + _SUPP_NS).alias("dst"))
-           .unionByName(e0.select((F.col("s") + _SUPP_NS).alias("src"),
-                                  F.col("c").alias("dst"))))
+    off = F.broadcast(e0.agg((F.max("c") + F.lit(1)).alias("_off")))
+    e0o = e0.crossJoin(off)
+    und = (e0o.select(F.col("c").alias("src"),
+                      (F.col("s") + F.col("_off")).alias("dst"))
+           .unionByName(e0o.select((F.col("s") + F.col("_off")).alias("src"),
+                                   F.col("c").alias("dst"))))
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg")
     nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
@@ -340,22 +345,22 @@ def pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .cast("long")
                           + F.floor(F.coalesce("s", F.lit(0)) * 85 / 100)
                              .cast("long")).alias("pr")))
-    return state.select(
+    return state.crossJoin(off).select(
         F.col("node").alias("node_id"),
-        F.when(F.col("node") >= _SUPP_NS, "supplier")
+        F.when(F.col("node") >= F.col("_off"), "supplier")
          .otherwise("customer").alias("node_type"),
         F.col("pr").alias("pr_tera"),
         F.col("deg").cast("long").alias("degree"))
 
 
 def _pagerank_sql() -> str:
-    ctes = [f"""e0 AS (
+    ctes = ["""e0 AS (
     SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-)""", f"""und AS (
-    SELECT c AS src, s + {_SUPP_NS} AS dst FROM e0
+)""", """off AS (SELECT max(c) + 1 AS o FROM e0)""", """und AS (
+    SELECT c AS src, s + off.o AS dst FROM e0 CROSS JOIN off
     UNION ALL
-    SELECT s + {_SUPP_NS} AS src, c AS dst FROM e0
+    SELECT s + off.o AS src, c AS dst FROM e0 CROSS JOIN off
 )""", """deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src)""",
         """nodes AS (SELECT src AS node, deg FROM deg)""",
         """nn AS (SELECT count(*) AS n FROM nodes)""",
@@ -381,11 +386,13 @@ def _pagerank_sql() -> str:
 )""")
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT p.node AS node_id,
-       CASE WHEN p.node >= {_SUPP_NS} THEN 'supplier' ELSE 'customer' END
+       CASE WHEN p.node >= off.o THEN 'supplier' ELSE 'customer' END
            AS node_type,
        p.pr AS pr_tera,
        CAST(nodes.deg AS BIGINT) AS degree
-FROM p{PR_ITERS} p JOIN nodes ON p.node = nodes.node
+FROM p{PR_ITERS} p
+JOIN nodes ON p.node = nodes.node
+CROSS JOIN off
 """)
 
 

@@ -162,6 +162,10 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
     at the same nprobe=2 — see tests/test_similarity_recall.py."""
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     if centroids is None:
+        if not centroid_ids:
+            # isin(None/[]) matches nothing -> every query would return
+            # zero neighbors with no error; fail loudly instead
+            raise ValueError("ivf_topk needs centroid_ids or centroids")
         centroids = (e.where(F.col(id_col).isin(centroid_ids))
                      .select(F.col(id_col).alias("cent_id"),
                              F.col("v").alias("cv")))
@@ -341,6 +345,9 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
     """
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     if centroids is None:
+        if not centroid_ids:
+            raise ValueError(
+                "semantic_dedup needs centroid_ids or centroids")
         centroids = (e.where(F.col(id_col).isin(centroid_ids))
                      .select(F.col(id_col).alias("cent_id"),
                              F.col("v").alias("cv")))

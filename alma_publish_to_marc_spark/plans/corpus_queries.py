@@ -49,6 +49,19 @@ def _shingle_list(text):
     return _shingles_from_words(F.split(F.trim(text), r"\s+"))
 
 
+def span_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, gram_key) for every word-8-gram span of a
+    ``(doc_id, w)`` frame — the ONE definition of the span key
+    (1-based start, 16-byte ``unhex(md5(gram))``) shared by the span
+    stats/removal/longest operators and the streaming gram index, so
+    the key can never silently diverge between them."""
+    return (docs
+            .select("doc_id", F.posexplode(_shingles_from_words(F.col("w")))
+                    .alias("i0", "gram"))
+            .select("doc_id", (F.col("i0") + 1).alias("i"),
+                    F.unhex(F.md5("gram")).alias("gram_key")))
+
+
 def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span statistics over word 8-grams.
 
@@ -67,11 +80,9 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     it. No driver-side state.
     """
     docs = load(spark, sf_dir, "documents")
-    spans = (docs
-             .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
-             .select("doc_id",
-                     F.explode(_shingles_from_words(F.col("w"))).alias("gram"))
-             .select("doc_id", F.unhex(F.md5("gram")).alias("gram_key")))
+    spans = span_keys(
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    ).drop("i")
     counts = spans.groupBy("gram_key").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = (
         spans.join(counts, "gram_key")
@@ -145,11 +156,7 @@ def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents") \
         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
-    spans = (docs
-             .select("doc_id", F.posexplode(_shingles_from_words(F.col("w")))
-                     .alias("i0", "gram"))
-             .select("doc_id", (F.col("i0") + 1).alias("i"),
-                     F.unhex(F.md5("gram")).alias("gram_key")))
+    spans = span_keys(docs)
     counts = spans.groupBy("gram_key").agg(F.count(F.lit(1)).alias("cnt"))
     dup_starts = (spans.join(counts, "gram_key")
                   .where(F.col("cnt") > 1)
@@ -298,11 +305,7 @@ def longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents") \
         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
-    spans = (docs
-             .select("doc_id", F.posexplode(_shingles_from_words(F.col("w")))
-                     .alias("i0", "gram"))
-             .select("doc_id", (F.col("i0") + 1).alias("i"),
-                     F.unhex(F.md5("gram")).alias("gram_key")))
+    spans = span_keys(docs)
     counts = spans.groupBy("gram_key").agg(F.count(F.lit(1)).alias("cnt"))
     dup = (spans.join(counts, "gram_key")
            .where(F.col("cnt") > 1)

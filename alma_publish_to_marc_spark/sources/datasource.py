@@ -193,6 +193,16 @@ class MarcPublishDataSource(DataSource):
         return MarcPublishStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> MarcPublishWriter:
+        # overwrite must clear prior parts at plan time (driver-side):
+        # a glob reader over *.mrc would otherwise re-ingest stale
+        # files the new _SUCCESS manifest doesn't list — silent
+        # double-publish on rewrite
+        if overwrite:
+            path = self.options.get("path") or ""
+            if os.path.isdir(path):
+                for f in os.listdir(path):
+                    if f.endswith(".mrc") or f == "_SUCCESS":
+                        os.remove(os.path.join(path, f))
         return MarcPublishWriter(self.options)
 
 

@@ -13,24 +13,25 @@ Mirror of the reference's incremental publish-set ingest
 (/root/reference/README.md:87-90 "incremental-*" drops;
 alma_publish_parser.py:280-308 per-run drain + durable warehouse): the
 landing dir is the SFTP drop, the band index + kept table are the
-warehouse, and replays are idempotent because batch ids are checkpointed
-and every write is keyed by batch.
+warehouse, and replays are idempotent because every state table writes
+OVERWRITE into its own ``batch_id=N`` partition and every state read
+excludes the current batch (see curate_batch's replay-safety note).
 
 State layout under ``state_dir``:
 
 - ``index_bands/``  (doc_id, band_id, band_key) — LSH probe table; at
   scale this is the bucketed-by-band_key dedup index.
 - ``index_sigs/``   (doc_id, shingles)          — verification sets.
-- ``audit/``        (doc_id, batch_id, lang_pred, quality, drop_reason,
-  kept) — the per-document governance trail, every batch appended.
-- ``gram_counts/`` (gram_key, cnt) — append-only per-batch deltas of
+- ``audit/``        (doc_id, lang_pred, quality, drop_reason, kept)
+  under ``batch_id=N`` partitions — the per-document governance trail.
+- ``gram_counts/`` (gram_key, cnt) — per-batch deltas of
   8-gram occurrence counts over KEPT documents; summed on read. The
   span-removal index: batch N+1's shard text drops any span whose gram
   was already seen (in the standing corpus or twice within the batch),
   without rescanning the corpus — the rewrite twin of the band index.
 - ``shards/batch_id=N/`` — training shards for batch N's survivors
-  (plans/corpus_queries.write_training_shards layout), append-only so
-  a loader can replay batches in arrival order. Shard text is the
+  (plans/corpus_queries.write_training_shards layout), per-batch dirs
+  so a loader can replay batches in arrival order. Shard text is the
   SPAN-CLEANED form; the gram index is extended with the original
   kept text so later arrivals dedup against what was actually seen.
 """
@@ -121,16 +122,11 @@ def _span_clean_vs_index(batch_kept: DataFrame,
     gram keys and never reshuffles (same probe shape as the band
     index); the rewrite is the scan-fused array filter of
     ``plans/corpus_queries.duplicate_span_removal``."""
-    from ..plans.corpus_queries import NGRAM, _shingles_from_words
+    from ..plans.corpus_queries import NGRAM, span_keys
 
     docs = batch_kept.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
-    spans = (docs
-             .select("doc_id",
-                     F.posexplode(_shingles_from_words(F.col("w")))
-                      .alias("i0", "gram"))
-             .select("doc_id", (F.col("i0") + 1).alias("i"),
-                     F.unhex(F.md5("gram")).alias("gram_key")))
+    spans = span_keys(docs)
     deltas = spans.groupBy("gram_key").agg(F.count(F.lit(1)).alias("cnt"))
     idx_hits = (gram_index
                 .join(F.broadcast(deltas.select("gram_key")), "gram_key")

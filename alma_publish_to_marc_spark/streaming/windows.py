@@ -163,6 +163,14 @@ class RecentFeatureProcessor(StatefulProcessor):
         new = new.sort_values(["ts", "event_id"])
         hist = [(r[0], r[1]) for r in self._recent.get()]
         hist += list(zip(new["ts"], new["value"]))
+        # a LATE event in batch N+1 must interleave by event time, not
+        # arrival: without the sort, stored-then-new ordering regresses
+        # last_ts and mis-weights the alpha^j lags, diverging from the
+        # batch query's (ts-ordered) result. Python sort is stable, so
+        # same-ts events keep arrival order (the batch tie-break is
+        # event_id, which state doesn't carry — equal-ts ties are the
+        # documented residual approximation).
+        hist.sort(key=lambda tv: tv[0])
         hist = hist[-EWMA_W:]
         self._recent.clear()
         self._recent.put([(t, float(v)) for t, v in hist])

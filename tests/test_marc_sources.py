@@ -202,3 +202,17 @@ def test_marcpublish_datasource_writer_roundtrip(spark, publish_dir, tmp_path):
     assert len(back) == 2
     want = sorted(r["mms_id"] for r in records.collect())
     assert sorted(r["mms_id"] for r in back) == want
+
+
+def test_marcpublish_writer_overwrite_clears_stale_parts(spark, publish_dir,
+                                                         tmp_path):
+    from alma_publish_to_marc_spark.sources import datasource
+
+    datasource.register(spark)
+    records = spark.read.format("marcpublish").load(publish_dir + "/*")
+    out = str(tmp_path / "mrc_ow")
+    records.write.format("marcpublish").mode("overwrite").save(out)
+    records.write.format("marcpublish").mode("overwrite").save(out)
+    # second overwrite replaced, not doubled
+    back = publish.read_binary_marc(spark, out + "/*.mrc").collect()
+    assert len(back) == 2

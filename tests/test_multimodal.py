@@ -96,17 +96,29 @@ def test_real_image_decode_with_pil():
 
 
 def test_pick_decoder_probe_matches_environment():
+    import io
+    import wave as wavemod
+
     codecs = M.available_codecs()
     assert codecs["audio"] is True
     chosen = M.pick_decoder()
-    if codecs["image"]:
-        # tolerant wrapper: corrupt payloads fall back to the fake row
-        assert chosen(b"not an image", "png") == \
-            M._decode_image_fake(b"not an image", "png")
-    else:
-        assert chosen is M._decode_image_fake
-    assert M.pick_decoder(strict=True) in (M._decode_image_real,
-                                           M._decode_image_fake)
+    # tolerant wrapper: corrupt payloads fall back to the fake row in
+    # every environment (image via probe-or-error, wav via error)
+    assert chosen(b"not an image", "png") == \
+        M._decode_image_fake(b"not an image", "png")
+    assert chosen(b"not audio", "wav") == \
+        M._decode_image_fake(b"not audio", "wav")
+    # a VALID wav decodes for real even where PIL is absent: the probe
+    # reports families independently and the router honors both
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 100)
+    payload = buf.getvalue()
+    frames, rate, chans, _ = chosen(payload, "wav")
+    assert (frames, rate, chans) == (100, 8000, 1)
 
 
 def test_shard_assignment_is_a_valid_packing(spark):
@@ -140,3 +152,17 @@ def test_byte_features_real_computation(spark):
         assert 2 <= r["dominant_bucket"] <= 7
         assert 0.0 < r["dominant_share"] <= 1.0
         assert r["n_bytes"] > 0
+
+
+def test_byte_features_empty_payload_survives(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.multimodal import columns as M
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in M.byte_histogram_features(
+        M.attach_binary_payload(df, "doc_id", "text")).collect()}
+    assert rows[2]["n_bytes"] == 0
+    assert rows[2]["byte_entropy"] == 0.0
+    assert rows[1]["n_bytes"] == 11
