@@ -226,6 +226,57 @@ WHERE hi.chosen_quality > lo.rejected_quality
 """
 
 
+# --- per-source quality calibration ---------------------------------------
+def _quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile calibration of the quality score WITHIN each source:
+    a doc's calibrated score is its percent_rank among its own source's
+    docs — the preprocessing that makes scores comparable across
+    sources whose raw distributions differ (a mediocre doc from a
+    high-quality source shouldn't outrank a great doc from a noisy
+    one when the mix samples per-source).
+
+    One window pass over the source-keyed shuffle; ties (identical raw
+    scores) share a percent_rank by definition, so the output is
+    deterministic without an id tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source",
+                         T.quality_score(F.col("text")).alias("quality"))
+    w = Window.partitionBy("source").orderBy("quality")
+    return scored.select(
+        "doc_id", "source", "quality",
+        F.round(F.percent_rank().over(w), 4).alias("quality_calibrated"))
+
+
+def _quality_calibrated_sql() -> str:
+    toks = SQL_TOKS
+    atl = sql_avg_token_len()
+    punct = sql_punct_ratio()
+    stop = sql_stopword_ratio()
+    return f"""
+WITH feats AS (
+    SELECT doc_id, source,
+           len({toks}) AS n_tokens,
+           {stop} AS stopword_ratio,
+           {punct} AS punct_ratio,
+           {atl} AS avg_tl
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, source,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.2 * (CASE WHEN avg_tl >= 3 AND avg_tl <= 10
+                             THEN 1.0 ELSE 0.5 END)
+               + 0.2 * least(stopword_ratio * 5, 1.0)
+               + 0.2 * (1.0 - least(punct_ratio * 10, 1.0)), 4) AS quality
+    FROM feats
+)
+SELECT doc_id, source, quality,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 4)
+           AS quality_calibrated
+FROM scored
+"""
+
+
 # --- rolling fingerprint -------------------------------------------------
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -592,6 +643,8 @@ QUERIES = {
     "doc_lang_id": (_lang_id, _lang_id_sql()),
     "doc_quality_score": (_quality, _quality_sql()),
     "preference_pairs": (_preference_pairs, _preference_pairs_sql()),
+    "quality_calibrated_by_source": (_quality_calibrated,
+                                     _quality_calibrated_sql()),
     "doc_fingerprint": (_fingerprint, _FINGERPRINT_SQL),
     "dataset_split": (_dataset_split, _SPLIT_SQL),
 }

@@ -256,6 +256,72 @@ FROM tagged GROUP BY split_a, split_b
 """
 
 
+# ---- cross-source duplication matrix ---------------------------------------
+def _cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from: near-dup pairs (exact Jaccard over
+    the real corpus, no planting) tagged with each endpoint's source
+    and aggregated per unordered source pair — the governance matrix
+    that tells a curation team which feeds mirror each other (licensing
+    reviews and crawl-dedup priorities key on exactly this).
+
+    Scale: the pair table is the jaccard_pairs candidate join; the
+    source tags are two broadcastable joins against (doc_id, source)
+    projections, and the matrix is |sources|² rows max."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs.select("doc_id", "text"),
+                            "doc_id", "text", n=5, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    tagged = (pairs
+              .join(src.select(F.col("doc_id").alias("id_a"),
+                               F.col("source").alias("src_a")), "id_a")
+              .join(src.select(F.col("doc_id").alias("id_b"),
+                               F.col("source").alias("src_b")), "id_b"))
+    return (tagged
+            .select(F.least("src_a", "src_b").alias("source_a"),
+                    F.greatest("src_a", "src_b").alias("source_b"),
+                    "jaccard")
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.avg("jaccard"), 4).alias("avg_jaccard"))
+            .withColumn("cross_source",
+                        F.col("source_a") != F.col("source_b")))
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, unnest({sql_shingle_hashes()}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6)
+          >= 0.5
+),
+tagged AS (
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           p.jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       round(avg(jaccard), 4) AS avg_jaccard,
+       source_a <> source_b AS cross_source
+FROM tagged GROUP BY source_a, source_b
+"""
+
+
 # ---- MinHash + LSH ---------------------------------------------------------
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_near_dup_corpus(spark, sf_dir),
@@ -406,6 +472,7 @@ QUERIES = {
     "exact_dedup": (_exact_dedup, _EXACT_SQL),
     "containment_neardup": (_containment, _CONTAINMENT_SQL),
     "split_leakage_check": (_split_leakage, _split_leakage_sql()),
+    "cross_source_dup_matrix": (_cross_source_dups, _CROSS_SOURCE_SQL),
     "ngram_jaccard_neardup": (_ngram_jaccard, _NGRAM_SQL),
     "minhash_lsh_neardup": (_minhash_lsh, _minhash_sql()),
     "simhash_fingerprint": (_simhash, _simhash_sql()),

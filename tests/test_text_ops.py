@@ -127,3 +127,25 @@ def test_split_leakage_detects_cross_split_neardups(spark):
     for r in rows:
         assert r["crosses_split"] == (r["split_a"] != r["split_b"])
         assert r["n_pairs"] > 0
+
+
+def test_quality_calibration_is_source_local_percentile(spark):
+    from alma_publish_to_marc_spark.functions.text_queries import (
+        _quality_calibrated)
+
+    rows = _quality_calibrated(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        assert 0.0 <= r["quality_calibrated"] <= 1.0
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r["quality"], r["doc_id"]))
+        # percentile ranks are monotone in raw quality within a source
+        for a, b in zip(rs, rs[1:]):
+            if b["quality"] > a["quality"]:
+                assert b["quality_calibrated"] > a["quality_calibrated"]
+            elif b["quality"] == a["quality"]:
+                assert b["quality_calibrated"] == a["quality_calibrated"]
+        # the worst doc of every source sits at rank 0
+        assert rs[0]["quality_calibrated"] == 0.0
