@@ -247,6 +247,54 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     return agg.select(id_col, sig.alias("simhash"))
 
 
+SIMHASH_BANDS = 4                      # 4 bands x 8 bits over 32-bit sigs
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup PAIRS — the retrieval half the fingerprint
+    alone lacks: candidates are pairs whose 32-bit signatures agree on
+    at least one 8-bit band (pigeonhole: any pair within Hamming
+    distance < SIMHASH_BANDS*? — concretely, distance ≤ 3 ALWAYS shares
+    a band; larger distances are caught probabilistically), verified by
+    exact popcount of the XOR.
+
+    Scale: the signature table is #docs rows of (id, long); the band
+    self-join groups on an 8-bit band value + band index (the classic
+    Charikar blocking), so candidate volume is bucket-local, and the
+    verify is a scan-side bit_count — no text ever reshuffles. Raise
+    SIMHASH_BITS/SIMHASH_BANDS together at corpus scale to keep band
+    buckets bounded."""
+    sigs = simhash(df, id_col, text_col)
+    bands = sigs.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                 .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                 .alias("band_val"))
+            for b in range(SIMHASH_BANDS)])).alias("bb")) \
+        .select(id_col, "simhash",
+                F.col("bb.band_id").alias("band_id"),
+                F.col("bb.band_val").alias("band_val"))
+    a = bands.select(F.col(id_col).alias("id_a"),
+                     F.col("simhash").alias("sig_a"),
+                     "band_id", "band_val")
+    b = bands.select(F.col(id_col).alias("id_b"),
+                     F.col("simhash").alias("sig_b"),
+                     "band_id", "band_val")
+    cand = (a.join(b, ["band_id", "band_val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .distinct())
+    ham = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (cand.select("id_a", "id_b",
+                        ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
 # Frames persisted by _sigs_and_bands, so long-lived sessions can release
 # them: the persist must outlive the (lazy) verify join, which no library
 # function here ever materializes itself, so eager unpersist is impossible —

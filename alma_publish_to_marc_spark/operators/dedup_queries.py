@@ -403,6 +403,60 @@ SELECT doc_id, {assemble} AS simhash FROM v
 """
 
 
+SIMHASH_QUERY_HAMMING = 0
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs over the near-dup-augmented corpus at Hamming budget 0.
+
+    Measured on this corpus: every planted tail variant lands at
+    distance 0 from its source (the variant flips no majority votes),
+    while the synthetic 31-word vocabulary compresses the whole
+    spectrum (already ~6k background pairs at distance ≤2) — so 0 is
+    the only discriminating budget here. Real corpora spread signatures
+    far wider; the library default (≤6 of 32 bits) is the conventional
+    production budget."""
+    return D.simhash_pairs(_near_dup_corpus(spark, sf_dir),
+                           "doc_id", "text",
+                           max_hamming=SIMHASH_QUERY_HAMMING)
+
+
+def _simhash_pairs_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(D.SIMHASH_BITS))
+    assemble = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({2 ** i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(D.SIMHASH_BITS))
+    mask = (1 << D.SIMHASH_BAND_BITS) - 1
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * D.SIMHASH_BAND_BITS}) & {mask} AS band_val "
+        f"FROM sigs"
+        for b in range(D.SIMHASH_BANDS))
+    return f"""
+WITH {SQL_NEAR_CORPUS},
+tok AS (
+    SELECT doc_id, unnest({sql_toks()}) AS tok FROM corpus
+),
+h AS (SELECT doc_id, {sql_poly('tok')} AS h FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sigs AS (SELECT doc_id, {assemble} AS simhash FROM v),
+bands AS ({bands_union}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sig_a, b.simhash AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_QUERY_HAMMING}
+"""
+
+
 def _incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arriving batch = the synthetic tail-variants of every 5th doc;
     standing corpus = the documents table. Cross (new, corpus)
@@ -476,5 +530,6 @@ QUERIES = {
     "ngram_jaccard_neardup": (_ngram_jaccard, _NGRAM_SQL),
     "minhash_lsh_neardup": (_minhash_lsh, _minhash_sql()),
     "simhash_fingerprint": (_simhash, _simhash_sql()),
+    "simhash_neardup": (_simhash_pairs, _simhash_pairs_sql()),
     "incremental_neardup": (_incremental, _incremental_sql()),
 }

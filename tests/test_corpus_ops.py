@@ -455,3 +455,28 @@ def test_token_budget_plan_allocates_budget(spark):
     smallest = min(rows, key=lambda r: r["tokens_available"])
     largest = max(rows, key=lambda r: r["tokens_available"])
     assert smallest["repeat_factor"] > largest["repeat_factor"]
+
+
+def test_simhash_pairs_catch_planted_variants(spark):
+    import duckdb
+
+    from alma_publish_to_marc_spark.operators import dedup as D
+    from alma_publish_to_marc_spark.operators.dedup_queries import (
+        _near_dup_corpus)
+
+    sf = "/root/testdata/sf0.001"
+    off = duckdb.sql(
+        f"select max(doc_id) + 1 from '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    pairs = D.simhash_pairs(_near_dup_corpus(spark, sf),
+                            "doc_id", "text", max_hamming=0).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every planted tail variant pairs with its source at distance 0
+    import pandas as pd  # noqa: F401
+    planted = duckdb.sql(
+        f"select doc_id from '{sf}/documents.parquet' where doc_id % 5 = 0"
+    ).fetchall()
+    for (did,) in planted:
+        assert (did, did + off) in found, did
+    for r in pairs:
+        assert r["hamming"] == 0
