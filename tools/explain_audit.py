@@ -83,6 +83,18 @@ def main() -> None:
         "pq_adc_topk", "logreg_train_fixed_point",
         "media_shard_assignment", "event_ewma_features",
         "embedding_decontamination", "token_zipf_fit",
+        "conversion_funnel", "cohort_retention", "ks_drift_test",
+        "event_transition_matrix", "weighted_sample_es",
+        "simhash_neardup", "cross_source_dup_matrix",
+        "quality_calibrated_by_source", "inverted_index_build",
+        "value_histogram", "range_frame_rolling",
+        "scd2_point_in_time_join", "history_retention_purge",
+        "iqr_outlier_filter", "pagerank_fixed_point",
+        "containment_neardup", "split_leakage_check",
+        "preference_pairs", "pq_rerank_topk", "token_budget_plan",
+        "full_outer_reconcile", "longest_dup_span",
+        "hopping_window_counts", "lateral_topk_per_group",
+        "media_byte_features", "media_shard_assignment",
     ]
     for name in names:
         if name not in qs:
