@@ -94,7 +94,7 @@ def main() -> None:
         "preference_pairs", "pq_rerank_topk", "token_budget_plan",
         "full_outer_reconcile", "longest_dup_span",
         "hopping_window_counts", "lateral_topk_per_group",
-        "media_byte_features", "media_shard_assignment",
+        "media_byte_features",
     ]
     for name in names:
         if name not in qs:
