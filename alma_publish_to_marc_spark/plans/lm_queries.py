@@ -213,7 +213,119 @@ FROM agg
 """
 
 
+N_DECILES = 10
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law diagnostic: vocabulary size as a function of corpus
+    size, V(N) ≈ K·N^β — the curve that predicts how big a tokenizer
+    vocabulary must grow with the corpus, and whose β (naturally ~0.5)
+    flags template corpora (β→0: no new words) or noise (β→1: every
+    token new). Reported at corpus deciles plus the log-log OLS β.
+
+    Scale: ONE corpus pass — each token's FIRST-occurrence doc
+    (min doc_id per token, map-side combined) gives the entire growth
+    curve: V(prefix ≤ d) = count of tokens first seen by d, computed
+    as a running sum over the per-doc new-token counts. The running
+    windows order by doc_id over #docs rows of ints (single partition
+    — bounded by document count, not tokens; at extreme doc counts,
+    run the two-level prefix scan of media_shard_assignment). Decile
+    cuts use percent_rank over the same spine.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents") \
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("w"))
+    toks = docs.select("doc_id", F.explode("w").alias("tok")) \
+        .where(F.col("tok") != "")
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = first.groupBy(F.col("first_doc").alias("doc_id")) \
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    tokens_per_doc = toks.groupBy("doc_id") \
+        .agg(F.count(F.lit(1)).alias("n_toks"))
+    spine = (tokens_per_doc.join(new_per_doc, "doc_id", "left")
+             .select("doc_id", "n_toks",
+                     F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = spine.select(
+        "doc_id",
+        F.sum("n_toks").over(w).alias("cum_tokens"),
+        F.sum("n_new").over(w).alias("cum_vocab"),
+        F.ceil(F.percent_rank().over(Window.orderBy("doc_id"))
+               * N_DECILES).cast("int").alias("decile"))
+    per_decile = (curve.groupBy("decile")
+                  .agg(F.max("cum_tokens").cast("long").alias("cum_tokens"),
+                       F.max("cum_vocab").cast("long").alias("cum_vocab")))
+    pts = per_decile.where(F.col("decile") > 0).select(
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"))
+    agg = pts.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    beta = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return (per_decile.where(F.col("decile") > 0)
+            .crossJoin(F.broadcast(agg.select(
+                F.round(beta, 4).alias("heaps_beta"))))
+            .select("decile", "cum_tokens", "cum_vocab", "heaps_beta"))
+
+
+_VOCAB_GROWTH_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS tok
+          FROM documents)
+    WHERE tok <> ''
+),
+first AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok),
+new_per_doc AS (
+    SELECT first_doc AS doc_id, count(*) AS n_new FROM first
+    GROUP BY first_doc
+),
+tokens_per_doc AS (
+    SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
+),
+spine AS (
+    SELECT t.doc_id, t.n_toks, coalesce(n.n_new, 0) AS n_new
+    FROM tokens_per_doc t LEFT JOIN new_per_doc n USING (doc_id)
+),
+curve AS (
+    SELECT doc_id,
+           sum(n_toks) OVER w AS cum_tokens,
+           sum(n_new) OVER w AS cum_vocab,
+           CAST(ceil(percent_rank() OVER (ORDER BY doc_id)
+                     * {N_DECILES}) AS INT) AS decile
+    FROM spine
+    WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+),
+per_decile AS (
+    SELECT decile,
+           CAST(max(cum_tokens) AS BIGINT) AS cum_tokens,
+           CAST(max(cum_vocab) AS BIGINT) AS cum_vocab
+    FROM curve GROUP BY decile
+),
+pts AS (
+    SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+           ln(CAST(cum_vocab AS DOUBLE)) AS y
+    FROM per_decile WHERE decile > 0
+),
+fit AS (
+    SELECT round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 4)
+               AS heaps_beta
+    FROM pts
+)
+SELECT p.decile, p.cum_tokens, p.cum_vocab, f.heaps_beta
+FROM per_decile p CROSS JOIN fit f
+WHERE p.decile > 0
+"""
+
+
 QUERIES = {
     "ngram_lm_perplexity": (ngram_lm_perplexity, _LM_SQL),
     "token_zipf_fit": (token_zipf_fit, _ZIPF_SQL),
+    "vocab_growth_curve": (vocab_growth_curve, _VOCAB_GROWTH_SQL),
 }

@@ -87,3 +87,27 @@ def test_embedding_decontamination_flags_planted(spark):
     # untouched corpus vectors are clean on this uniform-random corpus
     clean = [r for r in rows if r["vec_id"] <= max_id]
     assert clean and all(not r["contaminated"] for r in clean)
+
+
+def test_vocab_growth_monotone_and_heaps_bounds(spark):
+    rows = sorted(L.vocab_growth_curve(spark, "/root/testdata/sf0.01")
+                  .collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, L.N_DECILES + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] > a["cum_tokens"]
+        assert b["cum_vocab"] >= a["cum_vocab"]
+    # the synthetic 31-word corpus saturates instantly: beta ~ 0 (the
+    # "template corpus" signature the docstring describes)
+    assert 0.0 <= rows[0]["heaps_beta"] < 0.2
+    assert all(r["heaps_beta"] == rows[0]["heaps_beta"] for r in rows)
+
+
+def test_vocab_growth_on_growing_vocab(spark, tmp_path):
+    # every doc introduces brand-new words: beta ~ 1
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(10)))
+            for i in range(20)]
+    pd.DataFrame(rows, columns=["doc_id", "text"]) \
+        .to_parquet(str(tmp_path / "documents.parquet"))
+    out = L.vocab_growth_curve(spark, str(tmp_path)).collect()
+    beta = out[0]["heaps_beta"]
+    assert beta == pytest.approx(1.0, abs=0.01)
