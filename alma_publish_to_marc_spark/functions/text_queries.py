@@ -277,6 +277,66 @@ FROM scored
 """
 
 
+# --- language-ID evaluation ------------------------------------------------
+def _lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language-ID heuristic against the
+    corpus's ground-truth ``lang`` labels — the evaluation every
+    classifier in the curation funnel owes its users (the funnel drops
+    docs on ``lang_pred``; this measures what that costs per true
+    language). One row per (true, predicted) pair with the share of
+    the true class ("recall" on the diagonal).
+
+    Scale: one scan-fused prediction pass and one map-side-combined
+    aggregation to |langs|² rows; the per-true-class totals join two
+    tiny frames."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("lang").alias("true_lang"),
+        T.lang_id(F.col("text")).alias("pred_lang"))
+    cells = docs.groupBy("true_lang", "pred_lang") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    totals = cells.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return (cells.join(totals, "true_lang")
+            .select("true_lang", "pred_lang", "n",
+                    F.round(F.col("n") / F.col("n_true"), 4)
+                     .alias("share_of_true")))
+
+
+def _lang_id_confusion_sql() -> str:
+    # exact mirror of functions/text.lang_id (same CASE chain and
+    # tie-break order as the green doc_lang_id oracle above)
+    s = {lang: _marker_sql(m) for lang, m in T.LANG_MARKERS.items()}
+    return f"""
+WITH pred AS (
+    SELECT lang AS true_lang,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+           END AS pred_lang
+    FROM (
+        SELECT lang, s_en, s_es, s_fr,
+               greatest(s_en, s_es, s_fr) AS best
+        FROM (
+            SELECT lang,
+                   {s['en']} AS s_en,
+                   {s['es']} AS s_es,
+                   {s['fr']} AS s_fr
+            FROM documents
+        )
+    )
+),
+cells AS (
+    SELECT true_lang, pred_lang, count(*) AS n
+    FROM pred GROUP BY true_lang, pred_lang
+),
+totals AS (SELECT true_lang, sum(n) AS n_true FROM cells
+           GROUP BY true_lang)
+SELECT c.true_lang, c.pred_lang, c.n,
+       round(c.n / t.n_true, 4) AS share_of_true
+FROM cells c JOIN totals t USING (true_lang)
+"""
+
+
 # --- rolling fingerprint -------------------------------------------------
 def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -645,6 +705,7 @@ QUERIES = {
     "preference_pairs": (_preference_pairs, _preference_pairs_sql()),
     "quality_calibrated_by_source": (_quality_calibrated,
                                      _quality_calibrated_sql()),
+    "lang_id_confusion": (_lang_id_confusion, _lang_id_confusion_sql()),
     "doc_fingerprint": (_fingerprint, _FINGERPRINT_SQL),
     "dataset_split": (_dataset_split, _SPLIT_SQL),
 }

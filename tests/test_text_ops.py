@@ -149,3 +149,20 @@ def test_quality_calibration_is_source_local_percentile(spark):
                 assert b["quality_calibrated"] == a["quality_calibrated"]
         # the worst doc of every source sits at rank 0
         assert rs[0]["quality_calibrated"] == 0.0
+
+
+def test_lang_id_confusion_shares_normalize(spark):
+    from alma_publish_to_marc_spark.functions.text_queries import (
+        _lang_id_confusion)
+
+    rows = _lang_id_confusion(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    per_true: dict[str, float] = {}
+    n_total = 0
+    for r in rows:
+        per_true[r["true_lang"]] = per_true.get(r["true_lang"], 0.0) \
+            + r["share_of_true"]
+        n_total += r["n"]
+    for lang, total in per_true.items():
+        assert total == pytest.approx(1.0, abs=1e-2), lang
+    assert n_total == 500  # every document lands in exactly one cell
