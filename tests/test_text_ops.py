@@ -6,6 +6,8 @@ references over adversarial strings (the corpus is tame ASCII)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import re
 
