@@ -1,0 +1,298 @@
+"""Distributed cardinality / frequency sketches, bit-deterministic
+across engines.
+
+At 100 TB "how many distinct tokens / users / urls" cannot be answered
+with COUNT(DISTINCT) — the distinct shuffle alone is the size of the
+vocabulary. These are the standard sketch answers, built from scratch
+on md5 so Spark and the DuckDB oracle produce IDENTICAL results (the
+repo's cross-engine hash idiom — Spark ``conv(substr(md5(x),..),16,10)``
+== DuckDB ``CAST('0x' || substr(md5(x),..) AS BIGINT)``, verified
+bit-equal, as is ``bin()``/integer ``div``):
+
+- KMV (k-minimum-values): keep the k smallest 48-bit hashes of the
+  distinct stream; estimate = (k-1) * 2^48 / h_(k).  Exact integer
+  math end-to-end.
+- HyperLogLog: m=256 buckets from the first md5 byte, rho = leading
+  zeros of the next 48 bits + 1. The harmonic sum is kept in integer
+  space (sum of 2^(49-M_j) ≤ 2^57 < int64), so cross-engine float
+  association never arises; one final float expression, written
+  identically in both engines.
+- Count-Min: d=2 x w=1024 integer counter matrix from salted md5;
+  point estimate = min over rows; always >= the exact count.
+
+Against the tiny driver tables the queries also compute the EXACT
+answer next to the estimate (the recall-eval pattern of
+``ann_recall_eval``) so correctness of the sketch math — not just
+determinism — is continuously asserted by the oracle gate.
+
+Scale: every sketch is one corpus scan + a map-side-combinable
+aggregation to a bounded state (k rows / m rows / d*w cells); no
+distinct shuffle of the raw keys ever happens at production shape.
+Reference semantics anchor: the run-report counters of
+/root/reference/alma_publish_parser.py (OP-A1) are exact counts at
+reference scale; these are their 100 TB replacements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+KMV_K = 256
+HLL_M = 256          # 2^8 buckets, first 2 hex chars of md5
+TWO48 = 281_474_976_710_656          # 2^48
+TWO49 = 562_949_953_421_312          # 2^49
+CMS_W = 1024
+CMS_SALTS = ("cms0:", "cms1:")
+TOPN = 20
+
+
+SHINGLE_N = 3
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """The counted stream: word 3-gram shingles (the dedup family's
+    shingle stream — `functions/text.word_shingles` — whose corpus-wide
+    distinct count is what a near-dup pass actually needs to size).
+    Unigrams would be trivial here: the driver corpus has a ~31-token
+    vocabulary; 3-grams give a 10^4+ cardinality estimation regime."""
+    from ..functions.text import word_shingles
+    return (docs.select(
+                F.explode(word_shingles(F.lower(F.col("text")), SHINGLE_N))
+                 .alias("gram"))
+            .where(F.col("gram") != ""))
+
+
+_TOKS_SQL = r"""toks AS (
+    SELECT unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - {nm1}, 0) + 1),
+               i -> array_to_string(list_slice(t, i, i + {nm1}), ' ')))) AS gram
+    FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents)
+), terms AS (SELECT gram FROM toks WHERE gram <> '')""".format(
+    nm1=SHINGLE_N - 1)
+
+
+def _h48(col: Column, prefix: str = "") -> Column:
+    """48-bit integer hash; bit-equal to the DuckDB '0x'||substr form."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 12),
+                  16, 10).cast("long")
+
+
+# --------------------------------------------------------------------------
+# KMV distinct estimate
+# --------------------------------------------------------------------------
+def kmv_distinct(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
+    """k-minimum-values distinct-token estimate, next to the exact count.
+
+    Scale: the k smallest distinct hashes are a TakeOrdered (per-
+    partition top-k, then a k-row merge on one reducer) — the only
+    full-width shuffle is the distinct on the 8-byte hash, and at
+    production you'd replace that with a per-partition KMV merge
+    (aggregate k-sets, union, re-truncate); the estimate itself is
+    exact int64 math so both engines agree to the last digit.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hashes = _tokens(docs).select(_h48(F.col("gram")).alias("h")).distinct()
+    kth = (hashes.orderBy("h").limit(k)
+           .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_kept")))
+    exact = _tokens(docs).agg(
+        F.countDistinct("gram").alias("exact_distinct"))
+    # fewer than k distinct values → the sketch holds the whole set and
+    # IS the exact answer (standard KMV small-cardinality case)
+    est = F.expr(f"CASE WHEN n_kept < {k} THEN n_kept"
+                 f" ELSE {k - 1} * {TWO48}L div h_k END")
+    return (kth.crossJoin(F.broadcast(exact))
+            .select(F.lit(k).cast("int").alias("k"),
+                    F.col("h_k"),
+                    est.alias("est_distinct"),
+                    F.col("exact_distinct"),
+                    F.round(F.lit(100.0) * (est - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 2).alias("err_pct")))
+
+
+def _kmv_sql(k: int = KMV_K) -> str:
+    return f"""
+WITH {_TOKS_SQL},
+hashes AS (
+    SELECT DISTINCT CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) AS h
+    FROM terms
+),
+kth AS (
+    SELECT max(h) AS h_k, count(*) AS n_kept
+    FROM (SELECT h FROM hashes ORDER BY h LIMIT {k})
+),
+exact AS (SELECT count(DISTINCT gram) AS exact_distinct FROM terms)
+SELECT CAST({k} AS INT) AS k, h_k,
+       CASE WHEN n_kept < {k} THEN n_kept
+            ELSE {k - 1} * {TWO48} // h_k END AS est_distinct,
+       exact_distinct,
+       round(100.0 * (CASE WHEN n_kept < {k} THEN n_kept
+                           ELSE {k - 1} * {TWO48} // h_k END
+                      - exact_distinct) / exact_distinct, 2) AS err_pct
+FROM kth CROSS JOIN exact
+"""
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct estimate
+# --------------------------------------------------------------------------
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL(m=256) distinct-token estimate with the exact count beside it.
+
+    bucket = first md5 byte; rho = (48 - bitlength(next 48 bits)) + 1
+    via ``length(bin(v))`` (bit-equal in both engines, bin(0)='0' so
+    v=0 maps to rho=49 through the 48-bit cap). The harmonic mean stays
+    integer: S = Σ 2^(49-M_j) over present buckets + 2^49 per empty
+    bucket, ≤ 256·2^49 < 2^63. Small-range (linear-counting) correction
+    applies below 2.5m with empty buckets — written as the identical
+    expression in both engines.
+
+    Scale: one scan → max-per-bucket (map-side combinable, 256-row
+    state) → 1-row estimate. This is THE distinct-count shape for
+    100 TB; the exact branch exists only for the oracle assertion.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    md5c = F.md5(F.col("gram"))
+    bucket = F.conv(F.substring(md5c, 1, 2), 16, 10).cast("long")
+    v = F.conv(F.substring(md5c, 3, 12), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(49).cast("long")) \
+           .otherwise(F.lit(49) - F.length(F.bin(v))).cast("long")
+    regs = (toks.select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("m_j")))
+    sums = regs.agg(
+        F.count(F.lit(1)).alias("used_buckets"),
+        F.sum(F.expr(f"{TWO49}L div shiftleft(1L, cast(m_j as int))"))
+         .alias("s_present"))
+    alpha_num = "(0.7213 / (1 + 1.079 / 256.0))"
+    s_total = f"(s_present + ({HLL_M} - used_buckets) * {TWO49}L)"
+    raw = f"round({alpha_num} * {HLL_M} * {HLL_M} * {TWO49} / {s_total}, 0)"
+    lc = f"round({HLL_M} * ln({HLL_M} / cast({HLL_M} - used_buckets as double)), 0)"
+    est = F.expr(
+        f"cast(CASE WHEN {raw} <= 2.5 * {HLL_M} AND used_buckets < {HLL_M}"
+        f" THEN {lc} ELSE {raw} END as bigint)")
+    exact = toks.agg(F.countDistinct("gram").alias("exact_distinct"))
+    return (sums.crossJoin(F.broadcast(exact))
+            .select(F.lit(HLL_M).cast("int").alias("m"),
+                    F.col("used_buckets").cast("int").alias("used_buckets"),
+                    est.alias("est_distinct"),
+                    F.col("exact_distinct"),
+                    F.round(F.lit(100.0) * (est - F.col("exact_distinct"))
+                            / F.col("exact_distinct"), 2).alias("err_pct")))
+
+
+def _hll_sql() -> str:
+    s_total = f"(s_present + ({HLL_M} - used_buckets) * {TWO49})"
+    raw = (f"round((0.7213 / (1 + 1.079 / 256.0)) * {HLL_M} * {HLL_M}"
+           f" * {TWO49} / {s_total}, 0)")
+    lc = (f"round({HLL_M} * ln({HLL_M} /"
+          f" CAST({HLL_M} - used_buckets AS DOUBLE)), 0)")
+    return f"""
+WITH {_TOKS_SQL},
+regs AS (
+    SELECT CAST('0x' || substr(md5(gram), 1, 2) AS BIGINT) AS bucket,
+           max(CASE WHEN CAST('0x' || substr(md5(gram), 3, 12) AS BIGINT) = 0
+                    THEN 49
+                    ELSE 49 - length(bin(CAST('0x' || substr(md5(gram), 3, 12)
+                                              AS BIGINT)))
+               END) AS m_j
+    FROM terms GROUP BY 1
+),
+sums AS (
+    SELECT count(*) AS used_buckets,
+           sum({TWO49} // (1::BIGINT << CAST(m_j AS INT))) AS s_present
+    FROM regs
+),
+exact AS (SELECT count(DISTINCT gram) AS exact_distinct FROM terms)
+SELECT CAST({HLL_M} AS INT) AS m,
+       CAST(used_buckets AS INT) AS used_buckets,
+       CAST(CASE WHEN {raw} <= 2.5 * {HLL_M} AND used_buckets < {HLL_M}
+                 THEN {lc} ELSE {raw} END AS BIGINT) AS est_distinct,
+       exact_distinct,
+       round(100.0 * (CAST(CASE WHEN {raw} <= 2.5 * {HLL_M}
+                                 AND used_buckets < {HLL_M}
+                                THEN {lc} ELSE {raw} END AS BIGINT)
+                      - exact_distinct) / exact_distinct, 2) AS err_pct
+FROM sums CROSS JOIN exact
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-Min heavy hitters
+# --------------------------------------------------------------------------
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min (d=2, w=1024) frequency estimates for the exact top-20
+    terms, asserting the CMS guarantee est >= exact per row.
+
+    Scale: the sketch is a d*w = 2048-cell integer matrix built by one
+    map-side-combinable aggregation — the ONLY state a 100 TB frequency
+    pass needs. Probing joins the (tiny) candidate set against the
+    2048-row sketch via broadcast. The exact top-20 candidate list here
+    stands in for whatever candidate stream production probes (the
+    sketch itself never stores terms).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tc = (_tokens(docs).groupBy("gram")
+          .agg(F.count(F.lit(1)).alias("exact_count")))
+    cells = None
+    for row, salt in enumerate(CMS_SALTS):
+        part = tc.select(
+            F.lit(row).alias("row"),
+            F.pmod(_h48(F.col("gram"), salt), F.lit(CMS_W)).alias("col"),
+            F.col("exact_count"))
+        cells = part if cells is None else cells.unionAll(part)
+    sketch = cells.groupBy("row", "col").agg(
+        F.sum("exact_count").alias("cell_count"))
+    top = (tc.orderBy(F.desc("exact_count"), F.asc("gram")).limit(TOPN)
+           .select("gram", "exact_count"))
+    probes = None
+    for row, salt in enumerate(CMS_SALTS):
+        p = top.select(
+            "gram", "exact_count", F.lit(row).alias("row"),
+            F.pmod(_h48(F.col("gram"), salt), F.lit(CMS_W)).alias("col"))
+        probes = p if probes is None else probes.unionAll(p)
+    return (probes.join(F.broadcast(sketch), ["row", "col"])
+            .groupBy("gram", "exact_count")
+            .agg(F.min("cell_count").alias("est_count"))
+            .select("gram", "exact_count", "est_count",
+                    (F.col("est_count") - F.col("exact_count"))
+                    .alias("overestimate"))
+            .orderBy(F.desc("exact_count"), F.asc("gram")))
+
+
+def _cms_sql() -> str:
+    def h(salt: str, expr: str = "gram") -> str:
+        return (f"CAST('0x' || substr(md5('{salt}' || {expr}), 1, 12)"
+                f" AS BIGINT) % {CMS_W}")
+
+    cell_parts = " UNION ALL ".join(
+        f"SELECT {row} AS row, {h(salt)} AS col, exact_count FROM tc"
+        for row, salt in enumerate(CMS_SALTS))
+    probe_parts = " UNION ALL ".join(
+        f"SELECT gram, exact_count, {row} AS row, {h(salt)} AS col FROM top"
+        for row, salt in enumerate(CMS_SALTS))
+    return f"""
+WITH {_TOKS_SQL},
+tc AS (SELECT gram, count(*) AS exact_count FROM terms GROUP BY gram),
+cells AS ({cell_parts}),
+sketch AS (SELECT row, col, sum(exact_count) AS cell_count
+           FROM cells GROUP BY row, col),
+top AS (SELECT gram, exact_count FROM tc
+        ORDER BY exact_count DESC, gram LIMIT {TOPN}),
+probes AS ({probe_parts})
+SELECT gram, exact_count, CAST(min(cell_count) AS BIGINT) AS est_count,
+       CAST(min(cell_count) - exact_count AS BIGINT) AS overestimate
+FROM probes JOIN sketch USING (row, col)
+GROUP BY gram, exact_count
+ORDER BY exact_count DESC, gram
+"""
+
+
+QUERIES = {
+    "kmv_distinct_estimate": (kmv_distinct, _kmv_sql()),
+    "hll_distinct_estimate": (hll_distinct, _hll_sql()),
+    "cms_heavy_hitters": (cms_heavy_hitters, _cms_sql()),
+}
