@@ -420,3 +420,56 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str,
             .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def knn_graph(emb: DataFrame, id_col: str, vec_col: str,
+              k: int = 5) -> DataFrame:
+    """Approximate k-NN GRAPH: top-k cosine neighbors for EVERY vector
+    (not a query panel) — the backbone structure behind semantic dedup
+    clustering, label propagation, and graph-based ANN serving.
+
+    Same multi-band LSH candidate generation as
+    :func:`embedding_neardup_pairs` (and the same slim-join rule: only
+    ``(id, band, sig)`` rides the self-join; vectors join back for
+    surviving candidates). Candidates are mirrored into both directions
+    before ranking, so each node ranks every neighbor it collided with
+    in any band; nodes whose buckets hold fewer than k collisions emit
+    fewer than k edges (the honest LSH contract — raise N_BANDS for
+    more recall, never a corpus cross join).
+
+    Scale: candidate count is Σ_buckets C(occupancy, 2) ≈ N·avg_bucket
+    — linear in N for fixed bucket occupancy (size N_PLANES as
+    log₂(N/target) to pin it). The per-node top-k is one hash-partition
+    window over src (WindowGroupLimit prunes to k per key map-side
+    before the shuffle). No driver-side state anywhere.
+    """
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    sigs = e.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(band).alias("band"),
+                     lsh_bucket(F.col("v"), planes).alias("sig"))
+            for band, planes in enumerate(BAND_PLANES)])).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"),
+             F.col("bs.sig").alias("sig"))
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    half = (a.join(b, ["band", "sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
+    cand = half.unionAll(half.select(F.col("id_b").alias("id_a"),
+                                     F.col("id_a").alias("id_b")))
+    scored = (cand
+              .join(e.select(F.col(id_col).alias("id_a"),
+                             F.col("v").alias("va")), "id_a")
+              .join(e.select(F.col(id_col).alias("id_b"),
+                             F.col("v").alias("vb")), "id_b")
+              .select(F.col("id_a").alias("src"),
+                      F.col("id_b").alias("dst"),
+                      cosine(F.col("va"), F.col("vb")).alias("cosine")))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("src", "dst", "cosine", F.col("rank").cast("int")
+                    .alias("rank")))

@@ -699,7 +699,50 @@ FROM n
 """
 
 
+KNN_K = 5
+
+
+def _knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+
+
+_KNN_GRAPH_SQL = f"""
+WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+bands AS (
+{" UNION ALL ".join(
+    f"SELECT vec_id, {band} AS band, "
+    f"{_sql_bucket(_sql_vec(), planes)} AS sig FROM embeddings"
+    for band, planes in enumerate(S.BAND_PLANES))}
+),
+half AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+cand AS (
+    SELECT id_a, id_b FROM half
+    UNION ALL
+    SELECT id_b AS id_a, id_a AS id_b FROM half
+),
+scored AS (
+    SELECT cand.id_a AS src, cand.id_b AS dst,
+           round({_sql_dot('ea.v', 'eb.v')}
+                 / ({_sql_norm('ea.v')} * {_sql_norm('eb.v')}), 6) AS cosine
+    FROM cand
+    JOIN e ea ON ea.vec_id = cand.id_a
+    JOIN e eb ON eb.vec_id = cand.id_b
+)
+SELECT src, dst, cosine, CAST(rank AS INT) AS rank
+FROM (SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst ASC) AS rank
+      FROM scored)
+WHERE rank <= {KNN_K}
+"""
+
 QUERIES = {
+    "knn_graph_topk": (_knn_graph, _KNN_GRAPH_SQL),
     "ann_cosine_topk": (_brute, _BRUTE_SQL),
     "ann_lsh_topk": (_lsh, _LSH_SQL),
     "ann_ivf_topk": (_ivf, _IVF_SQL),

@@ -1002,8 +1002,94 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# hybrid_rank_fusion: reciprocal-rank fusion of lexical (BM25) and
+# semantic (embedding-cosine) retrieval
+# --------------------------------------------------------------------------
+RRF_C = 60                     # the standard RRF damping constant
+RRF_SCALE = 1_000_000_000      # integer-scaled 1/(C+rank): exact cross-engine
+RRF_SEM_QID = 0                # query vector: embedding of vec_id 0
+RRF_LIST_K = 20                # depth of each input ranking
+RRF_TOPK = 10
+
+
+def _hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 keyword ranking and an
+    embedding-cosine ranking of the same id space with reciprocal-rank
+    fusion, score(d) = Σ_lists 1/(C + rank_d). Ranks-only fusion is the
+    production-standard way to combine incomparable scores (BM25 logs
+    vs cosine), and the integer-scaled reciprocal (``RRF_SCALE div
+    (C + rank)``) keeps the fused score exact int64 in both engines.
+
+    Scale: both input rankings end in a top-``RRF_LIST_K`` (TakeOrdered
+    — per-partition heaps, k-row driver merge), so the fusion itself
+    joins two k-row frames — trivially broadcast. The expensive parts
+    are the upstream retrievals, each already scale-shaped (see
+    ``bm25_topk`` / ``ann_cosine_topk``). A missing doc in one list
+    contributes 0, the standard RRF union semantics.
+    """
+    from ..operators import similarity as S
+
+    lex = (_bm25(spark, sf_dir)
+           .select("doc_id", F.col("rank").alias("lex_rank")))
+    emb = load(spark, sf_dir, "embeddings")
+    sem = (S.brute_force_topk(emb, "vec_id", "embedding",
+                              [RRF_SEM_QID], k=RRF_LIST_K)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank").alias("sem_rank")))
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.expr(
+        f"coalesce({RRF_SCALE} div ({RRF_C} + lex_rank), 0)"
+        f" + coalesce({RRF_SCALE} div ({RRF_C} + sem_rank), 0)")
+    w = Window.orderBy(F.desc(rrf), F.asc("doc_id"))
+    return (fused.select("doc_id",
+                         F.col("lex_rank").cast("int").alias("lex_rank"),
+                         F.col("sem_rank").cast("int").alias("sem_rank"),
+                         rrf.alias("rrf_score"),
+                         F.row_number().over(w).cast("int")
+                          .alias("fused_rank"))
+            .where(F.col("fused_rank") <= RRF_TOPK))
+
+
+def _hybrid_fusion_sql() -> str:
+    from ..operators.similarity_queries import _sql_dot, _sql_norm, _sql_vec
+
+    return f"""
+WITH lex AS (
+    SELECT doc_id, rank AS lex_rank FROM ({_BM25_SQL})
+),
+e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {RRF_SEM_QID}),
+sem AS (
+    SELECT vec_id AS doc_id, CAST(rank AS INT) AS sem_rank
+    FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                   ORDER BY round({_sql_dot('q.qv', 'e.v')}
+                       / ({_sql_norm('q.qv')} * {_sql_norm('e.v')}), 6) DESC,
+                       e.vec_id ASC) AS rank
+        FROM e CROSS JOIN q WHERE e.vec_id <> {RRF_SEM_QID}
+    ) WHERE rank <= {RRF_LIST_K}
+),
+fused AS (
+    SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+           lex.lex_rank, sem.sem_rank,
+           coalesce({RRF_SCALE} // ({RRF_C} + lex.lex_rank), 0)
+           + coalesce({RRF_SCALE} // ({RRF_C} + sem.sem_rank), 0) AS rrf_score
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank,
+       CAST(sem_rank AS INT) AS sem_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT)
+           AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {RRF_TOPK}
+"""
+
+
 QUERIES = {
     "window_frame_suite": (_window_frames, _WINDOW_FRAMES_SQL),
+    "hybrid_rank_fusion": (_hybrid_fusion, _hybrid_fusion_sql()),
     "approx_distinct_bounds": (_approx_distinct, _APPROX_DISTINCT_SQL),
     "array_ops_suite": (_array_ops, _ARRAY_OPS_SQL),
     "recursive_cte_depth": (_recursive_depth, _RECURSIVE_DEPTH_SQL),

@@ -1,0 +1,64 @@
+"""Structural properties of the k-NN graph and hybrid RRF fusion
+(cross-engine value parity is covered by the oracle gate)."""
+
+from collections import defaultdict
+
+import pytest
+
+from alma_publish_to_marc_spark.operators import similarity_queries as SQ
+from alma_publish_to_marc_spark.plans import analytics_queries as AQ
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def knn(spark):
+    return SQ._knn_graph(spark, SF).collect()
+
+
+def test_knn_per_node_topk_contract(knn):
+    by_src = defaultdict(list)
+    for r in knn:
+        by_src[r.src].append(r)
+    assert by_src, "graph must be non-empty"
+    for src, edges in by_src.items():
+        edges.sort(key=lambda r: r.rank)
+        assert len(edges) <= SQ.KNN_K
+        assert [e.rank for e in edges] == list(range(1, len(edges) + 1))
+        cosines = [e.cosine for e in edges]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(e.dst != src for e in edges)
+
+
+def test_knn_candidates_are_band_symmetric(knn):
+    # an (a->b) edge implies b saw a as a candidate too (mirrored pairs);
+    # b keeps it only if it makes b's top-k, so no hard symmetry — but
+    # every dst must itself be a node that emitted at least one edge OR
+    # simply exist; check ids stay in the corpus id domain
+    ids = {r.src for r in knn} | {r.dst for r in knn}
+    assert all(0 <= i < 100000 for i in ids)
+
+
+@pytest.fixture(scope="module")
+def fused(spark):
+    return AQ._hybrid_fusion(spark, SF).collect()
+
+
+def test_rrf_rank_contract(fused):
+    assert [r.fused_rank for r in fused] == list(range(1, len(fused) + 1))
+    assert len(fused) == AQ.RRF_TOPK
+    scores = [r.rrf_score for r in fused]
+    assert scores == sorted(scores, reverse=True)
+    for r in fused:
+        assert r.rrf_score > 0
+        assert r.lex_rank is not None or r.sem_rank is not None
+
+
+def test_rrf_score_is_exact_reciprocal_sum(fused):
+    for r in fused:
+        expect = 0
+        if r.lex_rank is not None:
+            expect += AQ.RRF_SCALE // (AQ.RRF_C + r.lex_rank)
+        if r.sem_rank is not None:
+            expect += AQ.RRF_SCALE // (AQ.RRF_C + r.sem_rank)
+        assert r.rrf_score == expect
