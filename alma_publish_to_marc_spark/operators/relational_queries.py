@@ -482,7 +482,115 @@ FROM cust FULL OUTER JOIN ev ON cust.ckey = ev.key
 """
 
 
+# --- TPC-H Q3 shape: shipping-priority top-N ----------------------------
+_Q3_CUTOFF = "1998-06-01"
+
+
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 open orders by pending revenue for one
+    market segment — orders placed before the cutoff whose lineitems
+    ship after it.
+
+    Scale: the segment filter prunes customer BEFORE its join (column
+    + predicate reach the scan); customer⋈orders and orders⋈lineitem
+    stay KEYED shuffles — customer is fact-sized (TPC-H 15:1 to
+    lineitem), deliberately not broadcast, unlike the true dims in
+    ``multiway_join_revenue``. Both date filters push to the parquet
+    scans, and the final top-10 is TakeOrdered on the ROUNDED revenue
+    (per-partition heaps — no global sort of the aggregate)."""
+    cutoff = F.lit(_Q3_CUTOFF).cast("timestamp")
+    cust = (load(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < cutoff)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+_Q3_SQL = f"""
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- TPC-H Q10 shape: returned-item revenue per customer ----------------
+_Q10_START, _Q10_END = "1998-01-01", "1998-07-01"
+
+
+def _returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R') for orders in one half-year window.
+
+    Scale: return-flag + date predicates push to the scans; the
+    order⋈lineitem join is keyed, customer joins keyed on custkey,
+    and only nation (25 rows) is broadcast. Top-20 is TakeOrdered."""
+    orders = (load(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= F.lit(_Q10_START).cast("timestamp"))
+                     & (F.col("o_orderdate") < F.lit(_Q10_END).cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("lost_revenue"),
+                 F.count(F.lit(1)).alias("n_returned_items"),
+                 F.round(F.max("c_acctbal"), 2).alias("acctbal"))
+            .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+_Q10_SQL = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+           AS lost_revenue,
+       count(*) AS n_returned_items,
+       round(max(c.c_acctbal), 2) AS acctbal
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{_Q10_START}'
+  AND o.o_orderdate < TIMESTAMP '{_Q10_END}'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "shipping_priority_topn": (_shipping_priority, _Q3_SQL),
+    "returned_item_revenue": (_returned_revenue, _Q10_SQL),
     "broadcast_dim_lookup": (_broadcast_lookup, _BROADCAST_LOOKUP_SQL),
     "salted_skew_join": (_salted_skew_join, _SALTED_SQL),
     "pivot_event_counts": (_pivot_event_counts, _PIVOT_SQL),
