@@ -224,9 +224,10 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct((-F.col("score")).alias("neg"),
                                 F.col("cls").alias("cls"))).alias("b"))
             .select("doc_id", "true_lang", F.col("b.cls").alias("pred_lang")))
+    # no final orderBy: the driver row-sorts before hashing, and a
+    # cosmetic sort would add a rangepartitioning exchange to the plan
     return (best.groupBy("true_lang", "pred_lang")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy("true_lang", "pred_lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
 _NB_SQL = rf"""

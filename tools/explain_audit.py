@@ -95,6 +95,11 @@ def main() -> None:
         "full_outer_reconcile", "longest_dup_span",
         "hopping_window_counts", "lateral_topk_per_group",
         "media_byte_features",
+        "kmv_distinct_estimate", "hll_distinct_estimate",
+        "cms_heavy_hitters", "knn_graph_topk", "hybrid_rank_fusion",
+        "pmi_collocations", "naive_bayes_confusion",
+        "label_propagation", "knn_triangle_census",
+        "shipping_priority_topn", "returned_item_revenue",
     ]
     for name in names:
         if name not in qs:
