@@ -588,7 +588,80 @@ LIMIT 20
 """
 
 
+# --- Market-basket association rules ------------------------------------
+_MB_MIN_PAIR = 3
+_MB_TOPK = 20
+
+
+def _market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: top part pairs by
+    lift, with support and directional confidence — the co-purchase
+    analysis behind "frequently bought together".
+
+    Scale: the pair generator self-joins the DISTINCT (order, part)
+    list on the order key, so blow-up is C(basket,2) per order —
+    bounded by basket size (~7 in TPC-H), never corpus-quadratic. The
+    pair aggregation and the two part-frequency joins are keyed,
+    map-side-combinable shuffles (part domain is vocabulary-sized at
+    100 TB — no broadcast); lift/support/confidence are exact integer
+    rationals rounded once. Top-k is TakeOrdered.
+    """
+    op = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    n_orders = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    part_n = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c"))
+    a = op.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "o").where(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("c_xy"))
+             .where(F.col("c_xy") >= _MB_MIN_PAIR))
+    return (pairs
+            .join(part_n.select(F.col("l_partkey").alias("part_a"),
+                                F.col("c").alias("c_x")), "part_a")
+            .join(part_n.select(F.col("l_partkey").alias("part_b"),
+                                F.col("c").alias("c_y")), "part_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("part_a", "part_b", "c_xy", "c_x", "c_y", "n_orders",
+                    F.round(F.col("c_xy") / F.col("n_orders"), 6)
+                     .alias("support"),
+                    F.round(F.col("c_xy") / F.col("c_x"), 6)
+                     .alias("confidence_ab"),
+                    F.round(F.col("c_xy") * F.col("n_orders")
+                            / (F.col("c_x") * F.col("c_y")), 6)
+                     .alias("lift"))
+            .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+            .limit(_MB_TOPK))
+
+
+_MB_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+pn AS (SELECT p, count(*) AS c FROM op GROUP BY p),
+pairs AS (
+    SELECT a.p AS part_a, b.p AS part_b, count(*) AS c_xy
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    GROUP BY a.p, b.p
+    HAVING count(*) >= {_MB_MIN_PAIR}
+)
+SELECT part_a, part_b, c_xy, px.c AS c_x, py.c AS c_y, n_orders,
+       round(c_xy / n_orders, 6) AS support,
+       round(c_xy / px.c, 6) AS confidence_ab,
+       round(c_xy * n_orders / (px.c * py.c), 6) AS lift
+FROM pairs
+JOIN pn px ON px.p = part_a
+JOIN pn py ON py.p = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT {_MB_TOPK}
+"""
+
+
 QUERIES = {
+    "market_basket_rules": (_market_basket, _MB_SQL),
     "shipping_priority_topn": (_shipping_priority, _Q3_SQL),
     "returned_item_revenue": (_returned_revenue, _Q10_SQL),
     "broadcast_dim_lookup": (_broadcast_lookup, _BROADCAST_LOOKUP_SQL),

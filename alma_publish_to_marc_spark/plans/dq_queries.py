@@ -1,0 +1,312 @@
+"""Data-quality constraint audit over the warehouse star schema — the
+dbt-test / Deequ-style gate a 100 TB ingest runs before publishing a
+snapshot: primary-key uniqueness, foreign-key integrity, domain and
+not-null checks, and a cross-table ordering invariant, all emitted as
+one (check_name, n_rows, n_violations, passed) row per rule.
+
+Reference semantics anchor: the reference gates publishes on record
+counts and suppress/size assertions (alma_publish_parser.py run
+report, OP-A4 group-size assertion); this is that idea generalized to
+a declarative rule table over every warehouse table.
+
+Scale: per-table rules are FUSED into one aggregate per table (one
+scan each, map-side combinable counts — adding a rule to a table adds
+a column, not a pass); FK rules are keyed anti-join counts (the dim
+side of orders→customer is fact-sized, so the join stays shuffle-
+keyed; at 100 TB AQE picks broadcast only when the parent truly
+fits). The result is a ~10-row frame — the audit cost is the scans,
+not the checks.
+
+The audit legitimately FAILS two rules on the driver's generator:
+(l_orderkey, l_linenumber) collides (~24% of rows at sf0.01) and
+ship dates are uncorrelated with order dates (~49% ship "before"
+ordering) — findings, not bugs: an audit reports what holds, and
+these two prove it detects real violations rather than rubber-
+stamping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import EVENT_TYPES, load
+
+
+def _stack(agg: DataFrame, table: str,
+           checks: list[tuple[str, str]]) -> DataFrame:
+    """Explode one fused aggregate row into one row per check."""
+    pairs = F.array(*[
+        F.struct(F.lit(name).alias("check_name"),
+                 F.col(viol_col).cast("long").alias("n_violations"))
+        for name, viol_col in checks])
+    return (agg.select(F.col("n_rows").cast("long").alias("n_rows"),
+                       F.explode(pairs).alias("c"))
+            .select(F.lit(table).alias("table_name"),
+                    F.col("c.check_name").alias("check_name"),
+                    "n_rows", F.col("c.n_violations").alias("n_violations"),
+                    (F.col("c.n_violations") == 0).cast("int")
+                    .alias("passed")))
+
+
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    events = load(spark, sf_dir, "events")
+    documents = load(spark, sf_dir, "documents")
+
+    o_agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("price_np"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("date_null"))
+    o_rows = _stack(o_agg, "orders", [
+        ("pk_unique_o_orderkey", "pk_dup"),
+        ("o_totalprice_positive", "price_np"),
+        ("o_orderdate_not_null", "date_null")])
+
+    l_agg = lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1))
+         - F.countDistinct("l_orderkey", "l_linenumber")).alias("pk_dup"),
+        F.count(F.when((F.col("l_discount") < 0)
+                       | (F.col("l_discount") > 1), 1)).alias("disc_dom"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("qty_np"))
+    l_rows = _stack(l_agg, "lineitem", [
+        ("pk_unique_l_orderkey_linenumber", "pk_dup"),
+        ("l_discount_in_unit_interval", "disc_dom"),
+        ("l_quantity_positive", "qty_np")])
+
+    e_agg = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("ts").isNull(), 1)).alias("ts_null"),
+        F.count(F.when(~F.col("event_type").isin(*EVENT_TYPES), 1))
+         .alias("type_dom"))
+    e_rows = _stack(e_agg, "events", [
+        ("ts_not_null", "ts_null"),
+        ("event_type_in_domain", "type_dom")])
+
+    d_agg = documents.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("text").isNull()
+                       | (F.col("n_chars") <= 0), 1)).alias("empty"),
+        F.count(F.when(F.col("n_chars") != F.length("text"), 1))
+         .alias("nchars_drift"))
+    d_rows = _stack(d_agg, "documents", [
+        ("text_nonempty", "empty"),
+        ("n_chars_matches_text", "nchars_drift")])
+
+    # FK integrity: anti-join counts (keyed; parent side fact-sized)
+    o_orphans = (orders.select("o_custkey")
+                 .join(customer.select("c_custkey"),
+                       F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+                 .agg(F.count(F.lit(1)).alias("v")))
+    o_n = orders.agg(F.count(F.lit(1)).alias("n_rows"))
+    fk1 = (o_n.crossJoin(F.broadcast(o_orphans))
+           .select(F.lit("orders").alias("table_name"),
+                   F.lit("fk_o_custkey_in_customer").alias("check_name"),
+                   F.col("n_rows").cast("long").alias("n_rows"),
+                   F.col("v").cast("long").alias("n_violations"),
+                   (F.col("v") == 0).cast("int").alias("passed")))
+    l_orphans = (lineitem.select("l_orderkey")
+                 .join(orders.select("o_orderkey"),
+                       F.col("l_orderkey") == F.col("o_orderkey"),
+                       "left_anti")
+                 .agg(F.count(F.lit(1)).alias("v")))
+    l_n = lineitem.agg(F.count(F.lit(1)).alias("n_rows"))
+    fk2 = (l_n.crossJoin(F.broadcast(l_orphans))
+           .select(F.lit("lineitem").alias("table_name"),
+                   F.lit("fk_l_orderkey_in_orders").alias("check_name"),
+                   F.col("n_rows").cast("long").alias("n_rows"),
+                   F.col("v").cast("long").alias("n_violations"),
+                   (F.col("v") == 0).cast("int").alias("passed")))
+
+    # cross-table ordering invariant: a lineitem never ships before its
+    # order is placed
+    ship = (lineitem.select("l_orderkey", "l_shipdate")
+            .join(orders.select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count(F.when(F.col("l_shipdate")
+                                < F.col("o_orderdate"), 1)).alias("v")))
+    inv = ship.select(
+        F.lit("lineitem").alias("table_name"),
+        F.lit("ships_after_order_date").alias("check_name"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("v").cast("long").alias("n_violations"),
+        (F.col("v") == 0).cast("int").alias("passed"))
+
+    return (o_rows.unionByName(l_rows).unionByName(e_rows)
+            .unionByName(d_rows).unionByName(fk1).unionByName(fk2)
+            .unionByName(inv))
+
+
+def _dq_sql() -> str:
+    types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    return f"""
+WITH o AS (
+    SELECT count(*) AS n_rows,
+           count(*) - count(DISTINCT o_orderkey) AS pk_dup,
+           count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS price_np,
+           count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS date_null
+    FROM orders
+),
+l AS (
+    SELECT count(*) AS n_rows,
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS pk_dup,
+           count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+               AS disc_dom,
+           count(CASE WHEN l_quantity <= 0 THEN 1 END) AS qty_np
+    FROM lineitem
+),
+e AS (
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN ts IS NULL THEN 1 END) AS ts_null,
+           count(CASE WHEN event_type NOT IN ({types}) THEN 1 END)
+               AS type_dom
+    FROM events
+),
+d AS (
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN text IS NULL OR n_chars <= 0 THEN 1 END)
+               AS empty,
+           count(CASE WHEN n_chars <> length(text) THEN 1 END)
+               AS nchars_drift
+    FROM documents
+),
+fk1 AS (
+    SELECT (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v
+),
+fk2 AS (
+    SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS v
+),
+inv AS (
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 END) AS v
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT * FROM (
+    SELECT 'orders' AS table_name, 'pk_unique_o_orderkey' AS check_name,
+           n_rows, pk_dup AS n_violations,
+           CAST(pk_dup = 0 AS INT) AS passed FROM o
+    UNION ALL
+    SELECT 'orders', 'o_totalprice_positive', n_rows, price_np,
+           CAST(price_np = 0 AS INT) FROM o
+    UNION ALL
+    SELECT 'orders', 'o_orderdate_not_null', n_rows, date_null,
+           CAST(date_null = 0 AS INT) FROM o
+    UNION ALL
+    SELECT 'lineitem', 'pk_unique_l_orderkey_linenumber', n_rows, pk_dup,
+           CAST(pk_dup = 0 AS INT) FROM l
+    UNION ALL
+    SELECT 'lineitem', 'l_discount_in_unit_interval', n_rows, disc_dom,
+           CAST(disc_dom = 0 AS INT) FROM l
+    UNION ALL
+    SELECT 'lineitem', 'l_quantity_positive', n_rows, qty_np,
+           CAST(qty_np = 0 AS INT) FROM l
+    UNION ALL
+    SELECT 'events', 'ts_not_null', n_rows, ts_null,
+           CAST(ts_null = 0 AS INT) FROM e
+    UNION ALL
+    SELECT 'events', 'event_type_in_domain', n_rows, type_dom,
+           CAST(type_dom = 0 AS INT) FROM e
+    UNION ALL
+    SELECT 'documents', 'text_nonempty', n_rows, empty,
+           CAST(empty = 0 AS INT) FROM d
+    UNION ALL
+    SELECT 'documents', 'n_chars_matches_text', n_rows, nchars_drift,
+           CAST(nchars_drift = 0 AS INT) FROM d
+    UNION ALL
+    SELECT 'orders', 'fk_o_custkey_in_customer', n_rows, v,
+           CAST(v = 0 AS INT) FROM fk1
+    UNION ALL
+    SELECT 'lineitem', 'fk_l_orderkey_in_orders', n_rows, v,
+           CAST(v = 0 AS INT) FROM fk2
+    UNION ALL
+    SELECT 'lineitem', 'ships_after_order_date', n_rows, v,
+           CAST(v = 0 AS INT) FROM inv
+)
+"""
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version reconciliation: diff two corpus snapshots into
+    per-source added/removed/changed/unchanged counts — the audit a
+    versioned training-data lake runs between releases (and the same
+    shape as the reference's full-vs-incremental publish reconcile,
+    alma_publish_parser.py:280-308).
+
+    The "new" snapshot is derived deterministically from the stored
+    one (drop doc_id%11, revise text of doc_id%7, append copies of
+    doc_id%13 at a max(doc_id)+1 offset — the repo's id-namespace
+    rule), so both engines diff identical inputs.
+
+    Scale: ONE full-outer join keyed on doc_id; content equality
+    compares md5 hashes computed scan-side, so document text never
+    crosses the shuffle — the whole diff ships 40-byte rows however
+    large the documents are. Counts are map-side combinable.
+    """
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "source", F.md5("text").alias("h"),
+                    "text"))
+    off = F.broadcast(docs.agg((F.max("doc_id") + 1).alias("_off")))
+    a = docs.select("doc_id", "source", "h")
+    b_kept = (docs.where(F.col("doc_id") % 11 != 0)
+              .select("doc_id", "source",
+                      F.when(F.col("doc_id") % 7 == 0,
+                             F.md5(F.concat(F.col("text"), F.lit(" rev2"))))
+                       .otherwise(F.col("h")).alias("h")))
+    b_new = (docs.where(F.col("doc_id") % 13 == 0).crossJoin(off)
+             .select((F.col("doc_id") + F.col("_off")).alias("doc_id"),
+                     "source", "h"))
+    b = b_kept.unionByName(b_new)
+    j = (a.select(F.col("doc_id").alias("id"),
+                  F.col("source").alias("src_a"), F.col("h").alias("h_a"))
+         .join(b.select(F.col("doc_id").alias("id"),
+                        F.col("source").alias("src_b"),
+                        F.col("h").alias("h_b")),
+               "id", "full_outer"))
+    status = (F.when(F.col("h_a").isNull(), "added")
+              .when(F.col("h_b").isNull(), "removed")
+              .when(F.col("h_a") != F.col("h_b"), "changed")
+              .otherwise("unchanged"))
+    return (j.select(F.coalesce("src_a", "src_b").alias("source"),
+                     status.alias("status"))
+            .groupBy("source", "status")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+_SNAPSHOT_SQL = """
+WITH docs AS (
+    SELECT doc_id, source, md5(text) AS h, text FROM documents
+),
+off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+b AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 7 = 0 THEN md5(text || ' rev2') ELSE h END AS h
+    FROM docs WHERE doc_id % 11 <> 0
+    UNION ALL
+    SELECT doc_id + off.o AS doc_id, source, h
+    FROM docs CROSS JOIN off WHERE doc_id % 13 = 0
+)
+SELECT coalesce(a.source, b.source) AS source,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h <> b.h THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n_docs
+FROM docs a
+FULL OUTER JOIN b ON a.doc_id = b.doc_id
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "dq_constraint_audit": (dq_constraint_audit, _dq_sql()),
+    "snapshot_diff": (snapshot_diff, _SNAPSHOT_SQL),
+}
