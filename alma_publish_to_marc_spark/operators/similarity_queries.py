@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..tables import load
 from . import similarity as S
@@ -757,3 +758,109 @@ QUERIES = {
     "ann_recall_eval": (_recall_eval, _RECALL_SQL),
     "embedding_center_normalize": (_center_normalize, _center_normalize_sql()),
 }
+
+
+# --------------------------------------------------------------------------
+# mmr_diversified_topk: maximal-marginal-relevance re-ranking
+# --------------------------------------------------------------------------
+MMR_POOL = 20
+MMR_K = 5
+# λ = 0.7 as an exact decimal both engines parse identically
+MMR_L, MMR_1ML = 0.7, 0.3
+
+
+def _mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank: from the top-``MMR_POOL``
+    cosine candidates for one query, greedily pick ``MMR_K`` results
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked —
+    the standard diversification pass between ANN retrieval and
+    serving (dedups near-identical hits without dropping recall).
+
+    Determinism: relevance and pairwise similarities are the rounded-6
+    ``cosine``; each greedy argmax compares ROUNDED scores with id
+    tie-break (struct-min idiom), so the pick sequence is identical in
+    both engines; the oracle unrolls the K greedy rounds as CTEs.
+
+    Scale: MMR is inherently sequential in K, but it only ever runs on
+    a top-N candidate pool (here from the exact scorer; from LSH/IVF
+    at production) — every round operates on ≤ MMR_POOL rows, so the
+    driver-paced loop costs K tiny jobs however big the corpus is.
+    The expensive part (retrieval) stays the scale-shaped ANN path.
+    """
+    e = (load(spark, sf_dir, "embeddings")
+         .select("vec_id", S.as_double(F.col("embedding")).alias("v")))
+    q = (e.where(F.col("vec_id") == QUERY_IDS[0])
+         .select(F.col("v").alias("qv")))
+    cand = (e.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != QUERY_IDS[0])
+            .select("vec_id", "v",
+                    S.cosine(F.col("qv"), F.col("v")).alias("rel"))
+            .orderBy(F.desc("rel"), F.asc("vec_id")).limit(MMR_POOL))
+    first = (cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
+             .select("vec_id", "rel",
+                     F.lit(1).alias("pick_rank"),
+                     F.col("rel").alias("mmr_score")))
+    picked = first
+    for r in range(2, MMR_K + 1):
+        sel_v = (cand.join(picked.select("vec_id"), "vec_id")
+                 .select(F.col("vec_id").alias("sid"),
+                         F.col("v").alias("sv")))
+        rem = cand.join(picked.select("vec_id"), "vec_id", "left_anti")
+        scored = (rem.crossJoin(sel_v)
+                  .groupBy("vec_id", "rel")
+                  .agg(F.max(S.cosine(F.col("v"), F.col("sv")))
+                        .alias("max_sim"))
+                  .select("vec_id", "rel",
+                          F.round(F.lit(MMR_L) * F.col("rel")
+                                  - F.lit(MMR_1ML) * F.col("max_sim"), 6)
+                           .alias("mmr_score")))
+        pick = (scored.orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+                .limit(1)
+                .select("vec_id", "rel", F.lit(r).alias("pick_rank"),
+                        "mmr_score"))
+        picked = picked.unionByName(pick)
+    return picked.select(F.col("pick_rank").cast("int").alias("pick_rank"),
+                         "vec_id", "rel", "mmr_score")
+
+
+def _mmr_sql() -> str:
+    qid = QUERY_IDS[0]
+    cos = (f"round({_sql_dot('c1.v', 'c2.v')}"
+           f" / ({_sql_norm('c1.v')} * {_sql_norm('c2.v')}), 6)")
+    ctes = [f"e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings)",
+            f"q AS (SELECT v AS qv FROM e WHERE vec_id = {qid})",
+            f"""cand AS (
+    SELECT vec_id, v,
+           round({_sql_dot('q.qv', 'e.v')}
+                 / ({_sql_norm('q.qv')} * {_sql_norm('e.v')}), 6) AS rel
+    FROM e CROSS JOIN q WHERE vec_id <> {qid}
+    ORDER BY rel DESC, vec_id ASC LIMIT {MMR_POOL}
+)""",
+            """p1 AS (
+    SELECT vec_id, rel, 1 AS pick_rank, rel AS mmr_score
+    FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+)""",
+            "s1 AS (SELECT vec_id, rel, pick_rank, mmr_score FROM p1)"]
+    for r in range(2, MMR_K + 1):
+        ctes.append(f"""m{r} AS (
+    SELECT c1.vec_id, c1.rel,
+           round({MMR_L} * c1.rel - {MMR_1ML} * max({cos}), 6) AS mmr_score
+    FROM cand c1
+    JOIN cand c2 ON c2.vec_id IN (SELECT vec_id FROM s{r - 1})
+    WHERE c1.vec_id NOT IN (SELECT vec_id FROM s{r - 1})
+    GROUP BY c1.vec_id, c1.rel
+)""")
+        ctes.append(f"""p{r} AS (
+    SELECT vec_id, rel, {r} AS pick_rank, mmr_score
+    FROM m{r} ORDER BY mmr_score DESC, vec_id ASC LIMIT 1
+)""")
+        ctes.append(f"""s{r} AS (
+    SELECT * FROM s{r - 1} UNION ALL SELECT * FROM p{r}
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(pick_rank AS INT) AS pick_rank, vec_id, rel, mmr_score
+FROM s{MMR_K}
+""")
+
+
+QUERIES["mmr_diversified_topk"] = (_mmr, _mmr_sql())

@@ -62,3 +62,17 @@ def test_rrf_score_is_exact_reciprocal_sum(fused):
         if r.sem_rank is not None:
             expect += AQ.RRF_SCALE // (AQ.RRF_C + r.sem_rank)
         assert r.rrf_score == expect
+
+
+def test_mmr_picks_are_diverse_and_deterministic(spark):
+    rows = sorted(SQ._mmr(spark, SF).collect(), key=lambda r: r.pick_rank)
+    assert [r.pick_rank for r in rows] == list(range(1, SQ.MMR_K + 1))
+    assert len({r.vec_id for r in rows}) == SQ.MMR_K
+    # first pick is the relevance argmax; its mmr_score equals rel
+    assert rows[0].mmr_score == rows[0].rel
+    # score = λ·rel − (1−λ)·max_sim with max_sim ∈ [−1, 1] (uniform
+    # vectors make negative max_sim — a BONUS — common)
+    for r in rows[1:]:
+        lo = SQ.MMR_L * r.rel - SQ.MMR_1ML - 1e-9
+        hi = SQ.MMR_L * r.rel + SQ.MMR_1ML + 1e-9
+        assert lo <= r.mmr_score <= hi
