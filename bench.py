@@ -45,6 +45,9 @@ HEADLINE = [
     "bm25_topk",
     "ngram_lm_perplexity",
     "duplicate_span_removal",
+    "knn_graph_topk",
+    "hll_distinct_estimate",
+    "dq_constraint_audit",
 ]
 
 
