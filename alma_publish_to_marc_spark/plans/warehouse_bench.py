@@ -132,6 +132,122 @@ GROUP BY s.status_code
 """
 
 
+# --------------------------------------------------------------------------
+# Z-order layout analysis: multi-dimensional file skipping
+# --------------------------------------------------------------------------
+Z_BITS = 8            # per-dimension resolution (256 buckets)
+Z_FILES = 32
+Z_LO, Z_HI = 64, 79   # probe: a 1/16 slice of the bucket space
+
+
+def _interleave_expr(px: str, py: str) -> str:
+    """Morton interleave as arithmetic (identical SQL in both engines):
+    bit i of px lands at position 2i, of py at 2i+1."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({px} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({py} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified case for OPTIMIZE ZORDER: lay lineitem out into
+    ``Z_FILES`` files two ways — Morton-interleaved (part, supplier)
+    z-ranges vs linear part ranges — record per-file min/max zone maps,
+    and report how many files a single-dimension probe must scan under
+    each layout. Linear wins its own dimension (1/16 of files) but
+    degrades to a full scan on the other; z-order pays ~sqrt on both —
+    the multi-dimensional-pruning tradeoff every lakehouse table with
+    two query dimensions faces at 100 TB.
+
+    Determinism: bucket ids are exact integer ``div`` of key·256 by the
+    broadcast max+1; the interleave is pure integer arithmetic; zone
+    maps are min/max aggregates. Scale: one scan computes both
+    layouts' file ids scan-side; the zone-map build is ONE map-side-
+    combinable aggregation over the unioned tagging (64 groups), and
+    the probe evaluation runs on the 64-row stats frame. The real
+    rewrite this models is ``repartitionByRange(z)`` + sortWithin —
+    same z expression, shuffle paid once at write time.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    maxes = F.broadcast(li.agg(
+        (F.max("l_partkey") + 1).alias("pm"),
+        (F.max("l_suppkey") + 1).alias("sm")))
+    px = F.expr(f"l_partkey * {1 << Z_BITS} div pm")
+    py = F.expr(f"l_suppkey * {1 << Z_BITS} div sm")
+    based = li.crossJoin(maxes).select(px.alias("px"), py.alias("py"))
+    z_span = (1 << (2 * Z_BITS)) // Z_FILES
+    lin_span = (1 << Z_BITS) // Z_FILES
+    z_expr = _interleave_expr("px", "py").replace("//", " div ")
+    tagged = (based.select(F.lit("zorder").alias("layout"),
+                           F.expr(f"({z_expr}) div {z_span}")
+                            .alias("file_id"), "px", "py")
+              .unionAll(based.select(F.lit("linear_part").alias("layout"),
+                                     F.expr(f"px div {lin_span}")
+                                      .alias("file_id"), "px", "py")))
+    stats = (tagged.groupBy("layout", "file_id")
+             .agg(F.min("px").alias("min_px"), F.max("px").alias("max_px"),
+                  F.min("py").alias("min_py"), F.max("py").alias("max_py"),
+                  F.count(F.lit(1)).alias("n_rows")))
+    out = None
+    for dim in ("px", "py"):
+        hit = ((F.col(f"min_{dim}") <= Z_HI)
+               & (F.col(f"max_{dim}") >= Z_LO))
+        o = (stats.groupBy("layout")
+             .agg(F.count(F.lit(1)).alias("n_files"),
+                  F.sum(hit.cast("long")).alias("files_scanned"),
+                  F.sum("n_rows").alias("rows_total"),
+                  F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+                   .alias("rows_scanned"))
+             .select("layout", F.lit(dim).alias("probe_dim"), "n_files",
+                     "files_scanned", "rows_total", "rows_scanned",
+                     F.round(F.lit(1.0) - F.col("files_scanned")
+                             / F.col("n_files"), 4).alias("pct_skipped")))
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
+def _zorder_sql() -> str:
+    z_span = (1 << (2 * Z_BITS)) // Z_FILES
+    lin_span = (1 << Z_BITS) // Z_FILES
+    z = _interleave_expr("px", "py")
+    probes = []
+    for dim in ("px", "py"):
+        hit = f"(min_{dim} <= {Z_HI} AND max_{dim} >= {Z_LO})"
+        probes.append(f"""
+SELECT layout, '{dim}' AS probe_dim, count(*) AS n_files,
+       CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT)
+           AS files_scanned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN {hit} THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_scanned,
+       round(1.0 - sum(CASE WHEN {hit} THEN 1 ELSE 0 END) / count(*), 4)
+           AS pct_skipped
+FROM stats GROUP BY layout""")
+    return f"""
+WITH m AS (SELECT max(l_partkey) + 1 AS pm, max(l_suppkey) + 1 AS sm
+           FROM lineitem),
+based AS (
+    SELECT l_partkey * {1 << Z_BITS} // pm AS px,
+           l_suppkey * {1 << Z_BITS} // sm AS py
+    FROM lineitem CROSS JOIN m
+),
+tagged AS (
+    SELECT 'zorder' AS layout, {z} // {z_span} AS file_id, px, py FROM based
+    UNION ALL
+    SELECT 'linear_part' AS layout, px // {lin_span} AS file_id, px, py
+    FROM based
+),
+stats AS (
+    SELECT layout, file_id, min(px) AS min_px, max(px) AS max_px,
+           min(py) AS min_py, max(py) AS max_py, count(*) AS n_rows
+    FROM tagged GROUP BY layout, file_id
+)
+{" UNION ALL ".join(probes)}
+"""
+
+
 QUERIES = {
     "bucketed_item_info_join": (bucketed_item_info_join, _BUCKETED_SQL),
+    "zorder_layout_stats": (zorder_layout_stats, _zorder_sql()),
 }
