@@ -296,3 +296,174 @@ QUERIES = {
     "hll_distinct_estimate": (hll_distinct, _hll_sql()),
     "cms_heavy_hitters": (cms_heavy_hitters, _cms_sql()),
 }
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership with measured false-positive rate
+# --------------------------------------------------------------------------
+BF_WORDS = 128           # 63 usable bits per word -> m = 8064 bits: sized so
+                         # the sf0.01 key set exercises a measurable FPR
+                         # (theory ~7.8%), not a degenerate all-zeros read
+BF_BITS_PER_WORD = 63    # stay clear of the int64 sign bit
+BF_M = BF_WORDS * BF_BITS_PER_WORD
+BF_K = 3
+BF_SALTS = ("bf0:", "bf1:", "bf2:")
+BF_PROBES = 5000
+
+
+def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom filter over the customer key set as DATA (2048
+    int64 words, 3 salted md5 hash functions), probe it with 5000
+    guaranteed non-members (ids past max+1 — data-derived, the id-
+    namespace rule), and report the measured false-positive rate next
+    to the theoretical (1−e^(−kn/m))^k — the sketch the engine's own
+    runtime-filter join pruning uses, built and verified from scratch.
+
+    Determinism: bit positions are md5-derived integers; words are
+    ``bit_or`` of single-bit masks (order-free); the probe's bit test
+    is integer shift/mod. The only float is the theory formula,
+    written identically in both engines and rounded.
+
+    Scale: the build is one scan → k-way explode → 2048-group
+    map-side-combinable OR-aggregation; the filter is ~1 KB however
+    big the key set, so the probe side joins it BROADCAST — exactly
+    how a 100 TB anti-join pre-filter deploys (drop non-members before
+    the real shuffle; the FPR is the fraction of useless rows that
+    still reach it).
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    n_members = cust.agg(F.count(F.lit(1)).alias("n_members"),
+                         F.max("c_custkey").alias("mx"))
+    bits = None
+    for salt in BF_SALTS:
+        b = cust.select(
+            F.pmod(_h48(F.col("c_custkey").cast("string"), salt),
+                   F.lit(BF_M)).alias("h"))
+        bits = b if bits is None else bits.unionAll(b)
+    words = (bits.select(F.expr(f"h div {BF_BITS_PER_WORD}").alias("w"),
+                         F.expr(f"shiftleft(1L, cast(h % {BF_BITS_PER_WORD}"
+                                " as int))").alias("mask"))
+             .groupBy("w").agg(F.bit_or("mask").alias("word")))
+    probes = (n_members.select(
+        F.explode(F.sequence(F.col("mx") + 1,
+                             F.col("mx") + BF_PROBES)).alias("pid")))
+    probe_bits = None
+    for j, salt in enumerate(BF_SALTS):
+        p = probes.select(
+            "pid", F.lit(j).alias("j"),
+            F.pmod(_h48(F.col("pid").cast("string"), salt),
+                   F.lit(BF_M)).alias("h"))
+        probe_bits = p if probe_bits is None else probe_bits.unionAll(p)
+    checked = (probe_bits
+               .select("pid", "j", F.expr(f"h div {BF_BITS_PER_WORD}")
+                       .alias("w"),
+                       F.expr(f"cast(h % {BF_BITS_PER_WORD} as int)")
+                       .alias("bit"))
+               .join(F.broadcast(words), "w", "left")
+               .select("pid",
+                       F.when(F.col("word").isNull(), F.lit(0))
+                        .otherwise(F.expr("cast((shiftright(word, bit) % 2)"
+                                          " as int)")).alias("hit")))
+    fp = (checked.groupBy("pid").agg(F.min("hit").alias("all_set"))
+          .agg(F.sum("all_set").alias("n_false_pos")))
+    # no-false-negative guarantee, asserted in-query: probe every MEMBER
+    # through the same words table — all k bits must be set for each
+    member_bits = None
+    for salt in BF_SALTS:
+        p = cust.select(
+            F.col("c_custkey").alias("pid"),
+            F.pmod(_h48(F.col("c_custkey").cast("string"), salt),
+                   F.lit(BF_M)).alias("h"))
+        member_bits = p if member_bits is None else member_bits.unionAll(p)
+    member_checked = (member_bits
+                      .select("pid", F.expr(f"h div {BF_BITS_PER_WORD}")
+                              .alias("w"),
+                              F.expr(f"cast(h % {BF_BITS_PER_WORD} as int)")
+                              .alias("bit"))
+                      .join(F.broadcast(words), "w", "left")
+                      .select("pid",
+                              F.when(F.col("word").isNull(), F.lit(0))
+                               .otherwise(F.expr(
+                                   "cast((shiftright(word, bit) % 2)"
+                                   " as int)")).alias("hit")))
+    fn = (member_checked.groupBy("pid").agg(F.min("hit").alias("all_set"))
+          .agg(F.sum(1 - F.col("all_set")).alias("n_false_neg")))
+    theory = (f"round(pow(1.0 - exp(-{BF_K}.0 * n_members / {BF_M}),"
+              f" {BF_K}), 4)")
+    return (n_members.crossJoin(F.broadcast(fp)).crossJoin(F.broadcast(fn))
+            .select(F.col("n_members").cast("long").alias("n_members"),
+                    F.lit(BF_PROBES).cast("long").alias("n_probes"),
+                    F.col("n_false_pos").cast("long").alias("n_false_pos"),
+                    F.col("n_false_neg").cast("long").alias("n_false_neg"),
+                    F.round(F.col("n_false_pos") / F.lit(BF_PROBES), 4)
+                     .alias("fpr_measured"),
+                    F.expr(theory).alias("fpr_theory"),
+                    F.lit(BF_M).cast("long").alias("n_bits"),
+                    F.lit(BF_K).cast("int").alias("k_hashes")))
+
+
+def _bloom_sql() -> str:
+    def h(salt: str, key: str) -> str:
+        return (f"CAST('0x' || substr(md5('{salt}' || CAST({key} AS "
+                f"VARCHAR)), 1, 12) AS BIGINT) % {BF_M}")
+
+    bit_parts = " UNION ALL ".join(
+        f"SELECT {h(salt, 'c_custkey')} AS h FROM customer"
+        for salt in BF_SALTS)
+    probe_parts = " UNION ALL ".join(
+        f"SELECT pid, {j} AS j, {h(salt, 'pid')} AS h FROM probes"
+        for j, salt in enumerate(BF_SALTS))
+    member_parts = " UNION ALL ".join(
+        f"SELECT c_custkey AS pid, {h(salt, 'c_custkey')} AS h FROM customer"
+        for salt in BF_SALTS)
+    theory = (f"round(pow(1.0 - exp(-{BF_K}.0 * n_members / {BF_M}),"
+              f" {BF_K}), 4)")
+    return f"""
+WITH nm AS (SELECT count(*) AS n_members, max(c_custkey) AS mx
+            FROM customer),
+bits AS ({bit_parts}),
+words AS (
+    SELECT h // {BF_BITS_PER_WORD} AS w,
+           bit_or(1::BIGINT << CAST(h % {BF_BITS_PER_WORD} AS INT)) AS word
+    FROM bits GROUP BY 1
+),
+probes AS (
+    SELECT unnest(generate_series(mx + 1, mx + {BF_PROBES})) AS pid FROM nm
+),
+pb AS ({probe_parts}),
+checked AS (
+    SELECT pid,
+           CASE WHEN word IS NULL THEN 0
+                ELSE CAST((word >> CAST(h % {BF_BITS_PER_WORD} AS INT)) % 2
+                          AS INT) END AS hit
+    FROM pb LEFT JOIN words ON words.w = pb.h // {BF_BITS_PER_WORD}
+),
+fp AS (
+    SELECT CAST(sum(all_set) AS BIGINT) AS n_false_pos
+    FROM (SELECT pid, min(hit) AS all_set FROM checked GROUP BY pid)
+),
+mb AS ({member_parts}),
+member_checked AS (
+    SELECT pid,
+           CASE WHEN word IS NULL THEN 0
+                ELSE CAST((word >> CAST(h % {BF_BITS_PER_WORD} AS INT)) % 2
+                          AS INT) END AS hit
+    FROM mb LEFT JOIN words ON words.w = mb.h // {BF_BITS_PER_WORD}
+),
+fn AS (
+    SELECT CAST(sum(1 - all_set) AS BIGINT) AS n_false_neg
+    FROM (SELECT pid, min(hit) AS all_set FROM member_checked GROUP BY pid)
+)
+SELECT CAST(n_members AS BIGINT) AS n_members,
+       CAST({BF_PROBES} AS BIGINT) AS n_probes,
+       n_false_pos,
+       n_false_neg,
+       round(n_false_pos / {BF_PROBES}, 4) AS fpr_measured,
+       {theory} AS fpr_theory,
+       CAST({BF_M} AS BIGINT) AS n_bits,
+       CAST({BF_K} AS INT) AS k_hashes
+FROM nm CROSS JOIN fp CROSS JOIN fn
+"""
+
+
+QUERIES["bloom_filter_fpr"] = (bloom_filter_fpr, _bloom_sql())

@@ -50,3 +50,21 @@ def test_cms_top_terms_ranked(rows):
     _, _, cms = rows
     counts = [r.exact_count for r in cms]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_bloom_fpr_matches_theory(spark):
+    row = S.bloom_filter_fpr(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row.n_probes == S.BF_PROBES
+    assert 0 <= row.n_false_pos <= row.n_probes
+    # measured FPR within 3 sigma of theory (binomial std err)
+    import math
+    p = row.fpr_theory
+    se = math.sqrt(max(p * (1 - p), 1e-12) / row.n_probes)
+    assert abs(row.fpr_measured - p) < 3 * se + 1e-6
+
+
+def test_bloom_no_false_negatives(spark):
+    # the query probes every member through the built filter in-plan
+    row = S.bloom_filter_fpr(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_members > 0
+    assert row.n_false_neg == 0
