@@ -467,3 +467,117 @@ FROM nm CROSS JOIN fp CROSS JOIN fn
 
 
 QUERIES["bloom_filter_fpr"] = (bloom_filter_fpr, _bloom_sql())
+
+
+# --------------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch vs exact order statistics
+# --------------------------------------------------------------------------
+HQ_BINS = 128
+HQ_QUANTILES = (("p50", 50), ("p90", 90), ("p99", 99))
+
+
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation the way a 100 TB pipeline actually does it:
+    one pass builds a fixed-width ``HQ_BINS``-bin histogram of
+    events.value (min/max from a broadcast 1-row aggregate), quantiles
+    read off the cumulative histogram at bin-midpoint resolution. The
+    exact order statistic (global-sort row_number — affordable only at
+    oracle scale) sits beside each estimate so the sketch's error is
+    continuously measured; max error is half a bin width.
+
+    Determinism: the bin id is floor of one identically-written float
+    expression (same double in, same double out in both engines); bin
+    counts are exact integers; the cumulative walk picks the FIRST bin
+    reaching the target rank via struct-min; estimates are one float
+    expression rounded.
+
+    Scale: histogram build is a map-side-combinable 128-group
+    aggregation — the only full shuffle in the sketch path carries 128
+    rows. The exact branch is the oracle assertion, not the plan.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    rng = F.broadcast(ev.agg(F.min("value").alias("mn"),
+                             F.max("value").alias("mx"),
+                             F.count(F.lit(1)).alias("n")))
+    binc = (ev.crossJoin(rng)
+            .select(F.least(F.lit(HQ_BINS - 1),
+                            F.floor((F.col("value") - F.col("mn"))
+                                    * HQ_BINS / (F.col("mx") - F.col("mn")))
+                            .cast("int")).alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql import Window
+    cum = binc.select(
+        "bin", "c",
+        F.sum("c").over(Window.orderBy("bin")
+                        .rowsBetween(Window.unboundedPreceding, 0))
+         .alias("cum"))
+    out = None
+    for qname, pct in HQ_QUANTILES:
+        target = F.expr(f"cast(floor({pct} * n / 100.0) as bigint) + 1")
+        first_bin = (cum.crossJoin(rng)
+                     .where(F.col("cum") >= target)
+                     .agg(F.min("bin").alias("bin")))
+        est = (first_bin.crossJoin(rng)
+               .select(F.lit(qname).alias("quantile"),
+                       target.alias("target_rank"),
+                       F.round(F.col("mn") + (F.col("bin") + 0.5)
+                               * (F.col("mx") - F.col("mn")) / HQ_BINS, 4)
+                        .alias("est_value")))
+        w = Window.orderBy("value", "event_id")
+        exact = (ev.crossJoin(rng)
+                 .select("value", F.row_number().over(w).alias("rn"),
+                         target.alias("t"))
+                 .where(F.col("rn") == F.col("t"))
+                 .select(F.lit(qname).alias("quantile"),
+                         F.round("value", 4).alias("exact_value")))
+        o = est.join(exact, "quantile").select(
+            "quantile", "target_rank", "est_value", "exact_value",
+            F.round(F.col("est_value") - F.col("exact_value"), 4)
+             .alias("err"))
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
+def _hq_sql() -> str:
+    parts = []
+    for qname, pct in HQ_QUANTILES:
+        tgt = f"CAST(floor({pct} * n / 100.0) AS BIGINT) + 1"
+        parts.append(f"""
+SELECT '{qname}' AS quantile, t.target_rank,
+       round(r.mn + (fb.bin + 0.5) * (r.mx - r.mn) / {HQ_BINS}, 4)
+           AS est_value,
+       (SELECT round(value, 4) FROM ranked WHERE rn = t.target_rank)
+           AS exact_value,
+       round(round(r.mn + (fb.bin + 0.5) * (r.mx - r.mn) / {HQ_BINS}, 4)
+             - (SELECT round(value, 4) FROM ranked
+                WHERE rn = t.target_rank), 4) AS err
+FROM rng r
+CROSS JOIN (SELECT {tgt} AS target_rank FROM rng) t
+CROSS JOIN (SELECT min(bin) AS bin
+            FROM cum CROSS JOIN rng WHERE cum >= {tgt}) fb""")
+    return f"""
+WITH rng AS (SELECT min(value) AS mn, max(value) AS mx, count(*) AS n
+             FROM events),
+binned AS (
+    SELECT least({HQ_BINS - 1},
+                 CAST(floor((value - mn) * {HQ_BINS} / (mx - mn)) AS INT))
+               AS bin
+    FROM events CROSS JOIN rng
+),
+bc AS (SELECT bin, count(*) AS c FROM binned GROUP BY bin),
+cum AS (
+    SELECT bin, c,
+           sum(c) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM bc
+),
+ranked AS (
+    SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
+    FROM events
+)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["histogram_quantile_sketch"] = (histogram_quantile_sketch, _hq_sql())

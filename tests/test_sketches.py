@@ -68,3 +68,14 @@ def test_bloom_no_false_negatives(spark):
     row = S.bloom_filter_fpr(spark, "/root/testdata/sf0.001").collect()[0]
     assert row.n_members > 0
     assert row.n_false_neg == 0
+
+
+def test_histogram_quantiles_within_half_bin(spark):
+    rows = S.histogram_quantile_sketch(spark, "/root/testdata/sf0.001") \
+        .collect()
+    assert {r.quantile for r in rows} == {q for q, _ in S.HQ_QUANTILES}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stats = ev.selectExpr("min(value) mn", "max(value) mx").collect()[0]
+    half_bin = (stats.mx - stats.mn) / S.HQ_BINS / 2
+    for r in rows:
+        assert abs(r.err) <= half_bin + 1e-6, r
