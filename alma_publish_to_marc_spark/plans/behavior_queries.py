@@ -359,3 +359,83 @@ QUERIES = {
     "cohort_retention": (cohort_retention, _COHORT_SQL),
     "ks_drift_test": (ks_drift_test, _KS_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# seasonal_baseline_outliers: seasonality-aware anomaly detection
+# --------------------------------------------------------------------------
+SB_TOPK = 20
+
+
+def seasonal_baseline_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: learn a (event_type,
+    day-of-week, hour-of-day) baseline mean and surface the top-K
+    events by |value − baseline| — the monitoring pass that doesn't
+    page you every Monday morning because Mondays are always busy
+    (the plain global-fence cousin is ``iqr_outlier_filter``).
+
+    Determinism: dow/hour derive from integer epoch arithmetic
+    ((days+4) % 7 — engine dayofweek() conventions DISAGREE, Spark is
+    1=Sunday, DuckDB 0=Sunday, so neither is used); baselines are one
+    sum/count divide rounded 6; ranking compares the rounded residual
+    with event_id tie-break.
+
+    Scale: the baseline table is ≤ |types|·168 rows — broadcast back
+    onto the scan, so the residual pass is shuffle-free; one
+    map-side-combinable aggregation builds the baselines and the
+    top-K is TakeOrdered. At 100 TB this is one scan + one 840-row
+    exchange.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value")
+    keyed = ev.select(
+        "event_id", "event_type", "value",
+        ((F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") + 4) % 7).alias("dow"),
+        (F.expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 24).alias("hour"))
+    base = (keyed.groupBy("event_type", "dow", "hour")
+            .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n_in_cell")))
+    joined = (keyed.join(F.broadcast(base), ["event_type", "dow", "hour"])
+              .select("event_id", "event_type", "dow", "hour", "value",
+                      "n_in_cell",
+                      F.round(F.col("s") / F.col("n_in_cell"), 6)
+                       .alias("baseline")))
+    resid = joined.withColumn(
+        "residual", F.round(F.col("value") - F.col("baseline"), 6))
+    return (resid.orderBy(F.desc(F.round(F.abs("residual"), 6)),
+                          F.asc("event_id"))
+            .limit(SB_TOPK)
+            .select("event_id", "event_type",
+                    F.col("dow").cast("int").alias("dow"),
+                    F.col("hour").cast("int").alias("hour"),
+                    F.round("value", 6).alias("value"),
+                    "baseline", "residual",
+                    F.col("n_in_cell").cast("long").alias("n_in_cell")))
+
+
+_SEASONAL_SQL = f"""
+WITH keyed AS (
+    SELECT event_id, event_type, value,
+           (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+           (epoch_us(ts) // 3600000000) % 24 AS hour
+    FROM events
+),
+base AS (
+    SELECT event_type, dow, hour, sum(value) AS s, count(*) AS n_in_cell
+    FROM keyed GROUP BY 1, 2, 3
+)
+SELECT event_id, k.event_type, CAST(k.dow AS INT) AS dow,
+       CAST(k.hour AS INT) AS hour,
+       round(k.value, 6) AS value,
+       round(b.s / b.n_in_cell, 6) AS baseline,
+       round(k.value - round(b.s / b.n_in_cell, 6), 6) AS residual,
+       CAST(b.n_in_cell AS BIGINT) AS n_in_cell
+FROM keyed k
+JOIN base b ON b.event_type = k.event_type AND b.dow = k.dow
+           AND b.hour = k.hour
+ORDER BY round(abs(round(k.value - round(b.s / b.n_in_cell, 6), 6)), 6)
+         DESC, event_id ASC
+LIMIT {SB_TOPK}
+"""
+
+QUERIES["seasonal_baseline_outliers"] = (seasonal_baseline_outliers,
+                                         _SEASONAL_SQL)
