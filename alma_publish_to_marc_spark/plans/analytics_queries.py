@@ -1111,3 +1111,165 @@ QUERIES = {
     "scd2_point_in_time_join": (_scd2_pit_join, _SCD2_PIT_SQL),
     "range_frame_rolling": (_range_frame_rolling, _RANGE_FRAME_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# rag_chunk_retrieval: chunk-level BM25 + doc-level semantic fusion
+# --------------------------------------------------------------------------
+RAG_CHUNK, RAG_STRIDE = 500, 250
+RAG_TOPK = 10
+
+
+def _rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval: overlapping 500-char chunks (the
+    ``doc_chunking`` window), BM25 scored at CHUNK granularity for the
+    fixed query terms, fused with the document-level embedding-cosine
+    ranking via integer RRF — returning the top chunks with full
+    provenance (chunk score + both ranks). This is the full
+    chunk-index + hybrid-retrieval serving shape; compare
+    ``hybrid_rank_fusion`` (doc-level only).
+
+    Scale: chunking is narrow (sequence+explode at scan speed); the
+    term filter kills every non-query posting before the tf shuffle;
+    df/stats are broadcast 1-to-|Q|-row aggregates; both rank lists
+    end in TakeOrdered and the fusion joins two ≤20-row frames. The
+    semantic side is the exact scorer here, LSH/IVF at production.
+    """
+    docs = load(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0), F.floor((F.greatest(F.length("text"), F.lit(1)) - 1)
+                          / RAG_STRIDE))
+    chunk = F.substring(F.col("text"), F.col("chunk_idx") * RAG_STRIDE + 1,
+                        RAG_CHUNK)
+    chunks = (docs.select("doc_id", F.explode(starts).alias("chunk_idx"))
+              .join(docs.select("doc_id", "text"), "doc_id")
+              .select("doc_id", F.col("chunk_idx").cast("int")
+                      .alias("chunk_idx"),
+                      F.split(F.trim(F.lower(chunk)), r"\s+").alias("w")))
+    lens = chunks.select(
+        "doc_id", "chunk_idx",
+        F.size(F.filter("w", lambda t: t != F.lit(""))).alias("dl"))
+    tf = (chunks.select("doc_id", "chunk_idx", F.explode("w").alias("term"))
+          .where(F.col("term").isin(*BM25_TERMS))
+          .groupBy("doc_id", "chunk_idx", "term")
+          .agg(F.count(F.lit(1)).alias("n_tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = lens.agg(F.count(F.lit(1)).alias("n_chunks"),
+                     F.avg("dl").alias("avgdl"))
+    idf = F.log((F.col("n_chunks") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    per_term = idf * (F.col("n_tf") * (BM25_K1 + 1)
+                      / (F.col("n_tf")
+                         + BM25_K1 * (1 - BM25_B
+                                      + BM25_B * F.col("dl")
+                                      / F.col("avgdl"))))
+    scored = (tf.join(lens, ["doc_id", "chunk_idx"])
+              .join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id", "chunk_idx")
+              .agg(F.round(F.sum(per_term), 4).alias("chunk_score")))
+    lex = (scored.orderBy(F.desc("chunk_score"), F.asc("doc_id"),
+                          F.asc("chunk_idx"))
+           .limit(RRF_LIST_K)
+           .select("doc_id", "chunk_idx", "chunk_score",
+                   F.row_number().over(
+                       Window.orderBy(F.desc("chunk_score"),
+                                      F.asc("doc_id"), F.asc("chunk_idx")))
+                    .cast("int").alias("lex_rank")))
+    from ..operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    sem = (S.brute_force_topk(emb, "vec_id", "embedding",
+                              [RRF_SEM_QID], k=RRF_LIST_K)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank").cast("int").alias("sem_rank")))
+    fused = lex.join(sem, "doc_id", "left")
+    rrf = F.expr(
+        f"{RRF_SCALE} div ({RRF_C} + lex_rank)"
+        f" + coalesce({RRF_SCALE} div ({RRF_C} + sem_rank), 0)")
+    w = Window.orderBy(F.desc(rrf), F.asc("doc_id"), F.asc("chunk_idx"))
+    return (fused.select("doc_id", "chunk_idx", "chunk_score", "lex_rank",
+                         "sem_rank", rrf.alias("rrf_score"),
+                         F.row_number().over(w).cast("int")
+                          .alias("fused_rank"))
+            .where(F.col("fused_rank") <= RAG_TOPK))
+
+
+def _rag_sql() -> str:
+    from ..operators.similarity_queries import _sql_dot, _sql_norm, _sql_vec
+
+    terms = ", ".join(repr(t) for t in BM25_TERMS)
+    return f"""
+WITH chunks AS (
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           regexp_split_to_array(trim(lower(
+               substr(text, CAST(i * {RAG_STRIDE} + 1 AS BIGINT),
+                      {RAG_CHUNK}))), '\\s+') AS w
+    FROM documents,
+         unnest(generate_series(0,
+             CAST(floor((greatest(length(text), 1) - 1) / {RAG_STRIDE})
+                  AS BIGINT))) AS t(i)
+),
+lens AS (
+    SELECT doc_id, chunk_idx, len(list_filter(w, t -> t <> '')) AS dl
+    FROM chunks
+),
+tf AS (
+    SELECT doc_id, chunk_idx, term, count(*) AS n_tf
+    FROM (SELECT doc_id, chunk_idx, unnest(w) AS term FROM chunks)
+    WHERE term IN ({terms})
+    GROUP BY doc_id, chunk_idx, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*) AS n_chunks, avg(dl) AS avgdl FROM lens),
+scored AS (
+    SELECT tf.doc_id, tf.chunk_idx,
+           round(sum(
+               ln((n_chunks - df + 0.5) / (df + 0.5) + 1)
+               * (n_tf * ({BM25_K1} + 1)
+                  / (n_tf + {BM25_K1} * (1 - {BM25_B}
+                     + {BM25_B} * dl / avgdl)))), 4) AS chunk_score
+    FROM tf
+    JOIN lens USING (doc_id, chunk_idx)
+    JOIN dfreq USING (term)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id, tf.chunk_idx
+),
+lex AS (
+    SELECT doc_id, chunk_idx, chunk_score,
+           CAST(row_number() OVER (ORDER BY chunk_score DESC, doc_id ASC,
+                                   chunk_idx ASC) AS INT) AS lex_rank
+    FROM scored
+    ORDER BY chunk_score DESC, doc_id ASC, chunk_idx ASC
+    LIMIT {RRF_LIST_K}
+),
+e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {RRF_SEM_QID}),
+sem AS (
+    SELECT vec_id AS doc_id, CAST(rank AS INT) AS sem_rank
+    FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                   ORDER BY round({_sql_dot('q.qv', 'e.v')}
+                       / ({_sql_norm('q.qv')} * {_sql_norm('e.v')}), 6) DESC,
+                       e.vec_id ASC) AS rank
+        FROM e CROSS JOIN q WHERE e.vec_id <> {RRF_SEM_QID}
+    ) WHERE rank <= {RRF_LIST_K}
+),
+fused AS (
+    SELECT lex.doc_id, lex.chunk_idx, lex.chunk_score, lex.lex_rank,
+           sem.sem_rank,
+           {RRF_SCALE} // ({RRF_C} + lex.lex_rank)
+           + coalesce({RRF_SCALE} // ({RRF_C} + sem.sem_rank), 0)
+               AS rrf_score
+    FROM lex LEFT JOIN sem ON sem.doc_id = lex.doc_id
+)
+SELECT doc_id, chunk_idx, chunk_score, lex_rank, sem_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC,
+                               chunk_idx ASC) AS INT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {RAG_TOPK}
+"""
+
+
+QUERIES["rag_chunk_retrieval"] = (_rag_chunks, _rag_sql())

@@ -439,3 +439,65 @@ LIMIT {SB_TOPK}
 
 QUERIES["seasonal_baseline_outliers"] = (seasonal_baseline_outliers,
                                          _SEASONAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# dp_noised_counts: Laplace-mechanism count release (seeded, auditable)
+# --------------------------------------------------------------------------
+DP_EPS_STR = "1.0"   # epsilon as a literal both engines parse identically
+DP_SEED = "dp1:"
+
+
+def dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy count release: per (event_type, day) event
+    counts with Laplace(Δ/ε) noise, Δ=1 (one user-event per cell
+    contribution), ε=1 — the mechanism a data clean room applies
+    before counts leave the boundary. Noise is DERIVED (inverse-CDF of
+    a seeded md5 uniform), so releases are reproducible and auditable
+    — and bit-identical in the oracle. The true count rides beside the
+    release here for error measurement (the repo's est-vs-exact
+    pattern); a production release drops that column.
+
+    Scale: one scan → map-side-combinable (type, day) counts → noise
+    is a scalar expression on the aggregate rows. Nothing else moves.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    counts = (ev.select("event_type", day.alias("day_idx"))
+              .groupBy("event_type", "day_idx")
+              .agg(F.count(F.lit(1)).alias("true_count")))
+    h = ("cast(conv(substr(md5(concat('" + DP_SEED + "', event_type, ':',"
+         " cast(day_idx as string))), 1, 12), 16, 10) as bigint)")
+    u = f"(({h}) + 1) / 281474976710657.0"
+    lap = (f"(CASE WHEN {u} < 0.5 THEN ln(2.0 * ({u}))"
+           f" ELSE -ln(2.0 * (1.0 - ({u}))) END) / {DP_EPS_STR}")
+    return counts.select(
+        "event_type", F.col("day_idx").cast("long").alias("day_idx"),
+        "true_count",
+        F.round(F.col("true_count") + F.expr(lap), 4).alias("dp_count"),
+        F.round(F.abs(F.expr(lap)), 4).alias("abs_noise"),
+        F.expr(f"cast({DP_EPS_STR} as double)").alias("epsilon"))
+
+
+def _dp_sql() -> str:
+    h = ("CAST('0x' || substr(md5('" + DP_SEED + "' || event_type || ':' ||"
+         " CAST(day_idx AS VARCHAR)), 1, 12) AS BIGINT)")
+    u = f"(({h}) + 1) / 281474976710657.0"
+    lap = (f"(CASE WHEN {u} < 0.5 THEN ln(2.0 * ({u}))"
+           f" ELSE -ln(2.0 * (1.0 - ({u}))) END) / {DP_EPS_STR}")
+    return f"""
+WITH counts AS (
+    SELECT event_type,
+           epoch_us(ts) // 86400000000 AS day_idx,
+           count(*) AS true_count
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(day_idx AS BIGINT) AS day_idx, true_count,
+       round(true_count + {lap}, 4) AS dp_count,
+       round(abs({lap}), 4) AS abs_noise,
+       CAST({DP_EPS_STR} AS DOUBLE) AS epsilon
+FROM counts
+"""
+
+
+QUERIES["dp_noised_counts"] = (dp_noised_counts, _dp_sql())
