@@ -581,3 +581,113 @@ ranked AS (
 
 
 QUERIES["histogram_quantile_sketch"] = (histogram_quantile_sketch, _hq_sql())
+
+
+# --------------------------------------------------------------------------
+# KMV set algebra: sketch-based join-overlap estimation
+# --------------------------------------------------------------------------
+def kmv_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from KMV sketches — the planner question
+    ("how many customer keys does orders actually hit?") answered
+    without shuffling either key set: sketch both sides' distinct
+    48-bit key hashes, merge the two k-sets (valid because KMV keeps
+    global minima), and read |A∪B| off the merged sketch;
+    |A∩B| = |A|+|B|−|A∪B| by inclusion-exclusion. The exact
+    intersection rides beside the estimate (oracle-asserted).
+
+    All estimates are the exact-int64 KMV formula with the standard
+    small-cardinality exact path (below k the sketch IS the set).
+    Scale: two scans → two 256-row sketches → all algebra on ≤512
+    rows. This is how a CBO sizes a join without touching statistics.
+    """
+    k = KMV_K
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def sketch(df, col, tag):
+        h = _h48(F.col(col).cast("string"), "jk:")
+        hashes = df.select(h.alias("h")).distinct()
+        return (hashes.orderBy("h").limit(k)
+                .agg(F.max("h").alias(f"hk_{tag}"),
+                     F.count(F.lit(1)).alias(f"n_{tag}")))
+
+    sa = sketch(orders, "o_custkey", "a")
+    sb = sketch(cust, "c_custkey", "b")
+    # merged sketch: k smallest of the union of the two k-sets
+    ha = orders.select(_h48(F.col("o_custkey").cast("string"), "jk:")
+                       .alias("h")).distinct().orderBy("h").limit(k)
+    hb = cust.select(_h48(F.col("c_custkey").cast("string"), "jk:")
+                     .alias("h")).distinct().orderBy("h").limit(k)
+    su = (ha.unionAll(hb).distinct().orderBy("h").limit(k)
+          .agg(F.max("h").alias("hk_u"), F.count(F.lit(1)).alias("n_u")))
+    exact = (orders.select(F.col("o_custkey").alias("key")).distinct()
+             .join(cust.select(F.col("c_custkey").alias("key")).distinct(),
+                   "key")
+             .agg(F.count(F.lit(1)).alias("exact_intersection")))
+
+    def est(n, hk):
+        return (f"CASE WHEN {n} < {k} THEN {n}"
+                f" ELSE {k - 1} * {TWO48}L div {hk} END")
+
+    ea, eb, eu = est("n_a", "hk_a"), est("n_b", "hk_b"), est("n_u", "hk_u")
+    inter = f"greatest(({ea}) + ({eb}) - ({eu}), 0L)"
+    return (sa.crossJoin(F.broadcast(sb)).crossJoin(F.broadcast(su))
+            .crossJoin(F.broadcast(exact))
+            .select(F.expr(ea).alias("est_a"),
+                    F.expr(eb).alias("est_b"),
+                    F.expr(eu).alias("est_union"),
+                    F.expr(inter).alias("est_intersection"),
+                    F.col("exact_intersection").cast("long")
+                     .alias("exact_intersection"),
+                    F.round(F.lit(100.0)
+                            * (F.expr(inter) - F.col("exact_intersection"))
+                            / F.col("exact_intersection"), 2)
+                     .alias("err_pct")))
+
+
+def _kmv_join_sql() -> str:
+    k = KMV_K
+
+    def h(key):
+        return (f"CAST('0x' || substr(md5('jk:' || CAST({key} AS VARCHAR)),"
+                f" 1, 12) AS BIGINT)")
+
+    def est(n, hk):
+        return (f"CASE WHEN {n} < {k} THEN {n}"
+                f" ELSE {k - 1} * {TWO48} // {hk} END")
+
+    ea, eb, eu = (est("n_a", "hk_a"), est("n_b", "hk_b"),
+                  est("n_u", "hk_u"))
+    inter = f"greatest(({ea}) + ({eb}) - ({eu}), 0)"
+    return f"""
+WITH ha AS (
+    SELECT h FROM (SELECT DISTINCT {h('o_custkey')} AS h FROM orders)
+    ORDER BY h LIMIT {k}
+),
+hb AS (
+    SELECT h FROM (SELECT DISTINCT {h('c_custkey')} AS h FROM customer)
+    ORDER BY h LIMIT {k}
+),
+sa AS (SELECT max(h) AS hk_a, count(*) AS n_a FROM ha),
+sb AS (SELECT max(h) AS hk_b, count(*) AS n_b FROM hb),
+su AS (
+    SELECT max(h) AS hk_u, count(*) AS n_u
+    FROM (SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL
+                                  SELECT h FROM hb)
+          ORDER BY h LIMIT {k})
+),
+exact AS (
+    SELECT count(*) AS exact_intersection
+    FROM (SELECT DISTINCT o_custkey AS key FROM orders) o
+    JOIN (SELECT DISTINCT c_custkey AS key FROM customer) c USING (key)
+)
+SELECT {ea} AS est_a, {eb} AS est_b, {eu} AS est_union,
+       {inter} AS est_intersection,
+       CAST(exact_intersection AS BIGINT) AS exact_intersection,
+       round(100.0 * ({inter} - exact_intersection) / exact_intersection, 2)
+           AS err_pct
+FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN exact
+"""
+
+
+QUERIES["kmv_join_overlap"] = (kmv_join_overlap, _kmv_join_sql())
