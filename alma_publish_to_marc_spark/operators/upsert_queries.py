@@ -196,3 +196,132 @@ QUERIES = {
     "delete_with_history": (_delete_history, _DELETE_HISTORY_SQL),
     "history_retention_purge": (_retention_purge, _RETENTION_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# incremental_agg_maintenance: algebraic materialized-view state merge
+# --------------------------------------------------------------------------
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, proven algebraically:
+    per-event-type stats (count / sum / sum-of-squares / min / max —
+    the canonical MERGEABLE state) are computed separately over a
+    "history" half and a "delta" half of the stream (split at the
+    data-derived median day), merged state-to-state, and emitted next
+    to the full recompute with a per-row match flag. This is the
+    contract that lets a 100 TB rollup absorb a new day WITHOUT
+    rescanning history — the batch analog of the streaming state store.
+
+    Determinism: values are quantized to micro-units first, so every
+    sum is exact int64 and merged == recomputed is EXACT (flag
+    provably 1), not approximately-equal; mean and variance do one
+    final integer→double division, rounded identically. sumsq of
+    micro-units would overflow int64 at ~10^6 rows per group
+    (value≈100 → (1e8)²·rows), so squares accumulate on the
+    milli-scale (value·1e3) — exact, and still enough for r4 output.
+
+    Scale: each half is one map-side-combinable aggregation to
+    |event_types| rows; the merge is arithmetic on those rows. The
+    full-recompute branch exists only for the assertion.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    vmi = F.expr("cast(round(value * 1000000, 0) as bigint)")   # micro
+    vml = F.expr("cast(round(value * 1000, 0) as bigint)")      # milli
+    based = ev.select("event_type", day.alias("day"), vmi.alias("vu"),
+                      vml.alias("vm"))
+    cut = F.broadcast(based.agg(
+        F.expr("cast((min(day) + max(day)) div 2 as bigint)").alias("cut")))
+    based = based.crossJoin(cut)
+
+    def state(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vu").alias("s"),
+            F.sum(F.col("vm") * F.col("vm")).alias("ss"),
+            F.min("vu").alias("mn"), F.max("vu").alias("mx"))
+
+    hist = state(based.where(F.col("day") < F.col("cut")))
+    delta = state(based.where(F.col("day") >= F.col("cut")))
+    full = state(based)
+    h = hist.select("event_type", *[F.col(c).alias(f"{c}_h")
+                                    for c in ("n", "s", "ss", "mn", "mx")])
+    d = delta.select("event_type", *[F.col(c).alias(f"{c}_d")
+                                     for c in ("n", "s", "ss", "mn", "mx")])
+    merged = (h.join(d, "event_type", "full_outer")
+              .select("event_type",
+                      (F.coalesce("n_h", F.lit(0))
+                       + F.coalesce("n_d", F.lit(0))).alias("n_m"),
+                      (F.coalesce("s_h", F.lit(0))
+                       + F.coalesce("s_d", F.lit(0))).alias("s_m"),
+                      (F.coalesce("ss_h", F.lit(0))
+                       + F.coalesce("ss_d", F.lit(0))).alias("ss_m"),
+                      F.least("mn_h", "mn_d").alias("mn_m"),
+                      F.greatest("mx_h", "mx_d").alias("mx_m")))
+    mean = lambda s, n: F.round(F.col(s) / F.col(n) / 1e6, 4)  # noqa: E731
+    var = lambda ss, s, n: F.round(  # noqa: E731
+        (F.col(ss) / F.col(n) - (F.col(s) / F.col(n) / 1000.0)
+         * (F.col(s) / F.col(n) / 1000.0)) / 1e6, 4)
+    return (merged.join(full, "event_type")
+            .select("event_type",
+                    F.col("n_m").alias("n_merged"),
+                    F.col("n").alias("n_full"),
+                    mean("s_m", "n_m").alias("mean_merged"),
+                    mean("s", "n").alias("mean_full"),
+                    var("ss_m", "s_m", "n_m").alias("var_merged"),
+                    var("ss", "s", "n").alias("var_full"),
+                    ((F.col("n_m") == F.col("n"))
+                     & (F.col("s_m") == F.col("s"))
+                     & (F.col("ss_m") == F.col("ss"))
+                     & (F.col("mn_m") == F.col("mn"))
+                     & (F.col("mx_m") == F.col("mx"))).cast("int")
+                    .alias("state_matches")))
+
+
+_INC_AGG_SQL = """
+WITH based AS (
+    SELECT event_type,
+           epoch_us(ts) // 86400000000 AS day,
+           CAST(round(value * 1000000, 0) AS BIGINT) AS vu,
+           CAST(round(value * 1000, 0) AS BIGINT) AS vm
+    FROM events
+),
+cut AS (SELECT (min(day) + max(day)) // 2 AS cut FROM based),
+hist AS (
+    SELECT event_type, count(*) AS n, sum(vu) AS s, sum(vm * vm) AS ss,
+           min(vu) AS mn, max(vu) AS mx
+    FROM based CROSS JOIN cut WHERE day < cut GROUP BY event_type
+),
+delta AS (
+    SELECT event_type, count(*) AS n, sum(vu) AS s, sum(vm * vm) AS ss,
+           min(vu) AS mn, max(vu) AS mx
+    FROM based CROSS JOIN cut WHERE day >= cut GROUP BY event_type
+),
+fullr AS (
+    SELECT event_type, count(*) AS n, sum(vu) AS s, sum(vm * vm) AS ss,
+           min(vu) AS mn, max(vu) AS mx
+    FROM based GROUP BY event_type
+),
+merged AS (
+    SELECT coalesce(h.event_type, d.event_type) AS event_type,
+           coalesce(h.n, 0) + coalesce(d.n, 0) AS n_m,
+           CAST(coalesce(h.s, 0) + coalesce(d.s, 0) AS BIGINT) AS s_m,
+           CAST(coalesce(h.ss, 0) + coalesce(d.ss, 0) AS BIGINT) AS ss_m,
+           least(h.mn, d.mn) AS mn_m, greatest(h.mx, d.mx) AS mx_m
+    FROM hist h FULL OUTER JOIN delta d ON h.event_type = d.event_type
+)
+SELECT m.event_type,
+       CAST(n_m AS BIGINT) AS n_merged, CAST(f.n AS BIGINT) AS n_full,
+       round(s_m / n_m / 1e6, 4) AS mean_merged,
+       round(f.s / f.n / 1e6, 4) AS mean_full,
+       round((ss_m / n_m - (s_m / n_m / 1000.0) * (s_m / n_m / 1000.0))
+             / 1e6, 4) AS var_merged,
+       round((f.ss / f.n - (f.s / f.n / 1000.0) * (f.s / f.n / 1000.0))
+             / 1e6, 4) AS var_full,
+       CAST(n_m = f.n AND s_m = CAST(f.s AS BIGINT)
+            AND ss_m = CAST(f.ss AS BIGINT)
+            AND mn_m = f.mn AND mx_m = f.mx AS INT) AS state_matches
+FROM merged m JOIN fullr f ON f.event_type = m.event_type
+"""
+
+QUERIES["incremental_agg_maintenance"] = (incremental_agg_maintenance,
+                                          _INC_AGG_SQL)
