@@ -501,3 +501,139 @@ FROM counts
 
 
 QUERIES["dp_noised_counts"] = (dp_noised_counts, _dp_sql())
+
+
+# --------------------------------------------------------------------------
+# pareto_frontier: distributed 2-D skyline (earliest-and-largest events)
+# --------------------------------------------------------------------------
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: events not strictly dominated on (earlier ts,
+    larger value) — the Pareto-optimal set of a tradeoff query
+    ("largest value seen so far" milestones). Implemented the
+    DISTRIBUTED way, not one global sort: per-day partitions compute
+    their in-day running max (window inside the day key), a tiny
+    per-day max table provides the cross-day running max (|days|
+    rows), and an event is on the frontier iff it beats both. That
+    makes the only data-sized shuffle a hash partition on day —
+    the classic two-phase skyline.
+
+    Determinism: values quantized to micro ints; the in-day window is
+    RANGE .. 1 PRECEDING on integer micros so same-microsecond events
+    never dominate each other, identically in both engines.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    t = F.expr("unix_micros(cast(ts as timestamp))")
+    vu = F.expr("cast(round(value * 1000000, 0) as bigint)")
+    based = ev.select("event_id", t.alias("t"), vu.alias("vu"),
+                      F.expr("unix_micros(cast(ts as timestamp))"
+                             " div 86400000000").alias("day"))
+    daymax = based.groupBy("day").agg(F.max("vu").alias("dmax"))
+    from pyspark.sql import Window
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    prior = daymax.select("day", F.max("dmax").over(w_days).alias("prev_days_max"))
+    w_in = (Window.partitionBy("day").orderBy("t")
+            .rangeBetween(Window.unboundedPreceding, -1))
+    flagged = (based.join(F.broadcast(prior), "day")
+               .select("event_id", "day", "t", "vu",
+                       F.greatest(
+                           F.max("vu").over(w_in),
+                           F.col("prev_days_max")).alias("prev_max")))
+    return (flagged
+            .where(F.col("prev_max").isNull()
+                   | (F.col("vu") > F.col("prev_max")))
+            .select("event_id", F.col("day").cast("long").alias("day"),
+                    F.col("t").alias("epoch_us"),
+                    F.round(F.col("vu") / 1e6, 6).alias("value")))
+
+
+_PARETO_SQL = """
+WITH based AS (
+    SELECT event_id, epoch_us(ts) AS t,
+           CAST(round(value * 1000000, 0) AS BIGINT) AS vu,
+           epoch_us(ts) // 86400000000 AS day
+    FROM events
+),
+daymax AS (SELECT day, max(vu) AS dmax FROM based GROUP BY day),
+prior AS (
+    SELECT day, max(dmax) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_days_max
+    FROM daymax
+),
+flagged AS (
+    SELECT b.event_id, b.day, b.t, b.vu,
+           greatest(max(b.vu) OVER (PARTITION BY b.day ORDER BY b.t
+                                    RANGE BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING),
+                    p.prev_days_max) AS prev_max
+    FROM based b JOIN prior p USING (day)
+)
+SELECT event_id, CAST(day AS BIGINT) AS day, t AS epoch_us,
+       round(vu / 1e6, 6) AS value
+FROM flagged
+WHERE prev_max IS NULL OR vu > prev_max
+"""
+
+QUERIES["pareto_frontier"] = (pareto_frontier, _PARETO_SQL)
+
+
+# --------------------------------------------------------------------------
+# kfold_balance_audit: leakage-safe fold assignment + stratification audit
+# --------------------------------------------------------------------------
+KFOLDS = 5
+
+
+def kfold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment by key hash (doc_id md5 —
+    stable under corpus growth, so a doc NEVER migrates folds between
+    runs) with a per-(fold, lang) stratification audit: observed count
+    vs the proportional expectation and the chi-square cell
+    contribution. The audit a training pipeline runs before trusting
+    fold metrics.
+
+    Determinism: folds from the 48-bit md5 hash; expected counts are
+    integer rationals rounded once; chi2 cells are one identical float
+    expression. Scale: one scan → (fold, lang) counts (25 cells),
+    marginals broadcast back onto the cell frame.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    from ..operators.sketches import _h48
+    fold = F.pmod(_h48(F.col("doc_id").cast("string"), "fold:"),
+                  F.lit(KFOLDS))
+    cells = (docs.select(fold.alias("fold"), "lang")
+             .groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n")))
+    fold_tot = cells.groupBy("fold").agg(F.sum("n").alias("n_fold"))
+    lang_tot = cells.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    total = cells.agg(F.sum("n").alias("n_total"))
+    exp = F.col("n_fold") * F.col("n_lang") / F.col("n_total")
+    return (cells.join(F.broadcast(fold_tot), "fold")
+            .join(F.broadcast(lang_tot), "lang")
+            .crossJoin(F.broadcast(total))
+            .select(F.col("fold").cast("int").alias("fold"), "lang",
+                    F.col("n").alias("n_docs"),
+                    F.round(exp, 4).alias("expected"),
+                    F.round((F.col("n") - exp) * (F.col("n") - exp) / exp, 4)
+                     .alias("chi2_cell")))
+
+
+_KFOLD_SQL = f"""
+WITH cells AS (
+    SELECT CAST('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
+                1, 12) AS BIGINT) % {KFOLDS} AS fold,
+           lang, count(*) AS n
+    FROM documents GROUP BY 1, 2
+),
+ft AS (SELECT fold, sum(n) AS n_fold FROM cells GROUP BY fold),
+lt AS (SELECT lang, sum(n) AS n_lang FROM cells GROUP BY lang),
+tot AS (SELECT sum(n) AS n_total FROM cells)
+SELECT CAST(cells.fold AS INT) AS fold, cells.lang, n AS n_docs,
+       round(n_fold * n_lang / n_total, 4) AS expected,
+       round((n - n_fold * n_lang / n_total)
+             * (n - n_fold * n_lang / n_total)
+             / (n_fold * n_lang / n_total), 4) AS chi2_cell
+FROM cells JOIN ft ON ft.fold = cells.fold
+JOIN lt ON lt.lang = cells.lang
+CROSS JOIN tot
+"""
+
+QUERIES["kfold_balance_audit"] = (kfold_balance_audit, _KFOLD_SQL)
