@@ -637,3 +637,104 @@ CROSS JOIN tot
 """
 
 QUERIES["kfold_balance_audit"] = (kfold_balance_audit, _KFOLD_SQL)
+
+
+# --------------------------------------------------------------------------
+# sampled_mean_ci: hash-sampled estimate with confidence interval vs truth
+# --------------------------------------------------------------------------
+SAMPLE_PCT = 10   # deterministic 10% hash sample
+
+
+def sampled_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation with error bars: estimate mean(value)
+    per event type from a deterministic 10% hash sample, report the
+    95% CI from the sample variance, and assert coverage against the
+    exact mean computed beside it — the pattern that lets a 100 TB
+    scan answer "roughly how big" at 10% of the cost WITH a defensible
+    bound, instead of a point guess.
+
+    Determinism: the sample is an md5 predicate (identical membership
+    in both engines); sums are micro/milli-quantized exact integers;
+    se/CI are one identical float expression rounded.
+
+    Scale: the sample predicate is scan-fused (90% of rows die before
+    any shuffle); both branches are map-side-combinable aggregations.
+    The exact branch exists for the assertion.
+    """
+    from ..operators.sketches import _h48
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type",
+                                              "value")
+    vu = F.expr("cast(round(value * 1000000, 0) as bigint)")
+    vm = F.expr("cast(round(value * 1000, 0) as bigint)")
+    based = ev.select("event_id", "event_type", vu.alias("vu"),
+                      vm.alias("vm"),
+                      F.pmod(_h48(F.col("event_id").cast("string"), "smp:"),
+                             F.lit(100)).alias("h"))
+    samp = (based.where(F.col("h") < SAMPLE_PCT)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_s"),
+                 F.sum("vu").alias("s_s"),
+                 F.sum(F.col("vm") * F.col("vm")).alias("ss_s")))
+    exact = (based.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_all"),
+                  F.sum("vu").alias("s_all")))
+    mean_s = F.col("s_s") / F.col("n_s") / 1e6
+    var_s = (F.col("ss_s") / F.col("n_s")
+             - (F.col("s_s") / F.col("n_s") / 1000.0)
+             * (F.col("s_s") / F.col("n_s") / 1000.0)) / 1e6
+    se = F.sqrt(var_s / F.col("n_s"))
+    mean_t = F.col("s_all") / F.col("n_all") / 1e6
+    return (samp.join(exact, "event_type")
+            .select("event_type",
+                    F.col("n_s").alias("n_sample"),
+                    F.col("n_all").alias("n_total"),
+                    F.round(mean_s, 4).alias("est_mean"),
+                    F.round(mean_s - 1.96 * se, 4).alias("ci_lo"),
+                    F.round(mean_s + 1.96 * se, 4).alias("ci_hi"),
+                    F.round(mean_t, 4).alias("exact_mean"),
+                    ((F.round(mean_s - 1.96 * se, 4) <= F.round(mean_t, 4))
+                     & (F.round(mean_t, 4) <= F.round(mean_s + 1.96 * se, 4)))
+                    .cast("int").alias("covered")))
+
+
+_SAMPLED_CI_SQL = f"""
+WITH based AS (
+    SELECT event_type,
+           CAST(round(value * 1000000, 0) AS BIGINT) AS vu,
+           CAST(round(value * 1000, 0) AS BIGINT) AS vm,
+           CAST('0x' || substr(md5('smp:' || CAST(event_id AS VARCHAR)),
+                1, 12) AS BIGINT) % 100 AS h
+    FROM events
+),
+samp AS (
+    SELECT event_type, count(*) AS n_s,
+           CAST(sum(vu) AS BIGINT) AS s_s,
+           CAST(sum(vm * vm) AS BIGINT) AS ss_s
+    FROM based WHERE h < {SAMPLE_PCT} GROUP BY event_type
+),
+exact AS (
+    SELECT event_type, count(*) AS n_all, CAST(sum(vu) AS BIGINT) AS s_all
+    FROM based GROUP BY event_type
+)
+SELECT samp.event_type,
+       CAST(n_s AS BIGINT) AS n_sample, CAST(n_all AS BIGINT) AS n_total,
+       round(s_s / n_s / 1e6, 4) AS est_mean,
+       round(s_s / n_s / 1e6 - 1.96 * sqrt(((ss_s / n_s
+             - (s_s / n_s / 1000.0) * (s_s / n_s / 1000.0)) / 1e6) / n_s),
+             4) AS ci_lo,
+       round(s_s / n_s / 1e6 + 1.96 * sqrt(((ss_s / n_s
+             - (s_s / n_s / 1000.0) * (s_s / n_s / 1000.0)) / 1e6) / n_s),
+             4) AS ci_hi,
+       round(s_all / n_all / 1e6, 4) AS exact_mean,
+       CAST(round(s_s / n_s / 1e6 - 1.96 * sqrt(((ss_s / n_s
+                - (s_s / n_s / 1000.0) * (s_s / n_s / 1000.0)) / 1e6) / n_s),
+                4) <= round(s_all / n_all / 1e6, 4)
+            AND round(s_all / n_all / 1e6, 4)
+                <= round(s_s / n_s / 1e6 + 1.96 * sqrt(((ss_s / n_s
+                   - (s_s / n_s / 1000.0) * (s_s / n_s / 1000.0)) / 1e6)
+                   / n_s), 4) AS INT) AS covered
+FROM samp JOIN exact ON exact.event_type = samp.event_type
+"""
+
+QUERIES["sampled_mean_ci"] = (sampled_mean_ci, _SAMPLED_CI_SQL)

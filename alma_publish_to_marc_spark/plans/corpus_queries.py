@@ -1504,3 +1504,89 @@ QUERIES = {
     "mixture_weighted_sample": (mixture_weighted_sample, _MIX_SAMPLE_SQL),
     "curriculum_order": (curriculum_order, _curriculum_sql()),
 }
+
+
+# --------------------------------------------------------------------------
+# neyman_allocation: variance-optimal labeling-budget split per source
+# --------------------------------------------------------------------------
+NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a labeling/audit budget across
+    sources: stratum h gets budget · N_h·σ_h / Σ N·σ — the
+    variance-minimizing split a data-quality team uses to spend 1000
+    human labels across 20 feeds (proportional allocation overpays
+    uniform strata; Neyman shifts labels to noisy ones). σ here is the
+    per-source std of doc length, the available difficulty proxy.
+
+    Determinism: counts and milli-quantized moment sums are exact
+    integers; σ and the allocation share are identical float
+    expressions, floored to integer labels with the remainder given
+    to the largest-share strata (largest-remainder method, ties by
+    source) so allocations sum EXACTLY to the budget in both engines.
+
+    Scale: one scan → per-source moments (map-side), all allocation
+    math on the |sources|-row frame.
+    """
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+    stats = (docs.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_h"),
+                  F.sum("n_chars").alias("s"),
+                  F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss")))
+    sigma = F.sqrt(F.col("ss") / F.col("n_h")
+                   - (F.col("s") / F.col("n_h"))
+                   * (F.col("s") / F.col("n_h")))
+    w = stats.select("source", "n_h", (F.col("n_h") * sigma).alias("nsig"))
+    tot = w.agg(F.sum("nsig").alias("tot_nsig"))
+    shares = (w.crossJoin(F.broadcast(tot))
+              .select("source", "n_h",
+                      (F.lit(NEYMAN_BUDGET) * F.col("nsig")
+                       / F.col("tot_nsig")).alias("share")))
+    base = shares.select(
+        "source", "n_h", F.round("share", 4).alias("share"),
+        F.floor("share").cast("long").alias("floor_alloc"),
+        (F.col("share") - F.floor("share")).alias("rem"))
+    short = base.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("floor_alloc")).alias("short"))
+    from pyspark.sql import Window
+    w_rem = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (base.crossJoin(F.broadcast(short))
+            .select("source", "n_h", "share",
+                    (F.col("floor_alloc")
+                     + (F.row_number().over(w_rem) <= F.col("short"))
+                        .cast("long")).alias("n_labels")))
+
+
+_NEYMAN_SQL = f"""
+WITH stats AS (
+    SELECT source, count(*) AS n_h,
+           CAST(sum(n_chars) AS BIGINT) AS s,
+           CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+    FROM documents GROUP BY source
+),
+w AS (
+    SELECT source, n_h,
+           n_h * sqrt(ss / n_h - (s / n_h) * (s / n_h)) AS nsig
+    FROM stats
+),
+tot AS (SELECT sum(nsig) AS tot_nsig FROM w),
+shares AS (
+    SELECT source, n_h, {NEYMAN_BUDGET} * nsig / tot_nsig AS share
+    FROM w CROSS JOIN tot
+),
+base AS (
+    SELECT source, n_h, round(share, 4) AS share,
+           CAST(floor(share) AS BIGINT) AS floor_alloc,
+           share - floor(share) AS rem
+    FROM shares
+),
+short AS (SELECT {NEYMAN_BUDGET} - CAST(sum(floor_alloc) AS BIGINT)
+              AS short FROM base)
+SELECT source, CAST(n_h AS BIGINT) AS n_h, share,
+       floor_alloc + CAST(row_number() OVER (ORDER BY rem DESC, source ASC)
+                          <= short AS BIGINT) AS n_labels
+FROM base CROSS JOIN short
+"""
+
+QUERIES["neyman_allocation"] = (neyman_allocation, _NEYMAN_SQL)
