@@ -202,3 +202,140 @@ FROM sizes JOIN checks USING (cell)
 QUERIES = {
     "kmeans_fixed_point": (_kmeans_query, _KMEANS_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# pca_power_iteration: dominant principal component, fixed-point rounds
+# --------------------------------------------------------------------------
+PCA_ROUNDS = 2
+PCA_V0 = 0.125   # 1/8: exact binary start vector (unit for DIM=64)
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the (mean-centered) embedding
+    corpus by power iteration — the linear-algebra member of the
+    iterative family (k-means, logreg, PageRank, BPE): v ← normalize
+    (Σᵢ cᵢ (cᵢ·v)), ``PCA_ROUNDS`` unrolled rounds from the exact-
+    binary start vector 1/8·𝟙.
+
+    Determinism (the clustering.py recipe): per-row contributions
+    c_j·(c·v) quantize to micro ints, so the per-dimension accumulation
+    is an exact integer sum; the iterate renormalizes through ONE
+    ordered-list fold (collect→sort→fold — never a bare SUM over
+    doubles) and re-quantizes to micro units. The Rayleigh eigenvalue
+    sums milli-quantized squared projections — exact int64.
+
+    Scale: each round is one corpus scan → posexplode → 64-group
+    map-side-combinable aggregation; the 64-row state rebuilds into a
+    1-row broadcast array. Same driver-paced shape as k-means; at
+    100 TB subsequent components would deflate and repeat.
+    """
+    from . import similarity as S
+
+    e = (load(spark, sf_dir, "embeddings")
+         .select("vec_id", S.as_double(F.col("embedding")).alias("v")))
+    mean_vec = (e.select(F.posexplode("v").alias("pos", "x"))
+                .groupBy("pos").agg(F.round(F.avg("x"), 4).alias("m"))
+                .groupBy()
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                .select(F.transform("pm", lambda s: s["m"]).alias("mean_v")))
+    cent = (e.crossJoin(F.broadcast(mean_vec))
+            .select("vec_id",
+                    F.zip_with("v", "mean_v", lambda a, b: a - b)
+                     .alias("c")))
+    vt = spark.range(1).select(
+        F.array(*[F.lit(PCA_V0)] * DIM).alias("pv"))
+    d = None
+    for _ in range(PCA_ROUNDS):
+        d = (cent.crossJoin(F.broadcast(vt))
+             .select("vec_id", "c",
+                     S.dot(F.col("c"), F.col("pv")).alias("dot")))
+        s = (d.select(F.posexplode("c").alias("pos", "x"), "dot")
+             .select("pos",
+                     F.expr("cast(round(x * dot * 1000000, 0) as bigint)")
+                      .alias("ci"))
+             .groupBy("pos").agg(F.sum("ci").alias("s")))
+        vt = (s.groupBy()
+              .agg(F.array_sort(F.collect_list(F.struct("pos", "s")))
+                    .alias("ps"))
+              .select(F.expr(
+                  "transform(ps, t -> cast(t.s as double))").alias("ls"))
+              .select("ls", F.expr(
+                  "sqrt(aggregate(transform(ls, y -> y * y),"
+                  " cast(0.0 as double), (a, b) -> a + b))").alias("nm"))
+              .select(F.expr(
+                  "transform(ls, x -> round(1000000 * x / nm, 0)"
+                  " / 1000000)").alias("pv")))
+    final = (cent.crossJoin(F.broadcast(vt))
+             .select(S.dot(F.col("c"), F.col("pv")).alias("dot")))
+    lam = final.agg(F.round(
+        F.sum(F.expr("cast(round(dot * 1000, 0) as bigint)"
+                     " * cast(round(dot * 1000, 0) as bigint)"))
+        / 1e6 / F.count(F.lit(1)), 4).alias("eigenvalue"))
+    return (vt.select(F.posexplode("pv").alias("pos", "component"))
+            .crossJoin(F.broadcast(lam))
+            .select((F.col("pos") + 1).cast("int").alias("dim"),
+                    F.round("component", 6).alias("component"),
+                    "eigenvalue"))
+
+
+def _pca_sql() -> str:
+    from .similarity_queries import _sql_dot, _sql_vec
+
+    v0 = "[" + ", ".join([repr(PCA_V0)] * DIM) + "]"
+    fold_sq = ("list_reduce(list_prepend(0.0, list_transform(ls,"
+               " y -> y * y)), (a, b) -> a + b)")
+    ctes = [f"e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings)",
+            f"""pos AS (
+    SELECT t.i AS pos, round(avg(v[t.i]), 4) AS m
+    FROM e, generate_series(1, {DIM}) AS t(i) GROUP BY t.i
+)""",
+            """mv AS (
+    SELECT list_transform(list_sort(list(struct_pack(pos := pos, m := m))),
+                          s -> s.m) AS mean_v
+    FROM pos
+)""",
+            f"""cent AS (
+    SELECT vec_id,
+           list_transform(range(1, {DIM} + 1), i -> v[i] - mean_v[i]) AS c
+    FROM e CROSS JOIN mv
+)""",
+            f"v0 AS (SELECT {v0} AS pv)"]
+    for t in range(PCA_ROUNDS):
+        ctes.append(f"""d{t} AS (
+    SELECT vec_id, c, {_sql_dot('c', 'pv')} AS dot
+    FROM cent CROSS JOIN v{t}
+)""")
+        ctes.append(f"""s{t} AS (
+    SELECT t.i AS pos,
+           CAST(sum(CAST(round(c[t.i] * dot * 1000000, 0) AS BIGINT))
+                AS BIGINT) AS s
+    FROM d{t}, generate_series(1, {DIM}) AS t(i) GROUP BY t.i
+)""")
+        ctes.append(f"""l{t} AS (
+    SELECT list_transform(list_sort(list(struct_pack(pos := pos, s := s))),
+                          x -> CAST(x.s AS DOUBLE)) AS ls
+    FROM s{t}
+)""")
+        ctes.append(f"""v{t + 1} AS (
+    SELECT list_transform(ls, x -> round(1000000 * x / sqrt({fold_sq}), 0)
+                          / 1000000) AS pv
+    FROM l{t}
+)""")
+    ctes.append(f"""df AS (
+    SELECT {_sql_dot('c', 'pv')} AS dot FROM cent CROSS JOIN v{PCA_ROUNDS}
+)""")
+    ctes.append("""lam AS (
+    SELECT round(sum(CAST(round(dot * 1000, 0) AS BIGINT)
+                     * CAST(round(dot * 1000, 0) AS BIGINT))
+                 / 1e6 / count(*), 4) AS eigenvalue
+    FROM df
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(t.i AS INT) AS dim, round(pv[t.i], 6) AS component, eigenvalue
+FROM v{PCA_ROUNDS}, generate_series(1, {DIM}) AS t(i) CROSS JOIN lam
+""")
+
+
+QUERIES["pca_power_iteration"] = (pca_power_iteration, _pca_sql())
