@@ -738,3 +738,75 @@ FROM samp JOIN exact ON exact.event_type = samp.event_type
 """
 
 QUERIES["sampled_mean_ci"] = (sampled_mean_ci, _SAMPLED_CI_SQL)
+
+
+# --------------------------------------------------------------------------
+# last_touch_attribution: purchases credited to the latest prior click
+# --------------------------------------------------------------------------
+ATTR_WINDOW_US = 24 * 3600 * 1000000   # 1-day lookback
+
+
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase is credited to the SAME
+    user's most recent click within a 1-day lookback — the last-touch
+    model, implemented as one pass over the user's timeline with
+    ``last(click_id) IGNORE NULLS`` (no per-purchase subquery, no
+    self-join blow-up; contrast ``range_interval_join`` which
+    enumerates pairs).
+
+    Determinism: the timeline orders by (ts, event_id) so simultaneous
+    events resolve identically; the lookback compares integer epoch
+    micros. Scale: ONE hash shuffle on user_id drives the whole
+    window; output is purchases-only.
+    """
+    from pyspark.sql import Window
+
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type", "ts",
+                  F.expr("unix_micros(cast(ts as timestamp))").alias("t")))
+    w = (Window.partitionBy("user_id").orderBy("t", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_t = F.when(F.col("event_type") == "click", F.col("t"))
+    attributed = ev.select(
+        "event_id", "user_id", "event_type", "t",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_t, ignorenulls=True).over(w).alias("last_click_t"))
+    return (attributed.where(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    F.when(F.col("t") - F.col("last_click_t")
+                           <= ATTR_WINDOW_US, F.col("last_click_id"))
+                     .alias("attributed_click_id"),
+                    F.when(F.col("t") - F.col("last_click_t")
+                           <= ATTR_WINDOW_US,
+                           F.round((F.col("t") - F.col("last_click_t"))
+                                   / 60000000.0, 2))
+                     .alias("minutes_since_click")))
+
+
+_LAST_TOUCH_SQL = f"""
+WITH tl AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_id,
+           last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_t
+    FROM events
+)
+SELECT event_id AS purchase_id, user_id,
+       CASE WHEN t - last_click_t <= {ATTR_WINDOW_US}
+            THEN last_click_id END AS attributed_click_id,
+       CASE WHEN t - last_click_t <= {ATTR_WINDOW_US}
+            THEN round((t - last_click_t) / 60000000.0, 2)
+       END AS minutes_since_click
+FROM tl WHERE event_type = 'purchase'
+"""
+
+QUERIES["last_touch_attribution"] = (last_touch_attribution,
+                                     _LAST_TOUCH_SQL)
