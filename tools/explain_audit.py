@@ -100,6 +100,13 @@ def main() -> None:
         "pmi_collocations", "naive_bayes_confusion",
         "label_propagation", "knn_triangle_census",
         "shipping_priority_topn", "returned_item_revenue",
+        "market_basket_rules", "dq_constraint_audit", "snapshot_diff",
+        "mmr_diversified_topk", "zorder_layout_stats", "bloom_filter_fpr",
+        "histogram_quantile_sketch", "seasonal_baseline_outliers",
+        "dp_noised_counts", "rag_chunk_retrieval", "kmv_join_overlap",
+        "incremental_agg_maintenance", "pareto_frontier",
+        "kfold_balance_audit", "sampled_mean_ci", "neyman_allocation",
+        "pca_power_iteration", "last_touch_attribution",
     ]
     for name in names:
         if name not in qs:
