@@ -691,3 +691,156 @@ FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN exact
 
 
 QUERIES["kmv_join_overlap"] = (kmv_join_overlap, _kmv_join_sql())
+
+
+# --------------------------------------------------------------------------
+# HLL mergeability: per-source registers OR-merge to the global sketch
+# --------------------------------------------------------------------------
+def hll_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL the 100 TB distinct-count answer:
+    per-partition (here per-source) register tables MERGE by max into
+    exactly the sketch a direct global pass builds — so shards sketch
+    independently and a rollup never rescans. Asserted in-plan:
+    register-level equality (provable — max is associative/commutative)
+    plus both estimates side by side with the per-source estimate sum
+    (which OVERcounts shared vocabulary, documenting why naive
+    addition of distincts is wrong and merging is right).
+
+    Scale: one scan builds (source, bucket) registers map-side; the
+    merge is a 256-group max — sketch algebra never touches the corpus
+    again.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select(
+                "source",
+                F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+                 .alias("w"))
+            .where(F.col("w") != ""))
+    md5c = F.md5(F.col("w"))
+    bucket = F.conv(F.substring(md5c, 1, 2), 16, 10).cast("long")
+    v = F.conv(F.substring(md5c, 3, 12), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(49).cast("long")) \
+           .otherwise(F.lit(49) - F.length(F.bin(v))).cast("long")
+    per_src = (toks.select("source", bucket.alias("bucket"),
+                           rho.alias("rho"))
+               .groupBy("source", "bucket").agg(F.max("rho").alias("m_j")))
+    merged = per_src.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    direct = (toks.select(bucket.alias("bucket"), rho.alias("rho"))
+              .groupBy("bucket").agg(F.max("rho").alias("m_j")))
+
+    def estimate(regs):
+        sums = regs.agg(
+            F.count(F.lit(1)).alias("ub"),
+            F.sum(F.expr(f"{TWO49}L div shiftleft(1L, cast(m_j as int))"))
+             .alias("sp"))
+        raw = (f"round((0.7213 / (1 + 1.079 / 256.0)) * {HLL_M} * {HLL_M}"
+               f" * {TWO49} / (sp + ({HLL_M} - ub) * {TWO49}L), 0)")
+        lc = (f"round({HLL_M} * ln({HLL_M} / cast({HLL_M} - ub as double)),"
+              " 0)")
+        return sums.select(F.expr(
+            f"cast(CASE WHEN {raw} <= 2.5 * {HLL_M} AND ub < {HLL_M}"
+            f" THEN {lc} ELSE {raw} END as bigint)").alias("est"))
+
+    est_m = estimate(merged).withColumnRenamed("est", "est_merged")
+    est_d = estimate(direct).withColumnRenamed("est", "est_direct")
+    # register-level equality via symmetric anti-join counts
+    a = merged.withColumnRenamed("m_j", "ma")
+    b = direct.withColumnRenamed("m_j", "mb")
+    mismatch = (a.join(b, "bucket", "full_outer")
+                .where((F.col("ma").isNull()) | (F.col("mb").isNull())
+                       | (F.col("ma") != F.col("mb")))
+                .agg(F.count(F.lit(1)).alias("n_reg_mismatch")))
+    naive = (per_src.groupBy("source").agg(
+                F.count(F.lit(1)).alias("ub"),
+                F.sum(F.expr(f"{TWO49}L div shiftleft(1L,"
+                             " cast(m_j as int))")).alias("sp")))
+    raw = (f"round((0.7213 / (1 + 1.079 / 256.0)) * {HLL_M} * {HLL_M}"
+           f" * {TWO49} / (sp + ({HLL_M} - ub) * {TWO49}L), 0)")
+    lc = f"round({HLL_M} * ln({HLL_M} / cast({HLL_M} - ub as double)), 0)"
+    naive_sum = naive.select(F.expr(
+        f"cast(CASE WHEN {raw} <= 2.5 * {HLL_M} AND ub < {HLL_M}"
+        f" THEN {lc} ELSE {raw} END as bigint)").alias("e")) \
+        .agg(F.sum("e").alias("naive_source_sum"))
+    n_src = per_src.agg(F.countDistinct("source").alias("n_sources"))
+    return (n_src.crossJoin(F.broadcast(est_m))
+            .crossJoin(F.broadcast(est_d))
+            .crossJoin(F.broadcast(mismatch))
+            .crossJoin(F.broadcast(naive_sum))
+            .select(F.col("n_sources").cast("int").alias("n_sources"),
+                    "est_merged", "est_direct",
+                    (F.col("n_reg_mismatch") == 0).cast("int")
+                    .alias("registers_match"),
+                    F.col("naive_source_sum").cast("long")
+                     .alias("naive_source_sum")))
+
+
+def _hll_merge_sql() -> str:
+    raw = (f"round((0.7213 / (1 + 1.079 / 256.0)) * {HLL_M} * {HLL_M}"
+           f" * {TWO49} / (sp + ({HLL_M} - ub) * {TWO49}), 0)")
+    lc = f"round({HLL_M} * ln({HLL_M} / CAST({HLL_M} - ub AS DOUBLE)), 0)"
+    est = (f"CAST(CASE WHEN {raw} <= 2.5 * {HLL_M} AND ub < {HLL_M}"
+           f" THEN {lc} ELSE {raw} END AS BIGINT)")
+    return rf"""
+WITH toks AS (
+    SELECT source, w
+    FROM (SELECT source,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents)
+    WHERE w <> ''
+),
+regs AS (
+    SELECT source,
+           CAST('0x' || substr(md5(w), 1, 2) AS BIGINT) AS bucket,
+           max(CASE WHEN CAST('0x' || substr(md5(w), 3, 12) AS BIGINT) = 0
+                    THEN 49
+                    ELSE 49 - length(bin(CAST('0x' || substr(md5(w), 3, 12)
+                                              AS BIGINT)))
+               END) AS m_j
+    FROM toks GROUP BY 1, 2
+),
+merged AS (SELECT bucket, max(m_j) AS m_j FROM regs GROUP BY bucket),
+direct AS (
+    SELECT CAST('0x' || substr(md5(w), 1, 2) AS BIGINT) AS bucket,
+           max(CASE WHEN CAST('0x' || substr(md5(w), 3, 12) AS BIGINT) = 0
+                    THEN 49
+                    ELSE 49 - length(bin(CAST('0x' || substr(md5(w), 3, 12)
+                                              AS BIGINT)))
+               END) AS m_j
+    FROM toks GROUP BY 1
+),
+em AS (
+    SELECT {est} AS est_merged
+    FROM (SELECT count(*) AS ub,
+                 CAST(sum({TWO49} // (1::BIGINT << CAST(m_j AS INT)))
+                      AS BIGINT) AS sp
+          FROM merged)
+),
+ed AS (
+    SELECT {est} AS est_direct
+    FROM (SELECT count(*) AS ub,
+                 CAST(sum({TWO49} // (1::BIGINT << CAST(m_j AS INT)))
+                      AS BIGINT) AS sp
+          FROM direct)
+),
+mm AS (
+    SELECT count(*) AS n_reg_mismatch
+    FROM merged m FULL OUTER JOIN direct d ON m.bucket = d.bucket
+    WHERE m.m_j IS NULL OR d.m_j IS NULL OR m.m_j <> d.m_j
+),
+naive AS (
+    SELECT CAST(sum(e) AS BIGINT) AS naive_source_sum
+    FROM (SELECT {est.replace("est_merged", "e")} AS e
+          FROM (SELECT source, count(*) AS ub,
+                       CAST(sum({TWO49} // (1::BIGINT << CAST(m_j AS INT)))
+                            AS BIGINT) AS sp
+                FROM regs GROUP BY source))
+),
+ns AS (SELECT count(DISTINCT source) AS n_sources FROM regs)
+SELECT CAST(n_sources AS INT) AS n_sources, est_merged, est_direct,
+       CAST(n_reg_mismatch = 0 AS INT) AS registers_match,
+       naive_source_sum
+FROM ns CROSS JOIN em CROSS JOIN ed CROSS JOIN mm CROSS JOIN naive
+"""
+
+
+QUERIES["hll_merge_check"] = (hll_merge_check, _hll_merge_sql())
