@@ -310,3 +310,78 @@ QUERIES = {
     "dq_constraint_audit": (dq_constraint_audit, _dq_sql()),
     "snapshot_diff": (snapshot_diff, _SNAPSHOT_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# table_stats_profile: ANALYZE-style column profile of the orders table
+# --------------------------------------------------------------------------
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics collection (the ANALYZE TABLE pass a CBO
+    needs): per-column null count, exact distinct count, and min/max
+    rendered to canonical strings, one row per column of `orders`.
+
+    All six columns profile in ONE fused aggregation (adding a column
+    adds expressions, not scans); min/max canonicalize via explicit
+    formatting (timestamps through a fixed pattern, doubles through
+    round-then-cast) so both engines emit identical text. At 100 TB
+    the exact distincts become the HLL registers of
+    ``hll_merge_check`` — same shape, sketch state.
+    """
+    orders = load(spark, sf_dir, "orders")
+    ts_fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    cols = [
+        ("o_orderkey", F.col("o_orderkey").cast("string")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_totalprice", F.round("o_totalprice", 2).cast("string")),
+        ("o_orderdate", ts_fmt(F.col("o_orderdate"))),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, canon in cols:
+        aggs += [
+            F.count(F.when(F.col(name).isNull(), 1)).alias(f"nn_{name}"),
+            F.countDistinct(name).alias(f"nd_{name}"),
+            F.min(canon).alias(f"mi_{name}"),
+            F.max(canon).alias(f"ma_{name}"),
+        ]
+    prof = orders.agg(*aggs)
+    stacked = F.array(*[
+        F.struct(F.lit(name).alias("column_name"),
+                 F.col(f"nn_{name}").cast("long").alias("n_nulls"),
+                 F.col(f"nd_{name}").cast("long").alias("n_distinct"),
+                 F.col(f"mi_{name}").alias("min_value"),
+                 F.col(f"ma_{name}").alias("max_value"))
+        for name, _ in cols])
+    return (prof.select(F.col("n_rows").cast("long").alias("n_rows"),
+                        F.explode(stacked).alias("c"))
+            .select(F.lit("orders").alias("table_name"),
+                    F.col("c.column_name").alias("column_name"), "n_rows",
+                    F.col("c.n_nulls").alias("n_nulls"),
+                    F.col("c.n_distinct").alias("n_distinct"),
+                    F.col("c.min_value").alias("min_value"),
+                    F.col("c.max_value").alias("max_value")))
+
+
+def _profile_sql() -> str:
+    canon = {
+        "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
+        "o_custkey": "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice": "CAST(round(o_totalprice, 2) AS VARCHAR)",
+        "o_orderdate": "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+        "o_orderpriority": "o_orderpriority",
+    }
+    parts = []
+    for name, c in canon.items():
+        parts.append(f"""
+SELECT 'orders' AS table_name, '{name}' AS column_name,
+       count(*) AS n_rows,
+       count(CASE WHEN {name} IS NULL THEN 1 END) AS n_nulls,
+       count(DISTINCT {name}) AS n_distinct,
+       min({c}) AS min_value, max({c}) AS max_value
+FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["table_stats_profile"] = (table_stats_profile, _profile_sql())
