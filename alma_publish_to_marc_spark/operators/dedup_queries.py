@@ -533,3 +533,95 @@ QUERIES = {
     "simhash_neardup": (_simhash_pairs, _simhash_pairs_sql()),
     "incremental_neardup": (_incremental, _incremental_sql()),
 }
+
+
+# --------------------------------------------------------------------------
+# cdc_chunk_dedup: content-defined chunking (Rabin-style) dedup stats
+# --------------------------------------------------------------------------
+CDC_WIN = 8        # rolling window the boundary hash sees
+CDC_MASK = 64      # boundary when hash % 64 == 0 -> ~64-char chunks
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking, the storage-dedup counterpart of the
+    shingle family: chunk boundaries fall where the rolling hash of
+    the trailing 8-char window is ≡ 0 (mod 64), so a one-character
+    edit only re-chunks its neighborhood — unlike fixed windows
+    (``doc_chunking``) where an insertion shifts EVERY downstream
+    chunk. Reports corpus-level chunk dedup stats (the dedup a
+    CAS/backup layer would achieve).
+
+    Determinism: boundaries and chunk hashes are pure integer folds of
+    the repo's portable poly hash (sql_poly twin); stats are exact
+    counts. Scale: boundary detection is array-side per document
+    (narrow, scan-fused — O(len·win) with no shuffle); the only
+    exchange is the distinct on 16-byte chunk hashes.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    poly = ("aggregate(split(substring(text, i - 7, 8), ''),"
+            " cast(0 as bigint),"
+            " (a, c) -> (a * 31 + ascii(c)) % 1000000007)")
+    chunks = docs.select(
+        "doc_id",
+        F.expr(f"""
+          filter(
+            zip_with(
+              transform(concat(array(0),
+                        filter(sequence(8, length(text)),
+                               i -> {poly} % {CDC_MASK} = 0)),
+                        x -> x + 1),
+              concat(filter(sequence(8, length(text)),
+                            i -> {poly} % {CDC_MASK} = 0),
+                     array(length(text))),
+              (s, e) -> struct(s as s, e as e)),
+            p -> p.e >= p.s)
+        """).alias("bounds"))
+    ex = (chunks.join(docs, "doc_id")
+          .select("doc_id", F.explode("bounds").alias("b"), "text")
+          .select("doc_id",
+                  F.expr("md5(substring(text, b.s, b.e - b.s + 1))")
+                   .alias("h"),
+                  (F.col("b.e") - F.col("b.s") + 1).alias("clen")))
+    return ex.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("h").alias("n_distinct_chunks"),
+        F.round(F.lit(1.0) - F.countDistinct("h") / F.count(F.lit(1)), 4)
+         .alias("dup_chunk_ratio"),
+        F.round(F.sum("clen") / F.count(F.lit(1)), 2)
+         .alias("avg_chunk_len"),
+        F.max("clen").alias("max_chunk_len"))
+
+
+def _cdc_sql() -> str:
+    poly = ("list_reduce(list_prepend(CAST(0 AS BIGINT),"
+            " list_transform(string_split(substr(text, i - 7, 8), ''),"
+            " c -> CAST(ord(c) AS BIGINT))),"
+            " (a, b) -> (a * 31 + b) % 1000000007)")
+    b = (f"list_filter(range(8, length(text) + 1),"
+         f" i -> {poly} % {CDC_MASK} = 0)")
+    return f"""
+WITH bounds AS (
+    SELECT doc_id, text,
+           list_transform(list_prepend(0, {b}), x -> x + 1) AS starts,
+           list_append({b}, length(text)) AS ends
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           md5(substr(text, starts[i], ends[i] - starts[i] + 1)) AS h,
+           ends[i] - starts[i] + 1 AS clen
+    FROM bounds, unnest(range(1, len(starts) + 1)) AS t(i)
+    WHERE ends[i] >= starts[i]
+)
+SELECT count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_chunks,
+       count(DISTINCT h) AS n_distinct_chunks,
+       round(1.0 - count(DISTINCT h) / count(*), 4) AS dup_chunk_ratio,
+       round(sum(clen) / count(*), 2) AS avg_chunk_len,
+       CAST(max(clen) AS BIGINT) AS max_chunk_len
+FROM chunks
+"""
+
+
+QUERIES["cdc_chunk_dedup"] = (cdc_chunk_dedup, _cdc_sql())

@@ -810,3 +810,84 @@ FROM tl WHERE event_type = 'purchase'
 
 QUERIES["last_touch_attribution"] = (last_touch_attribution,
                                      _LAST_TOUCH_SQL)
+
+
+# --------------------------------------------------------------------------
+# winsorized_stats: outlier-robust aggregates via percentile clipping
+# --------------------------------------------------------------------------
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p5/p95-clipped) per-type statistics next to the raw
+    ones — the robust-aggregation pass that keeps a handful of
+    corrupt meters from moving a 100 TB mean. Cutoffs are exact order
+    statistics per type (rank = floor(q·(n−1)) + 1, the lower-nearest
+    convention) broadcast back onto the scan; clipped values quantize
+    to micro ints so both means are exact integer sums divided once.
+
+    Scale: the rank pass is one per-type window (hash shuffle on
+    event_type); production swaps it for ``histogram_quantile_sketch``
+    cutoffs — same clip step, no sort.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type",
+                                              "value")
+    vu = F.expr("cast(round(value * 1000000, 0) as bigint)")
+    based = ev.select("event_id", "event_type", vu.alias("vu"))
+    w = Window.partitionBy("event_type").orderBy("vu", "event_id")
+    ranked = based.select(
+        "event_type", "vu", F.row_number().over(w).alias("rn"))
+    counts = based.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    lo_rank = F.expr("cast(floor(0.05 * (n - 1)) as bigint) + 1")
+    hi_rank = F.expr("cast(floor(0.95 * (n - 1)) as bigint) + 1")
+    cuts = (ranked.join(F.broadcast(counts), "event_type")
+            .where((F.col("rn") == lo_rank) | (F.col("rn") == hi_rank))
+            .groupBy("event_type")
+            .agg(F.min("vu").alias("lo"), F.max("vu").alias("hi")))
+    clipped = (based.join(F.broadcast(cuts), "event_type")
+               .select("event_type", "vu",
+                       F.greatest(F.least(F.col("vu"), F.col("hi")),
+                                  F.col("lo")).alias("cv")))
+    return (clipped.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("vu") / F.count(F.lit(1)) / 1e6, 4)
+                  .alias("raw_mean"),
+                 F.round(F.sum("cv") / F.count(F.lit(1)) / 1e6, 4)
+                  .alias("winsorized_mean"),
+                 F.round(F.min("cv") / 1e6, 4).alias("p05"),
+                 F.round(F.max("cv") / 1e6, 4).alias("p95")))
+
+
+_WINSOR_SQL = """
+WITH based AS (
+    SELECT event_id, event_type,
+           CAST(round(value * 1000000, 0) AS BIGINT) AS vu
+    FROM events
+),
+ranked AS (
+    SELECT event_type, vu,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY vu, event_id) AS rn
+    FROM based
+),
+counts AS (SELECT event_type, count(*) AS n FROM based GROUP BY 1),
+cuts AS (
+    SELECT r.event_type, min(vu) AS lo, max(vu) AS hi
+    FROM ranked r JOIN counts c ON c.event_type = r.event_type
+    WHERE r.rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1
+       OR r.rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+    GROUP BY r.event_type
+),
+clipped AS (
+    SELECT b.event_type, vu,
+           greatest(least(vu, hi), lo) AS cv
+    FROM based b JOIN cuts ON cuts.event_type = b.event_type
+)
+SELECT event_type, count(*) AS n,
+       round(sum(vu) / count(*) / 1e6, 4) AS raw_mean,
+       round(sum(cv) / count(*) / 1e6, 4) AS winsorized_mean,
+       round(min(cv) / 1e6, 4) AS p05,
+       round(max(cv) / 1e6, 4) AS p95
+FROM clipped GROUP BY event_type
+"""
+
+QUERIES["winsorized_stats"] = (winsorized_stats, _WINSOR_SQL)
