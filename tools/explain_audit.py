@@ -107,6 +107,8 @@ def main() -> None:
         "incremental_agg_maintenance", "pareto_frontier",
         "kfold_balance_audit", "sampled_mean_ci", "neyman_allocation",
         "pca_power_iteration", "last_touch_attribution",
+        "hll_merge_check", "table_stats_profile", "winsorized_stats",
+        "cdc_chunk_dedup",
     ]
     for name in names:
         if name not in qs:
