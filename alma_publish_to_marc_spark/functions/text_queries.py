@@ -719,22 +719,29 @@ def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda x, y: F.concat(x, F.lit(" "), y))
+    # all text-keyed shuffles ride the 16-byte unhex(md5(..)) key
+    # (CLAUDE.md rule); the string itself survives via min() (all
+    # values in a hash group are identical)
     uni = (docs.select(F.explode(toks).alias("w"))
            .where(F.col("w") != "")
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
+           .groupBy(F.unhex(F.md5("w")).alias("wk"))
+           .agg(F.count(F.lit(1)).alias("c_w"), F.min("w").alias("w")))
     bi = (docs.select(F.explode(grams).alias("bigram"))
-          .groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+          .groupBy(F.unhex(F.md5("bigram")).alias("bk"))
+          .agg(F.count(F.lit(1)).alias("c_xy"),
+               F.min("bigram").alias("bigram"))
           .where(F.col("c_xy") >= PMI_MIN_COUNT))
     totals = uni.agg(F.sum("c_w").alias("n_uni"),
                      F.count(F.lit(1)).alias("n_vocab"))
     n_bi = bi.agg(F.sum("c_xy").alias("n_bi"))
     w1 = F.split(F.col("bigram"), " ")[0]
     w2 = F.split(F.col("bigram"), " ")[1]
-    joined = (bi.withColumn("w1", w1).withColumn("w2", w2)
-              .join(uni.select(F.col("w").alias("w1"),
-                               F.col("c_w").alias("c_x")), "w1")
-              .join(uni.select(F.col("w").alias("w2"),
-                               F.col("c_w").alias("c_y")), "w2")
+    joined = (bi.withColumn("w1k", F.unhex(F.md5(w1)))
+              .withColumn("w2k", F.unhex(F.md5(w2)))
+              .join(uni.select(F.col("wk").alias("w1k"),
+                               F.col("c_w").alias("c_x")), "w1k")
+              .join(uni.select(F.col("wk").alias("w2k"),
+                               F.col("c_w").alias("c_y")), "w2k")
               .crossJoin(F.broadcast(totals))
               .crossJoin(F.broadcast(n_bi)))
     pmi = F.round(F.log(F.col("c_xy") * F.col("n_uni") * F.col("n_uni")
@@ -750,16 +757,17 @@ WITH t AS (
     FROM documents
 ),
 uni AS (
-    SELECT w, count(*) AS c_w
-    FROM (SELECT unnest(toks) AS w FROM t) WHERE w <> '' GROUP BY w
+    SELECT unhex(md5(min(w))) AS wk, min(w) AS w, count(*) AS c_w
+    FROM (SELECT unnest(toks) AS w FROM t) WHERE w <> ''
+    GROUP BY unhex(md5(w))
 ),
 bi AS (
-    SELECT bigram, count(*) AS c_xy
+    SELECT min(bigram) AS bigram, count(*) AS c_xy
     FROM (SELECT unnest(list_transform(
               generate_series(1, greatest(len(toks) - 1, 0)),
               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
           FROM t)
-    GROUP BY bigram HAVING count(*) >= {PMI_MIN_COUNT}
+    GROUP BY unhex(md5(bigram)) HAVING count(*) >= {PMI_MIN_COUNT}
 ),
 totals AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_uni,
                   count(*) AS n_vocab FROM uni),
@@ -768,8 +776,8 @@ SELECT bigram, c_xy, u1.c_w AS c_x, u2.c_w AS c_y,
        round(ln(c_xy * n_uni * n_uni
                 / (n_bi * u1.c_w * u2.c_w)), 4) AS pmi
 FROM bi
-JOIN uni u1 ON u1.w = string_split(bigram, ' ')[1]
-JOIN uni u2 ON u2.w = string_split(bigram, ' ')[2]
+JOIN uni u1 ON u1.wk = unhex(md5(string_split(bigram, ' ')[1]))
+JOIN uni u2 ON u2.wk = unhex(md5(string_split(bigram, ' ')[2]))
 CROSS JOIN totals CROSS JOIN nb
 ORDER BY pmi DESC, bigram ASC
 LIMIT {PMI_TOPK}

@@ -192,19 +192,21 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
         .where(F.col("w") != ""))
-    ttok = tok(train)
-    cwc = ttok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c_wc"))
+    ttok = tok(train).withColumn("wk", F.unhex(F.md5("w")))
+    # token-keyed shuffles ride the 16-byte md5 key (CLAUDE.md rule)
+    cwc = ttok.groupBy("lang", "wk").agg(F.count(F.lit(1)).alias("c_wc"))
     ctot = (ttok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_c"))
             .withColumnRenamed("lang", "cls"))
-    vocab = ttok.agg(F.countDistinct("w").alias("v"))
+    vocab = ttok.agg(F.countDistinct("wk").alias("v"))
     priors = (train.groupBy("lang").agg(F.count(F.lit(1)).alias("d_c"))
               .withColumnRenamed("lang", "cls"))
     dtot = train.agg(F.count(F.lit(1)).alias("d_tot"))
-    testtok = tok(test).select("doc_id", F.col("lang").alias("true_lang"), "w")
+    testtok = tok(test).select("doc_id", F.col("lang").alias("true_lang"),
+                               F.unhex(F.md5("w")).alias("wk"))
     sc = (testtok
           .crossJoin(F.broadcast(ctot))
-          .join(cwc.select(F.col("lang").alias("cls"), "w", "c_wc"),
-                ["cls", "w"], "left")
+          .join(cwc.select(F.col("lang").alias("cls"), "wk", "c_wc"),
+                ["cls", "wk"], "left")
           .crossJoin(F.broadcast(vocab)))
     w_int = F.coalesce(
         F.round(F.log((F.col("c_wc") + 1) / (F.col("n_c") + F.col("v")))
@@ -240,13 +242,14 @@ ttok AS (
           FROM train)
     WHERE w <> ''
 ),
-cwc AS (SELECT lang AS cls, w, count(*) AS c_wc FROM ttok GROUP BY 1, 2),
+cwc AS (SELECT lang AS cls, unhex(md5(w)) AS wk, count(*) AS c_wc
+       FROM ttok GROUP BY 1, 2),
 ctot AS (SELECT lang AS cls, count(*) AS n_c FROM ttok GROUP BY 1),
-vocab AS (SELECT count(DISTINCT w) AS v FROM ttok),
+vocab AS (SELECT count(DISTINCT unhex(md5(w))) AS v FROM ttok),
 priors AS (SELECT lang AS cls, count(*) AS d_c FROM train GROUP BY 1),
 dtot AS (SELECT count(*) AS d_tot FROM train),
 testtok AS (
-    SELECT doc_id, true_lang, w
+    SELECT doc_id, true_lang, unhex(md5(w)) AS wk
     FROM (SELECT doc_id, lang AS true_lang,
                  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
           FROM test)
@@ -261,7 +264,7 @@ per_class AS (
                AS ll
     FROM testtok tt
     CROSS JOIN ctot ct
-    LEFT JOIN cwc ON cwc.cls = ct.cls AND cwc.w = tt.w
+    LEFT JOIN cwc ON cwc.cls = ct.cls AND cwc.wk = tt.wk
     CROSS JOIN vocab
     GROUP BY 1, 2, 3
 ),

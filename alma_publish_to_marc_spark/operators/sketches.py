@@ -98,8 +98,10 @@ def kmv_distinct(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
     hashes = _tokens(docs).select(_h48(F.col("gram")).alias("h")).distinct()
     kth = (hashes.orderBy("h").limit(k)
            .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_kept")))
+    # exact branch groups on the 16-byte md5 key (CLAUDE.md shuffle-key
+    # rule) — the distinct exchange carries fixed-width bytes, not text
     exact = _tokens(docs).agg(
-        F.countDistinct("gram").alias("exact_distinct"))
+        F.countDistinct(F.unhex(F.md5("gram"))).alias("exact_distinct"))
     # fewer than k distinct values → the sketch holds the whole set and
     # IS the exact answer (standard KMV small-cardinality case)
     est = F.expr(f"CASE WHEN n_kept < {k} THEN n_kept"
@@ -124,7 +126,7 @@ kth AS (
     SELECT max(h) AS h_k, count(*) AS n_kept
     FROM (SELECT h FROM hashes ORDER BY h LIMIT {k})
 ),
-exact AS (SELECT count(DISTINCT gram) AS exact_distinct FROM terms)
+exact AS (SELECT count(DISTINCT unhex(md5(gram))) AS exact_distinct FROM terms)
 SELECT CAST({k} AS INT) AS k, h_k,
        CASE WHEN n_kept < {k} THEN n_kept
             ELSE {k - 1} * {TWO48} // h_k END AS est_distinct,
@@ -174,7 +176,8 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.expr(
         f"cast(CASE WHEN {raw} <= 2.5 * {HLL_M} AND used_buckets < {HLL_M}"
         f" THEN {lc} ELSE {raw} END as bigint)")
-    exact = toks.agg(F.countDistinct("gram").alias("exact_distinct"))
+    exact = toks.agg(F.countDistinct(F.unhex(F.md5("gram")))
+                     .alias("exact_distinct"))
     return (sums.crossJoin(F.broadcast(exact))
             .select(F.lit(HLL_M).cast("int").alias("m"),
                     F.col("used_buckets").cast("int").alias("used_buckets"),
@@ -206,7 +209,7 @@ sums AS (
            sum({TWO49} // (1::BIGINT << CAST(m_j AS INT))) AS s_present
     FROM regs
 ),
-exact AS (SELECT count(DISTINCT gram) AS exact_distinct FROM terms)
+exact AS (SELECT count(DISTINCT unhex(md5(gram))) AS exact_distinct FROM terms)
 SELECT CAST({HLL_M} AS INT) AS m,
        CAST(used_buckets AS INT) AS used_buckets,
        CAST(CASE WHEN {raw} <= 2.5 * {HLL_M} AND used_buckets < {HLL_M}
@@ -235,8 +238,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch itself never stores terms).
     """
     docs = load(spark, sf_dir, "documents")
-    tc = (_tokens(docs).groupBy("gram")
-          .agg(F.count(F.lit(1)).alias("exact_count")))
+    tc = (_tokens(docs)
+          .select(F.unhex(F.md5("gram")).alias("gk"), "gram")
+          .groupBy("gk")
+          .agg(F.count(F.lit(1)).alias("exact_count"),
+               F.min("gram").alias("gram"))
+          .select("gram", "exact_count"))
     cells = None
     for row, salt in enumerate(CMS_SALTS):
         part = tc.select(
@@ -276,7 +283,8 @@ def _cms_sql() -> str:
         for row, salt in enumerate(CMS_SALTS))
     return f"""
 WITH {_TOKS_SQL},
-tc AS (SELECT gram, count(*) AS exact_count FROM terms GROUP BY gram),
+tc AS (SELECT min(gram) AS gram, count(*) AS exact_count
+       FROM terms GROUP BY unhex(md5(gram))),
 cells AS ({cell_parts}),
 sketch AS (SELECT row, col, sum(exact_count) AS cell_count
            FROM cells GROUP BY row, col),
