@@ -686,3 +686,112 @@ QUERIES = {
     "union_multi_extract": (_union_extracts, _UNION_SQL),
     "full_outer_reconcile": (_full_outer_reconcile, _FULL_OUTER_SQL),
 }
+
+
+# --- Spatial neighbor join (grid-cell blocking) --------------------------
+GEO_EPS_MICRO = 2_000_000           # 2.0 degrees, in micro-degrees
+GEO_CELL_MICRO = 2_000_000          # cell edge == eps -> 3x3 probe covers
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic coordinates per customer (the driver
+    schema has no geo columns): lat/lon derived from md5 of the key —
+    identical in the oracle, uniform over the globe."""
+    from .sketches import _h48
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    lat = (F.pmod(_h48(F.col("c_custkey").cast("string"), "lat:"),
+                  F.lit(180_000_000)) - 90_000_000)
+    lon = (F.pmod(_h48(F.col("c_custkey").cast("string"), "lon:"),
+                  F.lit(360_000_000)) - 180_000_000)
+    return cust.select(F.col("c_custkey").alias("pid"),
+                       lat.alias("lat_u"), lon.alias("lon_u"))
+
+
+def _geo_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join: all point pairs within ε=2° (flat-earth
+    micro-degree metric), blocked by an ε-sized grid — the standard
+    distributed spatial-join shape (the degenerate cousin of every
+    geohash/H3/S2 join): each point lands in one cell, the probe side
+    explodes to its 3×3 cell neighborhood, so every true pair shares
+    an equi key and the residual exact distance runs on candidates
+    only.
+
+    Determinism: coordinates, cells and squared distances are exact
+    int64 micro-degrees (the distance emits one rounded sqrt).
+    Scale: candidate count is Σ_cells occupancy² over the 3×3
+    neighborhood — density-bound per cell, never corpus-quadratic;
+    the join is one hash shuffle on the cell key. Skewed cells (urban
+    clusters at 100 TB) get AQE skew-split; the grid constant trades
+    replication (9×) against candidate selectivity exactly like the
+    length-bucket blocking in ``levenshtein_neardup``.
+    """
+    pts = _geo_points(spark, sf_dir)
+    cellx = F.expr(f"(lon_u + 180000000) div {GEO_CELL_MICRO}")
+    celly = F.expr(f"(lat_u + 90000000) div {GEO_CELL_MICRO}")
+    based = pts.select("pid", "lat_u", "lon_u",
+                       cellx.alias("cx"), celly.alias("cy"))
+    probe = (based.select(
+        "pid", "lat_u", "lon_u",
+        F.explode(F.array(*[F.struct((F.col("cx") + dx).alias("cx"),
+                                     (F.col("cy") + dy).alias("cy"))
+                            for dx in (-1, 0, 1)
+                            for dy in (-1, 0, 1)])).alias("c"))
+        .select("pid", "lat_u", "lon_u",
+                F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy")))
+    a = probe.select(F.col("pid").alias("pid_a"),
+                     F.col("lat_u").alias("lat_a"),
+                     F.col("lon_u").alias("lon_a"), "cx", "cy")
+    b = based.select(F.col("pid").alias("pid_b"),
+                     F.col("lat_u").alias("lat_b"),
+                     F.col("lon_u").alias("lon_b"), "cx", "cy")
+    d2 = ((F.col("lat_a") - F.col("lat_b"))
+          * (F.col("lat_a") - F.col("lat_b"))
+          + (F.col("lon_a") - F.col("lon_b"))
+          * (F.col("lon_a") - F.col("lon_b")))
+    return (a.join(b, ["cx", "cy"])
+            .where(F.col("pid_a") < F.col("pid_b"))
+            .select("pid_a", "pid_b", d2.alias("d2"))
+            .where(F.col("d2") <= GEO_EPS_MICRO * GEO_EPS_MICRO)
+            .distinct()
+            .select("pid_a", "pid_b",
+                    F.round(F.sqrt(F.col("d2").cast("double")) / 1e6, 4)
+                     .alias("dist_deg")))
+
+
+def _geo_sql() -> str:
+    def h(salt):
+        return (f"CAST('0x' || substr(md5('{salt}' ||"
+                f" CAST(c_custkey AS VARCHAR)), 1, 12) AS BIGINT)")
+
+    cells = " UNION ALL ".join(
+        f"SELECT pid, lat_u, lon_u, cx + {dx} AS cx, cy + {dy} AS cy"
+        " FROM based"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+WITH pts AS (
+    SELECT c_custkey AS pid,
+           {h('lat:')} % 180000000 - 90000000 AS lat_u,
+           {h('lon:')} % 360000000 - 180000000 AS lon_u
+    FROM customer
+),
+based AS (
+    SELECT pid, lat_u, lon_u,
+           (lon_u + 180000000) // {GEO_CELL_MICRO} AS cx,
+           (lat_u + 90000000) // {GEO_CELL_MICRO} AS cy
+    FROM pts
+),
+probe AS ({cells}),
+cand AS (
+    SELECT DISTINCT a.pid AS pid_a, b.pid AS pid_b,
+           (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+           + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS d2
+    FROM probe a
+    JOIN based b ON a.cx = b.cx AND a.cy = b.cy AND a.pid < b.pid
+)
+SELECT pid_a, pid_b, round(sqrt(CAST(d2 AS DOUBLE)) / 1e6, 4) AS dist_deg
+FROM cand WHERE d2 <= {GEO_EPS_MICRO * GEO_EPS_MICRO}
+"""
+
+
+QUERIES["geo_neighbor_join"] = (_geo_neighbor_join, _geo_sql())
