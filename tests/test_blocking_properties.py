@@ -1,0 +1,58 @@
+"""Blocking-scheme completeness properties: the blocked join must find
+EXACTLY the pairs a brute-force pass finds, and content-defined chunks
+must reassemble losslessly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alma_publish_to_marc_spark.operators import relational_queries as RQ
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_geo_blocking_finds_exactly_the_brute_force_pairs(spark):
+    blocked = {(r.pid_a, r.pid_b)
+               for r in RQ._geo_neighbor_join(spark, SF).collect()}
+    pts = RQ._geo_points(spark, SF).collect()
+    eps2 = RQ.GEO_EPS_MICRO * RQ.GEO_EPS_MICRO
+    brute = set()
+    for i, a in enumerate(pts):
+        for b in pts[i + 1:]:
+            lo, hi = sorted((a.pid, b.pid))
+            d2 = (a.lat_u - b.lat_u) ** 2 + (a.lon_u - b.lon_u) ** 2
+            if d2 <= eps2:
+                brute.add((lo, hi))
+    assert blocked == brute, (
+        f"missing={brute - blocked} extra={blocked - brute}")
+
+
+def test_cdc_chunks_reassemble_to_original_text(spark):
+    # rebuild the chunk bounds exactly as cdc_chunk_dedup does and
+    # assert concatenated chunks == text for every doc
+    from alma_publish_to_marc_spark.operators.dedup_queries import CDC_MASK
+    from alma_publish_to_marc_spark.tables import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    poly = ("aggregate(split(substring(text, i - 7, 8), ''),"
+            " cast(0 as bigint),"
+            " (a, c) -> (a * 31 + ascii(c)) % 1000000007)")
+    rebuilt = docs.select(
+        "doc_id", "text",
+        F.expr(f"""
+          array_join(
+            filter(
+              zip_with(
+                transform(concat(array(0),
+                          filter(sequence(8, length(text)),
+                                 i -> {poly} % {CDC_MASK} = 0)),
+                          x -> x + 1),
+                concat(filter(sequence(8, length(text)),
+                              i -> {poly} % {CDC_MASK} = 0),
+                       array(length(text))),
+                (s, e) -> CASE WHEN e >= s
+                               THEN substring(text, s, e - s + 1)
+                               ELSE NULL END),
+              p -> p IS NOT NULL), '')
+        """).alias("reassembled"))
+    bad = rebuilt.where(F.col("reassembled") != F.col("text")).count()
+    assert bad == 0
