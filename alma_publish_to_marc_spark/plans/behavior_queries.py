@@ -891,3 +891,144 @@ FROM clipped GROUP BY event_type
 """
 
 QUERIES["winsorized_stats"] = (winsorized_stats, _WINSOR_SQL)
+
+
+# --------------------------------------------------------------------------
+# cusum_changepoint: per-type mean-shift detection over daily aggregates
+# --------------------------------------------------------------------------
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection: per event type, the cumulative sum
+    of (daily mean − global mean) walks away from zero when the level
+    shifts; the day with the maximum |CUSUM| is the best single
+    change-point estimate. Complements ``event_drift_monitor``
+    (distribution drift) and ``seasonal_baseline_outliers`` (point
+    anomalies) with LEVEL-shift detection.
+
+    Determinism: daily and global means are micro-quantized integer
+    sums divided once and re-quantized, so the cumulative sum is exact
+    int64; the argmax breaks ties on the earlier day. Scale: one scan
+    → (type, day) aggregates; the CUSUM window runs over ~|days| rows
+    per type — state bounded by the calendar, not the data.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    vu = F.expr("cast(round(value * 1000000, 0) as bigint)")
+    daily = (ev.select("event_type", day.alias("day"), vu.alias("vu"))
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("vu").alias("s")))
+    # daily mean re-quantized to micro ints: one division, one round
+    daily = daily.select(
+        "event_type", "day", "n",
+        F.expr("cast(round(s / n, 0) as bigint)").alias("day_mean_u"))
+    glob = (daily.groupBy("event_type")
+            .agg(F.expr("cast(round(sum(cast(day_mean_u as double)) /"
+                        " count(*), 0) as bigint)").alias("glob_mean_u")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    walked = (daily.join(F.broadcast(glob), "event_type")
+              .select("event_type", "day", "n", "day_mean_u",
+                      F.sum(F.col("day_mean_u") - F.col("glob_mean_u"))
+                       .over(w).alias("cusum_u")))
+    best = (walked.groupBy("event_type")
+            .agg(F.min(F.struct((-F.abs(F.col("cusum_u"))).alias("neg"),
+                                F.col("day").alias("day"))).alias("b")))
+    return (walked.join(best, "event_type")
+            .where(F.col("day") == F.col("b.day"))
+            .select("event_type",
+                    F.col("day").cast("long").alias("changepoint_day"),
+                    F.round(F.col("day_mean_u") / 1e6, 4).alias("day_mean"),
+                    F.round(F.col("cusum_u") / 1e6, 4).alias("cusum_peak")))
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           count(*) AS n,
+           CAST(round(sum(CAST(round(value * 1000000, 0) AS BIGINT)) / n, 0)
+                AS BIGINT) AS day_mean_u
+    FROM events GROUP BY 1, 2
+),
+gm AS (
+    SELECT event_type,
+           CAST(round(sum(CAST(day_mean_u AS DOUBLE)) / count(*), 0)
+                AS BIGINT) AS glob_mean_u
+    FROM daily GROUP BY 1
+),
+walked AS (
+    SELECT d.event_type, d.day, d.day_mean_u,
+           sum(d.day_mean_u - g.glob_mean_u)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cusum_u
+    FROM daily d JOIN gm g ON g.event_type = d.event_type
+),
+best AS (
+    SELECT event_type,
+           min(struct_pack(neg := -abs(cusum_u), day := day)).day AS day
+    FROM walked GROUP BY event_type
+)
+SELECT w.event_type, CAST(w.day AS BIGINT) AS changepoint_day,
+       round(w.day_mean_u / 1e6, 4) AS day_mean,
+       round(w.cusum_u / 1e6, 4) AS cusum_peak
+FROM walked w JOIN best b ON b.event_type = w.event_type AND b.day = w.day
+"""
+
+QUERIES["cusum_changepoint"] = (cusum_changepoint, _CUSUM_SQL)
+
+
+# --------------------------------------------------------------------------
+# event_sequence_patterns: top event-type trigrams per corpus
+# --------------------------------------------------------------------------
+SEQ_TOPK = 15
+
+
+def event_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining lite: the most frequent 3-step
+    event-type sequences across user timelines (the 3-gram extension
+    of ``event_transition_matrix``), with the count of distinct users
+    exhibiting each — behavioral motifs for funnel design.
+
+    Scale: one user-keyed window shuffle builds the trigrams (two
+    leads in one pass); counts are map-side-combinable; top-k is
+    TakeOrdered.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                              "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (ev.select(
+        "user_id",
+        F.concat_ws(">", "event_type",
+                    F.lead("event_type", 1).over(w),
+                    F.lead("event_type", 2).over(w)).alias("pattern"),
+        F.lead("event_type", 2).over(w).alias("has3"))
+        .where(F.col("has3").isNotNull()))
+    return (tri.groupBy("pattern")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy(F.desc("n_occurrences"), F.asc("pattern"))
+            .limit(SEQ_TOPK))
+
+
+_SEQ_SQL = f"""
+WITH tri AS (
+    SELECT user_id,
+           event_type || '>' ||
+           lead(event_type, 1) OVER w || '>' ||
+           lead(event_type, 2) OVER w AS pattern,
+           lead(event_type, 2) OVER w AS has3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT pattern, count(*) AS n_occurrences,
+       count(DISTINCT user_id) AS n_users
+FROM tri WHERE has3 IS NOT NULL
+GROUP BY pattern
+ORDER BY n_occurrences DESC, pattern ASC
+LIMIT {SEQ_TOPK}
+"""
+
+QUERIES["event_sequence_patterns"] = (event_sequence_patterns, _SEQ_SQL)
