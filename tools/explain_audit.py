@@ -108,7 +108,8 @@ def main() -> None:
         "kfold_balance_audit", "sampled_mean_ci", "neyman_allocation",
         "pca_power_iteration", "last_touch_attribution",
         "hll_merge_check", "table_stats_profile", "winsorized_stats",
-        "cdc_chunk_dedup",
+        "cdc_chunk_dedup", "geo_neighbor_join", "cusum_changepoint",
+        "event_sequence_patterns",
     ]
     for name in names:
         if name not in qs:
