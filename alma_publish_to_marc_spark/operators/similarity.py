@@ -89,6 +89,22 @@ def brute_force_topk(emb: DataFrame, id_col: str, vec_col: str,
             .select("qid", F.col(id_col).alias("neighbor_id"), "cosine", "rank"))
 
 
+# Frames persisted by knn_graph (sigs + normed vectors are re-read by
+# several plan branches; HOF folds are interpreted, so recomputation is
+# the dominant cost). Same contract as operators/dedup.py: the persists
+# must outlive the lazy result, so callers run their action and then
+# call unpersist_cached().
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_cached() -> int:
+    """Release every frame persisted by knn_graph; returns the count."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
 PROBE_RADIUS = 2
 
 
@@ -443,7 +459,13 @@ def knn_graph(emb: DataFrame, id_col: str, vec_col: str,
     window over src (WindowGroupLimit prunes to k per key map-side
     before the shuffle). No driver-side state anywhere.
     """
+    from pyspark import StorageLevel
+
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    # sigs and normed vectors feed 2 and 3 plan branches respectively;
+    # the HOF fold expressions are interpreted (not codegen), so each
+    # recomputation pays the full O(bands·planes·dim) walk — persist
+    # both (tracked in _PERSISTED for unpersist_cached())
     sigs = e.select(
         id_col,
         F.explode(F.array(*[
@@ -451,7 +473,8 @@ def knn_graph(emb: DataFrame, id_col: str, vec_col: str,
                      lsh_bucket(F.col("v"), planes).alias("sig"))
             for band, planes in enumerate(BAND_PLANES)])).alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"),
-             F.col("bs.sig").alias("sig"))
+             F.col("bs.sig").alias("sig"))         .persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(sigs)
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
     half = (a.join(b, ["band", "sig"])
@@ -460,14 +483,24 @@ def knn_graph(emb: DataFrame, id_col: str, vec_col: str,
             .distinct())
     cand = half.unionAll(half.select(F.col("id_b").alias("id_a"),
                                      F.col("id_a").alias("id_b")))
+    # norms precompute ONCE per vector and ride the candidate join:
+    # cosine recomputing norm(a)·norm(b) per pair would redo 2·dim ops
+    # on every one of the ~N·k·bands candidates (the dominant term).
+    # round(dot/(na·nb), 6) is bit-identical to cosine() — same doubles.
+    en = e.select(id_col, "v", norm(F.col("v")).alias("nm"))         .persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(en)
     scored = (cand
-              .join(e.select(F.col(id_col).alias("id_a"),
-                             F.col("v").alias("va")), "id_a")
-              .join(e.select(F.col(id_col).alias("id_b"),
-                             F.col("v").alias("vb")), "id_b")
+              .join(en.select(F.col(id_col).alias("id_a"),
+                              F.col("v").alias("va"),
+                              F.col("nm").alias("na")), "id_a")
+              .join(en.select(F.col(id_col).alias("id_b"),
+                              F.col("v").alias("vb"),
+                              F.col("nm").alias("nb")), "id_b")
               .select(F.col("id_a").alias("src"),
                       F.col("id_b").alias("dst"),
-                      cosine(F.col("va"), F.col("vb")).alias("cosine")))
+                      F.round(dot(F.col("va"), F.col("vb"))
+                              / (F.col("na") * F.col("nb")), 6)
+                       .alias("cosine")))
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
