@@ -385,3 +385,101 @@ FROM orders""")
 
 
 QUERIES["table_stats_profile"] = (table_stats_profile, _profile_sql())
+
+
+# --------------------------------------------------------------------------
+# json_schema_infer: semi-structured schema discovery over a JSON column
+# --------------------------------------------------------------------------
+def json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference over a heterogeneous JSON column — the
+    discovery pass that turns a landed semi-structured feed into typed
+    columns: per key, the observed value type(s), presence rate, and
+    distinct-value count. Keys that appear with multiple types or low
+    presence are exactly the ones a typed projection must handle.
+
+    The driver's ``props`` column is single-key, so both engines first
+    enrich it DETERMINISTICALLY by event type (purchase rows gain
+    amount/currency, error rows gain code/fatal) — the usual
+    per-event-family payload shape.
+
+    Determinism: type classification is a regex CASE over the
+    extracted text in both engines; counts are exact. Scale: one scan
+    → keys explode (bounded by payload width) → map-side-combinable
+    (key, type) counts; the total-row count broadcasts.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "props")
+    k = F.get_json_object("props", "$.k")
+    j = (F.when(F.col("event_type") == "purchase",
+                F.concat(F.lit('{"k": '), k,
+                         F.lit(', "amount": '),
+                         F.round("value", 2).cast("string"),
+                         F.lit(', "currency": "usd"}')))
+         .when(F.col("event_type") == "error",
+               F.concat(F.lit('{"k": '), k,
+                        F.lit(', "code": "E'), F.expr("cast(cast(get_json_object(props, '$.k') as bigint) % 10 as string)"),
+                        F.lit('", "fatal": '),
+                        F.expr("cast(cast(get_json_object(props, '$.k') as bigint) % 2 = 0 as string)"),
+                        F.lit("}")))
+         .otherwise(F.col("props")))
+    rows = ev.select(j.alias("j"))
+    total = rows.agg(F.count(F.lit(1)).alias("n_rows"))
+    kv = (rows.select("j", F.explode(F.expr("json_object_keys(j)"))
+                      .alias("json_key"))
+          .select("json_key",
+                  F.expr("get_json_object(j, concat('$.', json_key))")
+                   .alias("val")))
+    vtype = (F.when(F.col("val").isNull(), "null")
+             .when(F.col("val").rlike(r"^-?[0-9]+$"), "bigint")
+             .when(F.col("val").rlike(r"^-?[0-9]*\.[0-9]+$"), "double")
+             .when(F.col("val").isin("true", "false"), "boolean")
+             .otherwise("string"))
+    return (kv.select("json_key", vtype.alias("value_type"), "val")
+            .groupBy("json_key", "value_type")
+            .agg(F.count(F.lit(1)).alias("n_present"),
+                 F.countDistinct("val").alias("n_distinct"))
+            .crossJoin(F.broadcast(total))
+            .select("json_key", "value_type", "n_present", "n_rows",
+                    F.round(F.col("n_present") / F.col("n_rows"), 4)
+                     .alias("presence_rate"),
+                    F.col("n_distinct").cast("long").alias("n_distinct")))
+
+
+_JSON_INFER_SQL = r"""
+WITH enriched AS (
+    SELECT CASE
+        WHEN event_type = 'purchase' THEN
+            '{"k": ' || json_extract_string(props, '$.k')
+            || ', "amount": ' || CAST(round(value, 2) AS VARCHAR)
+            || ', "currency": "usd"}'
+        WHEN event_type = 'error' THEN
+            '{"k": ' || json_extract_string(props, '$.k')
+            || ', "code": "E'
+            || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                    AS VARCHAR)
+            || '", "fatal": '
+            || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+                    AS VARCHAR)
+            || '}'
+        ELSE props END AS j
+    FROM events
+),
+total AS (SELECT count(*) AS n_rows FROM enriched),
+kv AS (
+    SELECT json_key,
+           json_extract_string(j, '$.' || json_key) AS val
+    FROM (SELECT j, unnest(json_keys(j)) AS json_key FROM enriched)
+)
+SELECT json_key,
+       CASE WHEN val IS NULL THEN 'null'
+            WHEN regexp_matches(val, '^-?[0-9]+$') THEN 'bigint'
+            WHEN regexp_matches(val, '^-?[0-9]*\.[0-9]+$') THEN 'double'
+            WHEN val IN ('true', 'false') THEN 'boolean'
+            ELSE 'string' END AS value_type,
+       count(*) AS n_present, n_rows,
+       round(count(*) / n_rows, 4) AS presence_rate,
+       count(DISTINCT val) AS n_distinct
+FROM kv CROSS JOIN total
+GROUP BY 1, 2, n_rows
+"""
+
+QUERIES["json_schema_infer"] = (json_schema_infer, _JSON_INFER_SQL)

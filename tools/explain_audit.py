@@ -109,7 +109,7 @@ def main() -> None:
         "pca_power_iteration", "last_touch_attribution",
         "hll_merge_check", "table_stats_profile", "winsorized_stats",
         "cdc_chunk_dedup", "geo_neighbor_join", "cusum_changepoint",
-        "event_sequence_patterns",
+        "event_sequence_patterns", "json_schema_infer",
     ]
     for name in names:
         if name not in qs:
