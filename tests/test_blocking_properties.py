@@ -56,3 +56,22 @@ def test_cdc_chunks_reassemble_to_original_text(spark):
         """).alias("reassembled"))
     bad = rebuilt.where(F.col("reassembled") != F.col("text")).count()
     assert bad == 0
+
+
+def test_hashed_content_neardup_finds_all_planted_copies(spark):
+    from alma_publish_to_marc_spark.functions import hash_embedding as HE
+    from alma_publish_to_marc_spark.tables import load
+    from pyspark.sql import functions as F
+
+    pairs = HE.content_neardup_hashed(spark, SF).collect()
+    docs = load(spark, SF, "documents")
+    off = docs.agg(F.max("doc_id") + 1).collect()[0][0]
+    planted = {(r.doc_id, r.doc_id + off)
+               for r in docs.where("doc_id % 10 = 0")
+                            .select("doc_id").collect()}
+    found = {(r.id_a, r.id_b) for r in pairs}
+    missing = planted - found
+    assert not missing, f"planted copies not recalled: {missing}"
+    by_pair = {(r.id_a, r.id_b): r.cosine for r in pairs}
+    for p in planted:
+        assert by_pair[p] == 1.0

@@ -110,6 +110,7 @@ def main() -> None:
         "hll_merge_check", "table_stats_profile", "winsorized_stats",
         "cdc_chunk_dedup", "geo_neighbor_join", "cusum_changepoint",
         "event_sequence_patterns", "json_schema_infer",
+        "doc_hash_embedding", "content_neardup_hashed",
     ]
     for name in names:
         if name not in qs:
