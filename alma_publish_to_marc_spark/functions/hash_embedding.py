@@ -20,6 +20,16 @@ rounded division per component. Scale: the encoder is one token
 explode → 64 map-side-combinable conditional sums per doc — no
 shuffle wider than (doc_id → 64 ints); the near-dup pass inherits the
 slim-join property of ``embedding_neardup_pairs``.
+
+Scale ordering caveat (measured, not hypothetical): identical
+documents produce identical vectors, which share EVERY band bucket —
+a group of k verbatim copies yields C(k,2) candidate pairs, so
+corpora with large exact-duplicate groups make any LSH near-dup pass
+quadratic per group. The correct pipeline order (what
+``dedup_pipeline_end2end`` encodes) is exact dedup FIRST (hash
+groupBy — linear), then hashed-embedding near-dup over the surviving
+representatives; this query intentionally skips that collapse because
+its planted copies are the recall fixture.
 """
 
 from __future__ import annotations

@@ -551,16 +551,18 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk. Reports corpus-level chunk dedup stats (the dedup a
     CAS/backup layer would achieve).
 
-    Determinism: boundaries and chunk hashes are pure integer folds of
-    the repo's portable poly hash (sql_poly twin); stats are exact
+    Determinism: boundaries hash the trailing window through md5 (the
+    cross-engine hash idiom — native in both engines); stats are exact
     counts. Scale: boundary detection is array-side per document
     (narrow, scan-fused — O(len·win) with no shuffle); the only
     exchange is the distinct on 16-byte chunk hashes.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    poly = ("aggregate(split(substring(text, i - 7, 8), ''),"
-            " cast(0 as bigint),"
-            " (a, c) -> (a * 31 + ascii(c)) % 1000000007)")
+    # boundary hash = md5 of the trailing window (native JVM function;
+    # the earlier per-position 8-step interpreted poly fold measured
+    # ~4x slower end-to-end at 10x corpus in tools/scale_probe.py)
+    poly = ("cast(conv(substr(md5(substring(text, i - 7, 8)), 1, 4),"
+            " 16, 10) as bigint)")
     chunks = docs.select(
         "doc_id",
         F.expr(f"""
@@ -594,10 +596,8 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_sql() -> str:
-    poly = ("list_reduce(list_prepend(CAST(0 AS BIGINT),"
-            " list_transform(string_split(substr(text, i - 7, 8), ''),"
-            " c -> CAST(ord(c) AS BIGINT))),"
-            " (a, b) -> (a * 31 + b) % 1000000007)")
+    poly = ("CAST('0x' || substr(md5(substr(text, i - 7, 8)), 1, 4)"
+            " AS BIGINT)")
     b = (f"list_filter(range(8, length(text) + 1),"
          f" i -> {poly} % {CDC_MASK} = 0)")
     return f"""

@@ -33,9 +33,8 @@ def test_cdc_chunks_reassemble_to_original_text(spark):
     from alma_publish_to_marc_spark.tables import load
 
     docs = load(spark, SF, "documents").select("doc_id", "text")
-    poly = ("aggregate(split(substring(text, i - 7, 8), ''),"
-            " cast(0 as bigint),"
-            " (a, c) -> (a * 31 + ascii(c)) % 1000000007)")
+    poly = ("cast(conv(substr(md5(substring(text, i - 7, 8)), 1, 4),"
+            " 16, 10) as bigint)")
     rebuilt = docs.select(
         "doc_id", "text",
         F.expr(f"""
