@@ -584,3 +584,93 @@ FROM wt CROSS JOIN ne CROSS JOIN tri
 
 QUERIES["label_propagation"] = (label_propagation, _label_prop_sql())
 QUERIES["knn_triangle_census"] = (knn_triangles, _triangles_sql())
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative peeling) of the k-NN graph support
+# --------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 2
+
+
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling over the undirected k-NN graph: repeatedly drop
+    nodes with degree < k (edges vanish with their endpoints), here
+    ``KCORE_ROUNDS`` unrolled rounds — the density filter that
+    separates genuinely clustered embedding regions from LSH-bucket
+    happenstance (a near-dup cluster survives 3-core peeling; a chain
+    of coincidental collisions does not). Third member of the
+    iterative graph family (components, PageRank).
+
+    Determinism: degrees are exact counts; membership is a pure
+    threshold. Scale: each round is one map-side-combinable degree
+    count + two semi-joins keyed on node ids; the edge set only
+    shrinks. At 100 TB the driver-paced loop stages rounds through
+    parquet cuts like :func:`connected_components`; full coreness
+    (peel-until-fixpoint) is the same loop run to emptiness.
+    """
+    from .similarity import knn_graph
+    from .similarity_queries import KNN_K
+
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+
+    emb = load(spark, sf_dir, "embeddings")
+    und = (knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    # every peel round references the previous edge frame THREE times
+    # (degree count + two semi-joins): without persisting, the whole
+    # knn pipeline re-executes 3^rounds times (measured: 170 s vs 14 s
+    # at sf0.01). Persists ride similarity._PERSISTED so the standard
+    # unpersist_cached() contract releases them.
+    edges = und.persist(StorageLevel.MEMORY_AND_DISK)
+    _sim._PERSISTED.append(edges)
+    for _ in range(KCORE_ROUNDS):
+        deg = (edges.select(F.col("a").alias("n")).unionAll(
+                   edges.select(F.col("b").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+        keep = deg.where(F.col("deg") >= KCORE_K).select("n")
+        edges = (edges
+                 .join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+                 .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        _sim._PERSISTED.append(edges)
+    final_deg = (edges.select(F.col("a").alias("node")).unionAll(
+                     edges.select(F.col("b").alias("node")))
+                 .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    return final_deg.select("node", F.col("degree").cast("long")
+                            .alias("degree"))
+
+
+def _kcore_sql() -> str:
+    from .similarity_queries import _KNN_GRAPH_SQL
+
+    # MATERIALIZED: every round references e{i} three times; without
+    # the hint DuckDB may re-expand the (heavy) knn CTE per reference
+    ctes = [f"""e0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({_KNN_GRAPH_SQL})
+)"""]
+    for i in range(KCORE_ROUNDS):
+        ctes.append(f"""d{i} AS (
+    SELECT n, count(*) AS deg
+    FROM (SELECT a AS n FROM e{i} UNION ALL SELECT b AS n FROM e{i})
+    GROUP BY n
+)""")
+        ctes.append(f"""k{i} AS (SELECT n FROM d{i} WHERE deg >= {KCORE_K})""")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+    SELECT a, b FROM e{i}
+    WHERE a IN (SELECT n FROM k{i}) AND b IN (SELECT n FROM k{i})
+)""")
+    last = f"e{KCORE_ROUNDS}"
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT node, count(*) AS degree
+FROM (SELECT a AS node FROM {last} UNION ALL SELECT b AS node FROM {last})
+GROUP BY node
+""")
+
+
+QUERIES["kcore_decomposition"] = (kcore_decomposition, _kcore_sql())
