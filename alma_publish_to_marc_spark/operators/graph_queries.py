@@ -674,3 +674,100 @@ GROUP BY node
 
 
 QUERIES["kcore_decomposition"] = (kcore_decomposition, _kcore_sql())
+
+
+# --------------------------------------------------------------------------
+# BFS level expansion over the customer-supplier bipartite graph
+# --------------------------------------------------------------------------
+BFS_ROUNDS = 3
+
+
+def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BFS: frontier expansion from the smallest customer
+    node over the customer↔supplier graph (PageRank's edge list),
+    ``BFS_ROUNDS`` unrolled rounds — the traversal member of the graph
+    family (components=closure, PageRank=spectral, k-core=density,
+    BFS=reachability). Emits one row per level with the frontier size
+    and its min/max node ids (a cheap structural fingerprint).
+
+    Scale: each round is one edge⋈frontier join keyed on src plus an
+    anti-join against the visited set — the textbook Pregel superstep
+    as DataFrames; visited/frontier persist (3 references per round,
+    tracked via the similarity module's release list). The graph's
+    small diameter (bipartite through popular suppliers) means the
+    frontier saturates fast — visible in the level counts.
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .distinct())
+    off = F.broadcast(e0.agg((F.max("c") + F.lit(1)).alias("_off")))
+    e0o = e0.crossJoin(off)
+    und = (e0o.select(F.col("c").alias("src"),
+                      (F.col("s") + F.col("_off")).alias("dst"))
+           .unionByName(e0o.select((F.col("s") + F.col("_off")).alias("src"),
+                                   F.col("c").alias("dst")))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _sim._PERSISTED.append(und)
+    src = F.broadcast(e0.agg(F.min("c").alias("n")))
+    frontier = src.select("n")
+    visited = frontier
+    out = frontier.select(F.lit(0).alias("level"), "n")
+    for lvl in range(1, BFS_ROUNDS + 1):
+        nxt = (und.join(frontier.withColumnRenamed("n", "src"), "src")
+               .select(F.col("dst").alias("n")).distinct()
+               .join(visited, "n", "left_anti")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        _sim._PERSISTED.append(nxt)
+        out = out.unionByName(nxt.select(F.lit(lvl).alias("level"), "n"))
+        visited = visited.unionByName(nxt) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        _sim._PERSISTED.append(visited)
+        frontier = nxt
+    return (out.groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("n").alias("min_node"),
+                 F.max("n").alias("max_node"))
+            .select(F.col("level").cast("int").alias("level"),
+                    "n_nodes", "min_node", "max_node"))
+
+
+def _bfs_sql() -> str:
+    ctes = ["""e0 AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""", "off AS (SELECT max(c) + 1 AS o FROM e0)",
+        """und AS MATERIALIZED (
+    SELECT c AS src, s + off.o AS dst FROM e0 CROSS JOIN off
+    UNION ALL
+    SELECT s + off.o AS src, c AS dst FROM e0 CROSS JOIN off
+)""",
+        "f0 AS (SELECT min(c) AS n FROM e0)",
+        "v0 AS (SELECT n FROM f0)"]
+    for lvl in range(1, BFS_ROUNDS + 1):
+        ctes.append(f"""f{lvl} AS MATERIALIZED (
+    SELECT DISTINCT dst AS n FROM und
+    JOIN f{lvl - 1} ON und.src = f{lvl - 1}.n
+    WHERE dst NOT IN (SELECT n FROM v{lvl - 1})
+)""")
+        ctes.append(f"""v{lvl} AS MATERIALIZED (
+    SELECT n FROM v{lvl - 1} UNION ALL SELECT n FROM f{lvl}
+)""")
+    levels = " UNION ALL ".join(
+        f"SELECT {lvl} AS level, n FROM f{lvl}"
+        for lvl in range(BFS_ROUNDS + 1))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(level AS INT) AS level, count(*) AS n_nodes,
+       min(n) AS min_node, max(n) AS max_node
+FROM ({levels})
+GROUP BY level
+""")
+
+
+QUERIES["bfs_levels"] = (bfs_levels, _bfs_sql())

@@ -111,7 +111,7 @@ def main() -> None:
         "cdc_chunk_dedup", "geo_neighbor_join", "cusum_changepoint",
         "event_sequence_patterns", "json_schema_infer",
         "doc_hash_embedding", "content_neardup_hashed",
-        "table_merkle_root", "kcore_decomposition",
+        "table_merkle_root", "kcore_decomposition", "bfs_levels",
     ]
     for name in names:
         if name not in qs:
