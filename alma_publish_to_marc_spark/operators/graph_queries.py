@@ -771,3 +771,97 @@ GROUP BY level
 
 
 QUERIES["bfs_levels"] = (bfs_levels, _bfs_sql())
+
+
+# --------------------------------------------------------------------------
+# Deterministic random-walk sampling (node2vec-style corpus generator)
+# --------------------------------------------------------------------------
+WALK_STEPS = 4
+WALK_SEED_MOD = 30
+
+
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-walk sampling, the corpus generator behind node-embedding
+    training (DeepWalk/node2vec): from every seed customer (c %
+    ``WALK_SEED_MOD`` = 0), take ``WALK_STEPS`` steps over the
+    customer↔supplier graph; the "random" next hop is the neighbor
+    minimizing md5(seed:step:neighbor) — a derived uniform choice, so
+    walks are reproducible, shardable, and bit-identical in the
+    oracle (the repo's seeded-sampling idiom).
+
+    Scale: one step = edges⋈frontier keyed join + a struct-min argmin
+    per walker (map-side combinable); walkers never interact, so the
+    whole pass shards by seed. Emits (seed, step, node) path rows.
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+    from .sketches import _h48
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .distinct())
+    off = F.broadcast(e0.agg((F.max("c") + F.lit(1)).alias("_off")))
+    e0o = e0.crossJoin(off)
+    und = (e0o.select(F.col("c").alias("src"),
+                      (F.col("s") + F.col("_off")).alias("dst"))
+           .unionByName(e0o.select((F.col("s") + F.col("_off")).alias("src"),
+                                   F.col("c").alias("dst")))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _sim._PERSISTED.append(und)
+    cur = (e0.select(F.col("c").alias("seed")).distinct()
+           .where(F.col("seed") % WALK_SEED_MOD == 0)
+           .select("seed", F.col("seed").alias("node")))
+    out = cur.select("seed", F.lit(0).alias("step"), "node")
+    for step in range(1, WALK_STEPS + 1):
+        h = _h48(F.concat_ws(":", F.col("seed").cast("string"),
+                             F.lit(str(step)),
+                             F.col("dst").cast("string")))
+        nxt = (und.join(cur.withColumnRenamed("node", "src"), "src")
+               .groupBy("seed")
+               .agg(F.min(F.struct(h.alias("h"),
+                                   F.col("dst").alias("dst"))).alias("b"))
+               .select("seed", F.col("b.dst").alias("node")))
+        out = out.unionByName(
+            nxt.select("seed", F.lit(step).alias("step"), "node"))
+        cur = nxt
+    return out.select("seed", F.col("step").cast("int").alias("step"),
+                      "node")
+
+
+def _walks_sql() -> str:
+    def h(step):
+        return (f"CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':{step}:'"
+                f" || CAST(dst AS VARCHAR)), 1, 12) AS BIGINT)")
+
+    ctes = ["""e0 AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""", "off AS (SELECT max(c) + 1 AS o FROM e0)",
+        """und AS MATERIALIZED (
+    SELECT c AS src, s + off.o AS dst FROM e0 CROSS JOIN off
+    UNION ALL
+    SELECT s + off.o AS src, c AS dst FROM e0 CROSS JOIN off
+)""",
+        f"""w0 AS (
+    SELECT c AS seed, c AS node FROM (SELECT DISTINCT c FROM e0)
+    WHERE c % {WALK_SEED_MOD} = 0
+)"""]
+    for step in range(1, WALK_STEPS + 1):
+        ctes.append(f"""w{step} AS MATERIALIZED (
+    SELECT seed, min(struct_pack(h := {h(step)}, dst := dst)).dst AS node
+    FROM und JOIN w{step - 1} ON und.src = w{step - 1}.node
+    GROUP BY seed
+)""")
+    levels = " UNION ALL ".join(
+        f"SELECT seed, {s} AS step, node FROM w{s}"
+        for s in range(WALK_STEPS + 1))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT seed, CAST(step AS INT) AS step, node FROM ({levels})
+""")
+
+
+QUERIES["graph_random_walks"] = (graph_random_walks, _walks_sql())

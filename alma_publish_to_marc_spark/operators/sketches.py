@@ -852,3 +852,127 @@ FROM ns CROSS JOIN em CROSS JOIN ed CROSS JOIN mm CROSS JOIN naive
 
 
 QUERIES["hll_merge_check"] = (hll_merge_check, _hll_merge_sql())
+
+
+# --------------------------------------------------------------------------
+# Bloom semi-join reduction: runtime-filter effectiveness, measured
+# --------------------------------------------------------------------------
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter join story, quantified end-to-end: a Bloom
+    filter built over a SELECTIVE order subset (top-priority urgent
+    orders) pre-filters lineitem BEFORE its join shuffle; the exact
+    semi-join beside it measures what the filter let through. One row:
+    probe size, bloom survivors, true matches, false-pass count/rate,
+    and the shuffle-reduction factor — the number a planner needs to
+    decide whether the filter pays for itself (Spark's own
+    bloom-pruning makes this same bet on statistics; here it's
+    measured on data).
+
+    Scale: the build side aggregates to a ~1 KB word table
+    (broadcast); the probe is scan-fused (survivors counted without
+    any join); only the exact branch — the assertion — shuffles.
+    """
+    orders = load(spark, sf_dir, "orders")
+    build = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+             .select("o_orderkey"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    bits = None
+    for salt in BF_SALTS:
+        b = build.select(
+            F.pmod(_h48(F.col("o_orderkey").cast("string"), salt),
+                   F.lit(BF_M)).alias("h"))
+        bits = b if bits is None else bits.unionAll(b)
+    words = (bits.select(F.expr(f"h div {BF_BITS_PER_WORD}").alias("w"),
+                         F.expr(f"shiftleft(1L, cast(h % {BF_BITS_PER_WORD}"
+                                " as int))").alias("mask"))
+             .groupBy("w").agg(F.bit_or("mask").alias("word")))
+    probe_bits = None
+    for j, salt in enumerate(BF_SALTS):
+        p = li.select(F.col("l_orderkey").alias("pid"),
+                      F.pmod(_h48(F.col("l_orderkey").cast("string"), salt),
+                             F.lit(BF_M)).alias("h"))
+        probe_bits = p if probe_bits is None else probe_bits.unionAll(p)
+    checked = (probe_bits
+               .select("pid", F.expr(f"h div {BF_BITS_PER_WORD}").alias("w"),
+                       F.expr(f"cast(h % {BF_BITS_PER_WORD} as int)")
+                       .alias("bit"))
+               .join(F.broadcast(words), "w", "left")
+               .select("pid",
+                       F.when(F.col("word").isNull(), F.lit(0))
+                        .otherwise(F.expr("cast((shiftright(word, bit) % 2)"
+                                          " as int)")).alias("hit")))
+    # NOTE: pid repeats across lineitems sharing an order — keep row
+    # granularity (the shuffle the filter would avoid is per ROW)
+    survivors = (checked.groupBy("pid").agg(F.min("hit").alias("all_set"))
+                 .where(F.col("all_set") == 1)
+                 .join(li.select(F.col("l_orderkey").alias("pid")), "pid"))
+    n_pass = survivors.agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_probe = li.agg(F.count(F.lit(1)).alias("n_probe_rows"))
+    exact = (li.join(build.withColumnRenamed("o_orderkey", "l_orderkey"),
+                     "l_orderkey", "left_semi")
+             .agg(F.count(F.lit(1)).alias("n_true_match")))
+    return (n_probe.crossJoin(F.broadcast(n_pass))
+            .crossJoin(F.broadcast(exact))
+            .select("n_probe_rows", "n_bloom_pass", "n_true_match",
+                    (F.col("n_bloom_pass") - F.col("n_true_match"))
+                    .alias("n_false_pass"),
+                    F.round((F.col("n_bloom_pass") - F.col("n_true_match"))
+                            / F.col("n_probe_rows"), 4)
+                     .alias("false_pass_rate"),
+                    F.round(F.col("n_probe_rows")
+                            / F.col("n_bloom_pass"), 2)
+                     .alias("shuffle_reduction_x")))
+
+
+def _bloom_semijoin_sql() -> str:
+    def h(salt, key):
+        return (f"CAST('0x' || substr(md5('{salt}' || CAST({key} AS "
+                f"VARCHAR)), 1, 12) AS BIGINT) % {BF_M}")
+
+    bit_parts = " UNION ALL ".join(
+        f"SELECT {h(salt, 'o_orderkey')} AS h FROM build"
+        for salt in BF_SALTS)
+    probe_parts = " UNION ALL ".join(
+        f"SELECT l_orderkey AS pid, {h(salt, 'l_orderkey')} AS h"
+        " FROM (SELECT DISTINCT l_orderkey FROM lineitem)"
+        for salt in BF_SALTS)
+    return f"""
+WITH build AS (
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+bits AS ({bit_parts}),
+words AS (
+    SELECT h // {BF_BITS_PER_WORD} AS w,
+           bit_or(1::BIGINT << CAST(h % {BF_BITS_PER_WORD} AS INT)) AS word
+    FROM bits GROUP BY 1
+),
+pb AS ({probe_parts}),
+keys_checked AS (
+    SELECT pid, min(CASE WHEN word IS NULL THEN 0
+                ELSE CAST((word >> CAST(h % {BF_BITS_PER_WORD} AS INT)) % 2
+                          AS INT) END) AS all_set
+    FROM pb LEFT JOIN words ON words.w = pb.h // {BF_BITS_PER_WORD}
+    GROUP BY pid
+),
+survivors AS (
+    SELECT count(*) AS n_bloom_pass
+    FROM lineitem l JOIN keys_checked k
+      ON k.pid = l.l_orderkey AND k.all_set = 1
+),
+np AS (SELECT count(*) AS n_probe_rows FROM lineitem),
+ex AS (
+    SELECT count(*) AS n_true_match FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM build)
+)
+SELECT n_probe_rows, n_bloom_pass, n_true_match,
+       n_bloom_pass - n_true_match AS n_false_pass,
+       round((n_bloom_pass - n_true_match) / n_probe_rows, 4)
+           AS false_pass_rate,
+       round(n_probe_rows / n_bloom_pass, 2) AS shuffle_reduction_x
+FROM np CROSS JOIN survivors CROSS JOIN ex
+"""
+
+
+QUERIES["bloom_semijoin_reduction"] = (bloom_semijoin_reduction,
+                                       _bloom_semijoin_sql())

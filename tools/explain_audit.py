@@ -112,6 +112,7 @@ def main() -> None:
         "event_sequence_patterns", "json_schema_infer",
         "doc_hash_embedding", "content_neardup_hashed",
         "table_merkle_root", "kcore_decomposition", "bfs_levels",
+        "graph_random_walks", "bloom_semijoin_reduction",
     ]
     for name in names:
         if name not in qs:
