@@ -625,3 +625,95 @@ FROM chunks
 
 
 QUERIES["cdc_chunk_dedup"] = (cdc_chunk_dedup, _cdc_sql())
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood dedup blocking (the sort-based alternative to LSH)
+# --------------------------------------------------------------------------
+SN_WINDOW = 3          # compare each doc to its next 3 sort neighbors
+SN_KEY_LEN = 40        # sort key: first 40 chars
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood method: sort the corpus by a blocking key
+    (text prefix) and compare each record only to its next
+    ``SN_WINDOW`` neighbors — entity resolution's classic alternative
+    to hash blocking (LSH/buckets): near-identical records sort
+    adjacently, so a tiny window finds them with O(N·w) comparisons.
+    Candidates then verify with exact prefix edit distance, as in
+    ``levenshtein_neardup``.
+
+    Scale: the global sort IS the method (and is how the data would be
+    written anyway — cf. ``zorder_layout_stats``); at 100 TB it's a
+    range-partitioned sort whose windows only need ``SN_WINDOW`` rows
+    of overlap between partitions. The neighbor pairs come from ONE
+    window pass (w leads — no self-join at all), making this the
+    cheapest blocking scheme the engine offers when the sort is
+    already paid for.
+    """
+    from pyspark.sql import Window
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.substring("text", 1, SN_KEY_LEN).alias("sk"),
+                    F.substring("text", 1, 80).alias("prefix")))
+    # near-dup corpus: planted tail variants sort adjacent to sources
+    off = F.broadcast(docs.agg((F.max("doc_id") + 1).alias("_off")))
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).crossJoin(off)
+        .select((F.col("doc_id") + F.col("_off")).alias("doc_id"),
+                "sk", "prefix"))
+    w = Window.orderBy("sk", "doc_id")
+    led = corpus.select(
+        "doc_id", "prefix",
+        *[F.lead("doc_id", i).over(w).alias(f"n{i}_id") for i in
+          range(1, SN_WINDOW + 1)],
+        *[F.lead("prefix", i).over(w).alias(f"n{i}_p") for i in
+          range(1, SN_WINDOW + 1)])
+    pairs = None
+    for i in range(1, SN_WINDOW + 1):
+        p = (led.where(F.col(f"n{i}_id").isNotNull())
+             .select(F.least("doc_id", F.col(f"n{i}_id")).alias("id_a"),
+                     F.greatest("doc_id", F.col(f"n{i}_id")).alias("id_b"),
+                     F.levenshtein("prefix", F.col(f"n{i}_p")).cast("int")
+                      .alias("edit_distance")))
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return (pairs.where(F.col("edit_distance") <= 5).distinct())
+
+
+def _sorted_neighborhood_sql() -> str:
+    leads = ",\n           ".join(
+        f"lead(doc_id, {i}) OVER w AS n{i}_id, "
+        f"lead(prefix, {i}) OVER w AS n{i}_p"
+        for i in range(1, SN_WINDOW + 1))
+    parts = " UNION ALL ".join(f"""
+SELECT least(doc_id, n{i}_id) AS id_a, greatest(doc_id, n{i}_id) AS id_b,
+       CAST(levenshtein(prefix, n{i}_p) AS INT) AS edit_distance
+FROM led WHERE n{i}_id IS NOT NULL""" for i in range(1, SN_WINDOW + 1))
+    return f"""
+WITH base AS (
+    SELECT doc_id, substr(text, 1, {SN_KEY_LEN}) AS sk,
+           substr(text, 1, 80) AS prefix
+    FROM documents
+),
+corpus AS (
+    SELECT doc_id, sk, prefix FROM base
+    UNION ALL
+    SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+           sk, prefix
+    FROM base WHERE doc_id % 5 = 0
+),
+led AS (
+    SELECT doc_id, prefix,
+           {leads}
+    FROM corpus
+    WINDOW w AS (ORDER BY sk, doc_id)
+)
+SELECT DISTINCT id_a, id_b, edit_distance
+FROM ({parts})
+WHERE edit_distance <= 5
+"""
+
+
+QUERIES["sorted_neighborhood_pairs"] = (sorted_neighborhood_pairs,
+                                        _sorted_neighborhood_sql())

@@ -1032,3 +1032,97 @@ LIMIT {SEQ_TOPK}
 """
 
 QUERIES["event_sequence_patterns"] = (event_sequence_patterns, _SEQ_SQL)
+
+
+# --------------------------------------------------------------------------
+# sprt_sequential_test: Wald's sequential probability-ratio test
+# --------------------------------------------------------------------------
+SPRT_P0_NUM, SPRT_P1_NUM = 50, 60     # H0 p=.50 vs H1 p=.60, percent
+SPRT_ALPHA_BOUND = 2_944_439          # ln((1-b)/a)=ln(19) in micro-units
+                                      # (a=b=0.05), exact literal
+
+
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT, the sequential alternative to the fixed-horizon
+    z-test (``weighted_sample_es``'s A/B cousin): walk the event
+    stream in time order treating click-vs-error as Bernoulli
+    observations; stop the FIRST time the log-likelihood ratio leaves
+    (−A, A). Sequential tests decide in ~half the samples of a fixed
+    n — the reason experimentation platforms run them.
+
+    Determinism: the two LLR increments ln(p1/p0), ln((1−p1)/(1−p0))
+    quantize once to micro-units, so the walk is an exact int64
+    cumulative sum; the stopping row is the min rank where |LLR| ≥ A
+    (struct-min idiom). Scale: the walk is a single ordered cumsum —
+    inherently sequential, but it's over the DECISION PREFIX (the
+    test stops at ~hundreds of observations regardless of stream
+    size); production reads only until the bound crosses.
+    """
+    from pyspark.sql import Window
+
+    inc_pos = ("cast(round(ln(" + str(SPRT_P1_NUM) + ".0 / "
+               + str(SPRT_P0_NUM) + ") * 1000000, 0) as bigint)")
+    inc_neg = ("cast(round(ln((100.0 - " + str(SPRT_P1_NUM) + ") / (100.0 - "
+               + str(SPRT_P0_NUM) + ")) * 1000000, 0) as bigint)")
+    obs = (load(spark, sf_dir, "events")
+           .where(F.col("event_type").isin("click", "error"))
+           .select("event_id", "ts",
+                   F.when(F.col("event_type") == "click",
+                          F.expr(inc_pos))
+                    .otherwise(F.expr(inc_neg)).alias("inc")))
+    w = Window.orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    walked = obs.select(
+        "event_id", "ts",
+        F.row_number().over(Window.orderBy("ts", "event_id")).alias("n"),
+        F.sum("inc").over(w).alias("llr_u"))
+    crossed = (walked
+               .where(F.abs("llr_u") >= SPRT_ALPHA_BOUND)
+               .agg(F.min(F.struct(F.col("n").alias("n"),
+                                   F.col("llr_u").alias("llr_u"))).alias("b")))
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (crossed.crossJoin(F.broadcast(total))
+            .select(F.col("b.n").alias("n_at_decision"),
+                    F.col("n_total"),
+                    F.round(F.col("b.llr_u") / 1e6, 4).alias("llr"),
+                    F.when(F.col("b.llr_u") >= SPRT_ALPHA_BOUND,
+                           F.lit("accept_h1"))
+                     .when(F.col("b.llr_u") <= -SPRT_ALPHA_BOUND,
+                           F.lit("accept_h0"))
+                     .otherwise(F.lit("undecided")).alias("decision")))
+
+
+def _sprt_sql() -> str:
+    inc_pos = (f"CAST(round(ln({SPRT_P1_NUM}.0 / {SPRT_P0_NUM})"
+               " * 1000000, 0) AS BIGINT)")
+    inc_neg = (f"CAST(round(ln((100.0 - {SPRT_P1_NUM}) / (100.0 -"
+               f" {SPRT_P0_NUM})) * 1000000, 0) AS BIGINT)")
+    return f"""
+WITH obs AS (
+    SELECT event_id, ts,
+           CASE WHEN event_type = 'click' THEN {inc_pos}
+                ELSE {inc_neg} END AS inc
+    FROM events WHERE event_type IN ('click', 'error')
+),
+walked AS (
+    SELECT event_id, ts,
+           row_number() OVER (ORDER BY ts, event_id) AS n,
+           sum(inc) OVER (ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS llr_u
+    FROM obs
+),
+crossed AS (
+    SELECT min(struct_pack(n := n, llr_u := llr_u)) AS b
+    FROM walked WHERE abs(llr_u) >= {SPRT_ALPHA_BOUND}
+),
+total AS (SELECT count(*) AS n_total FROM obs)
+SELECT b.n AS n_at_decision, n_total,
+       round(b.llr_u / 1e6, 4) AS llr,
+       CASE WHEN b.llr_u >= {SPRT_ALPHA_BOUND} THEN 'accept_h1'
+            WHEN b.llr_u <= -{SPRT_ALPHA_BOUND} THEN 'accept_h0'
+            ELSE 'undecided' END AS decision
+FROM crossed CROSS JOIN total
+"""
+
+QUERIES["sprt_sequential_test"] = (sprt_sequential_test, _sprt_sql())

@@ -113,6 +113,7 @@ def main() -> None:
         "doc_hash_embedding", "content_neardup_hashed",
         "table_merkle_root", "kcore_decomposition", "bfs_levels",
         "graph_random_walks", "bloom_semijoin_reduction",
+        "sorted_neighborhood_pairs", "sprt_sequential_test",
     ]
     for name in names:
         if name not in qs:
