@@ -795,3 +795,48 @@ FROM cand WHERE d2 <= {GEO_EPS_MICRO * GEO_EPS_MICRO}
 
 
 QUERIES["geo_neighbor_join"] = (_geo_neighbor_join, _geo_sql())
+
+
+# --- TPC-H Q1 shape: pricing summary report ------------------------------
+_Q1_CUTOFF = "2001-09-01"
+
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical one-pass
+    aggregate (6 sums/avgs + count per (returnflag, linestatus)) with
+    the shipdate cutoff pushed to the scan. The whole query is one
+    map-side-combinable aggregation after a filtered scan — the shape
+    every columnar engine benchmarks first; registry #200."""
+    cutoff = F.lit(_Q1_CUTOFF).cast("timestamp")
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") <= cutoff))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+QUERIES["pricing_summary_report"] = (_pricing_summary, _Q1_SQL)
