@@ -339,3 +339,91 @@ FROM v{PCA_ROUNDS}, generate_series(1, {DIM}) AS t(i) CROSS JOIN lam
 
 
 QUERIES["pca_power_iteration"] = (pca_power_iteration, _pca_sql())
+
+
+# --------------------------------------------------------------------------
+# embedding_corr_pairs: most-correlated dimension pairs (Gram-matrix mining)
+# --------------------------------------------------------------------------
+CORR_TOPK = 10
+
+
+def embedding_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-redundancy mining: the ``CORR_TOPK`` most-correlated
+    embedding dimension pairs, from one distributed pass that builds
+    the full moment matrix (Σx_i, Σx_i², Σx_i·x_j) — the X^T X
+    building block behind exact PCA/linear regression, here surfaced
+    as the dimension-dedup diagnostic (|corr|≈1 dims waste index
+    space).
+
+    Determinism: all moments are micro/milli-quantized exact integer
+    sums (posexplode pairs → map-side combine over 64·65/2 cells);
+    Pearson r is one identical float expression rounded. Scale: the
+    pair explode is dim²/2 per row — fine at 64 dims; at 1k+ dims
+    you'd block the Gram matrix, same shape per block.
+    """
+    from . import similarity as S
+
+    e = (load(spark, sf_dir, "embeddings")
+         .select(S.as_double(F.col("embedding")).alias("v")))
+    # milli-quantized components: products stay exact int64
+    q = e.select(F.expr(
+        "transform(v, x -> cast(round(x * 1000, 0) as bigint))").alias("q"))
+    pairs = q.select(F.expr(f"""
+        flatten(transform(sequence(0, {DIM - 2}), i ->
+            transform(sequence(i + 1, {DIM - 1}), j ->
+                struct(i as i, j as j,
+                       q[i] as xi, q[j] as xj))))
+    """).alias("ps"))
+    cells = (pairs.select(F.explode("ps").alias("p"))
+             .select(F.col("p.i").alias("i"), F.col("p.j").alias("j"),
+                     F.col("p.xi").alias("xi"), F.col("p.xj").alias("xj"))
+             .groupBy("i", "j")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("xi").alias("si"), F.sum("xj").alias("sj"),
+                  F.sum(F.col("xi") * F.col("xi")).alias("sii"),
+                  F.sum(F.col("xj") * F.col("xj")).alias("sjj"),
+                  F.sum(F.col("xi") * F.col("xj")).alias("sij")))
+    r = ("(n * sij - si * sj) / "
+         "(sqrt(cast(n * sii - si * si as double))"
+         " * sqrt(cast(n * sjj - sj * sj as double)))")
+    return (cells.select(F.col("i").cast("int").alias("dim_i"),
+                         F.col("j").cast("int").alias("dim_j"),
+                         F.expr(f"round({r}, 6)").alias("pearson_r"))
+            .orderBy(F.desc(F.abs(F.col("pearson_r"))), F.asc("dim_i"),
+                     F.asc("dim_j"))
+            .limit(CORR_TOPK))
+
+
+def _corr_sql() -> str:
+    r = ("(n * sij - si * sj) / "
+         "(sqrt(CAST(n * sii - si * si AS DOUBLE))"
+         " * sqrt(CAST(n * sjj - sj * sj AS DOUBLE)))")
+    return f"""
+WITH q AS (
+    SELECT list_transform(list_transform(embedding,
+               x -> CAST(x AS DOUBLE)),
+               x -> CAST(round(x * 1000, 0) AS BIGINT)) AS q
+    FROM embeddings
+),
+cells AS (
+    SELECT i, j, count(*) AS n,
+           CAST(sum(xi) AS BIGINT) AS si, CAST(sum(xj) AS BIGINT) AS sj,
+           CAST(sum(xi * xi) AS BIGINT) AS sii,
+           CAST(sum(xj * xj) AS BIGINT) AS sjj,
+           CAST(sum(xi * xj) AS BIGINT) AS sij
+    FROM (
+        SELECT t.i, u.j, q[t.i + 1] AS xi, q[u.j + 1] AS xj
+        FROM q, generate_series(0, {DIM - 1}) AS t(i),
+             generate_series(0, {DIM - 1}) AS u(j)
+        WHERE u.j > t.i
+    ) GROUP BY i, j
+)
+SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+       round({r}, 6) AS pearson_r
+FROM cells
+ORDER BY abs(round({r}, 6)) DESC, dim_i ASC, dim_j ASC
+LIMIT {CORR_TOPK}
+"""
+
+
+QUERIES["embedding_corr_pairs"] = (embedding_corr_pairs, _corr_sql())

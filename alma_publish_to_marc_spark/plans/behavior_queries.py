@@ -1126,3 +1126,64 @@ FROM crossed CROSS JOIN total
 """
 
 QUERIES["sprt_sequential_test"] = (sprt_sequential_test, _sprt_sql())
+
+
+# --------------------------------------------------------------------------
+# rolling_active_users: trailing-7-day distinct users per day (WAU)
+# --------------------------------------------------------------------------
+RAU_WINDOW = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement metric every product dashboard leads with:
+    per calendar day, the distinct users active in the trailing
+    ``RAU_WINDOW`` days (WAU), next to the single-day DAU. Rolling
+    DISTINCT cannot ride a window frame (distinct isn't subtractable),
+    so the standard shape is: dedupe to (day, user) once, then a
+    day-range join against the (tiny) day spine and one distinct
+    count per window — the join explodes each (day, user) row into at
+    most 7 spine rows, bounded by the window, never the data.
+
+    At 100 TB the (day, user) dedup is the only data-sized shuffle
+    (md5-fixed-width key not needed — user_id is already an int);
+    the spine side is |days| rows broadcast. The HLL-register variant
+    (merge 7 daily sketches per day, see ``hll_merge_check``) replaces
+    the exact distinct when users stop fitting.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    spine = du.select("day").distinct()
+    joined = (du.join(F.broadcast(spine.withColumnRenamed("day", "spine_day")),
+                      (F.col("day") <= F.col("spine_day"))
+                      & (F.col("day") > F.col("spine_day") - RAU_WINDOW)))
+    wau = (joined.groupBy("spine_day")
+           .agg(F.countDistinct("user_id").alias("wau")))
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (wau.join(dau, wau.spine_day == dau.day)
+            .select(F.col("spine_day").cast("long").alias("day"),
+                    "dau", "wau",
+                    F.round(F.col("dau") / F.col("wau"), 4)
+                     .alias("stickiness")))
+
+
+_RAU_SQL = f"""
+WITH du AS (
+    SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+    FROM events
+),
+spine AS (SELECT DISTINCT day AS spine_day FROM du),
+wau AS (
+    SELECT spine_day, count(DISTINCT user_id) AS wau
+    FROM du JOIN spine
+      ON du.day <= spine.spine_day
+     AND du.day > spine.spine_day - {RAU_WINDOW}
+    GROUP BY spine_day
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day)
+SELECT CAST(spine_day AS BIGINT) AS day, dau, wau,
+       round(dau / wau, 4) AS stickiness
+FROM wau JOIN dau ON dau.day = wau.spine_day
+"""
+
+QUERIES["rolling_active_users"] = (rolling_active_users, _RAU_SQL)

@@ -114,7 +114,8 @@ def main() -> None:
         "table_merkle_root", "kcore_decomposition", "bfs_levels",
         "graph_random_walks", "bloom_semijoin_reduction",
         "sorted_neighborhood_pairs", "sprt_sequential_test",
-        "pricing_summary_report",
+        "pricing_summary_report", "embedding_corr_pairs",
+        "rolling_active_users",
     ]
     for name in names:
         if name not in qs:
