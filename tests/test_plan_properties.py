@@ -71,3 +71,42 @@ def test_pq_probe_is_broadcast_only(props):
     p = props("pq_adc_topk")
     assert p["broadcast_joins"] >= 4  # one per subspace lookup
     assert p["sort_merge_joins"] == 0
+
+
+_TPCH_SUITE = (
+    "order_priority_checking", "local_supplier_volume",
+    "forecast_revenue_change", "volume_shipping", "promo_revenue_effect",
+    "national_market_share", "product_type_profit", "important_part_value",
+    "shipmode_priority", "customer_distribution", "min_cost_supplier",
+    "top_supplier_revenue", "parts_supplier_relationship",
+    "small_quantity_revenue", "large_volume_customer", "discounted_revenue",
+    "potential_promotion", "waiting_orders_supplier",
+    "global_sales_opportunity",
+)
+
+
+@pytest.mark.parametrize("name", _TPCH_SUITE)
+def test_tpch_suite_has_no_range_exchange(props, name):
+    # Final ORDER BYs are either TakeOrdered (top-k) or dropped — a
+    # RangePartitioning exchange in any suite member is a regression.
+    assert props(name)["range_shuffles"] == 0, name
+
+
+def test_tpch_star_joins_broadcast_all_dims(props):
+    # Q5/Q7/Q9 shapes: one keyed fact shuffle, dims broadcast, no SMJ.
+    for name in ("local_supplier_volume", "volume_shipping",
+                 "product_type_profit"):
+        p = props(name)
+        assert p["shuffles"] <= 1, name
+        assert p["sort_merge_joins"] == 0, name
+        assert p["broadcast_joins"] >= 3, name
+
+
+def test_tpch_scan_aggregates_fuse_to_zero_shuffles(props):
+    # Q6/Q14/Q19 shapes are scan→(broadcast join)→global agg: no keyed
+    # shuffle at all, filters pushed to every parquet scan.
+    for name in ("forecast_revenue_change", "promo_revenue_effect",
+                 "discounted_revenue"):
+        p = props(name)
+        assert p["shuffles"] == 0, name
+        assert p["pushed_filter_scans"] == p["scans"], name

@@ -116,6 +116,17 @@ def main() -> None:
         "sorted_neighborhood_pairs", "sprt_sequential_test",
         "pricing_summary_report", "embedding_corr_pairs",
         "rolling_active_users",
+        # TPC-H analog suite (plans/tpch_queries.py)
+        "order_priority_checking", "local_supplier_volume",
+        "forecast_revenue_change", "volume_shipping",
+        "promo_revenue_effect", "national_market_share",
+        "product_type_profit", "important_part_value",
+        "shipmode_priority", "customer_distribution",
+        "min_cost_supplier", "top_supplier_revenue",
+        "parts_supplier_relationship", "small_quantity_revenue",
+        "large_volume_customer", "discounted_revenue",
+        "potential_promotion", "waiting_orders_supplier",
+        "global_sales_opportunity",
     ]
     for name in names:
         if name not in qs:
