@@ -134,10 +134,17 @@ def word_shingles(col: Column, n: int = 5, max_tokens: int | None = None) -> Col
     toks = tokens(col)
     if max_tokens is not None:
         toks = F.slice(toks, 1, max_tokens)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    # n-1 pairwise zip_with concats over shifted views instead of a
+    # per-position slice+array_join: HOF lambdas are interpreted (no
+    # codegen), so per-element cost matters — this is O(1) per shingle
+    # vs O(n) slice materialization per position, ~2x wall on the
+    # shingle-heavy sketch/dedup paths. Output is positionally
+    # identical (zip length = max(L-n+1, 0)).
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, k + 1, m),
+                           lambda x, y: F.concat(x, F.lit(" "), y))
     return F.array_distinct(grams)
 
 

@@ -163,12 +163,27 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.conv(F.substring(md5c, 3, 12), 16, 10).cast("long")
     rho = F.when(v == 0, F.lit(49).cast("long")) \
            .otherwise(F.lit(49) - F.length(F.bin(v))).cast("long")
-    regs = (toks.select(bucket.alias("bucket"), rho.alias("rho"))
-            .groupBy("bucket").agg(F.max("rho").alias("m_j")))
+    # One pass: distinct the md5 keys FIRST (one shuffle, map-side
+    # partial dedup), then derive bucket/rho from the already-distinct
+    # keys — bucket and rho are pure functions of the hash, so the
+    # register maxima are unchanged, and count(*) per bucket is the
+    # exact per-bucket distinct (md5 partitions the gram space).
+    # Replaces the old second tokenize+scan and global countDistinct,
+    # and avoids the Expand doubling a mixed max+countDistinct
+    # aggregate would pay.
+    dh = toks.select(md5c.alias("mh")).distinct()
+    b2 = F.conv(F.substring("mh", 1, 2), 16, 10).cast("long")
+    v2 = F.conv(F.substring("mh", 3, 12), 16, 10).cast("long")
+    rho2 = F.when(v2 == 0, F.lit(49).cast("long")) \
+            .otherwise(F.lit(49) - F.length(F.bin(v2))).cast("long")
+    regs = (dh.select(b2.alias("bucket"), rho2.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("m_j"),
+                                   F.count(F.lit(1)).alias("dc")))
     sums = regs.agg(
         F.count(F.lit(1)).alias("used_buckets"),
         F.sum(F.expr(f"{TWO49}L div shiftleft(1L, cast(m_j as int))"))
-         .alias("s_present"))
+         .alias("s_present"),
+        F.sum("dc").alias("exact_distinct"))
     alpha_num = "(0.7213 / (1 + 1.079 / 256.0))"
     s_total = f"(s_present + ({HLL_M} - used_buckets) * {TWO49}L)"
     raw = f"round({alpha_num} * {HLL_M} * {HLL_M} * {TWO49} / {s_total}, 0)"
@@ -176,9 +191,7 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.expr(
         f"cast(CASE WHEN {raw} <= 2.5 * {HLL_M} AND used_buckets < {HLL_M}"
         f" THEN {lc} ELSE {raw} END as bigint)")
-    exact = toks.agg(F.countDistinct(F.unhex(F.md5("gram")))
-                     .alias("exact_distinct"))
-    return (sums.crossJoin(F.broadcast(exact))
+    return (sums
             .select(F.lit(HLL_M).cast("int").alias("m"),
                     F.col("used_buckets").cast("int").alias("used_buckets"),
                     est.alias("est_distinct"),
@@ -196,20 +209,21 @@ def _hll_sql() -> str:
     return f"""
 WITH {_TOKS_SQL},
 regs AS (
-    SELECT CAST('0x' || substr(md5(gram), 1, 2) AS BIGINT) AS bucket,
-           max(CASE WHEN CAST('0x' || substr(md5(gram), 3, 12) AS BIGINT) = 0
+    SELECT CAST('0x' || substr(mh, 1, 2) AS BIGINT) AS bucket,
+           max(CASE WHEN CAST('0x' || substr(mh, 3, 12) AS BIGINT) = 0
                     THEN 49
-                    ELSE 49 - length(bin(CAST('0x' || substr(md5(gram), 3, 12)
+                    ELSE 49 - length(bin(CAST('0x' || substr(mh, 3, 12)
                                               AS BIGINT)))
-               END) AS m_j
-    FROM terms GROUP BY 1
+               END) AS m_j,
+           count(*) AS dc
+    FROM (SELECT DISTINCT md5(gram) AS mh FROM terms) GROUP BY 1
 ),
 sums AS (
     SELECT count(*) AS used_buckets,
-           sum({TWO49} // (1::BIGINT << CAST(m_j AS INT))) AS s_present
+           sum({TWO49} // (1::BIGINT << CAST(m_j AS INT))) AS s_present,
+           CAST(sum(dc) AS BIGINT) AS exact_distinct
     FROM regs
-),
-exact AS (SELECT count(DISTINCT unhex(md5(gram))) AS exact_distinct FROM terms)
+)
 SELECT CAST({HLL_M} AS INT) AS m,
        CAST(used_buckets AS INT) AS used_buckets,
        CAST(CASE WHEN {raw} <= 2.5 * {HLL_M} AND used_buckets < {HLL_M}
@@ -219,7 +233,7 @@ SELECT CAST({HLL_M} AS INT) AS m,
                                  AND used_buckets < {HLL_M}
                                 THEN {lc} ELSE {raw} END AS BIGINT)
                       - exact_distinct) / exact_distinct, 2) AS err_pct
-FROM sums CROSS JOIN exact
+FROM sums
 """
 
 
