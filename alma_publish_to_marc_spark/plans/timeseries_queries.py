@@ -1,0 +1,206 @@
+"""Time-series correlation analytics over the events stream.
+
+Beyond-reference family (SURVEY.md §2.12): autocorrelation and
+cross-series correlation — the signal-shape diagnostics a monitoring /
+forecasting pipeline runs on event volumes (is traffic bursty? do
+errors trail clicks?).
+
+Cross-engine determinism: every Pearson correlation is computed from
+INTEGER moment sums (n, Σx, Σy, Σx², Σy², Σxy over int64 daily
+counts) — both engines produce identical int64 moments, and the only
+floating-point ops are the final covariance/variance combination and
+one sqrt on exact integers (identical IEEE doubles), then round(6).
+Day indices are integer epoch-day arithmetic (CLAUDE.md: never
+engine-native date parts for derived keys).
+
+Scale: the daily-count matrix is tiny at ANY corpus scale (days ×
+types rows — the reduction happens in the first map-side-combinable
+aggregate over the raw 100 TB stream); everything after it is
+effectively free. The window-lag step partitions by event_type —
+5 keys here, but the same plan holds for thousands of series.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from alma_publish_to_marc_spark.tables import EVENT_TYPES, load
+
+QUERIES: dict = {}
+
+_DAY_US = 86_400_000_000
+_ACF_LAGS = (1, 2, 3)
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (ev.select(F.col("event_type"),
+                      F.expr(f"unix_micros(cast(ts as timestamp))"
+                             f" div {_DAY_US}").alias("day"))
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("x")))
+
+
+_DAILY_SQL = f"""daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+)"""
+
+
+def _acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's daily volume at lags 1–3.
+
+    Pairs (x_t, x_{t+ℓ}) come from per-series window LEADs over the
+    observed day sequence; Pearson r is assembled from six integer
+    moments per (type, lag). r == NULL when a series has constant
+    volume in the pair window (zero variance) — emitted as NULL by
+    both engines rather than a divide crash.
+
+    Scale: one keyed aggregate over the raw stream → ~(days × types)
+    rows; the window and the moment aggregate run on that tiny frame.
+    Int64 headroom: n·Σxy ≤ days²·max_daily² — fine through ~1e7
+    events/day/type."""
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    leads = daily.select(
+        "event_type", "x",
+        *[F.lead("x", lag).over(w).alias(f"y{lag}") for lag in _ACF_LAGS])
+    pairs = leads.select(
+        "event_type",
+        F.stack(F.lit(len(_ACF_LAGS)),
+                *[arg for lag in _ACF_LAGS
+                  for arg in (F.lit(lag), F.col("x"), F.col(f"y{lag}"))])
+         .alias("lag", "xt", "yt")).where(F.col("yt").isNotNull())
+    m = (pairs.groupBy("event_type", "lag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("xt").alias("sx"), F.sum("yt").alias("sy"),
+              F.sum(F.col("xt") * F.col("xt")).alias("sxx"),
+              F.sum(F.col("yt") * F.col("yt")).alias("syy"),
+              F.sum(F.col("xt") * F.col("yt")).alias("sxy")))
+    num = (m.n * m.sxy - m.sx * m.sy).cast("double")
+    denx = (m.n * m.sxx - m.sx * m.sx).cast("double")
+    deny = (m.n * m.syy - m.sy * m.sy).cast("double")
+    r = F.when((denx > 0) & (deny > 0),
+               F.round(num / F.sqrt(denx * deny), 6))
+    return m.select("event_type", "lag", "n", r.alias("acf"))
+
+
+_ACF_STACK = " UNION ALL ".join(
+    f"SELECT event_type, {lag} AS lag, x AS xt, y{lag} AS yt"
+    f" FROM leads WHERE y{lag} IS NOT NULL" for lag in _ACF_LAGS)
+
+_ACF_SQL = f"""
+WITH {_DAILY_SQL},
+leads AS (
+  SELECT event_type, x,
+         {', '.join(f"lead(x, {lag}) OVER (PARTITION BY event_type ORDER BY day) AS y{lag}"
+                    for lag in _ACF_LAGS)}
+  FROM daily
+),
+pairs AS ({_ACF_STACK}),
+m AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xt) AS BIGINT) AS sx, CAST(sum(yt) AS BIGINT) AS sy,
+         CAST(sum(xt * xt) AS BIGINT) AS sxx,
+         CAST(sum(yt * yt) AS BIGINT) AS syy,
+         CAST(sum(xt * yt) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INT) AS lag, n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS acf
+FROM m
+"""
+
+QUERIES["acf_daily_events"] = (_acf_daily_events, _ACF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation between event-type daily series (lag 0)
+# ---------------------------------------------------------------------------
+_PAIRS = list(combinations(EVENT_TYPES, 2))
+
+
+def _crosscorr_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every pair of event types' daily
+    volume series — do errors co-move with clicks? A missing
+    (type, day) cell counts 0 (the series are aligned on the full
+    observed day spine via conditional sums, not an inner join that
+    would silently drop mismatched days).
+
+    Scale: ONE aggregate builds the day × type count matrix as 5
+    conditional int64 sums; a second 1-row aggregate produces all 20
+    moments; the 10 pair correlations are pure literal arithmetic on
+    that row. Nothing after the first reduction scales with data."""
+    ev = load(spark, sf_dir, "events")
+    day_rows = (ev.select(
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_US}")
+         .alias("day"), "event_type")
+        .groupBy("day")
+        .agg(*[F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+               .cast("long").alias(f"c_{t}") for t in EVENT_TYPES]))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for t in EVENT_TYPES:
+        aggs.append(F.sum(f"c_{t}").alias(f"s_{t}"))
+        aggs.append(F.sum(F.col(f"c_{t}") * F.col(f"c_{t}"))
+                    .alias(f"ss_{t}"))
+    for a, b in _PAIRS:
+        aggs.append(F.sum(F.col(f"c_{a}") * F.col(f"c_{b}"))
+                    .alias(f"sp_{a}_{b}"))
+    m = day_rows.agg(*aggs)
+
+    out = []
+    for a, b in _PAIRS:
+        num = (F.col("n") * F.col(f"sp_{a}_{b}")
+               - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+        da = (F.col("n") * F.col(f"ss_{a}")
+              - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+        db = (F.col("n") * F.col(f"ss_{b}")
+              - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+        out.append(F.struct(
+            F.lit(a).alias("type_a"), F.lit(b).alias("type_b"),
+            F.when((da > 0) & (db > 0),
+                   F.round(num / F.sqrt(da * db), 6)).alias("r")))
+    return (m.select(F.explode(F.array(*out)).alias("p"))
+            .select("p.type_a", "p.type_b", "p.r"))
+
+
+def _crosscorr_sql() -> str:
+    ccols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c_{t}" for t in EVENT_TYPES)
+    moments = ["CAST(count(*) AS BIGINT) AS n"]
+    for t in EVENT_TYPES:
+        moments.append(f"CAST(sum(c_{t}) AS BIGINT) AS s_{t}")
+        moments.append(f"CAST(sum(c_{t} * c_{t}) AS BIGINT) AS ss_{t}")
+    for a, b in _PAIRS:
+        moments.append(f"CAST(sum(c_{a} * c_{b}) AS BIGINT) AS sp_{a}_{b}")
+    sel = []
+    for a, b in _PAIRS:
+        sel.append(
+            f"SELECT '{a}' AS type_a, '{b}' AS type_b,\n"
+            f"  CASE WHEN (n * ss_{a} - s_{a} * s_{a}) > 0\n"
+            f"        AND (n * ss_{b} - s_{b} * s_{b}) > 0\n"
+            f"       THEN round(CAST(n * sp_{a}_{b} - s_{a} * s_{b}"
+            f" AS DOUBLE)\n"
+            f"            / sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE)\n"
+            f"                   * CAST(n * ss_{b} - s_{b} * s_{b}"
+            f" AS DOUBLE)), 6)\n"
+            f"  END AS r FROM m")
+    return (f"WITH day_rows AS (\n"
+            f"  SELECT epoch_us(ts) // {_DAY_US} AS day,\n"
+            f"         {ccols}\n"
+            f"  FROM events GROUP BY 1\n"
+            f"), m AS (\n"
+            f"  SELECT {', '.join(moments)} FROM day_rows\n"
+            f")\n" + "\nUNION ALL\n".join(sel))
+
+
+QUERIES["crosscorr_event_types"] = (_crosscorr_event_types, _crosscorr_sql())

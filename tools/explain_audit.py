@@ -127,6 +127,8 @@ def main() -> None:
         "large_volume_customer", "discounted_revenue",
         "potential_promotion", "waiting_orders_supplier",
         "global_sales_opportunity",
+        "acf_daily_events", "crosscorr_event_types",
+        "item_item_recs", "personalized_part_recs",
     ]
     for name in names:
         if name not in qs:
