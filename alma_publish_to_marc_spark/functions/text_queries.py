@@ -803,3 +803,85 @@ QUERIES = {
     "doc_fingerprint": (_fingerprint, _FINGERPRINT_SQL),
     "dataset_split": (_dataset_split, _SPLIT_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (degree/frequency over stopword-split phrases)
+# ---------------------------------------------------------------------------
+_RAKE_STOPS = "(a|the|of|and|is)"
+_RAKE_TOPK = 20
+
+
+def _rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scores: split docs into phrases at stopwords,
+    score each word by degree/frequency (degree = Σ length of phrases
+    containing it) — the classic unsupervised keyword extractor, fully
+    JVM-side (regex + explode, no UDF).
+
+    Stopword removal is TWO identical regexp_replace passes: a global
+    leftmost replace consumes the trailing space of a match, so a run
+    of adjacent stopwords loses only alternate members per pass; after
+    pass one the survivors are always separated, so pass two is
+    complete. Same non-overlapping leftmost semantics in Java regex
+    and RE2 — identical output. Scores are exact integer rationals
+    floored at e6 (no float ranking); top-20 with word tie-break.
+
+    Scale: one scan → explode to (word, phrase_len) → one keyed
+    aggregate over the vocabulary; TakeOrdered top-20. Phrase
+    reconstruction is string-level (codegen), never a Python UDF."""
+    docs = load(spark, sf_dir, "documents")
+    joined = F.concat(F.lit(" "),
+                      F.array_join(F.split(F.trim(F.lower(F.col("text"))),
+                                           r"\s+"), " "),
+                      F.lit(" "))
+    pat = f" {_RAKE_STOPS} "
+    cut = F.regexp_replace(F.regexp_replace(joined, pat, " | "),
+                           pat, " | ")
+    phrases = (docs.select(F.explode(F.split(cut, r"\|")).alias("ph"))
+               .select(F.trim("ph").alias("ph"))
+               .where(F.col("ph") != ""))
+    words = phrases.select(
+        F.explode(F.split("ph", " ")).alias("word"),
+        F.size(F.split("ph", " ")).cast("long").alias("plen"))
+    scored = (words.groupBy("word")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("plen").alias("degree"))
+              .select("word", "freq", "degree",
+                      F.floor(F.lit(1_000_000) * F.col("degree")
+                              / F.col("freq")).cast("long")
+                       .alias("score_e6")))
+    return (scored.orderBy(F.desc("score_e6"), F.asc("word"))
+            .limit(_RAKE_TOPK))
+
+
+_RAKE_SQL = rf"""
+WITH joined AS (
+  SELECT ' ' || array_to_string(regexp_split_to_array(trim(lower(text)),
+                                                      '\s+'), ' ') || ' '
+             AS s
+  FROM documents
+), cut AS (
+  SELECT regexp_replace(regexp_replace(s, ' {_RAKE_STOPS} ', ' | ', 'g'),
+                        ' {_RAKE_STOPS} ', ' | ', 'g') AS s2
+  FROM joined
+), phrases AS (
+  SELECT trim(u) AS ph
+  FROM cut, unnest(string_split(s2, '|')) AS t(u)
+), nonempty AS (
+  SELECT ph FROM phrases WHERE ph <> ''
+), words AS (
+  SELECT unnest(regexp_split_to_array(ph, ' ')) AS word,
+         CAST(len(regexp_split_to_array(ph, ' ')) AS BIGINT) AS plen
+  FROM nonempty
+)
+SELECT word, CAST(count(*) AS BIGINT) AS freq,
+       CAST(sum(plen) AS BIGINT) AS degree,
+       CAST(floor(1000000 * CAST(sum(plen) AS BIGINT)
+                  / CAST(count(*) AS DOUBLE)) AS BIGINT) AS score_e6
+FROM words
+GROUP BY word
+ORDER BY score_e6 DESC, word ASC
+LIMIT {_RAKE_TOPK}
+"""
+
+QUERIES["rake_keywords"] = (_rake_keywords, _RAKE_SQL)

@@ -204,3 +204,94 @@ def _crosscorr_sql() -> str:
 
 
 QUERIES["crosscorr_event_types"] = (_crosscorr_event_types, _crosscorr_sql())
+
+
+# ---------------------------------------------------------------------------
+# Brown double-exponential smoothing (fixed-point, α=1/2) + 7-day forecast
+# ---------------------------------------------------------------------------
+
+
+def _holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double-exponential smoothing of each event type's daily
+    volume (α=1/2, second stage lagged one step) with the standard
+    level/trend readout (level = 2·s1−s2, trend = s1−s2) and a 7-day
+    linear forecast.
+
+    The recurrence (s1' = ⌊(x+s1)/2⌋, s2' = ⌊(s1+s2)/2⌋) is
+    SEQUENTIAL — not window-expressible — so it runs as an explicit
+    left fold over the per-series day-ordered array (CLAUDE.md
+    float-reduction rule; every quotient a /2 floor on int64,
+    bit-identical across engines). Day order is pinned by array_sort
+    on (day, x) structs / list(... ORDER BY day).
+
+    DuckDB 1.0 hazard (cost a debugging session): list_reduce
+    evaluates struct_pack fields IN PLACE on the accumulator — a field
+    reading an acc field that an EARLIER field already wrote sees the
+    NEW value. Both the update rule (each stage reads only prior-stage
+    state) and the struct field order (s2 before s1) are chosen so
+    every read happens before its write; the Spark fold mirrors the
+    same field order so the schemas match.
+
+    Scale: series state is days × types (the raw stream reduces in the
+    first keyed aggregate); the fold is interpreted but runs on ~30
+    elements per series. For very long series switch to applyInPandas
+    with the identical integer recurrence."""
+    daily = _daily_counts(spark, sf_dir)
+    series = (daily.groupBy("event_type")
+              .agg(F.array_sort(F.collect_list(F.struct("day", "x")))
+                    .alias("s")))
+    elems = F.transform(
+        F.col("s"), lambda t: F.struct(F.lit(0).cast("long").alias("s2"),
+                                       t["x"].alias("s1"),
+                                       F.lit(0).cast("long").alias("i")))
+    init = F.struct(F.lit(0).cast("long").alias("s2"),
+                    F.lit(0).cast("long").alias("s1"),
+                    F.lit(0).cast("long").alias("i"))
+
+    def step(acc, e):
+        first = F.struct(e["s1"].alias("s2"), e["s1"].alias("s1"),
+                         F.lit(1).cast("long").alias("i"))
+        rest = F.struct(
+            F.floor((acc["s1"] + acc["s2"]) / 2.0).cast("long").alias("s2"),
+            F.floor((e["s1"] + acc["s1"]) / 2.0).cast("long").alias("s1"),
+            (acc["i"] + 1).alias("i"))
+        return F.when(acc["i"] == 0, first).otherwise(rest)
+
+    acc = F.aggregate(elems, init, step)
+    return series.select(
+        "event_type", acc["i"].alias("n_days"),
+        (2 * acc["s1"] - acc["s2"]).alias("level"),
+        (acc["s1"] - acc["s2"]).alias("trend"),
+        (2 * acc["s1"] - acc["s2"] + 7 * (acc["s1"] - acc["s2"]))
+         .alias("forecast_7d"))
+
+
+_HOLT_SQL = f"""
+WITH {_DAILY_SQL},
+series AS (
+  SELECT event_type, list(x ORDER BY day) AS xs FROM daily GROUP BY 1
+),
+folded AS (
+  SELECT event_type,
+         list_reduce(
+           list_prepend(struct_pack(s2 := 0::BIGINT, s1 := 0::BIGINT,
+                                    i := 0::BIGINT),
+                        list_transform(xs, x -> struct_pack(
+                            s2 := 0::BIGINT, s1 := x, i := 0::BIGINT))),
+           (acc, e) -> CASE WHEN acc.i = 0
+             THEN struct_pack(s2 := e.s1, s1 := e.s1, i := 1::BIGINT)
+             ELSE struct_pack(
+               s2 := CAST(floor((acc.s1 + acc.s2) / 2.0) AS BIGINT),
+               s1 := CAST(floor((e.s1 + acc.s1) / 2.0) AS BIGINT),
+               i := acc.i + 1)
+           END) AS acc
+  FROM series
+)
+SELECT event_type, acc.i AS n_days,
+       2 * acc.s1 - acc.s2 AS level,
+       acc.s1 - acc.s2 AS trend,
+       2 * acc.s1 - acc.s2 + 7 * (acc.s1 - acc.s2) AS forecast_7d
+FROM folded
+"""
+
+QUERIES["holt_linear_forecast"] = (_holt_linear_forecast, _HOLT_SQL)

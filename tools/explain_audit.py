@@ -129,6 +129,7 @@ def main() -> None:
         "global_sales_opportunity",
         "acf_daily_events", "crosscorr_event_types",
         "item_item_recs", "personalized_part_recs",
+        "holt_linear_forecast", "rake_keywords",
     ]
     for name in names:
         if name not in qs:
