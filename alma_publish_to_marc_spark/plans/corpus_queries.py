@@ -37,10 +37,19 @@ def _shingles_from_words(w):
     inlined split would be recomputed per reference (~3× tokenization
     cost, measured). sequence(1, n) DESCENDS when n < 1 (returns
     [1, 0]) — gate short docs to an empty list instead."""
+    # Per-position concat_ws over NGRAM element_at lookups: O(1) array
+    # access + ONE string build per shingle. Beats both the old
+    # slice+array_join (allocates an 8-slot array per position) and a
+    # zip_with chain (quadratic partial-string copying at n=8) — HOF
+    # lambdas are interpreted, so per-element constants dominate.
+    # The short-doc gate keeps sequence() from descending (n<1 would
+    # return [1, 0]).
     idx = F.when(F.size(w) >= NGRAM,
                  F.sequence(F.lit(1), F.size(w) - (NGRAM - 1))) \
            .otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, NGRAM), " "))
+    return F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + k) for k in range(NGRAM)]))
 
 
 def _shingle_list(text):

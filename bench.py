@@ -48,6 +48,12 @@ HEADLINE = [
     "knn_graph_topk",
     "hll_distinct_estimate",
     "dq_constraint_audit",
+    # TPC-H analog shapes (round 4): scan-agg, star join, folded
+    # EXISTS/NOT-EXISTS, and the CF recommender's bounded self-join.
+    "pricing_summary_report",
+    "local_supplier_volume",
+    "waiting_orders_supplier",
+    "item_item_recs",
 ]
 
 
