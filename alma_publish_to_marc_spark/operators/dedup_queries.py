@@ -717,3 +717,105 @@ WHERE edit_distance <= 5
 
 QUERIES["sorted_neighborhood_pairs"] = (sorted_neighborhood_pairs,
                                         _sorted_neighborhood_sql())
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter record-linkage scoring over blocked candidate pairs
+# ---------------------------------------------------------------------------
+# Fixed integer log-odds weights (scaled ln(m/u) design constants — at
+# 100 TB these come from an EM fit, run as the same aggregates).
+_FS_W = {
+    "src":  (6, -2),   # same source feed
+    "len":  (5, -3),   # |n_chars| within 5
+    "head": (12, -1),  # identical 16-char text head
+    "lang": (3, -4),   # same language tag
+}
+_FS_MATCH, _FS_POSSIBLE = 18, 8
+
+
+def _fellegi_sunter_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter linkage scores for sorted-neighborhood candidate
+    pairs: each pair gets Σ of integer agreement/disagreement weights
+    over four field comparators (source, length proximity, text head,
+    language), then the classic three-way classify (match / possible /
+    non-match) by fixed thresholds. Output is the score histogram per
+    class — the calibration table an ER pipeline reviews before
+    committing merges.
+
+    All-integer scoring (scaled log-odds), so classification is exact
+    in both engines; the blocking pass is the same single-window
+    sorted-neighborhood sweep as ``sorted_neighborhood_pairs`` (no
+    self-join).
+
+    Scale: candidates are (window width − 1) per row — linear in the
+    corpus; the comparators are cheap column ops on the paired rows
+    carried through the window lag, and the histogram is bounded by
+    the score range. The EM reweighting step at scale reuses these
+    same per-pattern counts."""
+    from pyspark.sql import Window
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars",
+                    F.substring("text", 1, 16).alias("head")))
+    # global sort window — same single-partition tradeoff (and fix: key
+    # ranges / repartitionByRange at scale) as sorted_neighborhood_pairs
+    w = Window.orderBy("n_chars", "doc_id")
+    lagged = docs.select(
+        "doc_id", "lang", "source", "n_chars", "head",
+        *[F.lag(c, 1).over(w).alias(f"p_{c}")
+          for c in ("doc_id", "lang", "source", "n_chars", "head")])
+    pairs = lagged.where(F.col("p_doc_id").isNotNull())
+
+    def cmpw(agree, key):
+        m, u = _FS_W[key]
+        return F.when(agree, m).otherwise(u)
+
+    score = (cmpw(F.col("source") == F.col("p_source"), "src")
+             + cmpw(F.abs(F.col("n_chars") - F.col("p_n_chars")) <= 5, "len")
+             + cmpw(F.col("head") == F.col("p_head"), "head")
+             + cmpw(F.col("lang") == F.col("p_lang"), "lang"))
+    cls = (F.when(score >= _FS_MATCH, "match")
+           .when(score >= _FS_POSSIBLE, "possible")
+           .otherwise("non_match"))
+    return (pairs.select(score.cast("long").alias("score"),
+                         cls.alias("link_class"))
+            .groupBy("link_class", "score")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def _fs_sql() -> str:
+    def w(agree, key):
+        m, u = _FS_W[key]
+        return f"CASE WHEN {agree} THEN {m} ELSE {u} END"
+    score = " + ".join([
+        w("source = p_source", "src"),
+        w("abs(n_chars - p_n_chars) <= 5", "len"),
+        w("head = p_head", "head"),
+        w("lang = p_lang", "lang"),
+    ])
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars, substr(text, 1, 16) AS head
+  FROM documents
+), lagged AS (
+  SELECT doc_id, lang, source, n_chars, head,
+         lag(doc_id)  OVER w AS p_doc_id,
+         lag(lang)    OVER w AS p_lang,
+         lag(source)  OVER w AS p_source,
+         lag(n_chars) OVER w AS p_n_chars,
+         lag(head)    OVER w AS p_head
+  FROM d WINDOW w AS (ORDER BY n_chars, doc_id)
+), scores AS (
+  SELECT CAST({score} AS BIGINT) AS score
+  FROM lagged WHERE p_doc_id IS NOT NULL
+)
+SELECT CASE WHEN score >= {_FS_MATCH} THEN 'match'
+            WHEN score >= {_FS_POSSIBLE} THEN 'possible'
+            ELSE 'non_match' END AS link_class,
+       score, CAST(count(*) AS BIGINT) AS n_pairs
+FROM scores
+GROUP BY 1, 2
+"""
+
+
+QUERIES["fellegi_sunter_scoring"] = (_fellegi_sunter_scoring, _fs_sql())

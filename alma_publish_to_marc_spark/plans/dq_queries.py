@@ -585,3 +585,79 @@ FROM fullroot CROSS JOIN troot
 """
 
 QUERIES["table_merkle_root"] = (table_merkle_root, _MERKLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+_KANON_K = 5  # groups smaller than this are re-identification risks
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit: treat (nation, market segment, account-
+    balance decile) as the quasi-identifier and flag equivalence
+    classes smaller than k=5 — the standard k-anonymity gate a dataset
+    must pass before an external release — plus the l-diversity of a
+    sensitive attribute (distinct order priorities seen per class).
+
+    The balance decile is integer arithmetic on exact cents
+    (``bal_c*10 div range`` clamped to 9 — the width_bucket floor
+    formula written identically in both engines, CLAUDE.md), never an
+    engine ntile.
+
+    Scale: one keyed aggregate over customers⋈orders (orders only
+    supplies the sensitive attribute — the join is keyed on custkey);
+    class count is bounded by the QI domain (25·5·10), so the audit
+    report is tiny at any input scale.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"))
+    # fixed exact bounds (driver generator: -1000.00 .. 10000.00)
+    lo, hi = -100_000, 1_000_000
+    decile = F.least(F.lit(9), ((F.col("bal_c") - lo) * 10 / (hi - lo))
+                     .cast("long"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority")
+    j = (cust.select("c_custkey", "c_nationkey", "c_mktsegment",
+                     decile.alias("bal_decile"))
+         .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left"))
+    classes = (j.groupBy("c_nationkey", "c_mktsegment", "bal_decile")
+               .agg(F.countDistinct("c_custkey").alias("class_size"),
+                    F.countDistinct("o_orderpriority").alias("l_diversity")))
+    return (classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < _KANON_K, 1).otherwise(0))
+         .cast("long").alias("risky_classes"),
+        F.sum(F.when(F.col("class_size") < _KANON_K,
+                     F.col("class_size")).otherwise(0))
+         .cast("long").alias("risky_rows"),
+        F.min("class_size").alias("min_k"),
+        F.min("l_diversity").alias("min_l")))
+
+
+_KANON_SQL = f"""
+WITH qi AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+         least(9, (CAST(round(c.c_acctbal * 100) AS BIGINT) - (-100000))
+                   * 10 // (1000000 - (-100000))) AS bal_decile,
+         o.o_orderpriority
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+), classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_decile,
+         CAST(count(DISTINCT c_custkey) AS BIGINT) AS class_size,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_diversity
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS risky_classes,
+       CAST(sum(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END)
+            AS BIGINT) AS risky_rows,
+       min(class_size) AS min_k,
+       min(l_diversity) AS min_l
+FROM classes
+"""
+
+QUERIES["k_anonymity_audit"] = (k_anonymity_audit, _KANON_SQL)

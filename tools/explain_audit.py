@@ -130,6 +130,7 @@ def main() -> None:
         "acf_daily_events", "crosscorr_event_types",
         "item_item_recs", "personalized_part_recs",
         "holt_linear_forecast", "rake_keywords",
+        "k_anonymity_audit", "fellegi_sunter_scoring",
     ]
     for name in names:
         if name not in qs:
