@@ -840,3 +840,86 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 QUERIES["pricing_summary_report"] = (_pricing_summary, _Q1_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Apriori round 2→3: frequent triples from frequent-pair candidates
+# ---------------------------------------------------------------------------
+_AP_MIN_PAIR = 2    # pair support floor (round-2 frequent set)
+_AP_MIN_TRIPLE = 1  # triple support floor (report all pruned survivors)
+
+
+def _apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Apriori candidate-generation round: frequent 3-itemsets in
+    order baskets, pruned by the round-2 frequent-pair set before
+    counting (the antimonotonicity step that makes Apriori tractable —
+    a triple only counts if ALL THREE of its pairs are frequent).
+
+    Scale: triples enumerate per order (baskets are ≤ ~dozen items, so
+    C(b,3) is bounded per row — linear in orders); the pair-support
+    prune broadcasts the round-2 set as three semi-joins BEFORE the
+    triple aggregate, so infrequent combinations never shuffle. This
+    is the general L_k → C_{k+1} template — higher rounds repeat the
+    same join shape.
+
+    Cites market_basket_rules (same basket relation) — this query adds
+    the candidate-pruning round structure.
+    """
+    baskets = (load(spark, sf_dir, "lineitem")
+               .select("l_orderkey", "l_partkey")
+               .repartition("l_orderkey")
+               .dropDuplicates(["l_orderkey", "l_partkey"]))
+
+    def side(name):
+        return baskets.select(F.col("l_orderkey").alias("ok"),
+                              F.col("l_partkey").alias(name))
+
+    pairs = (side("i").join(side("j"), "ok")
+             .where(F.col("i") < F.col("j"))
+             .groupBy("i", "j").agg(F.count(F.lit(1)).alias("c"))
+             .where(F.col("c") >= _AP_MIN_PAIR)
+             .select("i", "j"))
+    triples = (side("a").join(side("b"), "ok")
+               .where(F.col("a") < F.col("b"))
+               .join(side("d"), "ok")
+               .where(F.col("b") < F.col("d")))
+    fp = F.broadcast(pairs)
+    pruned = (triples
+              .join(fp, (triples.a == pairs.i) & (triples.b == pairs.j),
+                    "left_semi")
+              .join(fp, (triples.a == pairs.i) & (triples.d == pairs.j),
+                    "left_semi")
+              .join(fp, (triples.b == pairs.i) & (triples.d == pairs.j),
+                    "left_semi"))
+    return (pruned.groupBy("a", "b", "d")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= _AP_MIN_TRIPLE)
+            .select(F.col("a").alias("item_a"), F.col("b").alias("item_b"),
+                    F.col("d").alias("item_c"), "support"))
+
+
+_APRIORI_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), fpairs AS (
+  SELECT a.pk AS i, b.pk AS j
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= {_AP_MIN_PAIR}
+), triples AS (
+  SELECT a.ok, a.pk AS ta, b.pk AS tb, d.pk AS td
+  FROM baskets a
+  JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+  JOIN baskets d ON a.ok = d.ok AND b.pk < d.pk
+)
+SELECT t.ta AS item_a, t.tb AS item_b, t.td AS item_c,
+       CAST(count(*) AS BIGINT) AS support
+FROM triples t
+WHERE EXISTS (SELECT 1 FROM fpairs p WHERE p.i = t.ta AND p.j = t.tb)
+  AND EXISTS (SELECT 1 FROM fpairs p WHERE p.i = t.ta AND p.j = t.td)
+  AND EXISTS (SELECT 1 FROM fpairs p WHERE p.i = t.tb AND p.j = t.td)
+GROUP BY 1, 2, 3
+HAVING count(*) >= {_AP_MIN_TRIPLE}
+"""
+
+QUERIES["apriori_triples"] = (_apriori_triples, _APRIORI_SQL)

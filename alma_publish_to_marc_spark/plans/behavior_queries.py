@@ -1187,3 +1187,95 @@ FROM wau JOIN dau ON dau.day = wau.spine_day
 """
 
 QUERIES["rolling_active_users"] = (rolling_active_users, _RAU_SQL)
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (deterministic rank-based quintiles)
+# ---------------------------------------------------------------------------
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last order), frequency
+    (order count), monetary (lifetime cents) per customer, each scored
+    into quintiles, reported as segment sizes with average monetary.
+
+    Quintiles are ``floor(5·(row_number−1)/n)+1`` over a FULLY
+    tie-broken order (metric, custkey) — never ntile(), whose tie
+    placement is engine-defined (CLAUDE.md rank rule). Recency uses
+    integer epoch-day arithmetic against the corpus max date (derived,
+    not a wall-clock constant — replayable).
+
+    Scale: per-customer aggregate is one keyed shuffle; the three
+    rank windows run on the customer-sized frame. Global row_number
+    is a single-partition sort of CUSTOMER rows (dim-scale, fine into
+    the tens of millions); at larger scale swap for a two-pass
+    histogram quantile split with the same floor formula."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("oday"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"))
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.max("oday").alias("last_day"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.sum("price_c").alias("monetary_c")))
+    maxday = per_cust.agg(F.max("last_day").alias("max_day"))
+    base = (per_cust.join(F.broadcast(maxday))
+            .select("o_custkey",
+                    (F.col("max_day") - F.col("last_day")).alias("recency_d"),
+                    "frequency", "monetary_c"))
+    def quint(metric_col, asc, name):
+        order = ([F.col(metric_col).asc(), F.col("o_custkey").asc()]
+                 if asc else
+                 [F.col(metric_col).desc(), F.col("o_custkey").asc()])
+        w = Window.orderBy(*order)
+        rn = F.row_number().over(w)
+        cnt = F.count(F.lit(1)).over(Window.partitionBy())
+        return (F.floor(5 * (rn - 1) / cnt) + 1).cast("int").alias(name)
+
+    scored = base.select(
+        "o_custkey", "monetary_c",
+        quint("recency_d", True, "r_score"),     # recent (small) → ranked 1st
+        quint("frequency", False, "f_score"),    # frequent → ranked 1st
+        quint("monetary_c", False, "m_score"))   # high-value → ranked 1st
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.floor(F.sum("monetary_c") / F.count(F.lit(1)))
+                  .cast("long").alias("avg_monetary_c")))
+
+
+_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS monetary_c
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT o_custkey,
+         (SELECT max(last_day) FROM per_cust) - last_day AS recency_d,
+         frequency, monetary_c
+  FROM per_cust
+), scored AS (
+  SELECT o_custkey, monetary_c,
+         CAST(floor(5.0 * (row_number() OVER (ORDER BY recency_d ASC,
+                                              o_custkey ASC) - 1)
+                    / count(*) OVER ()) + 1 AS INT) AS r_score,
+         CAST(floor(5.0 * (row_number() OVER (ORDER BY frequency DESC,
+                                              o_custkey ASC) - 1)
+                    / count(*) OVER ()) + 1 AS INT) AS f_score,
+         CAST(floor(5.0 * (row_number() OVER (ORDER BY monetary_c DESC,
+                                              o_custkey ASC) - 1)
+                    / count(*) OVER ()) + 1 AS INT) AS m_score
+  FROM base
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(floor(sum(monetary_c) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+           AS avg_monetary_c
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["rfm_segmentation"] = (rfm_segmentation, _RFM_SQL)

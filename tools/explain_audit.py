@@ -131,6 +131,7 @@ def main() -> None:
         "item_item_recs", "personalized_part_recs",
         "holt_linear_forecast", "rake_keywords",
         "k_anonymity_audit", "fellegi_sunter_scoring",
+        "rfm_segmentation", "apriori_triples",
     ]
     for name in names:
         if name not in qs:
