@@ -1279,3 +1279,156 @@ GROUP BY 1, 2, 3
 """
 
 QUERIES["rfm_segmentation"] = (rfm_segmentation, _RFM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style sequence pattern matching (regex over encoded rows)
+# ---------------------------------------------------------------------------
+# view→click→purchase with arbitrary repetitions: the classic funnel
+# pattern 'v+c+p' in MATCH_RECOGNIZE terms (A+ B+ C).
+_MR_PATTERN = "v+c+p"
+_MR_CODE = {"click": "c", "error": "e", "purchase": "p",
+            "signup": "s", "view": "v"}
+
+
+def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE emulation: encode each user's time-ordered
+    event stream as a character string (one char per event type) and
+    count non-overlapping matches of the pattern ``v+c+p`` with a
+    regex — the row-pattern-matching feature (SQL:2016) neither engine
+    ships, expressed portably. Non-overlapping leftmost scan semantics
+    are identical in Java regex and RE2 for this possessive-free
+    pattern.
+
+    Output: per-user match counts aggregated to a distribution
+    (n_matches → users), plus total matched users — the funnel
+    completion report.
+
+    Scale: the encode is one keyed collect (array_sort pins order by
+    (ts, event_id) — full tie-break); per-user strings are session-
+    bounded. At 100 TB, sessionize first so no single user's string is
+    unbounded (the sessionization operator exists in this module)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("tus"),
+        "event_type")
+    code = F.col("event_type")
+    for name, ch in _MR_CODE.items():
+        code = F.when(F.col("event_type") == name, ch).otherwise(code)
+    seq = (ev.select("user_id", F.struct("tus", "event_id",
+                                         code.alias("ch")).alias("s"))
+           .groupBy("user_id")
+           .agg(F.array_join(
+               F.transform(F.array_sort(F.collect_list("s")),
+                           lambda t: t["ch"]), "").alias("stream")))
+    per_user = seq.select(
+        "user_id",
+        F.regexp_count("stream", F.lit(_MR_PATTERN)).cast("long")
+         .alias("n_matches"))
+    return (per_user.groupBy("n_matches")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+_MR_SQL = f"""
+WITH coded AS (
+  SELECT user_id, epoch_us(ts) AS tus, event_id,
+         CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              WHEN 'view' THEN 'v' END AS ch
+  FROM events
+), streams AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY tus, event_id) AS stream
+  FROM coded GROUP BY user_id
+), per_user AS (
+  SELECT user_id,
+         CAST(len(regexp_extract_all(stream, '{_MR_PATTERN}')) AS BIGINT)
+             AS n_matches
+  FROM streams
+)
+SELECT n_matches, CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1
+"""
+
+QUERIES["match_recognize_funnel"] = (match_recognize_funnel, _MR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cooldown dedup (sequential throttle — greedy keep with 60s refractory)
+# ---------------------------------------------------------------------------
+_COOLDOWN_US = 60_000_000  # 60s refractory window per (user, type)
+
+
+def cooldown_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throttle dedup: per (user, event type), keep an event only if
+    ≥60s elapsed since the last KEPT event — the alerting/metering
+    semantics a simple window lag can't express (kept-ness depends on
+    prior kept-ness, a sequential recurrence). Runs as a greedy left
+    fold over each key's time-ordered array.
+
+    DuckDB in-place struct_pack hazard (CLAUDE.md): the `kept` field
+    reads acc.last, so it is ordered BEFORE the `last` write.
+
+    Output: per event type, events in vs kept vs suppressed.
+
+    Scale: state is one (last_ts, kept) pair per key inside an
+    interpreted fold over session-bounded arrays; the heavy reduction
+    (collect per key) is one keyed shuffle. The identical recurrence
+    moves to applyInPandasWithState on an unbounded stream (see
+    streaming/windows.py)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("tus"),
+        "event_id")
+    seqs = (ev.select("user_id", "event_type",
+                      F.struct("tus", "event_id").alias("s"))
+            .groupBy("user_id", "event_type")
+            .agg(F.array_sort(F.collect_list("s")).alias("xs")))
+    elems = F.transform(F.col("xs"), lambda t: F.struct(
+        F.lit(0).cast("long").alias("kept"), t["tus"].alias("last")))
+    init = F.struct(F.lit(0).cast("long").alias("kept"),
+                    F.lit(-(1 << 62)).cast("long").alias("last"))
+
+    def step(acc, e):
+        keep = (e["last"] - acc["last"]) >= _COOLDOWN_US
+        return F.struct(
+            (acc["kept"] + F.when(keep, 1).otherwise(0)).alias("kept"),
+            F.when(keep, e["last"]).otherwise(acc["last"]).alias("last"))
+
+    acc = F.aggregate(elems, init, step)
+    per_key = seqs.select(
+        "event_type", F.size("xs").cast("long").alias("n_in"),
+        acc["kept"].alias("n_kept"))
+    return (per_key.groupBy("event_type")
+            .agg(F.sum("n_in").alias("events_in"),
+                 F.sum("n_kept").alias("events_kept"),
+                 (F.sum("n_in") - F.sum("n_kept")).alias("suppressed")))
+
+
+_COOLDOWN_SQL = f"""
+WITH seqs AS (
+  SELECT user_id, event_type,
+         list(epoch_us(ts) ORDER BY epoch_us(ts), event_id) AS xs
+  FROM events GROUP BY 1, 2
+), folded AS (
+  SELECT event_type, len(xs) AS n_in,
+         list_reduce(
+           list_prepend(struct_pack(kept := 0::BIGINT,
+                                    last := {-(1 << 62)}::BIGINT),
+                        list_transform(xs, t -> struct_pack(
+                            kept := 0::BIGINT, last := t))),
+           (acc, e) -> struct_pack(
+             kept := acc.kept + CASE WHEN e.last - acc.last
+                                          >= {_COOLDOWN_US}
+                                     THEN 1 ELSE 0 END,
+             last := CASE WHEN e.last - acc.last >= {_COOLDOWN_US}
+                          THEN e.last ELSE acc.last END)).kept AS n_kept
+  FROM seqs
+)
+SELECT event_type,
+       CAST(sum(n_in) AS BIGINT) AS events_in,
+       CAST(sum(n_kept) AS BIGINT) AS events_kept,
+       CAST(sum(n_in) - sum(n_kept) AS BIGINT) AS suppressed
+FROM folded GROUP BY 1
+"""
+
+QUERIES["cooldown_dedup"] = (cooldown_dedup, _COOLDOWN_SQL)

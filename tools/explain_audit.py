@@ -132,6 +132,7 @@ def main() -> None:
         "holt_linear_forecast", "rake_keywords",
         "k_anonymity_audit", "fellegi_sunter_scoring",
         "rfm_segmentation", "apriori_triples",
+        "match_recognize_funnel", "cooldown_dedup",
     ]
     for name in names:
         if name not in qs:
