@@ -865,3 +865,102 @@ SELECT seed, CAST(step AS INT) AS step, node FROM ({levels})
 
 
 QUERIES["graph_random_walks"] = (graph_random_walks, _walks_sql())
+
+
+# --------------------------------------------------------------------------
+# Bellman–Ford weighted shortest paths (K relaxation rounds)
+# --------------------------------------------------------------------------
+BF_ROUNDS = 4
+
+
+def bellman_ford_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the customer↔supplier
+    graph: edge weight = cheapest observed lineitem (exact cents) on
+    the relation, BF_ROUNDS unrolled relaxation rounds from the
+    smallest customer node. Completes the graph family's traversal
+    axis (BFS = hop distance, Bellman–Ford = weighted distance).
+
+    Each round is the textbook relax-all superstep as DataFrames:
+    dist' = min over (dist ∪ dist⋈edges→(dst, d+w)) per node — one
+    keyed join + one min-aggregate, both map-side combinable. All
+    arithmetic is int64 cents (min() needs no tie-break — it's a total
+    order on values). Emits the 10 nearest nodes plus the reached
+    count (frontier fingerprint).
+
+    Scale: identical shape to bfs_levels — rounds persist and release
+    via the similarity module's list; at diameter ≫ K switch to a
+    convergence loop staged to parquet (same superstep body).
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .groupBy(F.col("o_custkey").alias("c"),
+                   F.col("l_suppkey").alias("s"))
+          .agg(F.min("w").alias("w")))
+    off = F.broadcast(e0.agg((F.max("c") + F.lit(1)).alias("_off")))
+    e0o = e0.crossJoin(off)
+    und = (e0o.select(F.col("c").alias("src"),
+                      (F.col("s") + F.col("_off")).alias("dst"), "w")
+           .unionByName(e0o.select((F.col("s") + F.col("_off")).alias("src"),
+                                   F.col("c").alias("dst"), "w"))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _sim._PERSISTED.append(und)
+    dist = e0.agg(F.min("c").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("d"))
+    for _ in range(BF_ROUNDS):
+        relaxed = (und.join(dist.withColumnRenamed("node", "src")
+                            .withColumnRenamed("d", "ds"), "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("ds") + F.col("w")).alias("d")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("d").alias("d"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        _sim._PERSISTED.append(dist)
+    n_reached = F.broadcast(dist.agg(F.count(F.lit(1)).alias("n_reached")))
+    return (dist.crossJoin(n_reached)
+            .orderBy(F.asc("d"), F.asc("node"))
+            .limit(10)
+            .select("node", "d", "n_reached"))
+
+
+def _bellman_ford_sql() -> str:
+    ctes = ["""e0 AS (
+    SELECT o.o_custkey AS c, l.l_suppkey AS s,
+           CAST(min(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS w
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+)""", """und AS (
+    SELECT c AS src, s + (SELECT max(c) + 1 FROM e0) AS dst, w FROM e0
+    UNION ALL
+    SELECT s + (SELECT max(c) + 1 FROM e0) AS src, c AS dst, w FROM e0
+)""", """d0 AS (
+    SELECT (SELECT min(c) FROM e0) AS node, 0::BIGINT AS d
+)"""]
+    prev = "d0"
+    for r in range(1, BF_ROUNDS + 1):
+        ctes.append(f"""d{r} AS (
+    SELECT node, CAST(min(d) AS BIGINT) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT u.dst AS node, p.d + u.w AS d
+        FROM und u JOIN {prev} p ON u.src = p.node
+    ) GROUP BY node
+)""")
+        prev = f"d{r}"
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT node, d, (SELECT CAST(count(*) AS BIGINT) FROM {prev}) AS n_reached
+FROM {prev}
+ORDER BY d ASC, node ASC
+LIMIT 10
+""")
+
+
+QUERIES["bellman_ford_distances"] = (bellman_ford_distances,
+                                     _bellman_ford_sql())

@@ -661,3 +661,122 @@ FROM classes
 """
 
 QUERIES["k_anonymity_audit"] = (k_anonymity_audit, _KANON_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit audit (fraud/fabrication screen)
+# ---------------------------------------------------------------------------
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed counts per
+    leading digit vs the Benford expectation n·log10(1+1/d), with the
+    chi-square contribution per digit — the standard fabricated-data
+    screen an ingest DQ gate runs on money columns.
+
+    The leading digit comes from STRING truncation of exact integer
+    cents (substr of cast), not log/pow arithmetic — no float boundary
+    decides a digit. Expected counts and chi² are the only doubles
+    (one formula on exact int64 inputs, round(4)).
+
+    Scale: one scan → 9-row aggregate (map-side combinable); the
+    expectation join is a literal expression, not a table."""
+    digit = F.substring(F.round(F.col("o_totalprice") * 100)
+                        .cast("long").cast("string"), 1, 1).cast("int")
+    counts = (load(spark, sf_dir, "orders")
+              .where(F.col("o_totalprice") > 0)
+              .select(digit.alias("d"))
+              .groupBy("d").agg(F.count(F.lit(1)).alias("observed")))
+    total = counts.agg(F.sum("observed").alias("n"))
+    expected = F.col("n") * F.log10(1 + 1 / F.col("d").cast("double"))
+    chi = ((F.col("observed") - expected) * (F.col("observed") - expected)
+           / expected)
+    return (counts.join(F.broadcast(total))
+            .select("d", "observed",
+                    F.round(expected, 4).alias("expected"),
+                    F.round(chi, 4).alias("chi2_term")))
+
+
+_BENFORD_SQL = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS d,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+), total AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM counts)
+SELECT c.d, c.observed,
+       round(t.n * log10(1 + 1 / CAST(c.d AS DOUBLE)), 4) AS expected,
+       round((c.observed - t.n * log10(1 + 1 / CAST(c.d AS DOUBLE)))
+             * (c.observed - t.n * log10(1 + 1 / CAST(c.d AS DOUBLE)))
+             / (t.n * log10(1 + 1 / CAST(c.d AS DOUBLE))), 4) AS chi2_term
+FROM counts c CROSS JOIN total t
+"""
+
+QUERIES["benford_audit"] = (benford_audit, _BENFORD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient / Lorenz deciles of customer spend concentration
+# ---------------------------------------------------------------------------
+
+
+def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-inequality report: the Gini coefficient of per-customer
+    lifetime spend via the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+    over the (spend, custkey)-ordered sequence, plus the top-decile
+    spend share (Lorenz point). Every Σ is exact int64 (cents ×
+    row_number); the two closed-form combinations are the only
+    doubles.
+
+    Scale: per-customer aggregate is one keyed shuffle; the global
+    rank is a single-partition sort of CUSTOMER-scale rows (same
+    tradeoff note as rfm_segmentation — swap for a two-pass histogram
+    rank at billions of customers). Int64 headroom: Σ(i·xᵢ) ≤ n²·max
+    — fine through ~1e7 customers at driver spend magnitudes."""
+    from pyspark.sql import Window
+
+    spend = (load(spark, sf_dir, "orders")
+             .groupBy("o_custkey")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                   .alias("x")))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = spend.select(
+        "x", F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+         .alias("nn"))
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+        F.sum(F.when(F.col("i") * 10 > 9 * F.col("nn"), F.col("x"))
+               .otherwise(0)).alias("top_decile_x"))
+    gini = (2.0 * F.col("six").cast("double")
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double"))
+    share = F.col("top_decile_x").cast("double") / F.col("sx").cast("double")
+    return m.select("n", F.round(gini, 6).alias("gini"),
+                    F.round(share, 6).alias("top_decile_share"))
+
+
+_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS nn
+  FROM spend
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(2.0 * CAST(sum(i * x) AS BIGINT)
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS BIGINT))
+             - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini,
+       round(CAST(sum(CASE WHEN i * 10 > 9 * nn THEN x ELSE 0 END)
+                  AS BIGINT) / CAST(CAST(sum(x) AS BIGINT) AS DOUBLE), 6)
+           AS top_decile_share
+FROM ranked
+"""
+
+QUERIES["gini_spend_concentration"] = (gini_spend_concentration, _GINI_SQL)

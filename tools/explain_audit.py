@@ -133,6 +133,8 @@ def main() -> None:
         "k_anonymity_audit", "fellegi_sunter_scoring",
         "rfm_segmentation", "apriori_triples",
         "match_recognize_funnel", "cooldown_dedup",
+        "benford_audit", "gini_spend_concentration",
+        "bellman_ford_distances",
     ]
     for name in names:
         if name not in qs:
