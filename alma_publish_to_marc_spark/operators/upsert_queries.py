@@ -325,3 +325,119 @@ FROM merged m JOIN fullr f ON f.event_type = m.event_type
 
 QUERIES["incremental_agg_maintenance"] = (incremental_agg_maintenance,
                                           _INC_AGG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN maintenance (Z-set delta-join identity, with deletes)
+# ---------------------------------------------------------------------------
+_DJ_CUT_DAY = 10_957  # epoch-day split (2000-01-01): base vs delta batch
+
+
+def _incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN under inserts AND
+    deletes, DBSP/Z-set style: rows carry ±1 weights, and the delta of
+    A⋈B for a change batch is ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB. The query
+    materializes base state (orders/lineitem before an epoch-day cut),
+    treats later orders as inserts and a deterministic slice of old
+    ones (custkey % 97 == 0) as deletes, applies the three delta
+    joins, and asserts the maintained per-customer revenue aggregate
+    EQUALS the from-scratch recompute — emitting the comparison so a
+    value drift is a row diff, not a silent pass.
+
+    All revenue is exact integer cents; weights multiply through the
+    join (w = w_a·w_b) and sum to the signed aggregate update.
+
+    Scale: this is the only join-maintenance shape that avoids
+    re-scanning the base fact: ΔA⋈B and A⋈ΔB are keyed joins of a
+    SMALL delta against the big side (broadcast the delta), ΔA⋈ΔB is
+    delta-sized. The final equality check is a full-outer on the
+    aggregate keys (report-sized)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("oday"))
+    base_o = orders.where(F.col("oday") < _DJ_CUT_DAY)
+    ins_o = (orders.where(F.col("oday") >= _DJ_CUT_DAY)
+             .select("o_orderkey", "o_custkey", F.lit(1).alias("w")))
+    del_o = (base_o.where(F.col("o_custkey") % 97 == 0)
+             .select("o_orderkey", "o_custkey", F.lit(-1).alias("w")))
+    delta_o = ins_o.unionByName(del_o)
+    # lineitem side static (weight +1): ΔA⋈B is the only non-empty term
+    # plus A⋈ΔB=∅ and ΔA⋈ΔB=∅ since ΔB=∅ — assert shape by computing
+    # the maintained aggregate as base_agg + delta_agg.
+    base_agg = (base_o.join(li, base_o.o_orderkey == li.l_orderkey)
+                .groupBy("o_custkey")
+                .agg(F.sum("price_c").alias("rev_c")))
+    delta_agg = (delta_o.join(li, delta_o.o_orderkey == li.l_orderkey)
+                 .groupBy("o_custkey")
+                 .agg(F.sum(F.col("w") * F.col("price_c")).alias("d_rev_c")))
+    maintained = (base_agg.join(delta_agg, "o_custkey", "full_outer")
+                  .select("o_custkey",
+                          (F.coalesce("rev_c", F.lit(0))
+                           + F.coalesce("d_rev_c", F.lit(0)))
+                          .alias("rev_c"))
+                  .where(F.col("rev_c") != 0))
+    # from-scratch recompute of the post-change state
+    final_o = (orders.where(~((F.col("oday") < _DJ_CUT_DAY)
+                              & (F.col("o_custkey") % 97 == 0))))
+    recomputed = (final_o.join(li, final_o.o_orderkey == li.l_orderkey)
+                  .groupBy("o_custkey")
+                  .agg(F.sum("price_c").alias("rev2_c")))
+    cmp = (maintained.join(recomputed, "o_custkey", "full_outer")
+           .select(F.col("o_custkey").alias("custkey"),
+                   F.coalesce("rev_c", F.lit(-1)).alias("maintained_c"),
+                   F.coalesce("rev2_c", F.lit(-1)).alias("recomputed_c")))
+    return cmp.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("maintained_c") == F.col("recomputed_c"), 1)
+               .otherwise(0)).cast("long").alias("n_equal"),
+        F.sum("maintained_c").alias("total_rev_c"))
+
+
+_DJ_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+), o AS (
+  SELECT o_orderkey, o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS oday
+  FROM orders
+), base_o AS (SELECT * FROM o WHERE oday < {_DJ_CUT_DAY}),
+delta_o AS (
+  SELECT o_orderkey, o_custkey, 1 AS w FROM o WHERE oday >= {_DJ_CUT_DAY}
+  UNION ALL
+  SELECT o_orderkey, o_custkey, -1 AS w FROM base_o WHERE o_custkey % 97 = 0
+), base_agg AS (
+  SELECT b.o_custkey, CAST(sum(li.price_c) AS BIGINT) AS rev_c
+  FROM base_o b JOIN li ON b.o_orderkey = li.l_orderkey GROUP BY 1
+), delta_agg AS (
+  SELECT d.o_custkey, CAST(sum(d.w * li.price_c) AS BIGINT) AS d_rev_c
+  FROM delta_o d JOIN li ON d.o_orderkey = li.l_orderkey GROUP BY 1
+), maintained AS (
+  SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+         COALESCE(b.rev_c, 0) + COALESCE(d.d_rev_c, 0) AS rev_c
+  FROM base_agg b FULL OUTER JOIN delta_agg d ON b.o_custkey = d.o_custkey
+), nz AS (SELECT * FROM maintained WHERE rev_c != 0),
+final_o AS (
+  SELECT * FROM o WHERE NOT (oday < {_DJ_CUT_DAY} AND o_custkey % 97 = 0)
+), recomputed AS (
+  SELECT f.o_custkey, CAST(sum(li.price_c) AS BIGINT) AS rev2_c
+  FROM final_o f JOIN li ON f.o_orderkey = li.l_orderkey GROUP BY 1
+), cmp AS (
+  SELECT COALESCE(n.o_custkey, r.o_custkey) AS custkey,
+         COALESCE(n.rev_c, -1) AS maintained_c,
+         COALESCE(r.rev2_c, -1) AS recomputed_c
+  FROM nz n FULL OUTER JOIN recomputed r ON n.o_custkey = r.o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN maintained_c = recomputed_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_equal,
+       CAST(sum(maintained_c) AS BIGINT) AS total_rev_c
+FROM cmp
+"""
+
+QUERIES["incremental_join_maintenance"] = (_incremental_join_maintenance,
+                                           _DJ_SQL)

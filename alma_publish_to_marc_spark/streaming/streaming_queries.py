@@ -7,6 +7,7 @@ query executes per micro-batch."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..tables import load
 from .windows import windowed_event_counts
@@ -112,3 +113,63 @@ QUERIES = {
     "event_sessionization": (_sessionize, _SESSION_SQL),
     "hopping_window_counts": (_hopping_windows, _HOPPING_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data audit (batch replay of streaming drop semantics)
+# ---------------------------------------------------------------------------
+_WM_DELAY_US = 300_000_000  # 5-minute watermark
+
+
+def _watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay streaming watermark semantics over the batch log: per
+    channel (event type), process events in ARRIVAL order (event_id —
+    the ingest sequence), track the running max event time over
+    strictly-preceding arrivals, and flag an event late when it
+    arrives more than the 5-minute watermark behind that high-water
+    mark — exactly the rows `withWatermark(...)` would drop. The audit
+    sizes the allowed-lateness knob BEFORE a streaming deploy.
+
+    Integer epoch-µs arithmetic throughout; the exclusive-preceding
+    frame makes the first arrival NULL-safe (never late).
+
+    Scale: one window per channel keyed on event_type (streams are
+    per-source sequential by construction, so this matches the real
+    ingest partitioning); the report is channel-sized."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("tus"))
+    w = (Window.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.select(
+        "event_type", "tus",
+        (F.max("tus").over(w) - F.col("tus")).alias("behind_us"))
+    late = F.col("behind_us") > _WM_DELAY_US
+    return (flagged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(late, 1).otherwise(0)).cast("long")
+                  .alias("n_late"),
+                 F.max(F.when(late, F.col("behind_us"))).alias("max_late_us")))
+
+
+_WM_SQL = f"""
+WITH flagged AS (
+  SELECT event_type,
+         max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+             - epoch_us(ts) AS behind_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN behind_us > {_WM_DELAY_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       max(CASE WHEN behind_us > {_WM_DELAY_US} THEN behind_us END)
+           AS max_late_us
+FROM flagged GROUP BY 1
+"""
+
+QUERIES["watermark_late_audit"] = (_watermark_late_audit, _WM_SQL)

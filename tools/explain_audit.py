@@ -135,6 +135,7 @@ def main() -> None:
         "match_recognize_funnel", "cooldown_dedup",
         "benford_audit", "gini_spend_concentration",
         "bellman_ford_distances",
+        "incremental_join_maintenance", "watermark_late_audit",
     ]
     for name in names:
         if name not in qs:
