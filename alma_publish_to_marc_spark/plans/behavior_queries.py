@@ -1432,3 +1432,84 @@ FROM folded GROUP BY 1
 """
 
 QUERIES["cooldown_dedup"] = (cooldown_dedup, _COOLDOWN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency quartiles (exact rank-selected, no percentile())
+# ---------------------------------------------------------------------------
+
+
+def conversion_latency_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    purchase follows their first view, the view→purchase latency in
+    whole seconds; reported as EXACT quartiles selected by rank
+    (elements at ⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉ of the (latency, user)-ordered
+    sequence) — engine percentile()/quantile() interpolation and tie
+    rules differ, rank selection of an actual element cannot.
+
+    Scale: two conditional-min aggregates per user (one keyed
+    shuffle), a user-scale rank window, then three broadcast-able
+    scalar picks. The rank window is single-partition over CONVERTING
+    users only — report-scale; swap for the histogram split beyond
+    that."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("tus"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.when(F.col("event_type") == "view",
+                                  F.col("tus"))).alias("first_view"),
+                     F.min(F.when(F.col("event_type") == "purchase",
+                                  F.col("tus"))).alias("first_buy")))
+    conv = (per_user
+            .where(F.col("first_view").isNotNull()
+                   & F.col("first_buy").isNotNull()
+                   & (F.col("first_buy") > F.col("first_view")))
+            .select("user_id",
+                    ((F.col("first_buy") - F.col("first_view"))
+                     / F.lit(1_000_000)).cast("long").alias("lat_s")))
+    w = Window.orderBy("lat_s", "user_id")
+    ranked = conv.select(
+        "lat_s", F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"))
+    pick = lambda q: F.max(F.when(  # noqa: E731
+        F.col("i") == F.ceil(F.col("n") * q / 4).cast("long"),
+        F.col("lat_s")))
+    return ranked.agg(F.max("n").alias("n_converting"),
+                      pick(1).alias("q1_s"), pick(2).alias("median_s"),
+                      pick(3).alias("q3_s"))
+
+
+_CONV_LAT_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+             AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+             AS first_buy
+  FROM events GROUP BY 1
+), conv AS (
+  SELECT user_id,
+         CAST((first_buy - first_view) // 1000000 AS BIGINT) AS lat_s
+  FROM per_user
+  WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+    AND first_buy > first_view
+), ranked AS (
+  SELECT lat_s,
+         CAST(row_number() OVER (ORDER BY lat_s, user_id) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM conv
+)
+SELECT max(n) AS n_converting,
+       max(CASE WHEN i = CAST(ceil(n * 1 / 4.0) AS BIGINT)
+                THEN lat_s END) AS q1_s,
+       max(CASE WHEN i = CAST(ceil(n * 2 / 4.0) AS BIGINT)
+                THEN lat_s END) AS median_s,
+       max(CASE WHEN i = CAST(ceil(n * 3 / 4.0) AS BIGINT)
+                THEN lat_s END) AS q3_s
+FROM ranked
+"""
+
+QUERIES["conversion_latency_quartiles"] = (conversion_latency_quartiles,
+                                           _CONV_LAT_SQL)

@@ -136,6 +136,7 @@ def main() -> None:
         "benford_audit", "gini_spend_concentration",
         "bellman_ford_distances",
         "incremental_join_maintenance", "watermark_late_audit",
+        "conversion_latency_quartiles",
     ]
     for name in names:
         if name not in qs:
