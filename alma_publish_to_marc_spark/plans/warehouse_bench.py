@@ -251,3 +251,122 @@ QUERIES = {
     "bucketed_item_info_join": (bucketed_item_info_join, _BUCKETED_SQL),
     "zorder_layout_stats": (zorder_layout_stats, _zorder_sql()),
 }
+
+
+# ---------------------------------------------------------------------------
+# Warehouse nightly close: revenue rollup + MoM deltas + anomaly + DQ
+# ---------------------------------------------------------------------------
+_WC_START, _WC_END = "2000-01-01", "2001-08-01"
+
+
+def _warehouse_close_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite nightly-close report a warehouse team ships:
+    per-nation monthly revenue (star join, dims broadcast), month-over-
+    month delta (per-nation lag window), an anomaly flag when |Δ|
+    exceeds 2× the trailing average |Δ| (pure integer cross-
+    multiplication — no float boundary), and the run's DQ counter
+    (orders with no customer match — broadcast into every row). One
+    DataFrame, one pass over the fact table: the point is COMPOSITION
+    of the engine's families without re-scanning.
+
+    Scale: single fact scan (date filter pushed) → one keyed monthly
+    aggregate → nation-partitioned windows on the report-sized frame.
+    The orphan-count anti join shares the same scan via the customer
+    broadcast. Int64 cents throughout; the only doubles are display
+    money via the midpoint-safe _money."""
+    from pyspark.sql import Window
+
+    from alma_publish_to_marc_spark.plans.tpch_queries import (_disc_price_e4,
+                                                               _money)
+
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (load(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "n_name"))
+    orders = (load(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= F.lit(_WC_START).cast("timestamp"))
+                     & (F.col("o_orderdate") < F.lit(_WC_END).cast("timestamp")))
+              .select("o_orderkey", "o_custkey",
+                      (F.year("o_orderdate") * 100
+                       + F.month("o_orderdate")).alias("ym")))
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", _disc_price_e4().alias("rev_e4")))
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey, "left"))
+    orphans = F.broadcast(
+        joined.agg(F.sum(F.when(F.col("n_name").isNull(), 1).otherwise(0))
+                   .cast("long").alias("orphan_lines")))
+    monthly = (joined.where(F.col("n_name").isNotNull())
+               .groupBy("n_name", "ym")
+               .agg(F.sum("rev_e4").alias("rev_e4")))
+    w = Window.partitionBy("n_name").orderBy("ym")
+    with_delta = monthly.select(
+        "n_name", "ym", "rev_e4",
+        (F.col("rev_e4") - F.lag("rev_e4", 1).over(w)).alias("delta_e4"),
+        F.row_number().over(w).alias("rn"))
+    trail = (Window.partitionBy("n_name").orderBy("ym")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = with_delta.select(
+        "n_name", "ym", "rev_e4", "delta_e4",
+        F.sum(F.abs(F.coalesce("delta_e4", F.lit(0)))).over(trail)
+         .alias("trail_abs"),
+        (F.row_number().over(w) - 1).cast("long").alias("n_prior"))
+    # |Δ|·n_prior > 2·Σ|prior Δ|  (needs ≥2 prior deltas to arm)
+    anom = ((F.col("n_prior") >= 3)
+            & (F.abs(F.col("delta_e4")) * (F.col("n_prior") - 1)
+               > 2 * F.col("trail_abs")))
+    return (flagged.crossJoin(orphans)
+            .select("n_name", "ym",
+                    _money(F.col("rev_e4")).alias("revenue"),
+                    _money(F.coalesce("delta_e4", F.lit(0))).alias("mom_delta"),
+                    anom.cast("int").alias("is_anomaly"),
+                    "orphan_lines"))
+
+
+def _wc_sql() -> str:
+    from alma_publish_to_marc_spark.plans.tpch_queries import (_SQL_DISC_E4,
+                                                               _sql_money)
+    return f"""
+WITH joined AS (
+  SELECT n.n_name,
+         CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS INT) AS ym,
+         {_SQL_DISC_E4} AS rev_e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '{_WC_START}'
+    AND o.o_orderdate <  TIMESTAMP '{_WC_END}'
+), orphans AS (
+  SELECT CAST(sum(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS orphan_lines
+  FROM joined
+), monthly AS (
+  SELECT n_name, ym, CAST(sum(rev_e4) AS BIGINT) AS rev_e4
+  FROM joined WHERE n_name IS NOT NULL GROUP BY 1, 2
+), deltas AS (
+  SELECT n_name, ym, rev_e4,
+         rev_e4 - lag(rev_e4) OVER w AS delta_e4,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS n_prior
+  FROM monthly WINDOW w AS (PARTITION BY n_name ORDER BY ym)
+), with_delta AS (
+  SELECT n_name, ym, rev_e4, delta_e4, n_prior,
+         CAST(sum(abs(COALESCE(delta_e4, 0)))
+              OVER (PARTITION BY n_name ORDER BY ym
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS trail_abs
+  FROM deltas
+)
+SELECT d.n_name, d.ym,
+       {_sql_money('d.rev_e4')} AS revenue,
+       {_sql_money('COALESCE(d.delta_e4, 0)')} AS mom_delta,
+       CAST(CASE WHEN d.n_prior >= 3
+                  AND abs(d.delta_e4) * (d.n_prior - 1) > 2 * d.trail_abs
+                 THEN 1 ELSE 0 END AS INT) AS is_anomaly,
+       o.orphan_lines
+FROM with_delta d CROSS JOIN orphans o
+"""
+
+
+QUERIES["warehouse_close_end2end"] = (_warehouse_close_end2end, _wc_sql())

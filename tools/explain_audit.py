@@ -136,7 +136,7 @@ def main() -> None:
         "benford_audit", "gini_spend_concentration",
         "bellman_ford_distances",
         "incremental_join_maintenance", "watermark_late_audit",
-        "conversion_latency_quartiles",
+        "conversion_latency_quartiles", "warehouse_close_end2end",
     ]
     for name in names:
         if name not in qs:
