@@ -780,3 +780,95 @@ FROM ranked
 """
 
 QUERIES["gini_spend_concentration"] = (gini_spend_concentration, _GINI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (PSI) drift between corpus halves
+# ---------------------------------------------------------------------------
+_PSI_BUCKETS = 8
+
+
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift check per source feed: does the document-length
+    distribution shift between the first and second half of the feed
+    (doc_id order — the ingest sequence)? PSI = Σ (p−q)·ln(p/q) over
+    fixed-width n_chars buckets, the model-monitoring staple.
+
+    Buckets are integer width-bucket floors (CLAUDE.md: write the
+    formula, engines lack/diverge on width_bucket); p and q are exact
+    integer counts Laplace-smoothed by +1 so empty buckets stay finite
+    — ln() sees identical rational inputs in both engines.
+
+    Scale: two aggregates (per-source-half-bucket counts, then the
+    PSI combine on the bucket-count frame). The half split derives
+    from per-source max doc_id (no fixed constant — alias-safe at any
+    sf)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source",
+                                                   "n_chars")
+    stats = docs.groupBy("source").agg(
+        F.max("doc_id").alias("max_id"), F.min("doc_id").alias("min_id"),
+        F.max("n_chars").alias("max_c"), F.min("n_chars").alias("min_c"))
+    j = docs.join(F.broadcast(stats), "source")
+    bucket = F.least(
+        F.lit(_PSI_BUCKETS - 1),
+        ((F.col("n_chars") - F.col("min_c")) * _PSI_BUCKETS
+         / (F.col("max_c") - F.col("min_c") + 1)).cast("long"))
+    half = (F.col("doc_id") * 2
+            > F.col("min_id") + F.col("max_id")).cast("int")
+    counts = (j.select("source", bucket.alias("b"), half.alias("h"))
+              .groupBy("source", "b")
+              .agg(F.sum(F.when(F.col("h") == 0, 1).otherwise(0))
+                    .cast("long").alias("p_n"),
+                   F.sum(F.when(F.col("h") == 1, 1).otherwise(0))
+                    .cast("long").alias("q_n")))
+    tot = counts.groupBy("source").agg(
+        F.sum("p_n").alias("pt"), F.sum("q_n").alias("qt"),
+        F.count(F.lit(1)).alias("nb"))
+    p = ((F.col("p_n") + 1).cast("double")
+         / (F.col("pt") + F.col("nb")).cast("double"))
+    q = ((F.col("q_n") + 1).cast("double")
+         / (F.col("qt") + F.col("nb")).cast("double"))
+    term = (p - q) * F.log(p / q)
+    return (counts.join(F.broadcast(tot), "source")
+            .groupBy("source")
+            .agg(F.round(F.sum(term), 6).alias("psi"),
+                 F.sum("p_n").alias("n_first_half"),
+                 F.sum("q_n").alias("n_second_half")))
+
+
+_PSI_SQL = f"""
+WITH stats AS (
+  SELECT source, max(doc_id) AS max_id, min(doc_id) AS min_id,
+         max(n_chars) AS max_c, min(n_chars) AS min_c
+  FROM documents GROUP BY 1
+), j AS (
+  SELECT d.source,
+         least({_PSI_BUCKETS - 1},
+               (d.n_chars - s.min_c) * {_PSI_BUCKETS}
+               // (s.max_c - s.min_c + 1)) AS b,
+         CASE WHEN d.doc_id * 2 > s.min_id + s.max_id THEN 1 ELSE 0 END AS h
+  FROM documents d JOIN stats s ON d.source = s.source
+), counts AS (
+  SELECT source, b,
+         CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+         CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q_n
+  FROM j GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(p_n) AS BIGINT) AS pt,
+         CAST(sum(q_n) AS BIGINT) AS qt,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM counts GROUP BY 1
+)
+SELECT c.source,
+       round(sum(((c.p_n + 1) / CAST(t.pt + t.nb AS DOUBLE)
+                  - (c.q_n + 1) / CAST(t.qt + t.nb AS DOUBLE))
+                 * ln(((c.p_n + 1) / CAST(t.pt + t.nb AS DOUBLE))
+                      / ((c.q_n + 1) / CAST(t.qt + t.nb AS DOUBLE)))), 6)
+           AS psi,
+       CAST(sum(c.p_n) AS BIGINT) AS n_first_half,
+       CAST(sum(c.q_n) AS BIGINT) AS n_second_half
+FROM counts c JOIN tot t ON c.source = t.source
+GROUP BY 1
+"""
+
+QUERIES["psi_drift_report"] = (psi_drift_report, _PSI_SQL)
