@@ -200,3 +200,165 @@ QUERIES = {
     "media_shard_assignment": (_shard_assignment, _SHARD_SQL),
     "media_byte_features": (_byte_features, _BYTE_FEATURES_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal retrieval: text-token queries vs byte-n-gram media vectors
+# ---------------------------------------------------------------------------
+_XM_GRAM = 4
+_XM_QMOD = 97  # query panel: doc_id % 97 == 0
+
+
+def _cross_modal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-shaped retrieval PLUMBING with no model: media payloads
+    (opaque binary) and text queries embed through the SAME 64-dim
+    byte-4-gram hashed-TF encoder (the shared-space property a real
+    dual encoder learns); each query is the FIRST HALF of a document's
+    text (a caption-like excerpt) retrieving its top-1 media item by
+    cosine. Self-retrieval (excerpt → own full payload) is the recall
+    fixture — high but not trivially 1.0, since the query sees only
+    half the grams.
+
+    The byte encoder is modality-agnostic: it reads bytes, not words —
+    swap the stand-in payloads for real image/audio blobs and the
+    pipeline shape (binary column → per-item vector → broadcast query
+    panel → argmax join) is unchanged; only the featurizer upgrades to
+    a real encoder behind mapInPandas (see columns.pick_decoder).
+
+    Scale: media vectors are one explode + 64 conditional sums per
+    item (map-side combinable); the query panel (~1% of docs)
+    broadcasts; argmax is struct-max per query — no global shuffle of
+    the media corpus beyond its vector aggregate. Cosines are
+    left-fold doubles on identical inputs in both engines; ranking
+    ties break on media id via struct-max."""
+    from ..functions.hash_embedding import HDIM
+
+    def gram_vectors(frame, id_name, text_col, out_name):
+        """Shared byte-4-gram hashed-TF encoder (both modalities)."""
+        grams = frame.select(
+            id_name,
+            F.explode(F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.length(text_col) - (_XM_GRAM - 1),
+                                      F.lit(0))),
+                lambda i: text_col.substr(i, F.lit(_XM_GRAM)))).alias("g"))
+        dim = F.pmod(F.conv(F.substring(F.md5("g"), 1, 12), 16, 10)
+                     .cast("long"), F.lit(HDIM))
+        counts = (grams.select(id_name, dim.alias("d"))
+                  .groupBy(id_name)
+                  .agg(*[F.sum(F.when(F.col("d") == i, 1).otherwise(0))
+                         .cast("double").alias(f"c{i}")
+                         for i in range(HDIM)]))
+        raw = F.array(*[F.col(f"c{i}") for i in range(HDIM)])
+        return (counts
+                .select(id_name, raw.alias("r"),
+                        F.sqrt(F.aggregate(
+                            F.transform(raw, lambda x: x * x),
+                            F.lit(0.0), lambda a, x: a + x)).alias("nm"))
+                .select(id_name,
+                        F.when(F.col("nm") == 0,
+                               F.transform("r", lambda x: x * 0.0))
+                         .otherwise(F.transform(
+                             "r",
+                             lambda x: F.round(x / F.col("nm"), 6) + 0.0))
+                         .alias(out_name)))
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = M.attach_binary_payload(docs, "doc_id", "text")
+    decoded = media.select(F.col("doc_id").alias("media_id"),
+                           F.decode("payload", "UTF-8").alias("btxt"))
+    mvec = gram_vectors(decoded, "media_id", F.col("btxt"), "mv")
+    qdocs = (docs.where(F.col("doc_id") % _XM_QMOD == 0)
+             .select(F.col("doc_id").alias("qid"),
+                     F.col("text").substr(
+                         F.lit(1), (F.length("text") / 2).cast("int"))
+                      .alias("qtext")))
+    qvec = gram_vectors(qdocs, "qid", F.col("qtext"), "qv")
+    dotc = F.round(F.aggregate(
+        F.zip_with(F.col("qv"), F.col("mv"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x), 6)
+    scored = (mvec.join(F.broadcast(qvec))
+              .select("qid", "media_id", dotc.alias("cos")))
+    best = (scored.groupBy("qid")
+            .agg(F.max(F.struct(F.col("cos"), F.col("media_id"))).alias("m"))
+            .select("qid", F.col("m.media_id").alias("top_media"),
+                    F.col("m.cos").alias("cos")))
+    return best.select(
+        "qid", "top_media", "cos",
+        (F.col("qid") == F.col("top_media")).cast("int").alias("self_hit"))
+
+
+def _cross_modal_sql() -> str:
+    from ..functions.hash_embedding import HDIM
+
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN d = {i} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS c{i}" for i in range(HDIM))
+    arr = "[" + ", ".join(f"c{i}" for i in range(HDIM)) + "]"
+    qmod, gram, gram_m1, hdim = _XM_QMOD, _XM_GRAM, _XM_GRAM - 1, HDIM
+    return rf"""
+WITH qdocs AS (
+    SELECT doc_id AS qid, substr(text, 1, len(text) // 2) AS qtext
+    FROM documents WHERE doc_id % {qmod} = 0
+), qgrams AS (
+    SELECT qid, unnest(list_transform(
+               range(1, greatest(len(qtext) - {gram_m1}, 0) + 1),
+               i -> substr(qtext, i, {gram}))) AS g
+    FROM qdocs
+), qh AS (
+    SELECT qid, {sums}
+    FROM (SELECT qid,
+                 CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % {hdim} AS d
+          FROM qgrams)
+    GROUP BY qid
+), qvec AS (
+    SELECT qid,
+           CASE WHEN nm = 0 THEN list_transform(r, x -> x * 0.0)
+                ELSE list_transform(r, x -> round(x / nm, 6) + 0.0)
+           END AS qv
+    FROM (SELECT qid, {arr} AS r,
+                 sqrt(list_reduce(list_prepend(0.0,
+                     list_transform({arr}, x -> x * x)),
+                     (a, x) -> a + x)) AS nm
+          FROM qh)
+),
+mgrams AS (
+    SELECT doc_id AS media_id,
+           unnest(list_transform(
+               range(1, greatest(len(text) - {gram_m1}, 0) + 1),
+               i -> substr(text, i, {gram}))) AS g
+    FROM documents
+), mh AS (
+    SELECT media_id, {sums}
+    FROM (SELECT media_id,
+                 CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % {hdim} AS d
+          FROM mgrams)
+    GROUP BY media_id
+), mvec AS (
+    SELECT media_id,
+           CASE WHEN nm = 0 THEN list_transform(r, x -> x * 0.0)
+                ELSE list_transform(r, x -> round(x / nm, 6) + 0.0)
+           END AS mv
+    FROM (SELECT media_id, {arr} AS r,
+                 sqrt(list_reduce(list_prepend(0.0,
+                     list_transform({arr}, x -> x * x)),
+                     (a, x) -> a + x)) AS nm
+          FROM mh)
+), scored AS (
+    SELECT q.qid AS qid, m.media_id,
+           round(list_reduce(list_prepend(0.0,
+               list_transform(range(1, {hdim} + 1),
+                              i -> q.qv[i] * m.mv[i])),
+               (a, x) -> a + x), 6) AS cos
+    FROM qvec q CROSS JOIN mvec m
+), best AS (
+    SELECT qid, max(struct_pack(cos := cos, media_id := media_id)) AS s
+    FROM scored GROUP BY qid
+)
+SELECT qid, s.media_id AS top_media, s.cos AS cos,
+       CAST(CASE WHEN qid = s.media_id THEN 1 ELSE 0 END AS INT) AS self_hit
+FROM best
+"""
+
+
+QUERIES["cross_modal_retrieval"] = (_cross_modal_retrieval, _cross_modal_sql())

@@ -137,7 +137,7 @@ def main() -> None:
         "bellman_ford_distances",
         "incremental_join_maintenance", "watermark_late_audit",
         "conversion_latency_quartiles", "warehouse_close_end2end",
-        "psi_drift_report",
+        "psi_drift_report", "cross_modal_retrieval",
     ]
     for name in names:
         if name not in qs:
