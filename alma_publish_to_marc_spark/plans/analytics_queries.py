@@ -1273,3 +1273,155 @@ QUALIFY fused_rank <= {RAG_TOPK}
 
 
 QUERIES["rag_chunk_retrieval"] = (_rag_chunks, _rag_sql())
+
+
+# ---------------------------------------------------------------------------
+# Positional proximity search (terms within K tokens, positional index)
+# ---------------------------------------------------------------------------
+_PROX_A, _PROX_B, _PROX_K = "spark", "table", 3
+
+
+def _proximity_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search — the positional-inverted-index operator behind
+    phrase and NEAR/K queries: find documents where two terms occur
+    within K token positions, reported as a distance histogram
+    (min |posA−posB| per doc → doc counts) plus pair volume.
+
+    Scale: posexplode builds the positional postings; BOTH term
+    filters push into the same scan pass, and the pair join is keyed
+    on doc_id (positions meet only within a document — never a global
+    shuffle). The histogram aggregate is K+1 rows. For a 100 TB corpus
+    the postings frame is the thing you'd bucket by term."""
+    toks = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.posexplode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+                .alias("pos", "w")))
+    pa = (toks.where(F.col("w") == _PROX_A)
+          .select("doc_id", F.col("pos").alias("pa")))
+    pb = (toks.where(F.col("w") == _PROX_B)
+          .select("doc_id", F.col("pos").alias("pb")))
+    pairs = (pa.join(pb, "doc_id")
+             .where(F.abs(F.col("pa") - F.col("pb")) <= _PROX_K)
+             .select("doc_id",
+                     F.abs(F.col("pa") - F.col("pb")).alias("dist")))
+    per_doc = (pairs.groupBy("doc_id")
+               .agg(F.min("dist").alias("min_dist"),
+                    F.count(F.lit(1)).alias("n_pairs")))
+    return (per_doc.groupBy("min_dist")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_pairs").alias("total_pairs")))
+
+
+_PROX_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, u.w, CAST(u.pos AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) + 1),
+               i -> struct_pack(w := t[i], pos := i - 1))) AS u
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents)
+  )
+), pairs AS (
+  SELECT a.doc_id, abs(a.pos - b.pos) AS dist
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+  WHERE a.w = '{_PROX_A}' AND b.w = '{_PROX_B}'
+    AND abs(a.pos - b.pos) <= {_PROX_K}
+), per_doc AS (
+  SELECT doc_id, min(dist) AS min_dist, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT min_dist, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_pairs) AS BIGINT) AS total_pairs
+FROM per_doc GROUP BY 1
+"""
+
+QUERIES["proximity_phrase_search"] = (_proximity_phrase_search, _PROX_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Nested build → compute-on-nested → unnest roundtrip (self-verifying)
+# ---------------------------------------------------------------------------
+
+
+def _nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-model handling: nest each order's lineitems into an
+    array<struct> column (the shape a document store or denormalized
+    gold table carries), compute per-order aggregates ON THE NESTED
+    ARRAY with higher-order functions, and verify them against the
+    flat groupBy aggregates — the nested and relational views must
+    agree exactly (int64 cents/quantities).
+
+    Scale: one keyed collect builds the nested column (sorted by
+    linenumber — deterministic layout); the array-side aggregates are
+    per-row HOFs with no extra shuffle. The verify join is on the same
+    key partitioning. This is the pattern for writing nested parquet
+    marts while keeping them provably consistent with the flat fact."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"))
+    nested = (li.groupBy("l_orderkey")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct("l_linenumber", "qty", "price_c"))).alias("items")))
+    from_nested = nested.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.aggregate(F.transform("items", lambda t: t["qty"]),
+                    F.lit(0).cast("long"), lambda a, x: a + x)
+         .alias("total_qty"),
+        F.aggregate(F.transform("items", lambda t: t["price_c"]),
+                    F.lit(0).cast("long"), lambda a, x: a + x)
+         .alias("total_price_c"))
+    flat = (li.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("f_n"),
+                 F.sum("qty").alias("f_qty"),
+                 F.sum("price_c").alias("f_price")))
+    cmp = from_nested.join(flat, "l_orderkey")
+    agree = ((F.col("n_items") == F.col("f_n"))
+             & (F.col("total_qty") == F.col("f_qty"))
+             & (F.col("total_price_c") == F.col("f_price")))
+    return cmp.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(agree.cast("int")).cast("long").alias("n_agree"),
+        F.sum("total_price_c").alias("grand_total_c"))
+
+
+_NEST_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+), nested AS (
+  SELECT l_orderkey,
+         list(struct_pack(l_linenumber := l_linenumber, qty := qty,
+                          price_c := price_c)
+              ORDER BY l_linenumber, qty, price_c) AS items
+  FROM li GROUP BY 1
+), from_nested AS (
+  SELECT l_orderkey,
+         CAST(len(items) AS BIGINT) AS n_items,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(items, t -> t.qty)), (a, x) -> a + x)
+             AS total_qty,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(items, t -> t.price_c)), (a, x) -> a + x)
+             AS total_price_c
+  FROM nested
+), flat AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS f_n,
+         CAST(sum(qty) AS BIGINT) AS f_qty,
+         CAST(sum(price_c) AS BIGINT) AS f_price
+  FROM li GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN n.n_items = f.f_n AND n.total_qty = f.f_qty
+                      AND n.total_price_c = f.f_price
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(sum(n.total_price_c) AS BIGINT) AS grand_total_c
+FROM from_nested n JOIN flat f ON n.l_orderkey = f.l_orderkey
+"""
+
+QUERIES["nested_roundtrip"] = (_nested_roundtrip, _NEST_SQL)

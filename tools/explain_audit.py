@@ -138,6 +138,7 @@ def main() -> None:
         "incremental_join_maintenance", "watermark_late_audit",
         "conversion_latency_quartiles", "warehouse_close_end2end",
         "psi_drift_report", "cross_modal_retrieval",
+        "proximity_phrase_search", "nested_roundtrip",
     ]
     for name in names:
         if name not in qs:
