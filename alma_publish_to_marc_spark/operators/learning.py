@@ -285,3 +285,115 @@ ORDER BY true_lang, pred_lang
 """
 
 QUERIES["naive_bayes_confusion"] = (naive_bayes_confusion, _NB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Distributed decision-stump split search (the GBDT/random-forest kernel)
+# ---------------------------------------------------------------------------
+_STUMP_DIMS = 8       # search the first 8 embedding dimensions
+_STUMP_CUTS = 7       # candidate thresholds per dimension (linspace)
+_STUMP_TOPK = 5
+
+
+def _decision_stump_split_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed best-split search — the inner loop of every
+    distributed tree learner (GBDT/random forest): for each candidate
+    (dimension, threshold), accumulate per-class left/right counts in
+    ONE conditional aggregation pass, score splits by weighted Gini
+    purity, and return the top candidates.
+
+    Purity algebra stays exact: maximizing Σ_L c²/n_L + Σ_R c²/n_R is
+    equivalent to minimizing weighted Gini, and the two fractions
+    combine into ONE rational (ΣL·n_R + ΣR·n_L)/(n_L·n_R) — int64
+    numerator/denominator from exact counts, divided once into a
+    double both engines compute identically. Feature values quantize
+    to e3 ints; thresholds are integer linspace cuts from per-dim
+    min/max (derived, not constants). Ties break on (dim, thr) in the
+    TakeOrdered.
+
+    Scale: the candidate grid (dims × cuts) broadcasts; the counting
+    pass is rows × dims × cuts conditional tallies that combine
+    map-side — at 100 TB this is the same one-pass histogram trick
+    XGBoost's approx mode uses (quantile-sketch candidates instead of
+    linspace, same join shape)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform(F.slice("embedding", 1, _STUMP_DIMS),
+                    lambda x: F.round(x * 1000).cast("long")).alias("q"))
+    rows = emb.select(
+        "label", F.posexplode("q").alias("dim", "val"))
+    stats = rows.groupBy("dim").agg(F.min("val").alias("lo"),
+                                    F.max("val").alias("hi"))
+    cuts = (stats.select(
+        "dim", F.explode(F.array(*[F.lit(t) for t in
+                                   range(1, _STUMP_CUTS + 1)])).alias("t"),
+        "lo", "hi")
+        .select("dim", F.floor(F.col("lo") + (F.col("hi") - F.col("lo"))
+                               * F.col("t") / (_STUMP_CUTS + 1))
+                .cast("long").alias("thr")))
+    tallies = (rows.join(F.broadcast(cuts), "dim")
+               .groupBy("dim", "thr", "label")
+               .agg(F.sum(F.when(F.col("val") <= F.col("thr"), 1)
+                          .otherwise(0)).alias("cl"),
+                    F.count(F.lit(1)).alias("ctot")))
+    per_split = (tallies.groupBy("dim", "thr")
+                 .agg(F.sum("cl").alias("n_l"),
+                      F.sum(F.col("ctot") - F.col("cl")).alias("n_r"),
+                      F.sum(F.col("cl") * F.col("cl")).alias("sl2"),
+                      F.sum((F.col("ctot") - F.col("cl"))
+                            * (F.col("ctot") - F.col("cl"))).alias("sr2")))
+    score = ((F.col("sl2") * F.col("n_r") + F.col("sr2") * F.col("n_l"))
+             .cast("double")
+             / (F.col("n_l") * F.col("n_r")).cast("double"))
+    return (per_split
+            .where((F.col("n_l") > 0) & (F.col("n_r") > 0))
+            .select("dim", "thr", "n_l", "n_r",
+                    F.round(score, 6).alias("purity"))
+            .orderBy(F.desc("purity"), F.asc("dim"), F.asc("thr"))
+            .limit(_STUMP_TOPK))
+
+
+def _stump_sql() -> str:
+    return f"""
+WITH rows_q AS (
+  SELECT label, u.dim, u.val
+  FROM (
+    SELECT label,
+           unnest(list_transform(range(1, {_STUMP_DIMS} + 1),
+               i -> struct_pack(dim := i - 1,
+                                val := CAST(round(embedding[i] * 1000)
+                                            AS BIGINT)))) AS u
+    FROM embeddings
+  )
+), stats AS (
+  SELECT dim, min(val) AS lo, max(val) AS hi FROM rows_q GROUP BY 1
+), cuts AS (
+  SELECT dim, CAST(floor(lo + (hi - lo) * t / {_STUMP_CUTS + 1}) AS BIGINT) AS thr
+  FROM stats, unnest(range(1, {_STUMP_CUTS} + 1)) AS r(t)
+), tallies AS (
+  SELECT r.dim, c.thr, r.label,
+         CAST(sum(CASE WHEN r.val <= c.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS cl,
+         CAST(count(*) AS BIGINT) AS ctot
+  FROM rows_q r JOIN cuts c ON r.dim = c.dim
+  GROUP BY 1, 2, 3
+), per_split AS (
+  SELECT dim, thr,
+         CAST(sum(cl) AS BIGINT) AS n_l,
+         CAST(sum(ctot - cl) AS BIGINT) AS n_r,
+         CAST(sum(cl * cl) AS BIGINT) AS sl2,
+         CAST(sum((ctot - cl) * (ctot - cl)) AS BIGINT) AS sr2
+  FROM tallies GROUP BY 1, 2
+)
+SELECT CAST(dim AS INT) AS dim, thr, n_l, n_r,
+       round((sl2 * n_r + sr2 * n_l) / CAST(n_l * n_r AS DOUBLE), 6)
+           AS purity
+FROM per_split
+WHERE n_l > 0 AND n_r > 0
+ORDER BY purity DESC, dim ASC, thr ASC
+LIMIT {_STUMP_TOPK}
+"""
+
+
+QUERIES["decision_stump_split_search"] = (_decision_stump_split_search,
+                                          _stump_sql())
