@@ -1513,3 +1513,100 @@ FROM ranked
 
 QUERIES["conversion_latency_quartiles"] = (conversion_latency_quartiles,
                                            _CONV_LAT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier churn survival curve (product-limit, exact risk sets)
+# ---------------------------------------------------------------------------
+_KM_CENSOR_DAYS = 180  # active within the last 180 days => censored
+
+
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime survival: Kaplan–Meier product-limit over
+    monthly lifetimes (first→last order), churn = no order within the
+    dataset's final 180 days (later actives are CENSORED, which is
+    the whole point of KM over a naive histogram). Risk sets and event
+    counts are exact integers; the survival product Π(1−dᵢ/nᵢ) is a
+    deterministic left fold over the (tiny) month-ordered array —
+    engines multiply identical rationals in identical order.
+
+    Scale: per-customer lifetime is one keyed aggregate; the monthly
+    table is report-sized, so the reverse-cumulative risk window and
+    the fold are free. The censor boundary derives from max(order
+    day), never wall-clock."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("oday"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("oday").alias("d0"), F.max("oday").alias("d1"))
+    mx = F.broadcast(per_cust.agg(F.max("d1").alias("dmax")))
+    lif = (per_cust.crossJoin(mx)
+           .select(((F.col("d1") - F.col("d0")) / 30).cast("long")
+                   .alias("m"),
+                   (F.col("d1") < F.col("dmax") - _KM_CENSOR_DAYS)
+                   .cast("long").alias("event")))
+    monthly = (lif.groupBy("m")
+               .agg(F.count(F.lit(1)).alias("ending"),
+                    F.sum("event").alias("d")))
+    from pyspark.sql import Window
+    w_rev = (Window.orderBy(F.desc("m"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = monthly.select(
+        "m", "d", F.sum("ending").over(w_rev).alias("n_risk"))
+    folded = (risk.select(F.struct("m", "d", "n_risk").alias("s"))
+              .agg(F.array_sort(F.collect_list("s")).alias("xs")))
+    # emit the curve rows with running survival via per-prefix folds —
+    # quadratic in months, which is fine because the monthly frame is
+    # report-sized by construction (a long-horizon variant would fold
+    # once carrying a running list)
+    idx = F.sequence(F.lit(1), F.size("xs"))
+    curve = folded.select(F.explode(F.transform(idx, lambda i: F.struct(
+        F.element_at("xs", i)["m"].alias("m"),
+        F.element_at("xs", i)["n_risk"].alias("n_risk"),
+        F.element_at("xs", i)["d"].alias("churned"),
+        F.round(F.aggregate(
+            F.slice("xs", 1, i), F.lit(1.0),
+            lambda acc, e: acc * (F.lit(1.0)
+                                  - e["d"].cast("double")
+                                  / e["n_risk"].cast("double"))), 6)
+         .alias("survival")))).alias("r")).select("r.*")
+    return curve
+
+
+_KM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(epoch_us(o_orderdate) // 86400000000) AS d0,
+         max(epoch_us(o_orderdate) // 86400000000) AS d1
+  FROM orders GROUP BY 1
+), lif AS (
+  SELECT CAST((d1 - d0) // 30 AS BIGINT) AS m,
+         CASE WHEN d1 < (SELECT max(d1) FROM per_cust) - {_KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS event
+  FROM per_cust
+), monthly AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS ending,
+         CAST(sum(event) AS BIGINT) AS d
+  FROM lif GROUP BY 1
+), risk AS (
+  SELECT m, d,
+         CAST(sum(ending) OVER (ORDER BY m DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_risk
+  FROM monthly
+), arr AS (
+  SELECT list(struct_pack(m := m, d := d, n_risk := n_risk)
+              ORDER BY m) AS xs
+  FROM risk
+)
+SELECT u.e.m AS m, u.e.n_risk AS n_risk, u.e.d AS churned,
+       round(list_reduce(list_prepend(1.0,
+           list_transform(list_slice(xs, 1, u.i),
+               e2 -> 1.0 - CAST(e2.d AS DOUBLE) / e2.n_risk)),
+           (a, x) -> a * x), 6) AS survival
+FROM arr, unnest(list_transform(range(1, len(xs) + 1),
+         i -> struct_pack(i := i, e := xs[i]))) AS t(u)
+"""
+
+QUERIES["kaplan_meier_churn"] = (kaplan_meier_churn, _KM_SQL)

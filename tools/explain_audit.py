@@ -139,7 +139,7 @@ def main() -> None:
         "conversion_latency_quartiles", "warehouse_close_end2end",
         "psi_drift_report", "cross_modal_retrieval",
         "proximity_phrase_search", "nested_roundtrip",
-        "decision_stump_split_search",
+        "decision_stump_split_search", "kaplan_meier_churn",
     ]
     for name in names:
         if name not in qs:
