@@ -819,3 +819,115 @@ GROUP BY 1, 2
 
 
 QUERIES["fellegi_sunter_scoring"] = (_fellegi_sunter_scoring, _fs_sql())
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT Jaccard similarity join (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+_PF_T_NUM, _PF_T_DEN = 1, 2  # Jaccard threshold t = 1/2
+
+
+def _prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    AllPairs/PPJoin candidate rule): order each document's distinct
+    tokens by ascending global frequency (rarest first, ids as ties);
+    two sets with Jaccard ≥ t MUST share a token within each other's
+    first ⌊(1−t)·|d|⌋+1 tokens, so only prefix tokens generate
+    candidates — the exact-join alternative to MinHash banding (no
+    false negatives, pruning instead of probability).
+
+    Verification is pure integer: |A∩B| from a pair count of shared
+    tokens, and Jaccard ≥ 1/2 ⇔ 3·inter ≥ |A|+|B| (cross-multiplied
+    through inter/union). Output: qualifying pairs with sizes and the
+    e6-floored Jaccard.
+
+    Scale: prefix postings are ~(1−t)-fraction of the token stream and
+    bucket by TOKEN — the rare-first ordering makes hot tokens appear
+    only in prefixes of very small sets, the property that keeps
+    bucket occupancy (and the candidate count) near-linear. The
+    verify join ships only (id, size) plus the intersection count."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (docs.select("doc_id", F.explode(F.array_distinct(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"))).alias("w"))
+        .where(F.col("w") != ""))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+    ranked = (toks.join(F.broadcast(freq), "w")
+              .withColumn("r", F.row_number().over(
+                  Window.partitionBy("doc_id")
+                  .orderBy(F.asc("df"), F.asc("w"))))
+              .withColumn("sz", F.count(F.lit(1)).over(
+                  Window.partitionBy("doc_id"))))
+    # prefix length = floor((1 - t) * sz) + 1 = floor(sz * (den-num)/den) + 1
+    plen = (F.col("sz") * (_PF_T_DEN - _PF_T_NUM) / _PF_T_DEN) \
+        .cast("long") + 1
+    prefix = ranked.where(F.col("r") <= plen).select("doc_id", "w", "sz")
+    a = prefix.select(F.col("doc_id").alias("ida"), "w",
+                      F.col("sz").alias("sza"))
+    b = prefix.select(F.col("doc_id").alias("idb"), "w",
+                      F.col("sz").alias("szb"))
+    cand = (a.join(b, "w").where(F.col("ida") < F.col("idb"))
+            .select("ida", "idb").distinct())
+    ta = toks.select(F.col("doc_id").alias("ida"), "w")
+    tb = toks.select(F.col("doc_id").alias("idb"), "w")
+    inter = (cand.join(ta, "ida").join(tb, ["idb", "w"])
+             .groupBy("ida", "idb").agg(F.count(F.lit(1)).alias("inter")))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    out = (inter
+           .join(sizes.select(F.col("doc_id").alias("ida"),
+                              F.col("sz").alias("sza")), "ida")
+           .join(sizes.select(F.col("doc_id").alias("idb"),
+                              F.col("sz").alias("szb")), "idb")
+           .where((_PF_T_DEN + _PF_T_NUM) * F.col("inter")
+                  >= _PF_T_NUM * (F.col("sza") + F.col("szb"))))
+    jac_e6 = F.floor(F.lit(1_000_000) * F.col("inter")
+                     / (F.col("sza") + F.col("szb") - F.col("inter"))) \
+        .cast("long")
+    return out.select("ida", "idb", "inter", "sza", "szb",
+                      jac_e6.alias("jaccard_e6"))
+
+
+def _pf_sql() -> str:
+    num, den = _PF_T_NUM, _PF_T_DEN
+    return rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+'))) AS w
+  FROM documents
+), toks_ne AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM toks_ne GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.w,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY f.df ASC, t.w ASC) AS r,
+         CAST(count(*) OVER (PARTITION BY t.doc_id) AS BIGINT) AS sz
+  FROM toks_ne t JOIN freq f ON t.w = f.w
+), prefix AS (
+  SELECT doc_id, w, sz FROM ranked
+  WHERE r <= CAST(sz * {den - num} / {den} AS BIGINT) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.ida, c.idb, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN toks_ne ta ON ta.doc_id = c.ida
+  JOIN toks_ne tb ON tb.doc_id = c.idb AND tb.w = ta.w
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks_ne GROUP BY 1
+)
+SELECT i.ida, i.idb, i.inter, sa.sz AS sza, sb.sz AS szb,
+       CAST(floor(1000000 * i.inter
+                  / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)) AS BIGINT)
+           AS jaccard_e6
+FROM inter i
+JOIN sizes sa ON i.ida = sa.doc_id
+JOIN sizes sb ON i.idb = sb.doc_id
+WHERE {den + num} * i.inter >= {num} * (sa.sz + sb.sz)
+"""
+
+
+QUERIES["prefix_filter_jaccard_join"] = (_prefix_filter_jaccard_join,
+                                         _pf_sql())

@@ -295,3 +295,68 @@ FROM folded
 """
 
 QUERIES["holt_linear_forecast"] = (_holt_linear_forecast, _HOLT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes, exact rank pick)
+# ---------------------------------------------------------------------------
+
+
+def _theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope estimate of each event type's daily-volume
+    trend: the MEDIAN of all pairwise slopes (xⱼ−xᵢ)/(dayⱼ−dayᵢ) — the
+    robust alternative to OLS (breakdown point 29%). Each slope is one
+    int64/int64 division (identical doubles in both engines); the
+    median is rank-SELECTED from the (slope, i, j)-ordered sequence,
+    never interpolated, so engine quantile semantics don't exist here.
+
+    Scale: the pair join is per-series over the DAILY frame — the
+    reduction to (days × types) happens first, so pairs are
+    C(days,2)·types, independent of raw event volume. For multi-year
+    spans at minute grain, sample day pairs (the estimator stays
+    consistent) with the hash-sampling operator."""
+    from pyspark.sql import Window
+
+    daily = _daily_counts(spark, sf_dir)
+    a = daily.select("event_type", F.col("day").alias("di"),
+                     F.col("x").alias("xi"))
+    b = daily.select("event_type", F.col("day").alias("dj"),
+                     F.col("x").alias("xj"))
+    pairs = (a.join(b, "event_type").where(F.col("di") < F.col("dj"))
+             .select("event_type", "di", "dj",
+                     ((F.col("xj") - F.col("xi")).cast("double")
+                      / (F.col("dj") - F.col("di")).cast("double"))
+                     .alias("slope")))
+    w = Window.partitionBy("event_type").orderBy("slope", "di", "dj")
+    ranked = pairs.select(
+        "event_type", "slope",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+         .cast("long").alias("n"))
+    return (ranked
+            .where(F.col("r") == F.floor((F.col("n") + 1) / 2)
+                   .cast("long"))
+            .select("event_type", F.col("n").alias("n_pairs"),
+                    F.round("slope", 6).alias("ts_slope")))
+
+
+_TS_SQL = f"""
+WITH {_DAILY_SQL},
+pairs AS (
+  SELECT a.event_type, a.day AS di, b.day AS dj,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, slope,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY slope, di, dj) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM pairs
+)
+SELECT event_type, n AS n_pairs, round(slope, 6) AS ts_slope
+FROM ranked
+WHERE r = (n + 1) // 2
+"""
+
+QUERIES["theil_sen_trend"] = (_theil_sen_trend, _TS_SQL)

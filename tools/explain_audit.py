@@ -140,6 +140,7 @@ def main() -> None:
         "psi_drift_report", "cross_modal_retrieval",
         "proximity_phrase_search", "nested_roundtrip",
         "decision_stump_split_search", "kaplan_meier_churn",
+        "prefix_filter_jaccard_join", "theil_sen_trend",
     ]
     for name in names:
         if name not in qs:
