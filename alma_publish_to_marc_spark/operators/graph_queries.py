@@ -964,3 +964,161 @@ LIMIT 10
 
 QUERIES["bellman_ford_distances"] = (bellman_ford_distances,
                                      _bellman_ford_sql())
+
+
+# --------------------------------------------------------------------------
+# DBSCAN over the synthetic geo points (grid ε-join → cores → components)
+# --------------------------------------------------------------------------
+DB_EPS_MICRO = 5_000_000   # ε = 5° in micro-degrees
+DB_MIN_PTS = 3             # |N_ε(p)| including p
+
+
+def dbscan_geo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN assembled from the engine's own primitives: ε-pairs via
+    the ε-sized grid blocking join (geo_neighbor_join's shape), CORE
+    points by neighborhood count ≥ minPts, clusters as connected
+    components over core–core edges (the staged min-label operator),
+    BORDER points adopted by their minimum-labeled core neighbor,
+    everything else NOISE. Output is the cluster census (core/border
+    counts per cluster, noise under cluster_id −1).
+
+    Determinism: distances/cells are exact int64 micro-degrees; the
+    only label choice is min() (order-free); border adoption is min
+    over core neighbors' labels.
+
+    Scale: the ε-join is density-bounded per cell (AQE splits hot
+    cells); components stage rounds to parquet exactly like
+    ``neardup_clusters``. The recursive-CTE oracle enumerates
+    node×reachable pairs — fine at correctness SF, and exactly the
+    reason the ENGINE side uses staged min-label rounds instead."""
+    from .relational_queries import _geo_points
+
+    pts = _geo_points(spark, sf_dir)
+    cell = DB_EPS_MICRO
+    based = pts.select(
+        "pid", "lat_u", "lon_u",
+        F.expr(f"(lon_u + 180000000) div {cell}").alias("cx"),
+        F.expr(f"(lat_u + 90000000) div {cell}").alias("cy"))
+    probe = (based.select(
+        "pid", "lat_u", "lon_u",
+        F.explode(F.array(*[F.struct((F.col("cx") + dx).alias("cx"),
+                                     (F.col("cy") + dy).alias("cy"))
+                            for dx in (-1, 0, 1)
+                            for dy in (-1, 0, 1)])).alias("c"))
+        .select("pid", "lat_u", "lon_u",
+                F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy")))
+    dx = F.col("a.lat_u") - F.col("b.lat_u")
+    dy = F.col("a.lon_u") - F.col("b.lon_u")
+    eps2 = DB_EPS_MICRO * DB_EPS_MICRO
+    pairs = (probe.alias("a")
+             .join(based.alias("b"), ["cx", "cy"])
+             .where((F.col("a.pid") != F.col("b.pid"))
+                    & (dx * dx + dy * dy <= F.lit(eps2)))
+             .select(F.col("a.pid").alias("src"),
+                     F.col("b.pid").alias("dst"))
+             .distinct())
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("nn"))
+    core = (deg.where(F.col("nn") + 1 >= DB_MIN_PTS)
+            .select(F.col("src").alias("pid")))
+    cc_edges = (pairs
+                .join(core.select(F.col("pid").alias("src")), "src")
+                .join(core.select(F.col("pid").alias("dst")), "dst")
+                .where(F.col("src") < F.col("dst"))
+                .select("src", "dst"))
+    comps = connected_components(cc_edges)  # (node, cluster_id)
+    core_labeled = core.join(
+        comps.select(F.col("node").alias("pid"), "cluster_id"),
+        "pid", "left").select(
+        "pid", F.coalesce("cluster_id", F.col("pid")).alias("cluster_id"))
+    border = (pairs
+              .join(core_labeled.select(F.col("pid").alias("dst"),
+                                        "cluster_id"), "dst")
+              .join(core.select(F.col("pid").alias("src")), "src",
+                    "left_anti")
+              .groupBy(F.col("src").alias("pid"))
+              .agg(F.min("cluster_id").alias("cluster_id")))
+    census = (core_labeled.select("cluster_id", F.lit(1).alias("is_core"))
+              .unionByName(border.select("cluster_id",
+                                         F.lit(0).alias("is_core")))
+              .groupBy("cluster_id")
+              .agg(F.sum("is_core").cast("long").alias("n_core"),
+                   F.sum(1 - F.col("is_core")).cast("long")
+                    .alias("n_border")))
+    clustered = (core_labeled.select("pid")
+                 .unionByName(border.select("pid")))
+    noise = (pts.join(clustered, "pid", "left_anti")
+             .agg(F.count(F.lit(1)).alias("n")))
+    noise_row = noise.select(F.lit(-1).cast("long").alias("cluster_id"),
+                             F.lit(0).cast("long").alias("n_core"),
+                             F.col("n").cast("long").alias("n_border"))
+    return census.unionByName(noise_row)
+
+
+def _dbscan_sql() -> str:
+    eps2 = DB_EPS_MICRO * DB_EPS_MICRO
+    cell = DB_EPS_MICRO
+    return f"""
+WITH RECURSIVE pts AS (
+    SELECT c_custkey AS pid,
+           CAST('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)),
+                               1, 12) AS BIGINT) % 180000000 - 90000000
+               AS lat_u,
+           CAST('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)),
+                               1, 12) AS BIGINT) % 360000000 - 180000000
+               AS lon_u
+    FROM customer
+), based AS (
+    SELECT pid, lat_u, lon_u,
+           (lon_u + 180000000) // {cell} AS cx,
+           (lat_u + 90000000) // {cell} AS cy
+    FROM pts
+), pairs AS (
+    SELECT DISTINCT a.pid AS src, b.pid AS dst
+    FROM based a, unnest([-1, 0, 1]) AS ox(dx), unnest([-1, 0, 1]) AS oy(dy),
+         based b
+    WHERE b.cx = a.cx + ox.dx AND b.cy = a.cy + oy.dy
+      AND a.pid != b.pid
+      AND (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+          + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= {eps2}
+), deg AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS nn FROM pairs GROUP BY 1
+), core AS (
+    SELECT src AS pid FROM deg WHERE nn + 1 >= {DB_MIN_PTS}
+), cc AS (
+    SELECT p.src, p.dst FROM pairs p
+    JOIN core c1 ON p.src = c1.pid
+    JOIN core c2 ON p.dst = c2.pid
+), nodes AS (SELECT DISTINCT src AS node FROM cc),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, cc.dst FROM reach JOIN cc ON cc.src = reach.r
+), comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+core_labeled AS (
+    SELECT c.pid, COALESCE(m.cluster_id, c.pid) AS cluster_id
+    FROM core c LEFT JOIN comp m ON c.pid = m.node
+), border AS (
+    SELECT p.src AS pid, min(cl.cluster_id) AS cluster_id
+    FROM pairs p
+    JOIN core_labeled cl ON p.dst = cl.pid
+    WHERE p.src NOT IN (SELECT pid FROM core)
+    GROUP BY p.src
+), census AS (
+    SELECT cluster_id,
+           CAST(sum(is_core) AS BIGINT) AS n_core,
+           CAST(sum(1 - is_core) AS BIGINT) AS n_border
+    FROM (SELECT cluster_id, 1 AS is_core FROM core_labeled
+          UNION ALL
+          SELECT cluster_id, 0 AS is_core FROM border)
+    GROUP BY 1
+)
+SELECT cluster_id, n_core, n_border FROM census
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_core,
+       CAST((SELECT count(*) FROM pts)
+            - (SELECT count(*) FROM core_labeled)
+            - (SELECT count(*) FROM border) AS BIGINT) AS n_border
+"""
+
+
+QUERIES["dbscan_geo_clusters"] = (dbscan_geo_clusters, _dbscan_sql())

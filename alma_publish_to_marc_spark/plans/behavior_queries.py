@@ -1610,3 +1610,93 @@ FROM arr, unnest(list_transform(range(1, len(xs) + 1),
 """
 
 QUERIES["kaplan_meier_churn"] = (kaplan_meier_churn, _KM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (sweep line over session intervals)
+# ---------------------------------------------------------------------------
+_PC_GAP_US = 1_800_000_000  # 30-min session gap
+
+
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent sessions per day — the capacity-planning number:
+    sessionize per user (30-min gaps), explode each session into
+    (+1 at start, −1 at end) deltas, sweep in time order with a
+    running sum, and take each day's max. Tie order inside the sweep
+    is pinned (ts, delta asc, user) so an end and a start at the same
+    µs resolve identically in both engines (end counts first — a
+    back-to-back handoff isn't double-counted).
+
+    Scale: sessionization is the standard lag/cumsum idiom keyed by
+    user; the sweep is a single time-ordered window — at 100 TB
+    partition the sweep by day (shown here) so no global ordering
+    exists; day-boundary-crossing sessions would pre-split per day."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("tus"))
+    wu = Window.partitionBy("user_id").orderBy("tus")
+    marked = ev.select(
+        "user_id", "tus",
+        F.when((F.col("tus") - F.lag("tus", 1).over(wu)) > _PC_GAP_US, 1)
+         .when(F.lag("tus", 1).over(wu).isNull(), 1)
+         .otherwise(0).alias("new_s"))
+    sess = (marked
+            .withColumn("sid", F.sum("new_s").over(
+                wu.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "sid")
+            .agg(F.min("tus").alias("t0"), F.max("tus").alias("t1")))
+    deltas = (sess.select("user_id", F.col("t0").alias("tus"),
+                          F.lit(1).alias("delta"))
+              .unionByName(sess.select("user_id", F.col("t1").alias("tus"),
+                                       F.lit(-1).alias("delta"))))
+    day = (F.col("tus") / F.lit(86_400_000_000)).cast("long")
+    wd = (Window.partitionBy("day")
+          .orderBy("tus", F.asc("delta"), "user_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    swept = (deltas.select(day.alias("day"), "tus", "delta", "user_id")
+             .withColumn("load", F.sum("delta").over(wd)))
+    return (swept.groupBy("day")
+            .agg(F.max("load").cast("long").alias("peak_concurrent"),
+                 F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+                  .cast("long").alias("sessions_started")))
+
+
+_PC_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events
+), marked AS (
+  SELECT user_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL THEN 1
+              WHEN tus - lag(tus) OVER w > {_PC_GAP_US} THEN 1
+              ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+), sid AS (
+  SELECT user_id, tus,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, sid, min(tus) AS t0, max(tus) AS t1
+  FROM sid GROUP BY 1, 2
+), deltas AS (
+  SELECT user_id, t0 AS tus, 1 AS delta FROM sess
+  UNION ALL
+  SELECT user_id, t1 AS tus, -1 AS delta FROM sess
+), swept AS (
+  SELECT tus // 86400000000 AS day, tus, delta, user_id,
+         sum(delta) OVER (PARTITION BY tus // 86400000000
+                          ORDER BY tus, delta ASC, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS load
+  FROM deltas
+)
+SELECT day, CAST(max(load) AS BIGINT) AS peak_concurrent,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS sessions_started
+FROM swept GROUP BY 1
+"""
+
+QUERIES["peak_concurrency"] = (peak_concurrency, _PC_SQL)

@@ -141,6 +141,7 @@ def main() -> None:
         "proximity_phrase_search", "nested_roundtrip",
         "decision_stump_split_search", "kaplan_meier_churn",
         "prefix_filter_jaccard_join", "theil_sen_trend",
+        "dbscan_geo_clusters", "peak_concurrency",
     ]
     for name in names:
         if name not in qs:
