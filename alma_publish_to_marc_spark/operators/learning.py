@@ -397,3 +397,76 @@ LIMIT {_STUMP_TOPK}
 
 QUERIES["decision_stump_split_search"] = (_decision_stump_split_search,
                                           _stump_sql())
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC via Mann–Whitney rank sums (midrank tie handling, int64)
+# ---------------------------------------------------------------------------
+
+
+def _auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of an integer scorer (document length predicting
+    lang = 'en') via the Mann–Whitney identity AUC = (R₁ − n₁(n₁+1)/2)
+    / (n₁·n₀) — no threshold sweep, no trapezoids. Ties get midranks;
+    doubling every rank keeps the whole computation in int64
+    (2·midrank = 2·lo + (cnt − 1) from dense run boundaries), so both
+    engines produce the IDENTICAL e6-floored AUC. This is the
+    distributed AUC shape for billions of scored rows: one sort-free
+    rank assignment from score-run aggregates, two global sums.
+
+    Scale: ranks come from per-score-value runs (groupBy score — no
+    global row_number), each run contributing its midrank × positives
+    analytically; final reduce is a single row."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    runs = docs.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+    from pyspark.sql import Window
+    w = (Window.orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    with_lo = runs.select(
+        "score", "cnt", "pos",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1).alias("lo"))
+    # midrank·2 = 2·lo + cnt − 1 ; positives in the run contribute
+    # pos · midrank to R1 → 2·R1 sums pos·(2·lo + cnt − 1)
+    sums = with_lo.agg(
+        F.sum(F.col("pos") * (2 * F.col("lo") + F.col("cnt") - 1))
+         .alias("r1x2"),
+        F.sum("pos").alias("n1"), F.sum(F.col("cnt") - F.col("pos"))
+         .alias("n0"))
+    auc_e6 = F.floor(
+        F.lit(1_000_000)
+        * (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1))
+        / (2 * F.col("n1") * F.col("n0"))).cast("long")
+    return sums.select("n1", "n0", auc_e6.alias("auc_e6"))
+
+
+_AUC_SQL = """
+WITH docs AS (
+  SELECT CAST(n_chars AS BIGINT) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), runs AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM docs GROUP BY 1
+), with_lo AS (
+  SELECT score, cnt, pos,
+         COALESCE(CAST(sum(cnt) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) + 1 AS lo
+  FROM runs
+), sums AS (
+  SELECT CAST(sum(pos * (2 * lo + cnt - 1)) AS BIGINT) AS r1x2,
+         CAST(sum(pos) AS BIGINT) AS n1,
+         CAST(sum(cnt - pos) AS BIGINT) AS n0
+  FROM with_lo
+)
+SELECT n1, n0,
+       CAST(floor(1000000 * (r1x2 - n1 * (n1 + 1))
+                  / CAST(2 * n1 * n0 AS DOUBLE)) AS BIGINT) AS auc_e6
+FROM sums
+"""
+
+QUERIES["auc_mann_whitney"] = (_auc_mann_whitney, _AUC_SQL)

@@ -142,6 +142,7 @@ def main() -> None:
         "decision_stump_split_search", "kaplan_meier_churn",
         "prefix_filter_jaccard_join", "theil_sen_trend",
         "dbscan_geo_clusters", "peak_concurrency",
+        "auc_mann_whitney",
     ]
     for name in names:
         if name not in qs:
