@@ -1700,3 +1700,106 @@ FROM swept GROUP BY 1
 """
 
 QUERIES["peak_concurrency"] = (peak_concurrency, _PC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI (deterministic hash resampling, B replicates)
+# ---------------------------------------------------------------------------
+_BOOT_B = 40
+# exact 48-bit Poisson(1) CDF cut points (computed once, host-side —
+# both engines compare the same integer hash against the same integers)
+_POIS_CUTS = (103548857136060, 207097714272121, 258872142840152,
+              276130285696162, 280444821410164, 281307728552965)
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI for mean order value WITHOUT resampling rows:
+    the Poisson bootstrap — each row's weight in replicate b is a
+    Poisson(1) draw derived from hash(id, b) against fixed integer CDF
+    cut points, so every replicate is one weighted aggregate over the
+    SAME scan and the whole B-replicate bootstrap is a single pass
+    (explode × B, map-side combinable). The classic trick for
+    resampling data too large to sample-with-replacement.
+
+    Determinism: the 48-bit hash u and the CDF cut points are exact
+    integers (host-computed constants); replicate means divide exact
+    int64 sums once; the CI bounds are rank-SELECTED replicate means
+    (ceil(0.025·B)=1, ceil(0.975·B)=39 of 40), never interpolated.
+
+    Scale: B multiplies the aggregate input, not the shuffle — state
+    is B rows. At 100 TB pick B≈100 and this is still one scan."""
+    from pyspark.sql import Window
+
+    from alma_publish_to_marc_spark.operators.sketches import _h48
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"))
+    reps = orders.select(
+        "o_orderkey", "price_c",
+        F.explode(F.array(*[F.lit(b) for b in range(1, _BOOT_B + 1)]))
+         .alias("b"))
+    u = _h48(F.concat(F.col("o_orderkey").cast("string"),
+                      F.lit(":"), F.col("b").cast("string")), "boot:")
+    wgt = F.when(u < _POIS_CUTS[0], 0)
+    for k in range(1, len(_POIS_CUTS)):
+        wgt = wgt.when(u < _POIS_CUTS[k], k)
+    wgt = wgt.otherwise(len(_POIS_CUTS))
+    means = (reps.select("b", wgt.alias("w"), "price_c")
+             .groupBy("b")
+             .agg((F.sum(F.col("w") * F.col("price_c")).cast("double")
+                   / F.sum("w").cast("double")).alias("mean_c")))
+    w_rank = Window.orderBy("mean_c", "b")
+    ranked = means.select(
+        "mean_c", F.row_number().over(w_rank).alias("r"))
+    point = orders.agg((F.sum("price_c").cast("double")
+                        / F.count(F.lit(1)).cast("double")).alias("mean_c"))
+    lo_r, hi_r = 1, _BOOT_B - 1
+    return (point.crossJoin(F.broadcast(
+        ranked.agg(
+            F.max(F.when(F.col("r") == lo_r, F.col("mean_c"))).alias("lo_c"),
+            F.max(F.when(F.col("r") == hi_r, F.col("mean_c"))).alias("hi_c"))))
+        .select(F.round(F.col("mean_c") / 100.0, 4).alias("mean"),
+                F.round(F.col("lo_c") / 100.0, 4).alias("ci_lo"),
+                F.round(F.col("hi_c") / 100.0, 4).alias("ci_hi"),
+                F.lit(_BOOT_B).cast("int").alias("n_replicates")))
+
+
+def _boot_sql() -> str:
+    cuts = _POIS_CUTS
+    ladder = "CASE " + " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(cuts)) \
+        + f" ELSE {len(cuts)} END"
+    return f"""
+WITH orders_c AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), reps AS (
+  SELECT o_orderkey, price_c, b,
+         CAST('0x' || substr(md5('boot:' || CAST(o_orderkey AS VARCHAR)
+                                 || ':' || CAST(b AS VARCHAR)), 1, 12)
+              AS BIGINT) AS u
+  FROM orders_c, unnest(range(1, {_BOOT_B + 1})) AS r(b)
+), means AS (
+  SELECT b,
+         CAST(sum(({ladder}) * price_c) AS BIGINT)
+         / CAST(CAST(sum({ladder}) AS BIGINT) AS DOUBLE) AS mean_c
+  FROM reps GROUP BY b
+), ranked AS (
+  SELECT mean_c, row_number() OVER (ORDER BY mean_c, b) AS r FROM means
+), point AS (
+  SELECT CAST(sum(price_c) AS BIGINT)
+         / CAST(count(*) AS DOUBLE) AS mean_c
+  FROM orders_c
+)
+SELECT round(p.mean_c / 100.0, 4) AS mean,
+       round((SELECT mean_c FROM ranked WHERE r = 1) / 100.0, 4) AS ci_lo,
+       round((SELECT mean_c FROM ranked WHERE r = {_BOOT_B - 1}) / 100.0, 4)
+           AS ci_hi,
+       CAST({_BOOT_B} AS INT) AS n_replicates
+FROM point p
+"""
+
+
+QUERIES["poisson_bootstrap_ci"] = (poisson_bootstrap_ci, _boot_sql())

@@ -360,3 +360,84 @@ WHERE r = (n + 1) // 2
 """
 
 QUERIES["theil_sen_trend"] = (_theil_sen_trend, _TS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of the cumulative daily revenue-delta curve
+# ---------------------------------------------------------------------------
+
+
+def _max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown per event type of the cumulative (value − mean)
+    curve — the finance-style burstiness diagnostic: how far below its
+    running peak the centered cumulative series falls. Computed with
+    two stacked windows (running sum, then running max) and one final
+    max of (peak − level); drawdown of a centered integer series is
+    itself exact int64 (values quantize to cents).
+
+    Determinism: the series is daily SUMS of value cents (exact);
+    centering subtracts the integer floor-mean scaled through n
+    (cross-multiplied: level·n − total·t stays integer — no division
+    at all until the display row).
+
+    Scale: reduction to days × types first; both windows partition by
+    event_type over the tiny daily frame."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_US}")
+         .alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"))
+    daily = (ev.groupBy("event_type", "day")
+             .agg(F.sum("v_c").alias("x")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.sum("x").alias("total"), F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type").orderBy("day") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = (daily.join(F.broadcast(stats), "event_type")
+           .withColumn("t", F.count(F.lit(1)).over(w))
+           .withColumn("lvl_n", F.sum("x").over(w) * F.col("n")
+                       - F.col("total") * F.col("t")))
+    peaked = cum.withColumn("peak_n", F.max("lvl_n").over(w))
+    return (peaked.groupBy("event_type")
+            .agg(F.max(F.col("peak_n") - F.col("lvl_n")).alias("dd_n"),
+                 F.max("n").alias("n_days"),
+                 F.max("total").alias("total_c"))
+            .select("event_type", "n_days",
+                    F.round(F.col("dd_n").cast("double")
+                            / (F.col("n_days") * 100).cast("double"), 4)
+                     .alias("max_drawdown")))
+
+
+_DD_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(sum(x) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n
+  FROM daily GROUP BY 1
+), cum AS (
+  SELECT d.event_type, d.day, s.n, s.total,
+         CAST(count(*) OVER w AS BIGINT) AS t,
+         CAST(sum(d.x) OVER w AS BIGINT) * s.n
+             - s.total * CAST(count(*) OVER w AS BIGINT) AS lvl_n
+  FROM daily d JOIN stats s ON d.event_type = s.event_type
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), peaked AS (
+  SELECT event_type, n, lvl_n,
+         CAST(max(lvl_n) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS peak_n
+  FROM cum
+)
+SELECT event_type, max(n) AS n_days,
+       round(CAST(max(peak_n - lvl_n) AS BIGINT)
+             / CAST(max(n) * 100 AS DOUBLE), 4) AS max_drawdown
+FROM peaked GROUP BY 1
+"""
+
+QUERIES["max_drawdown_curve"] = (_max_drawdown, _DD_SQL)

@@ -142,7 +142,7 @@ def main() -> None:
         "decision_stump_split_search", "kaplan_meier_churn",
         "prefix_filter_jaccard_join", "theil_sen_trend",
         "dbscan_geo_clusters", "peak_concurrency",
-        "auc_mann_whitney",
+        "auc_mann_whitney", "poisson_bootstrap_ci", "max_drawdown_curve",
     ]
     for name in names:
         if name not in qs:
