@@ -441,3 +441,69 @@ FROM peaked GROUP BY 1
 """
 
 QUERIES["max_drawdown_curve"] = (_max_drawdown, _DD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day OLS slope (windowed integer moments)
+# ---------------------------------------------------------------------------
+_ROLL_W = 7
+
+
+def _rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS trend of each event type's daily volume:
+    slope = (nΣdx − ΣdΣx)/(nΣd² − (Σd)²) over the trailing window.
+    Every windowed Σ is an INT64 sum (day indices × integer counts) —
+    bounded-frame sums of integers are association-free, so the
+    CLAUDE.md float-frame hazard doesn't apply; the single division
+    happens per row on exact moments.
+
+    Scale: reduction to days × types first; one day-ordered window per
+    series; emits the last 10 days per type (the live dashboard tail)
+    with id-ordered TakeOrdered."""
+    from pyspark.sql import Window
+
+    daily = _daily_counts(spark, sf_dir)
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-(_ROLL_W - 1), 0))
+    m = daily.select(
+        "event_type", "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("day").over(w).alias("sd"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("day") * F.col("x")).over(w).alias("sdx"),
+        F.sum(F.col("day") * F.col("day")).over(w).alias("sdd"))
+    den = (m.n * m.sdd - m.sd * m.sd)
+    slope = F.when(den != 0,
+                   F.round((m.n * m.sdx - m.sd * m.sx).cast("double")
+                           / den.cast("double"), 6))
+    ranked = m.select("event_type", "day", F.col("n").alias("win_n"),
+                      slope.alias("slope7"))
+    wr = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    return (ranked.withColumn("rk", F.row_number().over(wr))
+            .where(F.col("rk") <= 10)
+            .drop("rk"))
+
+
+_ROLL_SQL = f"""
+WITH {_DAILY_SQL},
+m AS (
+  SELECT event_type, day,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(day) OVER w AS BIGINT) AS sd,
+         CAST(sum(x) OVER w AS BIGINT) AS sx,
+         CAST(sum(day * x) OVER w AS BIGINT) AS sdx,
+         CAST(sum(day * day) OVER w AS BIGINT) AS sdd
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, n AS win_n,
+       CASE WHEN n * sdd - sd * sd != 0
+            THEN round(CAST(n * sdx - sd * sx AS DOUBLE)
+                       / CAST(n * sdd - sd * sd AS DOUBLE), 6)
+       END AS slope7
+FROM m
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY day DESC) <= 10
+"""
+
+QUERIES["rolling_ols_slope"] = (_rolling_ols_slope, _ROLL_SQL)
