@@ -1803,3 +1803,189 @@ FROM point p
 
 
 QUERIES["poisson_bootstrap_ci"] = (poisson_bootstrap_ci, _boot_sql())
+
+
+# ---------------------------------------------------------------------------
+# ANOVA variance decomposition (eta² of order value by nation)
+# ---------------------------------------------------------------------------
+
+
+def anova_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA decomposition of order-value variance by customer
+    nation: SS_between/SS_total (η²) plus the F statistic — "how much
+    of spend variance is geography". Group moments (n, Σx, Σx²) are
+    exact int64 cents; Σ_g S_g²/n_g is a sum of per-group doubles, so
+    it folds over the NATION-SORTED moment array (collect 25 rows,
+    aggregate lambda) — fixed association, identical in both engines
+    (CLAUDE.md float-reduction rule; a plain agg sum would be
+    partition-order-dependent).
+
+    Scale: one keyed aggregate to 25 group-moment rows; everything
+    after is a 1-row computation. The collect is group-count-sized,
+    never data-sized."""
+    # integer DOLLARS (midpoint-safe half-up from exact cents): cents²
+    # sums overflow int64 by sf0.01; dollar moments hold to sf≈100
+    dollars = F.floor((F.round(F.col("o_totalprice") * 100) + 50) / 100.0) \
+        .cast("long")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", dollars.alias("x"))
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    g = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+              F.sum(F.col("x") * F.col("x")).alias("q")))
+    arr = g.agg(F.array_sort(F.collect_list(
+        F.struct("c_nationkey", "n", "s", "q"))).alias("xs"))
+    fold = F.aggregate(
+        F.col("xs"),
+        F.struct(F.lit(0).cast("long").alias("nn"),
+                 F.lit(0).cast("long").alias("ss"),
+                 F.lit(0).cast("long").alias("qq"),
+                 F.lit(0.0).alias("btw"),
+                 F.lit(0).cast("long").alias("k")),
+        lambda acc, e: F.struct(
+            (acc["nn"] + e["n"]).alias("nn"),
+            (acc["ss"] + e["s"]).alias("ss"),
+            (acc["qq"] + e["q"]).alias("qq"),
+            (acc["btw"] + e["s"].cast("double") * e["s"].cast("double")
+             / e["n"].cast("double")).alias("btw"),
+            (acc["k"] + 1).alias("k")))
+    m = arr.select(fold.alias("a")).select(
+        F.col("a.nn").alias("n"), F.col("a.ss").alias("s"),
+        F.col("a.qq").alias("q"), F.col("a.btw").alias("b"),
+        F.col("a.k").alias("k"))
+    grand = F.col("s").cast("double") * F.col("s").cast("double") \
+        / F.col("n").cast("double")
+    ss_b = F.col("b") - grand
+    ss_t = F.col("q").cast("double") - grand
+    ss_w = ss_t - ss_b
+    fstat = (ss_b / (F.col("k") - 1).cast("double")) \
+        / (ss_w / (F.col("n") - F.col("k")).cast("double"))
+    return m.select(
+        F.col("n").alias("n_orders"), F.col("k").cast("int").alias("k_groups"),
+        F.round(ss_b / ss_t, 6).alias("eta_sq"),
+        F.round(fstat, 4).alias("f_stat"))
+
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor((round(o.o_totalprice * 100) + 50) / 100.0)
+                       AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(floor((round(o.o_totalprice * 100) + 50) / 100.0)
+                       AS BIGINT)
+                  * CAST(floor((round(o.o_totalprice * 100) + 50) / 100.0)
+                         AS BIGINT)) AS BIGINT) AS q
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), arr AS (
+  SELECT list(struct_pack(nk := c_nationkey, n := n, s := s, q := q)
+              ORDER BY c_nationkey) AS xs
+  FROM g
+), folded AS (
+  SELECT list_reduce(
+    list_prepend(struct_pack(nn := 0::BIGINT, ss := 0::BIGINT,
+                             qq := 0::BIGINT, btw := 0.0,
+                             k := 0::BIGINT),
+                 list_transform(xs, e -> struct_pack(
+                     nn := e.n, ss := e.s, qq := e.q,
+                     btw := CAST(e.s AS DOUBLE), k := e.n))),
+    (acc, e) -> struct_pack(
+        nn := acc.nn + e.nn,
+        ss := acc.ss + e.ss,
+        qq := acc.qq + e.qq,
+        btw := acc.btw
+                   + CAST(e.ss AS DOUBLE) * CAST(e.ss AS DOUBLE)
+                     / CAST(e.nn AS DOUBLE),
+        k := acc.k + 1)) AS a
+  FROM arr
+)
+SELECT a.nn AS n_orders, CAST(a.k AS INT) AS k_groups,
+       round((a.btw - CAST(a.ss AS DOUBLE) * a.ss / a.nn)
+             / (CAST(a.qq AS DOUBLE) - CAST(a.ss AS DOUBLE) * a.ss / a.nn),
+             6) AS eta_sq,
+       round(((a.btw - CAST(a.ss AS DOUBLE) * a.ss / a.nn) / (a.k - 1))
+             / ((CAST(a.qq AS DOUBLE) - a.btw) / (a.nn - a.k)), 4)
+           AS f_stat
+FROM folded
+"""
+
+QUERIES["anova_eta_squared"] = (anova_eta_squared, _ANOVA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (nation × market segment)
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer nation
+    and market segment. Per-cell terms use the cross-multiplied form
+    (O·N − R·C)²/(N·R·C) — observed, marginals and N are exact int64,
+    so each term is one double from exact inputs; terms sum over the
+    (nation, segment)-SORTED cell array fold, pinning association
+    (CLAUDE.md float-reduction rule).
+
+    Scale: one keyed aggregate to ≤ 125 cells + two marginal
+    re-aggregations of that tiny frame; the fold is cell-count-sized."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment")
+    cells = (cust.groupBy("c_nationkey", "c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("o")))
+    rows_m = cells.groupBy("c_nationkey").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("nn"))
+    j = (cells.join(F.broadcast(rows_m), "c_nationkey")
+         .join(F.broadcast(cols_m), "c_mktsegment")
+         .crossJoin(F.broadcast(tot)))
+    arr = j.agg(F.array_sort(F.collect_list(F.struct(
+        "c_nationkey", "c_mktsegment", "o", "r", "c", "nn"))).alias("xs"))
+    term = lambda e: (  # noqa: E731
+        (e["o"] * e["nn"] - e["r"] * e["c"]).cast("double")
+        * (e["o"] * e["nn"] - e["r"] * e["c"]).cast("double")
+        / (e["nn"].cast("double") * e["r"].cast("double")
+           * e["c"].cast("double")))
+    fold = F.aggregate(F.col("xs"),
+                       F.struct(F.lit(0.0).alias("chi"),
+                                F.lit(0).cast("long").alias("cells")),
+                       lambda acc, e: F.struct(
+                           (acc["chi"] + term(e)).alias("chi"),
+                           (acc["cells"] + 1).alias("cells")))
+    return (arr.select(fold.alias("a"))
+            .select(F.col("a.cells").alias("n_cells"),
+                    F.round(F.col("a.chi"), 4).alias("chi2")))
+
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2
+), rows_m AS (
+  SELECT c_nationkey, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1
+), cols_m AS (
+  SELECT c_mktsegment, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1
+), tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+arr AS (
+  SELECT list(struct_pack(nk := ce.c_nationkey, seg := ce.c_mktsegment,
+                          o := ce.o, r := rm.r, c := cm.c, nn := t.nn)
+              ORDER BY ce.c_nationkey, ce.c_mktsegment) AS xs
+  FROM cells ce
+  JOIN rows_m rm ON ce.c_nationkey = rm.c_nationkey
+  JOIN cols_m cm ON ce.c_mktsegment = cm.c_mktsegment
+  CROSS JOIN tot t
+), folded AS (
+  SELECT list_reduce(
+    list_prepend(struct_pack(chi := 0.0, cells := 0::BIGINT),
+                 list_transform(xs, e -> struct_pack(
+                     chi := CAST(e.o * e.nn - e.r * e.c AS DOUBLE)
+                            * CAST(e.o * e.nn - e.r * e.c AS DOUBLE)
+                            / (CAST(e.nn AS DOUBLE) * e.r * e.c),
+                     cells := 1::BIGINT))),
+    (acc, e) -> struct_pack(chi := acc.chi + e.chi,
+                            cells := acc.cells + e.cells)) AS a
+  FROM arr
+)
+SELECT a.cells AS n_cells, round(a.chi, 4) AS chi2 FROM folded
+"""
+
+QUERIES["chi2_independence"] = (chi2_independence, _CHI2_SQL)

@@ -143,7 +143,7 @@ def main() -> None:
         "prefix_filter_jaccard_join", "theil_sen_trend",
         "dbscan_geo_clusters", "peak_concurrency",
         "auc_mann_whitney", "poisson_bootstrap_ci", "max_drawdown_curve",
-        "rolling_ols_slope",
+        "rolling_ols_slope", "anova_eta_squared", "chi2_independence",
     ]
     for name in names:
         if name not in qs:
