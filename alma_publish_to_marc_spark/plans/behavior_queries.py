@@ -1989,3 +1989,180 @@ SELECT a.cells AS n_cells, round(a.chi, 4) AS chi2 FROM folded
 """
 
 QUERIES["chi2_independence"] = (chi2_independence, _CHI2_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Daily cart-abandonment rate (sessions with intent but no purchase)
+# ---------------------------------------------------------------------------
+
+
+def abandonment_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily abandonment: share of sessions showing intent (a view or
+    click) that never reach a purchase — the canonical e-commerce
+    health metric, built on the same 30-min gap sessionization as
+    ``peak_concurrency``. A session belongs to the day it STARTS
+    (integer epoch-day of min ts). Rate is one exact-int division
+    rounded at 4.
+
+    Scale: sessionization is keyed by user; per-session flags are
+    conditional MAXes inside the same aggregate; daily rollup is
+    report-sized."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("tus"))
+    wu = Window.partitionBy("user_id").orderBy("tus")
+    marked = ev.select(
+        "user_id", "event_type", "tus",
+        F.when(F.lag("tus", 1).over(wu).isNull(), 1)
+         .when((F.col("tus") - F.lag("tus", 1).over(wu)) > 1_800_000_000, 1)
+         .otherwise(0).alias("new_s"))
+    sess = (marked
+            .withColumn("sid", F.sum("new_s").over(
+                wu.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "sid")
+            .agg((F.min("tus") / F.lit(86_400_000_000)).cast("long")
+                 .alias("day"),
+                 F.max(F.when(F.col("event_type").isin("view", "click"), 1)
+                       .otherwise(0)).alias("intent"),
+                 F.max(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("bought")))
+    return (sess.where(F.col("intent") == 1)
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("intent_sessions"),
+                 F.sum(1 - F.col("bought")).cast("long")
+                  .alias("abandoned"),
+                 F.round(F.sum(1 - F.col("bought")).cast("double")
+                         / F.count(F.lit(1)).cast("double"), 4)
+                  .alias("abandonment_rate")))
+
+
+_ABANDON_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+), marked AS (
+  SELECT user_id, event_type, tus,
+         CASE WHEN lag(tus) OVER w IS NULL THEN 1
+              WHEN tus - lag(tus) OVER w > 1800000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+), sid AS (
+  SELECT user_id, event_type, tus,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, sid,
+         CAST(min(tus) // 86400000000 AS BIGINT) AS day,
+         max(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+             AS intent,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM sid GROUP BY 1, 2
+)
+SELECT day, CAST(count(*) AS BIGINT) AS intent_sessions,
+       CAST(sum(1 - bought) AS BIGINT) AS abandoned,
+       round(CAST(sum(1 - bought) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 4) AS abandonment_rate
+FROM sess WHERE intent = 1 GROUP BY 1
+"""
+
+QUERIES["abandonment_rate_daily"] = (abandonment_rate_daily, _ABANDON_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Position-based (40/20/40) multi-touch attribution in exact basis points
+# ---------------------------------------------------------------------------
+_PBA_LOOKBACK_US = 86_400_000_000  # 1-day lookback window
+
+
+def position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based multi-touch attribution: every purchase's
+    preceding 24h of clicks share 10,000 basis points — 40% first
+    touch, 40% last, 20% split across middles — credited to the
+    click's campaign (the ``props.k`` payload field). Extends the
+    single-touch ``last_touch_attribution`` to the multi-touch scheme
+    marketing actually reconciles budgets with.
+
+    Exactness: credits are INTEGER bps; n=1 → 10000, n=2 → 5000/5000,
+    n≥3 → 4000/4000 + floor(2000/(n−2)) per middle with the remainder
+    assigned to the LAST middle (deterministic rule, stated) — every
+    purchase's credits sum to exactly 10000, asserted by the output's
+    global total. JSON extraction uses get_json_object/json_extract on
+    a literal path.
+
+    Scale: the purchase×click pair join is per-user keyed with the
+    time predicate riding the join; per-purchase ordering is a window
+    over (purchase, click-ts); campaign rollup is report-sized."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ctus"),
+        F.get_json_object("props", "$.k").cast("long").alias("campaign"))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ptus"))
+    touches = (buys.join(clicks, "user_id")
+               .where((F.col("ctus") < F.col("ptus"))
+                      & (F.col("ctus") >= F.col("ptus") - _PBA_LOOKBACK_US)))
+    w = Window.partitionBy("pid").orderBy("ctus", "campaign")
+    ranked = touches.select(
+        "pid", "campaign",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("n"))
+    n, r = F.col("n"), F.col("r")
+    mid_each = F.floor(2000 / (n - 2)).cast("long")
+    mid_rem = F.lit(2000) - (n - 2) * mid_each
+    bps = (F.when(n == 1, 10000)
+           .when(n == 2, 5000)
+           .when(r == 1, 4000).when(r == n, 4000)
+           .when(r == n - 1, mid_each + mid_rem)
+           .otherwise(mid_each)).cast("long")
+    return (ranked.select("campaign", bps.alias("bps"))
+            .groupBy("campaign")
+            .agg(F.count(F.lit(1)).alias("n_touches"),
+                 F.sum("bps").alias("credit_bps")))
+
+
+_PBA_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS ctus,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS campaign
+  FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, event_id AS pid, epoch_us(ts) AS ptus
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT b.pid, c.campaign, c.ctus
+  FROM buys b JOIN clicks c ON b.user_id = c.user_id
+  WHERE c.ctus < b.ptus AND c.ctus >= b.ptus - {_PBA_LOOKBACK_US}
+), ranked AS (
+  SELECT pid, campaign,
+         CAST(row_number() OVER (PARTITION BY pid
+                                 ORDER BY ctus, campaign) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS n
+  FROM touches
+), credited AS (
+  SELECT campaign,
+         CAST(CASE WHEN n = 1 THEN 10000
+                   WHEN n = 2 THEN 5000
+                   WHEN r = 1 THEN 4000
+                   WHEN r = n THEN 4000
+                   WHEN r = n - 1
+                        THEN CAST(floor(2000 / (n - 2)) AS BIGINT)
+                             + 2000 - (n - 2)
+                               * CAST(floor(2000 / (n - 2)) AS BIGINT)
+                   ELSE CAST(floor(2000 / (n - 2)) AS BIGINT)
+              END AS BIGINT) AS bps
+  FROM ranked
+)
+SELECT campaign, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(bps) AS BIGINT) AS credit_bps
+FROM credited GROUP BY 1
+"""
+
+QUERIES["position_based_attribution"] = (position_based_attribution,
+                                         _PBA_SQL)

@@ -144,6 +144,7 @@ def main() -> None:
         "dbscan_geo_clusters", "peak_concurrency",
         "auc_mann_whitney", "poisson_bootstrap_ci", "max_drawdown_curve",
         "rolling_ols_slope", "anova_eta_squared", "chi2_independence",
+        "abandonment_rate_daily", "position_based_attribution",
     ]
     for name in names:
         if name not in qs:
