@@ -2166,3 +2166,97 @@ FROM credited GROUP BY 1
 
 QUERIES["position_based_attribution"] = (position_based_attribution,
                                          _PBA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator (2×2 exact-moment design)
+# ---------------------------------------------------------------------------
+_DID_CUT = "1999-01-01"
+_DID_REGION = "ASIA"
+
+
+def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: change in mean order value for the
+    treated group (customers in one region) vs control, across a
+    policy cut date — DiD = (T_post − T_pre) − (C_post − C_pre), the
+    workhorse quasi-experimental estimator. The four cell means are
+    exact int64 cent sums divided once each; the estimator combines
+    those four doubles (identical in both engines).
+
+    Scale: one orders scan with the region membership broadcast; the
+    whole design collapses to a 4-cell aggregate (map-side
+    combinable). Standard errors would bootstrap with the Poisson
+    operator in this module."""
+    region = (load(spark, sf_dir, "region")
+              .where(F.col("r_name") == _DID_REGION).select("r_regionkey"))
+    nations = (load(spark, sf_dir, "nation")
+               .join(F.broadcast(region),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .select("n_nationkey"))
+    cust = (load(spark, sf_dir, "customer")
+            .join(F.broadcast(nations),
+                  F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+            .select("c_custkey"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        (F.col("o_orderdate") >= F.lit(_DID_CUT).cast("timestamp"))
+        .cast("int").alias("post"))
+    marked = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"),
+                    F.lit(1).alias("treated")),
+        "o_custkey", "left").na.fill({"treated": 0})
+    cells = (marked.groupBy("treated", "post")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")))
+    wide = cells.agg(*[
+        F.max(F.when((F.col("treated") == t) & (F.col("post") == p),
+                     F.col("s").cast("double") / F.col("n").cast("double")))
+         .alias(f"m_{t}{p}")
+        for t in (0, 1) for p in (0, 1)])
+    did = ((F.col("m_11") - F.col("m_10"))
+           - (F.col("m_01") - F.col("m_00")))
+    return wide.select(
+        F.round(F.col("m_10") / 100.0, 4).alias("treated_pre"),
+        F.round(F.col("m_11") / 100.0, 4).alias("treated_post"),
+        F.round(F.col("m_00") / 100.0, 4).alias("control_pre"),
+        F.round(F.col("m_01") / 100.0, 4).alias("control_post"),
+        F.round(did / 100.0, 4).alias("did_estimate"))
+
+
+_DID_SQL = f"""
+WITH treated_cust AS (
+  SELECT c.c_custkey
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{_DID_REGION}'
+), cells AS (
+  SELECT CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS treated,
+         CASE WHEN o.o_orderdate >= TIMESTAMP '{_DID_CUT}'
+              THEN 1 ELSE 0 END AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS s
+  FROM orders o LEFT JOIN treated_cust t ON o.o_custkey = t.c_custkey
+  GROUP BY 1, 2
+), wide AS (
+  SELECT
+    max(CASE WHEN treated = 1 AND post = 0
+             THEN s / CAST(n AS DOUBLE) END) AS m_10,
+    max(CASE WHEN treated = 1 AND post = 1
+             THEN s / CAST(n AS DOUBLE) END) AS m_11,
+    max(CASE WHEN treated = 0 AND post = 0
+             THEN s / CAST(n AS DOUBLE) END) AS m_00,
+    max(CASE WHEN treated = 0 AND post = 1
+             THEN s / CAST(n AS DOUBLE) END) AS m_01
+  FROM cells
+)
+SELECT round(m_10 / 100.0, 4) AS treated_pre,
+       round(m_11 / 100.0, 4) AS treated_post,
+       round(m_00 / 100.0, 4) AS control_pre,
+       round(m_01 / 100.0, 4) AS control_post,
+       round(((m_11 - m_10) - (m_01 - m_00)) / 100.0, 4) AS did_estimate
+FROM wide
+"""
+
+QUERIES["diff_in_differences"] = (diff_in_differences, _DID_SQL)

@@ -872,3 +872,107 @@ GROUP BY 1
 """
 
 QUERIES["psi_drift_report"] = (psi_drift_report, _PSI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox scan (pooled vs per-stratum association reversal)
+# ---------------------------------------------------------------------------
+
+
+def simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan for Simpson reversals: association between urgent priority
+    (X) and above-median order value (Y), pooled vs per customer
+    nation. Association sign is the exact integer determinant
+    a·d − b·c of each 2×2 table — no odds-ratio division, so the sign
+    test is int64-exact. Output: pooled sign, per-stratum sign tallies
+    and the reversal count (strata whose sign opposes the pooled one)
+    — the aggregation-bias audit a metrics platform should run before
+    anyone trusts a pooled rate.
+
+    The median cut is rank-selected over exact cents (element at
+    ⌊(n+1)/2⌋ of the (value, orderkey) order).
+
+    Scale: one keyed orders aggregate per stratum after a broadcast
+    median; the scan is stratum-count-sized."""
+    from pyspark.sql import Window
+
+    orders = (load(spark, sf_dir, "orders")
+              .select("o_custkey", "o_orderkey",
+                      F.round(F.col("o_totalprice") * 100).cast("long")
+                       .alias("x_c"),
+                      (F.col("o_orderpriority") == "1-URGENT").cast("int")
+                       .alias("urgent")))
+    w = Window.orderBy("x_c", "o_orderkey")
+    med = F.broadcast(
+        orders.select("x_c", F.row_number().over(w).cast("long").alias("r"),
+                      F.count(F.lit(1)).over(Window.partitionBy())
+                       .cast("long").alias("n"))
+        .where(F.col("r") == F.floor((F.col("n") + 1) / 2).cast("long"))
+        .select(F.col("x_c").alias("med_c")))
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = (orders.crossJoin(med)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_nationkey", "urgent",
+                    (F.col("x_c") > F.col("med_c")).cast("int").alias("hi")))
+
+    def counts(df, keys):
+        return df.groupBy(*keys).agg(
+            F.sum(F.col("urgent") * F.col("hi")).alias("a"),
+            F.sum(F.col("urgent") * (1 - F.col("hi"))).alias("b"),
+            F.sum((1 - F.col("urgent")) * F.col("hi")).alias("c"),
+            F.sum((1 - F.col("urgent")) * (1 - F.col("hi"))).alias("d"))
+
+    det = F.signum((F.col("a") * F.col("d") - F.col("b") * F.col("c"))
+                   .cast("double")).cast("int")
+    pooled = counts(base, []).select(det.alias("pooled_sign"))
+    strata = counts(base, ["c_nationkey"]).select(
+        "c_nationkey", det.alias("sg"))
+    return (strata.crossJoin(F.broadcast(pooled))
+            .agg(F.max("pooled_sign").alias("pooled_sign"),
+                 F.count(F.lit(1)).alias("n_strata"),
+                 F.sum((F.col("sg") == F.col("pooled_sign")).cast("int"))
+                  .cast("long").alias("agreeing"),
+                 F.sum((F.col("sg") == -F.col("pooled_sign")).cast("int"))
+                  .cast("long").alias("reversed")))
+
+
+_SIMPSON_SQL = """
+WITH orders_x AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x_c,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent
+  FROM orders
+), med AS (
+  SELECT x_c AS med_c FROM (
+    SELECT x_c,
+           CAST(row_number() OVER (ORDER BY x_c, o_orderkey) AS BIGINT) AS r,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM orders_x)
+  WHERE r = CAST(floor((n + 1) / 2.0) AS BIGINT)
+), base AS (
+  SELECT c.c_nationkey, o.urgent,
+         CASE WHEN o.x_c > m.med_c THEN 1 ELSE 0 END AS hi
+  FROM orders_x o CROSS JOIN med m
+  JOIN customer c ON o.o_custkey = c.c_custkey
+), pooled AS (
+  SELECT CAST(sign(CAST(sum(urgent * hi) * sum((1 - urgent) * (1 - hi))
+                        - sum(urgent * (1 - hi)) * sum((1 - urgent) * hi)
+                        AS DOUBLE)) AS INT) AS pooled_sign
+  FROM base
+), strata AS (
+  SELECT c_nationkey,
+         CAST(sign(CAST(sum(urgent * hi) * sum((1 - urgent) * (1 - hi))
+                        - sum(urgent * (1 - hi)) * sum((1 - urgent) * hi)
+                        AS DOUBLE)) AS INT) AS sg
+  FROM base GROUP BY 1
+)
+SELECT max(p.pooled_sign) AS pooled_sign,
+       CAST(count(*) AS BIGINT) AS n_strata,
+       CAST(sum(CASE WHEN s.sg = p.pooled_sign THEN 1 ELSE 0 END) AS BIGINT)
+           AS agreeing,
+       CAST(sum(CASE WHEN s.sg = -p.pooled_sign THEN 1 ELSE 0 END) AS BIGINT)
+           AS reversed
+FROM strata s CROSS JOIN pooled p
+"""
+
+QUERIES["simpsons_paradox_scan"] = (simpsons_paradox_scan, _SIMPSON_SQL)

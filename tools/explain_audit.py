@@ -145,6 +145,7 @@ def main() -> None:
         "auc_mann_whitney", "poisson_bootstrap_ci", "max_drawdown_curve",
         "rolling_ols_slope", "anova_eta_squared", "chi2_independence",
         "abandonment_rate_daily", "position_based_attribution",
+        "diff_in_differences", "simpsons_paradox_scan",
     ]
     for name in names:
         if name not in qs:
