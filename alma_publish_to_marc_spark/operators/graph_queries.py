@@ -1122,3 +1122,90 @@ SELECT CAST(-1 AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_core,
 
 
 QUERIES["dbscan_geo_clusters"] = (dbscan_geo_clusters, _dbscan_sql())
+
+
+# --------------------------------------------------------------------------
+# Walk-PMI node similarity (DeepWalk's statistics without the SGD)
+# --------------------------------------------------------------------------
+_WPMI_WINDOW = 2
+_WPMI_TOPK = 3
+
+
+def walk_pmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node similarity from walk co-occurrence PMI — DeepWalk's
+    training signal computed EXACTLY instead of approximated by SGD:
+    skip-gram (node, context) pairs from the deterministic walk corpus
+    (window ±2 steps), PMI = ln(c_ab·T/(c_a·c_b)) on exact integer
+    counts, top-3 contexts per focus node ranked by the e6-floored
+    PMI with id tie-break. Factorizing this matrix IS the embedding
+    (Levy & Goldberg 2014) — the engine produces its exact input.
+
+    Scale: pairs are walks × window — linear in the walk corpus; the
+    count/total joins are small (visited-node vocabulary), broadcast.
+    Composes two existing operators (seeded walks, PMI ranking) with
+    no new primitives."""
+    from pyspark.sql import Window
+
+    walks = graph_random_walks(spark, sf_dir)
+    a = walks.select("seed", F.col("step").alias("i"),
+                     F.col("node").alias("na"))
+    b = walks.select("seed", F.col("step").alias("j"),
+                     F.col("node").alias("nb"))
+    pairs = (a.join(b, "seed")
+             .where((F.abs(F.col("i") - F.col("j")) <= _WPMI_WINDOW)
+                    & (F.col("i") != F.col("j")))
+             .select("na", "nb"))
+    c_ab = pairs.groupBy("na", "nb").agg(F.count(F.lit(1)).alias("cab"))
+    c_a = pairs.groupBy("na").agg(F.count(F.lit(1)).alias("ca"))
+    c_b = pairs.groupBy("nb").agg(F.count(F.lit(1)).alias("cb"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("t"))
+    scored = (c_ab.join(F.broadcast(c_a), "na")
+              .join(F.broadcast(c_b), "nb")
+              .crossJoin(F.broadcast(tot))
+              .select("na", "nb", "cab",
+                      F.floor(F.lit(1_000_000) * F.log(
+                          F.col("cab").cast("double") * F.col("t")
+                          / (F.col("ca").cast("double") * F.col("cb"))))
+                       .cast("long").alias("pmi_e6")))
+    w = Window.partitionBy("na").orderBy(F.desc("pmi_e6"), F.asc("nb"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _WPMI_TOPK)
+            .select(F.col("na").alias("node"),
+                    F.col("nb").alias("context"),
+                    F.col("rk").alias("rank"), "cab", "pmi_e6"))
+
+
+def _walk_pmi_sql() -> str:
+    inner = _walks_sql().strip().rstrip(";")
+    return f"""
+WITH walks AS (SELECT * FROM ({inner})),
+pairs AS (
+  SELECT a.node AS na, b.node AS nb
+  FROM walks a JOIN walks b
+    ON a.seed = b.seed AND a.step != b.step
+   AND abs(a.step - b.step) <= {_WPMI_WINDOW}
+), c_ab AS (
+  SELECT na, nb, CAST(count(*) AS BIGINT) AS cab FROM pairs GROUP BY 1, 2
+), c_a AS (SELECT na, CAST(count(*) AS BIGINT) AS ca FROM pairs GROUP BY 1),
+c_b AS (SELECT nb, CAST(count(*) AS BIGINT) AS cb FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM pairs),
+scored AS (
+  SELECT x.na, x.nb, x.cab,
+         CAST(floor(1000000 * ln(CAST(x.cab AS DOUBLE) * tt.t
+                                 / (CAST(a.ca AS DOUBLE) * b.cb)))
+              AS BIGINT) AS pmi_e6
+  FROM c_ab x
+  JOIN c_a a ON x.na = a.na
+  JOIN c_b b ON x.nb = b.nb
+  CROSS JOIN tot tt
+)
+SELECT na AS node, nb AS context,
+       CAST(row_number() OVER (PARTITION BY na
+                               ORDER BY pmi_e6 DESC, nb ASC) AS INT) AS rank,
+       cab, pmi_e6
+FROM scored
+QUALIFY rank <= {_WPMI_TOPK}
+"""
+
+
+QUERIES["walk_pmi_similarity"] = (walk_pmi_similarity, _walk_pmi_sql())

@@ -146,6 +146,7 @@ def main() -> None:
         "rolling_ols_slope", "anova_eta_squared", "chi2_independence",
         "abandonment_rate_daily", "position_based_attribution",
         "diff_in_differences", "simpsons_paradox_scan",
+        "walk_pmi_similarity",
     ]
     for name in names:
         if name not in qs:
