@@ -2260,3 +2260,104 @@ FROM wide
 """
 
 QUERIES["diff_in_differences"] = (diff_in_differences, _DID_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Absorbing-chain purchase probability (K fixed-point matrix rounds)
+# ---------------------------------------------------------------------------
+_ABS_ROUNDS = 8
+_ABS_TARGET = "purchase"
+
+
+def absorption_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability of reaching PURCHASE within 8 transitions from each
+    event state, under the empirical Markov chain with purchase made
+    absorbing — the funnel question the raw transition matrix
+    (``event_transition_matrix``) doesn't answer. Each round applies
+    v' = ⌊Σ_t c_st·v_t / c_s⌋ in MICRO-INT space (every quotient a
+    floor of exact int64 — kmeans/pagerank recipe), so the K rounds
+    are bit-identical across engines; the oracle unrolls them as CTEs.
+
+    Scale: the transition counts reduce the event stream once; rounds
+    then run on a STATE-count-sized frame (5 rows) — iteration cost is
+    independent of data volume, the defining property of
+    matrix-power-on-aggregates analytics."""
+    from alma_publish_to_marc_spark.tables import EVENT_TYPES
+
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("tus"),
+        "event_id")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    trans = (ev.select("user_id", F.col("event_type").alias("f"),
+                       F.lead("event_type", 1).over(w).alias("t"))
+             .where(F.col("t").isNotNull())
+             # absorbing: paths stop at purchase
+             .where(F.col("f") != _ABS_TARGET))
+    m = trans.groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
+    ftot = m.groupBy("f").agg(F.sum("c").alias("cf"))
+    states = spark.createDataFrame([(s,) for s in EVENT_TYPES], "s string")
+    v = states.select(
+        "s", F.when(F.col("s") == _ABS_TARGET, 1_000_000).otherwise(0)
+        .cast("long").alias("v"))
+    for _ in range(_ABS_ROUNDS):
+        stepped = (m.join(v.select(F.col("s").alias("t"), "v"), "t")
+                   .groupBy("f").agg(F.sum(F.col("c") * F.col("v"))
+                                     .alias("num"))
+                   .join(ftot, "f")
+                   .select(F.col("f").alias("s"),
+                           F.expr("num div cf").alias("v")))
+        v = (states.join(stepped, "s", "left")
+             .select("s", F.when(F.col("s") == _ABS_TARGET, 1_000_000)
+                     .otherwise(F.coalesce("v", F.lit(0)))
+                     .cast("long").alias("v")))
+    return v.select(F.col("s").alias("state"),
+                    F.col("v").alias("p_absorb_e6"))
+
+
+def _absorption_sql() -> str:
+    from alma_publish_to_marc_spark.tables import EVENT_TYPES
+
+    states = " UNION ALL ".join(f"SELECT '{s}' AS s" for s in EVENT_TYPES)
+    ctes = [f"""ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+), trans AS (
+  SELECT f, t FROM (
+    SELECT event_type AS f,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id) AS t
+    FROM ev)
+  WHERE t IS NOT NULL AND f != '{_ABS_TARGET}'
+), m AS (
+  SELECT f, t, CAST(count(*) AS BIGINT) AS c FROM trans GROUP BY 1, 2
+), ftot AS (
+  SELECT f, CAST(sum(c) AS BIGINT) AS cf FROM m GROUP BY 1
+), states AS ({states}),
+v0 AS (
+  SELECT s, CAST(CASE WHEN s = '{_ABS_TARGET}' THEN 1000000 ELSE 0 END
+                 AS BIGINT) AS v
+  FROM states
+)"""]
+    prev = "v0"
+    for r in range(1, _ABS_ROUNDS + 1):
+        ctes.append(f"""v{r} AS (
+  SELECT st.s,
+         CAST(CASE WHEN st.s = '{_ABS_TARGET}' THEN 1000000
+                   ELSE COALESCE(x.v, 0) END AS BIGINT) AS v
+  FROM states st
+  LEFT JOIN (
+    SELECT m.f AS s, CAST(sum(m.c * p.v) AS BIGINT) // ft.cf AS v
+    FROM m JOIN {prev} p ON m.t = p.s
+    JOIN ftot ft ON m.f = ft.f
+    GROUP BY m.f, ft.cf
+  ) x ON st.s = x.s
+)""")
+        prev = f"v{r}"
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT s AS state, v AS p_absorb_e6 FROM {prev}\n")
+
+
+QUERIES["absorption_to_purchase"] = (absorption_to_purchase,
+                                     _absorption_sql())

@@ -146,7 +146,7 @@ def main() -> None:
         "rolling_ols_slope", "anova_eta_squared", "chi2_independence",
         "abandonment_rate_daily", "position_based_attribution",
         "diff_in_differences", "simpsons_paradox_scan",
-        "walk_pmi_similarity",
+        "walk_pmi_similarity", "absorption_to_purchase",
     ]
     for name in names:
         if name not in qs:
