@@ -507,3 +507,70 @@ QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY day DESC) <= 10
 """
 
 QUERIES["rolling_ols_slope"] = (_rolling_ols_slope, _ROLL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# XmR control chart (individuals + moving range, exact integer limits)
+# ---------------------------------------------------------------------------
+
+
+def _xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart XmR (individuals) control chart per event type: a day
+    is out-of-control when |x − x̄| > 2.66·mR̄ (the standard individuals
+    limit). Both sides are rational in integer counts — x̄ = S/n,
+    mR̄ = MR/(n−1) — so the test cross-multiplies to pure int64:
+    |100·x·n·(n−1) − 100·S·(n−1)| > 266·MR·n, no float boundary
+    anywhere. Output: per type, the limit band (display doubles) and
+    the out-of-control day count — the SPC monitor a pipeline-health
+    dashboard runs on ingest volumes.
+
+    Scale: daily reduction first; one lag window for moving ranges;
+    int64 headroom |100·x·n²| < 2^63 through ~1e6/day at 30 days."""
+    from pyspark.sql import Window
+
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    mr = daily.select(
+        "event_type", "day", "x",
+        F.abs(F.col("x") - F.lag("x", 1).over(w)).alias("mr"))
+    stats = (mr.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+                  F.sum("mr").alias("mrs")))
+    j = mr.join(F.broadcast(stats), "event_type")
+    lhs = F.abs(100 * F.col("x") * F.col("n") * (F.col("n") - 1)
+                - 100 * F.col("s") * (F.col("n") - 1))
+    rhs = 266 * F.col("mrs") * F.col("n")
+    ooc = lhs > rhs
+    return (j.groupBy("event_type")
+            .agg(F.max("n").alias("n_days"),
+                 F.round(F.max(F.col("s").cast("double") / F.col("n")), 2)
+                  .alias("center"),
+                 F.round(F.max(F.lit(2.66) * F.col("mrs").cast("double")
+                               / (F.col("n") - 1)), 2).alias("limit_halfwidth"),
+                 F.sum(ooc.cast("int")).cast("long").alias("out_of_control")))
+
+
+_XMR_SQL = f"""
+WITH {_DAILY_SQL},
+mr AS (
+  SELECT event_type, day, x,
+         abs(x - lag(x) OVER (PARTITION BY event_type ORDER BY day)) AS mr
+  FROM daily
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s, CAST(sum(mr) AS BIGINT) AS mrs
+  FROM mr GROUP BY 1
+)
+SELECT m.event_type, max(st.n) AS n_days,
+       round(max(CAST(st.s AS DOUBLE) / st.n), 2) AS center,
+       round(max(2.66 * CAST(st.mrs AS DOUBLE) / (st.n - 1)), 2)
+           AS limit_halfwidth,
+       CAST(sum(CASE WHEN abs(100 * m.x * st.n * (st.n - 1)
+                              - 100 * st.s * (st.n - 1))
+                          > 266 * st.mrs * st.n
+                     THEN 1 ELSE 0 END) AS BIGINT) AS out_of_control
+FROM mr m JOIN stats st ON m.event_type = st.event_type
+GROUP BY 1
+"""
+
+QUERIES["xmr_control_chart"] = (_xmr_control_chart, _XMR_SQL)
