@@ -574,3 +574,88 @@ GROUP BY 1
 """
 
 QUERIES["xmr_control_chart"] = (_xmr_control_chart, _XMR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality strength (eta² of daily volume by weekday)
+# ---------------------------------------------------------------------------
+
+
+def _dow_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How weekly is each event type's traffic: η² of daily volume
+    explained by day-of-week — the seasonality-strength scalar that
+    decides whether a forecast needs a weekly component. Weekday from
+    integer epoch arithmetic ((day+4) % 7, CLAUDE.md); group moments
+    are exact int64; the Σ S_g²/n_g fraction sum folds over the
+    dow-SORTED 7-element array (pinned association, the
+    anova_eta_squared recipe).
+
+    Scale: daily reduction → ≤7 moment rows per type; everything
+    after is per-type constant work."""
+    daily = _daily_counts(spark, sf_dir)
+    g = (daily.select("event_type", "x",
+                      ((F.col("day") + 4) % 7).alias("dow"))
+         .groupBy("event_type", "dow")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+              F.sum(F.col("x") * F.col("x")).alias("q")))
+    arr = (g.groupBy("event_type")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("dow", "n", "s", "q"))).alias("xs")))
+    fold = F.aggregate(
+        F.col("xs"),
+        F.struct(F.lit(0).cast("long").alias("nn"),
+                 F.lit(0).cast("long").alias("ss"),
+                 F.lit(0).cast("long").alias("qq"),
+                 F.lit(0.0).alias("btw")),
+        lambda acc, e: F.struct(
+            (acc["nn"] + e["n"]).alias("nn"),
+            (acc["ss"] + e["s"]).alias("ss"),
+            (acc["qq"] + e["q"]).alias("qq"),
+            (acc["btw"] + e["s"].cast("double") * e["s"].cast("double")
+             / e["n"].cast("double")).alias("btw")))
+    m = arr.select("event_type", fold.alias("a"))
+    grand = (F.col("a.ss").cast("double") * F.col("a.ss").cast("double")
+             / F.col("a.nn").cast("double"))
+    ss_b = F.col("a.btw") - grand
+    ss_t = F.col("a.qq").cast("double") - grand
+    return m.select(
+        "event_type", F.col("a.nn").alias("n_days"),
+        F.when(ss_t > 0, F.round(ss_b / ss_t, 6)).alias("dow_eta_sq"))
+
+
+_DOW_SQL = f"""
+WITH {_DAILY_SQL},
+g AS (
+  SELECT event_type, (day + 4) % 7 AS dow,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM daily GROUP BY 1, 2
+), arr AS (
+  SELECT event_type,
+         list(struct_pack(dow := dow, n := n, s := s, q := q)
+              ORDER BY dow) AS xs
+  FROM g GROUP BY 1
+), folded AS (
+  SELECT event_type, list_reduce(
+    list_prepend(struct_pack(nn := 0::BIGINT, ss := 0::BIGINT,
+                             qq := 0::BIGINT, btw := 0.0),
+                 list_transform(xs, e -> struct_pack(
+                     nn := e.n, ss := e.s, qq := e.q,
+                     btw := CAST(e.s AS DOUBLE)))),
+    (acc, e) -> struct_pack(
+        nn := acc.nn + e.nn, ss := acc.ss + e.ss, qq := acc.qq + e.qq,
+        btw := acc.btw + CAST(e.ss AS DOUBLE) * CAST(e.ss AS DOUBLE)
+               / CAST(e.nn AS DOUBLE))) AS a
+  FROM arr
+)
+SELECT event_type, a.nn AS n_days,
+       CASE WHEN CAST(a.qq AS DOUBLE)
+                 - CAST(a.ss AS DOUBLE) * a.ss / a.nn > 0
+            THEN round((a.btw - CAST(a.ss AS DOUBLE) * a.ss / a.nn)
+                       / (CAST(a.qq AS DOUBLE)
+                          - CAST(a.ss AS DOUBLE) * a.ss / a.nn), 6)
+       END AS dow_eta_sq
+FROM folded
+"""
+
+QUERIES["dow_seasonality_strength"] = (_dow_seasonality_strength, _DOW_SQL)

@@ -147,7 +147,7 @@ def main() -> None:
         "abandonment_rate_daily", "position_based_attribution",
         "diff_in_differences", "simpsons_paradox_scan",
         "walk_pmi_similarity", "absorption_to_purchase",
-        "xmr_control_chart",
+        "xmr_control_chart", "dow_seasonality_strength",
     ]
     for name in names:
         if name not in qs:
