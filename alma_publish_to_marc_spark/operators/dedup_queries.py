@@ -859,7 +859,9 @@ def _prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("sz", F.count(F.lit(1)).over(
                   Window.partitionBy("doc_id"))))
     # prefix length = floor((1 - t) * sz) + 1 = floor(sz * (den-num)/den) + 1
-    plen = (F.col("sz") * (_PF_T_DEN - _PF_T_NUM) / _PF_T_DEN) \
+    # explicit floor in BOTH engines (CLAUDE.md: never CAST a fractional
+    # double to int — Spark truncates, DuckDB rounds half-even)
+    plen = F.floor(F.col("sz") * (_PF_T_DEN - _PF_T_NUM) / _PF_T_DEN) \
         .cast("long") + 1
     prefix = ranked.where(F.col("r") <= plen).select("doc_id", "w", "sz")
     a = prefix.select(F.col("doc_id").alias("ida"), "w",
@@ -905,7 +907,7 @@ ranked AS (
   FROM toks_ne t JOIN freq f ON t.w = f.w
 ), prefix AS (
   SELECT doc_id, w, sz FROM ranked
-  WHERE r <= CAST(sz * {den - num} / {den} AS BIGINT) + 1
+  WHERE r <= CAST(floor(sz * {den - num} / {den}) AS BIGINT) + 1
 ), cand AS (
   SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
   FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id

@@ -792,6 +792,10 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one step = edges⋈frontier keyed join + a struct-min argmin
     per walker (map-side combinable); walkers never interact, so the
     whole pass shards by seed. Emits (seed, step, node) path rows.
+    Every step's frontier is persisted and tracked (the bfs_levels /
+    kcore discipline): without it one evaluation pays O(K²/2)
+    step-joins — the union re-derives every prefix — and every extra
+    consumer (walk-PMI's aggregate branches) pays it all again.
     """
     from pyspark import StorageLevel
 
@@ -824,7 +828,9 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("seed")
                .agg(F.min(F.struct(h.alias("h"),
                                    F.col("dst").alias("dst"))).alias("b"))
-               .select("seed", F.col("b.dst").alias("node")))
+               .select("seed", F.col("b.dst").alias("node"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        _sim._PERSISTED.append(nxt)
         out = out.unionByName(
             nxt.select("seed", F.lit(step).alias("step"), "node"))
         cur = nxt
@@ -1135,16 +1141,26 @@ def walk_pmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node similarity from walk co-occurrence PMI — DeepWalk's
     training signal computed EXACTLY instead of approximated by SGD:
     skip-gram (node, context) pairs from the deterministic walk corpus
-    (window ±2 steps), PMI = ln(c_ab·T/(c_a·c_b)) on exact integer
-    counts, top-3 contexts per focus node ranked by the e6-floored
-    PMI with id tie-break. Factorizing this matrix IS the embedding
+    (window ±2 steps), PMI ratio = c_ab·T/(c_a·c_b) on exact integer
+    counts, top-3 contexts per focus node ranked by the RATIO (ln is
+    monotone, so the ordering is identical to PMI — but ln is NOT
+    IEEE-correctly-rounded, so JVM Math.log and libm could disagree by
+    1 ulp at a floor boundary; mul/div ARE correctly rounded, so the
+    double ratio is bit-identical cross-engine). Emits the e6-floored
+    ratio, not ln. Factorizing this matrix IS the embedding
     (Levy & Goldberg 2014) — the engine produces its exact input.
 
     Scale: pairs are walks × window — linear in the walk corpus; the
     count/total joins are small (visited-node vocabulary), broadcast.
+    ``pairs`` feeds FOUR aggregate branches (c_ab/c_a/c_b/tot), so it
+    is persisted (tracked via the similarity release list) — without
+    it the whole walk join chain re-executes per branch.
     Composes two existing operators (seeded walks, PMI ranking) with
     no new primitives."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
+
+    from . import similarity as _sim
 
     walks = graph_random_walks(spark, sf_dir)
     a = walks.select("seed", F.col("step").alias("i"),
@@ -1154,32 +1170,35 @@ def walk_pmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (a.join(b, "seed")
              .where((F.abs(F.col("i") - F.col("j")) <= _WPMI_WINDOW)
                     & (F.col("i") != F.col("j")))
-             .select("na", "nb"))
+             .select("na", "nb")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(pairs)
     c_ab = pairs.groupBy("na", "nb").agg(F.count(F.lit(1)).alias("cab"))
     c_a = pairs.groupBy("na").agg(F.count(F.lit(1)).alias("ca"))
     c_b = pairs.groupBy("nb").agg(F.count(F.lit(1)).alias("cb"))
     tot = pairs.agg(F.count(F.lit(1)).alias("t"))
+    ratio = (F.col("cab").cast("double") * F.col("t")
+             / (F.col("ca").cast("double") * F.col("cb")))
     scored = (c_ab.join(F.broadcast(c_a), "na")
               .join(F.broadcast(c_b), "nb")
               .crossJoin(F.broadcast(tot))
               .select("na", "nb", "cab",
-                      F.floor(F.lit(1_000_000) * F.log(
-                          F.col("cab").cast("double") * F.col("t")
-                          / (F.col("ca").cast("double") * F.col("cb"))))
-                       .cast("long").alias("pmi_e6")))
-    w = Window.partitionBy("na").orderBy(F.desc("pmi_e6"), F.asc("nb"))
+                      ratio.alias("score"),
+                      F.floor(F.lit(1_000_000) * ratio)
+                       .cast("long").alias("ratio_e6")))
+    w = Window.partitionBy("na").orderBy(F.desc("score"), F.asc("nb"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= _WPMI_TOPK)
             .select(F.col("na").alias("node"),
                     F.col("nb").alias("context"),
-                    F.col("rk").alias("rank"), "cab", "pmi_e6"))
+                    F.col("rk").alias("rank"), "cab", "ratio_e6"))
 
 
 def _walk_pmi_sql() -> str:
     inner = _walks_sql().strip().rstrip(";")
     return f"""
-WITH walks AS (SELECT * FROM ({inner})),
-pairs AS (
+WITH walks AS MATERIALIZED (SELECT * FROM ({inner})),
+pairs AS MATERIALIZED (
   SELECT a.node AS na, b.node AS nb
   FROM walks a JOIN walks b
     ON a.seed = b.seed AND a.step != b.step
@@ -1191,9 +1210,11 @@ c_b AS (SELECT nb, CAST(count(*) AS BIGINT) AS cb FROM pairs GROUP BY 1),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM pairs),
 scored AS (
   SELECT x.na, x.nb, x.cab,
-         CAST(floor(1000000 * ln(CAST(x.cab AS DOUBLE) * tt.t
-                                 / (CAST(a.ca AS DOUBLE) * b.cb)))
-              AS BIGINT) AS pmi_e6
+         CAST(x.cab AS DOUBLE) * tt.t
+           / (CAST(a.ca AS DOUBLE) * b.cb) AS score,
+         CAST(floor(1000000 * (CAST(x.cab AS DOUBLE) * tt.t
+                               / (CAST(a.ca AS DOUBLE) * b.cb)))
+              AS BIGINT) AS ratio_e6
   FROM c_ab x
   JOIN c_a a ON x.na = a.na
   JOIN c_b b ON x.nb = b.nb
@@ -1201,8 +1222,8 @@ scored AS (
 )
 SELECT na AS node, nb AS context,
        CAST(row_number() OVER (PARTITION BY na
-                               ORDER BY pmi_e6 DESC, nb ASC) AS INT) AS rank,
-       cab, pmi_e6
+                               ORDER BY score DESC, nb ASC) AS INT) AS rank,
+       cab, ratio_e6
 FROM scored
 QUALIFY rank <= {_WPMI_TOPK}
 """

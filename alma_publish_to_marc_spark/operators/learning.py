@@ -435,10 +435,17 @@ def _auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("r1x2"),
         F.sum("pos").alias("n1"), F.sum(F.col("cnt") - F.col("pos"))
          .alias("n0"))
+    # int64 headroom: U2 = r1x2 − n1(n1+1) = 2U ≤ 2·n1·n0, so scaling
+    # U2 by 1e6 in int64 would overflow once n1·n0 > ~4.6e12 (~4M rows
+    # balanced) — and Spark wraps silently while DuckDB raises. Do the
+    # scale-and-divide in DOUBLE in BOTH engines: int→double conversion
+    # and IEEE mul/div are correctly rounded, so the e6 floor is still
+    # bit-identical; int64 now only has to hold U2 and 2·n1·n0
+    # themselves (good to ~n1·n0 < 4.6e18 ≈ 2e9 rows per class).
     auc_e6 = F.floor(
-        F.lit(1_000_000)
-        * (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1))
-        / (2 * F.col("n1") * F.col("n0"))).cast("long")
+        F.lit(1_000_000.0)
+        * (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+        / (2 * F.col("n1") * F.col("n0")).cast("double")).cast("long")
     return sums.select("n1", "n0", auc_e6.alias("auc_e6"))
 
 
@@ -464,7 +471,7 @@ WITH docs AS (
   FROM with_lo
 )
 SELECT n1, n0,
-       CAST(floor(1000000 * (r1x2 - n1 * (n1 + 1))
+       CAST(floor(1000000.0 * CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
                   / CAST(2 * n1 * n0 AS DOUBLE)) AS BIGINT) AS auc_e6
 FROM sums
 """

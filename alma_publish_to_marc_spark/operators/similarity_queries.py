@@ -783,9 +783,16 @@ def _mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: MMR is inherently sequential in K, but it only ever runs on
     a top-N candidate pool (here from the exact scorer; from LSH/IVF
-    at production) — every round operates on ≤ MMR_POOL rows, so the
-    driver-paced loop costs K tiny jobs however big the corpus is.
-    The expensive part (retrieval) stays the scale-shaped ANN path.
+    at production). The pool is PERSISTED after the one corpus scan
+    (tracked, released via this module's ``unpersist_cached``), and the
+    greedy loop is driver-paced: each round collects exactly ONE pick
+    row (the BPE-argmax shape) and the next round's plan reads only
+    the ≤ MMR_POOL-row cached pool — never the corpus. K−1 tiny jobs,
+    one corpus scan total, no lazily-growing union lineage.
+
+    Determinism of the sever: ``rel``/``mmr_score`` are Spark-computed
+    rounded-6 doubles collected and re-emitted as literals — a
+    bit-exact double round-trip, so the hash matches the all-lazy plan.
     """
     e = (load(spark, sf_dir, "embeddings")
          .select("vec_id", S.as_double(F.col("embedding")).alias("v")))
@@ -795,18 +802,20 @@ def _mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("vec_id") != QUERY_IDS[0])
             .select("vec_id", "v",
                     S.cosine(F.col("qv"), F.col("v")).alias("rel"))
-            .orderBy(F.desc("rel"), F.asc("vec_id")).limit(MMR_POOL))
+            .orderBy(F.desc("rel"), F.asc("vec_id")).limit(MMR_POOL)
+            .persist())
+    S._PERSISTED.append(cand)
     first = (cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
-             .select("vec_id", "rel",
-                     F.lit(1).alias("pick_rank"),
-                     F.col("rel").alias("mmr_score")))
-    picked = first
+             .select("vec_id", "rel").collect()[0])
+    picks: list[tuple[int, int, float, float]] = [
+        (1, first["vec_id"], first["rel"], first["rel"])]
     for r in range(2, MMR_K + 1):
-        sel_v = (cand.join(picked.select("vec_id"), "vec_id")
+        picked_ids = [p[1] for p in picks]
+        sel_v = (cand.where(F.col("vec_id").isin(picked_ids))
                  .select(F.col("vec_id").alias("sid"),
                          F.col("v").alias("sv")))
-        rem = cand.join(picked.select("vec_id"), "vec_id", "left_anti")
-        scored = (rem.crossJoin(sel_v)
+        rem = cand.where(~F.col("vec_id").isin(picked_ids))
+        scored = (rem.crossJoin(F.broadcast(sel_v))
                   .groupBy("vec_id", "rel")
                   .agg(F.max(S.cosine(F.col("v"), F.col("sv")))
                         .alias("max_sim"))
@@ -815,12 +824,10 @@ def _mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   - F.lit(MMR_1ML) * F.col("max_sim"), 6)
                            .alias("mmr_score")))
         pick = (scored.orderBy(F.desc("mmr_score"), F.asc("vec_id"))
-                .limit(1)
-                .select("vec_id", "rel", F.lit(r).alias("pick_rank"),
-                        "mmr_score"))
-        picked = picked.unionByName(pick)
-    return picked.select(F.col("pick_rank").cast("int").alias("pick_rank"),
-                         "vec_id", "rel", "mmr_score")
+                .limit(1).collect()[0])
+        picks.append((r, pick["vec_id"], pick["rel"], pick["mmr_score"]))
+    return spark.createDataFrame(
+        picks, "pick_rank int, vec_id bigint, rel double, mmr_score double")
 
 
 def _mmr_sql() -> str:

@@ -1312,7 +1312,11 @@ def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         F.expr("unix_micros(cast(ts as timestamp))").alias("tus"),
         "event_type")
-    code = F.col("event_type")
+    # Fallback for types outside _MR_CODE is NULL in BOTH engines: the
+    # oracle's CASE yields NULL (string_agg drops it) and array_join
+    # filters nulls — a raw-string fallback would inject multi-char
+    # words into Spark's stream only and silently break parity.
+    code = F.lit(None).cast("string")
     for name, ch in _MR_CODE.items():
         code = F.when(F.col("event_type") == name, ch).otherwise(code)
     seq = (ev.select("user_id", F.struct("tus", "event_id",

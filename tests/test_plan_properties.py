@@ -110,3 +110,39 @@ def test_tpch_scan_aggregates_fuse_to_zero_shuffles(props):
         p = props(name)
         assert p["shuffles"] == 0, name
         assert p["pushed_filter_scans"] == p["scans"], name
+
+
+def test_mmr_result_is_fully_severed(props, spark):
+    # The r04 scale-killer pin: the greedy MMR loop must run driver-
+    # paced against a persisted ≤MMR_POOL-row pool; the RETURNED frame
+    # is a local relation — zero corpus scans, zero shuffles, zero
+    # joins left in its lineage. (Before the fix: 20 embedding scans,
+    # 29 broadcast-NL joins.)
+    p = props("mmr_diversified_topk")
+    assert p["scans"] == 0
+    assert p["shuffles"] == 0
+    assert p["broadcast_nl_joins"] == 0
+    from alma_publish_to_marc_spark.operators import similarity as sim
+    assert sim.unpersist_cached() >= 1  # the pool was tracked
+
+
+def test_walk_pmi_pairs_feed_branches_from_cache(props, spark):
+    # pairs feeds FOUR aggregate branches (c_ab/c_a/c_b/tot): each
+    # branch must read the persisted frame, not re-execute the walk
+    # join chain (CLAUDE.md multi-branch hazard, r04 weak #2).
+    p = props("walk_pmi_similarity")
+    assert p["in_memory_scans"] >= 4
+    from alma_publish_to_marc_spark.operators import similarity as sim
+    assert sim.unpersist_cached() >= 1
+
+
+def test_random_walks_persist_every_round(props, spark):
+    # Per-step frontier persists (the bfs_levels/kcore discipline):
+    # each of the WALK_STEPS steps is referenced by the output union
+    # AND the next step's join — both must hit the cache, or one
+    # evaluation pays O(K^2/2) step-joins (r04 weak #3).
+    from alma_publish_to_marc_spark.operators.graph_queries import WALK_STEPS
+    p = props("graph_random_walks")
+    assert p["in_memory_scans"] >= WALK_STEPS
+    from alma_publish_to_marc_spark.operators import similarity as sim
+    assert sim.unpersist_cached() >= WALK_STEPS

@@ -42,6 +42,7 @@ def summarize(spark, df) -> dict:
         "broadcast_nl_joins": len(
             re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)),
         "sort_merge_joins": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
+        "in_memory_scans": len(re.findall(r"InMemoryTableScan", plan)),
         "scans": len(scans),
         "scan_widths": [s.count(":") for s in scans],
         "pushed_filter_scans": sum(1 for p in pushed if p.strip()),
