@@ -170,16 +170,22 @@ def _update_sql(assign_cte: str) -> str:
 _SEEDS = ", ".join(map(str, SEED_IDS))
 
 
-def kmeans_cents_cte(n_iters: int = N_ITERS) -> str:
+def kmeans_cents_cte(n_iters: int = N_ITERS, prefix: str = "",
+                     where: str = "") -> str:
     """CTE chain ``vecs, c0, a0, c1, … c{n_iters}`` whose last table is
     the refined quantized-integer centroid set — composable into other
-    oracles (the refined-quantizer IVF query reuses it)."""
-    parts = [f"vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings)",
-             "c0 AS (SELECT vec_id AS cent_id, v AS cv FROM vecs\n"
+    oracles (the refined-quantizer IVF query reuses it). ``prefix``
+    namespaces every CTE (two chains can coexist in one oracle, e.g.
+    base-trained vs full-trained for incremental index maintenance);
+    ``where`` filters the training corpus (e.g. " WHERE vec_id % 10
+    <> 5" to exclude a not-yet-arrived batch)."""
+    v = f"{prefix}vecs"
+    parts = [f"{v} AS (SELECT vec_id, {_QV} AS v FROM embeddings{where})",
+             f"{prefix}c0 AS (SELECT vec_id AS cent_id, v AS cv FROM {v}\n"
              f"       WHERE vec_id IN ({_SEEDS}))"]
     for i in range(n_iters):
-        parts.append(f"a{i} AS ({_assign_sql('vecs', f'c{i}')})")
-        parts.append(f"c{i + 1} AS ({_update_sql(f'a{i}')})")
+        parts.append(f"{prefix}a{i} AS ({_assign_sql(v, f'{prefix}c{i}')})")
+        parts.append(f"{prefix}c{i + 1} AS ({_update_sql(f'{prefix}a{i}')})")
     return ",\n".join(parts)
 
 

@@ -477,3 +477,251 @@ FROM sums
 """
 
 QUERIES["auc_mann_whitney"] = (_auc_mann_whitney, _AUC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# k-NN classifier evaluation (leave-one-out over a fixed probe panel)
+# ---------------------------------------------------------------------------
+KNN_EVAL_K = 5
+KNN_PROBE_MOD, KNN_PROBE_REM = 25, 7   # 4% deterministic eval panel
+
+
+def _knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN label prediction over the embedding corpus:
+    every panel vector (vec_id % 25 == 7) is classified by majority
+    vote of its 5 nearest non-self neighbors, and the output is the
+    confusion matrix (true_label, pred_label, n_probes) — the eval
+    that tells a curation pipeline whether embedding geometry actually
+    separates its document classes before anyone trusts
+    semantic-dedup cells or classifier-filtered mixtures built on it.
+
+    Determinism: distances are exact integer squared-L2 in the
+    clustering module's quantized space; neighbor ties break to the
+    lowest vec_id, vote ties to the lowest label (struct-min on
+    (-count, label) — min_by tie-break is undefined, struct-min isn't).
+
+    Scale: the panel is a fixed-fraction eval sample, broadcast against
+    the corpus scan exactly like ``brute_force_topk``'s probe set —
+    O(panel × corpus) compares with NO corpus shuffle; the only
+    shuffles are the (qid)-keyed WindowGroupLimit argmin (map-side
+    limited) and two tiny panel-sized aggregations. A panel at 100 TB
+    stays a few thousand vectors (eval, not inference); full-corpus
+    inference would swap the brute pass for the IVF/SQ candidate
+    generators in operators/similarity.py.
+    """
+    from .clustering import _quantized, _sq_dist
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = _quantized(emb)
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    probes = (vecs.where(F.col("vec_id") % KNN_PROBE_MOD == KNN_PROBE_REM)
+              .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    pairs = (vecs.join(F.broadcast(probes), F.col("vec_id") != F.col("qid"))
+             .withColumn("d", _sq_dist(F.col("qv"), F.col("v"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy("d", "vec_id")
+    knn = (pairs.withColumn("r", F.row_number().over(w))
+           .where(F.col("r") <= KNN_EVAL_K)
+           .select("qid", "vec_id"))
+    votes = (knn.join(labels, "vec_id")
+             .groupBy("qid", "label").agg(F.count(F.lit(1)).alias("cnt")))
+    pred = votes.groupBy("qid").agg(
+        F.min(F.struct((-F.col("cnt")).alias("negcnt"),
+                       F.col("label").alias("lab")))
+         .getField("lab").alias("pred_label"))
+    truth = (labels.where(F.col("vec_id") % KNN_PROBE_MOD == KNN_PROBE_REM)
+             .select(F.col("vec_id").alias("qid"),
+                     F.col("label").alias("true_label")))
+    return (truth.join(pred, "qid")
+            .groupBy("true_label", "pred_label")
+            .agg(F.count(F.lit(1)).alias("n_probes")))
+
+
+_KNN_EVAL_SQL = f"""
+WITH vecs AS (SELECT vec_id, {{qv}} AS v FROM embeddings),
+probes AS (SELECT vec_id AS qid, v AS qv FROM vecs
+           WHERE vec_id % {KNN_PROBE_MOD} = {KNN_PROBE_REM}),
+pairs AS (
+    SELECT p.qid, vecs.vec_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {{dim}} + 1),
+                   i -> (p.qv[i] - vecs.v[i]) * (p.qv[i] - vecs.v[i]))),
+               (x, y) -> x + y) AS d
+    FROM vecs CROSS JOIN probes p
+    WHERE vecs.vec_id <> p.qid
+),
+knn AS (
+    SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d, vec_id) AS r
+        FROM pairs
+    ) WHERE r <= {KNN_EVAL_K}
+),
+votes AS (
+    SELECT k.qid, CAST(e.label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM knn k JOIN embeddings e ON k.vec_id = e.vec_id
+    GROUP BY 1, 2
+),
+pred AS (
+    SELECT qid,
+           (min(struct_pack(negcnt := -cnt, lab := label))).lab
+               AS pred_label
+    FROM votes GROUP BY qid
+),
+truth AS (
+    SELECT vec_id AS qid, CAST(label AS BIGINT) AS true_label
+    FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} = {KNN_PROBE_REM}
+)
+SELECT t.true_label, p.pred_label, CAST(count(*) AS BIGINT) AS n_probes
+FROM truth t JOIN pred p USING (qid)
+GROUP BY 1, 2
+"""
+
+
+def _knn_eval_sql() -> str:
+    from .clustering import _QV, DIM
+
+    return _KNN_EVAL_SQL.format(qv=_QV, dim=DIM)
+
+
+QUERIES["knn_classifier_eval"] = (_knn_classifier_eval, _knn_eval_sql())
+
+
+# ---------------------------------------------------------------------------
+# Closed-form multiple OLS via normal equations (3×3 Cramer solve)
+# ---------------------------------------------------------------------------
+
+
+def _ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression — n_chars regressed on
+    (1, token count, 'the'-count) — solved exactly from one pass of
+    sufficient statistics: the 9 Gram sums X'X / X'y / y'y are EXACT
+    int64 aggregates (map-side combined), and the 3×3 Cramer solve +
+    R² happen once on a single row. This is the distributed shape for
+    closed-form regression at any scale: the corpus contributes only
+    commutative integer sums; no iteration, no weight broadcast.
+
+    Determinism: every sum is exact; each sum converts to double once
+    (exact below 2^53) and the determinant / residual formulas are
+    FIXED IEEE expression trees written with identical association in
+    both engines — correctly-rounded ops over identical inputs give
+    bit-identical doubles, so the e6 floors match exactly. (Past
+    ~1e15 in a Gram sum the int→double conversion itself rounds;
+    production at that scale would switch the sums to DECIMAL(38,0) —
+    the aggregation shape is unchanged.)
+
+    Scale: ONE corpus scan → ONE 1-row partial-aggregated reduce.
+    Nothing else moves.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    feats = docs.select(
+        F.col("n_chars").cast("long").alias("y"),
+        F.size(words).cast("long").alias("x1"),
+        F.size(F.filter(words, lambda w: w == "the")).cast("long")
+         .alias("x2"))
+    g = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"), F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    d = g.select(*[F.col(c).cast("double").alias(c) for c in
+                   ("n", "sx1", "sx2", "sy", "s11", "s12", "s22",
+                    "s1y", "s2y", "syy")])
+
+    def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+        # fixed association: a1*(b2*c3 - b3*c2) - a2*(b1*c3 - b3*c1)
+        #                    + a3*(b1*c2 - b2*c1)
+        return (a1 * (b2 * c3 - b3 * c2)
+                - a2 * (b1 * c3 - b3 * c1)
+                + a3 * (b1 * c2 - b2 * c1))
+
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sy, s11, s12 = F.col("sy"), F.col("s11"), F.col("s12")
+    s22, s1y, s2y = F.col("s22"), F.col("s1y"), F.col("s2y")
+    solved = d.select(
+        "*",
+        det3(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22).alias("det"),
+        det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22).alias("det0"),
+        det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22).alias("det1"),
+        det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y).alias("det2"))
+    betas = solved.select(
+        "*",
+        (F.col("det0") / F.col("det")).alias("b0"),
+        (F.col("det1") / F.col("det")).alias("b1"),
+        (F.col("det2") / F.col("det")).alias("b2"))
+    b0, b1, b2 = F.col("b0"), F.col("b1"), F.col("b2")
+    sse = F.col("syy") - (b0 * sy + b1 * s1y + b2 * s2y)
+    sst = F.col("syy") - sy * sy / n
+    return betas.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.floor(F.lit(1_000_000.0) * b0).cast("long").alias("b0_e6"),
+        F.floor(F.lit(1_000_000.0) * b1).cast("long").alias("b1_e6"),
+        F.floor(F.lit(1_000_000.0) * b2).cast("long").alias("b2_e6"),
+        F.floor(F.lit(1_000_000.0) * (F.lit(1.0) - sse / sst))
+         .cast("long").alias("r2_e6"))
+
+
+_OLS_SQL = r"""
+WITH feats AS (
+    SELECT CAST(n_chars AS BIGINT) AS y,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS x1,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                w -> w = 'the')) AS BIGINT) AS x2
+    FROM documents
+), g AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x1) AS BIGINT) AS sx1,
+           CAST(sum(x2) AS BIGINT) AS sx2,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x1 * x1) AS BIGINT) AS s11,
+           CAST(sum(x1 * x2) AS BIGINT) AS s12,
+           CAST(sum(x2 * x2) AS BIGINT) AS s22,
+           CAST(sum(x1 * y) AS BIGINT) AS s1y,
+           CAST(sum(x2 * y) AS BIGINT) AS s2y,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM feats
+), d AS (
+    SELECT CAST(n AS DOUBLE) AS n, CAST(sx1 AS DOUBLE) AS sx1,
+           CAST(sx2 AS DOUBLE) AS sx2, CAST(sy AS DOUBLE) AS sy,
+           CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+           CAST(s22 AS DOUBLE) AS s22, CAST(s1y AS DOUBLE) AS s1y,
+           CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy
+    FROM g
+), dets AS (
+    SELECT *,
+           n * (s11 * s22 - s12 * s12)
+               - sx1 * (sx1 * s22 - s12 * sx2)
+               + sx2 * (sx1 * s12 - s11 * sx2) AS det,
+           sy * (s11 * s22 - s12 * s12)
+               - sx1 * (s1y * s22 - s12 * s2y)
+               + sx2 * (s1y * s12 - s11 * s2y) AS det0,
+           n * (s1y * s22 - s12 * s2y)
+               - sy * (sx1 * s22 - s12 * sx2)
+               + sx2 * (sx1 * s2y - s1y * sx2) AS det1,
+           n * (s11 * s2y - s1y * s12)
+               - sx1 * (sx1 * s2y - s1y * sx2)
+               + sy * (sx1 * s12 - s11 * sx2) AS det2
+    FROM d
+), betas AS (
+    SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+    FROM dets
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(floor(1000000.0 * b0) AS BIGINT) AS b0_e6,
+       CAST(floor(1000000.0 * b1) AS BIGINT) AS b1_e6,
+       CAST(floor(1000000.0 * b2) AS BIGINT) AS b2_e6,
+       CAST(floor(1000000.0 * (1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))
+                               / (syy - sy * sy / n))) AS BIGINT) AS r2_e6
+FROM betas
+"""
+
+QUERIES["ols_normal_equations"] = (_ols_normal_equations, _OLS_SQL)

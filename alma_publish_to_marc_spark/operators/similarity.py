@@ -506,3 +506,97 @@ def knn_graph(emb: DataFrame, id_col: str, vec_col: str,
             .where(F.col("rank") <= k)
             .select("src", "dst", "cosine", F.col("rank").cast("int")
                     .alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8-per-dim) — third compression family after
+# IVF (coarse) and PQ (subspace codes)
+# ---------------------------------------------------------------------------
+SQ_LEVELS = 255
+
+
+def sq_grid(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-dimension [min, max] training pass for the scalar quantizer:
+    ONE row ``(mn: array<double>, mx: array<double>)`` with dim-sorted
+    per-component extrema.
+
+    Determinism: float min/max never rounds, so both engines produce
+    the identical doubles; the dim-sorted collect is keyed by position
+    (struct-sort), not by collect order.
+
+    Scale: posexplode (dim × rows components) into a (dim)-keyed
+    min/max — map-side combined to DIM rows per partition before the
+    one tiny shuffle; the resulting grid is a single row, broadcast to
+    the encode pass. This is the whole "training" cost of SQ, which is
+    why deployments reach for it first: one cheap pass, 4× memory cut
+    (float32 → uint8), no codebooks.
+    """
+    comp = (emb.select(F.posexplode(as_double(F.col(vec_col)))
+                       .alias("d", "x")))
+    per_dim = comp.groupBy("d").agg(F.min("x").alias("mn"),
+                                    F.max("x").alias("mx"))
+    return per_dim.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("d", "mn"))),
+                    lambda s: s["mn"]).alias("mn"),
+        F.transform(F.array_sort(F.collect_list(F.struct("d", "mx"))),
+                    lambda s: s["mx"]).alias("mx"))
+
+
+def sq_encode(emb: DataFrame, id_col: str, vec_col: str,
+              grid: DataFrame) -> DataFrame:
+    """Quantize every vector to ``SQ_LEVELS``+1 integer codes per dim:
+    ``floor((x - mn_d) * 255 / (mx_d - mn_d))`` clamped to [0, 255]
+    (a constant dim, mx == mn, codes to 0 in both engines).
+
+    Determinism: the affine expression is a fixed IEEE tree over exact
+    inputs — both engines compute the identical double, so the floor
+    is identical (x == mx may floor to 254 when (span·255)/span
+    rounds down — same double both sides, parity holds).
+
+    Scale: grid is one broadcast row; encoding is scan-fused per-row
+    compute. The codes table is what an index stores: 64 B/vector vs
+    256 B raw — the corpus-side vectors are never read again.
+    """
+    mn, mx = F.col("mn"), F.col("mx")
+    codes = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x, i: F.when(F.element_at(mx, i + 1) == F.element_at(mn, i + 1),
+                            F.lit(0).cast("long"))
+        .otherwise(
+            F.least(F.lit(SQ_LEVELS).cast("long"), F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((x - F.element_at(mn, i + 1)) * SQ_LEVELS
+                        / (F.element_at(mx, i + 1)
+                           - F.element_at(mn, i + 1))).cast("long")))))
+    return (emb.join(F.broadcast(grid))
+            .select(F.col(id_col), codes.alias("c")))
+
+
+def sq_topk(emb: DataFrame, id_col: str, vec_col: str,
+            query_ids: list[int], k: int = 10) -> DataFrame:
+    """Symmetric-distance top-k over scalar-quantized codes: both the
+    corpus and the probe panel are encoded on the corpus-trained grid
+    and ranked by exact integer squared-L2 over codes (≤ 255² · DIM ≈
+    4.2e6 — comfortably int64; ties break to the lowest neighbor id).
+
+    Scale: the scan side is the CODES table (4× smaller than raw) with
+    the tiny panel broadcast — the same panel-bounded probe shape as
+    ``brute_force_topk``, but at 100 TB the operand that must be
+    resident shrinks 4×, which is the entire point of SQ. One window
+    shuffle over (qid) ranks the candidates.
+    """
+    grid = sq_grid(emb, id_col, vec_col)
+    codes = sq_encode(emb, id_col, vec_col, grid)
+    q = (codes.where(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("qid"), F.col("c").alias("qc")))
+    dist = F.aggregate(F.zip_with(F.col("qc"), F.col("c"),
+                                  lambda a, b: (a - b) * (a - b)),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+    pairs = (codes.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
+             .select("qid", F.col(id_col).alias("neighbor_id"),
+                     dist.alias("dist")))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "neighbor_id", "dist",
+                    F.col("rank").cast("int").alias("rank")))

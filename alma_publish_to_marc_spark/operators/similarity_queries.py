@@ -871,3 +871,289 @@ FROM s{MMR_K}
 
 
 QUERIES["mmr_diversified_topk"] = (_mmr, _mmr_sql())
+
+
+# --------------------------------------------------------------------------
+# ann_index_incremental: IVF index maintenance when a new batch arrives
+# --------------------------------------------------------------------------
+# batch = vec_id % 10 == 5: disjoint from the k-means SEED_IDS (all
+# % 10 == 0) and the probe panel QUERY_IDS (0..4), so the base corpus
+# always contains every seed and every query at every scale factor.
+INC_MOD, INC_REM = 10, 5
+
+
+def _ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the retrieval twin of
+    ``incremental_neardup``: a new document batch (vec_id % 10 == 5)
+    arrives after the coarse quantizer was trained, and instead of
+    retraining we ASSIGN the batch to the existing (stale) centroids.
+    Emits the per-cell census of the incremental index (n_base, n_new,
+    n_total) full-outer-joined with the cell sizes a full rebuild
+    (k-means retrained on the merged corpus) would produce, plus the
+    per-cell drift — the monitoring signal that tells a deployment
+    when accumulated batches warrant a rebuild.
+
+    Determinism: assignment is the fixed-point integer k-means space
+    (quantized vectors, integer L2, floor-mean updates — bit-exact in
+    both engines); the oracle unrolls both training chains as CTEs.
+
+    Scale: ONE quantization pass over the corpus (persisted, tracked
+    via clustering.unpersist_cached) feeds base training, full
+    training, and both assignment passes; every assignment is a
+    broadcast join + WindowGroupLimit argmin. The incremental path is
+    what runs per-batch at 100 TB — only the batch reshuffles; the
+    rebuild chain here exists to measure drift, and would run rarely.
+    """
+    from . import clustering as CL
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs_all, cents_full = CL._refined_int_cents(emb, CL.SEED_IDS,
+                                                 CL.N_ITERS)
+    vecs_base = vecs_all.where(F.col("vec_id") % INC_MOD != INC_REM)
+    cents_inc = (vecs_base.where(F.col("vec_id").isin(CL.SEED_IDS))
+                 .select(F.col("vec_id").alias("cent_id"),
+                         F.col("v").alias("cv")))
+    for _ in range(CL.N_ITERS):
+        cents_inc = CL._update(CL._assign(vecs_base, cents_inc))
+    is_new = F.col("vec_id") % INC_MOD == INC_REM
+    a_inc = CL._assign(vecs_all, cents_inc)
+    a_full = CL._assign(vecs_all, cents_full)
+    ci = a_inc.groupBy("cell").agg(
+        F.sum(F.when(is_new, 0).otherwise(1)).alias("n_base"),
+        F.sum(F.when(is_new, 1).otherwise(0)).alias("n_new"),
+        F.count(F.lit(1)).alias("n_total"))
+    cf = a_full.groupBy("cell").agg(F.count(F.lit(1)).alias("n_rebuild"))
+    return (ci.join(cf, "cell", "full_outer")
+            .select("cell",
+                    F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                    F.coalesce("n_new", F.lit(0)).alias("n_new"),
+                    F.coalesce("n_total", F.lit(0)).alias("n_total"),
+                    F.coalesce("n_rebuild", F.lit(0)).alias("n_rebuild"),
+                    (F.coalesce("n_total", F.lit(0))
+                     - F.coalesce("n_rebuild", F.lit(0)))
+                    .alias("cell_drift")))
+
+
+def _ann_inc_sql() -> str:
+    from . import clustering as CL
+
+    seeds = ", ".join(map(str, CL.SEED_IDS))
+    parts = [f"bvecs AS (SELECT * FROM vecs "
+             f"WHERE vec_id % {INC_MOD} <> {INC_REM})",
+             f"bc0 AS (SELECT vec_id AS cent_id, v AS cv FROM bvecs\n"
+             f"       WHERE vec_id IN ({seeds}))"]
+    for i in range(CL.N_ITERS):
+        parts.append(f"ba{i} AS ({CL._assign_sql('bvecs', f'bc{i}')})")
+        parts.append(f"bc{i + 1} AS ({CL._update_sql(f'ba{i}')})")
+    base_chain = ",\n".join(parts)
+    return f"""
+WITH {CL.kmeans_cents_cte()},
+{base_chain},
+a_inc AS ({CL._assign_sql('vecs', f'bc{CL.N_ITERS}')}),
+a_full AS ({CL._assign_sql('vecs', f'c{CL.N_ITERS}')}),
+ci AS (
+  SELECT cell,
+         CAST(sum(CASE WHEN vec_id % {INC_MOD} = {INC_REM}
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN vec_id % {INC_MOD} = {INC_REM}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM a_inc GROUP BY cell
+),
+cf AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_rebuild
+       FROM a_full GROUP BY cell)
+SELECT COALESCE(ci.cell, cf.cell) AS cell,
+       COALESCE(n_base, 0) AS n_base,
+       COALESCE(n_new, 0) AS n_new,
+       COALESCE(n_total, 0) AS n_total,
+       COALESCE(n_rebuild, 0) AS n_rebuild,
+       COALESCE(n_total, 0) - COALESCE(n_rebuild, 0) AS cell_drift
+FROM ci FULL OUTER JOIN cf ON ci.cell = cf.cell
+"""
+
+
+def _ann_inc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall cost of NOT rebuilding: top-k search over the full
+    corpus through (a) the incremental index (quantizer trained before
+    the batch arrived) and (b) a full rebuild, each measured against
+    the exact baseline per probe query — the second monitoring signal
+    (alongside the cell-drift census) for the rebuild decision.
+
+    Scale: same shape as ann_recall_eval — ground truth only for the
+    fixed probe panel, so cost is O(panel × corpus) regardless of
+    index size; all per-qid joins touch ~k rows."""
+    from .clustering import refined_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % INC_MOD != INC_REM)
+    exact = S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K) \
+        .select("qid", "neighbor_id")
+    inc = S.ivf_topk(emb, "vec_id", "embedding", QUERY_IDS,
+                     k=K, nprobe=NPROBE,
+                     centroids=refined_centroids(base)) \
+        .select("qid", F.col("neighbor_id").alias("inc_id"))
+    reb = S.ivf_topk(emb, "vec_id", "embedding", QUERY_IDS,
+                     k=K, nprobe=NPROBE,
+                     centroids=refined_centroids(emb)) \
+        .select("qid", F.col("neighbor_id").alias("reb_id"))
+    joined = (exact
+              .join(inc, (exact.qid == inc.qid)
+                    & (exact.neighbor_id == inc.inc_id), "left")
+              .drop(inc.qid))
+    joined = (joined
+              .join(reb, (joined.qid == reb.qid)
+                    & (joined.neighbor_id == reb.reb_id), "left")
+              .drop(reb.qid))
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("inc_id").isNotNull(), 1).otherwise(0))
+         .alias("inc_hits"),
+        F.sum(F.when(F.col("reb_id").isNotNull(), 1).otherwise(0))
+         .alias("rebuild_hits"),
+        F.round(F.sum(F.when(F.col("inc_id").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)), 4).alias("inc_recall"),
+        F.round(F.sum(F.when(F.col("reb_id").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)), 4).alias("rebuild_recall"))
+
+
+def _ann_inc_recall_sql() -> str:
+    from . import clustering as CL
+
+    inc_cents = (f"SELECT cent_id, list_transform(cv, x -> x / "
+                 f"{CL.Q_SCALE}.0) AS cv FROM ic{CL.N_ITERS}")
+    inc_chain = CL.kmeans_cents_cte(
+        prefix="i", where=f" WHERE vec_id % {INC_MOD} <> {INC_REM}") + ",\n"
+    inc_sql = _ivf_sql(inc_cents, inc_chain)
+    return f"""
+WITH exact AS (SELECT qid, neighbor_id FROM ({_BRUTE_SQL})),
+inc AS (SELECT qid, neighbor_id AS inc_id FROM ({inc_sql})),
+reb AS (SELECT qid, neighbor_id AS reb_id FROM ({_IVF_REFINED_SQL})),
+joined AS (
+    SELECT e.qid, e.neighbor_id, i.inc_id, r.reb_id
+    FROM exact e
+    LEFT JOIN inc i ON e.qid = i.qid AND e.neighbor_id = i.inc_id
+    LEFT JOIN reb r ON e.qid = r.qid AND e.neighbor_id = r.reb_id
+)
+SELECT qid,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN inc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS inc_hits,
+       CAST(sum(CASE WHEN reb_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS rebuild_hits,
+       round(sum(CASE WHEN inc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS inc_recall,
+       round(sum(CASE WHEN reb_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS rebuild_recall
+FROM joined
+GROUP BY qid
+"""
+
+
+QUERIES["ann_index_incremental"] = (_ann_index_incremental, _ann_inc_sql())
+QUERIES["ann_index_incremental_recall"] = (_ann_inc_recall,
+                                           _ann_inc_recall_sql())
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization: int8-per-dim codes + symmetric-distance top-k
+# --------------------------------------------------------------------------
+
+
+def _sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN (see :func:`similarity.sq_topk`): the third
+    compression family next to IVF (coarse cells) and PQ (subspace
+    codes) — per-dim min/max affine grid, uint8 codes, exact integer
+    L2 over codes. Compression trades less recall than PQ (4× vs 64×)
+    for near-exact ranking, which is why real deployments stack
+    IVF + SQ before reaching for PQ."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.sq_topk(emb, "vec_id", "embedding", QUERY_IDS, K)
+
+
+_SQ_CODES_CTE = f"""e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+comp AS (
+    SELECT unnest(list_transform(range(1, {S.DIM} + 1),
+                  i -> struct_pack(d := i, x := v[i]))) AS s
+    FROM e
+),
+dims AS (SELECT s.d AS d, min(s.x) AS mn, max(s.x) AS mx
+         FROM comp GROUP BY 1),
+grid AS (SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx
+         FROM dims),
+codes AS (
+    SELECT vec_id,
+           list_transform(range(1, {S.DIM} + 1), i ->
+               CASE WHEN g.mx[i] = g.mn[i] THEN CAST(0 AS BIGINT)
+                    ELSE least(CAST({S.SQ_LEVELS} AS BIGINT),
+                               greatest(CAST(0 AS BIGINT),
+                        CAST(floor((v[i] - g.mn[i]) * {S.SQ_LEVELS}
+                                   / (g.mx[i] - g.mn[i])) AS BIGINT)))
+               END) AS c
+    FROM e, grid g
+)"""
+
+_SQ_SQL = f"""
+WITH {_SQ_CODES_CTE},
+q AS (SELECT vec_id AS qid, c AS qc FROM codes
+      WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+pairs AS (
+    SELECT q.qid, codes.vec_id,
+           CAST(list_sum(list_transform(range(1, {S.DIM} + 1),
+                i -> (q.qc[i] - codes.c[i]) * (q.qc[i] - codes.c[i])))
+                AS BIGINT) AS dist
+    FROM codes JOIN q ON codes.vec_id <> q.qid
+),
+ranked AS (
+    SELECT qid, vec_id AS neighbor_id, dist,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY dist ASC, vec_id ASC) AS rank
+    FROM pairs
+)
+SELECT qid, neighbor_id, dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def _sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the scalar-quantized index vs the exact scan — the
+    deployment gate for the 4× memory cut (same eval shape as
+    ann_recall_eval / pq_recall_eval: ground truth only for the fixed
+    probe panel, O(panel × corpus))."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K) \
+        .select("qid", "neighbor_id")
+    sq = S.sq_topk(emb, "vec_id", "embedding", QUERY_IDS, K) \
+        .select("qid", F.col("neighbor_id").alias("sq_id"))
+    joined = (exact
+              .join(sq, (exact.qid == sq.qid)
+                    & (exact.neighbor_id == sq.sq_id), "left")
+              .drop(sq.qid))
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("sq_id").isNotNull(), 1).otherwise(0))
+         .alias("sq_hits"),
+        F.round(F.sum(F.when(F.col("sq_id").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)), 4).alias("sq_recall"))
+
+
+_SQ_RECALL_SQL = f"""
+WITH exact AS (SELECT qid, neighbor_id FROM ({_BRUTE_SQL})),
+sq AS (SELECT qid, neighbor_id AS sq_id FROM ({_SQ_SQL})),
+joined AS (
+    SELECT e.qid, e.neighbor_id, s.sq_id
+    FROM exact e
+    LEFT JOIN sq s ON e.qid = s.qid AND e.neighbor_id = s.sq_id
+)
+SELECT qid,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN sq_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS sq_hits,
+       round(sum(CASE WHEN sq_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS sq_recall
+FROM joined
+GROUP BY qid
+"""
+
+
+QUERIES["ann_sq_topk"] = (_sq_topk, _SQ_SQL)
+QUERIES["sq_recall_eval"] = (_sq_recall, _SQ_RECALL_SQL)

@@ -47,6 +47,22 @@ _MODULES = (
 )
 
 
+# SURVEY §2-mapped queries whose correctness rows have only ever come
+# from the local parity gate (never driver-sampled through r04). Pinned
+# FIRST in registry iteration order so a driver that samples in order
+# converts them to driver-green rows. Keys are byte-stable; members may
+# only be REMOVED (once driver-green), never renamed.
+_SAMPLE_FIRST = (
+    "publish_split_bibs", "publish_split_holdings", "publish_split_items",
+    "publish_set_grouping", "marc_field_extraction", "marc_size_guard",
+    "item_json_roundtrip", "warehouse_catalog", "versioned_temporal_merge",
+    "insert_ignore", "delete_with_history", "backfill_item_policy",
+    "backfill_temp_locations", "grouped_rank_pandas", "doc_chunking_udtf",
+    "bpe_train_merges", "vocab_merge_induction", "warehouse_close_end2end",
+    "hll_merge_check",
+)
+
+
 def _collect() -> dict[str, tuple[QueryFn, str | None]]:
     import importlib
 
@@ -60,7 +76,9 @@ def _collect() -> dict[str, tuple[QueryFn, str | None]]:
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r} in {mod_name}")
             merged[name] = pair
-    return merged
+    front = {k: merged[k] for k in _SAMPLE_FIRST if k in merged}
+    front.update((k, v) for k, v in merged.items() if k not in front)
+    return front
 
 
 def queries() -> dict[str, QueryFn]:

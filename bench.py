@@ -24,6 +24,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headliners: the flagship plus the operators that dominate a real run
 # (multi-way join, window dedup, group-collect, text dedup, ANN).
+# The first 16 names are the frozen "core suite" (the r02 headliner
+# set): their subtotal is emitted as core_16_sec every round so
+# cross-round comparisons stay apples-to-apples as headliners grow.
+# NEVER reorder or remove members; append new headliners after them.
+CORE_16 = 16
+
 HEADLINE = [
     "item_info_flagship",
     "multiway_join_revenue",
@@ -54,6 +60,8 @@ HEADLINE = [
     "local_supplier_volume",
     "waiting_orders_supplier",
     "item_item_recs",
+    # round 5: incremental IVF index maintenance (census + drift)
+    "ann_index_incremental",
 ]
 
 
@@ -68,7 +76,9 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure steady state
     spark.range(1).count()
 
-    names = [n for n in HEADLINE if n in qs]
+    head = (HEADLINE[:CORE_16]
+            if os.environ.get("SPARK_GRAFT_BENCH_CORE_ONLY") else HEADLINE)
+    names = [n for n in head if n in qs]
     for name in names:
         # drop blocks persisted by the previous query (minhash sigs etc.)
         spark.catalog.clearCache()
@@ -83,14 +93,60 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # streaming end-to-end latency is reported in its own field (not in
+    # queries/value) so the headline total stays comparable round-over-
+    # round; per-batch wall time is the incremental-run latency metric.
+    streaming = ({} if os.environ.get("SPARK_GRAFT_BENCH_CORE_ONLY")
+                 else _bench_streaming_curation(spark))
+
+    core = [n for n in HEADLINE[:CORE_16] if n in timings]
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "core_16_sec": round(sum(timings[n] for n in core), 3),
+        "streaming": streaming,
         "sf": sf,
         "regressions": _regressions(timings, sf),
     }))
+
+
+def _bench_streaming_curation(spark) -> dict[str, float]:
+    """Incremental-path headliner: two availableNow drains of a
+    half/half documents split through ingest → funnel (lang/quality/
+    batch-vs-corpus near-dup) → band+gram index append → shard write
+    (streaming/curation.py). Per-batch wall-clock is the end-to-end
+    latency one scheduled incremental run pays; batch1 additionally
+    probes batch0's persisted band/gram index, so its time is the
+    steady-state per-drop cost."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from alma_publish_to_marc_spark.streaming.curation import (
+        run_incremental_curation)
+    from alma_publish_to_marc_spark.tables import load
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    out: dict[str, float] = {}
+    try:
+        for i in (0, 1):
+            (docs.where(F.col("doc_id") % 2 == i).coalesce(8)
+             .write.mode("append").parquet(landing))
+            spark.catalog.clearCache()
+            t0 = time.time()
+            run_incremental_curation(spark, landing, state, ckpt)
+            out[f"streaming_curation_batch{i}"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 # Regression guard: compare against the previous round's recorded bench.

@@ -121,6 +121,45 @@ def test_pick_decoder_probe_matches_environment():
     assert (frames, rate, chans) == (100, 8000, 1)
 
 
+@pytest.mark.parametrize("family,path", [
+    ("image", "real"), ("image", "fake"), ("audio", "real"),
+], ids=lambda v: v)
+def test_decoder_path_marker(family, path):
+    """CI-visible capability marker: exactly one of image-real /
+    image-fake runs per container (the other skips), so the test
+    report states explicitly which decode path pick_decoder selected
+    here — the capability is never implicit (VERDICT r04 item 6). If
+    this environment ever gains PIL, image-real starts running and
+    image-fake starts skipping, flagging the silent flip."""
+    caps = M.available_codecs()
+    want_real = path == "real"
+    if caps[family] != want_real:
+        pytest.skip(f"{family} decode here is "
+                    f"{'real' if caps[family] else 'fake'}, not {path}")
+    chosen = M.pick_decoder()
+    if family == "audio":
+        import io
+        import wave as wavemod
+
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"\x00\x01" * 10)
+        assert chosen(buf.getvalue(), "wav")[0] == 10   # real frame count
+    elif want_real:
+        import io
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (3, 4)).save(buf, format="PNG")
+        assert chosen(buf.getvalue(), "png")[:3] == (3, 4, 3)
+    else:
+        payload = b"\x89PNG fake payload"
+        assert chosen(payload, "png") == M._decode_image_fake(payload, "png")
+
+
 def test_shard_assignment_is_a_valid_packing(spark):
     from alma_publish_to_marc_spark.multimodal import multimodal_queries as MQ
 

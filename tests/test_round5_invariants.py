@@ -1,0 +1,139 @@
+"""Mathematical invariants of the round-5 operators.
+
+Same charter as test_round4_invariants: the oracle proves cross-engine
+agreement; these prove the algorithms satisfy the laws that make their
+outputs meaningful.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    return lambda name: qs[name](spark, SF_SMOKE)
+
+
+def test_incremental_assign_equals_rebuild_on_merged_corpus(spark):
+    # The law that makes per-batch maintenance SOUND: assignment is a
+    # pure function of (vector, centroids), so assigning base and the
+    # new batch separately and unioning == one assignment pass over
+    # the merged corpus. If a refactor made assignment stateful (e.g.
+    # tie-break depending on input order), incremental would drift.
+    from alma_publish_to_marc_spark.operators import clustering as CL
+    from alma_publish_to_marc_spark.operators.similarity_queries import (
+        INC_MOD, INC_REM)
+    from alma_publish_to_marc_spark.tables import load
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    vecs, cents = CL._refined_int_cents(emb, CL.SEED_IDS, CL.N_ITERS)
+    is_new = F.col("vec_id") % INC_MOD == INC_REM
+    merged = CL._assign(vecs, cents)
+    pieces = (CL._assign(vecs.where(~is_new), cents)
+              .unionByName(CL._assign(vecs.where(is_new), cents)))
+    diff = (merged.select("vec_id", "cell")
+            .exceptAll(pieces.select("vec_id", "cell")))
+    assert diff.count() == 0
+    assert merged.count() == pieces.count()
+    CL.unpersist_cached()
+
+
+def test_incremental_census_conserves_vectors(spark, q):
+    # Every vector lands in exactly one cell in BOTH indexes, and the
+    # base/new split partitions each incremental cell.
+    from alma_publish_to_marc_spark.tables import load
+
+    out = q("ann_index_incremental")
+    rows = out.collect()
+    n_corpus = load(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n_total"] for r in rows) == n_corpus
+    assert sum(r["n_rebuild"] for r in rows) == n_corpus
+    for r in rows:
+        assert r["n_base"] + r["n_new"] == r["n_total"]
+        assert r["cell_drift"] == r["n_total"] - r["n_rebuild"]
+    from alma_publish_to_marc_spark.operators import clustering as CL
+    CL.unpersist_cached()
+
+
+def test_incremental_recall_bounded_and_consistent(q):
+    for r in q("ann_index_incremental_recall").collect():
+        assert 0 <= r["inc_hits"] <= r["n_exact"]
+        assert 0 <= r["rebuild_hits"] <= r["n_exact"]
+        assert 0.0 <= r["inc_recall"] <= 1.0
+        assert 0.0 <= r["rebuild_recall"] <= 1.0
+    from alma_publish_to_marc_spark.operators import clustering as CL
+    CL.unpersist_cached()
+
+
+def test_sq_codes_are_bytes_and_self_distance_zero(spark):
+    # The quantizer must emit codes in [0, 255] (that's the 4x memory
+    # claim) and map each vector to a single code point (self-distance
+    # 0 is what makes symmetric SQ distance a metric on codes).
+    from alma_publish_to_marc_spark.operators import similarity as S
+    from alma_publish_to_marc_spark.tables import load
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    grid = S.sq_grid(emb, "vec_id", "embedding")
+    codes = S.sq_encode(emb, "vec_id", "embedding", grid)
+    stats = codes.select(
+        F.array_min("c").alias("lo"), F.array_max("c").alias("hi"),
+        F.size("c").alias("d")).agg(
+        F.min("lo").alias("lo"), F.max("hi").alias("hi"),
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")).first()
+    assert 0 <= stats["lo"] and stats["hi"] <= S.SQ_LEVELS
+    assert stats["dmin"] == stats["dmax"] == S.DIM
+
+
+def test_sq_recall_beats_pq_adc(spark, q):
+    # SQ keeps 4x less compression than PQ (64 B vs 4 codes) precisely
+    # to rank better; if PQ-ADC ever matched SQ recall here, the SQ
+    # family would be pointless and the grid likely broken.
+    sq = {r["qid"]: r["sq_recall"] for r in q("sq_recall_eval").collect()}
+    pq = {r["qid"]: r["pq_recall"] for r in q("pq_recall_eval").collect()}
+    assert sum(sq.values()) >= sum(pq.values())
+    assert all(v >= 0.5 for v in sq.values())
+
+
+def test_knn_confusion_partitions_the_panel(spark, q):
+    from alma_publish_to_marc_spark.operators.learning import (
+        KNN_PROBE_MOD, KNN_PROBE_REM)
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = q("knn_classifier_eval").collect()
+    emb = load(spark, SF_SMOKE, "embeddings")
+    panel = emb.where(F.col("vec_id") % KNN_PROBE_MOD == KNN_PROBE_REM)
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    assert sum(r["n_probes"] for r in rows) == panel.count()
+    for r in rows:
+        assert r["true_label"] in labels and r["pred_label"] in labels
+
+
+def test_ols_matches_numpy_lstsq(spark, q):
+    # Independent oracle: the closed-form Cramer solve must agree with
+    # numpy's QR-based lstsq on the same design matrix.
+    import numpy as np
+
+    from alma_publish_to_marc_spark.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents").select("text", "n_chars")
+    rows = docs.collect()
+    y = np.array([r["n_chars"] for r in rows], dtype=float)
+    x1 = np.array([len(r["text"].strip().split()) for r in rows], float)
+    x2 = np.array([sum(1 for w in r["text"].strip().split() if w == "the")
+                   for r in rows], float)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    got = q("ols_normal_equations").first()
+    for i, name in enumerate(["b0_e6", "b1_e6", "b2_e6"]):
+        assert abs(got[name] / 1e6 - beta[i]) < 1e-3, (name, beta[i], got[name])
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert abs(got["r2_e6"] / 1e6 - (1 - ss_res / ss_tot)) < 1e-4
