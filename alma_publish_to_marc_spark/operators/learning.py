@@ -121,7 +121,10 @@ def _z_sql(w_cte: str) -> str:
     return f"(({dot}) / {float(MICRO) * MICRO})"
 
 
-def _logreg_sql(n_rounds: int = N_ROUNDS) -> str:
+def _w_chain_ctes(n_rounds: int = N_ROUNDS) -> list[str]:
+    """The unrolled gradient-descent CTE chain feats, w0, g0, …
+    w{n_rounds} — shared by the train oracle and the calibration
+    oracle so the weight arithmetic can never diverge between them."""
     ctes = [_feat_sql(),
             "w0 AS (SELECT "
             + ", ".join(f"CAST(0 AS BIGINT) AS w_{n}" for n in FEATURES)
@@ -140,6 +143,11 @@ def _logreg_sql(n_rounds: int = N_ROUNDS) -> str:
             f"w{i}.w_{n} - CAST(round(g{i}.g_{n} / (g{i}.n * {MICRO}), 0)"
             f" AS BIGINT) AS w_{n}" for n in FEATURES)
         ctes.append(f"w{i + 1} AS (SELECT {wsel} FROM w{i} CROSS JOIN g{i})")
+    return ctes
+
+
+def _logreg_sql(n_rounds: int = N_ROUNDS) -> str:
+    ctes = _w_chain_ctes(n_rounds)
     zf = _z_sql(f"w{n_rounds}")
     wcols = ", ".join(f"w{n_rounds}.w_{n}" for n in FEATURES)
     return ("WITH " + ",\n".join(ctes) + f"""
@@ -725,3 +733,80 @@ FROM betas
 """
 
 QUERIES["ols_normal_equations"] = (_ols_normal_equations, _OLS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Calibration reliability bins for the trained logistic classifier
+# ---------------------------------------------------------------------------
+CAL_BINS = 10
+
+
+def _logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for ``logreg_train_fixed_point``: score every
+    document with the trained weights, bucket the predicted probability
+    into ``CAL_BINS`` equal-width bins over the OBSERVED score range
+    (after 2 underfit rounds every p sits in [0.44, 0.47] — absolute
+    deciles would collapse to one row, so the diagram bins the span the
+    scores actually occupy, the standard move for clustered rankers),
+    and emit per-bin (count, mean predicted probability, empirical
+    positive rate, signed gap) — the audit that decides whether the
+    filter's scores are usable as acceptance probabilities or only as
+    a ranking.
+
+    Determinism: predicted probabilities are the training loop's own
+    quantized-micro sigmoid (exact int64 after quantization); bin ids
+    are pure integer arithmetic ((pm−mn)·B div (mx−mn+1)), and all
+    per-bin sums are exact; the two final divisions round identically.
+
+    Scale: training is the K-scan driver-paced loop it already is;
+    scoring + binning is one corpus scan for the 1-row min/max and one
+    for the ≤``CAL_BINS``-row map-side-combined aggregate (fused at
+    100 TB by staging the scored projection). Nothing new shuffles.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = logreg_train(docs).select(*[f"w_{n}" for n in FEATURES])
+    feats = _featurized(docs)
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        _p_micro().alias("pm"), "y")
+    rng = scored.agg(F.min("pm").alias("mn"), F.max("pm").alias("mx"))
+    scored = scored.crossJoin(F.broadcast(rng))
+    bin_id = F.expr(
+        f"(pm - mn) * {CAL_BINS} div (mx - mn + 1)").cast("int")
+    return (scored.groupBy(bin_id.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum("pm") / F.count(F.lit(1)) / MICRO, 4)
+                  .alias("mean_pred"),
+                 F.round(F.sum(F.when(F.col("y") == MICRO, 1).otherwise(0))
+                         / F.count(F.lit(1)), 4).alias("frac_pos"))
+            .select("bin", "n_docs", "mean_pred", "frac_pos",
+                    F.round(F.col("mean_pred") - F.col("frac_pos"), 4)
+                     .alias("gap")))
+
+
+def _calibration_sql(n_rounds: int = N_ROUNDS) -> str:
+    ctes = _w_chain_ctes(n_rounds)
+    z = _z_sql(f"w{n_rounds}")
+    pm = f"CAST(round({MICRO} / (1.0 + exp(-{z})), 0) AS BIGINT)"
+    return ("WITH " + ",\n".join(ctes) + f""",
+scored AS (
+    SELECT {pm} AS pm, feats.y AS y
+    FROM feats CROSS JOIN w{n_rounds}
+),
+rng AS (SELECT min(pm) AS mn, max(pm) AS mx FROM scored),
+bins AS (
+    SELECT CAST((pm - mn) * {CAL_BINS} // (mx - mn + 1) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(pm) AS BIGINT) / count(*) / {MICRO}, 4)
+               AS mean_pred,
+           round(CAST(sum(CASE WHEN y = {MICRO} THEN 1 ELSE 0 END)
+                      AS BIGINT) / count(*), 4) AS frac_pos
+    FROM scored CROSS JOIN rng GROUP BY 1
+)
+SELECT bin, n_docs, mean_pred, frac_pos,
+       round(mean_pred - frac_pos, 4) AS gap
+FROM bins
+""")
+
+
+QUERIES["logreg_calibration_bins"] = (_logreg_calibration_bins,
+                                      _calibration_sql())

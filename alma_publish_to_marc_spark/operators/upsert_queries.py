@@ -4,7 +4,7 @@ temporal-guard merge (SRC-11/12, OP-ST3/W3) and CDC delete-with-history
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -441,3 +441,108 @@ FROM cmp
 
 QUERIES["incremental_join_maintenance"] = (_incremental_join_maintenance,
                                            _DJ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Incremental TOP-K maintenance (bounded per-group state merge)
+# ---------------------------------------------------------------------------
+TOPK_K = 3
+_TOPK_MOD, _TOPK_REM = 10, 7   # batch = o_orderkey % 10 == 7
+
+
+def _incremental_topk_maintenance(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a per-group TOP-K view (top-3 orders
+    per customer by price) under an insert batch — the bounded-state
+    sibling of :func:`incremental_agg_maintenance`: top-k is NOT
+    algebraically mergeable from aggregates, but it IS maintainable
+    from O(k) retained rows per group, because inserts can only
+    displace, never resurrect — rerank(state ∪ batch) == rerank(all).
+    The query computes the view both ways and emits them side-by-side
+    with a per-rank match flag (provably all 1s; the invariant test
+    asserts it).
+
+    Determinism: ranking is (price_cents DESC, o_orderkey ASC) — exact
+    integer cents, id tie-break, so both engines rank identically.
+
+    Scale: the point of the identity is what does NOT move — history
+    is never rescanned: the standing state is k rows/group (here 3),
+    the delta pass shuffles only the batch, and the merge reranks
+    ≤ k + batch rows per touched group. The full-recompute branch
+    exists only for the assertion. DELETES would break the identity
+    (a displaced row may re-enter) — that path needs the k+slack
+    retained buffer or a history rescan of the touched groups, which
+    is why this view is insert-only, like the band index it mirrors
+    (streaming/curation.py).
+    """
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", cents.alias("price_cents"))
+    is_batch = F.col("o_orderkey") % _TOPK_MOD == _TOPK_REM
+
+    def topk(df):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("price_cents"), F.asc("o_orderkey"))
+        return (df.withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= TOPK_K))
+
+    state = topk(orders.where(~is_batch)).drop("rnk")
+    merged = topk(state.unionByName(orders.where(is_batch)))
+    full = topk(orders)
+    m = merged.select("o_custkey", "rnk",
+                      F.col("o_orderkey").alias("merged_orderkey"),
+                      F.col("price_cents").alias("merged_price_cents"))
+    f = full.select("o_custkey", "rnk",
+                    F.col("o_orderkey").alias("full_orderkey"))
+    return (m.join(f, ["o_custkey", "rnk"], "full_outer")
+            .select("o_custkey", F.col("rnk").cast("int").alias("rnk"),
+                    "merged_orderkey", "merged_price_cents",
+                    "full_orderkey",
+                    (F.col("merged_orderkey") == F.col("full_orderkey"))
+                    .cast("int").alias("rank_matches")))
+
+
+_INC_TOPK_SQL = f"""
+WITH orders_c AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+    FROM orders
+),
+state AS (
+    SELECT o_custkey, o_orderkey, price_cents FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY price_cents DESC, o_orderkey ASC) AS rnk
+        FROM orders_c WHERE o_orderkey % {_TOPK_MOD} <> {_TOPK_REM}
+    ) WHERE rnk <= {TOPK_K}
+),
+merged AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY price_cents DESC, o_orderkey ASC) AS rnk
+        FROM (
+            SELECT * FROM state
+            UNION ALL
+            SELECT o_custkey, o_orderkey, price_cents FROM orders_c
+            WHERE o_orderkey % {_TOPK_MOD} = {_TOPK_REM}
+        )
+    ) WHERE rnk <= {TOPK_K}
+),
+fullv AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY price_cents DESC, o_orderkey ASC) AS rnk
+        FROM orders_c
+    ) WHERE rnk <= {TOPK_K}
+)
+SELECT coalesce(m.o_custkey, f.o_custkey) AS o_custkey,
+       CAST(coalesce(m.rnk, f.rnk) AS INT) AS rnk,
+       m.o_orderkey AS merged_orderkey,
+       m.price_cents AS merged_price_cents,
+       f.o_orderkey AS full_orderkey,
+       CAST(m.o_orderkey = f.o_orderkey AS INT) AS rank_matches
+FROM merged m FULL OUTER JOIN fullv f
+  ON m.o_custkey = f.o_custkey AND m.rnk = f.rnk
+"""
+
+QUERIES["incremental_topk_maintenance"] = (_incremental_topk_maintenance,
+                                           _INC_TOPK_SQL)

@@ -1599,3 +1599,104 @@ FROM base CROSS JOIN short
 """
 
 QUERIES["neyman_allocation"] = (neyman_allocation, _NEYMAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal by cross-document segment frequency (CCNet-style)
+# ---------------------------------------------------------------------------
+BP_W = 10        # words per non-overlapping segment
+BP_MIN_DOCS = 3  # a segment in >= this many distinct docs is boilerplate
+
+
+def boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate stripping, the CCNet/RefinedWeb line-
+    frequency pass re-expressed over word segments (the corpus has no
+    newlines, so the unit of repetition is a non-overlapping
+    ``BP_W``-word segment — the segmentation rule is the only thing
+    that changes for newline-delimited text): a segment occurring in
+    ≥ ``BP_MIN_DOCS`` DISTINCT documents is navigation/header/footer
+    material, removed everywhere it appears. Complements
+    :func:`duplicate_span_removal` — that pass deletes any repeated
+    8-gram (within- or cross-doc, overlapping); this one only deletes
+    corpus-wide repetition, the signature of template text, and leaves
+    a document's internal repetition alone.
+
+    Output per doc: segment counts, removed count, and the cleaned
+    text (segments rejoined in order; fully-boilerplate docs read '').
+
+    Scale: segments shuffle on 16-byte ``unhex(md5(seg))`` (fixed
+    width, never the text). Document-frequency needs per-(key, doc)
+    dedup before counting — expressed as two map-side-combinable
+    aggregations, not count(DISTINCT). The boilerplate key set is
+    df-filtered and TINY by Zipf (template segments are few), so the
+    removal join is broadcast-able; reassembly is one (doc_id) shuffle
+    bounded by words/doc. At 100 TB every stage stays fixed-width and
+    partial-aggregated; nothing is all-pairs.
+    """
+    docs = load(spark, sf_dir, "documents") \
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    segs = (docs
+            .select("doc_id",
+                    F.explode(F.sequence(F.lit(1), F.size("w"),
+                                         F.lit(BP_W))).alias("s"),
+                    "w")
+            .select("doc_id", "s",
+                    F.array_join(F.slice("w", F.col("s"), BP_W), " ")
+                     .alias("seg_text"))
+            .withColumn("k", F.unhex(F.md5("seg_text"))))
+    df_per_key = (segs.select("k", "doc_id").distinct()
+                  .groupBy("k").agg(F.count(F.lit(1)).alias("df")))
+    bp = df_per_key.where(F.col("df") >= BP_MIN_DOCS).select("k")
+    kept = segs.join(F.broadcast(bp), "k", "left_anti")
+    totals = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct("s", "seg_text"))), lambda x: x["seg_text"]),
+            " ").alias("clean_text"))
+    return (totals.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_segments").cast("long").alias("n_segments"),
+                    (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+_BP_SQL = rf"""
+WITH words AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+segs AS (
+    SELECT doc_id, s,
+           array_to_string(w[s : s + {BP_W - 1}], ' ') AS seg_text,
+           unhex(md5(array_to_string(w[s : s + {BP_W - 1}], ' '))) AS k
+    FROM words, unnest(range(1, len(w) + 1, {BP_W})) AS t(s)
+),
+df_per_key AS (
+    SELECT k, count(*) AS df
+    FROM (SELECT DISTINCT k, doc_id FROM segs) GROUP BY k
+),
+bp AS (SELECT k FROM df_per_key WHERE df >= {BP_MIN_DOCS}),
+kept AS (
+    SELECT s.doc_id, s.s, s.seg_text
+    FROM segs s LEFT JOIN bp ON s.k = bp.k
+    WHERE bp.k IS NULL
+),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+           FROM segs GROUP BY doc_id),
+rebuilt AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           array_to_string(list(seg_text ORDER BY s), ' ') AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_segments,
+       t.n_segments - coalesce(r.n_kept, 0) AS n_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+QUERIES["boilerplate_segment_removal"] = (boilerplate_segment_removal,
+                                          _BP_SQL)

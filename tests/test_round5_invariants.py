@@ -137,3 +137,55 @@ def test_ols_matches_numpy_lstsq(spark, q):
     ss_res = float(((y - pred) ** 2).sum())
     ss_tot = float(((y - y.mean()) ** 2).sum())
     assert abs(got["r2_e6"] / 1e6 - (1 - ss_res / ss_tot)) < 1e-4
+
+
+def test_boilerplate_removal_is_consistent(spark, q):
+    # Removal must strike a segment EVERYWHERE or NOWHERE (it's keyed
+    # by corpus-wide document frequency, not per-doc state), untouched
+    # docs must round-trip their text, and the smoke corpus is known
+    # to contain df>=3 template segments, so something must be removed.
+    from alma_publish_to_marc_spark.tables import load
+
+    out = q("boilerplate_segment_removal")
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.array_join(F.split(F.trim("text"), r"\s+"), " ")
+                   .alias("norm_text"))
+    joined = out.join(docs, "doc_id")
+    assert joined.count() == docs.count()
+    total_removed = joined.agg(F.sum("n_removed")).first()[0]
+    assert total_removed > 0
+    untouched = joined.where(F.col("n_removed") == 0)
+    assert untouched.where(F.col("clean_text") != F.col("norm_text")) \
+                    .count() == 0
+    touched = joined.where(F.col("n_removed") > 0)
+    assert touched.where(
+        F.length("clean_text") >= F.length("norm_text")).count() == 0
+
+
+def test_incremental_topk_equals_full_recompute(q):
+    # The maintenance identity itself: every rank of every group agrees
+    # between state-merge and full recompute (insert-only top-k).
+    rows = q("incremental_topk_maintenance").collect()
+    assert rows
+    for r in rows:
+        assert r["rank_matches"] == 1
+        assert r["merged_orderkey"] is not None
+        assert r["full_orderkey"] is not None
+
+
+def test_calibration_bins_partition_the_corpus(spark, q):
+    from alma_publish_to_marc_spark.operators.learning import CAL_BINS
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = q("logreg_calibration_bins").collect()
+    n_corpus = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    overall_pos = (load(spark, SF_SMOKE, "documents")
+                   .where(F.col("lang") == "en").count())
+    weighted = sum(r["n_docs"] * r["frac_pos"] for r in rows)
+    assert abs(weighted - overall_pos) < 0.001 * n_corpus  # rounding only
+    for r in rows:
+        assert 0 <= r["bin"] < CAL_BINS
+        assert 0.0 <= r["mean_pred"] <= 1.0
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert abs(r["gap"] - round(r["mean_pred"] - r["frac_pos"], 4)) < 1e-9
