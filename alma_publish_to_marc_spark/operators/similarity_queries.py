@@ -1157,3 +1157,98 @@ GROUP BY qid
 
 QUERIES["ann_sq_topk"] = (_sq_topk, _SQ_SQL)
 QUERIES["sq_recall_eval"] = (_sq_recall, _SQ_RECALL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random-projection distortion eval (64 → 16 dims)
+# --------------------------------------------------------------------------
+JL_K = 16
+JL_PLANES = [p for band in S.BAND_PLANES for p in band][:JL_K]
+_JL_SAMPLE_MOD, _JL_SAMPLE_REM = 20, 3
+
+
+def _jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distortion audit for a Johnson–Lindenstrauss random projection
+    (the SAME fixed literal hyperplanes the LSH index hashes with,
+    reused as a 64→16 linear map): for every (probe, sampled-doc)
+    pair, the squared distance in projected space — unbiased-scaled by
+    3/K, since E[(d·h)²] = ‖d‖²/3 for uniform(−1,1) plane components
+    — next to the true squared distance, plus their ratio. This is
+    the measurement that justifies (or vetoes) running ANN / dedup
+    candidate generation in the cheaper projected space: JL says the
+    ratio concentrates near 1, and this query puts a number on it per
+    pair, on the live corpus, before anyone commits to the 4× FLOP cut.
+
+    Determinism: projections and distances are fixed left-fold
+    expression trees over literal planes (the ``lsh_bucket`` recipe) —
+    identical doubles in both engines; pairs with true distance 0 are
+    excluded in both (ratio undefined).
+
+    Scale: probe panel broadcast × a fixed-modulus corpus sample —
+    O(panel × sample) pairs, no shuffle beyond the final projection;
+    the 16 plane folds ride the scan. An adopted projection would then
+    be ONE mapped pass over the corpus (64·16 mults/row), and this
+    audit reruns on any fresh sample for free.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    q = (e.where(F.col("vec_id").isin(QUERY_IDS))
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    s = (e.where(F.col("vec_id") % _JL_SAMPLE_MOD == _JL_SAMPLE_REM)
+         .select(F.col("vec_id").alias("sid"), F.col("v").alias("sv")))
+    pairs = s.join(F.broadcast(q), F.col("sid") != F.col("qid"))
+    diff = F.zip_with(F.col("qv"), F.col("sv"), lambda x, y: x - y)
+    pairs = pairs.select("qid", "sid", diff.alias("d"))
+    orig2 = F.aggregate(F.transform(F.col("d"), lambda x: x * x),
+                        F.lit(0.0), lambda acc, x: acc + x)
+    proj2 = F.lit(0.0)
+    for plane in JL_PLANES:
+        h = F.array(*[F.lit(v) for v in plane])
+        t = S.dot(F.col("d"), h)
+        proj2 = proj2 + t * t
+    out = pairs.select("qid", "sid", orig2.alias("orig_d2"),
+                       proj2.alias("proj2"))
+    return (out.where(F.col("orig_d2") != 0)
+            .select("qid", "sid",
+                    F.round("orig_d2", 6).alias("orig_d2"),
+                    F.round(F.col("proj2") * 3 / JL_K, 6).alias("est_d2"),
+                    F.round((F.col("proj2") * 3)
+                            / (F.lit(JL_K) * F.col("orig_d2")), 4)
+                     .alias("ratio")))
+
+
+def _jl_sql() -> str:
+    proj_terms = []
+    for j in range(JL_K):
+        dj = _sql_dot("d", _sql_plane(j, JL_PLANES))
+        proj_terms.append(f"({dj}) * ({dj})")
+    proj2 = " + ".join(proj_terms)
+    orig2 = ("list_reduce(list_prepend(0.0, "
+             "list_transform(d, x -> x * x)), (acc, x) -> acc + x)")
+    return f"""
+WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e
+      WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+s AS (SELECT vec_id AS sid, v AS sv FROM e
+      WHERE vec_id % {_JL_SAMPLE_MOD} = {_JL_SAMPLE_REM}),
+pairs AS (
+    SELECT q.qid, s.sid,
+           list_transform(range(1, {S.DIM} + 1),
+                          i -> q.qv[i] - s.sv[i]) AS d
+    FROM s CROSS JOIN q
+    WHERE s.sid <> q.qid
+),
+scored AS (
+    SELECT qid, sid, {orig2} AS orig_d2, {proj2} AS proj2
+    FROM pairs
+)
+SELECT qid, sid,
+       round(orig_d2, 6) AS orig_d2,
+       round(proj2 * 3 / {JL_K}, 6) AS est_d2,
+       round((proj2 * 3) / ({JL_K} * orig_d2), 4) AS ratio
+FROM scored
+WHERE orig_d2 <> 0
+"""
+
+
+QUERIES["jl_projection_distortion"] = (_jl_distortion, _jl_sql())

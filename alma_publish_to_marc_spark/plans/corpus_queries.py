@@ -1700,3 +1700,84 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 
 QUERIES["boilerplate_segment_removal"] = (boilerplate_segment_removal,
                                           _BP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Systematic (low-variance) resampling with replacement
+# ---------------------------------------------------------------------------
+RESAMPLE_M = 1000     # target sample size (number of grid points)
+_RS_BUCKET = 1000     # docs per prefix-sum bucket (two-phase cumsum)
+
+
+def systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic resampling WITH replacement: m evenly-spaced grid
+    points over the cumulative weight axis (weight = n_chars), each
+    doc drawn once per grid point inside its cumulative interval —
+    n_copies_i = floor(cum_i·m/W) − floor((cum_i−w_i)·m/W). The
+    low-variance counterpart of ``weighted_sample_es`` (without
+    replacement) and ``mixture_weighted_sample``: replicate counts are
+    DETERMINISTIC given the weights (every count within ±1 of its
+    expectation w_i·m/W — the property particle filters use it for),
+    so an epoch plan can be audited row-for-row. Complements the
+    exponential-sort sampler the way a stratified draw complements a
+    Bernoulli one.
+
+    Determinism: counts are floors of exact integer rationals,
+    computed with integer division in both engines — no doubles
+    anywhere. (cum·m needs int64 headroom: fine to W·m < 9.2e18, i.e.
+    a ~1e13-char corpus at m=1e6; past that, promote to DECIMAL(38,0)
+    — the plan shape is unchanged.)
+
+    Scale: the cumulative sum is the textbook TWO-PHASE prefix sum —
+    per-bucket partial aggregates (map-side combined), bucket offsets
+    from a prefix scan over the tiny bucket table (broadcast back),
+    then one bucket-local window — so no global single-partition
+    window ever touches corpus-sized data; at 100 TB the bucket table
+    itself would recurse one more level. The DuckDB oracle uses a
+    plain global window cumsum: same semantics, which is exactly the
+    point — the two-phase plan is an EXECUTION strategy, not a
+    semantic change.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w"))
+    docs = docs.withColumn("bkt", F.expr(f"doc_id div {_RS_BUCKET}"))
+    w_in = Window.partitionBy("bkt").orderBy("doc_id")
+    docs = docs.withColumn("cum_in", F.sum("w").over(w_in))
+    btot = docs.groupBy("bkt").agg(F.sum("w").alias("bw"))
+    w_b = Window.orderBy("bkt")
+    offs = btot.select(
+        "bkt", (F.coalesce(F.sum("bw").over(
+            w_b.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+        .alias("off"))
+    tot = docs.agg(F.sum("w").alias("tw"))
+    cum = (docs.join(F.broadcast(offs), "bkt")
+           .crossJoin(F.broadcast(tot))
+           .select("doc_id", "w",
+                   (F.col("off") + F.col("cum_in")).alias("cum"), "tw"))
+    copies = (F.expr(f"cum * {RESAMPLE_M} div tw")
+              - F.expr(f"(cum - w) * {RESAMPLE_M} div tw"))
+    return (cum.select("doc_id", F.col("w").alias("weight"),
+                       copies.cast("long").alias("n_copies"))
+            .where(F.col("n_copies") > 0))
+
+
+_RESAMPLE_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+),
+cum AS (
+    SELECT doc_id, w,
+           sum(w) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           sum(w) OVER () AS tw
+    FROM docs
+)
+SELECT doc_id, w AS weight,
+       CAST(cum * {RESAMPLE_M} // tw
+            - (cum - w) * {RESAMPLE_M} // tw AS BIGINT) AS n_copies
+FROM cum
+WHERE cum * {RESAMPLE_M} // tw - (cum - w) * {RESAMPLE_M} // tw > 0
+"""
+
+QUERIES["systematic_resample"] = (systematic_resample, _RESAMPLE_SQL)

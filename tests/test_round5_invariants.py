@@ -189,3 +189,33 @@ def test_calibration_bins_partition_the_corpus(spark, q):
         assert 0.0 <= r["mean_pred"] <= 1.0
         assert 0.0 <= r["frac_pos"] <= 1.0
         assert abs(r["gap"] - round(r["mean_pred"] - r["frac_pos"], 4)) < 1e-9
+
+
+def test_systematic_resample_hits_target_exactly(spark, q):
+    # The defining property of systematic resampling: the grid has
+    # exactly m points, so copies sum to m EXACTLY (not in
+    # expectation), and every count is within +-1 of w_i*m/W.
+    from alma_publish_to_marc_spark.plans.corpus_queries import RESAMPLE_M
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = q("systematic_resample").collect()
+    assert sum(r["n_copies"] for r in rows) == RESAMPLE_M
+    tw = (load(spark, SF_SMOKE, "documents")
+          .agg(F.sum("n_chars")).first()[0])
+    for r in rows:
+        expect = r["weight"] * RESAMPLE_M / tw
+        assert expect - 1 < r["n_copies"] < expect + 1
+
+
+def test_jl_distortion_concentrates_near_one(q):
+    # JL concentration: with K=16 the squared-distance ratio should be
+    # unbiased and tight-ish; assert the mean ratio is within 25% of 1
+    # and every single pair within a generous [0.2, 3] envelope.
+    rows = q("jl_projection_distortion").collect()
+    assert rows
+    ratios = [r["ratio"] for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.75 < mean < 1.25, mean
+    assert all(0.2 < x < 3.0 for x in ratios)
+    for r in rows:
+        assert r["orig_d2"] > 0 and r["est_d2"] > 0
