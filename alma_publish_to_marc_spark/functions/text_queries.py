@@ -885,3 +885,73 @@ LIMIT {_RAKE_TOPK}
 """
 
 QUERIES["rake_keywords"] = (_rake_keywords, _RAKE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate of the held-out split against the train vocab
+# ---------------------------------------------------------------------------
+
+
+def _oov_rate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out OOV audit: build the token vocabulary from the 80%
+    train split (doc_id % 5 != 0 — the same split every train/test
+    operator here uses) and measure, per language, how much of the
+    held-out token mass falls outside it — the number that predicts
+    tokenizer-fallback blowup and <unk> pollution before a vocabulary
+    is frozen, and per-language because low-resource slices are where
+    OOV hides when the aggregate looks fine.
+
+    Determinism: exact counts; token identity travels as
+    ``unhex(md5(token))`` (the fixed-width key rule) in both engines.
+
+    Scale: vocab is one distinct over 16-byte keys; the membership
+    probe is a left anti/semi join of test tokens against it — both
+    sides keyed on the same fixed-width hash, map-side combinable on
+    the counting side. At 100 TB the vocab side is vocabulary-sized
+    (Zipf-bounded), so the join broadcasts or at worst buckets; the
+    corpus never shuffles text.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = lambda df: (df.select(  # noqa: E731
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .withColumn("wk", F.unhex(F.md5("w"))))
+    vocab = (tok(docs.where(F.col("doc_id") % 5 != 0))
+             .select("wk").distinct())
+    test = tok(docs.where(F.col("doc_id") % 5 == 0))
+    oov = (test.join(vocab, "wk", "left_anti")
+           .groupBy("lang").agg(F.count(F.lit(1)).alias("n_oov")))
+    totals = test.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (totals.join(oov, "lang", "left")
+            .select("lang", "n_tokens",
+                    F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+                    F.round(F.coalesce("n_oov", F.lit(0))
+                            / F.col("n_tokens"), 4).alias("oov_rate")))
+
+
+_OOV_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, lang, unhex(md5(w)) AS wk
+    FROM (SELECT doc_id, lang,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents)
+    WHERE w <> ''
+),
+vocab AS (SELECT DISTINCT wk FROM tok WHERE doc_id % 5 <> 0),
+test AS (SELECT lang, wk FROM tok WHERE doc_id % 5 = 0),
+oov AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_oov
+    FROM test t
+    WHERE NOT EXISTS (SELECT 1 FROM vocab v WHERE v.wk = t.wk)
+    GROUP BY lang
+),
+totals AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM test GROUP BY lang)
+SELECT t.lang, t.n_tokens,
+       coalesce(o.n_oov, 0) AS n_oov,
+       round(coalesce(o.n_oov, 0) / t.n_tokens, 4) AS oov_rate
+FROM totals t LEFT JOIN oov o USING (lang)
+"""
+
+QUERIES["oov_rate_eval"] = (_oov_rate_eval, _OOV_SQL)

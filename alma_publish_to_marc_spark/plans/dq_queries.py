@@ -976,3 +976,81 @@ FROM strata s CROSS JOIN pooled p
 """
 
 QUERIES["simpsons_paradox_scan"] = (simpsons_paradox_scan, _SIMPSON_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit (det -> dep candidate verification)
+# ---------------------------------------------------------------------------
+# (table, determinant, dependent, det-is-text) — a mix of FDs that hold
+# by construction (key -> attribute) and plausible-but-false ones, so
+# the audit demonstrably separates them.
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey", False),
+    ("customer", "c_custkey", "c_nationkey", False),
+    ("lineitem", "l_orderkey", "l_suppkey", False),
+    ("lineitem", "l_partkey", "l_suppkey", False),
+    ("events", "user_id", "event_type", False),
+    ("documents", "source", "lang", True),
+)
+
+
+def functional_dependency_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Verify candidate functional dependencies det → dep: for each, a
+    determinant value is VIOLATING when it maps to more than one
+    distinct dependent value. Emits per candidate the group count,
+    violating-group count, the worst fan-out, and a holds flag — the
+    schema-inference primitive (TANE/profiling's verification step)
+    behind key discovery, normalization advice, and trusting a column
+    as a join key before a 100 TB backfill relies on it.
+
+    Determinism: pure exact counts. Text determinants group on
+    ``unhex(md5(col))`` (fixed-width shuffle key, CLAUDE.md rule).
+
+    Scale: each candidate is one (det)-keyed count-distinct — two
+    map-side-combinable phases, no row ever carries more than
+    (det_key, dep) — followed by a 1-row reduce; candidates union to
+    |candidates| rows. Verifying k FDs over one table at 100 TB would
+    share the scan via grouping sets on det; here candidates span
+    five tables, so each scan is already minimal (2-column column-
+    pruned reads).
+    """
+    outs = []
+    for table, det, dep, det_text in _FD_CANDIDATES:
+        df = load(spark, sf_dir, table).select(det, dep)
+        key = (F.unhex(F.md5(F.col(det))) if det_text
+               else F.col(det)).alias("k")
+        per_det = (df.groupBy(key)
+                   .agg(F.countDistinct(dep).alias("nd")))
+        outs.append(per_det.agg(
+            F.lit(f"{table}.{det}->{dep}").alias("fd"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+             .alias("n_violating"),
+            F.max("nd").alias("max_variants"),
+            (F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)) == 0)
+            .cast("int").alias("holds")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _fd_sql() -> str:
+    parts = []
+    for table, det, dep, det_text in _FD_CANDIDATES:
+        key = f"unhex(md5({det}))" if det_text else det
+        parts.append(f"""
+SELECT '{table}.{det}->{dep}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       CAST(max(nd) AS BIGINT) AS max_variants,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS INT) AS holds
+FROM (SELECT {key} AS k, CAST(count(DISTINCT {dep}) AS BIGINT) AS nd
+      FROM {table} GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["functional_dependency_audit"] = (functional_dependency_audit,
+                                          _fd_sql())

@@ -219,3 +219,33 @@ def test_jl_distortion_concentrates_near_one(q):
     assert all(0.2 < x < 3.0 for x in ratios)
     for r in rows:
         assert r["orig_d2"] > 0 and r["est_d2"] > 0
+
+
+def test_fd_audit_separates_keys_from_nonkeys(q):
+    rows = {r["fd"]: r for r in q("functional_dependency_audit").collect()}
+    # primary-key FDs hold by construction
+    assert rows["orders.o_orderkey->o_custkey"]["holds"] == 1
+    assert rows["customer.c_custkey->c_nationkey"]["holds"] == 1
+    # a user emits many event types; if this ever "holds" the events
+    # table (or the audit) is broken
+    ev = rows["events.user_id->event_type"]
+    assert ev["holds"] == 0 and ev["n_violating"] > 0
+    for r in rows.values():
+        assert 0 <= r["n_violating"] <= r["n_groups"]
+        assert (r["holds"] == 1) == (r["n_violating"] == 0)
+        assert r["max_variants"] >= 1
+
+
+def test_oov_rate_is_consistent(spark, q):
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = q("oov_rate_eval").collect()
+    langs = {r["lang"] for r in
+             load(spark, SF_SMOKE, "documents")
+             .where(F.col("doc_id") % 5 == 0).select("lang")
+             .distinct().collect()}
+    assert {r["lang"] for r in rows} == langs
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - round(r["n_oov"] / r["n_tokens"], 4)) \
+            < 1e-9
