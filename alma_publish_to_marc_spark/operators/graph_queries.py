@@ -410,6 +410,35 @@ QUERIES = {
 LP_ROUNDS = 2
 
 
+def _lp_state(spark: SparkSession, sf_dir: str):
+    """(emb, knn-edges, final write-once labels) after ``LP_ROUNDS`` of
+    majority-vote propagation — the shared state behind
+    ``label_propagation`` (accuracy view) and ``community_modularity``
+    (partition-quality view), so the two can never diverge."""
+    from .similarity import knn_graph
+    from .similarity_queries import KNN_K
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = (knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+             .select("src", "dst"))
+    seeds = (emb.where(F.col("vec_id") % 5 == 0)
+             .select(F.col("vec_id").alias("node"),
+                     F.col("label").alias("lbl")))
+    labels = seeds
+    for _ in range(LP_ROUNDS):
+        votes = (edges
+                 .join(labels.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("n")))
+        winner = (votes.groupBy("src")
+                  .agg(F.min(F.struct((-F.col("n")).alias("neg"),
+                                      F.col("lbl").alias("lbl"))).alias("b"))
+                  .select(F.col("src").alias("node"),
+                          F.col("b.lbl").alias("lbl")))
+        fresh = winner.join(labels.select("node"), "node", "left_anti")
+        labels = labels.unionByName(fresh)
+    return emb, edges, labels
+
+
 def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label spread: 20% of the embedding corpus keeps
     its label (vec_id % 5 == 0 — the seed set), the rest receive the
@@ -437,27 +466,7 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism are the asserted contract; accuracy becomes meaningful
     on clustered real embeddings.
     """
-    from .similarity import knn_graph
-    from .similarity_queries import KNN_K
-
-    emb = load(spark, sf_dir, "embeddings")
-    edges = (knn_graph(emb, "vec_id", "embedding", k=KNN_K)
-             .select("src", "dst"))
-    seeds = (emb.where(F.col("vec_id") % 5 == 0)
-             .select(F.col("vec_id").alias("node"),
-                     F.col("label").alias("lbl")))
-    labels = seeds
-    for _ in range(LP_ROUNDS):
-        votes = (edges
-                 .join(labels.withColumnRenamed("node", "dst"), "dst")
-                 .groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("n")))
-        winner = (votes.groupBy("src")
-                  .agg(F.min(F.struct((-F.col("n")).alias("neg"),
-                                      F.col("lbl").alias("lbl"))).alias("b"))
-                  .select(F.col("src").alias("node"),
-                          F.col("b.lbl").alias("lbl")))
-        fresh = winner.join(labels.select("node"), "node", "left_anti")
-        labels = labels.unionByName(fresh)
+    emb, edges, labels = _lp_state(spark, sf_dir)
     return (emb.select("vec_id", F.col("label").alias("true_label"))
             .join(labels.withColumnRenamed("node", "vec_id"), "vec_id",
                   "left")
@@ -469,7 +478,10 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 .cast("int")).alias("correct")))
 
 
-def _label_prop_sql() -> str:
+def _lp_chain_ctes() -> list[str]:
+    """The unrolled propagation CTE chain edges, l0, v1, w1, l1, … —
+    shared by the accuracy oracle and the modularity oracle (same
+    reuse discipline as learning._w_chain_ctes)."""
     from .similarity_queries import _KNN_GRAPH_SQL
 
     ctes = [f"edges AS (SELECT src, dst FROM ({_KNN_GRAPH_SQL}))",
@@ -493,6 +505,11 @@ def _label_prop_sql() -> str:
     SELECT w.node, w.lbl FROM w{i + 1} w
     WHERE w.node NOT IN (SELECT node FROM l{i})
 )""")
+    return ctes
+
+
+def _label_prop_sql() -> str:
+    ctes = _lp_chain_ctes()
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT e.vec_id, e.label AS true_label,
        CAST(l.lbl AS INT) AS pred_label,
@@ -1230,3 +1247,121 @@ QUALIFY rank <= {_WPMI_TOPK}
 
 
 QUERIES["walk_pmi_similarity"] = (walk_pmi_similarity, _walk_pmi_sql())
+
+
+# --------------------------------------------------------------------------
+# Newman modularity of the label-propagation partition
+# --------------------------------------------------------------------------
+
+
+def _community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community Newman modularity of the partition
+    ``label_propagation`` produces over the undirected k-NN graph —
+    the quality number that tells a pipeline whether its communities
+    are structure or noise BEFORE anything downstream trusts them
+    (random-embedding corpora like the driver's should score ≈ 0; the
+    invariant test pins the global-sum bound |Q| ≤ 1).
+
+    Per community c: intra-edge count e_c, degree mass d_c, and the
+    contribution q_c = e_c/m − (d_c/2m)² emitted BOTH as the exact
+    integer numerator ``q_num = 4·m·e_c − d_c²`` (denominator 4m² —
+    summable exactly for a global Q) and as a floored e6 fixed-point.
+    Unlabeled nodes become singleton communities (−1 − node), the
+    standard completion of a partial partition.
+
+    Determinism: all counts exact int64; the only division is
+    1e6·q_num/(4m²) on exact-below-2^53 doubles, floored identically
+    (int64 headroom: q_num ≤ 4·m·e_c ≈ 4m² — at 2k-degree-bounded
+    m = |V|·k this overflows only past ~|V| ≈ 1.5e7/k · 1e9 … in
+    practice |V|·k < 1.5e9 edges keeps 1e6·q_num < 9e18; past that,
+    drop the e6 column and keep the exact numerator).
+
+    Scale: the partition join is two node-keyed hash joins of the edge
+    list against the |V|-row community map; degrees and intra counts
+    are map-side combinable; output is |communities| rows. The edge
+    list is built once by the shared ``_lp_state`` (persisted sigs via
+    similarity's tracked cache).
+    """
+    emb, edges, labels = _lp_state(spark, sf_dir)
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .distinct())
+    comm = (emb.select("vec_id")
+            .join(labels.withColumnRenamed("node", "vec_id"), "vec_id",
+                  "left")
+            .select(F.col("vec_id").alias("node"),
+                    F.coalesce(F.col("lbl").cast("long"),
+                               F.lit(-1) - F.col("vec_id")).alias("c")))
+    m = und.agg(F.count(F.lit(1)).alias("m"))
+    ca = comm.select(F.col("node").alias("a"), F.col("c").alias("c_a"))
+    cb = comm.select(F.col("node").alias("b"), F.col("c").alias("c_b"))
+    intra = (und.join(ca, "a").join(cb, "b")
+             .where(F.col("c_a") == F.col("c_b"))
+             .groupBy(F.col("c_a").alias("c"))
+             .agg(F.count(F.lit(1)).alias("e_intra")))
+    deg = (und.select(F.col("a").alias("node")).unionAll(
+               und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    dsum = (deg.join(comm, "node")
+            .groupBy("c").agg(F.sum("deg").alias("d_c"),
+                              F.count(F.lit(1)).alias("n_nodes")))
+    per_c = (dsum.join(intra, "c", "left")
+             .select("c", "n_nodes",
+                     F.coalesce("e_intra", F.lit(0)).alias("e_intra"),
+                     "d_c")
+             .crossJoin(F.broadcast(m)))
+    q_num = (4 * F.col("m") * F.col("e_intra")
+             - F.col("d_c") * F.col("d_c"))
+    return per_c.select(
+        "c", "n_nodes", "e_intra", "d_c",
+        q_num.cast("long").alias("q_num"),
+        F.floor(F.lit(1_000_000.0) * q_num.cast("double")
+                / (4 * F.col("m") * F.col("m")).cast("double"))
+         .cast("long").alias("q_e6"))
+
+
+def _modularity_sql() -> str:
+    ctes = _lp_chain_ctes()
+    return ("WITH " + ",\n".join(ctes) + f""",
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges
+),
+comm AS (
+    SELECT e.vec_id AS node,
+           coalesce(CAST(l.lbl AS BIGINT), -1 - e.vec_id) AS c
+    FROM embeddings e
+    LEFT JOIN l{LP_ROUNDS} l ON l.node = e.vec_id
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+intra AS (
+    SELECT ca.c, CAST(count(*) AS BIGINT) AS e_intra
+    FROM und
+    JOIN comm ca ON und.a = ca.node
+    JOIN comm cb ON und.b = cb.node
+    WHERE ca.c = cb.c
+    GROUP BY ca.c
+),
+deg AS (
+    SELECT node, count(*) AS deg
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+    GROUP BY node
+),
+dsum AS (
+    SELECT c.c, CAST(sum(d.deg) AS BIGINT) AS d_c,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg d JOIN comm c ON c.node = d.node
+    GROUP BY c.c
+)
+SELECT s.c, s.n_nodes, coalesce(i.e_intra, 0) AS e_intra, s.d_c,
+       CAST(4 * mm.m * coalesce(i.e_intra, 0) - s.d_c * s.d_c AS BIGINT)
+           AS q_num,
+       CAST(floor(1000000.0
+                  * CAST(4 * mm.m * coalesce(i.e_intra, 0)
+                         - s.d_c * s.d_c AS DOUBLE)
+                  / CAST(4 * mm.m * mm.m AS DOUBLE)) AS BIGINT) AS q_e6
+FROM dsum s LEFT JOIN intra i ON i.c = s.c CROSS JOIN mm
+""")
+
+
+QUERIES["community_modularity"] = (_community_modularity, _modularity_sql())

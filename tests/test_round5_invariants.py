@@ -249,3 +249,23 @@ def test_oov_rate_is_consistent(spark, q):
         assert 0 <= r["n_oov"] <= r["n_tokens"]
         assert abs(r["oov_rate"] - round(r["n_oov"] / r["n_tokens"], 4)) \
             < 1e-9
+
+
+def test_modularity_global_sum_is_bounded_and_consistent(spark, q):
+    # Q = sum(q_num) / (4 m^2) must land in [-1, 1]; each community's
+    # intra-edges can't exceed m; degree mass sums to 2m; and on the
+    # driver's random embeddings the partition should carry little
+    # structure (|Q| well below the ~0.3 "real communities" bar).
+    rows = q("community_modularity").collect()
+    assert rows
+    two_m = sum(r["d_c"] for r in rows)
+    m = two_m // 2
+    assert two_m == 2 * m
+    assert sum(r["e_intra"] for r in rows) <= m
+    q_global = sum(r["q_num"] for r in rows) / (4.0 * m * m)
+    assert -1.0 <= q_global <= 1.0
+    assert abs(q_global) < 0.3
+    for r in rows:
+        assert r["q_num"] == 4 * m * r["e_intra"] - r["d_c"] ** 2
+    from alma_publish_to_marc_spark.operators import similarity as S
+    S.unpersist_cached()
