@@ -955,3 +955,79 @@ FROM totals t LEFT JOIN oov o USING (lang)
 """
 
 QUERIES["oov_rate_eval"] = (_oov_rate_eval, _OOV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Per-document character-entropy profile (gibberish / encoded-blob signal)
+# ---------------------------------------------------------------------------
+
+
+def _char_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution (nats,
+    e6 fixed-point) plus alphabet size — the cheap information-theoretic
+    screen that separates natural text (moderate entropy, small
+    alphabet) from base64/hex blobs (high entropy) and from
+    stuck-key/padding junk (near-zero entropy), run before any
+    model-based quality score because it needs nothing but bytes.
+
+    Determinism: H = Σ c·lnq(n/c) / n with lnq = round(1e6·ln(n/c)) —
+    the ln is the only transcendental and is quantized immediately
+    (the naive-Bayes recipe), so the outer sum and the final integer
+    division are exact.
+
+    Scale: the char explode is the big fan-out (n_chars rows/doc) but
+    the (doc_id, char) count is map-side combined down to alphabet
+    size per doc per partition before the one shuffle; everything
+    after is |docs|-sized. A production variant would fold the
+    histogram per-partition in a pandas UDF to skip the explode —
+    same result, this shape keeps the oracle exact.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = (docs.select("doc_id",
+                         F.explode(F.split("text", "")).alias("ch"))
+             .where(F.col("ch") != ""))
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c"))
+    counts = counts.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id")))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("c")
+              * F.round(F.lit(1_000_000)
+                        * F.log(F.col("n") / F.col("c")), 0)
+              .cast("long")).alias("h_sum"))
+    return per_doc.select(
+        "doc_id", F.col("n").alias("n_chars_counted"), "n_distinct_chars",
+        F.expr("h_sum div n").alias("entropy_e6"))
+
+
+_ENTROPY_SQL = """
+WITH chars AS (
+    SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+                                         i -> text[i]))  AS ch
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+    FROM chars GROUP BY doc_id, ch
+),
+with_n AS (
+    SELECT doc_id, ch, c,
+           CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+    FROM counts
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           CAST(sum(c * CAST(round(1000000 * ln(n / c), 0)
+                 AS BIGINT)) AS BIGINT) AS h_sum
+    FROM with_n GROUP BY doc_id
+)
+SELECT doc_id, n AS n_chars_counted, n_distinct_chars,
+       h_sum // n AS entropy_e6
+FROM per_doc
+"""
+
+QUERIES["char_entropy_profile"] = (_char_entropy_profile, _ENTROPY_SQL)

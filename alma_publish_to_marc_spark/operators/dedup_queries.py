@@ -933,3 +933,121 @@ WHERE {den + num} * i.inter >= {num} * (sa.sz + sb.sz)
 
 QUERIES["prefix_filter_jaccard_join"] = (_prefix_filter_jaccard_join,
                                          _pf_sql())
+
+
+# ---- LSH candidate quality --------------------------------------------------
+_PREC_T_E6 = 500_000   # jaccard >= 0.5, in e6 fixed point
+
+
+def _lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of the banded-MinHash candidate generator on the
+    near-dup-augmented corpus: ONE summary row with the candidate
+    count, how many candidates verify as true near-dups (exact
+    Jaccard ≥ 0.5), the resulting precision, and the mean absolute
+    error of the 16-perm MinHash ESTIMATE against exact Jaccard over
+    the candidate set. Recall's side of the story is pinned by the
+    prefix-filter no-false-negative test; this is the wasted-work
+    side — precision tells you how many verification joins the bands
+    force per true pair, MAE tells you whether the signature is long
+    enough to pre-rank candidates before the (more expensive) exact
+    verify at 100 TB.
+
+    Determinism: everything is integer fixed-point — estimate
+    = matches·1e6 div 16, exact = inter·1e6 div union (both
+    nonnegative, so Spark's truncating div == DuckDB's flooring //),
+    absolute errors are exact int64 sums.
+
+    Scale: identical shuffle profile to ``minhash_lsh_neardup``
+    (persisted sigs, banded self-join, verify join) plus one 1-row
+    map-side-combined reduce — the audit is free relative to the
+    dedup pass it instruments.
+    """
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sigs, bands = D._sigs_and_bands(corpus, "doc_id", "text", 5, None)
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_id", "band_key")
+    cand = (a.join(b, ["band_id", "band_key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sh = sigs.select("doc_id", "shingles", "sig")
+    joined = (cand
+              .join(sh.select(F.col("doc_id").alias("id_a"),
+                              F.col("shingles").alias("sh_a"),
+                              F.col("sig").alias("sig_a")), "id_a")
+              .join(sh.select(F.col("doc_id").alias("id_b"),
+                              F.col("shingles").alias("sh_b"),
+                              F.col("sig").alias("sig_b")), "id_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - n_inter
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = joined.select(
+        (n_inter.cast("long") * 1_000_000).alias("inter_sc"),
+        union.cast("long").alias("un"),
+        (matches * 1_000_000).alias("match_sc"))
+    scored = scored.select(
+        F.expr("inter_sc div un").alias("jac_e6"),
+        F.expr(f"match_sc div {D.N_PERMS}").alias("est_e6"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("jac_e6") >= _PREC_T_E6, 1).otherwise(0))
+         .alias("n_true_pairs"),
+        F.expr(f"sum(case when jac_e6 >= {_PREC_T_E6} then 1 else 0 end) "
+               f"* 1000000 div count(1)").alias("precision_e6"),
+        F.expr("sum(abs(est_e6 - jac_e6)) div count(1)").alias("mae_e6"))
+
+
+def _lsh_precision_sql() -> str:
+    p = D.HASH_MOD
+    sig_cols = ", ".join(
+        f"coalesce(list_min(list_transform(hashes, "
+        f"h -> ({D.PERM_A[j]} * h + {D.PERM_B[j]}) % {p})), {p}) AS s{j}"
+        for j in range(D.N_PERMS))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '_' || ".join(
+            f"CAST(s{b * D.ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(D.ROWS_PER_BAND))
+        + " AS band_key FROM sigs"
+        for b in range(D.N_BANDS))
+    match_terms = " + ".join(
+        f"(CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END)"
+        for j in range(D.N_PERMS))
+    return f"""
+WITH {SQL_NEAR_CORPUS},
+hashed AS (
+    SELECT doc_id, {sql_shingle_hashes()} AS hashes FROM corpus
+),
+sigs AS (SELECT doc_id, hashes, {sig_cols} FROM hashed),
+bands AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT 1000000 * CAST(len(list_intersect(sa.hashes, sb.hashes))
+                          AS BIGINT)
+           // (len(sa.hashes) + len(sb.hashes)
+               - len(list_intersect(sa.hashes, sb.hashes))) AS jac_e6,
+           CAST(({match_terms}) AS BIGINT) * 1000000 // {D.N_PERMS}
+               AS est_e6
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = id_a
+    JOIN sigs sb ON sb.doc_id = id_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN jac_e6 >= {_PREC_T_E6} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_pairs,
+       CAST(sum(CASE WHEN jac_e6 >= {_PREC_T_E6} THEN 1 ELSE 0 END)
+            AS BIGINT) * 1000000 // count(*) AS precision_e6,
+       CAST(sum(abs(est_e6 - jac_e6)) AS BIGINT) // count(*) AS mae_e6
+FROM scored
+"""
+
+
+QUERIES["lsh_candidate_precision"] = (_lsh_candidate_precision,
+                                      _lsh_precision_sql())

@@ -2365,3 +2365,68 @@ v0 AS (
 
 QUERIES["absorption_to_purchase"] = (absorption_to_purchase,
                                      _absorption_sql())
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day (+ cumulative acquisition curve)
+# ---------------------------------------------------------------------------
+
+
+def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience decomposition: per epoch-day, distinct active
+    users split into first-ever-seen (new) vs returning, plus the
+    running cumulative user count — the acquisition/retention curve
+    every growth dashboard opens with, and the audited denominator
+    behind ``rolling_active_users``.
+
+    Determinism: days from integer epoch arithmetic (CLAUDE.md dow
+    rule), everything else exact counts; the cumulative sum is a
+    window over the tiny day table.
+
+    Scale: one (day, user) dedup shuffle, one (user) min-day
+    aggregation (both map-side combinable), then day-keyed counts;
+    the only window runs over |days| rows. The (day,user) distinct is
+    the same state a streaming DAU would keep — at 100 TB that
+    shuffle carries 16 bytes/row and everything downstream is
+    |days|- or |users|-sized.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+         .alias("day"), "user_id")
+    du = ev.distinct()
+    active = du.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    first = du.groupBy("user_id").agg(F.min("day").alias("day"))
+    new = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    joined = (active.join(new, "day", "left")
+              .select("day", "n_active",
+                      F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day", "n_active", "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(w).alias("cum_users"))
+
+
+_NEW_RET_SQL = """
+WITH du AS (
+    SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+    FROM events
+),
+active AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active
+           FROM du GROUP BY day),
+first_seen AS (SELECT user_id, min(day) AS day FROM du GROUP BY user_id),
+new_u AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+          FROM first_seen GROUP BY day),
+joined AS (
+    SELECT a.day, a.n_active, coalesce(n.n_new, 0) AS n_new
+    FROM active a LEFT JOIN new_u n USING (day)
+)
+SELECT day, n_active, n_new,
+       n_active - n_new AS n_returning,
+       CAST(sum(n_new) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_users
+FROM joined
+"""
+
+QUERIES["new_vs_returning_users"] = (new_vs_returning_users, _NEW_RET_SQL)

@@ -269,3 +269,51 @@ def test_modularity_global_sum_is_bounded_and_consistent(spark, q):
         assert r["q_num"] == 4 * m * r["e_intra"] - r["d_c"] ** 2
     from alma_publish_to_marc_spark.operators import similarity as S
     S.unpersist_cached()
+
+
+def test_lsh_precision_summary_is_coherent(q):
+    r = q("lsh_candidate_precision").first()
+    assert r["n_candidates"] > 0
+    # the augmented corpus plants true near-dups, so the bands must
+    # surface at least one verified pair
+    assert 0 < r["n_true_pairs"] <= r["n_candidates"]
+    assert r["precision_e6"] == r["n_true_pairs"] * 1_000_000 \
+        // r["n_candidates"]
+    # 16-perm estimates are coarse (1/16 granularity) but must stay a
+    # sane distance from exact Jaccard on average
+    assert 0 <= r["mae_e6"] <= 500_000
+    from alma_publish_to_marc_spark.operators import dedup as D
+    D.unpersist_cached()
+
+
+def test_new_vs_returning_conserves_users(spark, q):
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = sorted(q("new_vs_returning_users").collect(),
+                  key=lambda r: r["day"])
+    total_users = (load(spark, SF_SMOKE, "events")
+                   .select("user_id").distinct().count())
+    assert sum(r["n_new"] for r in rows) == total_users
+    assert rows[-1]["cum_users"] == total_users
+    # day 1: everyone is new
+    assert rows[0]["n_new"] == rows[0]["n_active"]
+    cum = 0
+    for r in rows:
+        assert r["n_returning"] == r["n_active"] - r["n_new"] >= 0
+        cum += r["n_new"]
+        assert r["cum_users"] == cum
+
+
+def test_char_entropy_bounds(spark, q):
+    import math
+
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = q("char_entropy_profile").collect()
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        # 0 <= H <= ln(alphabet size), with e6-quantization slack
+        hi = math.log(r["n_distinct_chars"]) * 1e6 + 1000
+        assert -1000 <= r["entropy_e6"] <= hi
+        assert 1 <= r["n_distinct_chars"] <= r["n_chars_counted"]
