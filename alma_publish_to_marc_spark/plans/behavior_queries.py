@@ -2430,3 +2430,222 @@ FROM joined
 """
 
 QUERIES["new_vs_returning_users"] = (new_vs_returning_users, _NEW_RET_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Per-state transition entropy (predictability of the behavior chain)
+# ---------------------------------------------------------------------------
+
+
+def transition_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-transition entropy per event type over the same consecutive
+    pairs ``event_transition_matrix`` counts: H(from) =
+    Σ p(to|from)·ln(1/p) in e6 nats plus the effective branching
+    factor ceil-free perplexity proxy — the predictability readout
+    that ranks states by how much information the next step carries
+    (an anomaly detector watches exactly these numbers drift).
+
+    Determinism: the quantized-ln recipe — lnq = round(1e6·ln(n_from/
+    n)) on exact integer rationals, then H = Σ n·lnq div n_from in
+    pure int64.
+
+    Scale: one user-keyed window pass (shared shape with the
+    transition matrix), then |types|²-row arithmetic. Nothing else.
+    """
+    ev = load(spark, sf_dir, "events") \
+        .select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("from_type"),
+                       F.lead("event_type").over(w).alias("to_type"))
+             .where(F.col("to_type").isNotNull()))
+    counts = pairs.groupBy("from_type", "to_type") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.withColumn(
+        "n_from", F.sum("n").over(Window.partitionBy("from_type")))
+    counts = counts.withColumn(
+        "lnq", F.round(F.lit(1_000_000)
+                       * F.log(F.col("n_from") / F.col("n")), 0)
+                .cast("long"))
+    return (counts.groupBy("from_type")
+            .agg(F.max("n_from").alias("n_from"),
+                 F.count(F.lit(1)).alias("n_successors"),
+                 F.expr("sum(n * lnq) div max(n_from)")
+                  .alias("entropy_e6")))
+
+
+_TRANS_ENTROPY_SQL = """
+WITH pairs AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM pairs WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+with_tot AS (
+    SELECT from_type, to_type, n,
+           CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+    FROM counts
+)
+SELECT from_type,
+       CAST(max(n_from) AS BIGINT) AS n_from,
+       CAST(count(*) AS BIGINT) AS n_successors,
+       CAST(sum(n * CAST(round(1000000 * ln(n_from / n), 0) AS BIGINT))
+            AS BIGINT) // max(n_from) AS entropy_e6
+FROM with_tot GROUP BY from_type
+"""
+
+QUERIES["transition_entropy_profile"] = (transition_entropy_profile,
+                                         _TRANS_ENTROPY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Interarrival burstiness per event type
+# ---------------------------------------------------------------------------
+
+
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type's arrival process: per type, the
+    interarrival-gap count/mean/variance (integer seconds) and the
+    Goh–Barabási burstiness B = (σ−μ)/(σ+μ) — B≈−1 periodic, 0
+    Poisson, →1 heavy-tailed bursts. The capacity-planning number: a
+    type with the same mean rate but B→1 needs several× the Poisson
+    provisioning, and a drift in B flags pipeline stalls that rate
+    monitors miss.
+
+    Determinism: gaps are integer-second differences of epoch micros
+    (integer div); sums and sum-of-squares are exact int64 (headroom:
+    gap ≤ 2.6e6 s per 30-day window → gap² ≤ 7e12, safe to ~1e6 gaps
+    per type; longer horizons drop to minute granularity); μ, σ², B
+    are fixed IEEE expressions over those exact ints, sqrt is
+    correctly rounded, so rounds match.
+
+    Scale: one type-keyed window pass for the lag (types are few —
+    real deployments sub-key by (type, shard) and merge the exact
+    sums, which these stats allow), one 5-row aggregate.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (ev.withColumn("prev", F.lag("us").over(w))
+            .where(F.col("prev").isNotNull())
+            .select("event_type",
+                    F.expr("(us - prev) div 1000000").alias("gap_s")))
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("ss"))
+    mean = F.col("s") / F.col("n_gaps")
+    var = F.col("ss") / F.col("n_gaps") \
+        - (F.col("s") / F.col("n_gaps")) * (F.col("s") / F.col("n_gaps"))
+    sd = F.sqrt(var)
+    return agg.select(
+        "event_type", "n_gaps",
+        F.round(mean, 4).alias("mean_gap_s"),
+        F.round(var, 4).alias("var_gap_s"),
+        # + 0.0 canonicalizes IEEE -0.0 (engines round -2.5e-5 to
+        # differently-signed zeros, which scrambles the row sort)
+        (F.round((sd - mean) / (sd + mean), 4) + F.lit(0.0))
+        .alias("burstiness"))
+
+
+_BURSTINESS_SQL = """
+WITH ev AS (
+    SELECT event_type, ts, event_id, epoch_us(ts) AS us FROM events
+),
+gaps AS (
+    SELECT event_type,
+           (us - lag(us) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id)) // 1000000 AS gap_s
+    FROM ev
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_s) AS BIGINT) AS s,
+           CAST(sum(gap_s * gap_s) AS BIGINT) AS ss
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       round(s / n_gaps, 4) AS mean_gap_s,
+       round(ss / n_gaps - (s / n_gaps) * (s / n_gaps), 4) AS var_gap_s,
+       round((sqrt(ss / n_gaps - (s / n_gaps) * (s / n_gaps)) - s / n_gaps)
+             / (sqrt(ss / n_gaps - (s / n_gaps) * (s / n_gaps))
+                + s / n_gaps), 4) + 0.0 AS burstiness
+FROM agg
+"""
+
+QUERIES["interarrival_burstiness"] = (interarrival_burstiness,
+                                      _BURSTINESS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed leaderboard (exact dyadic decay)
+# ---------------------------------------------------------------------------
+DECAY_TOPK = 10
+
+
+def decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-user leaderboard under exponential time decay with a
+    one-day half-life: each event contributes 2^(−age_days), so
+    yesterday's activity counts half of today's — the freshness-
+    weighted ranking behind every "trending now" surface, chosen over
+    a sliding window because it never forgets abruptly and its state
+    merges associatively (the streaming twin keeps one running sum +
+    last-updated day per user).
+
+    Determinism: ages are integer days, so every contribution is an
+    EXACT power of two and every partial sum is an exact dyadic
+    rational (lsb 2⁻²⁹, magnitude < 2¹⁸ → 47 significand bits) —
+    addition never rounds, in ANY order, in either engine; the final
+    top-k ties break on user_id.
+
+    Scale: one map-side-combinable (user)-keyed sum; the top-k window
+    is rank ≤ k over an unpartitioned ordering, which Spark executes
+    as WindowGroupLimit (per-partition k then a k·partitions merge) —
+    no global sort of the user table materializes.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+         .alias("day"))
+    maxd = ev.agg(F.max("day").alias("maxd"))
+    scored = (ev.crossJoin(F.broadcast(maxd))
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.pow(F.lit(0.5), F.col("maxd") - F.col("day")))
+                    .alias("score")))
+    w = Window.orderBy(F.desc("score"), F.asc("user_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= DECAY_TOPK)
+            .select(F.col("rank").cast("int").alias("rank"), "user_id",
+                    "n_events", F.round("score", 6).alias("score")))
+
+
+_DECAY_SQL = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+maxd AS (SELECT max(day) AS maxd FROM ev),
+scored AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           sum(pow(0.5, maxd - day)) AS score
+    FROM ev CROSS JOIN maxd
+    GROUP BY user_id
+),
+ranked AS (
+    SELECT user_id, n_events, score,
+           row_number() OVER (ORDER BY score DESC, user_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(rank AS INT) AS rank, user_id, n_events,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= {DECAY_TOPK}
+"""
+
+QUERIES["decayed_leaderboard"] = (decayed_leaderboard, _DECAY_SQL)

@@ -60,8 +60,11 @@ HEADLINE = [
     "local_supplier_volume",
     "waiting_orders_supplier",
     "item_item_recs",
-    # round 5: incremental IVF index maintenance (census + drift)
+    # round 5: incremental IVF index maintenance (census + drift),
+    # cross-doc boilerplate stripping, scalar-quantized ANN
     "ann_index_incremental",
+    "boilerplate_segment_removal",
+    "ann_sq_topk",
 ]
 
 

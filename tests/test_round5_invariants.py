@@ -317,3 +317,40 @@ def test_char_entropy_bounds(spark, q):
         hi = math.log(r["n_distinct_chars"]) * 1e6 + 1000
         assert -1000 <= r["entropy_e6"] <= hi
         assert 1 <= r["n_distinct_chars"] <= r["n_chars_counted"]
+
+
+def test_transition_entropy_bounded_by_log_successors(q):
+    import math
+
+    for r in q("transition_entropy_profile").collect():
+        hi = math.log(max(r["n_successors"], 1)) * 1e6 + 2000
+        assert -2000 <= r["entropy_e6"] <= hi
+        assert 1 <= r["n_successors"]
+        assert r["n_from"] > 0
+
+
+def test_burstiness_in_range_and_poissonlike(q):
+    # Synthetic arrivals are near-Poisson: B must sit close to 0, and
+    # algebraically B is always in (-1, 1) for positive mean/sd.
+    rows = q("interarrival_burstiness").collect()
+    assert rows
+    for r in rows:
+        assert -1.0 < r["burstiness"] < 1.0
+        assert abs(r["burstiness"]) < 0.2
+        assert r["mean_gap_s"] > 0 and r["var_gap_s"] > 0
+
+
+def test_decayed_leaderboard_is_a_valid_topk(spark, q):
+    # Exactly k rows, scores non-increasing in rank order, and every
+    # score bounded by the undecayed event count (decay weights <= 1).
+    rows = sorted(q("decayed_leaderboard").collect(),
+                  key=lambda r: r["rank"])
+    from alma_publish_to_marc_spark.plans.behavior_queries import DECAY_TOPK
+
+    assert [r["rank"] for r in rows] == list(range(1, DECAY_TOPK + 1))
+    prev = None
+    for r in rows:
+        assert 0 < r["score"] <= r["n_events"]
+        if prev is not None:
+            assert prev >= r["score"]
+        prev = r["score"]
