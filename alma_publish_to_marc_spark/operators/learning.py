@@ -810,3 +810,76 @@ FROM bins
 
 QUERIES["logreg_calibration_bins"] = (_logreg_calibration_bins,
                                       _calibration_sql())
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding with additive smoothing
+# ---------------------------------------------------------------------------
+TE_ALPHA = 10   # pseudo-observations of the global mean
+
+
+def _target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of a categorical (order priority)
+    against a numeric target (order price in cents): each row's
+    encoding is the mean target of its OWN group with the row itself
+    excluded, shrunk toward the global mean by ``TE_ALPHA``
+    pseudo-counts — enc_i = (S_g − y_i + α·S/N) / (n_g − 1 + α).
+    LOO-plus-smoothing is the leakage-safe way to feed a high-
+    cardinality categorical to a model: plain group means let the
+    label leak into its own feature, which this construction excludes
+    by definition.
+
+    Determinism: S_g, n_g, S, N are exact int64; the encoding is
+    cross-multiplied into one exact-integer numerator/denominator
+    (num = (S_g−y_i)·N + α·S, den = (n_g−1+α)·N) before the single
+    scaled division — both ints convert to double exactly (< 2^53 up
+    to ~9e15-cent group sums; past that, pre-divide S/N once), so the
+    e6 floor matches bit-for-bit.
+
+    Scale: one group aggregation (|categories| rows, broadcast back)
+    + one 1-row global aggregate — the encoding itself is scan-fused
+    per row. No per-row shuffle at any scale.
+    """
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", cents.alias("y"))
+    grp = orders.groupBy("o_orderpriority").agg(
+        F.sum("y").alias("s_g"), F.count(F.lit(1)).alias("n_g"))
+    glob = orders.agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("n"))
+    j = orders.join(F.broadcast(grp), "o_orderpriority") \
+              .crossJoin(F.broadcast(glob))
+    num = ((F.col("s_g") - F.col("y")) * F.col("n")
+           + F.lit(TE_ALPHA) * F.col("s")).cast("double")
+    den = ((F.col("n_g") - 1 + TE_ALPHA) * F.col("n")).cast("double")
+    return j.select(
+        "o_orderkey", "o_orderpriority",
+        F.col("y").alias("price_cents"),
+        F.floor(F.lit(1_000_000.0) * num / den).cast("long")
+         .alias("enc_e6"))
+
+
+_TE_SQL = f"""
+WITH orders_c AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+    FROM orders
+),
+grp AS (
+    SELECT o_orderpriority, CAST(sum(y) AS BIGINT) AS s_g,
+           CAST(count(*) AS BIGINT) AS n_g
+    FROM orders_c GROUP BY o_orderpriority
+),
+overall AS (SELECT CAST(sum(y) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders_c)
+SELECT o.o_orderkey, o.o_orderpriority, o.y AS price_cents,
+       CAST(floor(1000000.0
+                  * CAST((g.s_g - o.y) * gl.n + {TE_ALPHA} * gl.s AS DOUBLE)
+                  / CAST((g.n_g - 1 + {TE_ALPHA}) * gl.n AS DOUBLE))
+            AS BIGINT) AS enc_e6
+FROM orders_c o
+JOIN grp g USING (o_orderpriority)
+CROSS JOIN overall gl
+"""
+
+QUERIES["target_encoding_loo"] = (_target_encoding_loo, _TE_SQL)

@@ -1781,3 +1781,60 @@ WHERE cum * {RESAMPLE_M} // tw - (cum - w) * {RESAMPLE_M} // tw > 0
 """
 
 QUERIES["systematic_resample"] = (systematic_resample, _RESAMPLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of the length-weighted corpus, per source
+# ---------------------------------------------------------------------------
+
+
+def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of the char-count-weighted corpus,
+    per source: ESS = (Σw)²/Σw² — how many EQUAL-weight documents the
+    weighted collection is statistically worth. The sanity gate on any
+    weighted sampling plan (``systematic_resample``,
+    ``mixture_weighted_sample``): a source whose ESS ratio collapses
+    is dominated by a few huge documents, and estimates stratified on
+    it will be noisier than row counts suggest.
+
+    Determinism: integer sums (w ≤ ~1e3 chars → Σw² exact far past
+    1e9 docs/source), one fixed scaled division, floored identically.
+
+    Scale: one map-side-combinable aggregation to |sources| rows.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("w"))
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("s"),
+        F.sum(F.col("w") * F.col("w")).alias("ss"))
+    ess = F.floor(F.lit(1_000_000.0)
+                  * (F.col("s").cast("double") * F.col("s").cast("double"))
+                  / F.col("ss").cast("double")).cast("long")
+    return agg.select(
+        "source", "n_docs", ess.alias("ess_e6"),
+        F.floor(F.lit(1_000_000.0)
+                * (F.col("s").cast("double") * F.col("s").cast("double"))
+                / (F.col("ss").cast("double")
+                   * F.col("n_docs").cast("double"))).cast("long")
+         .alias("ess_ratio_e6"))
+
+
+_ESS_SQL = """
+WITH agg AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS s,
+           CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS ss
+    FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       CAST(floor(1000000.0 * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / CAST(ss AS DOUBLE)) AS BIGINT) AS ess_e6,
+       CAST(floor(1000000.0 * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(ss AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+            AS BIGINT) AS ess_ratio_e6
+FROM agg
+"""
+
+QUERIES["effective_sample_size"] = (effective_sample_size, _ESS_SQL)

@@ -372,3 +372,41 @@ def test_phash_captures_every_planted_variant(spark, q):
            for r in q("media_phash_neardup").collect()}
     missing = planted - got
     assert not missing, f"{len(missing)} variants escaped the budget"
+
+
+def test_target_encoding_excludes_own_label(spark, q):
+    # The leakage-safety property itself, checked against a driver-side
+    # recomputation on the smoke corpus: enc_i must equal the smoothed
+    # group mean WITHOUT row i, never the plain group mean.
+    import math
+
+    from alma_publish_to_marc_spark.operators.learning import TE_ALPHA
+    from alma_publish_to_marc_spark.tables import load
+
+    orders = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice").collect()
+    ys = {r["o_orderkey"]: round(r["o_totalprice"] * 100) for r in orders}
+    grp = {}
+    for r in orders:
+        grp.setdefault(r["o_orderpriority"], []).append(ys[r["o_orderkey"]])
+    s_all = sum(ys.values())
+    n_all = len(ys)
+    got = {r["o_orderkey"]: r for r in
+           q("target_encoding_loo").collect()}
+    assert len(got) == n_all
+    for r in orders[:200]:
+        g = grp[r["o_orderpriority"]]
+        y = ys[r["o_orderkey"]]
+        num = (sum(g) - y) * n_all + TE_ALPHA * s_all
+        den = (len(g) - 1 + TE_ALPHA) * n_all
+        expect = math.floor(1_000_000.0 * float(num) / float(den))
+        assert got[r["o_orderkey"]]["enc_e6"] == expect
+
+
+def test_ess_bounds(spark, q):
+    # 1 <= ESS <= n per source, and ratio in (0, 1].
+    rows = q("effective_sample_size").collect()
+    assert rows
+    for r in rows:
+        assert 1_000_000 <= r["ess_e6"] <= r["n_docs"] * 1_000_000
+        assert 0 < r["ess_ratio_e6"] <= 1_000_000
