@@ -186,3 +186,102 @@ QUALIFY rank <= {_TOP_K}
 """
 
 QUERIES["personalized_part_recs"] = (_personalized_part_recs, _PERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Recommendation quality eval: coverage / novelty / diversity
+# ---------------------------------------------------------------------------
+
+
+def _recs_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline quality summary of the ``item_item_recs`` view — the
+    three numbers a recommender review asks for beyond accuracy:
+    catalog COVERAGE (share of the catalog that ever gets
+    recommended; a popularity-collapsed model scores high accuracy
+    and ~0 coverage), mean NOVELTY (−ln of the recommended item's
+    co-purchase popularity — higher = less obvious recommendations),
+    and cross-brand DIVERSITY (share of (seed, rec) pairs that cross
+    part brands). One row.
+
+    Determinism: coverage/diversity are exact counts; novelty is the
+    quantized-ln recipe (round(1e6·ln(n_baskets/c_j)) per rec, exact
+    integer mean).
+
+    Scale: the recs view is |parts|·k rows; brand joins broadcast the
+    part dimension columns; everything reduces map-side to one row.
+    """
+    recs = _item_item_recs(spark, sf_dir)
+    parts = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (load(spark, sf_dir, "lineitem")
+               .select("l_orderkey", "l_partkey").distinct())
+    n_baskets = baskets.select("l_orderkey").distinct() \
+        .agg(F.count(F.lit(1)).alias("nb"))
+    freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    catalog = parts.agg(F.count(F.lit(1)).alias("n_parts"))
+    bi = parts.select(F.col("p_partkey").alias("part_i"),
+                      F.col("p_brand").alias("brand_i"))
+    bj = parts.select(F.col("p_partkey").alias("part_j"),
+                      F.col("p_brand").alias("brand_j"))
+    fj = freq.select(F.col("l_partkey").alias("part_j"),
+                     F.col("c").alias("c_j"))
+    scored = (recs
+              .join(F.broadcast(bi), "part_i")
+              .join(F.broadcast(bj), "part_j")
+              .join(F.broadcast(fj), "part_j")
+              .crossJoin(F.broadcast(n_baskets))
+              .select(
+                  "part_i", "part_j",
+                  (F.col("brand_i") != F.col("brand_j")).cast("long")
+                  .alias("crossb"),
+                  F.round(F.lit(1_000_000)
+                          * F.log(F.col("nb") / F.col("c_j")), 0)
+                   .cast("long").alias("nov")))
+    agg = scored.agg(
+        F.countDistinct("part_i").alias("n_rec_lists"),
+        F.countDistinct("part_j").alias("n_recommended"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("crossb").alias("n_cross"),
+        F.sum("nov").alias("nov_sum"))
+    return (agg.crossJoin(F.broadcast(catalog))
+            .select("n_rec_lists", "n_recommended", "n_parts",
+                    F.expr("n_recommended * 1000000 div n_parts")
+                     .alias("coverage_e6"),
+                    F.expr("n_cross * 1000000 div n_pairs")
+                     .alias("cross_brand_e6"),
+                    F.expr("nov_sum div n_pairs").alias("mean_novelty_e6")))
+
+
+_RECS_EVAL_SQL = f"""
+WITH recs AS (SELECT part_i, part_j FROM ({_ITEM_SQL})),
+baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb
+       FROM baskets),
+freq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+         FROM baskets GROUP BY l_partkey),
+catalog AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part),
+scored AS (
+    SELECT r.part_i, r.part_j,
+           CAST(pi.p_brand <> pj.p_brand AS BIGINT) AS crossb,
+           CAST(round(1000000 * ln(nb.nb / f.c), 0) AS BIGINT) AS nov
+    FROM recs r
+    JOIN part pi ON pi.p_partkey = r.part_i
+    JOIN part pj ON pj.p_partkey = r.part_j
+    JOIN freq f ON f.l_partkey = r.part_j
+    CROSS JOIN nb
+),
+agg AS (
+    SELECT CAST(count(DISTINCT part_i) AS BIGINT) AS n_rec_lists,
+           CAST(count(DISTINCT part_j) AS BIGINT) AS n_recommended,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(crossb) AS BIGINT) AS n_cross,
+           CAST(sum(nov) AS BIGINT) AS nov_sum
+    FROM scored
+)
+SELECT n_rec_lists, n_recommended, n_parts,
+       n_recommended * 1000000 // n_parts AS coverage_e6,
+       n_cross * 1000000 // n_pairs AS cross_brand_e6,
+       nov_sum // n_pairs AS mean_novelty_e6
+FROM agg CROSS JOIN catalog
+"""
+
+QUERIES["recs_quality_eval"] = (_recs_quality_eval, _RECS_EVAL_SQL)

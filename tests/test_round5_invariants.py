@@ -410,3 +410,13 @@ def test_ess_bounds(spark, q):
     for r in rows:
         assert 1_000_000 <= r["ess_e6"] <= r["n_docs"] * 1_000_000
         assert 0 < r["ess_ratio_e6"] <= 1_000_000
+
+
+def test_recs_eval_summary_is_coherent(q):
+    r = q("recs_quality_eval").first()
+    assert 0 < r["n_recommended"] <= r["n_parts"]
+    assert r["coverage_e6"] == r["n_recommended"] * 1_000_000 \
+        // r["n_parts"]
+    assert 0 <= r["cross_brand_e6"] <= 1_000_000
+    assert r["mean_novelty_e6"] >= 0   # ln(nb/c_j) >= 0 since c_j <= nb
+    assert r["n_rec_lists"] > 0
