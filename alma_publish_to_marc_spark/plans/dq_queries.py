@@ -27,7 +27,7 @@ stamping.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import EVENT_TYPES, load
@@ -1054,3 +1054,171 @@ FROM (SELECT {key} AS k, CAST(count(DISTINCT {dep}) AS BIGINT) AS nd
 
 QUERIES["functional_dependency_audit"] = (functional_dependency_audit,
                                           _fd_sql())
+
+
+# ---------------------------------------------------------------------------
+# Exact quantile normalization of a feature (run-table ranks)
+# ---------------------------------------------------------------------------
+
+
+def quantile_normalize_feature(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Map every document's length to its exact corpus percentile —
+    pct = (#rows strictly below) / (n − 1), ties sharing the rank of
+    their run's first element (min-rank; the percent_rank convention)
+    — the standard monotone feature transform that makes downstream
+    thresholds distribution-free.
+
+    Determinism & scale: NO global row_number — the ``auc_mann_whitney``
+    run-table trick: group rows into value runs (map-side combined;
+    the run table is value-cardinality-sized, here ≤ ~1k rows), prefix-
+    sum the run table with one tiny window, and join ranks back keyed
+    on the value. The corpus never total-orders; percentiles are
+    floors of exact integer rationals.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("v"))
+    runs = docs.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = runs.select(
+        "v", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (docs.join(ranked, "v").crossJoin(F.broadcast(tot))
+            .select("doc_id", F.col("v").alias("n_chars"),
+                    F.expr("below * 1000000 div (n - 1)")
+                     .alias("pct_e6")))
+
+
+_QNORM_SQL = """
+WITH docs AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+runs AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM docs GROUP BY v),
+ranked AS (
+    SELECT v, COALESCE(CAST(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS below
+    FROM runs
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs)
+SELECT d.doc_id, d.v AS n_chars,
+       r.below * 1000000 // (t.n - 1) AS pct_e6
+FROM docs d JOIN ranked r USING (v) CROSS JOIN tot t
+"""
+
+QUERIES["quantile_normalize_feature"] = (quantile_normalize_feature,
+                                         _QNORM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Median/MAD robust outlier profile per event type
+# ---------------------------------------------------------------------------
+_MAD_K4 = 44_478   # 3 * 1.4826 scaled by 1e4 (Gaussian-consistent 3 sigma)
+
+
+def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per event type: lower median and MAD
+    (median absolute deviation) of the value column in exact integer
+    cents, and the count of rows beyond the Gaussian-consistent 3σ
+    band |x − med| · 1e4 > 3·1.4826e4 · MAD — the screen that, unlike
+    mean/stddev, a few corrupt rows cannot drag along with them.
+
+    Determinism: LOWER median, defined as the value whose run covers
+    position ⌈n/2⌉ — an exact integer picked by run-table prefix sums
+    (no interpolation, no engine quantile convention); the outlier
+    test is an integer cross-multiplication.
+
+    Scale: two run-table passes (values, then absolute deviations),
+    each a map-side-combined count over value runs with a
+    |distinct values|-sized window — the corpus itself never sorts.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+
+    def lower_median(df, val):
+        runs = df.groupBy("event_type", val).agg(
+            F.count(F.lit(1)).alias("cnt"))
+        w = (Window.partitionBy("event_type").orderBy(val)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        wt = Window.partitionBy("event_type")
+        cum = runs.select(
+            "event_type", F.col(val).alias("x"),
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(wt).alias("n"))
+        return (cum.where(F.col("cum") * 2 >= F.col("n"))
+                .groupBy("event_type")
+                .agg(F.min("x").alias("med"), F.max("n").alias("n")))
+
+    med = lower_median(ev, "cents")
+    dev = (ev.join(F.broadcast(med.select("event_type", "med")),
+                   "event_type")
+           .select("event_type",
+                   F.abs(F.col("cents") - F.col("med")).alias("ad"),
+                   "cents", "med"))
+    mad = lower_median(dev.select("event_type", "ad"), "ad") \
+        .select("event_type", F.col("med").alias("mad"))
+    flagged = (dev.join(F.broadcast(mad), "event_type")
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.max("med").alias("median_cents"),
+                    F.max("mad").alias("mad_cents"),
+                    F.sum(F.when(
+                        F.col("ad") * 10_000 > F.lit(_MAD_K4) * F.col("mad"),
+                        1).otherwise(0)).alias("n_outliers")))
+    return flagged.select("event_type", "n_rows", "median_cents",
+                          "mad_cents", "n_outliers")
+
+
+_MAD_SQL = f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+runs1 AS (SELECT event_type, cents AS x, CAST(count(*) AS BIGINT) AS cnt
+          FROM ev GROUP BY 1, 2),
+cum1 AS (
+    SELECT event_type, x,
+           CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM runs1
+),
+med AS (
+    SELECT event_type, min(x) AS med, max(n) AS n
+    FROM cum1 WHERE cum * 2 >= n GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, abs(e.cents - m.med) AS ad
+    FROM ev e JOIN med m USING (event_type)
+),
+runs2 AS (SELECT event_type, ad AS x, CAST(count(*) AS BIGINT) AS cnt
+          FROM dev GROUP BY 1, 2),
+cum2 AS (
+    SELECT event_type, x,
+           CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+           CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM runs2
+),
+mad AS (
+    SELECT event_type, min(x) AS mad
+    FROM cum2 WHERE cum * 2 >= n GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(m.med) AS BIGINT) AS median_cents,
+       CAST(max(md.mad) AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN d.ad * 10000 > {_MAD_K4} * md.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d
+JOIN med m USING (event_type)
+JOIN mad md USING (event_type)
+GROUP BY d.event_type
+"""
+
+QUERIES["mad_outlier_profile"] = (mad_outlier_profile, _MAD_SQL)

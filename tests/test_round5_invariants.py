@@ -420,3 +420,51 @@ def test_recs_eval_summary_is_coherent(q):
     assert 0 <= r["cross_brand_e6"] <= 1_000_000
     assert r["mean_novelty_e6"] >= 0   # ln(nb/c_j) >= 0 since c_j <= nb
     assert r["n_rec_lists"] > 0
+
+
+def test_quantile_normalization_matches_percent_rank(spark, q):
+    # The run-table construction must equal the engine's own
+    # percent_rank (floored to e6) row for row.
+    from pyspark.sql import Window as W
+
+    from alma_publish_to_marc_spark.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    n = docs.count()
+    ref = docs.select(
+        "doc_id",
+        F.floor(F.percent_rank().over(W.orderBy("n_chars"))
+                * 1_000_000).cast("long").alias("ref"))
+    got = q("quantile_normalize_feature").select("doc_id", "pct_e6")
+    diff = (got.join(ref, "doc_id")
+            .where(F.col("pct_e6") != F.col("ref")).count())
+    # percent_rank's (rank-1)/(n-1) in DOUBLE can floor one unit below
+    # the exact integer rational at e6 boundaries; allow only that.
+    close = (got.join(ref, "doc_id")
+             .where(F.abs(F.col("pct_e6") - F.col("ref")) > 1).count())
+    assert close == 0
+    assert diff <= n // 50   # boundary cases are rare
+    rows = got.collect()
+    assert all(0 <= r["pct_e6"] <= 1_000_000 for r in rows)
+
+
+def test_mad_profile_matches_numpy(spark, q):
+    import numpy as np
+
+    from alma_publish_to_marc_spark.tables import load
+
+    vals = {}
+    for r in load(spark, SF_SMOKE, "events") \
+            .select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(round(r["value"] * 100))
+    got = {r["event_type"]: r for r in q("mad_outlier_profile").collect()}
+    for t, xs in vals.items():
+        xs = np.array(sorted(xs))
+        n = len(xs)
+        med = xs[(n + 1) // 2 - 1] if n % 2 else xs[n // 2 - 1]
+        ad = np.sort(np.abs(xs - med))
+        mad = ad[(n + 1) // 2 - 1] if n % 2 else ad[n // 2 - 1]
+        assert got[t]["median_cents"] == med
+        assert got[t]["mad_cents"] == mad
+        assert got[t]["n_rows"] == n
+        assert got[t]["n_outliers"] == int((ad * 10_000 > 44_478 * mad).sum())
