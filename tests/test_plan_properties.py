@@ -146,3 +146,52 @@ def test_random_walks_persist_every_round(props, spark):
     assert p["in_memory_scans"] >= WALK_STEPS
     from alma_publish_to_marc_spark.operators import similarity as sim
     assert sim.unpersist_cached() >= WALK_STEPS
+
+
+def test_boilerplate_removal_broadcasts_the_template_set(props, spark):
+    # The df-filtered boilerplate key set is Zipf-tiny; if the anti
+    # join ever degrades to sort-merge, the corpus-sized segment table
+    # would shuffle twice for nothing.
+    p = props("boilerplate_segment_removal")
+    assert p["broadcast_joins"] >= 1
+    assert p["range_shuffles"] == 0
+
+
+def test_sq_topk_is_broadcast_probe_shaped(props, spark):
+    # Codes scan + broadcast panel + one (qid) ranking shuffle; the
+    # grid is a 1-row broadcast. No sort-merge joins anywhere.
+    p = props("ann_sq_topk")
+    assert p["sort_merge_joins"] == 0
+    assert p["broadcast_nl_joins"] + p["broadcast_joins"] >= 1
+    assert p["range_shuffles"] == 0
+
+
+def test_phash_neardup_never_reshuffles_payloads(props, spark):
+    # After the one window aggregation, only (id, sig) rows move: the
+    # band self-join and verify must stay hash-keyed, no range
+    # partitioning. The only single-partition exchange allowed is the
+    # 1-row max(doc_id) offset aggregate of the augmented corpus.
+    p = props("media_phash_neardup")
+    assert p["range_shuffles"] == 0
+    assert p["single_part"] <= 1
+
+
+def test_target_encoding_broadcasts_both_aggregates(props, spark):
+    # group stats and the global 1-row must both ride broadcasts; the
+    # fact scan itself shuffles at most once (the group aggregation).
+    p = props("target_encoding_loo")
+    assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 2
+    assert p["sort_merge_joins"] == 0
+    assert p["range_shuffles"] == 0
+
+
+def test_quantile_normalize_sorts_only_the_run_table(props, spark):
+    # The whole point of the run-table trick: any range exchange /
+    # single-partition window must touch only value-cardinality rows,
+    # never the corpus — corpus-sized ops stay hash-partitioned. The
+    # plan has exactly the one tiny sort the prefix sum needs.
+    p = props("quantile_normalize_feature")
+    assert p["range_shuffles"] <= 1
+    # two tiny single-partition ops allowed: the run-table prefix-sum
+    # window (value-cardinality rows) and the 1-row corpus count
+    assert p["single_part"] <= 2
