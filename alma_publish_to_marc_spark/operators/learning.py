@@ -883,3 +883,177 @@ CROSS JOIN overall gl
 """
 
 QUERIES["target_encoding_loo"] = (_target_encoding_loo, _TE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval ranking metrics: MRR@k / MAP@k / NDCG@k
+# ---------------------------------------------------------------------------
+RANK_K = 10
+# lcm(1..10): makes every precision@i an exact integer numerator
+_AP_LCM = 2520
+# NDCG discount table floor(1e9 / log2(i+1)), i = 1..10, and its prefix
+# sums (ideal DCG for R relevant docs). Computed ONCE here and injected
+# into BOTH engines as literals, so the transcendental log2 never runs
+# inside either engine — the cross-engine hazard class ADVICE flagged
+# for ln() cannot arise (the constants are bytes in the plan).
+_DISC_E9 = (1000000000, 630929753, 500000000, 430676558, 386852807,
+            356207187, 333333333, 315464876, 301029995, 289064826)
+_IDCG_E9 = (1000000000, 1630929753, 2130929753, 2561606311, 2948459118,
+            3304666305, 3637999638, 3953464514, 4254494509, 4543559335)
+
+
+def _ranking_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval of the embedding space: every panel
+    vector (the ``knn_classifier_eval`` 4% panel) queries the corpus
+    for its 10 nearest non-self neighbors; a hit is a neighbor sharing
+    the probe's label. Reports per-label mean MRR@10, MAP@10 and
+    NDCG@10 — the standard triple a retrieval/RAG deployment gates on
+    before trusting an index (recall_eval answers "did ANN lose
+    neighbors?", this answers "are the neighbors the RIGHT ones?").
+
+    Determinism: ranks tie-break on vec_id; every metric is exact
+    integer arithmetic — MRR as 1e6 div rank, AP on the lcm(1..10)
+    denominator, DCG against the shared literal discount table — and
+    per-label means are integer ``div`` by the probe count. No float
+    leaves either engine.
+
+    Scale: identical shape to ``knn_classifier_eval`` — broadcast
+    panel × corpus scan, no corpus shuffle; per-probe metric folds are
+    (qid)-keyed aggregations over ≤10 rows each. At 100 TB the brute
+    pass swaps for the IVF/SQ candidate generators; the metric algebra
+    is unchanged. int64 headroom: dcg ≤ 4.6e9, ×1e6 ≤ 4.6e15 ≪ 2^63.
+    """
+    from pyspark.sql import Window
+
+    from .clustering import _quantized, _sq_dist
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = _quantized(emb)
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    probes = (vecs.where(F.col("vec_id") % KNN_PROBE_MOD == KNN_PROBE_REM)
+              .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    pairs = (vecs.join(F.broadcast(probes), F.col("vec_id") != F.col("qid"))
+             .withColumn("d", _sq_dist(F.col("qv"), F.col("v"))))
+    w = Window.partitionBy("qid").orderBy("d", "vec_id")
+    top = (pairs.withColumn("r", F.row_number().over(w))
+           .where(F.col("r") <= RANK_K)
+           .select("qid", "vec_id", "r"))
+    ptruth = (labels.where(F.col("vec_id") % KNN_PROBE_MOD == KNN_PROBE_REM)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("label").alias("qlabel")))
+    hits = (top.join(labels, "vec_id").join(F.broadcast(ptruth), "qid")
+            .withColumn("rel", (F.col("label") == F.col("qlabel"))
+                        .cast("long")))
+    wcum = (Window.partitionBy("qid").orderBy("r")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    disc = F.array(*[F.lit(d) for d in _DISC_E9])
+    hits = (hits.withColumn("cumrel", F.sum("rel").over(wcum))
+            .withColumn("ap_term",
+                        F.col("rel") * F.col("cumrel")
+                        * F.expr(f"{_AP_LCM} div r"))
+            .withColumn("dcg_term",
+                        F.col("rel") * F.element_at(disc, F.col("r")
+                                                    .cast("int"))))
+    # total relevant in the corpus per label = label frequency - 1 (self)
+    lfreq = (labels.groupBy("label")
+             .agg((F.count(F.lit(1)) - 1).alias("n_rel"))
+             .withColumnRenamed("label", "qlabel"))
+    idcg = F.array(*[F.lit(v) for v in _IDCG_E9])
+    per_probe = (hits.groupBy("qid", "qlabel")
+                 .agg(F.min(F.when(F.col("rel") == 1, F.col("r")))
+                      .alias("first_rel"),
+                      F.sum("ap_term").alias("ap_num"),
+                      F.sum("dcg_term").alias("dcg"))
+                 .join(F.broadcast(lfreq), "qlabel")
+                 .withColumn("r10", F.least(F.col("n_rel"), F.lit(RANK_K))))
+    per_probe = (per_probe
+                 .withColumn("mrr_e6",
+                             F.coalesce(F.expr("1000000 div first_rel"),
+                                        F.lit(0)))
+                 .withColumn("ap_e6",
+                             F.expr(f"(1000000 * ap_num) div "
+                                    f"({_AP_LCM} * r10)"))
+                 .withColumn("idcg_r", F.element_at(idcg, F.col("r10")
+                                                   .cast("int")))
+                 .withColumn("ndcg_e6",
+                             F.expr("(1000000 * dcg) div idcg_r")))
+    return (per_probe.groupBy("qlabel")
+            .agg(F.count(F.lit(1)).alias("n_probes"),
+                 F.expr("sum(mrr_e6) div count(*)").alias("mean_mrr_e6"),
+                 F.expr("sum(ap_e6) div count(*)").alias("mean_ap_e6"),
+                 F.expr("sum(ndcg_e6) div count(*)").alias("mean_ndcg_e6"))
+            .orderBy("qlabel"))
+
+
+def _ranking_metrics_sql() -> str:
+    from .clustering import _QV, DIM
+
+    disc = "[" + ", ".join(str(d) for d in _DISC_E9) + "]"
+    idcg = "[" + ", ".join(str(v) for v in _IDCG_E9) + "]"
+    return f"""
+WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+probes AS (SELECT vec_id AS qid, v AS qv FROM vecs
+           WHERE vec_id % {KNN_PROBE_MOD} = {KNN_PROBE_REM}),
+pairs AS (
+    SELECT p.qid, vecs.vec_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {DIM} + 1),
+                   i -> (p.qv[i] - vecs.v[i]) * (p.qv[i] - vecs.v[i]))),
+               (x, y) -> x + y) AS d
+    FROM vecs CROSS JOIN probes p
+    WHERE vecs.vec_id <> p.qid
+),
+top AS (
+    SELECT qid, vec_id, r FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY d, vec_id) AS r
+        FROM pairs
+    ) WHERE r <= {RANK_K}
+),
+hits AS (
+    SELECT t.qid, CAST(q.label AS BIGINT) AS qlabel, t.r,
+           CASE WHEN CAST(e.label AS BIGINT) = CAST(q.label AS BIGINT)
+                THEN 1 ELSE 0 END AS rel
+    FROM top t
+    JOIN embeddings e ON t.vec_id = e.vec_id
+    JOIN embeddings q ON t.qid = q.vec_id
+),
+hc AS (
+    SELECT qid, qlabel, r, rel,
+           CAST(sum(rel) OVER (PARTITION BY qid ORDER BY r
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumrel
+    FROM hits
+),
+lfreq AS (SELECT CAST(label AS BIGINT) AS qlabel,
+                 count(*) - 1 AS n_rel
+          FROM embeddings GROUP BY 1),
+per AS (
+    SELECT qid, qlabel,
+           min(CASE WHEN rel = 1 THEN r END) AS first_rel,
+           CAST(sum(rel * cumrel * ({_AP_LCM} // r)) AS BIGINT) AS ap_num,
+           CAST(sum(rel * ({disc})[r]) AS BIGINT) AS dcg
+    FROM hc GROUP BY 1, 2
+),
+per2 AS (
+    SELECT per.*, least(n_rel, {RANK_K}) AS r10
+    FROM per JOIN lfreq USING (qlabel)
+),
+per3 AS (
+    SELECT qid, qlabel,
+           coalesce(1000000 // first_rel, 0) AS mrr_e6,
+           (1000000 * ap_num) // ({_AP_LCM} * r10) AS ap_e6,
+           (1000000 * dcg) // ({idcg})[r10] AS ndcg_e6
+    FROM per2
+)
+SELECT qlabel, count(*) AS n_probes,
+       CAST(sum(mrr_e6) AS BIGINT) // count(*) AS mean_mrr_e6,
+       CAST(sum(ap_e6) AS BIGINT) // count(*) AS mean_ap_e6,
+       CAST(sum(ndcg_e6) AS BIGINT) // count(*) AS mean_ndcg_e6
+FROM per3 GROUP BY qlabel
+"""
+
+
+QUERIES["ranking_metrics_eval"] = (_ranking_metrics_eval,
+                                   _ranking_metrics_sql())
