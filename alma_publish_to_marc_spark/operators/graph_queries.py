@@ -1365,3 +1365,133 @@ FROM dsum s LEFT JOIN intra i ON i.c = s.c CROSS JOIN mm
 
 
 QUERIES["community_modularity"] = (_community_modularity, _modularity_sql())
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities on the customer↔part bipartite graph
+# --------------------------------------------------------------------------
+HITS_ITERS = 2
+HITS_SCALE = 1_000_000
+HITS_TOPK = 15
+
+
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) over the customer→part purchase graph: hubs =
+    customers whose baskets concentrate on authoritative parts,
+    authorities = parts bought by strong hubs — the mutual-reinforcement
+    ranking PageRank can't express on a bipartite graph (completes the
+    iterative-graph family: components / PageRank / label-prop / HITS).
+    Output: top-{HITS_TOPK} rows per role (role, node_id, score_e6,
+    degree).
+
+    Fixed-point discipline: scores live in integer e6 units; each
+    half-round is an integer sum followed by ONE normalization
+    ``(raw * SCALE) div max(raw)`` — pure int64 arithmetic in both
+    engines (Spark ``div`` == DuckDB ``//`` on BIGINT), no float ever.
+    The oracle unrolls the same {HITS_ITERS} rounds as CTEs with scalar
+    max() subqueries. Ties in the top-k break on node_id. int64
+    headroom: raw ≤ max_degree·SCALE, ×SCALE again ≤ 2^63 while
+    max_degree < ~9e6 — at 100 TB renormalize by a power-of-two shift
+    first or widen to decimal.
+
+    Scale: each half-round is one key-shuffled sum over the edge list
+    (map-side combinable) plus a 1-row broadcast max; the edge list is
+    persisted once (tracked via similarity._PERSISTED) and reused by
+    all {HITS_ITERS}×2 message passes. Final top-k is TakeOrdered, no
+    global sort shuffle. Reference anchor: bib↔part edge traversal
+    (ddl/data_sync_db.sql:82-85) taken to fixpoint.
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .select(F.col("o_custkey").alias("c"),
+                 F.col("l_partkey").alias("p"))
+         .distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(e)
+    a = (e.select("p").distinct()
+         .withColumn("a", F.lit(HITS_SCALE).cast("long")))
+    h = None
+    for _ in range(HITS_ITERS):
+        # each raw frame feeds TWO branches (its own max() and the next
+        # join): persist every round or the edge-join chain re-executes
+        # 2^(2·rounds) times (CLAUDE.md multi-branch hazard; measured
+        # 41 s → ~8 s at sf0.001)
+        h_raw = (e.join(a, "p").groupBy("c").agg(F.sum("a").alias("hr"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        _sim._PERSISTED.append(h_raw)
+        mh = F.broadcast(h_raw.agg(F.max("hr").alias("mh")))
+        h = (h_raw.crossJoin(mh)
+             .select("c", F.expr(f"(hr * {HITS_SCALE}) div mh").alias("h")))
+        a_raw = (e.join(h, "c").groupBy("p").agg(F.sum("h").alias("ar"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        _sim._PERSISTED.append(a_raw)
+        ma = F.broadcast(a_raw.agg(F.max("ar").alias("ma")))
+        a = (a_raw.crossJoin(ma)
+             .select("p", F.expr(f"(ar * {HITS_SCALE}) div ma").alias("a")))
+    degc = e.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+    degp = e.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    hubs = (h.join(degc, "c")
+            .select(F.lit("hub").alias("role"),
+                    F.col("c").alias("node_id"),
+                    F.col("h").alias("score_e6"),
+                    F.col("deg").cast("long").alias("degree"))
+            .orderBy(F.desc("score_e6"), "node_id").limit(HITS_TOPK))
+    auths = (a.join(degp, "p")
+             .select(F.lit("authority").alias("role"),
+                     F.col("p").alias("node_id"),
+                     F.col("a").alias("score_e6"),
+                     F.col("deg").cast("long").alias("degree"))
+             .orderBy(F.desc("score_e6"), "node_id").limit(HITS_TOPK))
+    return hubs.unionByName(auths)
+
+
+def _hits_sql() -> str:
+    ctes = ["""e AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""", f"""a0 AS (
+    SELECT DISTINCT p, CAST({HITS_SCALE} AS BIGINT) AS a FROM e
+)"""]
+    for i in range(HITS_ITERS):
+        ctes.append(f"""hr{i + 1} AS (
+    SELECT c, CAST(sum(a) AS BIGINT) AS hr
+    FROM e JOIN a{i} USING (p) GROUP BY c
+)""")
+        ctes.append(f"""h{i + 1} AS (
+    SELECT c, (hr * {HITS_SCALE}) // (SELECT max(hr) FROM hr{i + 1}) AS h
+    FROM hr{i + 1}
+)""")
+        ctes.append(f"""ar{i + 1} AS (
+    SELECT p, CAST(sum(h) AS BIGINT) AS ar
+    FROM e JOIN h{i + 1} USING (c) GROUP BY p
+)""")
+        ctes.append(f"""a{i + 1} AS (
+    SELECT p, (ar * {HITS_SCALE}) // (SELECT max(ar) FROM ar{i + 1}) AS a
+    FROM ar{i + 1}
+)""")
+    k = HITS_ITERS
+    return ("WITH " + ",\n".join(ctes) + f""",
+degc AS (SELECT c, count(*) AS deg FROM e GROUP BY c),
+degp AS (SELECT p, count(*) AS deg FROM e GROUP BY p),
+hubs AS (
+    SELECT 'hub' AS role, c AS node_id, h AS score_e6,
+           CAST(deg AS BIGINT) AS degree
+    FROM h{k} JOIN degc USING (c)
+    ORDER BY score_e6 DESC, node_id LIMIT {HITS_TOPK}
+),
+auths AS (
+    SELECT 'authority' AS role, p AS node_id, a AS score_e6,
+           CAST(deg AS BIGINT) AS degree
+    FROM a{k} JOIN degp USING (p)
+    ORDER BY score_e6 DESC, node_id LIMIT {HITS_TOPK}
+)
+SELECT * FROM hubs UNION ALL SELECT * FROM auths
+""")
+
+
+QUERIES["hits_hubs_authorities"] = (hits_hubs_authorities, _hits_sql())
