@@ -1495,3 +1495,203 @@ SELECT * FROM hubs UNION ALL SELECT * FROM auths
 
 
 QUERIES["hits_hubs_authorities"] = (hits_hubs_authorities, _hits_sql())
+
+
+# --------------------------------------------------------------------------
+# Local clustering-coefficient profile of the k-NN graph
+# --------------------------------------------------------------------------
+def local_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the undirected k-NN
+    graph, aggregated into coefficient deciles: (bucket, n_nodes,
+    mean_coeff_e6, mean_deg_e3). ``knn_triangle_census`` answers "does
+    the graph triangle at all" with one global number; this shows the
+    DISTRIBUTION — a bimodal profile (dense cores + tree-like fringe)
+    is what tells a curation pipeline that semantic-dedup cells will be
+    uneven. Nodes with degree < 2 have no defined coefficient and are
+    excluded (documented contract).
+
+    Determinism: coeff_e6 = (2e6·tri) div (deg·(deg−1)) is pure int64;
+    bucket = coeff_e6 div 100000; per-bucket means are integer div.
+
+    Scale: triangle enumeration is the census's two keyed joins
+    (degree-bounded by the k-NN construction, ≤ |V|·(2k)² wedges); the
+    per-node explode is 3 rows per triangle; everything else is
+    node-keyed aggregation. The edge frame feeds four branches (deg +
+    three join legs) so it is persisted (tracked via
+    similarity._PERSISTED).
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+    from .similarity import knn_graph
+    from .similarity_queries import KNN_K
+
+    emb = load(spark, sf_dir, "embeddings")
+    und = (knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(und)
+    deg = (und.select(F.col("a").alias("n")).unionAll(
+               und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    tri_nodes = (tris.select(F.col("x").alias("n"))
+                 .unionAll(tris.select(F.col("y").alias("n")))
+                 .unionAll(tris.select(F.col("z").alias("n")))
+                 .groupBy("n").agg(F.count(F.lit(1)).alias("tri")))
+    per_node = (deg.where(F.col("deg") >= 2)
+                .join(tri_nodes, "n", "left")
+                .select("n", "deg",
+                        F.coalesce("tri", F.lit(0)).alias("tri"))
+                .withColumn("coeff_e6",
+                            F.expr("(2000000 * tri) div (deg * (deg - 1))")))
+    return (per_node
+            .withColumn("bucket", F.expr("coeff_e6 div 100000"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.expr("sum(coeff_e6) div count(*)").alias("mean_coeff_e6"),
+                 F.expr("(1000 * sum(deg)) div count(*)")
+                  .alias("mean_deg_e3")))
+
+
+def _local_clustering_sql() -> str:
+    from .similarity_queries import _KNN_GRAPH_SQL
+
+    return f"""
+WITH und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({_KNN_GRAPH_SQL})
+),
+deg AS (
+    SELECT n, count(*) AS deg
+    FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+    GROUP BY n
+),
+tris AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri_nodes AS (
+    SELECT n, count(*) AS tri
+    FROM (SELECT x AS n FROM tris UNION ALL SELECT y AS n FROM tris
+          UNION ALL SELECT z AS n FROM tris)
+    GROUP BY n
+),
+per_node AS (
+    SELECT d.n, d.deg, coalesce(t.tri, 0) AS tri,
+           (2000000 * coalesce(t.tri, 0)) // (d.deg * (d.deg - 1))
+               AS coeff_e6
+    FROM deg d LEFT JOIN tri_nodes t ON d.n = t.n
+    WHERE d.deg >= 2
+)
+SELECT coeff_e6 // 100000 AS bucket,
+       count(*) AS n_nodes,
+       CAST(sum(coeff_e6) AS BIGINT) // count(*) AS mean_coeff_e6,
+       (1000 * CAST(sum(deg) AS BIGINT)) // count(*) AS mean_deg_e3
+FROM per_node GROUP BY 1
+"""
+
+
+QUERIES["local_clustering_profile"] = (local_clustering_profile,
+                                       _local_clustering_sql())
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity of the k-NN graph
+# --------------------------------------------------------------------------
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the undirected k-NN graph — do
+    high-degree nodes attach to high-degree nodes? Positive r means
+    hub-clustered (social-network-like) embedding neighborhoods;
+    negative means hub-and-spoke (star-like), which predicts skewed
+    semantic-dedup cells. One output row: (m_ends, sum_x, sum_xy,
+    sum_x2, assortativity_r).
+
+    With each edge counted in BOTH orientations the x/y marginals are
+    identical, so Pearson r collapses to the sqrt-free rational
+    r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — exact int64 sums, ONE
+    double division rounded identically in both engines (the
+    knn_triangle_census convention). Degenerate regular graph
+    (denominator 0) reports r = 0. int64 headroom: deg ≤ 2k, so
+    M·Σx² ≤ M²·(2k)² — fine to M ≈ 7e8 edge-ends; beyond that compute
+    the moments in DECIMAL(38).
+
+    Scale: one node-keyed degree aggregation, one edge-keyed join to
+    attach endpoint degrees (both map-side combinable after the initial
+    shuffle), then a 1-row global moment sum. No all-pairs anything.
+    """
+    from .similarity import knn_graph
+    from .similarity_queries import KNN_K
+
+    emb = load(spark, sf_dir, "embeddings")
+    und = (knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    dirn = und.unionAll(und.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+    deg = dirn.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    ends = (dirn
+            .join(deg.withColumnRenamed("a", "_sa"),
+                  F.col("a") == F.col("_sa"))
+            .withColumnRenamed("deg", "dx")
+            .join(deg.withColumnRenamed("a", "_sb")
+                     .withColumnRenamed("deg", "dy"),
+                  F.col("b") == F.col("_sb"))
+            .select("dx", "dy"))
+    mom = ends.agg(F.count(F.lit(1)).alias("m_ends"),
+                   F.sum("dx").alias("sum_x"),
+                   F.sum(F.col("dx") * F.col("dy")).alias("sum_xy"),
+                   F.sum(F.col("dx") * F.col("dx")).alias("sum_x2"))
+    num = F.col("m_ends") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_x")
+    den = F.col("m_ends") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")
+    return mom.select(
+        "m_ends", "sum_x", "sum_xy", "sum_x2",
+        F.when(den == 0, F.lit(0.0))
+         .otherwise(F.round(num.cast("double") / den, 6))
+         .alias("assortativity_r"))
+
+
+def _assortativity_sql() -> str:
+    from .similarity_queries import _KNN_GRAPH_SQL
+
+    return f"""
+WITH und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({_KNN_GRAPH_SQL})
+),
+dirn AS (
+    SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+),
+deg AS (SELECT a, count(*) AS deg FROM dirn GROUP BY a),
+ends AS (
+    SELECT da.deg AS dx, db.deg AS dy
+    FROM dirn
+    JOIN deg da ON dirn.a = da.a
+    JOIN deg db ON dirn.b = db.a
+),
+mom AS (
+    SELECT count(*) AS m_ends,
+           CAST(sum(dx) AS BIGINT) AS sum_x,
+           CAST(sum(dx * dy) AS BIGINT) AS sum_xy,
+           CAST(sum(dx * dx) AS BIGINT) AS sum_x2
+    FROM ends
+)
+SELECT m_ends, sum_x, sum_xy, sum_x2,
+       CASE WHEN m_ends * sum_x2 - sum_x * sum_x = 0 THEN 0.0
+            ELSE round(CAST(m_ends * sum_xy - sum_x * sum_x AS DOUBLE)
+                       / (m_ends * sum_x2 - sum_x * sum_x), 6)
+       END AS assortativity_r
+FROM mom
+"""
+
+
+QUERIES["degree_assortativity"] = (degree_assortativity,
+                                   _assortativity_sql())
