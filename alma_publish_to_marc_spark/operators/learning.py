@@ -1057,3 +1057,103 @@ FROM per3 GROUP BY qlabel
 
 QUERIES["ranking_metrics_eval"] = (_ranking_metrics_eval,
                                    _ranking_metrics_sql())
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining over the embedding corpus
+# ---------------------------------------------------------------------------
+def _hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-learning margin audit: for every panel vector, find the
+    nearest SAME-label neighbor (easiest positive) and the nearest
+    DIFFERENT-label neighbor (hardest negative) and report, per label,
+    how often the hard negative is closer than the positive — the
+    violation rate that tells a contrastive-training pipeline which
+    classes need mined triplets, and the exact margin mass available.
+    Output: (qlabel, n_probes, n_violations, sum_margin_q,
+    min_margin_q) where margin_q = d_neg − d_pos in quantized
+    squared-L2 units (positive margin = correctly separated).
+
+    Determinism: distances are exact integer squared-L2; both argmins
+    are struct-min on (d, vec_id) (min_by tie-break is undefined,
+    struct-min isn't); margins are exact int64 differences summed —
+    no division anywhere, so negative-operand div semantics never
+    arise.
+
+    Scale: the ``knn_classifier_eval`` shape — broadcast panel ×
+    corpus scan, no corpus shuffle, one (qid)-keyed aggregate and one
+    tiny per-label rollup. Full-corpus mining would swap the brute
+    pass for the ANN candidate generators and keep the margin algebra.
+    """
+    from .clustering import _quantized, _sq_dist
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = _quantized(emb)
+    labels = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    probes = (vecs.where(F.col("vec_id") % KNN_PROBE_MOD == KNN_PROBE_REM)
+              .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    ptruth = (labels.where(F.col("vec_id") % KNN_PROBE_MOD == KNN_PROBE_REM)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("label").alias("qlabel")))
+    pairs = (vecs.join(F.broadcast(probes), F.col("vec_id") != F.col("qid"))
+             .withColumn("d", _sq_dist(F.col("qv"), F.col("v")))
+             .join(labels, "vec_id")
+             .join(F.broadcast(ptruth), "qid")
+             .withColumn("rel", (F.col("label") == F.col("qlabel"))
+                         .cast("int")))
+    arg = lambda flag: F.min(F.when(F.col("rel") == flag,
+                                    F.struct(F.col("d").alias("d"),
+                                             F.col("vec_id").alias("v"))))
+    per = (pairs.groupBy("qid", "qlabel")
+           .agg(arg(1).alias("pos"), arg(0).alias("neg"))
+           .select("qid", "qlabel",
+                   F.col("pos.d").alias("d_pos"),
+                   F.col("neg.d").alias("d_neg"))
+           .withColumn("margin_q", F.col("d_neg") - F.col("d_pos")))
+    return (per.groupBy("qlabel")
+            .agg(F.count(F.lit(1)).alias("n_probes"),
+                 F.sum(F.when(F.col("margin_q") < 0, 1).otherwise(0))
+                  .cast("long").alias("n_violations"),
+                 F.sum("margin_q").alias("sum_margin_q"),
+                 F.min("margin_q").alias("min_margin_q")))
+
+
+def _hard_negative_sql() -> str:
+    from .clustering import _QV, DIM
+
+    return f"""
+WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+probes AS (SELECT vec_id AS qid, v AS qv FROM vecs
+           WHERE vec_id % {KNN_PROBE_MOD} = {KNN_PROBE_REM}),
+pairs AS (
+    SELECT p.qid, CAST(q.label AS BIGINT) AS qlabel, vecs.vec_id,
+           CASE WHEN CAST(e.label AS BIGINT) = CAST(q.label AS BIGINT)
+                THEN 1 ELSE 0 END AS rel,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {DIM} + 1),
+                   i -> (p.qv[i] - vecs.v[i]) * (p.qv[i] - vecs.v[i]))),
+               (x, y) -> x + y) AS d
+    FROM vecs
+    CROSS JOIN probes p
+    JOIN embeddings e ON vecs.vec_id = e.vec_id
+    JOIN embeddings q ON p.qid = q.vec_id
+    WHERE vecs.vec_id <> p.qid
+),
+per AS (
+    SELECT qid, qlabel,
+           (min(CASE WHEN rel = 1
+                     THEN struct_pack(d := d, v := vec_id) END)).d AS d_pos,
+           (min(CASE WHEN rel = 0
+                     THEN struct_pack(d := d, v := vec_id) END)).d AS d_neg
+    FROM pairs GROUP BY 1, 2
+)
+SELECT qlabel, count(*) AS n_probes,
+       CAST(sum(CASE WHEN d_neg - d_pos < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+       CAST(sum(d_neg - d_pos) AS BIGINT) AS sum_margin_q,
+       min(d_neg - d_pos) AS min_margin_q
+FROM per GROUP BY qlabel
+"""
+
+
+QUERIES["hard_negative_mining"] = (_hard_negative_mining,
+                                   _hard_negative_sql())
