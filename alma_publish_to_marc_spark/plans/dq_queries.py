@@ -1222,3 +1222,98 @@ GROUP BY d.event_type
 """
 
 QUERIES["mad_outlier_profile"] = (mad_outlier_profile, _MAD_SQL)
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimation audit (the optimizer's eye exam)
+# --------------------------------------------------------------------------
+_JSE_JOINS = (
+    ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier_lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+)
+
+
+def join_size_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audits the textbook equi-join cardinality estimate
+    |L|·|R| / max(ndv_L, ndv_R) — the formula every cost-based
+    optimizer (Catalyst CBO included) starts from — against the EXACT
+    join size, per warehouse join edge. The q-error column is the
+    number a team reviews before trusting CBO join reordering on a new
+    dataset; a q-error ≫ 1 flags key skew or correlation the uniform
+    assumption misses. Output: one row per join edge (join_name,
+    n_left, n_right, ndv_left, ndv_right, est_rows, actual_rows,
+    q_error_e3).
+
+    The exact size is computed WITHOUT materializing the join:
+    Σ_k cnt_L(k)·cnt_R(k) over the two per-key count frames — two
+    map-side-combinable aggregates and a count-frame join, never a row
+    explosion. All arithmetic is int64 (est = product div max-ndv;
+    q_error_e3 = 1000·max/min of two positive ints). int64 headroom:
+    |L|·|R| overflows past ~3e18 — beyond that split the product as
+    (L div m)·R + ((L mod m)·R div m).
+
+    Scale: per edge, two keyed aggregations (shuffle on the join key,
+    partial-aggregated) + one key-frame join; the audit output is 4
+    rows regardless of input scale.
+    """
+    rows = None
+    for name, lt, lk, rt, rk in _JSE_JOINS:
+        l = load(spark, sf_dir, lt).select(F.col(lk).alias("k"))
+        r = load(spark, sf_dir, rt).select(F.col(rk).alias("k"))
+        lstats = l.agg(F.count(F.lit(1)).alias("n_left"),
+                       F.countDistinct("k").alias("ndv_left"))
+        rstats = r.agg(F.count(F.lit(1)).alias("n_right"),
+                       F.countDistinct("k").alias("ndv_right"))
+        lc = l.groupBy("k").agg(F.count(F.lit(1)).alias("cl"))
+        rc = r.groupBy("k").agg(F.count(F.lit(1)).alias("cr"))
+        act = (lc.join(rc, "k")
+               .agg(F.coalesce(F.sum(F.col("cl") * F.col("cr")), F.lit(0))
+                    .alias("actual_rows")))
+        row = (lstats.crossJoin(rstats).crossJoin(act)
+               .select(F.lit(name).alias("join_name"),
+                       "n_left", "n_right", "ndv_left", "ndv_right",
+                       F.expr("(n_left * n_right)"
+                              " div greatest(ndv_left, ndv_right)")
+                        .alias("est_rows"),
+                       "actual_rows")
+               .withColumn("q_error_e3",
+                           F.expr("(1000 * greatest(est_rows, actual_rows))"
+                                  " div greatest(least(est_rows,"
+                                  " actual_rows), 1)")))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def _jse_sql() -> str:
+    parts = []
+    for name, lt, lk, rt, rk in _JSE_JOINS:
+        parts.append(f"""
+SELECT '{name}' AS join_name,
+       (SELECT count(*) FROM {lt}) AS n_left,
+       (SELECT count(*) FROM {rt}) AS n_right,
+       (SELECT count(DISTINCT {lk}) FROM {lt}) AS ndv_left,
+       (SELECT count(DISTINCT {rk}) FROM {rt}) AS ndv_right,
+       ((SELECT count(*) FROM {lt}) * (SELECT count(*) FROM {rt}))
+           // greatest((SELECT count(DISTINCT {lk}) FROM {lt}),
+                       (SELECT count(DISTINCT {rk}) FROM {rt}))
+           AS est_rows,
+       coalesce((SELECT CAST(sum(cl * cr) AS BIGINT) FROM
+           (SELECT {lk} AS k, count(*) AS cl FROM {lt} GROUP BY 1) a
+           JOIN
+           (SELECT {rk} AS k, count(*) AS cr FROM {rt} GROUP BY 1) b
+           USING (k)), 0) AS actual_rows""")
+    sel = " UNION ALL ".join(parts)
+    return f"""
+WITH base AS ({sel})
+SELECT join_name, n_left, n_right, ndv_left, ndv_right, est_rows,
+       actual_rows,
+       (1000 * greatest(est_rows, actual_rows))
+           // greatest(least(est_rows, actual_rows), 1) AS q_error_e3
+FROM base
+"""
+
+
+QUERIES["join_size_estimation_audit"] = (join_size_estimation_audit,
+                                         _jse_sql())
