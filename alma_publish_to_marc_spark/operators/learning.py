@@ -1157,3 +1157,126 @@ FROM per GROUP BY qlabel
 
 QUERIES["hard_negative_mining"] = (_hard_negative_mining,
                                    _hard_negative_sql())
+
+
+# ---------------------------------------------------------------------------
+# Gini-gain feature ranking (feature selection for the quality filter)
+# ---------------------------------------------------------------------------
+_GINI_E9 = 1_000_000_000
+
+
+def _gini_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranks candidate document features by Gini impurity reduction
+    against the ``logreg_train_fixed_point`` label (lang = 'en') — the
+    filter-method feature selection a team runs BEFORE spending a
+    training cycle: a feature whose gain is ~0 can be dropped from the
+    quality classifier without training anything. Chi-square
+    (``chi2_independence``) tests dependence; this ranks by the
+    impurity criterion tree learners actually split on (the multi-way
+    sibling of ``decision_stump_split_search``'s binary threshold).
+    Output: one row per feature (feature, n_values, parent_g_e9,
+    child_g_e9, gain_e9, rank).
+
+    Determinism: the metric is DEFINED as integer arithmetic — parent
+    impurity floor(1e9·(n²−S)/n²), weighted child impurity
+    Σ_v floor(1e9·(n_v²−S_v)/(n·n_v)) with S = Σ_class count² — so
+    both engines compute identical integers (each floor is one int64
+    division; gain may differ from the real-valued Gini by < #values
+    ulps-of-1e-9, irrelevant for ranking). Rank ties break on feature
+    name. int64 headroom: 1e9·n² needs n ≲ 3e6 rows — past that,
+    sample the audit or widen to DECIMAL(38).
+
+    Scale: one scan per feature (fusable: all four aggregations are
+    map-side-combinable group-bys over the same scan), group counts
+    bounded by each feature's value domain; output is 4 rows at any
+    input scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    base = docs.select(
+        F.col("source").alias("f_source"),
+        F.expr("n_chars div 200").alias("f_chars_bucket"),
+        (n_tokens.cast("long") / F.lit(20)).cast("long").alias("_tb"),
+        F.expr("n_chars").alias("_nc"),
+        n_tokens.cast("long").alias("_nt"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+         .cast("long").alias("y"))
+    base = (base
+            .withColumn("f_tokens_bucket", F.expr("_nt div 20"))
+            .withColumn("f_avg_toklen",
+                        F.expr("_nc div greatest(_nt, 1)"))
+            .drop("_tb", "_nc", "_nt"))
+    glob = F.broadcast(base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("c1")))
+    out = None
+    for feat in ("f_source", "f_chars_bucket", "f_tokens_bucket",
+                 "f_avg_toklen"):
+        grp = (base.groupBy(F.col(feat).alias("v"))
+               .agg(F.count(F.lit(1)).alias("nv"),
+                    F.sum("y").alias("cv1")))
+        child = (grp.crossJoin(glob)
+                 .select(F.expr(
+                     f"({_GINI_E9} * (nv * nv - cv1 * cv1"
+                     f" - (nv - cv1) * (nv - cv1))) div (n * nv)")
+                     .alias("term"),
+                     F.col("nv"))
+                 .agg(F.sum("term").alias("child_g_e9"),
+                      F.count(F.lit(1)).alias("n_values")))
+        row = (child.crossJoin(glob)
+               .select(F.lit(feat.removeprefix("f_")).alias("feature"),
+                       "n_values",
+                       F.expr(f"({_GINI_E9} * (n * n - c1 * c1"
+                              f" - (n - c1) * (n - c1))) div (n * n)")
+                        .alias("parent_g_e9"),
+                       "child_g_e9"))
+        out = row if out is None else out.unionByName(row)
+    out = out.withColumn("gain_e9",
+                         F.col("parent_g_e9") - F.col("child_g_e9"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("gain_e9"), "feature")
+    # 4-row frame: the global window is a no-op at scale
+    return out.withColumn("rank", F.row_number().over(w))
+
+
+def _gini_ranking_sql() -> str:
+    feats = {
+        "source": "source",
+        "chars_bucket": "n_chars // 200",
+        "tokens_bucket": r"len(regexp_split_to_array(trim(text), '\s+')) // 20",
+        "avg_toklen": (r"n_chars // greatest("
+                       r"len(regexp_split_to_array(trim(text), '\s+')), 1)"),
+    }
+    parts = []
+    for name, expr in feats.items():
+        parts.append(f"""
+SELECT '{name}' AS feature,
+       (SELECT count(*) FROM (SELECT {expr} AS v FROM documents
+                              GROUP BY 1)) AS n_values,
+       (SELECT ({_GINI_E9} * (n * n - c1 * c1 - (n - c1) * (n - c1)))
+               // (n * n) FROM g) AS parent_g_e9,
+       (SELECT CAST(sum(({_GINI_E9} * (nv * nv - cv1 * cv1
+                          - (nv - cv1) * (nv - cv1))) // (g.n * nv))
+                    AS BIGINT)
+        FROM (SELECT {expr} AS v, count(*) AS nv,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cv1
+              FROM documents GROUP BY 1) CROSS JOIN g) AS child_g_e9"""
+                     )
+    sel = " UNION ALL ".join(parts)
+    return f"""
+WITH g AS (SELECT count(*) AS n,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c1
+           FROM documents),
+base AS ({sel})
+SELECT feature, n_values, parent_g_e9, child_g_e9,
+       parent_g_e9 - child_g_e9 AS gain_e9,
+       row_number() OVER (ORDER BY parent_g_e9 - child_g_e9 DESC, feature)
+           AS rank
+FROM base
+"""
+
+
+QUERIES["gini_feature_ranking"] = (_gini_feature_ranking,
+                                   _gini_ranking_sql())
