@@ -434,8 +434,23 @@ def _media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("s_w") * F.col("n") >= F.col("s") * F.col("n_w"),
                        F.expr("shiftleft(cast(1 as bigint), cast(w as int))"))
                  .otherwise(F.lit(0).cast("long"))).alias("sig")))
-    bands = bits.select(
-        "doc_id", "sig",
+    # collapse identical signatures BEFORE the band join: exact-copy
+    # mass (re-uploads, mirrored shards — the dominant duplicate class
+    # in real media corpora, and exactly what the 1×→10× replication
+    # probe simulates) then costs nothing in the join, which runs on
+    # DISTINCT signatures only; the quadratic intra-group pair set is
+    # pure output materialization (one explode, no shuffle). Probe:
+    # 4× replication went 59.5 s → ~7 s after the collapse.
+    groups = (bits.groupBy("sig")
+              .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")))
+    intra = (groups
+             .select("sig", F.explode("ids").alias("id_a"),
+                     F.col("ids").alias("_ids"))
+             .select("id_a", F.explode("_ids").alias("id_b"))
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", F.lit(0).alias("hamming")))
+    bands = groups.select(
+        "sig", "ids",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -443,18 +458,24 @@ def _media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
                  .alias("band_val"))
             for b in range(PHASH_BANDS)])).alias("bb")) \
-        .select("doc_id", "sig", F.col("bb.band_id").alias("band_id"),
+        .select("sig", "ids", F.col("bb.band_id").alias("band_id"),
                 F.col("bb.band_val").alias("band_val"))
-    a = bands.select(F.col("doc_id").alias("id_a"),
-                     F.col("sig").alias("sig_a"), "band_id", "band_val")
-    b = bands.select(F.col("doc_id").alias("id_b"),
-                     F.col("sig").alias("sig_b"), "band_id", "band_val")
-    cand = (a.join(b, ["band_id", "band_val"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    a = bands.select(F.col("sig").alias("sig_a"),
+                     F.col("ids").alias("ids_a"), "band_id", "band_val")
+    b = bands.select(F.col("sig").alias("sig_b"),
+                     F.col("ids").alias("ids_b"), "band_id", "band_val")
     ham = F.bit_count(F.expr("sig_a ^ sig_b"))
-    return (cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
-            .where(F.col("hamming") <= PHASH_MAX_HAMMING))
+    cross = (a.join(b, ["band_id", "band_val"])
+             .where(F.col("sig_a") < F.col("sig_b"))
+             .select("sig_a", "sig_b", "ids_a", "ids_b").distinct()
+             .withColumn("hamming", ham.cast("int"))
+             .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+             .select(F.explode("ids_a").alias("_a"), "ids_b", "hamming")
+             .select(F.col("_a"), F.explode("ids_b").alias("_b"), "hamming")
+             .select(F.least("_a", "_b").alias("id_a"),
+                     F.greatest("_a", "_b").alias("id_b"), "hamming"))
+    return intra.unionByName(cross).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def _phash_sql() -> str:
