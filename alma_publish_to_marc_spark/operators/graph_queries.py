@@ -1695,3 +1695,154 @@ FROM mom
 
 QUERIES["degree_assortativity"] = (degree_assortativity,
                                    _assortativity_sql())
+
+
+# --------------------------------------------------------------------------
+# Incremental connected components (cluster maintenance on batch arrival)
+# --------------------------------------------------------------------------
+def incremental_connected_components(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Duplicate-cluster maintenance when a document batch arrives
+    (docs with doc_id % 10 == 5 play the new batch, the
+    ``ann_index_incremental`` convention): instead of re-running
+    connected components over the whole corpus, the existing partition
+    is STAR-COMPRESSED — every labeled node contributes one (node →
+    label) edge — and components run over (batch-touching candidate
+    edges ∪ star edges) only. Star edges preserve connectivity and add
+    none, and labels are component minima, so the incremental labels
+    EQUAL a full rebuild — which is exactly what the DuckDB oracle
+    computes (one full-corpus recursive-CTE CC): the parity gate IS
+    the incremental==rebuild law. Output (one row): n_docs,
+    n_new_docs, n_components_base, n_components_final, n_fused,
+    n_new_singletons.
+
+    Scale: the delta edge set is bounded by the batch's blocking
+    buckets, and the star graph has diameter 2, so the propagation
+    loop converges in ~2 rounds on the compressed graph instead of
+    O(log n) over the full corpus — the point of incremental
+    maintenance. Both label frames are parquet-staged by
+    ``connected_components``, so the count branches re-read files, not
+    lineage.
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+    from .similarity_queries import INC_MOD, INC_REM
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    full_e = (_candidate_edges(spark, sf_dir)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(full_e)
+    is_new = lambda c: c % INC_MOD == INC_REM
+    base_e = full_e.where(~is_new(F.col("src")) & ~is_new(F.col("dst")))
+    delta_e = full_e.where(is_new(F.col("src")) | is_new(F.col("dst")))
+    base_lbl = connected_components(base_e)
+    star = base_lbl.select(F.col("node").alias("src"),
+                           F.col("cluster_id").alias("dst"))
+    merged = connected_components(
+        delta_e.select("src", "dst").unionByName(star))
+
+    base_docs = docs.where(~is_new(F.col("doc_id")))
+    new_docs = docs.where(is_new(F.col("doc_id")))
+    cnt = F.broadcast(docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_new(F.col("doc_id")).cast("long")).alias("n_new_docs")))
+    bstats = F.broadcast(
+        base_docs.join(base_lbl.withColumnRenamed("node", "doc_id"),
+                       "doc_id", "left")
+        .agg((F.sum(F.col("cluster_id").isNull().cast("long"))
+              + F.countDistinct("cluster_id")).alias("n_components_base")))
+    fstats = F.broadcast(
+        docs.join(merged.withColumnRenamed("node", "doc_id"),
+                  "doc_id", "left")
+        .agg((F.sum(F.col("cluster_id").isNull().cast("long"))
+              + F.countDistinct("cluster_id")).alias("n_components_final")))
+    bfin = F.broadcast(
+        base_docs.join(merged.withColumnRenamed("node", "doc_id"),
+                       "doc_id", "left")
+        .agg(F.countDistinct(F.coalesce("cluster_id", "doc_id"))
+             .alias("_d_base_final")))
+    nsing = F.broadcast(
+        new_docs.join(merged.withColumnRenamed("node", "doc_id"),
+                      "doc_id", "left")
+        .agg(F.sum(F.col("cluster_id").isNull().cast("long"))
+             .alias("n_new_singletons")))
+    return (cnt.crossJoin(bstats).crossJoin(fstats).crossJoin(bfin)
+            .crossJoin(nsing)
+            .select("n_docs", "n_new_docs", "n_components_base",
+                    "n_components_final",
+                    (F.col("n_components_base") - F.col("_d_base_final"))
+                    .alias("n_fused"),
+                    "n_new_singletons"))
+
+
+def _inc_cc_sql() -> str:
+    from .similarity_queries import INC_MOD, INC_REM
+
+    new = f"% {INC_MOD} = {INC_REM}"
+    old = f"% {INC_MOD} <> {INC_REM}"
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 20
+),
+und_f AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+nodes_f AS (SELECT DISTINCT src AS node FROM und_f),
+reach_f(node, r) AS (
+    SELECT node, node FROM nodes_f
+    UNION
+    SELECT reach_f.node, und_f.dst FROM reach_f
+    JOIN und_f ON und_f.src = reach_f.r
+),
+comp_f AS (SELECT node, min(r) AS cluster_id FROM reach_f GROUP BY node),
+bpairs AS (SELECT src, dst FROM pairs
+           WHERE src {old} AND dst {old}),
+und_b AS (SELECT src, dst FROM bpairs UNION ALL SELECT dst, src FROM bpairs),
+nodes_b AS (SELECT DISTINCT src AS node FROM und_b),
+reach_b(node, r) AS (
+    SELECT node, node FROM nodes_b
+    UNION
+    SELECT reach_b.node, und_b.dst FROM reach_b
+    JOIN und_b ON und_b.src = reach_b.r
+),
+comp_b AS (SELECT node, min(r) AS cluster_id FROM reach_b GROUP BY node),
+cnt AS (SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id {new} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new_docs
+        FROM documents),
+bstats AS (
+    SELECT CAST(sum(CASE WHEN c.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           + count(DISTINCT c.cluster_id) AS n_components_base
+    FROM documents d LEFT JOIN comp_b c ON d.doc_id = c.node
+    WHERE d.doc_id {old}
+),
+fstats AS (
+    SELECT CAST(sum(CASE WHEN c.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           + count(DISTINCT c.cluster_id) AS n_components_final
+    FROM documents d LEFT JOIN comp_f c ON d.doc_id = c.node
+),
+bfin AS (
+    SELECT count(DISTINCT coalesce(c.cluster_id, d.doc_id)) AS d_base_final
+    FROM documents d LEFT JOIN comp_f c ON d.doc_id = c.node
+    WHERE d.doc_id {old}
+),
+nsing AS (
+    SELECT CAST(sum(CASE WHEN c.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_new_singletons
+    FROM documents d LEFT JOIN comp_f c ON d.doc_id = c.node
+    WHERE d.doc_id {new}
+)
+SELECT cnt.n_docs, cnt.n_new_docs, bstats.n_components_base,
+       fstats.n_components_final,
+       bstats.n_components_base - bfin.d_base_final AS n_fused,
+       nsing.n_new_singletons
+FROM cnt CROSS JOIN bstats CROSS JOIN fstats CROSS JOIN bfin
+CROSS JOIN nsing
+"""
+
+
+QUERIES["incremental_connected_components"] = (
+    incremental_connected_components, _inc_cc_sql())
