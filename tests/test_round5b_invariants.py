@@ -138,3 +138,25 @@ def test_join_estimation_exact_on_pk_fk_edges(q):
         assert r["actual_rows"] == r["n_right"]
         assert r["est_rows"] == r["actual_rows"]
         assert r["q_error_e3"] == 1000
+
+
+def test_incremental_cc_labels_equal_full_rebuild(spark):
+    # Per-node law (stronger than the query's summary row): star-
+    # compressed incremental components assign every node the SAME
+    # label as a from-scratch run over the full edge set.
+    from alma_publish_to_marc_spark.operators import graph_queries as G
+    from alma_publish_to_marc_spark.operators.similarity_queries import (
+        INC_MOD, INC_REM)
+
+    full_e = G._candidate_edges(spark, SF_SMOKE)
+    is_new = lambda c: c % INC_MOD == INC_REM
+    base_e = full_e.where(~is_new(F.col("src")) & ~is_new(F.col("dst")))
+    delta_e = full_e.where(is_new(F.col("src")) | is_new(F.col("dst")))
+    base_lbl = G.connected_components(base_e)
+    star = base_lbl.select(F.col("node").alias("src"),
+                           F.col("cluster_id").alias("dst"))
+    inc = G.connected_components(
+        delta_e.select("src", "dst").unionByName(star))
+    full = G.connected_components(full_e)
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
