@@ -2649,3 +2649,94 @@ FROM ranked WHERE rank <= {DECAY_TOPK}
 """
 
 QUERIES["decayed_leaderboard"] = (decayed_leaderboard, _DECAY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Off-policy evaluation: IPS / SNIPS replay over logged events
+# --------------------------------------------------------------------------
+def ips_offline_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual evaluation of a target recommendation policy
+    from LOGGED interaction data — the estimator a recsys/training
+    pipeline runs before any A/B test: events log (context =
+    event_type, action = props.k, reward = value); the logging
+    propensity of action k in context t is its empirical frequency
+    cnt_tk / N_t; the target policy deterministically plays
+    k = user_id % 100. Reports, per context, the inverse-propensity-
+    scored (IPS) and self-normalized (SNIPS) reward estimates next to
+    the on-policy logged mean — the difference is the estimated lift
+    of switching policies, and SNIPS≠IPS flags propensity skew.
+    Output: (event_type, n_logged, n_matched, logged_mean_c,
+    ips_value_c, snips_value_c).
+
+    Determinism: rewards are exact cents; the estimator is DEFINED in
+    floor-per-term integer semantics — w = (1e6·N_t) div cnt_tk,
+    IPS = (Σ r_c·N_t div cnt_tk) div N_t, SNIPS = (Σ r_c·w) div (Σ w)
+    — so both engines compute identical integers. int64 headroom:
+    r_c·N_t ≤ 5e4·N_t and Σ r_c·w ≤ n_matched·5e4·1e6·max_skew — safe
+    to ~1e8 matched rows per context; renormalize w past that.
+
+    Scale: one scan; per-(context, action) counts are map-side
+    combinable (≤ 500 groups), joined back broadcast; the final rollup
+    is per-context. No shuffle touches the raw log beyond the one
+    (type, k) aggregate — the replay-match filter rides the scan.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("r_c"))
+    prop = (ev.groupBy("event_type", "k")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"),
+                                       F.sum("r_c").alias("sum_r"))
+    j = (ev.join(F.broadcast(prop), ["event_type", "k"])
+         .join(F.broadcast(tot), "event_type")
+         .withColumn("matched",
+                     (F.col("k") == F.col("user_id") % 100).cast("long")))
+    return (j.groupBy("event_type")
+            .agg(F.max("n_t").alias("n_logged"),
+                 F.sum("matched").alias("n_matched"),
+                 F.expr("max(sum_r) div max(n_t)").alias("logged_mean_c"),
+                 F.expr("sum(matched * ((r_c * n_t) div cnt)) div max(n_t)")
+                  .alias("ips_value_c"),
+                 F.expr("sum(matched * r_c * ((1000000 * n_t) div cnt))"
+                        " div greatest(sum(matched *"
+                        " ((1000000 * n_t) div cnt)), 1)")
+                  .alias("snips_value_c")))
+
+
+_IPS_SQL = """
+WITH ev AS (
+    SELECT event_type, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(round(value * 100, 0) AS BIGINT) AS r_c
+    FROM events
+),
+prop AS (
+    SELECT event_type, k, count(*) AS cnt
+    FROM ev GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, count(*) AS n_t,
+           CAST(sum(r_c) AS BIGINT) AS sum_r
+    FROM ev GROUP BY 1
+),
+j AS (
+    SELECT ev.event_type, ev.r_c, prop.cnt, tot.n_t, tot.sum_r,
+           CASE WHEN ev.k = ev.user_id % 100 THEN 1 ELSE 0 END AS matched
+    FROM ev
+    JOIN prop ON ev.event_type = prop.event_type AND ev.k = prop.k
+    JOIN tot ON ev.event_type = tot.event_type
+)
+SELECT event_type,
+       max(n_t) AS n_logged,
+       CAST(sum(matched) AS BIGINT) AS n_matched,
+       max(sum_r) // max(n_t) AS logged_mean_c,
+       CAST(sum(matched * ((r_c * n_t) // cnt)) AS BIGINT) // max(n_t)
+           AS ips_value_c,
+       CAST(sum(matched * r_c * ((1000000 * n_t) // cnt)) AS BIGINT)
+           // greatest(CAST(sum(matched * ((1000000 * n_t) // cnt))
+                            AS BIGINT), 1) AS snips_value_c
+FROM j GROUP BY event_type
+"""
+
+QUERIES["ips_offline_policy_eval"] = (ips_offline_policy_eval, _IPS_SQL)
