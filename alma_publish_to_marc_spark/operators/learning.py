@@ -1280,3 +1280,114 @@ FROM base
 
 QUERIES["gini_feature_ranking"] = (_gini_feature_ranking,
                                    _gini_ranking_sql())
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval calibration
+# ---------------------------------------------------------------------------
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 9, 10   # 1 - alpha = 90% target coverage
+
+
+def _conformal_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of a naive pricing model — the
+    distribution-free uncertainty wrapper modern ML deployments put
+    around ANY point predictor: predict l_extendedprice as
+    quantity × part retail price, take the ceil((1−α)(n+1))-th
+    smallest absolute residual on a calibration split as the interval
+    half-width q, and report the EMPIRICAL coverage of pred ± q on the
+    disjoint test split. Conformal theory guarantees coverage ≥ 1−α on
+    exchangeable data regardless of how wrong the model is — the
+    invariant test asserts exactly that bound. Output (one row):
+    n_cal, n_test, k_rank, q_cents, coverage_e6, target_e6.
+
+    Determinism: residuals are exact cents; the calibration quantile
+    is an exact RANK selection via the ``auc_mann_whitney`` run-table
+    trick (group residuals into value runs, one tiny window over the
+    run table, pick min value with cumulative count ≥ k) — never an
+    engine percentile; coverage is an integer div. The split keys on
+    (l_orderkey·8 + l_linenumber) % 5 so both engines cut identically.
+
+    Scale: one scan joins part broadcast-style (part is the small
+    side); the run table is residual-cardinality-sized (≪ rows after
+    cents quantization); no global sort of the fact table anywhere.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(round(l_quantity, 0) as bigint)").alias("qty"),
+        F.expr("cast(round(l_extendedprice * 100, 0) as bigint)")
+         .alias("actual_c"),
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) % 5)
+        .alias("split"))
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("cast(round(p_retailprice * 100, 0) as bigint)")
+         .alias("unit_c"))
+    scored = (li.join(F.broadcast(part),
+                      F.col("l_partkey") == F.col("p_partkey"))
+              .select("split",
+                      F.abs(F.col("actual_c")
+                            - F.col("qty") * F.col("unit_c"))
+                       .alias("resid")))
+    cal = scored.where(F.col("split") < 2)
+    test = scored.where(F.col("split") >= 2)
+    ncal = F.broadcast(cal.agg(F.count(F.lit(1)).alias("n_cal")))
+    runs = cal.groupBy("resid").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+    w = (Window.orderBy("resid")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = runs.select("resid", F.sum("cnt").over(w).alias("cum"))
+    k_expr = (f"({CONF_ALPHA_NUM} * (n_cal + 1) + {CONF_ALPHA_DEN} - 1)"
+              f" div {CONF_ALPHA_DEN}")
+    q = (ranked.crossJoin(ncal)
+         .where(F.col("cum") >= F.expr(k_expr))
+         .agg(F.min("resid").alias("q_cents")))
+    cov = (test.crossJoin(F.broadcast(q))
+           .agg(F.count(F.lit(1)).alias("n_test"),
+                F.sum((F.col("resid") <= F.col("q_cents")).cast("long"))
+                 .alias("covered")))
+    return (ncal.crossJoin(F.broadcast(q)).crossJoin(F.broadcast(cov))
+            .select("n_cal", "n_test",
+                    F.expr(k_expr).alias("k_rank"),
+                    "q_cents",
+                    F.expr("(1000000 * covered) div n_test")
+                     .alias("coverage_e6"),
+                    F.lit(1000000 * CONF_ALPHA_NUM // CONF_ALPHA_DEN)
+                     .cast("long").alias("target_e6")))
+
+
+_CONFORMAL_SQL = f"""
+WITH scored AS (
+    SELECT (l.l_orderkey * 8 + l.l_linenumber) % 5 AS split,
+           abs(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               - CAST(round(l.l_quantity, 0) AS BIGINT)
+                 * CAST(round(p.p_retailprice * 100, 0) AS BIGINT))
+               AS resid
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+cal AS (SELECT resid FROM scored WHERE split < 2),
+test AS (SELECT resid FROM scored WHERE split >= 2),
+ncal AS (SELECT count(*) AS n_cal FROM cal),
+runs AS (SELECT resid, count(*) AS cnt FROM cal GROUP BY resid),
+ranked AS (
+    SELECT resid, CAST(sum(cnt) OVER (ORDER BY resid
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum
+    FROM runs
+),
+kk AS (SELECT ({CONF_ALPHA_NUM} * (n_cal + 1) + {CONF_ALPHA_DEN} - 1)
+              // {CONF_ALPHA_DEN} AS k_rank FROM ncal),
+q AS (SELECT min(resid) AS q_cents FROM ranked CROSS JOIN kk
+      WHERE cum >= k_rank),
+cov AS (SELECT count(*) AS n_test,
+               CAST(sum(CASE WHEN resid <= q_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS covered
+        FROM test CROSS JOIN q)
+SELECT ncal.n_cal, cov.n_test, kk.k_rank, q.q_cents,
+       (1000000 * cov.covered) // cov.n_test AS coverage_e6,
+       CAST({1000000 * CONF_ALPHA_NUM // CONF_ALPHA_DEN} AS BIGINT)
+           AS target_e6
+FROM ncal CROSS JOIN kk CROSS JOIN q CROSS JOIN cov
+"""
+
+QUERIES["conformal_prediction_eval"] = (_conformal_prediction_eval,
+                                        _CONFORMAL_SQL)

@@ -160,3 +160,16 @@ def test_incremental_cc_labels_equal_full_rebuild(spark):
     full = G.connected_components(full_e)
     assert inc.exceptAll(full).count() == 0
     assert full.exceptAll(inc).count() == 0
+
+
+def test_conformal_coverage_meets_the_bound(q):
+    # The conformal guarantee: empirical test coverage lands at or
+    # above 1 - alpha (up to finite-sample slack one rank wide). Also
+    # the rank is the ceil((1-a)(n+1)) formula and coverage is a
+    # valid proportion.
+    r = q("conformal_prediction_eval").collect()[0]
+    assert r["k_rank"] == -(-9 * (r["n_cal"] + 1) // 10)
+    assert 0 <= r["coverage_e6"] <= 1000000
+    # exchangeable splits: allow slack of ~2/sqrt(n_test) below target
+    slack = int(2_000_000 / (r["n_test"] ** 0.5))
+    assert r["coverage_e6"] >= r["target_e6"] - slack
