@@ -2740,3 +2740,99 @@ FROM j GROUP BY event_type
 """
 
 QUERIES["ips_offline_policy_eval"] = (ips_offline_policy_eval, _IPS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Markov next-event prediction accuracy (train/test behavioral model)
+# --------------------------------------------------------------------------
+def markov_next_event_accuracy(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Trains the ``event_transition_matrix`` model on 80% of USERS
+    (user_id % 5 != 0) and scores it on the held-out 20%: predict each
+    held-out transition's next event as the train-split argmax
+    P(to | from), report per-prior-state accuracy against the majority-
+    class baseline P(globally-most-common next). The train/serve split
+    is what turns the descriptive matrix into an evaluated predictive
+    model — the same train-on-split, confusion-on-holdout shape as
+    ``naive_bayes_confusion``, over sequences. Output: (from_type,
+    n_test, n_correct, accuracy_e6, baseline_e6).
+
+    Determinism: transitions order by (ts, event_id); the argmax
+    breaks count ties by event_type (struct-min on (−n, to_type));
+    accuracies are integer e6 div. Splitting by USER keeps sequences
+    intact (no transition straddles the split).
+
+    Scale: one lead-window pass per split over the user-keyed shuffle,
+    aggregates bounded by |types|² = 25 rows, broadcast model join —
+    the corpus shuffles once.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id",
+                       F.col("event_type").alias("from_type"),
+                       F.lead("event_type").over(w).alias("to_type"))
+             .where(F.col("to_type").isNotNull()))
+    train = pairs.where(F.col("user_id") % 5 != 0)
+    test = pairs.where(F.col("user_id") % 5 == 0)
+    counts = (train.groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    model = (counts.groupBy("from_type")
+             .agg(F.min(F.struct((-F.col("n")).alias("negn"),
+                                 F.col("to_type").alias("t")))
+                  .getField("t").alias("pred_type")))
+    # majority next-event over ALL train transitions (the baseline)
+    base = (train.groupBy("to_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.min(F.struct((-F.col("n")).alias("negn"),
+                                F.col("to_type").alias("t")))
+                 .getField("t").alias("base_type")))
+    scored = (test.join(F.broadcast(model), "from_type")
+              .crossJoin(F.broadcast(base)))
+    return (scored.groupBy("from_type")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.sum((F.col("to_type") == F.col("pred_type"))
+                       .cast("long")).alias("n_correct"),
+                 F.expr("(1000000 * sum(cast(to_type = pred_type as long)))"
+                        " div count(*)").alias("accuracy_e6"),
+                 F.expr("(1000000 * sum(cast(to_type = base_type as long)))"
+                        " div count(*)").alias("baseline_e6")))
+
+
+_MARKOV_EVAL_SQL = """
+WITH pairs AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+train AS (SELECT * FROM pairs WHERE to_type IS NOT NULL
+          AND user_id % 5 <> 0),
+test AS (SELECT * FROM pairs WHERE to_type IS NOT NULL
+         AND user_id % 5 = 0),
+counts AS (SELECT from_type, to_type, count(*) AS n
+           FROM train GROUP BY 1, 2),
+model AS (
+    SELECT from_type,
+           (min(struct_pack(negn := -n, t := to_type))).t AS pred_type
+    FROM counts GROUP BY from_type
+),
+base AS (
+    SELECT (min(struct_pack(negn := -n, t := to_type))).t AS base_type
+    FROM (SELECT to_type, count(*) AS n FROM train GROUP BY 1)
+)
+SELECT t.from_type, count(*) AS n_test,
+       CAST(sum(CASE WHEN t.to_type = m.pred_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       (1000000 * CAST(sum(CASE WHEN t.to_type = m.pred_type
+                                THEN 1 ELSE 0 END) AS BIGINT))
+           // count(*) AS accuracy_e6,
+       (1000000 * CAST(sum(CASE WHEN t.to_type = b.base_type
+                                THEN 1 ELSE 0 END) AS BIGINT))
+           // count(*) AS baseline_e6
+FROM test t JOIN model m USING (from_type) CROSS JOIN base b
+GROUP BY t.from_type
+"""
+
+QUERIES["markov_next_event_accuracy"] = (markov_next_event_accuracy,
+                                         _MARKOV_EVAL_SQL)
