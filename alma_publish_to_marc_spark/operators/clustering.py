@@ -433,3 +433,76 @@ LIMIT {CORR_TOPK}
 
 
 QUERIES["embedding_corr_pairs"] = (embedding_corr_pairs, _corr_sql())
+
+
+# --------------------------------------------------------------------------
+# k-means coreset sensitivity census
+# --------------------------------------------------------------------------
+def _kmeans_coreset_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset-construction statistics over the refined quantizer: each
+    vector's SENSITIVITY (squared distance to its nearest centroid) is
+    the importance weight coreset sampling draws by (Feldman-Langberg
+    lightweight coresets) — the standard route to running k-means on a
+    100 TB corpus by clustering a few-million-point weighted sample
+    instead. Per cell: vector count, total sensitivity mass, the
+    cell's share of global mass (where the sampler will spend its
+    budget), and the highest-sensitivity vector (the outlier a coreset
+    must keep). Output: (cell, n_vecs, sum_sens, share_e6, top_vec_id,
+    top_sens).
+
+    Determinism: distances are exact integer squared-L2 in quantized
+    space; assignment ties break to the lowest cent_id, the per-cell
+    arg-max to the lowest vec_id (struct-min on (−d, vec_id)); the
+    share is an integer e6 div.
+
+    Scale: one broadcast-centroid assignment pass (the ``_assign``
+    shape — map-side WindowGroupLimit argmin, no corpus shuffle beyond
+    the per-vector window), one cell-keyed aggregate (≤ |cells| rows),
+    one 1-row global mass broadcast.
+    """
+    from ..tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs, cents = _refined_int_cents(emb, SEED_IDS, N_ITERS)
+    scored = (vecs.join(F.broadcast(cents))
+              .withColumn("d", _sq_dist(F.col("v"), F.col("cv"))))
+    w = Window.partitionBy("vec_id").orderBy("d", "cent_id")
+    assigned = (scored.withColumn("r", F.row_number().over(w))
+                .where(F.col("r") == 1)
+                .select("vec_id", F.col("cent_id").alias("cell"), "d"))
+    tot = F.broadcast(assigned.agg(F.sum("d").alias("tot_sens")))
+    top = F.min(F.struct((-F.col("d")).alias("negd"),
+                         F.col("vec_id").alias("v")))
+    return (assigned.crossJoin(tot)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("d").alias("sum_sens"),
+                 F.expr("(1000000 * sum(d)) div greatest(max(tot_sens), 1)")
+                  .alias("share_e6"),
+                 top.getField("v").alias("top_vec_id"),
+                 (-top.getField("negd")).alias("top_sens")))
+
+
+def _coreset_sql() -> str:
+    return f"""
+WITH {kmeans_cents_cte()},
+scored AS (
+    SELECT a.vec_id, c.cent_id AS cell, {_DIST} AS d,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_DIST}, c.cent_id) AS r
+    FROM vecs a CROSS JOIN c{N_ITERS} c
+),
+assigned AS (SELECT vec_id, cell, d FROM scored WHERE r = 1),
+tot AS (SELECT CAST(sum(d) AS BIGINT) AS tot_sens FROM assigned)
+SELECT cell, count(*) AS n_vecs, CAST(sum(d) AS BIGINT) AS sum_sens,
+       (1000000 * CAST(sum(d) AS BIGINT)) // greatest(max(tot_sens), 1)
+           AS share_e6,
+       (min(struct_pack(negd := -d, v := vec_id))).v AS top_vec_id,
+       -((min(struct_pack(negd := -d, v := vec_id))).negd) AS top_sens
+FROM assigned CROSS JOIN tot
+GROUP BY cell
+"""
+
+
+QUERIES["kmeans_coreset_weights"] = (_kmeans_coreset_weights,
+                                     _coreset_sql())
