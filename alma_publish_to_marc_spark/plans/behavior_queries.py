@@ -2836,3 +2836,72 @@ GROUP BY t.from_type
 
 QUERIES["markov_next_event_accuracy"] = (markov_next_event_accuracy,
                                          _MARKOV_EVAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) check for hash-bucketed experiments
+# --------------------------------------------------------------------------
+# chi-square(df=1) critical value at alpha = 0.05, e6 fixed point —
+# shared literal, so no transcendental runs in either engine
+_SRM_CRIT_E6 = 3_841_459
+
+
+def srm_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first health check every A/B platform runs before reading
+    any metric: does the 50/50 hash assignment (user_id % 2) actually
+    split users 50/50, overall and within each event-type segment? A
+    significant chi-square goodness-of-fit here (SRM) means the
+    bucketing is biased or the logging drops one arm — and every
+    downstream metric is garbage. ``ab_test_ztest`` compares OUTCOMES
+    between arms; this validates the DENOMINATORS. Output: (segment,
+    n_users, arm_a, arm_b, chi2_e6, srm_flag).
+
+    Determinism: with expected = n/2 the GOF statistic collapses to
+    (a−b)²/n — one integer e6 div; the flag compares against the
+    shared literal critical value 3.841459. Users are counted once per
+    segment (distinct over the 16-byte user key space is exact).
+
+    Scale: one scan → per-(segment, user) dedup (keyed shuffle,
+    map-side combinable) → ≤ |types|+1 output rows. The overall row
+    dedups users across types in the same pass via a union tag.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type")
+    tagged = (ev.select(F.col("event_type").alias("segment"), "user_id")
+              .unionByName(ev.select(F.lit("overall").alias("segment"),
+                                     "user_id")))
+    users = tagged.distinct().withColumn("arm", F.col("user_id") % 2)
+    return (users.groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum((F.col("arm") == 0).cast("long")).alias("arm_a"),
+                 F.sum((F.col("arm") == 1).cast("long")).alias("arm_b"))
+            .withColumn("chi2_e6",
+                        F.expr("(1000000 * (arm_a - arm_b)"
+                               " * (arm_a - arm_b)) div n_users"))
+            .withColumn("srm_flag", F.col("chi2_e6") > _SRM_CRIT_E6))
+
+
+_SRM_SQL = f"""
+WITH tagged AS (
+    SELECT event_type AS segment, user_id FROM events
+    UNION ALL
+    SELECT 'overall' AS segment, user_id FROM events
+),
+users AS (SELECT DISTINCT segment, user_id FROM tagged),
+arms AS (
+    SELECT segment, count(*) AS n_users,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS arm_a,
+           CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS arm_b
+    FROM users GROUP BY segment
+)
+SELECT segment, n_users, arm_a, arm_b,
+       (1000000 * (arm_a - arm_b) * (arm_a - arm_b)) // n_users
+           AS chi2_e6,
+       (1000000 * (arm_a - arm_b) * (arm_a - arm_b)) // n_users
+           > {_SRM_CRIT_E6} AS srm_flag
+FROM arms
+"""
+
+QUERIES["srm_assignment_check"] = (srm_assignment_check, _SRM_SQL)
