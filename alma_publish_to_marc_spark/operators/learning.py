@@ -981,8 +981,7 @@ def _ranking_metrics_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_probes"),
                  F.expr("sum(mrr_e6) div count(*)").alias("mean_mrr_e6"),
                  F.expr("sum(ap_e6) div count(*)").alias("mean_ap_e6"),
-                 F.expr("sum(ndcg_e6) div count(*)").alias("mean_ndcg_e6"))
-            .orderBy("qlabel"))
+                 F.expr("sum(ndcg_e6) div count(*)").alias("mean_ndcg_e6")))
 
 
 def _ranking_metrics_sql() -> str:
@@ -1186,10 +1185,10 @@ def _gini_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     name. int64 headroom: 1e9·n² needs n ≲ 3e6 rows — past that,
     sample the audit or widen to DECIMAL(38).
 
-    Scale: one scan per feature (fusable: all four aggregations are
-    map-side-combinable group-bys over the same scan), group counts
-    bounded by each feature's value domain; output is 4 rows at any
-    input scale.
+    Scale: ONE corpus scan — the features melt into (feature, value,
+    label) rows scan-side and aggregate in one map-side-combinable
+    (feature, value)-keyed pass, group counts bounded by the value
+    domains; output is 4 rows at any input scale.
     """
     docs = load(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
@@ -1209,30 +1208,34 @@ def _gini_feature_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = F.broadcast(base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("c1")))
-    out = None
-    for feat in ("f_source", "f_chars_bucket", "f_tokens_bucket",
-                 "f_avg_toklen"):
-        grp = (base.groupBy(F.col(feat).alias("v"))
-               .agg(F.count(F.lit(1)).alias("nv"),
-                    F.sum("y").alias("cv1")))
-        child = (grp.crossJoin(glob)
-                 .select(F.expr(
-                     f"({_GINI_E9} * (nv * nv - cv1 * cv1"
-                     f" - (nv - cv1) * (nv - cv1))) div (n * nv)")
-                     .alias("term"),
-                     F.col("nv"))
-                 .agg(F.sum("term").alias("child_g_e9"),
-                      F.count(F.lit(1)).alias("n_values")))
-        row = (child.crossJoin(glob)
-               .select(F.lit(feat.removeprefix("f_")).alias("feature"),
-                       "n_values",
-                       F.expr(f"({_GINI_E9} * (n * n - c1 * c1"
-                              f" - (n - c1) * (n - c1))) div (n * n)")
-                        .alias("parent_g_e9"),
-                       "child_g_e9"))
-        out = row if out is None else out.unionByName(row)
-    out = out.withColumn("gain_e9",
-                         F.col("parent_g_e9") - F.col("child_g_e9"))
+    # melt the four features into (feature, value-as-string, y) rows:
+    # ONE corpus scan and ONE (feature, value)-keyed shuffle replace
+    # four per-feature scans (the long→string cast is injective, so
+    # group counts match the oracle's native-typed grouping)
+    melt = base.select(F.explode(F.array(*[
+        F.struct(F.lit(feat.removeprefix("f_")).alias("f"),
+                 F.col(feat).cast("string").alias("v"),
+                 F.col("y").alias("y"))
+        for feat in ("f_source", "f_chars_bucket", "f_tokens_bucket",
+                     "f_avg_toklen")])).alias("m")) \
+        .select("m.f", "m.v", "m.y")
+    grp = (melt.groupBy("f", "v")
+           .agg(F.count(F.lit(1)).alias("nv"), F.sum("y").alias("cv1")))
+    child = (grp.crossJoin(glob)
+             .withColumn("term", F.expr(
+                 f"({_GINI_E9} * (nv * nv - cv1 * cv1"
+                 f" - (nv - cv1) * (nv - cv1))) div (n * nv)"))
+             .groupBy("f")
+             .agg(F.sum("term").alias("child_g_e9"),
+                  F.count(F.lit(1)).alias("n_values")))
+    out = (child.crossJoin(glob)
+           .select(F.col("f").alias("feature"), "n_values",
+                   F.expr(f"({_GINI_E9} * (n * n - c1 * c1"
+                          f" - (n - c1) * (n - c1))) div (n * n)")
+                    .alias("parent_g_e9"),
+                   "child_g_e9")
+           .withColumn("gain_e9",
+                       F.col("parent_g_e9") - F.col("child_g_e9")))
     from pyspark.sql import Window
     w = Window.orderBy(F.desc("gain_e9"), "feature")
     # 4-row frame: the global window is a no-op at scale

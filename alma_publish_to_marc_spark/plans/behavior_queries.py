@@ -2769,10 +2769,19 @@ def markov_next_event_accuracy(spark: SparkSession,
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # pairs feeds four plan branches (counts, model, base, scored):
+    # persist or the lead-window pass re-executes per branch
+    # (CLAUDE.md multi-branch hazard)
+    from pyspark import StorageLevel
+
+    from ..operators import similarity as _sim
+
     pairs = (ev.select("user_id",
                        F.col("event_type").alias("from_type"),
                        F.lead("event_type").over(w).alias("to_type"))
-             .where(F.col("to_type").isNotNull()))
+             .where(F.col("to_type").isNotNull())
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(pairs)
     train = pairs.where(F.col("user_id") % 5 != 0)
     test = pairs.where(F.col("user_id") % 5 == 0)
     counts = (train.groupBy("from_type", "to_type")
