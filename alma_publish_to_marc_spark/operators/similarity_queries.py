@@ -1252,3 +1252,85 @@ WHERE orig_d2 <> 0
 
 
 QUERIES["jl_projection_distortion"] = (_jl_distortion, _jl_sql())
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap: ORDER-sensitive IVF-vs-exact agreement
+# --------------------------------------------------------------------------
+def _rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between the exact top-10
+    and the refined-IVF top-10, per probe — the ORDER-sensitive
+    companion to ``ann_recall_eval``: recall says how many true
+    neighbors the index returns, RBO says whether it returns them in
+    the right ORDER (a re-ranking consumer cares; two indexes with
+    identical recall can have very different RBO). Persistence p = 1/2
+    makes every weight a dyadic rational. Output: (qid, n_common,
+    rbo_e9) with rbo defined in floor-per-depth integer semantics
+    rbo_e9 = Σ_{d=1..10} floor(1e9·X_d / (2^d·d)), X_d = overlap of
+    the two depth-d prefixes.
+
+    Determinism: both rankings tie-break on neighbor id; X_d is an
+    exact count (a matched id contributes to every d ≥ max of its two
+    ranks — one integer sequence explode, ≤ 10 rows per match); the
+    weight 2^d·d is exact int64.
+
+    Scale: both top-k frames are the existing panel-broadcast search
+    plans; everything after is per-qid algebra on ≤ 10-row groups.
+    """
+    from pyspark.sql import functions as F
+
+    from .clustering import refined_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = (S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K)
+             .select("qid", "neighbor_id", F.col("rank").alias("ra")))
+    ivfr = (S.ivf_topk(emb, "vec_id", "embedding", QUERY_IDS,
+                       k=K, nprobe=NPROBE,
+                       centroids=refined_centroids(emb))
+            .select("qid", "neighbor_id", F.col("rank").alias("rb")))
+    m = (exact.join(ivfr, ["qid", "neighbor_id"])
+         .select("qid", F.greatest("ra", "rb").alias("m")))
+    xd = (m.select("qid", F.explode(F.sequence(F.col("m").cast("int"),
+                                               F.lit(K))).alias("d"))
+          .groupBy("qid", "d").agg(F.count(F.lit(1)).alias("x")))
+    rbo = (xd.withColumn(
+        "term", F.expr("(1000000000 * x) div"
+                       " (shiftleft(cast(1 as bigint), d) * d)"))
+        .groupBy("qid").agg(F.sum("term").alias("rbo_e9")))
+    nc = m.groupBy("qid").agg(F.count(F.lit(1)).alias("n_common"))
+    qs = exact.select("qid").distinct()
+    return (qs.join(nc, "qid", "left").join(rbo, "qid", "left")
+            .select("qid",
+                    F.coalesce("n_common", F.lit(0)).alias("n_common"),
+                    F.coalesce("rbo_e9", F.lit(0)).alias("rbo_e9")))
+
+
+_RBO_SQL = f"""
+WITH exact AS (SELECT qid, neighbor_id, rank AS ra FROM ({_BRUTE_SQL})),
+ivfr AS (SELECT qid, neighbor_id, rank AS rb FROM ({_IVF_REFINED_SQL})),
+m AS (
+    SELECT e.qid, greatest(e.ra, i.rb) AS m
+    FROM exact e
+    JOIN ivfr i ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
+),
+xd AS (
+    SELECT qid, d, count(*) AS x
+    FROM (SELECT qid, unnest(generate_series(m, {K})) AS d FROM m)
+    GROUP BY 1, 2
+),
+rbo AS (
+    SELECT qid,
+           CAST(sum((1000000000 * x) // ((CAST(1 AS BIGINT) << d) * d))
+                AS BIGINT) AS rbo_e9
+    FROM xd GROUP BY qid
+),
+nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_common FROM m
+       GROUP BY qid),
+qs AS (SELECT DISTINCT qid FROM exact)
+SELECT qs.qid, coalesce(nc.n_common, 0) AS n_common,
+       coalesce(rbo.rbo_e9, 0) AS rbo_e9
+FROM qs LEFT JOIN nc USING (qid) LEFT JOIN rbo USING (qid)
+"""
+
+
+QUERIES["rbo_rank_agreement"] = (_rbo_rank_agreement, _RBO_SQL)
