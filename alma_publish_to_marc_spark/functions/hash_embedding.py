@@ -166,3 +166,141 @@ QUERIES = {
     "content_neardup_hashed": (content_neardup_hashed,
                                _content_neardup_sql()),
 }
+
+
+# --------------------------------------------------------------------------
+# Multi-vector late-interaction retrieval (ColBERT-style MaxSim)
+# --------------------------------------------------------------------------
+MAXSIM_CHUNK_TOKS = 16
+MAXSIM_QUERY_DOCS = (0, 1, 2, 3)
+MAXSIM_TOPK = 3
+
+
+def _maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval: every document becomes a BAG of
+    chunk vectors (16-token windows, hashed-TF encoded) and a query
+    document scores a candidate as Σ_{q-chunk} max_{d-chunk}
+    cos(q, d) — the ColBERT MaxSim kernel that beats single-vector
+    retrieval when relevance is local (one matching passage) rather
+    than global. Output: top-{MAXSIM_TOPK} non-self docs per query
+    doc (qdoc, rank, doc_id, score_e6).
+
+    The cosine runs in SPARSE form — chunk vectors live as
+    (chunk, dim, count) rows, the dot product is a dim-keyed join of
+    the query bag against the corpus rows, norms are per-chunk folds —
+    so a chunk costs its nonzero dims, not HDIM, in both engines.
+    Each cosine quantizes to e6 micro-units immediately (one
+    correctly-rounded division then round-half-away; the clustering
+    recipe), so MaxSim and the final sum are pure int64 — no float
+    association anywhere.
+
+    Determinism: ties in the final ranking break on doc_id; max/sum
+    over ints; the chunker is posexplode div — identical in both
+    engines via the positional-unnest idiom.
+
+    Scale: the query bag is panel-sized and broadcast; the corpus
+    side shuffles once to (doc, chunk, dim) counts (map-side
+    combinable). At 100 TB the dim-keyed join IS the inverted-index
+    retrieval plan (posting lists per hashed dim), with MaxSim's
+    per-chunk argmax replacing BM25's per-term sum — same skeleton as
+    ``inverted_index_build``/``bm25_topk``.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+         .alias("pos", "w"))
+        .where(F.col("w") != ""))
+    dim = F.pmod(F.conv(F.substring(F.md5("w"), 1, 12), 16, 10)
+                 .cast("long"), F.lit(HDIM))
+    cells = (toks.select("doc_id",
+                         F.expr(f"pos div {MAXSIM_CHUNK_TOKS}")
+                          .alias("chunk"),
+                         dim.alias("d"))
+             .groupBy("doc_id", "chunk", "d")
+             .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    norms = (cells.groupBy("doc_id", "chunk")
+             .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nm")))
+    corpus = (cells.join(norms, ["doc_id", "chunk"])
+              .select("doc_id", "chunk", "d", "c", "nm"))
+    qbag = (corpus.where(F.col("doc_id").isin(*MAXSIM_QUERY_DOCS))
+            .select(F.col("doc_id").alias("qdoc"),
+                    F.col("chunk").alias("qchunk"),
+                    "d", F.col("c").alias("qc"),
+                    F.col("nm").alias("qnm")))
+    dots = (corpus.join(F.broadcast(qbag), "d")
+            .where(F.col("doc_id") != F.col("qdoc"))
+            .groupBy("qdoc", "qchunk", "qnm", "doc_id", "chunk", "nm")
+            .agg(F.sum(F.col("c") * F.col("qc")).alias("dot")))
+    cos_e6 = F.expr("cast(round(1000000 * dot / (qnm * nm), 0) as bigint)")
+    best = (dots.withColumn("cos_e6", cos_e6)
+            .groupBy("qdoc", "qchunk", "doc_id")
+            .agg(F.max("cos_e6").alias("mx")))
+    scores = (best.groupBy("qdoc", "doc_id")
+              .agg(F.sum("mx").alias("score_e6")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qdoc").orderBy(F.desc("score_e6"), "doc_id")
+    return (scores.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= MAXSIM_TOPK)
+            .select("qdoc", F.col("rank").cast("int").alias("rank"),
+                    "doc_id", "score_e6"))
+
+
+_MAXSIM_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, s.pos, s.w
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) + 1),
+                   i -> struct_pack(w := t[i], pos := i - 1))) AS s
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS t
+              FROM documents)
+    ) WHERE s.w <> ''
+),
+cells AS (
+    SELECT doc_id, pos // {MAXSIM_CHUNK_TOKS} AS chunk,
+           CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) % {HDIM} AS d,
+           CAST(count(*) AS DOUBLE) AS c
+    FROM toks
+    GROUP BY 1, 2, 3
+),
+norms AS (
+    SELECT doc_id, chunk, sqrt(sum(c * c)) AS nm
+    FROM cells GROUP BY 1, 2
+),
+corpus AS (
+    SELECT cells.doc_id, cells.chunk, cells.d, cells.c, norms.nm
+    FROM cells JOIN norms USING (doc_id, chunk)
+),
+qbag AS (
+    SELECT doc_id AS qdoc, chunk AS qchunk, d, c AS qc, nm AS qnm
+    FROM corpus
+    WHERE doc_id IN ({", ".join(map(str, MAXSIM_QUERY_DOCS))})
+),
+dots AS (
+    SELECT q.qdoc, q.qchunk, q.qnm, corpus.doc_id, corpus.chunk,
+           corpus.nm, sum(corpus.c * q.qc) AS dot
+    FROM corpus JOIN qbag q USING (d)
+    WHERE corpus.doc_id <> q.qdoc
+    GROUP BY 1, 2, 3, 4, 5, 6
+),
+best AS (
+    SELECT qdoc, qchunk, doc_id,
+           max(CAST(round(1000000 * dot / (qnm * nm), 0) AS BIGINT)) AS mx
+    FROM dots GROUP BY 1, 2, 3
+),
+scores AS (
+    SELECT qdoc, doc_id, CAST(sum(mx) AS BIGINT) AS score_e6
+    FROM best GROUP BY 1, 2
+)
+SELECT qdoc, CAST(rank AS INT) AS rank, doc_id, score_e6
+FROM (
+    SELECT qdoc, doc_id, score_e6,
+           row_number() OVER (PARTITION BY qdoc
+                              ORDER BY score_e6 DESC, doc_id) AS rank
+    FROM scores
+) WHERE rank <= {MAXSIM_TOPK}
+"""
+
+QUERIES["maxsim_multivector_retrieval"] = (_maxsim_retrieval, _MAXSIM_SQL)
