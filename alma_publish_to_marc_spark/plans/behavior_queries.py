@@ -2914,3 +2914,82 @@ FROM arms
 """
 
 QUERIES["srm_assignment_check"] = (srm_assignment_check, _SRM_SQL)
+
+
+# --------------------------------------------------------------------------
+# Two-model uplift by engagement band
+# --------------------------------------------------------------------------
+def uplift_by_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effect readout: with the SRM-checked
+    50/50 assignment (user_id % 2) as treatment, purchase conversion
+    as outcome, and engagement band (total events div 10) as the
+    segmentation feature, reports the per-band conversion difference
+    p_treat − p_ctrl — the "two-model" uplift table a targeting team
+    reads to find WHERE a treatment works, after ``ab_test_ztest``
+    says IT works on average and ``srm_assignment_check`` validates
+    the denominators. Output: (band, n_treat, n_ctrl, conv_treat,
+    conv_ctrl, p_treat_e6, p_ctrl_e6, uplift_e6).
+
+    Determinism: conversion rates are integer e6 div of exact counts;
+    uplift is a difference of two such ints (may be negative — pure
+    subtraction, no negative-operand division anywhere). Bands are
+    integer div of event counts.
+
+    Scale: one user-keyed aggregate over the scan (map-side
+    combinable), then a band rollup over a user-count-sized frame —
+    output rows bounded by the band domain.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    users = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.max((F.col("event_type") == "purchase").cast("long"))
+                   .alias("converted"))
+             .select(F.expr("n_events div 10").alias("band"),
+                     (F.col("user_id") % 2 == 0).alias("treat"),
+                     "converted"))
+    return (users.groupBy("band")
+            .agg(F.sum(F.col("treat").cast("long")).alias("n_treat"),
+                 F.sum((~F.col("treat")).cast("long")).alias("n_ctrl"),
+                 F.sum(F.when(F.col("treat"), F.col("converted"))
+                        .otherwise(0)).alias("conv_treat"),
+                 F.sum(F.when(~F.col("treat"), F.col("converted"))
+                        .otherwise(0)).alias("conv_ctrl"))
+            .withColumn("p_treat_e6",
+                        F.expr("(1000000 * conv_treat)"
+                               " div greatest(n_treat, 1)"))
+            .withColumn("p_ctrl_e6",
+                        F.expr("(1000000 * conv_ctrl)"
+                               " div greatest(n_ctrl, 1)"))
+            .withColumn("uplift_e6",
+                        F.col("p_treat_e6") - F.col("p_ctrl_e6")))
+
+
+_UPLIFT_SQL = """
+WITH users AS (
+    SELECT count(*) // 10 AS band,
+           user_id % 2 = 0 AS treat,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY user_id
+),
+bands AS (
+    SELECT band,
+           CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treat,
+           CAST(sum(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ctrl,
+           CAST(sum(CASE WHEN treat THEN converted ELSE 0 END) AS BIGINT)
+               AS conv_treat,
+           CAST(sum(CASE WHEN NOT treat THEN converted ELSE 0 END)
+                AS BIGINT) AS conv_ctrl
+    FROM users GROUP BY band
+)
+SELECT band, n_treat, n_ctrl, conv_treat, conv_ctrl,
+       (1000000 * conv_treat) // greatest(n_treat, 1) AS p_treat_e6,
+       (1000000 * conv_ctrl) // greatest(n_ctrl, 1) AS p_ctrl_e6,
+       (1000000 * conv_treat) // greatest(n_treat, 1)
+           - (1000000 * conv_ctrl) // greatest(n_ctrl, 1) AS uplift_e6
+FROM bands
+"""
+
+QUERIES["uplift_by_engagement"] = (uplift_by_engagement, _UPLIFT_SQL)
