@@ -1317,3 +1317,97 @@ FROM base
 
 QUERIES["join_size_estimation_audit"] = (join_size_estimation_audit,
                                          _jse_sql())
+
+
+# --------------------------------------------------------------------------
+# Shard-rebalance audit: mod-N vs rendezvous (HRW) hashing
+# --------------------------------------------------------------------------
+_HRW_SHARDS = 16  # grow to 17 and measure movement
+
+
+def consistent_hash_rebalance_audit(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Quantifies WHY mod-N sharding cannot grow at 100 TB: when the
+    shard count goes {n}→{n1}, mod-N reassigns ~{n}/{n1} of ALL keys
+    (every byte reshuffles) while rendezvous/HRW hashing moves only
+    the ~1/{n1} that the new shard wins — measured exactly over the
+    corpus, per assignment scheme. This is the planning number behind
+    any resharding proposal: moved keys × bytes = migration cost.
+    Output (one row): n_docs, moved_mod, moved_hrw, moved_mod_e6,
+    moved_hrw_e6.
+
+    Determinism: both schemes hash md5(doc_id) / md5(doc_id:shard)
+    through the repo's 12-hex-digit integer idiom (identical in both
+    engines); HRW winners tie-break on shard id (md5 collisions in 48
+    bits are measure-zero but the ORDER BY is total anyway); fractions
+    are integer e6 div.
+
+    Scale: the HRW argmax explodes {n1} candidate rows per key
+    scan-side and takes a struct-min per key — map-side combinable,
+    no shuffle beyond the per-key aggregate; mod-N is pure scan
+    arithmetic. (In production the per-key argmax folds into a scalar
+    expression; the explode keeps the two engines primitive-identical.)
+    """.format(n=_HRW_SHARDS, n1=_HRW_SHARDS + 1)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    h = F.pmod(F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                  1, 12), 16, 10).cast("long"),
+               F.lit(10 ** 12))
+    base = docs.select("doc_id", h.alias("h"))
+    mod_moved = (F.col("h") % _HRW_SHARDS
+                 != F.col("h") % (_HRW_SHARDS + 1)).cast("long")
+    hrw = (base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_HRW_SHARDS))).alias("s"))
+        .withColumn("hs", F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                              F.col("s").cast("string"))), 1, 12),
+            16, 10).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("hs")).alias("nh"),
+                            F.col("s").alias("s")))
+             .getField("s").alias("winner17")))
+    joined = base.join(hrw, "doc_id")
+    return (joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(mod_moved).alias("moved_mod"),
+        F.sum((F.col("winner17") == _HRW_SHARDS).cast("long"))
+         .alias("moved_hrw"))
+        .withColumn("moved_mod_e6",
+                    F.expr("(1000000 * moved_mod) div n_docs"))
+        .withColumn("moved_hrw_e6",
+                    F.expr("(1000000 * moved_hrw) div n_docs")))
+
+
+_REBALANCE_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                AS BIGINT) % {10 ** 12} AS h
+    FROM documents
+),
+hrw AS (
+    SELECT doc_id,
+           (min(struct_pack(nh := -CAST('0x' || substr(md5(
+                CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)),
+                1, 12) AS BIGINT), s := s))).s AS winner17
+    FROM (SELECT doc_id, unnest(range(0, {_HRW_SHARDS + 1})) AS s
+          FROM base)
+    GROUP BY doc_id
+),
+agg AS (
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN base.h % {_HRW_SHARDS}
+                         <> base.h % {_HRW_SHARDS + 1}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+           CAST(sum(CASE WHEN hrw.winner17 = {_HRW_SHARDS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS moved_hrw
+    FROM base JOIN hrw USING (doc_id)
+)
+SELECT n_docs, moved_mod, moved_hrw,
+       (1000000 * moved_mod) // n_docs AS moved_mod_e6,
+       (1000000 * moved_hrw) // n_docs AS moved_hrw_e6
+FROM agg
+"""
+
+QUERIES["consistent_hash_rebalance_audit"] = (
+    consistent_hash_rebalance_audit, _REBALANCE_SQL)
