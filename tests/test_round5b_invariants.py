@@ -173,3 +173,17 @@ def test_conformal_coverage_meets_the_bound(q):
     # exchangeable splits: allow slack of ~2/sqrt(n_test) below target
     slack = int(2_000_000 / (r["n_test"] ** 0.5))
     assert r["coverage_e6"] >= r["target_e6"] - slack
+
+
+def test_rebalance_audit_matches_theory(q):
+    # mod-N 16->17 moves ~16/17 of keys; rendezvous moves ~1/17 (the
+    # new shard's win rate). Both are tight concentration bounds at
+    # corpus size; conservative +/-0.1 windows still separate the two
+    # schemes by an order of magnitude.
+    r = q("consistent_hash_rebalance_audit").collect()[0]
+    assert r["moved_mod"] + 0 <= r["n_docs"]
+    frac_mod = r["moved_mod_e6"] / 1e6
+    frac_hrw = r["moved_hrw_e6"] / 1e6
+    assert abs(frac_mod - 16 / 17) < 0.1
+    assert abs(frac_hrw - 1 / 17) < 0.1
+    assert frac_hrw < frac_mod / 4
