@@ -2993,3 +2993,94 @@ FROM bands
 """
 
 QUERIES["uplift_by_engagement"] = (uplift_by_engagement, _UPLIFT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Purged (embargoed) time-series cross-validation audit
+# --------------------------------------------------------------------------
+_PURGE_FOLDS = 5
+_EMBARGO_DAYS = 1
+
+
+def purged_timeseries_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe time-series CV accounting (de Prado's purged
+    k-fold): the event range splits into {k} contiguous day blocks;
+    for each fold, training data is everything OUTSIDE the test block
+    minus a ±{e}-day embargo around it — the rows an autocorrelated
+    feature (rolling means, EWMAs) would leak through.
+    ``split_leakage_check`` audits CONTENT leakage between splits;
+    this audits TEMPORAL leakage, and its n_purged column is the
+    price paid. Output per fold: (fold, lo_day, hi_day, n_test,
+    n_train_raw, n_purged, n_train_clean).
+
+    Determinism: days are integer epoch arithmetic
+    (unix_micros div 86.4e9, the CLAUDE.md idiom); block bounds are
+    exact int div of the observed day span; every count is exact.
+
+    Scale: one scan computes each event's day; the fold audit
+    replicates rows ×{k} scan-side (bounded, folds are a constant)
+    against broadcast bounds and aggregates map-side to {k} rows.
+    """.format(k=_PURGE_FOLDS, e=_EMBARGO_DAYS)
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+         .alias("day"))
+    bounds = F.broadcast(ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")))
+    folded = (ev.crossJoin(bounds)
+              .withColumn("blk", F.expr(
+                  f"(d1 - d0 + {_PURGE_FOLDS}) div {_PURGE_FOLDS}"))
+              .select("day", "d0", "blk",
+                      F.explode(F.sequence(
+                          F.lit(0), F.lit(_PURGE_FOLDS - 1))).alias("fold"))
+              .withColumn("lo", F.col("d0") + F.col("fold") * F.col("blk"))
+              .withColumn("hi", F.col("lo") + F.col("blk") - 1))
+    in_test = (F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi"))
+    in_embargo = (~in_test
+                  & (F.col("day") >= F.col("lo") - _EMBARGO_DAYS)
+                  & (F.col("day") <= F.col("hi") + _EMBARGO_DAYS))
+    return (folded.groupBy("fold")
+            .agg(F.max("lo").alias("lo_day"),
+                 F.max("hi").alias("hi_day"),
+                 F.sum(in_test.cast("long")).alias("n_test"),
+                 F.sum((~in_test).cast("long")).alias("n_train_raw"),
+                 F.sum(in_embargo.cast("long")).alias("n_purged"),
+                 F.sum((~in_test & ~in_embargo).cast("long"))
+                  .alias("n_train_clean")))
+
+
+_PURGED_SQL = f"""
+WITH ev AS (
+    SELECT epoch_us(ts) // 86400000000 AS day FROM events
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+folded AS (
+    SELECT ev.day, b.d0,
+           (b.d1 - b.d0 + {_PURGE_FOLDS}) // {_PURGE_FOLDS} AS blk,
+           f.fold
+    FROM ev
+    CROSS JOIN bounds b
+    CROSS JOIN (SELECT unnest(range(0, {_PURGE_FOLDS})) AS fold) f
+),
+marked AS (
+    SELECT fold, day,
+           d0 + fold * blk AS lo,
+           d0 + fold * blk + blk - 1 AS hi
+    FROM folded
+)
+SELECT fold,
+       max(lo) AS lo_day, max(hi) AS hi_day,
+       CAST(sum(CASE WHEN day BETWEEN lo AND hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN day NOT BETWEEN lo AND hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_train_raw,
+       CAST(sum(CASE WHEN day NOT BETWEEN lo AND hi
+                      AND day BETWEEN lo - {_EMBARGO_DAYS}
+                              AND hi + {_EMBARGO_DAYS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       CAST(sum(CASE WHEN day NOT BETWEEN lo - {_EMBARGO_DAYS}
+                              AND hi + {_EMBARGO_DAYS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_train_clean
+FROM marked GROUP BY fold
+"""
+
+QUERIES["purged_timeseries_split"] = (purged_timeseries_split, _PURGED_SQL)
