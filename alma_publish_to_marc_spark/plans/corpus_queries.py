@@ -1838,3 +1838,86 @@ FROM agg
 """
 
 QUERIES["effective_sample_size"] = (effective_sample_size, _ESS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Covariate-shift importance weights (domain adaptation reweighting)
+# --------------------------------------------------------------------------
+_CSW_CLIP_E6 = 10_000_000  # clip importance weights at 10x
+
+
+def covariate_shift_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reweighting table that aligns each source's feature
+    distribution to the global corpus — density-ratio importance
+    weighting over discrete bins (lang × 200-char length bucket):
+    w(source, bin) = p_corpus(bin) / p_source(bin), clipped at 10× (the
+    standard variance guard). A domain-adaptation or eval-correction
+    pipeline joins this table onto per-source data so source-local
+    statistics estimate corpus-level ones; ``effective_sample_size``
+    then prices the variance these weights cost. Output: (source,
+    lang, chars_bucket, n_in_source, n_in_corpus, w_e6, w_clipped_e6).
+
+    Determinism: w_e6 = (cnt_corpus·n_source·1e6) div
+    (cnt_source·n_corpus) — exact int64 (headroom: cnt·n·1e6 needs
+    cnt·n ≲ 9e12, i.e. fine to ~3e6-row bins on a 3e6-row source;
+    past that divide the big factor first). The clip is an integer
+    least().
+
+    Scale: two map-side-combinable aggregations over one scan (bin
+    counts per source and per corpus — the corpus counts roll up from
+    the source counts, no second scan), one broadcast of the
+    bin-domain-sized corpus table. Output rows ≤ |sources|·|bins|.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "lang", F.expr("n_chars div 200").alias("chars_bucket"))
+    per_src = (docs.groupBy("source", "lang", "chars_bucket")
+               .agg(F.count(F.lit(1)).alias("n_in_source")))
+    per_bin = (per_src.groupBy("lang", "chars_bucket")
+               .agg(F.sum("n_in_source").alias("n_in_corpus")))
+    n_src = (per_src.groupBy("source")
+             .agg(F.sum("n_in_source").alias("n_source")))
+    n_tot = F.broadcast(per_bin.agg(F.sum("n_in_corpus").alias("n_corpus")))
+    return (per_src
+            .join(F.broadcast(per_bin), ["lang", "chars_bucket"])
+            .join(F.broadcast(n_src), "source")
+            .crossJoin(n_tot)
+            .withColumn("w_e6",
+                        F.expr("(n_in_corpus * n_source * 1000000)"
+                               " div (n_in_source * n_corpus)"))
+            .select("source", "lang", "chars_bucket", "n_in_source",
+                    "n_in_corpus", "w_e6",
+                    F.least(F.col("w_e6"), F.lit(_CSW_CLIP_E6))
+                     .alias("w_clipped_e6")))
+
+
+_CSW_SQL = f"""
+WITH docs AS (
+    SELECT source, lang, n_chars // 200 AS chars_bucket FROM documents
+),
+per_src AS (
+    SELECT source, lang, chars_bucket, count(*) AS n_in_source
+    FROM docs GROUP BY 1, 2, 3
+),
+per_bin AS (
+    SELECT lang, chars_bucket,
+           CAST(sum(n_in_source) AS BIGINT) AS n_in_corpus
+    FROM per_src GROUP BY 1, 2
+),
+n_src AS (
+    SELECT source, CAST(sum(n_in_source) AS BIGINT) AS n_source
+    FROM per_src GROUP BY 1
+),
+n_tot AS (SELECT CAST(sum(n_in_corpus) AS BIGINT) AS n_corpus FROM per_bin)
+SELECT s.source, s.lang, s.chars_bucket, s.n_in_source, b.n_in_corpus,
+       (b.n_in_corpus * ns.n_source * 1000000)
+           // (s.n_in_source * t.n_corpus) AS w_e6,
+       least((b.n_in_corpus * ns.n_source * 1000000)
+             // (s.n_in_source * t.n_corpus), {_CSW_CLIP_E6})
+           AS w_clipped_e6
+FROM per_src s
+JOIN per_bin b USING (lang, chars_bucket)
+JOIN n_src ns USING (source)
+CROSS JOIN n_tot t
+"""
+
+QUERIES["covariate_shift_weights"] = (covariate_shift_weights, _CSW_SQL)
