@@ -195,3 +195,49 @@ def test_quantile_normalize_sorts_only_the_run_table(props, spark):
     # two tiny single-partition ops allowed: the run-table prefix-sum
     # window (value-cardinality rows) and the 1-row corpus count
     assert p["single_part"] <= 2
+
+
+def test_maxsim_stays_sparse_and_broadcasts_the_query_bag(props, spark):
+    # The dim-keyed dot product must join the corpus posting rows
+    # against a BROADCAST query bag (posting-list retrieval shape);
+    # no sort-merge join and no range partitioning anywhere.
+    p = props("maxsim_multivector_retrieval")
+    assert p["broadcast_joins"] >= 1
+    assert p["sort_merge_joins"] == 0
+    assert p["range_shuffles"] == 0
+
+
+def test_hits_rounds_read_cached_raw_frames(props, spark):
+    # Each HITS half-round persists its raw-score frame; the plan must
+    # show cached reuse (InMemory scans) and parquet scans only for
+    # the two base tables — if the persists are dropped the message
+    # chain re-executes 2^(2·rounds) times.
+    p = props("hits_hubs_authorities")
+    assert p["in_memory_scans"] >= 4
+    assert p["scans"] <= 2
+    assert p["range_shuffles"] == 0
+
+
+def test_incremental_cc_counts_reread_staged_labels(props, spark):
+    # Label frames are parquet-staged by connected_components; the
+    # five count branches must re-read files (scans), never re-run
+    # the propagation lineage, and nothing range-partitions.
+    p = props("incremental_connected_components")
+    assert p["range_shuffles"] == 0
+    assert p["sort_merge_joins"] == 0
+
+
+def test_conformal_sorts_only_the_run_table(props, spark):
+    # Same contract as quantile_normalize: the calibration quantile's
+    # single-partition window touches only residual-cardinality rows.
+    p = props("conformal_prediction_eval")
+    assert p["range_shuffles"] <= 1
+    assert p["single_part"] <= 3
+
+
+def test_gini_ranking_is_single_scan(props, spark):
+    # The melt rewrite's contract: ONE documents scan feeds all four
+    # features (plus the tiny 1-row glob aggregate's scan).
+    p = props("gini_feature_ranking")
+    assert p["scans"] <= 3
+    assert p["sort_merge_joins"] == 0
