@@ -1394,3 +1394,256 @@ FROM ncal CROSS JOIN kk CROSS JOIN q CROSS JOIN cov
 
 QUERIES["conformal_prediction_eval"] = (_conformal_prediction_eval,
                                         _CONFORMAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Bagged stump ensemble (random-forest-lite) with out-of-bag evaluation
+# ---------------------------------------------------------------------------
+RF_BAGS = 5
+
+
+def _bagged_stump_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-forest-in-miniature over the embedding table: {b} bagged
+    decision stumps, each trained on a deterministic ~2/3 bootstrap
+    (md5(vec_id:bag) % 3 != 0) restricted to its own feature subset
+    (dims where dim % {b} == bag), evaluated out-of-bag — solo stump
+    OOB accuracy per bag, plus the majority-vote ENSEMBLE's OOB
+    accuracy (the free generalization estimate bagging buys; expected
+    ensemble > mean solo). Completes the tree-learning family:
+    ``decision_stump_split_search`` is the split kernel, this is the
+    ensemble + eval loop around it. Output: one row per bag
+    (bag, dim, thr, left_label, right_label, n_inbag, n_oob,
+    correct_e6) and a bag = -1 ensemble row (dim/thr/labels = -1).
+
+    Determinism: split search scores by the stump op's exact-count
+    rational (one double division; argmin via struct-min on
+    (-score, dim, thr)); leaf labels and votes are struct-min argmax
+    with label tie-break; bags/OOB membership hash md5 through the
+    12-hex idiom. Accuracies are integer e6 div.
+
+    Scale: ONE conditional-tally pass per bag over in-bag rows
+    (map-side combinable, the XGBoost-histogram shape), candidate
+    grids broadcast; OOB scoring joins each vector's {dims} rows
+    against the {b}-row broadcast model. Nothing all-pairs, nothing
+    range-partitioned.
+    """.format(b=RF_BAGS, dims=_STUMP_DIMS)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.transform(F.slice("embedding", 1, _STUMP_DIMS),
+                    lambda x: F.round(x * 1000).cast("long")).alias("q"))
+    rows = emb.select("vec_id", "label",
+                      F.posexplode("q").alias("dim", "val"))
+    bag_of = F.explode(F.sequence(F.lit(0), F.lit(RF_BAGS - 1))).alias("bag")
+    inbag = (F.pmod(F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("vec_id").cast("string"),
+                          F.col("bag").cast("string"))), 1, 12), 16, 10)
+        .cast("long"), F.lit(3)) != 0)
+    brows = (rows.select("vec_id", "label", "dim", "val", bag_of)
+             .where(F.col("dim") % RF_BAGS == F.col("bag"))
+             .withColumn("inb", inbag))
+    stats = rows.groupBy("dim").agg(F.min("val").alias("lo"),
+                                    F.max("val").alias("hi"))
+    cuts = (stats.select(
+        "dim", F.explode(F.array(*[F.lit(t) for t in
+                                   range(1, _STUMP_CUTS + 1)])).alias("t"),
+        "lo", "hi")
+        .select("dim", F.floor(F.col("lo") + (F.col("hi") - F.col("lo"))
+                               * F.col("t") / (_STUMP_CUTS + 1))
+                .cast("long").alias("thr")))
+    tallies = (brows.where("inb")
+               .join(F.broadcast(cuts), "dim")
+               .groupBy("bag", "dim", "thr", "label")
+               .agg(F.sum(F.when(F.col("val") <= F.col("thr"), 1)
+                          .otherwise(0)).alias("cl"),
+                    F.count(F.lit(1)).alias("ctot")))
+    per_split = (tallies.groupBy("bag", "dim", "thr")
+                 .agg(F.sum("cl").alias("n_l"),
+                      F.sum(F.col("ctot") - F.col("cl")).alias("n_r"),
+                      F.sum(F.col("cl") * F.col("cl")).alias("sl2"),
+                      F.sum((F.col("ctot") - F.col("cl"))
+                            * (F.col("ctot") - F.col("cl"))).alias("sr2"))
+                 .where((F.col("n_l") > 0) & (F.col("n_r") > 0)))
+    score = ((F.col("sl2") * F.col("n_r") + F.col("sr2") * F.col("n_l"))
+             .cast("double") / (F.col("n_l") * F.col("n_r")).cast("double"))
+    best = (per_split.withColumn("s", score)
+            .groupBy("bag")
+            .agg(F.min(F.struct((-F.col("s")).alias("ns"),
+                                F.col("dim").alias("dim"),
+                                F.col("thr").alias("thr"))).alias("b"))
+            .select("bag", F.col("b.dim").alias("dim"),
+                    F.col("b.thr").alias("thr")))
+    leafs = (tallies.join(F.broadcast(best), ["bag", "dim", "thr"])
+             .groupBy("bag", "dim", "thr")
+             .agg(F.min(F.struct((-F.col("cl")).alias("nc"),
+                                 F.col("label").alias("lab")))
+                  .getField("lab").alias("left_label"),
+                 F.min(F.struct((F.col("cl") - F.col("ctot")).alias("nc"),
+                                F.col("label").alias("lab")))
+                  .getField("lab").alias("right_label")))
+    model = F.broadcast(best.join(leafs, ["bag", "dim", "thr"]))
+    scored = (rows.join(model.withColumnRenamed("dim", "mdim"),
+                        F.col("dim") == F.col("mdim"))
+              .withColumn("inb", inbag)
+              .where(~F.col("inb"))
+              .withColumn("pred",
+                          F.when(F.col("val") <= F.col("thr"),
+                                 F.col("left_label"))
+                           .otherwise(F.col("right_label"))))
+    solo = (scored.groupBy("bag")
+            .agg(F.count(F.lit(1)).alias("n_oob"),
+                 F.sum((F.col("pred") == F.col("label")).cast("long"))
+                  .alias("n_correct")))
+    sizes = (emb.select("vec_id", bag_of)
+             .withColumn("inb", inbag)
+             .groupBy("bag")
+             .agg(F.sum(F.col("inb").cast("long")).alias("n_inbag")))
+    per_bag = (model.join(solo, "bag").join(sizes, "bag")
+               .select("bag", "dim", "thr", "left_label", "right_label",
+                       "n_inbag", "n_oob",
+                       F.expr("(1000000 * n_correct) div n_oob")
+                        .alias("correct_e6")))
+    votes = (scored.groupBy("vec_id", "label", "pred")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    voted = (votes.groupBy("vec_id", "label")
+             .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                 F.col("pred").alias("p")))
+                  .getField("p").alias("vote")))
+    ens = (voted.agg(F.count(F.lit(1)).alias("n_oob"),
+                     F.sum((F.col("vote") == F.col("label")).cast("long"))
+                      .alias("n_correct"))
+           .select(F.lit(-1).cast("int").alias("bag"),
+                   F.lit(-1).alias("dim"),
+                   F.lit(-1).cast("long").alias("thr"),
+                   F.lit(-1).cast("long").alias("left_label"),
+                   F.lit(-1).cast("long").alias("right_label"),
+                   F.lit(-1).cast("long").alias("n_inbag"),
+                   "n_oob",
+                   F.expr("(1000000 * n_correct) div n_oob")
+                    .alias("correct_e6")))
+    return per_bag.unionByName(ens)
+
+
+def _bagged_sql() -> str:
+    md5i = ("CAST('0x' || substr(md5(CAST({v} AS VARCHAR) || ':' || "
+            "CAST({b} AS VARCHAR)), 1, 12) AS BIGINT)")
+    inb_r = md5i.format(v="r.vec_id", b="b.bag") + " % 3 <> 0"
+    oob_m = md5i.format(v="r.vec_id", b="m.bag") + " % 3 = 0"
+    inb_e = md5i.format(v="e.vec_id", b="b.bag") + " % 3 <> 0"
+    return f"""
+WITH rows_q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, u.dim, u.val
+  FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(range(1, {_STUMP_DIMS} + 1),
+               i -> struct_pack(dim := i - 1,
+                                val := CAST(round(embedding[i] * 1000)
+                                            AS BIGINT)))) AS u
+    FROM embeddings
+  )
+),
+bags AS (SELECT unnest(range(0, {RF_BAGS})) AS bag),
+brows AS (
+  SELECT r.vec_id, r.label, r.dim, r.val, b.bag, {inb_r} AS inb
+  FROM rows_q r JOIN bags b ON r.dim % {RF_BAGS} = b.bag
+),
+stats AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM rows_q
+          GROUP BY 1),
+cuts AS (
+  SELECT dim, CAST(floor(lo + (hi - lo) * t / {_STUMP_CUTS + 1})
+              AS BIGINT) AS thr
+  FROM stats, unnest(range(1, {_STUMP_CUTS} + 1)) AS r(t)
+),
+tallies AS (
+  SELECT w.bag, w.dim, c.thr, w.label,
+         CAST(sum(CASE WHEN w.val <= c.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS cl,
+         CAST(count(*) AS BIGINT) AS ctot
+  FROM brows w JOIN cuts c ON w.dim = c.dim
+  WHERE w.inb
+  GROUP BY 1, 2, 3, 4
+),
+per_split AS (
+  SELECT bag, dim, thr,
+         CAST(sum(cl) AS BIGINT) AS n_l,
+         CAST(sum(ctot - cl) AS BIGINT) AS n_r,
+         CAST(sum(cl * cl) AS BIGINT) AS sl2,
+         CAST(sum((ctot - cl) * (ctot - cl)) AS BIGINT) AS sr2
+  FROM tallies GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT bag,
+         (min(struct_pack(
+             ns := -((sl2 * n_r + sr2 * n_l) / CAST(n_l * n_r AS DOUBLE)),
+             dim := dim, thr := thr))).dim AS dim,
+         (min(struct_pack(
+             ns := -((sl2 * n_r + sr2 * n_l) / CAST(n_l * n_r AS DOUBLE)),
+             dim := dim, thr := thr))).thr AS thr
+  FROM per_split WHERE n_l > 0 AND n_r > 0
+  GROUP BY bag
+),
+leafs AS (
+  SELECT t.bag, t.dim, t.thr,
+         (min(struct_pack(nc := -t.cl, lab := t.label))).lab
+             AS left_label,
+         (min(struct_pack(nc := t.cl - t.ctot, lab := t.label))).lab
+             AS right_label
+  FROM tallies t JOIN best USING (bag, dim, thr)
+  GROUP BY 1, 2, 3
+),
+model AS (
+  SELECT b.bag, b.dim, b.thr, l.left_label, l.right_label
+  FROM best b JOIN leafs l USING (bag, dim, thr)
+),
+scored AS (
+  SELECT m.bag, r.vec_id, r.label,
+         CASE WHEN r.val <= m.thr THEN m.left_label
+              ELSE m.right_label END AS pred
+  FROM rows_q r JOIN model m ON r.dim = m.dim
+  WHERE {oob_m}
+),
+solo AS (
+  SELECT bag, count(*) AS n_oob,
+         CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+  FROM scored GROUP BY bag
+),
+sizes AS (
+  SELECT b.bag,
+         CAST(sum(CASE WHEN {inb_e} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inbag
+  FROM embeddings e CROSS JOIN bags b
+  GROUP BY b.bag
+),
+per_bag AS (
+  SELECT m.bag, m.dim, m.thr, m.left_label, m.right_label,
+         z.n_inbag, s.n_oob,
+         (1000000 * s.n_correct) // s.n_oob AS correct_e6
+  FROM model m JOIN solo s USING (bag) JOIN sizes z USING (bag)
+),
+votes AS (SELECT vec_id, label, pred, count(*) AS cnt FROM scored
+          GROUP BY 1, 2, 3),
+voted AS (
+  SELECT vec_id, label,
+         (min(struct_pack(nc := -cnt, p := pred))).p AS vote
+  FROM votes GROUP BY 1, 2
+),
+ens AS (
+  SELECT CAST(-1 AS BIGINT) AS bag, CAST(-1 AS BIGINT) AS dim,
+         CAST(-1 AS BIGINT) AS thr, CAST(-1 AS BIGINT) AS left_label,
+         CAST(-1 AS BIGINT) AS right_label, CAST(-1 AS BIGINT) AS n_inbag,
+         count(*) AS n_oob,
+         (1000000 * CAST(sum(CASE WHEN vote = label THEN 1 ELSE 0 END)
+                         AS BIGINT)) // count(*) AS correct_e6
+  FROM voted
+)
+SELECT CAST(bag AS INT) AS bag, CAST(dim AS INT) AS dim, thr,
+       left_label, right_label, n_inbag, n_oob, correct_e6
+FROM per_bag
+UNION ALL
+SELECT CAST(bag AS INT), CAST(dim AS INT), thr, left_label,
+       right_label, n_inbag, n_oob, correct_e6
+FROM ens
+"""
+
+
+QUERIES["bagged_stump_ensemble"] = (_bagged_stump_ensemble, _bagged_sql())
