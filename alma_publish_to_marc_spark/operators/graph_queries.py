@@ -1846,3 +1846,96 @@ CROSS JOIN nsing
 
 QUERIES["incremental_connected_components"] = (
     incremental_connected_components, _inc_cc_sql())
+
+
+# --------------------------------------------------------------------------
+# Golden-record survivorship merge over duplicate clusters
+# --------------------------------------------------------------------------
+def golden_record_survivorship(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The entity-resolution step AFTER clustering: fuse every
+    multi-member duplicate cluster into one golden record with
+    column-level survivorship rules — id = cluster minimum (stable
+    key), lang = cluster mode (most frequent wins, ties lexicographic),
+    source = the longest member's source (most-complete-record wins,
+    ties lowest doc_id), n_chars = cluster max. ``dedup_keep_canonical``
+    picks a surviving ROW; this builds the merged record MDM-style
+    survivorship actually ships. Output: (cluster_id, n_members,
+    golden_lang, golden_source, max_chars).
+
+    Determinism: every rule is a struct-min argmax with an explicit
+    tie column; the component labels are the proven-deterministic
+    min-label closure.
+
+    Scale: components come from the pointer-jumping closure
+    (parquet-staged rounds); survivorship is two cluster-keyed
+    aggregates (the lang mode needs its own (cluster, lang) pass) —
+    both map-side combinable, output bounded by cluster count.
+    """
+    docs = load(spark, sf_dir, "documents")
+    comps = connected_components(_candidate_edges(spark, sf_dir))
+    members = (docs.join(comps.withColumnRenamed("node", "doc_id"),
+                         "doc_id")
+               .select("cluster_id", "doc_id", "lang", "source",
+                       "n_chars"))
+    lang_mode = (members.groupBy("cluster_id", "lang")
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .groupBy("cluster_id")
+                 .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                     F.col("lang").alias("l")))
+                      .getField("l").alias("golden_lang")))
+    fused = (members.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n_members"),
+                  F.min(F.struct((-F.col("n_chars")).alias("nn"),
+                                 F.col("doc_id").alias("d"),
+                                 F.col("source").alias("s")))
+                   .getField("s").alias("golden_source"),
+                  F.max("n_chars").alias("max_chars")))
+    return (fused.join(lang_mode, "cluster_id")
+            .where(F.col("n_members") > 1)
+            .select("cluster_id", "n_members", "golden_lang",
+                    "golden_source", "max_chars"))
+
+
+_GOLDEN_SQL = """
+WITH RECURSIVE pairs AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 20
+),
+und AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, und.dst FROM reach JOIN und ON und.src = reach.r
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+members AS (
+    SELECT c.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN comp c ON d.doc_id = c.node
+),
+lang_mode AS (
+    SELECT cluster_id,
+           (min(struct_pack(nc := -cnt, l := lang))).l AS golden_lang
+    FROM (SELECT cluster_id, lang, count(*) AS cnt
+          FROM members GROUP BY 1, 2)
+    GROUP BY cluster_id
+),
+fused AS (
+    SELECT cluster_id, count(*) AS n_members,
+           (min(struct_pack(nn := -n_chars, d := doc_id,
+                            s := source))).s AS golden_source,
+           max(n_chars) AS max_chars
+    FROM members GROUP BY cluster_id
+)
+SELECT f.cluster_id, f.n_members, l.golden_lang, f.golden_source,
+       f.max_chars
+FROM fused f JOIN lang_mode l USING (cluster_id)
+WHERE f.n_members > 1
+"""
+
+QUERIES["golden_record_survivorship"] = (golden_record_survivorship,
+                                         _GOLDEN_SQL)
