@@ -3084,3 +3084,98 @@ FROM marked GROUP BY fold
 """
 
 QUERIES["purged_timeseries_split"] = (purged_timeseries_split, _PURGED_SQL)
+
+
+# --------------------------------------------------------------------------
+# At-least-once replay idempotency audit
+# --------------------------------------------------------------------------
+def exactly_once_dedup_replay(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Batch-queryable statement of the streaming layer's idempotency
+    contract (streaming/curation.py): simulate at-least-once delivery
+    by re-appending every event_id % 7 == 3 as a batch-1 redelivery,
+    dedup by event_id keeping the FIRST batch, and assert the result
+    equals the clean stream — per event type, with the value mass
+    (cents) conserved exactly. A consumer reads dedup_ok/value_ok ==
+    true per row; any false means replay would double-count. Output:
+    (event_type, n_original, n_redelivered, n_after_dedup,
+    value_c_original, value_c_after, dedup_ok, value_ok).
+
+    Determinism: duplicate selection is modular arithmetic; dedup is
+    min-batch-per-event_id (exact); value mass is exact cents.
+
+    Scale: the dedup is one event_id-keyed aggregate over the
+    replayed stream (map-side combinable); comparisons are per-type
+    rollups. This is the same OVERWRITE-batch idempotency law the
+    streaming tests replay, expressed as one auditable query.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("v_c"))
+    replay = (ev.withColumn("batch", F.lit(0))
+              .unionByName(ev.where(F.col("event_id") % 7 == 3)
+                           .withColumn("batch", F.lit(1))))
+    deduped = (replay.groupBy("event_id", "event_type", "v_c")
+               .agg(F.min("batch").alias("first_batch")))
+    orig = (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_original"),
+                 F.sum("v_c").alias("value_c_original")))
+    red = (replay.where(F.col("batch") == 1).groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_redelivered")))
+    after = (deduped.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_after_dedup"),
+                  F.sum("v_c").alias("value_c_after")))
+    return (orig.join(red, "event_type", "left")
+            .join(after, "event_type")
+            .select("event_type", "n_original",
+                    F.coalesce("n_redelivered", F.lit(0))
+                     .alias("n_redelivered"),
+                    "n_after_dedup", "value_c_original", "value_c_after",
+                    (F.col("n_after_dedup") == F.col("n_original"))
+                    .alias("dedup_ok"),
+                    (F.col("value_c_after") == F.col("value_c_original"))
+                    .alias("value_ok")))
+
+
+_REPLAY_SQL = """
+WITH ev AS (
+    SELECT event_id, event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_c
+    FROM events
+),
+replay AS (
+    SELECT event_id, event_type, v_c, 0 AS batch FROM ev
+    UNION ALL
+    SELECT event_id, event_type, v_c, 1 AS batch FROM ev
+    WHERE event_id % 7 = 3
+),
+deduped AS (
+    SELECT event_id, event_type, v_c, min(batch) AS first_batch
+    FROM replay GROUP BY 1, 2, 3
+),
+orig AS (
+    SELECT event_type, count(*) AS n_original,
+           CAST(sum(v_c) AS BIGINT) AS value_c_original
+    FROM ev GROUP BY 1
+),
+red AS (
+    SELECT event_type, count(*) AS n_redelivered
+    FROM replay WHERE batch = 1 GROUP BY 1
+),
+after AS (
+    SELECT event_type, count(*) AS n_after_dedup,
+           CAST(sum(v_c) AS BIGINT) AS value_c_after
+    FROM deduped GROUP BY 1
+)
+SELECT o.event_type, o.n_original,
+       coalesce(r.n_redelivered, 0) AS n_redelivered,
+       a.n_after_dedup, o.value_c_original, a.value_c_after,
+       a.n_after_dedup = o.n_original AS dedup_ok,
+       a.value_c_after = o.value_c_original AS value_ok
+FROM orig o
+LEFT JOIN red r USING (event_type)
+JOIN after a USING (event_type)
+"""
+
+QUERIES["exactly_once_dedup_replay"] = (exactly_once_dedup_replay,
+                                        _REPLAY_SQL)
