@@ -1,0 +1,728 @@
+"""Preference-data QA — the RLHF-side counterpart of the corpus
+curation family (SURVEY.md §2.12 beyond-reference scope): given a
+table of pairwise comparisons judged by multiple annotators, the
+questions every preference-data pipeline must answer before training a
+reward model are (a) what latent strengths explain the outcomes
+(Bradley-Terry), (b) which pairwise win rates are statistically solid
+(Wilson bounds), (c) do the annotators agree with each other (Cohen /
+Fleiss kappa), (d) is the data biased toward longer responses or the
+first-listed option, and (e) is the majority preference even
+transitive. Each is an oracled query here.
+
+Comparisons are SYNTHESIZED deterministically from ``documents``:
+every even doc A meets opponent B = (A + 1 + md5_48('opp:'||A/2) %
+243) mod (max(doc_id)+1) — a hash offset rather than the adjacent
+doc, because sources cycle with doc_id, so adjacent pairing would
+collapse the comparison graph to 10 fixed source pairs (disconnected
+— Bradley-Terry degenerate, zero triangles). The modulus derives
+from max(doc_id)+1 per the CLAUDE.md id-namespace rule. The 20
+sources play the role of "models", and three annotators vote for
+side A iff ``len_a + noise > len_b`` where noise is the repo's
+canonical 48-bit md5 integer (same idiom as behavior_queries'
+DP/sampling hashes) — pure int64 arithmetic, bit-identical across
+engines, and correlated with a recoverable latent signal (mean
+document length per source).
+
+Cross-engine determinism:
+- every count/margin is exact int64; ratio columns are either integer
+  e6 divisions of positive ints (Spark ``div`` == DuckDB ``//`` on
+  positives) or ``floor(1e6 * num/den)`` where num/den are exact
+  int64 cast to DOUBLE — one correctly-rounded division, identical
+  floor both engines (kappa can be negative: floor, never int-cast,
+  per the CLAUDE.md CAST rule);
+- the Wilson bound uses only +,-,*,/ and sqrt — all IEEE
+  correctly-rounded (the walk-PMI ``ln`` hazard does not apply) — with
+  the SAME expression string evaluated by both engines;
+- Bradley-Terry runs in fixed-point e6 integer space: each
+  minorization-maximization round is two positive integer floor
+  divisions (term and update) plus a mean-1e6 renormalization, and the
+  DuckDB oracle unrolls the identical rounds as CTEs (the clustering /
+  graph-queries pattern).
+
+Scale: the only full-corpus work is building comparisons (one
+narrow self-join keyed on the opponent id — co-partitioned after a
+single hash shuffle) and the map-side-combinable aggregation down to the
+(model, model) win matrix / per-annotator margins. Everything
+after that operates on ≤ |models|² rows: the BT rounds join
+20-row frames (each round persisted — the raw frame feeds both the
+normalizing sum and the next round, the multi-branch re-execution
+hazard CLAUDE.md tracks), transitivity is a broadcast triple
+self-join on ≤190 edges. At 100 TB the reduction happens in the
+first aggregate; the iterative tail is O(models²) regardless of
+corpus size. int64 headroom: BT scales wins by 1e12, so per-model
+win counts are safe to ~9.2e6 games; past that drop SCALE to 1e10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alma_publish_to_marc_spark.tables import load
+
+QUERIES: dict = {}
+
+_N_ANNOTATORS = 3
+_BT_ROUNDS = 6
+_BT_SCALE = 1_000_000_000_000  # e12: e6-strengths -> e6-scaled terms
+
+# Module persist-release convention (operators/clustering.py contract).
+# The BT rounds run driver-side on the collected win matrix, so this
+# family currently persists nothing; the hook stays for uniformity.
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_cached() -> int:
+    """Release any frames persisted by this family."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
+def _noise_sql(cmp_id: str, h: str) -> str:
+    """Annotator noise in [-30, 30]: canonical 48-bit md5 int mod 61.
+
+    Shared sub-expression for both engines up to the hex-to-int cast,
+    which each engine spells its own way (conv vs '0x' cast)."""
+    key = f"'pref:' , cast({cmp_id} as string), ':', cast({h} as string)"
+    return ("cast(conv(substr(md5(concat(" + key + ")), 1, 12), 16, 10)"
+            " as bigint) % 61 - 30")
+
+
+def _duck_noise_sql(cmp_id: str, h: str) -> str:
+    key = (f"'pref:' || CAST({cmp_id} AS VARCHAR) || ':'"
+           f" || CAST({h} AS VARCHAR)")
+    return (f"CAST('0x' || substr(md5({key}), 1, 12) AS BIGINT)"
+            " % 61 - 30")
+
+
+_DUCK_BASE = f"""
+lhs AS (
+    SELECT doc_id // 2 AS cmp_id, doc_id, source, n_chars,
+           (doc_id + 1 + CAST('0x' || substr(md5('opp:' ||
+                CAST(doc_id // 2 AS VARCHAR)), 1, 12) AS BIGINT) % 243)
+           % (SELECT max(doc_id) + 1 FROM documents) AS opp_id
+    FROM documents WHERE doc_id % 2 = 0
+),
+pairs AS (
+    SELECT a.cmp_id, a.source AS src_a, b.source AS src_b,
+           a.n_chars AS len_a, b.n_chars AS len_b
+    FROM lhs a JOIN documents b ON b.doc_id = a.opp_id
+),
+votes AS (
+    SELECT p.cmp_id, p.src_a, p.src_b, p.len_a, p.len_b, h.h,
+           CASE WHEN p.len_a + ({_duck_noise_sql('p.cmp_id', 'h.h')})
+                     > p.len_b THEN 1 ELSE 0 END AS prefer_a
+    FROM pairs p CROSS JOIN (SELECT unnest([0, 1, 2]) AS h) h
+)
+"""
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source",
+                                                "n_chars")
+    nd = d.agg((F.max("doc_id") + 1).alias("n_docs"))
+    opp = F.expr(
+        "(doc_id + 1 + cast(conv(substr(md5(concat('opp:',"
+        " cast(doc_id div 2 as string))), 1, 12), 16, 10) as bigint)"
+        " % 243) % n_docs")
+    a = (d.where(F.col("doc_id") % 2 == 0)
+         .crossJoin(F.broadcast(nd))
+         .select(F.expr("doc_id div 2").alias("cmp_id"),
+                 opp.alias("opp_id"),
+                 F.col("source").alias("src_a"),
+                 F.col("n_chars").alias("len_a")))
+    b = d.select(F.col("doc_id").alias("opp_id"),
+                 F.col("source").alias("src_b"),
+                 F.col("n_chars").alias("len_b"))
+    return (a.join(b, "opp_id")
+            .select("cmp_id", "src_a", "src_b", "len_a", "len_b"))
+
+
+def _votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (comparison, annotator) with the integer vote."""
+    hs = spark.range(_N_ANNOTATORS).select(F.col("id").cast("int")
+                                           .alias("h"))
+    prefer = F.expr(f"len_a + ({_noise_sql('cmp_id', 'h')}) > len_b")
+    return (_pairs(spark, sf_dir).crossJoin(F.broadcast(hs))
+            .withColumn("prefer_a", prefer.cast("int")))
+
+
+def _flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-comparison annotator votes as three columns — computed
+    inline on the pairs frame (no explode, no shuffle)."""
+    p = _pairs(spark, sf_dir)
+    for h in range(_N_ANNOTATORS):
+        vote = F.expr(f"len_a + ({_noise_sql('cmp_id', str(h))}) > len_b")
+        p = p.withColumn(f"p{h}", vote.cast("long"))
+    return p
+
+
+_DUCK_FLAGS = f"""
+flags AS (
+    SELECT cmp_id,
+           CASE WHEN len_a + ({_duck_noise_sql('cmp_id', '0')}) > len_b
+                THEN 1 ELSE 0 END AS p0,
+           CASE WHEN len_a + ({_duck_noise_sql('cmp_id', '1')}) > len_b
+                THEN 1 ELSE 0 END AS p1,
+           CASE WHEN len_a + ({_duck_noise_sql('cmp_id', '2')}) > len_b
+                THEN 1 ELSE 0 END AS p2
+    FROM pairs
+)
+"""
+
+
+# --------------------------------------------------------------------
+# Bradley-Terry strength fitting (minorization-maximization rounds)
+# --------------------------------------------------------------------
+
+def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latent model strengths from pairwise outcomes — the scoring
+    model behind chatbot-arena-style leaderboards, fit EXACTLY with
+    Hunter's MM iteration instead of gradient descent: s_i <-
+    W_i / sum_j n_ij/(s_i+s_j), renormalized to mean 1e6 each round,
+    all in positive-int64 floor arithmetic (Python // == Spark div ==
+    DuckDB // on positives). Output one row per model: (model,
+    n_games, wins, strength_e6, rank).
+
+    Scale: the corpus collapses to a <=|models|^2 win matrix in ONE
+    map-side-combinable aggregate; that matrix is collected once and
+    the {_BT_ROUNDS} MM rounds run driver-side in exact integer
+    arithmetic — the same sanctioned driver-paced shape as the BPE
+    trainer (CLAUDE.md), and deliberately NOT unrolled as a DataFrame
+    lineage: each round's normalizer fans the plan into two branches,
+    so an unrolled tree grows 2^rounds copies of the base plan and
+    Catalyst optimization time explodes long before execution does.
+    At 100 TB the matrix is still |models|^2 rows; only the first
+    aggregate touches the corpus. Headroom: W_i*1e12 is exact in
+    Python ints regardless (no int64 ceiling on the driver).
+    """
+    v = _votes(spark, sf_dir).where(F.col("src_a") != F.col("src_b"))
+    outcome = v.select(
+        F.when(F.col("prefer_a") == 1, F.col("src_a"))
+         .otherwise(F.col("src_b")).alias("winner"),
+        F.when(F.col("prefer_a") == 1, F.col("src_b"))
+         .otherwise(F.col("src_a")).alias("loser"))
+    directed = (outcome.groupBy("winner", "loser")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect())  # <=|models|^2 aggregate rows (tiny)
+
+    d: dict[tuple[str, str], int] = {(r["winner"], r["loser"]): r["n"]
+                                     for r in directed}
+    models = sorted({m for pair in d for m in pair})
+    n_ij = {(i, j): d.get((i, j), 0) + d.get((j, i), 0)
+            for i in models for j in models if i != j}
+    opp = {m: [j for j in models if j != m and n_ij[(m, j)] > 0]
+           for m in models}
+    n_games = {m: sum(n_ij[(m, j)] for j in opp[m]) for m in models}
+    wins = {m: sum(d.get((m, j), 0) for j in opp[m]) for m in models}
+
+    s = {m: 1_000_000 for m in models}
+    for _ in range(_BT_ROUNDS):
+        t = {m: sum(n_ij[(m, j)] * _BT_SCALE
+                    // max(s[m] + s[j], 1) for j in opp[m])
+             for m in models}
+        raw = {m: wins[m] * _BT_SCALE // max(t[m], 1) for m in models}
+        tot = max(sum(raw.values()), 1)
+        s = {m: raw[m] * len(models) * 1_000_000 // tot for m in models}
+
+    ranked = sorted(models, key=lambda m: (-s[m], m))
+    rows = [(m, n_games[m], wins[m], s[m], r + 1)
+            for r, m in enumerate(ranked)]
+    return spark.createDataFrame(
+        rows, "model string, n_games long, wins long,"
+              " strength_e6 long, rank int")
+
+
+def _bt_sql() -> str:
+    rounds = []
+    prev = "s0"
+    for r in range(1, _BT_ROUNDS + 1):
+        rounds.append(f"""
+t{r} AS MATERIALIZED (
+    SELECT g.i,
+           CAST(sum(g.n * {_BT_SCALE}
+                    // greatest(si.s + sj.s, 1)) AS BIGINT) AS t_i
+    FROM games g
+    JOIN {prev} si ON g.i = si.i
+    JOIN {prev} sj ON g.j = sj.i
+    GROUP BY g.i
+),
+r{r} AS MATERIALIZED (
+    SELECT w.i, w.w * {_BT_SCALE} // greatest(t.t_i, 1) AS s_raw
+    FROM totals w JOIN t{r} t ON w.i = t.i
+),
+s{r} AS MATERIALIZED (
+    SELECT i,
+           CAST(s_raw * (SELECT count(*) FROM r{r}) * 1000000
+                // greatest(CAST((SELECT sum(s_raw) FROM r{r})
+                                 AS BIGINT), 1) AS BIGINT) AS s
+    FROM r{r}
+)""")
+        prev = f"s{r}"
+    return f"""
+WITH {_DUCK_BASE.strip().rstrip()},
+outcome AS (
+    SELECT CASE WHEN prefer_a = 1 THEN src_a ELSE src_b END AS winner,
+           CASE WHEN prefer_a = 1 THEN src_b ELSE src_a END AS loser
+    FROM votes WHERE src_a != src_b
+),
+games AS MATERIALIZED (
+    SELECT i, j, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT winner AS i, loser AS j FROM outcome
+          UNION ALL
+          SELECT loser AS i, winner AS j FROM outcome)
+    GROUP BY i, j
+),
+totals AS MATERIALIZED (
+    SELECT g.i, CAST(sum(g.n) AS BIGINT) AS n_games,
+           CAST(coalesce(max(w.w), 0) AS BIGINT) AS w
+    FROM games g
+    LEFT JOIN (SELECT winner AS i, CAST(count(*) AS BIGINT) AS w
+               FROM outcome GROUP BY winner) w ON g.i = w.i
+    GROUP BY g.i
+),
+s0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM totals),
+{','.join(rounds)}
+SELECT t.i AS model, t.n_games, t.w AS wins, f.s AS strength_e6,
+       CAST(row_number() OVER (ORDER BY f.s DESC, t.i ASC) AS INT)
+           AS rank
+FROM totals t JOIN {prev} f ON t.i = f.i
+"""
+
+
+QUERIES["bradley_terry_strength"] = (bradley_terry_strength, _bt_sql())
+
+
+# --------------------------------------------------------------------
+# Pairwise win rates with Wilson lower bounds
+# --------------------------------------------------------------------
+
+# Same expression string evaluated by BOTH engines: only +,-,*,/ and
+# sqrt on doubles (all IEEE correctly-rounded), z^2 spelled as
+# 1.96*1.96 so each engine derives the identical double.
+_WILSON = ("(p + (1.96*1.96)/(2.0*nn)"
+           " - 1.96 * sqrt((p*(1.0-p) + (1.96*1.96)/(4.0*nn)) / nn))"
+           " / (1.0 + (1.96*1.96)/nn)")
+
+
+def pairwise_winrate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win-rate matrix over model pairs with the Wilson-score lower
+    bound — the "is this ranking edge real or 5 votes of noise" gate a
+    leaderboard applies before showing A > B. Output per unordered
+    model pair: (m1, m2, n_votes, wins_m1, winrate_e6, wilson_lb_e6).
+
+    Scale: one map-side-combinable aggregate to <=|models|^2 rows;
+    the Wilson formula is a scalar expression on the aggregate."""
+    v = _votes(spark, sf_dir).where(F.col("src_a") != F.col("src_b"))
+    canon = v.select(
+        F.least("src_a", "src_b").alias("m1"),
+        F.greatest("src_a", "src_b").alias("m2"),
+        F.when(F.col("prefer_a") == 1,
+               (F.col("src_a") < F.col("src_b")).cast("long"))
+         .otherwise((F.col("src_b") < F.col("src_a")).cast("long"))
+         .alias("win1"))
+    agg = (canon.groupBy("m1", "m2")
+           .agg(F.count(F.lit(1)).alias("n_votes"),
+                F.sum("win1").alias("wins_m1")))
+    return agg.select(
+        "m1", "m2", "n_votes", "wins_m1",
+        F.expr("1000000 * wins_m1 div n_votes").alias("winrate_e6"),
+        F.expr(
+            "cast(floor(1000000.0 * ("
+            + _WILSON.replace("p", "(cast(wins_m1 as double)"
+                              " / cast(n_votes as double))")
+                     .replace("nn", "cast(n_votes as double)")
+            + ")) as bigint)").alias("wilson_lb_e6"))
+
+
+def _wilson_sql() -> str:
+    wilson = (_WILSON
+              .replace("p", "(CAST(wins_m1 AS DOUBLE)"
+                       " / CAST(n_votes AS DOUBLE))")
+              .replace("nn", "CAST(n_votes AS DOUBLE)"))
+    return f"""
+WITH {_DUCK_BASE.strip()},
+canon AS (
+    SELECT least(src_a, src_b) AS m1, greatest(src_a, src_b) AS m2,
+           CASE WHEN prefer_a = 1
+                THEN CASE WHEN src_a < src_b THEN 1 ELSE 0 END
+                ELSE CASE WHEN src_b < src_a THEN 1 ELSE 0 END
+           END AS win1
+    FROM votes WHERE src_a != src_b
+),
+agg AS (
+    SELECT m1, m2, CAST(count(*) AS BIGINT) AS n_votes,
+           CAST(sum(win1) AS BIGINT) AS wins_m1
+    FROM canon GROUP BY m1, m2
+)
+SELECT m1, m2, n_votes, wins_m1,
+       1000000 * wins_m1 // n_votes AS winrate_e6,
+       CAST(floor(1000000.0 * ({wilson})) AS BIGINT) AS wilson_lb_e6
+FROM agg
+"""
+
+
+QUERIES["pairwise_winrate_wilson"] = (pairwise_winrate_wilson,
+                                      _wilson_sql())
+
+
+# --------------------------------------------------------------------
+# Annotator agreement: Cohen's kappa per annotator pair
+# --------------------------------------------------------------------
+
+def annotator_agreement_kappa(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Cohen's kappa for each annotator pair — chance-corrected
+    agreement, THE acceptance gate on human preference labels. kappa =
+    (A*N - (a1*b1 + a0*b0)) / (N^2 - (a1*b1 + a0*b0)), every term an
+    exact int64 (cross-multiplied, no intermediate ratios); the single
+    double division happens once at the end under floor(1e6*...)
+    (floor, not int-cast: kappa can be negative). Output per pair:
+    (pair, n_items, agree, kappa_e6).
+
+    Scale: votes collapse per-comparison to three inline flag columns
+    (no explode), then one aggregate to 3 rows. int64 headroom:
+    A*N and N^2 need N < 3e9 items."""
+    f = _flags(spark, sf_dir)
+    stacked = f.select(F.explode(F.array(*[
+        F.struct(F.lit(f"h{a}~h{b}").alias("pair"),
+                 F.col(f"p{a}").alias("x"), F.col(f"p{b}").alias("y"))
+        for a in range(_N_ANNOTATORS) for b in range(a + 1,
+                                                     _N_ANNOTATORS)
+    ])).alias("s")).select("s.pair", "s.x", "s.y")
+    agg = (stacked.groupBy("pair")
+           .agg(F.count(F.lit(1)).alias("n_items"),
+                F.sum((F.col("x") == F.col("y")).cast("long"))
+                 .alias("agree"),
+                F.sum("x").alias("a1"), F.sum("y").alias("b1")))
+    num = ("(agree * n_items"
+           " - (a1 * b1 + (n_items - a1) * (n_items - b1)))")
+    den = ("(n_items * n_items"
+           " - (a1 * b1 + (n_items - a1) * (n_items - b1)))")
+    kappa = (f"case when {den} = 0 then cast(0 as bigint) else"
+             f" cast(floor(1000000.0 * cast({num} as double)"
+             f" / cast({den} as double)) as bigint) end")
+    return agg.select("pair", "n_items", "agree",
+                      F.expr(kappa).alias("kappa_e6"))
+
+
+def _kappa_sql() -> str:
+    num = ("(agree * n_items"
+           " - (a1 * b1 + (n_items - a1) * (n_items - b1)))")
+    den = ("(n_items * n_items"
+           " - (a1 * b1 + (n_items - a1) * (n_items - b1)))")
+    return f"""
+WITH {_DUCK_BASE.strip()},
+{_DUCK_FLAGS.strip()},
+stacked AS (
+    SELECT 'h0~h1' AS pair, p0 AS x, p1 AS y FROM flags
+    UNION ALL
+    SELECT 'h0~h2' AS pair, p0 AS x, p2 AS y FROM flags
+    UNION ALL
+    SELECT 'h1~h2' AS pair, p1 AS x, p2 AS y FROM flags
+),
+agg AS (
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree,
+           CAST(sum(x) AS BIGINT) AS a1, CAST(sum(y) AS BIGINT) AS b1
+    FROM stacked GROUP BY pair
+)
+SELECT pair, n_items, agree,
+       CASE WHEN {den} = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(1000000.0 * CAST({num} AS DOUBLE)
+                            / CAST({den} AS DOUBLE)) AS BIGINT)
+       END AS kappa_e6
+FROM agg
+"""
+
+
+QUERIES["annotator_agreement_kappa"] = (annotator_agreement_kappa,
+                                        _kappa_sql())
+
+
+# --------------------------------------------------------------------
+# Fleiss' kappa across all annotators
+# --------------------------------------------------------------------
+
+def fleiss_kappa_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over all three annotators at once (2 categories,
+    m=3 raters/item). With U = sum_i(na^2+nb^2-3), V = Sa^2+Sb^2:
+    kappa = (3NU - 2V)/(18N^2 - 2V) — exact int64 cross-multiplied,
+    one floored double division at the end. Output one row:
+    (n_items, p_bar_e6, p_e_e6, kappa_e6).
+
+    Scale: inline flags, one global aggregate; headroom 18N^2 needs
+    N < 7e8 items."""
+    f = _flags(spark, sf_dir).select(
+        (F.col("p0") + F.col("p1") + F.col("p2")).alias("na"))
+    f = f.select("na", (F.lit(3) - F.col("na")).alias("nb"))
+    agg = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("na") * F.col("na") + F.col("nb") * F.col("nb")
+              - F.lit(3)).alias("u"),
+        F.sum("na").alias("sa"), F.sum("nb").alias("sb"))
+    return agg.select(
+        F.col("n").alias("n_items"),
+        F.expr("cast(floor(1000000.0 * cast(u as double)"
+               " / cast(6 * n as double)) as bigint)").alias("p_bar_e6"),
+        F.expr("cast(floor(1000000.0 * cast(sa * sa + sb * sb as double)"
+               " / cast(9 * n * n as double)) as bigint)")
+         .alias("p_e_e6"),
+        F.expr("cast(floor(1000000.0"
+               " * cast(3 * n * u - 2 * (sa * sa + sb * sb) as double)"
+               " / cast(18 * n * n - 2 * (sa * sa + sb * sb) as double))"
+               " as bigint)").alias("kappa_e6"))
+
+
+_FLEISS_SQL = f"""
+WITH {_DUCK_BASE.strip()},
+{_DUCK_FLAGS.strip()},
+counts AS (
+    SELECT p0 + p1 + p2 AS na, 3 - (p0 + p1 + p2) AS nb FROM flags
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(na * na + nb * nb - 3) AS BIGINT) AS u,
+           CAST(sum(na) AS BIGINT) AS sa,
+           CAST(sum(nb) AS BIGINT) AS sb
+    FROM counts
+)
+SELECT n AS n_items,
+       CAST(floor(1000000.0 * CAST(u AS DOUBLE)
+                  / CAST(6 * n AS DOUBLE)) AS BIGINT) AS p_bar_e6,
+       CAST(floor(1000000.0 * CAST(sa * sa + sb * sb AS DOUBLE)
+                  / CAST(9 * n * n AS DOUBLE)) AS BIGINT) AS p_e_e6,
+       CAST(floor(1000000.0
+                  * CAST(3 * n * u - 2 * (sa * sa + sb * sb) AS DOUBLE)
+                  / CAST(18 * n * n - 2 * (sa * sa + sb * sb)
+                         AS DOUBLE)) AS BIGINT) AS kappa_e6
+FROM agg
+"""
+
+QUERIES["fleiss_kappa_items"] = (fleiss_kappa_items, _FLEISS_SQL)
+
+
+# --------------------------------------------------------------------
+# Length-bias audit
+# --------------------------------------------------------------------
+
+def preference_length_bias(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Does the longer response win more often as the length gap
+    grows? The classic verbosity-bias audit on preference data: bucket
+    votes by |len_a - len_b| (width 25, capped at bucket 8 — the
+    CLAUDE.md no-width_bucket floor formula) and report the longer
+    side's win rate per bucket. Output: (bucket, n_votes,
+    longer_wins, winrate_e6).
+
+    Scale: scalar expressions then one map-side-combinable aggregate
+    to <=9 rows."""
+    v = _votes(spark, sf_dir).where(F.col("len_a") != F.col("len_b"))
+    rows = v.select(
+        F.least(F.expr("abs(len_a - len_b) div 25"), F.lit(8))
+         .cast("long").alias("bucket"),
+        (F.col("prefer_a") ==
+         (F.col("len_a") > F.col("len_b")).cast("int")).cast("long")
+         .alias("longer_win"))
+    return (rows.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_votes"),
+                 F.sum("longer_win").alias("longer_wins"))
+            .withColumn("winrate_e6",
+                        F.expr("1000000 * longer_wins div n_votes")))
+
+
+_LENGTH_BIAS_SQL = f"""
+WITH {_DUCK_BASE.strip()},
+rows_ AS (
+    SELECT least(abs(len_a - len_b) // 25, 8) AS bucket,
+           CASE WHEN prefer_a = (CASE WHEN len_a > len_b THEN 1
+                                      ELSE 0 END)
+                THEN 1 ELSE 0 END AS longer_win
+    FROM votes WHERE len_a != len_b
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_votes,
+       CAST(sum(longer_win) AS BIGINT) AS longer_wins,
+       1000000 * CAST(sum(longer_win) AS BIGINT) // count(*)
+           AS winrate_e6
+FROM rows_ GROUP BY bucket
+"""
+
+QUERIES["preference_length_bias"] = (preference_length_bias,
+                                     _LENGTH_BIAS_SQL)
+
+
+# --------------------------------------------------------------------
+# Majority-preference transitivity audit
+# --------------------------------------------------------------------
+
+def preference_transitivity_audit(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Is the majority preference a coherent ranking? Build the
+    majority-direction edge per model pair (strict majority; ties
+    dropped and counted), then count cyclic triads (a>b>c>a — each
+    counted once at its minimum-label rotation) vs transitive triads.
+    Cycles mean no total order exists and a Bradley-Terry score is a
+    compromise, not a summary. Output one row: (n_models, n_edges,
+    n_tied_pairs, n_cyclic, n_transitive).
+
+    Scale: ONE corpus pass reduces to <=|models|^2 majority-edge
+    rows, persisted (it feeds four branches: edges, tie stats, model
+    census, and the triad joins — the CLAUDE.md multi-branch
+    re-execution hazard) and released via unpersist_cached(); the
+    triple self-join runs on that broadcast-sized frame."""
+    from pyspark import StorageLevel
+
+    v = _votes(spark, sf_dir).where(F.col("src_a") != F.col("src_b"))
+    canon = v.select(
+        F.least("src_a", "src_b").alias("m1"),
+        F.greatest("src_a", "src_b").alias("m2"),
+        F.when(F.col("prefer_a") == 1,
+               (F.col("src_a") < F.col("src_b")).cast("long"))
+         .otherwise((F.col("src_b") < F.col("src_a")).cast("long"))
+         .alias("win1"))
+    pairs = (canon.groupBy("m1", "m2")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("win1").alias("w1"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(pairs)
+    edges = (pairs
+             .select(F.when(2 * F.col("w1") > F.col("n"), F.col("m1"))
+                      .when(2 * F.col("w1") < F.col("n"), F.col("m2"))
+                      .alias("u"),
+                     F.when(2 * F.col("w1") > F.col("n"), F.col("m2"))
+                      .when(2 * F.col("w1") < F.col("n"), F.col("m1"))
+                      .alias("v"))
+             .where(F.col("u").isNotNull()))
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("c2"), F.col("v").alias("a2"))
+    cyc = (e1.join(F.broadcast(e2), F.col("b") == F.col("b2"))
+           .join(F.broadcast(e3), (F.col("c") == F.col("c2"))
+                 & (F.col("a") == F.col("a2")))
+           .where((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+           .agg(F.count(F.lit(1)).alias("n_cyclic")))
+    t3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    trans = (e1.join(F.broadcast(e2), F.col("b") == F.col("b2"))
+             .join(F.broadcast(t3), (F.col("a") == F.col("a3"))
+                   & (F.col("c") == F.col("c3")))
+             .agg(F.count(F.lit(1)).alias("n_transitive")))
+    models = (pairs.select(F.col("m1").alias("m"))
+              .unionByName(pairs.select(F.col("m2").alias("m")))
+              .agg(F.countDistinct("m").alias("n_models")))
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((2 * F.col("w1") == F.col("n")).cast("long"))
+         .alias("n_tied_pairs"))
+    return (models.crossJoin(stats).crossJoin(cyc).crossJoin(trans)
+            .select("n_models",
+                    (F.col("n_pairs") - F.col("n_tied_pairs"))
+                    .alias("n_edges"),
+                    "n_tied_pairs", "n_cyclic", "n_transitive"))
+
+
+_TRANSITIVITY_SQL = f"""
+WITH {_DUCK_BASE.strip()},
+canon AS (
+    SELECT least(src_a, src_b) AS m1, greatest(src_a, src_b) AS m2,
+           CASE WHEN prefer_a = 1
+                THEN CASE WHEN src_a < src_b THEN 1 ELSE 0 END
+                ELSE CASE WHEN src_b < src_a THEN 1 ELSE 0 END
+           END AS win1
+    FROM votes WHERE src_a != src_b
+),
+pairs_agg AS (
+    SELECT m1, m2, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(win1) AS BIGINT) AS w1
+    FROM canon GROUP BY m1, m2
+),
+edges AS (
+    SELECT CASE WHEN 2 * w1 > n THEN m1 ELSE m2 END AS u,
+           CASE WHEN 2 * w1 > n THEN m2 ELSE m1 END AS v
+    FROM pairs_agg WHERE 2 * w1 != n
+),
+cyc AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cyclic
+    FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e2.v = e3.u AND e3.v = e1.u
+    WHERE e1.u < e1.v AND e1.u < e2.v
+),
+trans AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_transitive
+    FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+),
+models AS (
+    SELECT CAST(count(DISTINCT m) AS BIGINT) AS n_models
+    FROM (SELECT m1 AS m FROM canon UNION ALL SELECT m2 FROM canon)
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN 2 * w1 = n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tied_pairs
+    FROM pairs_agg
+)
+SELECT m.n_models, s.n_pairs - s.n_tied_pairs AS n_edges,
+       s.n_tied_pairs, c.n_cyclic, t.n_transitive
+FROM models m, stats s, cyc c, trans t
+"""
+
+QUERIES["preference_transitivity_audit"] = (preference_transitivity_audit,
+                                            _TRANSITIVITY_SQL)
+
+
+# --------------------------------------------------------------------
+# Position-bias audit per annotator
+# --------------------------------------------------------------------
+
+def annotator_position_bias(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Does any annotator systematically favor the first-listed
+    option? Per-annotator rate of choosing side A (positions are
+    fixed by construction, so a fair rater's rate tracks the pooled
+    rate). Output per annotator: (annotator, n_votes, a_votes,
+    a_rate_e6, pooled_rate_e6, skew_e6 = own - pooled).
+
+    Scale: one aggregate to 3 rows + a broadcast of the 1-row pooled
+    aggregate."""
+    v = _votes(spark, sf_dir)
+    per = (v.groupBy(F.col("h").alias("annotator"))
+           .agg(F.count(F.lit(1)).alias("n_votes"),
+                F.sum("prefer_a").alias("a_votes"))
+           .withColumn("a_rate_e6",
+                       F.expr("1000000 * a_votes div n_votes")))
+    pooled = (v.agg(F.count(F.lit(1)).alias("pn"),
+                    F.sum("prefer_a").alias("pa"))
+              .select(F.expr("1000000 * pa div pn")
+                      .alias("pooled_rate_e6")))
+    return (per.crossJoin(F.broadcast(pooled))
+            .select("annotator", "n_votes", "a_votes", "a_rate_e6",
+                    "pooled_rate_e6",
+                    (F.col("a_rate_e6") - F.col("pooled_rate_e6"))
+                    .alias("skew_e6")))
+
+
+_POSITION_SQL = f"""
+WITH {_DUCK_BASE.strip()},
+per AS (
+    SELECT h AS annotator, CAST(count(*) AS BIGINT) AS n_votes,
+           CAST(sum(prefer_a) AS BIGINT) AS a_votes
+    FROM votes GROUP BY h
+),
+pooled AS (
+    SELECT 1000000 * CAST(sum(prefer_a) AS BIGINT) // count(*)
+               AS pooled_rate_e6
+    FROM votes
+)
+SELECT CAST(annotator AS INT) AS annotator, n_votes, a_votes,
+       1000000 * a_votes // n_votes AS a_rate_e6,
+       p.pooled_rate_e6,
+       1000000 * a_votes // n_votes - p.pooled_rate_e6 AS skew_e6
+FROM per, pooled p
+"""
+
+QUERIES["annotator_position_bias"] = (annotator_position_bias,
+                                      _POSITION_SQL)

@@ -30,6 +30,7 @@ _MODULES = (
     "alma_publish_to_marc_spark.plans.corpus_queries",
     "alma_publish_to_marc_spark.plans.lm_queries",
     "alma_publish_to_marc_spark.plans.behavior_queries",
+    "alma_publish_to_marc_spark.plans.preference_queries",
     "alma_publish_to_marc_spark.plans.migrations",
     "alma_publish_to_marc_spark.plans.warehouse_bench",
     "alma_publish_to_marc_spark.plans.tpch_queries",

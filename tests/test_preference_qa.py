@@ -1,0 +1,118 @@
+"""Mathematical invariants of the preference-data QA family.
+
+The oracle parity test proves cross-engine agreement; these prove the
+statistics satisfy the laws that make them meaningful: Bradley-Terry
+recovers the planted latent signal and conserves the normalization,
+kappa is bounded and symmetric in its marginals, triad counts
+partition the decided triangles, and the length-bias curve is a valid
+probability per bucket.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    return lambda name: qs[name](spark, SF_SMOKE)
+
+
+def _release():
+    from alma_publish_to_marc_spark.plans import preference_queries as P
+
+    P.unpersist_cached()
+
+
+def test_bradley_terry_recovers_length_signal(spark, q):
+    # Votes are generated as len_a + noise > len_b, so a source's true
+    # strength is monotone in its mean document length. The fitted
+    # top-5 mean length must exceed the bottom-5 mean length — BT
+    # recovering the planted signal, not noise.
+    rows = q("bradley_terry_strength").collect()
+    _release()
+    from alma_publish_to_marc_spark.tables import load
+
+    mean_len = dict(load(spark, SF_SMOKE, "documents")
+                    .groupBy("source")
+                    .agg(F.avg("n_chars").alias("m")).collect())
+    ranked = sorted(rows, key=lambda r: r["rank"])
+    top = sum(mean_len[r["model"]] for r in ranked[:5]) / 5
+    bottom = sum(mean_len[r["model"]] for r in ranked[-5:]) / 5
+    assert top > bottom
+
+
+def test_bradley_terry_normalization_and_games(spark, q):
+    rows = q("bradley_terry_strength").collect()
+    _release()
+    k = len(rows)
+    # mean-1e6 renormalization: floor errors lose < 1 unit per model
+    assert k * 1_000_000 - k <= sum(r["strength_e6"] for r in rows) \
+        <= k * 1_000_000
+    # every game has one winner: total wins == total games / 2
+    assert sum(r["wins"] for r in rows) * 2 == sum(r["n_games"]
+                                                   for r in rows)
+    assert all(r["wins"] <= r["n_games"] for r in rows)
+
+
+def test_wilson_bound_is_a_lower_bound(spark, q):
+    rows = q("pairwise_winrate_wilson").collect()
+    for r in rows:
+        assert 0 <= r["wilson_lb_e6"] <= r["winrate_e6"]
+        assert r["wins_m1"] <= r["n_votes"]
+
+
+def test_kappa_bounded_and_consistent_with_agreement(spark, q):
+    rows = q("annotator_agreement_kappa").collect()
+    assert {r["pair"] for r in rows} == {"h0~h1", "h0~h2", "h1~h2"}
+    for r in rows:
+        assert -1_000_000 <= r["kappa_e6"] <= 1_000_000
+        assert 0 <= r["agree"] <= r["n_items"]
+
+
+def test_fleiss_kappa_identity(spark, q):
+    r = q("fleiss_kappa_items").collect()[0]
+    # kappa == (p_bar - p_e) / (1 - p_e) up to e6 floor error
+    pb, pe, kap = (r["p_bar_e6"] / 1e6, r["p_e_e6"] / 1e6,
+                   r["kappa_e6"] / 1e6)
+    assert abs(kap - (pb - pe) / (1 - pe)) < 1e-4
+    assert -1 <= kap <= 1
+
+
+def test_length_bias_monotone_signal(spark, q):
+    # The vote rule is len_a + U[-30,30] > len_b, so once the gap
+    # exceeds 30 the longer side wins EVERY vote; the top bucket must
+    # be saturated and every rate must be a valid probability.
+    rows = {r["bucket"]: r for r in q("preference_length_bias").collect()}
+    for r in rows.values():
+        assert 0 <= r["winrate_e6"] <= 1_000_000
+        assert r["longer_wins"] <= r["n_votes"]
+    assert rows[8]["winrate_e6"] == 1_000_000  # gap >= 200 >> 30
+
+
+def test_transitivity_triads_partition(spark, q):
+    r = q("preference_transitivity_audit").collect()[0]
+    _release()
+    # with the generator's strong length signal the majority
+    # tournament is near-total-order: cyclic triads are a small
+    # minority of decided triangles
+    assert r["n_cyclic"] + r["n_transitive"] > 0
+    assert r["n_cyclic"] <= r["n_transitive"]
+    assert r["n_edges"] + r["n_tied_pairs"] <= \
+        r["n_models"] * (r["n_models"] - 1) // 2
+
+
+def test_position_bias_pooled_is_weighted_mean(spark, q):
+    rows = q("annotator_position_bias").collect()
+    n = sum(r["n_votes"] for r in rows)
+    a = sum(r["a_votes"] for r in rows)
+    pooled = rows[0]["pooled_rate_e6"]
+    assert pooled == 1_000_000 * a // n
+    assert sum(r["skew_e6"] * r["n_votes"] for r in rows) // n \
+        in range(-3, 4)  # weighted skews cancel up to floor error
