@@ -241,3 +241,35 @@ def test_gini_ranking_is_single_scan(props, spark):
     p = props("gini_feature_ranking")
     assert p["scans"] <= 3
     assert p["sort_merge_joins"] == 0
+
+
+def test_bradley_terry_returns_local_matrix_result(props, spark):
+    # The MM rounds are driver-paced over the collected win matrix
+    # (the BPE sanctioned shape): the RETURNED frame is a local
+    # relation — zero corpus scans/shuffles/joins in its lineage. An
+    # unrolled DataFrame lineage would double per round at the
+    # normalizer fan-out (2^rounds plan copies — Catalyst blow-up).
+    p = props("bradley_terry_strength")
+    assert p["scans"] == 0
+    assert p["shuffles"] == 0
+    assert p["broadcast_joins"] == 0
+
+
+def test_preference_transitivity_reads_pairs_from_cache(props, spark):
+    # pairs feeds four branches (edges/ties/models/triads): each must
+    # read the persisted <=|models|^2 frame, not re-aggregate the
+    # corpus (CLAUDE.md multi-branch hazard).
+    p = props("preference_transitivity_audit")
+    assert p["in_memory_scans"] >= 4
+    assert p["scans"] <= 3  # docs twice (self-join) + max(doc_id)
+    from alma_publish_to_marc_spark.plans import preference_queries as P
+    assert P.unpersist_cached() >= 1
+
+
+def test_preference_aggregates_are_single_shuffle(props, spark):
+    for name in ("pairwise_winrate_wilson", "annotator_agreement_kappa",
+                 "preference_length_bias", "annotator_position_bias"):
+        p = props(name)
+        assert p["shuffles"] <= 1, name
+        assert p["range_shuffles"] == 0, name
+        assert p["sort_merge_joins"] == 0, name
