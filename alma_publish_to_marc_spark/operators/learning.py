@@ -812,6 +812,132 @@ QUERIES["logreg_calibration_bins"] = (_logreg_calibration_bins,
                                       _calibration_sql())
 
 
+# Persisted frames released via unpersist_cached() (the
+# operators/clustering.py contract; first needed by isotonic below).
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
+def _isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) recalibration of the classifier's reliability
+    bins — the standard fix when ``logreg_calibration_bins`` shows a
+    non-monotone or biased diagram: replace each bin's raw positive
+    rate with the best monotone fit. Computed EXACTLY via the minimax
+    identity fit_i = max_{j<=i} min_{k>=i} pooled_rate(j..k) — the
+    closed form of pool-adjacent-violators — which is pure joins +
+    min/max, no sequential pooling loop. Output per bin: (bin,
+    n_docs, pos, raw_e6, iso_e6).
+
+    Determinism: pooled rates are one correctly-rounded division of
+    exact int64 prefix sums, so both engines hold identical doubles;
+    min/max/floor on identical doubles are identical. Monotonicity
+    survives IEEE rounding: dropping k=i from the inner min can only
+    raise it, so fit_{i+1} >= fit_i holds on the rounded values too.
+
+    Scale: the corpus collapses to <=CAL_BINS rows in the same two
+    scans as the reliability diagram; the minimax grid is <=B^3 rows
+    of the persisted prefix frame (4 consumer branches — CLAUDE.md
+    multi-branch hazard — released via unpersist_cached()). B is a
+    constant; corpus size never touches the grid.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = logreg_train(docs).select(*[f"w_{n}" for n in FEATURES])
+    feats = _featurized(docs)
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        _p_micro().alias("pm"), "y")
+    rng = scored.agg(F.min("pm").alias("mn"), F.max("pm").alias("mx"))
+    scored = scored.crossJoin(F.broadcast(rng))
+    bin_id = F.expr(
+        f"(pm - mn) * {CAL_BINS} div (mx - mn + 1)").cast("int")
+    bins = (scored.groupBy(bin_id.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("y") == MICRO, 1).otherwise(0))
+                  .alias("pos")))
+    wspec = (Window.orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pref = (bins.select("bin", "n_docs", "pos",
+                        F.sum("n_docs").over(wspec).alias("c"),
+                        F.sum("pos").over(wspec).alias("p"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(pref)
+    j = pref.select(F.col("bin").alias("j"),
+                    (F.col("p") - F.col("pos")).alias("pj"),
+                    (F.col("c") - F.col("n_docs")).alias("cj"))
+    k = pref.select(F.col("bin").alias("k"), F.col("p").alias("pk"),
+                    F.col("c").alias("ck"))
+    jk = (j.crossJoin(k).where(F.col("j") <= F.col("k"))
+          .select("j", "k",
+                  ((F.col("pk") - F.col("pj")).cast("double")
+                   / (F.col("ck") - F.col("cj")).cast("double"))
+                  .alias("r")))
+    i = pref.select(F.col("bin").alias("i"))
+    inner = (i.join(F.broadcast(jk), (F.col("j") <= F.col("i"))
+                    & (F.col("k") >= F.col("i")))
+             .groupBy("i", "j").agg(F.min("r").alias("mr")))
+    fit = inner.groupBy("i").agg(F.max("mr").alias("fit"))
+    return (pref.join(F.broadcast(fit), pref["bin"] == fit["i"])
+            .select("bin", "n_docs", "pos",
+                    F.expr("1000000 * pos div n_docs").alias("raw_e6"),
+                    F.expr("cast(floor(1000000.0 * fit) as bigint)")
+                     .alias("iso_e6")))
+
+
+def _isotonic_sql(n_rounds: int = N_ROUNDS) -> str:
+    ctes = _w_chain_ctes(n_rounds)
+    z = _z_sql(f"w{n_rounds}")
+    pm = f"CAST(round({MICRO} / (1.0 + exp(-{z})), 0) AS BIGINT)"
+    return ("WITH " + ",\n".join(ctes) + f""",
+scored AS (
+    SELECT {pm} AS pm, feats.y AS y
+    FROM feats CROSS JOIN w{n_rounds}
+),
+rng AS (SELECT min(pm) AS mn, max(pm) AS mx FROM scored),
+bins AS (
+    SELECT CAST((pm - mn) * {CAL_BINS} // (mx - mn + 1) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN y = {MICRO} THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos
+    FROM scored CROSS JOIN rng GROUP BY 1
+),
+pref AS MATERIALIZED (
+    SELECT bin, n_docs, pos,
+           CAST(sum(n_docs) OVER (ORDER BY bin) AS BIGINT) AS c,
+           CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS p
+    FROM bins
+),
+jk AS (
+    SELECT j.bin AS j, k.bin AS k,
+           CAST(k.p - (j.p - j.pos) AS DOUBLE)
+               / CAST(k.c - (j.c - j.n_docs) AS DOUBLE) AS r
+    FROM pref j JOIN pref k ON j.bin <= k.bin
+),
+inner_ AS (
+    SELECT i.bin AS i, jk.j, min(jk.r) AS mr
+    FROM pref i JOIN jk ON jk.j <= i.bin AND jk.k >= i.bin
+    GROUP BY i.bin, jk.j
+),
+fit AS (SELECT i, max(mr) AS fit FROM inner_ GROUP BY i)
+SELECT p.bin, p.n_docs, p.pos,
+       1000000 * p.pos // p.n_docs AS raw_e6,
+       CAST(floor(1000000.0 * f.fit) AS BIGINT) AS iso_e6
+FROM pref p JOIN fit f ON p.bin = f.i
+""")
+
+
+QUERIES["isotonic_calibration"] = (_isotonic_calibration,
+                                   _isotonic_sql())
+
+
 # ---------------------------------------------------------------------------
 # Leave-one-out target encoding with additive smoothing
 # ---------------------------------------------------------------------------

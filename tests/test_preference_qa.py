@@ -116,3 +116,45 @@ def test_position_bias_pooled_is_weighted_mean(spark, q):
     assert pooled == 1_000_000 * a // n
     assert sum(r["skew_e6"] * r["n_votes"] for r in rows) // n \
         in range(-3, 4)  # weighted skews cancel up to floor error
+
+
+def test_isotonic_calibration_matches_pava_and_is_monotone(spark, q):
+    # The minimax identity must equal classic pool-adjacent-violators
+    # run on the same bins, the fit must be monotone nondecreasing,
+    # and isotonic regression preserves total positive mass.
+    rows = sorted(q("isotonic_calibration").collect(),
+                  key=lambda r: r["bin"])
+    from alma_publish_to_marc_spark.operators import learning as L
+
+    L.unpersist_cached()
+    iso = [r["iso_e6"] for r in rows]
+    assert iso == sorted(iso)
+    assert all(0 <= v <= 1_000_000 for v in iso)
+
+    # reference PAVA (weighted) on the collected bins
+    blocks = [[r["pos"], r["n_docs"]] for r in rows]
+    merged: list[list[int]] = []
+    for b in blocks:
+        merged.append(list(b))
+        while len(merged) > 1 and (merged[-2][0] * merged[-1][1]
+                                   >= merged[-1][0] * merged[-2][1]):
+            p2, n2 = merged.pop()
+            merged[-1][0] += p2
+            merged[-1][1] += n2
+    # expand blocks back to bins
+    ref: list[float] = []
+    bi = 0
+    for p, n in merged:
+        cnt = 0
+        while bi < len(blocks) and cnt < n:
+            cnt += blocks[bi][1]
+            ref.append(p / n)
+            bi += 1
+    assert len(ref) == len(rows)
+    for got, want in zip(iso, ref):
+        assert abs(got - int(want * 1_000_000)) <= 2
+
+    mass_iso = sum(r["n_docs"] * r["iso_e6"] for r in rows)
+    mass_raw = sum(r["pos"] for r in rows) * 1_000_000
+    assert abs(mass_iso - mass_raw) <= len(rows) * max(
+        r["n_docs"] for r in rows)
