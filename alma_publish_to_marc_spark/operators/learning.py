@@ -938,6 +938,136 @@ QUERIES["isotonic_calibration"] = (_isotonic_calibration,
                                    _isotonic_sql())
 
 
+def _brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the classifier's Brier score over the
+    same reliability bins: BRIER (overall squared error), REL (how far
+    bin-mean predictions sit from bin outcomes — miscalibration), RES
+    (how much the bins separate outcomes — discrimination), UNC (base
+    outcome variance). The one-row scorecard that says whether a bad
+    Brier comes from miscalibration (fix with isotonic_calibration)
+    or from no signal (fix the model). Output: (n_docs, brier_e6,
+    rel_e6, res_e6, unc_e6).
+
+    Determinism: the corpus-scale sums are exact int64 (squared micro
+    gaps; headroom N < 9.2e6 docs per partition-sum — lift to DOUBLE
+    terms past that); REL/RES are per-bin DOUBLE terms summed by an
+    explicit left fold over the bin-sorted array (the CLAUDE.md float-
+    reduction rule — engine-default SUM order is not portable), with
+    IDENTICAL term expressions in both engines. BRIER/UNC are single
+    divisions of exact ints. The decomposition identity holds only up
+    to within-bin prediction variance, which binning discards — the
+    invariant test bounds the residual rather than asserting equality.
+
+    Scale: scoring + binning is the same two-scan shape as the
+    reliability diagram; the folds run over <=CAL_BINS elements in one
+    row. Nothing new shuffles.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = logreg_train(docs).select(*[f"w_{n}" for n in FEATURES])
+    feats = _featurized(docs)
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        _p_micro().alias("pm"),
+        F.when(F.col("y") == MICRO, 1).otherwise(0).cast("long")
+         .alias("y01"))
+    rng = scored.agg(F.min("pm").alias("mn"), F.max("pm").alias("mx"))
+    scored = scored.crossJoin(F.broadcast(rng))
+    bin_id = F.expr(
+        f"(pm - mn) * {CAL_BINS} div (mx - mn + 1)").cast("int")
+    sd = F.expr("(pm - 1000000 * y01) * (pm - 1000000 * y01)")
+    bins = (scored.groupBy(bin_id.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("pm").alias("a"),
+                 F.sum("y01").alias("b"), F.sum(sd).alias("s")))
+    one = bins.agg(
+        F.array_sort(F.collect_list(F.struct("bin", "n", "a", "b")))
+         .alias("arr"),
+        F.sum("n").alias("nn"), F.sum("b").alias("bb"),
+        F.sum("s").alias("ssq"))
+    rel = ("aggregate(transform(arr, x ->"
+           " ((cast(x.a as double) - 1000000.0 * x.b)"
+           "  * (cast(x.a as double) - 1000000.0 * x.b))"
+           " / (cast(x.n as double) * 1000000000000.0"
+           "    * cast(nn as double))),"
+           " cast(0.0 as double), (acc, x) -> acc + x)")
+    res = ("aggregate(transform(arr, x ->"
+           " ((cast(x.b as double) * cast(nn as double)"
+           "   - cast(bb as double) * x.n)"
+           "  * (cast(x.b as double) * cast(nn as double)"
+           "     - cast(bb as double) * x.n))"
+           " / (cast(x.n as double) * cast(nn as double)"
+           "    * cast(nn as double) * cast(nn as double))),"
+           " cast(0.0 as double), (acc, x) -> acc + x)")
+    return one.select(
+        F.col("nn").alias("n_docs"),
+        F.expr("cast(floor(cast(ssq as double)"
+               " / (cast(nn as double) * 1000000.0)) as bigint)")
+         .alias("brier_e6"),
+        F.expr(f"cast(floor(1000000.0 * ({rel})) as bigint)")
+         .alias("rel_e6"),
+        F.expr(f"cast(floor(1000000.0 * ({res})) as bigint)")
+         .alias("res_e6"),
+        F.expr("cast(floor(1000000.0"
+               " * (cast(bb as double) * (nn - bb))"
+               " / (cast(nn as double) * cast(nn as double)))"
+               " as bigint)").alias("unc_e6"))
+
+
+def _brier_sql(n_rounds: int = N_ROUNDS) -> str:
+    ctes = _w_chain_ctes(n_rounds)
+    z = _z_sql(f"w{n_rounds}")
+    pm = f"CAST(round({MICRO} / (1.0 + exp(-{z})), 0) AS BIGINT)"
+    rel = ("list_reduce(list_prepend(0.0, list_transform(arr, x ->"
+           " ((CAST(x.a AS DOUBLE) - 1000000.0 * x.b)"
+           "  * (CAST(x.a AS DOUBLE) - 1000000.0 * x.b))"
+           " / (CAST(x.n AS DOUBLE) * 1000000000000.0"
+           "    * CAST(nn AS DOUBLE)))),"
+           " (acc, x) -> acc + x)")
+    res = ("list_reduce(list_prepend(0.0, list_transform(arr, x ->"
+           " ((CAST(x.b AS DOUBLE) * CAST(nn AS DOUBLE)"
+           "   - CAST(bb AS DOUBLE) * x.n)"
+           "  * (CAST(x.b AS DOUBLE) * CAST(nn AS DOUBLE)"
+           "     - CAST(bb AS DOUBLE) * x.n))"
+           " / (CAST(x.n AS DOUBLE) * CAST(nn AS DOUBLE)"
+           "    * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))),"
+           " (acc, x) -> acc + x)")
+    return ("WITH " + ",\n".join(ctes) + f""",
+scored AS (
+    SELECT {pm} AS pm,
+           CASE WHEN feats.y = {MICRO} THEN 1 ELSE 0 END AS y01
+    FROM feats CROSS JOIN w{n_rounds}
+),
+rng AS (SELECT min(pm) AS mn, max(pm) AS mx FROM scored),
+bins AS (
+    SELECT CAST((pm - mn) * {CAL_BINS} // (mx - mn + 1) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pm) AS BIGINT) AS a,
+           CAST(sum(y01) AS BIGINT) AS b,
+           CAST(sum((pm - 1000000 * y01) * (pm - 1000000 * y01))
+                AS BIGINT) AS s
+    FROM scored CROSS JOIN rng GROUP BY 1
+),
+one AS (
+    SELECT list_sort(list(struct_pack(bin := bin, n := n, a := a,
+                                      b := b))) AS arr,
+           CAST(sum(n) AS BIGINT) AS nn, CAST(sum(b) AS BIGINT) AS bb,
+           CAST(sum(s) AS BIGINT) AS ssq
+    FROM bins
+)
+SELECT nn AS n_docs,
+       CAST(floor(CAST(ssq AS DOUBLE)
+                  / (CAST(nn AS DOUBLE) * 1000000.0)) AS BIGINT)
+           AS brier_e6,
+       CAST(floor(1000000.0 * ({rel})) AS BIGINT) AS rel_e6,
+       CAST(floor(1000000.0 * ({res})) AS BIGINT) AS res_e6,
+       CAST(floor(1000000.0 * (CAST(bb AS DOUBLE) * (nn - bb))
+                  / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+           AS BIGINT) AS unc_e6
+FROM one
+""")
+
+
+QUERIES["brier_decomposition"] = (_brier_decomposition, _brier_sql())
+
+
 # ---------------------------------------------------------------------------
 # Leave-one-out target encoding with additive smoothing
 # ---------------------------------------------------------------------------

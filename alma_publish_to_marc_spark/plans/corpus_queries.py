@@ -1921,3 +1921,143 @@ CROSS JOIN n_tot t
 """
 
 QUERIES["covariate_shift_weights"] = (covariate_shift_weights, _CSW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Greedy maximum-coverage data selection (facility-location curation)
+# ---------------------------------------------------------------------------
+
+COV_K = 5
+
+# Persisted frames released via unpersist_cached() (the
+# operators/clustering.py contract).
+_PERSISTED: list = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
+def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submodular data selection: pick K documents that greedily
+    maximize coverage of the corpus's distinct word bigrams — the
+    facility-location heuristic behind "select the most informative
+    subset to label/train on", with the classic (1-1/e) guarantee.
+    Output one row per pick: (rank, doc_id, gain, cum_covered,
+    coverage_e6); gains are monotone nonincreasing (submodularity —
+    pinned by the invariant test).
+
+    Determinism: bigram keys are 16-byte unhex(md5(...)) (CLAUDE.md
+    text-key rule); the argmax each round breaks ties on lowest
+    doc_id; all counts are exact integers. If the corpus is fully
+    covered before K picks both engines emit the same shorter result
+    (an empty round selects nothing, in the loop and in the unrolled
+    SQL alike).
+
+    Scale: the (doc, key) incidence is built ONCE and persisted
+    (released via unpersist_cached()); each greedy round is one
+    anti-join of that frame against the covered-key set (the keys of
+    <=K picked docs — broadcast-sized at any corpus scale) plus a
+    map-side-combinable count and a 1-row argmax collect — the
+    driver-paced shape of the BPE trainer and MMR. K rounds = K tiny
+    jobs, one incidence build total.
+    """
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        .alias("w"))
+    idx = F.when(F.size("w") >= 2,
+                 F.sequence(F.lit(1), F.size("w") - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)))
+    dt = (docs.select("doc_id", F.explode(grams).alias("g"))
+          .select("doc_id", F.unhex(F.md5("g")).alias("k"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(dt)
+    total = dt.select("k").distinct().count()
+
+    picks: list[int] = []
+    rows: list[tuple] = []
+    cum = 0
+    for r in range(1, COV_K + 1):
+        cand = dt
+        if picks:
+            covered = (dt.where(F.col("doc_id").isin(picks))
+                       .select("k").distinct())
+            cand = (dt.where(~F.col("doc_id").isin(picks))
+                    .join(covered, "k", "left_anti"))
+        top = (cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+               .orderBy(F.desc("c"), F.asc("doc_id")).limit(1).collect())
+        if not top:
+            break
+        doc, gain = top[0]["doc_id"], top[0]["c"]
+        picks.append(doc)
+        cum += gain
+        rows.append((r, doc, gain, cum, 1_000_000 * cum // total))
+    return spark.createDataFrame(
+        rows, "rank int, doc_id long, gain long, cum_covered long,"
+              " coverage_e6 long")
+
+
+def _coverage_sql(k_rounds: int = COV_K) -> str:
+    rounds = []
+    pick_names = []
+    prev_cov = None
+    for r in range(1, k_rounds + 1):
+        not_in = ""
+        if pick_names:
+            union = " UNION ALL ".join(
+                f"SELECT doc_id FROM {p}" for p in pick_names)
+            not_in = f"WHERE doc_id NOT IN ({union})"
+            not_in += f" AND k NOT IN (SELECT k FROM {prev_cov})"
+        rounds.append(f"""
+g{r} AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+    FROM dt {not_in} GROUP BY doc_id
+),
+p{r} AS (
+    SELECT {r} AS rank, doc_id, c AS gain FROM g{r}
+    ORDER BY c DESC, doc_id ASC LIMIT 1
+),
+c{r} AS MATERIALIZED (
+    {"SELECT k FROM " + prev_cov + " UNION " if prev_cov else ""}
+    SELECT DISTINCT k FROM dt
+    WHERE doc_id IN (SELECT doc_id FROM p{r})
+)""")
+        pick_names.append(f"p{r}")
+        prev_cov = f"c{r}"
+    union_picks = " UNION ALL ".join(f"SELECT * FROM {p}"
+                                     for p in pick_names)
+    return rf"""
+WITH dt AS MATERIALIZED (
+    SELECT DISTINCT doc_id, md5(g) AS k
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i + 1])) AS g
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\s+') AS w
+                FROM documents))
+),
+tot AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS t FROM dt),
+{','.join(rounds)},
+picked AS ({union_picks})
+SELECT CAST(rank AS INT) AS rank, doc_id, gain,
+       CAST(sum(gain) OVER (ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_covered,
+       1000000 * CAST(sum(gain) OVER (ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) // (SELECT t FROM tot) AS coverage_e6
+FROM picked
+"""
+
+
+QUERIES["greedy_coverage_selection"] = (greedy_coverage_selection,
+                                        _coverage_sql())

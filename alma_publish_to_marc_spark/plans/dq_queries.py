@@ -1411,3 +1411,135 @@ FROM agg
 
 QUERIES["consistent_hash_rebalance_audit"] = (
     consistent_hash_rebalance_audit, _REBALANCE_SQL)
+
+
+# Persisted frames released via unpersist_cached() (the
+# operators/clustering.py contract).
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 distribution shift per source (exact integer 1-D EMD)
+# ---------------------------------------------------------------------------
+
+WASS_BUCKETS = 20
+WASS_WIDTH = 25
+
+
+def wasserstein_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover's distance between each source's document-length
+    distribution and the pooled corpus — the drift metric that, unlike
+    PSI/KS, weighs HOW FAR mass moved, not just whether bins differ.
+    In 1-D over ordered buckets it is exactly the sum of |CDF gaps|,
+    and with integer counts every gap is the exact integer
+    |cumc*N - cuma*Ns| — no floats until the single final e6 division.
+    Also emits the max gap (the Kolmogorov statistic) from the same
+    cumulative pass. Output per source: (source, n_docs, w1_e6,
+    ks_e6) where both metrics are over the bucket-index metric.
+
+    Determinism: buckets are the CLAUDE.md floor formula
+    least(n_chars div {WASS_WIDTH}, {WASS_BUCKETS}-1); the dense
+    source x bucket grid comes from an explicit 0..{WASS_BUCKETS}-1
+    range so missing buckets are exact zeros in both engines; window
+    cumsums are integer-exact.
+
+    Scale: ONE corpus aggregate to |sources| x {WASS_BUCKETS} rows
+    (map-side combinable); everything after runs on that tiny frame —
+    overall totals, per-source totals, and the pooled CDF all DERIVE
+    from it rather than re-scanning the corpus (multi-branch hazard:
+    the aggregate is persisted, released via unpersist_cached()).
+    Headroom: 1e6 * buckets * Ns * N must stay < 2^63 — fine to
+    Ns*N < 4.6e11; past that lift the gap sum to double (both engines'
+    sums stay exact integers well beyond any real corpus first).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(f"least(n_chars div {WASS_WIDTH},"
+               f" {WASS_BUCKETS - 1})").alias("b"))
+    c = (d.groupBy("source", "b").agg(F.count(F.lit(1)).alias("n"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(c)
+    srcs = c.select("source").distinct()
+    buckets = spark.range(WASS_BUCKETS).select(F.col("id").alias("b"))
+    dense = (srcs.crossJoin(F.broadcast(buckets))
+             .join(c, ["source", "b"], "left")
+             .select("source", "b", F.coalesce("n", F.lit(0)).alias("n")))
+    tot = dense.groupBy("source").agg(F.sum("n").alias("ns"))
+    ov = dense.groupBy("b").agg(F.sum("n").alias("an"))
+    nall = dense.agg(F.sum("n").alias("nn"))
+    wsrc = (Window.partitionBy("source").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wov = (Window.orderBy("b")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cums = dense.select("source", "b",
+                        F.sum("n").over(wsrc).alias("cumc"))
+    cumo = ov.select("b", F.sum("an").over(wov).alias("cuma"))
+    gaps = (cums.join(F.broadcast(cumo), "b")
+            .join(F.broadcast(tot), "source")
+            .crossJoin(F.broadcast(nall))
+            .select("source", "ns", "nn",
+                    F.abs(F.col("cumc") * F.col("nn")
+                          - F.col("cuma") * F.col("ns")).alias("g")))
+    return (gaps.groupBy("source")
+            .agg(F.max("ns").alias("n_docs"),
+                 F.expr("1000000 * sum(g) div (max(ns) * max(nn))")
+                  .alias("w1_e6"),
+                 F.expr("1000000 * max(g) div (max(ns) * max(nn))")
+                  .alias("ks_e6")))
+
+
+_WASS_SQL = f"""
+WITH c AS MATERIALIZED (
+    SELECT source, least(n_chars // {WASS_WIDTH}, {WASS_BUCKETS - 1}) AS b,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+),
+srcs AS (SELECT DISTINCT source FROM c),
+buckets AS (SELECT b FROM range({WASS_BUCKETS}) t(b)),
+dense AS (
+    SELECT s.source, bk.b, coalesce(c.n, 0) AS n
+    FROM srcs s CROSS JOIN buckets bk
+    LEFT JOIN c ON c.source = s.source AND c.b = bk.b
+),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM dense GROUP BY 1),
+ov AS (SELECT b, CAST(sum(n) AS BIGINT) AS an FROM dense GROUP BY 1),
+nall AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM dense),
+cums AS (
+    SELECT source, b,
+           CAST(sum(n) OVER (PARTITION BY source ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumc
+    FROM dense
+),
+cumo AS (
+    SELECT b,
+           CAST(sum(an) OVER (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cuma
+    FROM ov
+),
+gaps AS (
+    SELECT s.source, t.ns, nall.nn,
+           abs(s.cumc * nall.nn - o.cuma * t.ns) AS g
+    FROM cums s JOIN cumo o ON s.b = o.b
+    JOIN tot t ON s.source = t.source
+    CROSS JOIN nall
+)
+SELECT source, max(ns) AS n_docs,
+       1000000 * CAST(sum(g) AS BIGINT) // (max(ns) * max(nn)) AS w1_e6,
+       1000000 * max(g) // (max(ns) * max(nn)) AS ks_e6
+FROM gaps GROUP BY source
+"""
+
+QUERIES["wasserstein_source_shift"] = (wasserstein_source_shift, _WASS_SQL)

@@ -324,8 +324,79 @@ WHERE p.decile > 0
 """
 
 
+NEG_TOP = 200
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec/SGNS negative-sampling distribution: unigram
+    frequency raised to 3/4, normalized, with the cumulative
+    distribution a sampler binary-searches. The 3/4 power is computed
+    WITHOUT transcendentals — cnt^0.75 = sqrt(sqrt(cnt^3)) and sqrt is
+    IEEE correctly-rounded (ln/pow are not; the walk-PMI hazard class)
+    — then floored to e3 integers so the normalization and cumsum are
+    exact int64 window arithmetic. Output per kept token: (token, cnt,
+    w_e3, prob_e6, cum_e6), ordered-deterministic via (cnt DESC,
+    token ASC).
+
+    Scale: term counts are one map-side-combined aggregate; the
+    top-{NEG_TOP} cut is TakeOrdered (per-partition heaps, no global
+    sort); weights/cumsum run on the K-row result. cnt^3 stays exact
+    in double to cnt < 2^17.6 ~ 2e5; beyond that both engines still
+    compute the identical (1-ulp-rounded) double, so parity holds —
+    only the mathematical exactness of the 3/4 power degrades.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+          .where(F.col("t") != "")
+          .groupBy("t").agg(F.count(F.lit(1)).alias("cnt")))
+    top = (tf.orderBy(F.desc("cnt"), F.asc("t")).limit(NEG_TOP)
+           .withColumn("w_e3", F.expr(
+               "cast(floor(sqrt(sqrt(cast(cnt as double) * cnt * cnt))"
+               " * 1000) as bigint)")))
+    tot = top.agg(F.sum("w_e3").alias("tot"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("t")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (top.withColumn("cw", F.sum("w_e3").over(w))
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("t").alias("token"), "cnt", "w_e3",
+                    F.expr("1000000 * w_e3 div tot").alias("prob_e6"),
+                    F.expr("1000000 * cw div tot").alias("cum_e6")))
+
+
+_NEG_SAMPLING_SQL = rf"""
+WITH tf AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+          FROM documents)
+    WHERE t <> '' GROUP BY t
+),
+top AS (
+    SELECT t, cnt,
+           CAST(floor(sqrt(sqrt(CAST(cnt AS DOUBLE) * cnt * cnt))
+                * 1000) AS BIGINT) AS w_e3
+    FROM tf ORDER BY cnt DESC, t ASC LIMIT {NEG_TOP}
+),
+cum AS (
+    SELECT t, cnt, w_e3,
+           CAST(sum(w_e3) OVER (ORDER BY cnt DESC, t ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cw,
+           CAST((SELECT sum(w_e3) FROM top) AS BIGINT) AS tot
+    FROM top
+)
+SELECT t AS token, cnt, w_e3,
+       1000000 * w_e3 // tot AS prob_e6,
+       1000000 * cw // tot AS cum_e6
+FROM cum
+"""
+
+
 QUERIES = {
     "ngram_lm_perplexity": (ngram_lm_perplexity, _LM_SQL),
     "token_zipf_fit": (token_zipf_fit, _ZIPF_SQL),
     "vocab_growth_curve": (vocab_growth_curve, _VOCAB_GROWTH_SQL),
+    "negative_sampling_table": (negative_sampling_table,
+                                _NEG_SAMPLING_SQL),
 }

@@ -158,3 +158,57 @@ def test_isotonic_calibration_matches_pava_and_is_monotone(spark, q):
     mass_raw = sum(r["pos"] for r in rows) * 1_000_000
     assert abs(mass_iso - mass_raw) <= len(rows) * max(
         r["n_docs"] for r in rows)
+
+
+def test_negative_sampling_table_is_a_distribution(spark, q):
+    rows = sorted(q("negative_sampling_table").collect(),
+                  key=lambda r: (-r["cnt"], r["token"]))
+    probs = [r["prob_e6"] for r in rows]
+    assert probs == sorted(probs, reverse=True)  # monotone in count
+    assert rows[-1]["cum_e6"] <= 1_000_000
+    assert rows[-1]["cum_e6"] >= 1_000_000 - len(rows)
+    # 3/4 power flattens the head: top token's probability share must
+    # be strictly below its raw frequency share
+    tot_cnt = sum(r["cnt"] for r in rows)
+    assert probs[0] < 1_000_000 * rows[0]["cnt"] // tot_cnt + 1
+
+
+def test_wasserstein_shift_bounds(spark, q):
+    from alma_publish_to_marc_spark.plans import dq_queries as DQ
+
+    rows = q("wasserstein_source_shift").collect()
+    DQ.unpersist_cached()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["ks_e6"] <= 1_000_000
+        assert r["ks_e6"] <= r["w1_e6"]
+        assert r["w1_e6"] <= DQ.WASS_BUCKETS * 1_000_000
+
+
+def test_brier_decomposition_identity_and_bounds(spark, q):
+    r = q("brier_decomposition").collect()[0]
+    for c in ("brier_e6", "rel_e6", "res_e6", "unc_e6"):
+        assert 0 <= r[c] <= 1_000_000, c
+    # resolution cannot exceed uncertainty (law of total variance)
+    assert r["res_e6"] <= r["unc_e6"] + 1
+    # Murphy identity up to within-bin prediction variance (binning
+    # discards it; the scores are tightly clustered so it is small)
+    lhs = r["brier_e6"]
+    rhs = r["rel_e6"] - r["res_e6"] + r["unc_e6"]
+    assert abs(lhs - rhs) < 50_000
+
+
+def test_greedy_coverage_is_submodular(spark, q):
+    from alma_publish_to_marc_spark.plans import corpus_queries as CQ
+
+    rows = sorted(q("greedy_coverage_selection").collect(),
+                  key=lambda r: r["rank"])
+    CQ.unpersist_cached()
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)  # diminishing returns
+    cum = 0
+    for r in rows:
+        cum += r["gain"]
+        assert r["cum_covered"] == cum
+        assert 0 <= r["coverage_e6"] <= 1_000_000
+    assert len({r["doc_id"] for r in rows}) == len(rows)
