@@ -45,6 +45,7 @@ def _featurized(docs: DataFrame) -> DataFrame:
     """
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     return docs.select(
+        "source",
         F.lit(MICRO).cast("long").alias("x_bias"),
         (F.col("n_chars") * 1000).cast("long").alias("x_chars"),
         (n_tokens * 10000).cast("long").alias("x_tokens"),
@@ -105,12 +106,13 @@ def _logreg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _feat_sql() -> str:
     return r"""feats AS (
-    SELECT CAST({m} AS BIGINT) AS x_bias,
+    SELECT source,
+           CAST({m} AS BIGINT) AS x_bias,
            CAST(n_chars * 1000 AS BIGINT) AS x_chars,
            CAST(nt * 10000 AS BIGINT) AS x_tokens,
            CAST(round(100000 * n_chars / nt, 0) AS BIGINT) AS x_mwl,
            CAST(CASE WHEN lang = 'en' THEN {m} ELSE 0 END AS BIGINT) AS y
-    FROM (SELECT n_chars, lang,
+    FROM (SELECT source, n_chars, lang,
                  len(regexp_split_to_array(trim(text), '\s+')) AS nt
           FROM documents)
 )""".format(m=MICRO)
@@ -1066,6 +1068,263 @@ FROM one
 
 
 QUERIES["brier_decomposition"] = (_brier_decomposition, _brier_sql())
+
+
+def _roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep of the classifier: confusion counts, TPR/FPR,
+    precision, F1 and Youden's J at {CAL_BINS}+1 thresholds spaced on
+    the observed score range — the table behind a ROC/PR plot and the
+    operating-point choice. Thresholds are the SAME integer bucket
+    edges as the reliability diagram, so the sweep is ONE bucket
+    aggregate plus a reverse cumulative sum — not K corpus scans.
+    Output per threshold: (k, thr, tp, fp, fn, tn, tpr_e6, fpr_e6,
+    prec_e6, f1_e6, youden_e6).
+
+    Determinism: bucket ids and threshold edges are pure integer
+    arithmetic on exact micro scores; every rate is an integer e6
+    division of nonneg counts (div==// on positives); precision at an
+    empty prediction set is pinned to 0 in both engines. youden can go
+    negative — integer subtraction, no float sign-zero hazard.
+
+    Scale: scoring + one map-side-combinable bucket aggregate; the
+    threshold table is {CAL_BINS}+1 rows built from integer window
+    sums over <={CAL_BINS} buckets.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = logreg_train(docs).select(*[f"w_{n}" for n in FEATURES])
+    feats = _featurized(docs)
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        _p_micro().alias("pm"),
+        F.when(F.col("y") == MICRO, 1).otherwise(0).cast("long")
+         .alias("y01"))
+    rng = scored.agg(F.min("pm").alias("mn"), F.max("pm").alias("mx"))
+    scored = scored.crossJoin(F.broadcast(rng))
+    bin_id = F.expr(
+        f"(pm - mn) * {CAL_BINS} div (mx - mn + 1)").cast("long")
+    bins = (scored.groupBy(bin_id.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("y01").alias("p"),
+                 F.max("mn").alias("mn"), F.max("mx").alias("mx")))
+    tot = bins.agg(F.sum("n").alias("nn"), F.sum("p").alias("pp"),
+                   F.max("mn").alias("mn"), F.max("mx").alias("mx"))
+    # threshold k selects buckets >= k; k = CAL_BINS is the empty set
+    # (densified to exact zeros so the reverse cumsum is well-defined
+    # at every k even when a bucket has no rows)
+    ks = spark.range(CAL_BINS + 1).select(F.col("id").alias("bin"))
+    dense = (ks.join(F.broadcast(bins.select("bin", "n", "p")),
+                     "bin", "left")
+             .select("bin", F.coalesce("n", F.lit(0)).alias("n"),
+                     F.coalesce("p", F.lit(0)).alias("p")))
+    wrev = (Window.orderBy(F.desc("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = dense.select(F.col("bin").alias("k"),
+                       F.sum("n").over(wrev).alias("pred_pos"),
+                       F.sum("p").over(wrev).alias("tp"))
+    m = (cum.crossJoin(F.broadcast(tot))
+         .withColumn("fp", F.col("pred_pos") - F.col("tp"))
+         .withColumn("fn", F.col("pp") - F.col("tp"))
+         .withColumn("tn", F.col("nn") - F.col("pp") - F.col("fp")))
+    return m.select(
+        "k",
+        F.expr(f"mn + (k * (mx - mn + 1)) div {CAL_BINS}").alias("thr"),
+        "tp", "fp", "fn", "tn",
+        F.expr("1000000 * tp div pp").alias("tpr_e6"),
+        F.expr("1000000 * fp div (nn - pp)").alias("fpr_e6"),
+        F.expr("case when pred_pos = 0 then cast(0 as bigint)"
+               " else 1000000 * tp div pred_pos end").alias("prec_e6"),
+        F.expr("case when 2 * tp + fp + fn = 0 then cast(0 as bigint)"
+               " else 1000000 * 2 * tp div (2 * tp + fp + fn) end")
+         .alias("f1_e6"),
+        F.expr("1000000 * tp div pp - 1000000 * fp div (nn - pp)")
+         .alias("youden_e6"))
+
+
+_ROC_SQL_TMPL = """,
+bins AS (
+    SELECT CAST((pm - mn) * {B} // (mx - mn + 1) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y01) AS BIGINT) AS p
+    FROM scored CROSS JOIN rng GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(p) AS BIGINT) AS pp,
+           (SELECT mn FROM rng) AS mn, (SELECT mx FROM rng) AS mx
+    FROM bins
+),
+dense AS (
+    SELECT ks.bin, coalesce(b.n, 0) AS n, coalesce(b.p, 0) AS p
+    FROM range({B} + 1) ks(bin) LEFT JOIN bins b ON b.bin = ks.bin
+),
+cum AS (
+    SELECT bin AS k,
+           CAST(sum(n) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS pred_pos,
+           CAST(sum(p) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS tp
+    FROM dense
+),
+m AS (
+    SELECT k, pred_pos, tp, pred_pos - tp AS fp, pp - tp AS fn,
+           nn - pp - (pred_pos - tp) AS tn, nn, pp, mn, mx
+    FROM cum CROSS JOIN tot
+)
+SELECT k, mn + (k * (mx - mn + 1)) // {B} AS thr,
+       tp, fp, fn, tn,
+       1000000 * tp // pp AS tpr_e6,
+       1000000 * fp // (nn - pp) AS fpr_e6,
+       CASE WHEN pred_pos = 0 THEN CAST(0 AS BIGINT)
+            ELSE 1000000 * tp // pred_pos END AS prec_e6,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT)
+            ELSE 1000000 * 2 * tp // (2 * tp + fp + fn) END AS f1_e6,
+       1000000 * tp // pp - 1000000 * fp // (nn - pp) AS youden_e6
+FROM m
+"""
+
+
+def _roc_sql(n_rounds: int = N_ROUNDS) -> str:
+    ctes = _w_chain_ctes(n_rounds)
+    z = _z_sql(f"w{n_rounds}")
+    pm = f"CAST(round({MICRO} / (1.0 + exp(-{z})), 0) AS BIGINT)"
+    return ("WITH " + ",\n".join(ctes) + f""",
+scored AS (
+    SELECT {pm} AS pm,
+           CASE WHEN feats.y = {MICRO} THEN 1 ELSE 0 END AS y01
+    FROM feats CROSS JOIN w{n_rounds}
+),
+rng AS (SELECT min(pm) AS mn, max(pm) AS mx FROM scored)"""
+            + _ROC_SQL_TMPL.format(B=CAL_BINS))
+
+
+QUERIES["roc_curve_points"] = (_roc_curve_points, _roc_sql())
+
+
+def _fairness_group_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the classifier at its median operating
+    point: per source, the predicted-positive rate (demographic
+    parity), TPR and FPR (equalized odds), and each group's signed
+    gap from the pooled rate — the table a data-governance review
+    reads before the filter ships. Output per source: (source,
+    n_docs, pos_rate_e6, tpr_e6, fpr_e6, dp_gap_e6, eo_gap_e6).
+
+    Determinism: the threshold is the exact lower median of the
+    integer micro scores, found on a (score -> count) run table with
+    an integer cumsum — never a global sort of the corpus; every rate
+    is an integer e6 division and every gap an integer subtraction
+    (negative-zero float hazard cannot arise). Zero-positive or
+    zero-negative groups pin their undefined rate to 0 in both
+    engines.
+
+    Scale: two map-side-combinable corpus aggregates (the score run
+    table and the per-group confusion counts) on top of the shared
+    training chain; the per-group frame is persisted (it feeds the
+    pooled totals AND the final projection) and released via
+    unpersist_cached().
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = logreg_train(docs).select(*[f"w_{n}" for n in FEATURES])
+    feats = _featurized(docs)
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "source", _p_micro().alias("pm"),
+        F.when(F.col("y") == MICRO, 1).otherwise(0).cast("long")
+         .alias("y01"))
+    runs = scored.groupBy("pm").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (Window.orderBy("pm")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cums = runs.select("pm", F.sum("c").over(wcum).alias("cum"))
+    tot = runs.agg(F.sum("c").alias("nn"))
+    med = (cums.crossJoin(F.broadcast(tot))
+           .where(F.expr("cum >= (nn + 1) div 2"))
+           .agg(F.min("pm").alias("med")))
+    pred = (scored.crossJoin(F.broadcast(med))
+            .select("source", "y01",
+                    (F.col("pm") > F.col("med")).cast("long")
+                    .alias("pr")))
+    g = (pred.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("y01").alias("pos"),
+              F.sum("pr").alias("predp"),
+              F.sum(F.col("pr") * F.col("y01")).alias("tp"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(g)
+    ov = g.agg(F.sum("n").alias("onn"), F.sum("pos").alias("opos"),
+               F.sum("predp").alias("opredp"), F.sum("tp").alias("otp"))
+    rate = "case when {d} = 0 then cast(0 as bigint)" \
+           " else 1000000 * {n} div {d} end"
+    return (g.crossJoin(F.broadcast(ov)).select(
+        "source", F.col("n").alias("n_docs"),
+        F.expr(rate.format(n="predp", d="n")).alias("pos_rate_e6"),
+        F.expr(rate.format(n="tp", d="pos")).alias("tpr_e6"),
+        F.expr(rate.format(n="(predp - tp)", d="(n - pos)"))
+         .alias("fpr_e6"),
+        (F.expr(rate.format(n="predp", d="n"))
+         - F.expr(rate.format(n="opredp", d="onn"))).alias("dp_gap_e6"),
+        (F.expr(rate.format(n="tp", d="pos"))
+         - F.expr(rate.format(n="otp", d="opos"))).alias("eo_gap_e6")))
+
+
+def _fairness_sql(n_rounds: int = N_ROUNDS) -> str:
+    ctes = _w_chain_ctes(n_rounds)
+    z = _z_sql(f"w{n_rounds}")
+    pm = f"CAST(round({MICRO} / (1.0 + exp(-{z})), 0) AS BIGINT)"
+
+    def rate(n: str, d: str) -> str:
+        return (f"CASE WHEN {d} = 0 THEN CAST(0 AS BIGINT)"
+                f" ELSE 1000000 * {n} // {d} END")
+
+    return ("WITH " + ",\n".join(ctes) + f""",
+scored AS (
+    SELECT feats.source, {pm} AS pm,
+           CASE WHEN feats.y = {MICRO} THEN 1 ELSE 0 END AS y01
+    FROM feats CROSS JOIN w{n_rounds}
+),
+runs AS (SELECT pm, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY 1),
+cums AS (
+    SELECT pm, CAST(sum(c) OVER (ORDER BY pm
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum
+    FROM runs
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM runs),
+med AS (
+    SELECT min(pm) AS med FROM cums CROSS JOIN tot
+    WHERE cum >= (nn + 1) // 2
+),
+pred AS (
+    SELECT source, y01,
+           CASE WHEN pm > (SELECT med FROM med) THEN 1 ELSE 0 END AS pr
+    FROM scored
+),
+g AS MATERIALIZED (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y01) AS BIGINT) AS pos,
+           CAST(sum(pr) AS BIGINT) AS predp,
+           CAST(sum(pr * y01) AS BIGINT) AS tp
+    FROM pred GROUP BY 1
+),
+ov AS (
+    SELECT CAST(sum(n) AS BIGINT) AS onn, CAST(sum(pos) AS BIGINT)
+               AS opos,
+           CAST(sum(predp) AS BIGINT) AS opredp,
+           CAST(sum(tp) AS BIGINT) AS otp
+    FROM g
+)
+SELECT source, n AS n_docs,
+       {rate('predp', 'n')} AS pos_rate_e6,
+       {rate('tp', 'pos')} AS tpr_e6,
+       {rate('(predp - tp)', '(n - pos)')} AS fpr_e6,
+       {rate('predp', 'n')} - {rate('opredp', 'onn')} AS dp_gap_e6,
+       {rate('tp', 'pos')} - {rate('otp', 'opos')} AS eo_gap_e6
+FROM g CROSS JOIN ov
+""")
+
+
+QUERIES["fairness_group_audit"] = (_fairness_group_audit,
+                                   _fairness_sql())
 
 
 # ---------------------------------------------------------------------------

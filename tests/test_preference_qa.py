@@ -212,3 +212,38 @@ def test_greedy_coverage_is_submodular(spark, q):
         assert r["cum_covered"] == cum
         assert 0 <= r["coverage_e6"] <= 1_000_000
     assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+def test_roc_curve_monotone_and_conserved(spark, q):
+    rows = sorted(q("roc_curve_points").collect(), key=lambda r: r["k"])
+    tprs = [r["tpr_e6"] for r in rows]
+    fprs = [r["fpr_e6"] for r in rows]
+    # raising the threshold can only shrink the predicted-positive set
+    assert tprs == sorted(tprs, reverse=True)
+    assert fprs == sorted(fprs, reverse=True)
+    # endpoints: threshold at min selects everything; past max, nothing
+    assert tprs[0] == 1_000_000 and fprs[0] == 1_000_000
+    assert tprs[-1] == 0 and fprs[-1] == 0
+    pp = rows[0]["tp"] + rows[0]["fn"]
+    nn = rows[0]["tp"] + rows[0]["fn"] + rows[0]["fp"] + rows[0]["tn"]
+    for r in rows:
+        assert r["tp"] + r["fn"] == pp  # actual positives conserved
+        assert r["tp"] + r["fn"] + r["fp"] + r["tn"] == nn
+        assert 0 <= r["f1_e6"] <= 1_000_000
+        assert r["youden_e6"] == r["tpr_e6"] - r["fpr_e6"]
+
+
+def test_fairness_audit_gaps_cancel(spark, q):
+    from alma_publish_to_marc_spark.operators import learning as L
+
+    rows = q("fairness_group_audit").collect()
+    L.unpersist_cached()
+    assert len(rows) == 20
+    nn = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        for c in ("pos_rate_e6", "tpr_e6", "fpr_e6"):
+            assert 0 <= r[c] <= 1_000_000, c
+        assert -1_000_000 <= r["dp_gap_e6"] <= 1_000_000
+    # group rates weighted by size must average back to the pooled
+    # rate (up to per-group e6 floor error)
+    assert abs(sum(r["n_docs"] * r["dp_gap_e6"] for r in rows)) <= 2 * nn
