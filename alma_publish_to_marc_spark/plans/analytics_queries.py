@@ -1425,3 +1425,60 @@ FROM from_nested n JOIN flat f ON n.l_orderkey = f.l_orderkey
 """
 
 QUERIES["nested_roundtrip"] = (_nested_roundtrip, _NEST_SQL)
+
+
+# --------------------------------------------------------------------------
+# map_ops_suite: MapType pipeline (build -> filter -> transform -> explode)
+# --------------------------------------------------------------------------
+def _map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark MapType end-to-end: per-user event-type counts become a
+    map (map_from_entries over a SORTED entry array — grouped
+    collection order is shuffle-nondeterministic, CLAUDE.md), then
+    map_filter keeps types seen >= 2x, transform_values boosts them,
+    and map_values/size feed per-user totals; the final explode turns
+    the map back into rows so the oracle compares plain relations (the
+    map is an execution detail, never a compared value). Output:
+    (user_id, event_type, boosted, n_types, total_events).
+
+    Scale: one keyed aggregate to (user, type) counts, one to the
+    per-user map — both map-side combinable; the HOF map ops are
+    scalar expressions on the aggregated rows.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    cnt = (ev.groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("c")))
+    m = (cnt.groupBy("user_id")
+         .agg(F.map_from_entries(
+             F.array_sort(F.collect_list(F.struct("event_type", "c"))))
+             .alias("m")))
+    enriched = m.select(
+        "user_id",
+        F.map_filter("m", lambda k, v: v >= 2).alias("hot"),
+        F.size("m").alias("n_types"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("total_events"))
+    boosted = enriched.select(
+        "user_id", "n_types", "total_events",
+        F.explode(F.transform_values("hot", lambda k, v: 2 * v))
+         .alias("event_type", "boosted"))
+    return boosted.select("user_id", "event_type", "boosted",
+                          "n_types", "total_events")
+
+
+_MAP_OPS_SQL = """
+WITH cnt AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+per_user AS (
+    SELECT user_id, CAST(count(*) AS INT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS total_events
+    FROM cnt GROUP BY 1
+)
+SELECT c.user_id, c.event_type, 2 * c.c AS boosted,
+       u.n_types, u.total_events
+FROM cnt c JOIN per_user u ON c.user_id = u.user_id
+WHERE c.c >= 2
+"""
+
+QUERIES["map_ops_suite"] = (_map_ops, _MAP_OPS_SQL)

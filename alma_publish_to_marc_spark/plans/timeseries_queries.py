@@ -659,3 +659,146 @@ FROM folded
 """
 
 QUERIES["dow_seasonality_strength"] = (_dow_seasonality_strength, _DOW_SQL)
+
+
+# --------------------------------------------------------------------------
+# forecast_backtest_mase: seasonal-naive backtest, MASE + sMAPE per series
+# --------------------------------------------------------------------------
+
+_TEST_DAYS = 7
+
+
+def _forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest eval for the forecasting family: hold out the last
+    7 days per event-type series, forecast each test day with
+    seasonal-naive (the value 7 days earlier) and score it with MASE
+    (mean absolute error scaled by the in-sample one-step-naive MAE —
+    Hyndman's scale-free standard; < 1e6 means "beats naive") and
+    integer sMAPE. Output per series: (event_type, n_train, n_test,
+    sae_model, sae_naive, mase_e6, smape_e6).
+
+    Determinism: the day grid densifies to exact zeros (missing days
+    are real observations of 0 events, and lags over a gappy series
+    would silently compare non-adjacent days); every error is an
+    integer |count diff|; MASE is one cross-multiplied integer
+    division, sMAPE a per-day integer e6 term averaged by integer
+    division. Headroom: 1e6*sae_model*n_naive needs daily counts
+    below ~4e8 at this horizon — annotate before pointing at a
+    billion-events/day stream.
+
+    Scale: the corpus collapses to the (type, day) daily matrix in one
+    map-side-combinable aggregate (persisted — it feeds the bounds,
+    the type census, and the dense grid; released via
+    unpersist_cached()); lags and the backtest run on types x days
+    rows.
+    """
+    from pyspark import StorageLevel
+
+    daily = (_daily_counts(spark, sf_dir)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(daily)
+    b = daily.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    types = daily.select("event_type").distinct()
+    days = b.select(F.explode(F.sequence("mind", "maxd")).alias("day"),
+                    "maxd")
+    dense = (types.crossJoin(F.broadcast(days))
+             .join(daily, ["event_type", "day"], "left")
+             .select("event_type", "day", "maxd",
+                     F.coalesce("x", F.lit(0)).alias("x")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = (dense
+              .withColumn("l1", F.lag("x", 1).over(w))
+              .withColumn("l7", F.lag("x", _TEST_DAYS).over(w)))
+    is_test = F.col("day") > F.col("maxd") - _TEST_DAYS
+    smape_term = F.expr(
+        "case when x + l7 = 0 then cast(0 as bigint)"
+        " else 1000000 * 2 * abs(x - l7) div (x + l7) end")
+    agg = (lagged.groupBy("event_type").agg(
+        F.sum(F.when(~is_test & F.col("l1").isNotNull(), 1)
+               .otherwise(0)).alias("n_train"),
+        F.sum(F.when(is_test, 1).otherwise(0)).alias("n_test"),
+        F.sum(F.when(is_test, F.abs(F.col("x") - F.col("l7")))
+               .otherwise(0)).alias("sae_model"),
+        F.sum(F.when(~is_test & F.col("l1").isNotNull(),
+                     F.abs(F.col("x") - F.col("l1")))
+               .otherwise(0)).alias("sae_naive"),
+        F.sum(F.when(is_test, smape_term).otherwise(0))
+         .alias("smape_sum")))
+    return agg.select(
+        "event_type", "n_train", "n_test", "sae_model", "sae_naive",
+        F.expr("case when sae_naive = 0 or n_test = 0"
+               " then cast(0 as bigint)"
+               " else (1000000 * sae_model * n_train)"
+               " div (sae_naive * n_test) end").alias("mase_e6"),
+        F.expr("case when n_test = 0 then cast(0 as bigint)"
+               " else smape_sum div n_test end").alias("smape_e6"))
+
+
+_MASE_SQL = f"""
+WITH {_DAILY_SQL},
+b AS (SELECT min(day) AS mind, max(day) AS maxd FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+grid AS (
+    SELECT t.event_type, d.day, b.maxd
+    FROM types t
+    CROSS JOIN b
+    CROSS JOIN LATERAL (SELECT unnest(generate_series(b.mind, b.maxd))
+                        AS day) d
+),
+dense AS (
+    SELECT g.event_type, g.day, g.maxd, coalesce(dl.x, 0) AS x
+    FROM grid g LEFT JOIN daily dl
+      ON dl.event_type = g.event_type AND dl.day = g.day
+),
+lagged AS (
+    SELECT event_type, day, maxd, x,
+           lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+           lag(x, {_TEST_DAYS}) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS l7
+    FROM dense
+),
+agg AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN day <= maxd - {_TEST_DAYS}
+                          AND l1 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN day > maxd - {_TEST_DAYS} THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN day > maxd - {_TEST_DAYS}
+                         THEN abs(x - l7) ELSE 0 END) AS BIGINT)
+               AS sae_model,
+           CAST(sum(CASE WHEN day <= maxd - {_TEST_DAYS}
+                          AND l1 IS NOT NULL
+                         THEN abs(x - l1) ELSE 0 END) AS BIGINT)
+               AS sae_naive,
+           CAST(sum(CASE WHEN day > maxd - {_TEST_DAYS}
+                         THEN CASE WHEN x + l7 = 0 THEN 0
+                              ELSE 1000000 * 2 * abs(x - l7)
+                                   // (x + l7) END
+                         ELSE 0 END) AS BIGINT) AS smape_sum
+    FROM lagged GROUP BY event_type
+)
+SELECT event_type, n_train, n_test, sae_model, sae_naive,
+       CASE WHEN sae_naive = 0 OR n_test = 0 THEN CAST(0 AS BIGINT)
+            ELSE (1000000 * sae_model * n_train)
+                 // (sae_naive * n_test) END AS mase_e6,
+       CASE WHEN n_test = 0 THEN CAST(0 AS BIGINT)
+            ELSE smape_sum // n_test END AS smape_e6
+FROM agg
+"""
+
+
+# Persisted frames released via unpersist_cached() (the
+# operators/clustering.py contract).
+_PERSISTED: list = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
+QUERIES["forecast_backtest_mase"] = (_forecast_backtest_mase, _MASE_SQL)

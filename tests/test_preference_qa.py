@@ -247,3 +247,29 @@ def test_fairness_audit_gaps_cancel(spark, q):
     # group rates weighted by size must average back to the pooled
     # rate (up to per-group e6 floor error)
     assert abs(sum(r["n_docs"] * r["dp_gap_e6"] for r in rows)) <= 2 * nn
+
+
+def test_map_ops_suite_consistent_with_counts(spark, q):
+    rows = q("map_ops_suite").collect()
+    assert rows
+    for r in rows:
+        assert r["boosted"] >= 4 and r["boosted"] % 2 == 0
+        assert r["n_types"] >= 1
+        assert r["total_events"] >= r["boosted"] // 2
+
+
+def test_forecast_backtest_shapes(spark, q):
+    from alma_publish_to_marc_spark.plans import timeseries_queries as TS
+
+    rows = q("forecast_backtest_mase").collect()
+    TS.unpersist_cached()
+    assert len(rows) == 5  # one per event type
+    for r in rows:
+        assert r["n_test"] == 7
+        assert r["n_train"] >= 14
+        assert 0 <= r["smape_e6"] <= 2_000_000  # sMAPE is bounded by 2
+        # cross-multiplied MASE identity
+        if r["sae_naive"] > 0:
+            assert r["mase_e6"] == (1_000_000 * r["sae_model"]
+                                    * r["n_train"]) \
+                // (r["sae_naive"] * r["n_test"])
