@@ -44,8 +44,10 @@ def _featurized(docs: DataFrame) -> DataFrame:
     is stable, all exact integers in micro units. Label: lang = 'en'.
     """
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    src = (F.col("source") if "source" in docs.columns
+           else F.lit("all").alias("source"))  # synthetic test frames
     return docs.select(
-        "source",
+        src,
         F.lit(MICRO).cast("long").alias("x_bias"),
         (F.col("n_chars") * 1000).cast("long").alias("x_chars"),
         (n_tokens * 10000).cast("long").alias("x_tokens"),
@@ -69,11 +71,16 @@ def _p_micro() -> Column:
         .cast("long")
 
 
-def logreg_train(docs: DataFrame, n_rounds: int = N_ROUNDS) -> DataFrame:
+def logreg_train(docs: DataFrame, n_rounds: int = N_ROUNDS,
+                 feats: DataFrame | None = None) -> DataFrame:
     """Train the quality/language classifier; returns ONE row:
     (n_examples, w_bias, w_chars, w_tokens, w_mwl — micro ints —
-    train_accuracy)."""
-    feats = _featurized(docs)
+    train_accuracy). Pass a PERSISTED ``feats`` when the caller also
+    scores with the trained weights: the unrolled round plan
+    references the featurized frame once per round per branch, so an
+    unpersisted frame costs ~2^rounds corpus scans at evaluation."""
+    if feats is None:
+        feats = _featurized(docs)
     w = docs.sparkSession.range(1).select(*[
         F.lit(0).cast("long").alias(f"w_{n}") for n in FEATURES])
     for _ in range(n_rounds):
@@ -102,6 +109,23 @@ def logreg_train(docs: DataFrame, n_rounds: int = N_ROUNDS) -> DataFrame:
 
 def _logreg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_train(load(spark, sf_dir, "documents"))
+
+
+def _trained_feats_w(spark: SparkSession, sf_dir: str):
+    """(feats, w) for every query that trains AND scores: the
+    featurized frame is persisted (tracked, released via
+    unpersist_cached()) because the unrolled training rounds plus the
+    scoring/threshold branches each re-reference it — unpersisted,
+    that is up to ~24 corpus scans in one plan (measured on the
+    fairness audit before this helper existed)."""
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")
+    feats = _featurized(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(feats)
+    w = logreg_train(docs, feats=feats).select(
+        *[f"w_{n}" for n in FEATURES])
+    return feats, w
 
 
 def _feat_sql() -> str:
@@ -765,9 +789,7 @@ def _logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the ≤``CAL_BINS``-row map-side-combined aggregate (fused at
     100 TB by staging the scored projection). Nothing new shuffles.
     """
-    docs = load(spark, sf_dir, "documents")
-    w = logreg_train(docs).select(*[f"w_{n}" for n in FEATURES])
-    feats = _featurized(docs)
+    feats, w = _trained_feats_w(spark, sf_dir)
     scored = feats.crossJoin(F.broadcast(w)).select(
         _p_micro().alias("pm"), "y")
     rng = scored.agg(F.min("pm").alias("mn"), F.max("pm").alias("mx"))
@@ -852,9 +874,7 @@ def _isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
-    w = logreg_train(docs).select(*[f"w_{n}" for n in FEATURES])
-    feats = _featurized(docs)
+    feats, w = _trained_feats_w(spark, sf_dir)
     scored = feats.crossJoin(F.broadcast(w)).select(
         _p_micro().alias("pm"), "y")
     rng = scored.agg(F.min("pm").alias("mn"), F.max("pm").alias("mx"))
@@ -964,9 +984,7 @@ def _brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     reliability diagram; the folds run over <=CAL_BINS elements in one
     row. Nothing new shuffles.
     """
-    docs = load(spark, sf_dir, "documents")
-    w = logreg_train(docs).select(*[f"w_{n}" for n in FEATURES])
-    feats = _featurized(docs)
+    feats, w = _trained_feats_w(spark, sf_dir)
     scored = feats.crossJoin(F.broadcast(w)).select(
         _p_micro().alias("pm"),
         F.when(F.col("y") == MICRO, 1).otherwise(0).cast("long")
@@ -1092,9 +1110,7 @@ def _roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
-    w = logreg_train(docs).select(*[f"w_{n}" for n in FEATURES])
-    feats = _featurized(docs)
+    feats, w = _trained_feats_w(spark, sf_dir)
     scored = feats.crossJoin(F.broadcast(w)).select(
         _p_micro().alias("pm"),
         F.when(F.col("y") == MICRO, 1).otherwise(0).cast("long")
@@ -1226,9 +1242,7 @@ def _fairness_group_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
-    w = logreg_train(docs).select(*[f"w_{n}" for n in FEATURES])
-    feats = _featurized(docs)
+    feats, w = _trained_feats_w(spark, sf_dir)
     scored = feats.crossJoin(F.broadcast(w)).select(
         "source", _p_micro().alias("pm"),
         F.when(F.col("y") == MICRO, 1).otherwise(0).cast("long")

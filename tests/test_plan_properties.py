@@ -273,3 +273,49 @@ def test_preference_aggregates_are_single_shuffle(props, spark):
         assert p["shuffles"] <= 1, name
         assert p["range_shuffles"] == 0, name
         assert p["sort_merge_joins"] == 0, name
+
+
+def test_trained_classifier_consumers_scan_corpus_once(props, spark):
+    # The unrolled training rounds plus scoring/threshold branches all
+    # reference the featurized frame; _trained_feats_w persists it, so
+    # every consumer's plan must read parquet exactly once and serve
+    # every other branch from cache (before the fix: 24 scans in the
+    # fairness audit).
+    from alma_publish_to_marc_spark.operators import learning as L
+
+    for name in ("logreg_calibration_bins", "isotonic_calibration",
+                 "brier_decomposition", "roc_curve_points",
+                 "fairness_group_audit"):
+        p = props(name)
+        assert p["scans"] <= 1, name
+        assert p["in_memory_scans"] >= 4, name
+        assert p["sort_merge_joins"] == 0, name
+    assert L.unpersist_cached() >= 1
+
+
+def test_round5c_aggregate_shapes(props, spark):
+    # One parquet scan, no global sorts, no sort-merge joins: these
+    # queries collapse the corpus in a single map-side-combinable
+    # aggregate and do all remaining work on tiny derived frames.
+    from alma_publish_to_marc_spark.plans import dq_queries as DQ
+    from alma_publish_to_marc_spark.plans import timeseries_queries as TS
+
+    for name in ("wasserstein_source_shift", "map_ops_suite",
+                 "forecast_backtest_mase", "negative_sampling_table"):
+        p = props(name)
+        assert p["scans"] <= 1, name
+        assert p["range_shuffles"] == 0, name
+        assert p["sort_merge_joins"] == 0, name
+    DQ.unpersist_cached()
+    TS.unpersist_cached()
+
+
+def test_greedy_coverage_returns_local_result(props, spark):
+    # Driver-paced greedy (BPE/MMR shape): the returned frame is a
+    # local relation; the incidence frame it consumed was persisted.
+    from alma_publish_to_marc_spark.plans import corpus_queries as CQ
+
+    p = props("greedy_coverage_selection")
+    assert p["scans"] == 0
+    assert p["shuffles"] == 0
+    assert CQ.unpersist_cached() >= 1
