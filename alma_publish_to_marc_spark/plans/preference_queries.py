@@ -43,10 +43,10 @@ Scale: the only full-corpus work is building comparisons (one
 narrow self-join keyed on the opponent id — co-partitioned after a
 single hash shuffle) and the map-side-combinable aggregation down to the
 (model, model) win matrix / per-annotator margins. Everything
-after that operates on ≤ |models|² rows: the BT rounds join
-20-row frames (each round persisted — the raw frame feeds both the
-normalizing sum and the next round, the multi-branch re-execution
-hazard CLAUDE.md tracks), transitivity is a broadcast triple
+after that operates on ≤ |models|² rows: the BT rounds run
+driver-paced on the collected win matrix (the BPE sanctioned
+shape — an unrolled DataFrame lineage would double per round at
+the normalizer fan-out), transitivity is a broadcast triple
 self-join on ≤190 edges. At 100 TB the reduction happens in the
 first aggregate; the iterative tail is O(models²) regardless of
 corpus size. int64 headroom: BT scales wins by 1e12, so per-model
@@ -726,3 +726,119 @@ FROM per, pooled p
 
 QUERIES["annotator_position_bias"] = (annotator_position_bias,
                                       _POSITION_SQL)
+
+
+# --------------------------------------------------------------------
+# End-to-end leaderboard: strengths + edge wins + label-quality gate
+# --------------------------------------------------------------------
+
+def preference_qa_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publishable leaderboard: Bradley-Terry strength and rank
+    per model, its majority-edge win share (how many head-to-head
+    matchups it wins outright — the sanity column readers check the
+    model ranking against), and the corpus-level annotator-agreement
+    gate (min pairwise kappa) stamped on every row, because a
+    leaderboard built on labels annotators disagree about is noise.
+    Composes three operators of this family end-to-end. Output per
+    model: (model, rank, strength_e6, n_games, edges, edge_wins,
+    edge_win_share_e6, kappa_min_e6).
+
+    Scale: BT's one corpus aggregate + driver-paced rounds; the edge
+    census is the same <=|models|^2 majority-pair aggregate as the
+    transitivity audit (persisted — it feeds both union sides —
+    released via unpersist_cached()); kappa is one aggregate to 3
+    rows. Joins run on |models| rows.
+    """
+    from pyspark import StorageLevel
+
+    bt = bradley_terry_strength(spark, sf_dir)
+    v = _votes(spark, sf_dir).where(F.col("src_a") != F.col("src_b"))
+    canon = v.select(
+        F.least("src_a", "src_b").alias("m1"),
+        F.greatest("src_a", "src_b").alias("m2"),
+        F.when(F.col("prefer_a") == 1,
+               (F.col("src_a") < F.col("src_b")).cast("long"))
+         .otherwise((F.col("src_b") < F.col("src_a")).cast("long"))
+         .alias("win1"))
+    pairs = (canon.groupBy("m1", "m2")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("win1").alias("w1"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(pairs)
+    sides = (pairs.select(F.col("m1").alias("model"),
+                          (2 * F.col("w1") > F.col("n")).cast("long")
+                          .alias("win"),
+                          (2 * F.col("w1") == F.col("n")).cast("long")
+                          .alias("tie"))
+             .unionByName(pairs.select(
+                 F.col("m2").alias("model"),
+                 (2 * F.col("w1") < F.col("n")).cast("long")
+                 .alias("win"),
+                 (2 * F.col("w1") == F.col("n")).cast("long")
+                 .alias("tie"))))
+    epm = (sides.groupBy("model")
+           .agg((F.count(F.lit(1)) - F.sum("tie")).alias("edges"),
+                F.sum("win").alias("edge_wins")))
+    kap = (annotator_agreement_kappa(spark, sf_dir)
+           .agg(F.min("kappa_e6").alias("kappa_min_e6")))
+    return (bt.join(epm, "model", "left")
+            .crossJoin(F.broadcast(kap))
+            .select("model", "rank", "strength_e6", "n_games",
+                    F.coalesce("edges", F.lit(0)).alias("edges"),
+                    F.coalesce("edge_wins", F.lit(0)).alias("edge_wins"),
+                    F.expr("case when coalesce(edges, 0) = 0"
+                           " then cast(0 as bigint)"
+                           " else 1000000 * edge_wins div edges end")
+                     .alias("edge_win_share_e6"),
+                    "kappa_min_e6"))
+
+
+def _end2end_sql() -> str:
+    return f"""
+WITH bt AS (SELECT * FROM ({_bt_sql()}) t),
+kap AS (SELECT min(kappa_e6) AS kappa_min_e6 FROM ({_kappa_sql()}) t),
+base AS (
+    WITH {_DUCK_BASE.strip()}
+    SELECT least(src_a, src_b) AS m1, greatest(src_a, src_b) AS m2,
+           CASE WHEN prefer_a = 1
+                THEN CASE WHEN src_a < src_b THEN 1 ELSE 0 END
+                ELSE CASE WHEN src_b < src_a THEN 1 ELSE 0 END
+           END AS win1
+    FROM votes WHERE src_a != src_b
+),
+pairs_agg AS MATERIALIZED (
+    SELECT m1, m2, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(win1) AS BIGINT) AS w1
+    FROM base GROUP BY m1, m2
+),
+sides AS (
+    SELECT m1 AS model,
+           CASE WHEN 2 * w1 > n THEN 1 ELSE 0 END AS win,
+           CASE WHEN 2 * w1 = n THEN 1 ELSE 0 END AS tie
+    FROM pairs_agg
+    UNION ALL
+    SELECT m2 AS model,
+           CASE WHEN 2 * w1 < n THEN 1 ELSE 0 END AS win,
+           CASE WHEN 2 * w1 = n THEN 1 ELSE 0 END AS tie
+    FROM pairs_agg
+),
+epm AS (
+    SELECT model,
+           CAST(count(*) - sum(tie) AS BIGINT) AS edges,
+           CAST(sum(win) AS BIGINT) AS edge_wins
+    FROM sides GROUP BY model
+)
+SELECT bt.model, bt.rank, bt.strength_e6, bt.n_games,
+       coalesce(e.edges, 0) AS edges,
+       coalesce(e.edge_wins, 0) AS edge_wins,
+       CASE WHEN coalesce(e.edges, 0) = 0 THEN CAST(0 AS BIGINT)
+            ELSE 1000000 * e.edge_wins // e.edges END
+           AS edge_win_share_e6,
+       k.kappa_min_e6
+FROM bt LEFT JOIN epm e ON bt.model = e.model
+CROSS JOIN kap k
+"""
+
+
+QUERIES["preference_qa_end2end"] = (preference_qa_end2end,
+                                    _end2end_sql())

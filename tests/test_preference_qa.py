@@ -273,3 +273,19 @@ def test_forecast_backtest_shapes(spark, q):
             assert r["mase_e6"] == (1_000_000 * r["sae_model"]
                                     * r["n_train"]) \
                 // (r["sae_naive"] * r["n_test"])
+
+
+def test_preference_end2end_consistent_with_parts(spark, q):
+    rows = q("preference_qa_end2end").collect()
+    _release()
+    assert len(rows) == 20
+    assert sorted(r["rank"] for r in rows) == list(range(1, 21))
+    kmin = rows[0]["kappa_min_e6"]
+    for r in rows:
+        assert r["kappa_min_e6"] == kmin  # one corpus-level gate
+        assert 0 <= r["edge_win_share_e6"] <= 1_000_000
+        assert r["edge_wins"] <= r["edges"]
+    # BT rank and raw edge dominance must broadly agree: the top-rank
+    # model wins a majority of its decided edges
+    top = min(rows, key=lambda r: r["rank"])
+    assert top["edge_win_share_e6"] >= 500_000
