@@ -65,6 +65,12 @@ HEADLINE = [
     "ann_index_incremental",
     "boilerplate_segment_removal",
     "ann_sq_topk",
+    # round 5c: preference QA (driver-paced Bradley-Terry), greedy
+    # max-coverage selection (K anti-join rounds — the one new op
+    # whose working set grows with the corpus), integer Wasserstein
+    "bradley_terry_strength",
+    "greedy_coverage_selection",
+    "wasserstein_source_shift",
 ]
 
 

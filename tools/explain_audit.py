@@ -149,6 +149,14 @@ def main() -> None:
         "diff_in_differences", "simpsons_paradox_scan",
         "walk_pmi_similarity", "absorption_to_purchase",
         "xmr_control_chart", "dow_seasonality_strength",
+        # round 5c: preference QA, classifier evals, shift metrics
+        "bradley_terry_strength", "pairwise_winrate_wilson",
+        "annotator_agreement_kappa", "preference_transitivity_audit",
+        "preference_qa_end2end", "isotonic_calibration",
+        "brier_decomposition", "roc_curve_points",
+        "fairness_group_audit", "wasserstein_source_shift",
+        "negative_sampling_table", "greedy_coverage_selection",
+        "map_ops_suite", "forecast_backtest_mase",
     ]
     for name in names:
         if name not in qs:
