@@ -1939,3 +1939,134 @@ WHERE f.n_members > 1
 
 QUERIES["golden_record_survivorship"] = (golden_record_survivorship,
                                          _GOLDEN_SQL)
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank (seed-restart importance)
+# --------------------------------------------------------------------------
+
+PPR_SEEDS = 5
+
+
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: identical power iteration to
+    :func:`pagerank_fixed_point` except the 15% restart mass teleports
+    to a fixed SEED set (the {PPR_SEEDS} lowest customer ids) instead
+    of spreading uniformly — the "importance relative to THESE users"
+    scoring behind who-to-follow and related-item features, and the
+    localized-community primitive (Andersen-Chung-Lang). Same
+    fixed-point tera-unit discipline: every quotient a small-
+    denominator rational, floors bit-identical, oracle unrolls the
+    rounds. Output: (node_id, node_type, ppr_tera, degree, is_seed).
+
+    Scale: per round one src-keyed join + map-side-combinable dst
+    aggregate, exactly the uniform PageRank shape; the seed set is a
+    broadcast. Mass concentrates near the seeds — the point — so the
+    rank table stays node-sized and the iteration count, not the seed
+    count, bounds cost.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .distinct())
+    off = F.broadcast(e0.agg((F.max("c") + F.lit(1)).alias("_off")))
+    e0o = e0.crossJoin(off)
+    und = (e0o.select(F.col("c").alias("src"),
+                      (F.col("s") + F.col("_off")).alias("dst"))
+           .unionByName(e0o.select((F.col("s") + F.col("_off")).alias("src"),
+                                   F.col("c").alias("dst"))))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    seeds = (nodes.crossJoin(off)
+             .where(F.col("node") < F.col("_off"))
+             .orderBy("node").limit(PPR_SEEDS)
+             .select("node", F.lit(1).alias("is_seed")))
+    restart = PR_SCALE * 15 // (100 * PPR_SEEDS)
+    state = (nodes.join(F.broadcast(seeds), "node", "left")
+             .select("node", "deg",
+                     F.when(F.col("is_seed") == 1,
+                            F.lit(PR_SCALE // PPR_SEEDS))
+                      .otherwise(F.lit(0)).cast("long").alias("pr")))
+    for _ in range(PR_ITERS):
+        contrib = (und
+                   .join(state.withColumnRenamed("node", "src"), "src")
+                   .select("dst",
+                           F.floor(F.col("pr") / F.col("deg")).cast("long")
+                            .alias("contrib"))
+                   .groupBy("dst")
+                   .agg(F.sum("contrib").alias("s")))
+        state = (nodes.join(F.broadcast(seeds), "node", "left")
+                 .join(contrib, nodes.node == contrib.dst, "left")
+                 .select("node", "deg",
+                         (F.when(F.col("is_seed") == 1, F.lit(restart))
+                           .otherwise(F.lit(0)).cast("long")
+                          + F.floor(F.coalesce("s", F.lit(0)) * 85 / 100)
+                             .cast("long")).alias("pr")))
+    return (state.join(F.broadcast(seeds), "node", "left")
+            .crossJoin(off)
+            .select(F.col("node").alias("node_id"),
+                    F.when(F.col("node") >= F.col("_off"), "supplier")
+                     .otherwise("customer").alias("node_type"),
+                    F.col("pr").alias("ppr_tera"),
+                    F.col("deg").cast("long").alias("degree"),
+                    F.coalesce("is_seed", F.lit(0)).cast("int")
+                     .alias("is_seed")))
+
+
+def _ppr_sql() -> str:
+    restart = PR_SCALE * 15 // (100 * PPR_SEEDS)
+    ctes = ["""e0 AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""", "off AS (SELECT max(c) + 1 AS o FROM e0)", """und AS (
+    SELECT c AS src, s + off.o AS dst FROM e0 CROSS JOIN off
+    UNION ALL
+    SELECT s + off.o AS src, c AS dst FROM e0 CROSS JOIN off
+)""", """deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+    FROM und GROUP BY src)""",
+        "nodes AS (SELECT src AS node, deg FROM deg)",
+        f"""seeds AS (
+    SELECT node, 1 AS is_seed FROM nodes CROSS JOIN off
+    WHERE node < off.o ORDER BY node LIMIT {PPR_SEEDS}
+)""", f"""p0 AS (
+    SELECT n.node,
+           CAST(CASE WHEN s.is_seed = 1
+                THEN {PR_SCALE // PPR_SEEDS} ELSE 0 END AS BIGINT) AS pr
+    FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+)"""]
+    for i in range(PR_ITERS):
+        ctes.append(f"""c{i + 1} AS (
+    SELECT u.dst,
+           CAST(sum(CAST(floor(p.pr / d.deg) AS BIGINT)) AS BIGINT) AS s
+    FROM und u
+    JOIN p{i} p ON u.src = p.node
+    JOIN deg d ON u.src = d.src
+    GROUP BY u.dst
+)""")
+        ctes.append(f"""p{i + 1} AS (
+    SELECT n.node,
+           CAST(CASE WHEN sd.is_seed = 1 THEN {restart} ELSE 0 END
+                AS BIGINT)
+           + CAST(floor(coalesce(c{i + 1}.s, 0) * 85 / 100) AS BIGINT)
+               AS pr
+    FROM nodes n
+    LEFT JOIN seeds sd ON n.node = sd.node
+    LEFT JOIN c{i + 1} ON n.node = c{i + 1}.dst
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT p.node AS node_id,
+       CASE WHEN p.node >= off.o THEN 'supplier' ELSE 'customer' END
+           AS node_type,
+       p.pr AS ppr_tera,
+       CAST(nodes.deg AS BIGINT) AS degree,
+       CAST(coalesce(sd.is_seed, 0) AS INT) AS is_seed
+FROM p{PR_ITERS} p
+JOIN nodes ON p.node = nodes.node
+LEFT JOIN seeds sd ON p.node = sd.node
+CROSS JOIN off
+""")
+
+
+QUERIES["personalized_pagerank"] = (personalized_pagerank, _ppr_sql())

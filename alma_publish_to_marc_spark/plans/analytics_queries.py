@@ -1482,3 +1482,175 @@ WHERE c.c >= 2
 """
 
 QUERIES["map_ops_suite"] = (_map_ops, _MAP_OPS_SQL)
+
+
+# --------------------------------------------------------------------------
+# prf_query_expansion: pseudo-relevance feedback (two-pass BM25)
+# --------------------------------------------------------------------------
+PRF_FEEDBACK_K = 10
+PRF_EXPAND = 3
+
+
+def _prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback — the classic recall lever of keyword
+    search: run BM25 for the seed terms, mine the top-{K} "feedback"
+    docs for the terms that best characterize them (ranked by
+    feedback-doc frequency, corpus-df tiebreak, term tiebreak — pure
+    integers, no floats in the SELECTION), append the top-{E} new
+    terms to the query, and re-rank the corpus with the expanded term
+    set. Output: the expanded-query top-20 with a flag for docs the
+    seed query alone would have missed — the measured recall win.
+    Columns: (rank, doc_id, score, n_terms_matched, newly_retrieved).
+
+    Determinism: expansion choice is integer-ranked; BM25 scores use
+    the same ln + round(4) + id-tiebreak discipline as bm25_topk
+    (rank compares the ROUNDED score). Stopword-ish terms are
+    excluded by an integer df > N/2 gate.
+
+    Scale: three passes over the scan-fused token explode (seed tf,
+    feedback term mining, expanded tf) — each filters BEFORE its
+    shuffle (seed/expanded terms via broadcast semi-joins, feedback
+    docs a {K}-row broadcast); the corpus-wide df aggregate is the
+    tfidf shape (sort-merge on the term key). No global sorts: both
+    top-ks are TakeOrdered.
+    """
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                     .alias("w")))
+    lens = docs.select(
+        "doc_id",
+        F.size(F.filter("w", lambda t: t != F.lit(""))).alias("dl"))
+    toks = (docs.select("doc_id", F.explode("w").alias("term"))
+            .where(F.col("term") != ""))
+    stats = lens.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+
+    def bm25_scores(tf):
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5) + 1)
+        per_term = idf * (F.col("n_tf") * (BM25_K1 + 1)
+                          / (F.col("n_tf")
+                             + BM25_K1 * (1 - BM25_B + BM25_B
+                                          * F.col("dl") / F.col("avgdl"))))
+        return (tf.join(lens, "doc_id")
+                .join(F.broadcast(dfreq), "term")
+                .crossJoin(F.broadcast(stats))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_terms_matched"),
+                     F.round(F.sum(per_term), 4).alias("score")))
+
+    tf1 = (toks.where(F.col("term").isin(*BM25_TERMS))
+           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_tf")))
+    fb = (bm25_scores(tf1)
+          .orderBy(F.desc("score"), F.asc("doc_id"))
+          .limit(PRF_FEEDBACK_K)
+          .select("doc_id", F.lit(1).alias("in_seed_topk")))
+
+    doc_terms = toks.select("doc_id", "term").distinct()
+    cdf = doc_terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    fterm = (doc_terms.join(F.broadcast(fb.select("doc_id")), "doc_id")
+             .groupBy("term").agg(F.count(F.lit(1)).alias("f")))
+    cand = (fterm.join(cdf, "term")
+            .crossJoin(F.broadcast(stats.select("n_docs")))
+            .where(~F.col("term").isin(*BM25_TERMS)
+                   & (2 * F.col("df") <= F.col("n_docs"))))
+    expansion = (cand.orderBy(F.desc("f"), F.asc("df"), F.asc("term"))
+                 .limit(PRF_EXPAND).select("term"))
+    qterms = (expansion.unionByName(
+        spark.createDataFrame([(t,) for t in BM25_TERMS], "term string")))
+
+    tf2 = (toks.join(F.broadcast(qterms), "term")
+           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("n_tf")))
+    top = (bm25_scores(tf2)
+           .orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (top.join(F.broadcast(fb), "doc_id", "left")
+            .select("doc_id", "n_terms_matched", "score",
+                    (F.coalesce("in_seed_topk", F.lit(0)) == 0)
+                    .cast("int").alias("newly_retrieved"))
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "score", "n_terms_matched",
+                    "newly_retrieved"))
+
+
+def _prf_sql() -> str:
+    seed_list = ", ".join(repr(t) for t in BM25_TERMS)
+    score = (f"round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)"
+             f" * (n_tf * ({BM25_K1} + 1)"
+             f" / (n_tf + {BM25_K1} * (1 - {BM25_B}"
+             f" + {BM25_B} * dl / avgdl)))), 4)")
+    return rf"""
+WITH docs AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+    FROM documents
+),
+lens AS (
+    SELECT doc_id, len(list_filter(w, t -> t <> '')) AS dl FROM docs
+),
+toks AS (
+    SELECT doc_id, unnest(w) AS term FROM docs
+),
+toks_ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+tf1 AS (
+    SELECT doc_id, term, count(*) AS n_tf
+    FROM toks_ne WHERE term IN ({seed_list})
+    GROUP BY doc_id, term
+),
+df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+s1 AS (
+    SELECT tf1.doc_id, {score} AS score
+    FROM tf1 JOIN lens USING (doc_id) JOIN df1 USING (term)
+    CROSS JOIN stats GROUP BY tf1.doc_id
+),
+fb AS (
+    SELECT doc_id, 1 AS in_seed_topk FROM s1
+    ORDER BY score DESC, doc_id ASC LIMIT {PRF_FEEDBACK_K}
+),
+doc_terms AS (SELECT DISTINCT doc_id, term FROM toks_ne),
+cdf AS (SELECT term, count(*) AS df FROM doc_terms GROUP BY term),
+fterm AS (
+    SELECT term, count(*) AS f
+    FROM doc_terms JOIN fb USING (doc_id) GROUP BY term
+),
+expansion AS (
+    SELECT ft.term
+    FROM fterm ft JOIN cdf USING (term) CROSS JOIN stats
+    WHERE ft.term NOT IN ({seed_list}) AND 2 * cdf.df <= stats.n_docs
+    ORDER BY ft.f DESC, cdf.df ASC, ft.term ASC
+    LIMIT {PRF_EXPAND}
+),
+qterms AS (
+    SELECT term FROM expansion
+    UNION ALL
+    SELECT unnest([{seed_list}]) AS term
+),
+tf2 AS (
+    SELECT t.doc_id, t.term, count(*) AS n_tf
+    FROM toks_ne t JOIN qterms q ON t.term = q.term
+    GROUP BY t.doc_id, t.term
+),
+df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+s2 AS (
+    SELECT tf2.doc_id, count(*) AS n_terms_matched, {score} AS score
+    FROM tf2 JOIN lens USING (doc_id) JOIN df2 USING (term)
+    CROSS JOIN stats GROUP BY tf2.doc_id
+),
+top AS (
+    SELECT doc_id, n_terms_matched, score FROM s2
+    ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+)
+SELECT CAST(row_number() OVER (ORDER BY t.score DESC, t.doc_id ASC)
+            AS INT) AS rank,
+       t.doc_id, t.score,
+       CAST(t.n_terms_matched AS BIGINT) AS n_terms_matched,
+       CAST(CASE WHEN fb.in_seed_topk IS NULL THEN 1 ELSE 0 END AS INT)
+           AS newly_retrieved
+FROM top t LEFT JOIN fb ON t.doc_id = fb.doc_id
+"""
+
+
+QUERIES["prf_query_expansion"] = (_prf_query_expansion, _prf_sql())

@@ -3179,3 +3179,254 @@ JOIN after a USING (event_type)
 
 QUERIES["exactly_once_dedup_replay"] = (exactly_once_dedup_replay,
                                         _REPLAY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+_CUPED_PRE_DAYS = 15
+
+
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED — the variance-reduction technique every large experiment
+    platform applies before reading an A/B result: regress the
+    post-period metric on each user's PRE-period activity (theta =
+    cov(X,Y)/var(X)), subtract theta*X, and report both the adjusted
+    treatment effect and the variance reduction rho^2 the adjustment
+    buys. Arms are the platform's user_id % 2 assignment
+    (srm_assignment_check validates it). Output one row: (n_users,
+    n_t, n_c, theta_e6, delta_raw_e6, delta_cuped_e6,
+    var_reduction_e6).
+
+    Determinism: X is an exact event count, Y exact milli-value sums;
+    theta's numerator/denominator are int64 cross-moments (exact to
+    ~2^63; per-user milli sums keep n*syy inside int64 to ~1e18 —
+    headroom noted); rho^2 casts each exact moment to double FIRST and
+    evaluates one identical expression string in both engines (every
+    moment < 2^53, so the casts are exact and the arithmetic identical
+    IEEE); deltas are floored e6 of double expressions over exact
+    sums — floor, never int-cast, they can be negative.
+
+    Scale: one corpus scan for the day bounds (1 column), one for the
+    per-user reduction (keyed shuffle, map-side combinable), then a
+    single global aggregate producing all arm-conditional moments in
+    one pass. Nothing else moves.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(cast(ts as timestamp))"
+                          " div 86400000000").alias("day"),
+        F.expr("cast(round(value * 1000, 0) as bigint)").alias("vm"))
+    bounds = ev.agg(F.min("day").alias("mind"))
+    per_user = (ev.crossJoin(F.broadcast(bounds))
+                .groupBy("user_id")
+                .agg(F.sum(F.expr(f"case when day < mind +"
+                                  f" {_CUPED_PRE_DAYS} then 1 else 0"
+                                  f" end")).alias("x"),
+                     F.sum(F.expr(f"case when day >= mind +"
+                                  f" {_CUPED_PRE_DAYS} then vm else 0"
+                                  f" end")).alias("y"))
+                .withColumn("arm", F.col("user_id") % 2))
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.expr("case when arm = 0 then 1 else 0 end")).alias("nc"),
+        F.sum(F.expr("case when arm = 0 then x else 0 end")).alias("sxc"),
+        F.sum(F.expr("case when arm = 0 then y else 0 end")).alias("syc"),
+        F.sum(F.expr("case when arm = 1 then 1 else 0 end")).alias("nt"),
+        F.sum(F.expr("case when arm = 1 then x else 0 end")).alias("sxt"),
+        F.sum(F.expr("case when arm = 1 then y else 0 end")).alias("syt"))
+    theta = ("(cast(n * sxy - sx * sy as double)"
+             " / cast(greatest(n * sxx - sx * sx, 1) as double))")
+    rho2 = ("((cast(n as double) * cast(sxy as double)"
+            "  - cast(sx as double) * cast(sy as double))"
+            " * (cast(n as double) * cast(sxy as double)"
+            "    - cast(sx as double) * cast(sy as double)))"
+            " / greatest((cast(n as double) * cast(sxx as double)"
+            "    - cast(sx as double) * cast(sx as double))"
+            " * (cast(n as double) * cast(syy as double)"
+            "    - cast(sy as double) * cast(sy as double)), 1.0)")
+    d_raw = ("(cast(syt as double) / nt - cast(syc as double) / nc)"
+             " / 1000.0")
+    d_adj = (f"((cast(syt as double) / nt - {theta}"
+             f" * (cast(sxt as double) / nt))"
+             f" - (cast(syc as double) / nc - {theta}"
+             f" * (cast(sxc as double) / nc))) / 1000.0")
+    return m.select(
+        F.col("n").alias("n_users"), F.col("nt").alias("n_t"),
+        F.col("nc").alias("n_c"),
+        F.expr(f"cast(floor(1000000.0 * {theta}) as bigint)")
+         .alias("theta_e6"),
+        F.expr(f"cast(floor(1000000.0 * ({d_raw})) as bigint)")
+         .alias("delta_raw_e6"),
+        F.expr(f"cast(floor(1000000.0 * ({d_adj})) as bigint)")
+         .alias("delta_cuped_e6"),
+        F.expr(f"cast(floor(1000000.0 * ({rho2})) as bigint)")
+         .alias("var_reduction_e6"))
+
+
+def _cuped_sql() -> str:
+    theta = ("(cast(n * sxy - sx * sy as double)"
+             " / cast(greatest(n * sxx - sx * sx, 1) as double))")
+    rho2 = ("((cast(n as double) * cast(sxy as double)"
+            "  - cast(sx as double) * cast(sy as double))"
+            " * (cast(n as double) * cast(sxy as double)"
+            "    - cast(sx as double) * cast(sy as double)))"
+            " / greatest((cast(n as double) * cast(sxx as double)"
+            "    - cast(sx as double) * cast(sx as double))"
+            " * (cast(n as double) * cast(syy as double)"
+            "    - cast(sy as double) * cast(sy as double)), 1.0)")
+    d_raw = ("(cast(syt as double) / nt - cast(syc as double) / nc)"
+             " / 1000.0")
+    d_adj = (f"((cast(syt as double) / nt - {theta}"
+             f" * (cast(sxt as double) / nt))"
+             f" - (cast(syc as double) / nc - {theta}"
+             f" * (cast(sxc as double) / nc))) / 1000.0")
+    return f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+           CAST(round(value * 1000, 0) AS BIGINT) AS vm
+    FROM events
+),
+bounds AS (SELECT min(day) AS mind FROM ev),
+per_user AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN day < mind + {_CUPED_PRE_DAYS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN day >= mind + {_CUPED_PRE_DAYS}
+                         THEN vm ELSE 0 END) AS BIGINT) AS y,
+           user_id % 2 AS arm
+    FROM ev CROSS JOIN bounds GROUP BY user_id
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc,
+           CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS sxc,
+           CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS syc,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nt,
+           CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS sxt,
+           CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS syt
+    FROM per_user
+)
+SELECT n AS n_users, nt AS n_t, nc AS n_c,
+       CAST(floor(1000000.0 * {theta}) AS BIGINT) AS theta_e6,
+       CAST(floor(1000000.0 * ({d_raw})) AS BIGINT) AS delta_raw_e6,
+       CAST(floor(1000000.0 * ({d_adj})) AS BIGINT) AS delta_cuped_e6,
+       CAST(floor(1000000.0 * ({rho2})) AS BIGINT) AS var_reduction_e6
+FROM m
+"""
+
+
+QUERIES["cuped_variance_reduction"] = (cuped_variance_reduction,
+                                       _cuped_sql())
+
+
+# ---------------------------------------------------------------------------
+# Median confidence interval via exact order statistics
+# ---------------------------------------------------------------------------
+
+def median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% CI for the median of value per event
+    type: the interval between the order statistics at ranks
+    (n - 1.96*sqrt(n))/2 and (n + 1.96*sqrt(n))/2 + 1 — the binomial
+    argument needs NO distributional assumption, which is why it is
+    the robust-reporting standard wherever means are skew-poisoned.
+    Output per type: (event_type, n, lo_rank, med_rank, hi_rank,
+    ci_lo_m, median_m, ci_hi_m) in exact milli units.
+
+    Determinism: values quantize to milli ints; ranks use one sqrt
+    (IEEE correctly-rounded) inside floor/ceil of the same expression
+    in both engines, clamped to [1, n]; each order statistic is
+    selected on a (value -> count) run table with integer cumsums —
+    min value whose cumulative count reaches the rank — never a
+    global sort of raw rows.
+
+    Scale: one map-side-combinable aggregate to the per-(type, value)
+    run table, a per-type window cumsum over runs, and a 3-rank
+    conditional aggregate. The run table is bounded by distinct
+    quantized values per type, not row count.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(round(value * 1000, 0) as bigint)").alias("vm"))
+    runs = (ev.groupBy("event_type", "vm")
+            .agg(F.count(F.lit(1)).alias("c")))
+    w = (Window.partitionBy("event_type").orderBy("vm")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cums = runs.select("event_type", "vm", F.sum("c").over(w).alias("cum"))
+    ranks = (runs.groupBy("event_type").agg(F.sum("c").alias("n"))
+             .select(
+                 "event_type", "n",
+                 F.expr("greatest(cast(floor((n - 1.96 * sqrt(n)) / 2.0)"
+                        " as bigint), 1)").alias("lo_rank"),
+                 F.expr("(n + 1) div 2").alias("med_rank"),
+                 F.expr("least(cast(ceil((n + 1.96 * sqrt(n)) / 2.0"
+                        " + 1.0) as bigint), n)").alias("hi_rank")))
+    j = cums.join(F.broadcast(ranks), "event_type")
+    return (j.groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 F.max("lo_rank").alias("lo_rank"),
+                 F.max("med_rank").alias("med_rank"),
+                 F.max("hi_rank").alias("hi_rank"),
+                 F.min(F.when(F.col("cum") >= F.col("lo_rank"),
+                              F.col("vm"))).alias("ci_lo_m"),
+                 F.min(F.when(F.col("cum") >= F.col("med_rank"),
+                              F.col("vm"))).alias("median_m"),
+                 F.min(F.when(F.col("cum") >= F.col("hi_rank"),
+                              F.col("vm"))).alias("ci_hi_m")))
+
+
+_MEDIAN_CI_SQL = """
+WITH ev AS (
+    SELECT event_type,
+           CAST(round(value * 1000, 0) AS BIGINT) AS vm
+    FROM events
+),
+runs AS (
+    SELECT event_type, vm, CAST(count(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+),
+cums AS (
+    SELECT event_type, vm,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vm
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+    FROM runs
+),
+ranks AS (
+    SELECT event_type, n,
+           greatest(CAST(floor((n - 1.96 * sqrt(n)) / 2.0) AS BIGINT),
+                    1) AS lo_rank,
+           (n + 1) // 2 AS med_rank,
+           least(CAST(ceil((n + 1.96 * sqrt(n)) / 2.0 + 1.0) AS BIGINT),
+                 n) AS hi_rank
+    FROM (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+          FROM runs GROUP BY 1)
+)
+SELECT c.event_type, max(r.n) AS n,
+       max(r.lo_rank) AS lo_rank, max(r.med_rank) AS med_rank,
+       max(r.hi_rank) AS hi_rank,
+       min(CASE WHEN c.cum >= r.lo_rank THEN c.vm END) AS ci_lo_m,
+       min(CASE WHEN c.cum >= r.med_rank THEN c.vm END) AS median_m,
+       min(CASE WHEN c.cum >= r.hi_rank THEN c.vm END) AS ci_hi_m
+FROM cums c JOIN ranks r ON c.event_type = r.event_type
+GROUP BY c.event_type
+"""
+
+QUERIES["median_ci_order_stats"] = (median_ci_order_stats,
+                                    _MEDIAN_CI_SQL)

@@ -289,3 +289,53 @@ def test_preference_end2end_consistent_with_parts(spark, q):
     # model wins a majority of its decided edges
     top = min(rows, key=lambda r: r["rank"])
     assert top["edge_win_share_e6"] >= 500_000
+
+
+def test_cuped_moment_consistency(spark, q):
+    r = q("cuped_variance_reduction").collect()[0]
+    assert r["n_t"] + r["n_c"] == r["n_users"]
+    assert 0 <= r["var_reduction_e6"] <= 1_000_000
+
+
+def test_personalized_pagerank_localizes_mass(spark, q):
+    rows = q("personalized_pagerank").collect()
+    seeds = [r for r in rows if r["is_seed"] == 1]
+    assert len(seeds) == 5
+    total = sum(r["ppr_tera"] for r in rows)
+    assert total <= 1_000_000_000_000  # floors only leak mass down
+    # restart localization: seed nodes hold far more than their
+    # population share of the mass
+    seed_mass = sum(r["ppr_tera"] for r in seeds)
+    assert seed_mass * len(rows) > 5 * total
+
+
+def test_median_ci_brackets_exact_median(spark, q):
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = {r["event_type"]: r for r in
+            q("median_ci_order_stats").collect()}
+    ev = (load(spark, SF_SMOKE, "events")
+          .select("event_type",
+                  F.expr("cast(round(value * 1000, 0) as bigint)")
+                  .alias("vm")).collect())
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["vm"])
+    for t, vals in by_type.items():
+        vals.sort()
+        lower_median = vals[(len(vals) + 1) // 2 - 1]
+        got = rows[t]
+        assert got["median_m"] == lower_median
+        assert got["ci_lo_m"] <= got["median_m"] <= got["ci_hi_m"]
+        assert got["lo_rank"] <= got["med_rank"] <= got["hi_rank"]
+
+
+def test_prf_expansion_output_shape(spark, q):
+    rows = sorted(q("prf_query_expansion").collect(),
+                  key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the expanded query matches at most seed+expansion terms
+    assert all(1 <= r["n_terms_matched"] <= 6 for r in rows)
+    assert all(r["newly_retrieved"] in (0, 1) for r in rows)
