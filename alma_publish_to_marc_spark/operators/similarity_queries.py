@@ -1334,3 +1334,96 @@ FROM qs LEFT JOIN nc USING (qid) LEFT JOIN rbo USING (qid)
 
 
 QUERIES["rbo_rank_agreement"] = (_rbo_rank_agreement, _RBO_SQL)
+
+
+def _kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau between the exact top-10 and the refined-IVF
+    top-10 per probe — the third rank-agreement lens beside recall
+    (set overlap) and RBO (top-weighted): tau counts concordant vs
+    discordant PAIRS, so one badly transposed high rank costs little
+    while systematic reordering costs a lot. Both rankings are
+    tie-free (id tie-break), so tau = (C - D)/(C + D) over the common
+    items, exact integers until one floored double division (tau is
+    signed: floor, never int-cast). Output: (qid, n_common,
+    concordant, discordant, tau_e6).
+
+    Scale: the two top-k frames are the existing panel-broadcast
+    search plans; the pair join runs per-qid on <=10-row groups
+    (<=45 pairs each).
+    """
+    from pyspark.sql import functions as F
+
+    from .clustering import refined_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = (S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K)
+             .select("qid", "neighbor_id", F.col("rank").alias("ra")))
+    ivfr = (S.ivf_topk(emb, "vec_id", "embedding", QUERY_IDS,
+                       k=K, nprobe=NPROBE,
+                       centroids=refined_centroids(emb))
+            .select("qid", "neighbor_id", F.col("rank").alias("rb")))
+    m = exact.join(ivfr, ["qid", "neighbor_id"])
+    a = m.select("qid", F.col("neighbor_id").alias("ia"),
+                 F.col("ra").alias("ra1"), F.col("rb").alias("rb1"))
+    b = m.select("qid", F.col("neighbor_id").alias("ib"),
+                 F.col("ra").alias("ra2"), F.col("rb").alias("rb2"))
+    pairs = (a.join(b, "qid").where(F.col("ia") < F.col("ib"))
+             .select("qid",
+                     (((F.col("ra1") - F.col("ra2"))
+                       * (F.col("rb1") - F.col("rb2"))) > 0)
+                     .cast("long").alias("conc")))
+    agg = (pairs.groupBy("qid")
+           .agg(F.sum("conc").alias("concordant"),
+                F.sum(1 - F.col("conc")).alias("discordant")))
+    nc = m.groupBy("qid").agg(F.count(F.lit(1)).alias("n_common"))
+    qs = exact.select("qid").distinct()
+    tau = ("case when coalesce(concordant, 0)"
+           " + coalesce(discordant, 0) = 0 then cast(0 as bigint)"
+           " else cast(floor(1000000.0"
+           " * cast(concordant - discordant as double)"
+           " / cast(concordant + discordant as double)) as bigint) end")
+    return (qs.join(nc, "qid", "left").join(agg, "qid", "left")
+            .select("qid",
+                    F.coalesce("n_common", F.lit(0)).alias("n_common"),
+                    F.coalesce("concordant", F.lit(0)).alias("concordant"),
+                    F.coalesce("discordant", F.lit(0)).alias("discordant"),
+                    F.expr(tau).alias("tau_e6")))
+
+
+_KENDALL_SQL = f"""
+WITH exact AS (SELECT qid, neighbor_id, rank AS ra FROM ({_BRUTE_SQL})),
+ivfr AS (SELECT qid, neighbor_id, rank AS rb FROM ({_IVF_REFINED_SQL})),
+m AS (
+    SELECT e.qid, e.neighbor_id, e.ra, i.rb
+    FROM exact e
+    JOIN ivfr i ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
+),
+pairs AS (
+    SELECT a.qid,
+           CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0
+                THEN 1 ELSE 0 END AS conc
+    FROM m a JOIN m b ON a.qid = b.qid
+                     AND a.neighbor_id < b.neighbor_id
+),
+agg AS (
+    SELECT qid, CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(sum(1 - conc) AS BIGINT) AS discordant
+    FROM pairs GROUP BY qid
+),
+nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_common FROM m
+       GROUP BY qid),
+qs AS (SELECT DISTINCT qid FROM exact)
+SELECT qs.qid, coalesce(nc.n_common, 0) AS n_common,
+       coalesce(agg.concordant, 0) AS concordant,
+       coalesce(agg.discordant, 0) AS discordant,
+       CASE WHEN coalesce(agg.concordant, 0)
+                 + coalesce(agg.discordant, 0) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(1000000.0
+                 * CAST(agg.concordant - agg.discordant AS DOUBLE)
+                 / CAST(agg.concordant + agg.discordant AS DOUBLE))
+                 AS BIGINT) END AS tau_e6
+FROM qs LEFT JOIN nc USING (qid) LEFT JOIN agg USING (qid)
+"""
+
+
+QUERIES["kendall_tau_rankings"] = (_kendall_tau_rankings, _KENDALL_SQL)

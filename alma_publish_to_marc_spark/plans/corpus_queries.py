@@ -2061,3 +2061,117 @@ FROM picked
 
 QUERIES["greedy_coverage_selection"] = (greedy_coverage_selection,
                                         _coverage_sql())
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes (James-Stein) shrinkage of per-source means
+# ---------------------------------------------------------------------------
+
+def empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial pooling for per-source statistics — the fix for "this
+    source looks great but has 12 documents": estimate the
+    between-source variance tau^2 by one-way ANOVA method of moments
+    (MSB/MSW) and shrink each source's mean document length toward the
+    grand mean with weight tau^2/(tau^2 + MSW/n_s). Small sources get
+    pulled hard, large sources barely move — the defensible ranking a
+    mixture-weight decision should consume instead of raw means.
+    Output per source: (source, n_docs, raw_mean_e3, weight_e6,
+    shrunk_mean_e3).
+
+    Determinism: all moments are exact int64 sums from ONE corpus
+    aggregate; MSB/MSW/tau^2/weights evaluate the same double
+    expression strings in both engines (each moment < 2^53, casts
+    exact); outputs are floored e-scaled integers.
+
+    Scale: one map-side-combinable aggregate to K source rows
+    (persisted — the grand/MS aggregates and the final projection both
+    read it; released via unpersist_cached()); everything after is
+    K-row algebra.
+    """
+    from pyspark import StorageLevel
+
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    g = (d.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("n_chars").alias("sy"),
+              F.sum(F.col("n_chars") * F.col("n_chars")).alias("syy"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(g)
+    # within/between double sums go through an explicit source-sorted
+    # left fold (CLAUDE.md float-reduction rule — engine-default SUM
+    # order over doubles is not portable)
+    tot = (g.agg(F.count(F.lit(1)).alias("k"), F.sum("n").alias("nn"),
+                 F.sum("sy").alias("gsy"),
+                 F.array_sort(F.collect_list(
+                     F.struct("source", "n", "sy", "syy"))).alias("arr"))
+           .select("k", "nn", "gsy",
+                   F.expr("aggregate(transform(arr, x ->"
+                          " cast(x.syy as double)"
+                          " - cast(x.sy as double) * x.sy / x.n),"
+                          " cast(0.0 as double), (acc, x) -> acc + x)")
+                    .alias("wss"),
+                   F.expr("aggregate(transform(arr, x ->"
+                          " cast(x.sy as double) * x.sy / x.n),"
+                          " cast(0.0 as double), (acc, x) -> acc + x)")
+                    .alias("bss_part")))
+    msw = "(wss / (nn - k))"
+    msb = ("((bss_part - cast(gsy as double) * gsy / nn) / (k - 1))")
+    tau2 = f"greatest(({msb} - {msw}) / (cast(nn as double) / k), 0.0)"
+    wgt = f"({tau2} / ({tau2} + {msw} / n))"
+    shrunk = (f"(cast(gsy as double) / nn"
+              f" + {wgt} * (cast(sy as double) / n"
+              f" - cast(gsy as double) / nn))")
+    return (g.crossJoin(F.broadcast(tot)).select(
+        "source", F.col("n").alias("n_docs"),
+        F.expr("cast(floor(1000.0 * cast(sy as double) / n) as bigint)")
+         .alias("raw_mean_e3"),
+        F.expr(f"cast(floor(1000000.0 * {wgt}) as bigint)")
+         .alias("weight_e6"),
+        F.expr(f"cast(floor(1000.0 * {shrunk}) as bigint)")
+         .alias("shrunk_mean_e3")))
+
+
+def _eb_sql() -> str:
+    msw = "(wss / (nn - k))"
+    msb = "((bss_part - cast(gsy as double) * gsy / nn) / (k - 1))"
+    tau2 = f"greatest(({msb} - {msw}) / (cast(nn as double) / k), 0.0)"
+    wgt = f"({tau2} / ({tau2} + {msw} / n))"
+    shrunk = (f"(cast(gsy as double) / nn"
+              f" + {wgt} * (cast(sy as double) / n"
+              f" - cast(gsy as double) / nn))")
+    return f"""
+WITH g AS MATERIALIZED (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sy,
+           CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT k, nn, gsy,
+           list_reduce(list_prepend(0.0, list_transform(arr, x ->
+               cast(x.syy as double)
+               - cast(x.sy as double) * x.sy / x.n)),
+               (acc, x) -> acc + x) AS wss,
+           list_reduce(list_prepend(0.0, list_transform(arr, x ->
+               cast(x.sy as double) * x.sy / x.n)),
+               (acc, x) -> acc + x) AS bss_part
+    FROM (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(sy) AS BIGINT) AS gsy,
+               list_sort(list(struct_pack(source := source, n := n,
+                                          sy := sy, syy := syy))) AS arr
+        FROM g
+    )
+)
+SELECT source, n AS n_docs,
+       CAST(floor(1000.0 * cast(sy as double) / n) AS BIGINT)
+           AS raw_mean_e3,
+       CAST(floor(1000000.0 * {wgt}) AS BIGINT) AS weight_e6,
+       CAST(floor(1000.0 * {shrunk}) AS BIGINT) AS shrunk_mean_e3
+FROM g CROSS JOIN tot
+"""
+
+
+QUERIES["empirical_bayes_shrinkage"] = (empirical_bayes_shrinkage,
+                                        _eb_sql())

@@ -802,3 +802,205 @@ def unpersist_cached() -> int:
 
 
 QUERIES["forecast_backtest_mase"] = (_forecast_backtest_mase, _MASE_SQL)
+
+
+# --------------------------------------------------------------------------
+# timeseries_motif_discovery: Matrix-Profile motif + discord per series
+# --------------------------------------------------------------------------
+
+_MOTIF_W = 5
+
+
+def _timeseries_motif_discovery(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Matrix-Profile semantics at daily granularity: for every
+    5-day window of each event-type series, find its best-correlated
+    NON-OVERLAPPING partner window; the best pair corpus-wide is the
+    MOTIF (a repeated behavioral pattern), the window whose best
+    partner is worst is the DISCORD (the week that looks like no
+    other — the anomaly a seasonal z-score misses because it is shape,
+    not level). Correlation, not raw distance, so level shifts don't
+    mask shape matches. Output per series: (event_type, n_windows,
+    motif_s1, motif_s2, motif_corr_e6, discord_s, discord_corr_e6)
+    with window starts relative to the first day.
+
+    Determinism: window moments and dot products are exact int64 over
+    the zero-densified day grid; corr_e6 = floor(1e6*num/sqrt(d1*d2))
+    where num/d1/d2 are exact ints — one sqrt (IEEE correctly-rounded)
+    and one floor, identical both engines; constant windows (den 0)
+    are excluded; all argmin/argmax go through integer struct ordering
+    with window-start tie-breaks (CLAUDE.md rank-ties rule).
+
+    Scale: the corpus collapses to the (type, day) matrix in one
+    map-side-combinable aggregate (persisted — grid, moments and dot
+    branches all read it; released via unpersist_cached()); windows
+    are (days-4) rows per series and the pair join is O(windows^2 x
+    W) on that tiny frame — days, not corpus rows, bound it.
+    """
+    from pyspark import StorageLevel
+
+    daily = _daily_counts(spark, sf_dir)
+    b = daily.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    types = daily.select("event_type").distinct()
+    days = b.select(F.explode(F.sequence("mind", "maxd")).alias("day"),
+                    "mind", "maxd")
+    dense = (types.crossJoin(F.broadcast(days))
+             .join(daily, ["event_type", "day"], "left")
+             .select("event_type", "day", "mind", "maxd",
+                     F.coalesce("x", F.lit(0)).alias("x"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(dense)
+    starts = (dense.where(F.col("day") <= F.col("maxd") - (_MOTIF_W - 1))
+              .select("event_type", F.col("day").alias("s"), "mind")
+              .distinct())
+    win = dense.select("event_type", "day", "x")
+    wm = (starts.join(win, "event_type")
+          .where(F.col("day").between(F.col("s"),
+                                      F.col("s") + (_MOTIF_W - 1)))
+          .groupBy("event_type", "s", "mind")
+          .agg(F.sum("x").alias("sx"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    p1 = wm.select("event_type", F.col("s").alias("s1"), "mind",
+                   F.col("sx").alias("sx1"), F.col("sxx").alias("sxx1"))
+    p2 = wm.select("event_type", F.col("s").alias("s2"),
+                   F.col("sx").alias("sx2"), F.col("sxx").alias("sxx2"))
+    pp = (p1.join(p2, "event_type")
+          .where(F.col("s2") >= F.col("s1") + _MOTIF_W))
+    offs = spark.range(_MOTIF_W).select(F.col("id").alias("o"))
+    da = win.select(F.col("event_type").alias("et_a"),
+                    F.col("day").alias("d1"), F.col("x").alias("xa"))
+    db = win.select(F.col("event_type").alias("et_b"),
+                    F.col("day").alias("d2"), F.col("x").alias("xb"))
+    dots = (pp.select("event_type", "s1", "s2")
+            .crossJoin(F.broadcast(offs))
+            .join(da, (F.col("d1") == F.col("s1") + F.col("o"))
+                  & (F.col("et_a") == F.col("event_type")))
+            .join(db, (F.col("d2") == F.col("s2") + F.col("o"))
+                  & (F.col("et_b") == F.col("event_type")))
+            .groupBy("event_type", "s1", "s2")
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot")))
+    w = _MOTIF_W
+    corr = (f"cast(floor(1000000.0 * cast({w} * dot - sx1 * sx2"
+            f" as double) / sqrt(cast(({w} * sxx1 - sx1 * sx1)"
+            f" as double) * cast(({w} * sxx2 - sx2 * sx2) as double)))"
+            f" as bigint)")
+    scored = (pp.join(dots, ["event_type", "s1", "s2"])
+              .where((F.expr(f"{w} * sxx1 - sx1 * sx1") > 0)
+                     & (F.expr(f"{w} * sxx2 - sx2 * sx2") > 0))
+              .select("event_type", "mind", "s1", "s2",
+                      F.expr(corr).alias("c")))
+    motif = (scored.groupBy("event_type")
+             .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                 (F.col("s1") - F.col("mind"))
+                                 .alias("a"),
+                                 (F.col("s2") - F.col("mind"))
+                                 .alias("b"))).alias("m")))
+    per_win = (scored.select("event_type",
+                             (F.col("s1") - F.col("mind")).alias("s"),
+                             "c")
+               .unionByName(scored.select(
+                   "event_type",
+                   (F.col("s2") - F.col("mind")).alias("s"), "c"))
+               .groupBy("event_type", "s")
+               .agg(F.max("c").alias("best")))
+    discord = (per_win.groupBy("event_type")
+               .agg(F.min(F.struct("best", "s")).alias("d")))
+    nw = (starts.groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n_windows")))
+    return (nw.join(motif, "event_type").join(discord, "event_type")
+            .select("event_type", "n_windows",
+                    F.col("m.a").alias("motif_s1"),
+                    F.col("m.b").alias("motif_s2"),
+                    (-F.col("m.nc")).alias("motif_corr_e6"),
+                    F.col("d.s").alias("discord_s"),
+                    F.col("d.best").alias("discord_corr_e6")))
+
+
+def _motif_sql() -> str:
+    w = _MOTIF_W
+    corr = (f"CAST(floor(1000000.0 * CAST({w} * dot - sx1 * sx2"
+            f" AS DOUBLE) / sqrt(CAST(({w} * sxx1 - sx1 * sx1)"
+            f" AS DOUBLE) * CAST(({w} * sxx2 - sx2 * sx2) AS DOUBLE)))"
+            f" AS BIGINT)")
+    return f"""
+WITH {_DAILY_SQL},
+b AS (SELECT min(day) AS mind, max(day) AS maxd FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+grid AS (
+    SELECT t.event_type, d.day, b.mind, b.maxd
+    FROM types t CROSS JOIN b
+    CROSS JOIN LATERAL (SELECT unnest(generate_series(b.mind, b.maxd))
+                        AS day) d
+),
+dense AS (
+    SELECT g.event_type, g.day, g.mind, g.maxd, coalesce(dl.x, 0) AS x
+    FROM grid g LEFT JOIN daily dl
+      ON dl.event_type = g.event_type AND dl.day = g.day
+),
+starts AS (
+    SELECT DISTINCT event_type, day AS s, mind FROM dense
+    WHERE day <= maxd - {w - 1}
+),
+wm AS (
+    SELECT st.event_type, st.s, st.mind,
+           CAST(sum(d.x) AS BIGINT) AS sx,
+           CAST(sum(d.x * d.x) AS BIGINT) AS sxx
+    FROM starts st JOIN dense d
+      ON d.event_type = st.event_type
+     AND d.day BETWEEN st.s AND st.s + {w - 1}
+    GROUP BY 1, 2, 3
+),
+pp AS (
+    SELECT a.event_type, a.s AS s1, b.s AS s2, a.mind,
+           a.sx AS sx1, a.sxx AS sxx1, b.sx AS sx2, b.sxx AS sxx2
+    FROM wm a JOIN wm b
+      ON a.event_type = b.event_type AND b.s >= a.s + {w}
+),
+dots AS (
+    SELECT p.event_type, p.s1, p.s2,
+           CAST(sum(da.x * db.x) AS BIGINT) AS dot
+    FROM pp p
+    CROSS JOIN (SELECT unnest(generate_series(0, {w - 1})) AS o) oo
+    JOIN dense da ON da.event_type = p.event_type
+                 AND da.day = p.s1 + oo.o
+    JOIN dense db ON db.event_type = p.event_type
+                 AND db.day = p.s2 + oo.o
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT p.event_type, p.mind, p.s1, p.s2, {corr} AS c
+    FROM pp p JOIN dots USING (event_type, s1, s2)
+    WHERE {w} * sxx1 - sx1 * sx1 > 0 AND {w} * sxx2 - sx2 * sx2 > 0
+),
+motif AS (
+    SELECT event_type,
+           min(struct_pack(nc := -c, a := s1 - mind, b := s2 - mind))
+               AS m
+    FROM scored GROUP BY event_type
+),
+per_win AS (
+    SELECT event_type, s, CAST(max(c) AS BIGINT) AS best
+    FROM (SELECT event_type, s1 - mind AS s, c FROM scored
+          UNION ALL
+          SELECT event_type, s2 - mind AS s, c FROM scored)
+    GROUP BY 1, 2
+),
+discord AS (
+    SELECT event_type, min(struct_pack(best := best, s := s)) AS d
+    FROM per_win GROUP BY event_type
+),
+nw AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_windows
+    FROM starts GROUP BY event_type
+)
+SELECT nw.event_type, nw.n_windows,
+       m.m.a AS motif_s1, m.m.b AS motif_s2,
+       -(m.m.nc) AS motif_corr_e6,
+       d.d.s AS discord_s, d.d.best AS discord_corr_e6
+FROM nw JOIN motif m USING (event_type)
+JOIN discord d USING (event_type)
+"""
+
+
+QUERIES["timeseries_motif_discovery"] = (_timeseries_motif_discovery,
+                                         _motif_sql())

@@ -339,3 +339,43 @@ def test_prf_expansion_output_shape(spark, q):
     # the expanded query matches at most seed+expansion terms
     assert all(1 <= r["n_terms_matched"] <= 6 for r in rows)
     assert all(r["newly_retrieved"] in (0, 1) for r in rows)
+
+
+def test_kendall_tau_bounds_and_pair_identity(spark, q):
+    rows = q("kendall_tau_rankings").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["concordant"] + r["discordant"] == \
+            r["n_common"] * (r["n_common"] - 1) // 2
+        assert -1_000_000 <= r["tau_e6"] <= 1_000_000
+
+
+def test_motif_beats_discord(spark, q):
+    from alma_publish_to_marc_spark.plans import timeseries_queries as TS
+
+    rows = q("timeseries_motif_discovery").collect()
+    TS.unpersist_cached()
+    assert len(rows) == 5
+    for r in rows:
+        # the motif is the best pair anywhere, so it is at least as
+        # good as the discord window's best partner
+        assert r["motif_corr_e6"] >= r["discord_corr_e6"]
+        assert -1_000_000 <= r["discord_corr_e6"] \
+            <= r["motif_corr_e6"] <= 1_000_000
+        assert r["motif_s2"] >= r["motif_s1"] + 5  # non-overlap
+
+
+def test_eb_shrinkage_pulls_toward_grand_mean(spark, q):
+    from alma_publish_to_marc_spark.plans import corpus_queries as CQ
+
+    rows = q("empirical_bayes_shrinkage").collect()
+    CQ.unpersist_cached()
+    assert len(rows) == 20
+    nn = sum(r["n_docs"] for r in rows)
+    grand_e3 = sum(r["n_docs"] * r["raw_mean_e3"] for r in rows) // nn
+    for r in rows:
+        assert 0 <= r["weight_e6"] <= 1_000_000
+        # shrunk mean lies between raw mean and the grand mean
+        lo = min(r["raw_mean_e3"], grand_e3) - 1000
+        hi = max(r["raw_mean_e3"], grand_e3) + 1000
+        assert lo <= r["shrunk_mean_e3"] <= hi
