@@ -3430,3 +3430,328 @@ GROUP BY c.event_type
 
 QUERIES["median_ci_order_stats"] = (median_ci_order_stats,
                                     _MEDIAN_CI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Permutation test for the arm difference (exact integer comparisons)
+# ---------------------------------------------------------------------------
+
+_PERM_K = 19
+
+
+def permutation_test_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric inference without normality: re-randomize the arm
+    assignment {K} times with the canonical 48-bit md5 hash, recompute
+    the per-user mean-value difference under each fake assignment, and
+    report the rank of the observed difference — the Fisherian p-value
+    every experiment readout should sanity-check its z-test against.
+    Output one row: (n_users, obs_delta_e6, k_perms, n_extreme,
+    p_value_e6).
+
+    Determinism: the "is this permutation as extreme" comparison is
+    EXACT — |delta_k| >= |delta_obs| cross-multiplies to
+    |a_k|*d_obs >= |a_obs|*d_k with a = syT*nC - syC*nT and
+    d = nT*nC, all int64 (headroom: |a|*d needs total milli-value *
+    users^2 under 2^63 — fine to ~1e5 users at these magnitudes,
+    then lift to DOUBLE); no float ever decides a count. The display
+    delta is one floored double division.
+
+    Scale: one per-user reduction (keyed shuffle), then a {K}+1-way
+    explode of the K-row user frame and a map-side-combinable
+    per-permutation aggregate — permutations never touch raw events.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("cast(round(value * 1000, 0) as bigint)").alias("vm"))
+    users = ev.groupBy("user_id").agg(F.sum("vm").alias("y"))
+    ks = spark.range(_PERM_K + 1).select(F.col("id").alias("k"))
+    arm = F.expr(
+        "case when k = 0 then user_id % 2 else"
+        " cast(conv(substr(md5(concat('perm:', cast(k as string), ':',"
+        " cast(user_id as string))), 1, 12), 16, 10) as bigint) % 2 end")
+    assigned = (users.crossJoin(F.broadcast(ks))
+                .select("k", arm.alias("arm"), "y"))
+    per_k = (assigned.groupBy("k")
+             .agg(F.sum(F.expr("case when arm = 1 then y else 0 end"))
+                  .alias("syt"),
+                  F.sum(F.expr("case when arm = 1 then 1 else 0 end"))
+                  .alias("nt"),
+                  F.sum(F.expr("case when arm = 0 then y else 0 end"))
+                  .alias("syc"),
+                  F.sum(F.expr("case when arm = 0 then 1 else 0 end"))
+                  .alias("nc"))
+             .select("k", F.expr("syt * nc - syc * nt").alias("a"),
+                     F.expr("nt * nc").alias("d")))
+    obs = (per_k.where(F.col("k") == 0)
+           .select(F.col("a").alias("a0"), F.col("d").alias("d0")))
+    cmp_ = (per_k.where(F.col("k") > 0)
+            .crossJoin(F.broadcast(obs))
+            .agg(F.count(F.lit(1)).alias("k_perms"),
+                 F.sum(F.expr("case when abs(a) * d0 >= abs(a0) * d"
+                              " then 1 else 0 end")).alias("n_extreme")))
+    n_users = users.agg(F.count(F.lit(1)).alias("n_users"))
+    return (n_users.crossJoin(F.broadcast(obs))
+            .crossJoin(F.broadcast(cmp_))
+            .select("n_users",
+                    F.expr("cast(floor(1000000.0 * (cast(a0 as double)"
+                           " / cast(greatest(d0, 1) as double))"
+                           " / 1000.0) as bigint)").alias("obs_delta_e6"),
+                    "k_perms", "n_extreme",
+                    F.expr("1000000 * (1 + n_extreme)"
+                           " div (k_perms + 1)").alias("p_value_e6")))
+
+
+def _perm_sql() -> str:
+    return f"""
+WITH ev AS (
+    SELECT user_id, CAST(round(value * 1000, 0) AS BIGINT) AS vm
+    FROM events
+),
+users AS (
+    SELECT user_id, CAST(sum(vm) AS BIGINT) AS y
+    FROM ev GROUP BY user_id
+),
+assigned AS (
+    SELECT k.k,
+           CASE WHEN k.k = 0 THEN u.user_id % 2
+                ELSE CAST('0x' || substr(md5('perm:'
+                     || CAST(k.k AS VARCHAR) || ':'
+                     || CAST(u.user_id AS VARCHAR)), 1, 12) AS BIGINT)
+                     % 2 END AS arm,
+           u.y
+    FROM users u
+    CROSS JOIN (SELECT unnest(generate_series(0, {_PERM_K})) AS k) k
+),
+per_k AS (
+    SELECT k,
+           CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+               * CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT)
+           - CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+               * CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS a,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               * CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d
+    FROM assigned GROUP BY k
+),
+obs AS (SELECT a AS a0, d AS d0 FROM per_k WHERE k = 0),
+cmp_ AS (
+    SELECT CAST(count(*) AS BIGINT) AS k_perms,
+           CAST(sum(CASE WHEN abs(a) * d0 >= abs(a0) * d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+    FROM per_k CROSS JOIN obs WHERE k > 0
+),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM users)
+SELECT nu.n_users,
+       CAST(floor(1000000.0 * (CAST(obs.a0 AS DOUBLE)
+            / CAST(greatest(obs.d0, 1) AS DOUBLE)) / 1000.0) AS BIGINT)
+           AS obs_delta_e6,
+       cmp_.k_perms, cmp_.n_extreme,
+       1000000 * (1 + cmp_.n_extreme) // (cmp_.k_perms + 1)
+           AS p_value_e6
+FROM nu CROSS JOIN obs CROSS JOIN cmp_
+"""
+
+
+QUERIES["permutation_test_pvalue"] = (permutation_test_pvalue,
+                                      _perm_sql())
+
+
+# ---------------------------------------------------------------------------
+# Stratified ATT (subclassification on a confounded covariate)
+# ---------------------------------------------------------------------------
+
+def stratified_att_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational causal inference by subclassification: "treated"
+    users self-select (their FIRST event is a click — tie-broken by
+    event id, the struct-min rule), so the raw mean-outcome gap is
+    confounded by activity; stratify on an activity bucket, estimate
+    the effect within each stratum, and reweight by the treated
+    distribution — the ATT estimator of Cochran's classic design, and
+    the baseline every propensity method is judged against. Output one
+    row: (n_treated, n_control, n_strata_used, n_strata_dropped,
+    smd_before_e6, att_raw_e6, att_strat_e6).
+
+    Determinism: first-event treatment is min(struct(ts_us, event_id,
+    type)) — exact integer ordering; outcomes/covariates are exact
+    int64 (milli values, counts); the across-strata reweighting is an
+    explicit bucket-sorted left fold of double terms (float-reduction
+    rule); the balance SMD uses one sqrt over exact moments. att
+    values are signed — floored, never int-cast.
+
+    Scale: two keyed reductions (per-user profile, per-stratum
+    moments — both map-side combinable), then <=10-row algebra on the
+    strata; the per-stratum frame folds once. Nothing after the
+    per-user shuffle scales with events.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        F.expr("cast(round(value * 1000, 0) as bigint)").alias("vm"))
+    users = (ev.groupBy("user_id")
+             .agg(F.min(F.struct("ts_us", "event_id", "event_type"))
+                   .alias("first_ev"),
+                  F.count(F.lit(1)).alias("a"),
+                  F.sum("vm").alias("y"))
+             .select("user_id", "a", "y",
+                     (F.col("first_ev.event_type") == "click")
+                     .cast("long").alias("t"),
+                     F.expr("least(a div 20, 9)").alias("b")))
+    strata = (users.groupBy("b")
+              .agg(F.sum("t").alias("nt"),
+                   F.sum(F.expr("case when t = 1 then y else 0 end"))
+                    .alias("syt"),
+                   F.sum(1 - F.col("t")).alias("nc"),
+                   F.sum(F.expr("case when t = 0 then y else 0 end"))
+                    .alias("syc")))
+    tot = (users.agg(
+        F.sum("t").alias("ntt"), F.sum(1 - F.col("t")).alias("ncc"),
+        F.sum(F.expr("case when t = 1 then y else 0 end")).alias("syt_all"),
+        F.sum(F.expr("case when t = 0 then y else 0 end")).alias("syc_all"),
+        F.sum(F.expr("case when t = 1 then a else 0 end")).alias("sat"),
+        F.sum(F.expr("case when t = 1 then a * a else 0 end")).alias("sat2"),
+        F.sum(F.expr("case when t = 0 then a else 0 end")).alias("sac"),
+        F.sum(F.expr("case when t = 0 then a * a else 0 end")).alias("sac2")))
+    folded = (strata.agg(
+        F.array_sort(F.collect_list(F.struct("b", "nt", "syt", "nc",
+                                             "syc"))).alias("arr"))
+        .select(
+            "arr",
+            F.expr("aggregate(transform(arr, x -> case when x.nt > 0"
+                   " and x.nc > 0 then x.nt else cast(0 as bigint)"
+                   " end), cast(0 as bigint), (acc, x) -> acc + x)")
+             .alias("nt_used"),
+            F.expr("aggregate(transform(arr, x -> case when x.nt > 0"
+                   " and x.nc > 0 then cast(1 as int) else 0 end),"
+                   " 0, (acc, x) -> acc + x)").alias("n_used"),
+            F.expr("aggregate(transform(arr, x -> case when x.nt = 0"
+                   " or x.nc = 0 then 1 else 0 end), 0,"
+                   " (acc, x) -> acc + x)").alias("n_dropped"))
+        .select(
+            "nt_used", "n_used", "n_dropped",
+            F.expr("aggregate(transform(arr, x -> case when x.nt > 0"
+                   " and x.nc > 0 then cast(x.nt as double)"
+                   " * (cast(x.syt as double) / x.nt"
+                   "    - cast(x.syc as double) / x.nc)"
+                   " else cast(0.0 as double) end),"
+                   " cast(0.0 as double), (acc, x) -> acc + x)")
+             .alias("att_num")))
+    att_strat = ("(att_num / cast(greatest(nt_used, 1) as double))"
+                 " / 1000.0")
+    att_raw = ("(cast(syt_all as double) / ntt"
+               " - cast(syc_all as double) / ncc) / 1000.0")
+    smd = ("(cast(sat as double) / ntt - cast(sac as double) / ncc)"
+           " / sqrt(((cast(sat2 as double) / ntt"
+           "  - (cast(sat as double) / ntt)"
+           "    * (cast(sat as double) / ntt))"
+           " + (cast(sac2 as double) / ncc"
+           "  - (cast(sac as double) / ncc)"
+           "    * (cast(sac as double) / ncc))) / 2.0)")
+    return (folded.crossJoin(F.broadcast(tot)).select(
+        F.col("ntt").alias("n_treated"), F.col("ncc").alias("n_control"),
+        F.col("n_used").alias("n_strata_used"),
+        F.col("n_dropped").alias("n_strata_dropped"),
+        F.expr(f"cast(floor(1000000.0 * ({smd})) as bigint)")
+         .alias("smd_before_e6"),
+        F.expr(f"cast(floor(1000000.0 * ({att_raw})) as bigint)")
+         .alias("att_raw_e6"),
+        F.expr(f"cast(floor(1000000.0 * ({att_strat})) as bigint)")
+         .alias("att_strat_e6")))
+
+
+def _att_sql() -> str:
+    att_strat = ("(att_num / cast(greatest(nt_used, 1) as double))"
+                 " / 1000.0")
+    att_raw = ("(cast(syt_all as double) / ntt"
+               " - cast(syc_all as double) / ncc) / 1000.0")
+    smd = ("(cast(sat as double) / ntt - cast(sac as double) / ncc)"
+           " / sqrt(((cast(sat2 as double) / ntt"
+           "  - (cast(sat as double) / ntt)"
+           "    * (cast(sat as double) / ntt))"
+           " + (cast(sac2 as double) / ncc"
+           "  - (cast(sac as double) / ncc)"
+           "    * (cast(sac as double) / ncc))) / 2.0)")
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 1000, 0) AS BIGINT) AS vm
+    FROM events
+),
+users AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS a,
+           CAST(sum(vm) AS BIGINT) AS y,
+           CASE WHEN min(struct_pack(ts_us := ts_us,
+                                     event_id := event_id,
+                                     event_type := event_type))
+                     .event_type = 'click'
+                THEN 1 ELSE 0 END AS t,
+           least(CAST(count(*) AS BIGINT) // 20, 9) AS b
+    FROM ev GROUP BY user_id
+),
+strata AS (
+    SELECT b, CAST(sum(t) AS BIGINT) AS nt,
+           CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS syt,
+           CAST(sum(1 - t) AS BIGINT) AS nc,
+           CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS syc
+    FROM users GROUP BY b
+),
+tot AS (
+    SELECT CAST(sum(t) AS BIGINT) AS ntt,
+           CAST(sum(1 - t) AS BIGINT) AS ncc,
+           CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS syt_all,
+           CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS syc_all,
+           CAST(sum(CASE WHEN t = 1 THEN a ELSE 0 END) AS BIGINT)
+               AS sat,
+           CAST(sum(CASE WHEN t = 1 THEN a * a ELSE 0 END) AS BIGINT)
+               AS sat2,
+           CAST(sum(CASE WHEN t = 0 THEN a ELSE 0 END) AS BIGINT)
+               AS sac,
+           CAST(sum(CASE WHEN t = 0 THEN a * a ELSE 0 END) AS BIGINT)
+               AS sac2
+    FROM users
+),
+folded AS (
+    SELECT
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(arr, x -> CASE WHEN x.nt > 0 AND x.nc > 0
+                THEN x.nt ELSE CAST(0 AS BIGINT) END)),
+            (acc, x) -> acc + x) AS nt_used,
+        list_reduce(list_prepend(0,
+            list_transform(arr, x -> CASE WHEN x.nt > 0 AND x.nc > 0
+                THEN 1 ELSE 0 END)),
+            (acc, x) -> acc + x) AS n_used,
+        list_reduce(list_prepend(0,
+            list_transform(arr, x -> CASE WHEN x.nt = 0 OR x.nc = 0
+                THEN 1 ELSE 0 END)),
+            (acc, x) -> acc + x) AS n_dropped,
+        list_reduce(list_prepend(0.0,
+            list_transform(arr, x -> CASE WHEN x.nt > 0 AND x.nc > 0
+                THEN cast(x.nt as double)
+                     * (cast(x.syt as double) / x.nt
+                        - cast(x.syc as double) / x.nc)
+                ELSE 0.0 END)),
+            (acc, x) -> acc + x) AS att_num
+    FROM (SELECT list_sort(list(struct_pack(b := b, nt := nt,
+                                            syt := syt, nc := nc,
+                                            syc := syc))) AS arr
+          FROM strata)
+)
+SELECT t.ntt AS n_treated, t.ncc AS n_control,
+       CAST(f.n_used AS INT) AS n_strata_used,
+       CAST(f.n_dropped AS INT) AS n_strata_dropped,
+       CAST(floor(1000000.0 * ({smd})) AS BIGINT) AS smd_before_e6,
+       CAST(floor(1000000.0 * ({att_raw})) AS BIGINT) AS att_raw_e6,
+       CAST(floor(1000000.0 * ({att_strat})) AS BIGINT)
+           AS att_strat_e6
+FROM folded f CROSS JOIN tot t
+"""
+
+
+QUERIES["stratified_att_estimate"] = (stratified_att_estimate,
+                                      _att_sql())

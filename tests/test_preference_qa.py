@@ -379,3 +379,21 @@ def test_eb_shrinkage_pulls_toward_grand_mean(spark, q):
         lo = min(r["raw_mean_e3"], grand_e3) - 1000
         hi = max(r["raw_mean_e3"], grand_e3) + 1000
         assert lo <= r["shrunk_mean_e3"] <= hi
+
+
+def test_permutation_test_pvalue_is_valid(spark, q):
+    r = q("permutation_test_pvalue").collect()[0]
+    assert r["k_perms"] == 19
+    assert 0 <= r["n_extreme"] <= r["k_perms"]
+    # p in (0, 1]: the +1 correction makes p >= 1/(K+1) = 5%
+    assert 50_000 <= r["p_value_e6"] <= 1_000_000
+    # arm split is random (user_id % 2 vs random value), so the
+    # observed delta should NOT be extreme: p above the 5% floor
+    assert r["p_value_e6"] > 50_000
+
+
+def test_stratified_att_accounts_strata(spark, q):
+    r = q("stratified_att_estimate").collect()[0]
+    assert r["n_treated"] > 0 and r["n_control"] > 0
+    assert 1 <= r["n_strata_used"] <= 10
+    assert r["n_strata_used"] + r["n_strata_dropped"] <= 10
