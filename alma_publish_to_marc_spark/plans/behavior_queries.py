@@ -3755,3 +3755,328 @@ FROM folded f CROSS JOIN tot t
 
 QUERIES["stratified_att_estimate"] = (stratified_att_estimate,
                                       _att_sql())
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-type permutation p-values
+# ---------------------------------------------------------------------------
+
+_BH_Q_NUM, _BH_Q_DEN = 1, 10  # q = 0.10
+
+
+def fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control, end to end in exact integers: one
+    permutation p-value per event type (the per-user arm difference
+    within that type's events, ranked among {K} md5 re-randomizations
+    by exact cross-multiplied comparison), then the Benjamini-Hochberg
+    step-up at q = 0.10 — p_(k) <= k*q/m decided as
+    den*q_den*p_num <= k*(K+1)*q_num, never a float. The table every
+    metrics platform needs the day it reports six deltas at once.
+    Output per type: (event_type, p_num, p_den, p_e6, bh_rank,
+    rejected).
+
+    Scale: one per-(user, type) reduction, a {K}+1-way explode of that
+    reduced frame, per-(type, perm) map-side aggregates, then
+    |types|-row BH algebra under a tiny window.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("cast(round(value * 1000, 0) as bigint)").alias("vm"))
+    users = (ev.groupBy("user_id", "event_type")
+             .agg(F.sum("vm").alias("y")))
+    ks = spark.range(_PERM_K + 1).select(F.col("id").alias("k"))
+    arm = F.expr(
+        "case when k = 0 then user_id % 2 else"
+        " cast(conv(substr(md5(concat('perm:', cast(k as string), ':',"
+        " cast(user_id as string))), 1, 12), 16, 10) as bigint) % 2 end")
+    per_k = (users.crossJoin(F.broadcast(ks))
+             .select("event_type", "k", arm.alias("arm"), "y")
+             .groupBy("event_type", "k")
+             .agg(F.sum(F.expr("case when arm = 1 then y else 0 end"))
+                  .alias("syt"),
+                  F.sum(F.expr("case when arm = 1 then 1 else 0 end"))
+                  .alias("nt"),
+                  F.sum(F.expr("case when arm = 0 then y else 0 end"))
+                  .alias("syc"),
+                  F.sum(F.expr("case when arm = 0 then 1 else 0 end"))
+                  .alias("nc"))
+             .select("event_type", "k",
+                     F.expr("syt * nc - syc * nt").alias("a"),
+                     F.expr("nt * nc").alias("d")))
+    obs = (per_k.where(F.col("k") == 0)
+           .select("event_type", F.col("a").alias("a0"),
+                   F.col("d").alias("d0")))
+    pvals = (per_k.where(F.col("k") > 0)
+             .join(F.broadcast(obs), "event_type")
+             .groupBy("event_type")
+             .agg((1 + F.sum(F.expr("case when abs(a) * d0 >="
+                                    " abs(a0) * d then 1 else 0 end")))
+                  .alias("p_num"),
+                  F.count(F.lit(1)).alias("kk")))
+    w = Window.orderBy("p_num", "event_type")
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    m = F.count(F.lit(1)).over(wall)
+    ranked = (pvals.select("event_type", "p_num",
+                           (F.col("kk") + 1).alias("p_den"))
+              .withColumn("bh_rank", F.row_number().over(w))
+              .withColumn("m", m))
+    cond = F.expr(f"{_BH_Q_DEN} * m * p_num"
+                  f" <= bh_rank * p_den * {_BH_Q_NUM}")
+    kmax = F.max(F.when(cond, F.col("bh_rank")).otherwise(0)).over(wall)
+    return (ranked.withColumn("kmax", kmax)
+            .select("event_type", "p_num", "p_den",
+                    F.expr("1000000 * p_num div p_den").alias("p_e6"),
+                    "bh_rank",
+                    (F.col("bh_rank") <= F.col("kmax")).alias("rejected")))
+
+
+def _bh_sql() -> str:
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(round(value * 1000, 0) AS BIGINT) AS vm
+    FROM events
+),
+users AS (
+    SELECT user_id, event_type, CAST(sum(vm) AS BIGINT) AS y
+    FROM ev GROUP BY 1, 2
+),
+per_k AS (
+    SELECT event_type, k,
+           CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+               * CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT)
+           - CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+               * CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS a,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               * CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d
+    FROM (
+        SELECT u.event_type, k.k, u.y,
+               CASE WHEN k.k = 0 THEN u.user_id % 2
+                    ELSE CAST('0x' || substr(md5('perm:'
+                         || CAST(k.k AS VARCHAR) || ':'
+                         || CAST(u.user_id AS VARCHAR)), 1, 12)
+                         AS BIGINT) % 2 END AS arm
+        FROM users u
+        CROSS JOIN (SELECT unnest(generate_series(0, {_PERM_K}))
+                    AS k) k
+    )
+    GROUP BY 1, 2
+),
+obs AS (SELECT event_type, a AS a0, d AS d0 FROM per_k WHERE k = 0),
+pvals AS (
+    SELECT p.event_type,
+           1 + CAST(sum(CASE WHEN abs(p.a) * o.d0 >= abs(o.a0) * p.d
+                             THEN 1 ELSE 0 END) AS BIGINT) AS p_num,
+           CAST(count(*) AS BIGINT) + 1 AS p_den
+    FROM per_k p JOIN obs o ON p.event_type = o.event_type
+    WHERE p.k > 0 GROUP BY p.event_type
+),
+ranked AS (
+    SELECT event_type, p_num, p_den,
+           CAST(row_number() OVER (ORDER BY p_num, event_type) AS INT)
+               AS bh_rank,
+           CAST(count(*) OVER () AS BIGINT) AS m
+    FROM pvals
+),
+km AS (
+    SELECT max(CASE WHEN {_BH_Q_DEN} * m * p_num
+                         <= bh_rank * p_den * {_BH_Q_NUM}
+               THEN bh_rank ELSE 0 END) AS kmax
+    FROM ranked
+)
+SELECT r.event_type, r.p_num, r.p_den,
+       1000000 * r.p_num // r.p_den AS p_e6,
+       r.bh_rank, r.bh_rank <= k.kmax AS rejected
+FROM ranked r CROSS JOIN km k
+"""
+
+
+QUERIES["fdr_bh_correction"] = (fdr_bh_correction, _bh_sql())
+
+
+# ---------------------------------------------------------------------------
+# Sparse-vector-technique DP release (integer discrete Laplace)
+# ---------------------------------------------------------------------------
+
+_SVT_EPS = 0.5
+_SVT_B = 8          # truncation of the discrete Laplace support
+_SVT_CAP = 3        # release budget: stop after this many answers
+
+
+def _dlap_cutoffs() -> list[int]:
+    """48-bit inverse-CDF cutoffs of the truncated discrete Laplace
+    exp(-eps*|k|), k in [-B, B] — computed ONCE in Python and embedded
+    as integer literals in BOTH engines, so noise sampling is pure
+    integer comparison (no ln/exp inside either engine: branching on a
+    transcendental is the walk-PMI hazard class, and SVT BRANCHES on
+    its noise)."""
+    import math
+
+    probs = [math.exp(-_SVT_EPS * abs(k))
+             for k in range(-_SVT_B, _SVT_B + 1)]
+    z = sum(probs)
+    cuts, acc = [], 0.0
+    for p in probs[:-1]:
+        acc += p / z
+        cuts.append(round((1 << 48) * acc))
+    return cuts
+
+
+def _dlap_case(h_expr: str) -> str:
+    cuts = _dlap_cutoffs()
+    arms = " ".join(
+        f"when ({h_expr}) < {c} then cast({k - _SVT_B} as bigint)"
+        for k, c in enumerate(cuts))
+    return f"(case {arms} else cast({_SVT_B} as bigint) end)"
+
+
+def _h48_svt(tag: str, spark_side: bool) -> str:
+    if spark_side:
+        return ("cast(conv(substr(md5(concat('svt:', " + tag + ")),"
+                " 1, 12), 16, 10) as bigint)")
+    return ("CAST('0x' || substr(md5('svt:' || " + tag + "), 1, 12)"
+            " AS BIGINT)")
+
+
+def dp_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse-vector technique — the DP primitive that answers a
+    STREAM of threshold queries while only paying privacy budget for
+    the hits: "was daily volume above typical?" asked for every day in
+    order, noisy threshold fixed once, each above-threshold day
+    released with fresh noise, and the mechanism HALTS after
+    {CAP} releases. Output per day: (day_rel, true_count, queried,
+    released, dp_answer) — dp_answer NULL for suppressed days,
+    queried=0 once the budget is spent.
+
+    Determinism: noise is truncated discrete Laplace sampled by
+    comparing the canonical 48-bit md5 integer against Python-
+    precomputed inverse-CDF cutoffs (identical literals both engines)
+    — every branch is an integer compare; the sequential halt state
+    runs in a day-sorted fold whose appended struct reads only the
+    PREVIOUS accumulator element (the DuckDB in-place struct_pack
+    hazard never arises because the release decision is inlined
+    everywhere it is needed, not read from a sibling field).
+
+    Scale: one map-side-combinable aggregate to the daily totals; the
+    fold runs over days in one row. The privacy ledger, not the
+    corpus, is the sequential part — exactly how SVT deploys.
+    """
+    daily = (load(spark, sf_dir, "events")
+             .select(F.expr("unix_micros(cast(ts as timestamp))"
+                            " div 86400000000").alias("day"))
+             .groupBy("day").agg(F.count(F.lit(1)).alias("q")))
+    b = daily.agg(F.min("day").alias("mind"),
+                  F.sum("q").alias("tot"),
+                  F.count(F.lit(1)).alias("nd"))
+    dec = _dlap_case(_h48_svt(
+        "'q:', cast(day_rel as string)", True).replace(
+        "concat('svt:', ", "concat('svt:', "))
+    ans = _dlap_case(_h48_svt("'a:', cast(day_rel as string)", True))
+    rows = (daily.crossJoin(F.broadcast(b))
+            .select((F.col("day") - F.col("mind")).alias("day_rel"),
+                    "q", F.expr("tot div nd").alias("t"))
+            .select("day_rel", "q", "t",
+                    F.expr(dec).alias("dnz"), F.expr(ans).alias("anz")))
+    tnoise = _dlap_case(_h48_svt("'T'", True))
+    one = (rows.groupBy()
+           .agg(F.max("t").alias("t"),
+                F.array_sort(F.collect_list(
+                    F.struct("day_rel", "q", "dnz", "anz"))).alias("arr"))
+           .select("arr", F.expr(f"t + {tnoise}").alias("nt")))
+    rel = ("(case when element_at(acc, -1).c < " + str(_SVT_CAP)
+           + " and x.q + x.dnz > nt then 1 else 0 end)")
+    fold = (
+        "aggregate(arr, array(named_struct("
+        "'day_rel', cast(-1 as bigint), 'q', cast(0 as bigint),"
+        " 'queried', 0, 'released', 0,"
+        " 'answer', cast(null as bigint), 'c', cast(0 as bigint))),"
+        " (acc, x) -> array_append(acc, named_struct("
+        "'day_rel', x.day_rel, 'q', x.q,"
+        f" 'queried', case when element_at(acc, -1).c < {_SVT_CAP}"
+        " then 1 else 0 end,"
+        f" 'released', {rel},"
+        f" 'answer', case when {rel} = 1 then x.q + x.anz"
+        " else cast(null as bigint) end,"
+        f" 'c', element_at(acc, -1).c + {rel})))")
+    return (one.select(F.explode(F.expr(fold)).alias("s"))
+            .where(F.col("s.day_rel") >= 0)
+            .select(F.col("s.day_rel").alias("day_rel"),
+                    F.col("s.q").alias("true_count"),
+                    F.col("s.queried").alias("queried"),
+                    F.col("s.released").alias("released"),
+                    F.col("s.answer").alias("dp_answer")))
+
+
+def _svt_sql() -> str:
+    dec = _dlap_case(_h48_svt("'q:' || CAST(day_rel AS VARCHAR)", False))
+    ans = _dlap_case(_h48_svt("'a:' || CAST(day_rel AS VARCHAR)", False))
+    tnoise = _dlap_case(_h48_svt("'T'", False))
+    rel = (f"(case when acc[-1].c < {_SVT_CAP}"
+           " and x.q + x.dnz > nt then 1 else 0 end)")
+    # DuckDB list_reduce needs acc and element types to match, so each
+    # input element is a 1-element list of the SAME struct type with
+    # dec/ans smuggled through the answer/c slots; xx[-1] reads the
+    # element. Placeholders are macro-expanded below (collision-safe
+    # tokens — a bare "cc" would also rewrite every "acc").
+    fold = (
+        "list_reduce(list_prepend("
+        "[struct_pack(day_rel := CAST(-1 AS BIGINT),"
+        " q := CAST(0 AS BIGINT), queried := 0, released := 0,"
+        " answer := CAST(NULL AS BIGINT), c := CAST(0 AS BIGINT))],"
+        " list_transform(arr, e -> [struct_pack(day_rel := e.day_rel,"
+        " q := e.q, queried := 0, released := 0,"
+        " answer := CAST(e.dnz AS BIGINT), c := e.anz)])),"
+        " (acc, xx) -> list_append(acc, struct_pack("
+        "day_rel := xx[-1].day_rel, q := xx[-1].q,"
+        f" queried := case when acc[-1].c < {_SVT_CAP}"
+        " then 1 else 0 end,"
+        " released := __REL__, answer := __ANS__, c := __CNT__)))")
+    x_dec = "xx[-1].answer"
+    x_ans = "xx[-1].c"
+    rel2 = (f"(case when acc[-1].c < {_SVT_CAP}"
+            f" and xx[-1].q + {x_dec} > nt then 1 else 0 end)")
+    fold = (fold
+            .replace("__REL__", rel2)
+            .replace("__ANS__", f"case when {rel2} = 1"
+                                f" then xx[-1].q + {x_ans}"
+                                " else CAST(NULL AS BIGINT) end")
+            .replace("__CNT__", f"acc[-1].c + {rel2}"))
+    return f"""
+WITH daily AS (
+    SELECT epoch_us(ts) // 86400000000 AS day,
+           CAST(count(*) AS BIGINT) AS q
+    FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS mind, CAST(sum(q) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM daily),
+rows_ AS (
+    SELECT day - mind AS day_rel, q, tot // nd AS t
+    FROM daily CROSS JOIN b
+),
+enriched AS (
+    SELECT day_rel, q, t, {dec} AS dnz, {ans} AS anz FROM rows_
+),
+one AS (
+    SELECT list_sort(list(struct_pack(day_rel := day_rel, q := q,
+                                      dnz := dnz, anz := anz))) AS arr,
+           max(t) + {tnoise.replace("day_rel", "0")} AS nt
+    FROM enriched
+),
+folded AS (
+    SELECT unnest({fold}) AS s FROM one
+)
+SELECT s.day_rel, s.q AS true_count,
+       CAST(s.queried AS INT) AS queried,
+       CAST(s.released AS INT) AS released, s.answer AS dp_answer
+FROM folded WHERE s.day_rel >= 0
+"""
+
+
+QUERIES["dp_sparse_vector"] = (dp_sparse_vector, _svt_sql())

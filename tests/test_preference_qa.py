@@ -397,3 +397,33 @@ def test_stratified_att_accounts_strata(spark, q):
     assert r["n_treated"] > 0 and r["n_control"] > 0
     assert 1 <= r["n_strata_used"] <= 10
     assert r["n_strata_used"] + r["n_strata_dropped"] <= 10
+
+
+def test_bh_correction_step_up_property(spark, q):
+    rows = sorted(q("fdr_bh_correction").collect(),
+                  key=lambda r: r["bh_rank"])
+    assert len(rows) == 5
+    ps = [r["p_e6"] for r in rows]
+    assert ps == sorted(ps)  # ranked by p
+    # rejections form a prefix of the p-ordered list (step-up)
+    flags = [r["rejected"] for r in rows]
+    assert flags == sorted(flags, reverse=True)
+    for r in rows:
+        assert 1 <= r["p_num"] <= r["p_den"]
+
+
+def test_sparse_vector_budget_semantics(spark, q):
+    rows = sorted(q("dp_sparse_vector").collect(),
+                  key=lambda r: r["day_rel"])
+    released = [r for r in rows if r["released"] == 1]
+    assert len(released) <= 3  # the budget cap
+    # once the budget is spent, nothing is queried or released again
+    spent = False
+    count = 0
+    for r in rows:
+        assert r["queried"] == (0 if spent else 1)
+        count += r["released"]
+        if count >= 3:
+            spent = True
+        # suppressed days carry no answer; released days carry one
+        assert (r["dp_answer"] is not None) == (r["released"] == 1)
