@@ -4080,3 +4080,148 @@ FROM folded WHERE s.day_rel >= 0
 
 
 QUERIES["dp_sparse_vector"] = (dp_sparse_vector, _svt_sql())
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley channel attribution (4 channels, factorial weights)
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ("click", "error", "signup", "view")  # purchase = conversion
+
+
+def _shap_tables() -> tuple[list[tuple[int, int]], int]:
+    """(coalition rows (S, wnum), denominator n!) — wnum is the
+    k!(n-k-1)! marginal-contribution weight for adding a channel to a
+    size-k coalition S. Generated once in Python, embedded as literals
+    in both engines (same spirit as the SVT noise cutoffs)."""
+    import math
+
+    n = len(_SHAP_CHANNELS)
+    rows = []
+    for s in range(1 << n):
+        k = bin(s).count("1")
+        if k < n:
+            rows.append((s, math.factorial(k) * math.factorial(n - 1 - k)))
+    return rows, math.factorial(n)
+
+
+def shapley_channel_attribution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the four non-purchase
+    channels — the only credit split that is symmetric, efficient and
+    additive, computed in closed form because the coalition lattice is
+    2^4: v(S) = converted users whose touched-channel set is contained
+    in S, and each channel's value is the factorial-weighted sum of
+    its marginal contributions (weights precomputed in Python as
+    integer literals; denominator 4! = 24). The principled referee
+    between last-touch and position-based attribution, exact to the
+    definition rather than sampled. Output per channel: (channel,
+    shapley_num, shapley_e6, v_full, v_empty) — efficiency
+    (sum(phi) = v_full - v_empty) is pinned by the invariant test.
+
+    Scale: one per-user reduction to a 4-bit touch mask + conversion
+    flag (map-side combinable), a <=16-row mask census, and literal
+    16x16 lattice joins. The lattice never grows with data; only the
+    first aggregate touches the corpus.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    touch = [F.max(F.when(F.col("event_type") == c, 1).otherwise(0))
+             .alias(f"t{i}") for i, c in enumerate(_SHAP_CHANNELS)]
+    users = (ev.groupBy("user_id")
+             .agg(*touch,
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("conv")))
+    mask = sum((F.col(f"t{i}") * (1 << i)
+                for i in range(len(_SHAP_CHANNELS))), F.lit(0))
+    u = (users.where(F.col("conv") == 1)
+         .select(mask.alias("m"))
+         .groupBy("m").agg(F.count(F.lit(1)).alias("um")))
+    full = (1 << len(_SHAP_CHANNELS)) - 1
+    coal = spark.createDataFrame(
+        [(s,) for s in range(1 << len(_SHAP_CHANNELS))], "s int")
+    v = (coal.join(F.broadcast(u),
+                   F.expr("(m | s) = s"), "left")
+         .groupBy("s").agg(F.coalesce(F.sum("um"), F.lit(0))
+                           .alias("v")))
+    rows_sw, denom = _shap_tables()
+    sw = spark.createDataFrame(rows_sw, "s int, wnum long")
+    chans = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(_SHAP_CHANNELS)],
+        "channel string, cbit int")
+    terms = (chans.crossJoin(F.broadcast(sw))
+             .where(F.expr("(s & cbit) = 0"))
+             .join(F.broadcast(v.select(F.col("s").alias("s1"),
+                                        F.col("v").alias("v1"))),
+                   F.expr("s1 = s"))
+             .join(F.broadcast(v.select(F.col("s").alias("s2"),
+                                        F.col("v").alias("v2"))),
+                   F.expr("s2 = (s | cbit)"))
+             .groupBy("channel")
+             .agg(F.sum(F.col("wnum") * (F.col("v2") - F.col("v1")))
+                  .alias("shapley_num")))
+    vf = (v.agg(F.max(F.when(F.col("s") == full, F.col("v")))
+                .alias("v_full"),
+                F.max(F.when(F.col("s") == 0, F.col("v")))
+                .alias("v_empty")))
+    return (terms.crossJoin(F.broadcast(vf))
+            .select("channel", "shapley_num",
+                    F.expr(f"1000000 * shapley_num div {denom}")
+                     .alias("shapley_e6"),
+                    "v_full", "v_empty"))
+
+
+def _shapley_sql() -> str:
+    rows_sw, denom = _shap_tables()
+    n = len(_SHAP_CHANNELS)
+    full = (1 << n) - 1
+    sw_vals = ", ".join(f"({s}, {w})" for s, w in rows_sw)
+    coal_vals = ", ".join(f"({s})" for s in range(1 << n))
+    chan_vals = ", ".join(f"('{c}', {1 << i})"
+                          for i, c in enumerate(_SHAP_CHANNELS))
+    touch = ", ".join(
+        f"max(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) AS t{i}"
+        for i, c in enumerate(_SHAP_CHANNELS))
+    mask = " + ".join(f"t{i} * {1 << i}" for i in range(n))
+    return f"""
+WITH users AS (
+    SELECT user_id, {touch},
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+    FROM events GROUP BY user_id
+),
+u AS (
+    SELECT {mask} AS m, CAST(count(*) AS BIGINT) AS um
+    FROM users WHERE conv = 1 GROUP BY 1
+),
+coal(s) AS (VALUES {coal_vals}),
+v AS (
+    SELECT c.s,
+           CAST(coalesce(sum(u.um), 0) AS BIGINT) AS v
+    FROM coal c LEFT JOIN u ON (u.m | c.s) = c.s
+    GROUP BY c.s
+),
+sw(s, wnum) AS (VALUES {sw_vals}),
+chans(channel, cbit) AS (VALUES {chan_vals}),
+terms AS (
+    SELECT ch.channel,
+           CAST(sum(sw.wnum * (v2.v - v1.v)) AS BIGINT) AS shapley_num
+    FROM chans ch
+    JOIN sw ON (sw.s & ch.cbit) = 0
+    JOIN v v1 ON v1.s = sw.s
+    JOIN v v2 ON v2.s = (sw.s | ch.cbit)
+    GROUP BY ch.channel
+),
+vf AS (
+    SELECT max(CASE WHEN s = {full} THEN v END) AS v_full,
+           max(CASE WHEN s = 0 THEN v END) AS v_empty
+    FROM v
+)
+SELECT t.channel, t.shapley_num,
+       1000000 * t.shapley_num // {denom} AS shapley_e6,
+       vf.v_full, vf.v_empty
+FROM terms t CROSS JOIN vf
+"""
+
+
+QUERIES["shapley_channel_attribution"] = (shapley_channel_attribution,
+                                          _shapley_sql())

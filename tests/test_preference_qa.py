@@ -427,3 +427,14 @@ def test_sparse_vector_budget_semantics(spark, q):
             spent = True
         # suppressed days carry no answer; released days carry one
         assert (r["dp_answer"] is not None) == (r["released"] == 1)
+
+
+def test_shapley_efficiency_axiom(spark, q):
+    rows = q("shapley_channel_attribution").collect()
+    assert len(rows) == 4
+    # efficiency: attributions sum exactly to v(full) - v(empty)
+    # (numerators carry denominator 4! = 24)
+    total_num = sum(r["shapley_num"] for r in rows)
+    assert total_num == 24 * (rows[0]["v_full"] - rows[0]["v_empty"])
+    # monotone game: v is a containment count, so phi >= 0
+    assert all(r["shapley_num"] >= 0 for r in rows)
