@@ -1004,3 +1004,143 @@ JOIN discord d USING (event_type)
 
 QUERIES["timeseries_motif_discovery"] = (_timeseries_motif_discovery,
                                          _motif_sql())
+
+
+# --------------------------------------------------------------------------
+# binseg_changepoint: exact single-split binary segmentation per series
+# --------------------------------------------------------------------------
+
+def _binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares changepoint per event-type series — binary
+    segmentation's first split, chosen EXACTLY: splitting after day s
+    reduces total SSE by delta(s) = S1^2/n1 + S2^2/n2 - S^2/N, and the
+    argmax over s is decided on the integer key floor(2^22 *
+    (S1^2*n2 + S2^2*n1) / (n1*n2)) — since two distinct candidate
+    fractions differ by at least 1/(n1*n2*n1'*n2') and the 2^22 scale
+    exceeds twice the worst denominator product at this horizon, the
+    floored keys preserve the exact ordering (ties break to the
+    earliest split; headroom: S^2*2^22 needs daily sums below ~1e8).
+    Output per series: (event_type, n_days, split_day, mean1_e3,
+    mean2_e3, delta_sse_e6).
+
+    Scale: the corpus collapses to the daily matrix (persisted, shared
+    with the other timeseries queries' shape); prefix sums and the
+    N-candidate scan run on days-sized frames under a per-series
+    window.
+    """
+    from pyspark import StorageLevel
+
+    daily = _daily_counts(spark, sf_dir)
+    b = daily.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    types = daily.select("event_type").distinct()
+    days = b.select(F.explode(F.sequence("mind", "maxd")).alias("day"),
+                    "mind", "maxd")
+    dense = (types.crossJoin(F.broadcast(days))
+             .join(daily, ["event_type", "day"], "left")
+             .select("event_type",
+                     (F.col("day") - F.col("mind")).alias("d"),
+                     (F.col("maxd") - F.col("mind") + 1).alias("nn"),
+                     F.coalesce("x", F.lit(0)).alias("x"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(dense)
+    w = (Window.partitionBy("event_type").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = dense.select("event_type", "d", "nn",
+                       F.sum("x").over(w).alias("s1"))
+    tot = (dense.groupBy("event_type")
+           .agg(F.sum("x").alias("st"),
+                F.sum(F.col("x") * F.col("x")).alias("sst"),
+                F.max("nn").alias("n")))
+    cand = (pre.join(F.broadcast(tot), "event_type")
+            .where(F.col("d") < F.col("nn") - 1)
+            .select("event_type", "d", "n", "st", "sst", "s1",
+                    (F.col("d") + 1).alias("n1"),
+                    (F.col("n") - F.col("d") - 1).alias("n2"),
+                    (F.col("st") - F.col("s1")).alias("s2")))
+    key = ("(s1 * s1 * n2 + s2 * s2 * n1) * 4194304 div (n1 * n2)")
+    best = (cand.select("event_type", "n", "st", "sst", "s1", "s2",
+                        "n1", "n2", "d", F.expr(key).alias("k"))
+            .groupBy("event_type")
+            .agg(F.max(F.struct(F.col("k"),
+                                (-F.col("d")).alias("nd"))).alias("b"),
+                 F.max("n").alias("n_days"),
+                 F.max("st").alias("st"), F.max("sst").alias("sst")))
+    picked = (best.select("event_type", "n_days", "st", "sst",
+                          (-F.col("b.nd")).alias("split_day"))
+              .join(cand.select("event_type", F.col("d").alias("split_day"),
+                                "s1", "s2", "n1", "n2"),
+                    ["event_type", "split_day"]))
+    delta = ("(cast(s1 as double) * s1 / n1"
+             " + cast(s2 as double) * s2 / n2"
+             " - cast(st as double) * st / (n1 + n2))")
+    return picked.select(
+        "event_type", "n_days", "split_day",
+        F.expr("cast(floor(1000.0 * cast(s1 as double) / n1) as bigint)")
+         .alias("mean1_e3"),
+        F.expr("cast(floor(1000.0 * cast(s2 as double) / n2) as bigint)")
+         .alias("mean2_e3"),
+        F.expr(f"cast(floor(1000000.0 * ({delta})) as bigint)")
+         .alias("delta_sse_e6"))
+
+
+def _binseg_sql() -> str:
+    key = "(s1 * s1 * n2 + s2 * s2 * n1) * 4194304 // (n1 * n2)"
+    delta = ("(cast(s1 as double) * s1 / n1"
+             " + cast(s2 as double) * s2 / n2"
+             " - cast(st as double) * st / (n1 + n2))")
+    return f"""
+WITH {_DAILY_SQL},
+b AS (SELECT min(day) AS mind, max(day) AS maxd FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+grid AS (
+    SELECT t.event_type, d.day, bb.mind, bb.maxd
+    FROM types t CROSS JOIN b bb
+    CROSS JOIN LATERAL (SELECT unnest(generate_series(bb.mind, bb.maxd))
+                        AS day) d
+),
+dense AS (
+    SELECT g.event_type, g.day - g.mind AS d,
+           g.maxd - g.mind + 1 AS nn, coalesce(dl.x, 0) AS x
+    FROM grid g LEFT JOIN daily dl
+      ON dl.event_type = g.event_type AND dl.day = g.day
+),
+pre AS (
+    SELECT event_type, d, nn,
+           CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS s1
+    FROM dense
+),
+tot AS (
+    SELECT event_type, CAST(sum(x) AS BIGINT) AS st,
+           CAST(sum(x * x) AS BIGINT) AS sst,
+           CAST(max(nn) AS BIGINT) AS n
+    FROM dense GROUP BY event_type
+),
+cand AS (
+    SELECT p.event_type, p.d, t.n, t.st, t.sst, p.s1,
+           p.d + 1 AS n1, t.n - p.d - 1 AS n2, t.st - p.s1 AS s2
+    FROM pre p JOIN tot t ON p.event_type = t.event_type
+    WHERE p.d < p.nn - 1
+),
+best AS (
+    SELECT event_type,
+           max(struct_pack(k := {key}, nd := -d)) AS b,
+           max(n) AS n_days, max(st) AS st, max(sst) AS sst
+    FROM cand GROUP BY event_type
+)
+SELECT b.event_type, b.n_days, -(b.b.nd) AS split_day,
+       CAST(floor(1000.0 * cast(c.s1 as double) / c.n1) AS BIGINT)
+           AS mean1_e3,
+       CAST(floor(1000.0 * cast(c.s2 as double) / c.n2) AS BIGINT)
+           AS mean2_e3,
+       CAST(floor(1000000.0 * (cast(c.s1 as double) * c.s1 / c.n1
+            + cast(c.s2 as double) * c.s2 / c.n2
+            - cast(b.st as double) * b.st / (c.n1 + c.n2))) AS BIGINT)
+           AS delta_sse_e6
+FROM best b JOIN cand c
+  ON c.event_type = b.event_type AND c.d = -(b.b.nd)
+"""
+
+
+QUERIES["binseg_changepoint"] = (_binseg_changepoint, _binseg_sql())

@@ -438,3 +438,35 @@ def test_shapley_efficiency_axiom(spark, q):
     assert total_num == 24 * (rows[0]["v_full"] - rows[0]["v_empty"])
     # monotone game: v is a containment count, so phi >= 0
     assert all(r["shapley_num"] >= 0 for r in rows)
+
+
+def test_binseg_split_is_exact_argmax(spark, q):
+    from alma_publish_to_marc_spark.plans import timeseries_queries as TS
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = {r["event_type"]: r for r in q("binseg_changepoint").collect()}
+    TS.unpersist_cached()
+    # brute-force the same argmax in Python on the densified series
+    ev = (load(spark, SF_SMOKE, "events")
+          .select("event_type",
+                  F.expr("unix_micros(cast(ts as timestamp))"
+                         " div 86400000000").alias("day")).collect())
+    series: dict = {}
+    days = [r["day"] for r in ev]
+    mind, maxd = min(days), max(days)
+    for r in ev:
+        series.setdefault(r["event_type"], [0] * (maxd - mind + 1))
+        series[r["event_type"]][r["day"] - mind] += 1
+    from fractions import Fraction
+    for t, xs in series.items():
+        n = len(xs)
+        best_d, best_v = None, None
+        s1 = 0
+        for d in range(n - 1):
+            s1 += xs[d]
+            s2 = sum(xs) - s1
+            v = Fraction(s1 * s1, d + 1) + Fraction(s2 * s2, n - d - 1)
+            if best_v is None or v > best_v:
+                best_d, best_v = d, v
+        assert rows[t]["split_day"] == best_d, t
+        assert rows[t]["delta_sse_e6"] >= 0
