@@ -319,3 +319,29 @@ def test_greedy_coverage_returns_local_result(props, spark):
     assert p["scans"] == 0
     assert p["shuffles"] == 0
     assert CQ.unpersist_cached() >= 1
+
+
+def test_round5d_single_aggregate_shapes(props, spark):
+    # These collapse the corpus in one or two map-side aggregates and
+    # do the statistical tail on tiny frames — no global sorts, no
+    # sort-merge joins, at most two parquet scans.
+    from alma_publish_to_marc_spark.plans import behavior_queries  # noqa
+    for name in ("cuped_variance_reduction", "median_ci_order_stats",
+                 "empirical_bayes_shrinkage", "permutation_test_pvalue",
+                 "stratified_att_estimate", "fdr_bh_correction",
+                 "dp_sparse_vector", "shapley_channel_attribution"):
+        p = props(name)
+        assert p["scans"] <= 2, name
+        assert p["range_shuffles"] == 0, name
+        assert p["sort_merge_joins"] == 0, name
+
+
+def test_round5d_iteratives_have_no_range_exchange(props, spark):
+    from alma_publish_to_marc_spark.plans import timeseries_queries as TS
+
+    for name in ("personalized_pagerank", "timeseries_motif_discovery",
+                 "binseg_changepoint", "prf_query_expansion",
+                 "kendall_tau_rankings"):
+        p = props(name)
+        assert p["range_shuffles"] == 0, name
+    TS.unpersist_cached()

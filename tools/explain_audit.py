@@ -157,6 +157,14 @@ def main() -> None:
         "fairness_group_audit", "wasserstein_source_shift",
         "negative_sampling_table", "greedy_coverage_selection",
         "map_ops_suite", "forecast_backtest_mase",
+        # round 5d: inference, causal, retrieval, time-series exacts
+        "cuped_variance_reduction", "personalized_pagerank",
+        "median_ci_order_stats", "prf_query_expansion",
+        "kendall_tau_rankings", "timeseries_motif_discovery",
+        "empirical_bayes_shrinkage", "permutation_test_pvalue",
+        "stratified_att_estimate", "fdr_bh_correction",
+        "dp_sparse_vector", "shapley_channel_attribution",
+        "binseg_changepoint",
     ]
     for name in names:
         if name not in qs:
