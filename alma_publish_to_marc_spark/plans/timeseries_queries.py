@@ -1144,3 +1144,136 @@ FROM best b JOIN cand c
 
 
 QUERIES["binseg_changepoint"] = (_binseg_changepoint, _binseg_sql())
+
+
+# --------------------------------------------------------------------------
+# dtw_series_distance: exact integer dynamic time warping, all pairs
+# --------------------------------------------------------------------------
+
+_DTW_INF = 1_000_000_000_000_000
+
+
+def _dtw_series_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping between every pair of event-type daily
+    series — the sequence-similarity measure that tolerates phase
+    shift (a weekend dip one day late still matches), where Pearson
+    (``crosscorr_event_types``) punishes it. Series are mean-
+    normalized to permille integers so level differences don't drown
+    shape, and the full DP recurrence runs as a nested fold: the outer
+    fold carries the previous DP row, the inner fold builds the next
+    row left to right — every cell an exact int64 (|x-y| costs,
+    integer min), so the warping distance is bit-identical across
+    engines with no float anywhere. Output per pair: (type_a, type_b,
+    n_days, dtw_cost, dtw_per_step_e3).
+
+    Scale: the corpus collapses to the daily matrix; each DP is
+    O(days^2) inside ONE row's expression — series pairs, not corpus
+    rows, bound the work. For month-scale horizons that is 900 integer
+    ops per pair; a Sakoe-Chiba band would cap longer horizons.
+    """
+    from pyspark import StorageLevel
+
+    daily = _daily_counts(spark, sf_dir)
+    b = daily.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    types = daily.select("event_type").distinct()
+    days = b.select(F.explode(F.sequence("mind", "maxd")).alias("day"))
+    dense = (types.crossJoin(F.broadcast(days))
+             .join(daily, ["event_type", "day"], "left")
+             .select("event_type", "day",
+                     F.coalesce("x", F.lit(0)).alias("x"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(dense)
+    ser = (dense.groupBy("event_type")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("day", "x"))),
+               lambda s: s["x"]).alias("raw")))
+    # permille mean-normalization: x * 1000 * n div sum (exact ints)
+    norm = ser.select(
+        "event_type",
+        F.expr("transform(raw, v -> (v * 1000 * size(raw))"
+               " div greatest(aggregate(raw, cast(0 as bigint),"
+               " (a, q) -> a + q), 1))").alias("s"))
+    a = norm.select(F.col("event_type").alias("type_a"),
+                    F.col("s").alias("xs"))
+    bb = norm.select(F.col("event_type").alias("type_b"),
+                     F.col("s").alias("ys"))
+    pairs = a.crossJoin(F.broadcast(bb)).where(
+        F.col("type_a") < F.col("type_b"))
+    inf = _DTW_INF
+    dtw = (
+        "element_at(aggregate(sequence(1, size(xs)),"
+        # init row: D[0][0]=0, D[0][j]=INF
+        f" concat(array(cast(0 as bigint)), transform(ys,"
+        f" v -> cast({inf} as bigint))),"
+        " (p, i) -> aggregate(sequence(1, size(ys)),"
+        f" array(cast({inf} as bigint)),"
+        " (c, j) -> array_append(c,"
+        " abs(element_at(xs, i) - element_at(ys, j))"
+        " + least(element_at(p, j + 1), element_at(p, j),"
+        " element_at(c, -1))))), -1)")
+    return pairs.select(
+        "type_a", "type_b",
+        F.expr("size(xs)").cast("long").alias("n_days"),
+        F.expr(dtw).alias("dtw_cost")) \
+        .withColumn("dtw_per_step_e3",
+                    F.expr("1000 * dtw_cost div n_days"))
+
+
+def _dtw_sql() -> str:
+    inf = _DTW_INF
+    dtw = (
+        "(list_reduce(list_prepend("
+        f" list_prepend(CAST(0 AS BIGINT), list_transform(ys,"
+        f" v -> CAST({inf} AS BIGINT))),"
+        " list_transform(range(1, len(xs) + 1), i ->"
+        f" list_prepend(CAST(i AS BIGINT), list_transform(ys,"
+        f" v -> CAST({inf} AS BIGINT))))),"
+        " (p, ri) -> list_reduce(list_prepend("
+        f" [CAST({inf} AS BIGINT)],"
+        " list_transform(range(1, len(ys) + 1), j ->"
+        " [CAST(j AS BIGINT)])),"
+        " (c, jj) -> list_append(c,"
+        " abs(xs[ri[1]] - ys[jj[1]])"
+        " + least(p[jj[1] + 1], p[jj[1]], c[-1]))))[-1])")
+    return f"""
+WITH {_DAILY_SQL},
+b AS (SELECT min(day) AS mind, max(day) AS maxd FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+grid AS (
+    SELECT t.event_type, d.day
+    FROM types t CROSS JOIN b bb
+    CROSS JOIN LATERAL (SELECT unnest(generate_series(bb.mind, bb.maxd))
+                        AS day) d
+),
+dense AS (
+    SELECT g.event_type, g.day, coalesce(dl.x, 0) AS x
+    FROM grid g LEFT JOIN daily dl
+      ON dl.event_type = g.event_type AND dl.day = g.day
+),
+ser AS (
+    SELECT event_type,
+           list_transform(list_sort(list(struct_pack(day := day,
+                                                     x := x))),
+                          s -> s.x) AS raw
+    FROM dense GROUP BY event_type
+),
+norm AS (
+    SELECT event_type,
+           list_transform(raw, v -> (v * 1000 * len(raw))
+               // greatest(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           raw), (a, q) -> a + q), 1)) AS s
+    FROM ser
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.s AS xs, b.s AS ys
+    FROM norm a JOIN norm b ON a.event_type < b.event_type
+)
+SELECT type_a, type_b, CAST(len(xs) AS BIGINT) AS n_days,
+       {dtw} AS dtw_cost,
+       1000 * {dtw} // CAST(len(xs) AS BIGINT) AS dtw_per_step_e3
+FROM pairs
+"""
+
+
+QUERIES["dtw_series_distance"] = (_dtw_series_distance, _dtw_sql())

@@ -470,3 +470,45 @@ def test_binseg_split_is_exact_argmax(spark, q):
                 best_d, best_v = d, v
         assert rows[t]["split_day"] == best_d, t
         assert rows[t]["delta_sse_e6"] >= 0
+
+
+def test_dtw_matches_reference_dp(spark, q):
+    from alma_publish_to_marc_spark.plans import timeseries_queries as TS
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = {(r["type_a"], r["type_b"]): r
+            for r in q("dtw_series_distance").collect()}
+    TS.unpersist_cached()
+    assert len(rows) == 10
+    # rebuild the normalized series and check one pair against a
+    # textbook O(n^2) DTW in Python
+    ev = (load(spark, SF_SMOKE, "events")
+          .select("event_type",
+                  F.expr("unix_micros(cast(ts as timestamp))"
+                         " div 86400000000").alias("day")).collect())
+    days = [r["day"] for r in ev]
+    mind, maxd = min(days), max(days)
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r["event_type"], [0] * (maxd - mind + 1))
+        series[r["event_type"]][r["day"] - mind] += 1
+
+    def norm(xs):
+        s = max(sum(xs), 1)
+        return [(v * 1000 * len(xs)) // s for v in xs]
+
+    def dtw(xs, ys):
+        big = 10 ** 18
+        prev = [0] + [big] * len(ys)
+        for i in range(1, len(xs) + 1):
+            cur = [big]
+            for j in range(1, len(ys) + 1):
+                cur.append(abs(xs[i - 1] - ys[j - 1])
+                           + min(prev[j], prev[j - 1], cur[j - 1]))
+            prev = cur
+        return prev[-1]
+
+    for (ta, tb), r in rows.items():
+        want = dtw(norm(series[ta]), norm(series[tb]))
+        assert r["dtw_cost"] == want, (ta, tb)
+        assert r["dtw_cost"] >= 0
