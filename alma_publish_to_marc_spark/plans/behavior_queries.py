@@ -4225,3 +4225,170 @@ FROM terms t CROSS JOIN vf
 
 QUERIES["shapley_channel_attribution"] = (shapley_channel_attribution,
                                           _shapley_sql())
+
+
+# ---------------------------------------------------------------------------
+# Aalen–Johansen cumulative incidence under competing risks
+# ---------------------------------------------------------------------------
+
+_AJ_CENSOR_DAYS = 7
+
+
+def competing_risks_incidence(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Aalen–Johansen cumulative incidence for COMPETING user exits:
+    a user's history ends either in a purchase (converted) or in any
+    other final event (churned), and users active in the final week
+    are censored. Naively running one-minus-KM per cause OVERSTATES
+    both risks (the classic competing-risks mistake); AJ weights each
+    cause's hazard by the probability of still being around,
+    CIF_k(t) = sum_{t_i<=t} S(t_i-)*d_k,i/n_i, so the two incidence
+    curves and overall survival add to one. Output per duration day:
+    (t, n_risk, d_convert, d_churn, s_minus, cif_convert, cif_churn).
+
+    Determinism: risk sets / event counts are exact integers (final
+    event chosen by max(struct(ts, event_id, type)) — integer
+    ordering); the running survival and both CIFs come from
+    per-prefix left folds whose struct accumulator orders every
+    acc-read before its write (the DuckDB in-place struct_pack rule:
+    cif fields read acc.s BEFORE the s field overwrites it).
+
+    Scale: one per-user reduction, a duration-keyed aggregate, and
+    report-sized prefix folds — the KM shape with a 2-cause ledger.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))"
+               " div 86400000000").alias("day"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min("day").alias("d0"), F.max("day").alias("d1"),
+                     F.max(F.struct("ts_us", "event_id", "event_type"))
+                      .alias("last_ev")))
+    mx = F.broadcast(per_user.agg(F.max("d1").alias("dmax")))
+    lif = (per_user.crossJoin(mx)
+           .select((F.col("d1") - F.col("d0")).alias("t"),
+                   F.when(F.col("d1") >= F.col("dmax") - _AJ_CENSOR_DAYS,
+                          F.lit(0))
+                    .when(F.col("last_ev.event_type") == "purchase",
+                          F.lit(1))
+                    .otherwise(F.lit(2)).alias("cause")))
+    daily = (lif.groupBy("t")
+             .agg(F.count(F.lit(1)).alias("ending"),
+                  F.sum((F.col("cause") == 1).cast("long")).alias("dc"),
+                  F.sum((F.col("cause") == 2).cast("long")).alias("dh")))
+    w_rev = (Window.orderBy(F.desc("t"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = daily.select("t", "dc", "dh",
+                        F.sum("ending").over(w_rev).alias("n_risk"))
+    folded = (risk.select(F.struct("t", "dc", "dh", "n_risk").alias("s"))
+              .agg(F.array_sort(F.collect_list("s")).alias("xs")))
+    # per-prefix fold carrying (cif_c, cif_h, s) — cif fields read
+    # acc.s before the s field overwrites it (field order matters for
+    # the DuckDB oracle; mirrored here for symmetry)
+    def _state(i):
+        init = F.struct(F.lit(0.0).alias("cc"), F.lit(0.0).alias("ch"),
+                        F.lit(1.0).alias("s"))
+
+        def step(acc, e):
+            haz = (e["dc"] + e["dh"]).cast("double") / e["n_risk"]
+            return F.struct(
+                (acc["cc"] + acc["s"]
+                 * (e["dc"].cast("double") / e["n_risk"])).alias("cc"),
+                (acc["ch"] + acc["s"]
+                 * (e["dh"].cast("double") / e["n_risk"])).alias("ch"),
+                (acc["s"] * (F.lit(1.0) - haz)).alias("s"))
+
+        return F.aggregate(F.slice("xs", 1, i), init, step)
+
+    def _prev_s(i):
+        return F.aggregate(
+            F.slice("xs", 1, i - 1), F.lit(1.0),
+            lambda acc, e: acc * (F.lit(1.0)
+                                  - (e["dc"] + e["dh"]).cast("double")
+                                  / e["n_risk"]))
+
+    idx = F.sequence(F.lit(1), F.size("xs"))
+    curve = folded.select(F.explode(F.transform(idx, lambda i: F.struct(
+        F.element_at("xs", i)["t"].alias("t"),
+        F.element_at("xs", i)["n_risk"].alias("n_risk"),
+        F.element_at("xs", i)["dc"].alias("d_convert"),
+        F.element_at("xs", i)["dh"].alias("d_churn"),
+        F.round(_prev_s(i), 6).alias("s_minus"),
+        F.round(_state(i)["cc"], 6).alias("cif_convert"),
+        F.round(_state(i)["ch"], 6).alias("cif_churn")))).alias("r")) \
+        .select("r.*")
+    return curve
+
+
+_AJ_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS ts_us
+  FROM events
+), per_user AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1,
+         max(struct_pack(ts_us := ts_us, event_id := event_id,
+                         event_type := event_type)) AS last_ev
+  FROM ev GROUP BY user_id
+), lif AS (
+  SELECT d1 - d0 AS t,
+         CASE WHEN d1 >= (SELECT max(d1) FROM per_user)
+                         - {_AJ_CENSOR_DAYS} THEN 0
+              WHEN last_ev.event_type = 'purchase' THEN 1
+              ELSE 2 END AS cause
+  FROM per_user
+), daily AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS ending,
+         CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dc,
+         CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dh
+  FROM lif GROUP BY t
+), risk AS (
+  SELECT t, dc, dh,
+         CAST(sum(ending) OVER (ORDER BY t DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_risk
+  FROM daily
+), arr AS (
+  SELECT list(struct_pack(t := t, dc := dc, dh := dh,
+                          n_risk := n_risk) ORDER BY t) AS xs
+  FROM risk
+)
+SELECT u.e.t AS t, u.e.n_risk AS n_risk, u.e.dc AS d_convert,
+       u.e.dh AS d_churn,
+       round(list_reduce(list_prepend(1.0,
+           list_transform(list_slice(xs, 1, u.i - 1),
+               e2 -> 1.0 - CAST(e2.dc + e2.dh AS DOUBLE) / e2.n_risk)),
+           (a, x) -> a * x), 6) AS s_minus,
+       round(list_reduce(list_prepend(
+           struct_pack(cc := 0.0, ch := 0.0, s := 1.0),
+           list_transform(list_slice(xs, 1, u.i),
+               e2 -> struct_pack(cc := CAST(e2.dc AS DOUBLE) / e2.n_risk,
+                                 ch := CAST(e2.dh AS DOUBLE) / e2.n_risk,
+                                 s := 1.0 - CAST(e2.dc + e2.dh AS DOUBLE)
+                                     / e2.n_risk))),
+           (acc, x) -> struct_pack(cc := acc.cc + acc.s * x.cc,
+                                   ch := acc.ch + acc.s * x.ch,
+                                   s := acc.s * x.s)).cc, 6)
+           AS cif_convert,
+       round(list_reduce(list_prepend(
+           struct_pack(cc := 0.0, ch := 0.0, s := 1.0),
+           list_transform(list_slice(xs, 1, u.i),
+               e2 -> struct_pack(cc := CAST(e2.dc AS DOUBLE) / e2.n_risk,
+                                 ch := CAST(e2.dh AS DOUBLE) / e2.n_risk,
+                                 s := 1.0 - CAST(e2.dc + e2.dh AS DOUBLE)
+                                     / e2.n_risk))),
+           (acc, x) -> struct_pack(cc := acc.cc + acc.s * x.cc,
+                                   ch := acc.ch + acc.s * x.ch,
+                                   s := acc.s * x.s)).ch, 6)
+           AS cif_churn
+FROM arr, unnest(list_transform(range(1, len(xs) + 1),
+         i -> struct_pack(i := i, e := xs[i]))) AS t(u)
+"""
+
+QUERIES["competing_risks_incidence"] = (competing_risks_incidence,
+                                        _AJ_SQL)

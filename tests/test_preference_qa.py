@@ -512,3 +512,20 @@ def test_dtw_matches_reference_dp(spark, q):
         want = dtw(norm(series[ta]), norm(series[tb]))
         assert r["dtw_cost"] == want, (ta, tb)
         assert r["dtw_cost"] >= 0
+
+
+def test_aalen_johansen_identity(spark, q):
+    rows = sorted(q("competing_risks_incidence").collect(),
+                  key=lambda r: r["t"])
+    assert rows
+    for r in rows:
+        s_after = r["s_minus"] * (1 - (r["d_convert"] + r["d_churn"])
+                                  / r["n_risk"])
+        # the AJ construction: incidences + survival partition unity
+        assert abs(r["cif_convert"] + r["cif_churn"] + s_after - 1.0) \
+            < 1e-4
+        assert 0 <= r["cif_convert"] <= 1 and 0 <= r["cif_churn"] <= 1
+    # CIFs are nondecreasing in t
+    for a, b in zip(rows, rows[1:]):
+        assert b["cif_convert"] >= a["cif_convert"] - 1e-9
+        assert b["cif_churn"] >= a["cif_churn"] - 1e-9
