@@ -54,10 +54,11 @@ _MODULES = (
 # converts them to driver-green rows. Keys are byte-stable; members may
 # only be REMOVED (once driver-green), never renamed.
 _SAMPLE_FIRST = (
-    "publish_split_bibs", "publish_split_holdings", "publish_split_items",
+    # (publish_split_bibs / versioned_temporal_merge / insert_ignore /
+    # delete_with_history removed: driver-green in r01/r02 rows)
+    "publish_split_holdings", "publish_split_items",
     "publish_set_grouping", "marc_field_extraction", "marc_size_guard",
-    "item_json_roundtrip", "warehouse_catalog", "versioned_temporal_merge",
-    "insert_ignore", "delete_with_history", "backfill_item_policy",
+    "item_json_roundtrip", "warehouse_catalog", "backfill_item_policy",
     "backfill_temp_locations", "grouped_rank_pandas", "doc_chunking_udtf",
     "bpe_train_merges", "vocab_merge_induction", "warehouse_close_end2end",
     "hll_merge_check",

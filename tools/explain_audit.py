@@ -164,7 +164,8 @@ def main() -> None:
         "empirical_bayes_shrinkage", "permutation_test_pvalue",
         "stratified_att_estimate", "fdr_bh_correction",
         "dp_sparse_vector", "shapley_channel_attribution",
-        "binseg_changepoint",
+        "binseg_changepoint", "dtw_series_distance",
+        "competing_risks_incidence",
     ]
     for name in names:
         if name not in qs:
