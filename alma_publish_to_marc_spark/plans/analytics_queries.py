@@ -1654,3 +1654,85 @@ FROM top t LEFT JOIN fb ON t.doc_id = fb.doc_id
 
 
 QUERIES["prf_query_expansion"] = (_prf_query_expansion, _prf_sql())
+
+
+# --------------------------------------------------------------------------
+# posting_gap_stats: index compression audit (delta + Elias-gamma cost)
+# --------------------------------------------------------------------------
+def _posting_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage engineering for the retrieval stack: per term, the
+    doc-id DELTA distribution of its posting list and the exact
+    Elias-gamma bit cost (2*floor(log2 gap)+1 per gap — floor(log2)
+    computed EXACTLY as length(bin(gap))-1, an integer both engines
+    derive from the same binary string, no float log) versus the flat
+    64-bit encoding — the audit behind "frequent terms compress
+    brilliantly because their gaps are tiny", i.e. why posting lists
+    delta-encode. Output per term (df >= 2): (term, df, max_gap,
+    gamma_bits, flat_bits, ratio_e6).
+
+    Scale: postings come from the scan-fused explode + distinct; the
+    delta is a per-term window lag (one keyed shuffle); bit costs are
+    exact scalar integer expressions on the posting rows, aggregated
+    map-side. Long-tail terms dominate rows, not cost.
+    """
+    from pyspark.sql import Window
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                     .alias("w")))
+    post = (docs.select("doc_id", F.explode("w").alias("term"))
+            .where(F.col("term") != "").distinct())
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = (post.withColumn("prev", F.lag("doc_id").over(w))
+            .where(F.col("prev").isNotNull())
+            .select("term",
+                    (F.col("doc_id") - F.col("prev")).alias("g")))
+    bits = F.expr("2 * (length(bin(g)) - 1) + 1")
+    agg = (gaps.groupBy("term")
+           .agg((F.count(F.lit(1)) + 1).alias("df"),
+                F.max("g").alias("max_gap"),
+                F.sum(bits).alias("gamma_gap_bits")))
+    return agg.select(
+        "term", "df", "max_gap",
+        # first posting stored flat (64 bits), gaps gamma-coded
+        (F.col("gamma_gap_bits") + 64).alias("gamma_bits"),
+        (F.col("df") * 64).alias("flat_bits"),
+        F.expr("1000000 * (gamma_gap_bits + 64) div (df * 64)")
+         .alias("ratio_e6"))
+
+
+_POSTING_GAP_SQL = r"""
+WITH docs AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+    FROM documents
+),
+post AS (
+    SELECT DISTINCT doc_id, term
+    FROM (SELECT doc_id, unnest(w) AS term FROM docs)
+    WHERE term <> ''
+),
+gaps AS (
+    SELECT term, doc_id - prev AS g
+    FROM (SELECT term, doc_id,
+                 lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+                     AS prev
+          FROM post)
+    WHERE prev IS NOT NULL
+),
+agg AS (
+    SELECT term, CAST(count(*) + 1 AS BIGINT) AS df,
+           CAST(max(g) AS BIGINT) AS max_gap,
+           CAST(sum(2 * (length(bin(g)) - 1) + 1) AS BIGINT)
+               AS gamma_gap_bits
+    FROM gaps GROUP BY term
+)
+SELECT term, df, max_gap,
+       gamma_gap_bits + 64 AS gamma_bits,
+       df * 64 AS flat_bits,
+       1000000 * (gamma_gap_bits + 64) // (df * 64) AS ratio_e6
+FROM agg
+"""
+
+QUERIES["posting_gap_stats"] = (_posting_gap_stats, _POSTING_GAP_SQL)

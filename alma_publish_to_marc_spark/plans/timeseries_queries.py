@@ -1277,3 +1277,102 @@ FROM pairs
 
 
 QUERIES["dtw_series_distance"] = (_dtw_series_distance, _dtw_sql())
+
+
+# --------------------------------------------------------------------------
+# slo_burn_rate_alerts: multi-window error-budget burn (SRE policy)
+# --------------------------------------------------------------------------
+
+_SLO_DEN = 4  # error-budget SLO: errors <= 1/4 of events
+
+
+def _slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google-SRE multi-window burn-rate alerting over the event
+    stream: burn = (error share)/(SLO share), evaluated on a fast
+    window (the day) AND a slow window (trailing week), alerting only
+    when BOTH exceed budget — the standard trick that suppresses
+    single-day blips without missing sustained burns. Output per day:
+    (day_rel, errs, total, burn1_e6, burn7_e6, alert).
+
+    Determinism: daily counts are exact ints on the zero-densified
+    grid; burn = 1e6 * {D} * errs div total is one positive integer
+    division per window (SLO spelled as the integer 1/{D}); the alert
+    is an integer conjunction.
+
+    Scale: one map-side-combinable aggregate to the daily matrix,
+    integer window sums for the trailing week, scalar algebra after.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_US}")
+         .alias("day"), "event_type")
+    daily = (ev.groupBy("day")
+             .agg(F.count(F.lit(1)).alias("total"),
+                  F.sum((F.col("event_type") == "error").cast("long"))
+                  .alias("errs")))
+    b = daily.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    days = b.select(F.explode(F.sequence("mind", "maxd")).alias("day"),
+                    "mind")
+    dense = (days.join(daily, "day", "left")
+             .select((F.col("day") - F.col("mind")).alias("day_rel"),
+                     F.coalesce("total", F.lit(0)).alias("total"),
+                     F.coalesce("errs", F.lit(0)).alias("errs")))
+    w7 = (Window.orderBy("day_rel").rowsBetween(-6, Window.currentRow))
+    trail = dense.select(
+        "day_rel", "errs", "total",
+        F.sum("errs").over(w7).alias("errs7"),
+        F.sum("total").over(w7).alias("total7"))
+    burn = ("case when {t} = 0 then cast(0 as bigint)"
+            f" else 1000000 * {_SLO_DEN} * {{e}} div {{t}} end")
+    return trail.select(
+        "day_rel", "errs", "total",
+        F.expr(burn.format(e="errs", t="total")).alias("burn1_e6"),
+        F.expr(burn.format(e="errs7", t="total7")).alias("burn7_e6"),
+        F.expr(f"({burn.format(e='errs', t='total')}) > 1000000"
+               f" and ({burn.format(e='errs7', t='total7')}) > 1000000")
+         .alias("alert"))
+
+
+def _slo_sql() -> str:
+    burn = ("CASE WHEN {t} = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE 1000000 * {_SLO_DEN} * {{e}} // {{t}} END")
+    return f"""
+WITH daily AS (
+    SELECT epoch_us(ts) // {_DAY_US} AS day,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS errs
+    FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS mind, max(day) AS maxd FROM daily),
+days AS (
+    SELECT d.day, b.mind FROM b
+    CROSS JOIN LATERAL (SELECT unnest(generate_series(b.mind, b.maxd))
+                        AS day) d
+),
+dense AS (
+    SELECT dy.day - dy.mind AS day_rel,
+           coalesce(dl.total, 0) AS total, coalesce(dl.errs, 0) AS errs
+    FROM days dy LEFT JOIN daily dl ON dl.day = dy.day
+),
+trail AS (
+    SELECT day_rel, errs, total,
+           CAST(sum(errs) OVER (ORDER BY day_rel
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS errs7,
+           CAST(sum(total) OVER (ORDER BY day_rel
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS total7
+    FROM dense
+)
+SELECT day_rel, errs, total,
+       {burn.format(e="errs", t="total")} AS burn1_e6,
+       {burn.format(e="errs7", t="total7")} AS burn7_e6,
+       ({burn.format(e="errs", t="total")}) > 1000000
+           AND ({burn.format(e="errs7", t="total7")}) > 1000000 AS alert
+FROM trail
+"""
+
+
+QUERIES["slo_burn_rate_alerts"] = (_slo_burn_rate_alerts, _slo_sql())

@@ -529,3 +529,26 @@ def test_aalen_johansen_identity(spark, q):
     for a, b in zip(rows, rows[1:]):
         assert b["cif_convert"] >= a["cif_convert"] - 1e-9
         assert b["cif_churn"] >= a["cif_churn"] - 1e-9
+
+
+def test_slo_alert_requires_both_windows(spark, q):
+    from alma_publish_to_marc_spark.plans import timeseries_queries as TS
+
+    rows = q("slo_burn_rate_alerts").collect()
+    TS.unpersist_cached()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["alert"] == (r["burn1_e6"] > 1_000_000
+                              and r["burn7_e6"] > 1_000_000)
+        assert r["errs"] <= r["total"]
+
+
+def test_posting_gamma_beats_flat_for_frequent_terms(spark, q):
+    rows = q("posting_gap_stats").collect()
+    assert rows
+    # Elias-gamma identity per row and compression on dense lists
+    for r in rows:
+        assert r["flat_bits"] == 64 * r["df"]
+        assert r["gamma_bits"] >= 64 + (r["df"] - 1)  # >=1 bit per gap
+    dense = [r for r in rows if r["df"] >= 100]
+    assert dense and all(r["ratio_e6"] < 1_000_000 for r in dense)
