@@ -285,3 +285,145 @@ FROM agg CROSS JOIN catalog
 """
 
 QUERIES["recs_quality_eval"] = (_recs_quality_eval, _RECS_EVAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Persisted frames released via unpersist_cached() (the
+# operators/clustering.py contract).
+_PERSISTED: list = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
+# als_rank1_sweep: rank-1 matrix factorization, exact alternations
+# ---------------------------------------------------------------------------
+
+def als_rank1_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix factorization joins the recsys family: rank-1 ALS over
+    the customer x part quantity matrix, two exact alternations with BOTH factor
+    tables in e3 fixed point (the closed-form update multiplies by
+    1e6 so the e3 scales cancel symmetrically) — each solve is the closed form u_i = sum(q*v)/sum(v^2)
+    as one integer division, so both engines hold identical factors
+    with no learning-rate or float state. Reports the per-rating MSE
+    against the global-mean baseline: even rank-1 should beat it, or
+    the factorization machinery is wired wrong (pinned by test).
+    Output one row: (n_ratings, n_users, n_items, u_checksum,
+    v_checksum, mse_model_e3, mse_baseline_e3).
+
+    Determinism: ratings are exact integer quantity sums; factor
+    updates are positive integer floor divisions; residuals are exact
+    e3 integers (headroom: sum of squared e3 residuals needs ~1e16 at
+    sf0.1 — fine to ~1e9 ratings); the baseline MSE is one double
+    expression over exact moments. Checksums are position-weighted
+    integer sums (the clustering.py idiom).
+
+    Scale: each alternation is one keyed join + map-side-combinable
+    aggregate on the ratings frame (persisted across its four
+    consumers, released via unpersist_cached()); factors are
+    entity-sized frames, broadcast into the joins.
+    """
+    from pyspark import StorageLevel
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        F.col("l_quantity").cast("long").alias("q"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey",
+                                                  "o_custkey")
+    r = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .groupBy(F.col("o_custkey").alias("c"),
+                  F.col("l_partkey").alias("p"))
+         .agg(F.sum("q").alias("q"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(r)
+
+    # v0 = 1000 (e3 unity) for every part: first solve collapses to
+    # the row mean; iterate u -> v -> u in exact integer space
+    u = (r.groupBy("c")
+         .agg(F.expr("sum(q * 1000) * 1000000 div sum(1000 * 1000)")
+              .alias("u")))
+    v = (r.join(F.broadcast(u), "c")
+         .groupBy("p")
+         .agg(F.expr("sum(q * u) * 1000000 div greatest(sum(u * u), 1)")
+              .alias("v")))
+    u = (r.join(F.broadcast(v), "p")
+         .groupBy("c")
+         .agg(F.expr("sum(q * v) * 1000000 div greatest(sum(v * v), 1)")
+              .alias("u")))
+    scored = (r.join(F.broadcast(u), "c").join(F.broadcast(v), "p")
+              .select("q", F.expr("q * 1000 - (u * v) div 1000")
+                      .alias("res_e3")))
+    m = scored.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("res_e3") * F.col("res_e3")).alias("sse_e6"))
+    uc = u.agg(F.sum(F.col("u") * (F.col("c") % 97 + 1)).alias("ucs"),
+               F.count(F.lit(1)).alias("nu"))
+    vc = v.agg(F.sum(F.col("v") * (F.col("p") % 97 + 1)).alias("vcs"),
+               F.count(F.lit(1)).alias("nv"))
+    return (m.crossJoin(F.broadcast(uc)).crossJoin(F.broadcast(vc))
+            .select(F.col("n").alias("n_ratings"),
+                    F.col("nu").alias("n_users"),
+                    F.col("nv").alias("n_items"),
+                    F.col("ucs").alias("u_checksum"),
+                    F.col("vcs").alias("v_checksum"),
+                    F.expr("sse_e6 div n").alias("mse_model_e3"),
+                    F.expr("cast(floor(1000000.0"
+                           " * (cast(sqq as double) / n"
+                           " - (cast(sq as double) / n)"
+                           " * (cast(sq as double) / n))) as bigint)")
+                     .alias("mse_baseline_e3")))
+
+
+_ALS_SQL = """
+WITH r AS MATERIALIZED (
+    SELECT o.o_custkey AS c, l.l_partkey AS p,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+),
+u0 AS (
+    SELECT c, CAST(sum(q * 1000) AS BIGINT) * 1000000
+              // CAST(sum(1000 * 1000) AS BIGINT) AS u
+    FROM r GROUP BY c
+),
+v1 AS (
+    SELECT p, CAST(sum(q * u) AS BIGINT) * 1000000
+              // greatest(CAST(sum(u * u) AS BIGINT), 1) AS v
+    FROM r JOIN u0 USING (c) GROUP BY p
+),
+u1 AS (
+    SELECT c, CAST(sum(q * v) AS BIGINT) * 1000000
+              // greatest(CAST(sum(v * v) AS BIGINT), 1) AS u
+    FROM r JOIN v1 USING (p) GROUP BY c
+),
+scored AS (
+    SELECT r.q, r.q * 1000 - (u1.u * v1.v) // 1000 AS res_e3
+    FROM r JOIN u1 USING (c) JOIN v1 USING (p)
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq,
+           CAST(sum(q * q) AS BIGINT) AS sqq,
+           CAST(sum(res_e3 * res_e3) AS BIGINT) AS sse_e6
+    FROM scored
+),
+uc AS (SELECT CAST(sum(u * (c % 97 + 1)) AS BIGINT) AS ucs,
+              CAST(count(*) AS BIGINT) AS nu FROM u1),
+vc AS (SELECT CAST(sum(v * (p % 97 + 1)) AS BIGINT) AS vcs,
+              CAST(count(*) AS BIGINT) AS nv FROM v1)
+SELECT m.n AS n_ratings, uc.nu AS n_users, vc.nv AS n_items,
+       uc.ucs AS u_checksum, vc.vcs AS v_checksum,
+       m.sse_e6 // m.n AS mse_model_e3,
+       CAST(floor(1000000.0 * (CAST(m.sqq AS DOUBLE) / m.n
+            - (CAST(m.sq AS DOUBLE) / m.n)
+              * (CAST(m.sq AS DOUBLE) / m.n))) AS BIGINT)
+           AS mse_baseline_e3
+FROM m CROSS JOIN uc CROSS JOIN vc
+"""
+
+QUERIES["als_rank1_sweep"] = (als_rank1_sweep, _ALS_SQL)

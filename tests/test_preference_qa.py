@@ -552,3 +552,14 @@ def test_posting_gamma_beats_flat_for_frequent_terms(spark, q):
         assert r["gamma_bits"] >= 64 + (r["df"] - 1)  # >=1 bit per gap
     dense = [r for r in rows if r["df"] >= 100]
     assert dense and all(r["ratio_e6"] < 1_000_000 for r in dense)
+
+
+def test_als_rank1_beats_global_mean(spark, q):
+    from alma_publish_to_marc_spark.operators import recsys_queries as RQ
+
+    r = q("als_rank1_sweep").collect()[0]
+    RQ.unpersist_cached()
+    assert r["n_ratings"] > 0
+    # even rank-1 personalization must beat the global-mean predictor
+    assert r["mse_model_e3"] < r["mse_baseline_e3"]
+    assert r["u_checksum"] != 0 and r["v_checksum"] != 0
