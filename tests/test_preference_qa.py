@@ -1,11 +1,14 @@
-"""Mathematical invariants of the preference-data QA family.
+"""Mathematical invariants of the round-5c/5d operator families
+(preference QA, classifier evals, inference/causal statistics,
+retrieval agreement, time-series exacts, DP release, factorization).
 
 The oracle parity test proves cross-engine agreement; these prove the
-statistics satisfy the laws that make them meaningful: Bradley-Terry
-recovers the planted latent signal and conserves the normalization,
-kappa is bounded and symmetric in its marginals, triad counts
-partition the decided triangles, and the length-bias curve is a valid
-probability per bucket.
+algorithms satisfy the laws that make their outputs meaningful:
+Bradley-Terry recovers the planted signal and conserves normalization,
+isotonic equals classic PAVA, Shapley satisfies efficiency, the
+Aalen-Johansen curves partition unity, DTW and the binseg argmax match
+exact reference computations, the SVT budget halts, and rank-1 ALS
+beats the global-mean baseline.
 """
 
 from __future__ import annotations

@@ -165,7 +165,8 @@ def main() -> None:
         "stratified_att_estimate", "fdr_bh_correction",
         "dp_sparse_vector", "shapley_channel_attribution",
         "binseg_changepoint", "dtw_series_distance",
-        "competing_risks_incidence",
+        "competing_risks_incidence", "slo_burn_rate_alerts",
+        "posting_gap_stats", "als_rank1_sweep",
     ]
     for name in names:
         if name not in qs:
