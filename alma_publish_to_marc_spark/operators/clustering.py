@@ -506,3 +506,102 @@ GROUP BY cell
 
 QUERIES["kmeans_coreset_weights"] = (_kmeans_coreset_weights,
                                      _coreset_sql())
+
+
+# ---------------------------------------------------------------------------
+# Sampled silhouette of the refined quantizer (squared-L2 variant)
+# ---------------------------------------------------------------------------
+
+SIL_MOD = 25  # probe panel: vec_id % SIL_MOD == 0
+
+
+def _silhouette_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality eval for the trained quantizer: silhouette on
+    squared L2 for a fixed probe panel — a(p) = mean squared distance
+    to p's own cell (self excluded), b(p) = the best other cell's
+    mean, s = (b-a)/max(a,b). Squared distances keep every pairwise
+    term an exact int64 (a per-pair sqrt would make the group means
+    order-dependent float sums — the CLAUDE.md reduction hazard — so
+    the documented variant trades metricity for exactness). Output
+    per probe: (vec_id, cell, n_own, a_q2, b_q2, silhouette_e6).
+
+    Scale: panel broadcast against the assigned corpus — ONE scan
+    computes every (probe, vec) squared distance, reduced map-side to
+    (probe, cell) sums; the a/b comparison runs on panel x cells
+    rows. Evaluation cost is O(panel * corpus), the ann_recall_eval
+    shape.
+    """
+    from pyspark import StorageLevel
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs, cents = _refined_int_cents(emb, SEED_IDS, N_ITERS)
+    assigned = (_assign(vecs, cents)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(assigned)
+    probes = (assigned.where(F.col("vec_id") % SIL_MOD == 0)
+              .select(F.col("vec_id").alias("pid"),
+                      F.col("v").alias("pv"),
+                      F.col("cell").alias("pcell")))
+    pairs = (assigned.join(F.broadcast(probes),
+                           F.col("vec_id") != F.col("pid"))
+             .select("pid", "pcell", "cell",
+                     _sq_dist(F.col("v"), F.col("pv")).alias("d2")))
+    g = (pairs.groupBy("pid", "pcell", "cell")
+         .agg(F.sum("d2").alias("s"), F.count(F.lit(1)).alias("n")))
+    own = (g.where(F.col("cell") == F.col("pcell"))
+           .select("pid", F.col("n").alias("n_own"),
+                   (F.col("s").cast("double") / F.col("n")).alias("a")))
+    other = (g.where(F.col("cell") != F.col("pcell"))
+             .groupBy("pid")
+             .agg(F.min(F.col("s").cast("double") / F.col("n"))
+                  .alias("b")))
+    return (probes.select("pid", "pcell")
+            .join(own, "pid").join(other, "pid")
+            .select(F.col("pid").alias("vec_id"),
+                    F.col("pcell").alias("cell"), "n_own",
+                    F.expr("cast(floor(a) as bigint)").alias("a_q2"),
+                    F.expr("cast(floor(b) as bigint)").alias("b_q2"),
+                    F.expr("cast(floor(1000000.0 * (b - a)"
+                           " / greatest(a, b)) as bigint)")
+                     .alias("silhouette_e6")))
+
+
+_SIL_DIST = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+             f"list_transform(range(1, {DIM} + 1), "
+             "i -> (a.v[i] - p.pv[i]) * (a.v[i] - p.pv[i]))), "
+             "(x, y) -> x + y)")
+
+_SIL_SQL = f"""
+WITH {kmeans_cents_cte()},
+af AS ({_assign_sql('vecs', f'c{N_ITERS}')}),
+probes AS (
+    SELECT vec_id AS pid, v AS pv, cell AS pcell
+    FROM af WHERE vec_id % {SIL_MOD} = 0
+),
+pairs AS (
+    SELECT p.pid, p.pcell, a.cell, {_SIL_DIST} AS d2
+    FROM af a CROSS JOIN probes p
+    WHERE a.vec_id <> p.pid
+),
+g AS (
+    SELECT pid, pcell, cell, CAST(sum(d2) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2, 3
+),
+own AS (
+    SELECT pid, n AS n_own, CAST(s AS DOUBLE) / n AS a
+    FROM g WHERE cell = pcell
+),
+other AS (
+    SELECT pid, min(CAST(s AS DOUBLE) / n) AS b
+    FROM g WHERE cell <> pcell GROUP BY pid
+)
+SELECT p.pid AS vec_id, p.pcell AS cell, o.n_own,
+       CAST(floor(o.a) AS BIGINT) AS a_q2,
+       CAST(floor(t.b) AS BIGINT) AS b_q2,
+       CAST(floor(1000000.0 * (t.b - o.a) / greatest(o.a, t.b))
+            AS BIGINT) AS silhouette_e6
+FROM probes p JOIN own o USING (pid) JOIN other t USING (pid)
+"""
+
+QUERIES["kmeans_silhouette_sampled"] = (_silhouette_query, _SIL_SQL)

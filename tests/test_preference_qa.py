@@ -566,3 +566,17 @@ def test_als_rank1_beats_global_mean(spark, q):
     # even rank-1 personalization must beat the global-mean predictor
     assert r["mse_model_e3"] < r["mse_baseline_e3"]
     assert r["u_checksum"] != 0 and r["v_checksum"] != 0
+
+
+def test_silhouette_bounds_and_panel(spark, q):
+    from alma_publish_to_marc_spark.operators import clustering as CL
+
+    rows = q("kmeans_silhouette_sampled").collect()
+    CL.unpersist_cached()
+    assert len(rows) == 20  # 500 vecs / 25
+    for r in rows:
+        assert -1_000_000 <= r["silhouette_e6"] <= 1_000_000
+        assert r["a_q2"] >= 0 and r["b_q2"] >= 0
+        # sign consistency: s > 0 iff the own cell is closer
+        if r["silhouette_e6"] > 0:
+            assert r["b_q2"] >= r["a_q2"]
