@@ -4392,3 +4392,92 @@ FROM arr, unnest(list_transform(range(1, len(xs) + 1),
 
 QUERIES["competing_risks_incidence"] = (competing_risks_incidence,
                                         _AJ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square cell residuals (which cells drive the dependence)
+# ---------------------------------------------------------------------------
+
+def chi2_cell_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drill-down behind ``chi2_independence``: per (event type,
+    day-of-week) cell, observed count, expected count under
+    independence, and the standardized Pearson residual — the table
+    that says WHICH cells carry the dependence, not just that one
+    exists. dow comes from integer epoch arithmetic ((epoch_days + 4)
+    % 7, CLAUDE.md — never engine dayofweek()). Output per cell:
+    (event_type, dow, observed, expected_e3, residual_e3).
+
+    Determinism: observed/marginals are exact ints; expected =
+    rowtot*coltot/N is one double expression; the residual divides by
+    sqrt(expected) (IEEE sqrt) — signed, floored.
+
+    Scale: one map-side aggregate to |types| x 7 cells, marginals
+    derived from the cell frame (persisted; released via
+    unpersist_cached()).
+    """
+    from pyspark import StorageLevel
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_micros(cast(ts as timestamp)) div 86400000000"
+               " + 4) % 7").alias("dow"))
+    cells = (ev.groupBy("event_type", "dow")
+             .agg(F.count(F.lit(1)).alias("o"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _SHAP_PERSISTED.append(cells)
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("nn"))
+    exp_ = "(cast(rt as double) * ct / nn)"
+    return (cells.join(F.broadcast(rows_), "event_type")
+            .join(F.broadcast(cols_), "dow")
+            .crossJoin(F.broadcast(tot))
+            .select("event_type", F.col("dow").cast("int").alias("dow"),
+                    F.col("o").alias("observed"),
+                    F.expr(f"cast(floor(1000.0 * {exp_}) as bigint)")
+                     .alias("expected_e3"),
+                    F.expr(f"cast(floor(1000.0 * (o - {exp_})"
+                           f" / sqrt({exp_})) as bigint)")
+                     .alias("residual_e3")))
+
+
+_CHI2_CELLS_SQL = """
+WITH ev AS (
+    SELECT event_type,
+           (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+    FROM events
+),
+cells AS MATERIALIZED (
+    SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+    FROM ev GROUP BY 1, 2
+),
+rows_ AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+          FROM cells GROUP BY 1),
+cols_ AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct
+          FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
+SELECT c.event_type, CAST(c.dow AS INT) AS dow, c.o AS observed,
+       CAST(floor(1000.0 * (cast(r.rt as double) * cl.ct / t.nn))
+            AS BIGINT) AS expected_e3,
+       CAST(floor(1000.0 * (c.o - (cast(r.rt as double) * cl.ct / t.nn))
+            / sqrt(cast(r.rt as double) * cl.ct / t.nn)) AS BIGINT)
+           AS residual_e3
+FROM cells c
+JOIN rows_ r USING (event_type)
+JOIN cols_ cl USING (dow)
+CROSS JOIN tot t
+"""
+
+# cells-persist ledger shared with the shapley query's module scope
+_SHAP_PERSISTED: list = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_SHAP_PERSISTED)
+    while _SHAP_PERSISTED:
+        _SHAP_PERSISTED.pop().unpersist()
+    return n
+
+
+QUERIES["chi2_cell_residuals"] = (chi2_cell_residuals, _CHI2_CELLS_SQL)

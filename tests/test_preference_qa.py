@@ -580,3 +580,26 @@ def test_silhouette_bounds_and_panel(spark, q):
         # sign consistency: s > 0 iff the own cell is closer
         if r["silhouette_e6"] > 0:
             assert r["b_q2"] >= r["a_q2"]
+
+
+def test_overdispersion_identity(spark, q):
+    from alma_publish_to_marc_spark.plans import timeseries_queries as TS
+
+    rows = q("overdispersion_check").collect()
+    TS.unpersist_cached()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["dispersion_e6"] >= 0
+        assert r["overdispersed"] == (r["dispersion_e6"] > 1_000_000)
+
+
+def test_chi2_residuals_marginals(spark, q):
+    from alma_publish_to_marc_spark.plans import behavior_queries as BQ
+
+    rows = q("chi2_cell_residuals").collect()
+    BQ.unpersist_cached()
+    assert len(rows) == 35  # 5 types x 7 dows
+    n = sum(r["observed"] for r in rows)
+    # expectations reproduce the total up to per-cell floor error
+    assert abs(sum(r["expected_e3"] for r in rows) - 1000 * n) \
+        <= len(rows)
