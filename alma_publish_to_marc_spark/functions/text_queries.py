@@ -1031,3 +1031,100 @@ FROM per_doc
 """
 
 QUERIES["char_entropy_profile"] = (_char_entropy_profile, _ENTROPY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# packing_efficiency_audit: next-fit-decreasing bins vs the LP bound
+# ---------------------------------------------------------------------------
+
+def _packing_efficiency_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """How much context window does document-intact packing waste?
+    Pack each language stream with next-fit-DECREASING (docs sorted by
+    token count descending, one open bin — the sequential policy a
+    streaming packer actually runs) and compare the bin count to the
+    ceil(total/budget) LP lower bound. Output per language: (lang,
+    n_docs, total_tokens, lb_bins, nfd_bins, efficiency_e6,
+    frag_tokens).
+
+    Determinism: the packing state is a (bins, fill) fold over the
+    (tokens DESC, doc_id) sorted array — exact integers; the struct
+    accumulator's bins field is written before fill and neither reads
+    the other's NEW value (in-place rule). Docs longer than the
+    budget get a bin each (their overflow spills — counted, not
+    dropped).
+
+    Scale: one scan to (lang, doc tokens), a per-language sorted fold
+    over document counts — the fold is per-stream sequential exactly
+    like the packer it models; streams, not the corpus, parallelize.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = docs.select("lang", "doc_id", n_tok.cast("long").alias("nt"))
+    arr = (toks.groupBy("lang")
+           .agg(F.array_sort(F.collect_list(
+               F.struct((-F.col("nt")).alias("negt"),
+                        F.col("doc_id").alias("d"),
+                        F.col("nt").alias("nt")))).alias("xs"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").alias("total_tokens")))
+    fold = (f"aggregate(xs, named_struct('bins', cast(0 as bigint),"
+            f" 'fill', cast({_PACK_BUDGET} as bigint)),"
+            " (acc, e) -> named_struct("
+            f"'bins', acc.bins + (case when acc.fill + e.nt"
+            f" > {_PACK_BUDGET} then 1 else 0 end),"
+            f" 'fill', case when acc.fill + e.nt > {_PACK_BUDGET}"
+            " then e.nt else acc.fill + e.nt end))")
+    return arr.select(
+        "lang", "n_docs", "total_tokens",
+        F.expr(f"(total_tokens + {_PACK_BUDGET} - 1)"
+               f" div {_PACK_BUDGET}").alias("lb_bins"),
+        F.expr(f"({fold}).bins").alias("nfd_bins"),
+        F.expr(f"case when ({fold}).bins = 0 then cast(0 as bigint)"
+               f" else 1000000 * ((total_tokens + {_PACK_BUDGET} - 1)"
+               f" div {_PACK_BUDGET}) div ({fold}).bins end")
+         .alias("efficiency_e6"),
+        F.expr(f"({fold}).bins * {_PACK_BUDGET} - total_tokens")
+         .alias("frag_tokens"))
+
+
+_PACK_EFF_SQL = f"""
+WITH toks AS (
+    SELECT lang, doc_id, CAST(len({SQL_TOKS}) AS BIGINT) AS nt
+    FROM documents
+),
+arr AS (
+    SELECT lang,
+           list_sort(list(struct_pack(negt := -nt, d := doc_id,
+                                      nt := nt))) AS xs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY lang
+),
+folded AS (
+    SELECT lang, n_docs, total_tokens,
+           list_reduce(list_prepend(
+               struct_pack(bins := CAST(0 AS BIGINT),
+                           fill := CAST({_PACK_BUDGET} AS BIGINT)),
+               list_transform(xs, e -> struct_pack(
+                   bins := CAST(0 AS BIGINT), fill := e.nt))),
+               (acc, e) -> struct_pack(
+                   bins := acc.bins + (CASE WHEN acc.fill + e.fill
+                       > {_PACK_BUDGET} THEN 1 ELSE 0 END),
+                   fill := CASE WHEN acc.fill + e.fill
+                       > {_PACK_BUDGET} THEN e.fill
+                       ELSE acc.fill + e.fill END)) AS st
+    FROM arr
+)
+SELECT lang, n_docs, total_tokens,
+       (total_tokens + {_PACK_BUDGET} - 1) // {_PACK_BUDGET} AS lb_bins,
+       st.bins AS nfd_bins,
+       CASE WHEN st.bins = 0 THEN CAST(0 AS BIGINT)
+            ELSE 1000000 * ((total_tokens + {_PACK_BUDGET} - 1)
+                 // {_PACK_BUDGET}) // st.bins END AS efficiency_e6,
+       st.bins * {_PACK_BUDGET} - total_tokens AS frag_tokens
+FROM folded
+"""
+
+QUERIES["packing_efficiency_audit"] = (_packing_efficiency_audit,
+                                       _PACK_EFF_SQL)

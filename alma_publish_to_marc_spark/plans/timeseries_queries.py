@@ -1450,3 +1450,93 @@ FROM m
 """
 
 QUERIES["overdispersion_check"] = (_overdispersion_check, _OVERDISP_SQL)
+
+
+# --------------------------------------------------------------------------
+# seasonal_decomposition: classical trend / seasonal / remainder split
+# --------------------------------------------------------------------------
+
+def _seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition per daily series: trend =
+    centered 7-day moving average (an exact (1000*sum7) div 7
+    rational — no float mean), seasonal = per-day-of-week mean of the
+    detrended series, remainder = what's left — the exploratory split
+    behind 'is this spike trend, weekday pattern, or genuinely new'.
+    Day-of-week is integer epoch arithmetic ((day+4)%7, CLAUDE.md).
+    Only days with a full centered window are emitted. Output:
+    (event_type, day_rel, x, trend_e3, seasonal_e3, remainder_e3)
+    with x + 0 = (trend + seasonal + remainder)/1000 up to floor
+    error (pinned by test).
+
+    Scale: daily matrix aggregate, two window passes (centered sum,
+    dow means via a keyed aggregate joined back) — days x types rows
+    throughout.
+    """
+    from pyspark.sql import Window
+
+    daily = _daily_counts(spark, sf_dir)
+    b = daily.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    types = daily.select("event_type").distinct()
+    days = b.select(F.explode(F.sequence("mind", "maxd")).alias("day"),
+                    "mind", "maxd")
+    dense = (types.crossJoin(F.broadcast(days))
+             .join(daily, ["event_type", "day"], "left")
+             .select("event_type", "day", "mind", "maxd",
+                     F.coalesce("x", F.lit(0)).alias("x")))
+    w7 = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, 3))
+    t = (dense
+         .withColumn("sum7", F.sum("x").over(w7))
+         .where((F.col("day") >= F.col("mind") + 3)
+                & (F.col("day") <= F.col("maxd") - 3))
+         .select("event_type", (F.col("day") - F.col("mind"))
+                 .alias("day_rel"),
+                 F.expr("(day + 4) % 7").alias("dow"), "x",
+                 F.expr("(1000 * sum7) div 7").alias("trend_e3"))
+         .withColumn("det_e3",
+                     F.expr("1000 * x - trend_e3")))
+    seas = (t.groupBy("event_type", "dow")
+            .agg(F.expr("cast(floor(cast(sum(det_e3) as double)"
+                        " / count(*)) as bigint)").alias("seasonal_e3")))
+    return (t.join(F.broadcast(seas), ["event_type", "dow"])
+            .select("event_type", "day_rel", "x", "trend_e3",
+                    "seasonal_e3",
+                    F.expr("det_e3 - seasonal_e3").alias("remainder_e3")))
+
+
+_SEAS_SQL = f"""
+WITH {_DAILY_SQL},
+b AS (SELECT min(day) AS mind, max(day) AS maxd FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+grid AS (
+    SELECT t.event_type, d.day, bb.mind, bb.maxd
+    FROM types t CROSS JOIN b bb
+    CROSS JOIN LATERAL (SELECT unnest(generate_series(bb.mind, bb.maxd))
+                        AS day) d
+),
+dense AS (
+    SELECT g.event_type, g.day, g.mind, g.maxd, coalesce(dl.x, 0) AS x
+    FROM grid g LEFT JOIN daily dl
+      ON dl.event_type = g.event_type AND dl.day = g.day
+),
+t AS (
+    SELECT event_type, day - mind AS day_rel, (day + 4) % 7 AS dow, x,
+           (1000 * CAST(sum(x) OVER (PARTITION BY event_type
+                ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                AS BIGINT)) // 7 AS trend_e3
+    FROM dense
+    QUALIFY day >= mind + 3 AND day <= maxd - 3
+),
+t2 AS (SELECT *, 1000 * x - trend_e3 AS det_e3 FROM t),
+seas AS (
+    SELECT event_type, dow,
+           CAST(floor(CAST(sum(det_e3) AS DOUBLE) / count(*)) AS BIGINT)
+               AS seasonal_e3
+    FROM t2 GROUP BY 1, 2
+)
+SELECT t2.event_type, t2.day_rel, t2.x, t2.trend_e3, s.seasonal_e3,
+       t2.det_e3 - s.seasonal_e3 AS remainder_e3
+FROM t2 JOIN seas s USING (event_type, dow)
+"""
+
+QUERIES["seasonal_decomposition"] = (_seasonal_decomposition, _SEAS_SQL)

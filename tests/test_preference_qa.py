@@ -603,3 +603,23 @@ def test_chi2_residuals_marginals(spark, q):
     # expectations reproduce the total up to per-cell floor error
     assert abs(sum(r["expected_e3"] for r in rows) - 1000 * n) \
         <= len(rows)
+
+
+def test_seasonal_decomposition_additivity(spark, q):
+    rows = q("seasonal_decomposition").collect()
+    assert len(rows) == 120  # 5 types x 24 full-window days
+    for r in rows:
+        # additivity: 1000*x == trend + seasonal + remainder exactly
+        # (the decomposition DEFINES remainder as the difference)
+        assert 1000 * r["x"] == (r["trend_e3"] + r["seasonal_e3"]
+                                 + r["remainder_e3"])
+
+
+def test_packing_efficiency_bounds(spark, q):
+    rows = q("packing_efficiency_audit").collect()
+    assert rows
+    for r in rows:
+        assert r["nfd_bins"] >= r["lb_bins"] >= 1
+        assert 0 < r["efficiency_e6"] <= 1_000_000
+        # next-fit waste is bounded: frag < bins * budget
+        assert 0 <= r["frag_tokens"] < r["nfd_bins"] * 256
