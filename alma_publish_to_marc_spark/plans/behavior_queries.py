@@ -3449,11 +3449,13 @@ def permutation_test_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_value_e6).
 
     Determinism: the "is this permutation as extreme" comparison is
-    EXACT — |delta_k| >= |delta_obs| cross-multiplies to
-    |a_k|*d_obs >= |a_obs|*d_k with a = syT*nC - syC*nT and
-    d = nT*nC, all int64 (headroom: |a|*d needs total milli-value *
-    users^2 under 2^63 — fine to ~1e5 users at these magnitudes,
-    then lift to DOUBLE); no float ever decides a count. The display
+    EXACT — |delta_k| >= |delta_obs| compares the integer
+    QUOTIENTS |a|div d first (a = syT*nC - syC*nT, d = nT*nC) and
+    cross-multiplies only the REMAINDERS on a quotient tie — both
+    remainders are < d, so the tie products stay < d_k*d_obs and the
+    test is exact with no overflow until users^4 exceeds 2^63 (~5e4
+    users; the 1x->10x scale probe caught the naive |a|*d form
+    overflowing at 15k users). No float ever decides a count. The display
     delta is one floored double division.
 
     Scale: one per-user reduction (keyed shuffle), then a {K}+1-way
@@ -3487,8 +3489,14 @@ def permutation_test_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmp_ = (per_k.where(F.col("k") > 0)
             .crossJoin(F.broadcast(obs))
             .agg(F.count(F.lit(1)).alias("k_perms"),
-                 F.sum(F.expr("case when abs(a) * d0 >= abs(a0) * d"
-                              " then 1 else 0 end")).alias("n_extreme")))
+                 F.sum(F.expr(
+                     "case when abs(a) div greatest(d, 1)"
+                     " > abs(a0) div greatest(d0, 1) then 1"
+                     " when abs(a) div greatest(d, 1)"
+                     " = abs(a0) div greatest(d0, 1)"
+                     " and (abs(a) % greatest(d, 1)) * d0"
+                     " >= (abs(a0) % greatest(d0, 1)) * d"
+                     " then 1 else 0 end")).alias("n_extreme")))
     n_users = users.agg(F.count(F.lit(1)).alias("n_users"))
     return (n_users.crossJoin(F.broadcast(obs))
             .crossJoin(F.broadcast(cmp_))
@@ -3538,7 +3546,12 @@ per_k AS (
 obs AS (SELECT a AS a0, d AS d0 FROM per_k WHERE k = 0),
 cmp_ AS (
     SELECT CAST(count(*) AS BIGINT) AS k_perms,
-           CAST(sum(CASE WHEN abs(a) * d0 >= abs(a0) * d
+           CAST(sum(CASE WHEN abs(a) // greatest(d, 1)
+                          > abs(a0) // greatest(d0, 1) THEN 1
+                    WHEN abs(a) // greatest(d, 1)
+                          = abs(a0) // greatest(d0, 1)
+                     AND (abs(a) % greatest(d, 1)) * d0
+                          >= (abs(a0) % greatest(d0, 1)) * d
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
     FROM per_k CROSS JOIN obs WHERE k > 0
 ),
@@ -3811,8 +3824,14 @@ def fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pvals = (per_k.where(F.col("k") > 0)
              .join(F.broadcast(obs), "event_type")
              .groupBy("event_type")
-             .agg((1 + F.sum(F.expr("case when abs(a) * d0 >="
-                                    " abs(a0) * d then 1 else 0 end")))
+             .agg((1 + F.sum(F.expr(
+                  "case when abs(a) div greatest(d, 1)"
+                  " > abs(a0) div greatest(d0, 1) then 1"
+                  " when abs(a) div greatest(d, 1)"
+                  " = abs(a0) div greatest(d0, 1)"
+                  " and (abs(a) % greatest(d, 1)) * d0"
+                  " >= (abs(a0) % greatest(d0, 1)) * d"
+                  " then 1 else 0 end")))
                   .alias("p_num"),
                   F.count(F.lit(1)).alias("kk")))
     w = Window.orderBy("p_num", "event_type")
@@ -3871,7 +3890,12 @@ per_k AS (
 obs AS (SELECT event_type, a AS a0, d AS d0 FROM per_k WHERE k = 0),
 pvals AS (
     SELECT p.event_type,
-           1 + CAST(sum(CASE WHEN abs(p.a) * o.d0 >= abs(o.a0) * p.d
+           1 + CAST(sum(CASE WHEN abs(p.a) // greatest(p.d, 1)
+                              > abs(o.a0) // greatest(o.d0, 1) THEN 1
+                        WHEN abs(p.a) // greatest(p.d, 1)
+                              = abs(o.a0) // greatest(o.d0, 1)
+                         AND (abs(p.a) % greatest(p.d, 1)) * o.d0
+                              >= (abs(o.a0) % greatest(o.d0, 1)) * p.d
                              THEN 1 ELSE 0 END) AS BIGINT) AS p_num,
            CAST(count(*) AS BIGINT) + 1 AS p_den
     FROM per_k p JOIN obs o ON p.event_type = o.event_type

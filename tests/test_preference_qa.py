@@ -623,3 +623,30 @@ def test_packing_efficiency_bounds(spark, q):
         assert 0 < r["efficiency_e6"] <= 1_000_000
         # next-fit waste is bounded: frag < bins * budget
         assert 0 <= r["frag_tokens"] < r["nfd_bins"] * 256
+
+
+def test_extremeness_compare_kernel_exact_at_large_magnitudes(spark, duck):
+    # The quotient-then-remainder comparison must agree with exact
+    # Fraction arithmetic at magnitudes where the naive |a|*d0 cross-
+    # multiplication overflows int64 (the 10x scale probe caught that).
+    from fractions import Fraction
+
+    cases = [
+        (2**61, 3, 2**61 - 1, 3),
+        (2**61, 3, (2**61) // 3 * 5, 5),
+        (7 * 10**17, 56_250_000, 7 * 10**17 - 1, 56_250_000),
+        (123456789012345678, 999983, 123456789012345678, 999979),
+        (5, 7, 4, 7),
+    ]
+    expr = ("case when {a} / {d} > {a0} / {d0} then 1"
+            " when {a} / {d} = {a0} / {d0}"
+            " and ({a} % {d}) * {d0} >= ({a0} % {d0}) * {d}"
+            " then 1 else 0 end")
+    for a, d, a0, d0 in cases:
+        want = int(Fraction(a, d) >= Fraction(a0, d0))
+        sq = expr.format(a=a, d=d, a0=a0, d0=d0)
+        got_spark = spark.sql(
+            "select " + sq.replace("/", "div") + " as v").collect()[0][0]
+        got_duck = duck.execute(
+            "select " + sq.replace("/", "//") + " as v").fetchone()[0]
+        assert got_spark == got_duck == want, (a, d, a0, d0)

@@ -167,6 +167,9 @@ def main() -> None:
         "binseg_changepoint", "dtw_series_distance",
         "competing_risks_incidence", "slo_burn_rate_alerts",
         "posting_gap_stats", "als_rank1_sweep",
+        "kmeans_silhouette_sampled", "overdispersion_check",
+        "chi2_cell_residuals", "seasonal_decomposition",
+        "packing_efficiency_audit",
     ]
     for name in names:
         if name not in qs:

@@ -33,10 +33,25 @@ DEFAULT_QUERIES = [
 ]
 
 
+SCALE_TABLE = os.environ.get("SCALE_TABLE", "documents")
+
+
 def replicated_corpus_dir(mult: int, n_docs: int) -> str:
     import duckdb
 
     d = tempfile.mkdtemp(prefix=f"scale{mult}x_")
+    if SCALE_TABLE == "events":
+        # replicate the event stream with disjoint event/user id
+        # namespaces per copy: users multiply (a growing product),
+        # the time span stays fixed (denser traffic, the hard case
+        # for per-day aggregates and per-user reductions)
+        sel = " UNION ALL ".join(
+            f"SELECT event_id + {k * 10 * n_docs} AS event_id, ts,"
+            f" user_id + {k * 100000} AS user_id, event_type, value,"
+            f" props FROM '{BASE}'" for k in range(mult))
+        duckdb.sql(f"COPY ({sel}) TO '{d}/events.parquet'"
+                   " (FORMAT PARQUET)")
+        return d
     sel = " UNION ALL ".join(
         f"SELECT doc_id + {k * 10 * n_docs} AS doc_id, text, lang, source,"
         f" n_chars FROM '{BASE}'" for k in range(mult))
