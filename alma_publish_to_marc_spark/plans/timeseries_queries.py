@@ -1540,3 +1540,91 @@ FROM t2 JOIN seas s USING (event_type, dow)
 """
 
 QUERIES["seasonal_decomposition"] = (_seasonal_decomposition, _SEAS_SQL)
+
+
+# --------------------------------------------------------------------------
+# time_weighted_average: trapezoidal TWA over irregular samples
+# --------------------------------------------------------------------------
+
+def _time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type — the
+    correct mean for IRREGULARLY sampled series (a plain AVG
+    overweights bursts; TWA integrates the trapezoid between
+    consecutive observations and divides by the covered span), the
+    staple of sensor rollups and financial TWAP. Every trapezoid term
+    is an exact int64 (microsecond gap x milli-value sum; headroom:
+    gap_us * vm needs per-pair products < 2^63 — a month in
+    microseconds x 2e12 milli-units), summed exactly; ONE double
+    division at the end. Also emits the plain average so the burst
+    bias is visible. Output per type: (event_type, n_samples,
+    span_us, twa_e3, plain_avg_e3, bias_e3).
+
+    Scale: one keyed window lag over the per-type event stream (the
+    asof/adjacent-change shuffle shape) and a map-side-combinable
+    aggregate; nothing else moves.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t"),
+        F.expr("cast(round(value * 1000, 0) as bigint)").alias("vm"),
+        "event_id")
+    w = Window.partitionBy("event_type").orderBy("t", "event_id")
+    lagged = (ev
+              .withColumn("pt", F.lag("t").over(w))
+              .withColumn("pv", F.lag("vm").over(w)))
+    agg = (lagged.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_samples"),
+                F.sum("vm").alias("svm"),
+                (F.max("t") - F.min("t")).alias("span_us"),
+                F.sum(F.when(F.col("pt").isNotNull(),
+                             (F.col("t") - F.col("pt"))
+                             * (F.col("vm") + F.col("pv")))
+                      .otherwise(0)).alias("trap2")))
+    # trap2 = 2 * integral in (us x milli) units
+    twa = ("cast(floor(cast(trap2 as double)"
+           " / (2.0 * greatest(span_us, 1))) as bigint)")
+    avg = ("cast(floor(cast(svm as double) / n_samples) as bigint)")
+    return agg.select(
+        "event_type", "n_samples", "span_us",
+        F.expr(twa).alias("twa_e3"), F.expr(avg).alias("plain_avg_e3"),
+        F.expr(f"({twa}) - ({avg})").alias("bias_e3"))
+
+
+_TWA_SQL = """
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) AS t,
+           CAST(round(value * 1000, 0) AS BIGINT) AS vm, event_id
+    FROM events
+),
+lagged AS (
+    SELECT event_type, t, vm,
+           lag(t) OVER (PARTITION BY event_type
+                        ORDER BY t, event_id) AS pt,
+           lag(vm) OVER (PARTITION BY event_type
+                         ORDER BY t, event_id) AS pv
+    FROM ev
+),
+agg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(vm) AS BIGINT) AS svm,
+           CAST(max(t) - min(t) AS BIGINT) AS span_us,
+           CAST(sum(CASE WHEN pt IS NOT NULL
+                         THEN (t - pt) * (vm + pv) ELSE 0 END)
+                AS BIGINT) AS trap2
+    FROM lagged GROUP BY event_type
+)
+SELECT event_type, n_samples, span_us,
+       CAST(floor(CAST(trap2 AS DOUBLE)
+            / (2.0 * greatest(span_us, 1))) AS BIGINT) AS twa_e3,
+       CAST(floor(CAST(svm AS DOUBLE) / n_samples) AS BIGINT)
+           AS plain_avg_e3,
+       CAST(floor(CAST(trap2 AS DOUBLE)
+            / (2.0 * greatest(span_us, 1))) AS BIGINT)
+       - CAST(floor(CAST(svm AS DOUBLE) / n_samples) AS BIGINT)
+           AS bias_e3
+FROM agg
+"""
+
+QUERIES["time_weighted_average"] = (_time_weighted_average, _TWA_SQL)

@@ -650,3 +650,28 @@ def test_extremeness_compare_kernel_exact_at_large_magnitudes(spark, duck):
         got_duck = duck.execute(
             "select " + sq.replace("/", "//") + " as v").fetchone()[0]
         assert got_spark == got_duck == want, (a, d, a0, d0)
+
+
+def test_twa_reference_integral(spark, q):
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = {r["event_type"]: r
+            for r in q("time_weighted_average").collect()}
+    ev = (load(spark, SF_SMOKE, "events")
+          .select("event_type",
+                  F.expr("unix_micros(cast(ts as timestamp))").alias("t"),
+                  F.expr("cast(round(value * 1000, 0) as bigint)")
+                  .alias("vm"), "event_id").collect())
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r["event_type"], []).append(
+            (r["t"], r["event_id"], r["vm"]))
+    import math
+    for ty, pts in series.items():
+        pts.sort()
+        trap2 = sum((pts[i + 1][0] - pts[i][0])
+                    * (pts[i][2] + pts[i + 1][2])
+                    for i in range(len(pts) - 1))
+        span = pts[-1][0] - pts[0][0]
+        assert rows[ty]["twa_e3"] == math.floor(trap2 / (2.0 * span))
+        assert rows[ty]["n_samples"] == len(pts)
