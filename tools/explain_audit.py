@@ -169,7 +169,7 @@ def main() -> None:
         "posting_gap_stats", "als_rank1_sweep",
         "kmeans_silhouette_sampled", "overdispersion_check",
         "chi2_cell_residuals", "seasonal_decomposition",
-        "packing_efficiency_audit",
+        "packing_efficiency_audit", "time_weighted_average",
     ]
     for name in names:
         if name not in qs:
