@@ -206,8 +206,36 @@ class MarcPublishDataSource(DataSource):
         return MarcPublishWriter(self.options)
 
 
+def _register_by_value() -> None:
+    """Make the pickled DataSource self-contained.
+
+    Executors see this package via ``addPyFile`` (session.tune), but the
+    STREAMING planner process (`python_streaming_source_runner.py`) that
+    unpickles the DataSource during micro-batch planning does not add
+    Python includes to its path — on a real cluster driver (or any
+    driver whose cwd isn't the repo) a by-reference pickle of the reader
+    class raises ModuleNotFoundError before the first offset is read.
+    Registering the module graph for cloudpickle by-value serialization
+    embeds the class and its helpers in the pickle itself, so planning
+    works wherever pyspark+pandas are importable.
+    """
+    try:
+        from pyspark import cloudpickle
+    except ImportError:  # pragma: no cover - cloudpickle always bundled
+        return
+    if not hasattr(cloudpickle, "register_pickle_by_value"):
+        return
+    from .. import schemas
+    from . import publish
+    import sys
+
+    for mod in (sys.modules[__name__], publish, marclib, schemas):
+        cloudpickle.register_pickle_by_value(mod)
+
+
 def register(spark) -> None:
     from ..session import tune
 
     tune(spark)  # ships the package so executors can unpickle the reader
+    _register_by_value()  # streaming planner unpickles with no includes
     spark.dataSource.register(MarcPublishDataSource)
