@@ -2176,3 +2176,104 @@ FROM ens
 
 
 QUERIES["bagged_stump_ensemble"] = (_bagged_stump_ensemble, _bagged_sql())
+
+
+# ---------------------------------------------------------------------------
+# Confusion-matrix metric suite: MCC, F-beta, balanced accuracy, Youden J
+# ---------------------------------------------------------------------------
+
+_CM_THRESHOLD = 0.06  # stopword-ratio cut predicting lang == 'en'
+
+
+def _confusion_metric_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full binary-classification report card from one confusion
+    matrix: Matthews correlation (the metric of choice under class
+    imbalance — accuracy and F1 both inflate there), F1, F2
+    (recall-weighted), balanced accuracy, and Youden's J, evaluating
+    the stopword-ratio language heuristic (pred = en-stopword ratio ≥
+    0.06) against the gold ``lang == 'en'`` label. On this synthetic
+    corpus the classifier is near chance (MCC ≈ 0) — the query
+    certifies the exact metric arithmetic, and swapping in any real
+    scorer changes only the ``pred`` expression.
+
+    Determinism: the four cells are exact int64 from one
+    map-side-combinable aggregate. MCC's denominator is written as a
+    PRODUCT OF FOUR SQRTS of exact ints (each ≤ 2^53 → each sqrt
+    IEEE-correctly-rounded; left-assoc multiply), never sqrt of the
+    4-factor product (which exceeds 2^53 and would round before the
+    sqrt); F-beta and the rate sums are single double divisions of
+    exact ints, identical expressions in both engines, floored e6.
+
+    Scale: featurize+threshold fuse into the scan; one global
+    aggregate to 4 integers; everything after is a 1-row select.
+    """
+    from ..functions import text as T
+
+    docs = load(spark, sf_dir, "documents").select(
+        (T.stopword_ratio(F.col("text")) >= _CM_THRESHOLD).alias("p"),
+        (F.col("lang") == "en").alias("y"))
+    cells = docs.agg(
+        F.sum(F.when(F.col("p") & F.col("y"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("p") & ~F.col("y"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("p") & F.col("y"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("p") & ~F.col("y"), 1).otherwise(0)).alias("tn"))
+    mcc = ("cast(floor(1000000.0 * (cast(tp as double) * tn"
+           " - cast(fp as double) * fn)"
+           " / (sqrt(cast(tp + fp as double)) * sqrt(cast(tp + fn as double))"
+           " * sqrt(cast(tn + fp as double)) * sqrt(cast(tn + fn as double)))"
+           ") as bigint)")
+    return cells.select(
+        "tp", "fp", "fn", "tn",
+        F.expr(f"case when least(tp + fp, tp + fn, tn + fp, tn + fn) > 0"
+               f" then {mcc} end").alias("mcc_e6"),
+        F.expr("cast(floor(1000000.0 * (2 * tp)"
+               " / (2 * tp + fp + fn)) as bigint)").alias("f1_e6"),
+        F.expr("cast(floor(1000000.0 * (5 * tp)"
+               " / (5 * tp + 4 * fn + fp)) as bigint)").alias("f2_e6"),
+        F.expr("cast(floor(1000000.0 * (cast(tp as double) / (tp + fn)"
+               " + cast(tn as double) / (tn + fp)) / 2.0) as bigint)")
+        .alias("bal_acc_e6"),
+        F.expr("cast(floor(1000000.0 * (cast(tp as double) / (tp + fn)"
+               " + cast(tn as double) / (tn + fp) - 1.0)) as bigint)")
+        .alias("youden_e6"))
+
+
+def _confusion_sql() -> str:
+    from ..functions import text_queries as TQ
+
+    sr = TQ.sql_stopword_ratio()
+    mcc = ("CAST(floor(1000000.0 * (CAST(tp AS DOUBLE) * tn"
+           " - CAST(fp AS DOUBLE) * fn)"
+           " / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))"
+           " * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)))"
+           ") AS BIGINT)")
+    return f"""
+WITH labeled AS (
+  SELECT {sr} >= {_CM_THRESHOLD} AS p, lang = 'en' AS y FROM documents
+), cells AS (
+  SELECT
+    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM labeled
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN least(tp + fp, tp + fn, tn + fp, tn + fn) > 0
+            THEN {mcc} END AS mcc_e6,
+       CAST(floor(1000000.0 * (2 * tp) / (2 * tp + fp + fn)) AS BIGINT)
+           AS f1_e6,
+       CAST(floor(1000000.0 * (5 * tp) / (5 * tp + 4 * fn + fp)) AS BIGINT)
+           AS f2_e6,
+       CAST(floor(1000000.0 * (CAST(tp AS DOUBLE) / (tp + fn)
+            + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0) AS BIGINT)
+           AS bal_acc_e6,
+       CAST(floor(1000000.0 * (CAST(tp AS DOUBLE) / (tp + fn)
+            + CAST(tn AS DOUBLE) / (tn + fp) - 1.0)) AS BIGINT)
+           AS youden_e6
+FROM cells
+"""
+
+
+QUERIES["confusion_metric_suite"] = (_confusion_metric_suite,
+                                     _confusion_sql())

@@ -35,7 +35,7 @@ reference scale; these are their 100 TB replacements.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -990,3 +990,112 @@ FROM np CROSS JOIN survivors CROSS JOIN ex
 
 QUERIES["bloom_semijoin_reduction"] = (bloom_semijoin_reduction,
                                        _bloom_semijoin_sql())
+
+
+# --------------------------------------------------------------------------
+# misra_gries_heavy_hitters: mergeable per-shard top-M frequency summaries
+# --------------------------------------------------------------------------
+
+_MG_SHARDS = 8       # summary shards (executors at production shape)
+_MG_KEEP = 64        # keys kept per shard summary
+_MG_TOPK = 20        # merged heavy hitters reported
+
+
+def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitter summaries (the Misra–Gries / SpaceSaving
+    shape): each of ``_MG_SHARDS`` shards reduces its slice of the
+    lineitem part stream to an exact per-key count, keeps only its top
+    ``_MG_KEEP`` keys, and records a one-integer error bound — the
+    largest DROPPED count (any key absent from the shard summary has a
+    shard count ≤ that bound). Merging is pure addition: for key k,
+    ``lo = Σ kept counts`` and ``hi = lo + Σ err_s`` over the shards
+    where k was dropped, so a key's true global count is provably in
+    [lo, hi]. Against the driver tables we also compute the EXACT
+    count next to the bounds (the ``ann_recall_eval`` pattern), and
+    ``within_bounds`` asserts the sketch guarantee inside the query.
+    Unlike CMS (`cms_heavy_hitters`) this summary stores exact keys —
+    no hash collisions — and its merge law is what a 1000-executor
+    treeAggregate would run.
+
+    Scale: one map-side-combinable count per (shard, key), one
+    window rank per shard over summary-sized data; merged state is
+    ``shards × keep`` rows regardless of corpus size. The exact-count
+    branch exists only for the oracle gate; at 100 TB you'd drop it.
+    Everything is int64; no floats anywhere.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_orderkey") % _MG_SHARDS).alias("s"))
+    shard_counts = (li.groupBy("s", "l_partkey")
+                    .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("s").orderBy(F.desc("cnt"), F.asc("l_partkey"))
+    ranked = shard_counts.withColumn("r", F.row_number().over(w))
+    kept = ranked.filter(F.col("r") <= _MG_KEEP)
+    err = (ranked.filter(F.col("r") > _MG_KEEP)
+           .groupBy("s").agg(F.max("cnt").alias("err")))
+    shard_err = (ranked.select("s").distinct()
+                 .join(err, "s", "left")
+                 .select("s", F.coalesce("err", F.lit(0)).alias("err")))
+    toterr = F.broadcast(shard_err.agg(
+        F.sum("err").cast("long").alias("toterr")))
+    merged = (kept.join(shard_err, "s")
+              .groupBy("l_partkey")
+              .agg(F.sum("cnt").alias("est_lo"),
+                   F.sum("err").cast("long").alias("present_err")))
+    exact = (li.groupBy("l_partkey")
+             .agg(F.count(F.lit(1)).alias("exact_cnt")))
+    wk = Window.orderBy(F.desc("est_lo"), F.asc("l_partkey"))
+    out = (merged.crossJoin(toterr)
+           .select("l_partkey", "est_lo",
+                   (F.col("est_lo") + F.col("toterr")
+                    - F.col("present_err")).alias("est_hi"))
+           .withColumn("rk", F.row_number().over(wk))
+           .filter(F.col("rk") <= _MG_TOPK).drop("rk")
+           .join(exact, "l_partkey")
+           .select("l_partkey", "est_lo", "est_hi", "exact_cnt",
+                   ((F.col("exact_cnt") >= F.col("est_lo"))
+                    & (F.col("exact_cnt") <= F.col("est_hi")))
+                   .alias("within_bounds")))
+    return out
+
+
+_MG_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, l_orderkey % {_MG_SHARDS} AS s FROM lineitem
+), shard_counts AS (
+  SELECT s, l_partkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM li GROUP BY s, l_partkey
+), ranked AS (
+  SELECT s, l_partkey, cnt,
+         row_number() OVER (PARTITION BY s
+                            ORDER BY cnt DESC, l_partkey ASC) AS r
+  FROM shard_counts
+), kept AS (
+  SELECT * FROM ranked WHERE r <= {_MG_KEEP}
+), shard_err AS (
+  SELECT d.s, CAST(coalesce(e.err, 0) AS BIGINT) AS err
+  FROM (SELECT DISTINCT s FROM ranked) d
+  LEFT JOIN (SELECT s, max(cnt) AS err FROM ranked
+             WHERE r > {_MG_KEEP} GROUP BY s) e ON d.s = e.s
+), toterr AS (
+  SELECT CAST(sum(err) AS BIGINT) AS toterr FROM shard_err
+), merged AS (
+  SELECT k.l_partkey, CAST(sum(k.cnt) AS BIGINT) AS est_lo,
+         CAST(sum(se.err) AS BIGINT) AS present_err
+  FROM kept k JOIN shard_err se ON k.s = se.s
+  GROUP BY k.l_partkey
+), exact AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM li GROUP BY l_partkey
+), topk AS (
+  SELECT l_partkey, est_lo, est_lo + t.toterr - present_err AS est_hi,
+         row_number() OVER (ORDER BY est_lo DESC, l_partkey ASC) AS rk
+  FROM merged CROSS JOIN toterr t
+)
+SELECT tk.l_partkey, tk.est_lo, tk.est_hi, ex.exact_cnt,
+       ex.exact_cnt >= tk.est_lo AND ex.exact_cnt <= tk.est_hi
+           AS within_bounds
+FROM topk tk JOIN exact ex ON tk.l_partkey = ex.l_partkey
+WHERE tk.rk <= {_MG_TOPK}
+"""
+
+QUERIES["misra_gries_heavy_hitters"] = (misra_gries_heavy_hitters, _MG_SQL)

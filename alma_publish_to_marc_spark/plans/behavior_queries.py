@@ -4505,3 +4505,187 @@ def unpersist_cached() -> int:
 
 
 QUERIES["chi2_cell_residuals"] = (chi2_cell_residuals, _CHI2_CELLS_SQL)
+
+
+# --------------------------------------------------------------------------
+# logrank_test: two-group survival comparison (log-rank / Mantel-Cox)
+# --------------------------------------------------------------------------
+
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) test: does customer churn differ between
+    the AUTOMOBILE market segment and everyone else? Lifetimes and
+    censoring are exactly the Kaplan–Meier definitions above (monthly
+    first→last order span; active within the final 180 days =
+    censored); the test aggregates, per event month, the observed
+    group-1 deaths against the hypergeometric expectation
+    ``E₁ₘ = dₘ·n₁ₘ/nₘ`` and variance
+    ``Vₘ = dₘ·n₁ₘ·n₀ₘ·(nₘ−dₘ) / (nₘ²·(nₘ−1))``, then
+    ``χ² = (O₁−E₁)²/V``.
+
+    Cross-engine determinism: every per-month input (risk sets, death
+    counts) is an exact int64; E and V are computed from them with an
+    IDENTICALLY-written double expression (multiplication and division
+    are IEEE-deterministic given the same association), and the two
+    float sums are explicit left folds over the month-sorted array —
+    both engines add identical doubles in identical order, so the
+    floored e6 outputs match bitwise.
+
+    Scale: per-customer lifetime is one keyed aggregate over orders
+    plus one shuffle join to the customer dim for the segment flag;
+    everything after (monthly table, spine, fold) is report-sized.
+    The censor boundary derives from max(order day), never wall-clock.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("oday"))
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", F.lit(1))
+        .otherwise(F.lit(0)).alias("g"))
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.min("oday").alias("d0"), F.max("oday").alias("d1"))
+                .join(cust, "o_custkey"))
+    mx = F.broadcast(per_cust.agg(F.max("d1").alias("dmax")))
+    lif = (per_cust.crossJoin(mx)
+           .select("g",
+                   ((F.col("d1") - F.col("d0")) / 30).cast("long").alias("m"),
+                   (F.col("d1") < F.col("dmax") - _KM_CENSOR_DAYS)
+                   .cast("long").alias("event")))
+    monthly = (lif.groupBy("m", "g")
+               .agg(F.count(F.lit(1)).alias("ending"),
+                    F.sum("event").alias("d")))
+    spine = (monthly.select("m").distinct()
+             .crossJoin(spark.range(2).select(F.col("id").cast("int")
+                                              .alias("g"))))
+    filled = (spine.join(monthly, ["m", "g"], "left")
+              .select("m", "g",
+                      F.coalesce("ending", F.lit(0)).alias("ending"),
+                      F.coalesce("d", F.lit(0)).alias("d")))
+    from pyspark.sql import Window
+    w_rev = (Window.partitionBy("g").orderBy(F.desc("m"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = filled.select(
+        "m", "g", "d", F.sum("ending").over(w_rev).alias("n_risk"))
+    per_m = (risk.groupBy("m")
+             .agg(F.max(F.when(F.col("g") == 1, F.col("n_risk")))
+                  .alias("n1m"),
+                  F.max(F.when(F.col("g") == 0, F.col("n_risk")))
+                  .alias("n0m"),
+                  F.max(F.when(F.col("g") == 1, F.col("d"))).alias("d1m"),
+                  F.max(F.when(F.col("g") == 0, F.col("d"))).alias("d0m"))
+             .withColumn("nm", F.col("n1m") + F.col("n0m"))
+             .withColumn("dm", F.col("d1m") + F.col("d0m"))
+             .filter("dm > 0 AND nm > 1"))
+    # integer totals are order-free sums; the two float accumulators
+    # (E1, V) are a left fold in month order, written with the literal
+    # expression shared with the oracle below
+    folded = (per_m
+              .select(F.struct("m", "n1m", "n0m", "nm", "dm").alias("s"))
+              .agg(F.array_sort(F.collect_list("s")).alias("xs")))
+    # observed deaths per group come straight from the monthly table
+    obs = (per_m.agg(
+        F.sum("d1m").alias("o1"), F.sum("d0m").alias("o0")))
+    n_by_g = (lif.groupBy("g").agg(F.count(F.lit(1)).alias("n")))
+    n1 = (n_by_g.filter("g = 1").select(F.col("n").alias("n1")))
+    n0 = (n_by_g.filter("g = 0").select(F.col("n").alias("n0")))
+    out = (obs.crossJoin(folded.select(F.expr(_LR_FOLD).alias("f")))
+           .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n0))
+           .select(
+               "n1", "n0", "o1", "o0",
+               F.expr("cast(floor(1000000.0 * f.e1) as bigint)")
+               .alias("e1_e6"),
+               F.expr("cast(floor(1000000.0 * f.v) as bigint)")
+               .alias("v_e6"),
+               F.expr("case when f.v > 0.0 then cast(floor(1000000.0 *"
+                      " (cast(o1 as double) - f.e1)"
+                      " * (cast(o1 as double) - f.e1) / f.v) as bigint)"
+                      " end").alias("chi2_e6")))
+    return out
+
+
+# the E1/V left fold, written once and used verbatim in both engines
+# (aggregate() in Spark; the DuckDB twin below mirrors it with
+# list_reduce on a prepended zero accumulator)
+_LR_FOLD = (
+    "aggregate(xs, named_struct('e1', cast(0.0 as double), "
+    "'v', cast(0.0 as double)), (acc, x) -> named_struct("
+    "'e1', acc.e1 + cast(x.dm as double) * x.n1m / x.nm, "
+    "'v', acc.v + cast(x.dm as double) * x.n1m * x.n0m * (x.nm - x.dm)"
+    " / (cast(x.nm as double) * x.nm * (x.nm - 1))))")
+
+
+_LOGRANK_SQL = f"""
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         min(epoch_us(o.o_orderdate) // 86400000000) AS d0,
+         max(epoch_us(o.o_orderdate) // 86400000000) AS d1,
+         CASE WHEN any_value(c.c_mktsegment) = 'AUTOMOBILE'
+              THEN 1 ELSE 0 END AS g
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey
+), mx AS (SELECT max(d1) AS dmax FROM per_cust),
+lif AS (
+  SELECT g, CAST((d1 - d0) // 30 AS BIGINT) AS m,
+         CAST(d1 < dmax - {_KM_CENSOR_DAYS} AS BIGINT) AS event
+  FROM per_cust CROSS JOIN mx
+), monthly AS (
+  SELECT m, g, CAST(count(*) AS BIGINT) AS ending,
+         CAST(sum(event) AS BIGINT) AS d
+  FROM lif GROUP BY m, g
+), spine AS (
+  SELECT DISTINCT m, gg.g FROM monthly
+  CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) gg
+), filled AS (
+  SELECT s.m, s.g, coalesce(mo.ending, 0) AS ending,
+         coalesce(mo.d, 0) AS d
+  FROM spine s LEFT JOIN monthly mo ON s.m = mo.m AND s.g = mo.g
+), risk AS (
+  SELECT m, g, d,
+         sum(ending) OVER (PARTITION BY g ORDER BY m DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS n_risk
+  FROM filled
+), per_m AS (
+  SELECT m,
+         max(CASE WHEN g = 1 THEN n_risk END) AS n1m,
+         max(CASE WHEN g = 0 THEN n_risk END) AS n0m,
+         max(CASE WHEN g = 1 THEN d END) AS d1m,
+         max(CASE WHEN g = 0 THEN d END) AS d0m
+  FROM risk GROUP BY m
+), per_m2 AS (
+  SELECT m, n1m, n0m, d1m, d0m, n1m + n0m AS nm, d1m + d0m AS dm
+  FROM per_m WHERE d1m + d0m > 0 AND n1m + n0m > 1
+), arr AS (
+  SELECT list_sort(list(struct_pack(m := m, n1m := n1m, n0m := n0m,
+                                    nm := nm, dm := dm))) AS xs,
+         CAST(sum(d1m) AS BIGINT) AS o1, CAST(sum(d0m) AS BIGINT) AS o0
+  FROM per_m2
+), folded AS (
+  SELECT o1, o0,
+         list_reduce(
+           list_prepend(struct_pack(e1 := CAST(0.0 AS DOUBLE),
+                                    v := CAST(0.0 AS DOUBLE)),
+             list_transform(xs, x -> struct_pack(
+               e1 := CAST(x.dm AS DOUBLE) * x.n1m / x.nm,
+               v := CAST(x.dm AS DOUBLE) * x.n1m * x.n0m * (x.nm - x.dm)
+                    / (CAST(x.nm AS DOUBLE) * x.nm * (x.nm - 1))))),
+           (acc, x) -> struct_pack(e1 := acc.e1 + x.e1,
+                                   v := acc.v + x.v)) AS f
+  FROM arr
+), ns AS (
+  SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM lif
+)
+SELECT ns.n1, ns.n0, folded.o1, folded.o0,
+       CAST(floor(1000000.0 * f.e1) AS BIGINT) AS e1_e6,
+       CAST(floor(1000000.0 * f.v) AS BIGINT) AS v_e6,
+       CASE WHEN f.v > 0.0 THEN
+         CAST(floor(1000000.0 * (CAST(folded.o1 AS DOUBLE) - f.e1)
+              * (CAST(folded.o1 AS DOUBLE) - f.e1) / f.v) AS BIGINT)
+       END AS chi2_e6
+FROM folded CROSS JOIN ns
+"""
+
+QUERIES["logrank_test"] = (logrank_test, _LOGRANK_SQL)

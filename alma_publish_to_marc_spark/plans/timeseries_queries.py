@@ -1628,3 +1628,93 @@ FROM agg
 """
 
 QUERIES["time_weighted_average"] = (_time_weighted_average, _TWA_SQL)
+
+
+# --------------------------------------------------------------------------
+# jackknife_block_variance: delete-a-block jackknife SE for the daily mean
+# --------------------------------------------------------------------------
+
+def _jackknife_block_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-block jackknife standard error for mean daily revenue.
+    Daily order totals are serially correlated, so the i.i.d. variance
+    formula understates the SE of the mean; the block jackknife
+    (delete one WEEK at a time, recompute the mean from the exact
+    remaining totals, variance of the B leave-one-out estimates
+    scaled by (B−1)/B) is the classic fix that needs only one pass.
+    θ₍ᵦ₎ = (S − s_b)/(N − n_b) is one double division of exact int64
+    cents/counts; the two float reductions (mean of θ₍ᵦ₎, then the
+    centered sum of squares) are explicit left folds over the
+    block-sorted array, identical in both engines.
+
+    Scale: the 100 TB work is the one map-side-combinable daily
+    aggregate; blocks (weeks) are report-sized, so the folds are free.
+    Cents headroom: Σ price_c at SF100k still < 2^63.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"))
+    daily = (orders.groupBy("day")
+             .agg(F.sum("price_c").alias("rev_c")))
+    blocks = (daily.groupBy((F.col("day") / 7).cast("long").alias("b"))
+              .agg(F.sum("rev_c").alias("sb"),
+                   F.count(F.lit(1)).alias("nb")))
+    folded = blocks.agg(
+        F.array_sort(F.collect_list(F.struct("b", "sb", "nb"))).alias("xs"),
+        F.sum("sb").alias("s"), F.sum("nb").alias("n"),
+        F.count(F.lit(1)).alias("bcnt"))
+    stage1 = folded.select(
+        "xs", "s", "n", "bcnt",
+        F.expr("aggregate(xs, cast(0.0 as double), (a, x) -> "
+               "a + cast(s - x.sb as double) / (n - x.nb))").alias("tsum"))
+    return stage1.select(
+        F.col("n").alias("n_days"), F.col("bcnt").alias("n_blocks"),
+        F.expr("cast(floor(1000.0 * s / n) as bigint)").alias("theta_e3"),
+        F.expr("cast(floor(1000.0 * tsum / bcnt) as bigint)")
+        .alias("jack_mean_e3"),
+        F.expr("cast(floor(1000.0 * sqrt(cast(bcnt - 1 as double) / bcnt"
+               " * aggregate(xs, cast(0.0 as double), (a, x) -> "
+               "a + (cast(s - x.sb as double) / (n - x.nb) - tsum / bcnt)"
+               " * (cast(s - x.sb as double) / (n - x.nb) - tsum / bcnt))"
+               ")) as bigint)").alias("se_e3"))
+
+
+_JACKKNIFE_SQL = """
+WITH orders_c AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), daily AS (
+  SELECT day, CAST(sum(price_c) AS BIGINT) AS rev_c
+  FROM orders_c GROUP BY day
+), blocks AS (
+  SELECT CAST(day // 7 AS BIGINT) AS b, CAST(sum(rev_c) AS BIGINT) AS sb,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM daily GROUP BY 1
+), folded AS (
+  SELECT list_sort(list(struct_pack(b := b, sb := sb, nb := nb))) AS xs,
+         CAST(sum(sb) AS BIGINT) AS s, CAST(sum(nb) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS bcnt
+  FROM blocks
+), stage1 AS (
+  SELECT xs, s, n, bcnt,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(xs, x ->
+             CAST(s - x.sb AS DOUBLE) / (n - x.nb))),
+           (a, t) -> a + t) AS tsum
+  FROM folded
+)
+SELECT n AS n_days, bcnt AS n_blocks,
+       CAST(floor(1000.0 * s / n) AS BIGINT) AS theta_e3,
+       CAST(floor(1000.0 * tsum / bcnt) AS BIGINT) AS jack_mean_e3,
+       CAST(floor(1000.0 * sqrt(CAST(bcnt - 1 AS DOUBLE) / bcnt *
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(xs, x ->
+             (CAST(s - x.sb AS DOUBLE) / (n - x.nb) - tsum / bcnt)
+             * (CAST(s - x.sb AS DOUBLE) / (n - x.nb) - tsum / bcnt))),
+           (a, t) -> a + t))) AS BIGINT) AS se_e3
+FROM stage1
+"""
+
+QUERIES["jackknife_block_variance"] = (_jackknife_block_variance,
+                                       _JACKKNIFE_SQL)
