@@ -2070,3 +2070,264 @@ CROSS JOIN off
 
 
 QUERIES["personalized_pagerank"] = (personalized_pagerank, _ppr_sql())
+
+
+# --------------------------------------------------------------------------
+# modularity_gain_moves: one synchronous round of Louvain-style node moves
+# --------------------------------------------------------------------------
+
+def _modularity_gain_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SYNCHRONOUS round of modularity-gain node moves over the
+    label-propagation partition — the parallel variant of Louvain's
+    local-move phase (every node simultaneously evaluates moving to a
+    neighbor community against the CURRENT snapshot; sequential Louvain
+    is inherently serial, this is the form a 1000-executor cluster
+    actually runs, cf. distributed Louvain literature). Node i moves to
+    the candidate community c maximizing the exact integer gain proxy
+    ``g(c) = 2m·l_ic − d_c·k_i`` (ΔQ·2m², constant terms dropped)
+    when that strictly beats staying, where staying scores
+    ``2m·l_i,ci − (d_ci − k_i)·k_i`` (own degree excluded from its
+    community mass, the standard Louvain correction). Reports the
+    partition quality BEFORE and AFTER from exact global modularity
+    numerators — synchronous moves can in principle overshoot (label
+    flip-flop), so the honest output is the measured ΔQ, not an
+    assumption of improvement.
+
+    Determinism: every gain, tie-break (min struct on (−g, c)), and
+    modularity numerator is exact int64 (headroom: 2m·l ≤ 2·|E|·k_max;
+    d_c·k_i ≤ (2|E|)·k_max — int64-safe through ~1e14 edge-degree
+    products); the only doubles are the final e6 divisions by 4m² on
+    exact inputs, written identically in both engines.
+
+    Scale: l_ic is one groupBy over the directed edge list joined to
+    the |V|-row community map (node-keyed hash joins, map-side
+    combinable counts); candidate evaluation is |l_ic| rows — bounded
+    by 2|E|; the before/after quality passes are the
+    ``community_modularity`` shape twice. No all-pairs anything.
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+
+    emb, edges, labels = _lp_state(spark, sf_dir)
+    # und feeds ~8 plan branches (degrees, d_c, l_ic, both quality
+    # passes) and comm ~6; without persisting, the whole knn+LP chain
+    # re-executes per branch (the CLAUDE.md multi-branch hazard —
+    # measured minutes vs seconds at sf0.01). Persists ride
+    # similarity._PERSISTED so unpersist_cached() releases them.
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(und)
+    comm = (emb.select("vec_id")
+            .join(labels.withColumnRenamed("node", "vec_id"), "vec_id",
+                  "left")
+            .select(F.col("vec_id").alias("node"),
+                    F.coalesce(F.col("lbl").cast("long"),
+                               F.lit(-1) - F.col("vec_id")).alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(comm)
+    m = F.broadcast(und.agg(F.count(F.lit(1)).alias("m")))
+    dir_ = (und.select(F.col("a").alias("i"), F.col("b").alias("j"))
+            .unionAll(und.select(F.col("b").alias("i"),
+                                 F.col("a").alias("j"))))
+    deg = dir_.groupBy("i").agg(F.count(F.lit(1)).alias("k_i"))
+    d_c = (dir_.join(comm.withColumnRenamed("node", "i"), "i")
+           .groupBy("c").agg(F.count(F.lit(1)).alias("d_c")))
+    l_ic = (dir_.join(comm.withColumnRenamed("node", "j"), "j")
+            .groupBy("i", "c").agg(F.count(F.lit(1)).alias("l")))
+    own = comm.withColumnRenamed("node", "i").withColumnRenamed("c", "ci")
+    base = (l_ic.join(own, "i").join(deg, "i")
+            .join(d_c, "c").crossJoin(m))
+
+    stay = (base.filter(F.col("c") == F.col("ci"))
+            .select("i", (2 * F.col("m") * F.col("l")).alias("l_term"))
+            )
+    stay_full = (own.join(deg, "i").join(
+        d_c.withColumnRenamed("c", "ci"), "ci").crossJoin(m)
+        .join(stay, "i", "left")
+        .select("i", "ci", "k_i",
+                (F.coalesce("l_term", F.lit(0))
+                 - (F.col("d_c") - F.col("k_i")) * F.col("k_i"))
+                .alias("g_stay")))
+    best = (base.filter(F.col("c") != F.col("ci"))
+            .select("i",
+                    (2 * F.col("m") * F.col("l")
+                     - F.col("d_c") * F.col("k_i")).alias("g"),
+                    "c")
+            .groupBy("i")
+            .agg(F.min(F.struct((-F.col("g")).alias("ng"),
+                                F.col("c").alias("c"))).alias("b"))
+            .select("i", (-F.col("b.ng")).alias("g_best"),
+                    F.col("b.c").alias("c_best")))
+    moved = (stay_full.join(best, "i", "left")
+             .select(F.col("i").alias("node"),
+                     F.when(F.col("g_best") > F.col("g_stay"),
+                            F.col("c_best"))
+                     .otherwise(F.col("ci")).alias("c"),
+                     (F.col("g_best") > F.col("g_stay")).cast("long")
+                     .alias("did_move")))
+    comm2 = (comm.join(moved.select("node", F.col("c").alias("c2"),
+                                    "did_move"), "node", "left")
+             .select("node", F.coalesce("c2", F.col("c")).alias("c"),
+                     F.coalesce("did_move", F.lit(0)).alias("did_move"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(comm2)
+
+    def _q_num(cmap):
+        ca = cmap.select(F.col("node").alias("a"), F.col("c").alias("c_a"))
+        cb = cmap.select(F.col("node").alias("b"), F.col("c").alias("c_b"))
+        e_intra = (und.join(ca, "a").join(cb, "b")
+                   .where(F.col("c_a") == F.col("c_b"))
+                   .agg(F.count(F.lit(1)).alias("e_in")))
+        dsq = (dir_.join(cmap.withColumnRenamed("node", "i"), "i")
+               .groupBy("c").agg(F.count(F.lit(1)).alias("d_c"))
+               .agg(F.sum(F.col("d_c") * F.col("d_c")).alias("dsq")))
+        return (e_intra.crossJoin(dsq).crossJoin(m)
+                .select((4 * F.col("m") * F.col("e_in")
+                         - F.col("dsq")).alias("qn")))
+
+    # old-partition quality needs NO extra edge join: Σ_{c=ci} l_ic is
+    # exactly 2·e_intra, and Σd_c² is already aggregated in d_c
+    suml_old = (l_ic.join(own, "i").filter(F.col("c") == F.col("ci"))
+                .agg(F.coalesce(F.sum("l"), F.lit(0)).alias("suml")))
+    dsq_old = d_c.agg(F.sum(F.col("d_c") * F.col("d_c")).alias("dsq"))
+    q_old = (suml_old.crossJoin(dsq_old).crossJoin(m)
+             .select((2 * F.col("m") * F.col("suml") - F.col("dsq"))
+                     .alias("q_old_num")))
+    q_new = _q_num(comm2).select(F.col("qn").alias("q_new_num"))
+    stats = comm2.agg(F.count(F.lit(1)).alias("n_nodes"),
+                      F.sum("did_move").alias("n_moved"))
+    e6 = "cast(floor(1000000.0 * {n} / (4.0 * m * m)) as bigint)"
+    return (stats.crossJoin(q_old).crossJoin(q_new).crossJoin(m)
+            .select("n_nodes", "n_moved", F.col("m").alias("m_edges"),
+                    "q_old_num", "q_new_num",
+                    F.expr(e6.format(n="q_old_num")).alias("q_old_e6"),
+                    F.expr(e6.format(n="q_new_num")).alias("q_new_e6"),
+                    F.expr(e6.format(n="(q_new_num - q_old_num)"))
+                    .alias("delta_e6")))
+
+
+def _materialize_ctes(sql: str, names: tuple) -> str:
+    """Force DuckDB to materialize the named CTEs. DuckDB 1.0 inlines
+    CTEs by default; with the knn-graph SQL referenced through und →
+    dir_ → {deg, d_c, l_ic} → two quality passes, inlining re-expands
+    the candidate-generation subtree per reference (measured: >240 s
+    vs 13 s at sf0.01). Spark gets the same effect from the tracked
+    persists above, so the two engines stay plan-shape-aligned."""
+    for name in names:
+        sql = sql.replace(f"\n{name} AS (", f"\n{name} AS MATERIALIZED (")
+        if sql.startswith(f"{name} AS ("):
+            sql = f"{name} AS MATERIALIZED (" + sql[len(f"{name} AS ("):]
+    return sql
+
+
+def _gain_moves_sql() -> str:
+    ctes = _lp_chain_ctes()
+    e6 = ("CAST(floor(1000000.0 * {n} / (4.0 * mm.m * mm.m)) AS BIGINT)")
+    return _materialize_ctes("WITH " + ",\n".join(ctes) + f""",
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges
+),
+comm AS (
+    SELECT e.vec_id AS node,
+           coalesce(CAST(l.lbl AS BIGINT), -1 - e.vec_id) AS c
+    FROM embeddings e
+    LEFT JOIN l{LP_ROUNDS} l ON l.node = e.vec_id
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+dir_ AS (
+    SELECT a AS i, b AS j FROM und
+    UNION ALL SELECT b AS i, a AS j FROM und
+),
+deg AS (SELECT i, CAST(count(*) AS BIGINT) AS k_i FROM dir_ GROUP BY i),
+d_c AS (
+    SELECT c.c, CAST(count(*) AS BIGINT) AS d_c
+    FROM dir_ d JOIN comm c ON c.node = d.i GROUP BY c.c
+),
+l_ic AS (
+    SELECT d.i, c.c, CAST(count(*) AS BIGINT) AS l
+    FROM dir_ d JOIN comm c ON c.node = d.j GROUP BY d.i, c.c
+),
+base AS (
+    SELECT li.i, li.c, li.l, o.c AS ci, dg.k_i, dc.d_c, mm.m
+    FROM l_ic li
+    JOIN comm o ON o.node = li.i
+    JOIN deg dg ON dg.i = li.i
+    JOIN d_c dc ON dc.c = li.c
+    CROSS JOIN mm
+),
+stay AS (
+    SELECT i, 2 * m * l AS l_term FROM base WHERE c = ci
+),
+stay_full AS (
+    SELECT o.node AS i, o.c AS ci, dg.k_i,
+           coalesce(s.l_term, 0)
+           - (dc.d_c - dg.k_i) * dg.k_i AS g_stay
+    FROM comm o
+    JOIN deg dg ON dg.i = o.node
+    JOIN d_c dc ON dc.c = o.c
+    CROSS JOIN mm
+    LEFT JOIN stay s ON s.i = o.node
+),
+best AS (
+    SELECT i,
+           -(min(struct_pack(ng := -(2 * m * l - d_c * k_i),
+                             c := c)).ng) AS g_best,
+           min(struct_pack(ng := -(2 * m * l - d_c * k_i),
+                           c := c)).c AS c_best
+    FROM base WHERE c <> ci GROUP BY i
+),
+moved AS (
+    SELECT sf.i AS node,
+           CASE WHEN b.g_best > sf.g_stay THEN b.c_best
+                ELSE sf.ci END AS c,
+           CAST(coalesce(b.g_best > sf.g_stay, FALSE) AS BIGINT)
+               AS did_move
+    FROM stay_full sf LEFT JOIN best b ON b.i = sf.i
+),
+comm2 AS (
+    SELECT c.node, coalesce(mv.c, c.c) AS c,
+           coalesce(mv.did_move, 0) AS did_move
+    FROM comm c LEFT JOIN moved mv ON mv.node = c.node
+),
+q_old AS (
+    SELECT 2 * mm.m * (SELECT CAST(coalesce(sum(li.l), 0) AS BIGINT)
+                       FROM l_ic li JOIN comm o ON o.node = li.i
+                       WHERE li.c = o.c)
+           - (SELECT CAST(sum(d_c * d_c) AS BIGINT) FROM d_c)
+           AS q_old_num
+    FROM mm
+),
+d_c2 AS (
+    SELECT c.c, CAST(count(*) AS BIGINT) AS d_c
+    FROM dir_ d JOIN comm2 c ON c.node = d.i GROUP BY c.c
+),
+q_new AS (
+    SELECT (SELECT 4 * mm.m * count(*) FROM und u
+            JOIN comm2 ca ON ca.node = u.a
+            JOIN comm2 cb ON cb.node = u.b
+            WHERE ca.c = cb.c)
+           - (SELECT CAST(sum(d_c * d_c) AS BIGINT) FROM d_c2)
+           AS q_new_num
+    FROM mm
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(did_move) AS BIGINT) AS n_moved
+    FROM comm2
+)
+SELECT s.n_nodes, s.n_moved, mm.m AS m_edges,
+       qo.q_old_num, qn.q_new_num,
+       {e6.format(n='qo.q_old_num')} AS q_old_e6,
+       {e6.format(n='qn.q_new_num')} AS q_new_e6,
+       {e6.format(n='(qn.q_new_num - qo.q_old_num)')} AS delta_e6
+FROM stats s CROSS JOIN q_old qo CROSS JOIN q_new qn CROSS JOIN mm
+""", ("edges", "und", "comm", "dir_", "deg", "d_c", "l_ic", "base",
+      "stay_full", "best", "moved", "comm2", "d_c2"))
+
+
+QUERIES["modularity_gain_moves"] = (_modularity_gain_moves,
+                                    _gain_moves_sql())
