@@ -526,3 +526,123 @@ WHERE bit_count(xor(sig_a, sig_b)) <= {PHASH_MAX_HAMMING}
 
 
 QUERIES["media_phash_neardup"] = (_media_phash_neardup, _phash_sql())
+
+
+# --------------------------------------------------------------------------
+# media_energy_segments: VAD-style frame-energy segmentation of payloads
+# --------------------------------------------------------------------------
+
+_VAD_FRAME = 32  # payload bytes per analysis frame
+
+
+def _media_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation of each media payload: chop
+    the byte stream into fixed 32-byte frames, score each frame's
+    energy Σ byte², mark frames at-or-above the payload's mean frame
+    energy as ACTIVE (the adaptive threshold of a simple VAD), and
+    merge consecutive active frames into segments via the
+    gaps-and-islands window — the exact plumbing (frame → threshold →
+    island-merge) a real audio pipeline runs after PCM decode, over
+    the same deterministic fake payloads as `media_byte_features`
+    (ASCII corpus, so byte == character and DuckDB mirrors the math).
+
+    Determinism: frame energies are exact int64 (Σ ascii² ≤ 32·127²);
+    the threshold compare is the integer cross-multiplication
+    ``energy·n_frames ≥ total_energy`` — no division, no floats
+    anywhere. Island ids come from the frame-index minus a keyed
+    row_number, both integer windows ordered by frame index.
+
+    Scale: one explode to payload_len/32 frame rows (linear in corpus
+    bytes, the decode-shaped fan-out), two doc-keyed windows, one
+    doc-keyed aggregate; nothing crosses documents.
+    """
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.length("text") > 0)
+            .select("doc_id", "text",
+                    ((F.length("text") + _VAD_FRAME - 1)
+                     / _VAD_FRAME).cast("long").alias("n_frames")))
+    frames = docs.select(
+        "doc_id", "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("fi"),
+        "text")
+    energy = frames.select(
+        "doc_id", "n_frames", "fi",
+        F.expr(f"aggregate(transform(sequence(1, length(substr(text, "
+               f"fi * {_VAD_FRAME} + 1, {_VAD_FRAME}))), "
+               f"i -> ascii(substr(substr(text, fi * {_VAD_FRAME} + 1, "
+               f"{_VAD_FRAME}), i, 1))), cast(0 as bigint), "
+               f"(a, b) -> a + b * b)").alias("e"))
+    tot = (energy.groupBy("doc_id")
+           .agg(F.sum("e").alias("tot_e")))
+    flagged = (energy.join(tot, "doc_id")
+               .select("doc_id", "n_frames", "fi", "e",
+                       (F.col("e") * F.col("n_frames") >= F.col("tot_e"))
+                       .alias("active")))
+    w = Window.partitionBy("doc_id").orderBy("fi")
+    grp = (flagged.filter("active")
+           .withColumn("grp", F.col("fi") - F.row_number().over(w)))
+    segs = (grp.groupBy("doc_id", "grp")
+            .agg(F.count(F.lit(1)).alias("seg_len")))
+    per_doc = (segs.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_segments"),
+                    F.max("seg_len").alias("longest_seg"),
+                    F.sum("seg_len").alias("n_active")))
+    return (docs.select("doc_id", "n_frames")
+            .join(tot, "doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_frames", F.col("tot_e").alias("total_energy"),
+                    F.coalesce("n_active", F.lit(0)).alias("n_active"),
+                    F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+                    F.coalesce("longest_seg", F.lit(0)).alias("longest_seg")))
+
+
+_VAD_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text,
+         CAST((length(text) + {_VAD_FRAME} - 1) // {_VAD_FRAME} AS BIGINT)
+             AS n_frames
+  FROM documents WHERE length(text) > 0
+), frames AS (
+  SELECT doc_id, n_frames, unnest(range(0, n_frames)) AS fi, text
+  FROM docs
+), energy AS (
+  SELECT doc_id, n_frames, fi,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             range(1, length(substr(text, CAST(fi * {_VAD_FRAME} + 1
+                                               AS BIGINT),
+                                    {_VAD_FRAME})) + 1),
+             i -> CAST(ascii(substr(substr(text,
+                    CAST(fi * {_VAD_FRAME} + 1 AS BIGINT), {_VAD_FRAME}),
+                    CAST(i AS BIGINT), 1)) AS BIGINT))),
+           (a, b) -> a + b * b) AS e
+  FROM frames
+), tot AS (
+  SELECT doc_id, CAST(sum(e) AS BIGINT) AS tot_e FROM energy GROUP BY 1
+), flagged AS (
+  SELECT e.doc_id, e.n_frames, e.fi, e.e,
+         e.e * e.n_frames >= t.tot_e AS active
+  FROM energy e JOIN tot t ON e.doc_id = t.doc_id
+), grp AS (
+  SELECT doc_id, fi,
+         fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+  FROM flagged WHERE active
+), segs AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS seg_len
+  FROM grp GROUP BY doc_id, grp
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(max(seg_len) AS BIGINT) AS longest_seg,
+         CAST(sum(seg_len) AS BIGINT) AS n_active
+  FROM segs GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_frames, t.tot_e AS total_energy,
+       coalesce(p.n_active, 0) AS n_active,
+       coalesce(p.n_segments, 0) AS n_segments,
+       coalesce(p.longest_seg, 0) AS longest_seg
+FROM docs d
+JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+QUERIES["media_energy_segments"] = (_media_energy_segments, _VAD_SQL)

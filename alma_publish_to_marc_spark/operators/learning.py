@@ -2277,3 +2277,101 @@ FROM cells
 
 QUERIES["confusion_metric_suite"] = (_confusion_metric_suite,
                                      _confusion_sql())
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value feature binning
+# ---------------------------------------------------------------------------
+
+_WOE_BINS = 8
+_WOE_LO, _WOE_HI = -100_000, 1_000_000  # exact cents bounds (driver gen)
+
+
+def _woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence table for account balance predicting the
+    "places urgent orders" event — the credit-scoring featurization
+    (bin a numeric, replace it by ln(event-rate ratio) per bin) that
+    doubles as the information-value screen for feature selection.
+    Per equal-width cents bin i: events e_i / non-events g_i, and
+    ``WoE_i = ln((e_i+1)(G+B') / ((g_i+1)(E+B')))`` with +1 Laplace
+    cells (B' = bins, keeping every input an exact integer), plus the
+    IV contribution ``(e_i/E − g_i/G)·WoE_i``.
+
+    Determinism: bins come from the width_bucket floor formula on
+    exact cents (CLAUDE.md — never an engine ntile); ln receives one
+    double division of exact-int products (< 2^53, bit-identical
+    inputs), and outputs are display-rounded (4 dp WoE / 6 dp IV),
+    the ngram-LM convention for transcendental outputs.
+
+    Scale: one custkey-keyed semi-aggregate over orders for the
+    label, one map-side-combinable bin aggregate; the report is
+    ``_WOE_BINS`` rows at any corpus size.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"))
+    urgent = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    span = _WOE_HI - _WOE_LO
+    labeled = (cust.join(urgent,
+                         cust.c_custkey == urgent.o_custkey, "left")
+               .select(
+                   F.least(F.lit(_WOE_BINS - 1),
+                           F.expr(f"(bal_c - ({_WOE_LO})) * {_WOE_BINS}"
+                                  f" div {span}")).alias("bin"),
+                   F.col("o_custkey").isNotNull().cast("long").alias("y")))
+    bins = (labeled.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_cust"),
+                 F.sum("y").alias("events")))
+    tot = F.broadcast(bins.agg(
+        F.sum("events").alias("te"),
+        F.sum(F.col("n_cust") - F.col("events")).alias("tg")))
+    woe = (f"round(ln((cast(events + 1 as double) * (tg + {_WOE_BINS}))"
+           f" / (cast(n_cust - events + 1 as double)"
+           f" * (te + {_WOE_BINS}))), 4)")
+    return (bins.crossJoin(tot)
+            .select("bin", "n_cust", "events",
+                    (F.col("n_cust") - F.col("events")).alias("nonevents"),
+                    F.expr(woe).alias("woe_e4"),
+                    F.expr(f"round((cast(events as double) / te"
+                           f" - cast(n_cust - events as double) / tg)"
+                           f" * ({woe}), 6)").alias("iv_term_e6")))
+
+
+def _woe_sql() -> str:
+    span = _WOE_HI - _WOE_LO
+    woe = (f"round(ln((CAST(events + 1 AS DOUBLE) * (tg + {_WOE_BINS}))"
+           f" / (CAST(n_cust - events + 1 AS DOUBLE)"
+           f" * (te + {_WOE_BINS}))), 4)")
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+), urgent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+), labeled AS (
+  SELECT least({_WOE_BINS - 1},
+               (bal_c - ({_WOE_LO})) * {_WOE_BINS} // {span}) AS bin,
+         CAST(u.o_custkey IS NOT NULL AS BIGINT) AS y
+  FROM cust c LEFT JOIN urgent u ON c.c_custkey = u.o_custkey
+), bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(y) AS BIGINT) AS events
+  FROM labeled GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(events) AS BIGINT) AS te,
+         CAST(sum(n_cust - events) AS BIGINT) AS tg
+  FROM bins
+)
+SELECT bin, n_cust, events, n_cust - events AS nonevents,
+       {woe} AS woe_e4,
+       round((CAST(events AS DOUBLE) / te
+              - CAST(n_cust - events AS DOUBLE) / tg) * ({woe}), 6)
+           AS iv_term_e6
+FROM bins CROSS JOIN tot
+"""
+
+
+QUERIES["woe_iv_binning"] = (_woe_iv_binning, _woe_sql())

@@ -1718,3 +1718,114 @@ FROM stage1
 
 QUERIES["jackknife_block_variance"] = (_jackknife_block_variance,
                                        _JACKKNIFE_SQL)
+
+
+# --------------------------------------------------------------------------
+# croston_forecast: intermittent-demand forecasting (Croston + SBC)
+# --------------------------------------------------------------------------
+
+_CROSTON_MIN_DEMANDS = 5  # parts with fewer demand days are not forecastable
+
+
+def _croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method per part over its daily shipment series — the
+    standard forecaster for INTERMITTENT demand (most days zero, the
+    exact regime where EWMA/Holt on the raw series collapses toward
+    zero between demands). Two coupled EWMAs over demand days only:
+    size ``z ← z + α(q−z)`` and inter-arrival interval
+    ``p ← p + α(gap−p)``, forecast ``z/p`` per day, plus the
+    Syntetos–Boylan bias correction ``(1−α/2)·z/p``.
+
+    Fixed point: α = 1/8, state held in e3 integers, every update a
+    floor of an /8 rational — bit-identical across engines (the holt
+    fold discipline). The fold accumulator orders its struct fields so
+    every acc read precedes that field's write (DuckDB list_reduce
+    evaluates struct_pack IN PLACE — CLAUDE.md): z and p read
+    ``acc.n/acc.prev`` which are written after them. Forecasts are
+    integer divisions of int64 — no floats anywhere.
+
+    Scale: one (part, day) map-side-combinable aggregate over the
+    100 TB fact stream, one groupBy-part collect of each part's
+    OWN demand days (bounded by the calendar, not the corpus), one
+    interpreted fold per part. No cross-part anything.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("unix_micros(cast(l_shipdate as timestamp))"
+               " div 86400000000").alias("day"),
+        F.col("l_quantity").cast("long").alias("q"))
+    daily = (li.groupBy("l_partkey", "day")
+             .agg(F.sum("q").alias("q")))
+    arr = (daily.groupBy("l_partkey")
+           .agg(F.array_sort(F.collect_list(F.struct("day", "q")))
+                .alias("xs"),
+                F.count(F.lit(1)).alias("n_demands"))
+           .filter(F.col("n_demands") >= _CROSTON_MIN_DEMANDS))
+    fold = (
+        "aggregate(xs, named_struct("
+        "'z', cast(0 as bigint), 'p', cast(0 as bigint), "
+        "'prev', cast(0 as bigint), 'n', cast(0 as bigint)), "
+        "(acc, x) -> named_struct("
+        "'z', case when acc.n = 0 then 1000 * x.q"
+        " else cast(floor((7 * acc.z + 1000 * x.q) / 8) as bigint) end, "
+        "'p', case when acc.n = 0 then cast(1000 as bigint)"
+        " else cast(floor((7 * acc.p + 1000 * (x.day - acc.prev)) / 8)"
+        " as bigint) end, "
+        "'prev', x.day, 'n', acc.n + 1))")
+    out = (arr.select("l_partkey", "n_demands", F.expr(fold).alias("f"))
+           .select("l_partkey", "n_demands",
+                   F.col("f.z").alias("z_e3"), F.col("f.p").alias("p_e3"),
+                   F.expr("(1000 * f.z) div greatest(f.p, 1)")
+                   .alias("croston_e3"))
+           .withColumn("sbc_e3",
+                       F.expr("(15 * croston_e3) div 16")))
+    return out
+
+
+_CROSTON_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, epoch_us(l_shipdate) // 86400000000 AS day,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+), daily AS (
+  SELECT l_partkey, day, CAST(sum(q) AS BIGINT) AS q
+  FROM li GROUP BY l_partkey, day
+), arr AS (
+  SELECT l_partkey,
+         list_sort(list(struct_pack(day := day, q := q))) AS xs,
+         CAST(count(*) AS BIGINT) AS n_demands
+  FROM daily GROUP BY l_partkey
+  HAVING count(*) >= {_CROSTON_MIN_DEMANDS}
+), folded AS (
+  SELECT l_partkey, n_demands,
+         list_reduce(
+           list_prepend(struct_pack(z := CAST(0 AS BIGINT),
+                                    p := CAST(0 AS BIGINT),
+                                    prev := CAST(0 AS BIGINT),
+                                    n := CAST(0 AS BIGINT)), xs2),
+           -- list_reduce folds a HOMOGENEOUS list, so each (day, q)
+           -- element rides in the acc struct type: day in .prev, q
+           -- in .n (xs2 below); field order keeps every acc read
+           -- before that field's write (in-place struct_pack rule)
+           (acc, x) -> struct_pack(
+             z := CASE WHEN acc.n = 0 THEN 1000 * x.n
+                  ELSE CAST(floor((7 * acc.z + 1000 * x.n) / 8)
+                            AS BIGINT) END,
+             p := CASE WHEN acc.n = 0 THEN CAST(1000 AS BIGINT)
+                  ELSE CAST(floor((7 * acc.p
+                                   + 1000 * (x.prev - acc.prev)) / 8)
+                            AS BIGINT) END,
+             prev := x.prev, n := acc.n + 1)) AS f
+  FROM (SELECT l_partkey, n_demands,
+               list_transform(xs, x -> struct_pack(
+                 z := CAST(0 AS BIGINT), p := CAST(0 AS BIGINT),
+                 prev := x.day, n := x.q)) AS xs2
+        FROM arr)
+)
+SELECT l_partkey, n_demands, f.z AS z_e3, f.p AS p_e3,
+       (1000 * f.z) // greatest(f.p, 1) AS croston_e3,
+       (15 * ((1000 * f.z) // greatest(f.p, 1))) // 16 AS sbc_e3
+FROM folded
+"""
+
+QUERIES["croston_forecast"] = (_croston_forecast, _CROSTON_SQL)
