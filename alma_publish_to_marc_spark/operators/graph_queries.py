@@ -2331,3 +2331,113 @@ FROM stats s CROSS JOIN q_old qo CROSS JOIN q_new qn CROSS JOIN mm
 
 QUERIES["modularity_gain_moves"] = (_modularity_gain_moves,
                                     _gain_moves_sql())
+
+
+# --------------------------------------------------------------------------
+# link_prediction_scores: common-neighbor / Jaccard / resource-allocation
+# --------------------------------------------------------------------------
+
+_LP_TOPK = 50
+
+
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the undirected k-NN graph: score every
+    distance-2 NON-edge (a, b share >= 1 neighbor, no direct edge) with
+    the three classic neighborhood indices — common-neighbor count,
+    Jaccard overlap of neighborhoods, and the Resource-Allocation
+    index ``RA = sum_z 1/deg(z)`` (Zhou et al. 2009; the degree-
+    penalized variant that beats raw CN on hub-heavy graphs) — and
+    return the top-50 predicted links. On the embedding k-NN graph
+    these are exactly the "semantic near-miss" pairs an LSH-based
+    dedup pass missed: high scores are candidate duplicate pairs the
+    banding did not collide.
+
+    Determinism: all three scores are exact integers — CN a count,
+    Jaccard as ``floor(1e6 * cn / (deg_a + deg_b - cn))``, RA as
+    ``sum(floor(1e6 / deg_z))`` with the floor applied per TERM in
+    both engines (integer `div`), so no float association anywhere.
+    Ties in the top-k break on (a, b).
+
+    Scale: wedge generation is the z-keyed self-join of the directed
+    edge list — sum_z deg(z)^2 rows, bounded by (2k)^2 per node on a
+    k-NN graph (never quadratic in N). One anti-join removes existing
+    edges; one (a, b) aggregate scores candidates map-side. The und
+    edge frame feeds five branches, so it is persisted (tracked via
+    similarity._PERSISTED, released by unpersist_cached()).
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+    from .similarity import knn_graph
+    from .similarity_queries import KNN_K
+
+    emb = load(spark, sf_dir, "embeddings")
+    und = (knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(und)
+    dirn = und.unionAll(und.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))) \
+              .select(F.col("a").alias("z"), F.col("b").alias("n"))
+    deg = dirn.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (dirn.select("z", F.col("n").alias("wa"))
+              .join(dirn.select("z", F.col("n").alias("wb")), "z")
+              .where(F.col("wa") < F.col("wb")))
+    cand = wedges.join(
+        und, (wedges.wa == und.a) & (wedges.wb == und.b), "left_anti")
+    scored = (cand.join(deg, "z")
+              .groupBy(F.col("wa").alias("a"), F.col("wb").alias("b"))
+              .agg(F.count(F.lit(1)).alias("cn"),
+                   F.sum(F.expr("1000000 div deg")).alias("ra_e6")))
+    dega = deg.select(F.col("z").alias("a"), F.col("deg").alias("deg_a"))
+    degb = deg.select(F.col("z").alias("b"), F.col("deg").alias("deg_b"))
+    return (scored.join(dega, "a").join(degb, "b")
+            .select("a", "b", "cn", "deg_a", "deg_b",
+                    F.expr("(1000000 * cn) div (deg_a + deg_b - cn)")
+                    .alias("jaccard_e6"), "ra_e6")
+            .orderBy(F.desc("cn"), F.desc("jaccard_e6"), "a", "b")
+            .limit(_LP_TOPK))
+
+
+def _link_prediction_sql() -> str:
+    from .similarity_queries import _KNN_GRAPH_SQL
+
+    return f"""
+WITH und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({_KNN_GRAPH_SQL})
+),
+dirn AS MATERIALIZED (
+    SELECT a AS z, b AS n FROM und
+    UNION ALL SELECT b AS z, a AS n FROM und
+),
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM dirn GROUP BY z),
+wedges AS (
+    SELECT x.z, x.n AS wa, y.n AS wb
+    FROM dirn x JOIN dirn y ON x.z = y.z AND x.n < y.n
+),
+cand AS (
+    SELECT w.z, w.wa, w.wb
+    FROM wedges w ANTI JOIN und u ON u.a = w.wa AND u.b = w.wb
+),
+scored AS (
+    SELECT c.wa AS a, c.wb AS b, CAST(count(*) AS BIGINT) AS cn,
+           CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_e6
+    FROM cand c JOIN deg d ON c.z = d.z
+    GROUP BY 1, 2
+)
+SELECT s.a, s.b, s.cn, da.deg AS deg_a, db.deg AS deg_b,
+       (1000000 * s.cn) // (da.deg + db.deg - s.cn) AS jaccard_e6,
+       s.ra_e6
+FROM scored s
+JOIN deg da ON s.a = da.z
+JOIN deg db ON s.b = db.z
+ORDER BY s.cn DESC, jaccard_e6 DESC, s.a, s.b
+LIMIT {_LP_TOPK}
+"""
+
+
+QUERIES["link_prediction_scores"] = (link_prediction_scores,
+                                     _link_prediction_sql())

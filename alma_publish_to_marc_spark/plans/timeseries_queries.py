@@ -1829,3 +1829,209 @@ FROM folded
 """
 
 QUERIES["croston_forecast"] = (_croston_forecast, _CROSTON_SQL)
+
+
+# --------------------------------------------------------------------------
+# mann_kendall_trend: non-parametric monotonic trend test per series
+# --------------------------------------------------------------------------
+
+
+def _mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on each event type's daily volume — the
+    standard distribution-free "is this series drifting?" monitor
+    (no linearity or normality assumption, robust to outliers, the
+    usual first gate before alerting on a KPI). Statistic
+    ``S = Σ_{i<j} sign(x_j − x_i)`` over day-ordered pairs, tie-aware
+    variance ``18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)``, and the
+    continuity-corrected normal score ``z = (S ∓ 1)/sqrt(Var)``.
+
+    Determinism: S and 18·Var are exact int64 (pair signs and tie
+    runs are integers); z is one IEEE-exact pipeline (int→double cast,
+    /18.0, sqrt, divide — all correctly rounded, no libm
+    transcendentals) then round(6); the trend label compares the
+    ROUNDED z to ±1.96 so both engines classify identically.
+
+    Scale: the pair self-join is days² per series — the daily matrix
+    (days × types) is a calendar-bounded reduction of the raw 100 TB
+    stream, so ~366² ≈ 134k sign pairs per series regardless of corpus
+    size. The daily aggregate feeds FOUR plan branches (both sides of
+    the sign join, n_days, ties), so it is persisted (tracked in
+    _PERSISTED, released via unpersist_cached()) — one scan of the raw
+    stream total. int64 headroom: |S| ≤ n² ≈ 1.3e5.
+    """
+    from pyspark import StorageLevel
+
+    daily = (_daily_counts(spark, sf_dir)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(daily)
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("a.day") < F.col("b.day")))
+         .groupBy(F.col("a.event_type").alias("event_type"))
+         .agg(F.sum(F.when(F.col("b.x") > F.col("a.x"), 1)
+                    .when(F.col("b.x") < F.col("a.x"), -1)
+                    .otherwise(0)).alias("s_stat")))
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (daily.groupBy("event_type", "x")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+                 .alias("tie_term")))
+    var18 = F.expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
+    z = F.expr("CASE WHEN var18 <= 0 THEN 0.0 "
+               "WHEN s_stat > 0 THEN round((s_stat - 1)"
+               " / sqrt(var18 / 18.0), 6) "
+               "WHEN s_stat < 0 THEN round((s_stat + 1)"
+               " / sqrt(var18 / 18.0), 6) ELSE 0.0 END")
+    return (nd.join(ties, "event_type").join(s, "event_type")
+            .withColumn("var18", var18)
+            .select("event_type", "n_days", "s_stat",
+                    F.col("var18").alias("var_s_x18"),
+                    z.alias("z_mk"))
+            .withColumn("trend",
+                        F.when(F.col("z_mk") > 1.96, F.lit("increasing"))
+                         .when(F.col("z_mk") < -1.96, F.lit("decreasing"))
+                         .otherwise(F.lit("none"))))
+
+
+_MANN_KENDALL_SQL = f"""
+WITH {_DAILY_SQL},
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+             AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+stat AS (
+  SELECT nd.event_type, nd.n_days, s.s_stat,
+         nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ties.tie_term
+             AS var18
+  FROM nd JOIN ties ON nd.event_type = ties.event_type
+          JOIN s ON nd.event_type = s.event_type
+),
+scored AS (
+  SELECT event_type, n_days, s_stat, var18 AS var_s_x18,
+         CASE WHEN var18 <= 0 THEN 0.0
+              WHEN s_stat > 0 THEN round((s_stat - 1)
+                                         / sqrt(var18 / 18.0), 6)
+              WHEN s_stat < 0 THEN round((s_stat + 1)
+                                         / sqrt(var18 / 18.0), 6)
+              ELSE 0.0 END AS z_mk
+  FROM stat
+)
+SELECT event_type, n_days, s_stat, var_s_x18, z_mk,
+       CASE WHEN z_mk > 1.96 THEN 'increasing'
+            WHEN z_mk < -1.96 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM scored
+"""
+
+QUERIES["mann_kendall_trend"] = (_mann_kendall_trend, _MANN_KENDALL_SQL)
+
+
+# --------------------------------------------------------------------------
+# spearman_daily_correlation: rank correlation between event-type series
+# --------------------------------------------------------------------------
+
+
+def _spearman_daily_correlation(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between every pair of event types'
+    daily volumes — the monotonic-association twin of
+    ``crosscorr_event_types`` (Pearson): insensitive to heavy-tailed
+    daily counts and to any monotone rescaling, so it's the drift
+    screen that survives traffic-mix changes.
+
+    Tie-aware ranks are held as exact integers at 2× scale
+    (``avg2 = 2·rank_min + (ties − 1)``, i.e. twice the midrank), so
+    all six Pearson moments over the ranks are exact int64; rho is the
+    single IEEE-exact combination num/(sqrt(dx)·sqrt(dy)) then
+    round(6) — no libm transcendentals anywhere (module convention).
+
+    Scale: runs on the calendar-bounded daily matrix (days × types
+    rows at ANY corpus size); one day-keyed self-join emits every
+    type pair per day in a single pass, and the two rank windows are
+    each bounded by the calendar — fine for thousands of series.
+"""
+    daily = _daily_counts(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (a.join(b, (F.col("a.day") == F.col("b.day"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .select(F.col("a.event_type").alias("type_a"),
+                     F.col("b.event_type").alias("type_b"),
+                     F.col("a.x").alias("xa"), F.col("b.x").alias("xb")))
+    wpair = ["type_a", "type_b"]
+    ra = (2 * F.rank().over(Window.partitionBy(*wpair).orderBy("xa"))
+          + F.count(F.lit(1)).over(Window.partitionBy(*wpair, "xa")) - 1)
+    rb = (2 * F.rank().over(Window.partitionBy(*wpair).orderBy("xb"))
+          + F.count(F.lit(1)).over(Window.partitionBy(*wpair, "xb")) - 1)
+    ranked = pairs.select("type_a", "type_b",
+                          ra.cast("long").alias("ra"),
+                          rb.cast("long").alias("rb"))
+    m = (ranked.groupBy("type_a", "type_b")
+         .agg(F.count(F.lit(1)).alias("n_days"),
+              F.sum("ra").alias("sx"), F.sum("rb").alias("sy"),
+              F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+              F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+              F.sum(F.col("ra") * F.col("rb")).alias("sxy")))
+    rho = F.expr(
+        "CASE WHEN (n_days * sxx - sx * sx) <= 0"
+        " OR (n_days * syy - sy * sy) <= 0 THEN NULL"
+        " ELSE round((n_days * sxy - sx * sy)"
+        " / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))"
+        " * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6) END")
+    return m.select("type_a", "type_b", "n_days", rho.alias("rho_s"))
+
+
+_SPEARMAN_SQL = f"""
+WITH {_DAILY_SQL},
+joined AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.x AS xa, b.x AS xb
+  FROM daily a JOIN daily b
+    ON a.day = b.day AND a.event_type < b.event_type
+),
+ranked AS (
+  SELECT type_a, type_b,
+         CAST(2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY xa)
+              + count(*) OVER (PARTITION BY type_a, type_b, xa) - 1
+              AS BIGINT) AS ra,
+         CAST(2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY xb)
+              + count(*) OVER (PARTITION BY type_a, type_b, xb) - 1
+              AS BIGINT) AS rb
+  FROM joined
+),
+m AS (
+  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(ra) AS BIGINT) AS sx, CAST(sum(rb) AS BIGINT) AS sy,
+         CAST(sum(ra * ra) AS BIGINT) AS sxx,
+         CAST(sum(rb * rb) AS BIGINT) AS syy,
+         CAST(sum(ra * rb) AS BIGINT) AS sxy
+  FROM ranked GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_days,
+       CASE WHEN (n_days * sxx - sx * sx) <= 0
+              OR (n_days * syy - sy * sy) <= 0 THEN NULL
+            ELSE round((n_days * sxy - sx * sy)
+                       / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))),
+                       6) END AS rho_s
+FROM m
+"""
+
+QUERIES["spearman_daily_correlation"] = (_spearman_daily_correlation,
+                                         _SPEARMAN_SQL)
