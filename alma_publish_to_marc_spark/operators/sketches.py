@@ -1099,3 +1099,109 @@ WHERE tk.rk <= {_MG_TOPK}
 """
 
 QUERIES["misra_gries_heavy_hitters"] = (misra_gries_heavy_hitters, _MG_SQL)
+
+
+# --------------------------------------------------------------------------
+# AMS F2 sketch (tug-of-war): second frequency moment / self-join size
+# --------------------------------------------------------------------------
+
+AMS_S = 16   # estimators: 4 groups x 4 for median-of-means
+
+
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alon-Matias-Szegedy "tug-of-war" sketch of the second frequency
+    moment F2 = Σ_x f_x² of the events-per-user stream — F2 IS the
+    self-join size on user_id, the quantity a join-size estimator
+    needs before picking a strategy (cf. join_size_estimation_audit,
+    which uses exact per-key counts; AMS answers the same question in
+    O(S) integer cells with no per-key state at all).
+
+    S=16 sign estimators: sign_s(x) = 1 − 2·(first md5 nibble of
+    ``ams{s}:x`` mod 2), Z_s = Σ_x f_x·sign_s(x), E[Z²] = F2. Reported
+    as the estimator mean ``floor(Σ Z²/S)`` and the median-of-4-means
+    ``floor((g2+g3)/8)`` over 4 group sums (the heavy-tail-robust
+    combination the paper prescribes), next to the exact F2 and the
+    mean's relative error — so the oracle gate continuously asserts
+    the sketch MATH, not just determinism.
+
+    Determinism: signs, Z, Z², group sums, and both estimates are
+    exact int64 end-to-end (the module's md5 idiom, identical in both
+    engines); medians come from array_sort/list_sort element access.
+    int64 headroom: |Z_s| ≤ N events, Z² ≤ N² — exact to N ≈ 3e9 rows;
+    past that shard the stream and merge sketches (Z adds).
+
+    Scale: ONE scan of the raw stream into a user-keyed count (map-
+    side combinable), then S sign-weighted sums over the per-key frame
+    in a single aggregate — no explode, no per-estimator scan, final
+    state is S integers. Exact F2 rides the same per-key frame.
+    """
+    ev = load(spark, sf_dir, "events")
+    freq = (ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("f")))
+    nib = [F.conv(F.substring(F.md5(F.concat(F.lit(f"ams{s}:"),
+                                             F.col("user_id"))), 1, 1),
+                  16, 10).cast("long") for s in range(AMS_S)]
+    zs = freq.agg(
+        F.sum(F.col("f") * F.col("f")).alias("exact_f2"),
+        F.sum("f").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        *[F.sum(F.col("f") * (1 - 2 * (nib[s] % 2))).alias(f"z{s}")
+          for s in range(AMS_S)])
+    z2 = zs.select(
+        "exact_f2", "n_rows", "n_keys",
+        F.array(*[(F.col(f"z{s}") * F.col(f"z{s}")).cast("long")
+                  for s in range(AMS_S)]).alias("z2"))
+    gsum = ("array_sort(transform(sequence(0, 3), "
+            "g -> z2[4*g] + z2[4*g+1] + z2[4*g+2] + z2[4*g+3]))")
+    return z2.select(
+        "n_rows", "n_keys", "exact_f2",
+        F.expr(f"aggregate(z2, cast(0 as bigint), (a, b) -> a + b)"
+               f" div {AMS_S}").alias("est_mean"),
+        F.expr(f"(({gsum})[1] + ({gsum})[2]) div 8").alias("est_mom"),
+        F.expr(f"abs(aggregate(z2, cast(0 as bigint), (a, b) -> a + b)"
+               f" div {AMS_S} - exact_f2) * 1000000 div exact_f2")
+        .alias("rel_err_mean_e6"))
+
+
+def _ams_sql() -> str:
+    def sign(s: int) -> str:
+        return (f"(1 - 2 * (CAST('0x' || substr(md5('ams{s}:'"
+                f" || user_id), 1, 1) AS BIGINT) % 2))")
+
+    zcols = ",\n         ".join(
+        f"CAST(sum(f * {sign(s)}) AS BIGINT) AS z{s}" for s in range(AMS_S))
+    z2list = ", ".join(f"z{s} * z{s}" for s in range(AMS_S))
+    return f"""
+WITH freq AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS f
+  FROM events GROUP BY user_id
+),
+zs AS (
+  SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2,
+         CAST(sum(f) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         {zcols}
+  FROM freq
+),
+z2 AS (
+  SELECT exact_f2, n_rows, n_keys, [{z2list}] AS z2 FROM zs
+),
+grouped AS (
+  SELECT exact_f2, n_rows, n_keys, z2,
+         list_sort(list_transform(range(0, 4),
+           g -> z2[4*g + 1] + z2[4*g + 2] + z2[4*g + 3] + z2[4*g + 4]))
+             AS gs
+  FROM z2
+)
+SELECT n_rows, n_keys, exact_f2,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), z2),
+                   (a, b) -> a + b) // {AMS_S} AS est_mean,
+       (gs[2] + gs[3]) // 8 AS est_mom,
+       abs(list_reduce(list_prepend(CAST(0 AS BIGINT), z2),
+                       (a, b) -> a + b) // {AMS_S} - exact_f2)
+           * 1000000 // exact_f2 AS rel_err_mean_e6
+FROM grouped
+"""
+
+
+QUERIES["ams_f2_sketch"] = (ams_f2_sketch, _ams_sql())
