@@ -173,3 +173,50 @@ FROM flagged GROUP BY 1
 """
 
 QUERIES["watermark_late_audit"] = (_watermark_late_audit, _WM_SQL)
+
+
+# --------------------------------------------------------------------------
+# stream_interval_join: view→purchase attribution pairs + per-purchase agg
+# --------------------------------------------------------------------------
+
+
+def _stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase attribution summary over the stream-stream interval
+    join (streaming/joins.py): for every purchase, how many views by
+    the same user preceded it within 1 hour, and the freshest / stalest
+    view latency. The pair generation is the ONE code path that runs
+    identically on streaming inputs with watermark-bounded state
+    (test_streaming_joins.py proves stream ≡ batch on the same rows);
+    this batch entry lets the DuckDB oracle value-check it.
+
+    Determinism: counts and integer-microsecond latencies only.
+    Scale: the join shuffles both filtered streams on user_id once;
+    the per-purchase aggregate is map-side combinable on the pair
+    output, which the range bound keeps to (views/hour/user) per
+    purchase, not all history.
+    """
+    from .joins import attributed_pairs
+
+    ev = load(spark, sf_dir, "events")
+    pairs = attributed_pairs(ev.filter(F.col("event_type") == "view"),
+                             ev.filter(F.col("event_type") == "purchase"))
+    return (pairs.groupBy("user_id", "purchase_id")
+            .agg(F.count(F.lit(1)).alias("n_views_1h"),
+                 F.min("latency_us").alias("min_latency_us"),
+                 F.max("latency_us").alias("max_latency_us")))
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT v.user_id, p.event_id AS purchase_id,
+       CAST(count(*) AS BIGINT) AS n_views_1h,
+       min(epoch_us(p.ts) - epoch_us(v.ts)) AS min_latency_us,
+       max(epoch_us(p.ts) - epoch_us(v.ts)) AS max_latency_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
+QUERIES["stream_interval_join"] = (_stream_interval_join,
+                                   _INTERVAL_JOIN_SQL)
