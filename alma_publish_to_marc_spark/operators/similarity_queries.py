@@ -1427,3 +1427,136 @@ FROM qs LEFT JOIN nc USING (qid) LEFT JOIN agg USING (qid)
 
 
 QUERIES["kendall_tau_rankings"] = (_kendall_tau_rankings, _KENDALL_SQL)
+
+
+# --------------------------------------------------------------------------
+# graph_ann_beam_search: HNSW-style best-first search over the kNN graph
+# --------------------------------------------------------------------------
+
+_BEAM_B = 16        # beam width (> K so the final cut has slack)
+_BEAM_ROUNDS = 3    # expansion hops from the entry points
+_BEAM_ENTRIES = 4   # deterministic entry points (smallest vec_ids)
+
+
+def _graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN serving (the HNSW/NSG idea, single-layer): answer
+    each query by BEAM SEARCH over the prebuilt k-NN graph — start from
+    fixed entry points, repeatedly score the current beam's out-
+    neighbors against the query, keep the best B — instead of scanning
+    the corpus (ann_cosine_topk) or probing hash buckets (ann_lsh_topk).
+    This is the third ANN serving family the engine supports, and the
+    one real vector stores run at billion scale: per query it touches
+    O(rounds · B · k) vectors regardless of corpus size.
+
+    Determinism: beams rank on round-6 cosines with vec_id tie-break
+    (the module's ranking convention), so beam membership — not just
+    final order — is bit-identical across engines; entry points are the
+    _BEAM_ENTRIES smallest vec_ids (derived, not hard-coded).
+
+    Scale: the graph build amortizes across queries (and is persisted
+    here, tracked via similarity._PERSISTED). Each round broadcasts the
+    tiny (queries × B) beam against the adjacency list and joins the
+    candidate ids back to vectors — the only big-frame operations are
+    those two keyed joins; no corpus scan per query, no cross join
+    anywhere. Rounds are driver-paced like bfs_levels, each round's
+    beam persisted and released via unpersist_cached().
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = (emb.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    S._PERSISTED.append(e)
+    q = (e.where(F.col("vec_id").isin(QUERY_IDS))
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    und = (S.knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    S._PERSISTED.append(und)
+    adj = und.unionAll(und.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+
+    def _score(cand: DataFrame) -> DataFrame:
+        # cand: (qid, node) — attach vectors, round-6 cosine, top-B
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"),
+                                              F.asc("node"))
+        return (cand.join(e.withColumnRenamed("vec_id", "node"), "node")
+                .join(F.broadcast(q), "qid")
+                .where(F.col("node") != F.col("qid"))
+                .withColumn("cosine", S.cosine(F.col("qv"), F.col("v")))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= _BEAM_B)
+                .select("qid", "node", "cosine"))
+
+    entries = e.orderBy("vec_id").limit(_BEAM_ENTRIES).select(
+        F.col("vec_id").alias("node"))
+    beam = _score(q.select("qid").crossJoin(entries))
+    for _ in range(_BEAM_ROUNDS):
+        beam = beam.persist(StorageLevel.MEMORY_AND_DISK)
+        S._PERSISTED.append(beam)
+        nbrs = (beam.join(adj, beam.node == adj.a)
+                .select("qid", F.col("b").alias("node")))
+        cand = beam.select("qid", "node").unionAll(nbrs).distinct()
+        beam = _score(cand)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("node"))
+    return (beam.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= K)
+            .select("qid", F.col("node").alias("neighbor_id"), "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _beam_sql() -> str:
+    ids = ", ".join(map(str, QUERY_IDS))
+    cos = f"round({_sql_dot('qv', 'v')} / ({_sql_norm('qv')} * {_sql_norm('v')}), 6)"
+    parts = [f"""
+WITH ev AS MATERIALIZED (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM ev WHERE vec_id IN ({ids})),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({_KNN_GRAPH_SQL})
+),
+adj AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+entries AS (SELECT vec_id AS node FROM ev ORDER BY vec_id
+            LIMIT {_BEAM_ENTRIES}),
+s0 AS (
+    SELECT q.qid, c.node, {cos} AS cosine,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {cos} DESC, c.node ASC) AS rn
+    FROM q CROSS JOIN entries c
+    JOIN ev ON ev.vec_id = c.node
+    WHERE c.node <> q.qid
+),
+b0 AS (SELECT qid, node, cosine FROM s0 WHERE rn <= {_BEAM_B})"""]
+    for r in range(1, _BEAM_ROUNDS + 1):
+        parts.append(f""",
+c{r} AS MATERIALIZED (
+    SELECT qid, node FROM b{r - 1}
+    UNION
+    SELECT p.qid, adj.b AS node FROM b{r - 1} p JOIN adj ON p.node = adj.a
+),
+s{r} AS (
+    SELECT c.qid, c.node, {cos} AS cosine,
+           row_number() OVER (PARTITION BY c.qid
+                              ORDER BY {cos} DESC, c.node ASC) AS rn
+    FROM c{r} c
+    JOIN ev ON ev.vec_id = c.node
+    JOIN q ON q.qid = c.qid
+    WHERE c.node <> c.qid
+),
+b{r} AS MATERIALIZED (SELECT qid, node, cosine FROM s{r}
+           WHERE rn <= {_BEAM_B})""")
+    parts.append(f"""
+SELECT qid, node AS neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (SELECT qid, node, cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, node ASC) AS rank
+      FROM b{_BEAM_ROUNDS})
+WHERE rank <= {K}
+""")
+    return "".join(parts)
+
+
+QUERIES["graph_ann_beam_search"] = (_graph_ann_beam, _beam_sql())
