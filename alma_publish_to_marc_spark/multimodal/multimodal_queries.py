@@ -646,3 +646,75 @@ LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 QUERIES["media_energy_segments"] = (_media_energy_segments, _VAD_SQL)
+
+
+# --------------------------------------------------------------------------
+# media_patch_grid: ViT patchification plan over decoded dimensions
+# --------------------------------------------------------------------------
+
+_PATCH = 16          # ViT-B/16 patch side
+_MAX_VIT_SEQ = 4096  # packing budget per sequence (CLS + patches)
+
+
+def _media_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT preprocessing plan: for every decoded image, the 16x16
+    patchification a vision transformer runs before embedding — grid
+    shape after right/bottom padding to a patch multiple, total patch
+    count, pad waste, and the resulting sequence length (CLS + patches)
+    with a budget flag for images that exceed the packing window and
+    need tiling. This is the planning pass a multimodal training
+    pipeline runs BEFORE the expensive pixel work, to size shards and
+    sequence-packing bins (cf. sequence_packing for text).
+
+    The decode stage is the real mapInPandas Arrow path with the
+    pinned deterministic fake decoder (module convention); everything
+    downstream is exact integer ceil-division math, mirrored in the
+    oracle from the same md5-derived dimensions.
+
+    Scale: decode is embarrassingly parallel (no shuffle); the plan
+    math is per-row column arithmetic — the whole query is one pass
+    over the corpus with zero exchanges.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dec = M.decode_media(M.attach_binary_payload(docs, "doc_id", "text"),
+                         decoder=M._decode_image_fake)
+    g = dec.select(
+        "doc_id", "media_format", "width", "height",
+        F.expr(f"(cast(width as bigint) + {_PATCH - 1}) div {_PATCH}")
+        .alias("grid_w"),
+        F.expr(f"(cast(height as bigint) + {_PATCH - 1}) div {_PATCH}")
+        .alias("grid_h"))
+    return g.select(
+        "doc_id", "media_format", "width", "height", "grid_w", "grid_h",
+        (F.col("grid_w") * F.col("grid_h")).alias("n_patches"),
+        (F.col("grid_w") * _PATCH - F.col("width")).alias("pad_x"),
+        (F.col("grid_h") * _PATCH - F.col("height")).alias("pad_y"),
+        (F.col("grid_w") * F.col("grid_h") + 1).alias("vit_seq_len"),
+        (F.col("grid_w") * F.col("grid_h") + 1 > _MAX_VIT_SEQ)
+        .alias("needs_tiling"))
+
+
+_PATCH_GRID_SQL = f"""
+WITH dec AS (
+  SELECT doc_id, {_FORMATS_CASE} AS media_format,
+         16 + CAST('0x' || substr(md5(text), 1, 4) AS INT) % 2048 AS width,
+         16 + CAST('0x' || substr(md5(text), 5, 4) AS INT) % 2048 AS height
+  FROM documents
+),
+g AS (
+  SELECT doc_id, media_format, CAST(width AS INT) AS width,
+         CAST(height AS INT) AS height,
+         CAST((width + {_PATCH - 1}) // {_PATCH} AS BIGINT) AS grid_w,
+         CAST((height + {_PATCH - 1}) // {_PATCH} AS BIGINT) AS grid_h
+  FROM dec
+)
+SELECT doc_id, media_format, width, height, grid_w, grid_h,
+       grid_w * grid_h AS n_patches,
+       grid_w * {_PATCH} - width AS pad_x,
+       grid_h * {_PATCH} - height AS pad_y,
+       grid_w * grid_h + 1 AS vit_seq_len,
+       grid_w * grid_h + 1 > {_MAX_VIT_SEQ} AS needs_tiling
+FROM g
+"""
+
+QUERIES["media_patch_grid"] = (_media_patch_grid, _PATCH_GRID_SQL)
