@@ -2175,3 +2175,112 @@ FROM g CROSS JOIN tot
 
 QUERIES["empirical_bayes_shrinkage"] = (empirical_bayes_shrinkage,
                                         _eb_sql())
+
+
+# --------------------------------------------------------------------------
+# filter_ablation_matrix: survivor counts for every quality-filter subset
+# --------------------------------------------------------------------------
+
+_ABL_SHORT_CHARS = 200   # f_short: doc shorter than this
+_ABL_CAPS_PCT10 = 3      # f_caps: uppercase > 30% (x10 cross-multiply)
+_ABL_DIGIT_PCT10 = 2     # f_digit: digits > 20%
+_ABL_PUNCT_PCT10 = 2     # f_punct: punctuation > 20%
+
+
+def filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation: for EVERY subset of the four cheap
+    quality filters (too-short, caps-heavy, digit-heavy, punct-heavy),
+    how many documents and characters survive applying exactly that
+    subset — the 2^4-row interaction table a curation team reads before
+    picking a filter stack (filters overlap heavily; marginal counts
+    alone double-count the overlap, which is why the full subset
+    lattice matters).
+
+    Determinism: every flag is an integer cross-multiplication on
+    exact char-class counts (regexp_replace length deltas, identical
+    on the ASCII corpus), never a ratio; subset membership is bit
+    arithmetic on the packed flag nibble.
+
+    Scale: ONE corpus scan reduces to the 16-cell joint flag
+    distribution (map-side combinable); the 16x16 cell-to-mask
+    expansion happens on that bounded frame, so the lattice costs
+    nothing extra at 100 TB. This is the cube-free way to get all 16
+    ablations in one pass instead of 16 filtered jobs.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text",
+                                                   "n_chars")
+    def _cnt(pat: str):
+        return F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+    flagged = docs.select(
+        "n_chars",
+        (F.col("n_chars") < _ABL_SHORT_CHARS).cast("int").alias("f_short"),
+        (_cnt("[A-Z]") * 10 > F.col("n_chars") * _ABL_CAPS_PCT10)
+        .cast("int").alias("f_caps"),
+        (_cnt("[0-9]") * 10 > F.col("n_chars") * _ABL_DIGIT_PCT10)
+        .cast("int").alias("f_digit"),
+        (_cnt(r"[^A-Za-z0-9 ]") * 10 > F.col("n_chars") * _ABL_PUNCT_PCT10)
+        .cast("int").alias("f_punct"))
+    cells = (flagged
+             .withColumn("bits", F.expr("f_short + 2 * f_caps"
+                                        " + 4 * f_digit + 8 * f_punct"))
+             .groupBy("bits")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("n_chars")))
+    masks = spark.range(16).select(F.col("id").cast("int").alias("mask"))
+    tot = cells.agg(F.sum("n_docs").alias("tot_docs"))
+    return (masks.join(cells, F.expr("(bits & mask) = 0"))
+            .groupBy("mask")
+            .agg(F.sum("n_docs").alias("n_surviving"),
+                 F.sum("n_chars").alias("chars_surviving"))
+            .crossJoin(F.broadcast(tot))
+            .select("mask",
+                    F.expr("mask & 1 = 1").alias("drop_short"),
+                    F.expr("mask & 2 = 2").alias("drop_caps"),
+                    F.expr("mask & 4 = 4").alias("drop_digit"),
+                    F.expr("mask & 8 = 8").alias("drop_punct"),
+                    "n_surviving", "chars_surviving",
+                    F.expr("n_surviving * 1000000 div tot_docs")
+                    .alias("survival_e6")))
+
+
+def _ablation_sql() -> str:
+    def cnt(pat: str) -> str:
+        return f"length(text) - length(regexp_replace(text, '{pat}', '', 'g'))"
+
+    return f"""
+WITH flagged AS (
+  SELECT n_chars,
+         CAST(n_chars < {_ABL_SHORT_CHARS} AS INT) AS f_short,
+         CAST(({cnt('[A-Z]')}) * 10 > n_chars * {_ABL_CAPS_PCT10} AS INT)
+             AS f_caps,
+         CAST(({cnt('[0-9]')}) * 10 > n_chars * {_ABL_DIGIT_PCT10} AS INT)
+             AS f_digit,
+         CAST(({cnt('[^A-Za-z0-9 ]')}) * 10 > n_chars * {_ABL_PUNCT_PCT10}
+              AS INT) AS f_punct
+  FROM documents
+),
+cells AS (
+  SELECT f_short + 2 * f_caps + 4 * f_digit + 8 * f_punct AS bits,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM flagged GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs FROM cells),
+masks AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS mask)
+SELECT m.mask,
+       m.mask & 1 = 1 AS drop_short,
+       m.mask & 2 = 2 AS drop_caps,
+       m.mask & 4 = 4 AS drop_digit,
+       m.mask & 8 = 8 AS drop_punct,
+       CAST(sum(c.n_docs) AS BIGINT) AS n_surviving,
+       CAST(sum(c.n_chars) AS BIGINT) AS chars_surviving,
+       CAST(sum(c.n_docs) AS BIGINT) * 1000000 // t.tot_docs
+           AS survival_e6
+FROM masks m JOIN cells c ON (c.bits & m.mask) = 0
+CROSS JOIN tot t
+GROUP BY m.mask, t.tot_docs
+"""
+
+
+QUERIES["filter_ablation_matrix"] = (filter_ablation_matrix,
+                                     _ablation_sql())
