@@ -1128,3 +1128,69 @@ FROM folded
 
 QUERIES["packing_efficiency_audit"] = (_packing_efficiency_audit,
                                        _PACK_EFF_SQL)
+
+
+# --------------------------------------------------------------------------
+# readability_scores: Flesch-Kincaid style grade from integer counts
+# --------------------------------------------------------------------------
+
+
+def _readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style readability per document — the grade-level
+    screen a curation pipeline uses to route documents into difficulty
+    tiers (curriculum ordering) or drop degenerate text. Inputs are
+    three exact integer counts: words (whitespace tokens), sentences
+    (runs of [.!?], min 1), and syllables (vowel GROUPS [aeiouy]+ per
+    word, the standard heuristic), all via the same regexes in both
+    engines on the ASCII corpus.
+
+    Grade is kept in integer milli-units with PER-TERM floors (summing
+    floors, not flooring a sum, so both engines agree):
+    ``grade_e3 = floor(390·words/sentences) + floor(11800·syll/words)
+    − 15590`` — the FK coefficients x1000.
+
+    Scale: pure per-row column arithmetic — one corpus scan, zero
+    shuffles; the regex work is JVM codegen, no Python anywhere.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    low = F.trim(F.lower(F.col("text")))
+    words = F.size(F.split(low, r"\s+"))
+    # sentence runs: count [.!?]+ groups; at least 1
+    sent = F.greatest(
+        F.lit(1),
+        F.size(F.split(F.regexp_replace(low, r"[.!?]+", "#"), "#")) - 1)
+    # vowel groups across the doc ~ syllables (per the usual heuristic)
+    syl = F.greatest(
+        F.lit(1),
+        F.size(F.split(F.regexp_replace(low, r"[aeiouy]+", "#"), "#")) - 1)
+    return (docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sent.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"))
+        .select("doc_id", "n_words", "n_sentences", "n_syllables",
+                (F.expr("(390 * n_words) div n_sentences")
+                 + F.expr("(11800 * n_syllables) div n_words")
+                 - 15590).alias("fk_grade_e3")))
+
+
+_READABILITY_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS BIGINT) AS n_words,
+         CAST(greatest(1, len(string_split(
+             regexp_replace(trim(lower(text)), '[.!?]+', '#', 'g'), '#'))
+             - 1) AS BIGINT) AS n_sentences,
+         CAST(greatest(1, len(string_split(
+             regexp_replace(trim(lower(text)), '[aeiouy]+', '#', 'g'), '#'))
+             - 1) AS BIGINT) AS n_syllables
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       (390 * n_words) // n_sentences
+       + (11800 * n_syllables) // n_words - 15590 AS fk_grade_e3
+FROM c
+"""
+
+QUERIES["readability_scores"] = (_readability_scores, _READABILITY_SQL)

@@ -2441,3 +2441,138 @@ LIMIT {_LP_TOPK}
 
 QUERIES["link_prediction_scores"] = (link_prediction_scores,
                                      _link_prediction_sql())
+
+
+# --------------------------------------------------------------------------
+# textrank_keywords: PageRank over the word co-occurrence graph
+# --------------------------------------------------------------------------
+
+TR_ITERS = 2
+TR_TOPK = 30
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004): corpus-level keyword extraction
+    by running PageRank over the word co-occurrence graph — nodes are
+    words, edges are ADJACENT word pairs anywhere in the corpus. The
+    graph-centrality complement to frequency-based rake_keywords: a
+    word ranks high when it co-occurs with many other well-connected
+    words, not merely when it is common.
+
+    Same fixed-point discipline as pagerank_fixed_point (rank mass in
+    integer tera units, floor(pr/deg) contributions, floored damping
+    update; oracle unrolls the rounds as CTEs) — so the scores are
+    bit-identical across engines. Word-keyed shuffles ride
+    unhex(md5(w)) 16-byte keys (CLAUDE.md), the word string surviving
+    via min() within each hash group.
+
+    Scale: bigram edges are built array-side (zip with tail — no
+    posexplode), deduped with one gram-keyed aggregate; each round is
+    one src-keyed join + one dst-keyed map-side-combinable aggregate
+    over the vocabulary-sized edge list. Top-k is a TakeOrdered.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.when(
+            (x != "") & (y != "") & (x != y),
+            F.concat(F.least(x, y), F.lit(" "), F.greatest(x, y))))
+    e0 = (docs.select(F.explode(grams).alias("g"))
+          .where(F.col("g").isNotNull())
+          .groupBy(F.unhex(F.md5("g")).alias("gk"))
+          .agg(F.min("g").alias("g"))
+          .select(F.split("g", " ")[0].alias("wa"),
+                  F.split("g", " ")[1].alias("wb")))
+    und = (e0.select(F.col("wa").alias("src"), F.col("wb").alias("dst"))
+           .unionAll(e0.select(F.col("wb").alias("src"),
+                               F.col("wa").alias("dst"))))
+    undk = und.select(F.unhex(F.md5("src")).alias("srck"),
+                      F.col("src"),
+                      F.unhex(F.md5("dst")).alias("dstk"))
+    deg = (undk.groupBy("srck")
+           .agg(F.count(F.lit(1)).alias("deg"), F.min("src").alias("w")))
+    nodes = deg.select(F.col("srck").alias("nodek"), "w", "deg")
+    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    state = (nodes.crossJoin(nn)
+             .select("nodek", "w", "deg",
+                     F.floor(F.lit(PR_SCALE) / F.col("n")).cast("long")
+                      .alias("pr")))
+    for _ in range(TR_ITERS):
+        contrib = (undk
+                   .join(state.withColumnRenamed("nodek", "srck"), "srck")
+                   .select("dstk",
+                           F.floor(F.col("pr") / F.col("deg")).cast("long")
+                            .alias("contrib"))
+                   .groupBy("dstk")
+                   .agg(F.sum("contrib").alias("s")))
+        state = (nodes.crossJoin(nn)
+                 .join(contrib, nodes.nodek == contrib.dstk, "left")
+                 .select("nodek", "w", "deg",
+                         (F.floor(F.lit(15 * PR_SCALE) / (100 * F.col("n")))
+                          .cast("long")
+                          + F.floor(F.coalesce("s", F.lit(0)) * 85 / 100)
+                             .cast("long")).alias("pr")))
+    return (state.select(F.col("w").alias("word"),
+                         F.col("deg").cast("long").alias("degree"),
+                         F.col("pr").alias("pr_tera"))
+            .orderBy(F.desc("pr_tera"), "word")
+            .limit(TR_TOPK))
+
+
+def _textrank_sql() -> str:
+    ctes = [r"""t AS (
+    SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+    FROM documents
+)""", """e0 AS (
+    SELECT string_split(min(g), ' ')[1] AS wa,
+           string_split(min(g), ' ')[2] AS wb
+    FROM (SELECT unnest(list_transform(
+              generate_series(1, greatest(len(toks) - 1, 0)),
+              i -> CASE WHEN toks[i] <> '' AND toks[i + 1] <> ''
+                         AND toks[i] <> toks[i + 1]
+                   THEN least(toks[i], toks[i + 1]) || ' '
+                        || greatest(toks[i], toks[i + 1]) END)) AS g
+          FROM t)
+    WHERE g IS NOT NULL
+    GROUP BY unhex(md5(g))
+)""", """undk AS (
+    SELECT unhex(md5(wa)) AS srck, wa AS src, unhex(md5(wb)) AS dstk
+    FROM e0
+    UNION ALL
+    SELECT unhex(md5(wb)) AS srck, wb AS src, unhex(md5(wa)) AS dstk
+    FROM e0
+)""", """deg AS (
+    SELECT srck, CAST(count(*) AS BIGINT) AS deg, min(src) AS w
+    FROM undk GROUP BY srck
+)""", """nodes AS (SELECT srck AS nodek, w, deg FROM deg)""",
+        """nn AS (SELECT count(*) AS n FROM nodes)""",
+        f"""p0 AS (
+    SELECT nodek, w, deg, CAST(floor({PR_SCALE} / n) AS BIGINT) AS pr
+    FROM nodes CROSS JOIN nn
+)"""]
+    for i in range(TR_ITERS):
+        ctes.append(f"""c{i + 1} AS (
+    SELECT u.dstk, CAST(sum(CAST(floor(p.pr / p.deg) AS BIGINT)) AS BIGINT)
+               AS s
+    FROM undk u
+    JOIN p{i} p ON u.srck = p.nodek
+    GROUP BY u.dstk
+)""")
+        ctes.append(f"""p{i + 1} AS (
+    SELECT nodes.nodek, nodes.w, nodes.deg,
+           CAST(floor({15 * PR_SCALE} / (100 * nn.n)) AS BIGINT)
+           + CAST(floor(coalesce(c{i + 1}.s, 0) * 85 / 100) AS BIGINT) AS pr
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN c{i + 1} ON nodes.nodek = c{i + 1}.dstk
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT w AS word, CAST(deg AS BIGINT) AS degree, pr AS pr_tera
+FROM p{TR_ITERS}
+ORDER BY pr DESC, w ASC
+LIMIT {TR_TOPK}
+""")
+
+
+QUERIES["textrank_keywords"] = (textrank_keywords, _textrank_sql())

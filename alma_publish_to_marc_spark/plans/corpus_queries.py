@@ -2284,3 +2284,75 @@ GROUP BY m.mask, t.tot_docs
 
 QUERIES["filter_ablation_matrix"] = (filter_ablation_matrix,
                                      _ablation_sql())
+
+
+# --------------------------------------------------------------------------
+# ngram_novelty_profile: first-occurrence novelty per document
+# --------------------------------------------------------------------------
+
+
+def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware novelty: for each document, the fraction of its
+    DISTINCT word-8-grams whose first corpus occurrence (lowest doc_id)
+    is this document. duplicate_ngram_spans asks "is this span repeated
+    anywhere"; this asks "who contributed it first" — the signal a
+    streaming/curriculum ingest uses to measure how much NEW text each
+    successive document (or crawl snapshot) adds, and to spot documents
+    that are pure recombinations of earlier material (novelty ≈ 0).
+
+    Shares span_keys (the one 8-gram key definition). Determinism:
+    ownership is min(doc_id) per gram — order-independent; the novelty
+    ratio is an exact integer e6 floor.
+
+    Scale: one explode, one per-(doc, gram) distinct and one gram-keyed
+    min aggregate, both on the 16-byte md5 key and map-side
+    combinable; the ownership join is a same-key shuffle-hash join.
+    Same shape (and same ~linear-in-corpus cost) as the dup-span pass.
+    """
+    docs = load(spark, sf_dir, "documents")
+    spans = span_keys(
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    ).select("doc_id", "gram_key").distinct()
+    owner = spans.groupBy("gram_key").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (spans.join(owner, "gram_key")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                          .otherwise(0)).alias("n_novel")))
+    return per_doc.select(
+        "doc_id", "n_grams", F.col("n_novel").cast("long").alias("n_novel"),
+        F.expr("n_novel * 1000000 div n_grams").alias("novelty_e6"))
+
+
+_NOVELTY_SQL = rf"""
+WITH words AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, w,
+           unnest(range(1, greatest(len(w) - {NGRAM - 1}, 0) + 1)) AS i
+    FROM words
+),
+spans AS (
+    SELECT DISTINCT doc_id,
+           unhex(md5(array_to_string(w[i : i + {NGRAM - 1}], ' ')))
+               AS gram_key
+    FROM pos
+),
+owner AS (
+    SELECT gram_key, min(doc_id) AS first_doc FROM spans GROUP BY gram_key
+),
+per_doc AS (
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM spans s JOIN owner o USING (gram_key)
+    GROUP BY s.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       n_novel * 1000000 // n_grams AS novelty_e6
+FROM per_doc
+"""
+
+QUERIES["ngram_novelty_profile"] = (ngram_novelty_profile, _NOVELTY_SQL)
