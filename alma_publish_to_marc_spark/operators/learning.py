@@ -2375,3 +2375,154 @@ FROM bins CROSS JOIN tot
 
 
 QUERIES["woe_iv_binning"] = (_woe_iv_binning, _woe_sql())
+
+
+# ---------------------------------------------------------------------------
+# RANSAC line fit: robust regression by deterministic consensus sampling
+# ---------------------------------------------------------------------------
+
+_RANSAC_C = 16      # candidate models (point pairs)
+_RANSAC_TOL = 3     # inlier band: |y - line(x)| <= 3 words
+
+
+def _ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC over the (n_chars → word-count) relation of the corpus:
+    fit the robust consensus line through deterministic 2-point
+    samples, then OLS-refit on the winner's inliers — the outlier-
+    immune alternative to ols_normal_equations (one pasted boilerplate
+    doc with few words per char cannot drag this slope the way it
+    drags least squares). theil_sen_trend is the all-pairs robust
+    sibling; RANSAC is the one you can afford when the corpus is huge
+    and all-pairs is not.
+
+    Determinism: the "random" samples are md5-ranked rows paired
+    consecutively (the training_order_shuffle idiom — no RNG);
+    candidate lines stay RATIONAL (dy/dx int64); the inlier test is
+    the cross-multiplied |(y-y1)·dx - (x-x1)·dy| <= TOL·|dx| — exact
+    integers end-to-end. Only the final refit divides (IEEE-exact
+    double ops on int64 moments, round 6).
+
+    Scale: one scan for points, a 2C-row TakeOrdered for seeds, one
+    broadcast of C≈16 candidate lines against the corpus with a
+    map-side-combinable per-candidate count — linear in N, vs
+    theil-sen's N² slopes. The refit is a second broadcast pass.
+    int64 headroom: |r| <= y_max·dx_max ≈ 1e4·1e6 per row — fine.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    pts = docs.select(
+        "doc_id", F.col("n_chars").alias("x"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("y"))
+    # TakeOrdered (per-partition top-2C, k-row merge) picks the seed
+    # rows distributed; the row_number window then runs on the 2C-row
+    # result, never on the corpus
+    hk = F.unhex(F.md5(F.concat(F.lit("ransac:"), F.col("doc_id"))))
+    seed_rows = (pts.select("doc_id", "x", "y", hk.alias("hk"))
+                 .orderBy("hk", "doc_id").limit(2 * _RANSAC_C))
+    w = Window.orderBy("hk", "doc_id")
+    seeds = (seed_rows.withColumn("rn", F.row_number().over(w))
+             .select(F.expr("(rn - 1) div 2").alias("cand"),
+                     F.expr("(rn - 1) % 2").alias("slot"), "x", "y"))
+    cands = (seeds.groupBy("cand")
+             .agg(F.max(F.when(F.col("slot") == 0, F.col("x"))).alias("x1"),
+                  F.max(F.when(F.col("slot") == 0, F.col("y"))).alias("y1"),
+                  F.max(F.when(F.col("slot") == 1, F.col("x"))).alias("x2"),
+                  F.max(F.when(F.col("slot") == 1, F.col("y"))).alias("y2"))
+             .select("cand", "x1", "y1",
+                     (F.col("x2") - F.col("x1")).alias("dx"),
+                     (F.col("y2") - F.col("y1")).alias("dy"))
+             .where(F.col("dx") != 0))
+    r = (F.col("y") - F.col("y1")) * F.col("dx") \
+        - (F.col("x") - F.col("x1")) * F.col("dy")
+    scored = (pts.crossJoin(F.broadcast(cands))
+              .select("cand",
+                      (F.abs(r) <= _RANSAC_TOL * F.abs(F.col("dx")))
+                      .cast("long").alias("inl")))
+    best = (scored.groupBy("cand")
+            .agg(F.sum("inl").alias("n_inliers"),
+                 F.count(F.lit(1)).alias("n_points"))
+            .orderBy(F.desc("n_inliers"), "cand").limit(1))
+    refit = (pts.crossJoin(F.broadcast(
+                best.join(cands, "cand")
+                    .select("cand", "n_points", "n_inliers",
+                            "x1", "y1", "dx", "dy")))
+             .where(F.abs(r) <= _RANSAC_TOL * F.abs(F.col("dx")))
+             .groupBy("cand", "n_points", "n_inliers", "dx", "dy")
+             .agg(F.count(F.lit(1)).alias("n_refit"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    slope = ("(n_refit * sxy - sx * sy)"
+             " / CAST(n_refit * sxx - sx * sx AS DOUBLE)")
+    return refit.select(
+        "cand", "n_points", "n_inliers", "dx", "dy", "n_refit",
+        F.expr(f"round({slope}, 6)").alias("slope_r6"),
+        F.expr(f"round((sy - ({slope}) * sx) / n_refit, 6)")
+        .alias("intercept_r6"))
+
+
+def _ransac_sql() -> str:
+    slope = ("(n_refit * sxy - sx * sy)"
+             " / CAST(n_refit * sxx - sx * sx AS DOUBLE)")
+    return rf"""
+WITH pts AS (
+  SELECT doc_id, n_chars AS x,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y
+  FROM documents WHERE length(text) > 0
+),
+ranked AS (
+  SELECT x, y,
+         row_number() OVER (ORDER BY unhex(md5('ransac:' || doc_id)),
+                            doc_id) AS rn
+  FROM pts
+),
+seeds AS (
+  SELECT (rn - 1) // 2 AS cand, (rn - 1) % 2 AS slot, x, y
+  FROM ranked WHERE rn <= {2 * _RANSAC_C}
+),
+cands AS (
+  SELECT cand,
+         max(CASE WHEN slot = 0 THEN x END) AS x1,
+         max(CASE WHEN slot = 0 THEN y END) AS y1,
+         max(CASE WHEN slot = 1 THEN x END) - max(CASE WHEN slot = 0
+             THEN x END) AS dx,
+         max(CASE WHEN slot = 1 THEN y END) - max(CASE WHEN slot = 0
+             THEN y END) AS dy
+  FROM seeds GROUP BY cand
+  HAVING max(CASE WHEN slot = 1 THEN x END)
+         <> max(CASE WHEN slot = 0 THEN x END)
+),
+scored AS (
+  SELECT c.cand,
+         CAST(abs((p.y - c.y1) * c.dx - (p.x - c.x1) * c.dy)
+              <= {_RANSAC_TOL} * abs(c.dx) AS BIGINT) AS inl
+  FROM pts p CROSS JOIN cands c
+),
+best AS (
+  SELECT cand, CAST(sum(inl) AS BIGINT) AS n_inliers,
+         CAST(count(*) AS BIGINT) AS n_points
+  FROM scored GROUP BY cand
+  ORDER BY n_inliers DESC, cand ASC LIMIT 1
+),
+refit AS (
+  SELECT b.cand, b.n_points, b.n_inliers, c.dx, c.dy,
+         CAST(count(*) AS BIGINT) AS n_refit,
+         CAST(sum(p.x) AS BIGINT) AS sx, CAST(sum(p.y) AS BIGINT) AS sy,
+         CAST(sum(p.x * p.x) AS BIGINT) AS sxx,
+         CAST(sum(p.x * p.y) AS BIGINT) AS sxy
+  FROM pts p
+  CROSS JOIN best b
+  JOIN cands c ON c.cand = b.cand
+  WHERE abs((p.y - c.y1) * c.dx - (p.x - c.x1) * c.dy)
+        <= {_RANSAC_TOL} * abs(c.dx)
+  GROUP BY b.cand, b.n_points, b.n_inliers, c.dx, c.dy
+)
+SELECT cand, n_points, n_inliers, dx, dy, n_refit,
+       round({slope}, 6) AS slope_r6,
+       round((sy - ({slope}) * sx) / n_refit, 6) AS intercept_r6
+FROM refit
+"""
+
+
+QUERIES["ransac_line_fit"] = (_ransac_line_fit, _ransac_sql())
