@@ -1194,3 +1194,130 @@ FROM c
 """
 
 QUERIES["readability_scores"] = (_readability_scores, _READABILITY_SQL)
+
+
+# --------------------------------------------------------------------------
+# burrows_delta: stylometric distance between sources over function words
+# --------------------------------------------------------------------------
+
+_DELTA_TOPW = 20  # most-frequent corpus words = the function-word panel
+
+
+def _burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every pair of sources: the classic
+    stylometry / authorship-attribution distance — mean absolute
+    difference of z-scored relative frequencies of the corpus's top
+    function words. In a curation pipeline this is the "do these two
+    crawls write alike" screen that catches template farms and
+    mirrored sites sharing style but not content (content overlap is
+    the dedup family's job).
+
+    Determinism: per-source relative frequencies are exact integers
+    ``f_e9 = c·1e9 div T``; per-word variance rides exact int64
+    moments (``var25 = n·Σf² − (Σf)²``); each pair term is ONE double
+    expression ``5·|f_a − f_b| / sqrt(var25)`` (IEEE-exact), and the
+    cross-word sum is a LEFT FOLD over the word-sorted term list
+    (CLAUDE.md float-reduction rule — never an engine-default sum
+    association), then round(6). Uniform words (var25 = 0) contribute
+    0 in both engines.
+
+    Scale: one token explode → (word, source) counts on md5 keys
+    (map-side combinable; source totals reduce from the SAME counts
+    frame, so the corpus is exploded once); the panel is a TakeOrdered
+    top-20; all
+    z/pair math runs on the panel×sources frame (~100 rows at any
+    corpus size). int64 headroom: f_e9 ≤ 1e9 so Σf² ≤ n·1e18 — holds
+    to n ≈ 9 sources; more sources → scale f to e6.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select("source",
+                        F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                          r"\s+")).alias("w"))
+            .where(F.col("w") != ""))
+    counts = (toks.groupBy(F.unhex(F.md5("w")).alias("wk"), "source")
+              .agg(F.count(F.lit(1)).alias("c"), F.min("w").alias("w")))
+    top = (counts.groupBy("wk")
+           .agg(F.sum("c").alias("ctot"), F.min("w").alias("w"))
+           .orderBy(F.desc("ctot"), "w").limit(_DELTA_TOPW)
+           .select("wk", "w"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    grid = (F.broadcast(top).crossJoin(totals)
+            .join(counts.select("wk", "source", "c"), ["wk", "source"],
+                  "left")
+            .select("w", "source",
+                    F.expr("coalesce(c, 0) * 1000000000 div t")
+                    .alias("f")))
+    sig = (grid.groupBy("w")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("f").alias("sf"),
+                F.sum(F.col("f") * F.col("f")).alias("sff"))
+           .select(F.col("w").alias("sw"),
+                   (F.col("n") * F.col("sff")
+                    - F.col("sf") * F.col("sf")).alias("var25")))
+    a, b = grid.alias("a"), grid.alias("b")
+    terms = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                    & (F.col("a.source") < F.col("b.source")))
+             .join(sig, F.col("a.w") == F.col("sw"))
+             .select(F.col("a.source").alias("src_a"),
+                     F.col("b.source").alias("src_b"),
+                     F.col("a.w").alias("word"),
+                     F.expr("CASE WHEN var25 = 0 THEN 0.0"
+                            " ELSE 5 * abs(a.f - b.f) / sqrt(var25) END")
+                     .alias("term")))
+    return (terms.groupBy("src_a", "src_b")
+            .agg(F.array_sort(F.collect_list(F.struct("word", "term")))
+                 .alias("xs"))
+            .select("src_a", "src_b",
+                    F.round(F.expr(
+                        "aggregate(xs, 0.0d, (acc, x) -> acc + x.term)")
+                        / _DELTA_TOPW, 6).alias("delta_r6")))
+
+
+_BURROWS_SQL = rf"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             AS w
+  FROM documents
+),
+toks_ne AS (SELECT source, w FROM toks WHERE w <> ''),
+counts AS (
+  SELECT unhex(md5(min(w))) AS wk, source, min(w) AS w,
+         CAST(count(*) AS BIGINT) AS c
+  FROM toks_ne GROUP BY unhex(md5(w)), source
+),
+top AS (
+  SELECT wk, min(w) AS w
+  FROM counts GROUP BY wk
+  ORDER BY CAST(sum(c) AS BIGINT) DESC, min(w) ASC
+  LIMIT {_DELTA_TOPW}
+),
+totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+           FROM counts GROUP BY source),
+grid AS (
+  SELECT top.w, totals.source,
+         coalesce(c.c, 0) * 1000000000 // totals.t AS f
+  FROM top CROSS JOIN totals
+  LEFT JOIN counts c ON c.wk = top.wk AND c.source = totals.source
+),
+sig AS (
+  SELECT w, CAST(count(*) AS BIGINT) * CAST(sum(f * f) AS BIGINT)
+            - CAST(sum(f) AS BIGINT) * CAST(sum(f) AS BIGINT) AS var25
+  FROM grid GROUP BY w
+),
+terms AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.w AS word,
+         CASE WHEN s.var25 = 0 THEN 0.0
+              ELSE 5 * abs(a.f - b.f) / sqrt(s.var25) END AS term
+  FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source
+  JOIN sig s ON s.w = a.w
+)
+SELECT src_a, src_b,
+       round(list_reduce(list_prepend(
+                 0.0, list_transform(
+                     list_sort(list(struct_pack(w := word, t := term))),
+                     x -> x.t)),
+             (acc, x) -> acc + x) / {_DELTA_TOPW}, 6) AS delta_r6
+FROM terms GROUP BY src_a, src_b
+"""
+
+QUERIES["burrows_delta"] = (_burrows_delta, _BURROWS_SQL)
