@@ -1051,3 +1051,122 @@ FROM scored
 
 QUERIES["lsh_candidate_precision"] = (_lsh_candidate_precision,
                                       _lsh_precision_sql())
+
+
+# --------------------------------------------------------------------------
+# soundex_blocking: phonetic blocking quality for entity resolution
+# --------------------------------------------------------------------------
+
+_SDX_MAP = ("BFPVCGJKQSXZDTLMNRAEIOUYHW", "11112222222233455600000000")
+_SDX_TOPK = 25
+
+
+def _sdx_collapse(expr: str) -> str:
+    """Collapse runs of equal code digits by doubling replaces:
+    5 rounds of replace('dd','d') per digit kill runs up to 2^5 = 32
+    (> any word) — pure string builtins, identical semantics in both
+    engines, and on the Spark side it stays inside codegen (no
+    interpreted HOF fold on the hot path)."""
+    out = expr
+    for d in "0123456":
+        for _ in range(5):
+            out = f"replace({out}, '{d}{d}', '{d}')"
+    return out
+
+
+def _sdx_expr(word: str) -> str:
+    """American Soundex (adjacent-equal codes collapsed before zero
+    removal; the H/W-separator refinement intentionally omitted —
+    documented simplification, applied identically in both engines).
+    ``word`` must be a lowercase [a-z]+ token expression."""
+    coded = f"translate(upper({word}), '{_SDX_MAP[0]}', '{_SDX_MAP[1]}')"
+    dedup = _sdx_collapse(coded)
+    digits = f"replace(substr({dedup}, 2), '0', '')"
+    return (f"concat(upper(substr({word}, 1, 1)), "
+            f"rpad(substr({digits}, 1, 3), 3, '0'))")
+
+
+def _soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking audit over the corpus vocabulary: group every
+    distinct word by its Soundex code (the classic entity-resolution
+    blocking key for names — typos and spelling variants land in the
+    same block) and report, for the largest blocks, how many candidate
+    pairs the block generates and how many are PLAUSIBLE matches
+    (edit distance <= 2) — the block-quality precision proxy that
+    tells an ER pipeline whether phonetic blocking is tight enough or
+    needs a second key (cf. sorted_neighborhood_pairs,
+    lsh_candidate_precision — same audit, different blocker).
+
+    Determinism: Soundex is pure integer/string builtins (translate +
+    bounded replace-doubling collapse); pair counts and Levenshtein
+    distances are exact integers in both engines.
+
+    Scale: vocabulary-sized frames after ONE distinct over the token
+    stream (md5-keyed); within-block self-join cost is Σ block² —
+    soundex blocks are bounded by the phonetic space, and the audit
+    itself is what detects an oversized block before it hurts.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(
+                 F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+                 .alias("w"))
+             .where(F.col("w").rlike("^[a-z]+$"))
+             .groupBy(F.unhex(F.md5("w")).alias("wk"))
+             .agg(F.min("w").alias("w"))
+             .select("w", F.expr(_sdx_expr("w")).alias("sdx")))
+    blocks = (words.groupBy("sdx")
+              .agg(F.count(F.lit(1)).alias("n_words"),
+                   F.min("w").alias("first_word"),
+                   F.max("w").alias("last_word")))
+    a, b = words.alias("a"), words.alias("b")
+    pairs = (a.join(b, (F.col("a.sdx") == F.col("b.sdx"))
+                    & (F.col("a.w") < F.col("b.w")))
+             .groupBy(F.col("a.sdx").alias("sdx"))
+             .agg(F.count(F.lit(1)).alias("n_pairs"),
+                  F.sum((F.levenshtein(F.col("a.w"), F.col("b.w")) <= 2)
+                        .cast("long")).alias("n_close_pairs")))
+    return (blocks.join(pairs, "sdx", "left")
+            .select("sdx", "n_words", "first_word", "last_word",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    F.coalesce("n_close_pairs", F.lit(0))
+                    .alias("n_close_pairs"))
+            .orderBy(F.desc("n_words"), "sdx").limit(_SDX_TOPK))
+
+
+def _soundex_sql() -> str:
+    sdx = _sdx_expr("w")
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT min(w) AS w
+  FROM toks WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY unhex(md5(w))
+),
+words AS (
+  SELECT w, {sdx} AS sdx FROM vocab
+),
+blocks AS (
+  SELECT sdx, CAST(count(*) AS BIGINT) AS n_words,
+         min(w) AS first_word, max(w) AS last_word
+  FROM words GROUP BY sdx
+),
+pairs AS (
+  SELECT a.sdx, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN levenshtein(a.w, b.w) <= 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_close_pairs
+  FROM words a JOIN words b ON a.sdx = b.sdx AND a.w < b.w
+  GROUP BY a.sdx
+)
+SELECT bl.sdx, bl.n_words, bl.first_word, bl.last_word,
+       coalesce(p.n_pairs, 0) AS n_pairs,
+       coalesce(p.n_close_pairs, 0) AS n_close_pairs
+FROM blocks bl LEFT JOIN pairs p ON bl.sdx = p.sdx
+ORDER BY bl.n_words DESC, bl.sdx ASC
+LIMIT {_SDX_TOPK}
+"""
+
+
+QUERIES["soundex_blocking"] = (_soundex_blocking, _soundex_sql())
