@@ -2576,3 +2576,136 @@ LIMIT {TR_TOPK}
 
 
 QUERIES["textrank_keywords"] = (textrank_keywords, _textrank_sql())
+
+
+# --------------------------------------------------------------------------
+# graph_robustness_audit: giant-component collapse under hub removal
+# --------------------------------------------------------------------------
+
+_ROBUST_HUBS = 10
+
+
+def graph_robustness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attack-tolerance audit of the k-NN graph (Albert-Barabási hub
+    removal): delete the top-10 highest-degree nodes and measure what
+    happens to the giant connected component. Scale-free-ish graphs
+    shatter under hub removal; for the semantic-dedup pipeline this
+    answers "is the near-dup cluster structure held together by a few
+    hub documents?" — if yes, removing those hubs first makes cluster
+    sizes (and the shuffle skew they cause downstream) collapse.
+
+    Determinism: hubs are an exact (degree DESC, node ASC) top-k;
+    components come from min-label propagation (order-independent);
+    the collapse ratio is an integer e6 floor.
+
+    Scale: two connected-components runs (each the parquet-staged
+    O(log n)-round loop of connected_components) plus one degree
+    aggregate — all edge-list-sized shuffles, no all-pairs anything.
+    Isolated survivors count as singleton components via the node-set
+    anti-join, not by materializing empty adjacency.
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+    from .similarity import knn_graph
+    from .similarity_queries import KNN_K
+
+    emb = load(spark, sf_dir, "embeddings")
+    und = (knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(und)
+    dirn = und.unionAll(und.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+    deg = dirn.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    hubs = (deg.orderBy(F.desc("deg"), "a").limit(_ROBUST_HUBS)
+            .select(F.col("a").alias("hub")))
+    nodes = deg.select(F.col("a").alias("node"))
+
+    def _giant(edges: DataFrame, node_set: DataFrame) -> DataFrame:
+        comp = connected_components(
+            edges.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+        # isolated nodes (no surviving edge) are their own component
+        solo = (node_set.join(comp, "node", "left_anti")
+                .select("node", F.col("node").alias("cluster_id")))
+        sizes = (comp.unionByName(solo).groupBy("cluster_id")
+                 .agg(F.count(F.lit(1)).alias("sz")))
+        return sizes.agg(F.max("sz").alias("giant"),
+                         F.count(F.lit(1)).alias("n_comp"))
+
+    before = _giant(und, nodes)
+    cut = (und.join(hubs, und.a == hubs.hub, "left_anti")
+           .join(hubs, und.b == hubs.hub, "left_anti"))
+    survivors = nodes.join(hubs, nodes.node == hubs.hub, "left_anti")
+    after = _giant(cut, survivors)
+    stats = F.broadcast(
+        und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+            nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+    return (stats
+            .crossJoin(before.select(F.col("giant").alias("giant_before"),
+                                     F.col("n_comp").alias("n_comp_before")))
+            .crossJoin(after.select(F.col("giant").alias("giant_after"),
+                                    F.col("n_comp").alias("n_comp_after")))
+            .select("n_nodes", "n_edges", "giant_before", "n_comp_before",
+                    F.lit(_ROBUST_HUBS).cast("long").alias("n_hubs_removed"),
+                    "giant_after", "n_comp_after",
+                    F.expr("(giant_before - giant_after) * 1000000"
+                           " div giant_before").alias("collapse_e6")))
+
+
+def _robustness_sql() -> str:
+    from .similarity_queries import _KNN_GRAPH_SQL
+
+    return f"""
+WITH RECURSIVE und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({_KNN_GRAPH_SQL})
+),
+dirn AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM dirn GROUP BY a),
+hubs AS (SELECT a AS hub FROM deg ORDER BY deg DESC, a ASC
+         LIMIT {_ROBUST_HUBS}),
+nodes AS (SELECT a AS node FROM deg),
+reach_b(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach_b.node, dirn.b FROM reach_b JOIN dirn
+        ON dirn.a = reach_b.r
+),
+comp_b AS (SELECT node, min(r) AS cid FROM reach_b GROUP BY node),
+sz_b AS (SELECT cid, count(*) AS sz FROM comp_b GROUP BY cid),
+before_s AS (SELECT CAST(max(sz) AS BIGINT) AS giant_before,
+                    CAST(count(*) AS BIGINT) AS n_comp_before FROM sz_b),
+cut AS (
+    SELECT a, b FROM und
+    WHERE a NOT IN (SELECT hub FROM hubs)
+      AND b NOT IN (SELECT hub FROM hubs)
+),
+dirn_a AS (SELECT a, b FROM cut UNION ALL SELECT b AS a, a AS b FROM cut),
+survivors AS (SELECT node FROM nodes
+              WHERE node NOT IN (SELECT hub FROM hubs)),
+reach_a(node, r) AS (
+    SELECT node, node FROM survivors
+    UNION
+    SELECT reach_a.node, dirn_a.b FROM reach_a JOIN dirn_a
+        ON dirn_a.a = reach_a.r
+),
+comp_a AS (SELECT node, min(r) AS cid FROM reach_a GROUP BY node),
+sz_a AS (SELECT cid, count(*) AS sz FROM comp_a GROUP BY cid),
+after_s AS (SELECT CAST(max(sz) AS BIGINT) AS giant_after,
+                   CAST(count(*) AS BIGINT) AS n_comp_after FROM sz_a),
+stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+                 (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges)
+SELECT s.n_nodes, s.n_edges, b.giant_before, b.n_comp_before,
+       CAST({_ROBUST_HUBS} AS BIGINT) AS n_hubs_removed,
+       a.giant_after, a.n_comp_after,
+       (b.giant_before - a.giant_after) * 1000000 // b.giant_before
+           AS collapse_e6
+FROM stats s CROSS JOIN before_s b CROSS JOIN after_s a
+"""
+
+
+QUERIES["graph_robustness_audit"] = (graph_robustness_audit,
+                                     _robustness_sql())
