@@ -1543,3 +1543,107 @@ FROM gaps GROUP BY source
 """
 
 QUERIES["wasserstein_source_shift"] = (wasserstein_source_shift, _WASS_SQL)
+
+
+# --------------------------------------------------------------------------
+# bitmap_index_audit: packed-word bitmap index with exact set algebra
+# --------------------------------------------------------------------------
+
+
+def _bitmap_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index audit over (event_type → user set): pack each
+    type's audience into 64-bit words (word = user div 64, bit =
+    user mod 64, OR-aggregated), then answer every pairwise
+    intersection/union/Jaccard with bit_count over word-aligned ANDs —
+    the roaring-bitmap idea an OLAP engine uses to make "users who did
+    A and B" a popcount instead of a distinct-join. The audit column
+    proves each bitmap's popcount equals the exact COUNT(DISTINCT)
+    it replaced.
+
+    Determinism: pure integer bit algebra end-to-end.
+
+    Scale: the bitmap build is ONE map-side-combinable bit_or
+    aggregate keyed (type, word) — dense-id audiences compress 64:1;
+    pair queries join word-aligned rows (intersections never touch
+    users absent from both words). At 100 TB the same shape backs a
+    per-partition bitmap segment index. int64 headroom: exact by
+    construction.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    bm = (ev.groupBy("event_type",
+                     F.expr("user_id div 64").alias("word"))
+          .agg(F.expr("bit_or(shiftleft(cast(1 as bigint),"
+                      " cast(user_id % 64 as int)))").alias("bits")))
+    card = (bm.groupBy("event_type")
+            .agg(F.sum(F.expr("bit_count(bits)")).alias("card_bm")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("card_exact")))
+    per_type = (card.join(exact, "event_type")
+                .select("event_type", "card_bm", "card_exact",
+                        (F.col("card_bm") == F.col("card_exact"))
+                        .alias("bitmap_ok")))
+    a, b = bm.alias("a"), bm.alias("b")
+    inter = (a.join(b, (F.col("a.word") == F.col("b.word"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("type_a"),
+                      F.col("b.event_type").alias("type_b"))
+             .agg(F.sum(F.expr("bit_count(a.bits & b.bits)"))
+                  .alias("n_inter")))
+    ca = per_type.select(F.col("event_type").alias("type_a"),
+                         F.col("card_bm").alias("card_a"),
+                         F.col("bitmap_ok").alias("ok_a"))
+    cb = per_type.select(F.col("event_type").alias("type_b"),
+                         F.col("card_bm").alias("card_b"),
+                         F.col("bitmap_ok").alias("ok_b"))
+    return (inter.join(ca, "type_a").join(cb, "type_b")
+            .select("type_a", "type_b", "card_a", "card_b", "n_inter",
+                    (F.col("card_a") + F.col("card_b") - F.col("n_inter"))
+                    .alias("n_union"),
+                    F.expr("n_inter * 1000000"
+                           " div (card_a + card_b - n_inter)")
+                    .alias("jaccard_e6"),
+                    (F.col("ok_a") & F.col("ok_b")).alias("bitmap_ok")))
+
+
+_BITMAP_SQL = """
+WITH ev AS (SELECT event_type, user_id FROM events),
+bm AS (
+  -- bit 63 must go through HUGEINT: DuckDB raises on BIGINT 1<<63
+  -- (Spark's shiftleft wraps to the sign bit, same 64-bit pattern)
+  SELECT event_type, user_id // 64 AS word,
+         bit_or(CAST(CAST(1 AS HUGEINT) << CAST(user_id % 64 AS INT)
+                     AS UBIGINT)) AS bits
+  FROM ev GROUP BY 1, 2
+),
+card AS (
+  SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS card_bm
+  FROM bm GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS card_exact
+  FROM ev GROUP BY 1
+),
+per_type AS (
+  SELECT c.event_type, c.card_bm, e.card_exact,
+         c.card_bm = e.card_exact AS bitmap_ok
+  FROM card c JOIN exact e ON c.event_type = e.event_type
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_inter
+  FROM bm a JOIN bm b
+    ON a.word = b.word AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       ca.card_bm AS card_a, cb.card_bm AS card_b, i.n_inter,
+       ca.card_bm + cb.card_bm - i.n_inter AS n_union,
+       i.n_inter * 1000000 // (ca.card_bm + cb.card_bm - i.n_inter)
+           AS jaccard_e6,
+       ca.bitmap_ok AND cb.bitmap_ok AS bitmap_ok
+FROM inter i
+JOIN per_type ca ON ca.event_type = i.type_a
+JOIN per_type cb ON cb.event_type = i.type_b
+"""
+
+QUERIES["bitmap_index_audit"] = (_bitmap_index_audit, _BITMAP_SQL)
