@@ -345,3 +345,25 @@ def test_round5d_iteratives_have_no_range_exchange(props, spark):
         p = props(name)
         assert p["range_shuffles"] == 0, name
     TS.unpersist_cached()
+
+
+def test_round5b_new_queries_plan_contracts(props):
+    # mann-kendall persists the daily matrix: ONE raw-stream scan
+    p = props("mann_kendall_trend")
+    assert p["scans"] == 1
+    assert p["range_shuffles"] == 0
+    # readability is scan-fused per-row math: zero exchanges
+    p = props("readability_scores")
+    assert p["shuffles"] == 0
+    # RANSAC broadcasts the candidate lines, never shuffles the corpus
+    # beyond the seed TakeOrdered
+    p = props("ransac_line_fit")
+    assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 2
+    assert p["sort_merge_joins"] == 0
+    assert p["range_shuffles"] == 0
+    # bitmap build is one aggregate; pair algebra joins word-aligned
+    p = props("bitmap_index_audit")
+    assert p["range_shuffles"] == 0
+    # interval-join attribution never range-partitions
+    p = props("stream_interval_join")
+    assert p["range_shuffles"] == 0
