@@ -1321,3 +1321,76 @@ FROM terms GROUP BY src_a, src_b
 """
 
 QUERIES["burrows_delta"] = (_burrows_delta, _BURROWS_SQL)
+
+
+# --------------------------------------------------------------------------
+# vocab_overlap_matrix: lexical Jaccard between sources
+# --------------------------------------------------------------------------
+
+
+def _vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the LEXICON
+    overlap companion to burrows_delta (style) and
+    cross_source_dup_matrix (verbatim documents): two crawls can share
+    zero documents yet 95% of their vocabulary (same domain), or share
+    style but disjoint jargon. Corpus mixing decisions read all three.
+
+    Determinism: distinct vocabularies on md5 keys, exact integer
+    intersection/union, e6 floors.
+
+    Scale: one token explode → per-source distinct vocab (md5-keyed,
+    map-side combinable); the intersection self-join is keyed on the
+    16-byte word hash, so cost is Σ df² over words — bounded by the
+    source count, not the corpus. Output is |sources|² rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    vocab = (docs.select("source",
+                         F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                           r"\s+")).alias("w"))
+             .where(F.col("w") != "")
+             .select("source", F.unhex(F.md5("w")).alias("wk"))
+             .distinct())
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (a.join(b, (F.col("a.wk") == F.col("b.wk"))
+                    & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("src_a"),
+                      F.col("b.source").alias("src_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("source").alias("src_a"),
+                      F.col("v").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("src_b"),
+                      F.col("v").alias("vocab_b"))
+    return (inter.join(sa, "src_a").join(sb, "src_b")
+            .select("src_a", "src_b", "vocab_a", "vocab_b", "n_inter",
+                    F.expr("n_inter * 1000000"
+                           " div (vocab_a + vocab_b - n_inter)")
+                    .alias("jaccard_e6")))
+
+
+_VOCAB_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT DISTINCT source, unhex(md5(w)) AS wk FROM toks WHERE w <> ''
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+          FROM vocab GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM vocab a JOIN vocab b ON a.wk = b.wk AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, sa.v AS vocab_a, sb.v AS vocab_b, i.n_inter,
+       i.n_inter * 1000000 // (sa.v + sb.v - i.n_inter) AS jaccard_e6
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+"""
+
+QUERIES["vocab_overlap_matrix"] = (_vocab_overlap_matrix,
+                                   _VOCAB_OVERLAP_SQL)

@@ -2709,3 +2709,147 @@ FROM stats s CROSS JOIN before_s b CROSS JOIN after_s a
 
 QUERIES["graph_robustness_audit"] = (graph_robustness_audit,
                                      _robustness_sql())
+
+
+# --------------------------------------------------------------------------
+# link_prediction_eval: held-out edge recovery (precision@K of CN scores)
+# --------------------------------------------------------------------------
+
+_LPE_K = 100
+
+
+def link_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction EVAL: hold out a deterministic ~1/16 of the kNN
+    graph's edges (md5 nibble gate — no RNG), score the remaining
+    graph's distance-2 non-edges by common-neighbor count, and measure
+    how many held-out edges land in the global top-100 predictions —
+    the standard "can the index rebuild its own deleted edges"
+    validation that turns link_prediction_scores from a ranking into a
+    measured capability (the recall-eval pattern of ann_recall_eval).
+
+    Determinism: the holdout gate is a pure md5 predicate; scores and
+    the top-K cut are exact integers with (cn, jaccard, a, b)
+    tie-break; precision/coverage are e6 floors.
+
+    Scale: identical wedge shape to link_prediction_scores (Σ deg²
+    bounded per node by 2k); the top-K is a TakeOrdered, the hit join
+    is K rows against the holdout. The und frame feeds many branches →
+    persisted (similarity._PERSISTED contract).
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+    from .similarity import knn_graph
+    from .similarity_queries import KNN_K
+
+    emb = load(spark, sf_dir, "embeddings")
+    und = (knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(und)
+    gate = F.substring(F.md5(F.concat_ws(":", F.lit("lp"), "a", "b")), 1, 1)
+    held = und.where(gate == "0").persist(StorageLevel.MEMORY_AND_DISK)
+    _sim._PERSISTED.append(held)
+    train = und.where(gate != "0")
+    dirn = train.unionAll(train.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b"))) \
+                .select(F.col("a").alias("z"), F.col("b").alias("n"))
+    deg = dirn.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (dirn.select("z", F.col("n").alias("wa"))
+              .join(dirn.select("z", F.col("n").alias("wb")), "z")
+              .where(F.col("wa") < F.col("wb")))
+    cand = wedges.join(
+        train, (wedges.wa == train.a) & (wedges.wb == train.b),
+        "left_anti")
+    scored = (cand.groupBy(F.col("wa").alias("a"), F.col("wb").alias("b"))
+              .agg(F.count(F.lit(1)).alias("cn")))
+    dega = deg.select(F.col("z").alias("a"), F.col("deg").alias("deg_a"))
+    degb = deg.select(F.col("z").alias("b"), F.col("deg").alias("deg_b"))
+    topk = (scored.join(dega, "a").join(degb, "b")
+            .select("a", "b", "cn",
+                    F.expr("(1000000 * cn) div (deg_a + deg_b - cn)")
+                    .alias("jac"))
+            .orderBy(F.desc("cn"), F.desc("jac"), "a", "b")
+            .limit(_LPE_K)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    _sim._PERSISTED.append(topk)
+    hits = topk.join(held, ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("hits"))
+    covered = (held.join(scored, ["a", "b"])
+               .agg(F.count(F.lit(1)).alias("n_scored_holdout")))
+    counts = F.broadcast(
+        und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+            held.agg(F.count(F.lit(1)).alias("n_heldout"))))
+    return (counts.crossJoin(hits).crossJoin(covered)
+            .select("n_edges", "n_heldout", "n_scored_holdout",
+                    F.col("hits").alias("hits_at_k"),
+                    F.lit(_LPE_K).cast("long").alias("k"),
+                    F.expr(f"hits * 1000000 div {_LPE_K}")
+                    .alias("precision_e6"),
+                    F.expr("CASE WHEN n_heldout = 0 THEN 0 ELSE"
+                           " n_scored_holdout * 1000000 div n_heldout END")
+                    .alias("coverage_e6")))
+
+
+def _lp_eval_sql() -> str:
+    from .similarity_queries import _KNN_GRAPH_SQL
+
+    return f"""
+WITH und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({_KNN_GRAPH_SQL})
+),
+held AS MATERIALIZED (
+    SELECT a, b FROM und
+    WHERE substr(md5('lp' || ':' || a || ':' || b), 1, 1) = '0'
+),
+train AS MATERIALIZED (
+    SELECT a, b FROM und
+    WHERE substr(md5('lp' || ':' || a || ':' || b), 1, 1) <> '0'
+),
+dirn AS (
+    SELECT a AS z, b AS n FROM train
+    UNION ALL SELECT b AS z, a AS n FROM train
+),
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM dirn GROUP BY z),
+wedges AS (
+    SELECT x.z, x.n AS wa, y.n AS wb
+    FROM dirn x JOIN dirn y ON x.z = y.z AND x.n < y.n
+),
+cand AS (
+    SELECT w.wa, w.wb
+    FROM wedges w ANTI JOIN train t ON t.a = w.wa AND t.b = w.wb
+),
+scored AS MATERIALIZED (
+    SELECT wa AS a, wb AS b, CAST(count(*) AS BIGINT) AS cn
+    FROM cand GROUP BY 1, 2
+),
+topk AS MATERIALIZED (
+    SELECT s.a, s.b, s.cn,
+           (1000000 * s.cn) // (da.deg + db.deg - s.cn) AS jac
+    FROM scored s
+    JOIN deg da ON s.a = da.z
+    JOIN deg db ON s.b = db.z
+    ORDER BY s.cn DESC, jac DESC, s.a, s.b
+    LIMIT {_LPE_K}
+),
+hits AS (SELECT CAST(count(*) AS BIGINT) AS hits
+         FROM topk t JOIN held h ON t.a = h.a AND t.b = h.b),
+covered AS (SELECT CAST(count(*) AS BIGINT) AS n_scored_holdout
+            FROM held h JOIN scored s ON s.a = h.a AND s.b = h.b),
+counts AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+                  (SELECT CAST(count(*) AS BIGINT) FROM held)
+                      AS n_heldout)
+SELECT c.n_edges, c.n_heldout, cov.n_scored_holdout,
+       h.hits AS hits_at_k, CAST({_LPE_K} AS BIGINT) AS k,
+       h.hits * 1000000 // {_LPE_K} AS precision_e6,
+       CASE WHEN c.n_heldout = 0 THEN 0
+            ELSE cov.n_scored_holdout * 1000000 // c.n_heldout END
+           AS coverage_e6
+FROM counts c CROSS JOIN hits h CROSS JOIN covered cov
+"""
+
+
+QUERIES["link_prediction_eval"] = (link_prediction_eval, _lp_eval_sql())
