@@ -2853,3 +2853,116 @@ FROM counts c CROSS JOIN hits h CROSS JOIN covered cov
 
 
 QUERIES["link_prediction_eval"] = (link_prediction_eval, _lp_eval_sql())
+
+
+# --------------------------------------------------------------------------
+# closeness_centrality_sampled: multi-source BFS closeness from seed panel
+# --------------------------------------------------------------------------
+
+_CLOSE_SEEDS = 4
+_CLOSE_ROUNDS = 3
+
+
+def closeness_centrality_sampled(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Sampled closeness + harmonic centrality over the
+    customer↔supplier graph: BFS from a panel of seeds (the 4 smallest
+    customer ids — derived, not hard-coded) run as ONE multi-source
+    traversal with (seed, node) frontier keys, then per-seed
+    ``closeness = (reached-1)/Σdist`` and ``harmonic = Σ 1/dist``.
+    Sampling seeds is how closeness is actually estimated at scale
+    (exact closeness needs all-pairs); the panel shape is the same
+    plan as one BFS — the seed id just rides the key.
+
+    Determinism: distances are exact BFS levels; harmonic is a sum of
+    per-term integer floors ``1e6 div dist``; closeness an e6 floor.
+
+    Scale: identical Pregel-superstep shape to bfs_levels (edge ⋈
+    frontier per round + anti-join vs visited, everything keyed
+    (seed, node), persisted and released per round); S seeds multiply
+    the frontier, not the edge list. The oracle bounds its recursive
+    expansion at the same round count.
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .distinct())
+    off = F.broadcast(e0.agg((F.max("c") + F.lit(1)).alias("_off")))
+    e0o = e0.crossJoin(off)
+    und = (e0o.select(F.col("c").alias("src"),
+                      (F.col("s") + F.col("_off")).alias("dst"))
+           .unionByName(e0o.select((F.col("s") + F.col("_off"))
+                                   .alias("src"),
+                                   F.col("c").alias("dst")))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _sim._PERSISTED.append(und)
+    seeds = (e0.select(F.col("c").alias("seed")).distinct()
+             .orderBy("seed").limit(_CLOSE_SEEDS))
+    frontier = seeds.select("seed", F.col("seed").alias("n"))
+    visited = frontier
+    out = frontier.select("seed", "n", F.lit(0).alias("dist"))
+    for lvl in range(1, _CLOSE_ROUNDS + 1):
+        nxt = (und.join(frontier.withColumnRenamed("n", "src"), "src")
+               .select("seed", F.col("dst").alias("n")).distinct()
+               .join(visited, ["seed", "n"], "left_anti")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        _sim._PERSISTED.append(nxt)
+        out = out.unionByName(nxt.select("seed", "n",
+                                         F.lit(lvl).alias("dist")))
+        visited = visited.unionByName(nxt) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        _sim._PERSISTED.append(visited)
+        frontier = nxt
+    return (out.where(F.col("dist") > 0)
+            .groupBy("seed")
+            .agg(F.count(F.lit(1)).alias("n_reached"),
+                 F.sum("dist").alias("sum_dist"),
+                 F.sum(F.expr("1000000 div dist")).alias("harmonic_e6"))
+            .select("seed", "n_reached", "sum_dist", "harmonic_e6",
+                    F.expr("n_reached * 1000000 div sum_dist")
+                    .alias("closeness_e6")))
+
+
+def _closeness_sql() -> str:
+    return f"""
+WITH RECURSIVE e0 AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+off AS (SELECT max(c) + 1 AS o FROM e0),
+und AS (
+    SELECT c AS src, s + off.o AS dst FROM e0 CROSS JOIN off
+    UNION ALL
+    SELECT s + off.o AS src, c AS dst FROM e0 CROSS JOIN off
+),
+seeds AS (SELECT DISTINCT c AS seed FROM e0 ORDER BY seed
+          LIMIT {_CLOSE_SEEDS}),
+reach(seed, n, dist) AS (
+    SELECT seed, seed AS n, 0 AS dist FROM seeds
+    UNION
+    SELECT r.seed, u.dst AS n, r.dist + 1 AS dist
+    FROM reach r JOIN und u ON u.src = r.n
+    WHERE r.dist < {_CLOSE_ROUNDS}
+),
+mind AS (
+    SELECT seed, n, CAST(min(dist) AS BIGINT) AS dist
+    FROM reach GROUP BY seed, n
+)
+SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(dist) AS BIGINT) AS sum_dist,
+       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_e6,
+       CAST(count(*) AS BIGINT) * 1000000 // CAST(sum(dist) AS BIGINT)
+           AS closeness_e6
+FROM mind WHERE dist > 0
+GROUP BY seed
+"""
+
+
+QUERIES["closeness_centrality_sampled"] = (closeness_centrality_sampled,
+                                           _closeness_sql())

@@ -1647,3 +1647,89 @@ JOIN per_type cb ON cb.event_type = i.type_b
 """
 
 QUERIES["bitmap_index_audit"] = (_bitmap_index_audit, _BITMAP_SQL)
+
+
+# --------------------------------------------------------------------------
+# dictionary_encoding_audit: per-column encoding advisor
+# --------------------------------------------------------------------------
+
+_DICT_COLS = (("events", "event_type"), ("documents", "lang"),
+              ("documents", "source"), ("orders", "o_orderpriority"),
+              ("lineitem", "l_linestatus"), ("lineitem", "l_returnflag"))
+
+
+def _dictionary_encoding_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Storage advisor: for each candidate string column, the exact
+    byte ledger of dictionary encoding — raw payload bytes vs
+    (dictionary bytes + n·ceil(log2 ndv)/8 index bits) — and the e6
+    compression ratio. This is the decision parquet/ORC writers make
+    per row group; surfacing it as a query lets a 100 TB layout job
+    pick encodings from data instead of defaults (cf.
+    posting_gap_stats for the integer-list analogue).
+
+    Determinism: byte counts are exact integer sums (length() on the
+    ASCII corpus = bytes); bit-width is an integer log2 ceiling via a
+    comparison ladder, never floating log.
+
+    Scale: one map-side-combinable aggregate per column over (ndv via
+    distinct on the value — the dictionary is by definition small for
+    dictionary-encodable columns); the union of per-column 1-row
+    frames is free. Columns with huge ndv would make the distinct
+    expensive — exactly the columns the advisor answers "don't".
+    """
+    out = None
+    for tbl, col in _DICT_COLS:
+        t = load(spark, sf_dir, tbl)
+        vals = t.select(F.col(col).cast("string").alias("v"))
+        dic = (vals.groupBy("v").agg(F.count(F.lit(1)).alias("c")))
+        row = (dic.agg(
+            F.lit(f"{tbl}.{col}").alias("column_name"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("ndv"),
+            F.sum(F.length("v") * F.col("c")).alias("raw_bytes"),
+            F.sum(F.length("v")).alias("dict_bytes"))
+            .select(
+                "column_name", "n_rows", "ndv", "raw_bytes", "dict_bytes",
+                # bit width = ceil(log2(ndv)) via comparison ladder
+                F.expr("CASE WHEN ndv <= 1 THEN 0 WHEN ndv <= 2 THEN 1"
+                       " WHEN ndv <= 4 THEN 2 WHEN ndv <= 16 THEN 4"
+                       " WHEN ndv <= 256 THEN 8 WHEN ndv <= 65536 THEN 16"
+                       " ELSE 32 END").alias("index_bits"))
+            .select("column_name", "n_rows", "ndv", "raw_bytes",
+                    "dict_bytes", "index_bits",
+                    F.expr("dict_bytes + (n_rows * index_bits + 7) div 8")
+                    .alias("encoded_bytes"))
+            .select("*",
+                    F.expr("encoded_bytes * 1000000 div raw_bytes")
+                    .alias("ratio_e6")))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _dict_audit_sql() -> str:
+    parts = []
+    for tbl, col in _DICT_COLS:
+        parts.append(f"""
+SELECT '{tbl}.{col}' AS column_name, n_rows, ndv, raw_bytes, dict_bytes,
+       index_bits,
+       dict_bytes + (n_rows * index_bits + 7) // 8 AS encoded_bytes,
+       (dict_bytes + (n_rows * index_bits + 7) // 8) * 1000000
+           // raw_bytes AS ratio_e6
+FROM (
+  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS ndv,
+         CAST(sum(length(v) * c) AS BIGINT) AS raw_bytes,
+         CAST(sum(length(v)) AS BIGINT) AS dict_bytes,
+         CASE WHEN count(*) <= 1 THEN 0 WHEN count(*) <= 2 THEN 1
+              WHEN count(*) <= 4 THEN 2 WHEN count(*) <= 16 THEN 4
+              WHEN count(*) <= 256 THEN 8 WHEN count(*) <= 65536 THEN 16
+              ELSE 32 END AS index_bits
+  FROM (SELECT CAST({col} AS VARCHAR) AS v, CAST(count(*) AS BIGINT) AS c
+        FROM {tbl} GROUP BY 1)
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["dictionary_encoding_audit"] = (_dictionary_encoding_audit,
+                                        _dict_audit_sql())
