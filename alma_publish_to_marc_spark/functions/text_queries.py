@@ -1213,7 +1213,7 @@ def _burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup family's job).
 
     Determinism: per-source relative frequencies are exact integers
-    ``f_e9 = c·1e9 div T``; per-word variance rides exact int64
+    ``f_e6 = c·1e6 div T``; per-word variance rides exact int64
     moments (``var25 = n·Σf² − (Σf)²``); each pair term is ONE double
     expression ``5·|f_a − f_b| / sqrt(var25)`` (IEEE-exact), and the
     cross-word sum is a LEFT FOLD over the word-sorted term list
@@ -1226,8 +1226,11 @@ def _burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, so the corpus is exploded once); the panel is a TakeOrdered
     top-20; all
     z/pair math runs on the panel×sources frame (~100 rows at any
-    corpus size). int64 headroom: f_e9 ≤ 1e9 so Σf² ≤ n·1e18 — holds
-    to n ≈ 9 sources; more sources → scale f to e6.
+    corpus size). int64 headroom: f_e6 ≤ 1e6 so Σf² ≤ n·1e12 and
+    n·Σf² ≤ n²·1e12 — holds to n ≈ 3000 sources (the e9 scale capped
+    out at ~9 sources while the corpus has 20; a skewed source could
+    overflow int64, wrapping in Spark but raising in DuckDB — ADVICE
+    r05).
     """
     docs = load(spark, sf_dir, "documents")
     toks = (docs.select("source",
@@ -1245,7 +1248,7 @@ def _burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(counts.select("wk", "source", "c"), ["wk", "source"],
                   "left")
             .select("w", "source",
-                    F.expr("coalesce(c, 0) * 1000000000 div t")
+                    F.expr("coalesce(c, 0) * 1000000 div t")
                     .alias("f")))
     sig = (grid.groupBy("w")
            .agg(F.count(F.lit(1)).alias("n"),
@@ -1295,7 +1298,7 @@ totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
            FROM counts GROUP BY source),
 grid AS (
   SELECT top.w, totals.source,
-         coalesce(c.c, 0) * 1000000000 // totals.t AS f
+         coalesce(c.c, 0) * 1000000 // totals.t AS f
   FROM top CROSS JOIN totals
   LEFT JOIN counts c ON c.wk = top.wk AND c.source = totals.source
 ),

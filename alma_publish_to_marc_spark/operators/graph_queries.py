@@ -2218,6 +2218,9 @@ def _materialize_ctes(sql: str, names: tuple) -> str:
     persists above, so the two engines stay plan-shape-aligned."""
     for name in names:
         sql = sql.replace(f"\n{name} AS (", f"\n{name} AS MATERIALIZED (")
+        # the FIRST CTE follows 'WITH ' on the same line, so the
+        # newline-anchored replace above misses it (ADVICE r05)
+        sql = sql.replace(f"WITH {name} AS (", f"WITH {name} AS MATERIALIZED (")
         if sql.startswith(f"{name} AS ("):
             sql = f"{name} AS MATERIALIZED (" + sql[len(f"{name} AS ("):]
     return sql

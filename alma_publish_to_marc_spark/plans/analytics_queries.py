@@ -648,26 +648,37 @@ def _array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     array here is canonicalized with array_sort before leaving the
     aggregate, the only way grouped arrays can ever be hash-compared
     (or reproducibly written) on a cluster. qty_sum folds the sorted
-    array with F.aggregate to exercise the lambda path."""
+    array with F.aggregate to exercise the lambda path. Arrays leave
+    the query as comma-joined strings: the driver's canonicalizer
+    raw-sorts the pandas frame, and ndarray cells crash its lexsort
+    (seen live on publish_set_grouping, CORRECTNESS_r05)."""
     li = load(spark, sf_dir, "lineitem")
     qty = F.array_sort(F.collect_list(F.col("l_quantity").cast("long")))
     return (li.groupBy("l_orderkey")
             .agg(F.count(F.lit(1)).cast("int").alias("n_items"),
-                 qty.alias("qty_sorted"),
-                 F.array_sort(F.collect_set("l_returnflag")).alias("flags"))
-            .select("l_orderkey", "n_items", "qty_sorted", "flags",
-                    F.slice(F.sort_array(F.col("qty_sorted"), asc=False),
-                            1, 2).alias("qty_top2"),
-                    F.aggregate("qty_sorted", F.lit(0).cast("long"),
+                 qty.alias("_qty"),
+                 F.array_sort(F.collect_set("l_returnflag")).alias("_flags"))
+            .select("l_orderkey", "n_items",
+                    F.array_join(F.col("_qty").cast("array<string>"), ",")
+                     .alias("qty_sorted"),
+                    F.array_join("_flags", ",").alias("flags"),
+                    F.array_join(
+                        F.slice(F.sort_array(F.col("_qty"), asc=False),
+                                1, 2).cast("array<string>"), ",")
+                     .alias("qty_top2"),
+                    F.aggregate("_qty", F.lit(0).cast("long"),
                                 lambda acc, x: acc + x).alias("qty_sum")))
 
 
 _ARRAY_OPS_SQL = """
 SELECT l_orderkey,
        CAST(count(*) AS INT) AS n_items,
-       list_sort(list(CAST(l_quantity AS BIGINT))) AS qty_sorted,
-       list_sort(list_distinct(list(l_returnflag))) AS flags,
-       list_sort(list(CAST(l_quantity AS BIGINT)), 'DESC')[1:2] AS qty_top2,
+       array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',')
+           AS qty_sorted,
+       array_to_string(list_sort(list_distinct(list(l_returnflag))), ',')
+           AS flags,
+       array_to_string(list_sort(list(CAST(l_quantity AS BIGINT)),
+                                 'DESC')[1:2], ',') AS qty_top2,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_sort(list(CAST(l_quantity AS BIGINT)))),
                    (a, b) -> a + b) AS qty_sum

@@ -46,7 +46,11 @@ def group_publish_sets(files: DataFrame, name_col: str = "file_name") -> DataFra
             .agg(F.count(F.lit(1)).alias("n_files"),
                  F.count(F.when(name.contains("delete"), 1))
                   .alias("n_delete_files"),
-                 F.array_sort(F.collect_list(name)).alias("files")))
+                 # joined string, not array<string>: the driver's
+                 # canonicalizer raw-sorts pandas frames and ndarray
+                 # cells crash its lexsort (CORRECTNESS_r05 red row)
+                 F.array_join(F.array_sort(F.collect_list(name)), "|")
+                  .alias("files")))
 
 
 def _publish_set_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,7 +74,7 @@ SELECT regexp_replace(regexp_replace(file_name, '_[a-z]+_\d+\.tar\.gz$', ''),
                       '_[a-z]+.tar\.gz$', '') AS publish_set,
        count(*) AS n_files,
        count(CASE WHEN file_name LIKE '%delete%' THEN 1 END) AS n_delete_files,
-       list_sort(list(file_name)) AS files
+       array_to_string(list_sort(list(file_name)), '|') AS files
 FROM f GROUP BY 1
 """
 

@@ -348,10 +348,15 @@ def test_round5d_iteratives_have_no_range_exchange(props, spark):
 
 
 def test_round5b_new_queries_plan_contracts(props):
+    from alma_publish_to_marc_spark.plans import timeseries_queries as TS
+
     # mann-kendall persists the daily matrix: ONE raw-stream scan
     p = props("mann_kendall_trend")
     assert p["scans"] == 1
     assert p["range_shuffles"] == 0
+    # release the persisted daily frame so later tests' plan-shape
+    # assertions don't see InMemoryRelation substituted (ADVICE r05)
+    TS.unpersist_cached()
     # readability is scan-fused per-row math: zero exchanges
     p = props("readability_scores")
     assert p["shuffles"] == 0

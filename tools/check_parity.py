@@ -56,8 +56,34 @@ def values_equal(a, b) -> tuple[bool, bool]:
     return eq, eq
 
 
+def unsortable_columns(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells would crash the DRIVER's canonicalizer.
+
+    The driver sorts the raw pandas frame (``sort_values`` over all
+    columns); list/ndarray cells make pandas' lexsort raise
+    ``unhashable type: 'numpy.ndarray'`` (CORRECTNESS_r05's
+    publish_set_grouping red row). Queries must emit joined strings
+    instead of arrays.
+    """
+    import numpy as np
+
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object and len(df):
+            v = df[c].iloc[0]
+            if isinstance(v, (list, tuple, np.ndarray, dict)):
+                bad.append(c)
+    return bad
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
+    arrayish = unsortable_columns(spark_df) or unsortable_columns(duck_df)
+    if arrayish:
+        problems.append(
+            f"array-typed output {arrayish} would crash the driver's "
+            "canonicalizer — emit joined strings instead")
+        return problems
     if len(spark_df) != len(duck_df):
         problems.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
         return problems
