@@ -48,20 +48,69 @@ _MODULES = (
 )
 
 
-# SURVEY §2-mapped queries whose correctness rows have only ever come
-# from the local parity gate (never driver-sampled through r04). Pinned
-# FIRST in registry iteration order so a driver that samples in order
-# converts them to driver-green rows. Keys are byte-stable; members may
-# only be REMOVED (once driver-green), never renamed.
+# Queries whose correctness rows have only ever come from the local
+# parity gate (never driver-sampled through r05). Pinned FIRST in
+# registry iteration order so a driver that samples in order converts
+# them to driver-green rows. ROTATION POLICY: the r05 sample was
+# exactly the first 50 keys in iteration order, so each round this
+# list is rebuilt as 50 not-yet-driver-sampled keys (union of
+# CORRECTNESS_r*.json vs registry order); driver-green members come
+# off next round. Keys are byte-stable; members are only removed or
+# rotated, never renamed. publish_set_grouping leads because its r05
+# row ERRORED (array column crashed the driver's canonicalizer — now
+# emits a joined string) and needs a green row; array_ops_suite had
+# the same latent bug.
 _SAMPLE_FIRST = (
-    # (publish_split_bibs / versioned_temporal_merge / insert_ignore /
-    # delete_with_history removed: driver-green in r01/r02 rows)
-    "publish_split_holdings", "publish_split_items",
-    "publish_set_grouping", "marc_field_extraction", "marc_size_guard",
-    "item_json_roundtrip", "warehouse_catalog", "backfill_item_policy",
-    "backfill_temp_locations", "grouped_rank_pandas", "doc_chunking_udtf",
-    "bpe_train_merges", "vocab_merge_induction", "warehouse_close_end2end",
-    "hll_merge_check",
+    "publish_set_grouping",
+    "array_ops_suite",
+    "prefix_filter_jaccard_join",
+    "lsh_candidate_precision",
+    "soundex_blocking",
+    "winnowing_overlap",
+    "history_retention_purge",
+    "incremental_agg_maintenance",
+    "incremental_join_maintenance",
+    "incremental_topk_maintenance",
+    "knn_graph_topk",
+    "ann_ivf_refined_topk",
+    "semantic_dedup",
+    "pq_adc_topk",
+    "pq_recall_eval",
+    "pq_rerank_topk",
+    "embedding_decontamination",
+    "semantic_dedup_refined",
+    "mmr_diversified_topk",
+    "ann_index_incremental",
+    "ann_index_incremental_recall",
+    "ann_sq_topk",
+    "sq_recall_eval",
+    "jl_projection_distortion",
+    "rbo_rank_agreement",
+    "kendall_tau_rankings",
+    "graph_ann_beam_search",
+    "pmi_collocations",
+    "preference_pairs",
+    "quality_calibrated_by_source",
+    "lang_id_confusion",
+    "rake_keywords",
+    "oov_rate_eval",
+    "char_entropy_profile",
+    "packing_efficiency_audit",
+    "readability_scores",
+    "burrows_delta",
+    "vocab_overlap_matrix",
+    "doc_hash_embedding",
+    "content_neardup_hashed",
+    "maxsim_multivector_retrieval",
+    "rollup_revenue",
+    "running_total_window",
+    "cube_lineitem_status",
+    "group_percentiles",
+    "iqr_outlier_filter",
+    "window_frame_suite",
+    "hybrid_rank_fusion",
+    "approx_distinct_bounds",
+    "recursive_cte_depth",
 )
 
 
