@@ -1,0 +1,652 @@
+"""Model/retrieval evaluation operators: ranking metrics (NDCG@k,
+MRR, precision@k), ROUGE-N / BLEU pairwise text overlap, a Viterbi
+HMM decode over event streams, a Hampel rolling-median outlier
+filter, and per-shard diversity indices.
+
+These are the eval-side companions of the retrieval/dedup/curation
+families: a training-data pipeline that builds retrieval indexes
+(bm25_topk, ann_*) and near-dup pair sets needs the metrics that
+judge them. The reference's own test strategy (golden outputs per
+transform, alma_publish_to_marc/tests) motivates the
+oracle-per-query shape; the metrics themselves are public-knowledge
+IR/NLP definitions.
+
+Cross-engine determinism: every metric is computed in exact integer
+space (e6 fixed point, cross-multiplied comparisons, Python-inlined
+weight tables for the irrational log2 discounts) except where a
+transcendental is intrinsic (BLEU's exp/ln — one identical
+expression in both engines + round(6), the ngram_lm_perplexity
+precedent).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# --------------------------------------------------------------------------
+# retrieval_ranking_metrics: NDCG@10 / MRR / P@10 for token-overlap retrieval
+# --------------------------------------------------------------------------
+
+_RANK_K = 10
+# DCG position weights floor(1e6 / log2(i+1)) precomputed in PYTHON and
+# inlined as integer literals in BOTH engines: the discount is
+# irrational, and a floor-of-double computed independently per engine
+# could land on opposite sides of the boundary (CLAUDE.md round rule).
+_DCG_W = [math.floor(1_000_000 / math.log2(i + 1))
+          for i in range(1, _RANK_K + 1)]
+_DCG_CW = [0]
+for _w in _DCG_W:
+    _DCG_CW.append(_DCG_CW[-1] + _w)
+
+
+def _w_case(pos: str) -> str:
+    arms = " ".join(f"WHEN {i + 1} THEN {w}"
+                    for i, w in enumerate(_DCG_W))
+    return f"CASE {pos} {arms} ELSE 0 END"
+
+
+def _cw_at(expr: str) -> str:
+    """Prefix-sum lookup CW[clamp(expr, 0, K)] as a CASE over inlined
+    literals (identical text in both engines)."""
+    arms = " ".join(f"WHEN {i} THEN {cw}" for i, cw in enumerate(_DCG_CW))
+    return (f"CASE (CASE WHEN ({expr}) > {_RANK_K} THEN {_RANK_K} "
+            f"WHEN ({expr}) < 0 THEN 0 ELSE ({expr}) END) {arms} END")
+
+
+def _retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10, reciprocal rank, and precision@10 per query for
+    shared-distinct-token retrieval over ``documents``: query panel =
+    doc_id % 101 == 0, candidates ranked by count of shared distinct
+    tokens (tie-break doc_id), graded relevance 2 = same source AND
+    lang, 1 = same lang, 0 otherwise.
+
+    Determinism: gains are 2^rel − 1 (exact ints); the irrational
+    1/log2(i+1) discounts are a Python-precomputed integer weight
+    table inlined into BOTH engines, so DCG_e6 = Σ gain·w_i is exact
+    int64; IDCG_e6 comes from the same table's prefix sums indexed by
+    the per-query counts of rel-2 / rel-1 candidates (the ideal
+    ranking is analytic — no second sort); ndcg_e6 = 1e6·DCG div
+    IDCG. RR and P@10 are exact rationals.
+
+    Scale: the query panel is a tiny broadcast (≈1% of docs); corpus
+    postings are md5-keyed distinct tokens, one shuffle to group
+    (qid, doc) match counts; the per-qid top-10 window partitions on
+    qid (panel-bounded, never the corpus). 100 TB: panel broadcast
+    unchanged; the postings join is the same shape as bm25_topk.
+    """
+    docs = load(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "source", "lang")
+    toks = (docs.select("doc_id",
+                        F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                          r"\s+")).alias("w"))
+            .where(F.col("w") != "")
+            .select("doc_id", F.unhex(F.md5("w")).alias("wk"))
+            .distinct())
+    qdocs = meta.where(F.col("doc_id") % 101 == 0)
+    qtoks = (toks.join(F.broadcast(qdocs.select("doc_id")), "doc_id")
+             .withColumnRenamed("doc_id", "qid"))
+    scored = (toks.join(F.broadcast(qtoks), "wk")
+              .where(F.col("doc_id") != F.col("qid"))
+              .groupBy("qid", "doc_id")
+              .agg(F.count(F.lit(1)).alias("score")))
+    q = qdocs.select(F.col("doc_id").alias("qid"),
+                     F.col("source").alias("q_source"),
+                     F.col("lang").alias("q_lang"))
+    rel = (scored.join(F.broadcast(q), "qid")
+           .join(meta, "doc_id")
+           .select("qid", "doc_id", "score",
+                   F.when((F.col("source") == F.col("q_source"))
+                          & (F.col("lang") == F.col("q_lang")), 2)
+                   .when(F.col("lang") == F.col("q_lang"), 1)
+                   .otherwise(0).alias("rel")))
+    from pyspark.sql import Window
+    pos = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id"))
+    top = rel.withColumn("pos", pos).where(F.col("pos") <= _RANK_K)
+    per_q = (top.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.sum((F.col("rel") >= 1).cast("long")).alias("hits10"),
+        F.sum(F.expr(f"(shiftleft(cast(1 as bigint), rel) - 1)"
+                     f" * ({_w_case('pos')})")).alias("dcg_e6"),
+        F.min(F.when(F.col("rel") >= 1, F.col("pos"))).alias("first_rel")))
+    ideal = (rel.groupBy("qid").agg(
+        F.sum((F.col("rel") == 2).cast("long")).alias("n2"),
+        F.sum((F.col("rel") == 1).cast("long")).alias("n1")))
+    return (per_q.join(ideal, "qid")
+            .select("qid", "n_ranked", "hits10",
+                    F.coalesce(F.expr("1000000 div first_rel"), F.lit(0))
+                    .cast("long").alias("rr_e6"),
+                    (F.col("hits10") * 100000).alias("p10_e6"),
+                    "dcg_e6",
+                    F.expr(f"cast(3 * ({_cw_at('n2')}) + ({_cw_at('n2 + n1')})"
+                           f" - ({_cw_at('n2')}) as bigint)").alias("idcg_e6"),
+                    F.expr(f"cast(CASE WHEN (3 * ({_cw_at('n2')})"
+                           f" + ({_cw_at('n2 + n1')}) - ({_cw_at('n2')})) = 0"
+                           f" THEN 0 ELSE (1000000 * dcg_e6) div"
+                           f" (3 * ({_cw_at('n2')}) + ({_cw_at('n2 + n1')})"
+                           f" - ({_cw_at('n2')})) END as bigint)")
+                    .alias("ndcg_e6")))
+
+
+_RANKING_SQL = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unhex(md5(w)) AS wk
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+qdocs AS (SELECT doc_id, source, lang FROM documents WHERE doc_id % 101 = 0),
+scored AS (
+  SELECT q.doc_id AS qid, t.doc_id, CAST(count(*) AS BIGINT) AS score
+  FROM toks t JOIN (SELECT tq.doc_id, tq.wk FROM toks tq
+                    JOIN qdocs ON tq.doc_id = qdocs.doc_id) q
+    ON t.wk = q.wk AND t.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+rel AS (
+  SELECT s.qid, s.doc_id, s.score,
+         CASE WHEN d.source = q.source AND d.lang = q.lang THEN 2
+              WHEN d.lang = q.lang THEN 1 ELSE 0 END AS rel
+  FROM scored s
+  JOIN qdocs q ON s.qid = q.doc_id
+  JOIN documents d ON s.doc_id = d.doc_id
+),
+top AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, doc_id) AS pos
+  FROM rel QUALIFY pos <= {_RANK_K}
+),
+per_q AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_ranked,
+         CAST(sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits10,
+         CAST(sum(((1 << rel) - 1) * ({_w_case('pos')})) AS BIGINT)
+             AS dcg_e6,
+         min(CASE WHEN rel >= 1 THEN pos END) AS first_rel
+  FROM top GROUP BY qid
+),
+ideal AS (
+  SELECT qid,
+         CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM rel GROUP BY qid
+)
+SELECT p.qid, p.n_ranked, p.hits10,
+       CAST(coalesce(1000000 // first_rel, 0) AS BIGINT) AS rr_e6,
+       p.hits10 * 100000 AS p10_e6,
+       p.dcg_e6,
+       CAST(3 * ({_cw_at('n2')}) + ({_cw_at('n2 + n1')})
+            - ({_cw_at('n2')}) AS BIGINT) AS idcg_e6,
+       CAST(CASE WHEN (3 * ({_cw_at('n2')}) + ({_cw_at('n2 + n1')})
+                       - ({_cw_at('n2')})) = 0
+            THEN 0 ELSE (1000000 * p.dcg_e6) //
+                 (3 * ({_cw_at('n2')}) + ({_cw_at('n2 + n1')})
+                  - ({_cw_at('n2')})) END AS BIGINT) AS ndcg_e6
+FROM per_q p JOIN ideal i ON p.qid = i.qid
+"""
+
+
+# --------------------------------------------------------------------------
+# rouge_overlap_eval / bleu_ngram_eval: pairwise n-gram overlap metrics
+# --------------------------------------------------------------------------
+
+def _pair_gram_counts(spark: SparkSession, sf_dir: str):
+    """Shared machinery: same-source adjacent-id doc pairs with
+    per-order (1,2) clipped n-gram overlap and per-doc gram totals.
+
+    Returns a DataFrame (pair_id, ua, ub, ba, bb, ov1, ov2): unigram /
+    bigram token totals of reference (doc a = pair_id) and candidate
+    (doc a+1), and clipped overlaps Σ_g min(c_a(g), c_b(g)).
+
+    Scale: per-doc gram counts are md5-keyed and computed once; the
+    pair join ships (doc_id, gram_key, count) only — each doc is in
+    ≤ 2 pairs so the gram join fans out ×2, never quadratic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "source",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"))
+    from pyspark.sql import Window
+
+    grams = (words.select(
+        "doc_id",
+        F.explode(F.expr(
+            "concat("
+            " transform(ws, w -> concat('u:', w)),"
+            " transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+            "           (w, i) -> concat('b:', w, ' ', ws[i + 1])))"))
+        .alias("g"))
+        .groupBy("doc_id", F.unhex(F.md5("g")).alias("gk"),
+                 F.substring("g", 1, 1).alias("ord"))
+        .agg(F.count(F.lit(1)).alias("c")))
+    # pair each doc with its same-source successor BY ID ORDER (sources
+    # interleave across doc_ids, so "doc_id + 1" would find no pairs)
+    nxt = Window.partitionBy("source").orderBy("doc_id")
+    sized = words.select("doc_id", "source", F.size("ws").alias("n"))
+    pairs = (sized
+             .withColumn("b_id", F.lead("doc_id").over(nxt))
+             .withColumn("ub", F.lead("n").over(nxt))
+             .where(F.col("b_id").isNotNull())
+             .select(F.col("doc_id").alias("pair_id"), "b_id",
+                     F.col("n").alias("ua"), "ub",
+                     (F.col("n") - 1).alias("ba"),
+                     (F.col("ub") - 1).alias("bb")))
+    ga = grams.select(F.col("doc_id").alias("pair_id"), "gk", "ord",
+                      F.col("c").alias("ca"))
+    gb = grams.select(F.col("doc_id").alias("b_id"), "gk", "ord",
+                      F.col("c").alias("cb"))
+    ov = (pairs.select("pair_id", "b_id")
+          .join(ga, "pair_id").join(gb, ["b_id", "gk", "ord"])
+          .groupBy("pair_id")
+          .agg(F.sum(F.when(F.col("ord") == "u",
+                            F.least("ca", "cb"))).alias("ov1"),
+               F.sum(F.when(F.col("ord") == "b",
+                            F.least("ca", "cb"))).alias("ov2")))
+    return (pairs.join(ov, "pair_id", "left")
+            .select("pair_id", "ua", "ub", "ba", "bb",
+                    F.coalesce("ov1", F.lit(0)).alias("ov1"),
+                    F.coalesce("ov2", F.lit(0)).alias("ov2")))
+
+
+_PAIR_GRAMS_SQL = r"""
+words AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unhex(md5(g)) AS gk, substr(g, 1, 1) AS ordx,
+         CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, unnest(list_concat(
+        list_transform(ws, w -> 'u:' || w),
+        list_transform(range(1, greatest(len(ws), 1)),
+                       i -> 'b:' || ws[i] || ' ' || ws[i + 1]))) AS g
+    FROM words)
+  GROUP BY 1, 2, 3
+),
+sized AS (
+  SELECT doc_id, source, CAST(len(ws) AS INT) AS n,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b_id,
+         lead(CAST(len(ws) AS INT))
+             OVER (PARTITION BY source ORDER BY doc_id) AS ub
+  FROM words
+),
+pairs AS (
+  SELECT doc_id AS pair_id, b_id, n AS ua, ub,
+         n - 1 AS ba, ub - 1 AS bb
+  FROM sized WHERE b_id IS NOT NULL
+),
+ov AS (
+  SELECT p.pair_id,
+         CAST(sum(CASE WHEN ga.ordx = 'u'
+                       THEN least(ga.c, gb.c) END) AS BIGINT) AS ov1,
+         CAST(sum(CASE WHEN ga.ordx = 'b'
+                       THEN least(ga.c, gb.c) END) AS BIGINT) AS ov2
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.pair_id
+  JOIN grams gb ON gb.doc_id = p.b_id
+              AND gb.gk = ga.gk AND gb.ordx = ga.ordx
+  GROUP BY 1
+),
+pg AS (
+  SELECT p.pair_id, p.ua, p.ub, p.ba, p.bb,
+         coalesce(o.ov1, 0) AS ov1, coalesce(o.ov2, 0) AS ov2
+  FROM pairs p LEFT JOIN ov o ON p.pair_id = o.pair_id
+)
+"""
+
+
+def _rouge_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 / ROUGE-2 (Lin 2004) between same-source adjacent-id
+    doc pairs (reference = doc_id, candidate = doc_id+1) — the
+    summary/paraphrase overlap score a curation pipeline uses to
+    grade near-dup candidates and synthetic rewrites.
+
+    Determinism: with clipped overlap ov shared by precision and
+    recall, F1 = 2·ov/(len_ref + len_cand) is an exact rational —
+    every output is integer e6 fixed point, no floats anywhere.
+
+    Scale: see _pair_gram_counts — linear in corpus size, gram keys
+    are 16-byte md5, each doc joins into at most two pairs.
+    """
+    pg = _pair_gram_counts(spark, sf_dir)
+    return pg.select(
+        "pair_id",
+        F.expr("1000000 * ov1 div ub").alias("r1_prec_e6"),
+        F.expr("1000000 * ov1 div ua").alias("r1_rec_e6"),
+        F.expr("2000000 * ov1 div (ua + ub)").alias("r1_f1_e6"),
+        F.expr("CASE WHEN bb <= 0 THEN 0"
+               " ELSE 1000000 * ov2 div bb END").alias("r2_prec_e6"),
+        F.expr("CASE WHEN ba <= 0 THEN 0"
+               " ELSE 1000000 * ov2 div ba END").alias("r2_rec_e6"),
+        F.expr("CASE WHEN ba + bb <= 0 THEN 0"
+               " ELSE 2000000 * ov2 div (ba + bb) END").alias("r2_f1_e6"))
+
+
+_ROUGE_SQL = f"""
+WITH {_PAIR_GRAMS_SQL}
+SELECT pair_id,
+       1000000 * ov1 // ub AS r1_prec_e6,
+       1000000 * ov1 // ua AS r1_rec_e6,
+       2000000 * ov1 // (ua + ub) AS r1_f1_e6,
+       CASE WHEN bb <= 0 THEN 0 ELSE 1000000 * ov2 // bb END AS r2_prec_e6,
+       CASE WHEN ba <= 0 THEN 0 ELSE 1000000 * ov2 // ba END AS r2_rec_e6,
+       CASE WHEN ba + bb <= 0 THEN 0
+            ELSE 2000000 * ov2 // (ba + bb) END AS r2_f1_e6
+FROM pg
+"""
+
+
+def _bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 (Papineni 2002: geometric mean of clipped 1/2-gram
+    precision × brevity penalty) over the same doc pairs as ROUGE —
+    candidate = doc_id+1 scored against reference = doc_id.
+
+    Determinism: the clipped counts and lengths are exact ints
+    (emitted alongside); the geometric mean and BP need exp/ln — ONE
+    identical expression in both engines with round(6), the
+    ngram_lm_perplexity precedent (transcendental outputs never land
+    on decimal midpoints). Zero-overlap pairs short-circuit to 0
+    before any log.
+
+    Scale: identical to rouge_overlap_eval.
+    """
+    pg = _pair_gram_counts(spark, sf_dir)
+    bleu = ("CASE WHEN ov1 = 0 OR ov2 <= 0 OR bb <= 0 THEN 0.0"
+            " ELSE round(exp("
+            "   0.5 * (ln(CAST(ov1 AS DOUBLE) / ub)"
+            "          + ln(CAST(ov2 AS DOUBLE) / bb))"
+            "   + least(0.0, 1.0 - CAST(ua AS DOUBLE) / ub)), 6)"
+            " + 0.0 END")
+    return pg.select("pair_id", "ua", "ub", "ov1", "ov2",
+                     F.expr(bleu).alias("bleu2_r6"))
+
+
+_BLEU_SQL = f"""
+WITH {_PAIR_GRAMS_SQL}
+SELECT pair_id, ua, ub, ov1, ov2,
+       CASE WHEN ov1 = 0 OR ov2 <= 0 OR bb <= 0 THEN 0.0
+            ELSE round(exp(
+                0.5 * (ln(CAST(ov1 AS DOUBLE) / ub)
+                       + ln(CAST(ov2 AS DOUBLE) / bb))
+                + least(0.0, 1.0 - CAST(ua AS DOUBLE) / ub)), 6)
+            + 0.0 END AS bleu2_r6
+FROM pg
+"""
+
+
+# --------------------------------------------------------------------------
+# viterbi_state_decode: 2-state HMM max-likelihood decode per user
+# --------------------------------------------------------------------------
+
+# Micro-log (e3) weights: fixed public constants, not fitted.
+_V_T = dict(t00=-105, t01=-1204, t10=-693, t11=-357)
+_V_INIT = (0, -800)
+_V_E0 = {"view": -223, "click": -1204, "error": -2303,
+         "signup": -2996, "purchase": -2996}
+_V_E1 = {"view": -1609, "click": -511, "error": -2996,
+         "signup": -916, "purchase": -511}
+
+
+def _emis_case(var: str, table: dict) -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(table.items()))
+    return f"(CASE {var} {arms} ELSE -9000 END)"
+
+
+def _viterbi_state_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Viterbi decode under a fixed 2-state HMM (casual vs
+    intent) over the event-type sequence — the sequence-labeling
+    kernel (session intent, bot detection) expressed as an exact
+    integer DP.
+
+    Determinism: all scores are int64 micro-logs; the DP is a left
+    fold over the (ts, event_id)-sorted sequence. Both new state
+    scores need both OLD scores — a shape DuckDB 1.0's list_reduce
+    struct accumulators cannot express safely (measured here: a
+    field copy ``old0 := acc.s0`` read by a later field behaves like
+    an ALIAS, sometimes stale, sometimes new — worse than the
+    documented in-place rule), so the oracle packs the accumulator
+    into a single ``'s0:s1'`` VARCHAR: one field, self-read only, no
+    cross-field hazard. Spark's aggregate() reads a consistent
+    snapshot, so it keeps the natural struct fold. Final-state ties
+    break to state 0.
+
+    Scale: one shuffle to group events by user; the fold is
+    interpreted but single-branch (consumed once, no persist
+    needed). At 100 TB sequences stay user-bounded; the state is 3
+    int64s regardless of sequence length.
+    """
+    t = _V_T
+    ev = load(spark, sf_dir, "events")
+    seq = (ev.select("user_id",
+                     F.struct(F.unix_micros(F.col("ts").cast("timestamp"))
+                              .alias("t"),
+                              F.col("event_id").alias("i"),
+                              F.col("event_type").alias("x")).alias("s"))
+           .groupBy("user_id")
+           .agg(F.array_sort(F.collect_list("s")).alias("xs")))
+    e0 = _emis_case("x.x", _V_E0)
+    e1 = _emis_case("x.x", _V_E1)
+    fold = (f"aggregate(xs,"
+            f" named_struct('old0', cast(0 as bigint),"
+            f"              's0', cast({_V_INIT[0]} as bigint),"
+            f"              's1', cast({_V_INIT[1]} as bigint)),"
+            f" (acc, x) -> named_struct("
+            f"   'old0', acc.s0,"
+            f"   's0', greatest(acc.s0 + {t['t00']}, acc.s1 + {t['t10']})"
+            f"         + {e0},"
+            f"   's1', greatest(acc.s0 + {t['t01']}, acc.s1 + {t['t11']})"
+            f"         + {e1}))")
+    return (seq.select("user_id", F.size("xs").alias("n_events"),
+                       F.expr(fold).alias("v"))
+            .select("user_id", "n_events",
+                    F.greatest("v.s0", "v.s1").alias("best_score"),
+                    F.expr("CASE WHEN v.s0 >= v.s1 THEN 0 ELSE 1 END")
+                    .alias("best_state")))
+
+
+def _viterbi_sql() -> str:
+    t = _V_T
+    e0 = _emis_case("x.x", _V_E0)
+    e1 = _emis_case("x.x", _V_E1)
+    a0 = "CAST(str_split(acc, ':')[1] AS BIGINT)"
+    a1 = "CAST(str_split(acc, ':')[2] AS BIGINT)"
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(t := epoch_us(ts),
+                                    i := event_id,
+                                    x := event_type))) AS xs
+  FROM events GROUP BY user_id
+),
+dp AS (
+  SELECT user_id, CAST(len(xs) AS INT) AS n_events,
+         list_reduce(
+           list_prepend('{_V_INIT[0]}:{_V_INIT[1]}',
+                        list_transform(xs, x ->
+                            CAST(CAST({e0} AS BIGINT) AS VARCHAR) || ':'
+                            || CAST(CAST({e1} AS BIGINT) AS VARCHAR))),
+           (acc, x) ->
+             CAST(greatest({a0} + {t['t00']}, {a1} + {t['t10']})
+                  + CAST(str_split(x, ':')[1] AS BIGINT) AS VARCHAR)
+             || ':' ||
+             CAST(greatest({a0} + {t['t01']}, {a1} + {t['t11']})
+                  + CAST(str_split(x, ':')[2] AS BIGINT) AS VARCHAR)) AS v
+  FROM seq
+),
+parsed AS (
+  SELECT user_id, n_events,
+         CAST(str_split(v, ':')[1] AS BIGINT) AS s0,
+         CAST(str_split(v, ':')[2] AS BIGINT) AS s1
+  FROM dp
+)
+SELECT user_id, n_events,
+       greatest(s0, s1) AS best_score,
+       CASE WHEN s0 >= s1 THEN 0 ELSE 1 END AS best_state
+FROM parsed
+"""
+
+
+# --------------------------------------------------------------------------
+# hampel_outlier_filter: rolling median/MAD despiking of daily series
+# --------------------------------------------------------------------------
+
+def _hampel_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over daily event counts per type: a point is an
+    outlier when |x − rolling_median| > 3·1.4826·rolling_MAD over the
+    centered 7-day window — the robust despiking gate a monitoring
+    pipeline runs before feeding counts to forecasts.
+
+    Determinism: medians ride DOUBLED integer order statistics
+    (m2 = a[(n+1) div 2] + a[(n+2) div 2] on the sorted window, exact
+    for odd and even n); deviations d = |2x − m2| and their doubled
+    median mad2d stay int64; the 3σ test cross-multiplies to
+    20000·d > 44478·mad2d (3·1.4826 = 4.4478 exactly) — no float
+    touches the decision. Day/window come from integer epoch
+    arithmetic (engine dayofweek clash, CLAUDE.md).
+
+    Scale: one shuffle to daily grain (map-side combinable count);
+    the 7-row window partitions by event_type — bounded partitions.
+    At 100 TB the daily matrix is tiny regardless of raw volume.
+    """
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events")
+    daily = (ev.select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-3, 3))
+    arr = F.array_sort(F.collect_list(F.col("x")).over(w))
+    med2 = ("element_at(a, cast((size(a) + 1) div 2 as int))"
+            " + element_at(a, cast((size(a) + 2) div 2 as int))")
+    out = (daily.withColumn("a", arr)
+           .withColumn("m2", F.expr(med2))
+           .withColumn("d", F.expr(
+               "array_sort(transform(a, v -> abs(2 * v - m2)))"))
+           .withColumn("mad2d", F.expr(
+               "element_at(d, cast((size(d) + 1) div 2 as int))"
+               " + element_at(d, cast((size(d) + 2) div 2 as int))"))
+           .select("event_type", "day", "x",
+                   "m2", "mad2d",
+                   F.expr("CASE WHEN 20000 * abs(2 * x - m2)"
+                          " > 44478 * mad2d THEN 1 ELSE 0 END")
+                   .alias("is_outlier")))
+    return out
+
+
+_HAMPEL_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, x,
+         list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN 3 PRECEDING
+                                 AND 3 FOLLOWING)) AS a
+  FROM daily
+),
+med AS (
+  SELECT event_type, day, x,
+         a[(len(a) + 1) // 2] + a[(len(a) + 2) // 2] AS m2, a
+  FROM win
+),
+dev AS (
+  SELECT event_type, day, x, m2,
+         list_sort(list_transform(a, v -> abs(2 * v - m2))) AS d
+  FROM med
+)
+SELECT event_type, day, x, m2,
+       d[(len(d) + 1) // 2] + d[(len(d) + 2) // 2] AS mad2d,
+       CASE WHEN 20000 * abs(2 * x - m2)
+                 > 44478 * (d[(len(d) + 1) // 2] + d[(len(d) + 2) // 2])
+            THEN 1 ELSE 0 END AS is_outlier
+FROM dev
+"""
+
+
+# --------------------------------------------------------------------------
+# shard_diversity_index: per-shard source-mix health gate
+# --------------------------------------------------------------------------
+
+_DIV_SHARDS = 16
+
+
+def _shard_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversity audit per training shard: docs land in one of
+    16 md5-derived shards; each shard reports richness (distinct
+    sources), dominance (largest source's share) and Simpson's
+    diversity 1 − Σ nᵢ(nᵢ−1)/(N(N−1)) — the gate that catches a
+    sharder accidentally clustering one crawl into one shard (bad
+    for data-parallel training).
+
+    Determinism: shard = md5(doc_id) hex prefix mod 16 (identical
+    text in both engines); Simpson and dominance are exact e6
+    rationals — integer-only output.
+
+    Scale: one shuffle to (shard, source) counts (map-side
+    combinable), then a 16·S-row rollup. Shard count is a constant —
+    independent of corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+               16, 10).cast("long"), F.lit(_DIV_SHARDS))
+    per = (docs.select(shard.alias("shard"), "source")
+           .groupBy("shard", "source")
+           .agg(F.count(F.lit(1)).alias("n")))
+    return (per.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_sources"),
+                 F.sum("n").alias("n_docs"),
+                 F.max("n").alias("nmax"),
+                 F.sum(F.col("n") * (F.col("n") - 1)).alias("sq"))
+            .select("shard", "n_sources", "n_docs",
+                    F.expr("1000000 * nmax div n_docs").alias("dominance_e6"),
+                    F.expr("CASE WHEN n_docs < 2 THEN 0"
+                           " ELSE 1000000 - (1000000 * sq)"
+                           " div (n_docs * (n_docs - 1)) END")
+                    .alias("simpson_e6")))
+
+
+_DIVERSITY_SQL = f"""
+WITH per AS (
+  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) % {_DIV_SHARDS} AS shard,
+         source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+agg AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(max(n) AS BIGINT) AS nmax,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS sq
+  FROM per GROUP BY shard
+)
+SELECT shard, n_sources, n_docs,
+       1000000 * nmax // n_docs AS dominance_e6,
+       CASE WHEN n_docs < 2 THEN 0
+            ELSE 1000000 - (1000000 * sq) // (n_docs * (n_docs - 1)) END
+           AS simpson_e6
+FROM agg
+"""
+
+
+QUERIES = {
+    "retrieval_ranking_metrics": (_retrieval_ranking_metrics, _RANKING_SQL),
+    "rouge_overlap_eval": (_rouge_overlap_eval, _ROUGE_SQL),
+    "bleu_ngram_eval": (_bleu_ngram_eval, _BLEU_SQL),
+    "viterbi_state_decode": (_viterbi_state_decode, _viterbi_sql()),
+    "hampel_outlier_filter": (_hampel_outlier_filter, _HAMPEL_SQL),
+    "shard_diversity_index": (_shard_diversity_index, _DIVERSITY_SQL),
+}
