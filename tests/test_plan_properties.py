@@ -372,3 +372,26 @@ def test_round5b_new_queries_plan_contracts(props):
     # interval-join attribution never range-partitions
     p = props("stream_interval_join")
     assert p["range_shuffles"] == 0
+
+
+def test_round6_eval_queries_plan_contracts(props):
+    # none of the eval family may range-partition (driver sorts rows)
+    for name in ("retrieval_ranking_metrics", "rouge_overlap_eval",
+                 "bleu_ngram_eval", "viterbi_state_decode",
+                 "hampel_outlier_filter", "shard_diversity_index"):
+        assert props(name)["range_shuffles"] == 0, name
+    # ranking: query panel rides broadcast joins; corpus never broadcast
+    p = props("retrieval_ranking_metrics")
+    assert p["broadcast_joins"] >= 3
+    # viterbi: ONE shuffle (group by user), fold is scan-fused
+    p = props("viterbi_state_decode")
+    assert p["shuffles"] == 1
+    assert p["scans"] == 1
+    # gram-overlap pair joins stay sort-merge (both sides corpus-scale)
+    p = props("rouge_overlap_eval")
+    assert p["sort_merge_joins"] >= 1
+    # hampel/diversity: tiny post-aggregate tails, <= 2 shuffles, 1 scan
+    for name in ("hampel_outlier_filter", "shard_diversity_index"):
+        p = props(name)
+        assert p["shuffles"] <= 2, name
+        assert p["scans"] == 1, name
