@@ -642,8 +642,195 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------------
+# did_estimator: difference-in-differences on the event stream
+# --------------------------------------------------------------------------
+
+def _did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences point estimate over events: treatment
+    = odd user_id, periods split at the midpoint day of the observed
+    range, outcome = event value. DiD = (post_T − pre_T) − (post_C −
+    pre_C) on group means — the classic quasi-experimental readout
+    (companion to ab_test_ztest / stratified_att_estimate which
+    randomize rather than difference out trends).
+
+    Determinism: values enter as floor-cents (floor of a
+    bit-identical double product is engine-safe); every mean is
+    (10000·Σcents) div n — exact e6 integers end to end. The split
+    day derives from min/max (never a constant, CLAUDE.md id rule).
+
+    Scale: one scan, one map-side-combinable 4-group aggregate; the
+    min/max split rides the same scan via a broadcast 1-row join.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("day"),
+        (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"))
+    split = base.agg(
+        F.expr("(min(day) + max(day)) div 2").alias("split_day"))
+    cells = (base.crossJoin(F.broadcast(split))
+             .groupBy("treat",
+                      (F.col("day") > F.col("split_day"))
+                      .cast("int").alias("post"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("cents").alias("s"))
+             .select("treat", "post", "n",
+                     F.expr("(10000 * s) div n").alias("mean_e6")))
+    w = cells.select(F.expr(
+        "CASE WHEN treat = 1 AND post = 1 THEN 'post_t'"
+        " WHEN treat = 1 THEN 'pre_t'"
+        " WHEN post = 1 THEN 'post_c' ELSE 'pre_c' END").alias("cell"),
+        "n", "mean_e6")
+    return (w.groupBy()
+            .agg(F.sum("n").alias("n_events"),
+                 F.sum(F.when(F.col("cell") == "pre_t",
+                              F.col("mean_e6"))).alias("pre_t_e6"),
+                 F.sum(F.when(F.col("cell") == "post_t",
+                              F.col("mean_e6"))).alias("post_t_e6"),
+                 F.sum(F.when(F.col("cell") == "pre_c",
+                              F.col("mean_e6"))).alias("pre_c_e6"),
+                 F.sum(F.when(F.col("cell") == "post_c",
+                              F.col("mean_e6"))).alias("post_c_e6"))
+            .select("n_events", "pre_t_e6", "post_t_e6",
+                    "pre_c_e6", "post_c_e6",
+                    ((F.col("post_t_e6") - F.col("pre_t_e6"))
+                     - (F.col("post_c_e6") - F.col("pre_c_e6")))
+                    .alias("did_e6")))
+
+
+_DID_SQL = """
+WITH base AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+split AS (SELECT (min(day) + max(day)) // 2 AS split_day FROM base),
+cells AS (
+  SELECT treat, CASE WHEN day > split_day THEN 1 ELSE 0 END AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         (10000 * CAST(sum(cents) AS BIGINT))
+             // CAST(count(*) AS BIGINT) AS mean_e6
+  FROM base, split GROUP BY 1, 2
+),
+w AS (
+  SELECT CASE WHEN treat = 1 AND post = 1 THEN 'post_t'
+              WHEN treat = 1 THEN 'pre_t'
+              WHEN post = 1 THEN 'post_c' ELSE 'pre_c' END AS cell,
+         n, mean_e6
+  FROM cells
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN cell = 'pre_t' THEN mean_e6 END) AS BIGINT)
+           AS pre_t_e6,
+       CAST(sum(CASE WHEN cell = 'post_t' THEN mean_e6 END) AS BIGINT)
+           AS post_t_e6,
+       CAST(sum(CASE WHEN cell = 'pre_c' THEN mean_e6 END) AS BIGINT)
+           AS pre_c_e6,
+       CAST(sum(CASE WHEN cell = 'post_c' THEN mean_e6 END) AS BIGINT)
+           AS post_c_e6,
+       CAST((sum(CASE WHEN cell = 'post_t' THEN mean_e6 END)
+             - sum(CASE WHEN cell = 'pre_t' THEN mean_e6 END))
+            - (sum(CASE WHEN cell = 'post_c' THEN mean_e6 END)
+               - sum(CASE WHEN cell = 'pre_c' THEN mean_e6 END))
+           AS BIGINT) AS did_e6
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# markov_next_event_eval: temporal-split top-1 next-event accuracy
+# --------------------------------------------------------------------------
+
+def _markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the first-order Markov next-event model:
+    train transition counts on the first half of the day range,
+    predict argmax(to | from), score top-1 accuracy on the second
+    half — the eval loop event_transition_matrix lacks (a transition
+    matrix without held-out accuracy is a description, not a model).
+
+    Determinism: the argmax ties break by event_type ASC via
+    struct-min (min_by tie-break is undefined, CLAUDE.md); the
+    train/test boundary derives from min/max day; accuracy is an
+    exact e6 rational. Consecutive pairs order by (ts, event_id).
+
+    Scale: one shuffle to order each user's stream (window lag), one
+    map-side-combinable count per (from, to); the learned model is
+    |event types|² rows — broadcast to score the test pairs.
+    """
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("day"))
+    nxt = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    pairs = (base
+             .withColumn("nxt", F.lead("event_type").over(nxt))
+             .where(F.col("nxt").isNotNull())
+             .select(F.col("event_type").alias("frm"), "nxt", "day"))
+    split = pairs.agg(
+        F.expr("(min(day) + max(day)) div 2").alias("split_day"))
+    pairs = pairs.crossJoin(F.broadcast(split))
+    train = pairs.where(F.col("day") <= F.col("split_day"))
+    test = pairs.where(F.col("day") > F.col("split_day"))
+    model = (train.groupBy("frm", "nxt")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .groupBy("frm")
+             .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                 F.col("nxt").alias("t")))
+                  .getField("t").alias("predicted")))
+    return (test.join(F.broadcast(model), "frm", "left")
+            .groupBy("frm", "predicted")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.sum((F.col("nxt") == F.col("predicted")).cast("long"))
+                 .alias("hits"))
+            .select("frm", "predicted", "n_test", "hits",
+                    F.expr("1000000 * hits div n_test").alias("acc_e6")))
+
+
+_MARKOV_EVAL_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS frm,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY tus, event_id) AS nxt,
+         day
+  FROM base
+),
+pairs_ne AS (SELECT * FROM pairs WHERE nxt IS NOT NULL),
+split AS (SELECT (min(day) + max(day)) // 2 AS split_day FROM pairs_ne),
+train AS (SELECT frm, nxt FROM pairs_ne, split WHERE day <= split_day),
+test AS (SELECT frm, nxt FROM pairs_ne, split WHERE day > split_day),
+model AS (
+  SELECT frm,
+         (min(struct_pack(nc := -c, t := nxt))).t AS predicted
+  FROM (SELECT frm, nxt, CAST(count(*) AS BIGINT) AS c
+        FROM train GROUP BY 1, 2)
+  GROUP BY frm
+)
+SELECT t.frm, m.predicted,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN t.nxt = m.predicted THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+       1000000 * CAST(sum(CASE WHEN t.nxt = m.predicted THEN 1 ELSE 0 END)
+                      AS BIGINT) // CAST(count(*) AS BIGINT) AS acc_e6
+FROM test t LEFT JOIN model m ON t.frm = m.frm
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "retrieval_ranking_metrics": (_retrieval_ranking_metrics, _RANKING_SQL),
+    "did_estimator": (_did_estimator, _DID_SQL),
+    "markov_next_event_eval": (_markov_next_event_eval, _MARKOV_EVAL_SQL),
     "rouge_overlap_eval": (_rouge_overlap_eval, _ROUGE_SQL),
     "bleu_ngram_eval": (_bleu_ngram_eval, _BLEU_SQL),
     "viterbi_state_decode": (_viterbi_state_decode, _viterbi_sql()),

@@ -393,8 +393,149 @@ FROM cum
 """
 
 
+def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style lattice segmentation: score every distinct
+    corpus word by its minimal-cost subword segmentation under a
+    frequency-thresholded piece vocabulary — the Viterbi-over-lattice
+    kernel of unigram-LM tokenizers (the BPE trainer's sibling; BPE
+    composes merges bottom-up, unigram-LM picks the best path through
+    all candidate pieces at once).
+
+    Model: candidate pieces are all substrings of length 1–3 of
+    corpus words, weighted by word frequency; the vocabulary keeps
+    pieces with weight ≥ total_tokens div 500 (derived threshold —
+    never a constant, so it tracks corpus growth). Piece costs are
+    exact ints favoring long pieces (len 3 → 7, len 2 → 8, len 1 → 9;
+    len-1 pieces are always usable so every word segments). The DP
+    best[i] = min_l best[i−l] + cost(w[i−l+1..i]) runs as a left fold
+    whose accumulator is the growing best[] ARRAY — a single
+    list-typed value, self-read only, so it sidesteps DuckDB's
+    struct-field aliasing entirely (CLAUDE.md viterbi note).
+
+    Determinism: all integer; vocabulary membership is exact; fold
+    order is the position order.
+
+    Scale: distinct words and the piece vocabulary are both tiny
+    relative to the corpus (vocab is bounded by 3·500 pieces BY
+    CONSTRUCTION of the threshold — Σ weights ≤ 3·total); the only
+    corpus-scale work is the two token counts. Grid joins broadcast
+    the vocab; the fold runs per distinct word.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(tokens(F.lower(F.col("text"))))
+                        .alias("w"))
+            .where(F.col("w") != ""))
+    words = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    total = words.agg(F.sum("f").alias("t"))
+    pieces = (words.select(
+        "f", F.explode(F.expr(
+            "flatten(transform(sequence(1, length(w)), i ->"
+            " transform(sequence(1, least(3, length(w) - i + 1)),"
+            "           l -> substring(w, i, l))))")).alias("p"))
+        .groupBy("p").agg(F.sum("f").alias("pf")))
+    vocab = (pieces.crossJoin(F.broadcast(total))
+             .where(F.col("pf") >= F.expr("t div 500"))
+             .select("p"))
+    grid = (words.select("w", "f", F.explode(
+        F.expr("sequence(1, length(w))")).alias("i"))
+        .withColumn("p2", F.expr(
+            "CASE WHEN i >= 2 THEN substring(w, i - 1, 2) END"))
+        .withColumn("p3", F.expr(
+            "CASE WHEN i >= 3 THEN substring(w, i - 2, 3) END"))
+        .join(F.broadcast(vocab.select(F.col("p").alias("p2"),
+                                       F.lit(1).alias("in2"))),
+              "p2", "left")
+        .join(F.broadcast(vocab.select(F.col("p").alias("p3"),
+                                       F.lit(1).alias("in3"))),
+              "p3", "left")
+        .select("w", "f", "i",
+                F.lit(9).cast("long").alias("c1"),
+                F.expr("CAST(CASE WHEN in2 = 1 THEN 8"
+                       " ELSE 1000000 END AS BIGINT)").alias("c2"),
+                F.expr("CAST(CASE WHEN in3 = 1 THEN 7"
+                       " ELSE 1000000 END AS BIGINT)").alias("c3")))
+    fold = ("aggregate("
+            " array_sort(xs),"
+            " array(cast(0 as bigint)),"
+            " (acc, x) -> concat(acc, array(least("
+            "   element_at(acc, x.i) + x.c1,"
+            "   IF(x.i >= 2, element_at(acc, x.i - 1) + x.c2,"
+            "      cast(2000000 as bigint)),"
+            "   IF(x.i >= 3, element_at(acc, x.i - 2) + x.c3,"
+            "      cast(2000000 as bigint))))))")
+    return (grid.groupBy("w", "f")
+            .agg(F.collect_list(F.struct("i", "c1", "c2", "c3"))
+                 .alias("xs"))
+            .select(F.col("w").alias("word"), F.col("f").alias("freq"),
+                    F.length("w").alias("wlen"),
+                    F.expr(f"element_at({fold}, length(w) + 1)")
+                    .alias("best_cost"))
+            .withColumn("saved_e6", F.expr(
+                "1000000 * (9 * wlen - best_cost) div (9 * wlen)")))
+
+
+_UNIGRAM_SEG_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f
+  FROM toks WHERE w <> '' GROUP BY w
+),
+total AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM words),
+pieces AS (
+  SELECT p, CAST(sum(f) AS BIGINT) AS pf
+  FROM (
+    SELECT f, unnest(flatten(list_transform(range(1, len(w) + 1), i ->
+               list_transform(range(1, least(3, len(w) - i + 1) + 1),
+                              l -> substr(w, CAST(i AS INT),
+                                          CAST(l AS INT)))))) AS p
+    FROM words)
+  GROUP BY p
+),
+vocab AS (
+  SELECT p FROM pieces, total WHERE pf >= t // 500
+),
+grid AS (
+  SELECT w, f, CAST(i AS INT) AS i,
+         CAST(9 AS BIGINT) AS c1,
+         CAST(CASE WHEN i >= 2 AND v2.p IS NOT NULL THEN 8
+              ELSE 1000000 END AS BIGINT) AS c2,
+         CAST(CASE WHEN i >= 3 AND v3.p IS NOT NULL THEN 7
+              ELSE 1000000 END AS BIGINT) AS c3
+  FROM (SELECT w, f, unnest(range(1, len(w) + 1)) AS i FROM words) g
+  LEFT JOIN vocab v2
+    ON i >= 2 AND v2.p = substr(g.w, CAST(i - 1 AS INT), 2)
+  LEFT JOIN vocab v3
+    ON i >= 3 AND v3.p = substr(g.w, CAST(i - 2 AS INT), 3)
+),
+folded AS (
+  SELECT w AS word, f AS freq, CAST(len(w) AS INT) AS wlen,
+         list_reduce(
+           list_prepend([CAST(0 AS BIGINT)],
+             list_transform(
+               list_sort(list(struct_pack(i := i, c1 := c1,
+                                          c2 := c2, c3 := c3))),
+               x -> [CAST(x.i AS BIGINT), x.c1, x.c2, x.c3])),
+           (acc, x) -> list_append(acc, least(
+             acc[x[1]] + x[2],
+             CASE WHEN x[1] >= 2 THEN acc[x[1] - 1] + x[3]
+                  ELSE CAST(2000000 AS BIGINT) END,
+             CASE WHEN x[1] >= 3 THEN acc[x[1] - 2] + x[4]
+                  ELSE CAST(2000000 AS BIGINT) END))) AS best
+  FROM grid GROUP BY w, f
+)
+SELECT word, freq, wlen,
+       best[wlen + 1] AS best_cost,
+       1000000 * (9 * wlen - best[wlen + 1]) // (9 * wlen) AS saved_e6
+FROM folded
+"""
+
+
 QUERIES = {
     "ngram_lm_perplexity": (ngram_lm_perplexity, _LM_SQL),
+    "unigram_lm_segment": (unigram_lm_segment, _UNIGRAM_SEG_SQL),
     "token_zipf_fit": (token_zipf_fit, _ZIPF_SQL),
     "vocab_growth_curve": (vocab_growth_curve, _VOCAB_GROWTH_SQL),
     "negative_sampling_table": (negative_sampling_table,

@@ -71,6 +71,10 @@ HEADLINE = [
     "bradley_terry_strength",
     "greedy_coverage_selection",
     "wasserstein_source_shift",
+    # round 6: retrieval-quality eval (panel-broadcast ranking) and the
+    # exact-integer HMM decode (one-shuffle scan-fused fold)
+    "retrieval_ranking_metrics",
+    "viterbi_state_decode",
 ]
 
 
