@@ -28,6 +28,17 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 
+_PERSISTED: list = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
 # --------------------------------------------------------------------------
 # retrieval_ranking_metrics: NDCG@10 / MRR / P@10 for token-overlap retrieval
 # --------------------------------------------------------------------------
@@ -74,11 +85,17 @@ def _retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDCG. RR and P@10 are exact rationals.
 
     Scale: the query panel is a tiny broadcast (≈1% of docs); corpus
-    postings are md5-keyed distinct tokens, one shuffle to group
-    (qid, doc) match counts; the per-qid top-10 window partitions on
-    qid (panel-bounded, never the corpus). 100 TB: panel broadcast
-    unchanged; the postings join is the same shape as bm25_topk.
+    postings are md5-keyed distinct tokens, built ONCE and persisted
+    (they feed both the panel extraction and the corpus side of the
+    match join — without the persist the corpus explode+distinct
+    would run twice; released via unpersist_cached); one shuffle to
+    group (qid, doc) match counts; the per-qid top-10 window
+    partitions on qid (panel-bounded, never the corpus). 100 TB:
+    panel broadcast unchanged; the postings join is the same shape
+    as bm25_topk.
     """
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
     meta = docs.select("doc_id", "source", "lang")
     toks = (docs.select("doc_id",
@@ -86,7 +103,9 @@ def _retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           r"\s+")).alias("w"))
             .where(F.col("w") != "")
             .select("doc_id", F.unhex(F.md5("w")).alias("wk"))
-            .distinct())
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(toks)
     qdocs = meta.where(F.col("doc_id") % 101 == 0)
     qtoks = (toks.join(F.broadcast(qdocs.select("doc_id")), "doc_id")
              .withColumnRenamed("doc_id", "qid"))
@@ -827,10 +846,92 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# contrastive_pair_batches: deterministic in-batch negative construction
+# --------------------------------------------------------------------------
+
+_CB_BATCHES = 8
+
+
+def _contrastive_pair_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-batch construction: every doc is an anchor
+    with (a) a positive — its same-source successor by doc_id (the
+    related-pair heuristic the ROUGE/BLEU evals score) and (b) up to 3
+    in-batch negatives — the next docs in its md5-shuffled batch that
+    come from a DIFFERENT source. This is the batch layout a CLIP/
+    SimCSE-style trainer consumes; building it inside the engine means
+    the expensive negative-mining never leaves the cluster.
+
+    Determinism: batch id and in-batch order both derive from
+    md5(doc_id); negatives are positional leads in that order (ties
+    impossible — md5 order is total with the doc_id tiebreak), nulled
+    when the lead shares the anchor's source or runs off the batch
+    tail.
+
+    Scale: no pairwise join anywhere — two window passes (one over
+    source for positives, one over batch for negatives), each a
+    single hash shuffle on a bounded key. Batch count is a constant;
+    batch SIZE grows with the corpus but the window only ever looks 3
+    rows ahead (WindowExec streams, never materializes the frame).
+    """
+    from pyspark.sql import Window
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+               16, 10).cast("long")
+    base = docs.select("doc_id", "source", h.alias("h"),
+                       F.pmod(h, F.lit(_CB_BATCHES)).alias("batch"))
+    pos_w = Window.partitionBy("source").orderBy("doc_id")
+    neg_w = Window.partitionBy("batch").orderBy("h", "doc_id")
+    out = base.withColumn("pos_id", F.lead("doc_id").over(pos_w))
+    for i in (1, 2, 3):
+        out = (out
+               .withColumn(f"_n{i}", F.lead("doc_id", i).over(neg_w))
+               .withColumn(f"_s{i}", F.lead("source", i).over(neg_w))
+               .withColumn(f"neg{i}", F.when(
+                   F.col(f"_s{i}") != F.col("source"),
+                   F.col(f"_n{i}"))))
+    return (out.select(
+        F.col("doc_id").alias("anchor_id"), "batch", "pos_id",
+        "neg1", "neg2", "neg3",
+        (F.col("neg1").isNotNull().cast("int")
+         + F.col("neg2").isNotNull().cast("int")
+         + F.col("neg3").isNotNull().cast("int")).alias("n_valid_negs")))
+
+
+_CONTRASTIVE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) AS h
+  FROM documents
+),
+b2 AS (SELECT *, h % {_CB_BATCHES} AS batch FROM base),
+w AS (
+  SELECT doc_id, source, batch,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pos_id,
+         lead(doc_id, 1) OVER nw AS n1, lead(source, 1) OVER nw AS s1,
+         lead(doc_id, 2) OVER nw AS n2, lead(source, 2) OVER nw AS s2,
+         lead(doc_id, 3) OVER nw AS n3, lead(source, 3) OVER nw AS s3
+  FROM b2
+  WINDOW nw AS (PARTITION BY batch ORDER BY h, doc_id)
+)
+SELECT doc_id AS anchor_id, batch, pos_id,
+       CASE WHEN s1 <> source THEN n1 END AS neg1,
+       CASE WHEN s2 <> source THEN n2 END AS neg2,
+       CASE WHEN s3 <> source THEN n3 END AS neg3,
+       (CASE WHEN s1 <> source THEN 1 ELSE 0 END
+        + CASE WHEN s2 <> source THEN 1 ELSE 0 END
+        + CASE WHEN s3 <> source THEN 1 ELSE 0 END) AS n_valid_negs
+FROM w
+"""
+
+
 QUERIES = {
     "retrieval_ranking_metrics": (_retrieval_ranking_metrics, _RANKING_SQL),
     "did_estimator": (_did_estimator, _DID_SQL),
     "markov_next_event_eval": (_markov_next_event_eval, _MARKOV_EVAL_SQL),
+    "contrastive_pair_batches": (_contrastive_pair_batches,
+                                 _CONTRASTIVE_SQL),
     "rouge_overlap_eval": (_rouge_overlap_eval, _ROUGE_SQL),
     "bleu_ngram_eval": (_bleu_ngram_eval, _BLEU_SQL),
     "viterbi_state_decode": (_viterbi_state_decode, _viterbi_sql()),

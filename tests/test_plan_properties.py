@@ -375,14 +375,20 @@ def test_round5b_new_queries_plan_contracts(props):
 
 
 def test_round6_eval_queries_plan_contracts(props):
+    from alma_publish_to_marc_spark.plans import eval_queries as EQ
+
     # none of the eval family may range-partition (driver sorts rows)
     for name in ("retrieval_ranking_metrics", "rouge_overlap_eval",
                  "bleu_ngram_eval", "viterbi_state_decode",
-                 "hampel_outlier_filter", "shard_diversity_index"):
+                 "hampel_outlier_filter", "shard_diversity_index",
+                 "did_estimator", "markov_next_event_eval",
+                 "contrastive_pair_batches", "unigram_lm_segment"):
         assert props(name)["range_shuffles"] == 0, name
-    # ranking: query panel rides broadcast joins; corpus never broadcast
+    # ranking: query panel rides broadcast joins; the token postings
+    # are persisted and reused (in-memory scans, not re-explodes)
     p = props("retrieval_ranking_metrics")
     assert p["broadcast_joins"] >= 3
+    assert p["in_memory_scans"] >= 2
     # viterbi: ONE shuffle (group by user), fold is scan-fused
     p = props("viterbi_state_decode")
     assert p["shuffles"] == 1
@@ -390,8 +396,12 @@ def test_round6_eval_queries_plan_contracts(props):
     # gram-overlap pair joins stay sort-merge (both sides corpus-scale)
     p = props("rouge_overlap_eval")
     assert p["sort_merge_joins"] >= 1
-    # hampel/diversity: tiny post-aggregate tails, <= 2 shuffles, 1 scan
-    for name in ("hampel_outlier_filter", "shard_diversity_index"):
+    # hampel/diversity/contrastive: tiny tails, <= 2 shuffles, 1 scan
+    for name in ("hampel_outlier_filter", "shard_diversity_index",
+                 "contrastive_pair_batches"):
         p = props(name)
         assert p["shuffles"] <= 2, name
         assert p["scans"] == 1, name
+    # contrastive builds batches with window leads — NO self-joins
+    assert props("contrastive_pair_batches")["sort_merge_joins"] == 0
+    EQ.unpersist_cached()
