@@ -44,6 +44,11 @@ def unpersist_cached() -> int:
 # --------------------------------------------------------------------------
 
 _RANK_K = 10
+# FIXED-SIZE query panel (lowest 32 ids among doc_id % 101 == 0): a
+# panel that is a fixed FRACTION of the corpus makes the eval O(N²)
+# (the 1x→4x scale probe measured 2.2s → 15.1s); a capped panel keeps
+# it O(panel·N) — the shape a real fixed eval set has.
+_RANK_NQ = 32
 # DCG position weights floor(1e6 / log2(i+1)) precomputed in PYTHON and
 # inlined as integer literals in BOTH engines: the discount is
 # irrational, and a floor-of-double computed independently per engine
@@ -72,9 +77,11 @@ def _cw_at(expr: str) -> str:
 def _retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@10, reciprocal rank, and precision@10 per query for
     shared-distinct-token retrieval over ``documents``: query panel =
-    doc_id % 101 == 0, candidates ranked by count of shared distinct
-    tokens (tie-break doc_id), graded relevance 2 = same source AND
-    lang, 1 = same lang, 0 otherwise.
+    the lowest 32 doc_ids with doc_id % 101 == 0 (FIXED size — a
+    fraction-of-corpus panel would make the eval O(N²)), candidates
+    ranked by count of shared distinct tokens (tie-break doc_id),
+    graded relevance 2 = same source AND lang, 1 = same lang, 0
+    otherwise.
 
     Determinism: gains are 2^rel − 1 (exact ints); the irrational
     1/log2(i+1) discounts are a Python-precomputed integer weight
@@ -106,7 +113,8 @@ def _retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK))
     _PERSISTED.append(toks)
-    qdocs = meta.where(F.col("doc_id") % 101 == 0)
+    qdocs = (meta.where(F.col("doc_id") % 101 == 0)
+             .orderBy("doc_id").limit(_RANK_NQ))
     qtoks = (toks.join(F.broadcast(qdocs.select("doc_id")), "doc_id")
              .withColumnRenamed("doc_id", "qid"))
     scored = (toks.join(F.broadcast(qtoks), "wk")
@@ -160,7 +168,8 @@ WITH toks AS (
         FROM documents)
   WHERE w <> ''
 ),
-qdocs AS (SELECT doc_id, source, lang FROM documents WHERE doc_id % 101 = 0),
+qdocs AS (SELECT doc_id, source, lang FROM documents
+          WHERE doc_id % 101 = 0 ORDER BY doc_id LIMIT {_RANK_NQ}),
 scored AS (
   SELECT q.doc_id AS qid, t.doc_id, CAST(count(*) AS BIGINT) AS score
   FROM toks t JOIN (SELECT tq.doc_id, tq.wk FROM toks tq
