@@ -170,6 +170,12 @@ def main() -> None:
         "kmeans_silhouette_sampled", "overdispersion_check",
         "chi2_cell_residuals", "seasonal_decomposition",
         "packing_efficiency_audit", "time_weighted_average",
+        # round 6: eval family (plans/eval_queries.py) + tokenizer DP
+        "retrieval_ranking_metrics", "rouge_overlap_eval",
+        "bleu_ngram_eval", "viterbi_state_decode",
+        "hampel_outlier_filter", "shard_diversity_index",
+        "did_estimator", "markov_next_event_eval",
+        "contrastive_pair_batches", "unigram_lm_segment",
     ]
     for name in names:
         if name not in qs:
