@@ -935,12 +935,137 @@ FROM w
 """
 
 
+# --------------------------------------------------------------------------
+# behavior_alignment_score: LCS self-alignment of each user's two halves
+# --------------------------------------------------------------------------
+
+_LCS_CAP = 40
+# alphabetical event-type codes, inlined identically in both engines
+_LCS_CODE = ("CASE x.x WHEN 'click' THEN 1 WHEN 'error' THEN 2"
+             " WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4"
+             " WHEN 'view' THEN 5 ELSE 0 END")
+
+
+def _behavior_alignment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral consistency per user: the longest common subsequence
+    between the user's event-type sequence in the FIRST half of the
+    observed day range and the SECOND half, normalized to
+    2·LCS/(|A|+|B|) — a drift detector that is order-aware where the
+    Markov eval is only pairwise (a user who reordered their whole
+    routine scores low here even if every bigram still occurs).
+
+    Determinism: the full O(|A|·|B|) LCS table runs as a fold-of-folds
+    — outer fold over A carries the previous DP ROW as a list<bigint>
+    accumulator, the inner fold over B's positions grows the next row.
+    Both accumulators are single list values (self-read only), so
+    DuckDB's struct-field aliasing hazard never arises; sequences sort
+    by (ts, event_id) and cap at {cap} events per half (bounds the DP
+    at {cap}² cells per user). Users need both halves non-empty —
+    Spark's sequence(1, 0) counts DOWN, so the empty-B guard is
+    correctness, not just efficiency.
+
+    Scale: one shuffle to group events per user; the DP is scan-fused
+    per user with constant-bounded state ({cap}+1 int64s). At 100 TB
+    the cost is linear in users; no joins, no second corpus pass (the
+    split day broadcasts from a 1-row aggregate).
+    """.format(cap=_LCS_CAP)
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.struct(F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                 F.col("event_id").alias("i"),
+                 F.col("event_type").alias("x")).alias("s"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("day"))
+    split = base.agg(
+        F.expr("(min(day) + max(day)) div 2").alias("split_day"))
+    seq = (base.crossJoin(F.broadcast(split))
+           .groupBy("user_id")
+           .agg(F.array_sort(F.collect_list(
+               F.when(F.col("day") <= F.col("split_day"), F.col("s"))))
+               .alias("xa"),
+               F.array_sort(F.collect_list(
+                   F.when(F.col("day") > F.col("split_day"), F.col("s"))))
+               .alias("xb")))
+    enc = (f"slice(transform(XS, x -> cast({_LCS_CODE} as bigint)),"
+           f" 1, {_LCS_CAP})")
+    two = (seq.select("user_id",
+                      F.expr(enc.replace("XS", "xa")).alias("a"),
+                      F.expr(enc.replace("XS", "xb")).alias("b"))
+           .where((F.size("a") >= 1) & (F.size("b") >= 1)))
+    lcs = ("element_at(aggregate(a,"
+           " transform(sequence(0, size(b)), z -> cast(0 as bigint)),"
+           " (prev, ac) -> aggregate(sequence(1, size(b)),"
+           "   array(cast(0 as bigint)),"
+           "   (cur, j) -> concat(cur, array(greatest("
+           "     element_at(prev, j + 1),"
+           "     element_at(cur, j),"
+           "     element_at(prev, j)"
+           "       + IF(element_at(b, j) = ac, cast(1 as bigint),"
+           "            cast(0 as bigint))))))), size(b) + 1)")
+    return (two.select("user_id",
+                       F.size("a").alias("n_a"), F.size("b").alias("n_b"),
+                       F.expr(lcs).alias("lcs_len"))
+            .withColumn("consistency_e6", F.expr(
+                "2000000 * lcs_len div (n_a + n_b)")))
+
+
+def _behavior_alignment_sql() -> str:
+    code = _LCS_CODE
+    return f"""
+WITH base AS (
+  SELECT user_id,
+         struct_pack(t := epoch_us(ts), i := event_id,
+                     x := event_type) AS s,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+split AS (SELECT (min(day) + max(day)) // 2 AS split_day FROM base),
+seq AS (
+  SELECT user_id,
+         list_sort(list(s) FILTER (WHERE day <= split_day)) AS xa,
+         list_sort(list(s) FILTER (WHERE day > split_day)) AS xb
+  FROM base, split GROUP BY user_id
+),
+two AS (
+  SELECT user_id,
+         list_transform(xa, x -> CAST({code} AS BIGINT))[1:{_LCS_CAP}] AS a,
+         list_transform(xb, x -> CAST({code} AS BIGINT))[1:{_LCS_CAP}] AS b
+  FROM seq
+  WHERE len(xa) >= 1 AND len(xb) >= 1
+),
+dp AS (
+  SELECT user_id, CAST(len(a) AS INT) AS n_a, CAST(len(b) AS INT) AS n_b,
+         list_reduce(
+           list_prepend(
+             list_transform(range(0, len(b) + 1), z -> CAST(0 AS BIGINT)),
+             list_transform(a, c -> [c])),
+           (prev, ac) -> list_reduce(
+             list_prepend([CAST(0 AS BIGINT)],
+                          list_transform(range(1, len(b) + 1),
+                                         j -> [j, b[j]])),
+             (cur, x) -> list_append(cur, greatest(
+               prev[x[1] + 1],
+               cur[x[1]],
+               prev[x[1]] + CASE WHEN x[2] = ac[1]
+                                 THEN 1 ELSE 0 END))))[len(b) + 1]
+             AS lcs_len
+  FROM two
+)
+SELECT user_id, n_a, n_b, lcs_len,
+       2000000 * lcs_len // (n_a + n_b) AS consistency_e6
+FROM dp
+"""
+
+
 QUERIES = {
     "retrieval_ranking_metrics": (_retrieval_ranking_metrics, _RANKING_SQL),
     "did_estimator": (_did_estimator, _DID_SQL),
     "markov_next_event_eval": (_markov_next_event_eval, _MARKOV_EVAL_SQL),
     "contrastive_pair_batches": (_contrastive_pair_batches,
                                  _CONTRASTIVE_SQL),
+    "behavior_alignment_score": (_behavior_alignment_score,
+                                 _behavior_alignment_sql()),
     "rouge_overlap_eval": (_rouge_overlap_eval, _ROUGE_SQL),
     "bleu_ngram_eval": (_bleu_ngram_eval, _BLEU_SQL),
     "viterbi_state_decode": (_viterbi_state_decode, _viterbi_sql()),

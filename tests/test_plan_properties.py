@@ -382,8 +382,12 @@ def test_round6_eval_queries_plan_contracts(props):
                  "bleu_ngram_eval", "viterbi_state_decode",
                  "hampel_outlier_filter", "shard_diversity_index",
                  "did_estimator", "markov_next_event_eval",
-                 "contrastive_pair_batches", "unigram_lm_segment"):
+                 "contrastive_pair_batches", "unigram_lm_segment",
+                 "behavior_alignment_score"):
         assert props(name)["range_shuffles"] == 0, name
+    # the LCS DP is scan-fused per user: one shuffle, one scan, no join
+    p = props("behavior_alignment_score")
+    assert p["shuffles"] <= 1 and p["sort_merge_joins"] == 0
     # ranking: query panel rides broadcast joins; the token postings
     # are persisted and reused (in-memory scans, not re-explodes)
     p = props("retrieval_ranking_metrics")

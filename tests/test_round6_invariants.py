@@ -157,6 +157,46 @@ def test_contrastive_negatives_never_share_source(spark, q):
             x is not None for x in (r.neg1, r.neg2, r.neg3))
 
 
+def test_lcs_alignment_matches_python_reference(spark, q):
+    # recompute the capped per-user LCS in pure Python from the same
+    # (ts, event_id)-sorted halves and compare exactly.
+    from alma_publish_to_marc_spark.plans.eval_queries import _LCS_CAP
+    from alma_publish_to_marc_spark.tables import load
+
+    ev = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("day")).collect()
+    days = [r.day for r in ev]
+    split = (min(days) + max(days)) // 2
+    halves: dict = {}
+    for r in sorted(ev, key=lambda r: (r.tus, r.event_id)):
+        a, b = halves.setdefault(r.user_id, ([], []))
+        (a if r.day <= split else b).append(r.event_type)
+
+    def lcs(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i, x in enumerate(a, 1):
+            for j, y in enumerate(b, 1):
+                dp[i][j] = max(dp[i - 1][j], dp[i][j - 1],
+                               dp[i - 1][j - 1] + (x == y))
+        return dp[-1][-1]
+
+    got = {r.user_id: (r.n_a, r.n_b, r.lcs_len, r.consistency_e6)
+           for r in q("behavior_alignment_score").collect()}
+    for uid, (a, b) in halves.items():
+        a, b = a[:_LCS_CAP], b[:_LCS_CAP]
+        if not a or not b:
+            assert uid not in got
+            continue
+        n_a, n_b, l, cons = got[uid]
+        assert (n_a, n_b) == (len(a), len(b))
+        assert l == lcs(a, b), uid
+        assert cons == 2_000_000 * l // (n_a + n_b)
+        assert l <= min(n_a, n_b)
+
+
 def test_unigram_segment_cost_bounds(q):
     # every word segments (cost < the not-in-vocab sentinel); the
     # all-singles path bounds cost above at 9*len; pieces of length
