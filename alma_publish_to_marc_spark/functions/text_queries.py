@@ -1397,3 +1397,72 @@ JOIN sizes sb ON sb.source = i.src_b
 
 QUERIES["vocab_overlap_matrix"] = (_vocab_overlap_matrix,
                                    _VOCAB_OVERLAP_SQL)
+
+
+# --------------------------------------------------------------------------
+# lexicon_sentiment_score: broadcast-lexicon polarity scoring
+# --------------------------------------------------------------------------
+
+# Fixed public word lists (the large-scale-sentiment-on-Spark shape,
+# EDBT 2016 — PAPERS.md: lexicon lookup beats model inference when the
+# corpus is 100 TB and the lexicon is KBs).
+_SENT_POS = ("fast", "small", "value", "merge")
+_SENT_NEG = ("slow", "big", "dup", "error")
+
+
+def _lexicon_sentiment_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexicon polarity: token hits against fixed
+    positive/negative word lists, polarity_e6 = 1e6·(pos − neg) div
+    tokens — the classic distributed sentiment pass (EDBT 2016,
+    PAPERS.md) and, in a curation stack, the cheap affect/tone feature
+    that rides the same scan as the other doc-quality signals.
+
+    Determinism: exact integer counts and one integer division; the
+    lexicon is inlined identically in both engines.
+
+    Scale: zero shuffles — the lexicon folds into the scan as literal
+    array_contains tests (no join at all: a KB lexicon beats even a
+    broadcast join since it never leaves codegen).
+    """
+    docs = load(spark, sf_dir, "documents")
+    pos = ", ".join(f"'{w}'" for w in _SENT_POS)
+    neg = ", ".join(f"'{w}'" for w in _SENT_NEG)
+    toks = "filter(split(trim(lower(text)), '\\\\s+'), w -> w <> '')"
+    return docs.select(
+        "doc_id", "source",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(filter({toks}, w -> w IN ({pos})))"
+               ).alias("n_pos"),
+        F.expr(f"size(filter({toks}, w -> w IN ({neg})))"
+               ).alias("n_neg")).withColumn(
+        "polarity_e6",
+        F.expr("CASE WHEN n_tokens = 0 THEN 0 ELSE"
+               " 1000000 * (cast(n_pos as bigint) - n_neg)"
+               " div n_tokens END"))
+
+
+def _lexicon_sentiment_sql() -> str:
+    pos = ", ".join(f"'{w}'" for w in _SENT_POS)
+    neg = ", ".join(f"'{w}'" for w in _SENT_NEG)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(len(ws) AS INT) AS n_tokens,
+       CAST(len(list_filter(ws, w -> w IN ({pos}))) AS INT) AS n_pos,
+       CAST(len(list_filter(ws, w -> w IN ({neg}))) AS INT) AS n_neg,
+       CASE WHEN len(ws) = 0 THEN 0
+            ELSE 1000000 * (CAST(len(list_filter(ws, w -> w IN ({pos})))
+                                 AS BIGINT)
+                            - len(list_filter(ws, w -> w IN ({neg}))))
+                 // len(ws) END AS polarity_e6
+FROM toks
+"""
+
+
+QUERIES["lexicon_sentiment_score"] = (_lexicon_sentiment_score,
+                                      _lexicon_sentiment_sql())

@@ -1058,6 +1058,115 @@ FROM dp
 """
 
 
+# --------------------------------------------------------------------------
+# trajectory_similarity_topk: top-k users most similar to a probe trajectory
+# --------------------------------------------------------------------------
+
+_TRAJ_K = 10
+
+
+def _trajectory_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k trajectory similarity search (REPOSE, ICDE
+    2021 — PAPERS.md — solves this for spatial trajectories with
+    reference-point tries; here the trajectory alphabet is the event
+    vocabulary, so the exact LCS kernel from behavior_alignment_score
+    is the similarity): find the {k} users whose event-type sequences
+    are most LCS-similar to the probe user's (the lowest user_id —
+    derived, never a constant). sim_e6 = 2e6·LCS/(|A|+|B|).
+
+    Determinism: same fold-of-folds integer DP as
+    behavior_alignment_score; top-k orders by (sim DESC, user_id).
+
+    Scale: the probe sequence is a 1-row broadcast; every user folds
+    against it independently (linear in users, zero joins between
+    users); the top-k is a TakeOrdered, never a global sort. At
+    100 TB this is the canonical broadcast-probe search shape — the
+    REPOSE trie would only be needed for probe SETS large enough
+    that per-user × per-probe folds dominate.
+    """.format(k=_TRAJ_K)
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.struct(F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                 F.col("event_id").alias("i"),
+                 F.col("event_type").alias("x")).alias("s"))
+    enc = (f"slice(transform(array_sort(xs),"
+           f" x -> cast({_LCS_CODE} as bigint)), 1, {_LCS_CAP})")
+    seqs = (base.groupBy("user_id")
+            .agg(F.collect_list("s").alias("xs"))
+            .select("user_id", F.expr(enc).alias("a")))
+    probe = (seqs.orderBy("user_id").limit(1)
+             .select(F.col("user_id").alias("probe_id"),
+                     F.col("a").alias("b")))
+    lcs = ("element_at(aggregate(a,"
+           " transform(sequence(0, size(b)), z -> cast(0 as bigint)),"
+           " (prev, ac) -> aggregate(sequence(1, size(b)),"
+           "   array(cast(0 as bigint)),"
+           "   (cur, j) -> concat(cur, array(greatest("
+           "     element_at(prev, j + 1),"
+           "     element_at(cur, j),"
+           "     element_at(prev, j)"
+           "       + IF(element_at(b, j) = ac, cast(1 as bigint),"
+           "            cast(0 as bigint))))))), size(b) + 1)")
+    scored = (seqs.crossJoin(F.broadcast(probe))
+              .where(F.col("user_id") != F.col("probe_id"))
+              .select("user_id", "probe_id",
+                      F.size("a").alias("n_a"), F.size("b").alias("n_b"),
+                      F.expr(lcs).alias("lcs_len"))
+              .withColumn("sim_e6", F.expr(
+                  "2000000 * lcs_len div (n_a + n_b)")))
+    return (scored.orderBy(F.desc("sim_e6"), "user_id").limit(_TRAJ_K)
+            .select("probe_id", "user_id", "n_a", "n_b",
+                    "lcs_len", "sim_e6"))
+
+
+def _trajectory_sql() -> str:
+    code = _LCS_CODE
+    return f"""
+WITH base AS (
+  SELECT user_id,
+         struct_pack(t := epoch_us(ts), i := event_id,
+                     x := event_type) AS s
+  FROM events
+),
+seqs AS (
+  SELECT user_id,
+         list_transform(list_sort(list(s)),
+                        x -> CAST({code} AS BIGINT))[1:{_LCS_CAP}] AS a
+  FROM base GROUP BY user_id
+),
+probe AS (
+  SELECT user_id AS probe_id, a AS b
+  FROM seqs ORDER BY user_id LIMIT 1
+),
+scored AS (
+  SELECT s.user_id, p.probe_id,
+         CAST(len(s.a) AS INT) AS n_a, CAST(len(p.b) AS INT) AS n_b,
+         list_reduce(
+           list_prepend(
+             list_transform(range(0, len(p.b) + 1),
+                            z -> CAST(0 AS BIGINT)),
+             list_transform(s.a, c -> [c])),
+           (prev, ac) -> list_reduce(
+             list_prepend([CAST(0 AS BIGINT)],
+                          list_transform(range(1, len(p.b) + 1),
+                                         j -> [j, p.b[j]])),
+             (cur, x) -> list_append(cur, greatest(
+               prev[x[1] + 1],
+               cur[x[1]],
+               prev[x[1]] + CASE WHEN x[2] = ac[1]
+                                 THEN 1 ELSE 0 END))))[len(p.b) + 1]
+             AS lcs_len
+  FROM seqs s, probe p
+  WHERE s.user_id <> p.probe_id
+)
+SELECT probe_id, user_id, n_a, n_b, lcs_len,
+       2000000 * lcs_len // (n_a + n_b) AS sim_e6
+FROM scored
+ORDER BY sim_e6 DESC, user_id LIMIT {_TRAJ_K}
+"""
+
+
 QUERIES = {
     "retrieval_ranking_metrics": (_retrieval_ranking_metrics, _RANKING_SQL),
     "did_estimator": (_did_estimator, _DID_SQL),
@@ -1066,6 +1175,8 @@ QUERIES = {
                                  _CONTRASTIVE_SQL),
     "behavior_alignment_score": (_behavior_alignment_score,
                                  _behavior_alignment_sql()),
+    "trajectory_similarity_topk": (_trajectory_similarity_topk,
+                                   _trajectory_sql()),
     "rouge_overlap_eval": (_rouge_overlap_eval, _ROUGE_SQL),
     "bleu_ngram_eval": (_bleu_ngram_eval, _BLEU_SQL),
     "viterbi_state_decode": (_viterbi_state_decode, _viterbi_sql()),

@@ -388,6 +388,15 @@ def test_round6_eval_queries_plan_contracts(props):
     # the LCS DP is scan-fused per user: one shuffle, one scan, no join
     p = props("behavior_alignment_score")
     assert p["shuffles"] <= 1 and p["sort_merge_joins"] == 0
+    # trajectory search: probe broadcast, top-k TakeOrdered (no range
+    # exchange asserted above), users never join each other
+    p = props("trajectory_similarity_topk")
+    assert p["range_shuffles"] == 0
+    assert p["sort_merge_joins"] == 0
+    # sentiment: lexicon folded into the scan — ZERO shuffles
+    p = props("lexicon_sentiment_score")
+    assert p["shuffles"] == 0
+    assert p["range_shuffles"] == 0
     # ranking: query panel rides broadcast joins; the token postings
     # are persisted and reused (in-memory scans, not re-explodes)
     p = props("retrieval_ranking_metrics")

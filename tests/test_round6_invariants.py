@@ -197,6 +197,23 @@ def test_lcs_alignment_matches_python_reference(spark, q):
         assert l <= min(n_a, n_b)
 
 
+def test_trajectory_topk_is_ordered_and_bounded(q):
+    rows = q("trajectory_similarity_topk").collect()
+    assert 1 <= len(rows) <= 10
+    sims = [(r.sim_e6, -r.user_id) for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    for r in rows:
+        assert r.lcs_len <= min(r.n_a, r.n_b)
+        assert 0 <= r.sim_e6 <= 1_000_000
+        assert r.user_id != r.probe_id
+
+
+def test_sentiment_counts_partition_tokens(q):
+    for r in q("lexicon_sentiment_score").collect():
+        assert r.n_pos + r.n_neg <= r.n_tokens
+        assert -1_000_000 <= r.polarity_e6 <= 1_000_000
+
+
 def test_unigram_segment_cost_bounds(q):
     # every word segments (cost < the not-in-vocab sentinel); the
     # all-singles path bounds cost above at 9*len; pieces of length

@@ -40,7 +40,8 @@ def main() -> int:
             bad += 1
             continue
         offenders = [f.name for f in schema.fields
-                     if isinstance(f.dataType, (T.ArrayType, T.MapType))]
+                     if isinstance(f.dataType,
+                                   (T.ArrayType, T.MapType, T.StructType))]
         if offenders:
             print(f"ARRAY {name}: {offenders}")
             bad += 1
