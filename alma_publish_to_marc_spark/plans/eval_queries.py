@@ -1167,6 +1167,185 @@ ORDER BY sim_e6 DESC, user_id LIMIT {_TRAJ_K}
 """
 
 
+# --------------------------------------------------------------------------
+# cardinality_estimate_eval: optimizer-style selectivity estimates vs truth
+# --------------------------------------------------------------------------
+
+_CARD_QTY = (1, 25, 45)
+
+
+def _cardinality_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-estimation quality audit: for the 18 conjunctive
+    predicates (l_returnflag × l_linestatus × l_quantity ≥ q), compare
+    the textbook independence-assumption estimate |T|·P(rf)·P(ls)·
+    P(qty≥q) — what a cost-based optimizer without multi-column stats
+    would plan with — against the TRUE count, reporting the q-error
+    max(est,true)/min(est,true) per predicate. The engine-self-eval
+    that motivates learned estimators (PAPERS.md, SIGMOD 2021) and,
+    operationally, tells you which predicate families need multi-
+    column statistics.
+
+    Determinism: estimates are nested integer floors
+    ((c_rf·c_ls div N)·c_q div N); q-error is an e6 integer with a
+    zero-floor guard (est 0 → sentinel error 1e12).
+
+    Scale: ONE pass over the fact table produces both the true
+    grid (conditional sums per (rf, ls)) and every marginal; the
+    6-row grid is PERSISTED because it feeds four plan branches
+    (tot/rf/ls/rows — without the persist each branch re-scans the
+    fact table, the CLAUDE.md multi-branch hazard); released via
+    unpersist_cached.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity")
+    qty_sums = [F.sum((F.col("l_quantity") >= q).cast("long"))
+                .alias(f"t{q}") for q in _CARD_QTY]
+    grid = (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_cell"), *qty_sums)
+            .persist())
+    _PERSISTED.append(grid)
+    tot = grid.agg(
+        F.sum("n_cell").alias("n"),
+        *[F.sum(f"t{q}").alias(f"g{q}") for q in _CARD_QTY])
+    rf = grid.groupBy("l_returnflag").agg(F.sum("n_cell").alias("c_rf"))
+    ls = grid.groupBy("l_linestatus").agg(F.sum("n_cell").alias("c_ls"))
+    arms = F.explode(F.array(*[
+        F.struct(F.lit(q).alias("qty_ge"), F.col(f"t{q}").alias("true_n"),
+                 F.col(f"g{q}").alias("c_q"))
+        for q in _CARD_QTY])).alias("a")
+    rows = (grid.join(F.broadcast(rf), "l_returnflag")
+            .join(F.broadcast(ls), "l_linestatus")
+            .crossJoin(F.broadcast(tot))
+            .select("l_returnflag", "l_linestatus", "c_rf", "c_ls", "n",
+                    arms)
+            .select("l_returnflag", "l_linestatus",
+                    F.col("a.qty_ge").alias("qty_ge"),
+                    F.col("a.true_n").alias("true_n"),
+                    F.expr("((c_rf * c_ls) div n) * a.c_q div n")
+                    .alias("est_n")))
+    return rows.withColumn("qerror_e6", F.expr(
+        "CASE WHEN least(est_n, true_n) = 0 THEN 1000000000000"
+        " ELSE 1000000 * greatest(est_n, true_n)"
+        " div least(est_n, true_n) END"))
+
+
+def _cardinality_sql() -> str:
+    qty_cols = ", ".join(
+        f"CAST(sum(CASE WHEN l_quantity >= {q} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS t{q}" for q in _CARD_QTY)
+    g_cols = ", ".join(f"CAST(sum(t{q}) AS BIGINT) AS g{q}"
+                       for q in _CARD_QTY)
+    arms = " UNION ALL ".join(
+        f"SELECT l_returnflag, l_linestatus, {q} AS qty_ge,"
+        f" t{q} AS true_n, g{q} AS c_q FROM grid, tot"
+        for q in _CARD_QTY)
+    return f"""
+WITH grid AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS BIGINT) AS n_cell, {qty_cols}
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n_cell) AS BIGINT) AS n, {g_cols} FROM grid),
+rf AS (SELECT l_returnflag, CAST(sum(n_cell) AS BIGINT) AS c_rf
+       FROM grid GROUP BY 1),
+ls AS (SELECT l_linestatus, CAST(sum(n_cell) AS BIGINT) AS c_ls
+       FROM grid GROUP BY 1),
+arms AS ({arms}),
+rows_ AS (
+  SELECT a.l_returnflag, a.l_linestatus, a.qty_ge, a.true_n,
+         ((rf.c_rf * ls.c_ls) // t.n) * a.c_q // t.n AS est_n
+  FROM arms a
+  JOIN rf ON a.l_returnflag = rf.l_returnflag
+  JOIN ls ON a.l_linestatus = ls.l_linestatus
+  CROSS JOIN tot t
+)
+SELECT l_returnflag, l_linestatus, qty_ge, true_n, est_n,
+       CASE WHEN least(est_n, true_n) = 0 THEN 1000000000000
+            ELSE 1000000 * greatest(est_n, true_n)
+                 // least(est_n, true_n) END AS qerror_e6
+FROM rows_
+"""
+
+
+# --------------------------------------------------------------------------
+# bitext_candidate_mining: cross-lingual pair candidates via rare bigrams
+# --------------------------------------------------------------------------
+
+_BITEXT_MAX_GRAM_FREQ = 4
+_BITEXT_MIN_SHARED = 1
+
+
+def _bitext_candidate_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual parallel-text candidates: doc pairs in DIFFERENT
+    languages sharing ≥ {m} RARE word bigrams (corpus frequency ≤
+    {f}) — the cheap blocking stage of bitext mining (names, numbers
+    and rare phrases survive translation; margin-based embedding
+    scoring refines candidates downstream, cf. embedding_neardup).
+
+    Determinism: gram keys are 16-byte unhex(md5) (CLAUDE.md text-key
+    rule); pairs order (a < b); counts exact.
+
+    Scale: the frequency ceiling bounds every gram bucket at {f}
+    docs, so the self-join emits ≤ {f}·({f}−1)/2 pairs per gram —
+    linear in corpus size BY CONSTRUCTION (same discipline as the
+    LSH band joins, which cap buckets instead of hoping).
+    """.format(m=_BITEXT_MIN_SHARED, f=_BITEXT_MAX_GRAM_FREQ)
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"))
+    grams = (words.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+            " (w, i) -> concat(w, ' ', ws[i + 1]))")).alias("g"))
+        .select("doc_id", "lang", F.unhex(F.md5("g")).alias("gk"))
+        .distinct())
+    rare = (grams.groupBy("gk")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= _BITEXT_MAX_GRAM_FREQ)
+            .select("gk"))
+    rg = grams.join(rare, "gk")
+    a, b = rg.alias("a"), rg.alias("b")
+    return (a.join(b, (F.col("a.gk") == F.col("b.gk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (F.col("a.lang") != F.col("b.lang")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.lang").alias("lang_a"),
+                     F.col("b.lang").alias("lang_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= _BITEXT_MIN_SHARED))
+
+
+_BITEXT_SQL = rf"""
+WITH words AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, lang, unhex(md5(g)) AS gk
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(range(1, greatest(len(ws), 1)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS g
+        FROM words)
+),
+rare AS (
+  SELECT gk FROM grams GROUP BY gk
+  HAVING count(*) <= {_BITEXT_MAX_GRAM_FREQ}
+),
+rg AS (SELECT g.* FROM grams g JOIN rare r ON g.gk = r.gk)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.lang AS lang_a, b.lang AS lang_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM rg a JOIN rg b
+  ON a.gk = b.gk AND a.doc_id < b.doc_id AND a.lang <> b.lang
+GROUP BY 1, 2, 3, 4
+HAVING count(*) >= {_BITEXT_MIN_SHARED}
+"""
+
+
 QUERIES = {
     "retrieval_ranking_metrics": (_retrieval_ranking_metrics, _RANKING_SQL),
     "did_estimator": (_did_estimator, _DID_SQL),
@@ -1177,6 +1356,9 @@ QUERIES = {
                                  _behavior_alignment_sql()),
     "trajectory_similarity_topk": (_trajectory_similarity_topk,
                                    _trajectory_sql()),
+    "cardinality_estimate_eval": (_cardinality_estimate_eval,
+                                  _cardinality_sql()),
+    "bitext_candidate_mining": (_bitext_candidate_mining, _BITEXT_SQL),
     "rouge_overlap_eval": (_rouge_overlap_eval, _ROUGE_SQL),
     "bleu_ngram_eval": (_bleu_ngram_eval, _BLEU_SQL),
     "viterbi_state_decode": (_viterbi_state_decode, _viterbi_sql()),

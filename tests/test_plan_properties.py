@@ -397,6 +397,13 @@ def test_round6_eval_queries_plan_contracts(props):
     p = props("lexicon_sentiment_score")
     assert p["shuffles"] == 0
     assert p["range_shuffles"] == 0
+    # cardinality eval: ONE fact-table pass (the 6-row grid persists
+    # and feeds all four branches from cache)
+    p = props("cardinality_estimate_eval")
+    assert p["range_shuffles"] == 0
+    assert p["in_memory_scans"] >= 3
+    # bitext: rare-gram blocked self-join, no range exchange
+    assert props("bitext_candidate_mining")["range_shuffles"] == 0
     # ranking: query panel rides broadcast joins; the token postings
     # are persisted and reused (in-memory scans, not re-explodes)
     p = props("retrieval_ranking_metrics")

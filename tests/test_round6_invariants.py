@@ -214,6 +214,34 @@ def test_sentiment_counts_partition_tokens(q):
         assert -1_000_000 <= r.polarity_e6 <= 1_000_000
 
 
+def test_cardinality_eval_grid_and_qerror_law(spark, q):
+    # 18 predicates (3 flags x 2 statuses x 3 thresholds); q-error is
+    # >= 1 by definition (or the zero sentinel); the true counts
+    # reconcile with direct filters for one spot-checked predicate.
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = q("cardinality_estimate_eval").collect()
+    assert len(rows) == 18
+    for r in rows:
+        assert r.qerror_e6 >= 1_000_000
+        assert r.est_n >= 0 and r.true_n >= 0
+    li = load(spark, SF_SMOKE, "lineitem")
+    spot = [r for r in rows if r.l_returnflag == "A"
+            and r.l_linestatus == "F" and r.qty_ge == 25][0]
+    direct = li.where("l_returnflag = 'A' AND l_linestatus = 'F'"
+                      " AND l_quantity >= 25").count()
+    assert spot.true_n == direct
+
+
+def test_bitext_candidates_cross_lingual_and_canonical(q):
+    rows = q("bitext_candidate_mining").collect()
+    assert rows
+    for r in rows:
+        assert r.lang_a != r.lang_b
+        assert r.doc_a < r.doc_b
+        assert r.n_shared >= 1
+
+
 def test_unigram_segment_cost_bounds(q):
     # every word segments (cost < the not-in-vocab sentinel); the
     # all-singles path bounds cost above at 9*len; pieces of length
