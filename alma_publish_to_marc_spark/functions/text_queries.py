@@ -301,12 +301,12 @@ def _lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("share_of_true")))
 
 
-def _lang_id_confusion_sql() -> str:
+def _pred_cte() -> str:
     # exact mirror of functions/text.lang_id (same CASE chain and
-    # tie-break order as the green doc_lang_id oracle above)
+    # tie-break order as the green doc_lang_id oracle above); shared
+    # by the confusion and kappa oracles so they can never drift apart
     s = {lang: _marker_sql(m) for lang, m in T.LANG_MARKERS.items()}
-    return f"""
-WITH pred AS (
+    return f"""pred AS (
     SELECT lang AS true_lang,
            CASE WHEN best = 0 THEN 'und'
                 WHEN s_en = best THEN 'en'
@@ -324,7 +324,12 @@ WITH pred AS (
             FROM documents
         )
     )
-),
+)"""
+
+
+def _lang_id_confusion_sql() -> str:
+    return f"""
+WITH {_pred_cte()},
 cells AS (
     SELECT true_lang, pred_lang, count(*) AS n
     FROM pred GROUP BY true_lang, pred_lang
@@ -1466,3 +1471,156 @@ FROM toks
 
 QUERIES["lexicon_sentiment_score"] = (_lexicon_sentiment_score,
                                       _lexicon_sentiment_sql())
+
+
+# --------------------------------------------------------------------------
+# cohens_kappa_agreement: chance-corrected classifier agreement
+# --------------------------------------------------------------------------
+
+def _cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the n-gram language-ID heuristic and the
+    gold ``lang`` labels — the chance-corrected scalar the confusion
+    matrix (lang_id_confusion) doesn't give: raw accuracy flatters a
+    classifier on a skewed label mix; kappa subtracts the agreement a
+    label-marginal-matching random rater would get.
+
+    Determinism: kappa = (N·Σdiag − Σ row_k·col_k) / (N² − Σ row·col)
+    — every term an exact int64, emitted as e6 fixed point with the
+    degenerate pe=1 case (single-class corpus) mapped to 0.
+
+    Scale: one scan-fused prediction pass, one map-side-combinable
+    |langs|²-cell aggregate; everything after runs on ≤ 16 rows.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("lang").alias("t"), T.lang_id(F.col("text")).alias("p"))
+    cells = docs.groupBy("t", "p").agg(F.count(F.lit(1)).alias("n"))
+    rows_ = cells.groupBy("t").agg(F.sum("n").alias("rn"))
+    cols_ = cells.groupBy("p").agg(F.sum("n").alias("cn"))
+    rc = (rows_.join(cols_, rows_["t"] == cols_["p"])
+          .agg(F.sum(F.col("rn") * F.col("cn")).alias("sum_rc")))
+    agg = cells.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("n"))
+              .otherwise(F.lit(0))).alias("sum_diag"))
+    return (agg.crossJoin(F.broadcast(rc))
+            .select("n_docs", "sum_diag",
+                    F.coalesce("sum_rc", F.lit(0)).alias("sum_rc"))
+            .withColumn("kappa_e6", F.expr(
+                "CASE WHEN n_docs * n_docs - sum_rc = 0 THEN 0"
+                " ELSE 1000000 * (n_docs * sum_diag - sum_rc)"
+                " div (n_docs * n_docs - sum_rc) END")))
+
+
+def _cohens_kappa_sql() -> str:
+    return f"""
+WITH {_pred_cte()},
+cells AS (
+  SELECT true_lang AS t, pred_lang AS p, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+r AS (SELECT t, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY t),
+c AS (SELECT p, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY p),
+rc AS (SELECT CAST(sum(rn * cn) AS BIGINT) AS sum_rc
+       FROM r JOIN c ON r.t = c.p),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT)
+             AS sum_diag
+  FROM cells
+)
+SELECT n_docs, sum_diag, coalesce(sum_rc, 0) AS sum_rc,
+       CASE WHEN n_docs * n_docs - coalesce(sum_rc, 0) = 0 THEN 0
+            ELSE 1000000 * (n_docs * sum_diag - coalesce(sum_rc, 0))
+                 // (n_docs * n_docs - coalesce(sum_rc, 0)) END
+           AS kappa_e6
+FROM agg, rc
+"""
+
+
+QUERIES["cohens_kappa_agreement"] = (_cohens_kappa_agreement,
+                                     _cohens_kappa_sql())
+
+
+# --------------------------------------------------------------------------
+# source_ablation_value: leave-one-source-out corpus-metric deltas
+# --------------------------------------------------------------------------
+
+def _source_ablation_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data valuation by ablation: for every source, how the corpus-
+    level health metrics move when that source is REMOVED — the
+    leave-one-out signal a mixture tuner reads before reweighting
+    (the per-source twin of the quality-filter ablation lattice).
+    Metrics: mean tokens per doc and share of short docs (< 64
+    chars), both exact integers.
+
+    Determinism: LOO means are pure sum-subtraction on int64 totals
+    ((tot − s) div (n − m)); no metric is recomputed per ablation, so
+    there is exactly ONE corpus pass for S sources (vs the naive S+1
+    passes).
+
+    Scale: one map-side-combinable per-source aggregate; the LOO
+    algebra runs on |sources| rows against a broadcast 1-row total.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per = (docs.select(
+        "source",
+        F.expr("size(filter(split(trim(lower(text)), '\\\\s+'),"
+               " w -> w <> ''))").cast("long").alias("tok"),
+        (F.col("n_chars") < 64).cast("long").alias("short"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("m"),
+             F.sum("tok").alias("s_tok"),
+             F.sum("short").alias("s_short")))
+    tot = per.agg(F.sum("m").alias("n"), F.sum("s_tok").alias("t_tok"),
+                  F.sum("s_short").alias("t_short"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(
+                "source", F.col("m").alias("n_docs"),
+                F.expr("1000000 * t_tok div n").alias("mean_tok_all_e6"),
+                F.expr("CASE WHEN n - m = 0 THEN 0 ELSE"
+                       " 1000000 * (t_tok - s_tok) div (n - m) END")
+                .alias("mean_tok_loo_e6"),
+                F.expr("1000000 * t_short div n").alias("short_all_e6"),
+                F.expr("CASE WHEN n - m = 0 THEN 0 ELSE"
+                       " 1000000 * (t_short - s_short) div (n - m) END")
+                .alias("short_loo_e6"))
+            .withColumn("tok_delta_e6", F.expr(
+                "mean_tok_loo_e6 - mean_tok_all_e6"))
+            .withColumn("short_delta_e6", F.expr(
+                "short_loo_e6 - short_all_e6")))
+
+
+_SOURCE_ABLATION_SQL = r"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(len(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             w -> w <> ''))) AS BIGINT) AS s_tok,
+         CAST(sum(CASE WHEN n_chars < 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS s_short
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+               CAST(sum(s_tok) AS BIGINT) AS t_tok,
+               CAST(sum(s_short) AS BIGINT) AS t_short FROM per)
+SELECT source, m AS n_docs,
+       1000000 * t_tok // n AS mean_tok_all_e6,
+       CASE WHEN n - m = 0 THEN 0
+            ELSE 1000000 * (t_tok - s_tok) // (n - m) END
+           AS mean_tok_loo_e6,
+       1000000 * t_short // n AS short_all_e6,
+       CASE WHEN n - m = 0 THEN 0
+            ELSE 1000000 * (t_short - s_short) // (n - m) END
+           AS short_loo_e6,
+       (CASE WHEN n - m = 0 THEN 0
+             ELSE 1000000 * (t_tok - s_tok) // (n - m) END)
+           - 1000000 * t_tok // n AS tok_delta_e6,
+       (CASE WHEN n - m = 0 THEN 0
+             ELSE 1000000 * (t_short - s_short) // (n - m) END)
+           - 1000000 * t_short // n AS short_delta_e6
+FROM per, tot
+"""
+
+
+QUERIES["source_ablation_value"] = (_source_ablation_value,
+                                    _SOURCE_ABLATION_SQL)
