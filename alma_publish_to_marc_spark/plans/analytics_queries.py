@@ -1747,3 +1747,56 @@ FROM agg
 """
 
 QUERIES["posting_gap_stats"] = (_posting_gap_stats, _POSTING_GAP_SQL)
+
+
+# --------------------------------------------------------------------------
+# pipe_syntax_report: Spark 4 SQL pipe (|>) surface parity
+# --------------------------------------------------------------------------
+
+def _pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax driving a real multi-stage report:
+    filter |> aggregate |> post-filter |> order+limit, entirely in the
+    |> surface — proof the engine's SQL layer accepts the pipeline
+    dialect users migrate to (each |> stage compiles to the same
+    Catalyst operators as the nested-SELECT oracle, so this is a
+    zero-cost surface, not a second engine).
+
+    Determinism: exact integer aggregates; the final ORDER BY ties
+    break on (l_returnflag, l_linestatus).
+
+    Scale: identical plan to the plain-SQL shape — one hash shuffle
+    on the 6-cell group key, TakeOrdered for the limit (no range
+    exchange).
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_li")
+    return spark.sql("""
+        FROM pipe_li
+        |> WHERE l_quantity >= 5
+        |> AGGREGATE count(*) AS n_items,
+                     sum(cast(l_quantity AS bigint)) AS total_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 10
+        |> SELECT l_returnflag, l_linestatus, n_items, total_qty,
+                  total_qty div n_items AS mean_qty_floor
+        |> ORDER BY total_qty DESC, l_returnflag, l_linestatus
+        |> LIMIT 5
+    """)
+
+
+_PIPE_SQL = """
+SELECT l_returnflag, l_linestatus, n_items, total_qty,
+       total_qty // n_items AS mean_qty_floor
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem WHERE l_quantity >= 5
+  GROUP BY 1, 2
+)
+WHERE n_items > 10
+ORDER BY total_qty DESC, l_returnflag, l_linestatus
+LIMIT 5
+"""
+
+
+QUERIES["pipe_syntax_report"] = (_pipe_syntax_report, _PIPE_SQL)

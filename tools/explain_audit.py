@@ -176,6 +176,10 @@ def main() -> None:
         "hampel_outlier_filter", "shard_diversity_index",
         "did_estimator", "markov_next_event_eval",
         "contrastive_pair_batches", "unigram_lm_segment",
+        "behavior_alignment_score", "trajectory_similarity_topk",
+        "lexicon_sentiment_score", "cardinality_estimate_eval",
+        "bitext_candidate_mining", "cohens_kappa_agreement",
+        "source_ablation_value",
     ]
     for name in names:
         if name not in qs:
