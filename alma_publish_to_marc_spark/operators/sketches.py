@@ -51,6 +51,17 @@ TOPN = 20
 
 SHINGLE_N = 3
 
+_PERSISTED: list = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
 
 def _tokens(docs: DataFrame) -> DataFrame:
     """The counted stream: word 3-gram shingles (the dedup family's
@@ -1205,3 +1216,151 @@ FROM grouped
 
 
 QUERIES["ams_f2_sketch"] = (ams_f2_sketch, _ams_sql())
+
+# --------------------------------------------------------------------------
+# hll_cube_rollup: distinct users by any dimension slice via register merges
+# --------------------------------------------------------------------------
+
+def hll_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-CUBE pattern that makes "distinct users by any
+    slice" answerable at 100 TB without rescans: one scan builds HLL
+    registers per finest cell (dow × event_type); every coarser node
+    — per-dow, per-type, grand total — comes from register max-merges
+    of the CELL table (35 rows), never from the events again. Each
+    node reports the HLL estimate NEXT TO the exact distinct (from a
+    single GROUPING SETS pass over the same scan) and the relative
+    error — the audit that justifies replacing exact count-distinct
+    cubes with mergeable sketches.
+
+    Determinism: registers are integer (md5-derived rho); estimates
+    round through the shared HLL formula (identical expression both
+    engines); dow derives from integer epoch arithmetic (engine
+    dayofweek conventions disagree, CLAUDE.md).
+
+    Scale: the events table is scanned twice (register build + exact
+    GROUPING SETS — the exact side exists only for the audit; a
+    production rollup keeps just the first scan). All merge algebra
+    runs on |cells|·256 register rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    md5c = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(md5c, 1, 2), 16, 10).cast("long")
+    v = F.conv(F.substring(md5c, 3, 12), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(49).cast("long")) \
+           .otherwise(F.lit(49) - F.length(F.bin(v))).cast("long")
+    dow = ((F.expr("unix_micros(cast(ts as timestamp))"
+                   " div 86400000000") + 4) % 7)
+    base = ev.select(dow.alias("dow"), F.col("event_type").alias("et"),
+                     "user_id", bucket.alias("bucket"), rho.alias("rho"))
+    cells = (base.groupBy("dow", "et", "bucket")
+             .agg(F.max("rho").alias("m_j"))
+             .persist())
+    _PERSISTED.append(cells)
+
+    def est(regs, keys):
+        sums = regs.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("ub"),
+            F.sum(F.expr(f"{TWO49}L div shiftleft(1L, cast(m_j as int))"))
+             .alias("sp"))
+        raw = (f"round((0.7213 / (1 + 1.079 / 256.0)) * {HLL_M} * {HLL_M}"
+               f" * {TWO49} / (sp + ({HLL_M} - ub) * {TWO49}L), 0)")
+        lc = (f"round({HLL_M} * ln({HLL_M} /"
+              f" cast({HLL_M} - ub as double)), 0)")
+        return sums.select(*keys, F.expr(
+            f"cast(CASE WHEN {raw} <= 2.5 * {HLL_M} AND ub < {HLL_M}"
+            f" THEN {lc} ELSE {raw} END as bigint)").alias("est"))
+
+    by_dow = (cells.groupBy("dow", "bucket").agg(F.max("m_j").alias("m_j")))
+    by_et = (cells.groupBy("et", "bucket").agg(F.max("m_j").alias("m_j")))
+    total = cells.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    e_dow = est(by_dow, ["dow"]).select(
+        F.lit("dow").alias("node_kind"),
+        F.col("dow").cast("string").alias("node_key"), "est")
+    e_et = est(by_et, ["et"]).select(
+        F.lit("event_type").alias("node_kind"),
+        F.col("et").alias("node_key"), "est")
+    e_tot = (est(total.withColumn("g", F.lit(1)), ["g"])
+             .select(F.lit("total").alias("node_kind"),
+                     F.lit("*").alias("node_key"), "est"))
+    ests = e_dow.unionByName(e_et).unionByName(e_tot)
+    exact = (base.cube("dow", "et")
+             .agg(F.countDistinct("user_id").alias("exact_n"))
+             .where(F.col("dow").isNull() | F.col("et").isNull())
+             .select(
+                 F.expr("CASE WHEN dow IS NULL AND et IS NULL THEN 'total'"
+                        " WHEN et IS NULL THEN 'dow'"
+                        " ELSE 'event_type' END").alias("node_kind"),
+                 F.coalesce(F.col("et"),
+                            F.col("dow").cast("string"),
+                            F.lit("*")).alias("node_key"),
+                 "exact_n"))
+    return (ests.join(exact, ["node_kind", "node_key"])
+            .select("node_kind", "node_key", "est", "exact_n",
+                    F.expr("1000000 * abs(est - exact_n) div exact_n")
+                    .alias("rel_err_e6")))
+
+
+def _hll_cube_sql() -> str:
+    raw = (f"round((0.7213 / (1 + 1.079 / 256.0)) * {HLL_M} * {HLL_M}"
+           f" * {TWO49} / (sp + ({HLL_M} - ub) * {TWO49}), 0)")
+    lc = f"round({HLL_M} * ln({HLL_M} / CAST({HLL_M} - ub AS DOUBLE)), 0)"
+    est = (f"CAST(CASE WHEN {raw} <= 2.5 * {HLL_M} AND ub < {HLL_M}"
+           f" THEN {lc} ELSE {raw} END AS BIGINT)")
+    return f"""
+WITH base AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         event_type AS et, user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+              AS BIGINT) AS bucket,
+         CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12)
+                        AS BIGINT) = 0 THEN 49
+              ELSE 49 - length(bin(CAST('0x' ||
+                   substr(md5(CAST(user_id AS VARCHAR)), 3, 12) AS BIGINT)))
+         END AS rho
+  FROM events
+),
+cells AS (
+  SELECT dow, et, bucket, max(rho) AS m_j FROM base GROUP BY 1, 2, 3
+),
+e_dow AS (
+  SELECT 'dow' AS node_kind, CAST(dow AS VARCHAR) AS node_key, {est} AS est
+  FROM (SELECT dow, count(*) AS ub,
+               CAST(sum({TWO49} // (1::BIGINT << CAST(m_j AS INT)))
+                    AS BIGINT) AS sp
+        FROM (SELECT dow, bucket, max(m_j) AS m_j FROM cells GROUP BY 1, 2)
+        GROUP BY dow)
+),
+e_et AS (
+  SELECT 'event_type' AS node_kind, et AS node_key, {est} AS est
+  FROM (SELECT et, count(*) AS ub,
+               CAST(sum({TWO49} // (1::BIGINT << CAST(m_j AS INT)))
+                    AS BIGINT) AS sp
+        FROM (SELECT et, bucket, max(m_j) AS m_j FROM cells GROUP BY 1, 2)
+        GROUP BY et)
+),
+e_tot AS (
+  SELECT 'total' AS node_kind, '*' AS node_key, {est} AS est
+  FROM (SELECT count(*) AS ub,
+               CAST(sum({TWO49} // (1::BIGINT << CAST(m_j AS INT)))
+                    AS BIGINT) AS sp
+        FROM (SELECT bucket, max(m_j) AS m_j FROM cells GROUP BY 1))
+),
+ests AS (SELECT * FROM e_dow UNION ALL SELECT * FROM e_et
+         UNION ALL SELECT * FROM e_tot),
+exact AS (
+  SELECT CASE WHEN dow IS NULL AND et IS NULL THEN 'total'
+              WHEN et IS NULL THEN 'dow' ELSE 'event_type' END AS node_kind,
+         coalesce(et, CAST(dow AS VARCHAR), '*') AS node_key,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+  FROM base
+  GROUP BY CUBE (dow, et)
+  HAVING dow IS NULL OR et IS NULL
+)
+SELECT e.node_kind, e.node_key, e.est, x.exact_n,
+       1000000 * abs(e.est - x.exact_n) // x.exact_n AS rel_err_e6
+FROM ests e JOIN exact x
+  ON e.node_kind = x.node_kind AND e.node_key = x.node_key
+"""
+
+
+QUERIES["hll_cube_rollup"] = (hll_cube_rollup, _hll_cube_sql())

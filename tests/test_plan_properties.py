@@ -404,6 +404,15 @@ def test_round6_eval_queries_plan_contracts(props):
     assert p["in_memory_scans"] >= 3
     # bitext: rare-gram blocked self-join, no range exchange
     assert props("bitext_candidate_mining")["range_shuffles"] == 0
+    # pipe syntax compiles to TakeOrdered, never a range exchange
+    assert props("pipe_syntax_report")["range_shuffles"] == 0
+    # sketch cube: the cell registers persist and feed all three
+    # rollup levels from cache
+    from alma_publish_to_marc_spark.operators import sketches as SK
+    p = props("hll_cube_rollup")
+    assert p["range_shuffles"] == 0
+    assert p["in_memory_scans"] >= 3
+    SK.unpersist_cached()
     # ranking: query panel rides broadcast joins; the token postings
     # are persisted and reused (in-memory scans, not re-explodes)
     p = props("retrieval_ranking_metrics")

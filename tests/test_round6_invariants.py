@@ -242,6 +242,27 @@ def test_bitext_candidates_cross_lingual_and_canonical(q):
         assert r.n_shared >= 1
 
 
+def test_hll_cube_rollup_nodes_and_error(spark, q):
+    # 7 dow + 5 type + 1 total nodes; the total node's exact count is
+    # the true distinct-user count; every estimate is within the
+    # linear-counting regime's error at this cardinality.
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = q("hll_cube_rollup").collect()
+    kinds = {}
+    for r in rows:
+        kinds.setdefault(r.node_kind, 0)
+        kinds[r.node_kind] += 1
+        assert r.rel_err_e6 <= 150_000, r  # <= 15%
+    assert kinds == {"dow": 7, "event_type": 5, "total": 1}
+    total = [r for r in rows if r.node_kind == "total"][0]
+    exact = (load(spark, SF_SMOKE, "events")
+             .select("user_id").distinct().count())
+    assert total.exact_n == exact
+    from alma_publish_to_marc_spark.operators import sketches as SK
+    assert SK.unpersist_cached() >= 1
+
+
 def test_unigram_segment_cost_bounds(q):
     # every word segments (cost < the not-in-vocab sentinel); the
     # all-singles path bounds cost above at 9*len; pieces of length
