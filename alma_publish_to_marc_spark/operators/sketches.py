@@ -1364,3 +1364,114 @@ FROM ests e JOIN exact x
 
 
 QUERIES["hll_cube_rollup"] = (hll_cube_rollup, _hll_cube_sql())
+
+# --------------------------------------------------------------------------
+# hll_rolling_distinct: sliding-window distinct users via day-sketch merges
+# --------------------------------------------------------------------------
+
+def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day from DAY-LEVEL HLL
+    registers — the sliding-window twin of hll_cube_rollup and the
+    sketch answer to rolling_active_users: the exact version re-pays
+    a 7-day self-join of raw events per day; this merges 7×256
+    register rows per day no matter how many raw events a day holds
+    (the bounded-state shape a 100 TB WAU dashboard needs). The exact
+    rolling distinct is computed alongside (range-join audit) with
+    the relative error.
+
+    Determinism: integer registers, shared estimate expression, day
+    from integer epoch; the day spine derives from observed min/max.
+
+    Scale: one scan to day-registers (map-side max); the window
+    merge joins the |days|·256 register table to a |days| spine —
+    events are never touched again. The exact audit column is the
+    only part that re-joins raw data; production keeps the sketch.
+    """
+    ev = load(spark, sf_dir, "events")
+    md5c = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(md5c, 1, 2), 16, 10).cast("long")
+    v = F.conv(F.substring(md5c, 3, 12), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(49).cast("long")) \
+           .otherwise(F.lit(49) - F.length(F.bin(v))).cast("long")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    base = ev.select(day.alias("day"), "user_id",
+                     bucket.alias("bucket"), rho.alias("rho"))
+    regs = (base.groupBy("day", "bucket")
+            .agg(F.max("rho").alias("m_j")).persist())
+    _PERSISTED.append(regs)
+    days = regs.select("day").distinct()
+    win = (days.alias("d")
+           .join(regs.alias("r"),
+                 (F.col("r.day") <= F.col("d.day"))
+                 & (F.col("r.day") >= F.col("d.day") - 6))
+           .groupBy(F.col("d.day").alias("day"), "bucket")
+           .agg(F.max("m_j").alias("m_j")))
+    sums = win.groupBy("day").agg(
+        F.count(F.lit(1)).alias("ub"),
+        F.sum(F.expr(f"{TWO49}L div shiftleft(1L, cast(m_j as int))"))
+         .alias("sp"))
+    raw = (f"round((0.7213 / (1 + 1.079 / 256.0)) * {HLL_M} * {HLL_M}"
+           f" * {TWO49} / (sp + ({HLL_M} - ub) * {TWO49}L), 0)")
+    lc = f"round({HLL_M} * ln({HLL_M} / cast({HLL_M} - ub as double)), 0)"
+    ests = sums.select("day", F.expr(
+        f"cast(CASE WHEN {raw} <= 2.5 * {HLL_M} AND ub < {HLL_M}"
+        f" THEN {lc} ELSE {raw} END as bigint)").alias("est"))
+    du = base.select("day", "user_id").distinct()
+    exact = (days.alias("d")
+             .join(du.alias("u"),
+                   (F.col("u.day") <= F.col("d.day"))
+                   & (F.col("u.day") >= F.col("d.day") - 6))
+             .groupBy(F.col("d.day").alias("day"))
+             .agg(F.countDistinct("user_id").alias("exact_n")))
+    return (ests.join(exact, "day")
+            .select("day", "est", "exact_n",
+                    F.expr("1000000 * abs(est - exact_n) div exact_n")
+                    .alias("rel_err_e6")))
+
+
+def _hll_rolling_sql() -> str:
+    raw = (f"round((0.7213 / (1 + 1.079 / 256.0)) * {HLL_M} * {HLL_M}"
+           f" * {TWO49} / (sp + ({HLL_M} - ub) * {TWO49}), 0)")
+    lc = f"round({HLL_M} * ln({HLL_M} / CAST({HLL_M} - ub AS DOUBLE)), 0)"
+    est = (f"CAST(CASE WHEN {raw} <= 2.5 * {HLL_M} AND ub < {HLL_M}"
+           f" THEN {lc} ELSE {raw} END AS BIGINT)")
+    return f"""
+WITH base AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+              AS BIGINT) AS bucket,
+         CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12)
+                        AS BIGINT) = 0 THEN 49
+              ELSE 49 - length(bin(CAST('0x' ||
+                   substr(md5(CAST(user_id AS VARCHAR)), 3, 12) AS BIGINT)))
+         END AS rho
+  FROM events
+),
+regs AS (SELECT day, bucket, max(rho) AS m_j FROM base GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM regs),
+win AS (
+  SELECT d.day, r.bucket, max(r.m_j) AS m_j
+  FROM days d JOIN regs r
+    ON r.day <= d.day AND r.day >= d.day - 6
+  GROUP BY 1, 2
+),
+ests AS (
+  SELECT day, {est} AS est
+  FROM (SELECT day, count(*) AS ub,
+               CAST(sum({TWO49} // (1::BIGINT << CAST(m_j AS INT)))
+                    AS BIGINT) AS sp
+        FROM win GROUP BY day)
+),
+du AS (SELECT DISTINCT day, user_id FROM base),
+exact AS (
+  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_n
+  FROM days d JOIN du u ON u.day <= d.day AND u.day >= d.day - 6
+  GROUP BY d.day
+)
+SELECT e.day, e.est, x.exact_n,
+       1000000 * abs(e.est - x.exact_n) // x.exact_n AS rel_err_e6
+FROM ests e JOIN exact x ON e.day = x.day
+"""
+
+
+QUERIES["hll_rolling_distinct"] = (hll_rolling_distinct, _hll_rolling_sql())

@@ -412,6 +412,11 @@ def test_round6_eval_queries_plan_contracts(props):
     p = props("hll_cube_rollup")
     assert p["range_shuffles"] == 0
     assert p["in_memory_scans"] >= 3
+    # rolling sketch: day registers persist; window merge never
+    # touches raw events (exact-audit branch is the only raw re-join)
+    p = props("hll_rolling_distinct")
+    assert p["range_shuffles"] == 0
+    assert p["in_memory_scans"] >= 2
     SK.unpersist_cached()
     # ranking: query panel rides broadcast joins; the token postings
     # are persisted and reused (in-memory scans, not re-explodes)

@@ -263,6 +263,18 @@ def test_hll_cube_rollup_nodes_and_error(spark, q):
     assert SK.unpersist_cached() >= 1
 
 
+def test_hll_rolling_window_dominates_daily(spark, q):
+    # a 7-day window's exact distinct is >= any single day's, and the
+    # estimate error stays in the linear-counting regime.
+    rows = q("hll_rolling_distinct").collect()
+    assert rows
+    for r in rows:
+        assert r.rel_err_e6 <= 150_000
+        assert r.est > 0 and r.exact_n > 0
+    from alma_publish_to_marc_spark.operators import sketches as SK
+    assert SK.unpersist_cached() >= 1
+
+
 def test_unigram_segment_cost_bounds(q):
     # every word segments (cost < the not-in-vocab sentinel); the
     # all-singles path bounds cost above at 9*len; pieces of length
