@@ -1414,18 +1414,20 @@ WITH seqs AS (
          list(epoch_us(ts) ORDER BY epoch_us(ts), event_id) AS xs
   FROM events GROUP BY 1, 2
 ), folded AS (
+  -- LIST accumulator [kept, last], not struct_pack: DuckDB 1.0's
+  -- struct accumulators corrupt under grouped RAGGED lists with
+  -- data-dependent branches (measured at sf0.1: 1500 ragged user
+  -- sequences, 2 groups decoded wrong; a single-list accumulator is
+  -- one vector value per lane and is immune — see CLAUDE.md)
   SELECT event_type, len(xs) AS n_in,
          list_reduce(
-           list_prepend(struct_pack(kept := 0::BIGINT,
-                                    last := {-(1 << 62)}::BIGINT),
-                        list_transform(xs, t -> struct_pack(
-                            kept := 0::BIGINT, last := t))),
-           (acc, e) -> struct_pack(
-             kept := acc.kept + CASE WHEN e.last - acc.last
-                                          >= {_COOLDOWN_US}
-                                     THEN 1 ELSE 0 END,
-             last := CASE WHEN e.last - acc.last >= {_COOLDOWN_US}
-                          THEN e.last ELSE acc.last END)).kept AS n_kept
+           list_prepend([0::BIGINT, {-(1 << 62)}::BIGINT],
+                        list_transform(xs, t -> [0::BIGINT, t])),
+           (acc, e) -> [
+             acc[1] + CASE WHEN e[2] - acc[2] >= {_COOLDOWN_US}
+                           THEN 1 ELSE 0 END,
+             CASE WHEN e[2] - acc[2] >= {_COOLDOWN_US}
+                  THEN e[2] ELSE acc[2] END])[1] AS n_kept
   FROM seqs
 )
 SELECT event_type,
@@ -4389,26 +4391,26 @@ SELECT u.e.t AS t, u.e.n_risk AS n_risk, u.e.dc AS d_convert,
                e2 -> 1.0 - CAST(e2.dc + e2.dh AS DOUBLE) / e2.n_risk)),
            (a, x) -> a * x), 6) AS s_minus,
        round(list_reduce(list_prepend(
-           struct_pack(cc := 0.0, ch := 0.0, s := 1.0),
+           [0.0, 0.0, 1.0],
            list_transform(list_slice(xs, 1, u.i),
-               e2 -> struct_pack(cc := CAST(e2.dc AS DOUBLE) / e2.n_risk,
-                                 ch := CAST(e2.dh AS DOUBLE) / e2.n_risk,
-                                 s := 1.0 - CAST(e2.dc + e2.dh AS DOUBLE)
-                                     / e2.n_risk))),
-           (acc, x) -> struct_pack(cc := acc.cc + acc.s * x.cc,
-                                   ch := acc.ch + acc.s * x.ch,
-                                   s := acc.s * x.s)).cc, 6)
+               e2 -> [CAST(e2.dc AS DOUBLE) / e2.n_risk,
+                      CAST(e2.dh AS DOUBLE) / e2.n_risk,
+                      1.0 - CAST(e2.dc + e2.dh AS DOUBLE)
+                          / e2.n_risk])),
+           (acc, x) -> [acc[1] + acc[3] * x[1],
+                        acc[2] + acc[3] * x[2],
+                        acc[3] * x[3]])[1], 6)
            AS cif_convert,
        round(list_reduce(list_prepend(
-           struct_pack(cc := 0.0, ch := 0.0, s := 1.0),
+           [0.0, 0.0, 1.0],
            list_transform(list_slice(xs, 1, u.i),
-               e2 -> struct_pack(cc := CAST(e2.dc AS DOUBLE) / e2.n_risk,
-                                 ch := CAST(e2.dh AS DOUBLE) / e2.n_risk,
-                                 s := 1.0 - CAST(e2.dc + e2.dh AS DOUBLE)
-                                     / e2.n_risk))),
-           (acc, x) -> struct_pack(cc := acc.cc + acc.s * x.cc,
-                                   ch := acc.ch + acc.s * x.ch,
-                                   s := acc.s * x.s)).ch, 6)
+               e2 -> [CAST(e2.dc AS DOUBLE) / e2.n_risk,
+                      CAST(e2.dh AS DOUBLE) / e2.n_risk,
+                      1.0 - CAST(e2.dc + e2.dh AS DOUBLE)
+                          / e2.n_risk])),
+           (acc, x) -> [acc[1] + acc[3] * x[1],
+                        acc[2] + acc[3] * x[2],
+                        acc[3] * x[3]])[2], 6)
            AS cif_churn
 FROM arr, unnest(list_transform(range(1, len(xs) + 1),
          i -> struct_pack(i := i, e := xs[i]))) AS t(u)

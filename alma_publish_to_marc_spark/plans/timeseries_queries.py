@@ -272,25 +272,26 @@ series AS (
   SELECT event_type, list(x ORDER BY day) AS xs FROM daily GROUP BY 1
 ),
 folded AS (
+  -- LIST accumulator [s2, s1, i]: struct accumulators corrupt under
+  -- grouped ragged lists in DuckDB 1.0 (cooldown_dedup incident,
+  -- CLAUDE.md); list accumulators are immune
   SELECT event_type,
          list_reduce(
-           list_prepend(struct_pack(s2 := 0::BIGINT, s1 := 0::BIGINT,
-                                    i := 0::BIGINT),
-                        list_transform(xs, x -> struct_pack(
-                            s2 := 0::BIGINT, s1 := x, i := 0::BIGINT))),
-           (acc, e) -> CASE WHEN acc.i = 0
-             THEN struct_pack(s2 := e.s1, s1 := e.s1, i := 1::BIGINT)
-             ELSE struct_pack(
-               s2 := CAST(floor((acc.s1 + acc.s2) / 2.0) AS BIGINT),
-               s1 := CAST(floor((e.s1 + acc.s1) / 2.0) AS BIGINT),
-               i := acc.i + 1)
-           END) AS acc
+           list_prepend([0::BIGINT, 0::BIGINT, 0::BIGINT],
+                        list_transform(xs, x ->
+                            [0::BIGINT, x, 0::BIGINT])),
+           (acc, e) -> CASE WHEN acc[3] = 0
+             THEN [e[2], e[2], 1::BIGINT]
+             ELSE [CAST(floor((acc[2] + acc[1]) / 2.0) AS BIGINT),
+                   CAST(floor((e[2] + acc[2]) / 2.0) AS BIGINT),
+                   acc[3] + 1]
+           END) AS a
   FROM series
 )
-SELECT event_type, acc.i AS n_days,
-       2 * acc.s1 - acc.s2 AS level,
-       acc.s1 - acc.s2 AS trend,
-       2 * acc.s1 - acc.s2 + 7 * (acc.s1 - acc.s2) AS forecast_7d
+SELECT event_type, a[3] AS n_days,
+       2 * a[2] - a[1] AS level,
+       a[2] - a[1] AS trend,
+       2 * a[2] - a[1] + 7 * (a[2] - a[1]) AS forecast_7d
 FROM folded
 """
 
@@ -1797,34 +1798,32 @@ WITH li AS (
   FROM daily GROUP BY l_partkey
   HAVING count(*) >= {_CROSTON_MIN_DEMANDS}
 ), folded AS (
+  -- LIST accumulator [z, p, prev, n] — homogeneous BIGINT list, each
+  -- (day, q) element rides as [0, 0, day, q]. (Formerly a struct_pack
+  -- accumulator; DuckDB 1.0 corrupts those under grouped ragged
+  -- lists — cooldown_dedup incident, CLAUDE.md.)
   SELECT l_partkey, n_demands,
          list_reduce(
-           list_prepend(struct_pack(z := CAST(0 AS BIGINT),
-                                    p := CAST(0 AS BIGINT),
-                                    prev := CAST(0 AS BIGINT),
-                                    n := CAST(0 AS BIGINT)), xs2),
-           -- list_reduce folds a HOMOGENEOUS list, so each (day, q)
-           -- element rides in the acc struct type: day in .prev, q
-           -- in .n (xs2 below); field order keeps every acc read
-           -- before that field's write (in-place struct_pack rule)
-           (acc, x) -> struct_pack(
-             z := CASE WHEN acc.n = 0 THEN 1000 * x.n
-                  ELSE CAST(floor((7 * acc.z + 1000 * x.n) / 8)
+           list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                         CAST(0 AS BIGINT), CAST(0 AS BIGINT)], xs2),
+           (acc, x) -> [
+             CASE WHEN acc[4] = 0 THEN 1000 * x[4]
+                  ELSE CAST(floor((7 * acc[1] + 1000 * x[4]) / 8)
                             AS BIGINT) END,
-             p := CASE WHEN acc.n = 0 THEN CAST(1000 AS BIGINT)
-                  ELSE CAST(floor((7 * acc.p
-                                   + 1000 * (x.prev - acc.prev)) / 8)
+             CASE WHEN acc[4] = 0 THEN CAST(1000 AS BIGINT)
+                  ELSE CAST(floor((7 * acc[2]
+                                   + 1000 * (x[3] - acc[3])) / 8)
                             AS BIGINT) END,
-             prev := x.prev, n := acc.n + 1)) AS f
+             x[3], acc[4] + 1]) AS f
   FROM (SELECT l_partkey, n_demands,
-               list_transform(xs, x -> struct_pack(
-                 z := CAST(0 AS BIGINT), p := CAST(0 AS BIGINT),
-                 prev := x.day, n := x.q)) AS xs2
+               list_transform(xs, x -> [CAST(0 AS BIGINT),
+                                        CAST(0 AS BIGINT),
+                                        x.day, x.q]) AS xs2
         FROM arr)
 )
-SELECT l_partkey, n_demands, f.z AS z_e3, f.p AS p_e3,
-       (1000 * f.z) // greatest(f.p, 1) AS croston_e3,
-       (15 * ((1000 * f.z) // greatest(f.p, 1))) // 16 AS sbc_e3
+SELECT l_partkey, n_demands, f[1] AS z_e3, f[2] AS p_e3,
+       (1000 * f[1]) // greatest(f[2], 1) AS croston_e3,
+       (15 * ((1000 * f[1]) // greatest(f[2], 1))) // 16 AS sbc_e3
 FROM folded
 """
 
