@@ -994,6 +994,7 @@ QUERIES["bellman_ford_distances"] = (bellman_ford_distances,
 # --------------------------------------------------------------------------
 DB_EPS_MICRO = 5_000_000   # ε = 5° in micro-degrees
 DB_MIN_PTS = 3             # |N_ε(p)| including p
+_DB_CC_ROUNDS = 25         # pointer-jump doubling: 2^25 ≫ any diameter
 
 
 def dbscan_geo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1080,8 +1081,29 @@ def dbscan_geo_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dbscan_sql() -> str:
     eps2 = DB_EPS_MICRO * DB_EPS_MICRO
     cell = DB_EPS_MICRO
+    # Core-graph components via UNROLLED min-label pointer jumping
+    # (label-of-label doubling), NOT a recursive closure: `reach`
+    # materializes node x reachable-set = Θ(Σ comp_size²) rows, which
+    # at sf0.1 (15k points, all core, one giant component) never
+    # finishes, while the Spark side converges in log-diameter
+    # pointer-jump rounds in 38 s. The same fixpoint (min node id per
+    # component) falls out of {_DB_CC_ROUNDS} doubling rounds, each a
+    # linear join — 2^{_DB_CC_ROUNDS} ≫ any diameter.
+    lbl_rounds = []
+    for i in range(_DB_CC_ROUNDS):
+        lbl_rounds.append(f"""l{i + 1} AS MATERIALIZED (
+    SELECT n.node,
+           least(n.lbl, coalesce(nb.m, n.lbl), coalesce(j.lbl, n.lbl))
+               AS lbl
+    FROM l{i} n
+    LEFT JOIN (SELECT e.src AS node, min(l.lbl) AS m
+               FROM cc e JOIN l{i} l ON e.dst = l.node
+               GROUP BY 1) nb ON nb.node = n.node
+    LEFT JOIN l{i} j ON j.node = n.lbl
+)""")
+    lbl_sql = ",\n".join(lbl_rounds)
     return f"""
-WITH RECURSIVE pts AS (
+WITH pts AS (
     SELECT c_custkey AS pid,
            CAST('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)),
                                1, 12) AS BIGINT) % 180000000 - 90000000
@@ -1112,11 +1134,9 @@ WITH RECURSIVE pts AS (
     JOIN core c1 ON p.src = c1.pid
     JOIN core c2 ON p.dst = c2.pid
 ), nodes AS (SELECT DISTINCT src AS node FROM cc),
-reach(node, r) AS (
-    SELECT node, node FROM nodes
-    UNION
-    SELECT reach.node, cc.dst FROM reach JOIN cc ON cc.src = reach.r
-), comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+{lbl_sql},
+comp AS (SELECT node, lbl AS cluster_id FROM l{_DB_CC_ROUNDS}),
 core_labeled AS (
     SELECT c.pid, COALESCE(m.cluster_id, c.pid) AS cluster_id
     FROM core c LEFT JOIN comp m ON c.pid = m.node
