@@ -718,3 +718,195 @@ FROM g
 """
 
 QUERIES["media_patch_grid"] = (_media_patch_grid, _PATCH_GRID_SQL)
+
+
+# --------------------------------------------------------------------------
+# audio_constellation_match: Shazam-style snippet-to-corpus fingerprinting
+# --------------------------------------------------------------------------
+
+_CM_DT_MAX = 6        # max anchor→target frame distance in a hash pair
+_CM_EBUCKET = 1000    # energy quantization for hash robustness
+_CM_SNIP_FIRST = 2    # snippet = frames [2, 9] of the query doc
+_CM_SNIP_FRAMES = 8
+_CM_TOPK = 3
+
+
+def _cm_peaks_spark(frame_df):
+    """(id, fi, e) → constellation peaks: frames that are a strict
+    local max over their neighbors AND at-or-above the stream's mean
+    energy (integer cross-multiplication, no division)."""
+    w = Window.partitionBy("id").orderBy("fi")
+    tot = Window.partitionBy("id")
+    return (frame_df
+            .withColumn("ep", F.lag("e", 1, -1).over(w))
+            .withColumn("en", F.lead("e", 1, -1).over(w))
+            .withColumn("tot_e", F.sum("e").over(tot))
+            .withColumn("nf", F.count(F.lit(1)).over(tot))
+            .where("e > ep AND e >= en AND e * nf >= tot_e")
+            .select("id", "fi", F.expr(f"e div {_CM_EBUCKET}").alias("b")))
+
+
+def _cm_hashes_spark(peaks):
+    """Anchor→target pairs within the fan-out window, keyed by the
+    16-byte md5 of (bucket_a, bucket_t, Δframes)."""
+    a, t = peaks.alias("a"), peaks.alias("t")
+    return (a.join(t, (F.col("a.id") == F.col("t.id"))
+                   & (F.col("t.fi") > F.col("a.fi"))
+                   & (F.col("t.fi") <= F.col("a.fi") + _CM_DT_MAX))
+            .select(F.col("a.id").alias("id"),
+                    F.col("a.fi").alias("afi"),
+                    F.unhex(F.md5(F.concat_ws(
+                        ":", F.col("a.b"), F.col("t.b"),
+                        F.col("t.fi") - F.col("a.fi")))).alias("hk")))
+
+
+def _audio_constellation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint retrieval, the Shazam constellation shape
+    (Wang 2003) over the deterministic fake byte streams: per-frame
+    int64 energies → local-max peaks → anchor/target pair hashes →
+    snippet-to-corpus hash join → OFFSET-CONSISTENT vote (matching
+    hashes must agree on the time shift corpus_fi − snippet_fi; that
+    coherence test is what separates true containment from chance
+    hash collisions). Queries are frames [{f0}, {f1}) of every
+    doc_id % 97 == 0 doc; top-{k} corpus matches per query. The
+    invariant test asserts self-retrieval at rank 1.
+
+    Determinism: energies and buckets exact int64; hash keys 16-byte
+    md5; ranks tie-break on (score DESC, offset ASC via struct-min,
+    doc_id ASC).
+
+    Scale: corpus fingerprints are one linear pass (explode to
+    frames → two doc-keyed windows → bounded ≤{dt}-frame fan-out);
+    the snippet side is panel-sized and broadcasts into the hash
+    join; the vote groups on (query, doc, offset) — cardinality
+    bounded by matched hashes, never the corpus pairwise.
+    """.format(f0=_CM_SNIP_FIRST, f1=_CM_SNIP_FIRST + _CM_SNIP_FRAMES,
+               k=_CM_TOPK, dt=_CM_DT_MAX)
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.length("text") > 0).select("doc_id", "text"))
+
+    def frame_energies(src, id_col, text_col):
+        nf = ((F.length(text_col) + _VAD_FRAME - 1) / _VAD_FRAME) \
+            .cast("long")
+        frames = (src.select(F.col(id_col).alias("id"),
+                             F.col(text_col).alias("tx"),
+                             nf.alias("nf"))
+                  .where(F.col("nf") >= 1)
+                  .select("id", "tx", F.explode(
+                      F.sequence(F.lit(0), F.col("nf") - 1)).alias("fi")))
+        e = (f"aggregate(transform(sequence(1, length(substr(tx, "
+             f"fi * {_VAD_FRAME} + 1, {_VAD_FRAME}))), "
+             f"i -> ascii(substr(substr(tx, fi * {_VAD_FRAME} + 1, "
+             f"{_VAD_FRAME}), i, 1))), cast(0 as bigint), "
+             f"(a, b) -> a + b * b)")
+        return frames.select("id", "fi", F.expr(e).alias("e"))
+
+    corpus_h = _cm_hashes_spark(_cm_peaks_spark(
+        frame_energies(docs, "doc_id", "text")))
+    snips = (docs.where(F.col("doc_id") % 97 == 0)
+             .select("doc_id", F.substring(
+                 "text", _CM_SNIP_FIRST * _VAD_FRAME + 1,
+                 _CM_SNIP_FRAMES * _VAD_FRAME).alias("snip"))
+             .where(F.length("snip") > 0))
+    snip_h = (_cm_hashes_spark(_cm_peaks_spark(
+        frame_energies(snips, "doc_id", "snip")))
+        .select(F.col("id").alias("qid"), F.col("afi").alias("sfi"),
+                "hk"))
+    votes = (corpus_h.join(F.broadcast(snip_h), "hk")
+             .groupBy("qid", F.col("id").alias("did"),
+                      (F.col("afi") - F.col("sfi")).alias("offset"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    best = (votes.groupBy("qid", "did")
+            .agg(F.min(F.struct((-F.col("n")).alias("nn"),
+                                F.col("offset").alias("o")))
+                 .alias("b"))
+            .select("qid", "did", (-F.col("b.nn")).alias("score"),
+                    F.col("b.o").alias("offset")))
+    rk = Window.partitionBy("qid").orderBy(F.desc("score"), "did")
+    return (best.withColumn("rank", F.row_number().over(rk))
+            .where(F.col("rank") <= _CM_TOPK)
+            .select("qid", "rank", "did", "score", "offset"))
+
+
+def _cm_sql() -> str:
+    energies = f"""
+  SELECT id, fi,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             range(1, length(substr(tx, CAST(fi * {_VAD_FRAME} + 1
+                                             AS BIGINT),
+                                    {_VAD_FRAME})) + 1),
+             i -> CAST(ascii(substr(substr(tx,
+                    CAST(fi * {_VAD_FRAME} + 1 AS BIGINT), {_VAD_FRAME}),
+                    CAST(i AS BIGINT), 1)) AS BIGINT))),
+           (a, b) -> a + b * b) AS e
+  FROM (SELECT id, tx, unnest(range(0, nf)) AS fi FROM SRC)"""
+    peaks = f"""
+  SELECT id, fi, e // {_CM_EBUCKET} AS b
+  FROM (SELECT id, fi, e,
+               coalesce(lag(e) OVER w, -1) AS ep,
+               coalesce(lead(e) OVER w, -1) AS en,
+               sum(e) OVER (PARTITION BY id) AS tot_e,
+               count(*) OVER (PARTITION BY id) AS nf
+        FROM ENERGY
+        WINDOW w AS (PARTITION BY id ORDER BY fi))
+  WHERE e > ep AND e >= en AND e * nf >= tot_e"""
+    hashes = f"""
+  SELECT a.id, a.fi AS afi,
+         unhex(md5(CAST(a.b AS VARCHAR) || ':' || CAST(t.b AS VARCHAR)
+                   || ':' || CAST(t.fi - a.fi AS VARCHAR))) AS hk
+  FROM PEAKS a JOIN PEAKS t
+    ON t.id = a.id AND t.fi > a.fi AND t.fi <= a.fi + {_CM_DT_MAX}"""
+    return f"""
+WITH cdocs AS (
+  SELECT doc_id AS id, text AS tx,
+         CAST((length(text) + {_VAD_FRAME} - 1) // {_VAD_FRAME} AS BIGINT)
+             AS nf
+  FROM documents WHERE length(text) > 0
+),
+cen AS ({energies.replace("SRC", "cdocs")}),
+cpk AS ({peaks.replace("ENERGY", "cen")}),
+ch AS ({hashes.replace("PEAKS", "cpk")}),
+sdocs AS (
+  SELECT doc_id AS id,
+         substr(text, {_CM_SNIP_FIRST * _VAD_FRAME} + 1,
+                {_CM_SNIP_FRAMES * _VAD_FRAME}) AS tx
+  FROM documents WHERE length(text) > 0 AND doc_id % 97 = 0
+),
+sdocs2 AS (
+  SELECT id, tx,
+         CAST((length(tx) + {_VAD_FRAME} - 1) // {_VAD_FRAME} AS BIGINT)
+             AS nf
+  FROM sdocs WHERE length(tx) > 0
+),
+sen AS ({energies.replace("SRC", "sdocs2")}),
+spk AS ({peaks.replace("ENERGY", "sen")}),
+sh AS (SELECT id AS qid, afi AS sfi, hk
+       FROM ({hashes.replace("PEAKS", "spk")})),
+votes AS (
+  SELECT s.qid, c.id AS did, c.afi - s.sfi AS off_,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ch c JOIN sh s ON c.hk = s.hk
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT qid, did,
+         (min(struct_pack(nn := -n, o := off_))).nn AS nn,
+         (min(struct_pack(nn := -n, o := off_))).o AS o
+  FROM votes GROUP BY 1, 2
+),
+ranked AS (
+  -- "rank"/"offset" quoted: both are DuckDB reserved words as bare
+  -- aliases, and the driver needs these exact column names
+  SELECT qid, did, -nn AS score, o AS off2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY -nn DESC, did) AS rnk
+  FROM best
+)
+SELECT qid, CAST(rnk AS INT) AS "rank", did, score, off2 AS "offset"
+FROM ranked WHERE rnk <= {_CM_TOPK}
+"""
+
+
+QUERIES["audio_constellation_match"] = (_audio_constellation_match,
+                                        _cm_sql())

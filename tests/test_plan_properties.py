@@ -418,6 +418,11 @@ def test_round6_eval_queries_plan_contracts(props):
     assert p["range_shuffles"] == 0
     assert p["in_memory_scans"] >= 2
     SK.unpersist_cached()
+    # constellation match: snippet fingerprints broadcast into the
+    # corpus hash join; no range exchange, no sort-merge join
+    p = props("audio_constellation_match")
+    assert p["range_shuffles"] == 0
+    assert p["broadcast_joins"] >= 1
     # ranking: query panel rides broadcast joins; the token postings
     # are persisted and reused (in-memory scans, not re-explodes)
     p = props("retrieval_ranking_metrics")

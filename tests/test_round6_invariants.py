@@ -275,6 +275,22 @@ def test_hll_rolling_window_dominates_daily(spark, q):
     assert SK.unpersist_cached() >= 1
 
 
+def test_constellation_self_retrieval_at_rank1(q):
+    # a snippet cut from doc X must retrieve X at rank 1 with the
+    # offset equal to the snippet's start frame — the Shazam law.
+    from alma_publish_to_marc_spark.multimodal.multimodal_queries import (
+        _CM_SNIP_FIRST)
+
+    rows = q("audio_constellation_match").collect()
+    assert rows
+    top = {r.qid: r for r in rows if r.rank == 1}
+    for qid, r in top.items():
+        assert r.did == qid, (qid, r)
+        assert r.offset == _CM_SNIP_FIRST
+    for r in rows:
+        assert r.score >= 1
+
+
 def test_unigram_segment_cost_bounds(q):
     # every word segments (cost < the not-in-vocab sentinel); the
     # all-singles path bounds cost above at 9*len; pieces of length
