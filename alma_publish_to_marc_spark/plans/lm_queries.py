@@ -541,3 +541,155 @@ QUERIES = {
     "negative_sampling_table": (negative_sampling_table,
                                 _NEG_SAMPLING_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# t5_span_corruption: denoising-objective example construction
+# --------------------------------------------------------------------------
+
+_T5_MASK_PCT = 15
+
+
+def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span corruption: mask ~15% of each document's
+    tokens (hash-seeded, so the same doc always corrupts the same
+    way), merge adjacent masked positions into spans, and emit the
+    (masked_input, targets) pair a denoising pretrain consumes —
+    masked_input keeps the visible tokens with one <Xk> sentinel per
+    span, targets is the sentinel-delimited recovery sequence. The
+    objective-construction pass that turns a curated corpus into
+    encoder-decoder training examples inside the engine.
+
+    Determinism: the mask decision is md5(doc_id:pos) % 100 < 15
+    (identical text both engines); span ids come from the classic
+    position-minus-rank island trick; both output strings assemble
+    from position-ordered aggregation (string_agg ORDER BY /
+    array_sort-then-join).
+
+    Scale: one explode to token positions, two doc-keyed windows, one
+    doc-keyed reassembly aggregate — linear, nothing crosses
+    documents. 100 TB: identical shape to doc_chunking.
+    """
+    from pyspark.sql import Window
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w"))
+        .where(F.col("w") != ""))
+    masked = toks.withColumn("m", F.expr(
+        f"CAST(conv(substr(md5(concat(cast(doc_id as string), ':',"
+        f" cast(pos as string))), 1, 4), 16, 10) AS INT)"
+        f" % 100 < {_T5_MASK_PCT}"))
+    wm = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (masked
+             .withColumn("mrank", F.sum(F.col("m").cast("int")).over(wm))
+             .withColumn("grp", F.when(F.col("m"),
+                                       F.col("pos") - F.col("mrank"))))
+    # span index k (0-based) per doc = dense rank of grp among masked
+    wk = Window.partitionBy("doc_id").orderBy("grp")
+    sp = (spans.where("m")
+          .select("doc_id", "grp")
+          .distinct()
+          .withColumn("k", F.row_number().over(wk) - 1))
+    lab = (spans.join(sp, ["doc_id", "grp"], "left")
+           .withColumn("first_of_span", F.expr(
+               "m AND (lag(m) OVER (PARTITION BY doc_id ORDER BY pos)"
+               " IS NULL OR NOT lag(m) OVER (PARTITION BY doc_id"
+               " ORDER BY pos))")))
+    inp = (lab.where("NOT m OR first_of_span")
+           .groupBy("doc_id")
+           .agg(F.array_join(F.expr(
+               "transform(array_sort(collect_list(struct(pos,"
+               " CASE WHEN m THEN concat('<X', cast(k as string), '>')"
+               " ELSE w END AS t))), x -> x.t)"), " ")
+               .alias("masked_input")))
+    tgt = (lab.where("m")
+           .groupBy("doc_id")
+           .agg(F.array_join(F.expr(
+               "transform(array_sort(collect_list(struct(pos,"
+               " CASE WHEN first_of_span THEN"
+               "   concat('<X', cast(k as string), '> ', w)"
+               " ELSE w END AS t))), x -> x.t)"), " ")
+               .alias("targets"),
+               F.count(F.lit(1)).alias("n_masked"),
+               F.countDistinct("k").alias("n_spans")))
+    base = masked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+    return (base.join(inp, "doc_id", "left").join(tgt, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("masked_input", F.lit("")).alias(
+                        "masked_input"),
+                    F.coalesce("targets", F.lit("")).alias("targets")))
+
+
+_T5_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS w
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(range(1, len(ws) + 1)) AS t(i)
+  WHERE ws[i] <> ''
+),
+masked AS (
+  SELECT doc_id, pos, w,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(pos AS VARCHAR)), 1, 4)
+              AS INT) % 100 < {_T5_MASK_PCT} AS m
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, pos, w, m,
+         CASE WHEN m THEN pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY pos)
+         END AS grp
+  FROM masked
+),
+sp AS (
+  SELECT doc_id, grp,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY grp)
+              - 1 AS INT) AS k
+  FROM (SELECT DISTINCT doc_id, grp FROM spans WHERE m)
+),
+lab AS (
+  SELECT s.doc_id, s.pos, s.w, s.m, p.k,
+         s.m AND (lag(s.m) OVER (PARTITION BY s.doc_id ORDER BY s.pos)
+                  IS NULL
+                  OR NOT lag(s.m) OVER (PARTITION BY s.doc_id
+                                        ORDER BY s.pos))
+             AS first_of_span
+  FROM spans s LEFT JOIN sp p ON s.doc_id = p.doc_id AND s.grp = p.grp
+),
+inp AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN m THEN '<X' || CAST(k AS VARCHAR) || '>'
+                         ELSE w END, ' ' ORDER BY pos) AS masked_input
+  FROM lab WHERE NOT m OR first_of_span GROUP BY doc_id
+),
+tgt AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN first_of_span
+                         THEN '<X' || CAST(k AS VARCHAR) || '> ' || w
+                         ELSE w END, ' ' ORDER BY pos) AS targets,
+         CAST(count(*) AS BIGINT) AS n_masked,
+         CAST(count(DISTINCT k) AS BIGINT) AS n_spans
+  FROM lab WHERE m GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM masked GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(t.n_masked, 0) AS n_masked,
+       coalesce(t.n_spans, 0) AS n_spans,
+       coalesce(i.masked_input, '') AS masked_input,
+       coalesce(t.targets, '') AS targets
+FROM base b
+LEFT JOIN inp i ON b.doc_id = i.doc_id
+LEFT JOIN tgt t ON b.doc_id = t.doc_id
+"""
+
+
+QUERIES["t5_span_corruption"] = (t5_span_corruption, _T5_SQL)

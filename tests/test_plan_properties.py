@@ -423,6 +423,9 @@ def test_round6_eval_queries_plan_contracts(props):
     p = props("audio_constellation_match")
     assert p["range_shuffles"] == 0
     assert p["broadcast_joins"] >= 1
+    # span corruption: doc-keyed windows + reassembly, no range
+    # exchange, nothing crosses documents
+    assert props("t5_span_corruption")["range_shuffles"] == 0
     # ranking: query panel rides broadcast joins; the token postings
     # are persisted and reused (in-memory scans, not re-explodes)
     p = props("retrieval_ranking_metrics")

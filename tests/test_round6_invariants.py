@@ -291,6 +291,24 @@ def test_constellation_self_retrieval_at_rank1(q):
         assert r.score >= 1
 
 
+def test_t5_span_corruption_laws(q):
+    # mask share is near the 15% target; sentinel count == n_spans in
+    # both strings; every masked token appears in targets (token
+    # conservation: visible + masked == n_tokens).
+    rows = q("t5_span_corruption").collect()
+    tot = sum(r.n_tokens for r in rows)
+    masked = sum(r.n_masked for r in rows)
+    assert 0.10 < masked / tot < 0.20
+    for r in rows:
+        assert r.n_masked <= r.n_tokens
+        assert r.masked_input.count("<X") == r.n_spans
+        assert r.targets.count("<X") == r.n_spans
+        vis = len([t for t in r.masked_input.split() if "<X" not in t])
+        tgt = len([t for t in r.targets.split() if "<X" not in t])
+        assert vis + tgt == r.n_tokens
+        assert tgt == r.n_masked
+
+
 def test_unigram_segment_cost_bounds(q):
     # every word segments (cost < the not-in-vocab sentinel); the
     # all-singles path bounds cost above at 9*len; pieces of length
