@@ -693,3 +693,205 @@ LEFT JOIN tgt t ON b.doc_id = t.doc_id
 
 
 QUERIES["t5_span_corruption"] = (t5_span_corruption, _T5_SQL)
+
+
+# --------------------------------------------------------------------------
+# mlm_masking_plan: BERT-style 80/10/10 masked-LM example construction
+# --------------------------------------------------------------------------
+
+_MLM_SEL_PCT = 150   # of 1000: ~15% of tokens selected
+_MLM_VOCAB_K = 100   # replacement pool = top-K corpus tokens
+
+
+def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style MLM corruption: ~15% of tokens are selected
+    (hash-seeded); of those, 80% become [MASK], 10% are replaced by a
+    hash-chosen token from the top-{k} corpus vocabulary, 10% stay
+    unchanged (the trick that keeps the encoder honest about
+    unmasked positions). Emits the corrupted text plus the per-doc
+    op census — the encoder-side sibling of t5_span_corruption.
+
+    Determinism: selection and op both derive from md5(doc:pos)
+    buckets; the replacement pool is a TakeOrdered top-{k} by
+    (count DESC, token ASC) with the row_number index joined on
+    hash-mod — everything integer/md5.
+
+    Scale: one explode, one broadcast join against the K-row pool
+    (only for the ~1.5% random-replacement positions), one doc-keyed
+    reassembly. The pool is top-K BY CONSTRUCTION — bounded at any
+    corpus size, unlike the full vocabulary.
+    """.format(k=_MLM_VOCAB_K)
+    from pyspark.sql import Window
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "w"))
+        .where(F.col("w") != ""))
+    vocab = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), "w").limit(_MLM_VOCAB_K)
+             .withColumn("vidx", F.row_number().over(
+                 Window.orderBy(F.desc("c"), "w")) - 1)
+             .select("vidx", F.col("w").alias("repl")))
+    h = (f"CAST(conv(substr(md5(concat(cast(doc_id as string), ':',"
+         f" cast(pos as string), ':SEL')), 1, 6), 16, 10) AS INT)")
+    op = (f"CAST(conv(substr(md5(concat(cast(doc_id as string), ':',"
+          f" cast(pos as string), ':OP')), 1, 6), 16, 10) AS INT)")
+    nv = vocab.agg(F.count(F.lit(1)).alias("nv"))
+    lab = (toks.crossJoin(F.broadcast(nv))
+           .withColumn("sel", F.expr(f"{h} % 1000 < {_MLM_SEL_PCT}"))
+           .withColumn("op", F.expr(
+               f"CASE WHEN NOT ({h} % 1000 < {_MLM_SEL_PCT}) THEN 'keep'"
+               f" WHEN {op} % 10 < 8 THEN 'mask'"
+               f" WHEN {op} % 10 = 8 THEN 'random'"
+               f" ELSE 'same' END"))
+           # mod by the ACTUAL pool size: a corpus with fewer than K
+           # distinct tokens would otherwise hash to missing indices
+           # and silently drop the token from the reassembly
+           .withColumn("vidx", F.expr(
+               f"CASE WHEN {op} % 10 = 8 AND {h} % 1000 < {_MLM_SEL_PCT}"
+               f" THEN {op} div 10 % nv END")))
+    out_tok = (lab.join(F.broadcast(vocab), "vidx", "left")
+               .withColumn("t", F.expr(
+                   "CASE op WHEN 'mask' THEN '[MASK]'"
+                   " WHEN 'random' THEN repl ELSE w END")))
+    return (out_tok.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum((F.col("op") == "mask").cast("long"))
+                 .alias("n_mask"),
+                 F.sum((F.col("op") == "random").cast("long"))
+                 .alias("n_random"),
+                 F.sum((F.col("op") == "same").cast("long"))
+                 .alias("n_same"),
+                 F.array_join(F.expr(
+                     "transform(array_sort(collect_list(struct(pos, t))),"
+                     " x -> x.t)"), " ").alias("corrupted_text")))
+
+
+def _mlm_sql() -> str:
+    h = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'"
+         " || CAST(pos AS VARCHAR) || ':SEL'), 1, 6) AS INT)")
+    op = ("CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'"
+          " || CAST(pos AS VARCHAR) || ':OP'), 1, 6) AS INT)")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS w
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+       unnest(range(1, len(ws) + 1)) AS t(i)
+  WHERE ws[i] <> ''
+),
+vocab AS (
+  SELECT CAST(row_number() OVER (ORDER BY c DESC, w) - 1 AS INT) AS vidx,
+         w AS repl
+  FROM (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+        ORDER BY c DESC, w LIMIT {_MLM_VOCAB_K})
+),
+vs AS (SELECT CAST(count(*) AS INT) AS nv FROM vocab),
+lab AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN NOT ({h} % 1000 < {_MLM_SEL_PCT}) THEN 'keep'
+              WHEN {op} % 10 < 8 THEN 'mask'
+              WHEN {op} % 10 = 8 THEN 'random'
+              ELSE 'same' END AS op,
+         CASE WHEN {op} % 10 = 8 AND {h} % 1000 < {_MLM_SEL_PCT}
+              THEN {op} // 10 % nv END AS vidx
+  FROM toks, vs
+),
+out_tok AS (
+  SELECT l.doc_id, l.pos,
+         CASE l.op WHEN 'mask' THEN '[MASK]'
+                   WHEN 'random' THEN v.repl ELSE l.w END AS t,
+         l.op
+  FROM lab l LEFT JOIN vocab v ON l.vidx = v.vidx
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN op = 'mask' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mask,
+       CAST(sum(CASE WHEN op = 'random' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_random,
+       CAST(sum(CASE WHEN op = 'same' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same,
+       string_agg(t, ' ' ORDER BY pos) AS corrupted_text
+FROM out_tok GROUP BY doc_id
+"""
+
+
+QUERIES["mlm_masking_plan"] = (mlm_masking_plan, _mlm_sql())
+
+
+# --------------------------------------------------------------------------
+# fim_transform: fill-in-middle (PSM) example construction
+# --------------------------------------------------------------------------
+
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle transform (code-model pretraining): split each
+    document's token sequence at two hash-derived cut points and emit
+    the PSM reordering '<PRE> prefix <SUF> suffix <MID> middle' —
+    the causal-LM objective that teaches infilling without
+    architecture changes.
+
+    Determinism: both cuts derive from md5(doc_id) buckets over
+    [0, n); least/greatest orders them; slices are 1-based
+    array slices identical in both engines.
+
+    Scale: pure scan-fused per-row array surgery — zero shuffles.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("ws"))
+    c1 = ("CAST(conv(substr(md5(concat(cast(doc_id as string), ':c1')),"
+          " 1, 6), 16, 10) AS INT) % size(ws)")
+    c2 = ("CAST(conv(substr(md5(concat(cast(doc_id as string), ':c2')),"
+          " 1, 6), 16, 10) AS INT) % size(ws)")
+    return (base.where(F.size("ws") >= 2)
+            .withColumn("a", F.expr(f"least({c1}, {c2})"))
+            .withColumn("b", F.expr(f"greatest({c1}, {c2})"))
+            .select(
+                "doc_id",
+                F.size("ws").alias("n_tokens"),
+                F.col("a").alias("cut_a"), F.col("b").alias("cut_b"),
+                F.expr(
+                    "concat('<PRE> ', array_join(slice(ws, 1, a), ' '),"
+                    " ' <SUF> ',"
+                    " array_join(slice(ws, b + 1, size(ws) - b), ' '),"
+                    " ' <MID> ',"
+                    " array_join(slice(ws, a + 1, b - a), ' '))")
+                .alias("psm_text")))
+
+
+_FIM_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+cut AS (
+  SELECT doc_id, ws, CAST(len(ws) AS INT) AS n_tokens,
+         least(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':c1'),
+                                   1, 6) AS INT) % len(ws),
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':c2'),
+                                   1, 6) AS INT) % len(ws)) AS a,
+         greatest(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':c1'), 1, 6) AS INT)
+                      % len(ws),
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':c2'), 1, 6) AS INT)
+                      % len(ws)) AS b
+  FROM base WHERE len(ws) >= 2
+)
+SELECT doc_id, n_tokens,
+       CAST(a AS INT) AS cut_a, CAST(b AS INT) AS cut_b,
+       -- coalesce each slice: array_to_string([]) is NULL in DuckDB
+       -- while Spark's array_join gives '' (CLAUDE.md gotcha)
+       '<PRE> ' || coalesce(array_to_string(ws[1:a], ' '), '')
+       || ' <SUF> '
+       || coalesce(array_to_string(ws[b + 1:n_tokens], ' '), '')
+       || ' <MID> '
+       || coalesce(array_to_string(ws[a + 1:b], ' '), '') AS psm_text
+FROM cut
+"""
+
+
+QUERIES["fim_transform"] = (fim_transform, _FIM_SQL)

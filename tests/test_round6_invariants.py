@@ -309,6 +309,36 @@ def test_t5_span_corruption_laws(q):
         assert tgt == r.n_masked
 
 
+def test_mlm_masking_census_and_ratios(q):
+    rows = q("mlm_masking_plan").collect()
+    tot = sum(r.n_tokens for r in rows)
+    sel = sum(r.n_mask + r.n_random + r.n_same for r in rows)
+    msk = sum(r.n_mask for r in rows)
+    assert 0.10 < sel / tot < 0.20        # ~15% selected
+    assert 0.70 < msk / sel < 0.90        # ~80% of selected -> [MASK]
+    for r in rows:
+        assert r.corrupted_text.count("[MASK]") == r.n_mask
+        assert len(r.corrupted_text.split()) == r.n_tokens
+
+
+def test_fim_psm_reassembles_to_original(spark, q):
+    # prefix + middle + suffix (in SMP order) == the original tokens
+    from alma_publish_to_marc_spark.tables import load
+
+    texts = {r.doc_id: r.text.strip().lower().split()
+             for r in load(spark, SF_SMOKE, "documents").collect()}
+    for r in q("fim_transform").collect():
+        body = r.psm_text
+        pre = body.split(" <SUF> ")[0].removeprefix("<PRE> ")
+        suf = body.split(" <SUF> ")[1].split(" <MID> ")[0]
+        mid = body.split(" <MID> ")[1]
+        toks = ((pre.split() if pre else [])
+                + (mid.split() if mid else [])
+                + (suf.split() if suf else []))
+        assert toks == texts[r.doc_id], r.doc_id
+        assert 0 <= r.cut_a <= r.cut_b < r.n_tokens
+
+
 def test_unigram_segment_cost_bounds(q):
     # every word segments (cost < the not-in-vocab sentinel); the
     # all-singles path bounds cost above at 9*len; pieces of length
