@@ -729,6 +729,10 @@ _CM_EBUCKET = 1000    # energy quantization for hash robustness
 _CM_SNIP_FIRST = 2    # snippet = frames [2, 9] of the query doc
 _CM_SNIP_FRAMES = 8
 _CM_TOPK = 3
+# FIXED-size query panel: a fraction-of-corpus panel makes the match
+# join O(N^2) as the corpus grows (the retrieval_ranking_metrics
+# lesson; probe measured 3.5 -> 22.7 s at 1x -> 10x before the cap)
+_CM_NQ = 32
 
 
 def _cm_peaks_spark(frame_df):
@@ -804,6 +808,7 @@ def _audio_constellation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_h = _cm_hashes_spark(_cm_peaks_spark(
         frame_energies(docs, "doc_id", "text")))
     snips = (docs.where(F.col("doc_id") % 97 == 0)
+             .orderBy("doc_id").limit(_CM_NQ)
              .select("doc_id", F.substring(
                  "text", _CM_SNIP_FIRST * _VAD_FRAME + 1,
                  _CM_SNIP_FRAMES * _VAD_FRAME).alias("snip"))
@@ -872,6 +877,7 @@ sdocs AS (
          substr(text, {_CM_SNIP_FIRST * _VAD_FRAME} + 1,
                 {_CM_SNIP_FRAMES * _VAD_FRAME}) AS tx
   FROM documents WHERE length(text) > 0 AND doc_id % 97 = 0
+  ORDER BY doc_id LIMIT {_CM_NQ}
 ),
 sdocs2 AS (
   SELECT id, tx,

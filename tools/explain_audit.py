@@ -179,7 +179,10 @@ def main() -> None:
         "behavior_alignment_score", "trajectory_similarity_topk",
         "lexicon_sentiment_score", "cardinality_estimate_eval",
         "bitext_candidate_mining", "cohens_kappa_agreement",
-        "source_ablation_value",
+        "source_ablation_value", "pipe_syntax_report",
+        "hll_cube_rollup", "hll_rolling_distinct",
+        "audio_constellation_match", "t5_span_corruption",
+        "mlm_masking_plan", "fim_transform",
     ]
     for name in names:
         if name not in qs:
