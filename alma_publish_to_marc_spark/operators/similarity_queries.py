@@ -1560,3 +1560,98 @@ WHERE rank <= {K}
 
 
 QUERIES["graph_ann_beam_search"] = (_graph_ann_beam, _beam_sql())
+
+
+# --------------------------------------------------------------------------
+# knn_classifier_eval: label-prediction accuracy of the approximate graph
+# --------------------------------------------------------------------------
+
+def _knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vote accuracy of the APPROXIMATE kNN graph, corpus-wide:
+    each vector's label is predicted by the majority vote of its
+    banded-LSH graph neighbors and scored against the true ``label``
+    — the graph-quality twin of learning.knn_classifier_eval (which
+    brute-forces a 4% panel): same task, but full coverage through
+    the production index, so the delta between the two is the cost
+    of approximation on the end task.
+    One row per true label: coverage (vectors with ≥1 neighbor),
+    vote accuracy, and the majority-class share as the baseline to
+    beat.
+
+    Determinism: votes are exact counts; ties break to the SMALLEST
+    label via struct-min; accuracy is an e6 rational.
+
+    Scale: rides the persisted kNN-graph plan (banded candidates,
+    no all-pairs); the vote is one (src, label) count over k·N edge
+    rows and a struct-min per src.
+    """
+    from . import similarity as S2
+
+    emb = load(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    edges = S2.knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+    votes = (edges.join(labels.withColumnRenamed("vec_id", "dst")
+                        .withColumnRenamed("label", "nlabel"), "dst")
+             .groupBy("src", "nlabel")
+             .agg(F.count(F.lit(1)).alias("c")))
+    pred = (votes.groupBy("src")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("nlabel").alias("l")))
+                 .getField("l").alias("pred")))
+    scored = (labels.withColumnRenamed("vec_id", "src")
+              .join(pred, "src", "left"))
+    per_label = (scored.groupBy("label")
+                 .agg(F.count(F.lit(1)).alias("n_vectors"),
+                      F.sum(F.col("pred").isNotNull().cast("long"))
+                      .alias("n_classified"),
+                      F.sum((F.col("pred") == F.col("label"))
+                            .cast("long")).alias("n_correct")))
+    majority = (labels.groupBy("label")
+                .agg(F.count(F.lit(1)).alias("cl"))
+                .agg(F.max("cl").alias("maxc"), F.sum("cl").alias("tot")))
+    return (per_label.crossJoin(F.broadcast(majority))
+            .select("label", "n_vectors", "n_classified", "n_correct",
+                    F.expr("CASE WHEN n_classified = 0 THEN 0"
+                           " ELSE 1000000 * n_correct div n_classified"
+                           " END").alias("acc_e6"),
+                    F.expr("1000000 * maxc div tot")
+                    .alias("majority_baseline_e6")))
+
+
+_KNN_CLS_SQL = f"""
+WITH edges AS ({_KNN_GRAPH_SQL}),
+labels AS (SELECT vec_id, label FROM embeddings),
+votes AS (
+  SELECT e.src, l.label AS nlabel, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN labels l ON e.dst = l.vec_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT src, (min(struct_pack(nc := -c, l := nlabel))).l AS pred
+  FROM votes GROUP BY src
+),
+scored AS (
+  SELECT l.label, p.pred
+  FROM labels l LEFT JOIN pred p ON l.vec_id = p.src
+),
+per_label AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_classified,
+         CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+  FROM scored GROUP BY label
+),
+majority AS (
+  SELECT CAST(max(cl) AS BIGINT) AS maxc, CAST(sum(cl) AS BIGINT) AS tot
+  FROM (SELECT label, count(*) AS cl FROM labels GROUP BY label)
+)
+SELECT label, n_vectors, n_classified, n_correct,
+       CASE WHEN n_classified = 0 THEN 0
+            ELSE 1000000 * n_correct // n_classified END AS acc_e6,
+       1000000 * maxc // tot AS majority_baseline_e6
+FROM per_label, majority
+"""
+
+QUERIES["ann_graph_label_vote"] = (_knn_classifier_eval,
+                                   _KNN_CLS_SQL)
