@@ -426,6 +426,13 @@ def test_round6_eval_queries_plan_contracts(props):
     # span corruption: doc-keyed windows + reassembly, no range
     # exchange, nothing crosses documents
     assert props("t5_span_corruption")["range_shuffles"] == 0
+    for name in ("mlm_masking_plan", "fim_transform",
+                 "ann_graph_label_vote"):
+        assert props(name)["range_shuffles"] == 0, name
+    # FIM is pure per-row array surgery — zero shuffles
+    assert props("fim_transform")["shuffles"] == 0
+    from alma_publish_to_marc_spark.operators import similarity as S2
+    S2.unpersist_cached()
     # ranking: query panel rides broadcast joins; the token postings
     # are persisted and reused (in-memory scans, not re-explodes)
     p = props("retrieval_ranking_metrics")

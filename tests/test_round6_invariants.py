@@ -339,6 +339,25 @@ def test_fim_psm_reassembles_to_original(spark, q):
         assert 0 <= r.cut_a <= r.cut_b < r.n_tokens
 
 
+def test_ann_label_vote_census(spark, q):
+    # every labeled vector is counted exactly once; accuracy bounded;
+    # the baseline equals the true majority-class share. (On the
+    # synthetic corpus labels are random, so accuracy ~ chance — the
+    # eval's JOB is to report that, not to beat it.)
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = q("ann_graph_label_vote").collect()
+    emb = load(spark, SF_SMOKE, "embeddings")
+    assert sum(r.n_vectors for r in rows) == emb.count()
+    base = rows[0].majority_baseline_e6
+    for r in rows:
+        assert r.n_correct <= r.n_classified <= r.n_vectors
+        assert 0 <= r.acc_e6 <= 1_000_000
+        assert r.majority_baseline_e6 == base
+    from alma_publish_to_marc_spark.operators import similarity as S2
+    S2.unpersist_cached()
+
+
 def test_unigram_segment_cost_bounds(q):
     # every word segments (cost < the not-in-vocab sentinel); the
     # all-singles path bounds cost above at 9*len; pieces of length
