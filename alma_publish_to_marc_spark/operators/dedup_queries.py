@@ -1290,3 +1290,111 @@ LIMIT {_WIN_TOPK}
 
 
 QUERIES["winnowing_overlap"] = (_winnowing_overlap, _WINNOW_SQL)
+
+
+# --------------------------------------------------------------------------
+# minhash_estimator_calibration: signature-agreement estimate vs exact J
+# --------------------------------------------------------------------------
+
+def _minhash_estimator_calibration(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Calibration of the MinHash Jaccard estimator on the LSH
+    candidate set: for every candidate pair, the estimate is the
+    share of agreeing signature slots (E[agree/k] = J, the MinHash
+    identity) and the truth is exact shingle Jaccard; pairs bin by
+    agreement count (0..{k} slots) and each bin reports its mean true
+    Jaccard and the bias — the recall-gate's sibling for the DEDUP
+    stack (ann_recall_eval audits the ANN index; this audits the
+    estimator the near-dup thresholds trust).
+
+    Determinism: agreement counts and per-pair jac_e6 = 1e6·|∩| div
+    |∪| are exact ints; bin means are floored integer divisions.
+
+    Scale: identical candidate generation to minhash_lsh_neardup
+    (banded, never all-pairs); the calibration tail runs on {k}+1
+    bins.
+    """.format(k=D.N_PERMS)
+    docs = _near_dup_corpus(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        D.shingle_hashes(F.col("text"), 5).alias("hashes"))
+    sigs = base.select(
+        "doc_id", "hashes",
+        D.signature_from_hashes(F.col("hashes")).alias("sig"))
+    bands = sigs.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band_id"),
+                 F.concat_ws("_", *[
+                     F.element_at("sig", b * D.ROWS_PER_BAND + r + 1)
+                     .cast("string")
+                     for r in range(D.ROWS_PER_BAND)]).alias("band_key"))
+        for b in range(D.N_BANDS)])).alias("bb")) \
+        .select("doc_id", "bb.band_id", "bb.band_key")
+    cand = (bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"))
+        .distinct())
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     F.col("sig").alias("sig_a"),
+                     F.col("hashes").alias("h_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     F.col("sig").alias("sig_b"),
+                     F.col("hashes").alias("h_b"))
+    pairs = (cand.join(sa, "id_a").join(sb, "id_b")
+             .select(
+                 F.expr("size(filter(zip_with(sig_a, sig_b,"
+                        " (x, y) -> x = y), v -> v))").alias("agree16"),
+                 F.expr("size(array_intersect(h_a, h_b))").alias("ni"),
+                 (F.size("h_a") + F.size("h_b")).alias("su"))
+             .select("agree16", F.expr(
+                 "CASE WHEN su - ni = 0 THEN 1000000"
+                 " ELSE 1000000 * ni div (su - ni) END").alias("jac_e6")))
+    return (pairs.groupBy("agree16")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.expr("sum(jac_e6) div count(1)").alias("mean_jac_e6"))
+            .withColumn("est_e6", F.expr(
+                f"1000000 * agree16 div {D.N_PERMS}"))
+            .withColumn("bias_e6", F.expr("est_e6 - mean_jac_e6"))
+            .select("agree16", "n_pairs", "est_e6", "mean_jac_e6",
+                    "bias_e6"))
+
+
+def _minhash_calibration_sql() -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END"
+        for j in range(D.N_PERMS))
+    return f"""
+WITH {minhash_pairs_cte()},
+ag AS (
+  SELECT c.id_a, c.id_b,
+         CAST({agree} AS INT) AS agree16,
+         len(list_intersect(ha.hashes, hb.hashes)) AS ni,
+         len(ha.hashes) + len(hb.hashes) AS su
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+  JOIN hashed ha ON ha.doc_id = c.id_a
+  JOIN hashed hb ON hb.doc_id = c.id_b
+),
+scored AS (
+  SELECT agree16,
+         CASE WHEN su - ni = 0 THEN 1000000
+              ELSE 1000000 * CAST(ni AS BIGINT) // (su - ni) END AS jac_e6
+  FROM ag
+)
+SELECT agree16, CAST(count(*) AS BIGINT) AS n_pairs,
+       1000000 * agree16 // {D.N_PERMS} AS est_e6,
+       CAST(sum(jac_e6) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS mean_jac_e6,
+       1000000 * agree16 // {D.N_PERMS}
+           - CAST(sum(jac_e6) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS bias_e6
+FROM scored GROUP BY agree16
+"""
+
+
+QUERIES["minhash_estimator_calibration"] = (_minhash_estimator_calibration,
+                                            _minhash_calibration_sql())
