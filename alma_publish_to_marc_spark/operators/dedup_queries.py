@@ -18,6 +18,18 @@ from . import dedup as D
 
 NEAR_DUP_TAIL = "synthetic near dup tail"
 
+# Persisted frames released via unpersist_cached() (the
+# operators/clustering.py contract).
+_PERSISTED: list = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
 # ---- SQL fragment generators (lockstep with functions/text.py hashes) ----
 def sql_toks(text: str = "text") -> str:
     return rf"regexp_split_to_array(trim({text}), '\s+')"
@@ -643,13 +655,21 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates then verify with exact prefix edit distance, as in
     ``levenshtein_neardup``.
 
-    Scale: the global sort IS the method (and is how the data would be
-    written anyway — cf. ``zorder_layout_stats``); at 100 TB it's a
-    range-partitioned sort whose windows only need ``SN_WINDOW`` rows
-    of overlap between partitions. The neighbor pairs come from ONE
-    window pass (w leads — no self-join at all), making this the
-    cheapest blocking scheme the engine offers when the sort is
-    already paid for.
+    Scale: the sweep is PARTITIONED, not a full-corpus global sort
+    (VERDICT r06 item 2). The sort key's first character defines a
+    deterministic CONTIGUOUS bucket (a lexicographic prefix bucket is
+    a key range), so all windows run ``PARTITION BY bkt`` — parallel,
+    never ``SinglePartition``, and no rangepartitioning exchange
+    either. Pairs that CROSS a bucket boundary are recovered exactly:
+    every true cross-bucket neighbor at rank distance ≤ ``SN_WINDOW``
+    must sit in its bucket's first/last ``SN_WINDOW`` rows, so those
+    edge rows (≤ 2·W per bucket — tiny) get a global rank from
+    bucket-size offsets (a broadcast-joined per-bucket count — no
+    window) and pair by exact rank distance via a broadcast equi-join
+    on rank+d. At 100 TB the bucket prefix just grows (2-3 chars) to
+    keep buckets executor-sized; a skew-adaptive variant would sample
+    bounds à la repartitionByRange, at the cost of deterministic
+    bucket ids.
     """
     from pyspark.sql import Window
 
@@ -663,22 +683,59 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 5 == 0).crossJoin(off)
         .select((F.col("doc_id") + F.col("_off")).alias("doc_id"),
                 "sk", "prefix"))
-    w = Window.orderBy("sk", "doc_id")
+    corpus = corpus.withColumn("bkt", F.substring("sk", 1, 1))
+    wb = Window.partitionBy("bkt").orderBy("sk", "doc_id")
     led = corpus.select(
-        "doc_id", "prefix",
-        *[F.lead("doc_id", i).over(w).alias(f"n{i}_id") for i in
+        "doc_id", "prefix", "bkt",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("bkt")).alias("bcnt"),
+        *[F.lead("doc_id", i).over(wb).alias(f"n{i}_id") for i in
           range(1, SN_WINDOW + 1)],
-        *[F.lead("prefix", i).over(w).alias(f"n{i}_p") for i in
+        *[F.lead("prefix", i).over(wb).alias(f"n{i}_p") for i in
           range(1, SN_WINDOW + 1)])
-    pairs = None
-    for i in range(1, SN_WINDOW + 1):
-        p = (led.where(F.col(f"n{i}_id").isNotNull())
-             .select(F.least("doc_id", F.col(f"n{i}_id")).alias("id_a"),
-                     F.greatest("doc_id", F.col(f"n{i}_id")).alias("id_b"),
-                     F.levenshtein("prefix", F.col(f"n{i}_p")).cast("int")
+    # led feeds three branches (pairs, edge rows, bucket sizes) —
+    # persist per the multi-branch rule (CLAUDE.md) so the scan +
+    # window run once.
+    from pyspark import StorageLevel
+    led = led.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(led)
+    # ONE explode over a neighbor-struct array instead of a W-way
+    # union of filtered branches — a union re-runs the scan + window
+    # per branch (Spark does not dedupe common subplans).
+    nb = F.explode(F.array(*[
+        F.struct(F.col(f"n{i}_id").alias("nid"),
+                 F.col(f"n{i}_p").alias("np"))
+        for i in range(1, SN_WINDOW + 1)])).alias("nb")
+    pairs = (led.select("doc_id", "prefix", nb)
+             .where(F.col("nb.nid").isNotNull())
+             .select(F.least("doc_id", F.col("nb.nid")).alias("id_a"),
+                     F.greatest("doc_id", F.col("nb.nid")).alias("id_b"),
+                     F.levenshtein("prefix", F.col("nb.np")).cast("int")
                       .alias("edit_distance")))
-        pairs = p if pairs is None else pairs.unionAll(p)
-    return (pairs.where(F.col("edit_distance") <= 5).distinct())
+    # cross-bucket recovery: global rank = bucket offset + in-bucket rn
+    sizes = led.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    offs = (sizes.alias("a")
+            .join(sizes.alias("b"), F.col("b.bkt") < F.col("a.bkt"), "left")
+            .groupBy(F.col("a.bkt").alias("bkt"))
+            .agg(F.coalesce(F.sum("b.n"), F.lit(0)).alias("off")))
+    edge = (led.where((F.col("rn") <= SN_WINDOW)
+                      | (F.col("rn") > F.col("bcnt") - SN_WINDOW))
+            .join(F.broadcast(offs), "bkt")
+            .select("bkt", "doc_id", "prefix",
+                    (F.col("off") + F.col("rn")).alias("grank")))
+    dists = F.explode(
+        F.array(*[F.lit(i) for i in range(1, SN_WINDOW + 1)])).alias("d")
+    cross = (edge.select("bkt", "doc_id", "prefix", "grank", dists)
+             .withColumn("tgt", F.col("grank") + F.col("d")).alias("L")
+             .join(F.broadcast(edge.alias("R")),
+                   (F.col("R.grank") == F.col("L.tgt"))
+                   & (F.col("R.bkt") != F.col("L.bkt")))
+             .select(F.least("L.doc_id", F.col("R.doc_id")).alias("id_a"),
+                     F.greatest("L.doc_id", F.col("R.doc_id")).alias("id_b"),
+                     F.levenshtein(F.col("L.prefix"), F.col("R.prefix"))
+                      .cast("int").alias("edit_distance")))
+    return (pairs.unionAll(cross)
+            .where(F.col("edit_distance") <= 5).distinct())
 
 
 def _sorted_neighborhood_sql() -> str:
@@ -751,20 +808,45 @@ def _fellegi_sunter_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; the comparators are cheap column ops on the paired rows
     carried through the window lag, and the histogram is bounded by
     the score range. The EM reweighting step at scale reuses these
-    same per-pattern counts."""
+    same per-pattern counts. The sweep is PARTITIONED (VERDICT r06
+    item 2): ``n_chars div 64`` is a deterministic contiguous bucket
+    of the (n_chars, doc_id) sort order, so the lag window runs
+    ``PARTITION BY bkt`` (never SinglePartition); each bucket's
+    first/last row recovers the one cross-boundary pair per adjacent
+    bucket via global ranks from broadcast bucket-size offsets —
+    the same edge-row scheme as ``sorted_neighborhood_pairs``."""
     from pyspark.sql import Window
 
+    cols = ("doc_id", "lang", "source", "n_chars", "head")
     docs = (load(spark, sf_dir, "documents")
             .select("doc_id", "lang", "source", "n_chars",
-                    F.substring("text", 1, 16).alias("head")))
-    # global sort window — same single-partition tradeoff (and fix: key
-    # ranges / repartitionByRange at scale) as sorted_neighborhood_pairs
-    w = Window.orderBy("n_chars", "doc_id")
+                    F.substring("text", 1, 16).alias("head"))
+            .withColumn("bkt", F.expr("n_chars div 64")))
+    wb = Window.partitionBy("bkt").orderBy("n_chars", "doc_id")
     lagged = docs.select(
-        "doc_id", "lang", "source", "n_chars", "head",
-        *[F.lag(c, 1).over(w).alias(f"p_{c}")
-          for c in ("doc_id", "lang", "source", "n_chars", "head")])
-    pairs = lagged.where(F.col("p_doc_id").isNotNull())
+        *cols, "bkt",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("bkt")).alias("bcnt"),
+        *[F.lag(c, 1).over(wb).alias(f"p_{c}") for c in cols])
+    within = lagged.where(F.col("p_doc_id").isNotNull())
+    # cross-bucket pair recovery (rank distance exactly 1)
+    sizes = docs.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    offs = (sizes.alias("a")
+            .join(sizes.alias("b"), F.col("b.bkt") < F.col("a.bkt"), "left")
+            .groupBy(F.col("a.bkt").alias("bkt"))
+            .agg(F.coalesce(F.sum("b.n"), F.lit(0)).alias("off")))
+    edge = (lagged.where((F.col("rn") == 1) | (F.col("rn") == F.col("bcnt")))
+            .join(F.broadcast(offs), "bkt")
+            .select(*cols, F.col("bkt").alias("ebkt"),
+                    (F.col("off") + F.col("rn")).alias("grank")))
+    cross = (edge.alias("L")
+             .join(F.broadcast(edge.alias("R")),
+                   (F.col("R.grank") == F.col("L.grank") + 1)
+                   & (F.col("R.ebkt") != F.col("L.ebkt")))
+             .select(*[F.col(f"R.{c}").alias(c) for c in cols],
+                     *[F.col(f"L.{c}").alias(f"p_{c}") for c in cols]))
+    pairs = within.select(
+        *cols, *[f"p_{c}" for c in cols]).unionAll(cross)
 
     def cmpw(agree, key):
         m, u = _FS_W[key]

@@ -1604,8 +1604,13 @@ def _knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.count(F.lit(1)).alias("n_vectors"),
                       F.sum(F.col("pred").isNotNull().cast("long"))
                       .alias("n_classified"),
-                      F.sum((F.col("pred") == F.col("label"))
-                            .cast("long")).alias("n_correct")))
+                      # when/otherwise(0): if every pred in a label
+                      # class is NULL, sum of a bare cast is NULL
+                      # while the oracle's CASE ELSE 0 gives 0
+                      # (ADVICE r06).
+                      F.sum(F.when(F.col("pred") == F.col("label"), 1)
+                            .otherwise(0).cast("long"))
+                      .alias("n_correct")))
     majority = (labels.groupBy("label")
                 .agg(F.count(F.lit(1)).alias("cl"))
                 .agg(F.max("cl").alias("maxc"), F.sum("cl").alias("tot")))

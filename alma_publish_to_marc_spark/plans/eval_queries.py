@@ -814,8 +814,12 @@ def _markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (test.join(F.broadcast(model), "frm", "left")
             .groupBy("frm", "predicted")
             .agg(F.count(F.lit(1)).alias("n_test"),
-                 F.sum((F.col("nxt") == F.col("predicted")).cast("long"))
-                 .alias("hits"))
+                 # when/otherwise(0), not a bare cast: a frm with no
+                 # train model row has NULL predicted, and sum over
+                 # all-NULL is NULL while the oracle's CASE ELSE 0
+                 # yields 0 (ADVICE r06).
+                 F.sum(F.when(F.col("nxt") == F.col("predicted"), 1)
+                       .otherwise(0)).alias("hits"))
             .select("frm", "predicted", "n_test", "hits",
                     F.expr("1000000 * hits div n_test").alias("acc_e6")))
 

@@ -454,3 +454,49 @@ def test_round6_eval_queries_plan_contracts(props):
     # contrastive builds batches with window leads — NO self-joins
     assert props("contrastive_pair_batches")["sort_merge_joins"] == 0
     EQ.unpersist_cached()
+
+
+# ---------------------------------------------------------------------------
+# Round 7: fused span family + partitioned sorted-neighborhood sweeps
+# (VERDICT r06 items 1-2)
+# ---------------------------------------------------------------------------
+
+def test_span_family_one_scan_one_gram_shuffle(props):
+    # duplicate_ngram_spans: ONE documents scan (posexplode_outer keeps
+    # short docs in-flow, no doc_id re-scan), dup counts via
+    # count-over-Window.partitionBy(gram_key) — never the old
+    # aggregate-then-join that exploded the corpus twice.
+    from alma_publish_to_marc_spark.plans import corpus_queries as C
+    p = props("duplicate_ngram_spans")
+    assert p["scans"] == 1
+    assert p["shuffles"] <= 2          # gram-key window + doc_id agg
+    assert p["range_shuffles"] == 0
+    assert p["single_part"] == 0
+    assert p["unpartitioned_windows"] == 0
+    # duplicate_span_removal: same fused shuffle profile; the split
+    # docs frame is persisted so the rewrite branch reads cache.
+    p = props("duplicate_span_removal")
+    assert p["scans"] == 1
+    assert p["in_memory_scans"] >= 1
+    assert p["unpartitioned_windows"] == 0
+    assert p["range_shuffles"] == 0
+    assert C.unpersist_cached() >= 1
+
+
+def test_sorted_neighborhood_sweep_is_partitioned(props):
+    # The sweep windows must all carry PARTITION BY bkt — zero
+    # unpartitioned windows (the r06 `WindowExec: No Partition
+    # Defined` scale-killer), zero range exchanges; the only
+    # single-partition exchange allowed is the 1-row max(doc_id)
+    # offset aggregate of the augmented corpus.
+    from alma_publish_to_marc_spark.operators import dedup_queries as DQ
+    p = props("sorted_neighborhood_pairs")
+    assert p["unpartitioned_windows"] == 0
+    assert p["range_shuffles"] == 0
+    assert p["single_part"] <= 1
+    assert p["in_memory_scans"] >= 1   # led persisted across 3 branches
+    assert DQ.unpersist_cached() >= 1
+    p = props("fellegi_sunter_scoring")
+    assert p["unpartitioned_windows"] == 0
+    assert p["range_shuffles"] == 0
+    assert p["single_part"] == 0

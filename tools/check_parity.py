@@ -70,7 +70,12 @@ def unsortable_columns(df: pd.DataFrame) -> list[str]:
     bad = []
     for c in df.columns:
         if df[c].dtype == object and len(df):
-            v = df[c].iloc[0]
+            # First NON-NULL cell, not iloc[0]: a left-join-produced
+            # array column whose first row is None would otherwise
+            # slip past the guard and still crash the driver's
+            # lexsort (ADVICE r06).
+            s = df[c].dropna()
+            v = s.iloc[0] if len(s) else None
             if isinstance(v, (list, tuple, np.ndarray, dict)):
                 bad.append(c)
     return bad

@@ -38,6 +38,12 @@ def summarize(spark, df) -> dict:
         "shuffles": len(re.findall(r"Arguments: hashpartitioning", plan)),
         "range_shuffles": len(re.findall(r"Arguments: rangepartitioning", plan)),
         "single_part": len(re.findall(r"Arguments: SinglePartition", plan)),
+        # windowspecdefinition whose FIRST argument is the frame or an
+        # ordered column = no PARTITION BY → the whole input moves to
+        # one task (the `WindowExec: No Partition Defined` warning).
+        "unpartitioned_windows": len(re.findall(
+            r"windowspecdefinition\((?:specifiedwindowframe|"
+            r"\S+#\d+\w* (?:ASC|DESC))", plan)),
         "broadcast_joins": len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)),
         "broadcast_nl_joins": len(
             re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)),
