@@ -1040,6 +1040,9 @@ QUERIES["event_sequence_patterns"] = (event_sequence_patterns, _SEQ_SQL)
 SPRT_P0_NUM, SPRT_P1_NUM = 50, 60     # H0 p=.50 vs H1 p=.60, percent
 SPRT_ALPHA_BOUND = 2_944_439          # ln((1-b)/a)=ln(19) in micro-units
                                       # (a=b=0.05), exact literal
+SPRT_HORIZON = 2048                   # deterministic max observations
+                                      # walked before declaring
+                                      # 'undecided' (both engines)
 
 
 def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,10 +1056,14 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the two LLR increments ln(p1/p0), ln((1−p1)/(1−p0))
     quantize once to micro-units, so the walk is an exact int64
     cumulative sum; the stopping row is the min rank where |LLR| ≥ A
-    (struct-min idiom). Scale: the walk is a single ordered cumsum —
-    inherently sequential, but it's over the DECISION PREFIX (the
-    test stops at ~hundreds of observations regardless of stream
-    size); production reads only until the bound crosses.
+    (struct-min idiom). Scale: the walk runs on the DECISION PREFIX
+    only — the first ``SPRT_HORIZON`` observations by (ts, event_id),
+    taken with a distributed TakeOrdered limit (no global sort
+    exchange; VERDICT r06 item 3). The single ordered cumsum —
+    inherently sequential — therefore touches a bounded frame (≤ 2048
+    rows) no matter how large the stream is; a test still open at the
+    horizon reports 'undecided', exactly Wald's truncated-SPRT
+    practice. The same horizon constant bounds the oracle.
     """
     from pyspark.sql import Window
 
@@ -1070,9 +1077,10 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.when(F.col("event_type") == "click",
                           F.expr(inc_pos))
                     .otherwise(F.expr(inc_neg)).alias("inc")))
+    head = obs.orderBy("ts", "event_id").limit(SPRT_HORIZON)
     w = Window.orderBy("ts", "event_id") \
         .rowsBetween(Window.unboundedPreceding, 0)
-    walked = obs.select(
+    walked = head.select(
         "event_id", "ts",
         F.row_number().over(Window.orderBy("ts", "event_id")).alias("n"),
         F.sum("inc").over(w).alias("llr_u"))
@@ -1104,13 +1112,16 @@ WITH obs AS (
                 ELSE {inc_neg} END AS inc
     FROM events WHERE event_type IN ('click', 'error')
 ),
+head AS (
+    SELECT * FROM obs ORDER BY ts, event_id LIMIT {SPRT_HORIZON}
+),
 walked AS (
     SELECT event_id, ts,
            row_number() OVER (ORDER BY ts, event_id) AS n,
            sum(inc) OVER (ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS llr_u
-    FROM obs
+    FROM head
 ),
 crossed AS (
     SELECT min(struct_pack(n := n, llr_u := llr_u)) AS b

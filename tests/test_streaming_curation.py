@@ -159,3 +159,47 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     texts = {r["text"] for r in spark.read.parquet(
         os.path.join(state, "shards")).collect()}
     assert texts == {doc}
+
+
+def test_batch_replay_idempotent_at_sf01(spark, tmp_path):
+    """VERDICT r06 item 7: the OVERWRITE-partition idempotency claim,
+    exercised at sf0.1 corpus scale (5000 real documents) instead of a
+    single unit row. Batch 0 lands the first 4000 docs; batch 1 lands
+    the remaining 1000 (which near-dup/quote against batch 0's
+    persisted band + gram indexes, so the replay has REAL cross-batch
+    state to corrupt). Re-running batch 1 with the same batch_id — the
+    crash-between-state-write-and-checkpoint-commit path — must leave
+    every state table and the published shards byte-identical."""
+    import os
+
+    state = str(tmp_path / "state")
+    docs = (spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+            .select("doc_id", "text"))
+    batch0 = docs.where("doc_id % 5 != 0")
+    batch1 = docs.where("doc_id % 5 = 0")
+
+    CU.curate_batch(spark, batch0, state, batch_id=0)
+    CU.curate_batch(spark, batch1, state, batch_id=1)
+
+    def snapshot():
+        out = {}
+        for table in ("audit", "index_bands", "index_sigs",
+                      "gram_counts", "shards"):
+            p = os.path.join(state, table)
+            rows = spark.read.parquet(p).collect()
+            out[table] = sorted(
+                tuple(x if not isinstance(x, list) else tuple(x)
+                      for x in r) for r in rows)
+        return out
+
+    before = snapshot()
+    # replay batch 1 (same id): at-least-once crash recovery
+    CU.curate_batch(spark, batch1, state, batch_id=1)
+    after = snapshot()
+    for table in before:
+        assert before[table] == after[table], table
+    # sanity: the replayed batch really had survivors and real state
+    n_kept_b1 = sum(1 for r in spark.read.parquet(
+        os.path.join(state, "audit")).collect()
+        if r["batch_id"] == 1 and r["kept"])
+    assert n_kept_b1 > 0
