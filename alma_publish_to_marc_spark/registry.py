@@ -36,6 +36,8 @@ _MODULES = (
     "alma_publish_to_marc_spark.plans.tpch_queries",
     "alma_publish_to_marc_spark.plans.timeseries_queries",
     "alma_publish_to_marc_spark.plans.eval_queries",
+    "alma_publish_to_marc_spark.plans.ir_queries",
+    "alma_publish_to_marc_spark.plans.inference_queries",
     "alma_publish_to_marc_spark.operators.recsys_queries",
     "alma_publish_to_marc_spark.plans.dq_queries",
     "alma_publish_to_marc_spark.operators.graph_queries",

@@ -511,3 +511,30 @@ def test_sprt_walk_is_horizon_bounded(props):
     assert "TakeOrderedAndProject" in p["_plan"]
     assert p["shuffles"] == 0
     assert p["range_shuffles"] == 0
+
+
+def test_round7_ir_queries_plan_shapes(props):
+    # scan-fused single-aggregation audits: one pruned scan, one shuffle
+    for name in ("tokenizer_fertility_by_lang", "byte_fallback_rate"):
+        p = props(name)
+        assert p["shuffles"] == 1, name
+        assert p["scans"] == 1, name
+        assert p["range_shuffles"] == 0, name
+        assert p["unpartitioned_windows"] == 0, name
+    # retrieval: term stats ride broadcasts, top-k never globally sorts
+    for name in ("ql_dirichlet_retrieval", "impact_sparse_retrieval"):
+        p = props(name)
+        assert p["range_shuffles"] == 0, name
+        assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 2, name
+        assert "TakeOrderedAndProject" in p["_plan"], name
+    # char coverage: the cumulative window runs on the alphabet run
+    # table (bounded); the corpus side contributes exactly one scan
+    p = props("char_coverage_audit")
+    assert p["scans"] == 1
+    assert p["shuffles"] == 1
+    # speculative acceptance: no corpus self-join — pairs come from a
+    # window lead; the bigram model joins hash-keyed
+    p = props("speculative_accept_rate")
+    assert p["scans"] == 1
+    assert p["range_shuffles"] == 0
+    assert p["unpartitioned_windows"] == 0
