@@ -1,0 +1,1078 @@
+"""Round-7 statistical-inference / robustness / privacy queries.
+
+Extends the testing-and-monitoring stack (ks/chi2/anova/logrank/
+permutation/fdr/wasserstein…) with the remaining standard instruments
+an experimentation + data-governance platform runs:
+
+- ``ljung_box_autocorr_test``   — portmanteau white-noise test on the
+  daily event-count series (the residual-diagnostics gate every
+  forecast model runs).
+- ``cvm_two_sample_test``       — Cramér–von Mises two-sample test
+  between event-type value distributions (integral-distance cousin of
+  the existing KS twin; more sensitive in the tails' middle).
+- ``holm_bonferroni_correction``— step-DOWN FWER control over per-type
+  permutation p-values (the conservative sibling of the existing BH
+  step-up FDR twin).
+- ``quantile_treatment_effect`` — decile-wise treatment effects
+  between two event arms (the distributional complement of the
+  existing mean-effect estimators).
+- ``nelson_aalen_hazard``       — cumulative-hazard estimator over the
+  customer-churn lifetimes (the hazard-scale twin of Kaplan–Meier).
+- ``huber_location_fixed_point``— robust per-type location via K
+  clipped-residual fixed-point rounds (kmeans-style unrolled
+  iteration, all integer cents).
+- ``page_hinkley_drift``        — sequential mean-drift detector per
+  event type over the daily series (the streaming cousin of CUSUM).
+- ``dp_quantile_histogram``     — DP quantile release by noised-
+  histogram CDF inversion (reuses dp_noised_counts' derived-noise
+  mechanism).
+- ``t_closeness_audit``         — total-variation distance between
+  each quasi-ID class's sensitive distribution and the global one
+  (the release gate k-anonymity/l-diversity don't cover).
+
+Determinism: everything is exact int64 / e6 fixed-point except the
+DP Laplace noise (the dp_noised_counts convention: identical ln of a
+seeded md5 uniform in both engines). Divisions that can see NEGATIVE
+numerators use an explicit sign-symmetric truncating division written
+identically in both engines — Spark's `div` truncates toward zero
+while DuckDB's `//` floors, so a bare integer division of a negative
+value would silently diverge (CLAUDE.md determinism family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+QUERIES: dict = {}
+
+# Persisted frames released via unpersist_cached() (the
+# operators/clustering.py contract).
+_PERSISTED: list = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+
+DAY_US = 86_400_000_000
+
+
+def _sdiv(num: str, den: str) -> str:
+    """Sign-symmetric truncating integer division (SQL text, valid in
+    BOTH engines): |num| div den, negated back. Needed because Spark
+    `div` truncates while DuckDB `//` floors on negatives."""
+    return (f"(CASE WHEN ({num}) < 0"
+            f" THEN -((-({num})) div ({den}))"
+            f" ELSE ({num}) div ({den}) END)")
+
+
+def _sdiv_duck(num: str, den: str) -> str:
+    return (f"(CASE WHEN ({num}) < 0"
+            f" THEN -((-({num})) // ({den}))"
+            f" ELSE ({num}) // ({den}) END)")
+
+
+# --------------------------------------------------------------------------
+# ljung_box_autocorr_test: portmanteau white-noise test on daily counts
+# --------------------------------------------------------------------------
+LB_MAX_LAG = 7
+# chi2 upper critical values at alpha=0.05 for df=1..7, e6 literals
+_CHI2_CRIT_E6 = {1: 3_841_459, 2: 5_991_465, 3: 7_814_728, 4: 9_487_729,
+                 5: 11_070_498, 6: 12_591_587, 7: 14_067_140}
+
+
+def _ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box Q test on the daily total-event-count series: per lag
+    k = 1..{LB_MAX_LAG}, the autocorrelation rho_k and the cumulative
+    Q statistic n(n+2)·Σ_{{j<=k}} rho_j²/(n−j), decided against the
+    chi2(k) 5% critical value — the white-noise gate run on forecast
+    residuals and on "is traffic seasonal at all" questions.
+
+    Determinism: the series is the CONTIGUOUS day spine (missing days
+    count 0, spine from min/max day — no wall clock). rho_k is the
+    exact integer cross-product ratio Σ(n·x_t−S)(n·x_{{t+k}}−S) /
+    Σ(n·x_t−S)² quantized to e6 with sign-symmetric truncation (the
+    numerator CAN be negative); Q accumulates integer terms only.
+
+    Scale: one map-side-combined day aggregation (|days| rows);
+    everything after — spine, lag joins, the cumulative — runs on that
+    bounded day-cardinality frame (broadcast joins, tiny windows).
+    Int64 headroom: n·x_t needs n·max_daily_count < 3e9 per square —
+    holds through ~1e5 days × 1e4 events/day; beyond, rescale x to
+    thousands first.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}")
+        .alias("day"))
+    counts = ev.groupBy("day").agg(F.count(F.lit(1)).alias("x"))
+    span = counts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+             .join(counts, "day", "left")
+             .select("day", F.coalesce("x", F.lit(0)).alias("x")))
+    tot = spine.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    cent = (spine.crossJoin(F.broadcast(tot))
+            .select("day", "n", (F.col("n") * F.col("x") - F.col("s"))
+                    .alias("c")))
+    den = cent.agg(F.sum(F.col("c") * F.col("c")).alias("den"),
+                   F.max("n").alias("n"))
+    ks = spark.range(1, LB_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = cent.select("day", F.col("c").alias("ca"))
+    b = cent.select(F.col("day").alias("day_b"), F.col("c").alias("cb"))
+    nums = (a.crossJoin(F.broadcast(ks))
+            .join(b, F.col("day_b") == F.col("day") + F.col("lag"))
+            .groupBy("lag")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("num")))
+    rho = (nums.crossJoin(F.broadcast(den))
+           .select("lag", "n",
+                   F.expr(_sdiv("1000000 * num", "den")).alias("rho_e6")))
+    wcum = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    crit = "CASE lag " + " ".join(
+        f"WHEN {df} THEN {v}" for df, v in _CHI2_CRIT_E6.items()) + " END"
+    return (rho
+            .withColumn("term", F.expr("(rho_e6 * rho_e6) div (n - lag)"))
+            .withColumn("cum", F.sum("term").over(wcum))
+            .select("lag", "rho_e6",
+                    F.expr("(n * (n + 2) * cum) div 1000000")
+                    .alias("q_e6"),
+                    F.expr(f"(n * (n + 2) * cum) div 1000000"
+                           f" > {crit}").alias("rejected")))
+
+
+def _lb_sql() -> str:
+    crit = "CASE lag " + " ".join(
+        f"WHEN {df} THEN {v}" for df, v in _CHI2_CRIT_E6.items()) + " END"
+    return f"""
+WITH counts AS (
+    SELECT epoch_us(ts) // {DAY_US} AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM counts),
+spine AS (
+    SELECT s.day, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+    FROM (SELECT unnest(range(lo, hi + 1)) AS day FROM span) s
+    LEFT JOIN counts c USING (day)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s FROM spine),
+cent AS (
+    SELECT day, n, n * x - s AS c FROM spine CROSS JOIN tot
+),
+den AS (SELECT CAST(sum(c * c) AS BIGINT) AS den,
+               max(n) AS n FROM cent),
+ks AS (SELECT unnest(range(1, {LB_MAX_LAG + 1})) AS lag),
+nums AS (
+    SELECT k.lag, CAST(sum(a.c * b.c) AS BIGINT) AS num
+    FROM cent a CROSS JOIN ks k
+    JOIN cent b ON b.day = a.day + k.lag
+    GROUP BY 1
+),
+rho AS (
+    SELECT lag, d.n, {_sdiv_duck("1000000 * num", "den")} AS rho_e6
+    FROM nums CROSS JOIN den d
+),
+walked AS (
+    SELECT lag, rho_e6, n,
+           CAST(sum((rho_e6 * rho_e6) // (n - lag))
+                OVER (ORDER BY lag
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+    FROM rho
+)
+SELECT lag, rho_e6,
+       (n * (n + 2) * cum) // 1000000 AS q_e6,
+       (n * (n + 2) * cum) // 1000000 > {crit} AS rejected
+FROM walked
+"""
+
+
+QUERIES["ljung_box_autocorr_test"] = (_ljung_box, _lb_sql())
+
+
+# --------------------------------------------------------------------------
+# cvm_two_sample_test: Cramér–von Mises between two event arms
+# --------------------------------------------------------------------------
+CVM_ARM_A, CVM_ARM_B = "click", "view"
+CVM_CRIT_E6 = 461_000  # omega^2 5% asymptotic critical value
+
+
+def _cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Cramér–von Mises two-sample statistic between the
+    `click` and `view` value distributions: omega² = Σ_z p_z·(F_n(z) −
+    G_m(z))² over the pooled support — the ECDF-integral distance that
+    complements the existing KS (sup-distance) and Wasserstein
+    (area-distance) twins.
+
+    Determinism: values quantize to exact cents; ECDF differences
+    quantize to e3 with sign-symmetric truncation BEFORE squaring (the
+    difference can be negative; squares of symmetric truncations are
+    engine-identical), and the weighted sum is integer. Ties need no
+    tie-break at all — the statistic is a pure function of the two
+    ECDFs over distinct cent values.
+
+    Scale: one aggregation to the distinct-cents run table (bounded by
+    the value domain, ~5e4 rows max); the cumulative ECDFs are windows
+    over that run table, never over events.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type").isin(CVM_ARM_A, CVM_ARM_B))
+          .select(F.col("event_type").alias("arm"),
+                  F.expr("cast(round(value * 100, 0) as bigint)")
+                  .alias("cents")))
+    runs = (ev.groupBy("cents")
+            .agg(F.sum(F.when(F.col("arm") == CVM_ARM_A, 1).otherwise(0))
+                 .alias("na"),
+                 F.sum(F.when(F.col("arm") == CVM_ARM_B, 1).otherwise(0))
+                 .alias("nb")))
+    wcum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    walked = runs.select(
+        "cents", (F.col("na") + F.col("nb")).alias("t"),
+        F.sum("na").over(wcum).alias("cum_a"),
+        F.sum("nb").over(wcum).alias("cum_b"),
+        F.sum("na").over(wall).alias("n"),
+        F.sum("nb").over(wall).alias("m"))
+    d_e3 = _sdiv("1000 * (m * cum_a - n * cum_b)", "n * m")
+    return (walked
+            .select("n", "m",
+                    (F.col("t") * F.expr(d_e3) * F.expr(d_e3))
+                    .alias("wterm"))
+            .groupBy("n", "m")
+            .agg(F.sum("wterm").alias("wsum"))
+            .select(F.col("n").cast("long").alias("n_a"),
+                    F.col("m").cast("long").alias("n_b"),
+                    F.expr("wsum div (n + m)").alias("cvm_e6"),
+                    F.expr(f"wsum div (n + m) > {CVM_CRIT_E6}")
+                    .alias("rejected")))
+
+
+def _cvm_sql() -> str:
+    d_e3 = _sdiv_duck("1000 * (m * cum_a - n * cum_b)", "n * m")
+    return f"""
+WITH ev AS (
+    SELECT event_type AS arm,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events WHERE event_type IN ('{CVM_ARM_A}', '{CVM_ARM_B}')
+),
+runs AS (
+    SELECT cents,
+           CAST(sum(CASE WHEN arm = '{CVM_ARM_A}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS na,
+           CAST(sum(CASE WHEN arm = '{CVM_ARM_B}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS nb
+    FROM ev GROUP BY cents
+),
+walked AS (
+    SELECT cents, na + nb AS t,
+           CAST(sum(na) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_a,
+           CAST(sum(nb) OVER (ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_b,
+           CAST(sum(na) OVER () AS BIGINT) AS n,
+           CAST(sum(nb) OVER () AS BIGINT) AS m
+    FROM runs
+)
+SELECT n AS n_a, m AS n_b,
+       CAST(sum(t * {d_e3} * {d_e3}) AS BIGINT) // (n + m) AS cvm_e6,
+       CAST(sum(t * {d_e3} * {d_e3}) AS BIGINT) // (n + m)
+           > {CVM_CRIT_E6} AS rejected
+FROM walked
+GROUP BY n, m
+"""
+
+
+QUERIES["cvm_two_sample_test"] = (_cvm_two_sample, _cvm_sql())
+
+
+# --------------------------------------------------------------------------
+# quantile_treatment_effect: decile-wise effects between two arms
+# --------------------------------------------------------------------------
+QTE_TREAT, QTE_CTRL = "click", "view"
+
+
+def _qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: per decile d = 1..9, the exact
+    order-statistic quantile of the treatment arm's value minus the
+    control arm's — the distributional readout (did the effect come
+    from the median moving, or only the tail?) that the existing mean
+    estimators (DiD, CUPED, stratified ATT) can't show.
+
+    Determinism: quantile = smallest cents value whose cumulative
+    count reaches k_d = ceil(n·d/10) (type-1 order statistic, computed
+    as (n·d+9) div 10 in both engines); struct-min picks it exactly.
+
+    Scale: both arms reduce to distinct-cents run tables (bounded by
+    the value domain); the decile probe is a broadcast join of 9 rows
+    against each run table's cumulative walk.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type").isin(QTE_TREAT, QTE_CTRL))
+          .select(F.col("event_type").alias("arm"),
+                  F.expr("cast(round(value * 100, 0) as bigint)")
+                  .alias("cents")))
+    runs = ev.groupBy("arm", "cents").agg(F.count(F.lit(1)).alias("c"))
+    warm = Window.partitionBy("arm").orderBy("cents") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy("arm")
+    walked = runs.select(
+        "arm", "cents",
+        F.sum("c").over(warm).alias("cum"),
+        F.sum("c").over(wtot).alias("n"))
+    ds = spark.range(1, 10).select(F.col("id").alias("d"))
+    hit = (walked.crossJoin(F.broadcast(ds))
+           .where(F.col("cum") >= F.expr("(n * d + 9) div 10"))
+           .groupBy("arm", "d")
+           .agg(F.min(F.struct(F.col("cents").alias("q"),
+                               F.col("n").alias("n"))).alias("b")))
+    t = hit.where(F.col("arm") == QTE_TREAT).select(
+        "d", F.col("b.q").alias("q_treat_c"), F.col("b.n").alias("n_treat"))
+    c = hit.where(F.col("arm") == QTE_CTRL).select(
+        "d", F.col("b.q").alias("q_ctrl_c"), F.col("b.n").alias("n_ctrl"))
+    return (t.join(c, "d")
+            .select(F.col("d").cast("int").alias("decile"),
+                    "n_treat", "n_ctrl", "q_treat_c", "q_ctrl_c",
+                    (F.col("q_treat_c") - F.col("q_ctrl_c"))
+                    .alias("qte_cents")))
+
+
+_QTE_SQL = f"""
+WITH ev AS (
+    SELECT event_type AS arm,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events WHERE event_type IN ('{QTE_TREAT}', '{QTE_CTRL}')
+),
+runs AS (
+    SELECT arm, cents, CAST(count(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+),
+walked AS (
+    SELECT arm, cents,
+           CAST(sum(c) OVER (PARTITION BY arm ORDER BY cents
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+           CAST(sum(c) OVER (PARTITION BY arm) AS BIGINT) AS n
+    FROM runs
+),
+ds AS (SELECT unnest(range(1, 10)) AS d),
+hit AS (
+    SELECT arm, d,
+           min(struct_pack(q := cents, n := n)) AS b
+    FROM walked CROSS JOIN ds
+    WHERE cum >= (n * d + 9) // 10
+    GROUP BY 1, 2
+)
+SELECT CAST(t.d AS INT) AS decile,
+       (t.b).n AS n_treat, (c.b).n AS n_ctrl,
+       (t.b).q AS q_treat_c, (c.b).q AS q_ctrl_c,
+       (t.b).q - (c.b).q AS qte_cents
+FROM hit t JOIN hit c ON t.d = c.d
+WHERE t.arm = '{QTE_TREAT}' AND c.arm = '{QTE_CTRL}'
+"""
+
+QUERIES["quantile_treatment_effect"] = (_qte, _QTE_SQL)
+
+
+# --------------------------------------------------------------------------
+# t_closeness_audit: sensitive-distribution distance per QI class
+# --------------------------------------------------------------------------
+T_CLOSE_E6 = 350_000  # t threshold
+
+
+def _t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit: per quasi-identifier class (the
+    k_anonymity_audit QI — nation × market segment × balance decile),
+    the total-variation distance between the class's sensitive-
+    attribute distribution (order priority) and the global one.
+    k-anonymity/l-diversity pass classes whose sensitive values are
+    merely NUMEROUS; t-closeness catches classes whose distribution
+    still leaks (e.g. 90% URGENT where the corpus is 20%).
+
+    Determinism: TVD = Σ_s |n_cs·N − n_s·N_c| / (2·N_c·N) — all-
+    integer numerator (abs before any division), single e6 division
+    at the end. The class × sensitive-domain expansion uses a
+    broadcast cross join against the bounded sensitive domain so
+    absent-in-class values contribute their full global mass.
+
+    Scale: one customers⋈orders keyed join, aggregates bounded by
+    |QI domain| × |sensitive domain| (25·5·10 × 5); report-sized
+    everything after.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"))
+    lo, hi = -100_000, 1_000_000  # fixed exact bounds (k_anonymity twin)
+    decile = F.least(F.lit(9), ((F.col("bal_c") - lo) * 10 / (hi - lo))
+                     .cast("long"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority")
+    j = (cust.select("c_custkey", "c_nationkey", "c_mktsegment",
+                     decile.alias("bal_decile"))
+         .join(orders, F.col("c_custkey") == F.col("o_custkey")))
+    cls = (j.groupBy("c_nationkey", "c_mktsegment", "bal_decile",
+                     "o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n_cs")))
+    class_tot = (cls.groupBy("c_nationkey", "c_mktsegment", "bal_decile")
+                 .agg(F.sum("n_cs").alias("n_c")))
+    glob = cls.groupBy("o_orderpriority").agg(F.sum("n_cs").alias("n_s"))
+    tot = glob.agg(F.sum("n_s").alias("nn"))
+    expanded = (class_tot.crossJoin(F.broadcast(glob))
+                .join(cls, ["c_nationkey", "c_mktsegment", "bal_decile",
+                            "o_orderpriority"], "left")
+                .crossJoin(F.broadcast(tot))
+                .select("c_nationkey", "c_mktsegment", "bal_decile",
+                        "n_c", "nn",
+                        F.abs(F.coalesce("n_cs", F.lit(0)) * F.col("nn")
+                              - F.col("n_s") * F.col("n_c"))
+                        .alias("dev")))
+    return (expanded
+            .groupBy("c_nationkey", "c_mktsegment", "bal_decile")
+            .agg(F.max("n_c").alias("class_size"),
+                 F.expr("1000000 * sum(dev) div (2 * max(n_c) * max(nn))")
+                 .alias("tvd_e6"))
+            .select("c_nationkey", "c_mktsegment",
+                    F.col("bal_decile").cast("long").alias("bal_decile"),
+                    F.col("class_size").cast("long").alias("class_size"),
+                    "tvd_e6",
+                    (F.col("tvd_e6") <= T_CLOSE_E6).alias("t_close_ok")))
+
+
+_TCLOSE_SQL = f"""
+WITH cust AS (
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer
+),
+j AS (
+    SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+           least(9, (c.bal_c - (-100000)) * 10
+                    // (1000000 - (-100000))) AS bal_decile,
+           o.o_orderpriority
+    FROM cust c JOIN orders o ON c.c_custkey = o.o_custkey
+),
+cls AS (
+    SELECT c_nationkey, c_mktsegment, bal_decile, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_cs
+    FROM j GROUP BY 1, 2, 3, 4
+),
+class_tot AS (
+    SELECT c_nationkey, c_mktsegment, bal_decile,
+           CAST(sum(n_cs) AS BIGINT) AS n_c
+    FROM cls GROUP BY 1, 2, 3
+),
+gdist AS (SELECT o_orderpriority, CAST(sum(n_cs) AS BIGINT) AS n_s
+         FROM cls GROUP BY 1),
+tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn FROM gdist),
+expanded AS (
+    SELECT ct.c_nationkey, ct.c_mktsegment, ct.bal_decile,
+           ct.n_c, t.nn,
+           abs(coalesce(cl.n_cs, 0) * t.nn - g.n_s * ct.n_c) AS dev
+    FROM class_tot ct
+    CROSS JOIN gdist g
+    LEFT JOIN cls cl ON cl.c_nationkey = ct.c_nationkey
+        AND cl.c_mktsegment = ct.c_mktsegment
+        AND cl.bal_decile = ct.bal_decile
+        AND cl.o_orderpriority = g.o_orderpriority
+    CROSS JOIN tot t
+)
+SELECT c_nationkey, c_mktsegment, bal_decile,
+       CAST(max(n_c) AS BIGINT) AS class_size,
+       1000000 * CAST(sum(dev) AS BIGINT)
+           // (2 * max(n_c) * max(nn)) AS tvd_e6,
+       1000000 * CAST(sum(dev) AS BIGINT)
+           // (2 * max(n_c) * max(nn)) <= {T_CLOSE_E6} AS t_close_ok
+FROM expanded
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["t_closeness_audit"] = (_t_closeness, _TCLOSE_SQL)
+
+# --------------------------------------------------------------------------
+# holm_bonferroni_correction: step-down FWER over permutation p-values
+# --------------------------------------------------------------------------
+_HOLM_K = 99                   # day-label permutations
+_HOLM_Q_NUM, _HOLM_Q_DEN = 1, 20   # alpha = 0.05
+
+
+def _holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-DOWN familywise-error control over one permutation
+    p-value per event type — the conservative sibling of the existing
+    BH step-up FDR twin (fdr_bh_correction), with a different test
+    underneath: weekend-vs-weekday mean value difference under DAY-
+    label permutation (cluster permutation — days, not users, are the
+    exchangeable unit for a calendar effect).
+
+    Determinism: the fdr twin's exact-compare idiom — statistics are
+    cross-multiplied rationals compared via (quotient, remainder)
+    pairs so nothing overflows and nothing is float; dow derives from
+    integer epoch-day arithmetic ((day+4)%7, CLAUDE.md). Holm's
+    rejected set is the cumulative AND of p_(k) <= alpha/(m-k+1),
+    decided as p_num·(m-k+1)·alpha_den <= alpha_num·p_den.
+
+    Scale: per-(type, day) reduction, a {K}+1-way broadcast explode of
+    that day-cardinality frame, then |types|-row Holm algebra under a
+    tiny window.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}")
+        .alias("day"),
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("cents"))
+    days = (ev.groupBy("event_type", "day")
+            .agg(F.sum("cents").alias("td"), F.count(F.lit(1)).alias("nd")))
+    ks = spark.range(_HOLM_K + 1).select(F.col("id").alias("k"))
+    arm = F.expr(
+        "case when k = 0 then"
+        " (case when (day + 4) % 7 in (0, 6) then 1 else 0 end)"
+        " else cast(conv(substr(md5(concat('holm:', cast(k as string),"
+        " ':', cast(day as string))), 1, 12), 16, 10) as bigint) % 2 end")
+    per_k = (days.crossJoin(F.broadcast(ks))
+             .select("event_type", "k", arm.alias("arm"), "td", "nd")
+             .groupBy("event_type", "k")
+             .agg(F.sum(F.expr("case when arm = 1 then td else 0 end"))
+                  .alias("s1"),
+                  F.sum(F.expr("case when arm = 1 then nd else 0 end"))
+                  .alias("n1"),
+                  F.sum(F.expr("case when arm = 0 then td else 0 end"))
+                  .alias("s0"),
+                  F.sum(F.expr("case when arm = 0 then nd else 0 end"))
+                  .alias("n0"))
+             .select("event_type", "k",
+                     F.expr("s1 * n0 - s0 * n1").alias("a"),
+                     F.expr("n1 * n0").alias("d")))
+    obs = (per_k.where(F.col("k") == 0)
+           .select("event_type", F.col("a").alias("a0"),
+                   F.col("d").alias("d0")))
+    pvals = (per_k.where(F.col("k") > 0)
+             .join(F.broadcast(obs), "event_type")
+             .groupBy("event_type")
+             .agg((1 + F.sum(F.expr(
+                  "case when abs(a) div greatest(d, 1)"
+                  " > abs(a0) div greatest(d0, 1) then 1"
+                  " when abs(a) div greatest(d, 1)"
+                  " = abs(a0) div greatest(d0, 1)"
+                  " and (abs(a) % greatest(d, 1)) * d0"
+                  " >= (abs(a0) % greatest(d0, 1)) * d"
+                  " then 1 else 0 end")))
+                  .alias("p_num"),
+                  (F.count(F.lit(1)) + 1).alias("p_den")))
+    w = Window.orderBy("p_num", "event_type")
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    wpre = Window.orderBy("p_num", "event_type") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (pvals
+              .withColumn("holm_rank", F.row_number().over(w))
+              .withColumn("m", F.count(F.lit(1)).over(wall)))
+    cond = F.expr(f"p_num * (m - holm_rank + 1) * {_HOLM_Q_DEN}"
+                  f" <= {_HOLM_Q_NUM} * p_den")
+    return (ranked
+            .withColumn("ok", cond.cast("int"))
+            .withColumn("rejected", F.min("ok").over(wpre) == 1)
+            .select("event_type", "p_num", "p_den",
+                    F.expr("1000000 * p_num div p_den").alias("p_e6"),
+                    "holm_rank", "rejected"))
+
+
+def _holm_sql() -> str:
+    return f"""
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) // {DAY_US} AS day,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+),
+days AS (
+    SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS td,
+           CAST(count(*) AS BIGINT) AS nd
+    FROM ev GROUP BY 1, 2
+),
+per_k AS (
+    SELECT event_type, k,
+           CAST(sum(CASE WHEN arm = 1 THEN td ELSE 0 END) AS BIGINT)
+               * CAST(sum(CASE WHEN arm = 0 THEN nd ELSE 0 END) AS BIGINT)
+           - CAST(sum(CASE WHEN arm = 0 THEN td ELSE 0 END) AS BIGINT)
+               * CAST(sum(CASE WHEN arm = 1 THEN nd ELSE 0 END) AS BIGINT)
+               AS a,
+           CAST(sum(CASE WHEN arm = 1 THEN nd ELSE 0 END) AS BIGINT)
+               * CAST(sum(CASE WHEN arm = 0 THEN nd ELSE 0 END) AS BIGINT)
+               AS d
+    FROM (
+        SELECT d.event_type, k.k, d.td, d.nd,
+               CASE WHEN k.k = 0 THEN
+                    (CASE WHEN (d.day + 4) % 7 IN (0, 6)
+                          THEN 1 ELSE 0 END)
+                    ELSE CAST('0x' || substr(md5('holm:'
+                         || CAST(k.k AS VARCHAR) || ':'
+                         || CAST(d.day AS VARCHAR)), 1, 12)
+                         AS BIGINT) % 2 END AS arm
+        FROM days d
+        CROSS JOIN (SELECT unnest(generate_series(0, {_HOLM_K})) AS k) k
+    )
+    GROUP BY 1, 2
+),
+obs AS (SELECT event_type, a AS a0, d AS d0 FROM per_k WHERE k = 0),
+pvals AS (
+    SELECT p.event_type,
+           1 + CAST(sum(CASE
+               WHEN abs(p.a) // greatest(p.d, 1)
+                    > abs(o.a0) // greatest(o.d0, 1) THEN 1
+               WHEN abs(p.a) // greatest(p.d, 1)
+                    = abs(o.a0) // greatest(o.d0, 1)
+                    AND (abs(p.a) % greatest(p.d, 1)) * o.d0
+                        >= (abs(o.a0) % greatest(o.d0, 1)) * p.d
+               THEN 1 ELSE 0 END) AS BIGINT) AS p_num,
+           CAST(count(*) + 1 AS BIGINT) AS p_den
+    FROM per_k p JOIN obs o USING (event_type)
+    WHERE p.k > 0
+    GROUP BY 1
+),
+ranked AS (
+    SELECT event_type, p_num, p_den,
+           CAST(row_number() OVER (ORDER BY p_num, event_type) AS INT)
+               AS holm_rank,
+           CAST(count(*) OVER () AS BIGINT) AS m
+    FROM pvals
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN p_num * (m - holm_rank + 1) * {_HOLM_Q_DEN}
+                     <= {_HOLM_Q_NUM} * p_den THEN 1 ELSE 0 END AS ok
+    FROM ranked
+)
+SELECT event_type, p_num, p_den,
+       1000000 * p_num // p_den AS p_e6,
+       holm_rank,
+       min(ok) OVER (ORDER BY p_num, event_type
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           = 1 AS rejected
+FROM flagged
+"""
+
+
+QUERIES["holm_bonferroni_correction"] = (_holm, _holm_sql())
+
+
+# --------------------------------------------------------------------------
+# nelson_aalen_hazard: cumulative hazard over customer-churn lifetimes
+# --------------------------------------------------------------------------
+NA_CENSOR_DAYS = 180
+NA_MONTH_DAYS = 30
+
+
+def _nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator H(m) = Σ_{m'<=m}
+    d_{m'}/n_{m'} over the same customer lifetimes the Kaplan–Meier
+    twin uses (monthly first→last order span; active within the final
+    {NA_CENSOR_DAYS} days = censored) — the hazard-scale view survival
+    teams plot next to S(t), and the additive form that aggregates
+    cleanly at scale.
+
+    Determinism: lifetimes and risk sets are exact integers; each
+    hazard increment quantizes to e6 (1e6·d div n, both positive) and
+    the cumulative is an integer sum over the month spine.
+
+    Scale: one keyed aggregate over orders to |customers| rows, one
+    aggregate to |months| rows; spine walk is month-cardinality.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("oday"))
+    life = (orders.groupBy("o_custkey")
+            .agg(F.min("oday").alias("first_d"), F.max("oday").alias("last_d")))
+    mx = orders.agg(F.max("oday").alias("max_d"))
+    lf = (life.crossJoin(F.broadcast(mx))
+          .select(F.expr(f"(last_d - first_d) div {NA_MONTH_DAYS}")
+                  .alias("lm"),
+                  (F.col("last_d") > F.col("max_d") - NA_CENSOR_DAYS)
+                  .alias("censored")))
+    months = (lf.groupBy("lm")
+              .agg(F.count(F.lit(1)).alias("ending"),
+                   F.sum((~F.col("censored")).cast("long")).alias("d")))
+    wdesc = Window.orderBy(F.desc("lm")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wasc = Window.orderBy("lm").rowsBetween(Window.unboundedPreceding, 0)
+    walked = (months
+              .withColumn("n_risk", F.sum("ending").over(wdesc))
+              .withColumn("inc_e6", F.expr("1000000 * d div n_risk"))
+              .withColumn("h_e6", F.sum("inc_e6").over(wasc)))
+    return walked.select(
+        F.col("lm").cast("long").alias("month"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        "inc_e6", "h_e6")
+
+
+_NA_SQL = f"""
+WITH orders_d AS (
+    SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS oday
+    FROM orders
+),
+life AS (
+    SELECT o_custkey, min(oday) AS first_d, max(oday) AS last_d
+    FROM orders_d GROUP BY 1
+),
+mx AS (SELECT max(oday) AS max_d FROM orders_d),
+lf AS (
+    SELECT (last_d - first_d) // {NA_MONTH_DAYS} AS lm,
+           last_d > max_d - {NA_CENSOR_DAYS} AS censored
+    FROM life CROSS JOIN mx
+),
+months AS (
+    SELECT lm, CAST(count(*) AS BIGINT) AS ending,
+           CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d
+    FROM lf GROUP BY 1
+),
+walked AS (
+    SELECT lm, d,
+           CAST(sum(ending) OVER (ORDER BY lm DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_risk
+    FROM months
+)
+SELECT lm AS month, n_risk, d AS d_events,
+       1000000 * d // n_risk AS inc_e6,
+       CAST(sum(1000000 * d // n_risk) OVER (ORDER BY lm
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS h_e6
+FROM walked
+"""
+
+QUERIES["nelson_aalen_hazard"] = (_nelson_aalen, _NA_SQL)
+
+# --------------------------------------------------------------------------
+# huber_location_fixed_point: robust per-type location, K clipped rounds
+# --------------------------------------------------------------------------
+HUBER_C = 200        # clip width, cents
+HUBER_ROUNDS = 6
+
+
+def _huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type location: K = {HUBER_ROUNDS} fixed-point
+    rounds of mu <- mu + mean(clip(x - mu, ±{HUBER_C})) — the Huber
+    M-estimator's iteratively-clipped update, which the plain mean
+    can't give you when a type's values carry heavy-tailed outliers.
+    Output compares the robust location against the plain mean and
+    counts the finally-clipped tail.
+
+    Determinism: all cents-integer; the clipped-residual mean uses
+    sign-symmetric truncating division (the residual sum CAN be
+    negative — Spark div truncates, DuckDB // floors). The iteration
+    count is fixed, so both engines unroll the identical recurrence
+    (kmeans_fixed_point convention; the oracle unrolls rounds as
+    CTEs).
+
+    Scale: each round is ONE map-side-combinable aggregate over events
+    joined to the broadcast |types|-row mu frame — the kmeans shape;
+    no driver collect, no growing state.
+    """
+    from pyspark import StorageLevel
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("c")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(ev)  # K+2 consumers: base + each round + final
+    base = ev.groupBy("event_type").agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+    mu = base.select("event_type", "n",
+                     F.expr("s div n").alias("mu"),
+                     F.expr("s div n").alias("mean_c"))
+    clip = (f"greatest(cast(-{HUBER_C} as bigint),"
+            f" least(cast({HUBER_C} as bigint), c - mu))")
+    for _ in range(HUBER_ROUNDS):
+        joined = ev.join(F.broadcast(mu), "event_type")
+        mu = (joined.groupBy("event_type")
+              .agg(F.max("n").alias("n"),
+                   F.max("mean_c").alias("mean_c"),
+                   F.max("mu").alias("mu_prev"),
+                   F.sum(F.expr(clip.replace("mu", "mu"))).alias("sc"))
+              .select("event_type", "n", "mean_c",
+                      (F.col("mu_prev")
+                       + F.expr(_sdiv("sc", "n"))).alias("mu")))
+    final = ev.join(F.broadcast(mu), "event_type")
+    return (final.groupBy("event_type")
+            .agg(F.max("n").alias("n"),
+                 F.max("mean_c").alias("mean_cents"),
+                 F.max("mu").alias("huber_cents"),
+                 F.sum((F.abs(F.col("c") - F.col("mu")) > HUBER_C)
+                       .cast("long")).alias("n_clipped"))
+            .select("event_type", F.col("n").cast("long").alias("n"),
+                    "mean_cents", "huber_cents", "n_clipped"))
+
+
+def _huber_sql() -> str:
+    clip = (f"greatest(CAST(-{HUBER_C} AS BIGINT),"
+            f" least(CAST({HUBER_C} AS BIGINT), e.c - m.mu))")
+    rounds = ""
+    prev = "r0"
+    for i in range(1, HUBER_ROUNDS + 1):
+        rounds += f""",
+r{i} AS (
+    SELECT e.event_type, m.n, m.mean_c,
+           m.mu + {_sdiv_duck(f"CAST(sum({clip}) AS BIGINT)", "m.n")} AS mu
+    FROM ev e JOIN {prev} m USING (event_type)
+    GROUP BY e.event_type, m.n, m.mean_c, m.mu
+)"""
+        prev = f"r{i}"
+    return f"""
+WITH ev AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+    FROM events
+),
+r0 AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) // count(*) AS mean_c,
+           CAST(sum(c) AS BIGINT) // count(*) AS mu
+    FROM ev GROUP BY 1
+){rounds}
+SELECT e.event_type, m.n, m.mean_c AS mean_cents,
+       m.mu AS huber_cents,
+       CAST(sum(CASE WHEN abs(e.c - m.mu) > {HUBER_C} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped
+FROM ev e JOIN {prev} m USING (event_type)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+QUERIES["huber_location_fixed_point"] = (_huber_location, _huber_sql())
+
+
+# --------------------------------------------------------------------------
+# page_hinkley_drift: sequential mean-drift detector per event type
+# --------------------------------------------------------------------------
+PH_REF_DAYS = 10     # baseline window (first observed days per type)
+PH_DELTA = 5         # tolerated drift, cents
+PH_LAMBDA = 300      # alarm threshold, cents
+
+
+def _page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley mean-drift detector per event type over the daily
+    mean-value series: baseline = the first {PH_REF_DAYS} observed
+    days' mean; then walk the remaining days accumulating (day_mean −
+    baseline − δ) and alarm when the walk rises {PH_LAMBDA} cents
+    above its own running minimum — the sequential monitor (CUSUM's
+    drift-tolerant cousin) a metrics platform runs per series.
+
+    Determinism: day means are floor cents (positive — plain div is
+    safe); the walk, running minimum, and alarm pick (struct-min on
+    the first alarm day) are exact integers.
+
+    Scale: per-(type, day) reduction first, so every window is
+    PARTITION BY event_type over day-cardinality rows; no
+    corpus-sized window anywhere.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}")
+        .alias("day"),
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("c"))
+    days = (ev.groupBy("event_type", "day")
+            .agg(F.expr("sum(c) div count(1)").alias("mean_c")))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    ranked = days.withColumn("rk", F.row_number().over(wt))
+    ref = (ranked.where(F.col("rk") <= PH_REF_DAYS)
+           .groupBy("event_type")
+           .agg(F.expr(f"sum(mean_c) div {PH_REF_DAYS}").alias("ref_c")))
+    wcum = Window.partitionBy("event_type").orderBy("day") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    walk = (ranked.where(F.col("rk") > PH_REF_DAYS)
+            .join(F.broadcast(ref), "event_type")
+            .withColumn("dev", F.col("mean_c") - F.col("ref_c")
+                        - PH_DELTA)
+            .withColumn("cum", F.sum("dev").over(wcum))
+            .withColumn("minpre", F.min("cum").over(wcum))
+            .withColumn("ph", F.col("cum") - F.col("minpre")))
+    return (walk.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_days_walked"),
+                 F.max("ph").alias("max_ph"),
+                 F.min(F.when(F.col("ph") >= PH_LAMBDA,
+                              F.struct(F.col("day").alias("day"))))
+                 .getField("day").alias("alarm"))
+            .select("event_type", "n_days_walked",
+                    F.col("max_ph").cast("long").alias("max_ph"),
+                    F.coalesce(F.col("alarm"), F.lit(-1)).cast("long")
+                    .alias("alarm_day"),
+                    (F.col("alarm").isNotNull()).alias("drifted")))
+
+
+_PH_SQL = f"""
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) // {DAY_US} AS day,
+           CAST(round(value * 100, 0) AS BIGINT) AS c
+    FROM events
+),
+days AS (
+    SELECT event_type, day,
+           CAST(sum(c) AS BIGINT) // count(*) AS mean_c
+    FROM ev GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY day) AS INT) AS rk
+    FROM days
+),
+ref AS (
+    SELECT event_type,
+           CAST(sum(mean_c) AS BIGINT) // {PH_REF_DAYS} AS ref_c
+    FROM ranked WHERE rk <= {PH_REF_DAYS} GROUP BY 1
+),
+walk AS (
+    SELECT r.event_type, r.day,
+           r.mean_c - f.ref_c - {PH_DELTA} AS dev
+    FROM ranked r JOIN ref f USING (event_type)
+    WHERE r.rk > {PH_REF_DAYS}
+),
+cums AS (
+    SELECT event_type, day,
+           CAST(sum(dev) OVER w AS BIGINT) AS cum
+    FROM walk
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ph AS (
+    SELECT event_type, day, cum,
+           cum - min(cum) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+    FROM cums
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days_walked,
+       CAST(max(ph) AS BIGINT) AS max_ph,
+       CAST(coalesce((min(CASE WHEN ph >= {PH_LAMBDA}
+                     THEN struct_pack(day := day) END)).day, -1)
+            AS BIGINT) AS alarm_day,
+       max(CASE WHEN ph >= {PH_LAMBDA} THEN 1 ELSE 0 END) = 1 AS drifted
+FROM ph
+GROUP BY 1
+"""
+
+QUERIES["page_hinkley_drift"] = (_page_hinkley, _PH_SQL)
+
+
+# --------------------------------------------------------------------------
+# dp_quantile_histogram: DP quantiles via noised-histogram inversion
+# --------------------------------------------------------------------------
+DPQ_BINS = 64
+DPQ_WIDTH = 800      # cents per bin
+DPQ_SEED = "dpq-v1:"
+DPQ_EPS_STR = "1.0"
+DPQ_POINTS = (50, 90, 99)
+
+
+def _dp_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private quantile release: histogram the event
+    values into {DPQ_BINS} fixed {DPQ_WIDTH}-cent bins, add the
+    dp_noised_counts derived-Laplace noise per bin (seeded md5 inverse
+    CDF — reproducible, bit-identical in the oracle), clamp negatives,
+    and invert the noised CDF at p50/p90/p99. The true quantile bin
+    rides beside the release for error measurement (the repo's
+    est-vs-exact pattern).
+
+    Scale: one scan to {DPQ_BINS} aggregate rows; noise is a scalar
+    expression on those rows; the CDF walk is a {DPQ_BINS}-row window.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("c"))
+    bins = (ev.select(F.least(F.lit(DPQ_BINS - 1),
+                              F.expr(f"c div {DPQ_WIDTH}")).alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("tc")))
+    h = (f"cast(conv(substr(md5(concat('{DPQ_SEED}',"
+         f" cast(b as string))), 1, 12), 16, 10) as bigint)")
+    u = f"(({h}) + 1) / 281474976710657.0"
+    lap = (f"(CASE WHEN {u} < 0.5 THEN ln(2.0 * ({u}))"
+           f" ELSE -ln(2.0 * (1.0 - ({u}))) END) / {DPQ_EPS_STR}")
+    noised = bins.select(
+        "b", "tc",
+        F.greatest(F.lit(0),
+                   F.expr(f"cast(round(tc + {lap}, 0) as bigint)"))
+        .alias("nc"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    walked = noised.select(
+        "b",
+        F.sum("nc").over(wcum).alias("cum_n"),
+        F.sum("tc").over(wcum).alias("cum_t"),
+        F.sum("nc").over(wall).alias("tot_n"),
+        F.sum("tc").over(wall).alias("tot_t"))
+    ps = F.explode(F.array(*[F.lit(p) for p in DPQ_POINTS])).alias("p")
+    probe = walked.select("b", "cum_n", "cum_t", "tot_n", "tot_t", ps)
+    dp_hit = (probe
+              .where(F.col("cum_n") * 100 >= F.col("p") * F.col("tot_n"))
+              .groupBy("p").agg(F.min("b").alias("dp_bin")))
+    true_hit = (probe
+                .where(F.col("cum_t") * 100 >= F.col("p")
+                       * F.col("tot_t"))
+                .groupBy("p").agg(F.min("b").alias("true_bin")))
+    return (dp_hit.join(true_hit, "p")
+            .select(F.col("p").cast("int").alias("p"),
+                    F.col("dp_bin").cast("long").alias("dp_bin"),
+                    (F.col("dp_bin") * DPQ_WIDTH).alias("dp_lo_cents"),
+                    F.col("true_bin").cast("long").alias("true_bin"),
+                    (F.col("dp_bin") - F.col("true_bin"))
+                    .alias("bin_err")))
+
+
+def _dpq_sql() -> str:
+    h = (f"CAST('0x' || substr(md5('{DPQ_SEED}'"
+         " || CAST(b AS VARCHAR)), 1, 12) AS BIGINT)")
+    u = f"(({h}) + 1) / 281474976710657.0"
+    lap = (f"(CASE WHEN {u} < 0.5 THEN ln(2.0 * ({u}))"
+           f" ELSE -ln(2.0 * (1.0 - ({u}))) END) / {DPQ_EPS_STR}")
+    return f"""
+WITH ev AS (
+    SELECT CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+),
+bins AS (
+    SELECT least({DPQ_BINS - 1}, c // {DPQ_WIDTH}) AS b,
+           CAST(count(*) AS BIGINT) AS tc
+    FROM ev GROUP BY 1
+),
+noised AS (
+    SELECT b, tc,
+           greatest(CAST(0 AS BIGINT),
+                    CAST(round(tc + {lap}, 0) AS BIGINT)) AS nc
+    FROM bins
+),
+walked AS (
+    SELECT b,
+           CAST(sum(nc) OVER (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_n,
+           CAST(sum(tc) OVER (ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_t,
+           CAST(sum(nc) OVER () AS BIGINT) AS tot_n,
+           CAST(sum(tc) OVER () AS BIGINT) AS tot_t
+    FROM noised
+),
+ps AS (SELECT unnest([{", ".join(str(p) for p in DPQ_POINTS)}]) AS p),
+dp_hit AS (
+    SELECT p, min(b) AS dp_bin
+    FROM walked CROSS JOIN ps WHERE cum_n * 100 >= p * tot_n
+    GROUP BY 1
+),
+true_hit AS (
+    SELECT p, min(b) AS true_bin
+    FROM walked CROSS JOIN ps WHERE cum_t * 100 >= p * tot_t
+    GROUP BY 1
+)
+SELECT CAST(d.p AS INT) AS p,
+       d.dp_bin, d.dp_bin * {DPQ_WIDTH} AS dp_lo_cents,
+       t.true_bin, d.dp_bin - t.true_bin AS bin_err
+FROM dp_hit d JOIN true_hit t USING (p)
+"""
+
+
+QUERIES["dp_quantile_histogram"] = (_dp_quantile_hist, _dpq_sql())

@@ -538,3 +538,30 @@ def test_round7_ir_queries_plan_shapes(props):
     assert p["scans"] == 1
     assert p["range_shuffles"] == 0
     assert p["unpartitioned_windows"] == 0
+
+
+def test_round7_inference_queries_plan_shapes(props):
+    from alma_publish_to_marc_spark.plans import inference_queries as IQ
+    # run-table statistics: the single corpus-scale shuffle is the
+    # distinct-value/day/bin aggregation; every window after runs on
+    # that bounded frame
+    for name in ("cvm_two_sample_test", "dp_quantile_histogram",
+                 "ljung_box_autocorr_test"):
+        p = props(name)
+        assert p["shuffles"] <= 1, name
+        assert p["range_shuffles"] == 0, name
+    # per-type partitioned walks — never a corpus-wide global window
+    p = props("page_hinkley_drift")
+    assert p["unpartitioned_windows"] == 0
+    assert p["scans"] == 1
+    # Huber fixed-point: every round reads the persisted cents frame
+    # (kmeans convention), mu rides broadcasts
+    p = props("huber_location_fixed_point")
+    assert p["in_memory_scans"] >= 7
+    assert p["scans"] <= 1
+    assert p["broadcast_joins"] >= 6
+    assert IQ.unpersist_cached() >= 1
+    # QTE: both arms reduce to run tables; probes ride broadcasts
+    p = props("quantile_treatment_effect")
+    assert p["unpartitioned_windows"] == 0
+    assert p["range_shuffles"] == 0
