@@ -2989,3 +2989,148 @@ GROUP BY seed
 
 QUERIES["closeness_centrality_sampled"] = (closeness_centrality_sampled,
                                            _closeness_sql())
+
+
+# --------------------------------------------------------------------------
+# k-truss pruning over the k-NN graph (triangle-support density filter)
+# --------------------------------------------------------------------------
+KTRUSS_K = 4          # each surviving edge must close >= K-2 triangles
+KTRUSS_ROUNDS = 2
+
+
+def triangle_support(e: DataFrame) -> DataFrame:
+    """Exact per-edge triangle support of an undirected edge set
+    ``(a, b)`` with ``a < b``: for each edge, the number of common
+    neighbors of its endpoints. Edges closing no triangle are absent
+    from the output (join back with coalesce-0).
+
+    Scale: the standard distributed wedge join — edges ⋈ adjacency on
+    endpoint ``a`` builds the wedge frame (size Σ deg(a) per edge),
+    closed against the adjacency by a hash semi-join on (b, w). All
+    joins hash-keyed on node ids; no global sort, no cross join.
+    """
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+        .unionAll(e.select(F.col("b").alias("u"),
+                           F.col("a").alias("v")))
+    wedges = (e.join(adj.withColumnRenamed("u", "a")
+                     .withColumnRenamed("v", "w"), "a")
+              .where(F.col("w") != F.col("b")))
+    closed = wedges.join(
+        adj.select(F.col("u").alias("b"), F.col("v").alias("w")),
+        ["b", "w"], "left_semi")
+    return closed.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("support"))
+
+
+def ktruss_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss pruning over the undirected k-NN graph: repeatedly drop
+    edges supported by fewer than ``KTRUSS_K − 2`` triangles
+    (``KTRUSS_ROUNDS`` unrolled rounds), then report the surviving
+    truss's support histogram. The edge-level density filter one notch
+    stricter than k-core (node degrees can be faked by hub spokes;
+    triangle support cannot) — the community-core detector of the
+    iterative graph family.
+
+    Determinism: supports are exact triangle counts; pruning is a pure
+    threshold; the histogram is count-keyed.
+
+    Scale: per round, triangle support is the standard distributed
+    wedge join — edges ⋈ adjacency on endpoint a, then the (b, w)
+    wedge closes against the adjacency (both joins hash-keyed on node
+    ids; the heavy frame is wedge-count-sized, bounded by Σ deg(a)
+    per edge). Each round's edge frame is STAGED TO PARQUET and read
+    back (the connected_components cut): support references the frame
+    4× per round, and without severing the plan Catalyst re-analysis
+    of the self-referential lineage dominates wall-clock (measured
+    36 s planning vs 2 s execution on 300 cached rows at sf0.01 —
+    persist alone does not truncate the logical plan).
+    """
+    import shutil
+    import uuid
+    from urllib.parse import urlparse
+
+    from .similarity import knn_graph
+    from .similarity_queries import KNN_K
+
+    base = spark.conf.get("spark.sql.warehouse.dir")
+    workdir = f"{base.rstrip('/')}/_ktruss_rounds/{uuid.uuid4().hex}"
+    local_dir = urlparse(workdir).path if workdir.startswith("file:") \
+        else (None if "://" in workdir else workdir)
+
+    def cut(df, name):
+        path = f"{workdir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cut(
+        knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct(), "e0")
+
+    for i in range(KTRUSS_ROUNDS):
+        sup = triangle_support(edges)
+        edges = cut(
+            edges.join(sup, ["a", "b"], "left")
+            .where(F.coalesce("support", F.lit(0)) >= KTRUSS_K - 2)
+            .select("a", "b"), f"e{i + 1}")
+    final = triangle_support(edges)
+    kept = (edges.join(final, ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce("support", F.lit(0)).alias("support")))
+    out = (kept.groupBy("support")
+           .agg(F.count(F.lit(1)).alias("n_edges"))
+           .select(F.col("support").cast("long").alias("support"),
+                   F.col("n_edges").cast("long").alias("n_edges")))
+    # the result is tiny (support histogram): materialize it before
+    # removing the staged rounds, then serve from a local frame
+    rows = out.collect()
+    if local_dir is not None:
+        shutil.rmtree(local_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "support long, n_edges long")
+
+
+def _ktruss_sql() -> str:
+    from .similarity_queries import _KNN_GRAPH_SQL
+
+    def sup(e):
+        return f"""(
+    SELECT w.a, w.b, count(*) AS support
+    FROM (
+        SELECT e.a, e.b, adj.v AS w
+        FROM {e} e
+        JOIN (SELECT a AS u, b AS v FROM {e}
+              UNION ALL SELECT b AS u, a AS v FROM {e}) adj
+          ON adj.u = e.a
+        WHERE adj.v <> e.b
+    ) w
+    WHERE EXISTS (
+        SELECT 1 FROM (SELECT a AS u, b AS v FROM {e}
+                       UNION ALL SELECT b AS u, a AS v FROM {e}) adj2
+        WHERE adj2.u = w.b AND adj2.v = w.w)
+    GROUP BY w.a, w.b
+)"""
+    ctes = [f"""e0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({_KNN_GRAPH_SQL})
+)"""]
+    for i in range(KTRUSS_ROUNDS):
+        ctes.append(f"s{i} AS MATERIALIZED {sup(f'e{i}')}")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+    SELECT e.a, e.b FROM e{i} e
+    LEFT JOIN s{i} s ON s.a = e.a AND s.b = e.b
+    WHERE coalesce(s.support, 0) >= {KTRUSS_K - 2}
+)""")
+    last = f"e{KTRUSS_ROUNDS}"
+    ctes.append(f"sf AS MATERIALIZED {sup(last)}")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(coalesce(s.support, 0) AS BIGINT) AS support,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM {last} e
+LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
+GROUP BY 1
+""")
+
+
+QUERIES["ktruss_prune"] = (ktruss_prune, _ktruss_sql())

@@ -44,3 +44,26 @@ def test_components_match_union_find(spark, edges):
     got = {r["node"]: r["cluster_id"]
            for r in connected_components(df).collect()}
     assert got == _union_find(edges)
+
+
+def _brute_support(edges):
+    es = {tuple(sorted(e)) for e in edges}
+    nbr = {}
+    for a, b in es:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    return {(a, b): len(nbr[a] & nbr[b]) for a, b in es}
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edge_lists)
+def test_triangle_support_matches_brute_force(spark, edges):
+    from alma_publish_to_marc_spark.operators.graph_queries import (
+        triangle_support,
+    )
+    es = sorted({tuple(sorted(e)) for e in edges})
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in es])
+    got = {(r["a"], r["b"]): r["support"]
+           for r in triangle_support(df).collect()}
+    want = {e: s for e, s in _brute_support(es).items() if s > 0}
+    assert got == want
