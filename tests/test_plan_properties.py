@@ -565,3 +565,27 @@ def test_round7_inference_queries_plan_shapes(props):
     p = props("quantile_treatment_effect")
     assert p["unpartitioned_windows"] == 0
     assert p["range_shuffles"] == 0
+
+
+def test_round7_embedding_queries_plan_shapes(props):
+    # BQ retrieval: panel rides a broadcast, rank is per-qid (never a
+    # global sort), popcount arithmetic is pure column expressions
+    p = props("binary_quantization_topk")
+    assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 1
+    assert p["range_shuffles"] == 0
+    assert p["unpartitioned_windows"] == 0
+    # recall gates and the Matryoshka curve: panel-bounded probes only
+    for name in ("bq_recall_eval", "matryoshka_recall_curve"):
+        p = props(name)
+        assert p["range_shuffles"] == 0, name
+        assert p["unpartitioned_windows"] == 0, name
+        assert p["sort_merge_joins"] == 0, name
+    # hubness: banded-LSH knn graph + two hash aggs — no all-pairs
+    p = props("hubness_koccurrence")
+    assert p["range_shuffles"] == 0
+    assert p["unpartitioned_windows"] == 0
+    # anisotropy: ONE corpus scan, 64-row aggregation, single-row out
+    p = props("embedding_anisotropy_audit")
+    assert p["scans"] == 1
+    assert p["range_shuffles"] == 0
+    assert p["unpartitioned_windows"] == 0
