@@ -1,0 +1,493 @@
+"""Oracle-checked storage-layout and scan-efficiency planning queries:
+FFD compaction bin packing, zone-map skip audit across physical
+layouts, delta-encoding bit-width audit, RLE run audit, and a
+skew-aware partition-size planner.
+
+This is the ops-planning family a lakehouse team runs over table
+statistics before rewriting 100 TB: how many files does compaction
+produce, which layout lets min/max zone maps skip the most files for
+the real predicate panel, which columns delta/RLE-compress well enough
+to justify a sort order, and how many shuffle partitions each key
+needs (AQE-style skew detection included).
+
+Reference parity note: the reference ETL
+(/root/reference/README.md publish pipeline) writes fixed-size record
+batches but has no layout analytics; this family extends SURVEY.md
+§2's beyond-reference training-data/ops capabilities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+QUERIES: dict = {}
+
+# Persisted frames released via unpersist_cached() (repo convention)
+_PERSISTED: list = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
+US_PER_DAY = 86_400_000_000
+
+
+def _day(name: str):
+    # integer epoch arithmetic (CLAUDE.md): div, never a double divide
+    return F.expr(f"unix_micros(cast({name} as timestamp)) div {US_PER_DAY}")
+
+
+def _sql_day(col: str) -> str:
+    return f"CAST(epoch_us({col}) // {US_PER_DAY} AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# First-fit-decreasing compaction bin packing (per source)
+# --------------------------------------------------------------------------
+BIN_CAPACITY = 2048
+
+
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planner: first-fit-decreasing bin packing of each
+    source's document sizes into BIN_CAPACITY-byte target files,
+    reporting files produced and fill utilization per source. FFD is
+    the classic 11/9·OPT+1 heuristic — the number every compaction
+    job wants BEFORE it rewrites the partition.
+
+    Determinism: sizes sort (size DESC, doc_id ASC) via a struct sort
+    in both engines; the FFD fold's accumulator is a single LIST of
+    bin remainders (the CLAUDE.md-safe fold shape — never a struct),
+    with first-fit chosen by array_position/list_position over the
+    remainder list; utilization is an integer e4 rational.
+
+    Scale: one shuffle groups docs by source; the fold is per-group
+    O(n_docs × n_bins) driver-free work. A group too large for one
+    task (millions of files per partition) would switch to two-level
+    packing — FFD within size-bucketed sublists, then a merge pass —
+    same fold, applied hierarchically.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sizes = (docs.groupBy("source")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct((-F.col("n_chars")).alias("neg"),
+                          F.col("doc_id").alias("id")))).alias("ss"))
+             .select("source",
+                     F.transform("ss", lambda s: -s["neg"]).alias("sizes")))
+    idx = "array_position(transform(acc, b -> b >= s), true)"
+    step = (f"CASE WHEN {idx} > 0 THEN "
+            f"transform(acc, (b, i) -> CASE WHEN i = {idx} - 1 "
+            f"THEN b - s ELSE b END) "
+            f"ELSE array_append(acc, {BIN_CAPACITY}L - s) END")
+    packed = sizes.select(
+        "source",
+        F.size("sizes").cast("long").alias("n_docs"),
+        F.aggregate("sizes", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("total_bytes"),
+        F.expr(f"aggregate(sizes, CAST(array() AS ARRAY<BIGINT>), "
+               f"(acc, s) -> {step})").alias("bins"))
+    return packed.select(
+        "source", "n_docs", "total_bytes",
+        F.size("bins").cast("long").alias("n_bins"),
+        F.expr(f"(10000 * total_bytes) div "
+               f"(size(bins) * {BIN_CAPACITY})").alias("util_e4"))
+
+
+# DuckDB list_reduce has no init parameter; the init rides as the
+# prepended FIRST ELEMENT, so fold elements must share the accumulator
+# type — sizes wrap as single-element lists and the step reads xs[1]
+_FFD_IDX = ("coalesce(list_position("
+            "list_transform(acc, b -> b >= xs[1]), true), 0)")
+_FFD_STEP = (
+    f"CASE WHEN {_FFD_IDX} > 0 THEN "
+    f"list_transform(range(1, len(acc) + 1), "
+    f"i -> CASE WHEN i = {_FFD_IDX} THEN acc[i] - xs[1] ELSE acc[i] END) "
+    f"ELSE list_append(acc, CAST({BIN_CAPACITY} AS BIGINT) - xs[1]) END")
+
+_FFD_SQL = f"""
+WITH sizes AS (
+    SELECT source,
+           list_transform(
+               list_sort(list(struct_pack(neg := -n_chars, id := doc_id))),
+               x -> -x.neg) AS sizes
+    FROM documents GROUP BY source
+),
+packed AS (
+    SELECT source,
+           CAST(len(sizes) AS BIGINT) AS n_docs,
+           CAST(list_sum(sizes) AS BIGINT) AS total_bytes,
+           list_reduce(
+               list_prepend(CAST([] AS BIGINT[]),
+                            list_transform(sizes, s -> [s])),
+               (acc, xs) -> {_FFD_STEP}) AS bins
+    FROM sizes
+)
+SELECT source, n_docs, total_bytes,
+       CAST(len(bins) AS BIGINT) AS n_bins,
+       CAST(10000 * total_bytes // (len(bins) * {BIN_CAPACITY}) AS BIGINT)
+           AS util_e4
+FROM packed
+"""
+
+
+# --------------------------------------------------------------------------
+# Zone-map skip audit: min/max pruning effectiveness per layout
+# --------------------------------------------------------------------------
+NATURAL_FILE_KEYS = 1024    # orderkeys per synthetic file, insertion order
+SORTED_FILE_DAYS = 30       # days per synthetic file, shipdate-range layout
+# (lo_offset, hi_offset) day windows relative to the corpus min shipdate
+PRED_WINDOWS = ((365, 395), (1000, 1030), (30, 210))
+
+
+def zonemap_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) skip audit: group lineitem into synthetic
+    files under two physical layouts — insertion order (orderkey
+    blocks) vs shipdate-range order — compute each file's shipdate
+    min/max zone map, and evaluate the fixed predicate panel: how many
+    files does each layout let the scanner skip? This is the
+    measurement that justifies (or vetoes) a sort-order rewrite of a
+    100 TB table.
+
+    Determinism: file ids are integer divisions of orderkey/epoch-day
+    (no global sort, no row_number); predicate windows are literal
+    offsets from the broadcast min day; counts are exact.
+
+    Scale: one scan + one hash aggregation per layout (file-id keyed,
+    map-side partials); the predicate panel joins against file-count
+    rows, not data rows. Nothing here touches row order, so the audit
+    runs on live tables without a rewrite.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _day("l_shipdate").alias("day"))
+    base = F.broadcast(li.agg(F.min("day").alias("d0")))
+    files = []
+    for layout, fid in (
+            ("natural", F.expr(f"l_orderkey div {NATURAL_FILE_KEYS}")),
+            ("shipdate_sorted", F.expr(f"day div {SORTED_FILE_DAYS}"))):
+        files.append(
+            li.groupBy(fid.alias("file_id"))
+              .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+              .select(F.lit(layout).alias("layout"), "mn", "mx"))
+    zones = files[0].unionByName(files[1]).crossJoin(base)
+    # ONE pass: replicate each zone row across the literal predicate
+    # panel (explode of a 3-struct array), aggregate by (layout, pred)
+    preds = F.array(*[
+        F.struct(F.lit(pid).alias("pred_id"),
+                 F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
+        for pid, (lo, hi) in enumerate(PRED_WINDOWS)])
+    audited = zones.select(
+        "layout", "mn", "mx", "d0", F.explode(preds).alias("p"))
+    skipped = F.when(
+        (F.col("mx") < F.col("d0") + F.col("p.lo"))
+        | (F.col("mn") > F.col("d0") + F.col("p.hi")), 1).otherwise(0)
+    return (audited.groupBy("layout", F.col("p.pred_id").alias("pred_id"))
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum(skipped).alias("n_skipped"))
+            .select("layout", F.col("pred_id").cast("int").alias("pred_id"),
+                    F.col("n_files").cast("long").alias("n_files"),
+                    F.col("n_skipped").cast("long").alias("n_skipped")))
+
+
+def _zonemap_sql() -> str:
+    preds = " UNION ALL ".join(
+        f"SELECT {pid} AS pred_id, {lo} AS lo, {hi} AS hi"
+        for pid, (lo, hi) in enumerate(PRED_WINDOWS))
+    return f"""
+WITH li AS (
+    SELECT l_orderkey, {_sql_day('l_shipdate')} AS day FROM lineitem
+),
+base AS (SELECT min(day) AS d0 FROM li),
+zones AS (
+    SELECT 'natural' AS layout, l_orderkey // {NATURAL_FILE_KEYS} AS file_id,
+           min(day) AS mn, max(day) AS mx
+    FROM li GROUP BY 2
+    UNION ALL
+    SELECT 'shipdate_sorted' AS layout, day // {SORTED_FILE_DAYS} AS file_id,
+           min(day) AS mn, max(day) AS mx
+    FROM li GROUP BY 2
+),
+preds AS ({preds})
+SELECT z.layout, p.pred_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN z.mx < b.d0 + p.lo OR z.mn > b.d0 + p.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+FROM zones z CROSS JOIN base b CROSS JOIN preds p
+GROUP BY z.layout, p.pred_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Delta-encoding bit-width audit
+# --------------------------------------------------------------------------
+DELTA_BLOCK_KEYS = 128      # orderkeys per encoding block
+
+
+def delta_bitwidth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoding audit: within insertion-order blocks, the bit
+    width needed to store adjacent deltas of a SORTED key column
+    (l_orderkey) vs an UNSORTED one (l_partkey) — the histogram that
+    predicts parquet DELTA_BINARY_PACKED sizes and quantifies what a
+    sort order buys per column.
+
+    Determinism: block-partitioned lag ordered by (l_orderkey,
+    l_linenumber) — a total order, ids are unique per line; bit width
+    is string-length-of-binary (integer-exact in both engines, bin(0)
+    = '0' → width 1).
+
+    Scale: one scan, one hash shuffle on block id; every window is
+    block-partitioned (never a global sort); output is a bounded
+    (column × bitwidth) histogram.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.expr(f"l_orderkey div {DELTA_BLOCK_KEYS}").alias("blk"))
+    # (l_orderkey, l_linenumber) is NOT unique in the driver data;
+    # every measured column joins the sort key so tied rows are
+    # order-invariant for the lag deltas (canonical layout order)
+    w = Window.partitionBy("blk").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey")
+    deltas = li.select(
+        "blk",
+        F.abs(F.col("l_orderkey")
+              - F.lag("l_orderkey").over(w)).alias("d_orderkey"),
+        F.abs(F.col("l_partkey")
+              - F.lag("l_partkey").over(w)).alias("d_partkey"))
+    # one window pass, one block aggregation, then a 2-way unpivot —
+    # the shared `deltas` frame is scanned exactly once
+    per_blk = deltas.groupBy("blk").agg(
+        F.max("d_orderkey").alias("mx_orderkey"),
+        F.max("d_partkey").alias("mx_partkey"))
+    widths = per_blk.select(F.explode(F.array(
+        F.struct(F.lit("orderkey").alias("column_name"),
+                 F.col("mx_orderkey").alias("mx")),
+        F.struct(F.lit("partkey").alias("column_name"),
+                 F.col("mx_partkey").alias("mx")))).alias("c")) \
+        .where(F.col("c.mx").isNotNull()) \
+        .select(F.col("c.column_name").alias("column_name"),
+                F.length(F.bin(F.col("c.mx"))).cast("int").alias("bitwidth"))
+    return (widths.groupBy("column_name", "bitwidth")
+            .agg(F.count(F.lit(1)).alias("n_blocks"))
+            .select("column_name", "bitwidth",
+                    F.col("n_blocks").cast("long").alias("n_blocks")))
+
+
+_DELTA_SQL = f"""
+WITH li AS (
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           l_orderkey // {DELTA_BLOCK_KEYS} AS blk
+    FROM lineitem
+),
+deltas AS (
+    SELECT blk,
+           abs(l_orderkey - lag(l_orderkey) OVER w) AS d_orderkey,
+           abs(l_partkey - lag(l_partkey) OVER w) AS d_partkey
+    FROM li
+    WINDOW w AS (PARTITION BY blk
+                 ORDER BY l_orderkey, l_linenumber, l_partkey)
+),
+per_blk AS (
+    SELECT 'orderkey' AS column_name, blk, max(d_orderkey) AS mx
+    FROM deltas GROUP BY blk
+    UNION ALL
+    SELECT 'partkey' AS column_name, blk, max(d_partkey) AS mx
+    FROM deltas GROUP BY blk
+)
+SELECT column_name,
+       CAST(length(bin(mx)) AS INT) AS bitwidth,
+       CAST(count(*) AS BIGINT) AS n_blocks
+FROM per_blk
+WHERE mx IS NOT NULL
+GROUP BY column_name, bitwidth
+"""
+
+
+# --------------------------------------------------------------------------
+# RLE run audit
+# --------------------------------------------------------------------------
+def rle_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding audit: within the same insertion-order
+    blocks, count value runs of low-cardinality columns
+    (l_returnflag, l_linestatus) and the shipdate day — average run
+    length is the direct predictor of parquet RLE/dictionary page
+    sizes, and the before/after number a sort-order proposal cites.
+
+    Determinism: run starts are lag-change indicators under the same
+    total order as delta_bitwidth_audit; the average is an integer e4
+    rational.
+
+    Scale: one scan, one block-keyed shuffle shared by all three
+    column walks (the lag columns ride the same window), 3-row output.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        _day("l_shipdate").alias("ship_day"),
+        F.expr(f"l_orderkey div {DELTA_BLOCK_KEYS}").alias("blk"))
+    # all measured columns join the sort key: tied prefixes then carry
+    # identical values, so run indicators don't depend on tie order
+    w = Window.partitionBy("blk").orderBy(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "ship_day")
+
+    def runs(col):
+        lagged = F.lag(col).over(w)
+        return F.when(lagged.isNull() | (F.col(col) != lagged), 1) \
+            .otherwise(0)
+
+    marked = li.select(
+        runs("l_returnflag").alias("r_returnflag"),
+        runs("l_linestatus").alias("r_linestatus"),
+        runs("ship_day").alias("r_ship_day"))
+    # single aggregation producing all three run counts, unpivoted to
+    # one row per column — `marked` (and its window) evaluates once
+    totals = marked.agg(
+        F.sum("r_returnflag").alias("s_returnflag"),
+        F.sum("r_linestatus").alias("s_linestatus"),
+        F.sum("r_ship_day").alias("s_ship_day"),
+        F.count(F.lit(1)).alias("n_rows"))
+    rows = totals.select(F.col("n_rows"), F.explode(F.array(
+        F.struct(F.lit("returnflag").alias("column_name"),
+                 F.col("s_returnflag").alias("n_runs")),
+        F.struct(F.lit("linestatus").alias("column_name"),
+                 F.col("s_linestatus").alias("n_runs")),
+        F.struct(F.lit("ship_day").alias("column_name"),
+                 F.col("s_ship_day").alias("n_runs")))).alias("c"))
+    return rows.select(
+        F.col("c.column_name").alias("column_name"),
+        F.col("c.n_runs").cast("long").alias("n_runs"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.expr("(10000 * n_rows) div c.n_runs").alias("avg_run_e4"))
+
+
+_RLE_SQL = f"""
+WITH li AS (
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+           {_sql_day('l_shipdate')} AS ship_day,
+           l_orderkey // {DELTA_BLOCK_KEYS} AS blk
+    FROM lineitem
+),
+marked AS (
+    SELECT
+        CASE WHEN lag(l_returnflag) OVER w IS NULL
+              OR l_returnflag <> lag(l_returnflag) OVER w
+             THEN 1 ELSE 0 END AS r_returnflag,
+        CASE WHEN lag(l_linestatus) OVER w IS NULL
+              OR l_linestatus <> lag(l_linestatus) OVER w
+             THEN 1 ELSE 0 END AS r_linestatus,
+        CASE WHEN lag(ship_day) OVER w IS NULL
+              OR ship_day <> lag(ship_day) OVER w
+             THEN 1 ELSE 0 END AS r_ship_day
+    FROM li
+    WINDOW w AS (PARTITION BY blk
+                 ORDER BY l_orderkey, l_linenumber, l_returnflag,
+                          l_linestatus, ship_day)
+)
+SELECT 'returnflag' AS column_name,
+       CAST(sum(r_returnflag) AS BIGINT) AS n_runs,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(10000 * count(*) // sum(r_returnflag) AS BIGINT) AS avg_run_e4
+FROM marked
+UNION ALL
+SELECT 'linestatus', CAST(sum(r_linestatus) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CAST(10000 * count(*) // sum(r_linestatus) AS BIGINT)
+FROM marked
+UNION ALL
+SELECT 'ship_day', CAST(sum(r_ship_day) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CAST(10000 * count(*) // sum(r_ship_day) AS BIGINT)
+FROM marked
+"""
+
+
+# --------------------------------------------------------------------------
+# Skew-aware partition-size planner
+# --------------------------------------------------------------------------
+PART_TARGET_BYTES = 16_384
+SKEW_FACTOR = 5
+# events rows estimate: event_id + ts + user_id + value = 4×8 bytes fixed
+_FIXED_ROW_BYTES = 32
+
+
+def partition_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE-style shuffle planner: per grouping key, estimate the
+    shuffled bytes (fixed column widths + live varchar lengths), plan
+    ceil(bytes / PART_TARGET_BYTES) partitions, and flag skewed keys
+    (> SKEW_FACTOR × mean key bytes — the AQE skew-join trigger
+    shape). A synthetic hot key (30 % of rows folded into 'hot', the
+    corpus-augmentation convention) exercises the skew branch
+    deterministically at every scale factor.
+
+    Determinism: byte estimates are integer sums; the skew threshold
+    compares against the broadcast 1-row mean with integer arithmetic
+    (10 × bytes > 10 × SKEW_FACTOR × mean avoids division).
+
+    Scale: one scan, one hash aggregation on the key, a broadcast
+    1-row mean — exactly the statistics pass AQE runs on shuffle map
+    output, expressed as a query so the plan can be reviewed BEFORE
+    the 100 TB shuffle executes.
+    """
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.col("user_id") % 10 < 3, F.lit("hot"))
+         .otherwise(F.col("event_type")).alias("key"),
+        (F.lit(_FIXED_ROW_BYTES) + F.length("event_type")
+         + F.length("props")).cast("long").alias("row_bytes"))
+    per_key = keyed.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_bytes").alias("key_bytes"))
+    # per_key feeds both the plan rows and the mean — persist so the
+    # events scan runs once (multi-branch persist rule, CLAUDE.md)
+    per_key = per_key.persist()
+    _PERSISTED.append(per_key)
+    mean = F.broadcast(
+        per_key.agg(F.expr("sum(key_bytes) div count(1)")
+                    .alias("mean_bytes")))
+    return (per_key.crossJoin(mean)
+            .select("key",
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("key_bytes").cast("long").alias("key_bytes"),
+                    F.expr(f"(key_bytes + {PART_TARGET_BYTES - 1}) "
+                           f"div {PART_TARGET_BYTES}")
+                    .alias("planned_parts"),
+                    F.when(F.col("key_bytes")
+                           > F.lit(SKEW_FACTOR) * F.col("mean_bytes"), 1)
+                    .otherwise(0).cast("int").alias("is_skewed")))
+
+
+_PLANNER_SQL = f"""
+WITH keyed AS (
+    SELECT CASE WHEN user_id % 10 < 3 THEN 'hot' ELSE event_type END AS key,
+           CAST({_FIXED_ROW_BYTES} + length(event_type) + length(props)
+                AS BIGINT) AS row_bytes
+    FROM events
+),
+per_key AS (
+    SELECT key, count(*) AS n_rows, sum(row_bytes) AS key_bytes
+    FROM keyed GROUP BY key
+),
+mean AS (
+    SELECT CAST(sum(key_bytes) // count(*) AS BIGINT) AS mean_bytes
+    FROM per_key
+)
+SELECT key,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(key_bytes AS BIGINT) AS key_bytes,
+       CAST((key_bytes + {PART_TARGET_BYTES - 1}) // {PART_TARGET_BYTES}
+            AS BIGINT) AS planned_parts,
+       CAST(CASE WHEN key_bytes > {SKEW_FACTOR} * mean_bytes
+                 THEN 1 ELSE 0 END AS INT) AS is_skewed
+FROM per_key CROSS JOIN mean
+"""
+
+
+QUERIES["compaction_bin_packing"] = (compaction_bin_packing, _FFD_SQL)
+QUERIES["zonemap_skip_audit"] = (zonemap_skip_audit, _zonemap_sql())
+QUERIES["delta_bitwidth_audit"] = (delta_bitwidth_audit, _DELTA_SQL)
+QUERIES["rle_run_audit"] = (rle_run_audit, _RLE_SQL)
+QUERIES["partition_size_planner"] = (partition_size_planner, _PLANNER_SQL)

@@ -589,3 +589,34 @@ def test_round7_embedding_queries_plan_shapes(props):
     assert p["scans"] == 1
     assert p["range_shuffles"] == 0
     assert p["unpartitioned_windows"] == 0
+
+
+def test_round7_storage_queries_plan_shapes(props):
+    # FFD packing: one shuffle groups docs by source; the fold is a
+    # column expression (no UDF), never a global sort
+    p = props("compaction_bin_packing")
+    assert p["shuffles"] == 1
+    assert p["scans"] == 1
+    assert p["range_shuffles"] == 0
+    # zone-map audit: zones aggregate per layout (2 scans of the
+    # pruned 2-column projection), predicate panel rides an explode —
+    # no row-level join, no global sort
+    p = props("zonemap_skip_audit")
+    assert p["range_shuffles"] == 0
+    assert p["unpartitioned_windows"] == 0
+    assert max(p["scan_widths"]) <= 2
+    # delta/RLE audits: block-partitioned windows only, one scan
+    for name in ("delta_bitwidth_audit", "rle_run_audit"):
+        p = props(name)
+        assert p["scans"] == 1, name
+        assert p["unpartitioned_windows"] == 0, name
+        assert p["range_shuffles"] == 0, name
+    # planner: the persisted per-key stats feed both branches — the
+    # events scan runs once, the mean rides a broadcast
+    from alma_publish_to_marc_spark.plans import storage_queries as STQ
+    p = props("partition_size_planner")
+    assert p["scans"] + p["in_memory_scans"] >= 2
+    assert p["scans"] <= 1
+    assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 1
+    assert p["range_shuffles"] == 0
+    assert STQ.unpersist_cached() >= 1

@@ -1,0 +1,105 @@
+"""Invariants for plans/storage_queries: the FFD fold must agree with
+a driver-side reference implementation in BOTH engines under GROUPED
+RAGGED inputs with data-dependent branches — the exact shape that
+corrupted DuckDB struct-accumulator folds at sf0.1 (CLAUDE.md fold
+rules; this family's accumulator is the safe single-LIST shape, and
+these tests pin that it stays safe)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from alma_publish_to_marc_spark.plans.storage_queries import (
+    BIN_CAPACITY,
+    _FFD_SQL,
+)
+
+
+def _ffd_reference(sizes):
+    """Driver-side FFD: sizes already sorted desc; returns remainders."""
+    bins = []
+    for s in sizes:
+        for i, b in enumerate(bins):
+            if b >= s:
+                bins[i] = b - s
+                break
+        else:
+            bins.append(BIN_CAPACITY - s)
+    return bins
+
+
+# ragged groups + sizes straddling half-capacity force divergent
+# first-fit branches (the corruption trigger class)
+group_lists = st.lists(
+    st.lists(st.integers(1, BIN_CAPACITY), min_size=1, max_size=40),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(group_lists)
+def test_ffd_spark_fold_matches_reference(spark, groups):
+    rows = [Row(source=f"g{gi}", doc_id=i, n_chars=s)
+            for gi, sizes in enumerate(groups)
+            for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows)
+    from alma_publish_to_marc_spark.plans import storage_queries as SQ
+
+    # reuse the query body against the in-memory frame by monkey-free
+    # recomputation: same expressions as compaction_bin_packing
+    sizes = (df.groupBy("source")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct((-F.col("n_chars")).alias("neg"),
+                          F.col("doc_id").alias("id")))).alias("ss"))
+             .select("source",
+                     F.transform("ss", lambda s: -s["neg"]).alias("sizes")))
+    idx = "array_position(transform(acc, b -> b >= s), true)"
+    step = (f"CASE WHEN {idx} > 0 THEN "
+            f"transform(acc, (b, i) -> CASE WHEN i = {idx} - 1 "
+            f"THEN b - s ELSE b END) "
+            f"ELSE array_append(acc, {SQ.BIN_CAPACITY}L - s) END")
+    got = {r["source"]: r["bins"] for r in sizes.select(
+        "source",
+        F.expr(f"aggregate(sizes, CAST(array() AS ARRAY<BIGINT>), "
+               f"(acc, s) -> {step})").alias("bins")).collect()}
+    for gi, sizes_in in enumerate(groups):
+        ordered = sorted(sizes_in, reverse=True)
+        assert got[f"g{gi}"] == _ffd_reference(ordered), f"g{gi}"
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(group_lists)
+def test_ffd_duckdb_fold_matches_reference(groups):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(source VARCHAR, doc_id BIGINT, "
+                "n_chars BIGINT)")
+    for gi, sizes in enumerate(groups):
+        for i, s in enumerate(sizes):
+            con.execute("INSERT INTO documents VALUES (?, ?, ?)",
+                        [f"g{gi}", i, s])
+    # run the real oracle, but read back the raw bins for comparison
+    inner = _FFD_SQL.split("SELECT source, n_docs")[0]
+    rows = con.execute(
+        inner + "SELECT source, bins FROM packed").fetchall()
+    got = {r[0]: r[1] for r in rows}
+    for gi, sizes_in in enumerate(groups):
+        ordered = sorted(sizes_in, reverse=True)
+        assert got[f"g{gi}"] == _ffd_reference(ordered), f"g{gi}"
+
+
+def test_ffd_bin_count_sanity(spark):
+    # packing never beats the volume lower bound and never exceeds
+    # one bin per doc
+    from alma_publish_to_marc_spark.plans.storage_queries import (
+        compaction_bin_packing,
+    )
+    out = compaction_bin_packing(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        lower = -(-r["total_bytes"] // BIN_CAPACITY)
+        assert lower <= r["n_bins"] <= r["n_docs"]
+        assert 0 < r["util_e4"] <= 10_000
