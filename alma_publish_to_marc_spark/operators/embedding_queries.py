@@ -397,3 +397,208 @@ QUERIES["bq_recall_eval"] = (_bq_recall, _BQ_RECALL_SQL)
 QUERIES["matryoshka_recall_curve"] = (_mrl_recall, _mrl_sql())
 QUERIES["hubness_koccurrence"] = (_hubness, _HUBNESS_SQL)
 QUERIES["embedding_anisotropy_audit"] = (_anisotropy, _ANISO_SQL)
+
+
+# --------------------------------------------------------------------------
+# Blocked Gram matrix X^T X (the distributed primitive under PCA/whitening)
+# --------------------------------------------------------------------------
+GRAM_SCALE = 10_000
+
+
+def _gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X over the corpus: every row
+    contributes its outer product, map-side combined per partition and
+    hash-aggregated on the (i, j) cell key — the one-pass primitive
+    that PCA, whitening, and ridge regression start from. Upper
+    triangle only (the matrix is symmetric).
+
+    Determinism: components quantize to e4 integers by flooring an
+    identical IEEE expression (sq_encode convention); all products and
+    sums are exact int64 (|q| <= ~10^4, so a cell sums to < 10^8 per
+    row — int64 holds beyond 10^10 rows).
+
+    Scale: ONE corpus scan; each row expands to DIM(DIM+1)/2 cell
+    contributions which partial-aggregate map-side down to 2080 cells
+    per partition before the only shuffle. At 100 TB this is the
+    textbook tree-reduction matmul — no driver state, no collect.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.expr(f"transform(embedding, "
+               f"x -> CAST(floor(CAST(x AS DOUBLE) * {GRAM_SCALE}) "
+               f"AS BIGINT))").alias("q"))
+    cells = e.select(F.explode(F.expr(
+        f"flatten(transform(sequence(1, {S.DIM}), "
+        f"i -> transform(sequence(i, {S.DIM}), "
+        f"j -> named_struct('i', i, 'j', j, "
+        f"'p', q[i - 1] * q[j - 1]))))"))  # Spark [] is 0-based
+        .alias("c"))
+    return (cells.groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+            .agg(F.sum("c.p").alias("gram"))
+            .select(F.col("i").cast("int").alias("i"),
+                    F.col("j").cast("int").alias("j"),
+                    F.col("gram").cast("long").alias("gram")))
+
+
+_GRAM_SQL = f"""
+WITH e AS (
+    SELECT list_transform({_sql_vec()},
+               x -> CAST(floor(x * {GRAM_SCALE}) AS BIGINT)) AS q
+    FROM embeddings
+),
+cells AS (
+    -- the unnest list is the CONSTANT upper-triangle index set (the
+    -- binder rejects outer-column refs inside nested unnest lambdas);
+    -- the product reads q in the select
+    SELECT t.c.i AS i, t.c.j AS j, q[t.c.i] * q[t.c.j] AS p
+    FROM e, unnest(flatten(list_transform(range(1, {S.DIM} + 1),
+        i -> list_transform(range(i, {S.DIM} + 1),
+        j -> struct_pack(i := i, j := j))))) AS t(c)
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(sum(p) AS BIGINT) AS gram
+FROM cells
+GROUP BY i, j
+"""
+
+
+# --------------------------------------------------------------------------
+# Mahalanobis (diagonal) OOD scoring
+# --------------------------------------------------------------------------
+OOD_TOP = 20
+
+
+def _mahalanobis_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution scoring with a diagonal-covariance
+    Mahalanobis distance: two stats passes (per-dim mean, then per-dim
+    variance about the ROUNDED mean), then a per-row fold
+    sum((x-mu)^2 / var) and the global top-OOD_TOP outliers — the
+    standard embedding-space OOD monitor in front of a training-data
+    intake.
+
+    Determinism: mu rounds to 4 dp and var to 8 dp before any row
+    scoring (embedding_center_normalize convention), the score fold is
+    an explicit left fold over identical IEEE terms, scores round to
+    4 dp, ties break on vec_id.
+
+    Scale: two 64-row stat aggregations + one scan for scoring; the
+    top-N is TakeOrdered (distributed heads, no global sort). Stats
+    ride broadcasts.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+    mu = (e.select(F.posexplode("v").alias("pos", "x"))
+          .groupBy("pos").agg(F.round(F.avg("x"), 4).alias("m"))
+          .groupBy()
+          .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+               .alias("pm"))
+          .select(F.transform("pm", lambda s: s["m"]).alias("mu")))
+    centered = e.crossJoin(F.broadcast(mu)).select(
+        "vec_id",
+        F.zip_with("v", "mu", lambda a, b: a - b).alias("c"))
+    var = (centered.select(F.posexplode("c").alias("pos", "d"))
+           .groupBy("pos")
+           .agg(F.round(F.avg(F.col("d") * F.col("d")), 8).alias("s2"))
+           .groupBy()
+           .agg(F.array_sort(F.collect_list(F.struct("pos", "s2")))
+                .alias("ps"))
+           .select(F.transform("ps", lambda s: s["s2"]).alias("var")))
+    scored = centered.crossJoin(F.broadcast(var)).select(
+        "vec_id",
+        F.round(F.aggregate(
+            F.zip_with("c", "var",
+                       lambda d, s2: F.when(s2 > 0, d * d / s2)
+                       .otherwise(F.lit(0.0))),
+            F.lit(0.0), lambda acc, t: acc + t), 4).alias("maha_sq"))
+    return (scored.orderBy(F.col("maha_sq").desc(), F.col("vec_id").asc())
+            .limit(OOD_TOP))
+
+
+_MAHA_SQL = f"""
+WITH e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+mu AS (
+    SELECT list_transform(
+        list_sort(list(struct_pack(pos := pos, m := m))), s -> s.m) AS mu
+    FROM (SELECT t.i AS pos, round(avg(v[t.i]), 4) AS m
+          FROM e, generate_series(1, {S.DIM}) AS t(i) GROUP BY t.i)
+),
+centered AS (
+    SELECT vec_id,
+           list_transform(range(1, {S.DIM} + 1), i -> v[i] - mu[i]) AS c
+    FROM e CROSS JOIN mu
+),
+var AS (
+    SELECT list_transform(
+        list_sort(list(struct_pack(pos := pos, s2 := s2))), s -> s.s2) AS var
+    FROM (SELECT t.i AS pos, round(avg(c[t.i] * c[t.i]), 8) AS s2
+          FROM centered, generate_series(1, {S.DIM}) AS t(i) GROUP BY t.i)
+),
+scored AS (
+    SELECT vec_id,
+           round(list_reduce(list_prepend(0.0,
+               list_transform(range(1, {S.DIM} + 1),
+                   i -> CASE WHEN var[i] > 0 THEN c[i] * c[i] / var[i]
+                             ELSE 0.0 END)),
+               (acc, t) -> acc + t), 4) AS maha_sq
+    FROM centered CROSS JOIN var
+)
+SELECT vec_id, maha_sq FROM scored
+ORDER BY maha_sq DESC, vec_id ASC
+LIMIT {OOD_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# k-th-neighbor-distance OOD histogram
+# --------------------------------------------------------------------------
+def _knn_distance_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based OOD monitor: the cosine to each point's K-th
+    nearest neighbor (from the banded-LSH k-NN graph), histogrammed in
+    0.1-wide buckets. Points whose K-th neighbor is far (low cosine)
+    sit in sparse regions — the local-density OOD signal that
+    complements the parametric Mahalanobis one. Points with fewer than
+    K LSH candidates land in the -100 bucket (isolated under every
+    band — the strongest OOD flag of all).
+
+    Determinism: kth cosine is the rank-K edge of the tie-broken k-NN
+    graph; buckets floor a 6-dp-rounded cosine.
+
+    Scale: reuses knn_graph's banded candidates; the kth-edge filter
+    and histogram are two cheap aggregations over E = N·K edges.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+    kth = (edges.where(F.col("rank") == KNN_K)
+           .select(F.col("src").alias("vec_id"),
+                   F.floor(F.col("cosine") * 10).cast("long")
+                   .alias("bucket")))
+    ids = emb.select("vec_id")
+    full = (ids.join(kth, "vec_id", "left")
+            .select(F.coalesce("bucket", F.lit(-100)).alias("bucket")))
+    return (full.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    F.col("n_nodes").cast("long").alias("n_nodes")))
+
+
+_KNN_OOD_SQL = f"""
+WITH edges AS ({_KNN_GRAPH_SQL}),
+kth AS (
+    SELECT src AS vec_id,
+           CAST(floor(cosine * 10) AS BIGINT) AS bucket
+    FROM edges WHERE rank = {KNN_K}
+),
+alln AS (
+    SELECT coalesce(k.bucket, -100) AS bucket
+    FROM embeddings e LEFT JOIN kth k ON k.vec_id = e.vec_id
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM alln
+GROUP BY bucket
+"""
+
+
+QUERIES["gram_matrix_blocked"] = (_gram_matrix, _GRAM_SQL)
+QUERIES["mahalanobis_ood_topn"] = (_mahalanobis_ood, _MAHA_SQL)
+QUERIES["knn_distance_ood"] = (_knn_distance_ood, _KNN_OOD_SQL)

@@ -620,3 +620,21 @@ def test_round7_storage_queries_plan_shapes(props):
     assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 1
     assert p["range_shuffles"] == 0
     assert STQ.unpersist_cached() >= 1
+
+
+def test_round7_embedding_ood_plan_shapes(props):
+    # gram: one scan, explode partial-aggregates into ONE cell shuffle
+    p = props("gram_matrix_blocked")
+    assert p["scans"] == 1
+    assert p["shuffles"] == 1
+    assert p["range_shuffles"] == 0
+    # mahalanobis: stats ride broadcasts, top-N is TakeOrdered (no
+    # global sort exchange)
+    p = props("mahalanobis_ood_topn")
+    assert "TakeOrderedAndProject" in p["_plan"]
+    assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 2
+    assert p["range_shuffles"] == 0
+    # knn-distance OOD: banded graph reuse, partitioned windows only
+    p = props("knn_distance_ood")
+    assert p["range_shuffles"] == 0
+    assert p["unpartitioned_windows"] == 0
