@@ -638,3 +638,30 @@ def test_round7_embedding_ood_plan_shapes(props):
     p = props("knn_distance_ood")
     assert p["range_shuffles"] == 0
     assert p["unpartitioned_windows"] == 0
+
+
+def test_round7_optimizer_queries_plan_shapes(props):
+    # equi-depth: the unpartitioned cumsum window runs on the DISTINCT
+    # VALUE frame (bounded alphabet), after the one corpus shuffle —
+    # and the scan projects only the histogram column
+    p = props("equi_depth_histogram")
+    assert p["shuffles"] == 1
+    assert p["scans"] == 1
+    assert p["scan_widths"] == [1]
+    assert p["range_shuffles"] == 0
+    # independence audit: one scan, one single-row aggregation
+    p = props("selectivity_independence_audit")
+    assert p["scans"] == 1
+    assert p["shuffles"] == 0
+    assert p["unpartitioned_windows"] == 0
+    # join-order ranking: stats/actual branches all reduce to 1-row
+    # broadcasts over pruned key scans; never a sort-merge join
+    p = props("join_order_cost_rank")
+    assert p["sort_merge_joins"] == 0
+    assert p["range_shuffles"] == 0
+    assert max(p["scan_widths"]) <= 2
+    # AQP audit: sample is a conditional sum inside ONE scan
+    p = props("sample_extrapolate_error")
+    assert p["scans"] == 1
+    assert p["shuffles"] == 1
+    assert p["range_shuffles"] == 0
