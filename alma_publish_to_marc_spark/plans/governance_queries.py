@@ -1,0 +1,412 @@
+"""Oracle-checked data-governance and operations-policy queries:
+generalization-ladder k-anonymity, sensitive-attribute dominance
+(attribute-disclosure risk), TTL retention sweep planning, and a
+token-bucket rate-limit replay.
+
+These are the gates a data platform runs before release / before
+purge / before onboarding a producer: how far must quasi-identifiers
+generalize before every class clears k, which classes leak a sensitive
+attribute by sheer dominance even when k holds, what a TTL policy will
+actually delete, and what a proposed rate limit would have done to
+real traffic.
+
+Reference parity note: the reference ETL carries no governance layer;
+family extends SURVEY.md §2's beyond-reference capabilities. The QI
+conventions mirror dq_queries.k_anonymity_audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+QUERIES: dict = {}
+
+US_PER_DAY = 86_400_000_000
+
+
+# --------------------------------------------------------------------------
+# Generalization-ladder k-anonymity (one GROUPING SETS pass)
+# --------------------------------------------------------------------------
+_GEN_K = 5
+# exact cents bounds of the driver generator (k_anonymity_audit)
+_BAL_LO, _BAL_HI = -100_000, 1_000_000
+
+
+def generalization_ladder_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """k-anonymity up the generalization lattice in ONE pass: level 0
+    keeps (nation, segment, balance decile), level 1 coarsens to
+    (region, segment, balance quintile), level 2 to (region,
+    quintile) — all three evaluated by a single GROUPING SETS
+    aggregation. The release process walks this ladder until
+    risky_classes hits 0; computing every rung at once is what makes
+    the walk one query instead of N.
+
+    Determinism: decile/quintile are the width_bucket floor formula on
+    exact cents (k_anonymity_audit convention); levels are identified
+    by which grouping columns are non-aggregated (grouping id), not by
+    engine-specific grouping_id numbering — the output carries an
+    explicit level label derived per grouping set.
+
+    Scale: one customers⋈nation broadcast join (25-row dim), one
+    grouped aggregation whose key space is the summed QI domains of
+    the three rungs (bounded alphabets), then a rung-level rollup.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"))
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey")
+    span = _BAL_HI - _BAL_LO
+    qi = (cust.join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey)
+          .select(
+              "c_custkey",
+              F.col("c_nationkey").alias("nat"),
+              F.col("n_regionkey").alias("reg"),
+              F.col("c_mktsegment").alias("seg"),
+              F.least(F.lit(9), F.expr(
+                  f"((bal_c - {_BAL_LO}) * 10) div {span}"))
+              .alias("decile"),
+              F.least(F.lit(4), F.expr(
+                  f"((bal_c - {_BAL_LO}) * 5) div {span}"))
+              .alias("quintile")))
+    qi.createOrReplaceTempView("_gen_qi")
+    classes = spark.sql("""
+        SELECT nat, reg, seg, decile, quintile,
+               CASE WHEN nat IS NOT NULL THEN 0
+                    WHEN seg IS NOT NULL THEN 1
+                    ELSE 2 END AS level,
+               count(DISTINCT c_custkey) AS class_size
+        FROM _gen_qi
+        GROUP BY GROUPING SETS ((nat, seg, decile),
+                                (reg, seg, quintile),
+                                (reg, quintile))
+    """)
+    return (classes.groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n_classes"),
+                 F.min("class_size").alias("min_k"),
+                 F.sum(F.when(F.col("class_size") < _GEN_K, 1)
+                       .otherwise(0)).alias("risky_classes"))
+            .select(F.col("level").cast("int").alias("level"),
+                    F.col("n_classes").cast("long").alias("n_classes"),
+                    F.col("min_k").cast("long").alias("min_k"),
+                    F.col("risky_classes").cast("long")
+                    .alias("risky_classes")))
+
+
+_GEN_SQL = f"""
+WITH qi AS (
+    SELECT c.c_custkey,
+           c.c_nationkey AS nat,
+           n.n_regionkey AS reg,
+           c.c_mktsegment AS seg,
+           least(9, ((CAST(round(c.c_acctbal * 100) AS BIGINT)
+                      - ({_BAL_LO})) * 10) // {_BAL_HI - _BAL_LO})
+               AS decile,
+           least(4, ((CAST(round(c.c_acctbal * 100) AS BIGINT)
+                      - ({_BAL_LO})) * 5) // {_BAL_HI - _BAL_LO})
+               AS quintile
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+classes AS (
+    SELECT nat, reg, seg, decile, quintile,
+           CASE WHEN nat IS NOT NULL THEN 0
+                WHEN seg IS NOT NULL THEN 1
+                ELSE 2 END AS level,
+           count(DISTINCT c_custkey) AS class_size
+    FROM qi
+    GROUP BY GROUPING SETS ((nat, seg, decile),
+                            (reg, seg, quintile),
+                            (reg, quintile))
+)
+SELECT CAST(level AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(class_size) AS BIGINT) AS min_k,
+       CAST(sum(CASE WHEN class_size < {_GEN_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS risky_classes
+FROM classes
+GROUP BY level
+"""
+
+
+# --------------------------------------------------------------------------
+# Sensitive-attribute dominance (attribute-disclosure risk)
+# --------------------------------------------------------------------------
+_DOM_E4 = 6_000     # a class is dominated when one value holds > 60 %
+
+
+def sensitive_dominance_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Attribute-disclosure audit: k-anonymity can hold while a class
+    still leaks — if 90 % of a class shares one sensitive value, an
+    attacker learns it without identifying anyone. Per QI class
+    (nation, segment, decile) this measures the top sensitive-value
+    share (order priority, via the customers⋈orders join) and rolls
+    up per segment: classes audited, classes dominated beyond
+    _DOM_E4, and the worst share observed.
+
+    Determinism: the top value per class is a struct-max (count, then
+    value text as tie-break — the argmax rule); shares are integer e4.
+
+    Scale: two keyed aggregations (class × value counts, then class
+    tops) + the segment rollup; all key spaces bounded by QI × 5
+    priorities. The orders join is keyed on custkey.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"))
+    span = _BAL_HI - _BAL_LO
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority")
+    j = (cust.select(
+            "c_custkey", F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.least(F.lit(9), F.expr(
+                f"((bal_c - {_BAL_LO}) * 10) div {span}")).alias("decile"))
+         .join(orders, F.col("c_custkey") == F.col("o_custkey")))
+    vals = (j.groupBy("nat", "seg", "decile", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    tops = (vals.groupBy("nat", "seg", "decile")
+            .agg(F.sum("cnt").alias("class_rows"),
+                 F.max(F.struct(F.col("cnt"),
+                                F.col("o_orderpriority"))).alias("top"))
+            .select("seg",
+                    F.expr("(10000 * top.cnt) div class_rows")
+                    .alias("dom_e4")))
+    return (tops.groupBy("seg")
+            .agg(F.count(F.lit(1)).alias("n_classes"),
+                 F.sum(F.when(F.col("dom_e4") > _DOM_E4, 1).otherwise(0))
+                 .alias("n_dominated"),
+                 F.max("dom_e4").alias("max_dom_e4"))
+            .select(F.col("seg").alias("seg"),
+                    F.col("n_classes").cast("long").alias("n_classes"),
+                    F.col("n_dominated").cast("long").alias("n_dominated"),
+                    F.col("max_dom_e4").cast("long").alias("max_dom_e4")))
+
+
+_DOM_SQL = f"""
+WITH j AS (
+    SELECT c.c_custkey, c.c_nationkey AS nat, c.c_mktsegment AS seg,
+           least(9, ((CAST(round(c.c_acctbal * 100) AS BIGINT)
+                      - ({_BAL_LO})) * 10) // {_BAL_HI - _BAL_LO})
+               AS decile,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+),
+vals AS (
+    SELECT nat, seg, decile, o_orderpriority, count(*) AS cnt
+    FROM j GROUP BY 1, 2, 3, 4
+),
+tops AS (
+    SELECT seg,
+           (10000 * (max(struct_pack(cnt := cnt,
+                                     pri := o_orderpriority))).cnt)
+               // sum(cnt) AS dom_e4
+    FROM vals GROUP BY nat, seg, decile
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN dom_e4 > {_DOM_E4} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dominated,
+       CAST(max(dom_e4) AS BIGINT) AS max_dom_e4
+FROM tops
+GROUP BY seg
+"""
+
+
+# --------------------------------------------------------------------------
+# TTL retention sweep planning
+# --------------------------------------------------------------------------
+# retention days per event type; anything absent defaults to 180
+_TTL_DAYS = {"click": 90, "view": 90, "signup": 365,
+             "purchase": 730, "error": 30}
+_TTL_DEFAULT = 180
+
+
+def data_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy dry run: per event type, how many rows (and
+    payload bytes) a TTL purge would delete, with age measured from
+    the corpus max timestamp (deterministic — never wall-clock now()).
+    This is the report a compliance purge files BEFORE the delete job
+    is allowed to run.
+
+    Determinism: ages are integer epoch-day arithmetic; the horizon
+    is the broadcast 1-row max; the TTL table is a literal CASE.
+
+    Scale: one scan + one conditional aggregation per type (alphabet-
+    bounded output); the purge itself would reuse the same predicate
+    as a partition-pruning filter on a date-partitioned table.
+    """
+    ev = load(spark, sf_dir, "events")
+    ttl = F.coalesce(*[
+        F.when(F.col("event_type") == t, F.lit(d))
+        for t, d in sorted(_TTL_DAYS.items())
+    ], F.lit(_TTL_DEFAULT))
+    days = F.expr(f"unix_micros(cast(ts as timestamp)) div {US_PER_DAY}")
+    base = ev.select("event_type",
+                     days.alias("day"),
+                     F.length("props").alias("bytes"),
+                     ttl.alias("ttl_days"))
+    horizon = F.broadcast(base.agg(F.max("day").alias("h")))
+    flagged = base.crossJoin(horizon).select(
+        "event_type", "bytes",
+        (F.col("day") < F.col("h") - F.col("ttl_days")).alias("expired"))
+    return (flagged.groupBy("event_type")
+            .agg(F.sum(F.when(F.col("expired"), 1).otherwise(0))
+                 .alias("n_expired"),
+                 F.sum(F.when(~F.col("expired"), 1).otherwise(0))
+                 .alias("n_live"),
+                 F.sum(F.when(F.col("expired"), F.col("bytes"))
+                       .otherwise(0)).alias("bytes_expired"))
+            .select("event_type",
+                    F.col("n_expired").cast("long").alias("n_expired"),
+                    F.col("n_live").cast("long").alias("n_live"),
+                    F.col("bytes_expired").cast("long")
+                    .alias("bytes_expired")))
+
+
+def _ttl_sql() -> str:
+    case = " ".join(f"WHEN event_type = '{t}' THEN {d}"
+                    for t, d in sorted(_TTL_DAYS.items()))
+    return f"""
+WITH base AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day,
+           length(props) AS bytes,
+           CASE {case} ELSE {_TTL_DEFAULT} END AS ttl_days
+    FROM events
+),
+horizon AS (SELECT max(day) AS h FROM base)
+SELECT event_type,
+       CAST(sum(CASE WHEN day < h - ttl_days THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_expired,
+       CAST(sum(CASE WHEN day < h - ttl_days THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_live,
+       CAST(sum(CASE WHEN day < h - ttl_days THEN bytes ELSE 0 END)
+            AS BIGINT) AS bytes_expired
+FROM base CROSS JOIN horizon
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Token-bucket rate-limit replay
+# --------------------------------------------------------------------------
+BUCKET_CAP_MILLI = 3_000        # 3 tokens
+# 1 token / 12 h: the events table spans ~30 days with ~half-day mean
+# per-user gaps at sf0.1, so this rate denies bursty users but not
+# steady ones — both branches exercise with a real spread
+REFILL_US_PER_MILLI = 43_200_000
+_DENIED_BUCKET_CAP = 10
+
+
+def token_bucket_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit dry run: replay every user's event stream through a
+    token bucket (capacity 3, refill 1 per 12 h) and histogram users by
+    how many events the limiter WOULD have denied — the number a
+    platform reads before enforcing a quota on live producers.
+
+    Determinism: the bucket state is integer milli-tokens with integer
+    refill (gap_us div REFILL_US_PER_MILLI); per-user event order is
+    (ts, event_id) — unique in the driver data; the fold accumulator
+    is a single LIST [tokens, allowed, denied] (the CLAUDE.md-safe
+    shape; elements wrap as single-element lists for the DuckDB
+    init-prepend).
+
+    Scale: one shuffle groups events by user; per-user folds are
+    O(events) with O(1) state. The histogram output is bounded by the
+    denied-bucket cap. This is the batch twin of the
+    transformWithState streaming limiter.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("tus"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("tus", "event_id"))).alias("seq"))
+                .select("user_id",
+                        F.expr("transform(seq, s -> s.tus)").alias("ts")))
+    # gaps[1] = 0 (first event hits a full bucket), then deltas
+    fold = (
+        f"aggregate("
+        f"  transform(ts, (t, i) -> CASE WHEN i = 0 THEN CAST(0 AS BIGINT)"
+        f"                               ELSE t - ts[i - 1] END),"
+        f"  array(CAST({BUCKET_CAP_MILLI} AS BIGINT), CAST(0 AS BIGINT),"
+        f"        CAST(0 AS BIGINT)),"
+        f"  (acc, g) -> CASE WHEN least(CAST({BUCKET_CAP_MILLI} AS BIGINT),"
+        f"                         acc[0] + g div {REFILL_US_PER_MILLI})"
+        f"                    >= 1000"
+        f"   THEN array(least(CAST({BUCKET_CAP_MILLI} AS BIGINT),"
+        f"                    acc[0] + g div {REFILL_US_PER_MILLI}) - 1000,"
+        f"              acc[1] + 1, acc[2])"
+        f"   ELSE array(least(CAST({BUCKET_CAP_MILLI} AS BIGINT),"
+        f"                    acc[0] + g div {REFILL_US_PER_MILLI}),"
+        f"              acc[1], acc[2] + 1) END)")
+    stats = per_user.select(
+        "user_id", F.expr(fold).alias("st"))
+    return (stats.select(
+        F.least(F.col("st")[2], F.lit(_DENIED_BUCKET_CAP))
+        .alias("denied_bucket"),
+        F.col("st")[1].alias("allowed"))
+        .groupBy("denied_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"),
+             F.sum("allowed").alias("total_allowed"))
+        .select(F.col("denied_bucket").cast("long").alias("denied_bucket"),
+                F.col("n_users").cast("long").alias("n_users"),
+                F.col("total_allowed").cast("long").alias("total_allowed")))
+
+
+_BUCKET_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+),
+per_user AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list(struct_pack(tus := tus, eid := event_id))),
+               s -> s.tus) AS ts
+    FROM ev GROUP BY user_id
+),
+gaps AS (
+    SELECT user_id,
+           list_transform(range(1, len(ts) + 1),
+               i -> CASE WHEN i = 1 THEN CAST(0 AS BIGINT)
+                         ELSE ts[i] - ts[i - 1] END) AS gs
+    FROM per_user
+),
+folded AS (
+    SELECT user_id,
+           list_reduce(
+               list_prepend(
+                   CAST([{BUCKET_CAP_MILLI}, 0, 0] AS BIGINT[]),
+                   list_transform(gs, g -> [g])),
+               (acc, xs) -> CASE
+                 WHEN least(CAST({BUCKET_CAP_MILLI} AS BIGINT),
+                            acc[1] + xs[1] // {REFILL_US_PER_MILLI}) >= 1000
+                 THEN [least(CAST({BUCKET_CAP_MILLI} AS BIGINT),
+                             acc[1] + xs[1] // {REFILL_US_PER_MILLI}) - 1000,
+                       acc[2] + 1, acc[3]]
+                 ELSE [least(CAST({BUCKET_CAP_MILLI} AS BIGINT),
+                             acc[1] + xs[1] // {REFILL_US_PER_MILLI}),
+                       acc[2], acc[3] + 1] END) AS st
+    FROM gaps
+)
+SELECT CAST(least(st[3], {_DENIED_BUCKET_CAP}) AS BIGINT) AS denied_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(st[2]) AS BIGINT) AS total_allowed
+FROM folded
+GROUP BY 1
+"""
+
+
+QUERIES["generalization_ladder_audit"] = (
+    generalization_ladder_audit, _GEN_SQL)
+QUERIES["sensitive_dominance_audit"] = (
+    sensitive_dominance_audit, _DOM_SQL)
+QUERIES["data_retention_sweep"] = (data_retention_sweep, _ttl_sql())
+QUERIES["token_bucket_rate_limit"] = (
+    token_bucket_rate_limit, _BUCKET_SQL)

@@ -75,6 +75,11 @@ HEADLINE = [
     # exact-integer HMM decode (one-shuffle scan-fused fold)
     "retrieval_ranking_metrics",
     "viterbi_state_decode",
+    # round 7: blocked Gram matrix (one-shuffle cell aggregation — the
+    # linalg primitive) and the FFD compaction fold (grouped
+    # list-accumulator fold, the storage-planning shape)
+    "gram_matrix_blocked",
+    "compaction_bin_packing",
 ]
 
 

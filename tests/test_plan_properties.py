@@ -665,3 +665,31 @@ def test_round7_optimizer_queries_plan_shapes(props):
     assert p["scans"] == 1
     assert p["shuffles"] == 1
     assert p["range_shuffles"] == 0
+
+
+def test_round7_governance_queries_plan_shapes(props):
+    from alma_publish_to_marc_spark.plans import governance_queries  # noqa
+    # generalization ladder: ONE grouping-sets aggregation over the
+    # broadcast-joined QI frame — never one shuffle per rung
+    p = props("generalization_ladder_audit")
+    assert p["broadcast_joins"] >= 1
+    assert p["sort_merge_joins"] == 0
+    assert p["range_shuffles"] == 0
+    assert "Expand" in p["_plan"]
+    # dominance: keyed joins + bounded-alphabet aggregations
+    p = props("sensitive_dominance_audit")
+    assert p["range_shuffles"] == 0
+    assert p["unpartitioned_windows"] == 0
+    # retention sweep: the horizon branch is a SEPARATE pruned 1-column
+    # scan (cheaper than persisting a corpus-sized frame), broadcast
+    # back; the audit branch scans once more
+    p = props("data_retention_sweep")
+    assert p["scans"] == 2
+    assert min(p["scan_widths"]) == 1
+    assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 1
+    assert p["range_shuffles"] == 0
+    # token bucket: one user shuffle, fold is a column expression
+    p = props("token_bucket_rate_limit")
+    assert p["scans"] == 1
+    assert p["range_shuffles"] == 0
+    assert p["unpartitioned_windows"] == 0

@@ -103,3 +103,57 @@ def test_ffd_bin_count_sanity(spark):
         lower = -(-r["total_bytes"] // BIN_CAPACITY)
         assert lower <= r["n_bins"] <= r["n_docs"]
         assert 0 < r["util_e4"] <= 10_000
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket replay (governance_queries): grouped ragged fold vs a
+# driver-side reference in BOTH engines
+# ---------------------------------------------------------------------------
+def _bucket_reference(gaps):
+    from alma_publish_to_marc_spark.plans.governance_queries import (
+        BUCKET_CAP_MILLI, REFILL_US_PER_MILLI,
+    )
+    tokens, allowed, denied = BUCKET_CAP_MILLI, 0, 0
+    for g in gaps:
+        tokens = min(BUCKET_CAP_MILLI, tokens + g // REFILL_US_PER_MILLI)
+        if tokens >= 1000:
+            tokens -= 1000
+            allowed += 1
+        else:
+            denied += 1
+    return [tokens, allowed, denied]
+
+
+gap_lists = st.lists(
+    st.lists(st.integers(0, 200_000_000), min_size=1, max_size=30),
+    min_size=1, max_size=5)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(gap_lists)
+def test_token_bucket_duckdb_fold_matches_reference(groups):
+    from alma_publish_to_marc_spark.plans.governance_queries import (
+        _BUCKET_SQL,
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(user_id BIGINT, event_id BIGINT, "
+                "ts TIMESTAMP)")
+    eid = 0
+    for uid, gaps in enumerate(groups):
+        t = 1_700_000_000_000_000
+        # first event's gap is defined as 0 by the query; feed the
+        # remaining gaps as timestamp deltas
+        con.execute("INSERT INTO events VALUES (?, ?, "
+                    "make_timestamp(?))", [uid, eid, t])
+        eid += 1
+        for g in gaps[1:]:
+            t += g
+            con.execute("INSERT INTO events VALUES (?, ?, "
+                        "make_timestamp(?))", [uid, eid, t])
+            eid += 1
+    inner = _BUCKET_SQL.split("SELECT CAST(least")[0]
+    rows = con.execute(inner + "SELECT user_id, st FROM folded").fetchall()
+    got = {r[0]: r[1] for r in rows}
+    for uid, gaps in enumerate(groups):
+        ref = _bucket_reference([0] + gaps[1:])
+        assert got[uid] == ref, uid
