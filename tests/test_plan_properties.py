@@ -693,3 +693,24 @@ def test_round7_governance_queries_plan_shapes(props):
     assert p["scans"] == 1
     assert p["range_shuffles"] == 0
     assert p["unpartitioned_windows"] == 0
+
+
+def test_round7_decision_queries_plan_shapes(props):
+    from alma_publish_to_marc_spark.plans import decision_queries as DQ
+    # VaR/CVaR: windows partition by segment — never a global sort
+    p = props("var_cvar_risk")
+    assert p["unpartitioned_windows"] == 0
+    assert p["range_shuffles"] == 0
+    # newsvendor: the only unpartitioned windows run on the DAY run
+    # table (bounded by calendar span), after the corpus aggregates
+    p = props("newsvendor_stock_level")
+    assert p["range_shuffles"] == 0
+    assert max(p["scan_widths"]) <= 2
+    # ABC Pareto: the global cumsum is two-level — per-bucket
+    # partitioned windows plus the <=64-row bucket walk; the persisted
+    # parts frame feeds all branches off ONE lineitem scan
+    p = props("abc_pareto_classes")
+    assert p["scans"] <= 1
+    assert p["in_memory_scans"] >= 3
+    assert p["range_shuffles"] == 0
+    assert DQ.unpersist_cached() >= 1
