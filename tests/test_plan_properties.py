@@ -714,3 +714,16 @@ def test_round7_decision_queries_plan_shapes(props):
     assert p["in_memory_scans"] >= 3
     assert p["range_shuffles"] == 0
     assert DQ.unpersist_cached() >= 1
+
+
+def test_round7_python_surface_plan_shapes(props):
+    # cogroup: ONE co-partitioned shuffle pair feeding the Python
+    # worker — the same hash partitioning a join would use
+    p = props("cogroup_reconcile_pandas")
+    assert "FlatMapCoGroupsInPandas" in p["_plan"]
+    assert p["range_shuffles"] == 0
+    # mapInArrow: narrow stage, zero shuffles, one pruned scan
+    p = props("arrow_batch_features")
+    assert "ArrowEvalPython" in p["_plan"] or "MapInArrow" in p["_plan"]
+    assert p["shuffles"] == 0
+    assert p["scans"] == 1
