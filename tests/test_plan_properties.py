@@ -727,3 +727,21 @@ def test_round7_python_surface_plan_shapes(props):
     assert "ArrowEvalPython" in p["_plan"] or "MapInArrow" in p["_plan"]
     assert p["shuffles"] == 0
     assert p["scans"] == 1
+
+
+def test_round7_process_queries_plan_shapes(props):
+    # conformance: one user-keyed window shuffle, literal model rides
+    # inline — no join against a model table
+    p = props("conformance_fitness")
+    assert p["scans"] == 1
+    assert p["unpartitioned_windows"] == 0
+    assert p["range_shuffles"] == 0
+    # variants: md5 fixed-width shuffle key, top-k is TakeOrdered
+    p = props("process_variant_topk")
+    assert "TakeOrderedAndProject" in p["_plan"]
+    assert p["range_shuffles"] == 0
+    # bottlenecks: edge-partitioned rank windows, median broadcast back
+    p = props("bottleneck_transition_latency")
+    assert p["unpartitioned_windows"] == 0
+    assert p["range_shuffles"] == 0
+    assert p["broadcast_joins"] >= 1
