@@ -895,3 +895,110 @@ FROM cut
 
 
 QUERIES["fim_transform"] = (fim_transform, _FIM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Vocab-size ablation: fertility curve at merge-list prefixes
+# ---------------------------------------------------------------------------
+_ABLATION_PREFIXES = (0, 2, 4, 8)
+
+
+def vocab_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-size ablation: train the BPE merge list ONCE
+    (corpus_queries._trained_merge_list — same trainer the encode
+    query bakes in), then measure corpus fertility (chars per token)
+    with only the first m merges applied, m in _ABLATION_PREFIXES.
+    The curve's flattening point tells a tokenizer team where extra
+    vocab stops buying compression — measured on the live corpus, not
+    the training set of the tokenizer paper.
+
+    Determinism: merges and replaces are the bpe_encode_docs
+    expressions verbatim; token counts are exact separator splits;
+    fertility is an integer e4 rational.
+
+    Scale: the ONE encode scan carries all checkpoints — each prefix
+    is an intermediate state of the same replace chain, so adding a
+    curve point costs zero extra scans (vs re-encoding per vocab).
+    Trainer cost identical to bpe_train_merges.
+    """
+    from ..functions import text as T
+    from .corpus_queries import _BPE_SEP, _trained_merge_list, BPE_K
+
+    merges = _trained_merge_list(spark, sf_dir, BPE_K)
+    sep, sep2 = _BPE_SEP, _BPE_SEP * 2
+    docs = load(spark, sf_dir, "documents")
+    pretoks = (docs.select(F.explode(T.bpe_pretokens(F.col("text")))
+                           .alias("tok"))
+               .where(~F.col("tok").contains(sep)))
+    state = F.concat(F.lit(sep),
+                     F.array_join(F.split(F.col("tok"), ""), sep2),
+                     F.lit(sep))
+    checkpoints = {}
+    applied = 0
+    for m in _ABLATION_PREFIXES:
+        for _rank, a, b, _merged, _cnt in merges[applied:m]:
+            state = F.replace(state,
+                              F.lit(f"{sep}{a}{sep2}{b}{sep}"),
+                              F.lit(f"{sep}{a}{b}{sep}"))
+        applied = m
+        checkpoints[m] = F.size(F.filter(
+            F.split(state, sep), lambda s: s != "")).alias(f"t{m}")
+    counted = pretoks.select(
+        F.length("tok").alias("chars"), *checkpoints.values())
+    agg = counted.agg(
+        F.sum("chars").alias("total_chars"),
+        *[F.sum(f"t{m}").alias(f"tok{m}") for m in _ABLATION_PREFIXES])
+    curve = F.array(*[
+        F.struct(F.lit(m).alias("n_merges"),
+                 F.col(f"tok{m}").alias("total_tokens"))
+        for m in _ABLATION_PREFIXES])
+    return (agg.select("total_chars", F.explode(curve).alias("c"))
+            .select(F.col("c.n_merges").cast("int").alias("n_merges"),
+                    F.col("c.total_tokens").cast("long")
+                    .alias("total_tokens"),
+                    F.col("total_chars").cast("long").alias("total_chars"),
+                    F.expr("(10000 * total_chars) div c.total_tokens")
+                    .alias("chars_per_token_e4")))
+
+
+def _vocab_ablation_sql() -> str:
+    from ..functions import text as T
+    from .corpus_queries import _bpe_shared_ctes, BPE_K
+
+    ctes = _bpe_shared_ctes()
+    ctes.append(rf"""e0 AS (
+    SELECT tok,
+           chr(31) || array_to_string(string_split(tok, ''),
+                                      chr(31) || chr(31)) || chr(31) AS state
+    FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                '{T.BPE_PRETOKEN_RE}')) AS tok
+          FROM documents)
+    WHERE tok NOT LIKE '%' || chr(31) || '%'
+)""")
+    for k in range(1, BPE_K + 1):
+        ctes.append(f"""e{k} AS (
+    SELECT e.tok,
+           replace(e.state,
+                   chr(31) || bb.a || chr(31) || chr(31) || bb.b || chr(31),
+                   chr(31) || bb.a || bb.b || chr(31)) AS state
+    FROM e{k - 1} e, b{k} bb
+)""")
+    arms = " UNION ALL ".join(f"""
+SELECT {m} AS n_merges,
+       sum(len(list_filter(string_split(state, chr(31)), s -> s <> '')))
+           AS total_tokens,
+       sum(len(tok)) AS total_chars
+FROM e{m}""" for m in _ABLATION_PREFIXES)
+    return ("WITH " + ",\n".join(ctes) + f""",
+arms AS ({arms})
+SELECT CAST(n_merges AS INT) AS n_merges,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST((10000 * total_chars) // total_tokens AS BIGINT)
+           AS chars_per_token_e4
+FROM arms
+""")
+
+
+QUERIES["vocab_ablation_curve"] = (vocab_ablation_curve,
+                                   _vocab_ablation_sql())
