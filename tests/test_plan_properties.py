@@ -490,6 +490,10 @@ def test_sorted_neighborhood_sweep_is_partitioned(props):
     # single-partition exchange allowed is the 1-row max(doc_id)
     # offset aggregate of the augmented corpus.
     from alma_publish_to_marc_spark.operators import dedup_queries as DQ
+    # release frames a prior test (oracle parity) left persisted: a
+    # cached subtree substituted into this plan adds a SinglePartition
+    # exchange for the 1-row offset aggregate and breaks the contract
+    DQ.unpersist_cached()
     p = props("sorted_neighborhood_pairs")
     assert p["unpartitioned_windows"] == 0
     assert p["range_shuffles"] == 0
