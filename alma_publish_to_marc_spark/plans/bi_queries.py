@@ -1,0 +1,206 @@
+"""Oracle-checked BI / curation essentials: encoding-quality audit,
+hierarchical percent-of-parent report, and the cumulative-new-users
+curve.
+
+Small, ubiquitous report shapes every warehouse serves daily — included
+so a reference user migrating their dashboard layer finds the exact
+idiom (bounded-frame window shares, first-seen cumsum on the day run
+table, pure-column text quality scans) already proven against the
+oracle gate.
+
+Reference parity note: no counterpart in the reference ETL; extends
+SURVEY.md §2's beyond-reference analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+QUERIES: dict = {}
+
+US_PER_DAY = 86_400_000_000
+
+
+# --------------------------------------------------------------------------
+# Encoding / mojibake quality audit
+# --------------------------------------------------------------------------
+def encoding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text-encoding health: documents carrying U+FFFD
+    replacement characters (the decode-went-wrong marker), C0 control
+    characters (tab/newline excluded), and the per-mille control
+    density — the ingest gate that catches a producer shipping the
+    wrong charset before the corpus absorbs it.
+
+    Determinism: pure column counting (length-difference idiom for
+    occurrence counts — identical in both engines); densities are
+    integer e3 per character.
+
+    Scale: one scan, one alphabet-bounded aggregation; zero UDFs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    repl = F.lit("�")
+    n_repl = F.length("text") - F.length(F.replace(F.col("text"), repl))
+    ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+    n_ctrl = (F.length("text")
+              - F.length(F.regexp_replace(F.col("text"), ctrl, "")))
+    per_doc = docs.select(
+        "source",
+        F.length("text").alias("chars"),
+        n_repl.alias("n_repl"),
+        n_ctrl.alias("n_ctrl"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("n_repl") > 0, 1).otherwise(0))
+                 .alias("docs_with_replacement"),
+                 F.sum(F.when(F.col("n_ctrl") > 0, 1).otherwise(0))
+                 .alias("docs_with_control"),
+                 F.expr("(1000 * sum(n_ctrl)) div greatest(sum(chars), 1)")
+                 .alias("ctrl_per_mille"))
+            .select("source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("docs_with_replacement").cast("long")
+                    .alias("docs_with_replacement"),
+                    F.col("docs_with_control").cast("long")
+                    .alias("docs_with_control"),
+                    F.col("ctrl_per_mille").cast("long")
+                    .alias("ctrl_per_mille")))
+
+
+_ENCODING_SQL = """
+WITH per_doc AS (
+    SELECT source,
+           length(text) AS chars,
+           length(text) - length(replace(text, chr(65533), '')) AS n_repl,
+           length(text) - length(regexp_replace(text,
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS n_ctrl
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_replacement,
+       CAST(sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_control,
+       CAST((1000 * sum(n_ctrl)) // greatest(sum(chars), 1) AS BIGINT)
+           AS ctrl_per_mille
+FROM per_doc
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Hierarchical percent-of-parent report
+# --------------------------------------------------------------------------
+def hierarchy_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent down the region → nation hierarchy: each
+    nation's order revenue as a share of its region and of the world —
+    the drill-down header row of every BI report, computed with window
+    sums over the ALREADY-AGGREGATED 25-row nation frame (never over
+    raw orders).
+
+    Determinism: exact cents; shares are integer e4 rationals.
+
+    Scale: orders join customers keyed on custkey (one shuffle), the
+    dims broadcast; the share windows run on the bounded nation frame.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    region = load(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name")
+    per_nation = (orders
+                  .join(cust, orders.o_custkey == cust.c_custkey)
+                  .join(F.broadcast(nation),
+                        F.col("c_nationkey") == F.col("n_nationkey"))
+                  .join(F.broadcast(region),
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+                  .groupBy("r_name", "n_name")
+                  .agg(F.sum("cents").alias("cents")))
+    return per_nation.select(
+        "r_name", "n_name",
+        F.col("cents").cast("long").alias("cents"),
+        F.expr("(10000 * cents) div sum(cents) over "
+               "(partition by r_name)").alias("share_of_region_e4"),
+        F.expr("(10000 * cents) div sum(cents) over ()")
+        .alias("share_of_world_e4"))
+
+
+_HIERARCHY_SQL = """
+WITH per_nation AS (
+    SELECT r.r_name, n.n_name,
+           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name,
+       CAST(cents AS BIGINT) AS cents,
+       CAST((10000 * cents) // sum(cents) OVER (PARTITION BY r_name)
+            AS BIGINT) AS share_of_region_e4,
+       CAST((10000 * cents) // sum(cents) OVER () AS BIGINT)
+           AS share_of_world_e4
+FROM per_nation
+"""
+
+
+# --------------------------------------------------------------------------
+# Cumulative new users by day
+# --------------------------------------------------------------------------
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acquisition curve: per day, how many users appear for the
+    FIRST time, and the running total of distinct users ever seen —
+    computed as first-seen-day per user (one aggregation) followed by
+    a cumsum on the bounded day run table, never a running
+    count-distinct over raw events.
+
+    Determinism: first-seen is an exact min; the cumsum window runs on
+    the day table ordered by day.
+
+    Scale: one user-keyed aggregation + one day-keyed aggregation; the
+    ordered window sees only calendar-bounded rows (the run-table
+    rule). This is the scalable form of `COUNT(DISTINCT) OVER (ORDER
+    BY day)` — which engines either reject or execute quadratically.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {US_PER_DAY}")
+        .alias("day"))
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    per_day = first_seen.groupBy("d0").agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return (per_day.select(
+        F.col("d0").cast("long").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("total_users")))
+
+
+_CUMULATIVE_SQL = f"""
+WITH ev AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day
+    FROM events
+),
+first_seen AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id),
+per_day AS (SELECT d0, count(*) AS new_users FROM first_seen GROUP BY d0)
+SELECT CAST(d0 AS BIGINT) AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY d0
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS total_users
+FROM per_day
+"""
+
+
+QUERIES["encoding_quality_audit"] = (encoding_quality_audit, _ENCODING_SQL)
+QUERIES["hierarchy_share_report"] = (hierarchy_share_report, _HIERARCHY_SQL)
+QUERIES["cumulative_new_users"] = (cumulative_new_users, _CUMULATIVE_SQL)

@@ -44,6 +44,7 @@ _MODULES = (
     "alma_publish_to_marc_spark.plans.governance_queries",
     "alma_publish_to_marc_spark.plans.decision_queries",
     "alma_publish_to_marc_spark.plans.process_queries",
+    "alma_publish_to_marc_spark.plans.bi_queries",
     "alma_publish_to_marc_spark.operators.recsys_queries",
     "alma_publish_to_marc_spark.plans.dq_queries",
     "alma_publish_to_marc_spark.operators.graph_queries",

@@ -749,3 +749,20 @@ def test_round7_process_queries_plan_shapes(props):
     assert p["unpartitioned_windows"] == 0
     assert p["range_shuffles"] == 0
     assert p["broadcast_joins"] >= 1
+
+
+def test_round7_bi_queries_plan_shapes(props):
+    # encoding: one scan, zero UDFs, alphabet-bounded agg
+    p = props("encoding_quality_audit")
+    assert p["scans"] == 1
+    assert p["shuffles"] == 1
+    assert p["range_shuffles"] == 0
+    # hierarchy: dims broadcast; share windows on the 25-row frame
+    p = props("hierarchy_share_report")
+    assert p["broadcast_joins"] >= 2
+    assert p["sort_merge_joins"] == 0
+    assert p["range_shuffles"] == 0
+    # cumulative users: cumsum confined to the day run table
+    p = props("cumulative_new_users")
+    assert p["scans"] == 1
+    assert p["range_shuffles"] == 0
