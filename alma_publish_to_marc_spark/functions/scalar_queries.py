@@ -270,3 +270,49 @@ QUERIES = {
     "flags_and_classify": (_flags_classify, _FLAGS_SQL),
     "blob_printable": (_blob_printable, _BLOB_SQL),
 }
+
+
+def _sql_udf_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL user-defined functions (CREATE TEMPORARY FUNCTION
+    ... RETURN <expr>): the catalog-level reuse surface for scalar
+    logic — unlike Python UDFs these inline into Catalyst (codegen,
+    pushdown) so a shared business rule costs nothing at 100 TB. A
+    price-banding rule and an exact-cents helper are defined as SQL
+    UDFs and used in one aggregation; the oracle inlines the same
+    expressions.
+
+    Determinism: the banding is a pure CASE over exact cents.
+    Scale: scan-fused; the UDFs vanish at plan time (no Python
+    worker, no serialization boundary).
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(c BIGINT) "
+        "RETURNS STRING RETURN CASE WHEN c < 5000000 THEN 'low' "
+        "WHEN c < 15000000 THEN 'mid' ELSE 'high' END")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_udf_orders")
+    return spark.sql("""
+        SELECT price_band(order_cents(o_totalprice)) AS band,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(order_cents(o_totalprice)) AS BIGINT)
+                   AS total_cents
+        FROM _udf_orders
+        GROUP BY 1
+    """)
+
+
+_SQL_UDF_SQL = """
+WITH o AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+)
+SELECT CASE WHEN c < 5000000 THEN 'low'
+            WHEN c < 15000000 THEN 'mid' ELSE 'high' END AS band,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(c) AS BIGINT) AS total_cents
+FROM o
+GROUP BY 1
+"""
+
+QUERIES["sql_udf_banding"] = (_sql_udf_banding, _SQL_UDF_SQL)
