@@ -315,3 +315,112 @@ QUERIES["var_cvar_risk"] = (var_cvar_risk, _VAR_SQL)
 QUERIES["newsvendor_stock_level"] = (
     newsvendor_stock_level, _NEWSVENDOR_SQL)
 QUERIES["abc_pareto_classes"] = (abc_pareto_classes, _ABC_SQL)
+
+
+# --------------------------------------------------------------------------
+# Stockout detection: per-part running balance against initial stock
+# --------------------------------------------------------------------------
+_STOCK_PER_SIZE = 40     # initial units = p_size * this
+
+
+def stockout_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory netting: each part starts with p_size×40 units; daily
+    shipped quantities draw it down; the first day the running balance
+    goes negative is the stockout. Rolled up per brand: parts tracked,
+    parts that stock out, and the mean days-until-stockout — the
+    operational report behind reorder-point planning.
+
+    Determinism: demands are exact integer sums; the running balance
+    is a per-part ordered cumsum (ties impossible: one row per
+    (part, day)); first breach via struct-min; the mean is an integer
+    div.
+
+    Scale: one lineitem scan → (part, day) aggregation; the cumsum
+    window partitions PER PART (never global); part attributes ride a
+    broadcast. The same plan nets supply events by unioning them with
+    negative sign before the cumsum.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(f"unix_micros(cast(l_shipdate as timestamp))"
+               f" div {US_PER_DAY}").alias("day"),
+        F.col("l_quantity").cast("long").alias("qty"))
+    daily = li.groupBy("l_partkey", "day").agg(
+        F.sum("qty").alias("demand"))
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_brand"),
+        (F.col("p_size").cast("long") * _STOCK_PER_SIZE).alias("stock0"))
+    w = (Window.partitionBy("l_partkey").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = (daily.join(F.broadcast(part),
+                      daily.l_partkey == part.p_partkey)
+           .select("l_partkey", "p_brand", "day", "stock0",
+                   (F.col("stock0") - F.sum("demand").over(w))
+                   .alias("balance")))
+    d0 = F.broadcast(li.agg(F.min("day").alias("d0")))
+    per_part = (run.groupBy("l_partkey", "p_brand")
+                .agg(F.min(F.when(F.col("balance") < 0,
+                                  F.struct("day", "balance")))
+                     .alias("breach"))
+                .crossJoin(d0)
+                .select("p_brand",
+                        F.col("breach").isNotNull().cast("int")
+                        .alias("out"),
+                        (F.col("breach.day") - F.col("d0"))
+                        .alias("days_to_out")))
+    return (per_part.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("out").alias("n_stockout"),
+                 F.expr("CASE WHEN sum(out) = 0 THEN -1 ELSE "
+                        "sum(coalesce(days_to_out, 0)) div sum(out) END")
+                 .alias("mean_days_to_out"))
+            .select("p_brand",
+                    F.col("n_parts").cast("long").alias("n_parts"),
+                    F.col("n_stockout").cast("long").alias("n_stockout"),
+                    F.col("mean_days_to_out").cast("long")
+                    .alias("mean_days_to_out")))
+
+
+_STOCKOUT_SQL = f"""
+WITH li AS (
+    SELECT l_partkey,
+           CAST(epoch_us(l_shipdate) // {US_PER_DAY} AS BIGINT) AS day,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+),
+daily AS (
+    SELECT l_partkey, day, sum(qty) AS demand
+    FROM li GROUP BY l_partkey, day
+),
+run AS (
+    SELECT d.l_partkey, p.p_brand, d.day,
+           CAST(p.p_size AS BIGINT) * {_STOCK_PER_SIZE}
+               - sum(d.demand) OVER (PARTITION BY d.l_partkey
+                   ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS balance
+    FROM daily d JOIN part p ON d.l_partkey = p.p_partkey
+),
+d0 AS (SELECT min(day) AS d0 FROM li),
+per_part AS (
+    SELECT l_partkey, p_brand,
+           min(CASE WHEN balance < 0
+                    THEN struct_pack(day := day, balance := balance)
+               END) AS breach
+    FROM run GROUP BY l_partkey, p_brand
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN breach IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stockout,
+       CAST(CASE WHEN sum(CASE WHEN breach IS NOT NULL THEN 1 ELSE 0 END)
+                      = 0 THEN -1
+            ELSE sum(coalesce(breach.day - d0.d0, 0))
+                 // sum(CASE WHEN breach IS NOT NULL THEN 1 ELSE 0 END)
+            END AS BIGINT) AS mean_days_to_out
+FROM per_part CROSS JOIN d0
+GROUP BY p_brand
+"""
+
+
+QUERIES["stockout_detection"] = (stockout_detection, _STOCKOUT_SQL)

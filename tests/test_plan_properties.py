@@ -766,3 +766,11 @@ def test_round7_bi_queries_plan_shapes(props):
     p = props("cumulative_new_users")
     assert p["scans"] == 1
     assert p["range_shuffles"] == 0
+
+
+def test_round7_stockout_plan_shape(props):
+    # running balance partitions PER PART; part attrs broadcast
+    p = props("stockout_detection")
+    assert p["unpartitioned_windows"] == 0
+    assert p["range_shuffles"] == 0
+    assert p["broadcast_joins"] >= 1
