@@ -316,3 +316,40 @@ GROUP BY 1
 """
 
 QUERIES["sql_udf_banding"] = (_sql_udf_banding, _SQL_UDF_SQL)
+
+
+def _parameterized_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers, Spark 3.4+): the
+    injection-safe way to ship user-tunable literals into a SQL text —
+    parameters bind as LITERALS in the parsed plan, so constant
+    folding and partition pruning see them exactly like hard-coded
+    values (verify with .explain: the filter shows the bound
+    literal). The oracle inlines the same constants.
+
+    Scale: scan-fused filter + aggregation; binding adds nothing.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM _param_orders
+        WHERE o_totalprice >= :min_total AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_total": 50_000.0, "status": "O"})
+
+
+_PARAM_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_totalprice >= 50000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+QUERIES["parameterized_sql_report"] = (_parameterized_sql_report, _PARAM_SQL)
