@@ -114,3 +114,25 @@ def test_vocab_ablation_monotone(spark):
         # more merges never increase the token count
         assert b["total_tokens"] <= a["total_tokens"]
         assert b["chars_per_token_e4"] >= a["chars_per_token_e4"]
+
+
+def test_stockout_days_sane(spark):
+    from alma_publish_to_marc_spark.plans.decision_queries import (
+        stockout_detection,
+    )
+    for r in stockout_detection(spark, SF).collect():
+        assert 0 <= r["n_stockout"] <= r["n_parts"]
+        if r["n_stockout"] == 0:
+            assert r["mean_days_to_out"] == -1
+        else:
+            assert r["mean_days_to_out"] >= 0
+
+
+def test_token_bucket_accounts_every_event(spark):
+    from alma_publish_to_marc_spark.plans.governance_queries import (
+        token_bucket_rate_limit,
+    )
+    from alma_publish_to_marc_spark.tables import load
+    rows = token_bucket_rate_limit(spark, SF).collect()
+    n_users = load(spark, SF, "events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
