@@ -217,12 +217,15 @@ def _mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         pref = pref.unionByName(_prefix_topk(emb, d))
     hits = (pref.join(F.broadcast(exact), ["qid", "neighbor_id"], "left_semi")
             .groupBy("dim").agg(F.count(F.lit(1)).alias("hits")))
-    n_exact = exact.count()
-    return (hits.select(
+    # the denominator rides a broadcast 1-row count (the equi-depth /
+    # newsvendor idiom) — a driver .count() here would re-execute the
+    # whole brute-force pipeline eagerly at plan-build time
+    n_exact = F.broadcast(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+    return (hits.crossJoin(n_exact).select(
         F.col("dim").cast("int").alias("dim"),
         F.col("hits").cast("long").alias("hits"),
-        F.lit(n_exact).cast("long").alias("n_exact"),
-        F.round(F.col("hits") / F.lit(n_exact), 4).alias("recall")))
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(F.col("hits") / F.col("n_exact"), 4).alias("recall")))
 
 
 def _mrl_sql() -> str:

@@ -3062,32 +3062,36 @@ def ktruss_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    emb = load(spark, sf_dir, "embeddings")
-    edges = cut(
-        knn_graph(emb, "vec_id", "embedding", k=KNN_K)
-        .select(F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"))
-        .distinct(), "e0")
-
-    for i in range(KTRUSS_ROUNDS):
-        sup = triangle_support(edges)
+    try:
+        emb = load(spark, sf_dir, "embeddings")
         edges = cut(
-            edges.join(sup, ["a", "b"], "left")
-            .where(F.coalesce("support", F.lit(0)) >= KTRUSS_K - 2)
-            .select("a", "b"), f"e{i + 1}")
-    final = triangle_support(edges)
-    kept = (edges.join(final, ["a", "b"], "left")
-            .select("a", "b",
-                    F.coalesce("support", F.lit(0)).alias("support")))
-    out = (kept.groupBy("support")
-           .agg(F.count(F.lit(1)).alias("n_edges"))
-           .select(F.col("support").cast("long").alias("support"),
-                   F.col("n_edges").cast("long").alias("n_edges")))
-    # the result is tiny (support histogram): materialize it before
-    # removing the staged rounds, then serve from a local frame
-    rows = out.collect()
-    if local_dir is not None:
-        shutil.rmtree(local_dir, ignore_errors=True)
+            knn_graph(emb, "vec_id", "embedding", k=KNN_K)
+            .select(F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"))
+            .distinct(), "e0")
+
+        for i in range(KTRUSS_ROUNDS):
+            sup = triangle_support(edges)
+            edges = cut(
+                edges.join(sup, ["a", "b"], "left")
+                .where(F.coalesce("support", F.lit(0)) >= KTRUSS_K - 2)
+                .select("a", "b"), f"e{i + 1}")
+        final = triangle_support(edges)
+        kept = (edges.join(final, ["a", "b"], "left")
+                .select("a", "b",
+                        F.coalesce("support", F.lit(0)).alias("support")))
+        out = (kept.groupBy("support")
+               .agg(F.count(F.lit(1)).alias("n_edges"))
+               .select(F.col("support").cast("long").alias("support"),
+                       F.col("n_edges").cast("long").alias("n_edges")))
+        # the result is tiny (support histogram): materialize it before
+        # removing the staged rounds, then serve from a local frame
+        rows = out.collect()
+    finally:
+        # mirror connected_components' guarantee: failed runs must not
+        # accumulate staged round files under the warehouse dir
+        if local_dir is not None:
+            shutil.rmtree(local_dir, ignore_errors=True)
     return spark.createDataFrame(rows, "support long, n_edges long")
 
 

@@ -17,11 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..epochs import US_PER_DAY, day_col, sql_day
 from ..tables import load
 
 QUERIES: dict = {}
-
-US_PER_DAY = 86_400_000_000
 
 
 # --------------------------------------------------------------------------
@@ -171,9 +170,7 @@ def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY day)` — which engines either reject or execute quadratically.
     """
     ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {US_PER_DAY}")
-        .alias("day"))
+        "user_id", day_col("ts").alias("day"))
     first_seen = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
     per_day = first_seen.groupBy("d0").agg(
         F.count(F.lit(1)).alias("new_users"))
@@ -186,8 +183,7 @@ def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUMULATIVE_SQL = f"""
 WITH ev AS (
-    SELECT user_id,
-           CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day
+    SELECT user_id, {sql_day('ts')} AS day
     FROM events
 ),
 first_seen AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id),

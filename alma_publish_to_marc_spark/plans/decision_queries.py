@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..epochs import US_PER_DAY, day_col, sql_day
 from ..tables import load
 
 QUERIES: dict = {}
@@ -118,7 +119,6 @@ GROUP BY seg
 # --------------------------------------------------------------------------
 _FRACTILE_PCT = 80          # critical fractile Cu/(Cu+Co)
 _COST_UNDER, _COST_OVER = 4, 1     # per-unit costs (fractile = 4/5)
-US_PER_DAY = 86_400_000_000
 
 
 def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,8 +136,7 @@ def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bounded table with the stock level broadcast.
     """
     li = load(spark, sf_dir, "lineitem").select(
-        F.expr(f"unix_micros(cast(l_shipdate as timestamp))"
-               f" div {US_PER_DAY}").alias("day"),
+        day_col("l_shipdate").alias("day"),
         F.col("l_quantity").cast("long").alias("qty"))
     daily = li.groupBy("day").agg(F.sum("qty").alias("demand"))
     w = Window.orderBy(F.col("demand").asc(), F.col("day").asc())
@@ -161,7 +160,7 @@ def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEWSVENDOR_SQL = f"""
 WITH li AS (
-    SELECT CAST(epoch_us(l_shipdate) // {US_PER_DAY} AS BIGINT) AS day,
+    SELECT {sql_day('l_shipdate')} AS day,
            CAST(l_quantity AS BIGINT) AS qty
     FROM lineitem
 ),
@@ -342,8 +341,7 @@ def stockout_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey",
-        F.expr(f"unix_micros(cast(l_shipdate as timestamp))"
-               f" div {US_PER_DAY}").alias("day"),
+        day_col("l_shipdate").alias("day"),
         F.col("l_quantity").cast("long").alias("qty"))
     daily = li.groupBy("l_partkey", "day").agg(
         F.sum("qty").alias("demand"))
@@ -384,7 +382,7 @@ def stockout_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOCKOUT_SQL = f"""
 WITH li AS (
     SELECT l_partkey,
-           CAST(epoch_us(l_shipdate) // {US_PER_DAY} AS BIGINT) AS day,
+           {sql_day('l_shipdate')} AS day,
            CAST(l_quantity AS BIGINT) AS qty
     FROM lineitem
 ),

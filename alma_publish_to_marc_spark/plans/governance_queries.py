@@ -20,11 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..epochs import US_PER_DAY, day_col, sql_day
 from ..tables import load
 
 QUERIES: dict = {}
-
-US_PER_DAY = 86_400_000_000
 
 
 # --------------------------------------------------------------------------
@@ -47,9 +46,9 @@ def generalization_ladder_audit(spark: SparkSession,
 
     Determinism: decile/quintile are the width_bucket floor formula on
     exact cents (k_anonymity_audit convention); levels are identified
-    by which grouping columns are non-aggregated (grouping id), not by
-    engine-specific grouping_id numbering — the output carries an
-    explicit level label derived per grouping set.
+    with GROUPING() marker functions (identical semantics in both
+    engines), never by data-column nullness — a genuinely NULL QI
+    value therefore cannot misattribute a class to a coarser rung.
 
     Scale: one customers⋈nation broadcast join (25-row dim), one
     grouped aggregation whose key space is the summed QI domains of
@@ -77,8 +76,8 @@ def generalization_ladder_audit(spark: SparkSession,
     qi.createOrReplaceTempView("_gen_qi")
     classes = spark.sql("""
         SELECT nat, reg, seg, decile, quintile,
-               CASE WHEN nat IS NOT NULL THEN 0
-                    WHEN seg IS NOT NULL THEN 1
+               CASE WHEN grouping(nat) = 0 THEN 0
+                    WHEN grouping(seg) = 0 THEN 1
                     ELSE 2 END AS level,
                count(DISTINCT c_custkey) AS class_size
         FROM _gen_qi
@@ -114,8 +113,8 @@ WITH qi AS (
 ),
 classes AS (
     SELECT nat, reg, seg, decile, quintile,
-           CASE WHEN nat IS NOT NULL THEN 0
-                WHEN seg IS NOT NULL THEN 1
+           CASE WHEN grouping(nat) = 0 THEN 0
+                WHEN grouping(seg) = 0 THEN 1
                 ELSE 2 END AS level,
            count(DISTINCT c_custkey) AS class_size
     FROM qi
@@ -246,9 +245,8 @@ def data_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == t, F.lit(d))
         for t, d in sorted(_TTL_DAYS.items())
     ], F.lit(_TTL_DEFAULT))
-    days = F.expr(f"unix_micros(cast(ts as timestamp)) div {US_PER_DAY}")
     base = ev.select("event_type",
-                     days.alias("day"),
+                     day_col("ts").alias("day"),
                      F.length("props").alias("bytes"),
                      ttl.alias("ttl_days"))
     horizon = F.broadcast(base.agg(F.max("day").alias("h")))
@@ -275,7 +273,7 @@ def _ttl_sql() -> str:
     return f"""
 WITH base AS (
     SELECT event_type,
-           CAST(epoch_us(ts) // {US_PER_DAY} AS BIGINT) AS day,
+           {sql_day('ts')} AS day,
            length(props) AS bytes,
            CASE {case} ELSE {_TTL_DEFAULT} END AS ttl_days
     FROM events

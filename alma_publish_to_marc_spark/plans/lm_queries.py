@@ -924,6 +924,10 @@ def vocab_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as T
     from .corpus_queries import _BPE_SEP, _trained_merge_list, BPE_K
 
+    # the curve's checkpoints are prefixes of the trained list; a
+    # shorter trainer would silently mislabel the Spark arms while the
+    # oracle's e{m} CTE reference crashed — pin the contract
+    assert BPE_K >= max(_ABLATION_PREFIXES)
     merges = _trained_merge_list(spark, sf_dir, BPE_K)
     sep, sep2 = _BPE_SEP, _BPE_SEP * 2
     docs = load(spark, sf_dir, "documents")

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..epochs import US_PER_DAY, day_col as _day, sql_day as _sql_day
 from ..tables import load
 
 QUERIES: dict = {}
@@ -36,22 +37,24 @@ def unpersist_cached() -> int:
         _PERSISTED.pop().unpersist()
     return n
 
-US_PER_DAY = 86_400_000_000
-
-
-def _day(name: str):
-    # integer epoch arithmetic (CLAUDE.md): div, never a double divide
-    return F.expr(f"unix_micros(cast({name} as timestamp)) div {US_PER_DAY}")
-
-
-def _sql_day(col: str) -> str:
-    return f"CAST(epoch_us({col}) // {US_PER_DAY} AS BIGINT)"
-
-
 # --------------------------------------------------------------------------
 # First-fit-decreasing compaction bin packing (per source)
 # --------------------------------------------------------------------------
 BIN_CAPACITY = 2048
+
+
+def ffd_fold_expr(sizes_col: str) -> str:
+    """The Spark-SQL FFD fold over a desc-sorted size array: a single
+    LIST accumulator of bin remainders, first-fit via array_position.
+    Module-level so the hypothesis soundness test exercises the SAME
+    expression the query ships (never a drifting copy)."""
+    idx = "array_position(transform(acc, b -> b >= s), true)"
+    step = (f"CASE WHEN {idx} > 0 THEN "
+            f"transform(acc, (b, i) -> CASE WHEN i = {idx} - 1 "
+            f"THEN b - s ELSE b END) "
+            f"ELSE array_append(acc, {BIN_CAPACITY}L - s) END")
+    return (f"aggregate({sizes_col}, CAST(array() AS ARRAY<BIGINT>), "
+            f"(acc, s) -> {step})")
 
 
 def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,18 +83,12 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("doc_id").alias("id")))).alias("ss"))
              .select("source",
                      F.transform("ss", lambda s: -s["neg"]).alias("sizes")))
-    idx = "array_position(transform(acc, b -> b >= s), true)"
-    step = (f"CASE WHEN {idx} > 0 THEN "
-            f"transform(acc, (b, i) -> CASE WHEN i = {idx} - 1 "
-            f"THEN b - s ELSE b END) "
-            f"ELSE array_append(acc, {BIN_CAPACITY}L - s) END")
     packed = sizes.select(
         "source",
         F.size("sizes").cast("long").alias("n_docs"),
         F.aggregate("sizes", F.lit(0).cast("long"),
                     lambda a, x: a + x).alias("total_bytes"),
-        F.expr(f"aggregate(sizes, CAST(array() AS ARRAY<BIGINT>), "
-               f"(acc, s) -> {step})").alias("bins"))
+        F.expr(ffd_fold_expr("sizes")).alias("bins"))
     return packed.select(
         "source", "n_docs", "total_bytes",
         F.size("bins").cast("long").alias("n_bins"),
@@ -424,8 +421,10 @@ def partition_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically at every scale factor.
 
     Determinism: byte estimates are integer sums; the skew threshold
-    compares against the broadcast 1-row mean with integer arithmetic
-    (10 × bytes > 10 × SKEW_FACTOR × mean avoids division).
+    compares key_bytes against SKEW_FACTOR times the FLOORED mean
+    (sum div count) — both engines floor identically, and the at-most
+    SKEW_FACTOR−1-byte slack vs the exact mean is irrelevant at any
+    real key size.
 
     Scale: one scan, one hash aggregation on the key, a broadcast
     1-row mean — exactly the statistics pass AQE runs on shuffle map

@@ -57,15 +57,9 @@ def test_ffd_spark_fold_matches_reference(spark, groups):
                           F.col("doc_id").alias("id")))).alias("ss"))
              .select("source",
                      F.transform("ss", lambda s: -s["neg"]).alias("sizes")))
-    idx = "array_position(transform(acc, b -> b >= s), true)"
-    step = (f"CASE WHEN {idx} > 0 THEN "
-            f"transform(acc, (b, i) -> CASE WHEN i = {idx} - 1 "
-            f"THEN b - s ELSE b END) "
-            f"ELSE array_append(acc, {SQ.BIN_CAPACITY}L - s) END")
     got = {r["source"]: r["bins"] for r in sizes.select(
         "source",
-        F.expr(f"aggregate(sizes, CAST(array() AS ARRAY<BIGINT>), "
-               f"(acc, s) -> {step})").alias("bins")).collect()}
+        F.expr(SQ.ffd_fold_expr("sizes")).alias("bins")).collect()}
     for gi, sizes_in in enumerate(groups):
         ordered = sorted(sizes_in, reverse=True)
         assert got[f"g{gi}"] == _ffd_reference(ordered), f"g{gi}"
