@@ -66,8 +66,9 @@ _MODULES = (
 # rebuilt as the next 50 not-yet-driver-sampled keys (union of
 # CORRECTNESS_r*.json vs natural module order); driver-green members
 # come off next round. Keys are byte-stable; members are only removed
-# or rotated, never renamed. 222 keys remain unsampled after this
-# rotation (~4 more rounds to full driver coverage).
+# or rotated, never renamed. 222 pre-round-7 keys remained unsampled
+# after this rotation; round 7 added 36 more queries (463 total), so
+# ~258 await sampling (~5 more rounds to full driver coverage).
 _SAMPLE_FIRST = (
     "minhash_estimator_calibration",
     "ann_graph_label_vote",
