@@ -22,6 +22,17 @@ from ..tables import load
 
 QUERIES: dict = {}
 
+# Persisted frames released via unpersist_cached() (repo convention)
+_PERSISTED: list = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
 
 # --------------------------------------------------------------------------
 # Encoding / mojibake quality audit
@@ -200,3 +211,101 @@ FROM per_day
 QUERIES["encoding_quality_audit"] = (encoding_quality_audit, _ENCODING_SQL)
 QUERIES["hierarchy_share_report"] = (hierarchy_share_report, _HIERARCHY_SQL)
 QUERIES["cumulative_new_users"] = (cumulative_new_users, _CUMULATIVE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Heavy-hitter drift between time halves
+# --------------------------------------------------------------------------
+_HH_TOPK = 8
+
+
+def heavy_hitter_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K drift report: the most active users of the first and
+    second halves of the observation window, full-outer compared —
+    who entered the leaderboard, who left, how ranks moved. The
+    ops-dashboard twin of the sketch-based heavy hitters
+    (misra_gries_heavy_hitters): exact, because the drift REPORT is
+    K-bounded even though the counting is corpus-wide.
+
+    Determinism: the half boundary is integer arithmetic on the
+    broadcast min/max day; tops are (count DESC, user ASC) total
+    orders; ranks assign on the K-row frames.
+
+    Scale: two conditional-count aggregations in ONE scan, each top-K
+    via TakeOrdered (distributed heads — never an ordered window over
+    the user frame, whose cardinality grows with the corpus); the
+    comparison joins two K-row frames.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", day_col("ts").alias("day"))
+    span = F.broadcast(ev.agg(
+        F.expr("(min(day) + max(day) + 1) div 2").alias("mid")))
+    counts = (ev.crossJoin(span)
+              .groupBy("user_id")
+              .agg(F.sum(F.when(F.col("day") < F.col("mid"), 1)
+                         .otherwise(0)).alias("cnt_a"),
+                   F.sum(F.when(F.col("day") >= F.col("mid"), 1)
+                         .otherwise(0)).alias("cnt_b")))
+    # both half-tops read the per-user counts — persist so the events
+    # scan runs once (multi-branch rule); the K-row rank windows and
+    # the K-row full-outer join are bounded by construction
+    counts = counts.persist()
+    _PERSISTED.append(counts)
+
+    def top(col):
+        t = (counts.select("user_id", F.col(col).alias("cnt"))
+             .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+             .limit(_HH_TOPK))
+        w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        return t.select("user_id", F.col("cnt").alias(col),
+                        F.row_number().over(w).alias(f"rank{col[-2:]}"))
+
+    a, b = top("cnt_a"), top("cnt_b")
+    j = a.join(b, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+        F.coalesce("rank_a", F.lit(-1)).cast("int").alias("rank_a"),
+        F.coalesce("rank_b", F.lit(-1)).cast("int").alias("rank_b"),
+        F.when(F.col("rank_a").isNull(), "entered")
+         .when(F.col("rank_b").isNull(), "exited")
+         .otherwise("stayed").alias("status"))
+
+
+def _hh_drift_sql() -> str:
+    return f"""
+WITH ev AS (
+    SELECT user_id, {sql_day('ts')} AS day FROM events
+),
+span AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+counts AS (
+    SELECT user_id,
+           sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS cnt_a,
+           sum(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS cnt_b
+    FROM ev CROSS JOIN span
+    GROUP BY user_id
+),
+top_a AS (
+    SELECT user_id, cnt_a,
+           row_number() OVER (ORDER BY cnt_a DESC, user_id ASC) AS rank_a
+    FROM counts QUALIFY rank_a <= {_HH_TOPK}
+),
+top_b AS (
+    SELECT user_id, cnt_b,
+           row_number() OVER (ORDER BY cnt_b DESC, user_id ASC) AS rank_b
+    FROM counts QUALIFY rank_b <= {_HH_TOPK}
+)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       CAST(coalesce(a.cnt_a, 0) AS BIGINT) AS cnt_a,
+       CAST(coalesce(b.cnt_b, 0) AS BIGINT) AS cnt_b,
+       CAST(coalesce(a.rank_a, -1) AS INT) AS rank_a,
+       CAST(coalesce(b.rank_b, -1) AS INT) AS rank_b,
+       CASE WHEN a.rank_a IS NULL THEN 'entered'
+            WHEN b.rank_b IS NULL THEN 'exited'
+            ELSE 'stayed' END AS status
+FROM top_a a FULL OUTER JOIN top_b b ON a.user_id = b.user_id
+"""
+
+
+QUERIES["heavy_hitter_drift"] = (heavy_hitter_drift, _hh_drift_sql())

@@ -774,3 +774,16 @@ def test_round7_stockout_plan_shape(props):
     assert p["unpartitioned_windows"] == 0
     assert p["range_shuffles"] == 0
     assert p["broadcast_joins"] >= 1
+
+
+def test_round7_heavy_hitter_drift_plan_shape(props):
+    from alma_publish_to_marc_spark.plans import bi_queries as BIQ
+    # persisted per-user counts feed both half-tops off ONE events
+    # scan; tops are TakeOrdered; the only windows/joins after run on
+    # K-row frames (bounded by construction)
+    p = props("heavy_hitter_drift")
+    assert "TakeOrderedAndProject" in p["_plan"]
+    assert p["scans"] <= 2
+    assert p["in_memory_scans"] >= 2
+    assert p["range_shuffles"] == 0
+    assert BIQ.unpersist_cached() >= 1
