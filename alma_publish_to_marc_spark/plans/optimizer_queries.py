@@ -316,3 +316,117 @@ QUERIES["selectivity_independence_audit"] = (
 QUERIES["join_order_cost_rank"] = (join_order_cost_rank, _JOIN_ORDER_SQL)
 QUERIES["sample_extrapolate_error"] = (
     sample_extrapolate_error, _SAMPLE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Exact global percentiles WITHOUT a global sort (two-level bucket walk)
+# --------------------------------------------------------------------------
+_PCT_TARGETS = (50, 95, 99)
+
+
+def exact_global_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of the event value column computed WITHOUT
+    sorting the corpus: bucket counts (integer value buckets — a
+    bounded run table) locate each target's bucket via a cumulative
+    walk, then only the rows of the targeted buckets rank locally
+    (per-target partitions, each one bucket wide). This is the exact
+    counterpart to approx_percentile — the two-level order-statistic
+    pattern that replaces `ORDER BY value` over 100 TB with one
+    aggregation plus a bucket-sized sort.
+
+    Determinism: values quantize to exact cents (round in both
+    engines); target ranks are integer ceil; within-bucket order ties
+    break on event_id.
+
+    Scale: ONE corpus scan for bucket counts; the cumulative window
+    runs on the ~bounded bucket table; the second scan filters to at
+    most |targets| buckets (predicate-pushed); local ranks partition
+    per target.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    rows = ev.select("event_id", "cents",
+                     F.expr("cents div 100").alias("bucket"))
+    bcounts = rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bcounts.select(
+        "bucket", "n", F.sum("n").over(w).alias("cum"),
+        (F.sum("n").over(w) - F.col("n")).alias("cum_before"))
+    total = F.broadcast(bcounts.agg(F.sum("n").alias("tot")))
+    targets = F.array(*[F.lit(p) for p in _PCT_TARGETS])
+    # first bucket whose cumulative count reaches each target rank
+    chosen = (cum.crossJoin(total)
+              .select("bucket", "cum_before",
+                      F.explode(targets).alias("pct"),
+                      F.expr("(tot * pct + 99) div 100").alias("k"),
+                      F.col("cum"))
+              .where(F.col("cum") >= F.col("k"))
+              .groupBy("pct", "k")
+              .agg(F.min(F.struct("bucket", "cum_before")).alias("c"))
+              .select("pct", "k", F.col("c.bucket").alias("bucket"),
+                      F.col("c.cum_before").alias("cum_before")))
+    sliced = rows.join(F.broadcast(chosen), "bucket")
+    wp = Window.partitionBy("pct").orderBy(
+        F.col("cents").asc(), F.col("event_id").asc())
+    return (sliced.withColumn("rk", F.row_number().over(wp))
+            .where(F.col("rk") == F.col("k") - F.col("cum_before"))
+            .select(F.col("pct").cast("int").alias("pct"),
+                    F.col("k").cast("long").alias("k"),
+                    F.col("cents").alias("pctl_cents")))
+
+
+def _exact_pctl_sql() -> str:
+    targets = " UNION ALL ".join(
+        f"SELECT {p} AS pct" for p in _PCT_TARGETS)
+    return f"""
+WITH rows_t AS (
+    SELECT event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(round(value * 100) AS BIGINT) // 100 AS bucket
+    FROM events
+),
+bcounts AS (SELECT bucket, count(*) AS n FROM rows_t GROUP BY bucket),
+cum AS (
+    SELECT bucket, n,
+           sum(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+               AS cum_before
+    FROM bcounts
+),
+total AS (SELECT sum(n) AS tot FROM bcounts),
+targets AS ({targets}),
+chosen AS (
+    SELECT pct, k,
+           (min(struct_pack(bucket := bucket,
+                            cum_before := cum_before))).bucket AS bucket,
+           (min(struct_pack(bucket := bucket,
+                            cum_before := cum_before))).cum_before
+               AS cum_before
+    FROM (
+        SELECT c.bucket, c.cum_before, t.pct,
+               (tt.tot * t.pct + 99) // 100 AS k, c.cum
+        FROM cum c CROSS JOIN total tt CROSS JOIN targets t
+    )
+    WHERE cum >= k
+    GROUP BY pct, k
+),
+ranked AS (
+    SELECT ch.pct, ch.k, r.cents,
+           row_number() OVER (PARTITION BY ch.pct
+               ORDER BY r.cents ASC, r.event_id ASC) AS rk,
+           ch.cum_before
+    FROM rows_t r JOIN chosen ch ON r.bucket = ch.bucket
+)
+SELECT CAST(pct AS INT) AS pct,
+       CAST(k AS BIGINT) AS k,
+       CAST(cents AS BIGINT) AS pctl_cents
+FROM ranked
+WHERE rk = k - cum_before
+"""
+
+
+QUERIES["exact_global_percentile"] = (
+    exact_global_percentile, _exact_pctl_sql())

@@ -787,3 +787,15 @@ def test_round7_heavy_hitter_drift_plan_shape(props):
     assert p["in_memory_scans"] >= 2
     assert p["range_shuffles"] == 0
     assert BIQ.unpersist_cached() >= 1
+
+
+def test_round7_exact_percentile_plan_shape(props):
+    # two-level order statistic: the cumulative walk runs on the
+    # bounded bucket table (the 2 unpartitioned windows); the corpus
+    # contributes two scans (bucket counts + the targeted-bucket
+    # slice); the chosen buckets ride a broadcast; never a global sort
+    p = props("exact_global_percentile")
+    assert p["scans"] == 2
+    assert p["range_shuffles"] == 0
+    assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 1
+    assert p["sort_merge_joins"] == 0

@@ -136,3 +136,20 @@ def test_token_bucket_accounts_every_event(spark):
     rows = token_bucket_rate_limit(spark, SF).collect()
     n_users = load(spark, SF, "events").select("user_id").distinct().count()
     assert sum(r["n_users"] for r in rows) == n_users
+
+
+def test_exact_percentile_matches_driver_sort(spark):
+    from alma_publish_to_marc_spark.plans.optimizer_queries import (
+        _PCT_TARGETS, exact_global_percentile,
+    )
+    from alma_publish_to_marc_spark.tables import load
+    got = {r["pct"]: r for r in
+           exact_global_percentile(spark, SF).collect()}
+    cents = sorted(
+        int(round(r["value"] * 100))
+        for r in load(spark, SF, "events").select("value").collect())
+    n = len(cents)
+    for p in _PCT_TARGETS:
+        k = (n * p + 99) // 100
+        assert got[p]["k"] == k
+        assert got[p]["pctl_cents"] == cents[k - 1], p
