@@ -1216,11 +1216,24 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer epoch-day arithmetic against the corpus max date (derived,
     not a wall-clock constant — replayable).
 
-    Scale: per-customer aggregate is one keyed shuffle; the three
-    rank windows run on the customer-sized frame. Global row_number
-    is a single-partition sort of CUSTOMER rows (dim-scale, fine into
-    the tens of millions); at larger scale swap for a two-pass
-    histogram quantile split with the same floor formula."""
+    Each global rank is computed WITHOUT a global sort via the
+    two-level bucket walk (exact_global_percentile pattern): bucket
+    on the metric VALUE (recency days and order counts are bounded
+    alphabets; monetary buckets $100k-wide, bounded by the spend
+    range, not customer cardinality), cum_before per bucket from a
+    triangular join on the broadcast bucket table, local row_number
+    PARTITIONED by bucket, global rank = cum_before + local rank —
+    an exact identity since (bucket, metric, custkey) is the same
+    total order as (metric, custkey). Monetary bucket ids use
+    `div` on non-negative cents, so truncation == floor.
+
+    Scale: per-customer aggregate is one keyed shuffle (persisted,
+    released via unpersist_cached — three score branches and the
+    final join reuse it); each score is a map-side-combinable bucket
+    count plus a bucket-partitioned window; scores rejoin on the
+    customer key. No single-partition stage at any cardinality."""
+    from pyspark import StorageLevel
+
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey",
         F.expr("unix_micros(cast(o_orderdate as timestamp))"
@@ -1234,21 +1247,45 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (per_cust.join(F.broadcast(maxday))
             .select("o_custkey",
                     (F.col("max_day") - F.col("last_day")).alias("recency_d"),
-                    "frequency", "monetary_c"))
-    def quint(metric_col, asc, name):
+                    "frequency", "monetary_c")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    _SHAP_PERSISTED.append(base)
+    total = base.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+
+    def quint(metric_col, asc, name, bucket_width=None):
+        """Two-level global-rank quintile: (o_custkey, name) frame."""
+        bucket = (F.col(metric_col) if bucket_width is None
+                  else F.expr(f"{metric_col} div {bucket_width}"))
+        rows = base.select("o_custkey", metric_col,
+                           bucket.cast("long").alias("bucket"))
+        b = rows.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("bn"))
+        before = (F.col("cb") < F.col("a.bucket") if asc
+                  else F.col("cb") > F.col("a.bucket"))
+        cum_before = (
+            b.alias("a")
+            .join(F.broadcast(b.select(F.col("bucket").alias("cb"),
+                                       F.col("bn").alias("cn"))),
+                  before, "left")
+            .groupBy(F.col("a.bucket").alias("bucket"))
+            .agg(F.coalesce(F.sum("cn"), F.lit(0)).cast("long")
+                  .alias("cum_before")))
         order = ([F.col(metric_col).asc(), F.col("o_custkey").asc()]
                  if asc else
                  [F.col(metric_col).desc(), F.col("o_custkey").asc()])
-        w = Window.orderBy(*order)
-        rn = F.row_number().over(w)
-        cnt = F.count(F.lit(1)).over(Window.partitionBy())
-        return (F.floor(5 * (rn - 1) / cnt) + 1).cast("int").alias(name)
+        wloc = Window.partitionBy("bucket").orderBy(*order)
+        rn = (F.col("cum_before") + F.row_number().over(wloc).cast("long"))
+        return (rows.join(F.broadcast(cum_before), "bucket")
+                .crossJoin(F.broadcast(total))
+                .select("o_custkey",
+                        (F.floor(5 * (rn - 1) / F.col("nn")) + 1)
+                         .cast("int").alias(name)))
 
-    scored = base.select(
-        "o_custkey", "monetary_c",
-        quint("recency_d", True, "r_score"),     # recent (small) → ranked 1st
-        quint("frequency", False, "f_score"),    # frequent → ranked 1st
-        quint("monetary_c", False, "m_score"))   # high-value → ranked 1st
+    scored = (base.select("o_custkey", "monetary_c")
+              .join(quint("recency_d", True, "r_score"), "o_custkey")
+              .join(quint("frequency", False, "f_score"), "o_custkey")
+              .join(quint("monetary_c", False, "m_score", 10000000),
+                    "o_custkey"))
     return (scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.floor(F.sum("monetary_c") / F.count(F.lit(1)))

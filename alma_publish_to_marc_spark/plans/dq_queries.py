@@ -729,22 +729,46 @@ def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number); the two closed-form combinations are the only
     doubles.
 
-    Scale: per-customer aggregate is one keyed shuffle; the global
-    rank is a single-partition sort of CUSTOMER-scale rows (same
-    tradeoff note as rfm_segmentation — swap for a two-pass histogram
-    rank at billions of customers). Int64 headroom: Σ(i·xᵢ) ≤ n²·max
-    — fine through ~1e7 customers at driver spend magnitudes."""
+    The global rank i is computed WITHOUT a global sort via the
+    two-level bucket walk (same pattern as exact_global_percentile,
+    optimizer_queries.py): spend buckets by VALUE ($100k-wide, so the
+    bucket table is bounded by the spend value range, not by customer
+    cardinality), cum_before per bucket from a triangular join on the
+    broadcast bucket table, local row_number partitioned by bucket,
+    and i = cum_before + local_rank — an exact identity because
+    (bucket asc, x asc, custkey asc) is the same total order as
+    (x asc, custkey asc). Bucket ids use `x div WIDTH` with x ≥ 0 by
+    construction (cents of a sum of positive prices), so Spark's
+    truncate-toward-zero div and an arithmetic floor agree.
+
+    Scale: per-customer aggregate is one keyed shuffle; bucket counts
+    are map-side combinable; the only window is PARTITIONED by bucket
+    (no single-partition stage besides the final 1-row reduce).
+    Int64 headroom: Σ(i·xᵢ) ≤ n²·max — fine through ~1e7 customers at
+    driver spend magnitudes."""
     from pyspark.sql import Window
 
     spend = (load(spark, sf_dir, "orders")
              .groupBy("o_custkey")
              .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
                    .alias("x")))
-    w = Window.orderBy("x", "o_custkey")
-    ranked = spend.select(
-        "x", F.row_number().over(w).cast("long").alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
-         .alias("nn"))
+    rows = spend.withColumn("bucket", F.expr("x div 10000000"))
+    b = rows.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    cum_before = (
+        b.alias("a")
+        .join(F.broadcast(b.select(F.col("bucket").alias("cb"),
+                                   F.col("bn").alias("cn"))),
+              F.col("cb") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("cn"), F.lit(0)).cast("long")
+              .alias("cum_before")))
+    total = b.agg(F.sum("bn").cast("long").alias("nn"))
+    wloc = Window.partitionBy("bucket").orderBy(
+        F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = (rows.join(F.broadcast(cum_before), "bucket")
+              .withColumn("li", F.row_number().over(wloc).cast("long"))
+              .withColumn("i", F.col("cum_before") + F.col("li"))
+              .crossJoin(F.broadcast(total)))
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

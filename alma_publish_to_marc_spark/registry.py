@@ -59,67 +59,67 @@ _MODULES = (
 
 
 # Queries whose correctness rows have only ever come from the local
-# parity gate (never driver-sampled through r06; union of
-# CORRECTNESS_r01..r06 = 136 driver-green keys). Pinned FIRST in
+# parity gate (never driver-sampled through r07; union of
+# CORRECTNESS_r01..r07 = 186 driver-green keys). Pinned FIRST in
 # registry iteration order so a driver that samples in order converts
 # them to driver-green rows. ROTATION POLICY: each round this list is
 # rebuilt as the next 50 not-yet-driver-sampled keys (union of
 # CORRECTNESS_r*.json vs natural module order); driver-green members
 # come off next round. Keys are byte-stable; members are only removed
-# or rotated, never renamed. 222 pre-round-7 keys remained unsampled
-# after this rotation; round 7 added 36 more queries (463 total), so
-# ~258 await sampling (~5 more rounds to full driver coverage).
+# or rotated, never renamed. Registry holds 465 keys as of round 7;
+# 279 remained unsampled entering round 8, so after this list's 50 run,
+# ~229 await sampling (~5 more rounds to full driver coverage).
 _SAMPLE_FIRST = (
-    "minhash_estimator_calibration",
-    "ann_graph_label_vote",
-    "lexicon_sentiment_score",
-    "cohens_kappa_agreement",
-    "source_ablation_value",
-    "unpivot_metrics",
-    "approx_percentile_bounds",
-    "asof_prior_event",
-    "scd2_intervals",
-    "time_gap_fill",
-    "variant_json_extract",
-    "range_interval_join",
-    "grouping_sets_revenue",
-    "levenshtein_neardup",
-    "tfidf_top_terms",
-    "bm25_topk",
-    "event_ewma_features",
-    "lateral_topk_per_group",
-    "value_histogram",
-    "inverted_index_build",
-    "scd2_point_in_time_join",
-    "range_frame_rolling",
-    "rag_chunk_retrieval",
-    "proximity_phrase_search",
-    "nested_roundtrip",
-    "map_ops_suite",
-    "prf_query_expansion",
-    "posting_gap_stats",
-    "pipe_syntax_report",
-    "duplicate_ngram_spans",
-    "duplicate_span_removal",
-    "corpus_datacard",
-    "longest_dup_span",
-    "token_budget_plan",
-    "weighted_sample_es",
-    "domain_mixture_weights",
-    "training_order_shuffle",
-    "event_regression_stats",
-    "corpus_curation_end2end",
-    "bpe_encode_docs",
-    "quality_classifier_score",
-    "uniform_sample_exact",
-    "join_skew_diagnostics",
-    "event_drift_monitor",
-    "mixture_weighted_sample",
-    "curriculum_order",
-    "neyman_allocation",
-    "boilerplate_segment_removal",
-    "systematic_resample",
-    "effective_sample_size",
+    "sql_udf_banding",
+    "parameterized_sql_report",
+    "binary_quantization_topk",
+    "bq_recall_eval",
+    "matryoshka_recall_curve",
+    "hubness_koccurrence",
+    "embedding_anisotropy_audit",
+    "gram_matrix_blocked",
+    "mahalanobis_ood_topn",
+    "knn_distance_ood",
+    "covariate_shift_weights",
+    "greedy_coverage_selection",
+    "empirical_bayes_shrinkage",
+    "filter_ablation_matrix",
+    "ngram_novelty_profile",
+    "ngram_lm_perplexity",
+    "unigram_lm_segment",
+    "token_zipf_fit",
+    "vocab_growth_curve",
+    "negative_sampling_table",
+    "t5_span_corruption",
+    "mlm_masking_plan",
+    "fim_transform",
+    "vocab_ablation_curve",
+    "conversion_funnel",
+    "ab_test_ztest",
+    "event_transition_matrix",
+    "cohort_retention",
+    "ks_drift_test",
+    "seasonal_baseline_outliers",
+    "dp_noised_counts",
+    "pareto_frontier",
+    "kfold_balance_audit",
+    "sampled_mean_ci",
+    "last_touch_attribution",
+    "winsorized_stats",
+    "cusum_changepoint",
+    "event_sequence_patterns",
+    "sprt_sequential_test",
+    "rolling_active_users",
+    "rfm_segmentation",
+    "match_recognize_funnel",
+    "cooldown_dedup",
+    "conversion_latency_quartiles",
+    "kaplan_meier_churn",
+    "peak_concurrency",
+    "poisson_bootstrap_ci",
+    "anova_eta_squared",
+    "chi2_independence",
+    "abandonment_rate_daily",
 )
 
 

@@ -799,3 +799,23 @@ def test_round7_exact_percentile_plan_shape(props):
     assert p["range_shuffles"] == 0
     assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 1
     assert p["sort_merge_joins"] == 0
+
+
+def test_round8_two_level_rank_conversions(props):
+    # VERDICT r7 #1: the last two single-partition dim-scale global
+    # ranks converted to the in-house two-level bucket walk. Contract:
+    # zero unpartitioned windows (the local rank partitions by value
+    # bucket), no range exchange (never a global sort), and the only
+    # single-partition stages are 1-row reduces (corpus max-day /
+    # total-count aggregates), never a dim-scale sort.
+    p = props("gini_spend_concentration")
+    assert p["unpartitioned_windows"] == 0
+    assert p["range_shuffles"] == 0
+    assert p["single_part"] <= 2
+    assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 2
+
+    p = props("rfm_segmentation")
+    assert p["unpartitioned_windows"] == 0
+    assert p["range_shuffles"] == 0
+    assert p["single_part"] <= 2
+    assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 6
