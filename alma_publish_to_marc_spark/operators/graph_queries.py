@@ -2997,6 +2997,21 @@ QUERIES["closeness_centrality_sampled"] = (closeness_centrality_sampled,
 KTRUSS_K = 4          # each surviving edge must close >= K-2 triangles
 KTRUSS_ROUNDS = 2
 
+# Staged-parquet directories still referenced by a returned frame's
+# lineage (ktruss_prune's last round). Released by unpersist_cached()
+# — the same deferred-cleanup contract the persist ledgers follow.
+_STAGED_DIRS: list[str] = []
+
+
+def unpersist_cached() -> int:
+    """Remove staged round directories left for returned-frame lineage."""
+    import shutil
+
+    n = len(_STAGED_DIRS)
+    while _STAGED_DIRS:
+        shutil.rmtree(_STAGED_DIRS.pop(), ignore_errors=True)
+    return n
+
 
 def triangle_support(e: DataFrame) -> DataFrame:
     """Exact per-edge triangle support of an undirected edge set
@@ -3084,15 +3099,22 @@ def ktruss_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_edges"))
                .select(F.col("support").cast("long").alias("support"),
                        F.col("n_edges").cast("long").alias("n_edges")))
-        # the result is tiny (support histogram): materialize it before
-        # removing the staged rounds, then serve from a local frame
-        rows = out.collect()
-    finally:
-        # mirror connected_components' guarantee: failed runs must not
-        # accumulate staged round files under the warehouse dir
+    except BaseException:
+        # failed runs must not accumulate staged round files under the
+        # warehouse dir (the connected_components guarantee)
         if local_dir is not None:
             shutil.rmtree(local_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, "support long, n_edges long")
+        raise
+    # Return the DISTRIBUTED plan (rooted at the last staged edge
+    # frame) instead of eagerly collecting — plan audits and bench see
+    # the real pipeline, not a LocalTableScan (ADVICE r7). Intermediate
+    # rounds drop now; the final round's files are released later via
+    # unpersist_cached() (after the caller has consumed the frame).
+    if local_dir is not None:
+        for i in range(KTRUSS_ROUNDS):
+            shutil.rmtree(f"{local_dir}/e{i}", ignore_errors=True)
+        _STAGED_DIRS.append(local_dir)
+    return out
 
 
 def _ktruss_sql() -> str:

@@ -785,9 +785,11 @@ def _huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PERSISTED.append(ev)  # K+2 consumers: base + each round + final
     base = ev.groupBy("event_type").agg(
         F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+    # floor division for any sign of s (oracle `//` floors; Spark div
+    # truncates — ADVICE r7): exact integer idiom, no double detour
     mu = base.select("event_type", "n",
-                     F.expr("s div n").alias("mu"),
-                     F.expr("s div n").alias("mean_c"))
+                     F.expr("(s - pmod(s, n)) div n").alias("mu"),
+                     F.expr("(s - pmod(s, n)) div n").alias("mean_c"))
     clip = (f"greatest(cast(-{HUBER_C} as bigint),"
             f" least(cast({HUBER_C} as bigint), c - mu))")
     for _ in range(HUBER_ROUNDS):
@@ -984,8 +986,12 @@ def _dp_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events").select(
         F.expr("cast(round(value * 100, 0) as bigint)").alias("c"))
+    # (c - pmod(c,W)) div W == floor division for any sign — keeps bin
+    # ids in lockstep with the oracle's flooring `//` even if a future
+    # value column goes negative (ADVICE r7)
     bins = (ev.select(F.least(F.lit(DPQ_BINS - 1),
-                              F.expr(f"c div {DPQ_WIDTH}")).alias("b"))
+                              F.expr(f"(c - pmod(c, {DPQ_WIDTH}))"
+                                     f" div {DPQ_WIDTH}")).alias("b"))
             .groupBy("b").agg(F.count(F.lit(1)).alias("tc")))
     h = (f"cast(conv(substr(md5(concat('{DPQ_SEED}',"
          f" cast(b as string))), 1, 12), 16, 10) as bigint)")

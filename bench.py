@@ -80,6 +80,12 @@ HEADLINE = [
     # list-accumulator fold, the storage-planning shape)
     "gram_matrix_blocked",
     "compaction_bin_packing",
+    # round 8: the engine's namesake path — nested publish-record
+    # synthesis + the REAL split_publish (control-group walk, 852/ITM
+    # relocation, item typing). bibs tracks the control-field/relocate
+    # codec; items tracks the deepest explode (record→holdings→items)
+    "publish_split_bibs",
+    "publish_split_items",
 ]
 
 
@@ -97,9 +103,13 @@ def main() -> None:
     head = (HEADLINE[:CORE_16]
             if os.environ.get("SPARK_GRAFT_BENCH_CORE_ONLY") else HEADLINE)
     names = [n for n in head if n in qs]
+    from alma_publish_to_marc_spark import registry
+
     for name in names:
         # drop blocks persisted by the previous query (minhash sigs etc.)
+        # and deferred staged-parquet dirs (ktruss_prune)
         spark.catalog.clearCache()
+        registry.release_caches()
         # two runs, report the min: first run pays JIT/codegen warmup and
         # page-cache misses; steady state is what a resident cluster sees
         best = float("inf")

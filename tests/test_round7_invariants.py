@@ -5,6 +5,8 @@ sense)."""
 
 from __future__ import annotations
 
+import math
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -145,8 +147,10 @@ def test_exact_percentile_matches_driver_sort(spark):
     from alma_publish_to_marc_spark.tables import load
     got = {r["pct"]: r for r in
            exact_global_percentile(spark, SF).collect()}
+    # explicit half-up, matching both engines' SQL round() — Python
+    # round() is half-EVEN and would flake on a true .5 (CLAUDE.md)
     cents = sorted(
-        int(round(r["value"] * 100))
+        math.floor(r["value"] * 100 + 0.5)
         for r in load(spark, SF, "events").select("value").collect())
     n = len(cents)
     for p in _PCT_TARGETS:
