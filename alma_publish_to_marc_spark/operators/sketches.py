@@ -526,49 +526,61 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: histogram build is a map-side-combinable 128-group
     aggregation — the only full shuffle in the sketch path carries 128
-    rows. The exact branch is the oracle assertion, not the plan.
+    rows. The exact order statistic reuses the SAME bins as rank
+    buckets (two-level walk: bin id is monotone in value, so global
+    rank = cum_before(bin) + bin-local rank): only the targeted bins
+    re-rank, each window PARTITIONED by quantile. The round-8
+    bounded-feeder audit caught the previous form running a global
+    row_number over the corpus per quantile in the Spark plan.
     """
     ev = load(spark, sf_dir, "events").select("event_id", "value")
     rng = F.broadcast(ev.agg(F.min("value").alias("mn"),
                              F.max("value").alias("mx"),
                              F.count(F.lit(1)).alias("n")))
-    binc = (ev.crossJoin(rng)
-            .select(F.least(F.lit(HQ_BINS - 1),
-                            F.floor((F.col("value") - F.col("mn"))
-                                    * HQ_BINS / (F.col("mx") - F.col("mn")))
-                            .cast("int")).alias("bin"))
-            .groupBy("bin").agg(F.count(F.lit(1)).alias("c")))
+    bin_expr = F.least(F.lit(HQ_BINS - 1),
+                       F.floor((F.col("value") - F.col("mn"))
+                               * HQ_BINS / (F.col("mx") - F.col("mn")))
+                       .cast("int"))
+    binned = ev.crossJoin(rng).select("event_id", "value",
+                                      bin_expr.alias("bin"))
+    binc = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
     from pyspark.sql import Window
     cum = binc.select(
         "bin", "c",
         F.sum("c").over(Window.orderBy("bin")
                         .rowsBetween(Window.unboundedPreceding, 0))
          .alias("cum"))
-    out = None
-    for qname, pct in HQ_QUANTILES:
-        target = F.expr(f"cast(floor({pct} * n / 100.0) as bigint) + 1")
-        first_bin = (cum.crossJoin(rng)
-                     .where(F.col("cum") >= target)
-                     .agg(F.min("bin").alias("bin")))
-        est = (first_bin.crossJoin(rng)
-               .select(F.lit(qname).alias("quantile"),
-                       target.alias("target_rank"),
-                       F.round(F.col("mn") + (F.col("bin") + 0.5)
-                               * (F.col("mx") - F.col("mn")) / HQ_BINS, 4)
-                        .alias("est_value")))
-        w = Window.orderBy("value", "event_id")
-        exact = (ev.crossJoin(rng)
-                 .select("value", F.row_number().over(w).alias("rn"),
-                         target.alias("t"))
-                 .where(F.col("rn") == F.col("t"))
-                 .select(F.lit(qname).alias("quantile"),
-                         F.round("value", 4).alias("exact_value")))
-        o = est.join(exact, "quantile").select(
-            "quantile", "target_rank", "est_value", "exact_value",
-            F.round(F.col("est_value") - F.col("exact_value"), 4)
-             .alias("err"))
-        out = o if out is None else out.unionByName(o)
-    return out
+    targets = F.explode(F.array(*[
+        F.struct(F.lit(q).alias("quantile"), F.lit(p).alias("pct"))
+        for q, p in HQ_QUANTILES])).alias("t")
+    chosen = (cum.crossJoin(rng)
+              .select("bin", "c", "cum", "n", targets)
+              .select("bin", "c", "cum",
+                      F.col("t.quantile").alias("quantile"),
+                      F.expr("cast(floor(t.pct * n / 100.0) as bigint) + 1")
+                       .alias("k"))
+              .where(F.col("cum") >= F.col("k"))
+              .groupBy("quantile", "k")
+              .agg(F.min(F.struct(
+                  F.col("bin"),
+                  (F.col("cum") - F.col("c")).alias("cum_before")))
+                   .alias("cb"))
+              .select("quantile", "k", F.col("cb.bin").alias("bin"),
+                      F.col("cb.cum_before").alias("cum_before")))
+    est = (chosen.crossJoin(rng)
+           .select("quantile", F.col("k").alias("target_rank"),
+                   F.round(F.col("mn") + (F.col("bin") + 0.5)
+                           * (F.col("mx") - F.col("mn")) / HQ_BINS, 4)
+                    .alias("est_value")))
+    wp = Window.partitionBy("quantile").orderBy("value", "event_id")
+    exact = (binned.join(F.broadcast(chosen), "bin")
+             .withColumn("rn", F.row_number().over(wp).cast("long"))
+             .where(F.col("rn") == F.col("k") - F.col("cum_before"))
+             .select("quantile", F.round("value", 4).alias("exact_value")))
+    return (est.join(exact, "quantile")
+            .select("quantile", "target_rank", "est_value", "exact_value",
+                    F.round(F.col("est_value") - F.col("exact_value"), 4)
+                     .alias("err")))
 
 
 def _hq_sql() -> str:

@@ -914,10 +914,17 @@ def simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyone trusts a pooled rate.
 
     The median cut is rank-selected over exact cents (element at
-    ⌊(n+1)/2⌋ of the (value, orderkey) order).
+    ⌊(n+1)/2⌋ of the (value, orderkey) order), located via the
+    two-level bucket walk (exact_global_percentile pattern): $10k-wide
+    value buckets (bounded by the price range, not order cardinality),
+    cum_before from a triangular join on the broadcast bucket table,
+    then a local rank inside the single targeted bucket. The round-8
+    bounded-feeder audit caught the previous global row_number here —
+    a fact-scale single-partition sort.
 
     Scale: one keyed orders aggregate per stratum after a broadcast
-    median; the scan is stratum-count-sized."""
+    median; every window partitions by bucket; the scan is
+    stratum-count-sized."""
     from pyspark.sql import Window
 
     orders = (load(spark, sf_dir, "orders")
@@ -926,12 +933,32 @@ def simpsons_paradox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("x_c"),
                       (F.col("o_orderpriority") == "1-URGENT").cast("int")
                        .alias("urgent")))
-    w = Window.orderBy("x_c", "o_orderkey")
+    rows = orders.select(
+        "o_orderkey", "x_c",
+        F.expr("(x_c - pmod(x_c, 1000000)) div 1000000").alias("bkt"))
+    b = rows.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    cumb = (b.alias("a")
+            .join(F.broadcast(b.select(F.col("bkt").alias("cb"),
+                                       F.col("bn").alias("cn"))),
+                  F.col("cb") < F.col("a.bkt"), "left")
+            .groupBy(F.col("a.bkt").alias("bkt"))
+            .agg(F.coalesce(F.sum("cn"), F.lit(0)).cast("long")
+                  .alias("cum_before")))
+    tot = b.agg(F.sum("bn").cast("long").alias("n"))
+    chosen = (cumb.join(b, "bkt")
+              .crossJoin(F.broadcast(tot))
+              .where(F.col("cum_before") + F.col("bn")
+                     >= F.expr("(n + 1) div 2"))
+              .groupBy()
+              .agg(F.min(F.struct("bkt", "cum_before")).alias("c"),
+                   F.max(F.expr("(n + 1) div 2")).alias("k"))
+              .select(F.col("c.bkt").alias("bkt"),
+                      F.col("c.cum_before").alias("cum_before"), "k"))
+    wloc = Window.partitionBy("bkt").orderBy("x_c", "o_orderkey")
     med = F.broadcast(
-        orders.select("x_c", F.row_number().over(w).cast("long").alias("r"),
-                      F.count(F.lit(1)).over(Window.partitionBy())
-                       .cast("long").alias("n"))
-        .where(F.col("r") == F.floor((F.col("n") + 1) / 2).cast("long"))
+        rows.join(F.broadcast(chosen), "bkt")
+        .withColumn("r", F.row_number().over(wloc).cast("long"))
+        .where(F.col("r") == F.col("k") - F.col("cum_before"))
         .select(F.col("x_c").alias("med_c")))
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     base = (orders.crossJoin(med)

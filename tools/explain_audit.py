@@ -66,7 +66,9 @@ def _details_by_id(plan: str) -> dict[int, str]:
         if m:
             if cur is not None:
                 out[cur] = "\n".join(buf)
-            cur, buf = int(m.group(1)), []
+            # keep the header tail: ReusedExchange carries its
+            # "[Reuses operator id: N]" THERE, not in the body
+            cur, buf = int(m.group(1)), [m.group(2)]
         elif cur is not None:
             buf.append(line)
     if cur is not None:
@@ -115,11 +117,22 @@ def _classify_feeder(nid, nodes, details) -> str:
         if head == "InMemoryTableScan":
             return "cached"
         if head == "Generate":
-            return "generate"
+            # explode multiplies rows by array arity — bounded input
+            # stays bounded; recurse so the leaf is judged
+            return ("generate(" + _classify_feeder(
+                children[0], nodes, details) + ")" if children
+                else "generate")
         if "Join" in head or head == "CartesianProduct":
-            return "join"
+            # a join of two bounded sides is bounded (|L|·|R| worst
+            # case) — recurse so the whitelist can judge the leaves
+            if "LeftSemi" in name or "LeftAnti" in name:
+                # semi/anti output ⊆ left side; right only filters
+                return _classify_feeder(children[0], nodes, details)
+            parts = [_classify_feeder(c, nodes, details) for c in children]
+            return "join(" + ",".join(parts) + ")"
         if head == "Union":
-            return "union"
+            parts = [_classify_feeder(c, nodes, details) for c in children]
+            return "union(" + ",".join(parts) + ")"
         return head.lower()
 
 
