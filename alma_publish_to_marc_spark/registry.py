@@ -52,6 +52,7 @@ _MODULES = (
     "alma_publish_to_marc_spark.operators.learning",
     "alma_publish_to_marc_spark.operators.sketches",
     "alma_publish_to_marc_spark.functions.python_udf_queries",
+    "alma_publish_to_marc_spark.plans.spatial_queries",
     "alma_publish_to_marc_spark.sources.source_queries",
     "alma_publish_to_marc_spark.streaming.streaming_queries",
     "alma_publish_to_marc_spark.multimodal.multimodal_queries",
