@@ -422,3 +422,170 @@ GROUP BY p_brand
 
 
 QUERIES["stockout_detection"] = (stockout_detection, _STOCKOUT_SQL)
+
+
+# --------------------------------------------------------------------------
+# ucb1_arm_ranking: bandit allocation audit over event-type arms
+# --------------------------------------------------------------------------
+UCB_CONV_CENTS = 5000   # reward = 1 when the event's value >= $50
+
+
+def ucb1_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 scores for the event-type arms: empirical conversion rate
+    (value ≥ ``UCB_CONV_CENTS`` cents) plus the exploration bonus
+    sqrt(2·ln N / n_i), each e6-floored SEPARATELY (two independent
+    double expressions, no compounding) then summed — the allocation
+    order an experimentation platform would pull arms in next.
+
+    Determinism: n/conversions are exact ints; ln/sqrt are single
+    IEEE expressions written identically in both engines; ranking
+    breaks ties on the arm name.
+
+    Scale: ONE map-side-combinable aggregate to |event_type| rows;
+    the ranking window runs on that bounded arm table.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.round(F.col("value") * 100).cast("long") >= UCB_CONV_CENTS)
+        .cast("long").alias("conv"))
+    arms = (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("conv").cast("long").alias("conversions")))
+    tot = F.broadcast(arms.agg(F.sum("n").cast("long").alias("nn")))
+    scored = (arms.crossJoin(tot)
+              .select("event_type", "n", "conversions",
+                      F.expr("cast(floor(1000000 * (cast(conversions as"
+                             " double) / n)) as bigint)").alias("mean_e6"),
+                      F.expr("cast(floor(1000000 * sqrt(2.0 * ln("
+                             "cast(nn as double)) / n)) as bigint)")
+                       .alias("bonus_e6")))
+    w = Window.orderBy((F.col("mean_e6") + F.col("bonus_e6")).desc(),
+                       F.col("event_type").asc())
+    return scored.select(
+        "event_type", "n", "conversions", "mean_e6", "bonus_e6",
+        (F.col("mean_e6") + F.col("bonus_e6")).alias("ucb_e6"),
+        F.row_number().over(w).cast("int").alias("pull_order"))
+
+
+_UCB_SQL = f"""
+WITH arms AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                            >= {UCB_CONV_CENTS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS conversions
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM arms),
+scored AS (
+  SELECT event_type, n, conversions,
+         CAST(floor(1000000 * (CAST(conversions AS DOUBLE) / n))
+              AS BIGINT) AS mean_e6,
+         CAST(floor(1000000 * sqrt(2.0 * ln(CAST(nn AS DOUBLE)) / n))
+              AS BIGINT) AS bonus_e6
+  FROM arms CROSS JOIN tot
+)
+SELECT event_type, n, conversions, mean_e6, bonus_e6,
+       mean_e6 + bonus_e6 AS ucb_e6,
+       CAST(row_number() OVER (ORDER BY mean_e6 + bonus_e6 DESC,
+                               event_type ASC) AS INT) AS pull_order
+FROM scored
+"""
+
+QUERIES["ucb1_arm_ranking"] = (ucb1_arm_ranking, _UCB_SQL)
+
+
+# --------------------------------------------------------------------------
+# successive_halving_plan: hyperband-style arm elimination over sources
+# --------------------------------------------------------------------------
+SH_BUDGET0 = 4          # docs per arm in round 0; doubles each round
+SH_ROUNDS = 3
+
+
+def successive_halving_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive halving over the document sources as arms: round r
+    scores every SURVIVING arm on its first ``SH_BUDGET0·2^r`` docs
+    (by doc_id — the deterministic 'spend more budget' sample) using
+    mean n_chars as the quality proxy, then keeps the top half
+    (ceil, ties on source). Output per source: the round it was
+    eliminated (−1 = survived all rounds) and its last score — the
+    standard budgeted-search schedule (Hyperband's inner loop) a
+    tuning service runs over data sources or configs.
+
+    Determinism: budget samples are doc_id-ranked prefixes; scores
+    are exact integer sums with a floored e3 mean; halving cuts rank
+    on (score desc, source asc).
+
+    Scale: per round, ONE window partitioned by source (budget
+    prefix) + an arm-table rank; arms are a bounded alphabet, so
+    every post-scan frame is bounded. The corpus is scanned once per
+    round with column pruning (doc_id, source, n_chars).
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars")
+    wsrc = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(wsrc))
+    alive = None          # None = all sources alive
+    out_rows = None
+    for r in range(SH_ROUNDS):
+        budget = SH_BUDGET0 * (2 ** r)
+        sample = ranked.where(F.col("rk") <= budget)
+        if alive is not None:
+            sample = sample.join(F.broadcast(alive), "source", "left_semi")
+        scores = (sample.groupBy("source")
+                  .agg(F.expr("cast((1000 * sum(n_chars)) div count(*)"
+                              " as bigint)").alias("score_e3")))
+        n_alive = F.broadcast(scores.agg(
+            F.count(F.lit(1)).cast("long").alias("na")))
+        wcut = Window.orderBy(F.col("score_e3").desc(),
+                              F.col("source").asc())
+        cut = (scores.crossJoin(n_alive)
+               .withColumn("pos", F.row_number().over(wcut).cast("long"))
+               .withColumn("keep",
+                           (F.col("pos") * 2 <= F.col("na") + 1)
+                           .cast("int")))
+        dropped = (cut.where(F.col("keep") == 0)
+                   .select("source", F.lit(r).alias("eliminated_round"),
+                           "score_e3"))
+        out_rows = dropped if out_rows is None else out_rows.unionByName(
+            dropped)
+        alive = cut.where(F.col("keep") == 1).select("source", "score_e3")
+    survivors = alive.select(
+        "source", F.lit(-1).alias("eliminated_round"), "score_e3")
+    return out_rows.unionByName(survivors)
+
+
+def _sh_sql() -> str:
+    ctes = ["""ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents
+)"""]
+    prev_alive = None
+    drops = []
+    for r in range(SH_ROUNDS):
+        budget = SH_BUDGET0 * (2 ** r)
+        gate = (f" AND source IN (SELECT source FROM a{r - 1}"
+                f" WHERE keep = 1)" if prev_alive else "")
+        ctes.append(f"""s{r} AS (
+  SELECT source,
+         CAST((1000 * sum(n_chars)) // count(*) AS BIGINT) AS score_e3
+  FROM ranked WHERE rk <= {budget}{gate}
+  GROUP BY 1
+)""")
+        ctes.append(f"""a{r} AS (
+  SELECT source, score_e3,
+         CASE WHEN CAST(row_number() OVER (ORDER BY score_e3 DESC,
+                        source ASC) AS BIGINT) * 2
+                   <= (SELECT count(*) FROM s{r}) + 1
+              THEN 1 ELSE 0 END AS keep
+  FROM s{r}
+)""")
+        drops.append(f"SELECT source, {r} AS eliminated_round, score_e3"
+                     f" FROM a{r} WHERE keep = 0")
+        prev_alive = f"a{r}"
+    drops.append(f"SELECT source, -1 AS eliminated_round, score_e3"
+                 f" FROM a{SH_ROUNDS - 1} WHERE keep = 1")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(drops)
+
+
+QUERIES["successive_halving_plan"] = (successive_halving_plan, _sh_sql())

@@ -1369,3 +1369,110 @@ QUERIES = {
     "hampel_outlier_filter": (_hampel_outlier_filter, _HAMPEL_SQL),
     "shard_diversity_index": (_shard_diversity_index, _DIVERSITY_SQL),
 }
+
+
+# --------------------------------------------------------------------------
+# krippendorff_alpha_nominal: multi-rater agreement (3 raters, no gaps)
+# --------------------------------------------------------------------------
+KR_RATERS = 3
+KR_LABELS = 4
+KR_NOISE_MOD = 5       # ~1/5 of each rater's labels replaced by noise
+
+
+def _kr_label(j: int, engine: str) -> str:
+    """Rater j's label for a doc: length bucket, with a seeded-md5
+    noise replacement on ~1/KR_NOISE_MOD of units (per rater)."""
+    base = f"least({KR_LABELS - 1}, n_chars // 800)"
+    if engine == "spark":
+        h = (f"cast(conv(substr(md5(concat('kr{{s}}{j}:',"
+             f" cast(doc_id as string))), 1, 12), 16, 10) as bigint)")
+        base = base.replace("//", " div ")
+    else:
+        h = (f"CAST('0x' || substr(md5('kr{{s}}{j}:'"
+             f" || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)")
+    gate, noise = h.format(s="g"), h.format(s="l")
+    return (f"(CASE WHEN ({gate}) % {KR_NOISE_MOD} = 0"
+            f" THEN ({noise}) % {KR_LABELS} ELSE {base} END)")
+
+
+def _krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal, complete data) over
+    ``KR_RATERS`` deterministic pseudo-raters labeling every document
+    (length bucket + seeded disagreement noise — the synthetic-rater
+    pattern of cohens_kappa_agreement, generalized to >2 raters):
+    alpha = 1 − (N−1)·Σ_{v≠v'} o_vv' / (ΣΣ n_v·n_v'), computed
+    entirely in integer space via the identity Σ_{v≠v'} c_v·c_v' =
+    m² − Σ c_v² per unit (no pair join at all), floored at e6 with
+    the sign-safe idiom (alpha can be negative).
+
+    Scale: one scan explodes to 3 labels/doc; two map-side
+    aggregates — per-(unit,label) counts, then global sums; the
+    final row is pure integer arithmetic.
+    """
+    labels = [F.expr(_kr_label(j, "spark")).alias(f"l{j}")
+              for j in range(KR_RATERS)]
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars") \
+        .select("doc_id", *labels)
+    rated = docs.select(
+        "doc_id", F.explode(F.array(*[F.col(f"l{j}")
+                                      for j in range(KR_RATERS)]))
+        .alias("label"))
+    cu = (rated.groupBy("doc_id", "label")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    per_unit = (cu.groupBy("doc_id")
+                .agg((F.lit(KR_RATERS * KR_RATERS)
+                      - F.sum(F.col("c") * F.col("c"))).alias("dis2")))
+    o2s = per_unit.agg(F.sum("dis2").cast("long").alias("o2s"),
+                       F.count(F.lit(1)).cast("long").alias("units"))
+    nv = (cu.groupBy("label").agg(F.sum("c").cast("long").alias("nv"))
+          .agg(F.sum("nv").cast("long").alias("nn"),
+               F.sum(F.col("nv") * F.col("nv")).cast("long").alias("sq")))
+    return (o2s.crossJoin(F.broadcast(nv))
+            .select("units", "nn", F.col("o2s").alias("d_o_x2"),
+                    (F.col("nn") * F.col("nn") - F.col("sq")).alias("p_pairs"),
+                    F.expr("(1000000 * (2 * (nn * nn - sq)"
+                           " - (nn - 1) * o2s)"
+                           " - pmod(1000000 * (2 * (nn * nn - sq)"
+                           " - (nn - 1) * o2s), 2 * (nn * nn - sq)))"
+                           " div (2 * (nn * nn - sq))")
+                     .alias("alpha_e6")))
+
+
+def _kr_sql() -> str:
+    labels = " UNION ALL ".join(
+        f"SELECT doc_id, {_kr_label(j, 'duck')} AS label FROM documents"
+        for j in range(KR_RATERS))
+    return f"""
+WITH rated AS ({labels}),
+cu AS (
+  SELECT doc_id, label, CAST(count(*) AS BIGINT) AS c
+  FROM rated GROUP BY 1, 2
+),
+o2s AS (
+  SELECT CAST(sum(dis2) AS BIGINT) AS o2s,
+         CAST(count(*) AS BIGINT) AS units
+  FROM (SELECT doc_id, {KR_RATERS * KR_RATERS} - sum(c * c) AS dis2
+        FROM cu GROUP BY 1)
+),
+nv AS (
+  SELECT CAST(sum(nv) AS BIGINT) AS nn,
+         CAST(sum(nv * nv) AS BIGINT) AS sq
+  FROM (SELECT label, sum(c) AS nv FROM cu GROUP BY 1)
+)
+SELECT units, nn, o2s AS d_o_x2,
+       nn * nn - sq AS p_pairs,
+       -- explicit floor division (numerator can be negative; DuckDB's
+       -- BIGINT // truncates toward zero there, unlike its float //)
+       (num - (((num % den) + den) % den)) // den AS alpha_e6
+FROM (
+  SELECT units, nn, o2s,
+         (nn * nn - sq) AS sq_pairs,
+         1000000 * (2 * (nn * nn - sq) - (nn - 1) * o2s) AS num,
+         2 * (nn * nn - sq) AS den, sq
+  FROM o2s CROSS JOIN nv
+)
+"""
+
+
+QUERIES["krippendorff_alpha_nominal"] = (
+    _krippendorff_alpha, _kr_sql())

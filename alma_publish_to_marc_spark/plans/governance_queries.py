@@ -408,3 +408,80 @@ QUERIES["sensitive_dominance_audit"] = (
 QUERIES["data_retention_sweep"] = (data_retention_sweep, _ttl_sql())
 QUERIES["token_bucket_rate_limit"] = (
     token_bucket_rate_limit, _BUCKET_SQL)
+
+
+# --------------------------------------------------------------------------
+# erasure_cascade_audit: right-to-be-forgotten blast radius
+# --------------------------------------------------------------------------
+ERASE_MOD = 97          # deterministic erasure cohort: custkey % 97 == 0
+
+
+def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure blast radius: given a deterministic cohort of
+    customers to forget (``c_custkey % ERASE_MOD == 0``), count the
+    rows each table of the customer→orders→lineitem cascade must
+    delete, as absolute rows and e6 share of the table — the impact
+    estimate a data-protection officer signs off BEFORE the delete
+    job runs (the reference's deleted_record/CDC path answers 'what
+    was deleted'; this answers 'what will be').
+
+    Scale: the cohort is customer-scale filtered (broadcast); orders
+    semi-join the broadcast cohort; lineitem semi-joins the affected
+    orderkeys with an equi hash join — each table is scanned ONCE
+    with only its key columns.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    erased = cust.where(F.col("c_custkey") % ERASE_MOD == 0)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    eo = orders.join(F.broadcast(erased),
+                     orders.o_custkey == erased.c_custkey, "left_semi")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    el = li.join(eo.select("o_orderkey"),
+                 li.l_orderkey == eo.o_orderkey, "left_semi")
+
+    def ledger(name, hit_df, total_df):
+        h = hit_df.agg(F.count(F.lit(1)).cast("long").alias("n_erased"))
+        t = total_df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        return (h.crossJoin(t)
+                .select(F.lit(name).alias("table_name"), "n_erased",
+                        "n_total",
+                        F.expr("(1000000 * n_erased) div n_total")
+                         .alias("share_e6")))
+
+    return (ledger("customer", erased, cust)
+            .unionByName(ledger("orders", eo, orders))
+            .unionByName(ledger("lineitem", el, li)))
+
+
+_ERASURE_SQL = f"""
+WITH erased AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_MOD} = 0
+),
+eo AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM erased)
+),
+el AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM eo)
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT count(*) FROM erased) AS BIGINT) AS n_erased,
+       CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_total,
+       (1000000 * CAST((SELECT count(*) FROM erased) AS BIGINT))
+           // CAST((SELECT count(*) FROM customer) AS BIGINT) AS share_e6
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT count(*) FROM eo) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       (1000000 * CAST((SELECT count(*) FROM eo) AS BIGINT))
+           // CAST((SELECT count(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT count(*) FROM el) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       (1000000 * CAST((SELECT count(*) FROM el) AS BIGINT))
+           // CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+"""
+
+QUERIES["erasure_cascade_audit"] = (erasure_cascade_audit, _ERASURE_SQL)

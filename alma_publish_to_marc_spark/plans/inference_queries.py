@@ -32,11 +32,12 @@ an experimentation + data-governance platform runs:
 
 Determinism: everything is exact int64 / e6 fixed-point except the
 DP Laplace noise (the dp_noised_counts convention: identical ln of a
-seeded md5 uniform in both engines). Divisions that can see NEGATIVE
-numerators use an explicit sign-symmetric truncating division written
-identically in both engines — Spark's `div` truncates toward zero
-while DuckDB's `//` floors, so a bare integer division of a negative
-value would silently diverge (CLAUDE.md determinism family).
+seeded md5 uniform in both engines). NOTE (corrected round 8): Spark's
+integer `div` and DuckDB's integer `//` BOTH truncate toward zero
+(verified: -7 div 2 == -7 // 2 == -3), so bare integer division is
+engine-identical for any sign. The `_sdiv` wrapper below is therefore
+a no-op clarity device (truncation is already sign-symmetric), kept
+because existing oracles embed it; new code can use plain div.
 """
 
 from __future__ import annotations
@@ -66,8 +67,10 @@ DAY_US = 86_400_000_000
 
 def _sdiv(num: str, den: str) -> str:
     """Sign-symmetric truncating integer division (SQL text, valid in
-    BOTH engines): |num| div den, negated back. Needed because Spark
-    `div` truncates while DuckDB `//` floors on negatives."""
+    BOTH engines): |num| div den, negated back. NOTE: measurement in
+    round 8 showed plain `div`/`//` already truncate identically in
+    both engines, so this wrapper is equivalent to a bare div — kept
+    only because existing oracles embed the expanded text."""
     return (f"(CASE WHEN ({num}) < 0"
             f" THEN -((-({num})) div ({den}))"
             f" ELSE ({num}) div ({den}) END)")
@@ -766,8 +769,9 @@ def _huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts the finally-clipped tail.
 
     Determinism: all cents-integer; the clipped-residual mean uses
-    sign-symmetric truncating division (the residual sum CAN be
-    negative — Spark div truncates, DuckDB // floors). The iteration
+    truncating integer division, identical in both engines for any
+    sign (round-8 verification; the residual sum CAN be negative,
+    which is safe because both engines truncate). The iteration
     count is fixed, so both engines unroll the identical recurrence
     (kmeans_fixed_point convention; the oracle unrolls rounds as
     CTEs).
@@ -785,11 +789,12 @@ def _huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PERSISTED.append(ev)  # K+2 consumers: base + each round + final
     base = ev.groupBy("event_type").agg(
         F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
-    # floor division for any sign of s (oracle `//` floors; Spark div
-    # truncates — ADVICE r7): exact integer idiom, no double detour
+    # Spark `div` and DuckDB integer `//` both truncate toward zero
+    # (verified round 8), so s div n is engine-identical even for a
+    # negative residual sum — plain integer division is the idiom
     mu = base.select("event_type", "n",
-                     F.expr("(s - pmod(s, n)) div n").alias("mu"),
-                     F.expr("(s - pmod(s, n)) div n").alias("mean_c"))
+                     F.expr("s div n").alias("mu"),
+                     F.expr("s div n").alias("mean_c"))
     clip = (f"greatest(cast(-{HUBER_C} as bigint),"
             f" least(cast({HUBER_C} as bigint), c - mu))")
     for _ in range(HUBER_ROUNDS):
@@ -986,12 +991,11 @@ def _dp_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events").select(
         F.expr("cast(round(value * 100, 0) as bigint)").alias("c"))
-    # (c - pmod(c,W)) div W == floor division for any sign — keeps bin
-    # ids in lockstep with the oracle's flooring `//` even if a future
-    # value column goes negative (ADVICE r7)
+    # Spark `div` and DuckDB integer `//` both truncate toward zero
+    # (verified round 8), so the bin id is engine-identical for any
+    # sign of c — no special idiom needed
     bins = (ev.select(F.least(F.lit(DPQ_BINS - 1),
-                              F.expr(f"(c - pmod(c, {DPQ_WIDTH}))"
-                                     f" div {DPQ_WIDTH}")).alias("b"))
+                              F.expr(f"c div {DPQ_WIDTH}")).alias("b"))
             .groupBy("b").agg(F.count(F.lit(1)).alias("tc")))
     h = (f"cast(conv(substr(md5(concat('{DPQ_SEED}',"
          f" cast(b as string))), 1, 12), 16, 10) as bigint)")
@@ -1082,3 +1086,269 @@ FROM dp_hit d JOIN true_hit t USING (p)
 
 
 QUERIES["dp_quantile_histogram"] = (_dp_quantile_hist, _dpq_sql())
+
+
+# --------------------------------------------------------------------------
+# permutation_bh_fdr: randomization-test p-values + Benjamini-Hochberg
+# --------------------------------------------------------------------------
+PERM_K = 19            # null replicates -> p granularity 1/20
+PERM_ALPHA_E6 = 100000  # alpha = 0.1, e6-scaled
+
+
+def _permutation_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing pipeline with NO closed-form tails: per event
+    type, the statistic |mean cents − global mean| gets a
+    randomization-test p-value from ``PERM_K`` seeded relabelings
+    (each event draws a pseudo-type from the EXACT observed type
+    frequencies via a seeded md5 uniform against the cumulative count
+    boundaries — the standard multinomial randomization null), then
+    Benjamini–Hochberg step-up at α = 0.1 marks discoveries:
+    reject p_(i) for all i ≤ max{i: p_(i) ≤ i·α/m}.
+
+    Determinism: sums/counts exact ints; each |diff| is ONE double
+    expression e6-floored before comparison; p = (1 + #{T_k ≥
+    T_obs})/(K+1) in exact integer arithmetic; BH thresholds are
+    integer (α·i·1e6) div m.
+
+    Scale: the null replicates ride ONE corpus scan exploded ×K
+    (map-side combinable to K·|types| groups); label assignment joins
+    a broadcast |types|-row boundary table; everything after is on
+    K·|types| rows. BH runs on the m-row p table (bounded alphabet).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"))
+    tc = (ev.groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum("c").alias("s")))
+    # cumulative boundaries on the bounded type table (triangular join)
+    bounds = (tc.alias("a")
+              .join(F.broadcast(tc.select(
+                  F.col("event_type").alias("bt"), F.col("n").alias("bn"))),
+                  F.col("bt") < F.col("a.event_type"), "left")
+              .groupBy(F.col("a.event_type").alias("label"),
+                       F.col("a.n").alias("n"))
+              .agg(F.coalesce(F.sum("bn"), F.lit(0)).cast("long")
+                    .alias("lo"))
+              .select("label", "lo", (F.col("lo") + F.col("n")).alias("hi")))
+    glob = F.broadcast(ev.agg(F.sum("c").alias("gs"),
+                              F.count(F.lit(1)).cast("long").alias("nn")))
+    gmean = "(cast(gs as double) / nn)"
+    # observed statistic per type
+    obs = (tc.crossJoin(glob)
+           .select(F.col("event_type").alias("label"),
+                   F.expr(f"cast(floor(1000000 * abs(cast(s as double) / n"
+                          f" - {gmean})) as bigint)").alias("t_obs")))
+    # K seeded relabelings: u ~ U[0, nn) from md5(perm, event_id)
+    ks = F.explode(F.array(*[F.lit(i) for i in range(PERM_K)])).alias("k")
+    drawn = (ev.crossJoin(glob)
+             .select("event_id", "c", "nn", ks)
+             .select("c", "k",
+                     F.expr("cast(conv(substr(md5(concat('perm', k, ':',"
+                            " cast(event_id as string))), 1, 12), 16, 10)"
+                            " as bigint) % nn").alias("u")))
+    null_stats = (drawn.join(F.broadcast(bounds),
+                             (F.col("u") >= F.col("lo"))
+                             & (F.col("u") < F.col("hi")))
+                  .groupBy("k", "label")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                       F.sum("c").alias("s"))
+                  .crossJoin(glob)
+                  .select("k", "label",
+                          F.expr(f"cast(floor(1000000 * abs(cast(s as"
+                                 f" double) / n - {gmean})) as bigint)")
+                           .alias("t_k")))
+    pvals = (null_stats.join(F.broadcast(obs), "label")
+             .groupBy("label", "t_obs")
+             .agg(F.sum((F.col("t_k") >= F.col("t_obs")).cast("long"))
+                   .alias("n_ge"))
+             .select("label", "t_obs",
+                     F.expr(f"cast((1000000 * (1 + n_ge))"
+                            f" div {PERM_K + 1} as bigint)")
+                      .alias("p_e6")))
+    wp = Window.orderBy(F.col("p_e6").asc(), F.col("label").asc())
+    nt = F.broadcast(pvals.agg(F.count(F.lit(1)).cast("long").alias("m")))
+    ranked = (pvals.crossJoin(nt)
+              .withColumn("pos", F.row_number().over(wp).cast("long"))
+              .withColumn("bh_thresh_e6",
+                          F.expr(f"({PERM_ALPHA_E6} * pos) div m")))
+    kmax = (ranked.agg(F.max(F.when(
+        F.col("p_e6") <= F.col("bh_thresh_e6"), F.col("pos")))
+        .alias("kmax")))
+    return (ranked.crossJoin(F.broadcast(kmax))
+            .select("label", "t_obs", "p_e6", "pos", "bh_thresh_e6",
+                    (F.col("pos") <= F.coalesce(F.col("kmax"), F.lit(0)))
+                    .cast("int").alias("rejected")))
+
+
+def _perm_bh_sql() -> str:
+    gmean = "(CAST(g.gs AS DOUBLE) / g.nn)"
+    return f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+tc AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s
+  FROM ev GROUP BY 1
+),
+bounds AS (
+  SELECT a.event_type AS label, a.n,
+         CAST(coalesce(sum(b.n), 0) AS BIGINT) AS lo,
+         CAST(coalesce(sum(b.n), 0) + a.n AS BIGINT) AS hi
+  FROM tc a LEFT JOIN tc b ON b.event_type < a.event_type
+  GROUP BY 1, 2
+),
+g AS (SELECT CAST(sum(c) AS BIGINT) AS gs,
+             CAST(count(*) AS BIGINT) AS nn FROM ev),
+obs AS (
+  SELECT t.event_type AS label,
+         CAST(floor(1000000 * abs(CAST(t.s AS DOUBLE) / t.n - {gmean}))
+              AS BIGINT) AS t_obs
+  FROM tc t CROSS JOIN g
+),
+drawn AS (
+  SELECT e.c, k.k,
+         CAST('0x' || substr(md5('perm' || CAST(k.k AS VARCHAR) || ':'
+              || CAST(e.event_id AS VARCHAR)), 1, 12) AS BIGINT)
+             % g.nn AS u
+  FROM ev e
+  CROSS JOIN (SELECT unnest(range(0, {PERM_K})) AS k) k
+  CROSS JOIN g
+),
+null_stats AS (
+  SELECT d.k, b.label,
+         CAST(floor(1000000 * abs(CAST(sum(d.c) AS DOUBLE) / count(*)
+              - (SELECT {gmean.replace('g.', '')} FROM g)))
+              AS BIGINT) AS t_k
+  FROM drawn d JOIN bounds b ON d.u >= b.lo AND d.u < b.hi
+  GROUP BY 1, 2
+),
+pvals AS (
+  SELECT o.label, o.t_obs,
+         CAST((1000000 * (1 + sum(CASE WHEN ns.t_k >= o.t_obs
+                                       THEN 1 ELSE 0 END)))
+              // {PERM_K + 1} AS BIGINT) AS p_e6
+  FROM null_stats ns JOIN obs o USING (label)
+  GROUP BY 1, 2
+),
+m_t AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pvals),
+ranked AS (
+  SELECT label, t_obs, p_e6,
+         CAST(row_number() OVER (ORDER BY p_e6 ASC, label ASC) AS BIGINT)
+             AS pos,
+         ({PERM_ALPHA_E6} * CAST(row_number() OVER (ORDER BY p_e6 ASC,
+                                 label ASC) AS BIGINT)) // m_t.m
+             AS bh_thresh_e6
+  FROM pvals CROSS JOIN m_t
+),
+kmax AS (
+  SELECT max(CASE WHEN p_e6 <= bh_thresh_e6 THEN pos END) AS kmax
+  FROM ranked
+)
+SELECT r.label, r.t_obs, r.p_e6, r.pos, r.bh_thresh_e6,
+       CAST(CASE WHEN r.pos <= coalesce(k.kmax, 0) THEN 1 ELSE 0 END
+            AS INT) AS rejected
+FROM ranked r CROSS JOIN kmax k
+"""
+
+
+QUERIES["permutation_bh_fdr"] = (_permutation_bh_fdr, _perm_bh_sql())
+
+
+# --------------------------------------------------------------------------
+# mutual_information_features: MI + entropies of type vs time features
+# --------------------------------------------------------------------------
+
+
+def _mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plug-in mutual information between event_type and each derived
+    time feature (day-of-week, hour-of-day): MI = Σ_cells (c/N)·
+    ln(c·N/(rt·ct)), plus the marginal entropies that normalize it.
+    Each per-cell/per-marginal term is e9-floored INDEPENDENTLY and
+    the sums are exact int64 — cross-engine equality without trusting
+    a float reduction order (CLAUDE.md float-reduction rule).
+
+    dow/hour come from integer epoch arithmetic ((days+4)%7 — never
+    engine dayofweek(); CLAUDE.md).
+
+    Scale: per feature, ONE map-side aggregate to |types|×|levels|
+    cells; marginals re-aggregate the bounded cell table.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_micros(cast(ts as timestamp)) div 86400000000 + 4)"
+               " % 7").alias("dow"),
+        F.expr("(unix_micros(cast(ts as timestamp)) % 86400000000)"
+               " div 3600000000").alias("hour"))
+    out = None
+    for feat in ("dow", "hour"):
+        cells = (ev.groupBy("event_type", feat)
+                 .agg(F.count(F.lit(1)).cast("long").alias("c")))
+        rt = cells.groupBy("event_type").agg(F.sum("c").alias("rt"))
+        ct = cells.groupBy(feat).agg(F.sum("c").alias("ct"))
+        nn = F.broadcast(cells.agg(F.sum("c").cast("long").alias("nn")))
+        mi = (cells.join(F.broadcast(rt), "event_type")
+              .join(F.broadcast(ct), feat)
+              .crossJoin(nn)
+              .agg(F.sum(F.expr(
+                  "cast(floor(1000000000 * (cast(c as double) / nn)"
+                  " * ln(cast(c as double) * nn / (cast(rt as double)"
+                  " * ct))) as bigint)")).alias("mi_e9"),
+                  F.count(F.lit(1)).cast("long").alias("n_cells")))
+        hx = (rt.crossJoin(nn)
+              .agg(F.sum(F.expr(
+                  "cast(floor(1000000000 * (cast(rt as double) / nn)"
+                  " * ln(cast(nn as double) / rt)) as bigint)"))
+                  .alias("h_type_e9")))
+        hy = (ct.crossJoin(nn)
+              .agg(F.sum(F.expr(
+                  "cast(floor(1000000000 * (cast(ct as double) / nn)"
+                  " * ln(cast(nn as double) / ct)) as bigint)"))
+                  .alias("h_feat_e9")))
+        row = (mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+               .select(F.lit(feat).alias("feature"), "n_cells",
+                       "mi_e9", "h_type_e9", "h_feat_e9"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _mi_sql() -> str:
+    parts = []
+    for feat, expr in (("dow", "(epoch_us(ts) // 86400000000 + 4) % 7"),
+                       ("hour", "(epoch_us(ts) % 86400000000)"
+                                " // 3600000000")):
+        parts.append(f"""
+SELECT '{feat}' AS feature, n_cells, mi_e9, h_type_e9, h_feat_e9 FROM (
+  WITH ev AS (
+    SELECT event_type, {expr} AS f FROM events
+  ),
+  cells AS (
+    SELECT event_type, f, CAST(count(*) AS BIGINT) AS c
+    FROM ev GROUP BY 1, 2
+  ),
+  rt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS rt
+         FROM cells GROUP BY 1),
+  ct AS (SELECT f, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1),
+  nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells)
+  SELECT
+    (SELECT CAST(sum(CAST(floor(1000000000 * (CAST(c.c AS DOUBLE) / n.nn)
+         * ln(CAST(c.c AS DOUBLE) * n.nn
+              / (CAST(r.rt AS DOUBLE) * t.ct))) AS BIGINT)) AS BIGINT)
+     FROM cells c JOIN rt r USING (event_type) JOIN ct t USING (f)
+     CROSS JOIN nn n) AS mi_e9,
+    (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+    (SELECT CAST(sum(CAST(floor(1000000000 * (CAST(r.rt AS DOUBLE) / n.nn)
+         * ln(CAST(n.nn AS DOUBLE) / r.rt)) AS BIGINT)) AS BIGINT)
+     FROM rt r CROSS JOIN nn n) AS h_type_e9,
+    (SELECT CAST(sum(CAST(floor(1000000000 * (CAST(t.ct AS DOUBLE) / n.nn)
+         * ln(CAST(n.nn AS DOUBLE) / t.ct)) AS BIGINT)) AS BIGINT)
+     FROM ct t CROSS JOIN nn n) AS h_feat_e9
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["mutual_information_features"] = (
+    _mutual_information, _mi_sql())

@@ -346,13 +346,14 @@ def exact_global_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"))
-    # sign-symmetric integer floor-div: Spark `div` truncates toward
-    # zero while the oracle's `//` floors — (x - pmod(x,K)) div K is
-    # exact floor division for ANY sign, so a future negative-valued
-    # column can't desynchronize bucket ids (ADVICE r7)
+    # Spark integer `div` and DuckDB integer `//` BOTH truncate toward
+    # zero (verified -7 div 2 == -7 // 2 == -3, round 8), so this
+    # bucket id is engine-identical for ANY sign; truncation is also
+    # monotone non-decreasing in cents, which is all the cumulative
+    # walk needs (the ADVICE r7 negative-domain concern rested on a
+    # wrong premise that DuckDB's integer // floors — it doesn't)
     rows = ev.select("event_id", "cents",
-                     F.expr("(cents - pmod(cents, 100)) div 100")
-                      .alias("bucket"))
+                     F.expr("cents div 100").alias("bucket"))
     bcounts = rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = bcounts.select(

@@ -318,8 +318,98 @@ LIMIT {HOT_TOPK}
 """
 
 
+
+# ---------------------------------------------------------------------------
+# boruvka_lightest_edges: round 1 of Borůvka MST on the proximity graph
+# ---------------------------------------------------------------------------
+BV_WBUCKET = 32         # weight-histogram bucket width (squared distance)
+
+
+def boruvka_lightest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 1 of Borůvka's MST over the radius-SP_CELL proximity
+    graph: every node selects its LIGHTEST incident edge (weight =
+    exact integer squared distance; ties broken by neighbor id via
+    struct-min — the CLAUDE.md argmax rule), selections are
+    normalized to undirected edges and deduped, and the forest is
+    reported as a weight-bucket histogram (bounded output: ≤ R²/bucket
+    rows). This is the distributed-MST primitive (each subsequent
+    Borůvka round would contract components and repeat — the
+    connected_components machinery); round 1 already halves the
+    component count and is the hot step at scale.
+
+    Scale: candidate edges come from the same grid-blocked 3×3 probe
+    as grid_neighbor_join (near-linear, never all-pairs); the
+    lightest-edge pick is one map-side-combinable struct-min per
+    node; the dedup is a groupBy on the normalized pair key.
+    """
+    pts = _points(spark, sf_dir).select(
+        "event_id", "x", "y",
+        F.expr(f"x div {SP_CELL}").alias("cx"),
+        F.expr(f"y div {SP_CELL}").alias("cy"))
+    probe = pts.select(
+        "event_id", "x", "y",
+        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))
+         .alias("cx"), "cy").select(
+        "event_id", "x", "y", "cx",
+        F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)]))
+         .alias("cy"))
+    a, b = probe.alias("a"), pts.alias("b")
+    w = ((F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+         + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y")))
+    edges = (a.join(b, ["cx", "cy"])
+             .where((F.col("a.event_id") != F.col("b.event_id"))
+                    & (w <= SP_R2))
+             .select(F.col("a.event_id").alias("src"),
+                     F.col("b.event_id").alias("dst"),
+                     w.cast("long").alias("w")))
+    pick = (edges.groupBy("src")
+            .agg(F.min(F.struct("w", "dst")).alias("m"))
+            .select("src", F.col("m.w").alias("w"),
+                    F.col("m.dst").alias("dst")))
+    forest = (pick.select(F.least("src", "dst").alias("u"),
+                          F.greatest("src", "dst").alias("v"), "w")
+              .groupBy("u", "v").agg(F.min("w").alias("w")))
+    return (forest.groupBy(F.expr(f"w div {BV_WBUCKET}").alias("w_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+                 F.sum("w").cast("long").alias("sum_w")))
+
+
+_BORUVKA_SQL = f"""
+WITH pts AS (
+  SELECT event_id, x, y, x // {SP_CELL} AS cx, y // {SP_CELL} AS cy
+  FROM ({_POINTS_SQL})
+),
+edges AS (
+  SELECT a.event_id AS src, b.event_id AS dst,
+         CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              AS BIGINT) AS w
+  FROM pts a JOIN pts b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.event_id <> b.event_id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SP_R2}
+),
+pick AS (
+  SELECT src,
+         (min(struct_pack(w := w, dst := dst))).w AS w,
+         (min(struct_pack(w := w, dst := dst))).dst AS dst
+  FROM edges GROUP BY src
+),
+forest AS (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v, min(w) AS w
+  FROM pick GROUP BY 1, 2
+)
+SELECT w // {BV_WBUCKET} AS w_bucket,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(w) AS BIGINT) AS sum_w
+FROM forest
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "grid_neighbor_join": (grid_neighbor_join, _GRID_NBR_SQL),
     "quadtree_tile_rollup": (quadtree_tile_rollup, _qt_sql()),
     "spatial_hotspot_cells": (spatial_hotspot_cells, _hotspot_sql()),
+    "boruvka_lightest_edges": (boruvka_lightest_edges, _BORUVKA_SQL),
 }

@@ -490,3 +490,133 @@ QUERIES["zonemap_skip_audit"] = (zonemap_skip_audit, _zonemap_sql())
 QUERIES["delta_bitwidth_audit"] = (delta_bitwidth_audit, _DELTA_SQL)
 QUERIES["rle_run_audit"] = (rle_run_audit, _RLE_SQL)
 QUERIES["partition_size_planner"] = (partition_size_planner, _PLANNER_SQL)
+
+
+# --------------------------------------------------------------------------
+# file_bloom_skip_audit: per-file bloom-filter index, measured skip value
+# --------------------------------------------------------------------------
+BF_FILES = 64          # files in the simulated range layout
+BF_BITS = 8192         # bloom bits per file
+BF_HASHES = 3          # hash functions
+BF_PROBES = 24         # probe panel size
+
+
+def file_bloom_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value of a per-file bloom index (Parquet bloom filters / Delta
+    bloom index): lay lineitem into ``BF_FILES`` orderkey-range files,
+    build each file's bloom of its distinct l_partkey set (bit
+    positions = seeded md5 of the key, ``BF_HASHES`` per key — the
+    bloom is held RELATIONALLY as distinct (file, bit) rows, never a
+    driver bitmap), then probe a ``BF_PROBES``-part panel: a file
+    passes when all K of the probe's bits are set. Per probe part:
+    files passed vs files truly containing it vs false passes — the
+    measured file-skip rate that justifies (or kills) the index, plus
+    saturation visible as false passes climb with per-file key counts.
+
+    Determinism: bit positions are seeded md5 (the cross-engine
+    idiom); file ids derive from broadcast max(orderkey)+1 (never a
+    constant — id-namespace rule); the probe panel is the first
+    BF_PROBES partkeys (TakeOrdered).
+
+    Scale: the bloom build is one distinct + explode to ≤
+    FILES·BITS rows (bounded by the index size, exactly like the real
+    thing); probes join the panel (72 rows, broadcast) against the
+    bit rows on the bit position — never against the corpus.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    mx = F.broadcast(li.agg((F.max("l_orderkey") + 1).alias("okmax")))
+    fp = (li.crossJoin(mx)
+          .select(F.expr(f"(l_orderkey * {BF_FILES}) div okmax")
+                   .alias("file_id"),
+                  F.col("l_partkey").alias("pk"))
+          .distinct())
+    hashes = F.explode(F.array(*[F.lit(i) for i in range(BF_HASHES)]))
+    bits = (fp.select("file_id", "pk", hashes.alias("h"))
+            .select("file_id",
+                    F.expr(f"cast(conv(substr(md5(concat('bf', h, ':',"
+                           f" cast(pk as string))), 1, 12), 16, 10)"
+                           f" as bigint) % {BF_BITS}").alias("bit"))
+            .distinct())
+    panel = (load(spark, sf_dir, "part").select("p_partkey")
+             .orderBy("p_partkey").limit(BF_PROBES))
+    pbits = (panel.select("p_partkey", hashes.alias("h"))
+             .select("p_partkey", F.col("h"),
+                     F.expr(f"cast(conv(substr(md5(concat('bf', h, ':',"
+                            f" cast(p_partkey as string))), 1, 12), 16, 10)"
+                            f" as bigint) % {BF_BITS}").alias("bit")))
+    passed = (bits.join(F.broadcast(pbits), "bit")
+              .groupBy("p_partkey", "file_id")
+              .agg(F.countDistinct("h").alias("nh"))
+              .where(F.col("nh") == BF_HASHES)
+              .groupBy("p_partkey")
+              .agg(F.count(F.lit(1)).cast("long").alias("files_passed")))
+    truth = (fp.join(F.broadcast(panel),
+                     fp.pk == panel.p_partkey)
+             .groupBy("p_partkey")
+             .agg(F.countDistinct("file_id").cast("long")
+                   .alias("files_true")))
+    return (panel.join(passed, "p_partkey", "left")
+            .join(truth, "p_partkey", "left")
+            .select("p_partkey",
+                    F.coalesce("files_passed", F.lit(0)).alias("files_passed"),
+                    F.coalesce("files_true", F.lit(0)).alias("files_true"),
+                    (F.coalesce("files_passed", F.lit(0))
+                     - F.coalesce("files_true", F.lit(0)))
+                    .alias("false_passes"),
+                    (F.lit(BF_FILES) - F.coalesce("files_passed", F.lit(0)))
+                    .cast("long").alias("files_skipped")))
+
+
+_BLOOM_SKIP_SQL = f"""
+WITH mx AS (SELECT max(l_orderkey) + 1 AS okmax FROM lineitem),
+fp AS (
+  SELECT DISTINCT (l_orderkey * {BF_FILES}) // okmax AS file_id,
+         l_partkey AS pk
+  FROM lineitem CROSS JOIN mx
+),
+hs AS (SELECT unnest(range(0, {BF_HASHES})) AS h),
+bits AS (
+  SELECT DISTINCT file_id,
+         CAST('0x' || substr(md5('bf' || CAST(h AS VARCHAR) || ':'
+              || CAST(pk AS VARCHAR)), 1, 12) AS BIGINT) % {BF_BITS} AS bit
+  FROM fp CROSS JOIN hs
+),
+panel AS (
+  SELECT p_partkey FROM part ORDER BY p_partkey LIMIT {BF_PROBES}
+),
+pbits AS (
+  SELECT p_partkey, h,
+         CAST('0x' || substr(md5('bf' || CAST(h AS VARCHAR) || ':'
+              || CAST(p_partkey AS VARCHAR)), 1, 12) AS BIGINT) % {BF_BITS}
+             AS bit
+  FROM panel CROSS JOIN hs
+),
+passed AS (
+  SELECT p_partkey, CAST(count(*) AS BIGINT) AS files_passed
+  FROM (
+    SELECT pb.p_partkey, b.file_id, count(DISTINCT pb.h) AS nh
+    FROM bits b JOIN pbits pb USING (bit)
+    GROUP BY 1, 2
+  ) WHERE nh = {BF_HASHES}
+  GROUP BY 1
+),
+truth AS (
+  SELECT p.p_partkey, CAST(count(DISTINCT f.file_id) AS BIGINT)
+             AS files_true
+  FROM fp f JOIN panel p ON f.pk = p.p_partkey
+  GROUP BY 1
+)
+SELECT pa.p_partkey,
+       CAST(coalesce(ps.files_passed, 0) AS BIGINT) AS files_passed,
+       CAST(coalesce(t.files_true, 0) AS BIGINT) AS files_true,
+       CAST(coalesce(ps.files_passed, 0) - coalesce(t.files_true, 0)
+            AS BIGINT) AS false_passes,
+       CAST({BF_FILES} - coalesce(ps.files_passed, 0) AS BIGINT)
+           AS files_skipped
+FROM panel pa
+LEFT JOIN passed ps USING (p_partkey)
+LEFT JOIN truth t USING (p_partkey)
+"""
+
+
+QUERIES["file_bloom_skip_audit"] = (file_bloom_skip_audit, _BLOOM_SKIP_SQL)
