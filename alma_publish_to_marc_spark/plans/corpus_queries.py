@@ -2377,3 +2377,317 @@ FROM per_doc
 """
 
 QUERIES["ngram_novelty_profile"] = (ngram_novelty_profile, _NOVELTY_SQL)
+
+
+# --------------------------------------------------------------------------
+# repetition_filter_audit: Gopher-style within-document repetition metrics
+# --------------------------------------------------------------------------
+REP_TOP2_MAX_E6 = 180000   # fail if top 2-gram covers > 18% of tokens
+REP_TTR_MIN_E6 = 300000    # fail if distinct/total tokens < 30%
+REP_TOP1_MAX_E6 = 120000   # fail if one token is > 12% of the doc
+
+
+def repetition_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filters (the Gopher/MassiveText
+    repetition family, token flavor): per doc, the share of tokens
+    covered by the single most frequent 2-gram, the type–token ratio,
+    and the most frequent token's share — each an exact integer e6
+    ratio — plus the three rule verdicts and the per-rule fail counts
+    over the corpus. Repetitious docs are the classic LM-training
+    poison this filter bank exists to drop.
+
+    Determinism: token splits are one regex; per-doc argmax counts
+    use max() on exact integers only (no tie-break needed — the SHARE
+    is reported, not the winning gram); ratios are integer div.
+
+    Scale: one scan explodes to tokens/2-grams with the doc id as the
+    grouping key (map-side combinable); per-doc metrics re-aggregate
+    bounded per-doc frames; the report is a 3-row rule ledger.
+    """
+    toks = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                     .alias("w"))
+            .select("doc_id", F.expr("filter(w, t -> t <> '')").alias("w")))
+    flat = toks.select(
+        "doc_id", F.size("w").alias("n"),
+        F.posexplode("w").alias("pos", "tok"))
+    tok_stats = (flat.groupBy("doc_id", "tok")
+                 .agg(F.max("n").alias("n"), F.count(F.lit(1)).alias("c"))
+                 .groupBy("doc_id")
+                 .agg(F.max("n").alias("n"),
+                      F.count(F.lit(1)).alias("n_distinct"),
+                      F.max("c").alias("top1")))
+    grams = (toks.select(
+        "doc_id", F.size("w").alias("n"),
+        F.expr("transform(sequence(1, size(w) - 1),"
+               " i -> concat(w[i - 1], ' ', w[i]))").alias("gs"))
+        .where(F.col("n") >= 2)
+        .select("doc_id", "n", F.explode("gs").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.max("n").alias("n"), F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("n"), F.max("c").alias("top2")))
+    per_doc = (tok_stats.join(grams.select("doc_id",
+                                           F.col("top2").alias("top2")),
+                              "doc_id", "left")
+               .select(
+                   "doc_id",
+                   F.expr("(1000000 * (2 * coalesce(top2, 0))) div n")
+                    .alias("top2gram_share_e6"),
+                   F.expr("(1000000 * n_distinct) div n").alias("ttr_e6"),
+                   F.expr("(1000000 * top1) div n").alias("top1_share_e6")))
+    rules = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("top2gram_share_e6") > REP_TOP2_MAX_E6).cast("long"))
+         .alias("fail_top2gram"),
+        F.sum((F.col("ttr_e6") < REP_TTR_MIN_E6).cast("long"))
+         .alias("fail_ttr"),
+        F.sum((F.col("top1_share_e6") > REP_TOP1_MAX_E6).cast("long"))
+         .alias("fail_top1"),
+        F.sum(((F.col("top2gram_share_e6") <= REP_TOP2_MAX_E6)
+               & (F.col("ttr_e6") >= REP_TTR_MIN_E6)
+               & (F.col("top1_share_e6") <= REP_TOP1_MAX_E6))
+              .cast("long")).alias("n_pass"))
+    return rules
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(text)), ' '), t -> t <> '')
+             AS w
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, len(w) AS n, unnest(w) AS tok FROM toks
+),
+tok_stats AS (
+  SELECT doc_id, max(n) AS n, count(*) AS n_distinct, max(c) AS top1
+  FROM (SELECT doc_id, tok, max(n) AS n, count(*) AS c
+        FROM flat GROUP BY 1, 2)
+  GROUP BY 1
+),
+grams AS (
+  SELECT doc_id, max(n) AS n, max(c) AS top2
+  FROM (
+    SELECT doc_id, g, max(n) AS n, count(*) AS c
+    FROM (
+      SELECT doc_id, len(w) AS n,
+             unnest(list_transform(range(2, len(w) + 1),
+                    i -> w[i - 1] || ' ' || w[i])) AS g
+      FROM toks WHERE len(w) >= 2
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+per_doc AS (
+  SELECT t.doc_id,
+         (1000000 * (2 * coalesce(g.top2, 0))) // t.n
+             AS top2gram_share_e6,
+         (1000000 * t.n_distinct) // t.n AS ttr_e6,
+         (1000000 * t.top1) // t.n AS top1_share_e6
+  FROM tok_stats t LEFT JOIN grams g USING (doc_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN top2gram_share_e6 > {REP_TOP2_MAX_E6}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_top2gram,
+       CAST(sum(CASE WHEN ttr_e6 < {REP_TTR_MIN_E6} THEN 1 ELSE 0 END)
+            AS BIGINT) AS fail_ttr,
+       CAST(sum(CASE WHEN top1_share_e6 > {REP_TOP1_MAX_E6}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_top1,
+       CAST(sum(CASE WHEN top2gram_share_e6 <= {REP_TOP2_MAX_E6}
+                      AND ttr_e6 >= {REP_TTR_MIN_E6}
+                      AND top1_share_e6 <= {REP_TOP1_MAX_E6}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM per_doc
+"""
+
+QUERIES["repetition_filter_audit"] = (
+    repetition_filter_audit, _REPETITION_SQL)
+
+
+# --------------------------------------------------------------------------
+# gopher_rules_audit: the MassiveText/Gopher document-quality rule bank
+# --------------------------------------------------------------------------
+GO_MIN_TOKENS = 50
+GO_MAX_TOKENS = 100_000
+GO_MEAN_LEN_MIN_E6 = 3_000_000
+GO_MEAN_LEN_MAX_E6 = 10_000_000
+GO_MIN_STOPWORDS = 2
+GO_ALPHA_MIN_E6 = 900_000
+_GO_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def gopher_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule bank (the subset
+    that is non-degenerate on this corpus): token-count bounds, mean
+    token length in [3, 10], ≥ 2 stopwords present, and ≥ 90% of
+    tokens purely alphabetic. Per-rule fail counts plus the all-rules
+    pass count — the exact filter ledger a pretraining pipeline
+    publishes with each corpus release.
+
+    Determinism: every metric is an exact integer (counts, Σ token
+    length, e6 div ratios); no floats at all.
+
+    Scale: one scan, one explode to tokens, ONE map-side-combinable
+    per-doc aggregate, then a 1-row ledger reduce.
+    """
+    sw = ", ".join(f"'{w}'" for w in _GO_STOPWORDS)
+    toks = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                     .alias("w"))
+            .select("doc_id", F.explode(
+                F.expr("filter(w, t -> t <> '')")).alias("tok")))
+    per_doc = (toks.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.length("tok")).alias("chars"),
+                    F.sum(F.expr(f"cast(tok in ({sw}) as long)"))
+                     .alias("n_stop"),
+                    F.sum(F.expr("cast(tok rlike '^[a-z]+$' as long)"))
+                     .alias("n_alpha"))
+               .select("doc_id", "n", "n_stop",
+                       F.expr("(1000000 * chars) div n").alias("mean_len_e6"),
+                       F.expr("(1000000 * n_alpha) div n").alias("alpha_e6")))
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(((F.col("n") < GO_MIN_TOKENS)
+               | (F.col("n") > GO_MAX_TOKENS)).cast("long"))
+         .alias("fail_token_count"),
+        F.sum(((F.col("mean_len_e6") < GO_MEAN_LEN_MIN_E6)
+               | (F.col("mean_len_e6") > GO_MEAN_LEN_MAX_E6)).cast("long"))
+         .alias("fail_mean_len"),
+        F.sum((F.col("n_stop") < GO_MIN_STOPWORDS).cast("long"))
+         .alias("fail_stopwords"),
+        F.sum((F.col("alpha_e6") < GO_ALPHA_MIN_E6).cast("long"))
+         .alias("fail_alpha"),
+        F.sum((F.col("n").between(GO_MIN_TOKENS, GO_MAX_TOKENS)
+               & F.col("mean_len_e6").between(GO_MEAN_LEN_MIN_E6,
+                                              GO_MEAN_LEN_MAX_E6)
+               & (F.col("n_stop") >= GO_MIN_STOPWORDS)
+               & (F.col("alpha_e6") >= GO_ALPHA_MIN_E6)).cast("long"))
+         .alias("n_pass"))
+
+
+def _gopher_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in _GO_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(lower(text)), ' '),
+                t -> t <> '')) AS tok
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END) AS n_stop,
+         (1000000 * sum(length(tok))) // count(*) AS mean_len_e6,
+         (1000000 * sum(CASE WHEN regexp_matches(tok, '^[a-z]+$')
+                             THEN 1 ELSE 0 END)) // count(*) AS alpha_e6
+  FROM toks GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n < {GO_MIN_TOKENS} OR n > {GO_MAX_TOKENS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_token_count,
+       CAST(sum(CASE WHEN mean_len_e6 < {GO_MEAN_LEN_MIN_E6}
+                      OR mean_len_e6 > {GO_MEAN_LEN_MAX_E6}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_len,
+       CAST(sum(CASE WHEN n_stop < {GO_MIN_STOPWORDS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS fail_stopwords,
+       CAST(sum(CASE WHEN alpha_e6 < {GO_ALPHA_MIN_E6} THEN 1 ELSE 0 END)
+            AS BIGINT) AS fail_alpha,
+       CAST(sum(CASE WHEN n BETWEEN {GO_MIN_TOKENS} AND {GO_MAX_TOKENS}
+                      AND mean_len_e6 BETWEEN {GO_MEAN_LEN_MIN_E6}
+                                          AND {GO_MEAN_LEN_MAX_E6}
+                      AND n_stop >= {GO_MIN_STOPWORDS}
+                      AND alpha_e6 >= {GO_ALPHA_MIN_E6}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM per_doc
+"""
+
+
+QUERIES["gopher_rules_audit"] = (gopher_rules_audit, _gopher_sql())
+
+
+# --------------------------------------------------------------------------
+# token_stream_packing: contiguous context-window packing per shard
+# --------------------------------------------------------------------------
+PACK_CAP = 2048        # context window length, tokens
+
+
+def token_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style pretraining packing: within each (lang, source)
+    shard, documents concatenate in doc_id order into one token
+    stream that is cut into ``PACK_CAP``-token context windows (docs
+    MAY straddle a cut — the contiguous-stream regime, not bin
+    packing; compaction_bin_packing covers the no-split regime). Per
+    shard: windows needed, docs straddling a boundary, and the fill
+    rate of the final ragged window — the batch-shape ledger an LLM
+    data loader emits per shard.
+
+    Every quantity is closed-form from the running token offset
+    (off_start div CAP vs (off_end−1) div CAP), so the whole query is
+    one partitioned cumulative window + integer arithmetic — no fold,
+    no recurrence.
+
+    Scale: one scan; the cumsum window partitions by shard; the
+    report is |lang|·|source| rows (bounded alphabet).
+    """
+    docs = (load(spark, sf_dir, "documents")
+            .select("lang", "source", "doc_id",
+                    F.expr("size(filter(split(trim(lower(text)), '\\\\s+'),"
+                           " t -> t <> ''))").cast("long").alias("nt"))
+            .where(F.col("nt") > 0))
+    w = (Window.partitionBy("lang", "source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    offs = docs.select(
+        "lang", "source", "nt",
+        (F.sum("nt").over(w) - F.col("nt")).alias("off_start"),
+        (F.sum("nt").over(w) - 1).alias("off_last"))
+    return (offs.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("nt").cast("long").alias("total_tokens"),
+                 F.sum((F.expr(f"off_last div {PACK_CAP}")
+                        > F.expr(f"off_start div {PACK_CAP}"))
+                       .cast("long")).alias("straddling_docs"))
+            .select("lang", "source", "n_docs", "total_tokens",
+                    F.expr(f"(total_tokens + {PACK_CAP - 1})"
+                           f" div {PACK_CAP}").alias("n_windows"),
+                    "straddling_docs",
+                    F.expr(f"(1000000 * total_tokens) div"
+                           f" (((total_tokens + {PACK_CAP - 1})"
+                           f" div {PACK_CAP}) * {PACK_CAP})")
+                     .alias("fill_e6")))
+
+
+_PACKING_SQL = f"""
+WITH docs AS (
+  SELECT lang, source, doc_id,
+         CAST(len(list_filter(string_split(trim(lower(text)), ' '),
+              t -> t <> '')) AS BIGINT) AS nt
+  FROM documents
+),
+offs AS (
+  SELECT lang, source, nt,
+         sum(nt) OVER (PARTITION BY lang, source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+             AS off_start,
+         sum(nt) OVER (PARTITION BY lang, source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+             AS off_last
+  FROM docs WHERE nt > 0
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       (CAST(sum(nt) AS BIGINT) + {PACK_CAP - 1}) // {PACK_CAP}
+           AS n_windows,
+       CAST(sum(CASE WHEN off_last // {PACK_CAP} > off_start // {PACK_CAP}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS straddling_docs,
+       (1000000 * CAST(sum(nt) AS BIGINT))
+           // (((CAST(sum(nt) AS BIGINT) + {PACK_CAP - 1}) // {PACK_CAP})
+               * {PACK_CAP}) AS fill_e6
+FROM offs
+GROUP BY 1, 2
+"""
+
+QUERIES["token_stream_packing"] = (token_stream_packing, _PACKING_SQL)

@@ -1380,9 +1380,12 @@ KR_NOISE_MOD = 5       # ~1/5 of each rater's labels replaced by noise
 
 
 def _kr_label(j: int, engine: str) -> str:
-    """Rater j's label for a doc: length bucket, with a seeded-md5
-    noise replacement on ~1/KR_NOISE_MOD of units (per rater)."""
-    base = f"least({KR_LABELS - 1}, n_chars // 800)"
+    """Rater j's label for a doc: the doc's length-residue class
+    (n_chars % KR_LABELS — spread across all labels, so chance
+    agreement stays near 1/KR_LABELS and alpha is informative), with
+    a seeded-md5 noise replacement on ~1/KR_NOISE_MOD of units (per
+    rater)."""
+    base = f"(n_chars % {KR_LABELS})"
     if engine == "spark":
         h = (f"cast(conv(substr(md5(concat('kr{{s}}{j}:',"
              f" cast(doc_id as string))), 1, 12), 16, 10) as bigint)")
@@ -1476,3 +1479,87 @@ FROM (
 
 QUERIES["krippendorff_alpha_nominal"] = (
     _krippendorff_alpha, _kr_sql())
+
+
+# --------------------------------------------------------------------------
+# pass_at_k_estimator: the unbiased HumanEval pass@k over sampled attempts
+# --------------------------------------------------------------------------
+PK_N = 10              # attempts per task
+PK_KS = (1, 5, 10)
+
+
+def _pk_comb_rows() -> list[tuple[int, int, int, int]]:
+    from math import comb
+
+    return [(c, k, comb(PK_N, k),
+             comb(PK_N - c, k) if PK_N - c >= k else 0)
+            for c in range(PK_N + 1) for k in PK_KS]
+
+
+def _pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased pass@k estimator (HumanEval: pass@k = 1 −
+    C(n−c,k)/C(n,k)) over a deterministic synthetic eval run: every
+    document is a task, ``PK_N`` attempts each, attempt j succeeding
+    when a seeded md5 uniform clears the task's difficulty (tied to
+    n_chars, so success counts vary). Per k the corpus mean is ONE
+    exact integer division — (1e6·Σ_task (C(n,k) − C(n−c,k))) div
+    (n_tasks·C(n,k)) — because C(n,k) is task-independent; binomials
+    ride a 33-row broadcast constant table (no factorials in SQL).
+
+    Scale: one scan explodes ×PK_N (map-side combinable back to
+    per-task success counts); everything after runs on the task table
+    joined to the broadcast binomial constants.
+    """
+    attempts = F.explode(F.array(*[F.lit(j) for j in range(PK_N)]))
+    tasks = (load(spark, sf_dir, "documents")
+             .select("doc_id", (20 + F.col("n_chars") % 60).alias("diff"))
+             .select("doc_id", "diff", attempts.alias("j"))
+             .select("doc_id", "diff",
+                     F.expr("cast(conv(substr(md5(concat('pk', j, ':',"
+                            " cast(doc_id as string))), 1, 12), 16, 10)"
+                            " as bigint) % 100").alias("u"))
+             .groupBy("doc_id")
+             .agg(F.sum((F.col("u") < F.col("diff")).cast("long"))
+                   .alias("c")))
+    combs = spark.createDataFrame(
+        _pk_comb_rows(), "c long, k int, cnk long, cfail long")
+    per_task = tasks.join(F.broadcast(combs), "c")
+    return (per_task.groupBy("k", "cnk")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tasks"),
+                 F.sum(F.col("cnk") - F.col("cfail")).cast("long")
+                  .alias("sum_pass_num"),
+                 F.sum("c").cast("long").alias("sum_correct"))
+            .select("k", "n_tasks",
+                    F.expr("(1000000 * sum_pass_num) div (n_tasks * cnk)")
+                     .alias("pass_at_k_e6"),
+                    F.expr(f"(1000000 * sum_correct)"
+                           f" div (n_tasks * {PK_N})")
+                     .alias("avg_correct_e6")))
+
+
+def _pk_sql() -> str:
+    rows = ", ".join(f"({c}, {k}, {cnk}, {cfail})"
+                     for c, k, cnk, cfail in _pk_comb_rows())
+    return f"""
+WITH tasks AS (
+  SELECT doc_id,
+         sum(CASE WHEN CAST('0x' || substr(md5('pk' || CAST(j AS VARCHAR)
+                  || ':' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                  % 100 < diff THEN 1 ELSE 0 END) AS c
+  FROM (SELECT doc_id, 20 + n_chars % 60 AS diff FROM documents)
+  CROSS JOIN (SELECT unnest(range(0, {PK_N})) AS j)
+  GROUP BY 1
+),
+combs (c, k, cnk, cfail) AS (VALUES {rows})
+SELECT k, CAST(count(*) AS BIGINT) AS n_tasks,
+       (1000000 * CAST(sum(cnk - cfail) AS BIGINT))
+           // (CAST(count(*) AS BIGINT) * CAST(max(cnk) AS BIGINT))
+           AS pass_at_k_e6,
+       (1000000 * CAST(sum(c) AS BIGINT))
+           // (CAST(count(*) AS BIGINT) * {PK_N}) AS avg_correct_e6
+FROM tasks JOIN combs USING (c)
+GROUP BY k
+"""
+
+
+QUERIES["pass_at_k_estimator"] = (_pass_at_k, _pk_sql())

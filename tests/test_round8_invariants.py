@@ -1,0 +1,190 @@
+"""Semantic invariants for the round-8 query families — properties
+that must hold regardless of data (the oracle gate proves cross-engine
+equality; these prove the answers make sense)."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_grid_neighbor_join_counts_are_consistent(spark):
+    from alma_publish_to_marc_spark.plans.spatial_queries import (
+        grid_neighbor_join,
+    )
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = grid_neighbor_join(spark, SF).collect()
+    n_events = load(spark, SF, "events").count()
+    assert sum(r["n_points"] for r in rows) == n_events
+    # directed neighbor counts double-count each unordered pair
+    assert sum(r["sum_neighbors"] for r in rows) % 2 == 0
+
+
+def test_quadtree_rollup_is_a_pyramid(spark):
+    from alma_publish_to_marc_spark.plans.spatial_queries import (
+        quadtree_tile_rollup,
+    )
+
+    rows = {r["level_bits"]: r for r in
+            quadtree_tile_rollup(spark, SF).collect()}
+    bits = sorted(rows, reverse=True)
+    for hi, lo in zip(bits, bits[1:]):
+        # coarser levels have fewer tiles and denser max tiles
+        assert rows[lo]["n_tiles"] <= rows[hi]["n_tiles"]
+        assert rows[lo]["max_tile"] >= rows[hi]["max_tile"]
+
+
+def test_hotspot_scores_are_ranked(spark):
+    from alma_publish_to_marc_spark.plans.spatial_queries import (
+        HOT_TOPK, spatial_hotspot_cells,
+    )
+
+    rows = spatial_hotspot_cells(spark, SF).collect()
+    assert len(rows) == HOT_TOPK
+    gis = [r["gi_e6"] for r in rows]
+    assert gis == sorted(gis, reverse=True)
+    assert gis[0] > 0  # the top hotspot is above the lattice mean
+
+
+def test_boruvka_forest_is_bounded(spark):
+    from alma_publish_to_marc_spark.plans.spatial_queries import (
+        SP_R2, boruvka_lightest_edges,
+    )
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = boruvka_lightest_edges(spark, SF).collect()
+    n_edges = sum(r["n_edges"] for r in rows)
+    n_nodes = load(spark, SF, "events").count()
+    assert 1 <= n_edges <= n_nodes  # a forest of lightest picks
+    assert all(0 <= r["w_bucket"] * 32 <= SP_R2 for r in rows)
+
+
+def test_bloom_has_no_false_negatives(spark):
+    from alma_publish_to_marc_spark.plans.storage_queries import (
+        BF_FILES, file_bloom_skip_audit,
+    )
+
+    rows = file_bloom_skip_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # the defining bloom property: every true file passes
+        assert r["files_passed"] >= r["files_true"], r
+        assert r["false_passes"] >= 0
+        assert r["files_passed"] + r["files_skipped"] == BF_FILES
+
+
+def test_ucb1_order_is_a_permutation(spark):
+    from alma_publish_to_marc_spark.plans.decision_queries import (
+        ucb1_arm_ranking,
+    )
+
+    rows = ucb1_arm_ranking(spark, SF).collect()
+    assert sorted(r["pull_order"] for r in rows) == list(
+        range(1, len(rows) + 1))
+    by_order = sorted(rows, key=lambda r: r["pull_order"])
+    scores = [r["ucb_e6"] for r in by_order]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_successive_halving_schedule(spark):
+    from alma_publish_to_marc_spark.plans.decision_queries import (
+        successive_halving_plan,
+    )
+
+    rows = successive_halving_plan(spark, SF).collect()
+    import collections
+
+    byr = collections.Counter(r["eliminated_round"] for r in rows)
+    n = len(rows)
+    # round r halves the survivors (keep ceil(n/2))
+    alive = n
+    for r in range(3):
+        kept = (alive + 1) // 2
+        assert byr[r] == alive - kept, (r, dict(byr))
+        alive = kept
+    assert byr[-1] == alive
+
+
+def test_bh_rejections_are_a_prefix(spark):
+    from alma_publish_to_marc_spark.plans.inference_queries import (
+        _permutation_bh_fdr,
+    )
+
+    rows = sorted(_permutation_bh_fdr(spark, SF).collect(),
+                  key=lambda r: r["pos"])
+    for r in rows:
+        assert 0 < r["p_e6"] <= 1_000_000
+    flags = [r["rejected"] for r in rows]
+    # step-up: rejections form a prefix of the p-ordered list
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_mutual_information_bounds(spark):
+    from alma_publish_to_marc_spark.plans.inference_queries import (
+        _mutual_information,
+    )
+
+    for r in _mutual_information(spark, SF).collect():
+        # MI >= 0 up to per-cell flooring slack
+        assert r["mi_e9"] >= -r["n_cells"]
+        assert r["mi_e9"] <= min(r["h_type_e9"], r["h_feat_e9"]) \
+            + r["n_cells"]
+
+
+def test_erasure_cascade_shares(spark):
+    from alma_publish_to_marc_spark.plans.governance_queries import (
+        erasure_cascade_audit,
+    )
+
+    rows = {r["table_name"]: r for r in
+            erasure_cascade_audit(spark, SF).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert 0 <= r["n_erased"] <= r["n_total"]
+        assert 0 <= r["share_e6"] <= 1_000_000
+    assert rows["orders"]["n_erased"] > 0  # the cascade reaches facts
+
+
+def test_krippendorff_alpha_detects_agreement(spark):
+    from alma_publish_to_marc_spark.plans.eval_queries import (
+        _krippendorff_alpha,
+    )
+
+    row = _krippendorff_alpha(spark, SF).collect()[0]
+    # raters agree on ~80% of labels -> clearly positive alpha, < 1
+    assert 200_000 < row["alpha_e6"] < 1_000_000
+    assert row["nn"] == 3 * row["units"]
+
+
+def test_filter_audits_are_ledgers(spark):
+    from alma_publish_to_marc_spark.plans.corpus_queries import (
+        gopher_rules_audit, repetition_filter_audit,
+    )
+
+    rep = repetition_filter_audit(spark, SF).collect()[0]
+    assert rep["n_pass"] <= rep["n_docs"]
+    for c in ("fail_top2gram", "fail_ttr", "fail_top1"):
+        assert 0 <= rep[c] <= rep["n_docs"]
+    go = gopher_rules_audit(spark, SF).collect()[0]
+    assert go["n_pass"] <= go["n_docs"]
+    assert go["n_docs"] == rep["n_docs"]
+
+
+def test_pass_at_k_is_monotone_in_k(spark):
+    from alma_publish_to_marc_spark.plans.eval_queries import _pass_at_k
+
+    rows = {r["k"]: r for r in _pass_at_k(spark, SF).collect()}
+    assert rows[1]["pass_at_k_e6"] <= rows[5]["pass_at_k_e6"] \
+        <= rows[10]["pass_at_k_e6"]
+    assert rows[10]["pass_at_k_e6"] <= 1_000_000
+
+
+def test_token_packing_fill_and_ceiling(spark):
+    from alma_publish_to_marc_spark.plans.corpus_queries import (
+        PACK_CAP, token_stream_packing,
+    )
+
+    for r in token_stream_packing(spark, SF).collect():
+        assert r["n_windows"] == -(-r["total_tokens"] // PACK_CAP)
+        assert 0 < r["fill_e6"] <= 1_000_000
+        assert 0 <= r["straddling_docs"] <= r["n_docs"]
