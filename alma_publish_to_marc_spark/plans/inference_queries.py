@@ -1352,3 +1352,63 @@ SELECT '{feat}' AS feature, n_cells, mi_e9, h_type_e9, h_feat_e9 FROM (
 
 QUERIES["mutual_information_features"] = (
     _mutual_information, _mi_sql())
+
+
+# --------------------------------------------------------------------------
+# hill_tail_index: heavy-tail exponent from the top-k order statistics
+# --------------------------------------------------------------------------
+HILL_K = 200
+
+
+def _hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the tail index over the ``HILL_K`` largest
+    event values: H = mean of ln(x_i / x_k) over the top k−1, tail
+    exponent α = 1/H — the standard answer to "how heavy is this
+    value distribution's tail" before anyone trusts a mean at 100 TB.
+    Each log term is e9-floored independently (one double expression);
+    H and α are exact integer divisions of the summed terms.
+
+    Scale: TakeOrdered top-k (per-partition heaps, k-row driver
+    merge) is the only corpus-wide operator; everything after runs on
+    k rows.
+    """
+    top = (load(spark, sf_dir, "events")
+           .select(F.round(F.col("value") * 100).cast("long").alias("c"),
+                   "event_id")
+           .orderBy(F.col("c").desc(), F.col("event_id").asc())
+           .limit(HILL_K))
+    xk = F.broadcast(top.agg(F.min("c").alias("xk")))
+    terms = (top.crossJoin(xk)
+             .where(F.col("c") > F.col("xk"))
+             .agg(F.sum(F.expr(
+                 "cast(floor(1000000000 * ln(cast(c as double) / xk))"
+                 " as bigint)")).alias("sum_e9"),
+                 F.count(F.lit(1)).cast("long").alias("n_gt")))
+    return (terms.crossJoin(xk)
+            .select(F.lit(HILL_K).alias("k"),
+                    F.col("xk").alias("xk_cents"), "n_gt",
+                    F.expr(f"sum_e9 div ({HILL_K} - 1)").alias("hill_e9"),
+                    F.expr(f"(1000000 * cast(({HILL_K} - 1) as bigint)"
+                           f" * 1000000000) div sum_e9").alias("alpha_e6")))
+
+
+_HILL_SQL = f"""
+WITH top AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c, event_id
+  FROM events ORDER BY c DESC, event_id ASC LIMIT {HILL_K}
+),
+xk AS (SELECT min(c) AS xk FROM top),
+terms AS (
+  SELECT CAST(sum(CAST(floor(1000000000 * ln(CAST(c AS DOUBLE) / x.xk))
+              AS BIGINT)) AS BIGINT) AS sum_e9,
+         CAST(count(*) AS BIGINT) AS n_gt
+  FROM top CROSS JOIN xk x WHERE c > x.xk
+)
+SELECT {HILL_K} AS k, x.xk AS xk_cents, t.n_gt,
+       t.sum_e9 // ({HILL_K} - 1) AS hill_e9,
+       (1000000 * CAST(({HILL_K} - 1) AS BIGINT) * 1000000000)
+           // t.sum_e9 AS alpha_e6
+FROM terms t CROSS JOIN xk x
+"""
+
+QUERIES["hill_tail_index"] = (_hill_tail_index, _HILL_SQL)

@@ -833,3 +833,100 @@ FROM cut
 
 QUERIES["catalog_coverage_bias"] = (_catalog_coverage_bias,
                                     _COVERAGE_BIAS_SQL)
+
+
+# --------------------------------------------------------------------------
+# rank_biased_overlap: RBO between the lexical and semantic rankings
+# --------------------------------------------------------------------------
+RBO_P = 0.9
+
+
+def _rbo_weights() -> list[tuple[int, int]]:
+    """(depth, round(1e12·(1−p)·p^(d−1)/d)) — weights precomputed in
+    Python and injected as identical integer literals in BOTH engines,
+    so no engine's pow()/libm is in the comparison path."""
+    from ..plans import analytics_queries as A
+
+    return [(d, round(1e12 * (1 - RBO_P) * RBO_P ** (d - 1) / d))
+            for d in range(1, A.RRF_LIST_K + 1)]
+
+
+def _rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between the BM25 lexical
+    top-k and the embedding-cosine semantic top-k — the
+    index-drift/AB-diff metric for comparing two rankings that need
+    not share items: RBO@k = (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d. The
+    prefix-intersection size X_d is #{items in both lists with
+    max(lex_rank, sem_rank) ≤ d}, so the whole metric is exact integer
+    arithmetic against the precomputed weight table. Output: one row
+    per depth with X_d and the cumulative RBO so far (e12).
+
+    Scale: both rankings end in TakeOrdered top-k (bounded); the
+    depth table is a literal; everything joins k-row frames.
+    """
+    from ..plans import analytics_queries as A
+    from ..operators import similarity as S
+
+    lex = (A._bm25(spark, sf_dir)
+           .select("doc_id", F.col("rank").cast("long").alias("lr")))
+    emb = load(spark, sf_dir, "embeddings")
+    sem = (S.brute_force_topk(emb, "vec_id", "embedding",
+                              [A.RRF_SEM_QID], k=A.RRF_LIST_K)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank").cast("long").alias("sr")))
+    both = lex.join(sem, "doc_id").select(
+        F.greatest("lr", "sr").alias("m"))
+    weights = spark.createDataFrame(_rbo_weights(), "d long, w_e12 long")
+    xd = (F.broadcast(weights)
+          .join(both, F.col("m") <= F.col("d"), "left")
+          .groupBy("d", "w_e12")
+          .agg(F.count("m").cast("long").alias("x_d")))
+    wcum = (Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (xd.select("d", "x_d",
+                      (F.col("w_e12") * F.col("x_d")).alias("term_e12"))
+            .select("d", "x_d",
+                    F.sum("term_e12").over(wcum).alias("rbo_cum_e12")))
+
+
+def _rbo_sql() -> str:
+    from ..plans import analytics_queries as A
+    from ..operators.similarity_queries import _sql_dot, _sql_norm, _sql_vec
+
+    weights = ", ".join(f"({d}, {w})" for d, w in _rbo_weights())
+    return f"""
+WITH lex AS (
+  SELECT doc_id, CAST(rank AS BIGINT) AS lr FROM ({A._BM25_SQL})
+),
+e AS (SELECT vec_id, {_sql_vec()} AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {A.RRF_SEM_QID}),
+sem AS (
+  SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS sr
+  FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+               ORDER BY round({_sql_dot('q.qv', 'e.v')}
+                   / ({_sql_norm('q.qv')} * {_sql_norm('e.v')}), 6) DESC,
+                   e.vec_id ASC) AS rank
+    FROM e CROSS JOIN q WHERE e.vec_id <> {A.RRF_SEM_QID}
+  ) WHERE rank <= {A.RRF_LIST_K}
+),
+both_m AS (
+  SELECT greatest(l.lr, s.sr) AS m
+  FROM lex l JOIN sem s USING (doc_id)
+),
+weights (d, w_e12) AS (VALUES {weights}),
+xd AS (
+  SELECT w.d, w.w_e12, CAST(count(b.m) AS BIGINT) AS x_d
+  FROM weights w LEFT JOIN both_m b ON b.m <= w.d
+  GROUP BY 1, 2
+)
+SELECT d, x_d,
+       CAST(sum(w_e12 * x_d) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS rbo_cum_e12
+FROM xd
+"""
+
+
+QUERIES["rank_biased_overlap"] = (_rank_biased_overlap, _rbo_sql())

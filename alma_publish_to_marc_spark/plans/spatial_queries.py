@@ -407,6 +407,7 @@ GROUP BY 1
 """
 
 
+
 QUERIES = {
     "grid_neighbor_join": (grid_neighbor_join, _GRID_NBR_SQL),
     "quadtree_tile_rollup": (quadtree_tile_rollup, _qt_sql()),

@@ -188,3 +188,29 @@ def test_token_packing_fill_and_ceiling(spark):
         assert r["n_windows"] == -(-r["total_tokens"] // PACK_CAP)
         assert 0 < r["fill_e6"] <= 1_000_000
         assert 0 <= r["straddling_docs"] <= r["n_docs"]
+
+
+def test_rbo_is_monotone_and_bounded(spark):
+    from alma_publish_to_marc_spark.plans.ir_queries import (
+        _rank_biased_overlap,
+    )
+
+    rows = sorted(_rank_biased_overlap(spark, SF).collect(),
+                  key=lambda r: r["d"])
+    xs = [r["x_d"] for r in rows]
+    assert xs == sorted(xs)               # prefix intersections grow
+    assert all(x <= r["d"] for x, r in zip(xs, rows))
+    cums = [r["rbo_cum_e12"] for r in rows]
+    assert cums == sorted(cums)           # weights are positive
+    assert cums[-1] <= 10 ** 12           # RBO <= 1
+
+
+def test_hill_estimator_is_positive(spark):
+    from alma_publish_to_marc_spark.plans.inference_queries import (
+        _hill_tail_index,
+    )
+
+    row = _hill_tail_index(spark, SF).collect()[0]
+    assert row["hill_e9"] > 0
+    assert row["alpha_e6"] > 0
+    assert row["xk_cents"] > 0
