@@ -819,3 +819,39 @@ def test_round8_two_level_rank_conversions(props):
     assert p["range_shuffles"] == 0
     assert p["single_part"] <= 2
     assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 6
+
+
+def test_round8_new_query_plan_shapes(props):
+    # spatial family: the cell join must stay a NON-broadcast equi join
+    # (both sides corpus-scale at 100 TB) and never range-partition
+    p = props("grid_neighbor_join")
+    assert p["range_shuffles"] == 0
+    assert p["broadcast_nl_joins"] == 0  # never a nested-loop distance join
+    p = props("boruvka_lightest_edges")
+    assert p["range_shuffles"] == 0
+    assert p["single_part"] == 0
+    # tile pyramid: ONE corpus scan; coarser levels reuse cell tables
+    p = props("quadtree_tile_rollup")
+    assert p["scans"] == 1
+    assert p["unpartitioned_windows"] == 0
+    # hotspot: everything after the first aggregate is lattice-sized
+    p = props("spatial_hotspot_cells")
+    assert p["scans"] == 1
+    assert p["range_shuffles"] == 0
+    # bloom skip: panel joins ride broadcasts; probe never hits lineitem
+    p = props("file_bloom_skip_audit")
+    assert p["broadcast_joins"] + p["broadcast_nl_joins"] >= 2
+    assert p["range_shuffles"] == 0
+    # curation filters: scan-fused single aggregates
+    for name in ("gopher_rules_audit", "repetition_filter_audit"):
+        p = props(name)
+        assert p["scans"] <= 2, name
+        assert p["range_shuffles"] == 0, name
+    # packing: one scan, shard-partitioned window only
+    p = props("token_stream_packing")
+    assert p["scans"] == 1
+    assert p["unpartitioned_windows"] == 0
+    # hill: TakeOrdered only — zero shuffles
+    p = props("hill_tail_index")
+    assert p["shuffles"] == 0
+    assert p["range_shuffles"] == 0
