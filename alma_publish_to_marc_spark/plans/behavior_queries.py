@@ -4739,3 +4739,84 @@ FROM folded CROSS JOIN ns
 """
 
 QUERIES["logrank_test"] = (logrank_test, _LOGRANK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# interval_union_length: per-user covered time from overlapping intervals
+# ---------------------------------------------------------------------------
+IVU_BUCKET_S = 3600 * 4   # 4-hour histogram buckets of covered time
+
+
+def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered time per user when each event opens an interval
+    [ts, ts + dur) (dur derives deterministically from the value:
+    cents % 3600 + 60 seconds) and overlaps must not double-count —
+    the classic interval-union sweep, reported as a bounded histogram
+    of per-user covered hours. The pattern behind billable-time,
+    machine-uptime, and session-coverage questions.
+
+    The sweep is one window per user ordered by start: each interval
+    contributes max(0, end − max(start, max_prev_end)) where
+    max_prev_end is the running max of ends over PRECEDING rows —
+    exact integer microseconds, no fold.
+
+    Scale: one keyed shuffle (user windows); the histogram reduce is
+    map-side combinable. Never a global sort.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("s"),
+        F.expr("(cast(round(value * 100) as bigint) % 3600 + 60)"
+               " * 1000000").alias("dur_us"))
+    w = (Window.partitionBy("user_id").orderBy("s", "e")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    iv = (ev.select("user_id", "s", (F.col("s") + F.col("dur_us"))
+                    .alias("e"))
+          .withColumn("prev_max_e", F.max("e").over(w))
+          .select("user_id",
+                  F.greatest(
+                      F.lit(0),
+                      F.col("e") - F.greatest(
+                          F.col("s"),
+                          F.coalesce("prev_max_e", F.col("s"))))
+                  .alias("cov_us")))
+    per_user = (iv.groupBy("user_id")
+                .agg(F.expr("sum(cov_us) div 1000000").alias("cov_s")))
+    return (per_user
+            .groupBy(F.expr(f"cov_s div {IVU_BUCKET_S}")
+                      .alias("cov_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.sum("cov_s").cast("long").alias("sum_covered_s")))
+
+
+_IVU_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         (CAST(round(value * 100) AS BIGINT) % 3600 + 60) * 1000000
+             AS dur_us
+  FROM events
+),
+iv AS (
+  SELECT user_id,
+         greatest(0, e - greatest(s, coalesce(prev_max_e, s))) AS cov_us
+  FROM (
+    SELECT user_id, s, s + dur_us AS e,
+           max(s + dur_us) OVER (PARTITION BY user_id
+               ORDER BY s, s + dur_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+    FROM ev
+  )
+),
+per_user AS (
+  SELECT user_id, CAST(sum(cov_us) AS BIGINT) // 1000000 AS cov_s
+  FROM iv GROUP BY 1
+)
+SELECT cov_s // {IVU_BUCKET_S} AS cov_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cov_s) AS BIGINT) AS sum_covered_s
+FROM per_user
+GROUP BY 1
+"""
+
+QUERIES["interval_union_length"] = (interval_union_length, _IVU_SQL)

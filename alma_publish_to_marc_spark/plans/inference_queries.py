@@ -1412,3 +1412,143 @@ FROM terms t CROSS JOIN xk x
 """
 
 QUERIES["hill_tail_index"] = (_hill_tail_index, _HILL_SQL)
+
+
+# --------------------------------------------------------------------------
+# pinball_quantile_fit: grid-search quantile estimation by pinball loss
+# --------------------------------------------------------------------------
+PIN_Q10 = 9            # target quantile q = 0.9, in tenths
+PIN_GRID_STEP = 250    # candidate spacing, cents
+PIN_GRID_N = 81        # candidates 0, 250, ..., 20000 cents
+
+
+def _pinball_quantile_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation the ML way: per event type, grid-search the
+    value c minimizing the pinball (quantile) loss Σ max(q·(x−c),
+    (q−1)·(x−c)) at q = 0.9 — the loss a quantile regressor optimizes,
+    here solved exactly on a bounded candidate grid. Loss is exact
+    int64 in tenths (q = 9/10): x > c contributes 9·(x−c), else
+    1·(c−x); the winner is a struct-min with the candidate as
+    tie-break.
+
+    Scale: ONE corpus scan exploded ×{PIN_GRID_N} candidates,
+    map-side combinable to |types|·{PIN_GRID_N} groups; the argmin
+    runs on that bounded table.
+    """
+    grid = F.explode(F.array(*[F.lit(j * PIN_GRID_STEP)
+                               for j in range(PIN_GRID_N)]))
+    losses = (load(spark, sf_dir, "events")
+              .select("event_type",
+                      F.round(F.col("value") * 100).cast("long").alias("x"))
+              .select("event_type", "x", grid.alias("c"))
+              .groupBy("event_type", "c")
+              .agg(F.sum(F.expr(
+                  f"case when x > c then {PIN_Q10} * (x - c)"
+                  f" else {10 - PIN_Q10} * (c - x) end"))
+                  .alias("loss10")))
+    return (losses.groupBy("event_type")
+            .agg(F.min(F.struct("loss10", "c")).alias("m"))
+            .select("event_type", F.col("m.c").alias("best_c_cents"),
+                    F.col("m.loss10").alias("loss10")))
+
+
+def _pinball_sql() -> str:
+    return f"""
+WITH losses AS (
+  SELECT event_type, c,
+         CAST(sum(CASE WHEN x > c THEN {PIN_Q10} * (x - c)
+                       ELSE {10 - PIN_Q10} * (c - x) END) AS BIGINT)
+             AS loss10
+  FROM (SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x FROM events)
+  CROSS JOIN (SELECT unnest(range(0, {PIN_GRID_N}))
+                     * {PIN_GRID_STEP} AS c)
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       (min(struct_pack(loss10 := loss10, c := c))).c AS best_c_cents,
+       (min(struct_pack(loss10 := loss10, c := c))).loss10 AS loss10
+FROM losses
+GROUP BY 1
+"""
+
+
+QUERIES["pinball_quantile_fit"] = (_pinball_quantile_fit, _pinball_sql())
+
+
+# --------------------------------------------------------------------------
+# regression_discontinuity: local-mean jump at a running-variable cutoff
+# --------------------------------------------------------------------------
+RD_CUTOFF_C = 15_000_000   # $150k order total, cents
+RD_BANDWIDTH_C = 3_000_000  # +/- $30k window
+
+
+def _regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate: does the outcome
+    (lineitems per order) jump at the ``RD_CUTOFF_C`` order-value
+    cutoff? Local means within ``RD_BANDWIDTH_C`` on each side —
+    exact integer sums, e6-floored means, the RD estimate is their
+    difference. The causal-inference sibling of did_estimator /
+    cuped_variance_reduction.
+
+    Scale: orders filters to the bandwidth at the SCAN (pushed
+    range predicate); the outcome join is one keyed shuffle of only
+    the in-band orders; the report is a 1-row reduce.
+    """
+    lo, hi = RD_CUTOFF_C - RD_BANDWIDTH_C, RD_CUTOFF_C + RD_BANDWIDTH_C
+    orders = (load(spark, sf_dir, "orders")
+              .select("o_orderkey",
+                      F.round(F.col("o_totalprice") * 100).cast("long")
+                       .alias("r"))
+              .where((F.col("r") >= lo) & (F.col("r") < hi)))
+    items = (load(spark, sf_dir, "lineitem")
+             .groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    side = (orders.join(items, orders.o_orderkey == items.l_orderkey)
+            .select((F.col("r") >= RD_CUTOFF_C).cast("int").alias("above"),
+                    "y"))
+    agg = (side.groupBy("above")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("y").cast("long").alias("sy"))
+           .select("above", "n", "sy",
+                   F.expr("(1000000 * sy) div n").alias("mean_y_e6")))
+    lo_side = agg.where(F.col("above") == 0).select(
+        F.col("n").alias("n_below"), F.col("mean_y_e6").alias("mean_below_e6"))
+    hi_side = agg.where(F.col("above") == 1).select(
+        F.col("n").alias("n_above"), F.col("mean_y_e6").alias("mean_above_e6"))
+    return (lo_side.crossJoin(hi_side)
+            .select("n_below", "n_above", "mean_below_e6", "mean_above_e6",
+                    (F.col("mean_above_e6") - F.col("mean_below_e6"))
+                    .alias("rd_estimate_e6")))
+
+
+_RD_SQL = f"""
+WITH orders_b AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS r
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+            >= {RD_CUTOFF_C - RD_BANDWIDTH_C}
+    AND CAST(round(o_totalprice * 100) AS BIGINT)
+            < {RD_CUTOFF_C + RD_BANDWIDTH_C}
+),
+items AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+),
+agg AS (
+  SELECT CASE WHEN r >= {RD_CUTOFF_C} THEN 1 ELSE 0 END AS above,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+  FROM orders_b o JOIN items i ON o.o_orderkey = i.l_orderkey
+  GROUP BY 1
+)
+SELECT b.n AS n_below, a.n AS n_above,
+       (1000000 * b.sy) // b.n AS mean_below_e6,
+       (1000000 * a.sy) // a.n AS mean_above_e6,
+       (1000000 * a.sy) // a.n - (1000000 * b.sy) // b.n
+           AS rd_estimate_e6
+FROM (SELECT * FROM agg WHERE above = 0) b
+CROSS JOIN (SELECT * FROM agg WHERE above = 1) a
+"""
+
+QUERIES["regression_discontinuity"] = (
+    _regression_discontinuity, _RD_SQL)

@@ -408,9 +408,101 @@ GROUP BY 1
 
 
 
+
+# ---------------------------------------------------------------------------
+# two_hop_reachability: bounded BFS frontier expansion from a seed panel
+# ---------------------------------------------------------------------------
+HOP_SEED_MOD = 101      # seed candidates: event_id % 101 == 0
+HOP_SEED_CAP = 32       # panel bounded regardless of corpus size
+
+
+def two_hop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS frontier sizes at hops 1 and 2 from a deterministic seed
+    panel over the radius proximity graph — the bounded multi-hop
+    expansion every graph system benchmarks (friend-of-friend reach,
+    blast-radius estimates). Per seed: |N1| and |N≤2| (distinct nodes
+    within two hops, seed excluded).
+
+    Scale: hop 1 filters the edge list to the seed panel (broadcast
+    semi); hop 2 expands ONLY the seeds' wedges (|seeds|·deg² rows,
+    never the full wedge set); distinct-union per seed is one keyed
+    aggregate. This is the frontier-at-a-time BFS shape — each hop is
+    a join against the edge list keyed on the frontier.
+    """
+    pts = _points(spark, sf_dir).select(
+        "event_id", "x", "y",
+        F.expr(f"x div {SP_CELL}").alias("cx"),
+        F.expr(f"y div {SP_CELL}").alias("cy"))
+    probe = pts.select(
+        "event_id", "x", "y",
+        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))
+         .alias("cx"), "cy").select(
+        "event_id", "x", "y", "cx",
+        F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)]))
+         .alias("cy"))
+    a, b = probe.alias("a"), pts.alias("b")
+    edges = (a.join(b, ["cx", "cy"])
+             .where((F.col("a.event_id") != F.col("b.event_id"))
+                    & ((F.col("a.x") - F.col("b.x"))
+                       * (F.col("a.x") - F.col("b.x"))
+                       + (F.col("a.y") - F.col("b.y"))
+                       * (F.col("a.y") - F.col("b.y")) <= SP_R2))
+             .select(F.col("a.event_id").alias("u"),
+                     F.col("b.event_id").alias("v")))
+    seeds = (pts.where(F.col("event_id") % HOP_SEED_MOD == 0)
+             .select(F.col("event_id").alias("seed"))
+             .orderBy("seed").limit(HOP_SEED_CAP))
+    h1 = (edges.join(F.broadcast(seeds), edges.u == seeds.seed)
+          .select("seed", F.col("v").alias("n")))
+    h2 = (h1.join(edges, h1.n == edges.u)
+          .where(F.col("v") != F.col("seed"))
+          .select("seed", F.col("v").alias("n")))
+    reach1 = h1.groupBy("seed").agg(
+        F.countDistinct("n").cast("long").alias("n1"))
+    reach2 = (h1.unionByName(h2).groupBy("seed")
+              .agg(F.countDistinct("n").cast("long").alias("n_le2")))
+    return (reach1.join(reach2, "seed")
+            .select(F.col("seed").alias("seed_id"), "n1", "n_le2"))
+
+
+_TWO_HOP_SQL = f"""
+WITH pts AS (
+  SELECT event_id, x, y, x // {SP_CELL} AS cx, y // {SP_CELL} AS cy
+  FROM ({_POINTS_SQL})
+),
+edges AS (
+  SELECT a.event_id AS u, b.event_id AS v
+  FROM pts a JOIN pts b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.event_id <> b.event_id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SP_R2}
+),
+seeds AS (
+  SELECT event_id AS seed FROM pts WHERE event_id % {HOP_SEED_MOD} = 0
+  ORDER BY seed LIMIT {HOP_SEED_CAP}
+),
+h1 AS (
+  SELECT s.seed, e.v AS n FROM edges e JOIN seeds s ON e.u = s.seed
+),
+h2 AS (
+  SELECT h.seed, e.v AS n
+  FROM h1 h JOIN edges e ON h.n = e.u
+  WHERE e.v <> h.seed
+),
+uni AS (SELECT seed, n FROM h1 UNION ALL SELECT seed, n FROM h2)
+SELECT r1.seed AS seed_id, r1.n1, r2.n_le2
+FROM (SELECT seed, CAST(count(DISTINCT n) AS BIGINT) AS n1
+      FROM h1 GROUP BY 1) r1
+JOIN (SELECT seed, CAST(count(DISTINCT n) AS BIGINT) AS n_le2
+      FROM uni GROUP BY 1) r2 ON r1.seed = r2.seed
+"""
+
+
 QUERIES = {
     "grid_neighbor_join": (grid_neighbor_join, _GRID_NBR_SQL),
     "quadtree_tile_rollup": (quadtree_tile_rollup, _qt_sql()),
     "spatial_hotspot_cells": (spatial_hotspot_cells, _hotspot_sql()),
     "boruvka_lightest_edges": (boruvka_lightest_edges, _BORUVKA_SQL),
+    "two_hop_reachability": (two_hop_reachability, _TWO_HOP_SQL),
 }

@@ -214,3 +214,60 @@ def test_hill_estimator_is_positive(spark):
     assert row["hill_e9"] > 0
     assert row["alpha_e6"] > 0
     assert row["xk_cents"] > 0
+
+
+def test_interval_union_never_exceeds_sum(spark):
+    from alma_publish_to_marc_spark.plans.behavior_queries import (
+        interval_union_length,
+    )
+    from alma_publish_to_marc_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = interval_union_length(spark, SF).collect()
+    covered = sum(r["sum_covered_s"] for r in rows)
+    raw = (load(spark, SF, "events")
+           .select(F.expr("(cast(round(value * 100) as bigint) % 3600"
+                          " + 60)").alias("d"))
+           .agg(F.sum("d")).collect()[0][0])
+    # union length <= sum of interval lengths (overlaps removed)
+    assert 0 < covered <= raw
+
+
+def test_two_hop_reach_dominates_one_hop(spark):
+    from alma_publish_to_marc_spark.plans.spatial_queries import (
+        two_hop_reachability,
+    )
+
+    rows = two_hop_reachability(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n1"] <= r["n_le2"]
+
+
+def test_pinball_fit_brackets_the_quantile(spark):
+    from alma_publish_to_marc_spark.plans.inference_queries import (
+        _pinball_quantile_fit,
+    )
+    from alma_publish_to_marc_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = {r["event_type"]: r["best_c_cents"]
+            for r in _pinball_quantile_fit(spark, SF).collect()}
+    exact = (load(spark, SF, "events")
+             .groupBy("event_type")
+             .agg(F.expr("percentile(round(value * 100), 0.9)")
+                   .alias("p90")).collect())
+    for r in exact:
+        # grid optimum lands within one grid step of the true p90
+        assert abs(rows[r["event_type"]] - r["p90"]) <= 250, r
+
+
+def test_rd_sides_are_populated(spark):
+    from alma_publish_to_marc_spark.plans.inference_queries import (
+        _regression_discontinuity,
+    )
+
+    row = _regression_discontinuity(spark, SF).collect()[0]
+    assert row["n_below"] > 0 and row["n_above"] > 0
+    assert row["rd_estimate_e6"] == (row["mean_above_e6"]
+                                     - row["mean_below_e6"])
