@@ -50,7 +50,12 @@ def _names():
 @pytest.mark.parametrize("name", _names())
 def test_query_matches_oracle(spark, duck, name):
     import __spark_entry__ as e
+    from alma_publish_to_marc_spark import registry
 
+    # a prior test's lingering persist would replace subtrees with
+    # opaque InMemoryTableScans and blind the feeder classifier
+    spark.catalog.clearCache()
+    registry.release_caches()
     df = e.queries()[name](spark, SF_SMOKE)
     feeders = summarize(spark, df)["bounded_stage_feeders"]
     bad = [t for t in feeders if _leaves(t) - _BOUNDED_LEAVES]

@@ -15,10 +15,15 @@ from .conftest import SF_SMOKE
 @pytest.fixture(scope="module")
 def props(spark):
     import __spark_entry__ as e
+    from alma_publish_to_marc_spark import registry
 
     qs = e.queries()
 
     def get(name):
+        # stale persists from earlier tests would swap subtrees for
+        # InMemoryTableScans and make structural counts order-dependent
+        spark.catalog.clearCache()
+        registry.release_caches()
         return summarize(spark, qs[name](spark, SF_SMOKE))
 
     return get
