@@ -589,3 +589,149 @@ def _sh_sql() -> str:
 
 
 QUERIES["successive_halving_plan"] = (successive_halving_plan, _sh_sql())
+
+
+# --------------------------------------------------------------------------
+# price_elasticity_by_brand: log-log OLS demand elasticity per brand
+# --------------------------------------------------------------------------
+
+
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price demand elasticity per part brand: OLS slope of
+    ln(quantity) on ln(unit price) over the brand's lineitems — the
+    pricing team's first regression. Unit price = extendedprice /
+    quantity; both logs are e3-floored integers PER ROW, so all five
+    OLS sums are exact int64 (headroom notes: per-brand n·Σxy stays
+    < 2^63 through ~sf1 at e3 scale); the slope is one double
+    expression over those sums, e6-floored.
+
+    Scale: part's brand rides a broadcast join; ONE map-side
+    aggregate to |brands| rows; slope arithmetic on the bounded brand
+    table.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(floor(1000 * ln(l_extendedprice / l_quantity))"
+               " as bigint)").alias("x"),
+        F.expr("cast(floor(1000 * ln(l_quantity)) as bigint)").alias("y"))
+    brand = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sums = (li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    slope = ("cast(floor(1000000 * (cast(n as double) * sxy"
+             " - cast(sx as double) * sy) / (cast(n as double) * sxx"
+             " - cast(sx as double) * sx)) as bigint)")
+    return sums.select("p_brand", "n", F.expr(slope).alias("elasticity_e6"))
+
+
+_ELASTICITY_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(1000 * ln(l_extendedprice / l_quantity)) AS BIGINT)
+             AS x,
+         CAST(floor(1000 * ln(l_quantity)) AS BIGINT) AS y
+  FROM lineitem
+),
+sums AS (
+  SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n,
+       CAST(floor(1000000 * (CAST(n AS DOUBLE) * sxy
+            - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx
+            - CAST(sx AS DOUBLE) * sx)) AS BIGINT) AS elasticity_e6
+FROM sums
+"""
+
+QUERIES["price_elasticity_by_brand"] = (
+    price_elasticity_by_brand, _ELASTICITY_SQL)
+
+
+# --------------------------------------------------------------------------
+# safety_stock_reorder: per-part safety stock + reorder point
+# --------------------------------------------------------------------------
+SS_LEAD_DAYS = 7
+SS_Z_E6 = 1_645_000     # z for 95% cycle service level, e6
+SS_TOPN = 25
+
+
+def safety_stock_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety stock and reorder point for the ``SS_TOPN`` highest-
+    demand parts: daily demand stats per part from lineitem (exact
+    integer Σq, Σq² over OBSERVED demand days), then the textbook
+    SS = z·σ_d·√L and ROP = μ_d·L + SS (z = 1.645, L = {SS_LEAD_DAYS}
+    days) as single double expressions e6-floored — the inventory
+    planner's companion to newsvendor_stock_level / stockout_detection.
+
+    Scale: one (part, day) aggregate, one per-part reduce, TakeOrdered
+    top-N by total demand; every stage after the first aggregate is
+    part-cardinality-bounded.
+    """
+    daily = (load(spark, sf_dir, "lineitem")
+             .select("l_partkey",
+                     F.expr("unix_micros(cast(l_shipdate as timestamp))"
+                            " div 86400000000").alias("day"),
+                     F.col("l_quantity").cast("long").alias("q"))
+             .groupBy("l_partkey", "day")
+             .agg(F.sum("q").alias("d")))
+    stats = (daily.groupBy("l_partkey")
+             .agg(F.count(F.lit(1)).cast("long").alias("nd"),
+                  F.sum("d").cast("long").alias("sd"),
+                  F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd")))
+    mu = "(cast(sd as double) / nd)"
+    var = f"((cast(sdd as double) - nd * {mu} * {mu}) / (nd - 1))"
+    ss = (f"({SS_Z_E6} / 1e6) * sqrt({var}) * sqrt(cast({SS_LEAD_DAYS}"
+          f" as double))")
+    return (stats.where(F.col("nd") >= 2)
+            .select("l_partkey", "nd", "sd",
+                    F.expr(f"cast(floor(1000000 * {mu}) as bigint)")
+                     .alias("mu_daily_e6"),
+                    F.expr(f"cast(floor(1000000 * {ss}) as bigint)")
+                     .alias("safety_stock_e6"),
+                    F.expr(f"cast(floor(1000000 * ({mu}"
+                           f" * {SS_LEAD_DAYS} + {ss})) as bigint)")
+                     .alias("reorder_point_e6"))
+            .orderBy(F.col("sd").desc(), F.col("l_partkey").asc())
+            .limit(SS_TOPN))
+
+
+_SAFETY_SQL = f"""
+WITH daily AS (
+  SELECT l_partkey, epoch_us(l_shipdate) // 86400000000 AS day,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem GROUP BY 1, 2
+),
+stats AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(d) AS BIGINT) AS sd,
+         CAST(sum(d * d) AS BIGINT) AS sdd
+  FROM daily GROUP BY 1
+)
+SELECT l_partkey, nd, sd,
+       CAST(floor(1000000 * (CAST(sd AS DOUBLE) / nd)) AS BIGINT)
+           AS mu_daily_e6,
+       CAST(floor(1000000 * (({SS_Z_E6} / 1e6)
+            * sqrt((CAST(sdd AS DOUBLE) - nd * (CAST(sd AS DOUBLE) / nd)
+                    * (CAST(sd AS DOUBLE) / nd)) / (nd - 1))
+            * sqrt(CAST({SS_LEAD_DAYS} AS DOUBLE)))) AS BIGINT)
+           AS safety_stock_e6,
+       CAST(floor(1000000 * ((CAST(sd AS DOUBLE) / nd) * {SS_LEAD_DAYS}
+            + ({SS_Z_E6} / 1e6)
+            * sqrt((CAST(sdd AS DOUBLE) - nd * (CAST(sd AS DOUBLE) / nd)
+                    * (CAST(sd AS DOUBLE) / nd)) / (nd - 1))
+            * sqrt(CAST({SS_LEAD_DAYS} AS DOUBLE)))) AS BIGINT)
+           AS reorder_point_e6
+FROM stats
+WHERE nd >= 2
+ORDER BY sd DESC, l_partkey ASC
+LIMIT {SS_TOPN}
+"""
+
+QUERIES["safety_stock_reorder"] = (safety_stock_reorder, _SAFETY_SQL)

@@ -1784,3 +1784,116 @@ FROM (
 
 QUERIES["dictionary_encoding_audit"] = (_dictionary_encoding_audit,
                                         _dict_audit_sql())
+
+
+# ---------------------------------------------------------------------------
+# divergence_suite: the f-divergence family between the two time halves
+# ---------------------------------------------------------------------------
+DIV_BINS = 64
+DIV_WIDTH = 800        # cents per bin (same binning as dp_quantile)
+DIV_SMOOTH = 1         # add-one smoothing: no zero bins in either half
+
+
+def divergence_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL, Jensen–Shannon, squared Hellinger, and total-variation
+    distance between the event-value distributions of the first and
+    second time halves — the drift dashboard's f-divergence row
+    (complements psi_drift_report's PSI and wasserstein_source_shift's
+    EMD). Distributions are add-one-smoothed fixed histograms
+    ({DIV_BINS} bins × {DIV_WIDTH} cents), every per-bin term is
+    e9-floored independently, and the four sums are exact int64 —
+    no float reduction order in the comparison path.
+
+    Scale: ONE scan to (half, bin) counts (map-side combinable,
+    ≤ 2·{DIV_BINS} groups); the divergences are arithmetic on the
+    joined bin table.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.least(F.lit(DIV_BINS - 1),
+                F.expr(f"cast(round(value * 100) as bigint)"
+                       f" div {DIV_WIDTH}")).alias("b"))
+    mid = F.broadcast(ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid")))
+    halves = (ev.crossJoin(mid)
+              .select("b", (F.col("us") >= F.col("mid")).cast("int")
+                       .alias("h"))
+              .groupBy("h", "b").agg(F.count(F.lit(1)).alias("c")))
+    # dense bin spine so add-one smoothing covers EMPTY bins too
+    spine = (spark.range(DIV_BINS).select(F.col("id").alias("b"))
+             .crossJoin(spark.range(2).select(F.col("id").cast("int")
+                                              .alias("h"))))
+    dense = (spine.join(halves, ["h", "b"], "left")
+             .select("h", "b",
+                     (F.coalesce("c", F.lit(0)) + DIV_SMOOTH).alias("c")))
+    tot = dense.groupBy("h").agg(F.sum("c").alias("t"))
+    pq = (dense.join(F.broadcast(tot), "h")
+          .select("b", "h",
+                  F.expr("cast(c as double) / t").alias("p"))
+          .groupBy("b")
+          .agg(F.max(F.when(F.col("h") == 0, F.col("p"))).alias("p"),
+               F.max(F.when(F.col("h") == 1, F.col("p"))).alias("q")))
+    m = "((p + q) / 2)"
+    terms = [
+        "cast(floor(1000000000 * (p * ln(p / q))) as bigint) as kl_t",
+        f"cast(floor(1000000000 * (p * ln(p / {m}) + q * ln(q / {m}))"
+        " / 2) as bigint) as js_t",
+        "cast(floor(1000000000 * (sqrt(p) - sqrt(q))"
+        " * (sqrt(p) - sqrt(q)) / 2) as bigint) as h2_t",
+        "cast(floor(1000000000 * abs(p - q) / 2) as bigint) as tv_t",
+    ]
+    return (pq.selectExpr("b", *terms)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bins"),
+                 F.sum("kl_t").cast("long").alias("kl_e9"),
+                 F.sum("js_t").cast("long").alias("js_e9"),
+                 F.sum("h2_t").cast("long").alias("hellinger2_e9"),
+                 F.sum("tv_t").cast("long").alias("tvd_e9")))
+
+
+def _divergence_sql() -> str:
+    m = "((p + q) / 2)"
+    return f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS us,
+         least({DIV_BINS - 1},
+               CAST(round(value * 100) AS BIGINT) // {DIV_WIDTH}) AS b
+  FROM events
+),
+mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+halves AS (
+  SELECT CASE WHEN us >= (SELECT mid FROM mid) THEN 1 ELSE 0 END AS h,
+         b, count(*) AS c
+  FROM ev GROUP BY 1, 2
+),
+spine AS (
+  SELECT b.b, h.h
+  FROM (SELECT unnest(range(0, {DIV_BINS})) AS b) b
+  CROSS JOIN (SELECT unnest([0, 1]) AS h) h
+),
+dense AS (
+  SELECT s.h, s.b, coalesce(hv.c, 0) + {DIV_SMOOTH} AS c
+  FROM spine s LEFT JOIN halves hv ON s.h = hv.h AND s.b = hv.b
+),
+tot AS (SELECT h, CAST(sum(c) AS BIGINT) AS t FROM dense GROUP BY 1),
+pq AS (
+  SELECT b,
+         max(CASE WHEN d.h = 0 THEN CAST(c AS DOUBLE) / t END) AS p,
+         max(CASE WHEN d.h = 1 THEN CAST(c AS DOUBLE) / t END) AS q
+  FROM dense d JOIN tot USING (h)
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(CAST(floor(1000000000 * (p * ln(p / q))) AS BIGINT))
+            AS BIGINT) AS kl_e9,
+       CAST(sum(CAST(floor(1000000000 * (p * ln(p / {m})
+            + q * ln(q / {m})) / 2) AS BIGINT)) AS BIGINT) AS js_e9,
+       CAST(sum(CAST(floor(1000000000 * (sqrt(p) - sqrt(q))
+            * (sqrt(p) - sqrt(q)) / 2) AS BIGINT)) AS BIGINT)
+           AS hellinger2_e9,
+       CAST(sum(CAST(floor(1000000000 * abs(p - q) / 2) AS BIGINT))
+            AS BIGINT) AS tvd_e9
+FROM pq
+"""
+
+
+QUERIES["divergence_suite"] = (divergence_suite, _divergence_sql())

@@ -86,6 +86,9 @@ HEADLINE = [
     # codec; items tracks the deepest explode (record→holdings→items)
     "publish_split_bibs",
     "publish_split_items",
+    # round 8: the grid-blocked spatial radius self-join — the densest
+    # new join shape (9-cell probe, corpus x corpus equi join)
+    "grid_neighbor_join",
 ]
 
 

@@ -271,3 +271,43 @@ def test_rd_sides_are_populated(spark):
     assert row["n_below"] > 0 and row["n_above"] > 0
     assert row["rd_estimate_e6"] == (row["mean_above_e6"]
                                      - row["mean_below_e6"])
+
+
+def test_divergences_obey_known_inequalities(spark):
+    from alma_publish_to_marc_spark.plans.dq_queries import divergence_suite
+
+    r = divergence_suite(spark, SF).collect()[0]
+    slack = 2 * r["n_bins"]  # per-bin floor slack
+    assert r["kl_e9"] >= -slack
+    assert -slack <= r["js_e9"] <= 693_147_181 + slack  # JS <= ln 2
+    assert -slack <= r["hellinger2_e9"] <= 10 ** 9 + slack
+    assert -slack <= r["tvd_e9"] <= 10 ** 9 + slack
+    # Lin's bound: JS <= TVD·ln2 fails only for disjoint supports;
+    # with add-one smoothing JS stays below ln2·TVD + slack... keep
+    # the cheap universal ones: H^2/2 <= TVD (Le Cam)
+    assert r["hellinger2_e9"] // 2 <= r["tvd_e9"] + slack
+
+
+def test_elasticity_is_negative_where_demand_slopes_down(spark):
+    from alma_publish_to_marc_spark.plans.decision_queries import (
+        price_elasticity_by_brand,
+    )
+
+    rows = price_elasticity_by_brand(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] >= 2
+        # slope is finite and sane (|elasticity| < 100)
+        assert abs(r["elasticity_e6"]) < 100_000_000
+
+
+def test_safety_stock_components_compose(spark):
+    from alma_publish_to_marc_spark.plans.decision_queries import (
+        SS_LEAD_DAYS, safety_stock_reorder,
+    )
+
+    for r in safety_stock_reorder(spark, SF).collect():
+        assert r["safety_stock_e6"] >= 0
+        lower = r["mu_daily_e6"] * SS_LEAD_DAYS + r["safety_stock_e6"]
+        # ROP = mu*L + SS up to the floors' 1e-6 slack
+        assert abs(r["reorder_point_e6"] - lower) <= SS_LEAD_DAYS + 2
