@@ -4820,3 +4820,75 @@ GROUP BY 1
 """
 
 QUERIES["interval_union_length"] = (interval_union_length, _IVU_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sample_ratio_mismatch: the SRM guardrail for a 50/50 assignment
+# ---------------------------------------------------------------------------
+SRM_CHI2_CRIT_E6 = 3_841_459   # chi-square(1) 0.95 critical value, e6
+
+
+def sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check, the experimentation platform's
+    first guardrail: users hash 50/50 into arms (pmod of the md5 of
+    user_id — deterministic, the assignment itself); per DAY the
+    one-degree chi-square statistic against the expected even split,
+    flagged at the 0.95 critical value. A persistent SRM flag means
+    the assignment or logging pipeline is biased and every downstream
+    test is suspect.
+
+    Determinism: per-day arm counts are exact ints (users counted
+    DISTINCT per day); chi2 = (n0−n1)²/(n0+n1) — one double division,
+    e6-floored; the flag is an integer compare.
+
+    Scale: one (day, arm) distinct-user aggregate; the chi2 row set
+    is day-bounded.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+         .alias("day"),
+        "user_id",
+        F.expr("pmod(cast(conv(substr(md5(concat('arm:', cast(user_id"
+               " as string))), 1, 12), 16, 10) as bigint), 2)").alias("arm"))
+    day_arm = (ev.groupBy("day", "arm")
+               .agg(F.countDistinct("user_id").cast("long").alias("n")))
+    pivoted = (day_arm.groupBy("day")
+               .agg(F.sum(F.when(F.col("arm") == 0, F.col("n"))
+                          .otherwise(0)).alias("n0"),
+                    F.sum(F.when(F.col("arm") == 1, F.col("n"))
+                          .otherwise(0)).alias("n1")))
+    chi2 = ("cast(floor(1000000 * (cast(n0 - n1 as double) * (n0 - n1))"
+            " / (n0 + n1)) as bigint)")
+    return pivoted.select(
+        "day", "n0", "n1", F.expr(chi2).alias("chi2_e6"),
+        (F.expr(chi2) > SRM_CHI2_CRIT_E6).cast("int").alias("srm_flag"))
+
+
+_SRM_SQL = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+         (((CAST('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)),
+            1, 12) AS BIGINT) % 2) + 2) % 2) AS arm
+  FROM events
+),
+day_arm AS (
+  SELECT day, arm, CAST(count(DISTINCT user_id) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+pivoted AS (
+  SELECT day,
+         CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n1
+  FROM day_arm GROUP BY 1
+)
+SELECT day, n0, n1,
+       CAST(floor(1000000 * (CAST(n0 - n1 AS DOUBLE) * (n0 - n1))
+            / (n0 + n1)) AS BIGINT) AS chi2_e6,
+       CAST(CASE WHEN CAST(floor(1000000 * (CAST(n0 - n1 AS DOUBLE)
+                 * (n0 - n1)) / (n0 + n1)) AS BIGINT)
+                 > {SRM_CHI2_CRIT_E6} THEN 1 ELSE 0 END AS INT)
+           AS srm_flag
+FROM pivoted
+"""
+
+QUERIES["sample_ratio_mismatch"] = (sample_ratio_mismatch, _SRM_SQL)

@@ -20,7 +20,7 @@ with DuckDB oracles; scale notes on each query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -1006,3 +1006,94 @@ FROM arms
 
 QUERIES["vocab_ablation_curve"] = (vocab_ablation_curve,
                                    _vocab_ablation_sql())
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage_at_k: token-occurrence share covered by the top-k vocab
+# ---------------------------------------------------------------------------
+VCK_KS = (10, 50, 100, 500)
+
+
+def vocab_coverage_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage@k of the corpus vocabulary: for each k, the share of
+    ALL token occurrences covered by the k most frequent types (ties
+    on the token string) — the table behind every "a 32k vocab covers
+    99.x% of tokens" claim in a tokenizer design doc.
+
+    The rank over types uses the two-level bucket walk on log2(count)
+    buckets (count-derived, bounded by the frequency range — never a
+    single-partition sort of the vocabulary): rank = cum_before(bucket,
+    counts DESC) + bucket-local rank.
+
+    Scale: one scan to type counts (map-side combinable); bucket table
+    ≤ 64 rows; the k-probe explodes a 4-literal array against the
+    top-max(k) slice.
+    """
+    toks = (load(spark, sf_dir, "documents")
+            .select(F.explode(F.expr(
+                "filter(split(trim(lower(text)), '\\\\s+'), t -> t <> '')"))
+                .alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c")))
+    # log2 buckets of count: DESC rank = cum of STRICTLY-bigger buckets
+    rows = toks.withColumn("bkt", F.expr("length(bin(c)) - 1"))
+    b = rows.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    cumb = (b.alias("a")
+            .join(F.broadcast(b.select(F.col("bkt").alias("cb"),
+                                       F.col("bn").alias("cn"))),
+                  F.col("cb") > F.col("a.bkt"), "left")
+            .groupBy(F.col("a.bkt").alias("bkt"))
+            .agg(F.coalesce(F.sum("cn"), F.lit(0)).cast("long")
+                  .alias("cum_before")))
+    tot = F.broadcast(toks.agg(F.sum("c").cast("long").alias("t")))
+    wloc = Window.partitionBy("bkt").orderBy(F.col("c").desc(),
+                                             F.col("tok").asc())
+    ranked = (rows.join(F.broadcast(cumb), "bkt")
+              .withColumn("rk", F.col("cum_before")
+                          + F.row_number().over(wloc).cast("long")))
+    ks = F.explode(F.array(*[F.lit(k) for k in VCK_KS])).alias("k")
+    return (ranked.where(F.col("rk") <= max(VCK_KS))
+            .select("c", "rk", ks)
+            .where(F.col("rk") <= F.col("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.sum("c").cast("long").alias("covered"))
+            .crossJoin(tot)
+            .select("k", "n_types", "covered",
+                    F.expr("(1000000 * covered) div t")
+                     .alias("coverage_e6")))
+
+
+def _vck_sql() -> str:
+    ks = " UNION ALL ".join(f"SELECT {k} AS k" for k in VCK_KS)
+    return f"""
+WITH toks AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_filter(string_split(trim(lower(text)), ' '),
+               t -> t <> '')) AS tok FROM documents)
+  GROUP BY 1
+),
+rows_t AS (SELECT tok, c, length(bin(c)) - 1 AS bkt FROM toks),
+b AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bn FROM rows_t GROUP BY 1),
+cumb AS (
+  SELECT a.bkt, CAST(coalesce(sum(cb.bn), 0) AS BIGINT) AS cum_before
+  FROM b a LEFT JOIN b cb ON cb.bkt > a.bkt
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM toks),
+ranked AS (
+  SELECT r.c,
+         cum_before + CAST(row_number() OVER (PARTITION BY r.bkt
+             ORDER BY r.c DESC, r.tok ASC) AS BIGINT) AS rk
+  FROM rows_t r JOIN cumb USING (bkt)
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS covered,
+       (1000000 * CAST(sum(c) AS BIGINT)) // (SELECT t FROM tot)
+           AS coverage_e6
+FROM ranked JOIN ({ks}) ks ON ranked.rk <= ks.k
+WHERE rk <= {max(VCK_KS)}
+GROUP BY k
+"""
+
+
+QUERIES["vocab_coverage_at_k"] = (vocab_coverage_at_k, _vck_sql())

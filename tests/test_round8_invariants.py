@@ -311,3 +311,31 @@ def test_safety_stock_components_compose(spark):
         lower = r["mu_daily_e6"] * SS_LEAD_DAYS + r["safety_stock_e6"]
         # ROP = mu*L + SS up to the floors' 1e-6 slack
         assert abs(r["reorder_point_e6"] - lower) <= SS_LEAD_DAYS + 2
+
+
+def test_srm_split_is_roughly_even(spark):
+    from alma_publish_to_marc_spark.plans.behavior_queries import (
+        sample_ratio_mismatch,
+    )
+
+    rows = sample_ratio_mismatch(spark, SF).collect()
+    assert rows
+    flagged = sum(r["srm_flag"] for r in rows)
+    # a correct md5 hash split should rarely flag (chi2 > crit on
+    # ~5% of days by construction)
+    assert flagged <= max(2, len(rows) // 4)
+    for r in rows:
+        assert r["n0"] > 0 and r["n1"] > 0
+
+
+def test_vocab_coverage_monotone_in_k(spark):
+    from alma_publish_to_marc_spark.plans.lm_queries import (
+        vocab_coverage_at_k,
+    )
+
+    rows = {r["k"]: r for r in vocab_coverage_at_k(spark, SF).collect()}
+    ks = sorted(rows)
+    for a, b in zip(ks, ks[1:]):
+        assert rows[a]["coverage_e6"] <= rows[b]["coverage_e6"]
+        assert rows[a]["n_types"] <= rows[b]["n_types"] <= b
+    assert rows[ks[-1]]["coverage_e6"] <= 1_000_000
