@@ -1563,3 +1563,84 @@ GROUP BY k
 
 
 QUERIES["pass_at_k_estimator"] = (_pass_at_k, _pk_sql())
+
+
+# --------------------------------------------------------------------------
+# best_of_n_gain: the BoN sampling quality curve
+# --------------------------------------------------------------------------
+BON_ATTEMPTS = 8
+BON_NS = (1, 2, 4, 8)
+
+
+def _best_of_n_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n sampling gain curve (the RLHF/BoN ladder): every
+    document is a task whose ``BON_ATTEMPTS`` attempts score a
+    deterministic base quality (length residue) plus seeded md5 noise;
+    for each n in {BON_NS} the curve reports the corpus mean of the
+    best score among the FIRST n attempts — how much quality one buys
+    with more samples, measured exactly (integer scores, one e6
+    division per n).
+
+    Scale: one scan explodes ×{BON_ATTEMPTS}; per-task conditional
+    maxes are one map-side-combinable aggregate; the curve is a 1-row
+    reduce reshaped to {len(BON_NS)} rows via a literal explode.
+    """
+    attempts = F.explode(F.array(*[F.lit(j) for j in range(BON_ATTEMPTS)]))
+    scored = (load(spark, sf_dir, "documents")
+              .select("doc_id", (F.col("n_chars") % 500).alias("base"))
+              .select("doc_id", "base", attempts.alias("j"))
+              .select("doc_id", "j",
+                      (F.col("base")
+                       + F.expr("cast(conv(substr(md5(concat('bon', j,"
+                                " ':', cast(doc_id as string))), 1, 12),"
+                                " 16, 10) as bigint) % 500").cast("long"))
+                      .alias("s")))
+    per_task = scored.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("j") < n, F.col("s"))).alias(f"b{n}")
+        for n in BON_NS])
+    sums = per_task.agg(
+        F.count(F.lit(1)).cast("long").alias("nt"),
+        *[F.sum(f"b{n}").cast("long").alias(f"s{n}") for n in BON_NS])
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(n).alias("n"),
+                 F.col(f"s{n}").alias("sumv")) for n in BON_NS])).alias("p")
+    return (sums.select("nt", pairs)
+            .select(F.col("p.n").alias("n"),
+                    F.col("nt").alias("n_tasks"),
+                    F.expr("(1000000 * p.sumv) div nt")
+                     .alias("mean_best_e6")))
+
+
+def _bon_sql() -> str:
+    cols = ",\n         ".join(
+        f"CAST(sum(b{n}) AS BIGINT) AS s{n}" for n in BON_NS)
+    maxes = ",\n         ".join(
+        f"max(CASE WHEN j < {n} THEN s END) AS b{n}" for n in BON_NS)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {n} AS n, nt AS n_tasks,"
+        f" (1000000 * s{n}) // nt AS mean_best_e6 FROM sums"
+        for n in BON_NS)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, j,
+         (n_chars % 500)
+         + CAST('0x' || substr(md5('bon' || CAST(j AS VARCHAR) || ':'
+               || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 500 AS s
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, {BON_ATTEMPTS})) AS j)
+),
+per_task AS (
+  SELECT doc_id,
+         {maxes}
+  FROM scored GROUP BY 1
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS nt,
+         {cols}
+  FROM per_task
+)
+{sel}
+"""
+
+
+QUERIES["best_of_n_gain"] = (_best_of_n_gain, _bon_sql())

@@ -620,3 +620,168 @@ LEFT JOIN truth t USING (p_partkey)
 
 
 QUERIES["file_bloom_skip_audit"] = (file_bloom_skip_audit, _BLOOM_SKIP_SQL)
+
+
+# --------------------------------------------------------------------------
+# denormalization_cost_audit: star schema vs one wide table, priced in bytes
+# --------------------------------------------------------------------------
+_DN_STR = {
+    "lineitem": ("l_returnflag", "l_linestatus"),
+    "orders": ("o_orderstatus", "o_orderpriority"),
+    "customer": ("c_name", "c_mktsegment"),
+    "part": ("p_name", "p_brand", "p_type"),
+    "supplier": ("s_name",),
+}
+_DN_NUM = {  # 8-byte numeric/date columns carried by each table
+    "lineitem": 9, "orders": 4, "customer": 3, "part": 3, "supplier": 3,
+}
+
+
+def denormalization_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse-design question priced exactly: how many bytes
+    does denormalizing the star (lineitem ⋈ orders ⋈ customer ⋈ part
+    ⋈ supplier) into ONE wide table cost versus keeping the star?
+    Per-row bytes = Σ length(string cols) + 8·numeric cols (the
+    uncompressed-row model; length == bytes on this ASCII corpus, and
+    DuckDB 1.0 has no octet_length for VARCHAR); the wide total NEVER materializes the
+    wide table — each dimension's contribution is its per-row bytes
+    weighted by how many fact rows join to it (a count-weighted sum).
+    Output per table: star bytes, wide-contribution bytes, and the
+    amplification factor e6.
+
+    Scale: one scan per table for byte sums; the fact-weighting is a
+    keyed count aggregate joined to per-row dim bytes (hash joins on
+    the keys — dims are NOT assumed broadcastable); the report is
+    |tables| rows.
+    """
+    def row_bytes(tbl, alias):
+        cols = [f"length({c})" for c in _DN_STR[tbl]]
+        cols.append(str(8 * _DN_NUM[tbl]))
+        return F.expr(" + ".join(cols)).cast("long").alias(alias)
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        row_bytes("lineitem", "rb"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", row_bytes("orders", "rb"))
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", row_bytes("customer", "rb"))
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", row_bytes("part", "rb"))
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", row_bytes("supplier", "rb"))
+
+    star = {t: df.agg(F.sum("rb").cast("long").alias("sb"),
+                      F.count(F.lit(1)).cast("long").alias("n"))
+            for t, df in (("lineitem", li), ("orders", orders),
+                          ("customer", cust), ("part", part),
+                          ("supplier", supp))}
+    # fact-rows-per-key weights
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("w"))
+    o_w = (orders.join(per_order, orders.o_orderkey == per_order.l_orderkey)
+           .select("o_custkey", "rb", "w"))
+    wide_orders = o_w.agg(F.sum(F.col("rb") * F.col("w")).cast("long")
+                          .alias("wb"))
+    per_cust = o_w.groupBy("o_custkey").agg(F.sum("w").alias("w"))
+    wide_cust = (cust.join(per_cust, cust.c_custkey == per_cust.o_custkey)
+                 .agg(F.sum(F.col("rb") * F.col("w")).cast("long")
+                       .alias("wb")))
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("w"))
+    wide_part = (part.join(per_part, part.p_partkey == per_part.l_partkey)
+                 .agg(F.sum(F.col("rb") * F.col("w")).cast("long")
+                       .alias("wb")))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("w"))
+    wide_supp = (supp.join(per_supp, supp.s_suppkey == per_supp.l_suppkey)
+                 .agg(F.sum(F.col("rb") * F.col("w")).cast("long")
+                       .alias("wb")))
+    wide_li = li.agg(F.sum("rb").cast("long").alias("wb"))
+
+    wides = {"lineitem": wide_li, "orders": wide_orders,
+             "customer": wide_cust, "part": wide_part,
+             "supplier": wide_supp}
+    out = None
+    for t in ("lineitem", "orders", "customer", "part", "supplier"):
+        row = (star[t].crossJoin(F.broadcast(wides[t]))
+               .select(F.lit(t).alias("table_name"),
+                       F.col("sb").alias("star_bytes"),
+                       F.col("wb").alias("wide_bytes"),
+                       F.expr("(1000000 * wb) div sb")
+                        .alias("amplification_e6")))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _dn_sql() -> str:
+    def rb(tbl):
+        cols = [f"length({c})" for c in _DN_STR[tbl]]
+        cols.append(str(8 * _DN_NUM[tbl]))
+        return " + ".join(cols)
+
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST({rb('lineitem')} AS BIGINT) AS rb
+  FROM lineitem
+),
+o AS (SELECT o_orderkey, o_custkey, CAST({rb('orders')} AS BIGINT) AS rb
+      FROM orders),
+c AS (SELECT c_custkey, CAST({rb('customer')} AS BIGINT) AS rb
+      FROM customer),
+p AS (SELECT p_partkey, CAST({rb('part')} AS BIGINT) AS rb FROM part),
+s AS (SELECT s_suppkey, CAST({rb('supplier')} AS BIGINT) AS rb
+      FROM supplier),
+per_order AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS w
+              FROM li GROUP BY 1),
+o_w AS (
+  SELECT o.o_custkey, o.rb, po.w
+  FROM o JOIN per_order po ON o.o_orderkey = po.l_orderkey
+),
+per_cust AS (SELECT o_custkey, CAST(sum(w) AS BIGINT) AS w
+             FROM o_w GROUP BY 1),
+per_part AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS w
+             FROM li GROUP BY 1),
+per_supp AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS w
+             FROM li GROUP BY 1)
+SELECT 'lineitem' AS table_name,
+       CAST((SELECT sum(rb) FROM li) AS BIGINT) AS star_bytes,
+       CAST((SELECT sum(rb) FROM li) AS BIGINT) AS wide_bytes,
+       (1000000 * CAST((SELECT sum(rb) FROM li) AS BIGINT))
+           // CAST((SELECT sum(rb) FROM li) AS BIGINT) AS amplification_e6
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT sum(rb) FROM o) AS BIGINT),
+       CAST((SELECT sum(rb * w) FROM o_w) AS BIGINT),
+       (1000000 * CAST((SELECT sum(rb * w) FROM o_w) AS BIGINT))
+           // CAST((SELECT sum(rb) FROM o) AS BIGINT)
+UNION ALL
+SELECT 'customer',
+       CAST((SELECT sum(rb) FROM c) AS BIGINT),
+       CAST((SELECT sum(c.rb * pc.w) FROM c
+             JOIN per_cust pc ON c.c_custkey = pc.o_custkey) AS BIGINT),
+       (1000000 * CAST((SELECT sum(c.rb * pc.w) FROM c
+            JOIN per_cust pc ON c.c_custkey = pc.o_custkey) AS BIGINT))
+           // CAST((SELECT sum(rb) FROM c) AS BIGINT)
+UNION ALL
+SELECT 'part',
+       CAST((SELECT sum(rb) FROM p) AS BIGINT),
+       CAST((SELECT sum(p.rb * pp.w) FROM p
+             JOIN per_part pp ON p.p_partkey = pp.l_partkey) AS BIGINT),
+       (1000000 * CAST((SELECT sum(p.rb * pp.w) FROM p
+            JOIN per_part pp ON p.p_partkey = pp.l_partkey) AS BIGINT))
+           // CAST((SELECT sum(rb) FROM p) AS BIGINT)
+UNION ALL
+SELECT 'supplier',
+       CAST((SELECT sum(rb) FROM s) AS BIGINT),
+       CAST((SELECT sum(s.rb * ps.w) FROM s
+             JOIN per_supp ps ON s.s_suppkey = ps.l_suppkey) AS BIGINT),
+       (1000000 * CAST((SELECT sum(s.rb * ps.w) FROM s
+            JOIN per_supp ps ON s.s_suppkey = ps.l_suppkey) AS BIGINT))
+           // CAST((SELECT sum(rb) FROM s) AS BIGINT)
+"""
+
+
+QUERIES["denormalization_cost_audit"] = (
+    denormalization_cost_audit, _dn_sql())

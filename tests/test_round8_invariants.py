@@ -339,3 +339,30 @@ def test_vocab_coverage_monotone_in_k(spark):
         assert rows[a]["coverage_e6"] <= rows[b]["coverage_e6"]
         assert rows[a]["n_types"] <= rows[b]["n_types"] <= b
     assert rows[ks[-1]]["coverage_e6"] <= 1_000_000
+
+
+def test_best_of_n_curve_is_monotone(spark):
+    from alma_publish_to_marc_spark.plans.eval_queries import (
+        _best_of_n_gain,
+    )
+
+    rows = {r["n"]: r["mean_best_e6"]
+            for r in _best_of_n_gain(spark, SF).collect()}
+    ns = sorted(rows)
+    for a, b in zip(ns, ns[1:]):
+        assert rows[a] <= rows[b]          # more samples never hurt
+    assert rows[ns[-1]] <= 999 * 1_000_000  # scores bounded by 998
+
+
+def test_denormalization_amplifies_dims_only(spark):
+    from alma_publish_to_marc_spark.plans.storage_queries import (
+        denormalization_cost_audit,
+    )
+
+    rows = {r["table_name"]: r for r in
+            denormalization_cost_audit(spark, SF).collect()}
+    assert rows["lineitem"]["amplification_e6"] == 1_000_000
+    for t in ("orders", "customer", "part", "supplier"):
+        # every dim row is repeated per joining fact row
+        assert rows[t]["wide_bytes"] >= rows[t]["star_bytes"] // 2
+        assert rows[t]["amplification_e6"] > 0
