@@ -1985,7 +1985,11 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     <=K picked docs — broadcast-sized at any corpus scale) plus a
     map-side-combinable count and a 1-row argmax collect — the
     driver-paced shape of the BPE trainer and MMR. K rounds = K tiny
-    jobs, one incidence build total.
+    jobs, one incidence build total. (Round 8 measured two
+    alternatives — threading the shrinking incidence with per-round
+    persists, and as pure lineage — at 4.4 s and 6.2 s vs 3.4 s for
+    this shape at sf0.1; recomputing covered from the CACHED dt wins
+    at K = 5.)
     """
     from pyspark import StorageLevel
 
