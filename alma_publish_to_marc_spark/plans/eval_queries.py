@@ -1644,3 +1644,81 @@ sums AS (
 
 
 QUERIES["best_of_n_gain"] = (_best_of_n_gain, _bon_sql())
+
+
+# --------------------------------------------------------------------------
+# mcnemar_paired_test: paired comparison of two models on the same tasks
+# --------------------------------------------------------------------------
+MC_CHI2_CRIT_E6 = 3_841_459   # chi-square(1) 0.95
+
+
+def _mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test — THE statistic for "is model B actually better
+    than model A on the same eval set": two deterministic pseudo-models
+    grade every document (each correct when its seeded md5 uniform
+    clears a model-specific difficulty; model B gets a +5pt edge), the
+    test looks ONLY at discordant pairs b (A right, B wrong) and c
+    (A wrong, B right): chi2 = (|b−c|−1)²/(b+c) with continuity
+    correction, exact integers except one final division.
+
+    Scale: one scan, one map-side 2×2 reduce; the statistic is a
+    1-row expression.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (30 + F.col("n_chars") % 40).alias("diff"))
+
+    def correct(tag, edge):
+        return (F.expr(f"cast(conv(substr(md5(concat('{tag}:',"
+                       f" cast(doc_id as string))), 1, 12), 16, 10)"
+                       f" as bigint) % 100")
+                < F.col("diff") + edge).cast("int")
+
+    graded = docs.select(correct("mA", 0).alias("a_ok"),
+                         correct("mB", 5).alias("b_ok"))
+    cells = graded.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((F.col("a_ok") == 1) & (F.col("b_ok") == 0)).cast("long"))
+         .alias("b"),
+        F.sum(((F.col("a_ok") == 0) & (F.col("b_ok") == 1)).cast("long"))
+         .alias("c"),
+        F.sum("a_ok").cast("long").alias("a_correct"),
+        F.sum("b_ok").cast("long").alias("b_correct"))
+    chi2 = ("cast(floor(1000000 * (cast(abs(b - c) - 1 as double)"
+            " * (abs(b - c) - 1)) / (b + c)) as bigint)")
+    return cells.select(
+        "n", "a_correct", "b_correct", "b", "c",
+        F.expr(chi2).alias("chi2_e6"),
+        (F.expr(chi2) > MC_CHI2_CRIT_E6).cast("int").alias("significant"))
+
+
+_MCNEMAR_SQL = f"""
+WITH graded AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5('mA:'
+              || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100
+              < 30 + n_chars % 40 THEN 1 ELSE 0 END AS a_ok,
+         CASE WHEN CAST('0x' || substr(md5('mB:'
+              || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100
+              < 30 + n_chars % 40 + 5 THEN 1 ELSE 0 END AS b_ok
+  FROM documents
+),
+cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(sum(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(sum(a_ok) AS BIGINT) AS a_correct,
+         CAST(sum(b_ok) AS BIGINT) AS b_correct
+  FROM graded
+)
+SELECT n, a_correct, b_correct, b, c,
+       CAST(floor(1000000 * (CAST(abs(b - c) - 1 AS DOUBLE)
+            * (abs(b - c) - 1)) / (b + c)) AS BIGINT) AS chi2_e6,
+       CAST(CASE WHEN CAST(floor(1000000 * (CAST(abs(b - c) - 1
+                 AS DOUBLE) * (abs(b - c) - 1)) / (b + c)) AS BIGINT)
+                 > {MC_CHI2_CRIT_E6} THEN 1 ELSE 0 END AS INT)
+           AS significant
+FROM cells
+"""
+
+QUERIES["mcnemar_paired_test"] = (_mcnemar_paired_test, _MCNEMAR_SQL)

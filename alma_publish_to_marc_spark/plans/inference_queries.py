@@ -1552,3 +1552,91 @@ CROSS JOIN (SELECT * FROM agg WHERE above = 1) a
 
 QUERIES["regression_discontinuity"] = (
     _regression_discontinuity, _RD_SQL)
+
+
+# --------------------------------------------------------------------------
+# odds_ratio_ci: 2x2 effect size, exact-rational OR + Woolf significance
+# --------------------------------------------------------------------------
+OR_Z95_E6 = 1_959_964   # z for the 95% level, e6
+
+
+def _odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio for each event type vs the rest (exposure = the
+    type, outcome = value ≥ $50), with Haldane–Anscombe +0.5 cells.
+    Every REPORTED number is exact rational integer arithmetic:
+    or_e6 = ⌊1e6·(2a+1)(2d+1)/((2b+1)(2c+1))⌋ (the ×2 trick clears
+    the halves) and Woolf's se² as Σ⌊2e9/(2x+1)⌋ per cell — no
+    floored transcendental ever crosses the engine boundary (a first
+    draft floored ln/sqrt and hit a genuine 1-ulp libm divergence at
+    sf0.1). Significance (CI excludes OR = 1) is the Woolf test
+    (ln OR)² > z²·se² evaluated as a double COMPARISON — a boolean
+    can only flip if the two engines straddle the threshold, which the
+    e6/e9 ledger columns would expose.
+
+    Int64 headroom: (2a+1)(2d+1)·1e6 stays < 2^63 through ~sf1.
+
+    Scale: ONE map-side aggregate to |types| 2×2 rows; all math on
+    the bounded type table.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.round(F.col("value") * 100).cast("long") >= 5000)
+        .cast("long").alias("hi"))
+    per = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("hi").cast("long").alias("a")))
+    tot = F.broadcast(per.agg(F.sum("n").alias("nn"),
+                              F.sum("a").alias("aa")))
+    cells = (per.crossJoin(tot)
+             .select("event_type",
+                     F.col("a").alias("a"),
+                     (F.col("n") - F.col("a")).alias("b"),
+                     (F.col("aa") - F.col("a")).alias("c"),
+                     (F.col("nn") - F.col("n") - F.col("aa") + F.col("a"))
+                     .alias("d")))
+    se2 = ("(2000000000 div (2 * a + 1) + 2000000000 div (2 * b + 1)"
+           " + 2000000000 div (2 * c + 1) + 2000000000 div (2 * d + 1))")
+    lor = ("ln((cast(2 * a + 1 as double) * (2 * d + 1))"
+           " / (cast(2 * b + 1 as double) * (2 * c + 1)))")
+    zz = OR_Z95_E6 * OR_Z95_E6  # z^2, e12
+    return cells.select(
+        "event_type", "a", "b", "c", "d",
+        F.expr("(1000000 * (2 * a + 1) * (2 * d + 1))"
+               " div ((2 * b + 1) * (2 * c + 1))").alias("or_e6"),
+        F.expr(se2).alias("se2_e9"),
+        F.expr(f"cast(({lor}) * ({lor})"
+               f" > ({zz} / 1e12) * ({se2} / 1e9) as int)")
+         .alias("significant"))
+
+
+def _or_sql() -> str:
+    se2 = ("(2000000000 // (2 * a + 1) + 2000000000 // (2 * b + 1)"
+           " + 2000000000 // (2 * c + 1) + 2000000000 // (2 * d + 1))")
+    lor = ("ln((CAST(2 * a + 1 AS DOUBLE) * (2 * d + 1))"
+           " / (CAST(2 * b + 1 AS DOUBLE) * (2 * c + 1)))")
+    zz = OR_Z95_E6 * OR_Z95_E6
+    return f"""
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(a) AS BIGINT) AS aa FROM per),
+cells AS (
+  SELECT event_type, a, n - a AS b, aa - a AS c, nn - n - aa + a AS d
+  FROM per CROSS JOIN tot
+)
+SELECT event_type, a, b, c, d,
+       (1000000 * (2 * a + 1) * (2 * d + 1))
+           // ((2 * b + 1) * (2 * c + 1)) AS or_e6,
+       CAST({se2} AS BIGINT) AS se2_e9,
+       CAST(CASE WHEN ({lor}) * ({lor})
+                      > ({zz} / 1e12) * ({se2} / 1e9)
+                 THEN 1 ELSE 0 END AS INT) AS significant
+FROM cells
+"""
+
+
+QUERIES["odds_ratio_ci"] = (_odds_ratio_ci, _or_sql())

@@ -2034,3 +2034,94 @@ FROM m
 
 QUERIES["spearman_daily_correlation"] = (_spearman_daily_correlation,
                                          _SPEARMAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# walk_forward_splits: backtesting split planner (expanding window CV)
+# ---------------------------------------------------------------------------
+WF_FOLDS = 5
+
+
+def _walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward cross-validation planner: carve the event-time
+    span into ``WF_FOLDS`` expanding-window folds — fold i trains on
+    [d0, cut_i) and tests on the next test window, where the test
+    width is span div (folds+1) and cut_i advances by even integer
+    steps — and report per fold the exact train/test row counts and
+    the train share: the split ledger a forecasting backtest publishes
+    before anyone trusts its scores (leakage-free by construction:
+    train strictly precedes test).
+
+    Determinism: ALL fold geometry is integer day arithmetic derived
+    from the corpus min/max (never wall-clock, never a constant that
+    assumes a span — the driver corpus is 30 days at every sf).
+
+    Scale: one scan to per-day counts (map-side), folds are a literal
+    explode joined against the bounded day table.
+    """
+    days = (load(spark, sf_dir, "events")
+            .select(F.expr("unix_micros(cast(ts as timestamp))"
+                           " div 86400000000").alias("day"))
+            .groupBy("day").agg(F.count(F.lit(1)).alias("c")))
+    rng = F.broadcast(days.agg(F.min("day").alias("d0"),
+                               F.max("day").alias("d1")))
+    folds = F.explode(F.array(*[F.lit(i) for i in range(1, WF_FOLDS + 1)]))
+    # test width and cut steps derive from the observed span
+    per = (days.crossJoin(rng)
+           .select("day", "c", folds.alias("fold"),
+                   F.expr(f"greatest(1, (d1 - d0 + 1)"
+                          f" div {WF_FOLDS + 1})").alias("tw"),
+                   F.col("d0"), F.col("d1"))
+           .select("fold", "tw",
+                   F.expr(f"d0 + ((d1 - d0 + 1 - tw) * fold)"
+                          f" div {WF_FOLDS}").alias("cut"),
+                   "day", "c")
+           .select("fold", "cut", "tw",
+                   F.when(F.col("day") < F.col("cut"), F.col("c"))
+                    .otherwise(0).alias("train_c"),
+                   F.when((F.col("day") >= F.col("cut"))
+                          & (F.col("day") < F.col("cut") + F.col("tw")),
+                          F.col("c")).otherwise(0).alias("test_c")))
+    return (per.groupBy("fold", "cut")
+            .agg(F.sum("train_c").cast("long").alias("n_train"),
+                 F.sum("test_c").cast("long").alias("n_test"))
+            .select("fold", F.col("cut").alias("train_end_day"),
+                    "n_train", "n_test",
+                    F.expr("(1000000 * n_train) div (n_train + n_test)")
+                     .alias("train_share_e6")))
+
+
+def _wf_sql() -> str:
+    return f"""
+WITH days AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM days),
+per AS (
+  SELECT f.fold,
+         greatest(1, (r.d1 - r.d0 + 1) // {WF_FOLDS + 1}) AS tw,
+         r.d0 + ((r.d1 - r.d0 + 1
+                  - greatest(1, (r.d1 - r.d0 + 1) // {WF_FOLDS + 1}))
+                 * f.fold) // {WF_FOLDS} AS cut,
+         d.day, d.c
+  FROM days d CROSS JOIN rng r
+  CROSS JOIN (SELECT unnest(range(1, {WF_FOLDS + 1})) AS fold) f
+)
+SELECT fold, cut AS train_end_day,
+       CAST(sum(CASE WHEN day < cut THEN c ELSE 0 END) AS BIGINT)
+           AS n_train,
+       CAST(sum(CASE WHEN day >= cut AND day < cut + tw
+                     THEN c ELSE 0 END) AS BIGINT) AS n_test,
+       (1000000 * CAST(sum(CASE WHEN day < cut THEN c ELSE 0 END)
+            AS BIGINT))
+           // (CAST(sum(CASE WHEN day < cut THEN c ELSE 0 END) AS BIGINT)
+               + CAST(sum(CASE WHEN day >= cut AND day < cut + tw
+                               THEN c ELSE 0 END) AS BIGINT))
+           AS train_share_e6
+FROM per
+GROUP BY 1, 2, tw
+"""
+
+
+QUERIES["walk_forward_splits"] = (_walk_forward_splits, _wf_sql())

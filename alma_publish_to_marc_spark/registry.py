@@ -67,9 +67,10 @@ _MODULES = (
 # rebuilt as the next 50 not-yet-driver-sampled keys (union of
 # CORRECTNESS_r*.json vs natural module order); driver-green members
 # come off next round. Keys are byte-stable; members are only removed
-# or rotated, never renamed. Registry holds 465 keys as of round 7;
-# 279 remained unsampled entering round 8, so after this list's 50 run,
-# ~229 await sampling (~5 more rounds to full driver coverage).
+# or rotated, never renamed. 279 of round 7's 465 keys remained
+# unsampled entering round 8; this list covers 50 of them and round 8
+# added 28 new keys (registry now 493), so ~257 await sampling
+# (~5 more rounds to full driver coverage).
 _SAMPLE_FIRST = (
     "sql_udf_banding",
     "parameterized_sql_report",

@@ -366,3 +366,43 @@ def test_denormalization_amplifies_dims_only(spark):
         # every dim row is repeated per joining fact row
         assert rows[t]["wide_bytes"] >= rows[t]["star_bytes"] // 2
         assert rows[t]["amplification_e6"] > 0
+
+
+def test_walk_forward_folds_expand(spark):
+    from alma_publish_to_marc_spark.plans.timeseries_queries import (
+        _walk_forward_splits,
+    )
+
+    rows = sorted(_walk_forward_splits(spark, SF).collect(),
+                  key=lambda r: r["fold"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["train_end_day"] < b["train_end_day"]
+        assert a["n_train"] <= b["n_train"]   # expanding window
+    for r in rows:
+        assert r["n_train"] > 0 and r["n_test"] > 0
+
+
+def test_odds_ratio_ledger_is_consistent(spark):
+    from alma_publish_to_marc_spark.plans.inference_queries import (
+        _odds_ratio_ci,
+    )
+
+    rows = _odds_ratio_ci(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["a"] + r["b"] + r["c"] + r["d"] == rows[0]["a"] \
+            + rows[0]["b"] + rows[0]["c"] + rows[0]["d"]
+        assert r["or_e6"] > 0 and r["se2_e9"] > 0
+        assert r["significant"] in (0, 1)
+
+
+def test_mcnemar_counts_compose(spark):
+    from alma_publish_to_marc_spark.plans.eval_queries import (
+        _mcnemar_paired_test,
+    )
+
+    r = _mcnemar_paired_test(spark, SF).collect()[0]
+    # model B has the easier threshold -> more correct, more c than b
+    assert r["b_correct"] >= r["a_correct"]
+    assert r["c"] >= r["b"]
+    assert 0 <= r["b"] + r["c"] <= r["n"]
