@@ -2415,7 +2415,7 @@ def repetition_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.expr("filter(w, t -> t <> '')").alias("w")))
     flat = toks.select(
         "doc_id", F.size("w").alias("n"),
-        F.posexplode("w").alias("pos", "tok"))
+        F.explode("w").alias("tok"))
     tok_stats = (flat.groupBy("doc_id", "tok")
                  .agg(F.max("n").alias("n"), F.count(F.lit(1)).alias("c"))
                  .groupBy("doc_id")

@@ -34,8 +34,6 @@ SP_CELL = 16            # grid-cell edge == neighbor radius
 SP_R2 = SP_CELL * SP_CELL
 SP_NBR_BUCKET = 8       # histogram bucket width for neighbor counts
 
-_HEX12 = 281474976710656  # 16^12, the md5-prefix modulus domain
-
 
 def _coord(seed: str, key: str, side: int) -> str:
     """Spark SQL for a deterministic coordinate in [0, side)."""
@@ -89,8 +87,8 @@ def grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pts = _points(spark, sf_dir).select(
         "event_id", "x", "y",
-        F.expr(f"(x - pmod(x, {SP_CELL})) div {SP_CELL}").alias("cx"),
-        F.expr(f"(y - pmod(y, {SP_CELL})) div {SP_CELL}").alias("cy"))
+        F.expr(f"x div {SP_CELL}").alias("cx"),
+        F.expr(f"y div {SP_CELL}").alias("cy"))
     probe = pts.select(
         "event_id", "x", "y",
         F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))
