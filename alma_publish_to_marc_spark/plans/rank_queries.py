@@ -1,0 +1,499 @@
+"""Nonparametric / rank-based hypothesis tests (round 8).
+
+The inference stack (ks / cvm / chi2 / anova / mann-whitney /
+permutation / logrank…) covers two-sample location and independence;
+this module adds the remaining classical rank-and-count instruments an
+experimentation platform needs when normality can't be assumed:
+
+- ``kruskal_wallis_htest``   — k-sample rank ANOVA over event-type
+  value distributions (the nonparametric sibling of
+  ``anova_eta_squared``), midranks + tie correction.
+- ``wilcoxon_signed_rank``   — paired first-half-vs-second-half user
+  spend comparison (the paired sibling of ``auc_mann_whitney``'s
+  rank machinery), zero-diff drop + midranks + tie-corrected z.
+- ``levene_brown_forsythe``  — equality-of-variance gate (the
+  assumption check the parametric ANOVA twin silently makes):
+  one-way F on |x − group-median| with exact integer medians.
+- ``cochran_q_test``         — k related binary treatments on user
+  blocks (did user u ever exceed a spend threshold in event type t),
+  fully exact-rational output.
+
+Determinism: every rank is computed from score-RUN aggregates
+(groupBy cents — never a global row_number): midrank×2 = 2·lo+cnt−1
+stays int64, the per-group rank sums are exact integers, and the only
+doubles are IEEE-exact conversions / mul / div / sqrt of those
+integers (sqrt is correctly rounded by IEEE-754, unlike ln/exp — no
+libm divergence surface). Per-group reductions with non-associative
+double terms fold over a group-key-sorted collected array (the
+``anova_eta_squared`` idiom, CLAUDE.md float-reduction rule).
+
+Ranks here are over the CENTS alphabet: events.value is a 2-decimal
+domain (≤ ~49_002 distinct cent values at any sf), so the run tables
+are alphabet-bounded, not corpus-sized — the unpartitioned cumulative
+window over them is aggregate-fed and passes the mechanical
+bounded-feeder gate (tests/test_oracle_parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+QUERIES: dict = {}
+
+_CENTS = "cast(round(value * 100, 0) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H (k-sample rank ANOVA by event type)
+# ---------------------------------------------------------------------------
+
+def _kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H over event-value cents grouped by event_type.
+
+    H = [12/(N(N+1))] · Σ_g S_g²/n_g − 3(N+1), tie-corrected by
+    C = 1 − Σ(t³−t)/(N³−N).  S_g (rank sum per group) is exact int64
+    via doubled midranks from cents-run aggregates; Σ S_g²/n_g folds
+    over the event-type-sorted 5-row group array (fixed association).
+
+    Scale: two keyed aggregates (cents; cents×type) + one cumulative
+    window over the alphabet-bounded cents run table; the fold input
+    is k=5 rows. No global sort, no corpus-sized single task. int64
+    headroom: S2_g ≤ 2N² needs N ≤ 2·10⁹ rows; tie term Σt³ holds to
+    ~10⁹ rows per cent value.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.expr(_CENTS).alias("cents"))
+    runs = ev.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    lo = runs.select(
+        "cents", "cnt",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1).alias("lo"))
+    cell = ev.groupBy("cents", "event_type").agg(
+        F.count(F.lit(1)).alias("c"))
+    # doubled midrank of the run = 2·lo + cnt − 1; group rank-sum ×2
+    per_g = (cell.join(lo, "cents")
+             .groupBy("event_type")
+             .agg(F.sum(F.col("c") * (2 * F.col("lo") + F.col("cnt") - 1))
+                  .alias("s2"),
+                  F.sum("c").alias("n")))
+    arr = per_g.agg(
+        F.array_sort(F.collect_list(F.struct("event_type", "s2", "n")))
+        .alias("xs"))
+    fold = F.aggregate(
+        F.col("xs"),
+        F.struct(F.lit(0).cast("long").alias("nn"),
+                 F.lit(0.0).alias("ss"),
+                 F.lit(0).cast("long").alias("k")),
+        lambda acc, e: F.struct(
+            (acc["nn"] + e["n"]).alias("nn"),
+            (acc["ss"] + e["s2"].cast("double") * e["s2"].cast("double")
+             / (4.0 * e["n"].cast("double"))).alias("ss"),
+            (acc["k"] + 1).alias("k")))
+    ties = runs.agg(F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
+                          - F.col("cnt")).alias("tie3"))
+    m = (arr.select(fold.alias("a"))
+         .select(F.col("a.nn").alias("n"), F.col("a.ss").alias("ssum"),
+                 F.col("a.k").alias("k"))
+         .crossJoin(F.broadcast(ties)))
+    nd = F.col("n").cast("double")
+    h_raw = (F.lit(12.0) * F.col("ssum") / (nd * (nd + 1.0))
+             - 3.0 * (nd + 1.0))
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (nd * nd * nd - nd)
+    return m.select(
+        F.col("n").alias("n_events"),
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("tie3").alias("tie_term"),
+        F.floor(F.lit(1_000_000.0) * h_raw / corr).cast("long")
+        .alias("h_e6"))
+
+
+_KW_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), runs AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM ev GROUP BY 1
+), lo AS (
+  SELECT cents, cnt,
+         COALESCE(CAST(sum(cnt) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) + 1 AS lo
+  FROM runs
+), cell AS (
+  SELECT cents, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), per_g AS (
+  SELECT c.event_type,
+         CAST(sum(c.c * (2 * l.lo + l.cnt - 1)) AS BIGINT) AS s2,
+         CAST(sum(c.c) AS BIGINT) AS n
+  FROM cell c JOIN lo l ON c.cents = l.cents
+  GROUP BY 1
+), arr AS (
+  SELECT list(struct_pack(g := event_type, s2 := s2, n := n)
+              ORDER BY event_type) AS xs
+  FROM per_g
+), folded AS (
+  SELECT list_reduce(
+    list_prepend(struct_pack(nn := 0::BIGINT, ss := 0.0, k := 0::BIGINT),
+                 list_transform(xs, e -> struct_pack(
+                     nn := e.n, ss := CAST(e.s2 AS DOUBLE), k := e.n))),
+    (acc, e) -> struct_pack(
+        nn := acc.nn + e.nn,
+        ss := acc.ss + e.ss * e.ss / (4.0 * CAST(e.k AS DOUBLE)),
+        k := acc.k + 1)) AS a
+  FROM arr
+), ties AS (
+  SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3 FROM runs
+)
+SELECT a.nn AS n_events, CAST(a.k AS INT) AS k_groups, t.tie3 AS tie_term,
+       CAST(floor(1000000.0
+            * (12.0 * a.ss
+               / (CAST(a.nn AS DOUBLE) * (CAST(a.nn AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(a.nn AS DOUBLE) + 1.0))
+            / (1.0 - CAST(t.tie3 AS DOUBLE)
+               / (CAST(a.nn AS DOUBLE) * CAST(a.nn AS DOUBLE)
+                  * CAST(a.nn AS DOUBLE) - CAST(a.nn AS DOUBLE))))
+            AS BIGINT) AS h_e6
+FROM folded, ties t
+"""
+
+# Oracle fold soundness: single-row frame, fixed k-element list, and
+# every accumulator field reads ONLY itself plus ELEMENT fields — the
+# CLAUDE.md-tolerated field-wise-additive struct-accumulator case
+# (same shape as the proven anova_eta_squared oracle).
+
+QUERIES["kruskal_wallis_htest"] = (_kruskal_wallis, _KW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank (paired first-half vs second-half user spend)
+# ---------------------------------------------------------------------------
+
+def _wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of per-user spend: total event cents
+    in the first 15 observed days vs the rest of the month, paired by
+    user. Zero differences drop (Wilcoxon convention); |d| midranks
+    come from |d|-run aggregates (doubled, exact int64); the output z
+    uses the tie-corrected normal approximation
+
+        z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+
+    computed as IEEE ops over exact integers (sqrt is correctly
+    rounded — deterministic cross-engine).
+
+    Scale: one keyed user aggregate (the corpus shuffle), then
+    everything runs on the n_users-sized diff table and its |d| run
+    table — the unpartitioned cumulative window is aggregate-fed.
+    The day split derives from the observed min(ts), not a constant.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr(_CENTS).alias("cents"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    t0 = ev.agg(F.min("us").alias("us0"))
+    day = F.expr("cast((us - us0) div 86400000000 as bigint)")
+    diffs = (ev.crossJoin(F.broadcast(t0))
+             .select("user_id", "cents", day.alias("day"))
+             .groupBy("user_id")
+             .agg(F.sum(F.when(F.col("day") < 15, F.col("cents"))
+                        .otherwise(0)).alias("x"),
+                  F.sum(F.when(F.col("day") >= 15, F.col("cents"))
+                        .otherwise(0)).alias("y"))
+             .select((F.col("x") - F.col("y")).alias("d"))
+             .where(F.col("d") != 0)
+             .select(F.abs(F.col("d")).alias("ad"),
+                     F.when(F.col("d") > 0, 1).otherwise(0).alias("pos")))
+    runs = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("npos"))
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    lo = runs.select(
+        "ad", "cnt", "npos",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1).alias("lo"))
+    sums = lo.agg(
+        F.sum(F.col("npos") * (2 * F.col("lo") + F.col("cnt") - 1))
+        .alias("wplus2"),
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .alias("tie3"))
+    nd = F.col("n").cast("double")
+    num = F.col("wplus2").cast("double") / 2.0 - nd * (nd + 1.0) / 4.0
+    var = (nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+           - F.col("tie3").cast("double") / 48.0)
+    return sums.select(
+        F.col("n").alias("n_pairs"), F.col("wplus2").alias("w_plus_x2"),
+        F.col("tie3").alias("tie_term"),
+        F.floor(F.lit(1_000_000.0) * num / F.sqrt(var)).cast("long")
+        .alias("z_e6"))
+
+
+_WILCOXON_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         epoch_us(ts) AS us
+  FROM events
+), t0 AS (
+  SELECT min(us) AS us0 FROM ev
+), diffs0 AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN (us - us0) // 86400000000 < 15
+                       THEN cents ELSE 0 END) AS BIGINT)
+         - CAST(sum(CASE WHEN (us - us0) // 86400000000 >= 15
+                         THEN cents ELSE 0 END) AS BIGINT) AS d
+  FROM ev, t0
+  GROUP BY 1
+), diffs AS (
+  SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+  FROM diffs0 WHERE d <> 0
+), runs AS (
+  SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(pos) AS BIGINT) AS npos
+  FROM diffs GROUP BY 1
+), lo AS (
+  SELECT ad, cnt, npos,
+         COALESCE(CAST(sum(cnt) OVER (ORDER BY ad
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) + 1 AS lo
+  FROM runs
+), sums AS (
+  SELECT CAST(sum(npos * (2 * lo + cnt - 1)) AS BIGINT) AS wplus2,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+  FROM lo
+)
+SELECT n AS n_pairs, wplus2 AS w_plus_x2, tie3 AS tie_term,
+       CAST(floor(1000000.0
+            * (CAST(wplus2 AS DOUBLE) / 2.0
+               - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+            / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                   * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                   - CAST(tie3 AS DOUBLE) / 48.0)) AS BIGINT) AS z_e6
+FROM sums
+"""
+
+QUERIES["wilcoxon_signed_rank"] = (_wilcoxon_signed_rank, _WILCOXON_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Levene / Brown–Forsythe equality-of-variance gate
+# ---------------------------------------------------------------------------
+
+def _levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe Levene test: one-way ANOVA F on z = |x − med_g|
+    over event-value cents by event_type — the variance-homogeneity
+    assumption check for the parametric ANOVA twin. Group medians are
+    exact DOUBLED integers selected from per-group cents runs (order
+    statistics k1=(n+1) div 2, k2=(n+2) div 2 — no percentile_approx),
+    so z2 = |2x − med2| is exact int64 and the F statistic follows the
+    ``anova_eta_squared`` moment fold bit-for-bit.
+
+    Scale: per-group run tables (groupBy event_type × cents, window
+    PARTITIONED by event_type), one corpus re-aggregation to 5 moment
+    rows, 5-row fold. No unpartitioned window at all.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.expr(_CENTS).alias("cents"))
+    runs = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    wp = (Window.partitionBy("event_type").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    lo = runs.select(
+        "event_type", "cents", "cnt",
+        (F.coalesce(F.sum("cnt").over(wp), F.lit(0)) + 1).alias("lo"))
+    tot = runs.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    # med2 = val(k1) + val(k2), k1 = (n+1) div 2, k2 = (n+2) div 2
+    sel = (lo.join(tot, "event_type")
+           .select("event_type", "cents", "lo",
+                   (F.col("lo") + F.col("cnt") - 1).alias("hi"),
+                   F.expr("(n + 1) div 2").alias("k1"),
+                   F.expr("(n + 2) div 2").alias("k2")))
+    med = (sel.select(
+        "event_type",
+        F.when((F.col("k1") >= F.col("lo")) & (F.col("k1") <= F.col("hi")),
+               F.col("cents")).otherwise(0).alias("m1"),
+        F.when((F.col("k2") >= F.col("lo")) & (F.col("k2") <= F.col("hi")),
+               F.col("cents")).otherwise(0).alias("m2"))
+        .groupBy("event_type")
+        .agg((F.sum("m1") + F.sum("m2")).alias("med2")))
+    z = (ev.join(F.broadcast(med), "event_type")
+         .select("event_type",
+                 F.abs(2 * F.col("cents") - F.col("med2")).alias("z2")))
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("z2").alias("s"),
+        F.sum(F.col("z2") * F.col("z2")).alias("q"))
+    arr = g.agg(F.array_sort(F.collect_list(
+        F.struct("event_type", "n", "s", "q"))).alias("xs"))
+    fold = F.aggregate(
+        F.col("xs"),
+        F.struct(F.lit(0).cast("long").alias("nn"),
+                 F.lit(0).cast("long").alias("ss"),
+                 F.lit(0).cast("long").alias("qq"),
+                 F.lit(0.0).alias("btw"),
+                 F.lit(0).cast("long").alias("k")),
+        lambda acc, e: F.struct(
+            (acc["nn"] + e["n"]).alias("nn"),
+            (acc["ss"] + e["s"]).alias("ss"),
+            (acc["qq"] + e["q"]).alias("qq"),
+            (acc["btw"] + e["s"].cast("double") * e["s"].cast("double")
+             / e["n"].cast("double")).alias("btw"),
+            (acc["k"] + 1).alias("k")))
+    m = arr.select(fold.alias("a")).select(
+        F.col("a.nn").alias("n"), F.col("a.ss").alias("s"),
+        F.col("a.qq").alias("q"), F.col("a.btw").alias("b"),
+        F.col("a.k").alias("k"))
+    grand = F.col("s").cast("double") * F.col("s").cast("double") \
+        / F.col("n").cast("double")
+    ss_b = F.col("b") - grand
+    ss_w = F.col("q").cast("double") - F.col("b")
+    fstat = (ss_b / (F.col("k") - 1).cast("double")) \
+        / (ss_w / (F.col("n") - F.col("k")).cast("double"))
+    return m.select(
+        F.col("n").alias("n_events"), F.col("k").cast("int").alias("k_groups"),
+        F.floor(F.lit(10_000.0) * fstat).cast("long").alias("f_e4"))
+
+
+_LEVENE_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), runs AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+), lo AS (
+  SELECT event_type, cents, cnt,
+         COALESCE(CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) + 1 AS lo
+  FROM runs
+), tot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM runs GROUP BY 1
+), sel AS (
+  SELECT l.event_type, l.cents, l.lo, l.lo + l.cnt - 1 AS hi,
+         (t.n + 1) // 2 AS k1, (t.n + 2) // 2 AS k2
+  FROM lo l JOIN tot t ON l.event_type = t.event_type
+), med AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN k1 BETWEEN lo AND hi THEN cents ELSE 0 END)
+              + sum(CASE WHEN k2 BETWEEN lo AND hi THEN cents ELSE 0 END)
+              AS BIGINT) AS med2
+  FROM sel GROUP BY 1
+), z AS (
+  SELECT e.event_type, abs(2 * e.cents - m.med2) AS z2
+  FROM ev e JOIN med m ON e.event_type = m.event_type
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(z2) AS BIGINT) AS s,
+         CAST(sum(z2 * z2) AS BIGINT) AS q
+  FROM z GROUP BY 1
+), arr AS (
+  SELECT list(struct_pack(g := event_type, n := n, s := s, q := q)
+              ORDER BY event_type) AS xs
+  FROM g
+), folded AS (
+  SELECT list_reduce(
+    list_prepend(struct_pack(nn := 0::BIGINT, ss := 0::BIGINT,
+                             qq := 0::BIGINT, btw := 0.0, k := 0::BIGINT),
+                 list_transform(xs, e -> struct_pack(
+                     nn := e.n, ss := e.s, qq := e.q,
+                     btw := CAST(e.s AS DOUBLE), k := e.n))),
+    (acc, e) -> struct_pack(
+        nn := acc.nn + e.nn,
+        ss := acc.ss + e.ss,
+        qq := acc.qq + e.qq,
+        btw := acc.btw + CAST(e.ss AS DOUBLE) * CAST(e.ss AS DOUBLE)
+                         / CAST(e.nn AS DOUBLE),
+        k := acc.k + 1)) AS a
+  FROM arr
+)
+SELECT a.nn AS n_events, CAST(a.k AS INT) AS k_groups,
+       CAST(floor(10000.0
+            * ((a.btw - CAST(a.ss AS DOUBLE) * CAST(a.ss AS DOUBLE)
+                        / CAST(a.nn AS DOUBLE))
+               / (CAST(a.k AS DOUBLE) - 1.0))
+            / ((CAST(a.qq AS DOUBLE) - a.btw)
+               / (CAST(a.nn AS DOUBLE) - CAST(a.k AS DOUBLE))))
+            AS BIGINT) AS f_e4
+FROM folded
+"""
+
+QUERIES["levene_brown_forsythe"] = (_levene_brown_forsythe, _LEVENE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (k related binary treatments on user blocks)
+# ---------------------------------------------------------------------------
+
+COCHRAN_CENTS = 25_000  # "big spend" threshold: value > 250.00
+
+
+def _cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over the user × event-type binary incidence matrix
+    (x_{u,t} = 1 iff user u ever logged an event of type t with value
+    above 250.00): "do the k=5 event types differ in their propensity
+    to carry big-spend users?" Fully exact-rational:
+
+        Q = (k−1)·(k·ΣC_j² − (ΣC)²) / (k·ΣR_i − ΣR_i²)
+
+    with C_j column totals over all users and R_i row totals; the e6
+    output is an integer division (truncation identical cross-engine).
+    All-0 / all-1 rows cancel in both numerator and denominator, so no
+    block filtering is needed.
+
+    Scale: one (user,type)-keyed aggregate, then user-keyed and
+    type-keyed count rollups — three shuffles on bounded-width keys,
+    1-row output. int64 headroom: C_j² needs ≤ ~3·10⁹ users.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_CENTS).alias("cents"))
+    x = (ev.where(F.col("cents") > COCHRAN_CENTS)
+         .select("user_id", "event_type").distinct())
+    cols = x.groupBy("event_type").agg(F.count(F.lit(1)).alias("cj"))
+    rows = x.groupBy("user_id").agg(F.count(F.lit(1)).alias("ri"))
+    csum = cols.agg(F.sum("cj").alias("sc"),
+                    F.sum(F.col("cj") * F.col("cj")).alias("sc2"),
+                    F.count(F.lit(1)).alias("k"))
+    rsum = rows.agg(F.sum("ri").alias("sr"),
+                    F.sum(F.col("ri") * F.col("ri")).alias("sr2"),
+                    F.count(F.lit(1)).alias("n_blocks"))
+    j = (csum.crossJoin(F.broadcast(rsum))
+         .select("k", "n_blocks",
+                 ((F.col("k") - 1) * (F.col("k") * F.col("sc2")
+                                      - F.col("sc") * F.col("sc")))
+                 .alias("q_num"),
+                 (F.col("k") * F.col("sr") - F.col("sr2")).alias("q_den")))
+    return j.select(
+        F.col("k").cast("int").alias("k_treatments"), "n_blocks",
+        "q_num", "q_den",
+        F.expr("(1000000 * q_num) div q_den").alias("q_e6"))
+
+
+_COCHRAN_SQL = """
+WITH x AS (
+  SELECT DISTINCT user_id, event_type
+  FROM events
+  WHERE CAST(round(value * 100, 0) AS BIGINT) > 25000
+), cols AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cj FROM x GROUP BY 1
+), rows_ AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS ri FROM x GROUP BY 1
+), csum AS (
+  SELECT CAST(sum(cj) AS BIGINT) AS sc,
+         CAST(sum(cj * cj) AS BIGINT) AS sc2,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cols
+), rsum AS (
+  SELECT CAST(sum(ri) AS BIGINT) AS sr,
+         CAST(sum(ri * ri) AS BIGINT) AS sr2,
+         CAST(count(*) AS BIGINT) AS n_blocks
+  FROM rows_
+)
+SELECT CAST(k AS INT) AS k_treatments, n_blocks,
+       (k - 1) * (k * sc2 - sc * sc) AS q_num,
+       k * sr - sr2 AS q_den,
+       (1000000 * ((k - 1) * (k * sc2 - sc * sc))) // (k * sr - sr2)
+           AS q_e6
+FROM csum, rsum
+"""
+
+QUERIES["cochran_q_test"] = (_cochran_q, _COCHRAN_SQL)

@@ -53,6 +53,7 @@ _MODULES = (
     "alma_publish_to_marc_spark.operators.sketches",
     "alma_publish_to_marc_spark.functions.python_udf_queries",
     "alma_publish_to_marc_spark.plans.spatial_queries",
+    "alma_publish_to_marc_spark.plans.rank_queries",
     "alma_publish_to_marc_spark.sources.source_queries",
     "alma_publish_to_marc_spark.streaming.streaming_queries",
     "alma_publish_to_marc_spark.multimodal.multimodal_queries",
@@ -69,7 +70,7 @@ _MODULES = (
 # come off next round. Keys are byte-stable; members are only removed
 # or rotated, never renamed. 279 of round 7's 465 keys remained
 # unsampled entering round 8; this list covers 50 of them and round 8
-# added 28 new keys (registry now 493), so ~257 await sampling
+# added 35 new keys (registry now 500), so ~264 await sampling
 # (~5 more rounds to full driver coverage).
 _SAMPLE_FIRST = (
     "sql_udf_banding",

@@ -406,3 +406,91 @@ def test_mcnemar_counts_compose(spark):
     assert r["b_correct"] >= r["a_correct"]
     assert r["c"] >= r["b"]
     assert 0 <= r["b"] + r["c"] <= r["n"]
+
+
+def _events_pdf():
+    import pandas as pd
+
+    pdf = pd.read_parquet(SF + "/events.parquet",
+                          columns=["user_id", "event_type", "value", "ts"])
+    pdf["cents"] = (pdf["value"] * 100).round(0).astype("int64")
+    return pdf
+
+
+def test_kruskal_wallis_matches_pandas_reference(spark):
+    from alma_publish_to_marc_spark.plans.rank_queries import (
+        _kruskal_wallis,
+    )
+
+    r = _kruskal_wallis(spark, SF).collect()[0]
+    pdf = _events_pdf()
+    ranks = pdf["cents"].rank(method="average")
+    n = len(pdf)
+    s = sum(g.sum() ** 2 / len(g)
+            for _, g in ranks.groupby(pdf["event_type"]))
+    h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+    tie3 = int(sum(t ** 3 - t for t in pdf["cents"].value_counts()))
+    h_corr = h / (1.0 - tie3 / float(n ** 3 - n))
+    assert r["n_events"] == n and r["tie_term"] == tie3
+    assert abs(r["h_e6"] / 1e6 - h_corr) < 2e-6
+
+
+def test_wilcoxon_matches_pandas_reference(spark):
+    from alma_publish_to_marc_spark.plans.rank_queries import (
+        _wilcoxon_signed_rank,
+    )
+
+    r = _wilcoxon_signed_rank(spark, SF).collect()[0]
+    pdf = _events_pdf()
+    # normalize whatever unit pyarrow handed pandas to integer micros
+    us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    day = (us - us.min()) // 86_400_000_000
+    x = pdf["cents"].where(day < 15, 0).groupby(pdf["user_id"]).sum()
+    y = pdf["cents"].where(day >= 15, 0).groupby(pdf["user_id"]).sum()
+    d = (x - y)[lambda s: s != 0]
+    ranks = d.abs().rank(method="average")
+    wplus = float(ranks[d > 0].sum())
+    n = len(d)
+    tie3 = int(sum(t ** 3 - t for t in d.abs().value_counts()))
+    num = wplus - n * (n + 1) / 4.0
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0
+    assert r["n_pairs"] == n and r["w_plus_x2"] == int(2 * wplus)
+    assert abs(r["z_e6"] / 1e6 - num / var ** 0.5) < 2e-6
+
+
+def test_levene_matches_pandas_reference(spark):
+    from alma_publish_to_marc_spark.plans.rank_queries import (
+        _levene_brown_forsythe,
+    )
+
+    r = _levene_brown_forsythe(spark, SF).collect()[0]
+    pdf = _events_pdf()
+    med = pdf.groupby("event_type")["cents"].transform("median")
+    z = (pdf["cents"] - med).abs()
+    n, k = len(pdf), pdf["event_type"].nunique()
+    zbar = z.mean()
+    g = z.groupby(pdf["event_type"])
+    ss_b = sum(len(gi) * (gi.mean() - zbar) ** 2 for _, gi in g)
+    ss_w = sum(((gi - gi.mean()) ** 2).sum() for _, gi in g)
+    f = (ss_b / (k - 1)) / (ss_w / (n - k))
+    assert r["n_events"] == n and r["k_groups"] == k
+    assert abs(r["f_e4"] / 1e4 - f) < 2e-4
+
+
+def test_cochran_q_exact_rational(spark):
+    from alma_publish_to_marc_spark.plans.rank_queries import (
+        COCHRAN_CENTS, _cochran_q,
+    )
+
+    r = _cochran_q(spark, SF).collect()[0]
+    pdf = _events_pdf()
+    x = (pdf[pdf["cents"] > COCHRAN_CENTS]
+         .groupby(["user_id", "event_type"]).size().clip(upper=1)
+         .unstack(fill_value=0))
+    k = int(r["k_treatments"])
+    cj = x.sum(axis=0)
+    ri = x.sum(axis=1)
+    assert r["q_num"] == (k - 1) * (k * int((cj ** 2).sum())
+                                    - int(cj.sum()) ** 2)
+    assert r["q_den"] == k * int(ri.sum()) - int((ri ** 2).sum())
+    assert r["q_e6"] == (1_000_000 * r["q_num"]) // r["q_den"]
