@@ -1487,3 +1487,110 @@ FROM ests e JOIN exact x ON e.day = x.day
 
 
 QUERIES["hll_rolling_distinct"] = (hll_rolling_distinct, _hll_rolling_sql())
+
+
+# --------------------------------------------------------------------------
+# Count-Sketch point estimates (signed-median cousin of Count-Min)
+# --------------------------------------------------------------------------
+CS_W = 256                                        # buckets per row
+CS_SALTS = ("cs0:", "cs1:", "cs2:", "cs3:", "cs4:")   # d = 5 rows
+CS_SIGN_SALT = "css:"
+
+
+def _cs_sign(col, salt_prefix: str):
+    """±1 sign from an md5 hash INDEPENDENT of the bucket hash (own
+    salt family): parity of the 48-bit integer."""
+    return (F.lit(1) - 2 * F.pmod(_h48(col, CS_SIGN_SALT + salt_prefix),
+                                  F.lit(2))).cast("long")
+
+
+def countsketch_point_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch (d=5 × w=256, signed counters) frequency estimates
+    for the exact top-20 shingles — the UNBIASED cousin of
+    ``cms_heavy_hitters``: collisions add signed noise that the
+    median-of-rows estimate cancels, instead of Count-Min's one-sided
+    overestimate. The estimate per probe is the exact integer median
+    of 5 signed cell reads (sorted-array middle element — no
+    engine-default median function).
+
+    Scale: identical shape to the CMS twin — the sketch is a d·w =
+    1280-cell signed-counter matrix from ONE map-side-combinable
+    aggregation (the only state a 100 TB pass carries), probes are a
+    TakeOrdered candidate set broadcast-joined against it. Everything
+    is exact int64; no floats anywhere.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tc = (_tokens(docs)
+          .select(F.unhex(F.md5("gram")).alias("gk"), "gram")
+          .groupBy("gk")
+          .agg(F.count(F.lit(1)).alias("exact_count"),
+               F.min("gram").alias("gram"))
+          .select("gram", "exact_count"))
+    cells = None
+    for row, salt in enumerate(CS_SALTS):
+        part = tc.select(
+            F.lit(row).alias("row"),
+            F.pmod(_h48(F.col("gram"), salt), F.lit(CS_W)).alias("col"),
+            (_cs_sign(F.col("gram"), salt) * F.col("exact_count"))
+            .alias("signed"))
+        cells = part if cells is None else cells.unionAll(part)
+    sketch = cells.groupBy("row", "col").agg(
+        F.sum("signed").alias("cell"))
+    top = (tc.orderBy(F.desc("exact_count"), F.asc("gram")).limit(TOPN)
+           .select("gram", "exact_count"))
+    probes = None
+    for row, salt in enumerate(CS_SALTS):
+        p = top.select(
+            "gram", "exact_count", F.lit(row).alias("row"),
+            F.pmod(_h48(F.col("gram"), salt), F.lit(CS_W)).alias("col"),
+            _cs_sign(F.col("gram"), salt).alias("sign"))
+        probes = p if probes is None else probes.unionAll(p)
+    return (probes.join(F.broadcast(sketch), ["row", "col"])
+            .groupBy("gram", "exact_count")
+            .agg(F.element_at(
+                F.array_sort(F.collect_list(F.col("sign") * F.col("cell"))),
+                3).alias("est_count"))
+            .select("gram", "exact_count", "est_count",
+                    (F.col("est_count") - F.col("exact_count"))
+                    .alias("bias"))
+            .orderBy(F.desc("exact_count"), F.asc("gram")))
+
+
+def _cs_sql() -> str:
+    def h(salt: str, expr: str = "gram") -> str:
+        return (f"CAST('0x' || substr(md5('{salt}' || {expr}), 1, 12)"
+                f" AS BIGINT) % {CS_W}")
+
+    def s(salt: str, expr: str = "gram") -> str:
+        return (f"(1 - 2 * (CAST('0x' || substr(md5('{CS_SIGN_SALT}{salt}'"
+                f" || {expr}), 1, 12) AS BIGINT) % 2))")
+
+    cell_parts = " UNION ALL ".join(
+        f"SELECT {row} AS row, {h(salt)} AS col,"
+        f" {s(salt)} * exact_count AS signed FROM tc"
+        for row, salt in enumerate(CS_SALTS))
+    probe_parts = " UNION ALL ".join(
+        f"SELECT gram, exact_count, {row} AS row, {h(salt)} AS col,"
+        f" {s(salt)} AS sign FROM top"
+        for row, salt in enumerate(CS_SALTS))
+    return f"""
+WITH {_TOKS_SQL},
+tc AS (SELECT min(gram) AS gram, count(*) AS exact_count
+       FROM terms GROUP BY unhex(md5(gram))),
+cells AS ({cell_parts}),
+sketch AS (SELECT row, col, CAST(sum(signed) AS BIGINT) AS cell
+           FROM cells GROUP BY row, col),
+top AS (SELECT gram, exact_count FROM tc
+        ORDER BY exact_count DESC, gram LIMIT {TOPN}),
+probes AS ({probe_parts})
+SELECT gram, exact_count,
+       (list(sign * cell ORDER BY sign * cell))[3] AS est_count,
+       (list(sign * cell ORDER BY sign * cell))[3] - exact_count AS bias
+FROM probes JOIN sketch USING (row, col)
+GROUP BY gram, exact_count
+ORDER BY exact_count DESC, gram
+"""
+
+
+QUERIES["countsketch_point_estimate"] = (countsketch_point_estimate,
+                                         _cs_sql())

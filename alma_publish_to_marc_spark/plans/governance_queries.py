@@ -485,3 +485,109 @@ SELECT 'lineitem',
 """
 
 QUERIES["erasure_cascade_audit"] = (erasure_cascade_audit, _ERASURE_SQL)
+
+
+# --------------------------------------------------------------------
+# Recursive (c,l)-diversity audit (the gate distinct-l and dominance miss)
+# --------------------------------------------------------------------
+_RLD_C = 2   # recursive (c, l)-diversity constant
+_RLD_L = 3   # require 3 well-represented sensitive values per class
+
+
+def recursive_l_diversity_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Recursive (c,l)-diversity over the standard QI classes (nation,
+    segment, balance decile; sensitive = order priority): a class
+    passes iff r1 < c·(r_l + … + r_m) with the per-class sensitive
+    counts sorted descending — the Machanavajjhala gate that
+    ``k_anonymity_audit``'s distinct-l and the dominance share both
+    miss (a class can hold l distinct values yet still be dominated
+    once the tail is negligible). With c=2, l=3 the test needs the
+    top-TWO counts: violation iff m < 3 or r1 ≥ 2·(tot − r1 − r2).
+
+    Determinism: r1/r2 are selected by a (cnt DESC, value ASC)
+    row_number partitioned by class — the id-tie-break rule.
+
+    Scale: class × ≤5-priority count table (QI-domain bounded), one
+    partitioned top-2 window, one rollup row. The orders join is
+    keyed on custkey; nothing corpus-sized crosses a single task.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"))
+    span = _BAL_HI - _BAL_LO
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority")
+    j = (cust.select(
+            "c_custkey", F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.least(F.lit(9), F.expr(
+                f"((bal_c - {_BAL_LO}) * 10) div {span}")).alias("decile"))
+         .join(orders, F.col("c_custkey") == F.col("o_custkey")))
+    vals = (j.groupBy("nat", "seg", "decile", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("nat", "seg", "decile")
+         .orderBy(F.desc("cnt"), F.asc("o_orderpriority")))
+    ranked = vals.select("nat", "seg", "decile", "cnt",
+                         F.row_number().over(w).alias("rn"))
+    per_class = (ranked.groupBy("nat", "seg", "decile")
+                 .agg(F.sum("cnt").alias("tot"),
+                      F.count(F.lit(1)).alias("m"),
+                      F.max(F.when(F.col("rn") == 1, F.col("cnt"))
+                            .otherwise(0)).alias("r1"),
+                      F.max(F.when(F.col("rn") == 2, F.col("cnt"))
+                            .otherwise(0)).alias("r2")))
+    viol = (F.col("m") < _RLD_L) | (
+        F.col("r1") >= _RLD_C * (F.col("tot") - F.col("r1") - F.col("r2")))
+    return per_class.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("m") < _RLD_L, 1).otherwise(0)).cast("long")
+        .alias("n_under_l_distinct"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("long")
+        .alias("n_violating"),
+        F.max(F.when(~viol,
+                     F.expr("10000 * r1 div greatest(tot - r1 - r2, 1)"))
+              .otherwise(None)).alias("worst_passing_ratio_e4"))
+
+
+_RLD_SQL = f"""
+WITH qi AS (
+  SELECT c.c_custkey, c.c_nationkey AS nat, c.c_mktsegment AS seg,
+         least(9, (CAST(round(c.c_acctbal * 100) AS BIGINT)
+                   - ({_BAL_LO})) * 10 // {_BAL_HI - _BAL_LO}) AS decile,
+         o.o_orderpriority
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+), vals AS (
+  SELECT nat, seg, decile, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM qi GROUP BY 1, 2, 3, 4
+), ranked AS (
+  SELECT nat, seg, decile, cnt,
+         row_number() OVER (PARTITION BY nat, seg, decile
+                            ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM vals
+), per_class AS (
+  SELECT nat, seg, decile,
+         CAST(sum(cnt) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(max(CASE WHEN rn = 1 THEN cnt ELSE 0 END) AS BIGINT) AS r1,
+         CAST(max(CASE WHEN rn = 2 THEN cnt ELSE 0 END) AS BIGINT) AS r2
+  FROM ranked GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN m < {_RLD_L} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_under_l_distinct,
+       CAST(sum(CASE WHEN m < {_RLD_L}
+                       OR r1 >= {_RLD_C} * (tot - r1 - r2)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       max(CASE WHEN NOT (m < {_RLD_L}
+                          OR r1 >= {_RLD_C} * (tot - r1 - r2))
+                THEN 10000 * r1 // greatest(tot - r1 - r2, 1)
+                ELSE NULL END) AS worst_passing_ratio_e4
+FROM per_class
+"""
+
+QUERIES["recursive_l_diversity_audit"] = (recursive_l_diversity_audit,
+                                          _RLD_SQL)

@@ -1640,3 +1640,95 @@ FROM cells
 
 
 QUERIES["odds_ratio_ci"] = (_odds_ratio_ci, _or_sql())
+
+
+# ---------------------------------------------------------------------------
+# Instrumental-variable (Wald / 2SLS) estimate vs naive OLS
+# ---------------------------------------------------------------------------
+
+def _iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald/2SLS instrumental-variable estimate of the effect of order
+    line-count (x, the endogenous regressor) on order value (y, whole
+    dollars), instrumented by a customer-side binary z (nationkey < 12)
+    — next to the naive OLS slope so the endogeneity gap is visible.
+    With one binary instrument, 2SLS reduces to the Wald ratio
+
+        beta_iv  = (n·Σzy − Σz·Σy) / (n·Σzx − Σz·Σx)
+        beta_ols = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    — every moment an exact int64 sum (dollars via the anova half-up
+    idiom), both ratios e6-floored from exact integers via IEEE double
+    division. The first-stage covariance (the denominator) is emitted
+    raw: an analyst must see instrument strength, not just the ratio.
+
+    Scale: one lineitem aggregate to per-order counts, one broadcast
+    customer join, one 1-row moment reduction — integer sums are
+    associative, so no fold is needed. int64 headroom: n·Σzy ≈ 10¹⁸ at
+    sf1 (dollar moments; cents would overflow at sf0.1).
+    """
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("x"))
+    dollars = F.floor((F.round(F.col("o_totalprice") * 100) + 50) / 100.0) \
+        .cast("long")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", dollars.alias("y"))
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_nationkey") < 12, 1).otherwise(0)
+        .cast("long").alias("z"))
+    base = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("x", "y", "z"))
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("y")).alias("szy"),
+        F.sum(F.col("z") * F.col("x")).alias("szx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    iv_num = F.col("n") * F.col("szy") - F.col("sz") * F.col("sy")
+    iv_den = F.col("n") * F.col("szx") - F.col("sz") * F.col("sx")
+    ols_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ols_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mom.select(
+        "n", iv_den.alias("first_stage_cov"),
+        F.floor(F.lit(1_000_000.0) * iv_num.cast("double")
+                / iv_den.cast("double")).cast("long").alias("beta_iv_e6"),
+        F.floor(F.lit(1_000_000.0) * ols_num.cast("double")
+                / ols_den.cast("double")).cast("long").alias("beta_ols_e6"))
+
+
+_IV_SQL = """
+WITH li AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+), base AS (
+  SELECT li.x,
+         CAST(floor((round(o.o_totalprice * 100) + 50) / 100.0) AS BIGINT)
+             AS y,
+         CASE WHEN c.c_nationkey < 12 THEN 1 ELSE 0 END::BIGINT AS z
+  FROM orders o
+  JOIN li ON o.o_orderkey = li.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(z) AS BIGINT) AS sz,
+         CAST(sum(z * y) AS BIGINT) AS szy,
+         CAST(sum(z * x) AS BIGINT) AS szx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM base
+)
+SELECT n, n * szx - sz * sx AS first_stage_cov,
+       CAST(floor(1000000.0 * CAST(n * szy - sz * sy AS DOUBLE)
+                  / CAST(n * szx - sz * sx AS DOUBLE)) AS BIGINT)
+           AS beta_iv_e6,
+       CAST(floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+           AS beta_ols_e6
+FROM mom
+"""
+
+QUERIES["iv_wald_estimate"] = (_iv_wald_estimate, _IV_SQL)

@@ -842,3 +842,151 @@ CROSS JOIN kap k
 
 QUERIES["preference_qa_end2end"] = (preference_qa_end2end,
                                     _end2end_sql())
+
+
+# --------------------------------------------------------------------
+# Elo rating trajectory (sequential/online counterpart of Bradley-Terry)
+# --------------------------------------------------------------------
+
+ELO_MATCHES = 2048          # deterministic chronological match prefix
+ELO_K_MILLI = 16_000        # K = 16 in millipoint units
+ELO_CLAMP = 400_000         # +-400 rating points, millipoints
+ELO_INIT = 1_500_000        # starting rating 1500.000
+
+
+def elo_rating_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online Elo ratings over a chronological match stream — the
+    sequential sibling of ``bradley_terry_strength`` (batch MM fit):
+    arena-style leaderboards update per game, and order matters.
+    Matches are consecutive same-user events whose types and values
+    both differ (winner = the type with the higher value); players are
+    the 5 event types. The standard logistic expected score 10^(d/400)
+    is libm territory, so this uses the clamped-linear Elo variant
+    E = (400 + clamp(d, ±400))/800 — every update is then the exact
+    integer  Δ = (K·(800000 − E_num)) div 800000  in millipoints, and
+    the whole trajectory folds as a LIST-accumulator aggregate (the
+    CLAUDE.md-verified safe fold shape; each step builds a NEW rating
+    vector via a nested transform over a consistent acc snapshot —
+    probed in both engines this round).
+
+    Scale: match extraction is one user-partitioned lag window over
+    the corpus; the fold input is a TakeOrdered {ELO_MATCHES}-row
+    chronological prefix (the ``sprt_sequential_test`` bounded-walk
+    discipline — an inherently sequential update can't fan out, so
+    bound it explicitly). Output: one row per player plus the match
+    count."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("cents"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    m = (ev.select(
+            "event_type", "cents", "us", "event_id",
+            F.lag("event_type").over(w).alias("p_type"),
+            F.lag("cents").over(w).alias("p_cents"))
+         .where(F.col("p_type").isNotNull()
+                & (F.col("p_type") != F.col("event_type"))
+                & (F.col("p_cents") != F.col("cents")))
+         .select(
+            "us", "event_id",
+            F.when(F.col("cents") > F.col("p_cents"), F.col("event_type"))
+             .otherwise(F.col("p_type")).alias("w_type"),
+            F.when(F.col("cents") > F.col("p_cents"), F.col("p_type"))
+             .otherwise(F.col("event_type")).alias("l_type"))
+         .orderBy("us", "event_id").limit(ELO_MATCHES))
+    types = load(spark, sf_dir, "events").select("event_type").distinct() \
+        .agg(F.array_sort(F.collect_list("event_type")).alias("types"))
+    folded = (m.crossJoin(F.broadcast(types))
+              .select(F.struct("us", "event_id",
+                               F.array(F.array_position("types", F.col("w_type")),
+                                       F.array_position("types", F.col("l_type")))
+                               .alias("wl")).alias("s"),
+                      "types")
+              .groupBy("types")
+              .agg(F.count(F.lit(1)).alias("n_matches"),
+                   F.expr("array_sort(collect_list(s))").alias("ms"))
+              .select(
+                  "types", "n_matches",
+                  F.expr(f"""
+  aggregate(
+    transform(ms, s -> s.wl),
+    transform(sequence(1, size(types)), x -> cast({ELO_INIT} as bigint)),
+    (acc, e) -> transform(sequence(1, size(acc)), i ->
+        element_at(acc, i)
+        + (CASE WHEN i = cast(element_at(e, 1) as int) THEN cast(1 as bigint)
+                WHEN i = cast(element_at(e, 2) as int) THEN cast(-1 as bigint)
+                ELSE cast(0 as bigint) END)
+          * (({ELO_K_MILLI} * (800000 - (400000
+               + greatest(cast(-{ELO_CLAMP} as bigint),
+                          least(cast({ELO_CLAMP} as bigint),
+                                element_at(acc, cast(element_at(e, 1) as int))
+                                - element_at(acc, cast(element_at(e, 2) as int)))))))
+             div 800000)))
+""").alias("ratings")))
+    return (folded
+            .select("n_matches",
+                    F.explode(F.arrays_zip(F.col("types").alias("player"),
+                                           F.col("ratings").alias("rating_milli")))
+                    .alias("z"))
+            .select(F.col("z.player").alias("player"),
+                    F.col("z.rating_milli").alias("rating_milli"),
+                    "n_matches"))
+
+
+_ELO_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         epoch_us(ts) AS us
+  FROM events
+), lagged AS (
+  SELECT event_type, cents, us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS p_type,
+         lag(cents) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS p_cents
+  FROM ev
+), matches AS (
+  SELECT us, event_id,
+         CASE WHEN cents > p_cents THEN event_type ELSE p_type END AS w_type,
+         CASE WHEN cents > p_cents THEN p_type ELSE event_type END AS l_type
+  FROM lagged
+  WHERE p_type IS NOT NULL AND p_type <> event_type AND p_cents <> cents
+  ORDER BY us, event_id
+  LIMIT {ELO_MATCHES}
+), alphabet AS (
+  SELECT list(DISTINCT event_type ORDER BY event_type) AS types FROM ev
+), packed AS (
+  SELECT a.types AS types,
+         CAST(count(*) AS BIGINT) AS n_matches,
+         list([CAST(list_position(a.types, m.w_type) AS BIGINT),
+               CAST(list_position(a.types, m.l_type) AS BIGINT)]
+              ORDER BY m.us, m.event_id) AS ms
+  FROM matches m, alphabet a
+  GROUP BY a.types
+), folded AS (
+  SELECT types, n_matches,
+         list_reduce(
+           list_prepend(list_transform(range(1, len(types) + 1),
+                                       x -> {ELO_INIT}::BIGINT), ms),
+           (acc, e) -> list_transform(range(1, len(acc) + 1), i ->
+             acc[i]
+             + (CASE WHEN i = e[1] THEN 1::BIGINT
+                     WHEN i = e[2] THEN (-1)::BIGINT
+                     ELSE 0::BIGINT END)
+               * (({ELO_K_MILLI} * (800000 - (400000
+                    + greatest((-{ELO_CLAMP})::BIGINT,
+                               least({ELO_CLAMP}::BIGINT,
+                                     acc[e[1]] - acc[e[2]])))))
+                  // 800000))) AS ratings
+  FROM packed
+)
+SELECT t.player, t.rating_milli, f.n_matches
+FROM folded f,
+     unnest(list_transform(range(1, len(f.types) + 1),
+            i -> struct_pack(player := f.types[i],
+                             rating_milli := f.ratings[i]))) AS u(t)
+"""
+
+QUERIES["elo_rating_trajectory"] = (elo_rating_trajectory, _ELO_SQL)

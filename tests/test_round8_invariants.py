@@ -494,3 +494,123 @@ def test_cochran_q_exact_rational(spark):
                                     - int(cj.sum()) ** 2)
     assert r["q_den"] == k * int(ri.sum()) - int((ri ** 2).sum())
     assert r["q_e6"] == (1_000_000 * r["q_num"]) // r["q_den"]
+
+
+def test_elo_replay_matches_pure_python(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.plans.preference_queries import (
+        ELO_CLAMP, ELO_INIT, ELO_K_MILLI, ELO_MATCHES,
+        elo_rating_trajectory,
+    )
+
+    rows = elo_rating_trajectory(spark, SF).collect()
+    pdf = pd.read_parquet(SF + "/events.parquet")
+    pdf["cents"] = (pdf["value"] * 100).round(0).astype("int64")
+    pdf["us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+    pdf = pdf.sort_values(["user_id", "us", "event_id"])
+    types = sorted(pdf["event_type"].unique())
+    matches = []
+    for _, g in pdf.groupby("user_id", sort=False):
+        prev = None
+        for r in g.itertuples():
+            if prev is not None and prev.event_type != r.event_type \
+                    and prev.cents != r.cents:
+                w, l = ((r.event_type, prev.event_type)
+                        if r.cents > prev.cents
+                        else (prev.event_type, r.event_type))
+                matches.append((r.us, r.event_id, w, l))
+            prev = r
+    matches.sort()
+    matches = matches[:ELO_MATCHES]
+    rating = {t: ELO_INIT for t in types}
+    for _, _, w, l in matches:
+        d = rating[w] - rating[l]
+        d = max(-ELO_CLAMP, min(ELO_CLAMP, d))
+        # Python // == Spark div here: the dividend is >= 0
+        delta = (ELO_K_MILLI * (800_000 - (400_000 + d))) // 800_000
+        rating[w] += delta
+        rating[l] -= delta
+    got = {r["player"]: r["rating_milli"] for r in rows}
+    assert got == rating
+    assert all(r["n_matches"] == len(matches) for r in rows)
+    assert sum(got.values()) == ELO_INIT * len(types)  # zero-sum
+
+
+def test_iv_wald_matches_pandas_reference(spark):
+    import math
+
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.plans.inference_queries import (
+        _iv_wald_estimate,
+    )
+
+    r = _iv_wald_estimate(spark, SF).collect()[0]
+    li = pd.read_parquet(SF + "/lineitem.parquet", columns=["l_orderkey"])
+    x = li.groupby("l_orderkey").size()
+    o = pd.read_parquet(SF + "/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    o["y"] = ((o["o_totalprice"] * 100).round(0) + 50) // 100
+    c = pd.read_parquet(SF + "/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    c["z"] = (c["c_nationkey"] < 12).astype("int64")
+    b = (o.assign(x=o["o_orderkey"].map(x))
+         .merge(c[["c_custkey", "z"]], left_on="o_custkey",
+                right_on="c_custkey"))
+    b = b.dropna(subset=["x"])
+    n = len(b)
+    sx, sy, sz = int(b.x.sum()), int(b.y.sum()), int(b.z.sum())
+    szy, szx = int((b.z * b.y).sum()), int((b.z * b.x).sum())
+    sxy, sxx = int((b.x * b.y).sum()), int((b.x * b.x).sum())
+    assert r["n"] == n
+    assert r["first_stage_cov"] == n * szx - sz * sx
+    assert r["beta_iv_e6"] == math.floor(
+        1e6 * float(n * szy - sz * sy) / float(n * szx - sz * sx))
+    assert r["beta_ols_e6"] == math.floor(
+        1e6 * float(n * sxy - sx * sy) / float(n * sxx - sx * sx))
+
+
+def test_countsketch_median_is_exact_for_top_terms(spark):
+    from alma_publish_to_marc_spark.operators.sketches import (
+        countsketch_point_estimate,
+    )
+
+    rows = countsketch_point_estimate(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["bias"] == r["est_count"] - r["exact_count"]
+        assert r["exact_count"] > 0
+    # signed-median cancellation: the estimate can never be more
+    # one-sided than a Count-Min read of the same heavy term would be
+    # (no guarantee per row, but the panel must not be ALL inflated)
+    assert any(r["bias"] <= 0 for r in rows) or \
+        all(r["bias"] == 0 for r in rows)
+
+
+def test_recursive_l_diversity_matches_pandas(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.plans.governance_queries import (
+        _RLD_C, _RLD_L, recursive_l_diversity_audit,
+    )
+
+    r = recursive_l_diversity_audit(spark, SF).collect()[0]
+    c = pd.read_parquet(SF + "/customer.parquet")
+    c["bal_c"] = (c["c_acctbal"] * 100).round(0).astype("int64")
+    c["decile"] = ((c["bal_c"] + 100_000) * 10 // 1_100_000).clip(upper=9)
+    o = pd.read_parquet(SF + "/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    n_classes = n_under = n_viol = 0
+    for _, g in j.groupby(["c_nationkey", "c_mktsegment", "decile"]):
+        cnts = sorted(g.groupby("o_orderpriority").size(), reverse=True)
+        tot, m, r1 = sum(cnts), len(cnts), cnts[0]
+        r2 = cnts[1] if m > 1 else 0
+        n_classes += 1
+        if m < _RLD_L:
+            n_under += 1
+        if m < _RLD_L or r1 >= _RLD_C * (tot - r1 - r2):
+            n_viol += 1
+    assert (r["n_classes"], r["n_under_l_distinct"], r["n_violating"]) \
+        == (n_classes, n_under, n_viol)
