@@ -353,3 +353,48 @@ GROUP BY o_orderpriority
 """
 
 QUERIES["parameterized_sql_report"] = (_parameterized_sql_report, _PARAM_SQL)
+
+
+# --------------------------------------------------------------------------
+# Spark 4 collation surface: case-insensitive grouping via UTF8_LCASE
+# --------------------------------------------------------------------------
+
+def _collated_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: group documents by source under the
+    UTF8_LCASE collation — the engine-level case-insensitive semantics
+    that replaces ad-hoc lower() wrapping. The input deliberately
+    mixes case (even doc_ids upper-cased) so the collated grouping has
+    real work to do; the emitted key is the canonical lower form
+    (identical for every member of a collated group), the DuckDB twin
+    groups by lower() — same partition function, so counts match
+    bit-for-bit.
+
+    Scale: one keyed aggregate; the collated group key hashes on the
+    collation key (lowercased bytes for UTF8_LCASE), so the shuffle
+    behaves exactly like the lower() form at any scale.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+         .otherwise(F.col("source")).alias("src_mixed"))
+    return (docs.groupBy(F.expr("collate(src_mixed, 'UTF8_LCASE')")
+                         .alias("ci"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(F.lower("src_mixed")).alias("source_canonical"))
+            .select("source_canonical", "n_docs"))
+
+
+_COLLATED_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+             AS src_mixed
+  FROM documents
+)
+SELECT min(lower(src_mixed)) AS source_canonical,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM docs
+GROUP BY lower(src_mixed)
+"""
+
+QUERIES["collated_group_counts"] = (_collated_group_counts, _COLLATED_SQL)

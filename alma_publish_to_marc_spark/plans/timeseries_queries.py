@@ -2125,3 +2125,240 @@ GROUP BY 1, 2, tw
 
 
 QUERIES["walk_forward_splits"] = (_walk_forward_splits, _wf_sql())
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (m=7) + 7-day forecast
+# ---------------------------------------------------------------------------
+_HW_M = 7                    # weekly seasonality
+_HW_SCALE = 1_000_000        # state kept in e6 micro-units
+
+
+def _hw_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based global daily count series (gap-filled with 0)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_US}")
+        .alias("day"))
+    counts = ev.groupBy("day").agg(F.count(F.lit(1)).alias("x"))
+    span = counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence(F.lit(0),
+                             (F.col("d1") - F.col("d0")).cast("int")))
+        .alias("d"), "d0")
+    return (spine.join(counts,
+                       spine.d + spine.d0 == counts.day, "left")
+            .select("d", F.coalesce("x", F.lit(0)).alias("y")))
+
+
+def _holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing of the global daily
+    event volume (m=7 weekly cycle, α=1/5, β=1/10, γ=1/5) with a
+    7-day-ahead forecast — the seasonal upgrade of
+    ``holt_linear_forecast`` that any traffic-capacity planner runs.
+    State is a 10-slot LIST accumulator [i, level, trend, s0..s6] in
+    exact e6 micro-units; every smoothing quotient is a small-
+    denominator integer division (truncating identically in both
+    engines for either sign — the measured round-8 div rule). The
+    first 7 days initialize level = mean, s_j = y_j − level, trend 0.
+
+    Scale: the corpus reduces to a calendar-bounded daily spine in one
+    keyed aggregate; the fold is ~30 interpreted steps on one row. The
+    h=1..7 forecast readout explodes from the folded state. Headroom:
+    e6 counts hold to ~9·10¹¹ events/day.
+    """
+    series = (_hw_daily_spine(spark, sf_dir)
+              .groupBy()
+              .agg(F.expr("array_sort(collect_list(array(d, y)))")
+                   .alias("ds")))
+    # slots (1-based): 1=i, 2=level, 3=trend, 4+j = s_j
+    sum_s = " + ".join(f"element_at(acc, {4 + j})" for j in range(_HW_M))
+    fold = f"""
+aggregate(
+  transform(ds, e -> array(element_at(e, 1),
+                           {_HW_SCALE} * element_at(e, 2))),
+  transform(sequence(1, {3 + _HW_M}), x -> cast(0 as bigint)),
+  (acc, e) -> transform(sequence(1, {3 + _HW_M}), p -> CASE
+    WHEN p = 1 THEN element_at(acc, 1) + 1
+    WHEN element_at(acc, 1) < {_HW_M - 1} THEN
+      CASE WHEN p = cast(4 + pmod(element_at(e, 1), {_HW_M}) as int)
+           THEN element_at(e, 2) ELSE element_at(acc, p) END
+    WHEN element_at(acc, 1) = {_HW_M - 1} THEN
+      CASE WHEN p = 2 THEN ({sum_s} + element_at(e, 2)) div {_HW_M}
+           WHEN p = 3 THEN cast(0 as bigint)
+           ELSE (CASE WHEN p = cast(4 + pmod(element_at(e, 1), {_HW_M}) as int)
+                      THEN element_at(e, 2) ELSE element_at(acc, p) END)
+                - (({sum_s} + element_at(e, 2)) div {_HW_M})
+      END
+    ELSE
+      CASE
+        WHEN p = 2 THEN
+          ((element_at(e, 2)
+            - element_at(acc, cast(4 + pmod(element_at(e, 1), {_HW_M}) as int)))
+           + 4 * (element_at(acc, 2) + element_at(acc, 3))) div 5
+        WHEN p = 3 THEN
+          (((((element_at(e, 2)
+               - element_at(acc, cast(4 + pmod(element_at(e, 1), {_HW_M}) as int)))
+              + 4 * (element_at(acc, 2) + element_at(acc, 3))) div 5)
+            - element_at(acc, 2))
+           + 9 * element_at(acc, 3)) div 10
+        WHEN p = cast(4 + pmod(element_at(e, 1), {_HW_M}) as int) THEN
+          ((element_at(e, 2)
+            - ((element_at(e, 2)
+                - element_at(acc, cast(4 + pmod(element_at(e, 1), {_HW_M}) as int)))
+               + 4 * (element_at(acc, 2) + element_at(acc, 3))) div 5)
+           + 4 * element_at(acc, cast(4 + pmod(element_at(e, 1), {_HW_M}) as int)))
+          div 5
+        ELSE element_at(acc, p)
+      END
+  END))
+"""
+    folded = series.select(F.expr(fold).alias("a"))
+    return (folded
+            .select("a", F.explode(F.sequence(F.lit(1), F.lit(7)))
+                    .alias("h"))
+            .select(
+                "h",
+                F.expr(f"element_at(a, 1)").alias("n_days"),
+                F.expr("element_at(a, 2)").alias("level_e6"),
+                F.expr("element_at(a, 3)").alias("trend_e6"),
+                F.expr(f"element_at(a, 2) + h * element_at(a, 3)"
+                       f" + element_at(a, cast(4 + pmod(element_at(a, 1)"
+                       f" - 1 + h, {_HW_M}) as int))").alias("forecast_e6"))
+            )
+
+
+def _hw_sql() -> str:
+    m, sc = _HW_M, _HW_SCALE
+    sum_s = " + ".join(f"acc[{4 + j}]" for j in range(m))
+    return f"""
+WITH counts AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), span AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM counts
+), spine AS (
+  SELECT CAST(u.d AS BIGINT) AS d, s.d0
+  FROM span s, unnest(range(0, s.d1 - s.d0 + 1)) AS u(d)
+), series AS (
+  SELECT list([sp.d, {sc} * COALESCE(c.x, 0)] ORDER BY sp.d) AS ds
+  FROM spine sp LEFT JOIN counts c ON sp.d + sp.d0 = c.day
+), folded AS (
+  SELECT list_reduce(
+    list_prepend(list_transform(range(1, {3 + m} + 1), x -> 0::BIGINT), ds),
+    (acc, e) -> list_transform(range(1, {3 + m} + 1), p -> CASE
+      WHEN p = 1 THEN acc[1] + 1
+      WHEN acc[1] < {m - 1} THEN
+        CASE WHEN p = 4 + (e[1] % {m}) THEN e[2] ELSE acc[p] END
+      WHEN acc[1] = {m - 1} THEN
+        CASE WHEN p = 2 THEN ({sum_s} + e[2]) // {m}
+             WHEN p = 3 THEN 0::BIGINT
+             ELSE (CASE WHEN p = 4 + (e[1] % {m})
+                        THEN e[2] ELSE acc[p] END)
+                  - (({sum_s} + e[2]) // {m})
+        END
+      ELSE
+        CASE
+          WHEN p = 2 THEN
+            ((e[2] - acc[4 + (e[1] % {m})])
+             + 4 * (acc[2] + acc[3])) // 5
+          WHEN p = 3 THEN
+            (((((e[2] - acc[4 + (e[1] % {m})])
+                + 4 * (acc[2] + acc[3])) // 5) - acc[2])
+             + 9 * acc[3]) // 10
+          WHEN p = 4 + (e[1] % {m}) THEN
+            ((e[2] - ((e[2] - acc[4 + (e[1] % {m})])
+                      + 4 * (acc[2] + acc[3])) // 5)
+             + 4 * acc[4 + (e[1] % {m})]) // 5
+          ELSE acc[p]
+        END
+    END)) AS a
+  FROM series
+)
+SELECT CAST(h.h AS INT) AS h, a[1] AS n_days, a[2] AS level_e6,
+       a[3] AS trend_e6,
+       a[2] + h.h * a[3] + a[CAST(4 + ((a[1] - 1 + h.h) % {m}) AS INT)]
+           AS forecast_e6
+FROM folded, unnest(range(1, 8)) AS h(h)
+"""
+
+
+QUERIES["holt_winters_additive"] = (_holt_winters_additive, _hw_sql())
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy pyramid over the daily series (5 dyadic levels)
+# ---------------------------------------------------------------------------
+_HAAR_N = 32   # zero-padded dyadic length for the ~30-day corpus
+
+
+def _haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized integer Haar decomposition of the global daily
+    event count series (zero-padded to {n}): five levels of pairwise
+    (a+b, a−b), reporting per level the detail energy Σd² — the
+    multi-resolution "where does the variance live" profile (level 1 =
+    day-to-day noise, level 5 = half-month swing) that picks the right
+    smoothing window before anyone fits a forecast. Integer transform
+    ⇒ exact int64 at every level (Parseval holds up to the missing
+    1/2^k normalization, asserted in the invariant test).
+
+    Scale: the corpus reduces to the calendar-bounded daily spine in
+    one aggregate; each level is a ≤{n}-row keyed aggregation. All
+    engine-side, no fold (pairing is data-parallel per level).
+    """
+    daily = (_hw_daily_spine(spark, sf_dir)
+             .select("d", F.col("y").alias("v")))
+    # dyadic frame: days beyond _HAAR_N truncate, missing days pad 0
+    # (both engines index the same 0-based spine)
+    cur = (daily.groupBy().agg(F.lit(0).alias("_z"))
+           .select(F.explode(F.sequence(F.lit(0), F.lit(_HAAR_N - 1)))
+                   .alias("d"))
+           .join(daily, "d", "left")
+           .select("d", F.coalesce("v", F.lit(0)).alias("v")))
+    out = None
+    for level in range(1, 6):
+        nxt = (cur.groupBy((F.col("d") - F.pmod(F.col("d"), 2) )
+                   .alias("_p"))
+               .agg(F.sum("v").alias("a"),
+                    F.sum(F.when(F.pmod(F.col("d"), 2) == 0, F.col("v"))
+                          .otherwise(-F.col("v"))).alias("det"))
+               .select((F.col("_p") / 2).cast("long").alias("d"),
+                       F.col("a").alias("v"), "det"))
+        lvl = nxt.agg(F.lit(level).alias("level"),
+                      F.sum(F.col("det") * F.col("det")).alias("energy"),
+                      F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        out = lvl if out is None else out.unionAll(lvl)
+        cur = nxt.select("d", "v")
+    return out
+
+
+def _haar_sql() -> str:
+    lvls = []
+    prev = "lvl0"
+    for level in range(1, 6):
+        lvls.append(f"""lvl{level} AS (
+  SELECT (d - (d % 2)) // 2 AS d, CAST(sum(v) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN d % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS det
+  FROM {prev} GROUP BY 1
+)""")
+        prev = f"lvl{level}"
+    selects = " UNION ALL ".join(
+        f"SELECT {level} AS level, CAST(sum(det * det) AS BIGINT) AS energy,"
+        f" CAST(count(*) AS BIGINT) AS n_pairs FROM lvl{level}"
+        for level in range(1, 6))
+    return f"""
+WITH counts AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), span AS (
+  SELECT min(day) AS d0 FROM counts
+), lvl0 AS (
+  SELECT CAST(u.d AS BIGINT) AS d,
+         COALESCE((SELECT c.x FROM counts c, span s
+                   WHERE c.day = u.d + s.d0), 0) AS v
+  FROM unnest(range(0, {_HAAR_N})) AS u(d)
+), {', '.join(lvls)}
+{selects}
+"""
+
+
+QUERIES["haar_wavelet_energy"] = (_haar_wavelet_energy, _haar_sql())

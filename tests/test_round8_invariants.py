@@ -614,3 +614,85 @@ def test_recursive_l_diversity_matches_pandas(spark):
             n_viol += 1
     assert (r["n_classes"], r["n_under_l_distinct"], r["n_violating"]) \
         == (n_classes, n_under, n_viol)
+
+
+def test_holt_winters_matches_pure_python(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.plans.timeseries_queries import (
+        _HW_M, _HW_SCALE, _holt_winters_additive,
+    )
+
+    rows = sorted(_holt_winters_additive(spark, SF).collect(),
+                  key=lambda r: r["h"])
+    pdf = pd.read_parquet(SF + "/events.parquet", columns=["ts"])
+    day = pd.Series(pdf["ts"].astype("datetime64[us]").astype("int64")
+                    // 86_400_000_000)
+    counts = day.value_counts().sort_index()
+    days = range(int(counts.index.min()), int(counts.index.max()) + 1)
+    ys = [int(counts.get(d, 0)) * _HW_SCALE for d in days]
+
+    def tdiv(a, b):  # truncating div, matching Spark div / DuckDB //
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    lvl = tdiv(sum(ys[:_HW_M]), _HW_M)
+    s = [y - lvl for y in ys[:_HW_M]]
+    b = 0
+    for d in range(_HW_M, len(ys)):
+        j = d % _HW_M
+        l_new = tdiv((ys[d] - s[j]) + 4 * (lvl + b), 5)
+        b = tdiv((l_new - lvl) + 9 * b, 10)
+        s[j] = tdiv((ys[d] - l_new) + 4 * s[j], 5)
+        lvl = l_new
+    t = len(ys)
+    for r in rows:
+        assert r["n_days"] == t
+        assert r["level_e6"] == lvl and r["trend_e6"] == b
+        assert r["forecast_e6"] == lvl + r["h"] * b \
+            + s[(t - 1 + r["h"]) % _HW_M]
+
+
+def test_haar_energy_parseval(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.plans.timeseries_queries import (
+        _HAAR_N, _haar_wavelet_energy,
+    )
+
+    rows = {r["level"]: r for r in
+            _haar_wavelet_energy(spark, SF).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    for lv, r in rows.items():
+        assert r["n_pairs"] == _HAAR_N >> lv
+        assert r["energy"] >= 0
+    # unnormalized Parseval: 2^L * sum(x^2) == sum_k 2^(L-k) E_k
+    #                        + (final approx)^2
+    pdf = pd.read_parquet(SF + "/events.parquet", columns=["ts"])
+    day = (pdf["ts"].astype("datetime64[us]").astype("int64")
+           // 86_400_000_000)
+    counts = day.value_counts()
+    base = int(counts.index.min())
+    xs = [int(counts.get(base + i, 0)) for i in range(_HAAR_N)]
+    lhs = (2 ** 5) * sum(x * x for x in xs)
+    # recompute final approx by summing all (it's sum of all values)
+    approx = sum(xs)
+    rhs = sum((2 ** (5 - lv)) * rows[lv]["energy"] for lv in rows) \
+        + approx * approx
+    assert lhs == rhs
+
+
+def test_collated_grouping_equals_lower_grouping(spark):
+    from alma_publish_to_marc_spark.functions.scalar_queries import (
+        _collated_group_counts,
+    )
+    from alma_publish_to_marc_spark.tables import load
+    from pyspark.sql import functions as F
+
+    got = {r["source_canonical"]: r["n_docs"]
+           for r in _collated_group_counts(spark, SF).collect()}
+    ref = {r["s"]: r["n"] for r in
+           load(spark, SF, "documents")
+           .groupBy(F.lower("source").alias("s"))
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == ref
