@@ -2526,3 +2526,84 @@ FROM refit
 
 
 QUERIES["ransac_line_fit"] = (_ransac_line_fit, _ransac_sql())
+
+
+# ---------------------------------------------------------------------------
+# Average precision (PR-AUC) from score-run aggregates
+# ---------------------------------------------------------------------------
+
+def _pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware average precision (PR-AUC) of the same integer scorer
+    as ``auc_mann_whitney`` (document length predicting lang='en') —
+    the metric that matters when positives are rare and ROC-AUC
+    flatters. Thresholds are the score RUNS in descending order:
+    AP = Σ_runs (Δrecall · precision-at-run-end), i.e.
+    Σ_i (p_i / P) · (cumpos_i / cumcnt_i). Each run's term is floored
+    to e12 from exact int64 counts via IEEE double mul/div
+    (deterministic cross-engine; the defined metric is this floored
+    sum, biased < n_runs·1e-12 low), then integer-summed.
+
+    Scale: identical shape to the AUC twin — one groupBy(score) run
+    aggregation, one cumulative window over the alphabet-bounded run
+    table, a 1-row reduce. No global per-row sort ever happens.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    runs = docs.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+    from pyspark.sql import Window
+    w = (Window.orderBy(F.desc("score"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = runs.select(
+        "score", "cnt", "pos",
+        F.sum("cnt").over(w).alias("cumcnt"),
+        F.sum("pos").over(w).alias("cumpos"))
+    tot = runs.agg(F.sum("pos").alias("p_total"),
+                   F.sum("cnt").alias("n_total"))
+    term = F.floor(
+        F.lit(1e12)
+        * (F.col("pos").cast("double") * F.col("cumpos").cast("double"))
+        / (F.col("p_total").cast("double") * F.col("cumcnt").cast("double"))
+    ).cast("long")
+    return (cum.crossJoin(F.broadcast(tot))
+            .agg(F.sum(term).alias("ap_e12"),
+                 F.max("p_total").alias("n_pos"),
+                 F.max("n_total").alias("n_total"),
+                 F.count(F.lit(1)).alias("n_runs")))
+
+
+_PR_AUC_SQL = """
+WITH docs AS (
+  SELECT CAST(n_chars AS BIGINT) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), runs AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM docs GROUP BY 1
+), cum AS (
+  SELECT score, cnt, pos,
+         CAST(sum(cnt) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumcnt,
+         CAST(sum(pos) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumpos
+  FROM runs
+), tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS p_total,
+         CAST(sum(cnt) AS BIGINT) AS n_total
+  FROM runs
+)
+SELECT CAST(sum(CAST(floor(
+           1e12 * (CAST(pos AS DOUBLE) * CAST(cumpos AS DOUBLE))
+           / (CAST(p_total AS DOUBLE) * CAST(cumcnt AS DOUBLE)))
+           AS BIGINT)) AS BIGINT) AS ap_e12,
+       max(p_total) AS n_pos, max(n_total) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_runs
+FROM cum, tot
+"""
+
+QUERIES["pr_auc_average_precision"] = (_pr_auc_average_precision,
+                                       _PR_AUC_SQL)

@@ -497,3 +497,116 @@ FROM csum, rsum
 """
 
 QUERIES["cochran_q_test"] = (_cochran_q, _COCHRAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (k related samples on user blocks)
+# ---------------------------------------------------------------------------
+
+def _friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test over complete user blocks: does per-user total
+    spend differ systematically across the k=5 event types? The
+    within-block treatment ranks use doubled midranks computed from
+    the k×k per-user comparison join (r2 = 2 + 2·#less + #equal-other
+    — never an engine rank function), absent (user, type) cells fill
+    with 0 so every block is complete. With doubled ranks the
+    tie-corrected statistic is FULLY exact-rational:
+
+        χ² = (k−1)·Σ_j (R2_j − n(k+1))² / (A2 − n·k·(k+1)²)
+
+    where R2_j is the doubled rank sum of treatment j and
+    A2 = Σ 4r² over all cells; the e6 output is one integer division.
+    (The Cochran-Q sibling covers binary outcomes; this covers
+    ordinal/continuous ones.)
+
+    Scale: one (user,type) aggregate, a users×5 completion join, a
+    k×k-bounded per-user comparison join keyed on user, then two
+    bounded reductions. Headroom: A2 ≤ 4nk·(2k)² — int64 to ~10¹⁵
+    blocks.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr(_CENTS).alias("cents"))
+    types = ev.select("event_type").distinct()
+    users = ev.select("user_id").distinct()
+    cells = (users.crossJoin(F.broadcast(types))
+             .join(ev.groupBy("user_id", "event_type")
+                     .agg(F.sum("cents").alias("v")),
+                   ["user_id", "event_type"], "left")
+             .select("user_id", "event_type",
+                     F.coalesce("v", F.lit(0)).alias("v")))
+    o = cells.select(F.col("user_id").alias("uid"),
+                     F.col("event_type").alias("o_type"),
+                     F.col("v").alias("ov"))
+    r2 = (cells.join(o, (cells.user_id == o.uid)
+                     & (cells.event_type != o.o_type))
+          .groupBy("user_id", "event_type")
+          .agg((F.lit(2)
+                + 2 * F.sum(F.when(F.col("ov") < F.col("v"), 1)
+                            .otherwise(0))
+                + F.sum(F.when(F.col("ov") == F.col("v"), 1)
+                        .otherwise(0))).alias("r2")))
+    per_t = r2.groupBy("event_type").agg(F.sum("r2").alias("rsum2"))
+    a2 = r2.agg(F.sum(F.col("r2") * F.col("r2")).alias("a2"),
+                F.countDistinct("user_id").alias("n"),
+                F.countDistinct("event_type").alias("k"))
+    j = per_t.crossJoin(F.broadcast(a2))
+    dev = F.col("rsum2") - F.col("n") * (F.col("k") + 1)
+    num_parts = j.groupBy("a2", "n", "k").agg(
+        F.sum(dev * dev).alias("ssq"))
+    return (num_parts
+            .select(F.col("n").alias("n_blocks"),
+                    F.col("k").cast("int").alias("k"),
+                    ((F.col("k") - 1) * F.col("ssq")).alias("chi2_num"),
+                    (F.col("a2") - F.col("n") * F.col("k")
+                     * (F.col("k") + 1) * (F.col("k") + 1))
+                    .alias("chi2_den"))
+            .select("n_blocks", "k", "chi2_num", "chi2_den",
+                    F.expr("(1000000 * chi2_num) div chi2_den")
+                    .alias("chi2_e6")))
+
+
+_FRIEDMAN_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+), types AS (SELECT DISTINCT event_type FROM ev),
+users AS (SELECT DISTINCT user_id FROM ev),
+sums AS (
+  SELECT user_id, event_type, CAST(sum(cents) AS BIGINT) AS v
+  FROM ev GROUP BY 1, 2
+), cells AS (
+  SELECT u.user_id, t.event_type, COALESCE(s.v, 0) AS v
+  FROM users u CROSS JOIN types t
+  LEFT JOIN sums s ON s.user_id = u.user_id
+                  AND s.event_type = t.event_type
+), r2 AS (
+  SELECT c.user_id, c.event_type,
+         2 + 2 * CAST(sum(CASE WHEN o.v < c.v THEN 1 ELSE 0 END) AS BIGINT)
+           + CAST(sum(CASE WHEN o.v = c.v THEN 1 ELSE 0 END) AS BIGINT)
+             AS r2
+  FROM cells c JOIN cells o ON c.user_id = o.user_id
+                           AND c.event_type <> o.event_type
+  GROUP BY 1, 2
+), per_t AS (
+  SELECT event_type, CAST(sum(r2) AS BIGINT) AS rsum2 FROM r2 GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(r2 * r2) AS BIGINT) AS a2,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS k
+  FROM r2
+)
+SELECT t.n AS n_blocks, CAST(t.k AS INT) AS k,
+       (t.k - 1) * CAST(sum((p.rsum2 - t.n * (t.k + 1))
+                            * (p.rsum2 - t.n * (t.k + 1))) AS BIGINT)
+           AS chi2_num,
+       t.a2 - t.n * t.k * (t.k + 1) * (t.k + 1) AS chi2_den,
+       (1000000 * ((t.k - 1)
+            * CAST(sum((p.rsum2 - t.n * (t.k + 1))
+                       * (p.rsum2 - t.n * (t.k + 1))) AS BIGINT)))
+           // (t.a2 - t.n * t.k * (t.k + 1) * (t.k + 1)) AS chi2_e6
+FROM per_t p, tot t
+GROUP BY t.n, t.k, t.a2
+"""
+
+QUERIES["friedman_test"] = (_friedman_test, _FRIEDMAN_SQL)

@@ -696,3 +696,59 @@ def test_collated_grouping_equals_lower_grouping(spark):
            .groupBy(F.lower("source").alias("s"))
            .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == ref
+
+
+def test_friedman_matches_pandas_reference(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.plans.rank_queries import (
+        _friedman_test,
+    )
+
+    r = _friedman_test(spark, SF).collect()[0]
+    pdf = _events_pdf()
+    cells = (pdf.groupby(["user_id", "event_type"])["cents"].sum()
+             .unstack(fill_value=0))
+    ranks = cells.rank(axis=1, method="average")
+    n, k = cells.shape
+    rj = ranks.sum(axis=0)
+    a = float((ranks ** 2).to_numpy().sum())
+    c = n * k * (k + 1) ** 2 / 4.0
+    num = (k - 1) * float(((rj - n * (k + 1) / 2.0) ** 2).sum())
+    den = a - c
+    assert r["n_blocks"] == n and r["k"] == k
+    # engine output is in doubled-rank units: num x4, den x4
+    assert abs(r["chi2_num"] / max(r["chi2_den"], 1) - num / den) < 1e-9
+    assert r["chi2_e6"] == (1_000_000 * r["chi2_num"]) // r["chi2_den"]
+
+
+def test_average_precision_matches_pandas(spark):
+    import math
+
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.operators.learning import (
+        _pr_auc_average_precision,
+    )
+
+    r = _pr_auc_average_precision(spark, SF).collect()[0]
+    pdf = pd.read_parquet(SF + "/documents.parquet",
+                          columns=["n_chars", "lang"])
+    pdf["y"] = (pdf["lang"] == "en").astype(int)
+    runs = (pdf.groupby("n_chars")
+            .agg(cnt=("y", "size"), pos=("y", "sum"))
+            .sort_index(ascending=False))
+    p_total, n_total = int(runs.pos.sum()), int(runs.cnt.sum())
+    cumpos = cumcnt = 0
+    ap = 0
+    for _, row in runs.iterrows():
+        cumpos += int(row.pos)
+        cumcnt += int(row.cnt)
+        ap += math.floor(1e12 * (float(row.pos) * cumpos)
+                         / (float(p_total) * cumcnt))
+    assert (r["ap_e12"], r["n_pos"], r["n_total"], r["n_runs"]) \
+        == (ap, p_total, n_total, len(runs))
+    # AP lives in (0, 1]; length is only a weak lang signal, so it
+    # should land near the positive base rate, not at an extreme
+    assert 0 < r["ap_e12"] <= 10 ** 12
+    assert abs(r["ap_e12"] / 1e12 - p_total / n_total) < 0.25
