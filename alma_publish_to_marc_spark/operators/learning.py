@@ -2607,3 +2607,174 @@ FROM cum, tot
 
 QUERIES["pr_auc_average_precision"] = (_pr_auc_average_precision,
                                        _PR_AUC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted stumps (3 rounds of L2 boosting, driver-paced argmax)
+# ---------------------------------------------------------------------------
+_GBDT_ROUNDS = 3
+_GBDT_DIMS = _STUMP_DIMS
+_GBDT_CUTS = _STUMP_CUTS
+
+
+def _gbdt_stump_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 gradient boosting with regression stumps: 3 rounds of
+    best-split search on the residual of "is this vector label 0"
+    (y = 1000·1{label=0}, e3 fixed-point), learning rate 1/2 — the
+    minimal honest GBDT whose every round is the distributed
+    histogram-split pass of ``decision_stump_split_search``, now fit
+    on RESIDUALS so rounds compose. Split gain maximizes
+    S_L²/n_L + S_R²/n_R (the SSE-reduction identity); leaf values are
+    truncating integer divisions S div (2n); each round's winning
+    (dim, thr) is a 1-row TakeOrdered collect that parameterizes the
+    next round's residuals as literals — the BPE/Bradley-Terry
+    sanctioned driver-paced shape, deliberately NOT plan-unrolled
+    (2^rounds plan copies). The oracle unrolls the same 3 rounds as
+    scalar-subquery CTEs.
+
+    Output: one row per round (dim, thr, leaf values, post-round
+    training SSE) — the exact model a serving layer would replay.
+
+    Scale: per round, one rows×dims×cuts map-side-combinable tally
+    (the XGBoost approx-mode histogram shape) + two driver collects of
+    1 row / 1 scalar. Headroom: Σr² e6 ints hold to ~9·10⁹ vectors.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(F.col("label") == 0, 1000).otherwise(0).cast("long")
+        .alias("y"),
+        F.transform(F.slice("embedding", 1, _GBDT_DIMS),
+                    lambda x: F.round(x * 1000).cast("long")).alias("q"))
+    rows = emb.select("vec_id", "y", F.posexplode("q").alias("dim", "val"))
+    stats = rows.groupBy("dim").agg(F.min("val").alias("lo"),
+                                    F.max("val").alias("hi"))
+    cuts = (stats.select(
+        "dim", F.explode(F.array(*[F.lit(t) for t in
+                                   range(1, _GBDT_CUTS + 1)])).alias("t"),
+        "lo", "hi")
+        .select("dim", F.floor(F.col("lo") + (F.col("hi") - F.col("lo"))
+                               * F.col("t") / (_GBDT_CUTS + 1))
+                .cast("long").alias("thr")))
+    pred = F.lit(0).cast("long")
+    model = []
+    for rnd in range(1, _GBDT_ROUNDS + 1):
+        resid = emb.select("vec_id", "q", (F.col("y") - pred).alias("r"))
+        tall = (resid.select("r", F.posexplode("q").alias("dim", "val"))
+                .join(F.broadcast(cuts), "dim")
+                .groupBy("dim", "thr")
+                .agg(F.sum(F.when(F.col("val") <= F.col("thr"), 1)
+                           .otherwise(0)).alias("n_l"),
+                     F.sum(F.when(F.col("val") <= F.col("thr"), F.col("r"))
+                           .otherwise(0)).alias("s_l"),
+                     F.count(F.lit(1)).alias("n"),
+                     F.sum("r").alias("s")))
+        gain = ((F.col("s_l").cast("double") * F.col("s_l").cast("double")
+                 * (F.col("n") - F.col("n_l")).cast("double")
+                 + (F.col("s") - F.col("s_l")).cast("double")
+                 * (F.col("s") - F.col("s_l")).cast("double")
+                 * F.col("n_l").cast("double"))
+                / (F.col("n_l") * (F.col("n") - F.col("n_l")))
+                .cast("double"))
+        best = (tall.where((F.col("n_l") > 0) & (F.col("n_l") < F.col("n")))
+                .select("dim", "thr", "n_l", "s_l",
+                        (F.col("n") - F.col("n_l")).alias("n_r"),
+                        (F.col("s") - F.col("s_l")).alias("s_r"),
+                        gain.alias("g"))
+                .orderBy(F.desc("g"), F.asc("dim"), F.asc("thr"))
+                .limit(1).collect()[0])   # 1-row driver-paced argmax
+
+        def tdiv(a: int, b: int) -> int:
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        v_l = tdiv(best["s_l"], 2 * best["n_l"])
+        v_r = tdiv(best["s_r"], 2 * best["n_r"])
+        pred = pred + F.when(
+            F.element_at(F.col("q"), best["dim"] + 1) <= best["thr"],
+            F.lit(v_l)).otherwise(F.lit(v_r))
+        sse = (emb.select(((F.col("y") - pred)
+                           * (F.col("y") - pred)).alias("r2"))
+               .agg(F.sum("r2")).collect()[0][0])   # 1-scalar collect
+        model.append((rnd, int(best["dim"]), int(best["thr"]),
+                      v_l, v_r, int(sse)))
+    return spark.createDataFrame(
+        model, "round int, dim int, thr long, leaf_l_e3 long,"
+               " leaf_r_e3 long, sse_after_e6 long")
+
+
+def _gbdt_sql() -> str:
+    head = f"""
+WITH emb AS (
+  SELECT vec_id,
+         CASE WHEN label = 0 THEN 1000 ELSE 0 END::BIGINT AS y,
+         list_transform(embedding[1:{_GBDT_DIMS}],
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS q
+  FROM embeddings
+), rows_q AS (
+  SELECT vec_id, y, u.dim, u.val
+  FROM (SELECT vec_id, y,
+               unnest(list_transform(range(1, {_GBDT_DIMS} + 1),
+                   i -> struct_pack(dim := i - 1, val := q[i]))) AS u
+        FROM emb)
+), stats AS (
+  SELECT dim, min(val) AS lo, max(val) AS hi FROM rows_q GROUP BY 1
+), cuts AS (
+  SELECT dim,
+         CAST(floor(lo + (hi - lo) * t / {_GBDT_CUTS + 1}) AS BIGINT) AS thr
+  FROM stats, unnest(range(1, {_GBDT_CUTS} + 1)) AS r(t)
+)"""
+    parts = [head]
+    # resid0 = y
+    parts.append(", resid1 AS (SELECT vec_id, q, y AS r FROM emb)")
+    sdiv = ("(CASE WHEN {a} < 0 THEN -((-({a})) // ({b}))"
+            " ELSE ({a}) // ({b}) END)")
+    for t in range(1, _GBDT_ROUNDS + 1):
+        parts.append(f"""
+, tall{t} AS (
+  SELECT c.dim, c.thr,
+         CAST(sum(CASE WHEN rq.val <= c.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_l,
+         CAST(sum(CASE WHEN rq.val <= c.thr THEN rs.r ELSE 0 END)
+              AS BIGINT) AS s_l,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rs.r) AS BIGINT) AS s
+  FROM resid{t} rs
+  JOIN rows_q rq ON rq.vec_id = rs.vec_id
+  JOIN cuts c ON c.dim = rq.dim
+  GROUP BY 1, 2
+), best{t} AS (
+  SELECT dim, thr, n_l, s_l, n - n_l AS n_r, s - s_l AS s_r,
+         (CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE)
+              * CAST(n - n_l AS DOUBLE)
+          + CAST(s - s_l AS DOUBLE) * CAST(s - s_l AS DOUBLE)
+              * CAST(n_l AS DOUBLE))
+         / CAST(n_l * (n - n_l) AS DOUBLE) AS g
+  FROM tall{t}
+  WHERE n_l > 0 AND n_l < n
+  ORDER BY g DESC, dim ASC, thr ASC
+  LIMIT 1
+), leaf{t} AS (
+  SELECT dim, thr,
+         {sdiv.format(a='s_l', b='2 * n_l')} AS v_l,
+         {sdiv.format(a='s_r', b='2 * n_r')} AS v_r,
+         g
+  FROM best{t}
+), resid{t + 1} AS (
+  SELECT rs.vec_id, rs.q,
+         rs.r - (CASE WHEN rs.q[(SELECT dim FROM leaf{t}) + 1]
+                          <= (SELECT thr FROM leaf{t})
+                      THEN (SELECT v_l FROM leaf{t})
+                      ELSE (SELECT v_r FROM leaf{t}) END) AS r
+  FROM resid{t} rs
+), sse{t} AS (
+  SELECT CAST(sum(r * r) AS BIGINT) AS sse FROM resid{t + 1}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS round, CAST(l.dim AS INT) AS dim, l.thr,"
+        f" l.v_l AS leaf_l_e3, l.v_r AS leaf_r_e3,"
+        f" (SELECT sse FROM sse{t}) AS sse_after_e6 FROM leaf{t} l"
+        for t in range(1, _GBDT_ROUNDS + 1))
+    return "".join(parts) + "\n" + sel
+
+
+QUERIES["gbdt_stump_rounds"] = (_gbdt_stump_rounds, _gbdt_sql())

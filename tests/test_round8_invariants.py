@@ -752,3 +752,55 @@ def test_average_precision_matches_pandas(spark):
     # should land near the positive base rate, not at an extreme
     assert 0 < r["ap_e12"] <= 10 ** 12
     assert abs(r["ap_e12"] / 1e12 - p_total / n_total) < 0.25
+
+
+def test_gbdt_replay_matches_pure_python(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.operators.learning import (
+        _GBDT_CUTS, _GBDT_DIMS, _GBDT_ROUNDS, _gbdt_stump_rounds,
+    )
+
+    rows = sorted(_gbdt_stump_rounds(spark, SF).collect(),
+                  key=lambda r: r["round"])
+    emb = pd.read_parquet(SF + "/embeddings.parquet")
+    y = [1000 if lb == 0 else 0 for lb in emb["label"]]
+    q = [[int(round(float(v) * 1000)) for v in e[:_GBDT_DIMS]]
+         for e in emb["embedding"]]
+
+    def tdiv(a, b):
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    cuts = []
+    for d in range(_GBDT_DIMS):
+        lo = min(r[d] for r in q)
+        hi = max(r[d] for r in q)
+        for t in range(1, _GBDT_CUTS + 1):
+            cuts.append((d, lo + (hi - lo) * t // (_GBDT_CUTS + 1)))
+    pred = [0] * len(y)
+    for rnd, out in zip(range(1, _GBDT_ROUNDS + 1), rows):
+        r = [yy - pp for yy, pp in zip(y, pred)]
+        best = None
+        for d, thr in cuts:
+            left = [i for i in range(len(r)) if q[i][d] <= thr]
+            n_l, n_r = len(left), len(r) - len(left)
+            if n_l == 0 or n_r == 0:
+                continue
+            s_l = sum(r[i] for i in left)
+            s_r = sum(r) - s_l
+            g = (float(s_l) * s_l * n_r + float(s_r) * s_r * n_l) \
+                / float(n_l * n_r)
+            key = (-g, d, thr)
+            if best is None or key < best[0]:
+                best = (key, d, thr, n_l, n_r, s_l, s_r)
+        _, d, thr, n_l, n_r, s_l, s_r = best
+        v_l, v_r = tdiv(s_l, 2 * n_l), tdiv(s_r, 2 * n_r)
+        assert (out["dim"], out["thr"], out["leaf_l_e3"],
+                out["leaf_r_e3"]) == (d, thr, v_l, v_r), rnd
+        pred = [pp + (v_l if q[i][d] <= thr else v_r)
+                for i, pp in enumerate(pred)]
+        sse = sum((yy - pp) ** 2 for yy, pp in zip(y, pred))
+        assert out["sse_after_e6"] == sse
+    # boosting must not increase training SSE
+    sses = [r["sse_after_e6"] for r in rows]
+    assert sses == sorted(sses, reverse=True)
