@@ -2778,3 +2778,73 @@ WITH emb AS (
 
 
 QUERIES["gbdt_stump_rounds"] = (_gbdt_stump_rounds, _gbdt_sql())
+
+
+# ---------------------------------------------------------------------------
+# Youden-J optimal threshold from the score-run table
+# ---------------------------------------------------------------------------
+
+def _youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal operating point of the length→lang scorer by Youden's
+    J = TPR − FPR, maximized over score-run thresholds ("predict
+    positive when score ≥ thr"). The argmax key is the EXACT integer
+    J·P·N = tp·N − fp·P (no double enters the comparison); ties break
+    to the lowest threshold. Completes the ROC family: curve
+    (``roc_curve_points``), area (``auc_mann_whitney``), PR area
+    (``pr_auc_average_precision``), and now the operating point.
+
+    Scale: the same one-aggregate + alphabet-bounded cumulative-window
+    shape as the AUC twin, finished by a 1-row TakeOrdered.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    runs = docs.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+    from pyspark.sql import Window
+    w = (Window.orderBy(F.desc("score"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = runs.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        (F.sum("cnt").over(w) - F.sum("pos").over(w)).alias("fp"))
+    tot = runs.agg(F.sum("pos").alias("p"),
+                   (F.sum("cnt") - F.sum("pos")).alias("n"))
+    j = (cum.crossJoin(F.broadcast(tot))
+         .select("score", "tp", "fp", "p", "n",
+                 (F.col("tp") * F.col("n") - F.col("fp") * F.col("p"))
+                 .alias("j_pn")))
+    return (j.orderBy(F.desc("j_pn"), F.asc("score")).limit(1)
+            .select(F.col("score").alias("threshold"), "tp", "fp",
+                    F.expr("(1000000 * j_pn) div (p * n)").alias("j_e6")))
+
+
+_YOUDEN_SQL = """
+WITH docs AS (
+  SELECT CAST(n_chars AS BIGINT) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), runs AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM docs GROUP BY 1
+), cum AS (
+  SELECT score,
+         CAST(sum(pos) OVER w AS BIGINT) AS tp,
+         CAST(sum(cnt) OVER w - sum(pos) OVER w AS BIGINT) AS fp
+  FROM runs
+  WINDOW w AS (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS p,
+         CAST(sum(cnt) - sum(pos) AS BIGINT) AS n
+  FROM runs
+)
+SELECT score AS threshold, tp, fp,
+       (1000000 * (tp * n - fp * p)) // (p * n) AS j_e6
+FROM cum, tot
+ORDER BY tp * n - fp * p DESC, score ASC
+LIMIT 1
+"""
+
+QUERIES["youden_j_threshold"] = (_youden_j_threshold, _YOUDEN_SQL)

@@ -1897,3 +1897,81 @@ FROM pq
 
 
 QUERIES["divergence_suite"] = (divergence_suite, _divergence_sql())
+
+
+# --------------------------------------------------------------------
+# Group-mean imputation audit with known ground truth
+# --------------------------------------------------------------------
+_IMP_MOD = 10   # mask ~10% of order values via md5(orderkey) % 10 == 0
+
+
+def group_mean_imputation_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Imputation-quality audit with KNOWN ground truth: mask a
+    deterministic ~10% of order values (md5(orderkey) % 10 == 0 — the
+    cross-engine hash idiom), impute each masked value with its
+    order-priority group mean over the UNMASKED rows (exact cents,
+    truncating div), and report per group how wrong that standard
+    trick is (Σ|imputed − true| and the worst miss) — the missing-data
+    dress rehearsal every pipeline should run before trusting
+    mean-fill. Everything is exact int64; no RNG anywhere.
+
+    Scale: one keyed aggregate for group means over unmasked rows, one
+    broadcast join back — two passes over orders, bounded-alphabet
+    group table.
+    """
+    mask = (F.conv(F.substring(F.md5(F.col("o_orderkey")
+                                     .cast("string")), 1, 12), 16, 10)
+            .cast("long") % _IMP_MOD == 0)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        mask.cast("int").alias("masked"))
+    means = (orders.where(F.col("masked") == 0)
+             .groupBy("o_orderpriority")
+             .agg(F.expr("sum(cents) div count(1)").alias("impute_cents")))
+    return (orders.join(F.broadcast(means), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("masked").alias("n_masked"),
+                 F.max("impute_cents").alias("impute_cents"),
+                 F.sum(F.when(F.col("masked") == 1,
+                              F.abs(F.col("impute_cents")
+                                    - F.col("cents"))).otherwise(0))
+                 .alias("abs_err_sum"),
+                 F.max(F.when(F.col("masked") == 1,
+                              F.abs(F.col("impute_cents")
+                                    - F.col("cents"))).otherwise(0))
+                 .alias("worst_err")))
+
+
+_IMPUTE_SQL = f"""
+WITH orders_m AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                       1, 12) AS BIGINT)
+                   % {_IMP_MOD} = 0 THEN 1 ELSE 0 END AS masked
+  FROM orders
+), means AS (
+  SELECT o_orderpriority,
+         CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS impute_cents
+  FROM orders_m WHERE masked = 0 GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o.masked) AS BIGINT) AS n_masked,
+       max(m.impute_cents) AS impute_cents,
+       CAST(sum(CASE WHEN o.masked = 1
+                     THEN abs(m.impute_cents - o.cents) ELSE 0 END)
+            AS BIGINT) AS abs_err_sum,
+       CAST(max(CASE WHEN o.masked = 1
+                     THEN abs(m.impute_cents - o.cents) ELSE 0 END)
+            AS BIGINT) AS worst_err
+FROM orders_m o JOIN means m ON o.o_orderpriority = m.o_orderpriority
+GROUP BY 1
+"""
+
+QUERIES["group_mean_imputation_audit"] = (group_mean_imputation_audit,
+                                          _IMPUTE_SQL)

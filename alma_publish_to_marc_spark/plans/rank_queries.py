@@ -610,3 +610,95 @@ GROUP BY t.n, t.k, t.a2
 """
 
 QUERIES["friedman_test"] = (_friedman_test, _FRIEDMAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Energy distance two-sample test (exact integer pairwise-distance sums)
+# ---------------------------------------------------------------------------
+
+def _energy_distance_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the 'click' and 'view' value
+    distributions: E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — the
+    kernel-family cousin of the KS/CvM/Wasserstein twins (sensitive to
+    ALL moments, not just location). In 1-D every pairwise sum
+    Σ|a−b| is exact from sorted cents RUNS via the prefix identity
+    Σ_pairs = Σ_v c_v·(v·cum_cnt< − cum_sum<), so the three sums are
+    exact int64 and only the final 1-row normalization divides into
+    doubles.
+
+    Scale: one cents×group run aggregate, one cumulative window over
+    the alphabet-bounded run table (aggregate-fed), a 1-row readout.
+    Headroom: v·cumcnt ≤ 5·10⁴·N cents-rows — int64 to ~10¹⁴ rows.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "view"))
+          .select(F.when(F.col("event_type") == "click", 1).otherwise(0)
+                  .alias("g"),
+                  F.expr(_CENTS).alias("v")))
+    runs = ev.groupBy("v").agg(
+        F.sum("g").alias("cx"),
+        F.sum(F.lit(1) - F.col("g")).alias("cy"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = runs.select(
+        "v", "cx", "cy",
+        F.coalesce(F.sum("cx").over(w), F.lit(0)).alias("px"),
+        F.coalesce(F.sum("cy").over(w), F.lit(0)).alias("py"),
+        F.coalesce(F.sum(F.col("cx") * F.col("v")).over(w), F.lit(0))
+        .alias("sx"),
+        F.coalesce(F.sum(F.col("cy") * F.col("v")).over(w), F.lit(0))
+        .alias("sy"))
+    sums = cum.agg(
+        F.sum(F.col("cx") * (F.col("v") * F.col("px") - F.col("sx")))
+        .alias("dxx"),
+        F.sum(F.col("cy") * (F.col("v") * F.col("py") - F.col("sy")))
+        .alias("dyy"),
+        F.sum(F.col("cx") * (F.col("v") * F.col("py") - F.col("sy"))
+              + F.col("cy") * (F.col("v") * F.col("px") - F.col("sx")))
+        .alias("dxy"),
+        F.sum("cx").alias("nx"), F.sum("cy").alias("ny"))
+    nx, ny = F.col("nx").cast("double"), F.col("ny").cast("double")
+    energy = (2.0 * F.col("dxy").cast("double") / (nx * ny)
+              - 2.0 * F.col("dxx").cast("double") / (nx * nx)
+              - 2.0 * F.col("dyy").cast("double") / (ny * ny))
+    return sums.select(
+        "nx", "ny", "dxy", "dxx", "dyy",
+        F.floor(energy * 1_000.0).cast("long").alias("energy_m_cents"))
+
+
+_ENERGY_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'view')
+), runs AS (
+  SELECT v, CAST(sum(g) AS BIGINT) AS cx,
+         CAST(sum(1 - g) AS BIGINT) AS cy
+  FROM ev GROUP BY 1
+), cum AS (
+  SELECT v, cx, cy,
+         COALESCE(CAST(sum(cx) OVER w AS BIGINT), 0) AS px,
+         COALESCE(CAST(sum(cy) OVER w AS BIGINT), 0) AS py,
+         COALESCE(CAST(sum(cx * v) OVER w AS BIGINT), 0) AS sx,
+         COALESCE(CAST(sum(cy * v) OVER w AS BIGINT), 0) AS sy
+  FROM runs
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING)
+), sums AS (
+  SELECT CAST(sum(cx * (v * px - sx)) AS BIGINT) AS dxx,
+         CAST(sum(cy * (v * py - sy)) AS BIGINT) AS dyy,
+         CAST(sum(cx * (v * py - sy) + cy * (v * px - sx)) AS BIGINT)
+             AS dxy,
+         CAST(sum(cx) AS BIGINT) AS nx, CAST(sum(cy) AS BIGINT) AS ny
+  FROM cum
+)
+SELECT nx, ny, dxy, dxx, dyy,
+       CAST(floor(1000.0 * (
+           2.0 * CAST(dxy AS DOUBLE) / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+           - 2.0 * CAST(dxx AS DOUBLE) / (CAST(nx AS DOUBLE) * CAST(nx AS DOUBLE))
+           - 2.0 * CAST(dyy AS DOUBLE) / (CAST(ny AS DOUBLE) * CAST(ny AS DOUBLE))))
+           AS BIGINT) AS energy_m_cents
+FROM sums
+"""
+
+QUERIES["energy_distance_two_sample"] = (_energy_distance_two_sample,
+                                         _ENERGY_SQL)

@@ -804,3 +804,59 @@ def test_gbdt_replay_matches_pure_python(spark):
     # boosting must not increase training SSE
     sses = [r["sse_after_e6"] for r in rows]
     assert sses == sorted(sses, reverse=True)
+
+
+def test_energy_distance_matches_brute_force(spark):
+    from alma_publish_to_marc_spark.plans.rank_queries import (
+        _energy_distance_two_sample,
+    )
+
+    r = _energy_distance_two_sample(spark, SF).collect()[0]
+    pdf = _events_pdf()
+    x = list(pdf.loc[pdf.event_type == "click", "cents"])
+    y = list(pdf.loc[pdf.event_type == "view", "cents"])
+    dxy = sum(abs(a - b) for a in x for b in y)
+    dxx = sum(abs(a - b) for i, a in enumerate(x) for b in x[i + 1:])
+    dyy = sum(abs(a - b) for i, a in enumerate(y) for b in y[i + 1:])
+    assert (r["nx"], r["ny"]) == (len(x), len(y))
+    assert (r["dxy"], r["dxx"], r["dyy"]) == (dxy, dxx, dyy)
+    e = (2.0 * dxy / (len(x) * len(y)) - 2.0 * dxx / len(x) ** 2
+         - 2.0 * dyy / len(y) ** 2)
+    assert abs(r["energy_m_cents"] / 1000.0 - e) < 2e-3
+    assert r["energy_m_cents"] >= 0  # energy distance is nonneg
+
+
+def test_youden_threshold_is_the_argmax(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.operators.learning import (
+        _youden_j_threshold,
+    )
+
+    r = _youden_j_threshold(spark, SF).collect()[0]
+    pdf = pd.read_parquet(SF + "/documents.parquet",
+                          columns=["n_chars", "lang"])
+    pdf["y"] = (pdf["lang"] == "en").astype(int)
+    p = int(pdf.y.sum())
+    n = len(pdf) - p
+    best = None
+    for thr in sorted(pdf.n_chars.unique()):
+        tp = int(pdf.loc[pdf.n_chars >= thr, "y"].sum())
+        fp = int((pdf.n_chars >= thr).sum()) - tp
+        key = (-(tp * n - fp * p), thr)
+        if best is None or key < best[0]:
+            best = (key, thr, tp, fp)
+    assert (r["threshold"], r["tp"], r["fp"]) == best[1:]
+
+
+def test_imputation_audit_ledger(spark):
+    from alma_publish_to_marc_spark.plans.dq_queries import (
+        group_mean_imputation_audit,
+    )
+
+    rows = group_mean_imputation_audit(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 < r["n_masked"] < r["n"]       # ~10%, never all/none
+        assert r["worst_err"] <= r["abs_err_sum"]
+        assert r["impute_cents"] > 0
