@@ -3160,3 +3160,132 @@ GROUP BY 1
 
 
 QUERIES["ktruss_prune"] = (ktruss_prune, _ktruss_sql())
+
+
+# --------------------------------------------------------------------------
+# Graph diameter lower bound via the double BFS sweep
+# --------------------------------------------------------------------------
+DIAM_ROUNDS = 4   # > the bipartite graph's saturation depth (bfs_levels: 3)
+
+
+def graph_diameter_double_sweep(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Diameter lower bound by the classic double sweep: BFS from an
+    arbitrary node (min customer), hop to the FARTHEST node found
+    (max level, min id tie-break), BFS again — the second
+    eccentricity is the standard cheap diameter estimate (exact on
+    trees, a tight lower bound in practice) used to size iteration
+    counts for label propagation / pregel jobs before launching them.
+
+    Both sweeps are the ``bfs_levels`` frontier/anti-join superstep
+    chain, bounded at {DIAM_ROUNDS} rounds; the hop between sweeps is
+    a ≤(rounds+1)-row collect of the per-level summary (driver-paced,
+    sanctioned). The oracle unrolls the same two sweeps with the
+    peripheral node as a scalar-subquery CTE.
+
+    Scale: 2 × rounds keyed edge⋈frontier joins with persisted
+    frontiers (tracked) — exactly two BFS passes at any graph size.
+    """
+    from pyspark import StorageLevel
+
+    from . import similarity as _sim
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .distinct())
+    off = F.broadcast(e0.agg((F.max("c") + F.lit(1)).alias("_off")))
+    e0o = e0.crossJoin(off)
+    und = (e0o.select(F.col("c").alias("src"),
+                      (F.col("s") + F.col("_off")).alias("dst"))
+           .unionByName(e0o.select((F.col("s") + F.col("_off")).alias("src"),
+                                   F.col("c").alias("dst")))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _sim._PERSISTED.append(und)
+
+    def sweep(frontier):
+        visited = frontier
+        out = frontier.select(F.lit(0).alias("level"), "n")
+        for lvl in range(1, DIAM_ROUNDS + 1):
+            nxt = (und.join(frontier.withColumnRenamed("n", "src"), "src")
+                   .select(F.col("dst").alias("n")).distinct()
+                   .join(visited, "n", "left_anti")
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+            _sim._PERSISTED.append(nxt)
+            out = out.unionByName(nxt.select(F.lit(lvl).alias("level"), "n"))
+            visited = visited.unionByName(nxt) \
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            _sim._PERSISTED.append(visited)
+            frontier = nxt
+        return (out.groupBy("level")
+                .agg(F.count(F.lit(1)).alias("cnt"), F.min("n").alias("mn"))
+                .collect())   # <= rounds+1 rows (driver-paced hop)
+
+    lv1 = {r["level"]: r for r in sweep(e0.agg(F.min("c").alias("n")))}
+    ecc1 = max(lv for lv, r in lv1.items() if r["cnt"] > 0)
+    far = int(lv1[ecc1]["mn"])
+    n1 = sum(r["cnt"] for r in lv1.values())
+    lv2 = {r["level"]: r for r in
+           sweep(und.select(F.lit(far).alias("n")).limit(1))}
+    ecc2 = max(lv for lv, r in lv2.items() if r["cnt"] > 0)
+    n2 = sum(r["cnt"] for r in lv2.values())
+    start = int(lv1[0]["mn"])
+    return spark.createDataFrame(
+        [(start, ecc1, n1, far, ecc2, n2)],
+        "start_node long, ecc1 int, n_reached1 long,"
+        " far_node long, diameter_lb int, n_reached2 long")
+
+
+def _diam_sql() -> str:
+    def sweep_ctes(tag: str, f0: str) -> list[str]:
+        ctes = [f"f{tag}0 AS ({f0})",
+                f"v{tag}0 AS (SELECT n FROM f{tag}0)"]
+        for lvl in range(1, DIAM_ROUNDS + 1):
+            ctes.append(f"""f{tag}{lvl} AS MATERIALIZED (
+    SELECT DISTINCT dst AS n FROM und
+    JOIN f{tag}{lvl - 1} ON und.src = f{tag}{lvl - 1}.n
+    WHERE dst NOT IN (SELECT n FROM v{tag}{lvl - 1})
+)""")
+            ctes.append(f"""v{tag}{lvl} AS MATERIALIZED (
+    SELECT n FROM v{tag}{lvl - 1} UNION ALL SELECT n FROM f{tag}{lvl}
+)""")
+        lv = " UNION ALL ".join(
+            f"SELECT {lvl} AS level, n FROM f{tag}{lvl}"
+            for lvl in range(DIAM_ROUNDS + 1))
+        ctes.append(f"""lv{tag} AS (
+    SELECT level, count(*) AS cnt, min(n) AS mn FROM ({lv}) GROUP BY 1
+)""")
+        return ctes
+
+    ctes = ["""e0 AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""", "off AS (SELECT max(c) + 1 AS o FROM e0)",
+        """und AS MATERIALIZED (
+    SELECT c AS src, s + off.o AS dst FROM e0 CROSS JOIN off
+    UNION ALL
+    SELECT s + off.o AS src, c AS dst FROM e0 CROSS JOIN off
+)"""]
+    ctes += sweep_ctes("a", "SELECT min(c) AS n FROM e0")
+    ctes.append("""ecc1 AS (
+    SELECT max(level) AS e FROM lva WHERE cnt > 0
+)""")
+    ctes.append("""far AS (
+    SELECT l.mn AS n FROM lva l, ecc1 WHERE l.level = ecc1.e
+)""")
+    ctes += sweep_ctes("b", "SELECT n FROM far")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT (SELECT mn FROM lva WHERE level = 0) AS start_node,
+       CAST((SELECT e FROM ecc1) AS INT) AS ecc1,
+       (SELECT sum(cnt) FROM lva)::BIGINT AS n_reached1,
+       (SELECT n FROM far) AS far_node,
+       CAST((SELECT max(level) FROM lvb WHERE cnt > 0) AS INT)
+           AS diameter_lb,
+       (SELECT sum(cnt) FROM lvb)::BIGINT AS n_reached2
+""")
+
+
+QUERIES["graph_diameter_double_sweep"] = (graph_diameter_double_sweep,
+                                          _diam_sql())

@@ -26,15 +26,22 @@ from ..tables import load
 
 QUERIES: dict = {}
 
-# Persisted frames released via unpersist_cached() (repo convention)
+# Persisted frames released via unpersist_cached() (repo convention);
+# staged-parquet dirs (partition_pruning_roundtrip) release there too.
 _PERSISTED: list = []
+_STAGED_DIRS: list = []
 
 
 def unpersist_cached() -> int:
-    """Release frames persisted by this module's queries."""
-    n = len(_PERSISTED)
+    """Release frames persisted by this module's queries and staged
+    partition directories (after callers consumed the frames)."""
+    import shutil
+
+    n = len(_PERSISTED) + len(_STAGED_DIRS)
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
+    while _STAGED_DIRS:
+        shutil.rmtree(_STAGED_DIRS.pop(), ignore_errors=True)
     return n
 
 # --------------------------------------------------------------------------
@@ -785,3 +792,65 @@ SELECT 'supplier',
 
 QUERIES["denormalization_cost_audit"] = (
     denormalization_cost_audit, _dn_sql())
+
+
+# --------------------------------------------------------------------------
+# Hive-style partition pruning roundtrip (write partitioned, read pruned)
+# --------------------------------------------------------------------------
+
+def partition_pruning_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """End-to-end PARTITION pruning demonstration: stage the event
+    stream as hive-partitioned parquet (`event_type=.../`), then
+    answer a single-type daily rollup from the staged layout. The
+    filter lands as a PartitionFilter — the reader lists ONE of five
+    directories and never opens the other four — which is the
+    mechanism (distinct from row-group PushedFilters, which the audit
+    already pins elsewhere) that makes selective scans on a 100 TB
+    lake O(selected-partition) instead of O(corpus). The plan
+    contract in tests/test_round8_invariants.py asserts the
+    PartitionFilters entry is present and non-empty.
+
+    Determinism: the staged data is byte-identical to the source rows
+    (cents + epoch-day recomputed after the roundtrip); the oracle
+    answers the same rollup straight from the source table.
+
+    Scale: one partitioned write (5 hash-partition dirs — at 100 TB
+    the partition column would be (event_type, day)), one pruned scan,
+    one keyed aggregate. Staged files release via unpersist_cached().
+    """
+    import uuid
+    from urllib.parse import urlparse
+
+    base = spark.conf.get("spark.sql.warehouse.dir")
+    workdir = f"{base.rstrip('/')}/_part_prune/{uuid.uuid4().hex}"
+    local_dir = urlparse(workdir).path if workdir.startswith("file:") \
+        else (None if "://" in workdir else workdir)
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("cents"),
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {US_PER_DAY}")
+        .alias("day"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(workdir)
+    if local_dir is not None:
+        _STAGED_DIRS.append(local_dir)
+    staged = spark.read.parquet(workdir)
+    return (staged.where(F.col("event_type") == "purchase")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("cents_sum")))
+
+
+_PART_PRUNE_SQL = f"""
+SELECT epoch_us(ts) // {US_PER_DAY} AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents_sum
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+QUERIES["partition_pruning_roundtrip"] = (partition_pruning_roundtrip,
+                                          _PART_PRUNE_SQL)

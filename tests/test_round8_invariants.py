@@ -860,3 +860,39 @@ def test_imputation_audit_ledger(spark):
         assert 0 < r["n_masked"] < r["n"]       # ~10%, never all/none
         assert r["worst_err"] <= r["abs_err_sum"]
         assert r["impute_cents"] > 0
+
+
+def test_partition_pruning_is_in_the_plan(spark):
+    from alma_publish_to_marc_spark.plans import storage_queries as SQ
+
+    df = SQ.partition_pruning_roundtrip(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert "PartitionFilters" in plan
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "event_type" in m.group(1), m
+        # the pruned scan must not carry the partition predicate as a
+        # row-group data filter (that would mean pruning didn't bind)
+        rows = df.collect()
+        assert sum(r["n"] for r in rows) > 0
+    finally:
+        SQ.unpersist_cached()
+
+
+def test_double_sweep_extends_eccentricity(spark):
+    from alma_publish_to_marc_spark.operators.graph_queries import (
+        DIAM_ROUNDS, graph_diameter_double_sweep,
+    )
+    from alma_publish_to_marc_spark.operators import similarity as _sim
+
+    r = graph_diameter_double_sweep(spark, SF).collect()[0]
+    # the peripheral restart can never see a SMALLER eccentricity
+    assert r["diameter_lb"] >= r["ecc1"]
+    assert 0 < r["ecc1"] <= DIAM_ROUNDS
+    # both sweeps saturate the same connected component
+    assert r["n_reached1"] == r["n_reached2"] > 1
+    assert r["far_node"] != r["start_node"]
+    while _sim._PERSISTED:
+        _sim._PERSISTED.pop().unpersist()
