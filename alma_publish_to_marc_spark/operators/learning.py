@@ -2848,3 +2848,96 @@ LIMIT 1
 """
 
 QUERIES["youden_j_threshold"] = (_youden_j_threshold, _YOUDEN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Rocchio nearest-centroid classifier (confusion over the full corpus)
+# ---------------------------------------------------------------------------
+
+def _rocchio_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean (Rocchio) classification of every embedding
+    against per-label centroids — the zero-hyperparameter baseline
+    that tells a curation pipeline whether class structure is LINEAR
+    in embedding space before it reaches for k-NN (``knn_classifier_
+    eval``) or a trained head. Centroids are element-wise truncating
+    integer means of the quantized vectors; distances are exact
+    integer squared-L2; centroid ties break to the lowest label
+    (struct-min — the argmax rule). Output: confusion matrix
+    (true_label, pred_label, n) plus the diagonal flag.
+
+    Scale: centroids are ONE map-side-combinable (label, dim)
+    aggregate; assignment broadcasts the 10×64 centroid panel against
+    the corpus scan — no corpus shuffle at all; the confusion rollup
+    keys on a 10×10 alphabet.
+    """
+    from .clustering import DIM, _quantized, _sq_dist
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = _quantized(emb).join(
+        emb.select("vec_id", F.col("label").cast("long").alias("label")),
+        "vec_id")
+    dims = vecs.select(
+        "label", F.posexplode("v").alias("dim", "x"))
+    cents = (dims.groupBy("label", "dim")
+             .agg(F.expr("sum(x)").alias("s"), F.count(F.lit(1)).alias("n"))
+             .select("label", "dim",
+                     F.expr("(case when s < 0 then -((-s) div n)"
+                            " else s div n end)").alias("c"))
+             .groupBy(F.col("label").alias("clabel"))
+             .agg(F.expr("transform(array_sort(collect_list("
+                         "struct(dim, c))), t -> t.c)").alias("cv")))
+    scored = (vecs.join(F.broadcast(cents))
+              .withColumn("d", _sq_dist(F.col("v"), F.col("cv"))))
+    best = (scored.groupBy("vec_id", "label")
+            .agg(F.min(F.struct("d", "clabel")).alias("m"))
+            .select("label", F.col("m.clabel").alias("pred")))
+    return (best.groupBy(F.col("label").alias("true_label"),
+                         F.col("pred").alias("pred_label"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("correct",
+                        (F.col("true_label") == F.col("pred_label"))
+                        .cast("int")))
+
+
+def _rocchio_sql() -> str:
+    from .clustering import DIM, _QV
+
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, {_QV} AS v
+  FROM embeddings
+), dims AS (
+  SELECT label, u.dim, u.x
+  FROM (SELECT label,
+               unnest(list_transform(range(1, {DIM} + 1),
+                   i -> struct_pack(dim := i - 1, x := v[i]))) AS u
+        FROM vecs)
+), cmeans AS (
+  SELECT label, dim,
+         (CASE WHEN CAST(sum(x) AS BIGINT) < 0
+               THEN -((-CAST(sum(x) AS BIGINT)) // CAST(count(*) AS BIGINT))
+               ELSE CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT)
+          END) AS c
+  FROM dims GROUP BY 1, 2
+), cents AS (
+  SELECT label AS clabel, list(c ORDER BY dim) AS cv
+  FROM cmeans GROUP BY 1
+), scored AS (
+  SELECT a.vec_id, a.label, c.clabel,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, {DIM} + 1),
+                 i -> (a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]))),
+             (x, y) -> x + y) AS d
+  FROM vecs a CROSS JOIN cents c
+), best AS (
+  SELECT label, min(struct_pack(d := d, clabel := clabel)).clabel AS pred
+  FROM scored GROUP BY vec_id, label
+)
+SELECT label AS true_label, pred AS pred_label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN label = pred THEN 1 ELSE 0 END AS INT) AS correct
+FROM best GROUP BY 1, 2
+"""
+
+
+QUERIES["rocchio_centroid_eval"] = (_rocchio_centroid_eval, _rocchio_sql())

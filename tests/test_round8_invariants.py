@@ -896,3 +896,19 @@ def test_double_sweep_extends_eccentricity(spark):
     assert r["far_node"] != r["start_node"]
     while _sim._PERSISTED:
         _sim._PERSISTED.pop().unpersist()
+
+
+def test_rocchio_confusion_is_a_partition(spark):
+    from alma_publish_to_marc_spark.operators.learning import (
+        _rocchio_centroid_eval,
+    )
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = _rocchio_centroid_eval(spark, SF).collect()
+    n_vecs = load(spark, SF, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n_vecs
+    for r in rows:
+        assert r["correct"] == int(r["true_label"] == r["pred_label"])
+    # linear separability sanity: the diagonal dominates chance (10%)
+    diag = sum(r["n"] for r in rows if r["correct"] == 1)
+    assert diag * 10 > n_vecs
