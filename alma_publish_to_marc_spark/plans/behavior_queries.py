@@ -4892,3 +4892,120 @@ FROM pivoted
 """
 
 QUERIES["sample_ratio_mismatch"] = (sample_ratio_mismatch, _SRM_SQL)
+
+
+# --------------------------------------------------------------------
+# Qini curve (cumulative uplift by targeting depth)
+# --------------------------------------------------------------------
+
+def qini_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve at 10 targeting depths: rank users by the engagement
+    score (total events), and at each decile report the cumulative
+    incremental conversions Qini(k) = Y_t(k) − Y_c(k)·N_t(k)/N_c(k) —
+    the curve a targeting team integrates to decide HOW DEEP to run
+    the treatment that ``uplift_by_engagement`` already localized.
+    Treatment is the SRM-checked user_id parity; outcome is purchase
+    conversion.
+
+    Determinism: ranks come from score-RUN aggregates (groupBy
+    n_events — the bounded engagement alphabet), cumulated descending;
+    each decile picks its first crossing run via struct-min. The Qini
+    value divides exact ints into a double once per output row.
+
+    Scale: one user-keyed aggregate, one run-table window
+    (aggregate-fed), a 10-row readout. No per-user global sort.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    users = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("score"),
+                  F.max((F.col("event_type") == "purchase").cast("long"))
+                  .alias("y"))
+             .select("score", "y",
+                     (F.col("user_id") % 2 == 0).cast("long").alias("t")))
+    runs = (users.groupBy("score")
+            .agg(F.sum("t").alias("nt"),
+                 F.sum(F.lit(1) - F.col("t")).alias("nc"),
+                 F.sum(F.col("t") * F.col("y")).alias("yt"),
+                 F.sum((F.lit(1) - F.col("t")) * F.col("y")).alias("yc")))
+    from pyspark.sql import Window
+    w = (Window.orderBy(F.desc("score"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = runs.select(
+        "score",
+        F.sum(F.col("nt") + F.col("nc")).over(w).alias("cumn"),
+        F.sum("nt").over(w).alias("cnt_t"),
+        F.sum("nc").over(w).alias("cnt_c"),
+        F.sum("yt").over(w).alias("cyt"),
+        F.sum("yc").over(w).alias("cyc"))
+    tot = runs.agg(F.sum(F.col("nt") + F.col("nc")).alias("n"),
+                   F.sum("nt").alias("n_treat"))
+    dec = (cum.crossJoin(F.broadcast(tot))
+           .select("*", F.explode(F.sequence(F.lit(1), F.lit(10)))
+                   .alias("decile"))
+           .where(10 * F.col("cumn") >= F.col("decile") * F.col("n"))
+           .groupBy("decile")
+           .agg(F.min(F.struct("cumn", "score", "cnt_t", "cnt_c",
+                               "cyt", "cyc", "n_treat")).alias("m")))
+    qini = (F.col("m.cyt").cast("double")
+            - F.col("m.cyc").cast("double")
+            * F.col("m.cnt_t").cast("double")
+            / F.greatest(F.col("m.cnt_c"), F.lit(1)).cast("double"))
+    return dec.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("m.cumn").alias("cum_users"),
+        F.col("m.cyt").alias("conv_treat"),
+        F.col("m.cyc").alias("conv_ctrl"),
+        F.floor(F.lit(1_000_000.0) * qini
+                / F.col("m.n_treat").cast("double")).cast("long")
+        .alias("qini_e6"))
+
+
+_QINI_SQL = """
+WITH users AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END::BIGINT AS t
+  FROM events GROUP BY user_id
+), runs AS (
+  SELECT score, CAST(sum(t) AS BIGINT) AS nt,
+         CAST(sum(1 - t) AS BIGINT) AS nc,
+         CAST(sum(t * y) AS BIGINT) AS yt,
+         CAST(sum((1 - t) * y) AS BIGINT) AS yc
+  FROM users GROUP BY 1
+), cum AS (
+  SELECT score,
+         CAST(sum(nt + nc) OVER w AS BIGINT) AS cumn,
+         CAST(sum(nt) OVER w AS BIGINT) AS cnt_t,
+         CAST(sum(nc) OVER w AS BIGINT) AS cnt_c,
+         CAST(sum(yt) OVER w AS BIGINT) AS cyt,
+         CAST(sum(yc) OVER w AS BIGINT) AS cyc
+  FROM runs
+  WINDOW w AS (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT CAST(sum(nt + nc) AS BIGINT) AS n,
+         CAST(sum(nt) AS BIGINT) AS n_treat
+  FROM runs
+), dec AS (
+  SELECT d.decile,
+         min(struct_pack(cumn := c.cumn, score := c.score,
+                         cnt_t := c.cnt_t, cnt_c := c.cnt_c,
+                         cyt := c.cyt, cyc := c.cyc,
+                         n_treat := t.n_treat)) AS m
+  FROM cum c CROSS JOIN tot t
+  CROSS JOIN unnest(range(1, 11)) AS d(decile)
+  WHERE 10 * c.cumn >= d.decile * t.n
+  GROUP BY d.decile
+)
+SELECT CAST(decile AS INT) AS decile,
+       m.cumn AS cum_users, m.cyt AS conv_treat, m.cyc AS conv_ctrl,
+       CAST(floor(1000000.0
+            * (CAST(m.cyt AS DOUBLE)
+               - CAST(m.cyc AS DOUBLE) * CAST(m.cnt_t AS DOUBLE)
+                 / CAST(greatest(m.cnt_c, 1) AS DOUBLE))
+            / CAST(m.n_treat AS DOUBLE)) AS BIGINT) AS qini_e6
+FROM dec
+"""
+
+QUERIES["qini_curve_deciles"] = (qini_curve_deciles, _QINI_SQL)

@@ -2362,3 +2362,139 @@ WITH counts AS (
 
 
 QUERIES["haar_wavelet_energy"] = (_haar_wavelet_energy, _haar_sql())
+
+
+# ---------------------------------------------------------------------------
+# Needleman-Wunsch alignment of two daily event-type sequences
+# ---------------------------------------------------------------------------
+_NW_MATCH, _NW_MISS, _NW_GAP = 2, -1, -1
+_NW_SPLIT = 15   # first-half vs second-half day sequences
+
+
+def _nw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sequence alignment (Needleman-Wunsch, match +2 /
+    mismatch −1 / gap −1) between the month's two half-sequences of
+    DAILY DOMINANT event types — "does the traffic-mix rhythm repeat
+    across halves" as an alignment score rather than a distribution
+    test. The DP runs as a NESTED integer fold: the outer fold walks
+    sequence A carrying the previous DP row (LIST accumulator), the
+    inner fold builds each new row left-to-right (its own growing
+    LIST) — both engines were probed to evaluate nested
+    fold-in-fold lambdas over consistent snapshots this round. All
+    cells exact int64.
+
+    Daily dominant types are struct-min argmax ((−cnt, type) — count
+    desc, alphabetical tie-break). Scale: the corpus reduces to a
+    calendar-bounded (day × type) aggregate; the DP is ~15×15 cells
+    on ONE row. Alignment of corpus-scale sequence PAIRS would wrap
+    the identical recurrence in applyInPandas per pair.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_US}")
+        .alias("day"))
+    d0 = ev.agg(F.min("day").alias("d0"))
+    counts = (ev.crossJoin(F.broadcast(d0))
+              .groupBy((F.col("day") - F.col("d0")).alias("d"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    dom = (counts.groupBy("d")
+           .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                               F.col("event_type").alias("t"))).alias("m"))
+           .select("d", F.col("m.t").alias("t")))
+    packed = (dom.groupBy()
+              .agg(F.expr(f"array_sort(collect_list(struct(d, t)))")
+                   .alias("seq"))
+              .select(
+                  F.expr(f"transform(filter(seq, s -> s.d < {_NW_SPLIT}),"
+                         f" s -> s.t)").alias("a"),
+                  F.expr(f"transform(filter(seq, s -> s.d >= {_NW_SPLIT}),"
+                         f" s -> s.t)").alias("b")))
+    # alphabet indices so fold elements stay LIST<BIGINT>
+    idx = ("transform({seq}, s -> cast(array_position("
+           "array_sort(array_distinct(concat(a, b))), s) as bigint))")
+    nw = f"""
+  aggregate(
+    transform({idx.format(seq='a')}, s -> array(s)),
+    transform(sequence(0, size(b)), j -> cast(-j as bigint)),
+    (acc, e) -> aggregate(
+        transform(sequence(1, size(b)), j ->
+            array(cast(j as bigint),
+                  element_at({idx.format(seq='b')}, j))),
+        array(element_at(acc, 1) - 1),
+        (a2, e2) -> concat(a2, array(greatest(
+            element_at(acc, cast(element_at(e2, 1) as int))
+              + (CASE WHEN element_at(e2, 2) = element_at(e, 1)
+                      THEN {_NW_MATCH} ELSE {_NW_MISS} END),
+            element_at(acc, cast(element_at(e2, 1) as int) + 1)
+              + {_NW_GAP},
+            element_at(a2, size(a2)) + {_NW_GAP})))))
+"""
+    return packed.select(
+        F.size("a").alias("len_a"), F.size("b").alias("len_b"),
+        F.expr(f"element_at({nw}, size(b) + 1)").alias("nw_score")
+    ).select(
+        "len_a", "len_b", "nw_score",
+        (F.col("nw_score") >= 0).cast("int").alias("aligned"))
+
+
+def _nw_sql() -> str:
+    idx = ("list_transform({seq}, s -> CAST(list_position("
+           "list_sort(list_distinct(a || b)), s) AS BIGINT))")
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day FROM events
+), d0 AS (SELECT min(day) AS d0 FROM ev),
+counts AS (
+  SELECT ev.day - d0.d0 AS d, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev, d0 GROUP BY 1, 2
+), dom AS (
+  SELECT d, min(struct_pack(nc := -cnt, t := event_type)).t AS t
+  FROM counts GROUP BY d
+), packed AS (
+  SELECT list_transform(list_filter(list(struct_pack(d := d, t := t)
+                                         ORDER BY d),
+                                    s -> s.d < {_NW_SPLIT}), s -> s.t) AS a,
+         list_transform(list_filter(list(struct_pack(d := d, t := t)
+                                         ORDER BY d),
+                                    s -> s.d >= {_NW_SPLIT}), s -> s.t) AS b
+  FROM dom
+)
+SELECT CAST(len(a) AS INT) AS len_a, CAST(len(b) AS INT) AS len_b,
+       (list_reduce(
+          list_prepend(
+            list_transform(range(0, len(b) + 1), j -> CAST(-j AS BIGINT)),
+            list_transform({idx.format(seq='a')}, s -> [s])),
+          (acc, e) -> list_reduce(
+              list_prepend([acc[1] - 1],
+                  list_transform(range(1, len(b) + 1),
+                      j -> [CAST(j AS BIGINT),
+                            ({idx.format(seq='b')})[j]])),
+              (a2, e2) -> a2 || [greatest(
+                  acc[CAST(e2[1] AS INT)]
+                    + (CASE WHEN e2[2] = e[1]
+                            THEN {_NW_MATCH} ELSE {_NW_MISS} END),
+                  acc[CAST(e2[1] AS INT) + 1] + {_NW_GAP},
+                  a2[len(a2)] + {_NW_GAP})]))
+       )[len(b) + 1] AS nw_score,
+       CAST(CASE WHEN (list_reduce(
+          list_prepend(
+            list_transform(range(0, len(b) + 1), j -> CAST(-j AS BIGINT)),
+            list_transform({idx.format(seq='a')}, s -> [s])),
+          (acc, e) -> list_reduce(
+              list_prepend([acc[1] - 1],
+                  list_transform(range(1, len(b) + 1),
+                      j -> [CAST(j AS BIGINT),
+                            ({idx.format(seq='b')})[j]])),
+              (a2, e2) -> a2 || [greatest(
+                  acc[CAST(e2[1] AS INT)]
+                    + (CASE WHEN e2[2] = e[1]
+                            THEN {_NW_MATCH} ELSE {_NW_MISS} END),
+                  acc[CAST(e2[1] AS INT) + 1] + {_NW_GAP},
+                  a2[len(a2)] + {_NW_GAP})]))
+       )[len(b) + 1] >= 0 THEN 1 ELSE 0 END AS INT) AS aligned
+FROM packed
+"""
+
+
+QUERIES["needleman_wunsch_daily"] = (_nw_alignment, _nw_sql())

@@ -912,3 +912,60 @@ def test_rocchio_confusion_is_a_partition(spark):
     # linear separability sanity: the diagonal dominates chance (10%)
     diag = sum(r["n"] for r in rows if r["correct"] == 1)
     assert diag * 10 > n_vecs
+
+
+def test_nw_alignment_matches_pure_python(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.plans.timeseries_queries import (
+        _NW_GAP, _NW_MATCH, _NW_MISS, _NW_SPLIT, _nw_alignment,
+    )
+
+    r = _nw_alignment(spark, SF).collect()[0]
+    pdf = pd.read_parquet(SF + "/events.parquet",
+                          columns=["ts", "event_type"])
+    day = (pdf["ts"].astype("datetime64[us]").astype("int64")
+           // 86_400_000_000)
+    d = day - day.min()
+    dom = {}
+    for dd, g in pdf.groupby(d):
+        vc = g["event_type"].value_counts()
+        best = min((-c, t) for t, c in vc.items())
+        dom[int(dd)] = best[1]
+    a = [dom[k] for k in sorted(dom) if k < _NW_SPLIT]
+    b = [dom[k] for k in sorted(dom) if k >= _NW_SPLIT]
+    prev = list(range(0, -len(b) - 1, -1))
+    for ai in a:
+        new = [prev[0] + _NW_GAP]
+        for j, bj in enumerate(b, start=1):
+            new.append(max(
+                prev[j - 1] + (_NW_MATCH if ai == bj else _NW_MISS),
+                prev[j] + _NW_GAP, new[j - 1] + _NW_GAP))
+        prev = new
+    assert (r["len_a"], r["len_b"], r["nw_score"]) \
+        == (len(a), len(b), prev[len(b)])
+    # identical sequences would score 2*len; bound sanity
+    assert r["nw_score"] <= _NW_MATCH * min(r["len_a"], r["len_b"])
+
+
+def test_qini_curve_is_anchored_and_consistent(spark):
+    from alma_publish_to_marc_spark.plans.behavior_queries import (
+        qini_curve_deciles,
+    )
+    from alma_publish_to_marc_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = sorted(qini_curve_deciles(spark, SF).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    users = (load(spark, SF, "events").groupBy("user_id")
+             .agg(F.max((F.col("event_type") == "purchase")
+                        .cast("long")).alias("y"))
+             .collect())
+    n = len(users)
+    # depths are monotone and the last point covers everyone
+    cums = [r["cum_users"] for r in rows]
+    assert cums == sorted(cums) and cums[-1] == n
+    for r in rows:
+        assert 0 <= r["conv_treat"] <= r["cum_users"]
+        assert 0 <= r["conv_ctrl"] <= r["cum_users"]
