@@ -5009,3 +5009,113 @@ FROM dec
 """
 
 QUERIES["qini_curve_deciles"] = (qini_curve_deciles, _QINI_SQL)
+
+
+# --------------------------------------------------------------------
+# Restricted mean survival time (area under the KM curve up to tau)
+# --------------------------------------------------------------------
+_RMST_TAU = 24   # months
+
+
+def rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time: the area under the
+    ``kaplan_meier_churn`` step curve up to τ={_RMST_TAU} months —
+    "expected customer-months survived in the first two years", the
+    single-number summary a finance model actually consumes (medians
+    break when the curve never crosses 0.5; means break under
+    censoring; RMST does neither). The integral folds over the
+    month-ordered risk table as a LIST accumulator
+    [prev_t, surv_e12, rmst_e12]: each step banks surv·Δt then steps
+    the survival by the exact integer (n−d) div n rational in e12
+    fixed-point — bit-identical across engines, no libm anywhere.
+
+    Scale: identical inputs to the KM twin (one keyed aggregate +
+    report-sized month table); the fold is one bounded row.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("oday"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("oday").alias("d0"), F.max("oday").alias("d1"))
+    mx = F.broadcast(per_cust.agg(F.max("d1").alias("dmax")))
+    lif = (per_cust.crossJoin(mx)
+           .select(((F.col("d1") - F.col("d0")) / 30).cast("long")
+                   .alias("m"),
+                   (F.col("d1") < F.col("dmax") - _KM_CENSOR_DAYS)
+                   .cast("long").alias("event")))
+    monthly = (lif.groupBy("m")
+               .agg(F.count(F.lit(1)).alias("ending"),
+                    F.sum("event").alias("d")))
+    from pyspark.sql import Window
+    w_rev = (Window.orderBy(F.desc("m"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = monthly.select(
+        "m", "d", F.sum("ending").over(w_rev).alias("n_risk"))
+    folded = (risk.where(F.col("m") <= _RMST_TAU)
+              .select(F.struct("m", "d", "n_risk").alias("s"))
+              .agg(F.expr("array_sort(collect_list(s))").alias("xs")))
+    fold = f"""
+  aggregate(
+    transform(xs, s -> array(s.m, s.d, s.n_risk)),
+    array(cast(0 as bigint), cast(1000000000000 as bigint),
+          cast(0 as bigint)),
+    (acc, e) -> array(
+      element_at(e, 1),
+      (element_at(acc, 2) * (element_at(e, 3) - element_at(e, 2)))
+          div element_at(e, 3),
+      element_at(acc, 3)
+        + element_at(acc, 2)
+          * (least(element_at(e, 1), cast({_RMST_TAU} as bigint))
+             - element_at(acc, 1))))
+"""
+    return folded.select(
+        F.lit(_RMST_TAU).cast("int").alias("tau_months"),
+        F.expr(f"element_at({fold}, 3)"
+               f" + element_at({fold}, 2)"
+               f" * ({_RMST_TAU} - element_at({fold}, 1))")
+        .alias("rmst_e12_months"),
+        F.expr(f"element_at({fold}, 2)").alias("surv_at_tau_e12"))
+
+
+_RMST_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(epoch_us(o_orderdate) // 86400000000) AS d0,
+         max(epoch_us(o_orderdate) // 86400000000) AS d1
+  FROM orders GROUP BY 1
+), lif AS (
+  SELECT CAST((d1 - d0) // 30 AS BIGINT) AS m,
+         CASE WHEN d1 < (SELECT max(d1) FROM per_cust) - {_KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS event
+  FROM per_cust
+), monthly AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS ending,
+         CAST(sum(event) AS BIGINT) AS d
+  FROM lif GROUP BY 1
+), risk AS (
+  SELECT m, d,
+         CAST(sum(ending) OVER (ORDER BY m DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_risk
+  FROM monthly
+), arr AS (
+  SELECT list([m, d, n_risk] ORDER BY m) AS xs
+  FROM risk WHERE m <= {_RMST_TAU}
+), folded AS (
+  SELECT list_reduce(
+    list_prepend([0::BIGINT, 1000000000000::BIGINT, 0::BIGINT], xs),
+    (acc, e) -> [
+      e[1],
+      (acc[2] * (e[3] - e[2])) // e[3],
+      acc[3] + acc[2] * (least(e[1], {_RMST_TAU}::BIGINT) - acc[1])
+    ]) AS a
+  FROM arr
+)
+SELECT CAST({_RMST_TAU} AS INT) AS tau_months,
+       a[3] + a[2] * ({_RMST_TAU} - a[1]) AS rmst_e12_months,
+       a[2] AS surv_at_tau_e12
+FROM folded
+"""
+
+QUERIES["rmst_survival"] = (rmst_survival, _RMST_SQL)

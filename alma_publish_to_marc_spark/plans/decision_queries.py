@@ -735,3 +735,62 @@ LIMIT {SS_TOPN}
 """
 
 QUERIES["safety_stock_reorder"] = (safety_stock_reorder, _SAFETY_SQL)
+
+
+# --------------------------------------------------------------------
+# Economic order quantity per brand (classic sqrt(2DS/H))
+# --------------------------------------------------------------------
+EOQ_ORDER_COST_CENTS = 10_000   # fixed cost per replenishment order
+EOQ_TOPN = 10
+
+
+def eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per part brand: EOQ = √(2·D·S/H) with
+    demand D = total lineitem quantity, fixed order cost S, and unit
+    holding cost H = 10% of the brand's mean retail price (exact
+    integer cents, truncating div) — the replenishment sibling of
+    ``newsvendor_stock_level`` (single-period) and
+    ``safety_stock_reorder`` (variability buffer). √ is IEEE-exact on
+    doubles converted from exact int64, so the e3 floor is
+    bit-identical cross-engine.
+
+    Scale: one lineitem⋈part keyed aggregate to the 25-brand table,
+    then a TakeOrdered readout. Nothing wider than the brand alphabet
+    leaves the first shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"))
+    g = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .groupBy("p_brand")
+         .agg(F.sum(F.col("l_quantity").cast("long")).alias("demand"),
+              F.expr("sum(price_c) div count(1)").alias("mean_price_c")))
+    h = F.expr("mean_price_c div 10")
+    eoq = F.floor(F.lit(1000.0) * F.sqrt(
+        (2 * F.col("demand") * EOQ_ORDER_COST_CENTS).cast("double")
+        / h.cast("double"))).cast("long")
+    return (g.select("p_brand", "demand",
+                     h.alias("holding_c"), eoq.alias("eoq_e3"))
+            .orderBy(F.desc("demand"), F.asc("p_brand")).limit(EOQ_TOPN))
+
+
+_EOQ_SQL = f"""
+WITH g AS (
+  SELECT p.p_brand,
+         CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS demand,
+         CAST(sum(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             // CAST(count(*) AS BIGINT) AS mean_price_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, demand, mean_price_c // 10 AS holding_c,
+       CAST(floor(1000.0 * sqrt(
+           CAST(2 * demand * {EOQ_ORDER_COST_CENTS} AS DOUBLE)
+           / CAST(mean_price_c // 10 AS DOUBLE))) AS BIGINT) AS eoq_e3
+FROM g
+ORDER BY demand DESC, p_brand ASC
+LIMIT {EOQ_TOPN}
+"""
+
+QUERIES["eoq_order_quantity"] = (eoq_order_quantity, _EOQ_SQL)

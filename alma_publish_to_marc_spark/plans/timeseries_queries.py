@@ -2498,3 +2498,108 @@ FROM packed
 
 
 QUERIES["needleman_wunsch_daily"] = (_nw_alignment, _nw_sql())
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson, lags 1-3) of daily volume
+# ---------------------------------------------------------------------------
+
+def _pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the global daily event volume at
+    lags 1–3 via the Durbin–Levinson recursion — the AR-order
+    diagnostic that separates direct lag effects from ones the
+    ``acf_daily_events`` twin merely propagates. Deviations are
+    EXACT integers scaled by T (d_t = T·y_t − Σy), so every r_k is a
+    ratio of exact int64 products; the three-step recursion is then
+    closed-form double arithmetic written token-identically in both
+    engines (mul/div only — no libm).
+
+    Scale: one daily aggregate, three lag columns over the
+    calendar-bounded spine (aggregate-fed window), a 1-row readout
+    exploded to 3 lag rows. Headroom: Σ d·d ≤ T³·max(y)² — int64 to
+    ~3·10⁴ days at 10⁶ events/day.
+    """
+    daily = _hw_daily_spine(spark, sf_dir)
+    tot = daily.agg(F.count(F.lit(1)).alias("t"), F.sum("y").alias("s"))
+    dev = (daily.crossJoin(F.broadcast(tot))
+           .select("d", (F.col("t") * F.col("y") - F.col("s")).alias("dv")))
+    from pyspark.sql import Window
+    w = Window.orderBy("d")
+    lagged = dev.select(
+        "dv",
+        F.lag("dv", 1).over(w).alias("l1"),
+        F.lag("dv", 2).over(w).alias("l2"),
+        F.lag("dv", 3).over(w).alias("l3"))
+    mom = lagged.agg(
+        F.sum(F.col("dv") * F.col("dv")).alias("c0"),
+        F.sum(F.col("dv") * F.col("l1")).alias("c1"),
+        F.sum(F.col("dv") * F.col("l2")).alias("c2"),
+        F.sum(F.col("dv") * F.col("l3")).alias("c3"))
+    r1 = F.col("c1").cast("double") / F.col("c0").cast("double")
+    r2 = F.col("c2").cast("double") / F.col("c0").cast("double")
+    r3 = F.col("c3").cast("double") / F.col("c0").cast("double")
+    p1 = r1
+    v1 = F.lit(1.0) - r1 * r1
+    p2 = (r2 - r1 * r1) / v1
+    p21 = r1 - p2 * r1
+    v2 = v1 * (F.lit(1.0) - p2 * p2)
+    p3 = (r3 - p21 * r2 - p2 * r1) / v2
+    out = mom.select(
+        F.array(F.floor(F.lit(1e6) * p1), F.floor(F.lit(1e6) * p2),
+                F.floor(F.lit(1e6) * p3)).alias("ps"))
+    return (out.select(F.posexplode("ps").alias("lag0", "pacf_e6"))
+            .select((F.col("lag0") + 1).cast("int").alias("lag"),
+                    F.col("pacf_e6").cast("long").alias("pacf_e6")))
+
+
+_PACF_SQL = f"""
+WITH counts AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), span AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM counts
+), spine AS (
+  SELECT CAST(u.d AS BIGINT) AS d,
+         COALESCE((SELECT c.x FROM counts c, span s
+                   WHERE c.day = u.d + s.d0), 0) AS y
+  FROM span sp, unnest(range(0, sp.d1 - sp.d0 + 1)) AS u(d)
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t, CAST(sum(y) AS BIGINT) AS s
+  FROM spine
+), dev AS (
+  SELECT d, tot.t * y - tot.s AS dv FROM spine, tot
+), lagged AS (
+  SELECT dv, lag(dv, 1) OVER (ORDER BY d) AS l1,
+         lag(dv, 2) OVER (ORDER BY d) AS l2,
+         lag(dv, 3) OVER (ORDER BY d) AS l3
+  FROM dev
+), mom AS (
+  SELECT CAST(sum(dv * dv) AS BIGINT) AS c0,
+         CAST(sum(dv * l1) AS BIGINT) AS c1,
+         CAST(sum(dv * l2) AS BIGINT) AS c2,
+         CAST(sum(dv * l3) AS BIGINT) AS c3
+  FROM lagged
+), rs AS (
+  SELECT CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+         CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+         CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3
+  FROM mom
+), ps AS (
+  SELECT [floor(1000000.0 * r1),
+          floor(1000000.0 * ((r2 - r1 * r1) / (1.0 - r1 * r1))),
+          floor(1000000.0 * ((r3 - (r1 - ((r2 - r1 * r1)
+                                          / (1.0 - r1 * r1)) * r1) * r2
+                              - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1)
+                             / ((1.0 - r1 * r1)
+                                * (1.0 - ((r2 - r1 * r1)
+                                          / (1.0 - r1 * r1))
+                                       * ((r2 - r1 * r1)
+                                          / (1.0 - r1 * r1))))))
+         ] AS arr
+  FROM rs
+)
+SELECT CAST(u.i AS INT) AS lag, CAST(arr[u.i] AS BIGINT) AS pacf_e6
+FROM ps, unnest(range(1, 4)) AS u(i)
+"""
+
+QUERIES["pacf_durbin_levinson"] = (_pacf_durbin_levinson, _PACF_SQL)

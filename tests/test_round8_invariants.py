@@ -969,3 +969,52 @@ def test_qini_curve_is_anchored_and_consistent(spark):
     for r in rows:
         assert 0 <= r["conv_treat"] <= r["cum_users"]
         assert 0 <= r["conv_ctrl"] <= r["cum_users"]
+
+
+def test_rmst_matches_km_area(spark):
+    from alma_publish_to_marc_spark.plans.behavior_queries import (
+        _RMST_TAU, kaplan_meier_churn, rmst_survival,
+    )
+
+    r = rmst_survival(spark, SF).collect()[0]
+    km = sorted(kaplan_meier_churn(spark, SF).collect(),
+                key=lambda x: x["m"])
+    # integrate the same step curve in exact e12 fixed-point
+    surv, prev_t, area = 10 ** 12, 0, 0
+    for row in km:
+        if row["m"] > _RMST_TAU:
+            break
+        area += surv * (min(row["m"], _RMST_TAU) - prev_t)
+        surv = surv * (row["n_risk"] - row["churned"]) // row["n_risk"]
+        prev_t = row["m"]
+    area += surv * (_RMST_TAU - prev_t)
+    assert r["rmst_e12_months"] == area
+    assert 0 < r["rmst_e12_months"] <= _RMST_TAU * 10 ** 12
+    assert 0 <= r["surv_at_tau_e12"] <= 10 ** 12
+
+
+def test_eoq_scales_with_sqrt_demand(spark):
+    from alma_publish_to_marc_spark.plans.decision_queries import (
+        EOQ_ORDER_COST_CENTS, eoq_order_quantity,
+    )
+
+    rows = eoq_order_quantity(spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        ref = (2 * r["demand"] * EOQ_ORDER_COST_CENTS
+               / r["holding_c"]) ** 0.5
+        assert abs(r["eoq_e3"] / 1000.0 - ref) < 2e-3
+    ds = [r["demand"] for r in rows]
+    assert ds == sorted(ds, reverse=True)
+
+
+def test_pacf_lag1_equals_acf_lag1(spark):
+    from alma_publish_to_marc_spark.plans.timeseries_queries import (
+        _pacf_durbin_levinson,
+    )
+
+    rows = {r["lag"]: r["pacf_e6"] for r in
+            _pacf_durbin_levinson(spark, SF).collect()}
+    assert set(rows) == {1, 2, 3}
+    for v in rows.values():
+        assert -1_000_000 <= v <= 1_000_000
