@@ -5119,3 +5119,228 @@ FROM folded
 """
 
 QUERIES["rmst_survival"] = (rmst_survival, _RMST_SQL)
+
+
+# --------------------------------------------------------------------
+# Markov removal-effect attribution (absorption-probability model)
+# --------------------------------------------------------------------
+# states: 1=START, 2..5 = channels (click,error,signup,view), 6=CONV
+# (purchase), 7=NULL (journey ends unconverted). K power iterations of
+# the absorption recursion in e12 fixed-point.
+_MRA_CHANNELS = ("click", "error", "signup", "view")
+_MRA_K = 20
+_MRA_CONV, _MRA_NULL = 6, 7
+
+
+def _mra_fold_expr(eng: str) -> str:
+    """One shared generator emits the 63-slot fold for BOTH engines
+    (slots 1..49 = matrix counts row-major, 50..56 = row totals,
+    57..63 = absorption vector) so the expressions cannot drift."""
+    if eng == "spark":
+        def at(n):  # noqa: E306
+            return f"element_at(acc, {n})"
+        div, arr = "div", "array"
+    else:
+        def at(n):
+            return f"acc[{n}]"
+        div, arr = "//", "list_value"
+    slots = []
+    for p in range(1, 57):
+        slots.append(at(p))
+    for i in range(1, 8):       # state slots 57..63
+        if i == _MRA_CONV:
+            slots.append("cast(1000000000000 as bigint)")
+        elif i == _MRA_NULL:
+            slots.append("cast(0 as bigint)")
+        else:
+            terms = " + ".join(
+                f"({at((i - 1) * 7 + j)} * {at(56 + j)})"
+                for j in range(1, 8))
+            slots.append(
+                f"(({terms}) {div} greatest({at(49 + i)},"
+                f" cast(1 as bigint)))")
+    body = ", ".join(slots)
+    if eng == "spark":
+        return (f"aggregate(transform(sequence(1, {_MRA_K}),"
+                f" k -> array(cast(k as bigint))),"
+                f" m63, (acc, e) -> array({body}))")
+    return (f"list_reduce(list_prepend(m63,"
+            f" list_transform(range(1, {_MRA_K} + 1),"
+            f" k -> [CAST(k AS BIGINT)])),"
+            f" (acc, e) -> {arr}({body}))")
+
+
+def markov_removal_attribution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Markov removal-effect channel attribution: model each user's
+    pre-purchase event journey as a first-order chain over
+    START/channel/CONV/NULL states, compute the conversion-absorption
+    probability from START by {_MRA_K} power iterations, then re-run
+    the SAME recursion with each channel's inbound edges redirected to
+    NULL — the drop in absorption probability is that channel's
+    removal effect (the data-driven cousin of ``last_touch_`` /
+    ``position_based_`` / ``shapley_channel_attribution``). Every
+    iteration step is Σ_j n_ij·a_j div r_i on exact int64 (e12
+    vector), so the whole model is bit-identical cross-engine; the
+    63-slot fold text itself is emitted by ONE generator for both
+    engines.
+
+    Scale: journeys reduce to a 7×7 transition-count matrix in one
+    keyed aggregate; the 5 variants × {_MRA_K} iterations run on
+    5 one-row frames. Output: channel, base and removed absorption
+    (e12), removal_effect_e6 (exact integer division).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    first_buy = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id")
+                 .agg(F.min(F.struct("us", "event_id")).alias("fb")))
+    j = (ev.join(first_buy, "user_id", "left")
+         .where(F.col("fb").isNull()
+                | (F.struct("us", "event_id") <= F.col("fb"))))
+    state = (F.when(F.col("event_type") == "purchase", _MRA_CONV)
+             .otherwise(F.array_position(
+                 F.array(*[F.lit(c) for c in _MRA_CHANNELS]),
+                 F.col("event_type")) + 1)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = j.select("user_id", state.alias("s"),
+                   F.lead(state).over(w).alias("nxt"),
+                   F.row_number().over(w).alias("rn"))
+    trans = (seq.select(
+        F.when(F.col("rn") == 1, F.lit(1)).otherwise(None).alias("extra"),
+        "s",
+        F.coalesce(F.col("nxt"),
+                   F.when(F.col("s") == _MRA_CONV, None)
+                   .otherwise(F.lit(_MRA_NULL))).alias("t")))
+    start_edges = (seq.where(F.col("rn") == 1)
+                   .select(F.lit(1).cast("long").alias("s"),
+                           F.col("s").alias("t")))
+    edges = (trans.where(F.col("t").isNotNull()).select("s", "t")
+             .unionByName(start_edges)
+             .where(F.col("s") != _MRA_CONV))
+    counts = edges.groupBy("s", "t").agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(1, 8).select(F.col("id").alias("s")) \
+        .crossJoin(spark.range(1, 8).select(F.col("id").alias("t")))
+    full = (spine.join(counts, ["s", "t"], "left")
+            .select("s", "t", F.coalesce("n", F.lit(0)).alias("n")))
+    m49 = full.agg(F.expr(
+        "transform(array_sort(collect_list(struct(s, t, n))),"
+        " x -> x.n)").alias("m"))
+    variants = m49.select("m", F.explode(F.array(
+        *[F.lit(v) for v in range(0, len(_MRA_CHANNELS) + 1)]))
+        .alias("v"))
+    # removal: inbound edges of channel state (v+1) redirect to NULL
+    mod = ("transform(sequence(1, 49), p -> CASE"
+           " WHEN v = 0 THEN element_at(m, p)"
+           " WHEN pmod(p - 1, 7) + 1 = v + 1 THEN cast(0 as bigint)"
+           " WHEN pmod(p - 1, 7) + 1 = 7 THEN element_at(m, p)"
+           "   + element_at(m, p - 7 + v + 1)"
+           " ELSE element_at(m, p) END)")
+    rows_ = ("transform(sequence(1, 7), i -> "
+             "aggregate(slice(mm, (i - 1) * 7 + 1, 7),"
+             " cast(0 as bigint), (a, x) -> a + x))")
+    init = ("concat(mm, " + rows_ + ", array(cast(0 as bigint),"
+            " cast(0 as bigint), cast(0 as bigint), cast(0 as bigint),"
+            " cast(0 as bigint), cast(1000000000000 as bigint),"
+            " cast(0 as bigint)))")
+    folded = (variants
+              .select("v", F.expr(mod).alias("mm"))
+              .select("v", F.expr(init).alias("m63"))
+              .select("v", F.expr(
+                  f"element_at({_mra_fold_expr('spark')}, 57)")
+                  .alias("absorb_e12")))
+    base = (folded.where(F.col("v") == 0)
+            .select(F.col("absorb_e12").alias("base_e12")))
+    return (folded.where(F.col("v") > 0)
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.element_at(F.array(*[F.lit(c) for c in _MRA_CHANNELS]),
+                             F.col("v").cast("int")).alias("channel"),
+                "base_e12",
+                F.col("absorb_e12").alias("removed_e12"),
+                F.expr("(1000000 * (base_e12 - absorb_e12))"
+                       " div greatest(base_e12, cast(1 as bigint))")
+                .alias("removal_effect_e6")))
+
+
+def _mra_sql() -> str:
+    chans = ", ".join(f"'{c}'" for c in _MRA_CHANNELS)
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+  FROM events
+), first_buy AS (
+  SELECT user_id, min(struct_pack(us := us, event_id := event_id)) AS fb
+  FROM ev WHERE event_type = 'purchase' GROUP BY 1
+), j AS (
+  SELECT e.user_id, e.event_type, e.event_id, e.us
+  FROM ev e LEFT JOIN first_buy f ON e.user_id = f.user_id
+  WHERE f.fb IS NULL
+     OR struct_pack(us := e.us, event_id := e.event_id) <= f.fb
+), seq AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN {_MRA_CONV}
+              ELSE list_position([{chans}], event_type) + 1
+         END::BIGINT AS s,
+         lead(CASE WHEN event_type = 'purchase' THEN {_MRA_CONV}
+                   ELSE list_position([{chans}], event_type) + 1
+              END::BIGINT)
+             OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt,
+         row_number()
+             OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+  FROM j
+), edges AS (
+  SELECT s, COALESCE(nxt, CASE WHEN s = {_MRA_CONV} THEN NULL
+                               ELSE {_MRA_NULL} END) AS t
+  FROM seq
+  UNION ALL
+  SELECT 1::BIGINT AS s, s AS t FROM seq WHERE rn = 1
+), counts AS (
+  SELECT s, t, CAST(count(*) AS BIGINT) AS n
+  FROM edges WHERE t IS NOT NULL AND s <> {_MRA_CONV}
+  GROUP BY 1, 2
+), spine AS (
+  SELECT CAST(a.i AS BIGINT) AS s, CAST(b.j AS BIGINT) AS t
+  FROM unnest(range(1, 8)) a(i), unnest(range(1, 8)) b(j)
+), m49 AS (
+  SELECT list_transform(
+      list(struct_pack(s := sp.s, t := sp.t,
+                       n := COALESCE(c.n, 0)) ORDER BY sp.s, sp.t),
+      x -> x.n) AS m
+  FROM spine sp LEFT JOIN counts c ON sp.s = c.s AND sp.t = c.t
+), variants AS (
+  SELECT m, CAST(v.v AS BIGINT) AS v
+  FROM m49, unnest(range(0, {len(_MRA_CHANNELS) + 1})) v(v)
+), modm AS (
+  SELECT v, list_transform(range(1, 50), p -> CASE
+      WHEN v = 0 THEN m[p]
+      WHEN ((p - 1) % 7) + 1 = v + 1 THEN 0::BIGINT
+      WHEN ((p - 1) % 7) + 1 = 7 THEN m[p] + m[p - 7 + v + 1]
+      ELSE m[p] END) AS mm
+  FROM variants
+), inits AS (
+  SELECT v, mm || list_transform(range(1, 8), i ->
+             list_reduce(list_prepend(0::BIGINT,
+                 list_slice(mm, (i - 1) * 7 + 1, (i - 1) * 7 + 7)),
+                 (a, x) -> a + x))
+           || [0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+               1000000000000::BIGINT, 0::BIGINT] AS m63
+  FROM modm
+), folded AS (
+  SELECT v, ({_mra_fold_expr('duck')})[57] AS absorb_e12
+  FROM inits
+), base AS (
+  SELECT absorb_e12 AS base_e12 FROM folded WHERE v = 0
+)
+SELECT ([{chans}])[CAST(f.v AS INT)] AS channel,
+       b.base_e12, f.absorb_e12 AS removed_e12,
+       (1000000 * (b.base_e12 - f.absorb_e12))
+           // greatest(b.base_e12, 1::BIGINT) AS removal_effect_e6
+FROM folded f, base b
+WHERE f.v > 0
+"""
+
+
+QUERIES["markov_removal_attribution"] = (markov_removal_attribution,
+                                         _mra_sql())

@@ -1018,3 +1018,66 @@ def test_pacf_lag1_equals_acf_lag1(spark):
     assert set(rows) == {1, 2, 3}
     for v in rows.values():
         assert -1_000_000 <= v <= 1_000_000
+
+
+def test_markov_removal_matches_pure_python(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.plans.behavior_queries import (
+        _MRA_CHANNELS, _MRA_CONV, _MRA_K, _MRA_NULL,
+        markov_removal_attribution,
+    )
+
+    rows = {r["channel"]: r for r in
+            markov_removal_attribution(spark, SF).collect()}
+    pdf = pd.read_parquet(SF + "/events.parquet",
+                          columns=["user_id", "event_type", "event_id",
+                                   "ts"])
+    pdf["us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+    pdf = pdf.sort_values(["user_id", "us", "event_id"])
+
+    def state(t):
+        return _MRA_CONV if t == "purchase" \
+            else _MRA_CHANNELS.index(t) + 2
+
+    counts = {}
+    for _, g in pdf.groupby("user_id", sort=False):
+        seq = [state(t) for t in g["event_type"]]
+        if _MRA_CONV in seq:
+            seq = seq[:seq.index(_MRA_CONV) + 1]
+        path = [1] + seq + ([] if seq[-1] == _MRA_CONV else [_MRA_NULL])
+        for a, b in zip(path, path[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+
+    def absorb(removed=None):
+        m = dict(counts)
+        if removed is not None:
+            for i in range(1, 8):
+                if (i, removed) in m:
+                    m[(i, _MRA_NULL)] = m.get((i, _MRA_NULL), 0) \
+                        + m.pop((i, removed))
+        rows_tot = {i: sum(m.get((i, j), 0) for j in range(1, 8))
+                    for i in range(1, 8)}
+        a = {i: 0 for i in range(1, 8)}
+        a[_MRA_CONV] = 10 ** 12
+        for _ in range(_MRA_K):
+            new = {}
+            for i in range(1, 8):
+                if i == _MRA_CONV:
+                    new[i] = 10 ** 12
+                elif i == _MRA_NULL:
+                    new[i] = 0
+                else:
+                    s = sum(m.get((i, j), 0) * a[j] for j in range(1, 8))
+                    new[i] = s // max(rows_tot[i], 1)
+            a = new
+        return a[1]
+
+    base = absorb()
+    for ci, ch in enumerate(_MRA_CHANNELS):
+        rem = absorb(removed=ci + 2)
+        r = rows[ch]
+        assert (r["base_e12"], r["removed_e12"]) == (base, rem), ch
+        assert r["removal_effect_e6"] == \
+            (1_000_000 * (base - rem)) // max(base, 1)
+        assert 0 <= r["removal_effect_e6"] <= 1_000_000
