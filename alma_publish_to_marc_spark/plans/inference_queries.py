@@ -1732,3 +1732,81 @@ FROM mom
 """
 
 QUERIES["iv_wald_estimate"] = (_iv_wald_estimate, _IV_SQL)
+
+
+# ---------------------------------------------------------------------------
+# A/B test sample-size calculator (two-proportion z power formula)
+# ---------------------------------------------------------------------------
+_PWR_Z_ALPHA = 1.959964  # z_{0.975}: two-sided alpha = 0.05 (literal)
+_PWR_Z_BETA = 0.841621   # z_{0.80}: power = 80% (literal)
+_PWR_MDE_REL_E6 = 100_000  # minimum detectable effect: +10% relative
+
+
+def _ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm sample size required to detect a +10% relative lift in
+    big-spend conversion (any event over 250.00 — the rare outcome; a
+    near-saturated rate would push p2 past 1) at alpha=.05
+    (two-sided) / 80% power — the
+    calculator every experimentation platform runs BEFORE
+    ``ab_test_ztest`` ever sees data:
+
+        n = (z_a·√(2·p̄·(1−p̄)) + z_b·√(p1(1−p1)+p2(1−p2)))² / (p2−p1)²
+
+    The z constants are numeric LITERALS (no Φ/erf libm call exists in
+    the formula itself); the baseline p1 is an exact integer ratio of
+    converted-to-total users, and every remaining op is IEEE
+    mul/div/√ — bit-identical cross-engine.
+
+    Scale: one user-keyed aggregate to (converters, users), then a
+    1-row calculation.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("cast(round(value * 100, 0) as bigint)")
+        .alias("cents"))
+    base = (ev.groupBy("user_id")
+            .agg(F.max((F.col("cents") > 25_000).cast("long")).alias("y"))
+            .agg(F.sum("y").alias("conv"),
+                 F.count(F.lit(1)).alias("users")))
+    p1 = F.col("conv").cast("double") / F.col("users").cast("double")
+    p2 = p1 * (1.0 + _PWR_MDE_REL_E6 / 1e6)
+    pbar = (p1 + p2) / 2.0
+    num = (F.lit(_PWR_Z_ALPHA) * F.sqrt(2.0 * pbar * (1.0 - pbar))
+           + F.lit(_PWR_Z_BETA)
+           * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+    n = (num * num) / ((p2 - p1) * (p2 - p1))
+    return base.select(
+        "users", "conv",
+        F.floor(F.lit(1e6) * p1).cast("long").alias("p1_e6"),
+        F.lit(_PWR_MDE_REL_E6).cast("long").alias("mde_rel_e6"),
+        F.ceil(n).cast("long").alias("n_per_arm"))
+
+
+_PWR_SQL = f"""
+WITH base AS (
+  SELECT CAST(sum(y) AS BIGINT) AS conv, CAST(count(*) AS BIGINT) AS users
+  FROM (SELECT user_id,
+               max(CASE WHEN CAST(round(value * 100, 0) AS BIGINT) > 25000
+                        THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1)
+), calc AS (
+  SELECT users, conv,
+         CAST(conv AS DOUBLE) / CAST(users AS DOUBLE) AS p1,
+         (CAST(conv AS DOUBLE) / CAST(users AS DOUBLE))
+             * (1.0 + {_PWR_MDE_REL_E6} / 1e6) AS p2
+  FROM base
+)
+SELECT users, conv,
+       CAST(floor(1e6 * p1) AS BIGINT) AS p1_e6,
+       CAST({_PWR_MDE_REL_E6} AS BIGINT) AS mde_rel_e6,
+       CAST(ceil(
+         (({_PWR_Z_ALPHA} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                 * (1.0 - (p1 + p2) / 2.0))
+           + {_PWR_Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+          * ({_PWR_Z_ALPHA} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                   * (1.0 - (p1 + p2) / 2.0))
+             + {_PWR_Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))))
+         / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+FROM calc
+"""
+
+QUERIES["ab_power_sample_size"] = (_ab_power_sample_size, _PWR_SQL)

@@ -1081,3 +1081,23 @@ def test_markov_removal_matches_pure_python(spark):
         assert r["removal_effect_e6"] == \
             (1_000_000 * (base - rem)) // max(base, 1)
         assert 0 <= r["removal_effect_e6"] <= 1_000_000
+
+
+def test_power_sample_size_matches_formula(spark):
+    import math
+
+    from alma_publish_to_marc_spark.plans.inference_queries import (
+        _PWR_MDE_REL_E6, _PWR_Z_ALPHA, _PWR_Z_BETA, _ab_power_sample_size,
+    )
+
+    r = _ab_power_sample_size(spark, SF).collect()[0]
+    p1 = r["conv"] / r["users"]
+    p2 = p1 * (1.0 + _PWR_MDE_REL_E6 / 1e6)
+    pbar = (p1 + p2) / 2.0
+    num = (_PWR_Z_ALPHA * math.sqrt(2 * pbar * (1 - pbar))
+           + _PWR_Z_BETA * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+    n = math.ceil(num * num / (p2 - p1) ** 2)
+    assert r["n_per_arm"] == n
+    assert r["p1_e6"] == math.floor(1e6 * p1)
+    # smaller effects need more samples: sanity floor
+    assert r["n_per_arm"] > r["users"] // 100
