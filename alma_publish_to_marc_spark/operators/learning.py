@@ -2941,3 +2941,86 @@ FROM best GROUP BY 1, 2
 
 
 QUERIES["rocchio_centroid_eval"] = (_rocchio_centroid_eval, _rocchio_sql())
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift chart at 10 population deciles
+# ---------------------------------------------------------------------------
+
+def _gains_chart_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift of the length→lang scorer at 10
+    population deciles: "contacting the top d/10 of documents by score
+    captures what share of the positives, at what lift over random" —
+    the business-facing readout of the same run table the
+    ROC/PR/Youden family audits. Decile points select the first
+    score-run crossing d·N/10 via struct-min (exact integers); gain
+    and lift divide exact ints per output row.
+
+    Scale: the one-aggregate + alphabet-bounded cumulative-window
+    shape of the AUC twin, finished by a 10-row readout.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    runs = docs.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+    from pyspark.sql import Window
+    w = (Window.orderBy(F.desc("score"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = runs.select(
+        "score",
+        F.sum("cnt").over(w).alias("cumn"),
+        F.sum("pos").over(w).alias("cumpos"))
+    tot = runs.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("p"))
+    dec = (cum.crossJoin(F.broadcast(tot))
+           .select("*", F.explode(F.sequence(F.lit(1), F.lit(10)))
+                   .alias("decile"))
+           .where(10 * F.col("cumn") >= F.col("decile") * F.col("n"))
+           .groupBy("decile")
+           .agg(F.min(F.struct("cumn", "score", "cumpos", "n", "p"))
+                .alias("m")))
+    return dec.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("m.cumn").alias("cum_docs"),
+        F.col("m.cumpos").alias("cum_pos"),
+        F.expr("(1000000 * m.cumpos) div m.p").alias("gain_e6"),
+        F.expr("(1000000 * m.cumpos * m.n) div (m.p * m.cumn)")
+        .alias("lift_e6"))
+
+
+_GAINS_SQL = """
+WITH docs AS (
+  SELECT CAST(n_chars AS BIGINT) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), runs AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM docs GROUP BY 1
+), cum AS (
+  SELECT score,
+         CAST(sum(cnt) OVER w AS BIGINT) AS cumn,
+         CAST(sum(pos) OVER w AS BIGINT) AS cumpos
+  FROM runs
+  WINDOW w AS (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+  FROM runs
+), dec AS (
+  SELECT d.decile,
+         min(struct_pack(cumn := c.cumn, score := c.score,
+                         cumpos := c.cumpos, n := t.n, p := t.p)) AS m
+  FROM cum c CROSS JOIN tot t
+  CROSS JOIN unnest(range(1, 11)) AS d(decile)
+  WHERE 10 * c.cumn >= d.decile * t.n
+  GROUP BY d.decile
+)
+SELECT CAST(decile AS INT) AS decile,
+       m.cumn AS cum_docs, m.cumpos AS cum_pos,
+       (1000000 * m.cumpos) // m.p AS gain_e6,
+       (1000000 * m.cumpos * m.n) // (m.p * m.cumn) AS lift_e6
+FROM dec
+"""
+
+QUERIES["gains_chart_deciles"] = (_gains_chart_deciles, _GAINS_SQL)

@@ -5344,3 +5344,181 @@ WHERE f.v > 0
 
 QUERIES["markov_removal_attribution"] = (markov_removal_attribution,
                                          _mra_sql())
+
+
+# --------------------------------------------------------------------
+# Cramer's V association strength (with Bergsma bias correction)
+# --------------------------------------------------------------------
+
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect size for the nation × market-segment contingency that
+    ``chi2_independence`` only tests: Cramér's V = √(χ²/(N·min(r−1,
+    c−1))) plus the Bergsma bias-corrected variant (the raw V inflates
+    on large sparse tables). Same exact-integer cell machinery as the
+    chi2 twin — observed counts, marginals and N are int64; each χ²
+    term is one double from exact inputs summed over the cell-sorted
+    fold; √ is IEEE-exact.
+
+    Scale: one keyed aggregate to ≤125 cells, marginal rollups of that
+    tiny frame, a 1-row readout.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment")
+    cells = (cust.groupBy("c_nationkey", "c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("o")))
+    rows_m = cells.groupBy("c_nationkey").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("nn"),
+                    F.countDistinct("c_nationkey").alias("nr"),
+                    F.countDistinct("c_mktsegment").alias("nc"))
+    j = (cells.join(F.broadcast(rows_m), "c_nationkey")
+         .join(F.broadcast(cols_m), "c_mktsegment")
+         .crossJoin(F.broadcast(tot)))
+    arr = j.agg(
+        F.array_sort(F.collect_list(F.struct(
+            "c_nationkey", "c_mktsegment", "o", "r", "c", "nn")))
+        .alias("xs"),
+        F.max("nn").alias("nn"), F.max("nr").alias("nr"),
+        F.max("nc").alias("nc"))
+    chi2 = F.aggregate(
+        F.col("xs"), F.lit(0.0),
+        lambda a, e: a + (
+            (e["o"] * e["nn"] - e["r"] * e["c"]).cast("double")
+            * (e["o"] * e["nn"] - e["r"] * e["c"]).cast("double")
+            / (e["nn"].cast("double") * e["r"].cast("double")
+               * e["c"].cast("double"))))
+    nd = F.col("nn").cast("double")
+    rd, cd = F.col("nr").cast("double"), F.col("nc").cast("double")
+    phi2 = F.col("chi2") / nd
+    phi2p = F.greatest(F.lit(0.0),
+                       phi2 - (rd - 1.0) * (cd - 1.0) / (nd - 1.0))
+    rp = rd - (rd - 1.0) * (rd - 1.0) / (nd - 1.0)
+    cp = cd - (cd - 1.0) * (cd - 1.0) / (nd - 1.0)
+    return (arr.select("nn", "nr", "nc", chi2.alias("chi2"))
+            .select(
+                "nn", F.col("nr").cast("int").alias("r_levels"),
+                F.col("nc").cast("int").alias("c_levels"),
+                F.floor(F.lit(1e6) * F.col("chi2")).cast("long")
+                .alias("chi2_e6"),
+                F.floor(F.lit(1e6) * F.sqrt(
+                    F.col("chi2") / (nd * F.least(rd - 1.0, cd - 1.0))))
+                .cast("long").alias("v_e6"),
+                F.floor(F.lit(1e6) * F.sqrt(
+                    phi2p / F.least(rp - 1.0, cp - 1.0)))
+                .cast("long").alias("v_corrected_e6")))
+
+
+_CRAMERS_SQL = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2
+), rows_m AS (
+  SELECT c_nationkey, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1
+), cols_m AS (
+  SELECT c_mktsegment, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS nn,
+         CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nr,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nc
+  FROM cells
+), arr AS (
+  SELECT list(struct_pack(nk := ce.c_nationkey, sg := ce.c_mktsegment,
+                          o := ce.o, r := rm.r, c := cm.c, nn := t.nn)
+              ORDER BY ce.c_nationkey, ce.c_mktsegment) AS xs,
+         max(t.nn) AS nn, max(t.nr) AS nr, max(t.nc) AS nc
+  FROM cells ce
+  JOIN rows_m rm ON ce.c_nationkey = rm.c_nationkey
+  JOIN cols_m cm ON ce.c_mktsegment = cm.c_mktsegment
+  CROSS JOIN tot t
+), folded AS (
+  SELECT nn, nr, nc,
+         list_reduce(list_prepend(0.0, list_transform(xs, e ->
+             CAST(e.o * e.nn - e.r * e.c AS DOUBLE)
+             * CAST(e.o * e.nn - e.r * e.c AS DOUBLE)
+             / (CAST(e.nn AS DOUBLE) * CAST(e.r AS DOUBLE)
+                * CAST(e.c AS DOUBLE)))),
+             (a, x) -> a + x) AS chi2
+  FROM arr
+)
+SELECT nn, CAST(nr AS INT) AS r_levels, CAST(nc AS INT) AS c_levels,
+       CAST(floor(1e6 * chi2) AS BIGINT) AS chi2_e6,
+       CAST(floor(1e6 * sqrt(chi2 / (CAST(nn AS DOUBLE)
+            * least(CAST(nr AS DOUBLE) - 1.0, CAST(nc AS DOUBLE) - 1.0))))
+            AS BIGINT) AS v_e6,
+       CAST(floor(1e6 * sqrt(
+            greatest(0.0, chi2 / CAST(nn AS DOUBLE)
+                     - (CAST(nr AS DOUBLE) - 1.0)
+                       * (CAST(nc AS DOUBLE) - 1.0)
+                       / (CAST(nn AS DOUBLE) - 1.0))
+            / least(CAST(nr AS DOUBLE)
+                    - (CAST(nr AS DOUBLE) - 1.0)
+                      * (CAST(nr AS DOUBLE) - 1.0)
+                      / (CAST(nn AS DOUBLE) - 1.0) - 1.0,
+                    CAST(nc AS DOUBLE)
+                    - (CAST(nc AS DOUBLE) - 1.0)
+                      * (CAST(nc AS DOUBLE) - 1.0)
+                      / (CAST(nn AS DOUBLE) - 1.0) - 1.0)))
+            AS BIGINT) AS v_corrected_e6
+FROM folded
+"""
+
+QUERIES["cramers_v_association"] = (cramers_v_association, _CRAMERS_SQL)
+
+
+# --------------------------------------------------------------------
+# DAU / trailing-7-day WAU stickiness
+# --------------------------------------------------------------------
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product stickiness per day: DAU / trailing-7-day WAU, both
+    EXACT distinct counts — the engagement-density ratio read next to
+    ``rolling_active_users`` (which tracks the windowed levels) and
+    the exact twin of the approximate ``hll_rolling_distinct``. WAU
+    membership materializes by exploding each (user, day) presence row
+    to the 7 future days it keeps the user active in — presence-sized
+    ×7, never corpus-sized — then one distinct count per day.
+
+    Scale: presence dedup is the corpus shuffle (16-byte keys); the
+    ×7 explode and the two per-day distinct aggregates run on the
+    (users × days)-bounded presence table.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {86_400_000_000}")
+        .alias("day"))
+    pres = ev.select("user_id", "day").distinct()
+    span = pres.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    dau = pres.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (pres.select(
+        "user_id", F.explode(F.sequence(F.col("day"),
+                                        F.col("day") + 6)).alias("wday"))
+        .crossJoin(F.broadcast(span))
+        .where(F.col("wday") <= F.col("d1"))
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau")))
+    return (dau.join(wau, "day")
+            .select("day", "dau", "wau",
+                    F.expr("(1000000 * dau) div wau")
+                    .alias("stickiness_e6")))
+
+
+_DAU_WAU_SQL = """
+WITH pres AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), span AS (SELECT max(day) AS d1 FROM pres),
+dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM pres GROUP BY 1
+), wau AS (
+  SELECT u.wday AS day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+  FROM pres p, unnest(range(p.day, p.day + 7)) AS u(wday), span s
+  WHERE u.wday <= s.d1
+  GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau,
+       (1000000 * d.dau) // w.wau AS stickiness_e6
+FROM dau d JOIN wau w ON d.day = w.day
+"""
+
+QUERIES["dau_wau_stickiness"] = (dau_wau_stickiness, _DAU_WAU_SQL)

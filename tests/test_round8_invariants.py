@@ -1101,3 +1101,44 @@ def test_power_sample_size_matches_formula(spark):
     assert r["p1_e6"] == math.floor(1e6 * p1)
     # smaller effects need more samples: sanity floor
     assert r["n_per_arm"] > r["users"] // 100
+
+
+def test_cramers_v_bounds(spark):
+    from alma_publish_to_marc_spark.plans.behavior_queries import (
+        cramers_v_association,
+    )
+
+    r = cramers_v_association(spark, SF).collect()[0]
+    assert 0 <= r["v_e6"] <= 1_000_000
+    assert 0 <= r["v_corrected_e6"] <= r["v_e6"] + 1  # correction shrinks
+    assert r["r_levels"] > 1 and r["c_levels"] > 1
+    assert r["chi2_e6"] >= 0
+
+
+def test_stickiness_is_a_valid_ratio(spark):
+    from alma_publish_to_marc_spark.plans.behavior_queries import (
+        dau_wau_stickiness,
+    )
+
+    rows = dau_wau_stickiness(spark, SF).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 0 < r["dau"] <= r["wau"]
+        assert r["stickiness_e6"] == (1_000_000 * r["dau"]) // r["wau"]
+        assert r["stickiness_e6"] <= 1_000_000
+
+
+def test_gains_chart_is_monotone_and_anchored(spark):
+    from alma_publish_to_marc_spark.operators.learning import (
+        _gains_chart_deciles,
+    )
+
+    rows = sorted(_gains_chart_deciles(spark, SF).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    gains = [r["gain_e6"] for r in rows]
+    assert gains == sorted(gains)             # gains accumulate
+    assert rows[-1]["gain_e6"] == 1_000_000   # full depth = all positives
+    assert rows[-1]["cum_docs"] >= rows[-1]["cum_pos"]
+    lifts = [r["lift_e6"] for r in rows]
+    assert lifts[-1] == 1_000_000             # full depth lift = 1
