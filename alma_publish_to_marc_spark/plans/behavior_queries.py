@@ -5522,3 +5522,134 @@ FROM dau d JOIN wau w ON d.day = w.day
 """
 
 QUERIES["dau_wau_stickiness"] = (dau_wau_stickiness, _DAU_WAU_SQL)
+
+
+# --------------------------------------------------------------------
+# Chain-ladder development projection (actuarial triangle)
+# --------------------------------------------------------------------
+
+def chain_ladder_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actuarial chain-ladder on the customer-spend development
+    triangle: cohort = month of a customer's FIRST order, development
+    lag = months since; the observed triangle's volume-weighted
+    development factors f_l = ΣC_{·,l+1}/ΣC_{·,l} project every
+    cohort's latest cumulative spend to ultimate — the classic
+    reserving estimate, reused verbatim by growth teams for revenue
+    run-out. Factors are ratios of exact int64 dollar sums; each
+    cohort's ultimate multiplies its exact known value by a
+    fixed-order suffix-product fold of those doubles.
+
+    Scale: the corpus reduces to a calendar-bounded cohort×lag
+    triangle (≤ months²/2 cells) in one keyed aggregate + one
+    partitioned cumulative window; factors and suffix products live on
+    that bounded frame. Output: one row per cohort.
+    """
+    dollars = F.floor((F.round(F.col("o_totalprice") * 100) + 50) / 100.0) \
+        .cast("long")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", dollars.alias("d"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("oday"))
+    m0 = orders.agg(F.min("oday").alias("day0"))
+    om = (orders.crossJoin(F.broadcast(m0))
+          .select("o_custkey", "d",
+                  F.expr("(oday - day0) div 30").alias("m")))
+    first = om.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    inc = (om.join(first, "o_custkey")
+           .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("lag"))
+           .agg(F.sum("d").alias("inc")))
+    maxm = om.agg(F.max("m").alias("maxm"))
+    spine = (first.select("cohort").distinct()
+             .crossJoin(F.broadcast(maxm))
+             .select("cohort", "maxm",
+                     F.explode(F.sequence(
+                         F.lit(0),
+                         (F.col("maxm") - F.col("cohort")).cast("int")))
+                     .alias("lag")))
+    cells = (spine.join(inc, ["cohort", "lag"], "left")
+             .select("cohort", "lag", "maxm",
+                     F.coalesce("inc", F.lit(0)).alias("inc")))
+    wc = (Window.partitionBy("cohort").orderBy("lag")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = cells.select("cohort", "lag", "maxm",
+                       F.sum("inc").over(wc).alias("c"))
+    nxt = cum.select(F.col("cohort").alias("co2"),
+                     (F.col("lag") - 1).alias("lag2"),
+                     F.col("c").alias("c_next"))
+    fac = (cum.join(nxt, (cum.cohort == nxt.co2)
+                    & (cum.lag == nxt.lag2))
+           .groupBy("lag")
+           .agg((F.sum("c_next").cast("double")
+                 / F.sum("c").cast("double")).alias("f")))
+    farr = fac.agg(F.expr(
+        "transform(array_sort(collect_list(struct(lag, f))), t -> t.f)")
+        .alias("fs"))
+    latest = (cum.where(F.col("lag") == F.col("maxm") - F.col("cohort"))
+              .select("cohort", F.col("lag").alias("latest_lag"),
+                      F.col("c").alias("known_dollars")))
+    return (latest.crossJoin(F.broadcast(farr))
+            .select(
+                "cohort", "latest_lag", "known_dollars",
+                F.floor(F.expr(
+                    "known_dollars * aggregate("
+                    "slice(fs, latest_lag + 1,"
+                    " greatest(size(fs) - latest_lag, 0)),"
+                    " cast(1.0 as double), (a, x) -> a * x)"))
+                .cast("long").alias("ultimate_dollars")))
+
+
+_CHAIN_SQL = """
+WITH orders_m AS (
+  SELECT o_custkey,
+         CAST(floor((round(o_totalprice * 100) + 50) / 100.0) AS BIGINT)
+             AS d,
+         (epoch_us(o_orderdate) // 86400000000
+          - (SELECT min(epoch_us(o_orderdate) // 86400000000)
+             FROM orders)) // 30 AS m
+  FROM orders
+), first AS (
+  SELECT o_custkey, CAST(min(m) AS BIGINT) AS cohort
+  FROM orders_m GROUP BY 1
+), inc AS (
+  SELECT f.cohort, o.m - f.cohort AS lag, CAST(sum(o.d) AS BIGINT) AS inc
+  FROM orders_m o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+), maxm AS (SELECT max(m) AS maxm FROM orders_m),
+spine AS (
+  SELECT c.cohort, x.maxm, CAST(u.lag AS BIGINT) AS lag
+  FROM (SELECT DISTINCT cohort FROM first) c, maxm x,
+       unnest(range(0, x.maxm - c.cohort + 1)) AS u(lag)
+), cells AS (
+  SELECT s.cohort, s.lag, s.maxm, COALESCE(i.inc, 0) AS inc
+  FROM spine s LEFT JOIN inc i
+    ON s.cohort = i.cohort AND s.lag = i.lag
+), cum AS (
+  SELECT cohort, lag, maxm,
+         CAST(sum(inc) OVER (PARTITION BY cohort ORDER BY lag
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS c
+  FROM cells
+), fac AS (
+  SELECT a.lag,
+         CAST(sum(b.c) AS DOUBLE) / CAST(sum(a.c) AS DOUBLE) AS f
+  FROM cum a JOIN cum b
+    ON a.cohort = b.cohort AND b.lag = a.lag + 1
+  GROUP BY 1
+), farr AS (
+  SELECT list_transform(list(struct_pack(lag := lag, f := f)
+                             ORDER BY lag), t -> t.f) AS fs
+  FROM fac
+), latest AS (
+  SELECT cohort, lag AS latest_lag, c AS known_dollars
+  FROM cum WHERE lag = maxm - cohort
+)
+SELECT l.cohort, l.latest_lag, l.known_dollars,
+       CAST(floor(l.known_dollars * list_reduce(
+           list_prepend(1.0::DOUBLE,
+               list_slice(fs, l.latest_lag + 1,
+                          greatest(len(fs), l.latest_lag))),
+           (a, x) -> a * x)) AS BIGINT) AS ultimate_dollars
+FROM latest l, farr
+"""
+
+QUERIES["chain_ladder_projection"] = (chain_ladder_projection, _CHAIN_SQL)

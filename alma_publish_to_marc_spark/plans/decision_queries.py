@@ -794,3 +794,118 @@ LIMIT {EOQ_TOPN}
 """
 
 QUERIES["eoq_order_quantity"] = (eoq_order_quantity, _EOQ_SQL)
+
+
+# --------------------------------------------------------------------
+# Erlang-B capacity sizing from measured offered load
+# --------------------------------------------------------------------
+_ERL_GAP_US = 1_800_000_000      # 30-min session gap
+_ERL_MAX_K = 64
+_ERL_TARGET_E9 = 10_000_000      # blocking target 1%
+
+
+def erlang_b_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity sizing by the Erlang-B loss formula: measure offered
+    load a = Σ(session busy-time)/span from the event stream (30-min
+    gap sessionization), then run the standard blocking recursion
+    B(k) = a·B(k−1)/(k + a·B(k−1)) and report the smallest server
+    count whose blocking drops under 1% — the teletraffic classic
+    behind connection-pool / worker-fleet sizing. The recursion is
+    pure IEEE mul/div over a rational offered load (exact integer
+    micros ratio), folded k = 1..{_ERL_MAX_K} in fixed order — no
+    factorials, no libm, bit-identical cross-engine.
+
+    Scale: sessionization is one user-partitioned lag window over the
+    corpus; the fold runs on a 1-row frame. Sessions of a single
+    event count one second of busy-time (floor, exact).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    marked = ev.select(
+        "user_id", "us",
+        F.when(F.coalesce(F.col("us") - F.lag("us").over(w),
+                          F.lit(_ERL_GAP_US + 1)) > _ERL_GAP_US, 1)
+        .otherwise(0).alias("new_s"))
+    sess = (marked.select(
+        "user_id", "us",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg((F.max("us") - F.min("us") + 1_000_000).alias("dur_us")))
+    span = ev.agg((F.max("us") - F.min("us")).alias("span_us"))
+    load_ = (sess.agg(F.sum("dur_us").alias("busy_us"))
+             .crossJoin(F.broadcast(span))
+             .select("busy_us", "span_us",
+                     (F.col("busy_us").cast("double")
+                      / F.col("span_us").cast("double")).alias("a")))
+    fold = f"""
+  aggregate(
+    transform(sequence(1, {_ERL_MAX_K}), k -> array(cast(k as double))),
+    array(cast(1.0 as double), cast(0.0 as double)),
+    (acc, e) -> array(
+      (a * element_at(acc, 1))
+          / (element_at(e, 1) + a * element_at(acc, 1)),
+      CASE WHEN element_at(acc, 2) > 0.0 THEN element_at(acc, 2)
+           WHEN (a * element_at(acc, 1))
+                / (element_at(e, 1) + a * element_at(acc, 1))
+                < {_ERL_TARGET_E9} / 1e9
+           THEN element_at(e, 1)
+           ELSE cast(0.0 as double) END))
+"""
+    return load_.select(
+        F.floor(F.lit(1e6) * F.col("a")).cast("long").alias("load_e6"),
+        F.expr(f"cast(element_at({fold}, 2) as int)")
+        .alias("servers_needed"),
+        F.expr(f"cast(floor(1e9 * element_at({fold}, 1)) as bigint)")
+        .alias("blocking_at_max_e9"))
+
+
+_ERLANG_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), marked AS (
+  SELECT user_id, us,
+         CASE WHEN COALESCE(us - lag(us) OVER (PARTITION BY user_id
+                                               ORDER BY us),
+                            {_ERL_GAP_US + 1}) > {_ERL_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+), sess AS (
+  SELECT user_id, sid,
+         max(us) - min(us) + 1000000 AS dur_us
+  FROM (SELECT user_id, us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM marked)
+  GROUP BY 1, 2
+), load_ AS (
+  SELECT CAST(sum(dur_us) AS BIGINT) AS busy_us,
+         (SELECT max(us) - min(us) FROM ev) AS span_us,
+         CAST(sum(dur_us) AS DOUBLE)
+             / CAST((SELECT max(us) - min(us) FROM ev) AS DOUBLE) AS a
+  FROM sess
+), folded AS (
+  SELECT busy_us, span_us, a,
+         list_reduce(
+           list_prepend([1.0::DOUBLE, 0.0::DOUBLE],
+               list_transform(range(1, {_ERL_MAX_K} + 1),
+                              k -> [CAST(k AS DOUBLE)])),
+           (acc, e) -> [
+             (a * acc[1]) / (e[1] + a * acc[1]),
+             CASE WHEN acc[2] > 0.0 THEN acc[2]
+                  WHEN (a * acc[1]) / (e[1] + a * acc[1])
+                       < {_ERL_TARGET_E9} / 1e9
+                  THEN e[1]
+                  ELSE 0.0::DOUBLE END]) AS f
+  FROM load_
+)
+SELECT CAST(floor(1e6 * a) AS BIGINT) AS load_e6,
+       CAST(f[2] AS INT) AS servers_needed,
+       CAST(floor(1e9 * f[1]) AS BIGINT) AS blocking_at_max_e9
+FROM folded
+"""
+
+QUERIES["erlang_b_blocking"] = (erlang_b_blocking, _ERLANG_SQL)

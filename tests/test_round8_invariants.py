@@ -1142,3 +1142,44 @@ def test_gains_chart_is_monotone_and_anchored(spark):
     assert rows[-1]["cum_docs"] >= rows[-1]["cum_pos"]
     lifts = [r["lift_e6"] for r in rows]
     assert lifts[-1] == 1_000_000             # full depth lift = 1
+
+
+def test_erlang_b_recursion_matches_python(spark):
+    from alma_publish_to_marc_spark.plans.decision_queries import (
+        _ERL_MAX_K, _ERL_TARGET_E9, erlang_b_blocking,
+    )
+
+    r = erlang_b_blocking(spark, SF).collect()[0]
+    # replay the recursion from the reported load (floored e6 is a
+    # lower bound; re-derive bounds rather than exact equality)
+    assert r["load_e6"] > 0
+    a_lo = r["load_e6"] / 1e6
+    b = 1.0
+    k_found = 0
+    for k in range(1, _ERL_MAX_K + 1):
+        b = (a_lo * b) / (k + a_lo * b)
+        if k_found == 0 and b < _ERL_TARGET_E9 / 1e9:
+            k_found = k
+    # the engine's a is >= a_lo, so it can't need FEWER servers
+    assert r["servers_needed"] >= k_found > 0
+    assert 0 <= r["blocking_at_max_e9"] < _ERL_TARGET_E9
+
+
+def test_chain_ladder_triangle_consistency(spark):
+    from alma_publish_to_marc_spark.plans.behavior_queries import (
+        chain_ladder_projection,
+    )
+
+    rows = sorted(chain_ladder_projection(spark, SF).collect(),
+                  key=lambda r: r["cohort"])
+    assert rows
+    maxlag = max(r["latest_lag"] for r in rows)
+    for r in rows:
+        # development factors are >= 1 (cumulative spend can't shrink)
+        assert r["ultimate_dollars"] >= r["known_dollars"] > 0
+        # cohort + its own development depth = the newest month
+        assert r["cohort"] + r["latest_lag"] == rows[0]["cohort"] \
+            + maxlag
+    # the oldest cohort is fully developed: known == ultimate
+    oldest = rows[0]
+    assert oldest["ultimate_dollars"] == oldest["known_dollars"]
