@@ -3024,3 +3024,172 @@ FROM dec
 """
 
 QUERIES["gains_chart_deciles"] = (_gains_chart_deciles, _GAINS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 5-fold cross-validated decision stump (leave-fold-out, no driver loop)
+# ---------------------------------------------------------------------------
+_SCV_FOLDS = 5
+
+
+def _stump_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the histogram decision stump on
+    "is this vector label 0": per (fold, dim, thr) class tallies are
+    ONE map-side aggregate, each fold's TRAINING tallies are
+    total − fold (no second scan, no driver loop — the leave-one-out
+    algebra), the winning split per fold is a struct-min argmax
+    (purity desc, dim, thr), leaf classes are integer majority votes,
+    and test accuracy reads the held-out fold's tallies at the chosen
+    split. The honest-evaluation counterpart of
+    ``decision_stump_split_search`` (train metrics) and
+    ``gbdt_stump_rounds`` (train SSE).
+
+    Scale: rows × dims × cuts × 1 tally pass (map-side combinable),
+    then everything lives on the (folds × dims × cuts)-bounded grid.
+    Purity compares as a double from exact int64 counts inside the
+    struct-min — identical in both engines.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % _SCV_FOLDS).alias("fold"),
+        F.when(F.col("label") == 0, 1).otherwise(0).cast("long")
+        .alias("y"),
+        F.transform(F.slice("embedding", 1, _GBDT_DIMS),
+                    lambda x: F.round(x * 1000).cast("long")).alias("q"))
+    rows = emb.select("fold", "y",
+                      F.posexplode("q").alias("dim", "val"))
+    stats = rows.groupBy("dim").agg(F.min("val").alias("lo"),
+                                    F.max("val").alias("hi"))
+    cuts = (stats.select(
+        "dim", F.explode(F.array(*[F.lit(t) for t in
+                                   range(1, _GBDT_CUTS + 1)])).alias("t"),
+        "lo", "hi")
+        .select("dim", F.floor(F.col("lo") + (F.col("hi") - F.col("lo"))
+                               * F.col("t") / (_GBDT_CUTS + 1))
+                .cast("long").alias("thr")))
+    tal = (rows.join(F.broadcast(cuts), "dim")
+           .groupBy("fold", "dim", "thr")
+           .agg(F.sum(F.when(F.col("val") <= F.col("thr"), 1)
+                      .otherwise(0)).alias("n_l"),
+                F.sum(F.when(F.col("val") <= F.col("thr"), F.col("y"))
+                      .otherwise(0)).alias("p_l"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("y").alias("p")))
+    tot = (tal.groupBy("dim", "thr")
+           .agg(F.sum("n_l").alias("tn_l"), F.sum("p_l").alias("tp_l"),
+                F.sum("n").alias("tn"), F.sum("p").alias("tp")))
+    # training tallies per fold = totals minus the held-out fold
+    tr = (tal.join(tot, ["dim", "thr"])
+          .select("fold", "dim", "thr", "n_l", "p_l", "n", "p",
+                  (F.col("tn_l") - F.col("n_l")).alias("a_nl"),
+                  (F.col("tp_l") - F.col("p_l")).alias("a_pl"),
+                  (F.col("tn") - F.col("n")).alias("a_n"),
+                  (F.col("tp") - F.col("p")).alias("a_p")))
+    nl, pl = F.col("a_nl"), F.col("a_pl")
+    nr = F.col("a_n") - nl
+    pr = F.col("a_p") - pl
+    sl2 = pl * pl + (nl - pl) * (nl - pl)
+    sr2 = pr * pr + (nr - pr) * (nr - pr)
+    purity = ((sl2 * nr + sr2 * nl).cast("double")
+              / (nl * nr).cast("double"))
+    best = (tr.where((nl > 0) & (nr > 0))
+            .groupBy("fold")
+            .agg(F.min(F.struct((-purity).alias("np"),
+                                F.col("dim").alias("dim"),
+                                F.col("thr").alias("thr"),
+                                # leaf majorities from TRAIN tallies
+                                F.when(2 * pl > nl, 1).otherwise(0)
+                                .alias("cl"),
+                                F.when(2 * pr > nr, 1).otherwise(0)
+                                .alias("cr"))).alias("b")))
+    ev = (best.select("fold", "b.dim", "b.thr", "b.cl", "b.cr")
+          .join(tal, ["fold", "dim", "thr"]))
+    correct = (F.when(F.col("cl") == 1, F.col("p_l"))
+               .otherwise(F.col("n_l") - F.col("p_l"))
+               + F.when(F.col("cr") == 1, F.col("p") - F.col("p_l"))
+               .otherwise((F.col("n") - F.col("n_l"))
+                          - (F.col("p") - F.col("p_l"))))
+    return (ev.select(
+        F.col("fold").cast("int").alias("fold"),
+        F.col("dim").cast("int").alias("dim"), "thr",
+        correct.alias("test_correct"), F.col("n").alias("test_n"))
+        .select("fold", "dim", "thr", "test_correct", "test_n",
+                F.expr("(1000000 * test_correct) div test_n")
+                .alias("acc_e6")))
+
+
+def _stump_cv_sql() -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id % {_SCV_FOLDS} AS fold,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END::BIGINT AS y,
+         list_transform(embedding[1:{_GBDT_DIMS}],
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS q
+  FROM embeddings
+), rows_q AS (
+  SELECT fold, y, u.dim, u.val
+  FROM (SELECT fold, y,
+               unnest(list_transform(range(1, {_GBDT_DIMS} + 1),
+                   i -> struct_pack(dim := i - 1, val := q[i]))) AS u
+        FROM emb)
+), stats AS (
+  SELECT dim, min(val) AS lo, max(val) AS hi FROM rows_q GROUP BY 1
+), cuts AS (
+  SELECT dim,
+         CAST(floor(lo + (hi - lo) * t / {_GBDT_CUTS + 1}) AS BIGINT) AS thr
+  FROM stats, unnest(range(1, {_GBDT_CUTS} + 1)) AS r(t)
+), tal AS (
+  SELECT r.fold, r.dim, c.thr,
+         CAST(sum(CASE WHEN r.val <= c.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_l,
+         CAST(sum(CASE WHEN r.val <= c.thr THEN r.y ELSE 0 END) AS BIGINT)
+             AS p_l,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r.y) AS BIGINT) AS p
+  FROM rows_q r JOIN cuts c ON r.dim = c.dim
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT dim, thr, CAST(sum(n_l) AS BIGINT) AS tn_l,
+         CAST(sum(p_l) AS BIGINT) AS tp_l,
+         CAST(sum(n) AS BIGINT) AS tn, CAST(sum(p) AS BIGINT) AS tp
+  FROM tal GROUP BY 1, 2
+), tr AS (
+  SELECT t.fold, t.dim, t.thr, t.n_l, t.p_l, t.n, t.p,
+         o.tn_l - t.n_l AS a_nl, o.tp_l - t.p_l AS a_pl,
+         o.tn - t.n AS a_n, o.tp - t.p AS a_p
+  FROM tal t JOIN tot o ON t.dim = o.dim AND t.thr = o.thr
+), best AS (
+  SELECT fold,
+         min(struct_pack(
+             np := -(CAST((a_pl * a_pl + (a_nl - a_pl) * (a_nl - a_pl))
+                          * (a_n - a_nl)
+                          + ((a_p - a_pl) * (a_p - a_pl)
+                             + ((a_n - a_nl) - (a_p - a_pl))
+                               * ((a_n - a_nl) - (a_p - a_pl)))
+                            * a_nl AS DOUBLE)
+                     / CAST(a_nl * (a_n - a_nl) AS DOUBLE)),
+             dim := dim, thr := thr,
+             cl := CASE WHEN 2 * a_pl > a_nl THEN 1 ELSE 0 END,
+             cr := CASE WHEN 2 * (a_p - a_pl) > (a_n - a_nl)
+                        THEN 1 ELSE 0 END)) AS b
+  FROM tr
+  WHERE a_nl > 0 AND a_n - a_nl > 0
+  GROUP BY fold
+), ev AS (
+  SELECT b.fold, b.b.dim AS dim, b.b.thr AS thr, b.b.cl AS cl,
+         b.b.cr AS cr, t.n_l, t.p_l, t.n, t.p
+  FROM best b JOIN tal t
+    ON b.fold = t.fold AND b.b.dim = t.dim AND b.b.thr = t.thr
+)
+SELECT CAST(fold AS INT) AS fold, CAST(dim AS INT) AS dim, thr,
+       (CASE WHEN cl = 1 THEN p_l ELSE n_l - p_l END
+        + CASE WHEN cr = 1 THEN p - p_l
+               ELSE (n - n_l) - (p - p_l) END) AS test_correct,
+       n AS test_n,
+       (1000000 * (CASE WHEN cl = 1 THEN p_l ELSE n_l - p_l END
+                   + CASE WHEN cr = 1 THEN p - p_l
+                          ELSE (n - n_l) - (p - p_l) END)) // n AS acc_e6
+FROM ev
+"""
+
+
+QUERIES["stump_cv_accuracy"] = (_stump_cv_accuracy, _stump_cv_sql())

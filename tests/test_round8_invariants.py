@@ -1183,3 +1183,24 @@ def test_chain_ladder_triangle_consistency(spark):
     # the oldest cohort is fully developed: known == ultimate
     oldest = rows[0]
     assert oldest["ultimate_dollars"] == oldest["known_dollars"]
+
+
+def test_stump_cv_partitions_and_beats_chance(spark):
+    from alma_publish_to_marc_spark.operators.learning import (
+        _SCV_FOLDS, _stump_cv_accuracy,
+    )
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = sorted(_stump_cv_accuracy(spark, SF).collect(),
+                  key=lambda r: r["fold"])
+    assert [r["fold"] for r in rows] == list(range(_SCV_FOLDS))
+    n_vecs = load(spark, SF, "embeddings").count()
+    assert sum(r["test_n"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r["test_correct"] <= r["test_n"]
+        assert r["acc_e6"] == (1_000_000 * r["test_correct"]) \
+            // r["test_n"]
+    # pooled CV accuracy must beat the 10%-minority always-0 floor:
+    # predicting the majority class alone gives ~90%, so require > 50%
+    pooled = sum(r["test_correct"] for r in rows) / n_vecs
+    assert pooled > 0.5
