@@ -2603,3 +2603,107 @@ FROM ps, unnest(range(1, 4)) AS u(i)
 """
 
 QUERIES["pacf_durbin_levinson"] = (_pacf_durbin_levinson, _PACF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Forecast bakeoff on a 7-day holdout (seasonal naive / mean / drift)
+# ---------------------------------------------------------------------------
+_BAKE_H = 7
+
+
+def _forecast_model_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-selection bakeoff: hold out the final {_BAKE_H} days of
+    the global daily volume and score three zero-parameter forecasters
+    on integer MAE — seasonal naive (y[d−7]), train mean, and drift
+    (last train value + h·slope) — the sanity race every forecasting
+    effort should run before anything fancier (``holt_linear``,
+    ``holt_winters_additive``, ``croston``) is trusted. Every
+    prediction and error is exact int64 (means/slopes are truncating
+    divs), so the ranking is bit-identical cross-engine.
+
+    Scale: the corpus reduces to the calendar-bounded day spine once;
+    the bakeoff runs on a 1-row array frame exploded to 3×{_BAKE_H}
+    scored cells.
+    """
+    packed = (_hw_daily_spine(spark, sf_dir)
+              .groupBy()
+              .agg(F.expr("transform(array_sort(collect_list("
+                          "struct(d, y))), s -> s.y)").alias("ys")))
+    t = F.size("ys")
+    base = packed.select(
+        "ys", t.alias("t"), (t - _BAKE_H).alias("n_train"))
+    cells = (base
+             .select("*", F.explode(F.sequence(F.lit(1),
+                                               F.lit(_BAKE_H)))
+                     .alias("h"))
+             .select(
+                 "h", "t", "n_train",
+                 F.expr("element_at(ys, cast(n_train + h as int))")
+                 .alias("actual"),
+                 F.expr("element_at(ys, cast(n_train + h - 7 as int))")
+                 .alias("p_seasonal"),
+                 F.expr("aggregate(slice(ys, 1, cast(n_train as int)),"
+                        " cast(0 as bigint), (a, x) -> a + x)"
+                        " div n_train").alias("p_mean"),
+                 F.expr("element_at(ys, cast(n_train as int))"
+                        " + h * ((element_at(ys, cast(n_train as int))"
+                        " - element_at(ys, 1)) div (n_train - 1))")
+                 .alias("p_drift")))
+    out = None
+    for model, col in (("seasonal_naive", "p_seasonal"),
+                       ("train_mean", "p_mean"),
+                       ("drift", "p_drift")):
+        m = cells.agg(
+            F.lit(model).alias("model"),
+            F.sum(F.abs(F.col("actual") - F.col(col)))
+            .alias("abs_err_sum"),
+            F.count(F.lit(1)).alias("h_days"))
+        out = m if out is None else out.unionAll(m)
+    return out.select(
+        "model", "abs_err_sum", "h_days",
+        F.expr("(1000000 * abs_err_sum) div h_days").alias("mae_e6"))
+
+
+def _bakeoff_sql() -> str:
+    preds = {
+        "seasonal_naive": "ys[CAST(n_train + h AS INT) - 7]",
+        "train_mean": ("list_reduce(list_prepend(0::BIGINT,"
+                       " list_slice(ys, 1, CAST(n_train AS INT))),"
+                       " (a, x) -> a + x) // n_train"),
+        "drift": ("ys[CAST(n_train AS INT)] + h *"
+                  " ((ys[CAST(n_train AS INT)] - ys[1])"
+                  " // (n_train - 1))"),
+    }
+    parts = " UNION ALL ".join(
+        f"""SELECT '{model}' AS model,
+       CAST(sum(abs(ys[CAST(n_train + h AS INT)] - ({p}))) AS BIGINT)
+           AS abs_err_sum,
+       CAST(count(*) AS BIGINT) AS h_days
+FROM cells GROUP BY 1"""
+        for model, p in preds.items())
+    return f"""
+WITH counts AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), span AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM counts
+), spine AS (
+  SELECT CAST(u.d AS BIGINT) AS d,
+         COALESCE((SELECT c.x FROM counts c, span s
+                   WHERE c.day = u.d + s.d0), 0) AS y
+  FROM span sp, unnest(range(0, sp.d1 - sp.d0 + 1)) AS u(d)
+), packed AS (
+  SELECT list(y ORDER BY d) AS ys FROM spine
+), cells AS (
+  SELECT ys, len(ys)::BIGINT AS t, len(ys)::BIGINT - {_BAKE_H} AS n_train,
+         CAST(u.h AS BIGINT) AS h
+  FROM packed, unnest(range(1, {_BAKE_H} + 1)) AS u(h)
+)
+SELECT model, abs_err_sum, h_days,
+       (1000000 * abs_err_sum) // h_days AS mae_e6
+FROM ({parts})
+"""
+
+
+QUERIES["forecast_model_bakeoff"] = (_forecast_model_bakeoff,
+                                     _bakeoff_sql())

@@ -1204,3 +1204,38 @@ def test_stump_cv_partitions_and_beats_chance(spark):
     # predicting the majority class alone gives ~90%, so require > 50%
     pooled = sum(r["test_correct"] for r in rows) / n_vecs
     assert pooled > 0.5
+
+
+def test_bakeoff_matches_pure_python(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.plans.timeseries_queries import (
+        _BAKE_H, _forecast_model_bakeoff,
+    )
+
+    rows = {r["model"]: r for r in
+            _forecast_model_bakeoff(spark, SF).collect()}
+    assert set(rows) == {"seasonal_naive", "train_mean", "drift"}
+    pdf = pd.read_parquet(SF + "/events.parquet", columns=["ts"])
+    day = (pdf["ts"].astype("datetime64[us]").astype("int64")
+           // 86_400_000_000)
+    counts = day.value_counts()
+    base = int(counts.index.min())
+    span = int(counts.index.max()) - base + 1
+    ys = [int(counts.get(base + i, 0)) for i in range(span)]
+    nt = len(ys) - _BAKE_H
+
+    def tdiv(a, b):  # Spark div / DuckDB // truncate; Python // floors
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    mean = tdiv(sum(ys[:nt]), nt)
+    slope = tdiv(ys[nt - 1] - ys[0], nt - 1)
+    errs = {"seasonal_naive": 0, "train_mean": 0, "drift": 0}
+    for h in range(1, _BAKE_H + 1):
+        actual = ys[nt + h - 1]
+        errs["seasonal_naive"] += abs(actual - ys[nt + h - 1 - 7])
+        errs["train_mean"] += abs(actual - mean)
+        errs["drift"] += abs(actual - (ys[nt - 1] + h * slope))
+    for m, r in rows.items():
+        assert (r["abs_err_sum"], r["h_days"]) == (errs[m], _BAKE_H), m
+        assert r["mae_e6"] == (1_000_000 * errs[m]) // _BAKE_H
