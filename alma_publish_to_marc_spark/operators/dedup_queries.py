@@ -1480,3 +1480,106 @@ FROM scored GROUP BY agree16
 
 QUERIES["minhash_estimator_calibration"] = (_minhash_estimator_calibration,
                                             _minhash_calibration_sql())
+
+
+# ---- greedy 1-1 pair matching (the assignment step after scoring) ---------
+_GPM_PREFIX = 1024
+
+
+def _greedy_pair_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-weight 1-1 matching over the n-gram Jaccard
+    candidate pairs: walk candidates best-first and keep a pair only
+    if NEITHER side is already matched — the assignment step every
+    record-linkage pipeline runs after ``fellegi_sunter_scoring`` /
+    ``ngram_jaccard_neardup`` produce scores (a doc must merge into at
+    most one survivor). The walk is inherently sequential, so it runs
+    on a deterministic TakeOrdered {_GPM_PREFIX}-pair best-first
+    prefix (the sprt/elo bounded-walk discipline) as a LIST fold whose
+    accumulator carries [n_matched, score_sum, used_ids...]; scores
+    are exact e6 ints (jaccard is round-6 in both engines).
+
+    Scale: candidate generation is the existing banded/shingle join;
+    the greedy walk is 1024 interpreted steps on one row. A full-scale
+    assignment would iterate prefix batches (matched ids anti-join the
+    next batch), same fold per batch.
+    """
+    pairs = D.jaccard_pairs(_near_dup_corpus(spark, sf_dir),
+                            "doc_id", "text", n=5, threshold=0.5)
+    pref = (pairs.select(
+        F.round(F.col("jaccard") * 1_000_000).cast("long").alias("s"),
+        "id_a", "id_b")
+        .orderBy(F.desc("s"), F.asc("id_a"), F.asc("id_b"))
+        .limit(_GPM_PREFIX))
+    packed = pref.groupBy().agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.expr("array_sort(collect_list(struct(-s as ns, id_a, id_b)))")
+        .alias("xs"))
+    fold = """
+  aggregate(
+    transform(xs, e -> array(-e.ns, e.id_a, e.id_b)),
+    array(cast(0 as bigint), cast(0 as bigint)),
+    (acc, e) -> CASE
+      WHEN array_contains(slice(acc, 3, size(acc)), element_at(e, 2))
+        OR array_contains(slice(acc, 3, size(acc)), element_at(e, 3))
+      THEN acc
+      ELSE concat(
+        array(element_at(acc, 1) + 1,
+              element_at(acc, 2) + element_at(e, 1)),
+        slice(acc, 3, size(acc)),
+        array(element_at(e, 2), element_at(e, 3)))
+    END)
+"""
+    return packed.select(
+        "n_candidates",
+        F.expr(f"element_at({fold}, 1)").alias("n_matched"),
+        F.expr(f"element_at({fold}, 2)").alias("score_sum_e6"))
+
+
+_GPM_SQL = f"""
+WITH {SQL_NEAR_CORPUS},
+sh AS (
+    SELECT doc_id, unnest({sql_shingle_hashes()}) AS shingle FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_shingles + sb.n_shingles - n_inter), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+),
+pref AS (
+    SELECT CAST(round(jaccard * 1000000) AS BIGINT) AS s, id_a, id_b
+    FROM pairs WHERE jaccard >= 0.5
+    ORDER BY s DESC, id_a, id_b
+    LIMIT {_GPM_PREFIX}
+),
+packed AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           list([s, id_a, id_b] ORDER BY -s, id_a, id_b) AS xs
+    FROM pref
+),
+folded AS (
+    SELECT n_candidates,
+           list_reduce(
+             list_prepend([0::BIGINT, 0::BIGINT], xs),
+             (acc, e) -> CASE
+               WHEN list_contains(list_slice(acc, 3, len(acc)), e[2])
+                 OR list_contains(list_slice(acc, 3, len(acc)), e[3])
+               THEN acc
+               ELSE [acc[1] + 1, acc[2] + e[1]]
+                    || list_slice(acc, 3, len(acc)) || [e[2], e[3]]
+             END) AS a
+    FROM packed
+)
+SELECT n_candidates, a[1] AS n_matched, a[2] AS score_sum_e6
+FROM folded
+"""
+
+QUERIES["greedy_pair_matching"] = (_greedy_pair_matching, _GPM_SQL)

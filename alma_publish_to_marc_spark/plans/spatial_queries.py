@@ -504,3 +504,85 @@ QUERIES = {
     "boruvka_lightest_edges": (boruvka_lightest_edges, _BORUVKA_SQL),
     "two_hop_reachability": (two_hop_reachability, _TWO_HOP_SQL),
 }
+
+
+# --------------------------------------------------------------------
+# Geometric median via Weiszfeld iterations
+# --------------------------------------------------------------------
+WZ_ROUNDS = 8
+WZ_EPS = 1e-9   # distance guard at a data point (literal, both engines)
+
+
+def geometric_median_weiszfeld(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Geometric median (the L1-optimal facility location) of the
+    event point cloud by {WZ_ROUNDS} Weiszfeld iterations
+    x' = Σ(p/d(p)) / Σ(1/d(p)) from the centroid start — the robust
+    2-D center the coordinate-wise median twin can't produce (it isn't
+    rotation-equivariant). Each round is ONE corpus aggregate with the
+    current center as a literal (the k-means driver-paced shape, 1-row
+    collect per round); distances are IEEE sqrt of exact-integer
+    squared offsets shifted by a literal ε guard — deterministic in
+    both engines, oracle unrolled as scalar-subquery CTEs.
+
+    Scale: rounds × one map-side-combinable aggregate; no state beyond
+    the 2-double center.
+    """
+    pts = _points(spark, sf_dir).select("x", "y")
+    c = pts.agg((F.sum("x").cast("double")
+                 / F.count(F.lit(1)).cast("double")).alias("cx"),
+                (F.sum("y").cast("double")
+                 / F.count(F.lit(1)).cast("double")).alias("cy")) \
+        .collect()[0]
+    cx, cy = float(c["cx"]), float(c["cy"])
+    n = None
+    for _ in range(WZ_ROUNDS):
+        d = F.sqrt((F.col("x").cast("double") - cx)
+                   * (F.col("x").cast("double") - cx)
+                   + (F.col("y").cast("double") - cy)
+                   * (F.col("y").cast("double") - cy)) + WZ_EPS
+        r = pts.agg(
+            F.sum(F.col("x").cast("double") / d).alias("sx"),
+            F.sum(F.col("y").cast("double") / d).alias("sy"),
+            F.sum(F.lit(1.0) / d).alias("sw"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+        cx, cy, n = r["sx"] / r["sw"], r["sy"] / r["sw"], r["n"]
+    return spark.createDataFrame(
+        [(n, WZ_ROUNDS, int(cx * 1e6 // 1), int(cy * 1e6 // 1))],
+        "n_points long, rounds int, med_x_e6 long, med_y_e6 long")
+
+
+def _weiszfeld_sql() -> str:
+    ctes = [f"""pts AS (
+  SELECT {_coord_duck('sx:', 'event_id', SP_SIDE)} AS x,
+         {_coord_duck('sy:', 'event_id', SP_SIDE)} AS y
+  FROM events
+)""", """c0 AS MATERIALIZED (
+  SELECT CAST(sum(x) AS DOUBLE) / count(*) AS cx,
+         CAST(sum(y) AS DOUBLE) / count(*) AS cy
+  FROM pts
+)"""]
+    for i in range(1, WZ_ROUNDS + 1):
+        prev = f"c{i - 1}"
+        ctes.append(f"""c{i} AS MATERIALIZED (
+  SELECT sum(CAST(x AS DOUBLE) / d) / sum(1.0 / d) AS cx,
+         sum(CAST(y AS DOUBLE) / d) / sum(1.0 / d) AS cy,
+         count(*) AS n
+  FROM (SELECT x, y,
+               sqrt((CAST(x AS DOUBLE) - (SELECT cx FROM {prev}))
+                    * (CAST(x AS DOUBLE) - (SELECT cx FROM {prev}))
+                    + (CAST(y AS DOUBLE) - (SELECT cy FROM {prev}))
+                      * (CAST(y AS DOUBLE) - (SELECT cy FROM {prev})))
+               + {WZ_EPS} AS d
+        FROM pts)
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(n AS BIGINT) AS n_points, CAST({WZ_ROUNDS} AS INT) AS rounds,
+       CAST(floor(cx * 1e6) AS BIGINT) AS med_x_e6,
+       CAST(floor(cy * 1e6) AS BIGINT) AS med_y_e6
+FROM c{WZ_ROUNDS}
+""")
+
+
+QUERIES["geometric_median_weiszfeld"] = (geometric_median_weiszfeld,
+                                         _weiszfeld_sql())

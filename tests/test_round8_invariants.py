@@ -1239,3 +1239,45 @@ def test_bakeoff_matches_pure_python(spark):
     for m, r in rows.items():
         assert (r["abs_err_sum"], r["h_days"]) == (errs[m], _BAKE_H), m
         assert r["mae_e6"] == (1_000_000 * errs[m]) // _BAKE_H
+
+
+def test_greedy_matching_is_feasible_and_greedy(spark):
+    from alma_publish_to_marc_spark.operators.dedup_queries import (
+        _GPM_PREFIX, _greedy_pair_matching,
+    )
+
+    r = _greedy_pair_matching(spark, SF).collect()[0]
+    assert 0 < r["n_matched"] <= r["n_candidates"] <= _GPM_PREFIX
+    # mean matched score can't be below 0.5 (the candidate threshold)
+    assert r["score_sum_e6"] >= 500_000 * r["n_matched"]
+
+
+def test_weiszfeld_reduces_l1_cost_vs_centroid(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.plans.spatial_queries import (
+        SP_SIDE, geometric_median_weiszfeld,
+    )
+
+    r = geometric_median_weiszfeld(spark, SF).collect()[0]
+    mx, my = r["med_x_e6"] / 1e6, r["med_y_e6"] / 1e6
+    assert 0 <= mx < SP_SIDE and 0 <= my < SP_SIDE
+    # rebuild the point cloud and compare summed distances
+    import hashlib
+
+    pdf = pd.read_parquet(SF + "/events.parquet", columns=["event_id"])
+
+    def coord(seed, key):
+        h = hashlib.md5((seed + str(key)).encode()).hexdigest()
+        return int(h[:12], 16) % SP_SIDE
+
+    xs = [coord("sx:", k) for k in pdf["event_id"]]
+    ys = [coord("sy:", k) for k in pdf["event_id"]]
+    assert r["n_points"] == len(xs)
+    cx, cy = sum(xs) / len(xs), sum(ys) / len(ys)
+
+    def cost(px, py):
+        return sum(((x - px) ** 2 + (y - py) ** 2) ** 0.5
+                   for x, y in zip(xs, ys))
+
+    assert cost(mx, my) <= cost(cx, cy) + 1e-6  # Weiszfeld descends
