@@ -5653,3 +5653,197 @@ FROM latest l, farr
 """
 
 QUERIES["chain_ladder_projection"] = (chain_ladder_projection, _CHAIN_SQL)
+
+
+# --------------------------------------------------------------------
+# Kaplan-Meier curve with Greenwood confidence bands
+# --------------------------------------------------------------------
+
+def km_greenwood_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``kaplan_meier_churn`` curve with Greenwood 95% bands:
+    se(t) = S(t)·√(Σ_{i≤t} d_i/(n_i(n_i−d_i))) — the error bars any
+    survival readout needs before month-over-month comparisons mean
+    anything. Survival products and Greenwood sums both accumulate as
+    per-prefix folds over the month-ordered risk array (the KM twin's
+    quadratic-over-report-sized idiom); z=1.96 is a numeric literal
+    and √ is IEEE-exact, so bands are bit-identical cross-engine.
+    Months where n=d (everyone at risk churns) contribute a capped
+    term via max(n−d, 1) in BOTH engines (se is meaningless past
+    total collapse anyway, and the cap keeps the fold total).
+
+    Scale: identical inputs to the KM twin — one keyed aggregate, a
+    report-sized month table, bounded folds.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("oday"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("oday").alias("d0"), F.max("oday").alias("d1"))
+    mx = F.broadcast(per_cust.agg(F.max("d1").alias("dmax")))
+    lif = (per_cust.crossJoin(mx)
+           .select(((F.col("d1") - F.col("d0")) / 30).cast("long")
+                   .alias("m"),
+                   (F.col("d1") < F.col("dmax") - _KM_CENSOR_DAYS)
+                   .cast("long").alias("event")))
+    monthly = (lif.groupBy("m")
+               .agg(F.count(F.lit(1)).alias("ending"),
+                    F.sum("event").alias("d")))
+    w_rev = (Window.orderBy(F.desc("m"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = monthly.select(
+        "m", "d", F.sum("ending").over(w_rev).alias("n_risk"))
+    folded = (risk.select(F.struct("m", "d", "n_risk").alias("s"))
+              .agg(F.expr("array_sort(collect_list(s))").alias("xs")))
+    curve = (folded
+             .select(F.posexplode(F.col("xs")).alias("p", "r"), "xs")
+             .select(F.col("r.m").alias("m"),
+                     F.col("r.n_risk").alias("n_risk"),
+                     F.col("r.d").alias("churned"),
+                     (F.col("p") + 1).cast("int").alias("i"), "xs"))
+    surv = F.expr(
+        "aggregate(slice(xs, 1, i), cast(1.0 as double),"
+        " (a, e) -> a * (1.0 - cast(e.d as double)"
+        " / cast(e.n_risk as double)))")
+    gw = F.expr(
+        "aggregate(slice(xs, 1, i), cast(0.0 as double),"
+        " (a, e) -> a + cast(e.d as double)"
+        " / (cast(e.n_risk as double)"
+        "    * cast(greatest(e.n_risk - e.d, 1) as double)))")
+    half = F.lit(1.959964) * surv * F.sqrt(gw)
+    return curve.select(
+        "m", "n_risk", "churned",
+        F.floor(F.lit(1e6) * surv).cast("long").alias("surv_e6"),
+        F.floor(F.lit(1e6) * F.greatest(surv - half, F.lit(0.0)))
+        .cast("long").alias("lo95_e6"),
+        F.floor(F.lit(1e6) * F.least(surv + half, F.lit(1.0)))
+        .cast("long").alias("hi95_e6"))
+
+
+_KM_GW_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         min(epoch_us(o_orderdate) // 86400000000) AS d0,
+         max(epoch_us(o_orderdate) // 86400000000) AS d1
+  FROM orders GROUP BY 1
+), lif AS (
+  SELECT CAST((d1 - d0) // 30 AS BIGINT) AS m,
+         CASE WHEN d1 < (SELECT max(d1) FROM per_cust) - {_KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS event
+  FROM per_cust
+), monthly AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS ending,
+         CAST(sum(event) AS BIGINT) AS d
+  FROM lif GROUP BY 1
+), risk AS (
+  SELECT m, d,
+         CAST(sum(ending) OVER (ORDER BY m DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_risk
+  FROM monthly
+), arr AS (
+  SELECT list(struct_pack(m := m, d := d, n_risk := n_risk)
+              ORDER BY m) AS xs
+  FROM risk
+), rows_i AS (
+  SELECT xs, CAST(u.i AS INT) AS i FROM arr, unnest(range(1, len(xs) + 1)) u(i)
+), scored AS (
+  SELECT xs[i].m AS m, xs[i].n_risk AS n_risk, xs[i].d AS churned,
+         list_reduce(list_prepend(1.0::DOUBLE,
+             list_transform(list_slice(xs, 1, i),
+                 e -> 1.0 - CAST(e.d AS DOUBLE) / e.n_risk)),
+             (a, x) -> a * x) AS surv,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_slice(xs, 1, i),
+                 e -> CAST(e.d AS DOUBLE)
+                      / (CAST(e.n_risk AS DOUBLE)
+                         * CAST(greatest(e.n_risk - e.d, 1) AS DOUBLE)))),
+             (a, x) -> a + x) AS gw
+  FROM rows_i
+)
+SELECT m, n_risk, churned,
+       CAST(floor(1e6 * surv) AS BIGINT) AS surv_e6,
+       CAST(floor(1e6 * greatest(surv - 1.959964 * surv * sqrt(gw), 0.0))
+            AS BIGINT) AS lo95_e6,
+       CAST(floor(1e6 * least(surv + 1.959964 * surv * sqrt(gw), 1.0))
+            AS BIGINT) AS hi95_e6
+FROM scored
+"""
+
+QUERIES["km_greenwood_ci"] = (km_greenwood_ci, _KM_GW_SQL)
+
+
+# --------------------------------------------------------------------
+# Net revenue retention by acquisition cohort
+# --------------------------------------------------------------------
+_NRR_MAX_K = 3
+
+
+def nrr_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention: for each acquisition cohort (month of a
+    customer's first order), month-k revenue as a share of month-0
+    revenue, k = 1..{_NRR_MAX_K} — the growth-accounting readout on
+    the same cohort×lag triangle ``chain_ladder_projection`` develops
+    (NRR reads the triangle's rows; chain-ladder extrapolates its
+    columns). Exact integer dollars; each NRR is one integer division;
+    only (cohort, k) cells inside the observed triangle emit.
+
+    Scale: one keyed aggregate to the calendar-bounded triangle, a
+    self-join on cohort — nothing corpus-sized past the first shuffle.
+    """
+    dollars = F.floor((F.round(F.col("o_totalprice") * 100) + 50) / 100.0) \
+        .cast("long")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", dollars.alias("d"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("oday"))
+    m0 = orders.agg(F.min("oday").alias("day0"))
+    om = (orders.crossJoin(F.broadcast(m0))
+          .select("o_custkey", "d",
+                  F.expr("(oday - day0) div 30").alias("m")))
+    first = om.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    inc = (om.join(first, "o_custkey")
+           .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("lag"))
+           .agg(F.sum("d").alias("inc")))
+    maxm = F.broadcast(om.agg(F.max("m").alias("maxm")))
+    base = (inc.where(F.col("lag") == 0)
+            .select(F.col("cohort").alias("co2"),
+                    F.col("inc").alias("base_dollars")))
+    return (inc.where((F.col("lag") >= 1) & (F.col("lag") <= _NRR_MAX_K))
+            .join(base, F.col("cohort") == F.col("co2"))
+            .crossJoin(maxm)
+            .where(F.col("cohort") + F.col("lag") <= F.col("maxm"))
+            .select("cohort", F.col("lag").cast("int").alias("k"),
+                    "base_dollars", F.col("inc").alias("k_dollars"),
+                    F.expr("(1000000 * inc) div base_dollars")
+                    .alias("nrr_e6")))
+
+
+_NRR_SQL = f"""
+WITH orders_m AS (
+  SELECT o_custkey,
+         CAST(floor((round(o_totalprice * 100) + 50) / 100.0) AS BIGINT)
+             AS d,
+         (epoch_us(o_orderdate) // 86400000000
+          - (SELECT min(epoch_us(o_orderdate) // 86400000000)
+             FROM orders)) // 30 AS m
+  FROM orders
+), first AS (
+  SELECT o_custkey, CAST(min(m) AS BIGINT) AS cohort
+  FROM orders_m GROUP BY 1
+), inc AS (
+  SELECT f.cohort, o.m - f.cohort AS lag, CAST(sum(o.d) AS BIGINT) AS inc
+  FROM orders_m o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+), maxm AS (SELECT max(m) AS maxm FROM orders_m),
+base AS (
+  SELECT cohort AS co2, inc AS base_dollars FROM inc WHERE lag = 0
+)
+SELECT i.cohort, CAST(i.lag AS INT) AS k, b.base_dollars,
+       i.inc AS k_dollars,
+       (1000000 * i.inc) // b.base_dollars AS nrr_e6
+FROM inc i JOIN base b ON i.cohort = b.co2, maxm x
+WHERE i.lag BETWEEN 1 AND {_NRR_MAX_K} AND i.cohort + i.lag <= x.maxm
+"""
+
+QUERIES["nrr_by_cohort"] = (nrr_by_cohort, _NRR_SQL)

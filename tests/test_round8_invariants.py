@@ -1281,3 +1281,30 @@ def test_weiszfeld_reduces_l1_cost_vs_centroid(spark):
                    for x, y in zip(xs, ys))
 
     assert cost(mx, my) <= cost(cx, cy) + 1e-6  # Weiszfeld descends
+
+
+def test_greenwood_bands_bracket_the_km_curve(spark):
+    from alma_publish_to_marc_spark.plans.behavior_queries import (
+        kaplan_meier_churn, km_greenwood_ci,
+    )
+
+    km = {r["m"]: r for r in kaplan_meier_churn(spark, SF).collect()}
+    for r in km_greenwood_ci(spark, SF).collect():
+        assert 0 <= r["lo95_e6"] <= r["surv_e6"] <= r["hi95_e6"] \
+            <= 1_000_000
+        # the point estimate matches the KM twin (round-6 vs floor-e6)
+        assert abs(r["surv_e6"] / 1e6 - km[r["m"]]["survival"]) < 2e-6
+
+
+def test_nrr_is_a_share_of_base(spark):
+    from alma_publish_to_marc_spark.plans.behavior_queries import (
+        _NRR_MAX_K, nrr_by_cohort,
+    )
+
+    rows = nrr_by_cohort(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["k"] <= _NRR_MAX_K
+        assert r["base_dollars"] > 0
+        assert r["nrr_e6"] == (1_000_000 * r["k_dollars"]) \
+            // r["base_dollars"]
