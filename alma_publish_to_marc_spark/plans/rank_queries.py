@@ -702,3 +702,94 @@ FROM sums
 
 QUERIES["energy_distance_two_sample"] = (_energy_distance_two_sample,
                                          _ENERGY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size (click vs view values)
+# ---------------------------------------------------------------------------
+
+def _cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d between the 'click' and 'view' value distributions —
+    the standardized effect size that turns the significance twins
+    (mann-whitney / energy distance / t-machinery) into a MAGNITUDE:
+    d = (m̄₁ − m̄₂)/s_pooled with Hedges' small-sample correction
+    g = d·(1 − 3/(4(n₁+n₂)−9)). Group moments (n, Σx, Σx²) are exact
+    int64 cents; means/variances are IEEE doubles of those integers
+    (divisions + one √) — bit-identical cross-engine.
+
+    Scale: one 2-group keyed aggregate, a 1-row readout.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "view"))
+          .select(F.when(F.col("event_type") == "click", 1).otherwise(0)
+                  .alias("g"),
+                  F.expr(_CENTS).alias("v")))
+    m = ev.agg(
+        F.sum("g").alias("n1"),
+        F.sum(F.lit(1) - F.col("g")).alias("n2"),
+        F.sum(F.col("g") * F.col("v")).alias("s1"),
+        F.sum((F.lit(1) - F.col("g")) * F.col("v")).alias("s2"),
+        F.sum(F.col("g") * F.col("v") * F.col("v")).alias("q1"),
+        F.sum((F.lit(1) - F.col("g")) * F.col("v") * F.col("v"))
+        .alias("q2"))
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    ss1 = F.col("q1").cast("double") - n1 * m1 * m1
+    ss2 = F.col("q2").cast("double") - n2 * m2 * m2
+    sp = F.sqrt((ss1 + ss2) / (n1 + n2 - 2.0))
+    d = (m1 - m2) / sp
+    g = d * (F.lit(1.0) - 3.0 / (4.0 * (n1 + n2) - 9.0))
+    return m.select(
+        "n1", "n2",
+        F.floor(F.lit(1e6) * d).cast("long").alias("cohens_d_e6"),
+        F.floor(F.lit(1e6) * g).cast("long").alias("hedges_g_e6"))
+
+
+_COHENS_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('click', 'view')
+), m AS (
+  SELECT CAST(sum(g) AS BIGINT) AS n1,
+         CAST(sum(1 - g) AS BIGINT) AS n2,
+         CAST(sum(g * v) AS BIGINT) AS s1,
+         CAST(sum((1 - g) * v) AS BIGINT) AS s2,
+         CAST(sum(g * v * v) AS BIGINT) AS q1,
+         CAST(sum((1 - g) * v * v) AS BIGINT) AS q2
+  FROM ev
+)
+SELECT n1, n2,
+       CAST(floor(1e6 *
+           ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+            / sqrt(((CAST(q1 AS DOUBLE)
+                     - CAST(n1 AS DOUBLE)
+                       * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                    + (CAST(q2 AS DOUBLE)
+                       - CAST(n2 AS DOUBLE)
+                         * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                         * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))))
+           AS BIGINT) AS cohens_d_e6,
+       CAST(floor(1e6 *
+           ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+            / sqrt(((CAST(q1 AS DOUBLE)
+                     - CAST(n1 AS DOUBLE)
+                       * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                    + (CAST(q2 AS DOUBLE)
+                       - CAST(n2 AS DOUBLE)
+                         * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                         * (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)))
+           * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)
+                                  + CAST(n2 AS DOUBLE)) - 9.0)))
+           AS BIGINT) AS hedges_g_e6
+FROM m
+"""
+
+QUERIES["cohens_d_effect"] = (_cohens_d_effect, _COHENS_SQL)

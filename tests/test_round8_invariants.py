@@ -1308,3 +1308,25 @@ def test_nrr_is_a_share_of_base(spark):
         assert r["base_dollars"] > 0
         assert r["nrr_e6"] == (1_000_000 * r["k_dollars"]) \
             // r["base_dollars"]
+
+
+def test_cohens_d_matches_pandas(spark):
+    import math
+
+    from alma_publish_to_marc_spark.plans.rank_queries import (
+        _cohens_d_effect,
+    )
+
+    r = _cohens_d_effect(spark, SF).collect()[0]
+    pdf = _events_pdf()
+    x = pdf.loc[pdf.event_type == "click", "cents"].astype(float)
+    y = pdf.loc[pdf.event_type == "view", "cents"].astype(float)
+    sp = math.sqrt(((x.var(ddof=1) * (len(x) - 1))
+                    + (y.var(ddof=1) * (len(y) - 1)))
+                   / (len(x) + len(y) - 2))
+    d = (x.mean() - y.mean()) / sp
+    g = d * (1 - 3 / (4 * (len(x) + len(y)) - 9))
+    assert (r["n1"], r["n2"]) == (len(x), len(y))
+    assert abs(r["cohens_d_e6"] / 1e6 - d) < 2e-6
+    assert abs(r["hedges_g_e6"] / 1e6 - g) < 2e-6
+    assert abs(r["hedges_g_e6"]) <= abs(r["cohens_d_e6"]) + 1
