@@ -793,3 +793,100 @@ FROM m
 """
 
 QUERIES["cohens_d_effect"] = (_cohens_d_effect, _COHENS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Post-hoc pairwise mean differences (Bonferroni-corrected z)
+# ---------------------------------------------------------------------------
+_PH_Z_BONF = 2.807034   # z for two-sided alpha = 0.05 / 10 pairs
+
+
+def _posthoc_pairwise_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-hoc step after ``anova_eta_squared`` / ``kruskal_
+    wallis_htest`` say "the k groups differ": all 10 pairwise
+    mean-value differences between event types with large-sample z
+    tests at the Bonferroni-corrected level (z* = 2.807 for
+    0.05/10, a numeric literal). Group moments (n, Σx, Σx²) are exact
+    int64 cents from ONE aggregate; each pair's diff, pooled se and
+    verdict are IEEE doubles of those integers.
+
+    Scale: one keyed aggregate to k=5 moment rows, a k²-bounded pair
+    self-join, a 10-row readout.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.expr(_CENTS).alias("v"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"))
+    a = g.select(F.col("event_type").alias("ta"), F.col("n").alias("na"),
+                 F.col("s").alias("sa"), F.col("q").alias("qa"))
+    b = g.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"),
+                 F.col("s").alias("sb"), F.col("q").alias("qb"))
+    p = a.join(b, F.col("ta") < F.col("tb"))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma = F.col("sa").cast("double") / na
+    mb = F.col("sb").cast("double") / nb
+    va = (F.col("qa").cast("double") - na * ma * ma) / (na - 1.0)
+    vb = (F.col("qb").cast("double") - nb * mb * mb) / (nb - 1.0)
+    se = F.sqrt(va / na + vb / nb)
+    z = (ma - mb) / se
+    return p.select(
+        "ta", "tb", "na", "nb",
+        F.floor(F.lit(100.0) * (ma - mb)).cast("long")
+        .alias("diff_microdollars"),
+        F.floor(F.lit(1e6) * z).cast("long").alias("z_e6"),
+        F.when(F.abs(z) > _PH_Z_BONF, 1).otherwise(0).cast("int")
+        .alias("significant"))
+
+
+_POSTHOC_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS q
+  FROM ev GROUP BY 1
+), p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb,
+         a.q AS qa, b.q AS qb
+  FROM g a JOIN g b ON a.event_type < b.event_type
+)
+SELECT ta, tb, na, nb,
+       CAST(floor(100.0 * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                           - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+            AS BIGINT) AS diff_microdollars,
+       CAST(floor(1e6 *
+           ((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+            / sqrt(((CAST(qa AS DOUBLE)
+                     - CAST(na AS DOUBLE)
+                       * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                       * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+                    / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
+                   + ((CAST(qb AS DOUBLE)
+                       - CAST(nb AS DOUBLE)
+                         * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                         * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                      / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE))))
+           AS BIGINT) AS z_e6,
+       CAST(CASE WHEN abs(
+           (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+           / sqrt(((CAST(qa AS DOUBLE)
+                    - CAST(na AS DOUBLE)
+                      * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                      * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+                   / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
+                  + ((CAST(qb AS DOUBLE)
+                      - CAST(nb AS DOUBLE)
+                        * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                        * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                     / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE)))
+           > {_PH_Z_BONF} THEN 1 ELSE 0 END AS INT) AS significant
+FROM p
+"""
+
+QUERIES["posthoc_pairwise_diffs"] = (_posthoc_pairwise_diffs,
+                                     _POSTHOC_SQL)

@@ -70,7 +70,7 @@ _MODULES = (
 # come off next round. Keys are byte-stable; members are only removed
 # or rotated, never renamed. 279 of round 7's 465 keys remained
 # unsampled entering round 8; this list covers 50 of them and round 8
-# added 70 new keys (registry now 535), so ~299 await sampling
+# added 71 new keys (registry now 536), so ~300 await sampling
 # (~5 more rounds to full driver coverage).
 _SAMPLE_FIRST = (
     "sql_udf_banding",

@@ -1330,3 +1330,21 @@ def test_cohens_d_matches_pandas(spark):
     assert abs(r["cohens_d_e6"] / 1e6 - d) < 2e-6
     assert abs(r["hedges_g_e6"] / 1e6 - g) < 2e-6
     assert abs(r["hedges_g_e6"]) <= abs(r["cohens_d_e6"]) + 1
+
+
+def test_posthoc_pairs_are_complete_and_antisymmetric(spark):
+    from alma_publish_to_marc_spark.plans.rank_queries import (
+        _posthoc_pairwise_diffs,
+    )
+
+    rows = _posthoc_pairwise_diffs(spark, SF).collect()
+    assert len(rows) == 10  # C(5,2)
+    seen = set()
+    for r in rows:
+        assert r["ta"] < r["tb"]
+        seen.add((r["ta"], r["tb"]))
+        assert r["significant"] in (0, 1)
+        # z and the raw diff must agree in sign (se > 0)
+        if r["diff_microdollars"] > 0:
+            assert r["z_e6"] >= 0
+    assert len(seen) == 10
