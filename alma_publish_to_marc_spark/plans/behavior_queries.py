@@ -1231,7 +1231,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     released via unpersist_cached — three score branches and the
     final join reuse it); each score is a map-side-combinable bucket
     count plus a bucket-partitioned window; scores rejoin on the
-    customer key. No single-partition stage at any cardinality."""
+    customer key. The only single-partition stages are the final
+    1-row reduces fed by aggregates (AUDIT single_part=2, bounded
+    by construction); no fact-scale stage is ever single-task."""
     from pyspark import StorageLevel
 
     orders = load(spark, sf_dir, "orders").select(

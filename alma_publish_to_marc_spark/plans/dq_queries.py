@@ -742,8 +742,9 @@ def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate-toward-zero div and an arithmetic floor agree.
 
     Scale: per-customer aggregate is one keyed shuffle; bucket counts
-    are map-side combinable; the only window is PARTITIONED by bucket
-    (no single-partition stage besides the final 1-row reduce).
+    are map-side combinable; the only window is PARTITIONED by bucket.
+    The only single-partition stages are the final 1-row reduces fed
+    by aggregates (AUDIT single_part=2, bounded by construction).
     Int64 headroom: Σ(i·xᵢ) ≤ n²·max — fine through ~1e7 customers at
     driver spend magnitudes."""
     from pyspark.sql import Window

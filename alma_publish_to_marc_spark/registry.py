@@ -60,69 +60,68 @@ _MODULES = (
 )
 
 
-# Queries whose correctness rows have only ever come from the local
-# parity gate (never driver-sampled through r07; union of
-# CORRECTNESS_r01..r07 = 186 driver-green keys). Pinned FIRST in
-# registry iteration order so a driver that samples in order converts
-# them to driver-green rows. ROTATION POLICY: each round this list is
-# rebuilt as the next 50 not-yet-driver-sampled keys (union of
-# CORRECTNESS_r*.json vs natural module order); driver-green members
-# come off next round. Keys are byte-stable; members are only removed
-# or rotated, never renamed. 279 of round 7's 465 keys remained
-# unsampled entering round 8; this list covers 50 of them and round 8
-# added 71 new keys (registry now 536), so ~300 await sampling
-# (~5 more rounds to full driver coverage).
+# Driver-sample pinning. Round-9 policy (VERDICT r8 "Next round" #1):
+# the first 10 slots RE-PIN the §2 reference-surface core — those keys
+# were last driver-confirmed in r01/r05 and 70+ commits have shipped
+# since, so they get fresh driver-green rows on the current codebase.
+# The remaining 40 slots continue the rotation: the next never-sampled
+# keys in natural module order (union of CORRECTNESS_r01..r08 = 236
+# driver-green; 300 of 536 keys remained unsampled entering round 9).
+# Keys are byte-stable; members are only removed or rotated, never
+# renamed.
 _SAMPLE_FIRST = (
-    "sql_udf_banding",
-    "parameterized_sql_report",
-    "binary_quantization_topk",
-    "bq_recall_eval",
-    "matryoshka_recall_curve",
-    "hubness_koccurrence",
-    "embedding_anisotropy_audit",
-    "gram_matrix_blocked",
-    "mahalanobis_ood_topn",
-    "knn_distance_ood",
-    "covariate_shift_weights",
-    "greedy_coverage_selection",
-    "empirical_bayes_shrinkage",
-    "filter_ablation_matrix",
-    "ngram_novelty_profile",
-    "ngram_lm_perplexity",
-    "unigram_lm_segment",
-    "token_zipf_fit",
-    "vocab_growth_curve",
-    "negative_sampling_table",
-    "t5_span_corruption",
-    "mlm_masking_plan",
-    "fim_transform",
-    "vocab_ablation_curve",
-    "conversion_funnel",
-    "ab_test_ztest",
-    "event_transition_matrix",
-    "cohort_retention",
-    "ks_drift_test",
-    "seasonal_baseline_outliers",
-    "dp_noised_counts",
-    "pareto_frontier",
-    "kfold_balance_audit",
-    "sampled_mean_ci",
-    "last_touch_attribution",
-    "winsorized_stats",
-    "cusum_changepoint",
-    "event_sequence_patterns",
-    "sprt_sequential_test",
-    "rolling_active_users",
-    "rfm_segmentation",
-    "match_recognize_funnel",
-    "cooldown_dedup",
-    "conversion_latency_quartiles",
-    "kaplan_meier_churn",
-    "peak_concurrency",
-    "poisson_bootstrap_ci",
-    "anova_eta_squared",
-    "chi2_independence",
-    "abandonment_rate_daily",
+    # --- §2 core re-pins (previously green r01/r05; re-confirm) ---
+    "publish_split_bibs",
+    "publish_split_holdings",
+    "publish_split_items",
+    "item_info_flagship",
+    "marc_field_extraction",
+    "marc_size_guard",
+    "versioned_temporal_merge",
+    "backfill_item_policy",
+    "backfill_temp_locations",
+    "delete_with_history",
+    # --- rotation: next 40 never-driver-sampled keys ---
+    "collated_group_counts",
+    "greedy_pair_matching",
+    "repetition_filter_audit",
+    "gopher_rules_audit",
+    "token_stream_packing",
+    "vocab_coverage_at_k",
+    "position_based_attribution",
+    "diff_in_differences",
+    "absorption_to_purchase",
+    "new_vs_returning_users",
+    "transition_entropy_profile",
+    "interarrival_burstiness",
+    "decayed_leaderboard",
+    "ips_offline_policy_eval",
+    "markov_next_event_accuracy",
+    "srm_assignment_check",
+    "uplift_by_engagement",
+    "purged_timeseries_split",
+    "exactly_once_dedup_replay",
+    "cuped_variance_reduction",
+    "median_ci_order_stats",
+    "permutation_test_pvalue",
+    "stratified_att_estimate",
+    "fdr_bh_correction",
+    "dp_sparse_vector",
+    "shapley_channel_attribution",
+    "competing_risks_incidence",
+    "chi2_cell_residuals",
+    "logrank_test",
+    "interval_union_length",
+    "sample_ratio_mismatch",
+    "qini_curve_deciles",
+    "rmst_survival",
+    "markov_removal_attribution",
+    "cramers_v_association",
+    "dau_wau_stickiness",
+    "chain_ladder_projection",
+    "km_greenwood_ci",
+    "nrr_by_cohort",
+    "bradley_terry_strength",
 )
 
 
