@@ -1,13 +1,34 @@
-"""Spatial analytics over a synthetic point cloud (round 8).
+"""Spatial analytics over a synthetic point cloud (round 8; grid made
+density-adaptive in round 9).
 
 The driver tables carry no coordinates, so each query derives a
 DETERMINISTIC point per event from seeded md5 bits (the repo's
 dp_noised_counts idiom — Spark ``conv(substr(md5(s),1,12),16,10)`` ==
 DuckDB ``CAST('0x' || substr(md5(s),1,12) AS BIGINT)``), projected onto
-an integer [0, SP_SIDE)² grid. Integer coordinates keep every distance
+an integer [0, side)² grid. Integer coordinates keep every distance
 and cell id exact in both engines.
 
-The three queries are the canonical distributed-spatial shapes a 100 TB
+DENSITY-ADAPTIVE SIDE (round-9 fix for the r8 verdict's "fixed grid is
+quadratic under data growth"): the coordinate side is DERIVED FROM THE
+CORPUS COUNT in both engines (the CLAUDE.md "derive constants from
+data, never hard-code" rule) —
+
+    g    = min { 2^k : g² · SP_OCC ≥ N }   (smallest pow-2 cell grid
+                                            holding N points at ≤SP_OCC
+                                            mean occupancy)
+    side = g · SP_CELL
+
+so per-cell occupancy is ≤ SP_OCC BY CONSTRUCTION at any corpus size
+and the 3×3 radius self-joins below stay near-linear (candidate pairs
+≤ 9 · SP_OCC · N) at 100 TB exactly as at sf0.001. The derivation is
+pure integer arithmetic (a min over the 21 powers of two against one
+1-row COUNT aggregate), expressed identically in both engines; at
+sf0.001/0.01/0.1 it yields side = 128/512/2048. Fixed-resolution
+consumers (quadtree pyramid, hotspot lattice) RESCALE coordinates onto
+their fixed lattices with exact integer division (x·K div side), so
+their output stays bounded regardless of side.
+
+The queries are the canonical distributed-spatial shapes a 100 TB
 geo pipeline runs:
 
 - grid-blocked neighbor join (the spatial self-join: cell = radius, 3×3
@@ -15,7 +36,10 @@ geo pipeline runs:
 - quadtree tile-pyramid rollup (coarser levels aggregate the BOUNDED
   finer cell table, never re-scan the corpus),
 - Getis-Ord-style hotspot scoring on the full cell lattice (bounded
-  lattice self-join).
+  lattice self-join),
+- Borůvka round-1 lightest edges, two-hop BFS reachability,
+- Weiszfeld geometric median (integer fixed-point fold — see its
+  docstring for the determinism contract).
 
 Reference scope: the reference engine has no spatial operators; this
 module is part of the beyond-reference large-scale-pipeline surface
@@ -29,35 +53,63 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 
-SP_SIDE = 1024          # integer coordinate space per axis
 SP_CELL = 16            # grid-cell edge == neighbor radius
 SP_R2 = SP_CELL * SP_CELL
+SP_OCC = 16             # target mean points-per-cell (density bound)
 SP_NBR_BUCKET = 8       # histogram bucket width for neighbor counts
 
 
-def _coord(seed: str, key: str, side: int) -> str:
-    """Spark SQL for a deterministic coordinate in [0, side)."""
+def _coord(seed: str, key: str) -> str:
+    """Spark SQL for a deterministic coordinate in [0, side) — expects
+    a ``side`` column in scope (from :func:`_points`)."""
     return (f"cast(conv(substr(md5(concat('{seed}', cast({key} as string))),"
-            f" 1, 12), 16, 10) as bigint) % {side}")
+            f" 1, 12), 16, 10) as bigint) % side")
 
 
-def _coord_duck(seed: str, key: str, side: int) -> str:
+def _coord_duck(seed: str, key: str) -> str:
     return (f"(CAST('0x' || substr(md5('{seed}' || CAST({key} AS VARCHAR)),"
-            f" 1, 12) AS BIGINT) % {side})")
+            f" 1, 12) AS BIGINT) % s.side)")
+
+
+def _side_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row frame with the corpus-derived coordinate side (module doc).
+    Pure integer: smallest power-of-two g with g²·SP_OCC ≥ count(events),
+    side = g·SP_CELL. One count aggregate + a 21-row broadcast filter."""
+    n = load(spark, sf_dir, "events").agg(F.count(F.lit(1)).alias("n"))
+    return (spark.range(0, 21)
+            .select(F.expr("shiftleft(cast(1 as bigint), cast(id as int))")
+                    .alias("g"))
+            .crossJoin(F.broadcast(n))
+            .where(F.col("g") * F.col("g") * SP_OCC >= F.col("n"))
+            .agg((F.min("g") * SP_CELL).alias("side")))
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "events").select(
-        "event_id",
-        F.expr(_coord("sx:", "event_id", SP_SIDE)).alias("x"),
-        F.expr(_coord("sy:", "event_id", SP_SIDE)).alias("y"))
+    return (load(spark, sf_dir, "events")
+            .crossJoin(F.broadcast(_side_frame(spark, sf_dir)))
+            .select("event_id",
+                    F.expr(_coord("sx:", "event_id")).alias("x"),
+                    F.expr(_coord("sy:", "event_id")).alias("y"),
+                    "side"))
 
+
+# DuckDB twin of _side_frame/_points. The 1-row side subquery is a
+# comma-join (executed once); shifts are parenthesized (shift binds
+# looser than * in SQL) and forced BIGINT (DuckDB literal math is INT32).
+_SIDE_SQL = f"""(
+  SELECT {SP_CELL} * min(CAST(1 AS BIGINT) << CAST(k AS INT)) AS side
+  FROM range(0, 21) t(k),
+       (SELECT count(*) AS n FROM events) n_ev
+  WHERE (CAST(1 AS BIGINT) << CAST(k AS INT))
+      * (CAST(1 AS BIGINT) << CAST(k AS INT)) * {SP_OCC} >= n_ev.n
+)"""
 
 _POINTS_SQL = f"""
 SELECT event_id,
-       {_coord_duck("sx:", "event_id", SP_SIDE)} AS x,
-       {_coord_duck("sy:", "event_id", SP_SIDE)} AS y
-FROM events
+       {_coord_duck("sx:", "event_id")} AS x,
+       {_coord_duck("sy:", "event_id")} AS y,
+       s.side AS side
+FROM events, {_SIDE_SQL} s
 """
 
 
@@ -79,11 +131,13 @@ def grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (a,b) meets exactly once, in b's home cell. Distance is exact
     integer dx²+dy² ≤ R².
 
-    Scale: candidate pairs are near-linear in corpus size at fixed
-    density (9 cells × per-cell occupancy); the join is an equi hash
-    join on cell id (shuffle-partitionable, AQE-skew-splittable), never
-    a cross join. Zero-neighbor points are kept via a left join of the
-    point frame against its own directed counts.
+    Scale: the grid side derives from the corpus count (module doc),
+    so mean cell occupancy is ≤ SP_OCC by construction and candidate
+    pairs are ≤ 9·SP_OCC·N — NEAR-LINEAR at any corpus size (the round-8
+    fixed-1024 grid made this quadratic; fixed r9). The join is an equi
+    hash join on cell id (shuffle-partitionable, AQE-skew-splittable),
+    never a cross join. Zero-neighbor points are kept via a left join
+    of the point frame against its own directed counts.
     """
     pts = _points(spark, sf_dir).select(
         "event_id", "x", "y",
@@ -118,13 +172,18 @@ WITH pts AS (
   SELECT event_id, x, y, x // {SP_CELL} AS cx, y // {SP_CELL} AS cy
   FROM ({_POINTS_SQL})
 ),
+probe AS (
+  -- exploded 3x3 probe joined on cell-id EQUALITY: hash join, same
+  -- shape as the Spark plan (a BETWEEN join becomes an IEJoin with an
+  -- O(N x band) intermediate in DuckDB -- 30x slower at sf0.1)
+  SELECT event_id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+  FROM pts, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+),
 pairs AS (
   SELECT a.event_id, count(*) AS nn
-  FROM pts a JOIN pts b
-    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
-   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
-   AND a.event_id <> b.event_id
-   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SP_R2}
+  FROM probe a JOIN pts b USING (cx, cy)
+  WHERE a.event_id <> b.event_id
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SP_R2}
   GROUP BY a.event_id
 ),
 per_point AS (
@@ -142,7 +201,8 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 # quadtree_tile_rollup: multi-resolution tile-pyramid build
 # ---------------------------------------------------------------------------
-QT_BITS = 10            # finest level: 2^10 x 2^10 ... capped by SP_SIDE
+QT_BITS = 10            # finest level: fixed 2^10 x 2^10 tile lattice
+QT_N = 1 << QT_BITS     # coordinates rescale onto [0, QT_N)
 QT_LEVELS = (10, 8, 6, 4)   # bits per axis at each pyramid level
 
 
@@ -164,13 +224,17 @@ def quadtree_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the top tile's share of all points (e6-floored) — the tile
     skew a map-rendering or geo-sharding layer needs.
 
+    The pyramid's tile lattice is FIXED at 2^QT_BITS per axis: points
+    rescale onto it with exact integer division (x·QT_N div side), so
+    the pyramid's shape and output cardinality are invariant to the
+    corpus-derived coordinate side.
+
     Scale: ONE corpus scan feeds the finest-level aggregate
     (map-side-combinable to ≤4^10 cells); every coarser level
     aggregates the previous bounded cell table (4^k rows). This is the
     canonical tile-pyramid MapReduce shape.
     """
-    shift = SP_SIDE // (1 << QT_BITS)  # coord units per finest tile
-    z = _morton(f"(x // {shift})", f"(y // {shift})",
+    z = _morton(f"((x * {QT_N}) // side)", f"((y * {QT_N}) // side)",
                 QT_BITS).replace("//", " div ")
     finest = (_points(spark, sf_dir)
               .select(F.expr(z).alias("tile"))
@@ -197,12 +261,12 @@ def quadtree_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _qt_sql() -> str:
-    shift = SP_SIDE // (1 << QT_BITS)
-    z = _morton(f"(x // {shift})", f"(y // {shift})", QT_BITS)
+    z = _morton(f"((x * {QT_N}) // side)", f"((y * {QT_N}) // side)",
+                QT_BITS)
     parts = []
-    prev = f"(SELECT {z} AS tile, count(*) AS c FROM ({_POINTS_SQL}) GROUP BY 1)"
     prev_bits = QT_BITS
-    ctes = [f"l{QT_BITS}_base AS ({prev[1:-1]})"]
+    ctes = [f"l{QT_BITS}_base AS (SELECT {z} AS tile, count(*) AS c"
+            f" FROM ({_POINTS_SQL}) GROUP BY 1)"]
     prev_name = f"l{QT_BITS}_base"
     for bits in QT_LEVELS:
         drop = 2 * (prev_bits - bits)
@@ -222,7 +286,7 @@ def _qt_sql() -> str:
 # ---------------------------------------------------------------------------
 # spatial_hotspot_cells: Getis-Ord-style local-cluster scoring
 # ---------------------------------------------------------------------------
-HOT_CELL = 32           # hotspot lattice cell edge (32x32 lattice)
+HOT_SIDE = 32           # fixed hotspot lattice: 32x32 cells
 HOT_TOPK = 10
 
 
@@ -234,6 +298,10 @@ def spatial_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (truncated at lattice edges), x̄/s from the global lattice moments.
     Top-``HOT_TOPK`` cells by e6-floored score, ties on cell id.
 
+    The lattice is FIXED at HOT_SIDE² cells; points rescale onto it
+    with exact integer division (x·HOT_SIDE div side), so lattice size
+    and join shape are invariant to the corpus-derived coordinate side.
+
     Determinism: counts and moments are exact integers; the score is
     ONE double expression written identically in both engines, floored
     at e6 before ranking.
@@ -244,15 +312,14 @@ def spatial_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate runs on the bounded lattice. TakeOrdered emits the
     top-K; no global sort of corpus-sized data anywhere.
     """
-    side = SP_SIDE // HOT_CELL
-    n_cells = side * side
+    n_cells = HOT_SIDE * HOT_SIDE
     obs = (_points(spark, sf_dir)
-           .select(F.expr(f"x div {HOT_CELL}").alias("cx"),
-                   F.expr(f"y div {HOT_CELL}").alias("cy"))
+           .select(F.expr(f"(x * {HOT_SIDE}) div side").alias("cx"),
+                   F.expr(f"(y * {HOT_SIDE}) div side").alias("cy"))
            .groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("c")))
     lattice = (spark.range(n_cells)
-               .select(F.expr(f"id div {side}").alias("cx"),
-                       F.expr(f"id % {side}").alias("cy"))
+               .select(F.expr(f"id div {HOT_SIDE}").alias("cx"),
+                       F.expr(f"id % {HOT_SIDE}").alias("cy"))
                .join(obs, ["cx", "cy"], "left")
                .select("cx", "cy", F.coalesce("c", F.lit(0)).alias("c")))
     moments = F.broadcast(lattice.agg(
@@ -280,8 +347,7 @@ def spatial_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hotspot_sql() -> str:
-    side = SP_SIDE // HOT_CELL
-    n_cells = side * side
+    n_cells = HOT_SIDE * HOT_SIDE
     gi = ("CAST(floor(1000000 * (s - n * (CAST(t AS DOUBLE) / "
           f"{n_cells})) / (sqrt(CAST(ss AS DOUBLE) / {n_cells}"
           f" - (CAST(t AS DOUBLE) / {n_cells}) * (CAST(t AS DOUBLE) / "
@@ -289,14 +355,15 @@ def _hotspot_sql() -> str:
           f"({n_cells} - 1)))) AS BIGINT)")
     return f"""
 WITH obs AS (
-  SELECT x // {HOT_CELL} AS cx, y // {HOT_CELL} AS cy, count(*) AS c
+  SELECT (x * {HOT_SIDE}) // side AS cx, (y * {HOT_SIDE}) // side AS cy,
+         count(*) AS c
   FROM ({_POINTS_SQL}) GROUP BY 1, 2
 ),
 lattice AS (
-  SELECT g.i // {side} AS cx, g.i % {side} AS cy,
+  SELECT g.i // {HOT_SIDE} AS cx, g.i % {HOT_SIDE} AS cy,
          CAST(coalesce(o.c, 0) AS BIGINT) AS c
   FROM (SELECT unnest(range(0, {n_cells})) AS i) g
-  LEFT JOIN obs o ON o.cx = g.i // {side} AND o.cy = g.i % {side}
+  LEFT JOIN obs o ON o.cx = g.i // {HOT_SIDE} AND o.cy = g.i % {HOT_SIDE}
 ),
 moments AS (
   SELECT CAST(sum(c) AS BIGINT) AS t, CAST(sum(c * c) AS BIGINT) AS ss
@@ -336,9 +403,11 @@ def boruvka_lightest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     component count and is the hot step at scale.
 
     Scale: candidate edges come from the same grid-blocked 3×3 probe
-    as grid_neighbor_join (near-linear, never all-pairs); the
-    lightest-edge pick is one map-side-combinable struct-min per
-    node; the dedup is a groupBy on the normalized pair key.
+    as grid_neighbor_join over the corpus-derived side (module doc:
+    occupancy ≤ SP_OCC by construction → near-linear at any corpus
+    size); the lightest-edge pick is one map-side-combinable
+    struct-min per node; the dedup is a groupBy on the normalized
+    pair key.
     """
     pts = _points(spark, sf_dir).select(
         "event_id", "x", "y",
@@ -377,15 +446,17 @@ WITH pts AS (
   SELECT event_id, x, y, x // {SP_CELL} AS cx, y // {SP_CELL} AS cy
   FROM ({_POINTS_SQL})
 ),
+probe AS (
+  SELECT event_id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+  FROM pts, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+),
 edges AS (
   SELECT a.event_id AS src, b.event_id AS dst,
          CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
               AS BIGINT) AS w
-  FROM pts a JOIN pts b
-    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
-   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
-   AND a.event_id <> b.event_id
-   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SP_R2}
+  FROM probe a JOIN pts b USING (cx, cy)
+  WHERE a.event_id <> b.event_id
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SP_R2}
 ),
 pick AS (
   SELECT src,
@@ -421,11 +492,13 @@ def two_hop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     blast-radius estimates). Per seed: |N1| and |N≤2| (distinct nodes
     within two hops, seed excluded).
 
-    Scale: hop 1 filters the edge list to the seed panel (broadcast
-    semi); hop 2 expands ONLY the seeds' wedges (|seeds|·deg² rows,
-    never the full wedge set); distinct-union per seed is one keyed
-    aggregate. This is the frontier-at-a-time BFS shape — each hop is
-    a join against the edge list keyed on the frontier.
+    Scale: the edge list comes from the density-bounded grid probe
+    (module doc — near-linear at any corpus size); hop 1 filters it to
+    the seed panel (broadcast semi); hop 2 expands ONLY the seeds'
+    wedges (|seeds|·deg² rows, never the full wedge set);
+    distinct-union per seed is one keyed aggregate. This is the
+    frontier-at-a-time BFS shape — each hop is a join against the edge
+    list keyed on the frontier.
     """
     pts = _points(spark, sf_dir).select(
         "event_id", "x", "y",
@@ -464,17 +537,19 @@ def two_hop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TWO_HOP_SQL = f"""
-WITH pts AS (
+WITH pts AS MATERIALIZED (
   SELECT event_id, x, y, x // {SP_CELL} AS cx, y // {SP_CELL} AS cy
   FROM ({_POINTS_SQL})
 ),
-edges AS (
+probe AS (
+  SELECT event_id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+  FROM pts, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+),
+edges AS MATERIALIZED (
   SELECT a.event_id AS u, b.event_id AS v
-  FROM pts a JOIN pts b
-    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
-   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
-   AND a.event_id <> b.event_id
-   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SP_R2}
+  FROM probe a JOIN pts b USING (cx, cy)
+  WHERE a.event_id <> b.event_id
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SP_R2}
 ),
 seeds AS (
   SELECT event_id AS seed FROM pts WHERE event_id % {HOP_SEED_MOD} = 0
@@ -507,81 +582,101 @@ QUERIES = {
 
 
 # --------------------------------------------------------------------
-# Geometric median via Weiszfeld iterations
+# Geometric median via Weiszfeld iterations (integer fixed point)
 # --------------------------------------------------------------------
 WZ_ROUNDS = 8
-WZ_EPS = 1e-9   # distance guard at a data point (literal, both engines)
+WZ_CSCALE = 1 << 20     # center fixed-point scale (coordinate · 2^20)
+WZ_WSCALE = 1 << 20     # per-point weight quantization scale
 
 
 def geometric_median_weiszfeld(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Geometric median (the L1-optimal facility location) of the
-    event point cloud by {WZ_ROUNDS} Weiszfeld iterations
-    x' = Σ(p/d(p)) / Σ(1/d(p)) from the centroid start — the robust
-    2-D center the coordinate-wise median twin can't produce (it isn't
-    rotation-equivariant). Each round is ONE corpus aggregate with the
-    current center as a literal (the k-means driver-paced shape, 1-row
-    collect per round); distances are IEEE sqrt of exact-integer
-    squared offsets shifted by a literal ε guard — deterministic in
-    both engines, oracle unrolled as scalar-subquery CTEs.
+    event point cloud by {WZ_ROUNDS} quantized Weiszfeld iterations
+    x' = Σ(p·w(p)) / Σ(w(p)), w(p) = ⌊WZ_WSCALE / (d(p)+1)⌋, from the
+    integer centroid start — the robust 2-D center the coordinate-wise
+    median twin can't produce (it isn't rotation-equivariant).
 
-    Scale: rounds × one map-side-combinable aggregate; no state beyond
-    the 2-double center.
+    Determinism (the r8 verdict's float-sum→integer-floor seam, closed
+    r9): every reduction is an INTEGER sum — association-free in both
+    engines. Per point, the weight is an exact integer derived from a
+    single scalar double expression written identically in both
+    engines (exact-integer offsets → correctly-rounded IEEE mul/add/
+    sqrt → exact pow-2 rescale → floor), so no engine-default float
+    association ever reaches an integer floor. The center lives in
+    2^20 fixed point; each update is the exact floor of
+    CSCALE·Σxw/Σw via two-step long division (q·CSCALE +
+    (rem·CSCALE) div Σw — all non-negative, so truncation == floor in
+    both engines). Headroom at sf1 (N≈2^20, side≈2^12): Σ(x·w) ≤
+    N·side·WZ_WSCALE = 2^52 < 2^63; DuckDB's HUGEINT sums are cast
+    back to BIGINT per the CLAUDE.md rule. At 100 TB (N≈2^40) the
+    weight scale drops to 2^10 or the sums widen to decimal — a
+    one-constant change, noted here for the scale audit.
+
+    Each round is ONE corpus aggregate with the current center as a
+    literal (the k-means driver-paced shape, 1-row collect per round);
+    the oracle unrolls rounds as MATERIALIZED scalar-subquery CTEs.
+
+    Scale: rounds × one map-side-combinable integer aggregate; no
+    state beyond the 2-long center.
     """
     pts = _points(spark, sf_dir).select("x", "y")
-    c = pts.agg((F.sum("x").cast("double")
-                 / F.count(F.lit(1)).cast("double")).alias("cx"),
-                (F.sum("y").cast("double")
-                 / F.count(F.lit(1)).cast("double")).alias("cy")) \
-        .collect()[0]
-    cx, cy = float(c["cx"]), float(c["cy"])
-    n = None
+    r0 = pts.agg(F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.count(F.lit(1)).alias("n")).collect()[0]
+    n = int(r0["n"])
+    cx = (int(r0["sx"]) * WZ_CSCALE) // n
+    cy = (int(r0["sy"]) * WZ_CSCALE) // n
     for _ in range(WZ_ROUNDS):
-        d = F.sqrt((F.col("x").cast("double") - cx)
-                   * (F.col("x").cast("double") - cx)
-                   + (F.col("y").cast("double") - cy)
-                   * (F.col("y").cast("double") - cy)) + WZ_EPS
-        r = pts.agg(
-            F.sum(F.col("x").cast("double") / d).alias("sx"),
-            F.sum(F.col("y").cast("double") / d).alias("sy"),
-            F.sum(F.lit(1.0) / d).alias("sw"),
-            F.count(F.lit(1)).alias("n")).collect()[0]
-        cx, cy, n = r["sx"] / r["sw"], r["sy"] / r["sw"], r["n"]
+        fx = (F.col("x") * WZ_CSCALE - F.lit(cx)).cast("double")
+        fy = (F.col("y") * WZ_CSCALE - F.lit(cy)).cast("double")
+        d = F.sqrt(fx * fx + fy * fy) / F.lit(float(WZ_CSCALE)) + F.lit(1.0)
+        w = F.floor(F.lit(float(WZ_WSCALE)) / d).cast("long")
+        r = (pts.select((F.col("x") * w).alias("xw"),
+                        (F.col("y") * w).alias("yw"), w.alias("w"))
+             .agg(F.sum("xw").alias("sxr"), F.sum("yw").alias("syr"),
+                  F.sum("w").alias("sr")).collect()[0])
+        sxr, syr, sr = int(r["sxr"]), int(r["syr"]), int(r["sr"])
+        cx = (sxr // sr) * WZ_CSCALE + ((sxr % sr) * WZ_CSCALE) // sr
+        cy = (syr // sr) * WZ_CSCALE + ((syr % sr) * WZ_CSCALE) // sr
     return spark.createDataFrame(
-        [(n, WZ_ROUNDS, int(cx * 1e6 // 1), int(cy * 1e6 // 1))],
+        [(n, WZ_ROUNDS, (cx * 1000000) // WZ_CSCALE,
+          (cy * 1000000) // WZ_CSCALE)],
         "n_points long, rounds int, med_x_e6 long, med_y_e6 long")
 
 
 def _weiszfeld_sql() -> str:
-    ctes = [f"""pts AS (
-  SELECT {_coord_duck('sx:', 'event_id', SP_SIDE)} AS x,
-         {_coord_duck('sy:', 'event_id', SP_SIDE)} AS y
-  FROM events
-)""", """c0 AS MATERIALIZED (
-  SELECT CAST(sum(x) AS DOUBLE) / count(*) AS cx,
-         CAST(sum(y) AS DOUBLE) / count(*) AS cy
-  FROM pts
-)"""]
+    c, w = WZ_CSCALE, WZ_WSCALE
+    ctes = [f"pts AS MATERIALIZED (SELECT x, y FROM ({_POINTS_SQL}))",
+            f"""c0 AS MATERIALIZED (
+  SELECT CAST((sum(x) * {c}) // count(*) AS BIGINT) AS cx,
+         CAST((sum(y) * {c}) // count(*) AS BIGINT) AS cy,
+         count(*) AS n
+  FROM pts)"""]
     for i in range(1, WZ_ROUNDS + 1):
-        prev = f"c{i - 1}"
-        ctes.append(f"""c{i} AS MATERIALIZED (
-  SELECT sum(CAST(x AS DOUBLE) / d) / sum(1.0 / d) AS cx,
-         sum(CAST(y AS DOUBLE) / d) / sum(1.0 / d) AS cy,
+        p = f"c{i - 1}"
+        ctes.append(f"""s{i} AS MATERIALIZED (
+  SELECT CAST(sum(x * w) AS BIGINT) AS sxr,
+         CAST(sum(y * w) AS BIGINT) AS syr,
+         CAST(sum(w) AS BIGINT) AS sr,
          count(*) AS n
   FROM (SELECT x, y,
-               sqrt((CAST(x AS DOUBLE) - (SELECT cx FROM {prev}))
-                    * (CAST(x AS DOUBLE) - (SELECT cx FROM {prev}))
-                    + (CAST(y AS DOUBLE) - (SELECT cy FROM {prev}))
-                      * (CAST(y AS DOUBLE) - (SELECT cy FROM {prev})))
-               + {WZ_EPS} AS d
-        FROM pts)
-)""")
+               CAST(floor({w} / (sqrt(CAST(fx AS DOUBLE) * CAST(fx AS DOUBLE)
+                                    + CAST(fy AS DOUBLE) * CAST(fy AS DOUBLE))
+                                 / {c} + 1.0)) AS BIGINT) AS w
+        FROM (SELECT x, y,
+                     x * {c} - (SELECT cx FROM {p}) AS fx,
+                     y * {c} - (SELECT cy FROM {p}) AS fy
+              FROM pts)))""")
+        ctes.append(f"""c{i} AS MATERIALIZED (
+  SELECT (sxr // sr) * {c} + ((sxr % sr) * {c}) // sr AS cx,
+         (syr // sr) * {c} + ((syr % sr) * {c}) // sr AS cy,
+         n
+  FROM s{i})""")
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT CAST(n AS BIGINT) AS n_points, CAST({WZ_ROUNDS} AS INT) AS rounds,
-       CAST(floor(cx * 1e6) AS BIGINT) AS med_x_e6,
-       CAST(floor(cy * 1e6) AS BIGINT) AS med_y_e6
-FROM c{WZ_ROUNDS}
-""")
+       CAST((cx * 1000000) // {c} AS BIGINT) AS med_x_e6,
+       CAST((cy * 1000000) // {c} AS BIGINT) AS med_y_e6
+FROM c{WZ_ROUNDS}""")
 
 
 QUERIES["geometric_median_weiszfeld"] = (geometric_median_weiszfeld,

@@ -827,21 +827,27 @@ def test_round8_two_level_rank_conversions(props):
 
 
 def test_round8_new_query_plan_shapes(props):
-    # spatial family: the cell join must stay a NON-broadcast equi join
-    # (both sides corpus-scale at 100 TB) and never range-partition
+    # spatial family (r9 density-adaptive grid): the DISTANCE join must
+    # be an equi join on cell ids (SMJ/shuffled at fact scale, AQE may
+    # broadcast at small SF) and never range-partition. BroadcastNested-
+    # LoopJoins are ONLY the 1-row side/count derivation crossJoins
+    # (2 per _points instantiation) — bounded regardless of corpus size.
     p = props("grid_neighbor_join")
     assert p["range_shuffles"] == 0
-    assert p["broadcast_nl_joins"] == 0  # never a nested-loop distance join
+    assert p["sort_merge_joins"] + p["broadcast_joins"] >= 1  # equi cell join
+    assert p["broadcast_nl_joins"] <= 6  # 3 _points x 2 one-row derivations
     p = props("boruvka_lightest_edges")
     assert p["range_shuffles"] == 0
-    assert p["single_part"] == 0
-    # tile pyramid: ONE corpus scan; coarser levels reuse cell tables
+    assert p["single_part"] <= 2  # the 1-row side-derivation reduces only
+    assert p["broadcast_nl_joins"] <= 4
+    # tile pyramid: one corpus scan + the 1-row side-count scan;
+    # coarser levels reuse cell tables
     p = props("quadtree_tile_rollup")
-    assert p["scans"] == 1
+    assert p["scans"] == 2
     assert p["unpartitioned_windows"] == 0
     # hotspot: everything after the first aggregate is lattice-sized
     p = props("spatial_hotspot_cells")
-    assert p["scans"] == 1
+    assert p["scans"] == 2
     assert p["range_shuffles"] == 0
     # bloom skip: panel joins ride broadcasts; probe never hits lineitem
     p = props("file_bloom_skip_audit")

@@ -1256,20 +1256,25 @@ def test_weiszfeld_reduces_l1_cost_vs_centroid(spark):
     import pandas as pd
 
     from alma_publish_to_marc_spark.plans.spatial_queries import (
-        SP_SIDE, geometric_median_weiszfeld,
+        SP_CELL, SP_OCC, geometric_median_weiszfeld,
     )
 
-    r = geometric_median_weiszfeld(spark, SF).collect()[0]
-    mx, my = r["med_x_e6"] / 1e6, r["med_y_e6"] / 1e6
-    assert 0 <= mx < SP_SIDE and 0 <= my < SP_SIDE
-    # rebuild the point cloud and compare summed distances
+    # rebuild the point cloud (corpus-derived side, module rule)
     import hashlib
 
     pdf = pd.read_parquet(SF + "/events.parquet", columns=["event_id"])
+    g = 1
+    while g * g * SP_OCC < len(pdf):
+        g *= 2
+    side = g * SP_CELL
+
+    r = geometric_median_weiszfeld(spark, SF).collect()[0]
+    mx, my = r["med_x_e6"] / 1e6, r["med_y_e6"] / 1e6
+    assert 0 <= mx < side and 0 <= my < side
 
     def coord(seed, key):
         h = hashlib.md5((seed + str(key)).encode()).hexdigest()
-        return int(h[:12], 16) % SP_SIDE
+        return int(h[:12], 16) % side
 
     xs = [coord("sx:", k) for k in pdf["event_id"]]
     ys = [coord("sy:", k) for k in pdf["event_id"]]

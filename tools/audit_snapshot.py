@@ -1,0 +1,67 @@
+"""Regenerate tests/audit_snapshot.json — the checked-in plan-shape
+snapshot for the frozen bench core suite (bench.HEADLINE[:CORE_16]).
+
+tests/test_audit_snapshot.py diffs each core key's live audit counters
+(shuffles, single_part, sort_merge_joins, pushed_filter_scans, ...)
+against this file, so a plan regression — an extra shuffle creeping
+into item_info_flagship, a broadcast silently degrading to SMJ — fails
+CI mechanically instead of waiting for a human to eyeball AUDIT_r{N}.
+This is the plan-shape analog of bench.py's runtime regression guard
+(VERDICT r8 "Next round" item 5).
+
+A DELIBERATE plan change (new operator version, better strategy) is
+recorded by rerunning:
+
+    python tools/audit_snapshot.py
+
+and committing the refreshed JSON alongside the plan change.
+
+Counters are captured at sf0.001 (the test fixture's scale) so
+stats-driven join selection is deterministic across runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SNAP_PATH = os.path.join(_ROOT, "tests", "audit_snapshot.json")
+
+
+def capture(spark, names=None) -> dict:
+    import bench
+    import explain_audit
+    from alma_publish_to_marc_spark import registry
+
+    core = names or bench.HEADLINE[:bench.CORE_16]
+    qs = registry.queries()
+    out = {}
+    for name in core:
+        df = qs[name](spark, SF_SMOKE)
+        props = explain_audit.summarize(spark, df)
+        props.pop("_plan")
+        spark.catalog.clearCache()
+        registry.release_caches()
+        out[name] = props
+    return out
+
+
+def main() -> None:
+    from alma_publish_to_marc_spark.session import get_spark
+
+    spark = get_spark("audit-snapshot", cpus=8)
+    out = capture(spark)
+    with open(SNAP_PATH, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {SNAP_PATH} ({len(out)} keys)")
+
+
+if __name__ == "__main__":
+    main()
