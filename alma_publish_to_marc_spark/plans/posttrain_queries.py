@@ -1,0 +1,384 @@
+"""LLM post-training / serving analytics (round 9).
+
+The corpus/lm/preference families cover pre-training curation and
+preference QA; this module adds the operators the POST-training and
+serving side of an LLM pipeline runs at scale:
+
+- ``grpo_group_advantage``    — GRPO-style group-relative advantage
+  normalization ((r − mean)/std within a prompt's response group) —
+  the reward-shaping aggregate of critic-free RLHF.
+- ``gae_advantage_fold``      — GAE(γ, λ) advantage recursion per
+  episode (backward fold over per-user event sequences) — the
+  actor-critic counterpart, in exact small-denominator fixed point.
+- ``prompt_prefix_cache_stats`` — shared-prefix KV-cache analysis:
+  how many prompt tokens a radix/prefix cache could skip, by
+  prefix-group size — the serving-cost planner's first question.
+- ``int8_quantization_error`` — per-vector symmetric int8
+  post-training quantization of the embedding table: reconstruction
+  max-error / MSE by label — the PTQ audit before shipping a
+  quantized index.
+- ``heaps_law_log2_fit``      — per-document type/token power-law
+  (Heaps) slope via EXACT integer least squares on floor-log2
+  coordinates (``length(bin(x)) - 1``) — the scaling-curve fit
+  without a single libm call.
+
+Reference scope: beyond-reference large-scale-pipeline surface (the
+reference ETL has no RL/serving analytics); no file:line parity
+citations apply.
+
+Determinism: rewards/moments are exact integers (cents alphabet);
+the only doubles are single per-row expressions over exact integers
+(mul/div/sqrt — IEEE-correctly-rounded, no ln/exp); every sequential
+recursion is an integer fold with small-denominator rationals
+(Spark ``aggregate`` == DuckDB ``list_reduce``, single-value or LIST
+accumulators only — never struct, per the CLAUDE.md fold rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+QUERIES: dict = {}
+
+_CENTS = "cast(round(value * 100, 0) as bigint)"
+_CENTS_DUCK = "CAST(round(value * 100, 0) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# grpo_group_advantage
+# ---------------------------------------------------------------------------
+
+def _grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO group-relative advantage: prompts = user_id % 256, each
+    user event is one sampled response with reward = value cents.
+    Within a prompt group, a = (r − mean)/std, computed as the exact
+    identity a = (n·r − s)/sqrt(n·ss − s²) so the only double is ONE
+    per-row expression over exact integer moments (sqrt is correctly
+    rounded — no float aggregation anywhere). Output: the
+    advantage-bucket histogram (a_e6 div 250000) — bounded regardless
+    of corpus size. Groups need n ≥ 2 and positive variance.
+
+    Scale: one keyed shuffle to the ≤256-group moment table, broadcast
+    back onto the response scan, map-side-combinable histogram. At
+    100 TB prompts number in the millions — the moment join becomes a
+    shuffle join on the prompt key; nothing else changes.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).alias("p"),
+        F.expr(_CENTS).alias("r"))
+    mom = (ev.groupBy("p")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("r").alias("s"),
+                F.sum(F.col("r") * F.col("r")).alias("ss"))
+           .where((F.col("n") >= 2) & (F.col("n") * F.col("ss")
+                                       > F.col("s") * F.col("s"))))
+    a = (ev.join(F.broadcast(mom), "p")
+         .select(F.expr(
+             "cast(floor(1000000 * (n * r - s) /"
+             " sqrt(cast(n * ss - s * s as double))) as bigint)")
+             .alias("a_e6")))
+    return (a.groupBy(F.expr("a_e6 div 250000").alias("a_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_responses"),
+                 F.sum("a_e6").cast("long").alias("sum_a_e6")))
+
+
+_GRPO_SQL = f"""
+WITH resp AS (
+  SELECT user_id % 256 AS p, {_CENTS_DUCK} AS r FROM events
+),
+mom AS (
+  SELECT p, count(*) AS n, CAST(sum(r) AS BIGINT) AS s,
+         CAST(sum(r * r) AS BIGINT) AS ss
+  FROM resp GROUP BY p
+  HAVING count(*) >= 2
+     AND count(*) * CAST(sum(r * r) AS BIGINT)
+         > CAST(sum(r) AS BIGINT) * CAST(sum(r) AS BIGINT)
+),
+adv AS (
+  SELECT CAST(floor(1000000 * (m.n * e.r - m.s) /
+              sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE))) AS BIGINT)
+         AS a_e6
+  FROM resp e JOIN mom m USING (p)
+)
+SELECT a_e6 // 250000 AS a_bucket,
+       CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(a_e6) AS BIGINT) AS sum_a_e6
+FROM adv GROUP BY 1
+"""
+
+QUERIES["grpo_group_advantage"] = (_grpo_group_advantage, _GRPO_SQL)
+
+
+# ---------------------------------------------------------------------------
+# gae_advantage_fold
+# ---------------------------------------------------------------------------
+# γ = 9/10, γλ = 855/1000 (λ = 0.95) — small-denominator rationals so
+# every step is an exact integer quotient (truncation toward zero,
+# identical in Spark `div` and DuckDB `//` — measured r8).
+
+def _gae_advantage_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAE(γ=0.9, λ=0.95) advantage at each user episode's FIRST step.
+    Episode = a user's events ordered by (ts, event_id); reward
+    r_t = value cents; the critic baseline is the naive one-step
+    predictor v_t = r_{t−1} (lag, default 0). TD residual
+    δ_t = r_t + (9·v_{t+1}) div 10 − v_t is exact-integer per row
+    (lead/lag windows, keyed by user), and the GAE recursion
+    A_t = δ_t + (855·A_{t+1}) div 1000 folds BACKWARD over the
+    episode (list ordered ts DESC), single BIGINT accumulator — the
+    CLAUDE.md-safe fold shape. Output: histogram of first-step
+    advantages (A_0 div 500) — bounded.
+
+    Scale: two keyed window passes + one groupBy(user) collect + a
+    per-user interpreted fold (episodes are session-length, tens of
+    steps) + a map-side-combinable histogram. Everything partitions
+    on user; no global ordering anywhere.
+    """
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev = (load(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+                  F.expr(_CENTS).alias("r"))
+          .withColumn("v", F.lag("r", 1, 0).over(w))
+          .withColumn("vnext", F.lead("v", 1, 0).over(w))
+          .select("user_id", "us", "event_id",
+                  (F.col("r") + F.expr("(9 * vnext) div 10")
+                   - F.col("v")).alias("d")))
+    a0 = (ev.groupBy("user_id")
+          .agg(F.expr(
+              "aggregate(sort_array(collect_list(struct(-us as nus,"
+              " -event_id as nid, d as d))), cast(0 as bigint),"
+              " (acc, e) -> e.d + (855 * acc) div 1000)").alias("a0")))
+    return (a0.groupBy(F.expr("a0 div 500").alias("a0_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.sum("a0").cast("long").alias("sum_a0")))
+
+
+_GAE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, {_CENTS_DUCK} AS r
+  FROM events
+),
+lagged AS (
+  SELECT user_id, us, event_id, r,
+         coalesce(lag(r) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id), 0) AS v
+  FROM ev
+),
+delta AS (
+  SELECT user_id, us, event_id,
+         r + (9 * coalesce(lead(v) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id), 0)) // 10
+           - v AS d
+  FROM lagged
+),
+folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list(d ORDER BY us DESC, event_id DESC)),
+           (acc, d) -> d + (855 * acc) // 1000) AS a0
+  FROM delta GROUP BY user_id
+)
+SELECT a0 // 500 AS a0_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(a0) AS BIGINT) AS sum_a0
+FROM folded GROUP BY 1
+"""
+
+QUERIES["gae_advantage_fold"] = (_gae_advantage_fold, _GAE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# prompt_prefix_cache_stats
+# ---------------------------------------------------------------------------
+_PFX = 64  # shared-prefix window (chars)
+
+
+def _prompt_prefix_cache_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radix/prefix KV-cache planning: prompts (documents.text) that
+    share their first {_PFX} characters can reuse one KV prefix; for
+    each prefix group of size n, a cache skips (n−1)·prefix_tokens
+    prefill tokens. Output per group-size bucket: group count, total
+    cacheable tokens, total prefix tokens — the data a serving planner
+    sizes its prefix cache with.
+
+    Determinism: tokens = whitespace split with empties dropped (the
+    lm_queries idiom); groups key on unhex(md5(prefix)) — fixed-width
+    shuffle payload per the CLAUDE.md text-key rule.
+
+    Scale: one scan → one keyed shuffle on the 16-byte prefix hash →
+    a bounded histogram. The prefix-group aggregate is map-side
+    combinable; no joins.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        F.unhex(F.md5(F.expr(f"substr(text, 1, {_PFX})"))).alias("pk"),
+        F.expr(f"size(filter(split(substr(text, 1, {_PFX}), ' '),"
+               " t -> t <> ''))").cast("long").alias("ptoks"))
+    grp = (docs.groupBy("pk")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min("ptoks").alias("ptoks")))
+    return (grp.groupBy(F.col("n").alias("group_size"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_groups"),
+                 F.sum((F.col("n") - 1) * F.col("ptoks")).cast("long")
+                  .alias("cacheable_tokens"),
+                 F.sum(F.col("n") * F.col("ptoks")).cast("long")
+                  .alias("prefix_tokens")))
+
+
+_PREFIX_SQL = f"""
+WITH docs AS (
+  SELECT unhex(md5(substr(text, 1, {_PFX}))) AS pk,
+         CAST(len(list_filter(string_split(substr(text, 1, {_PFX}), ' '),
+                              t -> t <> '')) AS BIGINT) AS ptoks
+  FROM documents
+),
+grp AS (
+  SELECT pk, count(*) AS n, min(ptoks) AS ptoks
+  FROM docs GROUP BY pk
+)
+SELECT n AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum((n - 1) * ptoks) AS BIGINT) AS cacheable_tokens,
+       CAST(sum(n * ptoks) AS BIGINT) AS prefix_tokens
+FROM grp GROUP BY 1
+"""
+
+QUERIES["prompt_prefix_cache_stats"] = (_prompt_prefix_cache_stats,
+                                        _PREFIX_SQL)
+
+
+# ---------------------------------------------------------------------------
+# int8_quantization_error
+# ---------------------------------------------------------------------------
+
+def _int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 PTQ audit over the embedding table:
+    q_i = floor(127·x_i/maxabs + 0.5) (round-half-up in one per-element
+    double expression), reconstruction x'_i = q_i·maxabs/127; per
+    vector, max |x−x'| (greatest-fold — exact) and MSE from an
+    explicit LEFT fold in array order (the CLAUDE.md float-reduction
+    rule — never an engine-default association). Per label: vector
+    count, mean per-vector max-error (e9) and mean MSE (e12), both
+    averaged in exact integer space after per-vector flooring.
+
+    Scale: pure scan + per-row array folds (interpreted — single
+    consumer, so no persist needed) + one keyed shuffle to the
+    bounded label table.
+    """
+    maxabs = ("aggregate(transform(embedding, x -> abs(cast(x as double))),"
+              " cast(0.0 as double), (a, x) -> greatest(a, x))")
+    err = ("transform(embedding, x -> abs(cast(x as double)"
+           " - floor(127.0 * cast(x as double) / ma + 0.5) * ma / 127.0))")
+    vec = (load(spark, sf_dir, "embeddings")
+           .select("label", F.expr(maxabs).alias("ma"), "embedding")
+           .where(F.col("ma") > 0)
+           .select(
+               "label",
+               F.expr(f"cast(floor(1e9 * aggregate({err},"
+                      " cast(0.0 as double), (a, x) -> greatest(a, x)))"
+                      " as bigint)").alias("maxerr_e9"),
+               F.expr(f"cast(floor(1e12 * aggregate({err},"
+                      " cast(0.0 as double), (a, x) -> a + x * x)"
+                      " / size(embedding)) as bigint)").alias("mse_e12")))
+    return (vec.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.expr("sum(maxerr_e9) div count(1)")
+                  .alias("avg_maxerr_e9"),
+                 F.expr("sum(mse_e12) div count(1)").alias("avg_mse_e12")))
+
+
+_INT8_SQL = """
+WITH base AS (
+  SELECT label, embedding,
+         list_reduce(list_prepend(0.0,
+             list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (a, x) -> greatest(a, x)) AS ma
+  FROM embeddings
+),
+vec AS (
+  SELECT label,
+         CAST(floor(1e9 * list_reduce(list_prepend(0.0,
+             list_transform(embedding, x -> abs(CAST(x AS DOUBLE)
+               - floor(127.0 * CAST(x AS DOUBLE) / ma + 0.5)
+                 * ma / 127.0))),
+           (a, x) -> greatest(a, x))) AS BIGINT) AS maxerr_e9,
+         CAST(floor(1e12 * list_reduce(list_prepend(0.0,
+             list_transform(embedding, x -> abs(CAST(x AS DOUBLE)
+               - floor(127.0 * CAST(x AS DOUBLE) / ma + 0.5)
+                 * ma / 127.0))),
+           (a, x) -> a + x * x) / len(embedding)) AS BIGINT) AS mse_e12
+  FROM base WHERE ma > 0
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(maxerr_e9) AS BIGINT) // count(*) AS avg_maxerr_e9,
+       CAST(sum(mse_e12) AS BIGINT) // count(*) AS avg_mse_e12
+FROM vec GROUP BY label
+"""
+
+QUERIES["int8_quantization_error"] = (_int8_quantization_error, _INT8_SQL)
+
+
+# ---------------------------------------------------------------------------
+# heaps_law_log2_fit
+# ---------------------------------------------------------------------------
+
+def _heaps_law_log2_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law (type/token power-law) slope fit, libm-free: per
+    document, x = ⌊log2(tokens)⌋ and y = ⌊log2(distinct tokens)⌋ via
+    ``length(bin(n)) − 1`` (exact integers — the decision_queries
+    bucket idiom), then the least-squares slope in log2 space from the
+    EXACT integer normal equations:
+    slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), emitted at e6 via
+    integer division (headroom: coords ≤ 14, so n·Σxy ≤ n²·196 —
+    int64-safe beyond 10⁸ docs; at larger corpora the sums widen to
+    DECIMAL, a one-line change).
+
+    Scale: one scan, one map-side-combinable global aggregate, 1-row
+    output.
+    """
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(f"length(bin(size({toks}))) - 1").cast("long").alias("lx"),
+        F.expr(f"length(bin(size(array_distinct({toks})))) - 1")
+         .cast("long").alias("ly"))
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"), F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("(1000000 * (n * sxy - sx * sy))"
+               " div (n * sxx - sx * sx)").alias("slope_e6"),
+        F.expr("(1000000 * sx) div n").alias("mean_lx_e6"),
+        F.expr("(1000000 * sy) div n").alias("mean_ly_e6"))
+
+
+_HEAPS_SQL = """
+WITH d AS (
+  SELECT CAST(length(bin(len(list_filter(string_split(text, ' '),
+                t -> t <> '')))) - 1 AS BIGINT) AS lx,
+         CAST(length(bin(len(list_distinct(list_filter(
+                string_split(text, ' '), t -> t <> ''))))) - 1 AS BIGINT)
+           AS ly
+  FROM documents
+),
+agg AS (
+  SELECT count(*) AS n, CAST(sum(lx) AS BIGINT) AS sx,
+         CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(lx * ly) AS BIGINT) AS sxy,
+         CAST(sum(lx * lx) AS BIGINT) AS sxx
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS slope_e6,
+       (1000000 * sx) // n AS mean_lx_e6,
+       (1000000 * sy) // n AS mean_ly_e6
+FROM agg
+"""
+
+QUERIES["heaps_law_log2_fit"] = (_heaps_law_log2_fit, _HEAPS_SQL)

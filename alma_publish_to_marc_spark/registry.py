@@ -57,6 +57,8 @@ _MODULES = (
     "alma_publish_to_marc_spark.sources.source_queries",
     "alma_publish_to_marc_spark.streaming.streaming_queries",
     "alma_publish_to_marc_spark.multimodal.multimodal_queries",
+    "alma_publish_to_marc_spark.plans.posttrain_queries",
+    "alma_publish_to_marc_spark.plans.weighting_queries",
 )
 
 

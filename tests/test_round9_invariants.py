@@ -1,0 +1,145 @@
+"""Semantic invariants for the round-9 query families (posttrain /
+weighting) — the oracle gate proves cross-engine equality; these prove
+the answers make sense."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_grpo_advantages_are_standardized(spark):
+    from alma_publish_to_marc_spark.plans.posttrain_queries import (
+        _grpo_group_advantage,
+    )
+
+    rows = _grpo_group_advantage(spark, SF).collect()
+    assert rows
+    n = sum(r["n_responses"] for r in rows)
+    total = sum(r["sum_a_e6"] for r in rows)
+    # standardized advantages sum to ~0 per group (floor loses < 1e-6
+    # per response, always downward)
+    assert -n <= total <= 0
+    # z-scores live in a few-sigma range
+    assert all(abs(r["a_bucket"]) <= 40 for r in rows)
+
+
+def test_gae_fold_matches_reference_recursion(spark):
+    import pandas as pd
+
+    from alma_publish_to_marc_spark.plans.posttrain_queries import (
+        _gae_advantage_fold,
+    )
+
+    rows = _gae_advantage_fold(spark, SF).collect()
+    got_users = sum(r["n_users"] for r in rows)
+    got_sum = sum(r["sum_a0"] for r in rows)
+
+    pdf = pd.read_parquet(SF + "/events.parquet",
+                          columns=["user_id", "event_id", "ts", "value"])
+    pdf["us"] = pdf["ts"].astype("int64") // 1000
+    pdf["r"] = (pdf["value"] * 100).round().astype("int64")
+    total = 0
+    for _, g in pdf.sort_values(["us", "event_id"]).groupby("user_id"):
+        r = list(g["r"])
+        v = [0] + r[:-1]                      # lag baseline
+        vnext = v[1:] + [0]
+        d = [ri + (9 * vn) // 10 - vi if (9 * vn) >= 0 else 0
+             for ri, vn, vi in zip(r, vnext, v)]
+        a = 0
+        for dt in reversed(d):
+            # Spark div truncates toward zero (matches int() for the
+            # positive products here; 855*a can be negative — emulate
+            # truncation explicitly)
+            q = (855 * a)
+            a = dt + (q // 1000 if q >= 0 else -((-q) // 1000))
+        total += a
+    assert got_users == pdf["user_id"].nunique()
+    assert got_sum == total
+
+
+def test_prefix_cache_accounting_is_consistent(spark):
+    from alma_publish_to_marc_spark.plans.posttrain_queries import (
+        _prompt_prefix_cache_stats,
+    )
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = _prompt_prefix_cache_stats(spark, SF).collect()
+    n_docs = load(spark, SF, "documents").count()
+    assert sum(r["group_size"] * r["n_groups"] for r in rows) == n_docs
+    for r in rows:
+        # cacheable = (n-1)/n of the group's prefix tokens
+        assert r["cacheable_tokens"] * r["group_size"] == \
+            r["prefix_tokens"] * (r["group_size"] - 1)
+
+
+def test_int8_error_is_bounded_by_half_step(spark):
+    from alma_publish_to_marc_spark.plans.posttrain_queries import (
+        _int8_quantization_error,
+    )
+
+    rows = _int8_quantization_error(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # |x - x'| <= maxabs/254 (half a quantization step); embeddings
+        # are unit-ish so maxabs <= ~1 -> err well under 0.01
+        assert 0 <= r["avg_maxerr_e9"] < 10_000_000
+        assert 0 <= r["avg_mse_e12"] < r["avg_maxerr_e9"] * 1000
+
+
+def test_heaps_slope_is_a_sublinear_power_law(spark):
+    from alma_publish_to_marc_spark.plans.posttrain_queries import (
+        _heaps_law_log2_fit,
+    )
+
+    r = _heaps_law_log2_fit(spark, SF).collect()[0]
+    # type growth is positive but sublinear in tokens
+    assert 0 < r["slope_e6"] <= 1_000_000
+    assert r["mean_ly_e6"] <= r["mean_lx_e6"]
+
+
+def test_ipf_weights_hit_both_margins(spark):
+    from alma_publish_to_marc_spark.plans.weighting_queries import (
+        _raking_ipf_weights,
+    )
+
+    rows = _raking_ipf_weights(spark, SF).collect()
+    total = sum(r["cnt"] for r in rows)
+    # weighted counts per margin should approach the uniform targets
+    for key, card in (("seg", 5), ("nat", 25)):
+        target = total // card
+        sums: dict = {}
+        for r in rows:
+            sums[r[key]] = sums.get(r[key], 0) + r["cnt"] * r["w_e6"] / 1e6
+        for v in sums.values():
+            assert abs(v - target) / target < 0.05  # 2 sweeps converge
+
+
+def test_kalman_state_tracks_observation_range(spark):
+    from pyspark.sql import functions as F
+
+    from alma_publish_to_marc_spark.plans.weighting_queries import (
+        _kalman_filter_1d,
+    )
+    from alma_publish_to_marc_spark.tables import load
+
+    r = _kalman_filter_1d(spark, SF).collect()[0]
+    ev = (load(spark, SF, "events")
+          .agg(F.expr("min(cast(round(value*100,0) as bigint))"),
+               F.expr("max(cast(round(value*100,0) as bigint))")
+               ).collect()[0])
+    assert ev[0] * 1000 <= r["x_e3"] <= ev[1] * 1000
+    # posterior covariance below prior R and positive
+    assert 0 < r["p_e3"] < 1_000_000
+    assert r["n_days"] > 0 and r["sum_abs_innov_e3"] >= 0
+
+
+def test_jackknife_variance_is_nonnegative_and_centered(spark):
+    from alma_publish_to_marc_spark.plans.weighting_queries import (
+        _jackknife_nation_means,
+    )
+
+    r = _jackknife_nation_means(spark, SF).collect()[0]
+    assert r["n_nations"] == 25
+    assert r["jk_var_e6"] >= 0
+    # leave-one-group-out mean stays near the full mean (e3 units)
+    assert abs(r["theta_jk_e3"] - r["theta_e3"]) < 50_000
