@@ -382,3 +382,197 @@ FROM agg
 """
 
 QUERIES["heaps_law_log2_fit"] = (_heaps_law_log2_fit, _HEAPS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# epsilon_greedy_replay
+# ---------------------------------------------------------------------------
+_EG_T = 4096        # replay prefix length (bounded regardless of corpus)
+_EG_THRESH_C = 3000  # reward threshold (cents)
+_EG_ARMS = 5
+
+
+def _eg_step(spark_side: bool) -> str:
+    """Generate the ε-greedy replay fold step for one engine.
+
+    Accumulator layout (LIST<BIGINT>, the CLAUDE.md-safe fold shape;
+    1-based in DuckDB / 0-based in Spark): [pulls×5, rewards×5,
+    matched, cum_reward, steps]. Element: struct(arm, r) in Spark /
+    [arm, r] list in DuckDB. The exploit pick is the argmax of the
+    e6-FLOORED per-arm mean (exact integers; unpulled arms count as
+    mean 0; ties to the lowest arm index) — a fully integer policy, so
+    the replay trajectory is bit-identical across engines by
+    construction (no UCB-style libm bonus anywhere).
+    """
+    def sl(i: int) -> str:  # accumulator slot (engine-local indexing)
+        return f"acc[{i if spark_side else i + 1}]"
+
+    arm = "e.arm" if spark_side else "e[1]"
+    rew = "e.r" if spark_side else "e[2]"
+    dv = "div" if spark_side else "//"
+    t = f"({sl(12)} + 1)"
+    means = [f"((1000000 * {sl(5 + i)}) {dv} greatest({sl(i)}, 1))"
+             for i in range(_EG_ARMS)]
+    best = f"greatest({', '.join(means)})"
+    exploit = "CASE " + " ".join(
+        f"WHEN {means[i]} = {best} THEN {i + 1}"
+        for i in range(_EG_ARMS)) + " END"
+    policy = (f"(CASE WHEN {t} % 10 = 0"
+              f" THEN (({t} {dv} 10) % {_EG_ARMS}) + 1"
+              f" ELSE {exploit} END)")
+    hit = f"(CASE WHEN {policy} = {arm} THEN 1 ELSE 0 END)"
+    slots = []
+    for i in range(_EG_ARMS):
+        slots.append(f"{sl(i)} + (CASE WHEN {policy} = {arm}"
+                     f" AND {arm} = {i + 1} THEN 1 ELSE 0 END)")
+    for i in range(_EG_ARMS):
+        slots.append(f"{sl(5 + i)} + (CASE WHEN {policy} = {arm}"
+                     f" AND {arm} = {i + 1} THEN {rew} ELSE 0 END)")
+    slots.append(f"{sl(10)} + {hit}")
+    slots.append(f"{sl(11)} + {hit} * {rew}")
+    slots.append(t)
+    body = ", ".join(f"cast({s} as bigint)" for s in slots) \
+        if spark_side else ", ".join(f"CAST({s} AS BIGINT)" for s in slots)
+    return (f"(acc, e) -> array({body})" if spark_side
+            else f"(acc, e) -> [{body}]")
+
+
+_EG_ARM_CASE = ("CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2"
+                " WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4"
+                " ELSE 5 END")
+
+
+def _epsilon_greedy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ε-greedy bandit replay (Li et al.'s replay estimator,
+    the deterministic sibling of ``ips_offline_policy_eval``): stream
+    the first {_EG_T} logged events in (ts, event_id) order; arms =
+    the 5 event types, reward = 1 when value ≥ 30.00. The policy
+    explores deterministically every 10th step (round-robin arm) and
+    otherwise exploits the e6-floored-mean argmax; only steps where
+    the policy's pick MATCHES the logged arm update the estimate —
+    the unbiased-replay counting rule. Output: matched-step count,
+    cumulative matched reward, and the final best arm.
+
+    Scale: TakeOrdered bounds the replay prefix (policy replay is
+    inherently sequential — the fold is over ≤{_EG_T} rows fed by a
+    limit, passing the bounded-feeder gate); reward labeling is a
+    corpus-scan-free projection of the same prefix.
+    """
+    prefix = (load(spark, sf_dir, "events")
+              .select(F.expr("unix_micros(cast(ts as timestamp))")
+                      .alias("us"), "event_id",
+                      F.expr(_EG_ARM_CASE).alias("arm"),
+                      F.expr(f"CASE WHEN {_CENTS} >= {_EG_THRESH_C}"
+                             " THEN 1 ELSE 0 END").alias("r"))
+              .orderBy("us", "event_id").limit(_EG_T))
+    init = ", ".join(["cast(0 as bigint)"] * 13)
+    folded = prefix.agg(F.expr(
+        f"aggregate(sort_array(collect_list(struct(us, event_id,"
+        f" arm, r))), array({init}), {_eg_step(True)})").alias("s"))
+    means = [f"((1000000 * s[{5 + i}]) div greatest(s[{i}], 1))"
+             for i in range(_EG_ARMS)]
+    best = f"greatest({', '.join(means)})"
+    best_arm = "CASE " + " ".join(
+        f"WHEN {means[i]} = {best} THEN {i + 1}"
+        for i in range(_EG_ARMS)) + " END"
+    return folded.select(
+        F.expr("s[12]").alias("n_steps"),
+        F.expr("s[10]").alias("matched"),
+        F.expr("s[11]").alias("cum_reward"),
+        F.expr(f"cast({best_arm} as bigint)").alias("best_arm"),
+        F.expr(f"cast({best} as bigint)").alias("best_mean_e6"))
+
+
+def _eg_sql() -> str:
+    means = [f"((1000000 * s[{6 + i}]) // greatest(s[{i + 1}], 1))"
+             for i in range(_EG_ARMS)]
+    best = f"greatest({', '.join(means)})"
+    best_arm = "CASE " + " ".join(
+        f"WHEN {means[i]} = {best} THEN {i + 1}"
+        for i in range(_EG_ARMS)) + " END"
+    init = ", ".join(["CAST(0 AS BIGINT)"] * 13)
+    return f"""
+WITH prefix AS (
+  SELECT epoch_us(ts) AS us, event_id,
+         {_EG_ARM_CASE} AS arm,
+         CASE WHEN {_CENTS_DUCK} >= {_EG_THRESH_C} THEN 1 ELSE 0 END AS r
+  FROM events ORDER BY us, event_id LIMIT {_EG_T}
+),
+folded AS (
+  SELECT list_reduce(
+           list_prepend([{init}],
+                        list([CAST(arm AS BIGINT), CAST(r AS BIGINT)]
+                             ORDER BY us, event_id)),
+           {_eg_step(False)}) AS s
+  FROM prefix
+)
+SELECT s[13] AS n_steps, s[11] AS matched, s[12] AS cum_reward,
+       CAST({best_arm} AS BIGINT) AS best_arm,
+       CAST({best} AS BIGINT) AS best_mean_e6
+FROM folded
+"""
+
+
+QUERIES["epsilon_greedy_replay"] = (_epsilon_greedy_replay, _eg_sql())
+
+
+# ---------------------------------------------------------------------------
+# context_window_waste
+# ---------------------------------------------------------------------------
+_CTX_WINDOWS = (256, 512, 1024, 2048)
+
+
+def _context_window_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sizing: for each candidate window W, how many
+    documents truncate, what share of corpus tokens the truncation
+    discards, and how full a one-doc-per-window batch runs
+    (fill = Σ min(n, W) / (docs·W)) — the serving/packing planner's
+    trade-off curve (its packed sibling is ``token_stream_packing``).
+
+    Scale: one scan computes per-doc token counts; a constant ×4
+    explode feeds one map-side-combinable aggregate per window.
+    """
+    wins = ", ".join(str(w) for w in _CTX_WINDOWS)
+    d = (load(spark, sf_dir, "documents")
+         .select(F.expr("cast(size(filter(split(text, ' '),"
+                        " t -> t <> '')) as bigint)").alias("n"))
+         .select("n", F.explode(F.expr(f"array({wins})")).alias("w")))
+    return (d.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.expr("CASE WHEN n > w THEN 1 ELSE 0 END"))
+                  .cast("long").alias("docs_truncated"),
+                 F.sum("n").cast("long").alias("tokens_total"),
+                 F.sum(F.least("n", F.col("w").cast("long"))).cast("long")
+                  .alias("tokens_kept"))
+            .select("w", "n_docs", "docs_truncated", "tokens_total",
+                    "tokens_kept",
+                    F.expr("(1000000 * (tokens_total - tokens_kept))"
+                           " div tokens_total").alias("waste_share_e6"),
+                    F.expr("(1000000 * tokens_kept) div (n_docs * w)")
+                     .alias("fill_e6")))
+
+
+_CTX_SQL = f"""
+WITH d AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n,
+         unnest([{", ".join(str(w) for w in _CTX_WINDOWS)}]) AS w
+  FROM documents
+),
+agg AS (
+  SELECT w, count(*) AS n_docs,
+         CAST(sum(CASE WHEN n > w THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_truncated,
+         CAST(sum(n) AS BIGINT) AS tokens_total,
+         CAST(sum(least(n, CAST(w AS BIGINT))) AS BIGINT) AS tokens_kept
+  FROM d GROUP BY w
+)
+SELECT CAST(w AS INT) AS w, CAST(n_docs AS BIGINT) AS n_docs,
+       docs_truncated, tokens_total, tokens_kept,
+       (1000000 * (tokens_total - tokens_kept)) // tokens_total
+         AS waste_share_e6,
+       (1000000 * tokens_kept) // (n_docs * w) AS fill_e6
+FROM agg
+"""
+
+QUERIES["context_window_waste"] = (_context_window_waste, _CTX_SQL)

@@ -681,3 +681,112 @@ FROM c{WZ_ROUNDS}""")
 
 QUERIES["geometric_median_weiszfeld"] = (geometric_median_weiszfeld,
                                          _weiszfeld_sql())
+
+
+# --------------------------------------------------------------------
+# rich_club_coefficient (round 9)
+# --------------------------------------------------------------------
+_RC_KS = (4, 8, 16)
+
+
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the radius proximity graph: for each
+    degree threshold k, φ(k) = E_k / (n_k·(n_k−1)/2) where n_k counts
+    nodes of degree > k and E_k the undirected edges among them — do
+    high-degree nodes preferentially interconnect (the hub-density
+    question routing/backbone planning asks of any graph).
+
+    Exact integers throughout: the directed edge list from the
+    density-bounded grid probe (module doc) contains BOTH directions
+    of every undirected pair, so deg(u) is a directed out-count and
+    φ_e6 = (1e6·directed_k) div (n_k·(n_k−1)).
+
+    Scale: edge generation is the near-linear blocked probe; degrees
+    are one keyed aggregate; the threshold pass joins edges to the
+    degree table on each endpoint (two shuffles on node id) and one
+    conditional aggregate emits all thresholds in a single pass.
+    """
+    pts = _points(spark, sf_dir).select(
+        "event_id", "x", "y",
+        F.expr(f"x div {SP_CELL}").alias("cx"),
+        F.expr(f"y div {SP_CELL}").alias("cy"))
+    probe = pts.select(
+        "event_id", "x", "y",
+        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))
+         .alias("cx"), "cy").select(
+        "event_id", "x", "y", "cx",
+        F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)]))
+         .alias("cy"))
+    a, b = probe.alias("a"), pts.alias("b")
+    edges = (a.join(b, ["cx", "cy"])
+             .where((F.col("a.event_id") != F.col("b.event_id"))
+                    & ((F.col("a.x") - F.col("b.x"))
+                       * (F.col("a.x") - F.col("b.x"))
+                       + (F.col("a.y") - F.col("b.y"))
+                       * (F.col("a.y") - F.col("b.y")) <= SP_R2))
+             .select(F.col("a.event_id").alias("u"),
+                     F.col("b.event_id").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+    ed = (edges.join(deg, "u")
+          .join(deg.select(F.col("u").alias("v"),
+                           F.col("du").alias("dv")), "v"))
+    ecnt = ed.agg(*[
+        F.sum(F.expr(f"CASE WHEN du > {k} AND dv > {k} THEN 1 ELSE 0 END"))
+         .cast("long").alias(f"e{k}") for k in _RC_KS])
+    ncnt = deg.agg(*[
+        F.sum(F.expr(f"CASE WHEN du > {k} THEN 1 ELSE 0 END"))
+         .cast("long").alias(f"n{k}") for k in _RC_KS])
+    rows = ", ".join(
+        f"{k}, n{k}, e{k} div 2, CASE WHEN n{k} >= 2 THEN"
+        f" (1000000 * e{k}) div (n{k} * (n{k} - 1)) ELSE 0 END"
+        for k in _RC_KS)
+    return (ecnt.crossJoin(F.broadcast(ncnt))
+            .select(F.expr(f"stack({len(_RC_KS)}, {rows})")
+                    .alias("k", "n_nodes", "n_edges", "phi_e6"))
+            .select(F.col("k").cast("long").alias("k"),
+                    "n_nodes", "n_edges", "phi_e6"))
+
+
+def _rich_club_sql() -> str:
+    parts = []
+    for k in _RC_KS:
+        nk = (f"(SELECT CAST(sum(CASE WHEN du > {k} THEN 1 ELSE 0 END)"
+              f" AS BIGINT) FROM deg)")
+        ek = (f"CAST(sum(CASE WHEN du > {k} AND dv > {k} THEN 1 ELSE 0"
+              f" END) AS BIGINT)")
+        parts.append(f"""
+SELECT CAST({k} AS BIGINT) AS k,
+       {nk} AS n_nodes,
+       {ek} // 2 AS n_edges,
+       CAST(CASE WHEN {nk} >= 2
+            THEN (1000000 * {ek}) // ({nk} * ({nk} - 1))
+            ELSE 0 END AS BIGINT) AS phi_e6
+FROM ed""")
+    return f"""
+WITH pts AS (
+  SELECT event_id, x, y, x // {SP_CELL} AS cx, y // {SP_CELL} AS cy
+  FROM ({_POINTS_SQL})
+),
+probe AS (
+  SELECT event_id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+  FROM pts, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+),
+edges AS MATERIALIZED (
+  SELECT a.event_id AS u, b.event_id AS v
+  FROM probe a JOIN pts b USING (cx, cy)
+  WHERE a.event_id <> b.event_id
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SP_R2}
+),
+deg AS MATERIALIZED (
+  SELECT u, count(*) AS du FROM edges GROUP BY u
+),
+ed AS (
+  SELECT e.u, e.v, d1.du AS du, d2.du AS dv
+  FROM edges e JOIN deg d1 ON e.u = d1.u JOIN deg d2 ON e.v = d2.u
+)
+{" UNION ALL ".join(parts)}
+"""
+
+
+QUERIES["rich_club_coefficient"] = (rich_club_coefficient,
+                                    _rich_club_sql())

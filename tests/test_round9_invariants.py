@@ -143,3 +143,50 @@ def test_jackknife_variance_is_nonnegative_and_centered(spark):
     assert r["jk_var_e6"] >= 0
     # leave-one-group-out mean stays near the full mean (e3 units)
     assert abs(r["theta_jk_e3"] - r["theta_e3"]) < 50_000
+
+
+def test_epsilon_greedy_replay_is_consistent(spark):
+    from alma_publish_to_marc_spark.plans.posttrain_queries import (
+        _EG_T, _epsilon_greedy_replay,
+    )
+
+    r = _epsilon_greedy_replay(spark, SF).collect()[0]
+    assert 0 < r["n_steps"] <= _EG_T
+    # ~1/5 of steps match a 5-arm policy against a logged stream
+    assert 0 < r["matched"] <= r["n_steps"]
+    assert 0 <= r["cum_reward"] <= r["matched"]
+    assert 1 <= r["best_arm"] <= 5
+    assert 0 <= r["best_mean_e6"] <= 1_000_000
+
+
+def test_context_window_waste_is_monotone(spark):
+    from alma_publish_to_marc_spark.plans.posttrain_queries import (
+        _context_window_waste,
+    )
+
+    rows = sorted(_context_window_waste(spark, SF).collect(),
+                  key=lambda r: r["w"])
+    for a, b in zip(rows, rows[1:]):
+        # larger windows truncate fewer docs, waste fewer tokens,
+        # and run emptier
+        assert a["docs_truncated"] >= b["docs_truncated"]
+        assert a["tokens_kept"] <= b["tokens_kept"]
+        assert a["fill_e6"] >= b["fill_e6"]
+        assert a["tokens_total"] == b["tokens_total"]
+
+
+def test_rich_club_is_denser_than_graph_average(spark):
+    from alma_publish_to_marc_spark.plans.spatial_queries import (
+        rich_club_coefficient,
+    )
+
+    rows = sorted(rich_club_coefficient(spark, SF).collect(),
+                  key=lambda r: r["k"])
+    assert rows
+    for r in rows:
+        assert 0 <= r["phi_e6"] <= 1_000_000
+        if r["n_nodes"] >= 2:
+            assert r["n_edges"] <= r["n_nodes"] * (r["n_nodes"] - 1) // 2
+    # club membership shrinks as the threshold rises
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_nodes"] >= b["n_nodes"]
