@@ -190,3 +190,61 @@ def test_rich_club_is_denser_than_graph_average(spark):
     # club membership shrinks as the threshold rises
     for a, b in zip(rows, rows[1:]):
         assert a["n_nodes"] >= b["n_nodes"]
+
+
+def test_smd_detects_spend_imbalance(spark):
+    from alma_publish_to_marc_spark.plans.weighting_queries import (
+        _covariate_balance_smd,
+    )
+
+    rows = {r["covariate"]: r
+            for r in _covariate_balance_smd(spark, SF).collect()}
+    assert set(rows) == {"bal", "spend"}
+    for r in rows.values():
+        assert r["n1"] > 0 and r["n0"] > 0
+    # treatment is DEFINED by order count, so spend must be imbalanced
+    # (treated spend strictly higher), while balance is independent
+    assert rows["spend"]["smd_e6"] > 500_000
+    assert abs(rows["bal"]["smd_e6"]) < abs(rows["spend"]["smd_e6"])
+
+
+def test_skew_kurtosis_of_uniformish_values(spark):
+    from alma_publish_to_marc_spark.plans.weighting_queries import (
+        _skewness_kurtosis_profile,
+    )
+
+    rows = _skewness_kurtosis_profile(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # driver values are bounded -> no extreme shape stats
+        assert abs(r["skew_e6"]) < 5_000_000
+        assert -3_000_000 <= r["ex_kurtosis_e6"] < 20_000_000
+
+
+def test_ltv_projection_dominates_observed(spark):
+    from alma_publish_to_marc_spark.plans.weighting_queries import (
+        _ltv_cohort_projection,
+    )
+
+    rows = _ltv_cohort_projection(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_users"] > 0
+        assert 0 <= r["decay_e6"] <= 950_000
+        assert r["ltv_proj_rpu_c"] >= r["observed_rpu_c"]
+
+
+def test_median_polish_centers_rows_and_columns(spark):
+    from alma_publish_to_marc_spark.plans.weighting_queries import (
+        _median_polish_residuals,
+    )
+
+    rows = _median_polish_residuals(spark, SF).collect()
+    assert rows
+    # after the final column sweep, every column's lower median is 0
+    by_nat: dict = {}
+    for r in rows:
+        by_nat.setdefault(r["nat"], []).append(r["residual_u"])
+    for vals in by_nat.values():
+        vals.sort()
+        assert vals[(len(vals) + 1) // 2 - 1] == 0
