@@ -916,3 +916,71 @@ FROM ranked WHERE rnk <= {_CM_TOPK}
 
 QUERIES["audio_constellation_match"] = (_audio_constellation_match,
                                         _cm_sql())
+
+
+# ---------------------------------------------------------------------------
+# modality_mix_budget (round 9)
+# ---------------------------------------------------------------------------
+_MIX_TOKEN_RATE = {"jpeg": 170, "png": 170, "wav": 320}  # bytes/token-equiv
+
+
+def _modality_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture budget per modality: each media format's
+    byte volume converts to TOKEN-EQUIVALENTS at its modality's
+    bytes-per-token rate (image patches ≈ 170 B/token, audio frames ≈
+    320 B/token — fixed planner constants), and the realized token
+    share is compared against a uniform per-format target. The gap
+    (over/under budget, e6) is what a mixture scheduler up- or
+    down-samples by — the multimodal sibling of
+    ``domain_mixture_weights``.
+
+    Scale: one metadata scan (bytes come from payload length — no
+    decode), one keyed aggregate to the ≤3-format table, broadcast
+    1-row total. Exact integers throughout.
+    """
+    rate = " ".join(f"WHEN '{k}' THEN {v}"
+                    for k, v in sorted(_MIX_TOKEN_RATE.items()))
+    md = _metadata(spark, sf_dir).select(
+        "media_format", "n_bytes",
+        F.expr(f"cast(n_bytes as bigint) div"
+               f" (CASE media_format {rate} END)").alias("tok"))
+    per = (md.groupBy("media_format")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_bytes").cast("long").alias("bytes_total"),
+                F.sum("tok").cast("long").alias("token_equiv")))
+    tot = per.agg(F.sum("token_equiv").alias("t"),
+                  F.count(F.lit(1)).alias("nf"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("media_format", "n_docs", "bytes_total", "token_equiv",
+                    F.expr("(1000000 * token_equiv) div t")
+                     .alias("share_e6"),
+                    F.expr("(1000000 * token_equiv) div t"
+                           " - 1000000 div nf").alias("vs_uniform_e6")))
+
+
+def _mix_sql() -> str:
+    rate = " ".join(f"WHEN '{k}' THEN {v}"
+                    for k, v in sorted(_MIX_TOKEN_RATE.items()))
+    return f"""
+WITH md AS (
+  SELECT media_format, n_bytes,
+         CAST(n_bytes AS BIGINT) // (CASE media_format {rate} END) AS tok
+  FROM ({_METADATA_SQL})
+),
+per AS (
+  SELECT media_format, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bytes) AS BIGINT) AS bytes_total,
+         CAST(sum(tok) AS BIGINT) AS token_equiv
+  FROM md GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(token_equiv) AS BIGINT) AS t, count(*) AS nf FROM per
+)
+SELECT media_format, n_docs, bytes_total, token_equiv,
+       (1000000 * token_equiv) // t AS share_e6,
+       (1000000 * token_equiv) // t - 1000000 // nf AS vs_uniform_e6
+FROM per, tot
+"""
+
+
+QUERIES["modality_mix_budget"] = (_modality_mix_budget, _mix_sql())

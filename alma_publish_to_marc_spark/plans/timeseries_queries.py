@@ -2707,3 +2707,119 @@ FROM ({parts})
 
 QUERIES["forecast_model_bakeoff"] = (_forecast_model_bakeoff,
                                      _bakeoff_sql())
+
+
+# ---------------------------------------------------------------------------
+# theta_method_forecast (round 9)
+# ---------------------------------------------------------------------------
+_TH_H = 7          # forecast horizon (days)
+_TH_ALPHA_DEN = 5  # SES alpha = 1/5
+
+
+def _theta_method_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (the M3-competition winner, in its
+    classic two-line form) of the daily MEAN event value: the θ=0
+    line is the exact-integer least-squares trend over day indices
+    (scale-invariant: daily means stay bounded at any corpus size);
+    the θ=2 line (2y − trend) is smoothed by SES with α=1/{_TH_ALPHA_DEN}
+    as an integer e3 fold (s ← s + (y₂−s) div {_TH_ALPHA_DEN}, single
+    LIST accumulator); the h-step forecast is the average of the
+    extrapolated trend and the SES level. Output: h = 1..{_TH_H} rows.
+
+    Determinism: the regression is exact integer normal equations
+    (indices ≤ span days, means ≤ value range — int64 headroom at any
+    sf); the trend evaluates as a two-term integer rational with one
+    final division; the fold is signed integer truncation (matches
+    across engines, measured r8).
+
+    Scale: one keyed shuffle to the calendar-bounded day table; the
+    regression is a 1-row aggregate; the fold runs over the bounded
+    day spine fed by an aggregate (passes the bounded-feeder gate).
+    """
+    day = (load(spark, sf_dir, "events")
+           .select(F.expr("unix_micros(cast(ts as timestamp))"
+                          " div 86400000000").alias("d"),
+                   F.expr("cast(round(value * 100, 0) as bigint)")
+                    .alias("c"))
+           .groupBy("d")
+           .agg(F.expr("sum(c) div count(1)").alias("y")))
+    base = day.agg(F.min("d").alias("d0"))
+    idx = (day.crossJoin(F.broadcast(base))
+           .select((F.col("d") - F.col("d0")).alias("x"), "y"))
+    reg = idx.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"), F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"), F.max("x").alias("tmax"))
+    # trend_e3(t) = 1000*(intercept + slope*t) as ONE integer rational:
+    # ((sy*sxx - sx*sxy) + (n*sxy - sx*sy)*t) * 1000 div (n*sxx - sx*sx)
+    tr = ("(((sy * sxx - sx * sxy) + (n * sxy - sx * sy) * {t})"
+          " * 1000) div (n * sxx - sx * sx)")
+    y2 = (idx.crossJoin(F.broadcast(reg))
+          .select("x", F.expr("2000 * y - " + tr.format(t="x"))
+                  .alias("y2")))
+    fold = f"""
+      aggregate(
+        sort_array(collect_list(struct(x, y2))),
+        array(cast(0 as bigint), cast(0 as bigint)),
+        (acc, e) -> CASE WHEN acc[0] = 0
+          THEN array(cast(1 as bigint), e.y2)
+          ELSE array(cast(1 as bigint),
+                     acc[1] + (e.y2 - acc[1]) div {_TH_ALPHA_DEN})
+          END)
+    """
+    ses = y2.agg(F.expr(fold).alias("s")).select(
+        F.expr("s[1]").alias("ses_e3"))
+    return (spark.range(1, _TH_H + 1).select(F.col("id").alias("h"))
+            .crossJoin(F.broadcast(reg)).crossJoin(F.broadcast(ses))
+            .select("h",
+                    F.expr(tr.format(t="(tmax + h)")).alias("trend_e3"),
+                    "ses_e3",
+                    F.expr("(" + tr.format(t="(tmax + h)")
+                           + " + ses_e3) div 2").alias("forecast_e3")))
+
+
+def _theta_sql() -> str:
+    tr = ("(((sy * sxx - sx * sxy) + (n * sxy - sx * sy) * {t})"
+          " * 1000) // (n * sxx - sx * sx)")
+    return f"""
+WITH day AS (
+  SELECT epoch_us(ts) // 86400000000 AS d,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           // count(*) AS y
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT d - (SELECT min(d) FROM day) AS x, y FROM day
+),
+reg AS (
+  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         max(x) AS tmax
+  FROM idx
+),
+y2 AS (
+  SELECT i.x, 2000 * i.y - {tr.format(t="i.x")} AS y2
+  FROM idx i, reg
+),
+ses AS (
+  SELECT list_reduce(
+           list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                        list([CAST(x AS BIGINT), y2] ORDER BY x)),
+           (acc, e) -> CASE WHEN acc[1] = 0
+             THEN [CAST(1 AS BIGINT), e[2]]
+             ELSE [CAST(1 AS BIGINT),
+                   acc[2] + (e[2] - acc[2]) // {_TH_ALPHA_DEN}]
+             END)[2] AS ses_e3
+  FROM y2
+)
+SELECT CAST(h AS BIGINT) AS h,
+       {tr.format(t="(tmax + h)")} AS trend_e3,
+       ses_e3,
+       ({tr.format(t="(tmax + h)")} + ses_e3) // 2 AS forecast_e3
+FROM (SELECT unnest(range(1, {_TH_H + 1})) AS h) hh, reg, ses
+"""
+
+
+QUERIES["theta_method_forecast"] = (_theta_method_forecast, _theta_sql())

@@ -248,3 +248,35 @@ def test_median_polish_centers_rows_and_columns(spark):
     for vals in by_nat.values():
         vals.sort()
         assert vals[(len(vals) + 1) // 2 - 1] == 0
+
+
+def test_modality_mix_shares_sum_to_one(spark):
+    from alma_publish_to_marc_spark.multimodal.multimodal_queries import (
+        _modality_mix_budget,
+    )
+
+    rows = _modality_mix_budget(spark, SF).collect()
+    assert {r["media_format"] for r in rows} == {"jpeg", "png", "wav"}
+    tot = sum(r["share_e6"] for r in rows)
+    assert 999_997 <= tot <= 1_000_000  # floor slack < 1 per format
+    for r in rows:
+        assert r["token_equiv"] <= r["bytes_total"]
+        assert r["vs_uniform_e6"] == r["share_e6"] - 1_000_000 // 3
+
+
+def test_theta_forecast_blends_trend_and_level(spark):
+    from alma_publish_to_marc_spark.plans.timeseries_queries import (
+        _TH_H, _theta_method_forecast,
+    )
+
+    rows = sorted(_theta_method_forecast(spark, SF).collect(),
+                  key=lambda r: r["h"])
+    assert [r["h"] for r in rows] == list(range(1, _TH_H + 1))
+    for r in rows:
+        lo = min(r["trend_e3"], r["ses_e3"])
+        hi = max(r["trend_e3"], r["ses_e3"])
+        assert lo - 1 <= r["forecast_e3"] <= hi + 1
+    # ses level is constant across horizons; trend moves monotonically
+    assert len({r["ses_e3"] for r in rows}) == 1
+    diffs = [b["trend_e3"] - a["trend_e3"] for a, b in zip(rows, rows[1:])]
+    assert all(d * diffs[0] >= 0 for d in diffs)
