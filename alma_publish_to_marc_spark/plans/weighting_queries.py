@@ -90,7 +90,6 @@ def _raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ipf_sql() -> str:
-    steps = []
     prev = "w0"
     ctes = [f"""cells AS (
   SELECT c_mktsegment AS seg, c_nationkey AS nat, count(*) AS cnt
@@ -115,7 +114,6 @@ def _ipf_sql() -> str:
   FROM {prev} p JOIN m{i} m USING ({margin})
 )""")
             prev = f"w{i}"
-            steps.append(i)
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT seg, nat, cnt, w AS w_e6 FROM {prev}")
 
