@@ -576,3 +576,155 @@ FROM agg
 """
 
 QUERIES["context_window_waste"] = (_context_window_waste, _CTX_SQL)
+
+
+# ---------------------------------------------------------------------------
+# moe_router_balance
+# ---------------------------------------------------------------------------
+_MOE_EXPERTS = 8
+
+
+def _moe_router_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoE router load-balance audit: documents route to
+    {_MOE_EXPERTS} experts by content hash (the deterministic stand-in
+    for an argmax router); per expert, the dispatch fraction f_e
+    (token-weighted) and probability mass P_e (byte-weighted proxy)
+    feed the switch-transformer auxiliary loss
+    L_aux = E·Σ f_e·P_e — reported at e6 alongside each expert's load,
+    plus the max/mean load imbalance the capacity factor must absorb.
+    Exact integers end-to-end (shares are integer e6 quotients; the
+    loss is a sum of ≤{_MOE_EXPERTS} e6-share products).
+
+    Scale: one scan → one keyed aggregate to the {_MOE_EXPERTS}-row
+    expert table → bounded-panel algebra with a broadcast 1-row total.
+    """
+    toks = "size(filter(split(text, ' '), t -> t <> ''))"
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(f"cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint)"
+               f" % {_MOE_EXPERTS}").alias("expert"),
+        F.expr(f"cast({toks} as bigint)").alias("tok"),
+        F.expr("cast(n_chars as bigint)").alias("b"))
+    per = (d.groupBy("expert")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("tok").cast("long").alias("toks"),
+                F.sum("b").cast("long").alias("bytes")))
+    tot = per.agg(F.sum("toks").alias("tt"), F.sum("bytes").alias("tb"),
+                  F.sum(F.lit(1)).alias("ne"))
+    sh = (per.crossJoin(F.broadcast(tot))
+          .select("expert", "n_docs", "toks",
+                  F.expr("(1000000 * toks) div tt").alias("f_e6"),
+                  F.expr("(1000000 * bytes) div tb").alias("p_e6")))
+    loss = sh.agg(
+        F.expr(f"cast({_MOE_EXPERTS} * sum(f_e6 * p_e6) div 1000000"
+               " as bigint)").alias("aux_loss_e6"),
+        F.expr("max(f_e6)").alias("max_f_e6"))
+    return (sh.crossJoin(F.broadcast(loss))
+            .select("expert", "n_docs", "toks", "f_e6", "p_e6",
+                    "aux_loss_e6",
+                    F.expr(f"(max_f_e6 * {_MOE_EXPERTS})")
+                     .alias("capacity_factor_e6")))
+
+
+_MOE_SQL = f"""
+WITH d AS (
+  SELECT CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)
+           % {_MOE_EXPERTS} AS expert,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS tok,
+         CAST(n_chars AS BIGINT) AS b
+  FROM documents
+),
+per AS (
+  SELECT expert, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS toks,
+         CAST(sum(b) AS BIGINT) AS bytes
+  FROM d GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(toks) AS BIGINT) AS tt,
+         CAST(sum(bytes) AS BIGINT) AS tb,
+         count(*) AS ne
+  FROM per
+),
+sh AS (
+  SELECT expert, n_docs, toks,
+         (1000000 * toks) // tt AS f_e6,
+         (1000000 * bytes) // tb AS p_e6
+  FROM per, tot
+),
+loss AS (
+  SELECT CAST({_MOE_EXPERTS} * CAST(sum(f_e6 * p_e6) AS BIGINT)
+              // 1000000 AS BIGINT) AS aux_loss_e6,
+         max(f_e6) AS max_f_e6
+  FROM sh
+)
+SELECT expert, n_docs, toks, f_e6, p_e6, aux_loss_e6,
+       (max_f_e6 * {_MOE_EXPERTS}) AS capacity_factor_e6
+FROM sh, loss
+"""
+
+QUERIES["moe_router_balance"] = (_moe_router_balance, _MOE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint_interval_daly
+# ---------------------------------------------------------------------------
+_CKPT_COST_S = 120  # checkpoint write cost (seconds)
+
+
+def _checkpoint_interval_daly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Young/Daly optimal checkpoint interval from MEASURED failure
+    data: MTBF = mean interarrival of 'error' events (exact integer
+    seconds from epoch micros), T_opt = sqrt(2·C·MTBF) with
+    C = {_CKPT_COST_S}s — the knob every long training run sets, here
+    derived from the event stream instead of a guess. Also reports the
+    expected overhead fraction C/T_opt + T_opt/(2·MTBF) at e6 (both
+    terms integer-floored from one sqrt expression each).
+
+    Scale: one filtered scan (predicate pushed to parquet) → a global
+    1-row aggregate; interarrival mean needs only min/max/count (the
+    telescoping identity Σ(tᵢ−tᵢ₋₁) = t_max − t_min), so no window at
+    all.
+    """
+    err = (load(spark, sf_dir, "events")
+           .where(F.col("event_type") == "error")
+           .select(F.expr("unix_micros(cast(ts as timestamp))"
+                          " div 1000000").alias("s")))
+    agg = err.agg(F.count(F.lit(1)).alias("n"),
+                  F.min("s").alias("lo"), F.max("s").alias("hi"))
+    topt = f"sqrt(2.0 * {_CKPT_COST_S} * cast(mtbf_s as double))"
+    return (agg.select(F.col("n").cast("long").alias("n_failures"),
+                       F.expr("(hi - lo) div (n - 1)").alias("mtbf_s"))
+            .select("n_failures", "mtbf_s",
+                    F.expr(f"cast(floor({topt}) as bigint)")
+                     .alias("t_opt_s"),
+                    F.expr(f"cast(floor(1000000 * ({_CKPT_COST_S}"
+                           f" / {topt} + {topt} / (2.0 * mtbf_s)))"
+                           " as bigint)").alias("overhead_e6")))
+
+
+_CKPT_SQL = f"""
+WITH err AS (
+  SELECT epoch_us(ts) // 1000000 AS s FROM events
+  WHERE event_type = 'error'
+),
+agg AS (
+  SELECT count(*) AS n, min(s) AS lo, max(s) AS hi FROM err
+),
+m AS (
+  SELECT CAST(n AS BIGINT) AS n_failures,
+         (hi - lo) // (n - 1) AS mtbf_s
+  FROM agg
+)
+SELECT n_failures, mtbf_s,
+       CAST(floor(sqrt(2.0 * {_CKPT_COST_S} * CAST(mtbf_s AS DOUBLE)))
+            AS BIGINT) AS t_opt_s,
+       CAST(floor(1000000 * ({_CKPT_COST_S}
+            / sqrt(2.0 * {_CKPT_COST_S} * CAST(mtbf_s AS DOUBLE))
+            + sqrt(2.0 * {_CKPT_COST_S} * CAST(mtbf_s AS DOUBLE))
+              / (2.0 * mtbf_s))) AS BIGINT) AS overhead_e6
+FROM m
+"""
+
+QUERIES["checkpoint_interval_daly"] = (_checkpoint_interval_daly,
+                                       _CKPT_SQL)

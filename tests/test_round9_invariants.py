@@ -280,3 +280,32 @@ def test_theta_forecast_blends_trend_and_level(spark):
     assert len({r["ses_e3"] for r in rows}) == 1
     diffs = [b["trend_e3"] - a["trend_e3"] for a, b in zip(rows, rows[1:])]
     assert all(d * diffs[0] >= 0 for d in diffs)
+
+
+def test_moe_balance_shares_and_loss(spark):
+    from alma_publish_to_marc_spark.plans.posttrain_queries import (
+        _MOE_EXPERTS, _moe_router_balance,
+    )
+
+    rows = _moe_router_balance(spark, SF).collect()
+    assert len(rows) == _MOE_EXPERTS
+    f_tot = sum(r["f_e6"] for r in rows)
+    assert 1_000_000 - _MOE_EXPERTS <= f_tot <= 1_000_000
+    loss = rows[0]["aux_loss_e6"]
+    assert all(r["aux_loss_e6"] == loss for r in rows)
+    # L_aux is minimized at 1.0 under perfect balance; hash routing is
+    # near-uniform so it should sit just above 1e6
+    assert 990_000 <= loss <= 1_300_000
+    assert rows[0]["capacity_factor_e6"] >= 1_000_000
+
+
+def test_checkpoint_interval_is_dalyish(spark):
+    from alma_publish_to_marc_spark.plans.posttrain_queries import (
+        _CKPT_COST_S, _checkpoint_interval_daly,
+    )
+
+    r = _checkpoint_interval_daly(spark, SF).collect()[0]
+    assert r["n_failures"] > 1 and r["mtbf_s"] > 0
+    t = (2 * _CKPT_COST_S * r["mtbf_s"]) ** 0.5
+    assert abs(r["t_opt_s"] - int(t)) <= 1
+    assert 0 < r["overhead_e6"] < 2_000_000
