@@ -39,7 +39,7 @@ def capture(spark, names=None) -> dict:
     import explain_audit
     from alma_publish_to_marc_spark import registry
 
-    core = names or bench.HEADLINE[:bench.CORE_16]
+    core = names or bench.HEADLINE  # all headliners (was core-16 only)
     qs = registry.queries()
     out = {}
     for name in core:
