@@ -660,3 +660,70 @@ def _median_polish_sql() -> str:
 
 QUERIES["median_polish_residuals"] = (_median_polish_residuals,
                                       _median_polish_sql())
+
+
+# ---------------------------------------------------------------------------
+# mean_excess_curve
+# ---------------------------------------------------------------------------
+_MEC_SIXTEENTHS = (8, 10, 12, 14)  # thresholds as k/16 of the max
+
+
+def _mean_excess_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-excess (mean-residual-life) curve — the EVT diagnostic that
+    decides whether a spend tail is generalized-Pareto (linear e(u)),
+    exponential (flat), or bounded (decreasing): for thresholds
+    u = k/16 of the observed max price (data-derived, the CLAUDE.md
+    derive-from-data rule), e(u) = mean of (x − u | x > u) as an exact
+    integer quotient, with the exceedance count. The companion
+    estimator to ``hill_tail_index``.
+
+    Scale: one 1-row max aggregate broadcast onto the scan, a constant
+    ×{len(_MEC_SIXTEENTHS)} threshold explode, one map-side-combinable
+    aggregate; bounded output.
+    """
+    ks = ", ".join(str(k) for k in _MEC_SIXTEENTHS)
+    mx = (load(spark, sf_dir, "orders")
+          .agg(F.expr("max(cast(round(o_totalprice * 100, 0) as bigint))")
+               .alias("mx")))
+    d = (load(spark, sf_dir, "orders")
+         .select(F.expr("cast(round(o_totalprice * 100, 0) as bigint)")
+                 .alias("c"))
+         .crossJoin(F.broadcast(mx))
+         .select("c", F.explode(F.expr(f"array({ks})")).alias("k"),
+                 "mx")
+         .select("c", "k", F.expr("(mx * k) div 16").alias("u")))
+    return (d.groupBy("k", "u")
+            .agg(F.sum(F.expr("CASE WHEN c > u THEN 1 ELSE 0 END"))
+                  .cast("long").alias("n_exceed"),
+                 F.expr("CASE WHEN sum(CASE WHEN c > u THEN 1 ELSE 0 END)"
+                        " > 0 THEN sum(CASE WHEN c > u THEN c - u ELSE 0"
+                        " END) div sum(CASE WHEN c > u THEN 1 ELSE 0 END)"
+                        " ELSE 0 END").alias("mean_excess_c"))
+            .select(F.col("k").cast("long").alias("k16"), "u",
+                    "n_exceed", "mean_excess_c"))
+
+
+_MEC_SQL = f"""
+WITH mx AS (
+  SELECT max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS mx
+  FROM orders
+),
+d AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+         unnest([{", ".join(str(k) for k in _MEC_SIXTEENTHS)}]) AS k,
+         mx.mx AS mx
+  FROM orders, mx
+),
+t AS (
+  SELECT c, k, (mx * k) // 16 AS u FROM d
+)
+SELECT CAST(k AS BIGINT) AS k16, u,
+       CAST(sum(CASE WHEN c > u THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+       CASE WHEN CAST(sum(CASE WHEN c > u THEN 1 ELSE 0 END) AS BIGINT) > 0
+            THEN CAST(sum(CASE WHEN c > u THEN c - u ELSE 0 END) AS BIGINT)
+                 // CAST(sum(CASE WHEN c > u THEN 1 ELSE 0 END) AS BIGINT)
+            ELSE 0 END AS mean_excess_c
+FROM t GROUP BY 1, 2
+"""
+
+QUERIES["mean_excess_curve"] = (_mean_excess_curve, _MEC_SQL)

@@ -309,3 +309,20 @@ def test_checkpoint_interval_is_dalyish(spark):
     t = (2 * _CKPT_COST_S * r["mtbf_s"]) ** 0.5
     assert abs(r["t_opt_s"] - int(t)) <= 1
     assert 0 < r["overhead_e6"] < 2_000_000
+
+
+def test_mean_excess_curve_shrinks_toward_max(spark):
+    from alma_publish_to_marc_spark.plans.weighting_queries import (
+        _mean_excess_curve,
+    )
+
+    rows = sorted(_mean_excess_curve(spark, SF).collect(),
+                  key=lambda r: r["k16"])
+    assert [r["k16"] for r in rows] == [8, 10, 12, 14]
+    for a, b in zip(rows, rows[1:]):
+        # higher thresholds -> fewer exceedances
+        assert a["n_exceed"] >= b["n_exceed"]
+        assert a["u"] < b["u"]
+    for r in rows:
+        # excess can never exceed the remaining headroom to the max
+        assert 0 <= r["mean_excess_c"] <= rows[-1]["u"] * 2
