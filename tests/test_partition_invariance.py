@@ -34,6 +34,12 @@ KEYS = (
     "winsorized_stats",             # round(sum(int)/n, 4)
     "anova_eta_squared",            # group-sorted float fold
     "kalman_filter_1d",             # integer LIST fold over day spine
+    # ordering-sensitive folds: invariance fails if a sort_array/ORDER
+    # BY ever falls off a collect_list feeding a sequential fold
+    "gae_advantage_fold",
+    "epsilon_greedy_replay",
+    "theta_method_forecast",
+    "raking_ipf_weights",           # persisted-cells iteration
 )
 
 
