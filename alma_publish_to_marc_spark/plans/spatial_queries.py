@@ -790,3 +790,111 @@ ed AS (
 
 QUERIES["rich_club_coefficient"] = (rich_club_coefficient,
                                     _rich_club_sql())
+
+
+# --------------------------------------------------------------------
+# percolation_radius_sweep (round 9)
+# --------------------------------------------------------------------
+_PC_R = (4, 8, 12, 16)   # sweep radii (all <= SP_CELL, so ONE probe)
+
+
+def percolation_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connectivity onset of the random point cloud: for each radius
+    r ≤ SP_CELL, the proximity graph's edge count, isolated-node share
+    (e6), and mean degree — the percolation sweep that locates the
+    critical density where a giant component forms (mean degree ≈ 4.5
+    for 2-D continuum percolation). One 3×3 cell probe at cell edge
+    SP_CELL serves EVERY radius (all sweep radii fit inside it), so
+    the sweep costs one blocked join + conditional aggregates, not one
+    join per radius.
+
+    Scale: same density-bounded probe as grid_neighbor_join
+    (near-linear at any corpus size via the derived side); per-radius
+    degrees are one map-side-combinable conditional aggregate keyed on
+    the point id; output is |_PC_R| rows.
+    """
+    pts = _points(spark, sf_dir).select(
+        "event_id", "x", "y",
+        F.expr(f"x div {SP_CELL}").alias("cx"),
+        F.expr(f"y div {SP_CELL}").alias("cy"))
+    probe = pts.select(
+        "event_id", "x", "y",
+        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))
+         .alias("cx"), "cy").select(
+        "event_id", "x", "y", "cx",
+        F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)]))
+         .alias("cy"))
+    a, b = probe.alias("a"), pts.alias("b")
+    dd = ((F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+          + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y")))
+    cand = (a.join(b, ["cx", "cy"])
+            .where((F.col("a.event_id") != F.col("b.event_id"))
+                   & (dd <= SP_R2))
+            .select(F.col("a.event_id").alias("u"), dd.alias("dd")))
+    deg = cand.groupBy("u").agg(*[
+        F.sum(F.expr(f"CASE WHEN dd <= {r * r} THEN 1 ELSE 0 END"))
+         .alias(f"d{r}") for r in _PC_R])
+    full = (pts.select("event_id")
+            .join(deg, pts.event_id == deg.u, "left"))
+    n_pts = F.count(F.lit(1))
+    aggs = []
+    for r in _PC_R:
+        d = F.coalesce(F.col(f"d{r}"), F.lit(0))
+        aggs += [F.sum(d).alias(f"e{r}"),
+                 F.sum(F.when(d == 0, 1).otherwise(0)).alias(f"i{r}")]
+    row = full.agg(n_pts.alias("n"), *aggs)
+    rows = ", ".join(
+        f"{r}, e{r} div 2, (1000000 * i{r}) div n,"
+        f" (1000000 * e{r}) div n" for r in _PC_R)
+    return (row.select(F.expr(f"stack({len(_PC_R)}, {rows})")
+                       .alias("radius", "n_edges", "isolated_share_e6",
+                              "mean_degree_e6"))
+            .select(F.col("radius").cast("long").alias("radius"),
+                    F.col("n_edges").cast("long").alias("n_edges"),
+                    "isolated_share_e6", "mean_degree_e6"))
+
+
+def _percolation_sql() -> str:
+    sel = []
+    for r in _PC_R:
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS radius,"
+            f" CAST(sum(d{r}) AS BIGINT) // 2 AS n_edges,"
+            f" (1000000 * CAST(sum(CASE WHEN d{r} = 0 THEN 1 ELSE 0 END)"
+            f" AS BIGINT)) // count(*) AS isolated_share_e6,"
+            f" (1000000 * CAST(sum(d{r}) AS BIGINT)) // count(*)"
+            f" AS mean_degree_e6 FROM alldeg")
+    degs = ", ".join(
+        f"CAST(sum(CASE WHEN dd <= {r * r} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS d{r}" for r in _PC_R)
+    zeros = ", ".join(f"coalesce(d.d{r}, 0) AS d{r}" for r in _PC_R)
+    return f"""
+WITH pts AS (
+  SELECT event_id, x, y, x // {SP_CELL} AS cx, y // {SP_CELL} AS cy
+  FROM ({_POINTS_SQL})
+),
+probe AS (
+  SELECT event_id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+  FROM pts, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+),
+cand AS (
+  SELECT a.event_id AS u,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dd
+  FROM probe a JOIN pts b USING (cx, cy)
+  WHERE a.event_id <> b.event_id
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {SP_R2}
+),
+deg AS (
+  SELECT u, {degs} FROM cand GROUP BY u
+),
+alldeg AS (
+  SELECT p.event_id, {zeros}
+  FROM pts p LEFT JOIN deg d ON p.event_id = d.u
+)
+{" UNION ALL ".join(sel)}
+"""
+
+
+QUERIES["percolation_radius_sweep"] = (percolation_radius_sweep,
+                                       _percolation_sql())

@@ -326,3 +326,23 @@ def test_mean_excess_curve_shrinks_toward_max(spark):
     for r in rows:
         # excess can never exceed the remaining headroom to the max
         assert 0 <= r["mean_excess_c"] <= rows[-1]["u"] * 2
+
+
+def test_percolation_sweep_is_monotone_in_radius(spark):
+    from alma_publish_to_marc_spark.plans.spatial_queries import (
+        percolation_radius_sweep,
+    )
+    from alma_publish_to_marc_spark.tables import load
+
+    rows = sorted(percolation_radius_sweep(spark, SF).collect(),
+                  key=lambda r: r["radius"])
+    assert [r["radius"] for r in rows] == [4, 8, 12, 16]
+    n = load(spark, SF, "events").count()
+    for a, b in zip(rows, rows[1:]):
+        # growing radius can only add edges and connect isolated nodes
+        assert a["n_edges"] <= b["n_edges"]
+        assert a["isolated_share_e6"] >= b["isolated_share_e6"]
+        assert a["mean_degree_e6"] <= b["mean_degree_e6"]
+    for r in rows:
+        assert 0 <= r["isolated_share_e6"] <= 1_000_000
+        assert r["n_edges"] <= n * (n - 1) // 2
