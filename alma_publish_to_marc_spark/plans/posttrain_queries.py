@@ -21,6 +21,14 @@ serving side of an LLM pipeline runs at scale:
   (Heaps) slope via EXACT integer least squares on floor-log2
   coordinates (``length(bin(x)) - 1``) — the scaling-curve fit
   without a single libm call.
+- ``epsilon_greedy_replay``   — offline bandit policy replay (matched-
+  step estimator, fully integer argmax policy).
+- ``context_window_waste``    — truncation-waste / fill curve per
+  candidate context window (the serving/packing planner's trade-off).
+- ``moe_router_balance``      — MoE dispatch balance + switch auxiliary
+  loss from hash routing.
+- ``checkpoint_interval_daly`` — Young/Daly optimal checkpoint interval
+  from measured failure MTBF.
 
 Reference scope: beyond-reference large-scale-pipeline surface (the
 reference ETL has no RL/serving analytics); no file:line parity
