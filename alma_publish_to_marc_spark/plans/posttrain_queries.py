@@ -736,3 +736,71 @@ FROM m
 
 QUERIES["checkpoint_interval_daly"] = (_checkpoint_interval_daly,
                                        _CKPT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# model_cascade_cost
+# ---------------------------------------------------------------------------
+_CASCADE_TS = (500_000, 600_000, 700_000, 800_000)  # e6 TTR thresholds
+_CASCADE_SMALL_COST = 1    # cost units per doc on the small model
+_CASCADE_BIG_COST = 12     # cost units per doc on the big model
+
+
+def _model_cascade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small→big model cascade planning: route a document to the cheap
+    model when its type-token ratio (distinct/total tokens, e6 — the
+    repetitiveness signal: repetitive text is the easy case) clears a
+    confidence threshold T, to the expensive model otherwise. For each
+    candidate T, the routed share and the blended cost per 1k docs
+    (small={_CASCADE_SMALL_COST}, big={_CASCADE_BIG_COST} units) — the
+    curve a serving planner picks its cascade operating point from.
+    Exact integers throughout (TTR is an integer e6 quotient).
+
+    Scale: one scan computes per-doc TTR; a constant ×{len(_CASCADE_TS)}
+    threshold explode feeds one map-side-combinable aggregate.
+    """
+    toks = "filter(split(text, ' '), t -> t <> '')"
+    ts = ", ".join(str(t) for t in _CASCADE_TS)
+    d = (load(spark, sf_dir, "documents")
+         .select(F.expr(
+             f"(1000000 * cast(size(array_distinct({toks})) as bigint))"
+             f" div greatest(cast(size({toks}) as bigint), 1)")
+             .alias("ttr_e6"))
+         .select("ttr_e6", F.explode(F.expr(f"array({ts})")).alias("t")))
+    return (d.groupBy("t")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.expr("CASE WHEN ttr_e6 < t THEN 1 ELSE 0 END"))
+                  .cast("long").alias("n_small"))
+            .select(F.col("t").cast("long").alias("threshold_e6"),
+                    "n_docs", "n_small",
+                    F.expr("(1000000 * n_small) div n_docs")
+                     .alias("small_share_e6"),
+                    F.expr(f"(1000 * (n_small * {_CASCADE_SMALL_COST}"
+                           f" + (n_docs - n_small) * {_CASCADE_BIG_COST}))"
+                           " div n_docs").alias("cost_per_1k_docs")))
+
+
+_CASCADE_SQL = f"""
+WITH d AS (
+  SELECT (1000000 * CAST(len(list_distinct(list_filter(
+              string_split(text, ' '), t -> t <> ''))) AS BIGINT))
+         // greatest(CAST(len(list_filter(string_split(text, ' '),
+              t -> t <> '')) AS BIGINT), 1) AS ttr_e6,
+         unnest([{", ".join(str(t) for t in _CASCADE_TS)}]) AS t
+  FROM documents
+)
+SELECT CAST(t AS BIGINT) AS threshold_e6,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ttr_e6 < t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small,
+       (1000000 * CAST(sum(CASE WHEN ttr_e6 < t THEN 1 ELSE 0 END)
+                   AS BIGINT)) // count(*) AS small_share_e6,
+       (1000 * (CAST(sum(CASE WHEN ttr_e6 < t THEN 1 ELSE 0 END)
+                 AS BIGINT) * {_CASCADE_SMALL_COST}
+                + (count(*) - CAST(sum(CASE WHEN ttr_e6 < t THEN 1
+                    ELSE 0 END) AS BIGINT)) * {_CASCADE_BIG_COST}))
+         // count(*) AS cost_per_1k_docs
+FROM d GROUP BY t
+"""
+
+QUERIES["model_cascade_cost"] = (_model_cascade_cost, _CASCADE_SQL)

@@ -346,3 +346,22 @@ def test_percolation_sweep_is_monotone_in_radius(spark):
     for r in rows:
         assert 0 <= r["isolated_share_e6"] <= 1_000_000
         assert r["n_edges"] <= n * (n - 1) // 2
+
+
+def test_cascade_cost_tradeoff_is_monotone(spark):
+    from alma_publish_to_marc_spark.plans.posttrain_queries import (
+        _CASCADE_BIG_COST, _CASCADE_SMALL_COST, _model_cascade_cost,
+    )
+
+    rows = sorted(_model_cascade_cost(spark, SF).collect(),
+                  key=lambda r: r["threshold_e6"])
+    lo = _CASCADE_SMALL_COST * 1000
+    hi = _CASCADE_BIG_COST * 1000
+    for r in rows:
+        assert 0 <= r["n_small"] <= r["n_docs"]
+        assert lo <= r["cost_per_1k_docs"] <= hi
+    for a, b in zip(rows, rows[1:]):
+        # raising the confidence bar routes MORE docs to the small
+        # model (ttr < t) and therefore costs less
+        assert a["n_small"] <= b["n_small"]
+        assert a["cost_per_1k_docs"] >= b["cost_per_1k_docs"]
