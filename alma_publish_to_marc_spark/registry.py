@@ -62,68 +62,71 @@ _MODULES = (
 )
 
 
-# Driver-sample pinning. Round-9 policy (VERDICT r8 "Next round" #1):
-# the first 10 slots RE-PIN the §2 reference-surface core — those keys
-# were last driver-confirmed in r01/r05 and 70+ commits have shipped
-# since, so they get fresh driver-green rows on the current codebase.
-# The remaining 40 slots continue the rotation: the next never-sampled
-# keys in natural module order (union of CORRECTNESS_r01..r08 = 236
-# driver-green; 300 of 536 keys remained unsampled entering round 9).
-# Keys are byte-stable; members are only removed or rotated, never
-# renamed.
+# Driver-sample pinning. Round-10 policy (VERDICT r9 "Next round" #1):
+# the first 28 slots PIN the keys where code is newer than any driver
+# confirmation — the 22 queries ADDED in round 9 (posttrain_queries,
+# weighting_queries, theta forecast, modality mix, percolation sweep,
+# rich-club coefficient) plus the 6 pre-existing spatial keys whose
+# PLANS changed in round 9 (density-adaptive `_side_frame` grid,
+# integerized Weiszfeld). The remaining 22 slots continue the rotation
+# over never-driver-sampled keys in natural module order (union of
+# CORRECTNESS_r01..r09 = 276 driver-green; 282 of 558 keys remained
+# unsampled entering round 10). Keys are byte-stable; members are only
+# removed or rotated, never renamed.
 _SAMPLE_FIRST = (
-    # --- §2 core re-pins (previously green r01/r05; re-confirm) ---
-    "publish_split_bibs",
-    "publish_split_holdings",
-    "publish_split_items",
-    "item_info_flagship",
-    "marc_field_extraction",
-    "marc_size_guard",
-    "versioned_temporal_merge",
-    "backfill_item_policy",
-    "backfill_temp_locations",
-    "delete_with_history",
-    # --- rotation: next 40 never-driver-sampled keys ---
-    "collated_group_counts",
-    "greedy_pair_matching",
-    "repetition_filter_audit",
-    "gopher_rules_audit",
-    "token_stream_packing",
-    "vocab_coverage_at_k",
-    "position_based_attribution",
-    "diff_in_differences",
-    "absorption_to_purchase",
-    "new_vs_returning_users",
-    "transition_entropy_profile",
-    "interarrival_burstiness",
-    "decayed_leaderboard",
-    "ips_offline_policy_eval",
-    "markov_next_event_accuracy",
-    "srm_assignment_check",
-    "uplift_by_engagement",
-    "purged_timeseries_split",
-    "exactly_once_dedup_replay",
-    "cuped_variance_reduction",
-    "median_ci_order_stats",
-    "permutation_test_pvalue",
-    "stratified_att_estimate",
-    "fdr_bh_correction",
-    "dp_sparse_vector",
-    "shapley_channel_attribution",
-    "competing_risks_incidence",
-    "chi2_cell_residuals",
-    "logrank_test",
-    "interval_union_length",
-    "sample_ratio_mismatch",
-    "qini_curve_deciles",
-    "rmst_survival",
-    "markov_removal_attribution",
-    "cramers_v_association",
-    "dau_wau_stickiness",
-    "chain_ladder_projection",
-    "km_greenwood_ci",
-    "nrr_by_cohort",
-    "bradley_terry_strength",
+    # --- round-9-NEW queries (code newer than any driver row) ---
+    "grpo_group_advantage",
+    "gae_advantage_fold",
+    "prompt_prefix_cache_stats",
+    "int8_quantization_error",
+    "moe_router_balance",
+    "checkpoint_interval_daly",
+    "context_window_waste",
+    "epsilon_greedy_replay",
+    "heaps_law_log2_fit",
+    "model_cascade_cost",
+    "raking_ipf_weights",
+    "kalman_filter_1d",
+    "jackknife_nation_means",
+    "covariate_balance_smd",
+    "skewness_kurtosis_profile",
+    "ltv_cohort_projection",
+    "median_polish_residuals",
+    "mean_excess_curve",
+    "theta_method_forecast",
+    "modality_mix_budget",
+    "percolation_radius_sweep",
+    "rich_club_coefficient",
+    # --- spatial keys whose plans changed in round 9 ---
+    "grid_neighbor_join",
+    "two_hop_reachability",
+    "boruvka_lightest_edges",
+    "spatial_hotspot_cells",
+    "quadtree_tile_rollup",
+    "geometric_median_weiszfeld",
+    # --- rotation: next 22 never-driver-sampled keys ---
+    "pairwise_winrate_wilson",
+    "annotator_agreement_kappa",
+    "fleiss_kappa_items",
+    "preference_length_bias",
+    "preference_transitivity_audit",
+    "annotator_position_bias",
+    "preference_qa_end2end",
+    "elo_rating_trajectory",
+    "bucketed_item_info_join",
+    "zorder_layout_stats",
+    "order_priority_checking",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "volume_shipping",
+    "promo_revenue_effect",
+    "national_market_share",
+    "product_type_profit",
+    "important_part_value",
+    "shipmode_priority",
+    "customer_distribution",
+    "min_cost_supplier",
+    "top_supplier_revenue",
 )
 
 
