@@ -922,6 +922,7 @@ QUERIES["audio_constellation_match"] = (_audio_constellation_match,
 # modality_mix_budget (round 9)
 # ---------------------------------------------------------------------------
 _MIX_TOKEN_RATE = {"jpeg": 170, "png": 170, "wav": 320}  # bytes/token-equiv
+_MIX_RATE_DEFAULT = 256  # unmapped formats are PRICED at this rate, not dropped
 
 
 def _modality_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,7 +933,11 @@ def _modality_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     share is compared against a uniform per-format target. The gap
     (over/under budget, e6) is what a mixture scheduler up- or
     down-samples by — the multimodal sibling of
-    ``domain_mixture_weights``.
+    ``domain_mixture_weights``. Formats OUTSIDE the rate table are
+    priced at ``_MIX_RATE_DEFAULT`` (explicit CASE ELSE in both
+    engines) rather than silently excluded — a NULL rate would drop
+    the format's tokens from share totals while still counting its
+    docs/bytes (r9 advice).
 
     Scale: one metadata scan (bytes come from payload length — no
     decode), one keyed aggregate to the ≤3-format table, broadcast
@@ -943,7 +948,8 @@ def _modality_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     md = _metadata(spark, sf_dir).select(
         "media_format", "n_bytes",
         F.expr(f"cast(n_bytes as bigint) div"
-               f" (CASE media_format {rate} END)").alias("tok"))
+               f" (CASE media_format {rate}"
+               f" ELSE {_MIX_RATE_DEFAULT} END)").alias("tok"))
     per = (md.groupBy("media_format")
            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.sum("n_bytes").cast("long").alias("bytes_total"),
@@ -964,7 +970,8 @@ def _mix_sql() -> str:
     return f"""
 WITH md AS (
   SELECT media_format, n_bytes,
-         CAST(n_bytes AS BIGINT) // (CASE media_format {rate} END) AS tok
+         CAST(n_bytes AS BIGINT)
+             // (CASE media_format {rate} ELSE {_MIX_RATE_DEFAULT} END) AS tok
   FROM ({_METADATA_SQL})
 ),
 per AS (

@@ -780,7 +780,7 @@ edges AS MATERIALIZED (
 deg AS MATERIALIZED (
   SELECT u, count(*) AS du FROM edges GROUP BY u
 ),
-ed AS (
+ed AS MATERIALIZED (
   SELECT e.u, e.v, d1.du AS du, d2.du AS dv
   FROM edges e JOIN deg d1 ON e.u = d1.u JOIN deg d2 ON e.v = d2.u
 )

@@ -55,15 +55,19 @@ def test_result_is_partition_count_invariant(spark, name):
         registry.release_caches()
         return sorted(tuple(r) for r in rows)
 
+    # Pin BOTH sides explicitly: relying on the session default for the
+    # baseline made the gate vacuous on hosts whose CPU count is ~5
+    # (the fixture default is the core count — r9 advice).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    base = run()
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        base = run()
         spark.conf.set("spark.sql.shuffle.partitions", "5")
         alt = run()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert alt == base, (
         f"{name} is partition-count dependent: a reduction's result "
-        f"changed between {prev} and 5 shuffle partitions — an "
+        f"changed between 32 and 5 shuffle partitions — an "
         f"engine-default float association or unstable tie-break "
         f"reached the output (see CLAUDE.md float-reduction rules)")

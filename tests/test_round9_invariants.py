@@ -43,7 +43,10 @@ def test_gae_fold_matches_reference_recursion(spark):
         r = list(g["r"])
         v = [0] + r[:-1]                      # lag baseline
         vnext = v[1:] + [0]
-        d = [ri + (9 * vn) // 10 - vi if (9 * vn) >= 0 else 0
+        # Spark div / DuckDB // truncate toward zero; Python // floors.
+        # Emulate truncation explicitly so a negative 9*vn (possible if
+        # event values go negative) can't diverge from the engines.
+        d = [ri + (9 * vn // 10 if vn >= 0 else -(-(9 * vn) // 10)) - vi
              for ri, vn, vi in zip(r, vnext, v)]
         a = 0
         for dt in reversed(d):
