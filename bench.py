@@ -92,6 +92,112 @@ HEADLINE = [
 ]
 
 
+# --- Self-calibration probe (round 10) -------------------------------
+# A fixed, plan-frozen workload whose wall time measures the HOST, not
+# the engine: generated data (no parquet, no page cache), one hash
+# shuffle, md5 string work, whole-stage codegen. The r9 official bench
+# read 1.40x vs r8 purely from late-day machine slowdown (plan
+# snapshots bit-identical, flag sets rotated across six runs) — the
+# probe turns that into "calibration 1.4x -> normalized regressions {}"
+# instead of phantom flags. _CALIBRATION_REF_SEC is the probe's
+# best-of-3 on the quiet host that recorded the r10 baseline; re-record
+# it ONLY together with a full baseline re-record.
+# Measured 2026-08-16 (round 10) on the quietest observed machine state
+# (load < 1, no co-tenant JVMs): probe floor 1.09-1.19s across three
+# sessions. The same probe read 1.5-2.8s minutes later at load-avg 12 —
+# the r9 phantom-regression signature the probe exists to divide out.
+_CALIBRATION_REF_SEC = 1.15
+_PROBE_ROWS = 8_000_000
+_PROBE_PARTS = 32
+
+
+def _calibration_probe(spark) -> float:
+    """Best-of-3 wall time of the fixed probe plan (seconds); one
+    untimed warm-up run first so the probe's own codegen/JIT doesn't
+    masquerade as host slowness."""
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.time()
+        (spark.range(0, _PROBE_ROWS, 1, _PROBE_PARTS)
+         .select((F.col("id") % 100003).alias("k"),
+                 F.md5(F.col("id").cast("string")).alias("h"))
+         .groupBy("k")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.min("h").alias("mn"), F.max("h").alias("mx"))
+         .write.format("noop").mode("overwrite").save())
+        return time.time() - t0
+
+    run()
+    return round(min(run() for _ in range(3)), 3)
+
+
+def _host_busy_jiffies() -> int:
+    """Non-idle jiffies across all CPUs since boot (user+nice+system+
+    irq+softirq+steal; idle+iowait excluded)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    u, n, s, idle, iow, irq, sirq, steal = (int(x) for x in parts[1:9])
+    return u + n + s + irq + sirq + steal
+
+
+def _our_tree_jiffies() -> int:
+    """utime+stime jiffies of this process and every live descendant
+    (the local-mode JVM and its Python workers are all children)."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    cpu: dict[int, int] = {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_s}/stat") as f:
+                st = f.read()
+        except OSError:
+            continue
+        # fields after the parenthesized comm (which may contain spaces)
+        rest = st.rsplit(")", 1)[1].split()
+        pid = int(pid_s)
+        ppid[pid] = int(rest[1])
+        # utime+stime plus cutime+cstime: reaped children (short-lived
+        # Python workers) fold into the parent's c-counters, so their
+        # work is not lost to the window
+        cpu[pid] = (int(rest[11]) + int(rest[12])
+                    + int(rest[13]) + int(rest[14]))
+    total = 0
+    for pid in cpu:
+        p = pid
+        for _ in range(64):  # ancestry walk, bounded
+            if p == me:
+                total += cpu[pid]
+                break
+            p = ppid.get(p, 0)
+            if p <= 1:
+                break
+    return total
+
+
+class _ContentionMeter:
+    """Per-window co-tenant CPU load: average busy cores on the host
+    that do NOT belong to our process tree. Short-lived Python workers
+    that die inside a window undercount 'ours' slightly (their jiffies
+    stay in the host number), so the estimate is an upper bound."""
+
+    def __init__(self) -> None:
+        self._hz = os.sysconf("SC_CLK_TCK")
+
+    def start(self) -> None:
+        self._t0 = time.time()
+        self._h0 = _host_busy_jiffies()
+        self._o0 = _our_tree_jiffies()
+
+    def stop(self) -> float:
+        dt = max(time.time() - self._t0, 1e-6)
+        host = _host_busy_jiffies() - self._h0
+        ours = _our_tree_jiffies() - self._o0
+        return round(max(host - ours, 0) / self._hz / dt, 2)
+
+
 def main() -> None:
     from alma_publish_to_marc_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -102,12 +208,15 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so timings measure steady state
     spark.range(1).count()
+    probe_pre = _calibration_probe(spark)
 
     head = (HEADLINE[:CORE_16]
             if os.environ.get("SPARK_GRAFT_BENCH_CORE_ONLY") else HEADLINE)
     names = [n for n in head if n in qs]
     from alma_publish_to_marc_spark import registry
 
+    meter = _ContentionMeter()
+    ext_load: dict[str, float] = {}
     for name in names:
         # drop blocks persisted by the previous query (minhash sigs etc.)
         # and deferred staged-parquet dirs (ktruss_prune)
@@ -116,11 +225,17 @@ def main() -> None:
         # two runs, report the min: first run pays JIT/codegen warmup and
         # page-cache misses; steady state is what a resident cluster sees
         best = float("inf")
+        best_ext = 0.0
         for _ in range(2):
+            meter.start()
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            sec = time.time() - t0
+            ext = meter.stop()
+            if sec < best:
+                best, best_ext = sec, ext
         timings[name] = round(best, 3)
+        ext_load[name] = best_ext
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -129,6 +244,47 @@ def main() -> None:
     # round; per-batch wall time is the incremental-run latency metric.
     streaming = ({} if os.environ.get("SPARK_GRAFT_BENCH_CORE_ONLY")
                  else _bench_streaming_curation(spark))
+
+    def rerun(name: str) -> tuple[float, float]:
+        """Fresh best-of-2 of one key (same protocol as the main loop),
+        for adjudicating flags at the end of the suite."""
+        spark.catalog.clearCache()
+        registry.release_caches()
+        best, best_ext = float("inf"), 0.0
+        for _ in range(2):
+            meter.start()
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            sec = time.time() - t0
+            ext = meter.stop()
+            if sec < best:
+                best, best_ext = sec, ext
+        return round(best, 3), best_ext
+
+    probe_post = _calibration_probe(spark)
+    # host factor: how much slower THIS machine state is than the quiet
+    # host that recorded the baseline. min(pre, post) is the host's best
+    # achievable; a pre/post gap >1.3x additionally means the machine
+    # drifted DURING the run (the r9 failure signature).
+    calibration = min(probe_pre, probe_post)
+    host_factor = (round(calibration / _CALIBRATION_REF_SEC, 3)
+                   if _CALIBRATION_REF_SEC else 1.0)
+
+    verdicts = _regressions(timings, sf, host_factor, ext_load)
+    # Adjudicate: a transient co-tenant spike won't reproduce on a
+    # fresh best-of-2 minutes later; a real plan regression will. The
+    # original timing stays in "queries" (honest artifact); only the
+    # FLAG moves, with the retry recorded.
+    for name in list(verdicts["regressions"]):
+        entry = verdicts["regressions"][name]
+        retry_sec, retry_ext = rerun(name)
+        entry["retry_sec"], entry["retry_ext_load_cores"] = retry_sec, retry_ext
+        base = entry["prev_sec"]
+        adj = retry_sec / max(host_factor, 1.0)
+        if not (adj > base * _REGRESSION_FACTOR
+                and adj - base > _REGRESSION_MIN_DELTA_SEC):
+            verdicts["contended" if retry_ext > _CONTENTION_CORES
+                     else "transient"][name] = verdicts["regressions"].pop(name)
 
     core = [n for n in HEADLINE[:CORE_16] if n in timings]
     print(json.dumps({
@@ -139,7 +295,12 @@ def main() -> None:
         "core_16_sec": round(sum(timings[n] for n in core), 3),
         "streaming": streaming,
         "sf": sf,
-        "regressions": _regressions(timings, sf),
+        "calibration": {"probe_pre_sec": probe_pre,
+                        "probe_post_sec": probe_post,
+                        "ref_sec": _CALIBRATION_REF_SEC,
+                        "host_factor": host_factor,
+                        "ext_load_cores": ext_load},
+        **verdicts,
     }))
 
 
@@ -211,16 +372,44 @@ def _prev_timings(sf) -> dict[str, float]:
     return best or {}
 
 
-def _regressions(timings: dict[str, float], sf) -> dict[str, dict[str, float]]:
+# A flagged query whose window saw more than this many co-tenant busy
+# cores is reported as "contended", not a regression: on local[32] a
+# heavy co-tenant steals cores mid-suite and inflates individual keys
+# 1.5-2.5x with a bit-identical plan (r9: six bench runs, flag sets
+# fully rotated, plan snapshots frozen).
+_CONTENTION_CORES = 2.0
+
+
+def _regressions(timings: dict[str, float], sf, host_factor: float,
+                 ext_load: dict[str, float]) -> dict[str, dict]:
+    """Flag only when the HOST-NORMALIZED ratio and the absolute delta
+    both clear the noise floor. host_factor > 1 means the calibration
+    probe ran slower than on the baseline host — every query is
+    expected to inflate by that much with an unchanged plan, so the
+    comparison divides it out (never multiplies: a faster-than-baseline
+    host is not allowed to mask a real regression). Flags whose own
+    window measured significant co-tenant CPU move to "contended" —
+    visible, but not claimed as plan regressions."""
     prev = _prev_timings(sf)
-    out = {}
+    norm = max(host_factor, 1.0)
+    reg: dict[str, dict[str, float]] = {}
+    contended: dict[str, dict[str, float]] = {}
+    transient: dict[str, dict[str, float]] = {}
     for name, sec in timings.items():
         base = prev.get(name)
-        if (base and base > 0 and sec > base * _REGRESSION_FACTOR
-                and sec - base > _REGRESSION_MIN_DELTA_SEC):
-            out[name] = {"prev_sec": base, "now_sec": sec,
-                         "factor": round(sec / base, 2)}
-    return out
+        adj = sec / norm
+        if (base and base > 0 and adj > base * _REGRESSION_FACTOR
+                and adj - base > _REGRESSION_MIN_DELTA_SEC):
+            entry = {"prev_sec": base, "now_sec": sec,
+                     "normalized_sec": round(adj, 3),
+                     "factor": round(adj / base, 2),
+                     "ext_load_cores": ext_load.get(name, 0.0)}
+            if ext_load.get(name, 0.0) > _CONTENTION_CORES:
+                contended[name] = entry
+            else:
+                reg[name] = entry
+    return {"regressions": reg, "contended": contended,
+            "transient": transient}
 
 
 if __name__ == "__main__":
