@@ -33,13 +33,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_SMOKE = "/root/testdata/sf0.001"
 SNAP_PATH = os.path.join(_ROOT, "tests", "audit_snapshot.json")
 
+# Beyond the bench headliners (round 10, VERDICT r9 item 6): the §2
+# reference-surface core and the iterative / driver-paced family — the
+# keys where a silent plan regression (an SMJ replacing a broadcast in
+# an unrolled round, a pushdown falling off the flagship's siblings)
+# hurts most at 100x and where runtime alone won't catch it because the
+# frames involved are tiny at test scale.
+EXTRA = (
+    # §2 core not already in bench.HEADLINE
+    "marc_field_extraction",
+    "marc_size_guard",
+    "versioned_temporal_merge",
+    "backfill_item_policy",
+    "backfill_temp_locations",
+    "delete_with_history",
+    "publish_set_grouping",
+    "anti_join_deletes",
+    "warehouse_catalog",
+    # iterative / driver-paced (unrolled rounds or per-round collect)
+    "absorption_to_purchase",
+    "bpe_train_merges",
+    "kmeans_fixed_point",
+    "pagerank_fixed_point",
+    "geometric_median_weiszfeld",
+    "raking_ipf_weights",
+)
+
 
 def capture(spark, names=None) -> dict:
     import bench
     import explain_audit
     from alma_publish_to_marc_spark import registry
 
-    core = names or bench.HEADLINE  # all headliners (was core-16 only)
+    core = names or (list(bench.HEADLINE) + list(EXTRA))
     qs = registry.queries()
     out = {}
     for name in core:
