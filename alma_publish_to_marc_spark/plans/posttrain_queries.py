@@ -29,6 +29,13 @@ serving side of an LLM pipeline runs at scale:
   loss from hash routing.
 - ``checkpoint_interval_daly`` — Young/Daly optimal checkpoint interval
   from measured failure MTBF.
+- ``model_cascade_cost``      — small→big routing cost curve over
+  candidate confidence thresholds (TTR-gated cascade planning).
+- ``speculative_draft_policy`` — speculative-decoding DEPTH planning
+  (round 10): expected accepted tokens and per-round speedup for each
+  candidate draft length, from the measured bigram acceptance rate —
+  the policy curve on top of ``speculative_accept_rate``'s
+  measurement (ir_queries).
 
 Reference scope: beyond-reference large-scale-pipeline surface (the
 reference ETL has no RL/serving analytics); no file:line parity
@@ -804,3 +811,127 @@ FROM d GROUP BY t
 """
 
 QUERIES["model_cascade_cost"] = (_model_cascade_cost, _CASCADE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# speculative_draft_policy (round 10)
+# ---------------------------------------------------------------------------
+_DRAFT_MAX_K = 8       # candidate draft lengths 1..K
+_DRAFT_COST_E3 = 60    # draft-model cost per token, e3 of a target forward
+
+
+def _speculative_draft_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding DEPTH planning — the policy curve on top of
+    ``speculative_accept_rate``'s measurement: given the corpus-wide
+    bigram-draft acceptance rate p, a draft of length k yields
+    E_k = Σ_{i=1..k} p^i expected accepted tokens per verify round
+    (acceptance is position-independent under the i.i.d. assumption of
+    Leviathan et al., "Fast Inference from Transformers via Speculative
+    Decoding"), plus the one token the target model always emits. With
+    a draft forward costing {_DRAFT_COST_E3}/1000 of a target forward,
+    the per-round speedup is (E_k + 1) / (1 + k·c) — the curve a
+    serving planner reads the optimal k from (it is unimodal in k).
+
+    Determinism: p is an exact integer e6 quotient; p^i is a SEQUENTIAL
+    integer fold (each step floors once — Spark ``aggregate`` with a
+    2-slot array accumulator == DuckDB ``list_reduce`` with a LIST
+    accumulator, per the CLAUDE.md fold rules); every output is an
+    integer division of exact int64 terms.
+
+    Scale: one corpus scan builds word pairs (lead over doc position —
+    no self-join); the bigram argmax is a vocab²-bounded keyed
+    aggregate on md5 keys; everything after is a 1-row acceptance
+    aggregate broadcast onto {_DRAFT_MAX_K} constant rows.
+    """
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                    .alias("w")))
+    toks = docs.select("doc_id", F.posexplode("w").alias("pos", "cur"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (toks.withColumn("nxt", F.lead("cur").over(wdoc))
+             .where(F.col("nxt").isNotNull())
+             .select(F.unhex(F.md5("cur")).alias("ck"), "nxt"))
+    model = (pairs.groupBy("ck", "nxt")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .groupBy("ck")
+             .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                 F.col("nxt").alias("t")))
+                  .getField("t").alias("draft")))
+    p = (pairs.join(model, "ck")
+         .agg(F.count(F.lit(1)).alias("n_pairs"),
+              F.sum(F.when(F.col("nxt") == F.col("draft"), 1)
+                    .otherwise(0)).alias("n_acc"))
+         .select(F.expr("1000000 * n_acc div greatest(n_pairs, 1)")
+                 .alias("accept_e6")))
+    ks = spark.range(1, _DRAFT_MAX_K + 1).select(F.col("id").alias("k"))
+    fold = ("aggregate(sequence(1, cast(k as int)),"
+            " array(1000000L, 0L),"
+            " (a, i) -> array(a[0] * accept_e6 div 1000000,"
+            "                 a[1] + a[0] * accept_e6 div 1000000),"
+            " a -> a[1])")
+    return (ks.crossJoin(F.broadcast(p))
+            .withColumn("exp_accept_e6", F.expr(fold))
+            .select(F.col("k").cast("int").alias("k"),
+                    "accept_e6", "exp_accept_e6",
+                    F.expr("exp_accept_e6 + 1000000")
+                     .alias("tokens_per_round_e6"),
+                    F.expr(f"((exp_accept_e6 + 1000000) * 1000)"
+                           f" div (1000 + k * {_DRAFT_COST_E3})")
+                     .alias("speedup_e6")))
+
+
+_DRAFT_POLICY_SQL = rf"""
+WITH docs AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, t.i - 1 AS pos, w[t.i] AS cur
+    FROM docs, unnest(range(1, len(w) + 1)) AS t(i)
+),
+prs AS (
+    SELECT unhex(md5(cur)) AS ck,
+           lead(cur) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks
+),
+prs_ne AS (SELECT * FROM prs WHERE nxt IS NOT NULL),
+model AS (
+    SELECT ck, (min(struct_pack(nc := -c, t := nxt))).t AS draft
+    FROM (SELECT ck, nxt, CAST(count(*) AS BIGINT) AS c
+          FROM prs_ne GROUP BY 1, 2)
+    GROUP BY ck
+),
+acc AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN p.nxt = m.draft THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_acc
+    FROM prs_ne p JOIN model m USING (ck)
+),
+pr AS (
+    SELECT 1000000 * n_acc // greatest(n_pairs, 1) AS accept_e6 FROM acc
+),
+ks AS (SELECT unnest(range(1, {_DRAFT_MAX_K + 1})) AS k),
+vals AS (
+    SELECT k, pr.accept_e6 AS accept_e6,
+           list_reduce(
+               list_prepend([CAST(1000000 AS BIGINT), CAST(0 AS BIGINT)],
+                            list_transform(range(1, k + 1),
+                                           i -> [i, CAST(0 AS BIGINT)])),
+               (a, e) -> [a[1] * accept_e6 // 1000000,
+                          a[2] + a[1] * accept_e6 // 1000000])[2]
+               AS exp_accept_e6
+    FROM ks, pr
+)
+SELECT CAST(k AS INT) AS k,
+       accept_e6,
+       exp_accept_e6,
+       exp_accept_e6 + 1000000 AS tokens_per_round_e6,
+       ((exp_accept_e6 + 1000000) * 1000)
+           // (1000 + k * {_DRAFT_COST_E3}) AS speedup_e6
+FROM vals
+"""
+
+QUERIES["speculative_draft_policy"] = (_speculative_draft_policy,
+                                       _DRAFT_POLICY_SQL)

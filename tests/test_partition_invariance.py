@@ -40,6 +40,11 @@ KEYS = (
     "epsilon_greedy_replay",
     "theta_method_forecast",
     "raking_ipf_weights",           # persisted-cells iteration
+    # round 10: blocked suffix ranking (window adjacency must not
+    # depend on shuffle layout) and the draft-policy power fold
+    "suffix_lcp_repeats",
+    "suffix_repeat_topk",
+    "speculative_draft_policy",
 )
 
 
