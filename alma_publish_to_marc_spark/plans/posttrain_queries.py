@@ -36,6 +36,12 @@ serving side of an LLM pipeline runs at scale:
   candidate draft length, from the measured bigram acceptance rate —
   the policy curve on top of ``speculative_accept_rate``'s
   measurement (ir_queries).
+- ``kv_cache_memory_budget``  — KV-cache capacity table per context
+  cap (round 10): worst-case vs expected batch size under a fixed
+  HBM cache pool — the contiguous-vs-paged overcommit headroom.
+- ``paged_attention_fragmentation`` — internal fragmentation per
+  candidate KV page size vs contiguous reservation waste (round 10):
+  the vLLM block-size sizing curve.
 
 Reference scope: beyond-reference large-scale-pipeline surface (the
 reference ETL has no RL/serving analytics); no file:line parity
@@ -935,3 +941,165 @@ FROM vals
 
 QUERIES["speculative_draft_policy"] = (_speculative_draft_policy,
                                        _DRAFT_POLICY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# kv_cache_memory_budget (round 10)
+# ---------------------------------------------------------------------------
+_KV_CAPS = (128, 256, 512, 1024)   # candidate context caps (tokens)
+_KV_BYTES_PER_TOKEN = 131072       # 2(K+V) x 32 layers x 8 KV-heads x 128 dim x 2B (fp16, GQA)
+_KV_HBM_BUDGET = 16 * 1024 ** 3    # cache-pool bytes reserved per replica
+
+
+def _kv_cache_memory_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-cache capacity planning: for each candidate context cap C,
+    the per-request cache footprint over the measured request-length
+    distribution (documents' token counts as the proxy) and the batch
+    sizes a {_KV_HBM_BUDGET >> 30} GiB cache pool sustains — worst case
+    (every request at the cap: HBM // (rate·C)) vs expected
+    (HBM // mean-footprint). The gap between the two columns is the
+    overcommit headroom a paged allocator can exploit; the contiguous
+    allocator must plan on worst case — the sizing table a serving
+    planner reads replica counts from.
+
+    Determinism/exactness: token counts and byte products are exact
+    int64 (max product ~1e3 tokens x 131072 B/token x corpus docs —
+    sums stay far below 2^63 at any SF); means are single integer
+    floors.
+
+    Scale: one corpus scan for token counts; a constant
+    x{len(_KV_CAPS)} explode feeds one map-side-combinable aggregate.
+    """
+    caps = ", ".join(str(c) for c in _KV_CAPS)
+    d = (load(spark, sf_dir, "documents")
+         .select(F.expr("cast(size(filter(split(text, ' '),"
+                        " t -> t <> '')) as bigint)").alias("n"))
+         .select("n", F.explode(F.expr(f"array({caps})")).alias("c")))
+    return (d.groupBy("c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_requests"),
+                 F.sum(F.least("n", F.col("c").cast("long"))).cast("long")
+                  .alias("tok_clipped"),
+                 F.max(F.least("n", F.col("c").cast("long"))).cast("long")
+                  .alias("tok_max"))
+            .select(F.col("c").cast("int").alias("context_cap"),
+                    "n_requests",
+                    F.expr(f"{_KV_BYTES_PER_TOKEN} * tok_clipped"
+                           " div n_requests").alias("kv_bytes_mean"),
+                    F.expr(f"{_KV_BYTES_PER_TOKEN} * tok_max")
+                     .alias("kv_bytes_max"),
+                    F.expr(f"{_KV_HBM_BUDGET} div"
+                           f" ({_KV_BYTES_PER_TOKEN} * c)")
+                     .alias("batch_worst_case"),
+                    F.expr(f"{_KV_HBM_BUDGET} div greatest("
+                           f"{_KV_BYTES_PER_TOKEN} * tok_clipped"
+                           " div n_requests, 1)")
+                     .alias("batch_expected")))
+
+
+_KV_BUDGET_SQL = f"""
+WITH d AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n,
+         unnest([{", ".join(str(c) for c in _KV_CAPS)}]) AS c
+  FROM documents
+),
+agg AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_requests,
+         CAST(sum(least(n, CAST(c AS BIGINT))) AS BIGINT) AS tok_clipped,
+         CAST(max(least(n, CAST(c AS BIGINT))) AS BIGINT) AS tok_max
+  FROM d GROUP BY c
+)
+SELECT CAST(c AS INT) AS context_cap,
+       n_requests,
+       {_KV_BYTES_PER_TOKEN} * tok_clipped // n_requests AS kv_bytes_mean,
+       {_KV_BYTES_PER_TOKEN} * tok_max AS kv_bytes_max,
+       {_KV_HBM_BUDGET} // ({_KV_BYTES_PER_TOKEN} * CAST(c AS BIGINT))
+           AS batch_worst_case,
+       {_KV_HBM_BUDGET} // greatest(
+           {_KV_BYTES_PER_TOKEN} * tok_clipped // n_requests, 1)
+           AS batch_expected
+FROM agg
+"""
+
+QUERIES["kv_cache_memory_budget"] = (_kv_cache_memory_budget,
+                                     _KV_BUDGET_SQL)
+
+
+# ---------------------------------------------------------------------------
+# paged_attention_fragmentation (round 10)
+# ---------------------------------------------------------------------------
+_PAGE_SIZES = (8, 16, 32, 64)   # candidate KV block sizes (tokens/page)
+_PAGE_MAX_LEN = 1024            # contiguous allocator reserves this per request
+
+
+def _paged_attention_fragmentation(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Paged-KV allocator sizing (the vLLM design question): for each
+    candidate page size P, the INTERNAL fragmentation a block allocator
+    pays (ceil(len/P)·P − len, the partially-filled last page) against
+    the reservation waste of a contiguous allocator that must reserve
+    {_PAGE_MAX_LEN} tokens per request (max_len − len). Small pages
+    waste less but cost more block-table overhead — this curve plus
+    the measured length distribution picks P.
+
+    Determinism/exactness: ceil(len/P) is the exact integer identity
+    (len + P − 1) div P; all shares are e6 integer floors of exact
+    int64 sums.
+
+    Scale: one corpus scan for token counts (lengths clipped at the
+    reservation cap so both allocators price the same requests); a
+    constant x{len(_PAGE_SIZES)} explode feeds one map-side-combinable
+    aggregate.
+    """
+    sizes = ", ".join(str(p) for p in _PAGE_SIZES)
+    d = (load(spark, sf_dir, "documents")
+         .select(F.expr(
+             "least(cast(size(filter(split(text, ' '),"
+             f" t -> t <> '')) as bigint), {_PAGE_MAX_LEN})").alias("n"))
+         .select("n", F.explode(F.expr(f"array({sizes})")).alias("p")))
+    return (d.groupBy("p")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_requests"),
+                 F.sum("n").cast("long").alias("tok_total"),
+                 F.sum(F.expr("((n + p - 1) div p)")).cast("long")
+                  .alias("pages_total"),
+                 F.sum(F.expr(f"cast({_PAGE_MAX_LEN} as bigint) - n"))
+                  .cast("long").alias("contig_waste_tok"))
+            .select(F.col("p").cast("int").alias("page_size"),
+                    "n_requests", "tok_total", "pages_total",
+                    F.expr("pages_total * p - tok_total")
+                     .alias("frag_tok"),
+                    F.expr("(1000000 * (pages_total * p - tok_total))"
+                           " div greatest(pages_total * p, 1)")
+                     .alias("frag_share_e6"),
+                    F.expr(f"(1000000 * contig_waste_tok) div greatest("
+                           f"n_requests * {_PAGE_MAX_LEN}, 1)")
+                     .alias("contig_waste_share_e6")))
+
+
+_PAGED_FRAG_SQL = f"""
+WITH d AS (
+  SELECT least(CAST(len(list_filter(string_split(text, ' '),
+                    t -> t <> '')) AS BIGINT), {_PAGE_MAX_LEN}) AS n,
+         unnest([{", ".join(str(p) for p in _PAGE_SIZES)}]) AS p
+  FROM documents
+),
+agg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n_requests,
+         CAST(sum(n) AS BIGINT) AS tok_total,
+         CAST(sum((n + p - 1) // p) AS BIGINT) AS pages_total,
+         CAST(sum({_PAGE_MAX_LEN} - n) AS BIGINT) AS contig_waste_tok
+  FROM d GROUP BY p
+)
+SELECT CAST(p AS INT) AS page_size,
+       n_requests, tok_total, pages_total,
+       pages_total * p - tok_total AS frag_tok,
+       (1000000 * (pages_total * p - tok_total))
+           // greatest(pages_total * p, 1) AS frag_share_e6,
+       (1000000 * contig_waste_tok)
+           // greatest(n_requests * {_PAGE_MAX_LEN}, 1)
+           AS contig_waste_share_e6
+FROM agg
+"""
+
+QUERIES["paged_attention_fragmentation"] = (_paged_attention_fragmentation,
+                                            _PAGED_FRAG_SQL)
