@@ -2827,29 +2827,36 @@ def suffix_repeat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     times, because all suffixes prefixed by s are CONTIGUOUS in blocked
     suffix order (one run, run_len - 1 internal pairs).
 
-    Scale: one blocked suffix shuffle (persisted — candidate selection
-    and occurrence counting are two plan branches over it); candidate
-    selection is orderBy+limit (TakeOrdered, no range partition); the
-    occurrence pass is a broadcast nested-loop join against the
-    <= {_SFX_TOPK}-row candidate table.
+    Scale: one blocked suffix shuffle, reduced IMMEDIATELY to
+    (lcp, own-prefix string) rows before the persist (no 24-word
+    arrays held — candidate selection and occurrence counting are two
+    plan branches over the persisted repeat tail); candidate selection
+    is orderBy+limit (TakeOrdered, no range partition); the occurrence
+    pass prunes pairs below the candidates' MINIMUM length (broadcast
+    1-row bound), then broadcast-nested-loop matches survivors with a
+    word-prefix startswith — a pair's own-LCP prefix contains every
+    shorter candidate prefix, so no per-candidate array slicing.
     """
     pairs = (_suffix_pairs(spark, sf_dir)
              .where(F.col("lcp") >= _SFX_MIN)
-             .select("lcp", "ka")
+             .select("lcp",
+                     F.concat_ws(" ", F.slice("ka", 1, F.col("lcp")))
+                      .alias("pref"))
              .persist(StorageLevel.MEMORY_AND_DISK))
     _PERSISTED.append(pairs)
-    cand = (pairs.select(
-        F.col("lcp").alias("rep_len_words"),
-        F.concat_ws(" ", F.slice("ka", 1, F.col("lcp")))
-         .alias("repeat_words"))
-        .distinct()
-        .orderBy(F.desc("rep_len_words"), "repeat_words")
-        .limit(_SFX_TOPK))
-    return (pairs.join(
+    cand = (pairs.select(F.col("lcp").alias("rep_len_words"),
+                         F.col("pref").alias("repeat_words"))
+            .distinct()
+            .orderBy(F.desc("rep_len_words"), "repeat_words")
+            .limit(_SFX_TOPK))
+    lmin = cand.agg(F.min("rep_len_words").alias("lmin"))
+    return (pairs.crossJoin(F.broadcast(lmin))
+            .where(F.col("lcp") >= F.col("lmin"))
+            .join(
         F.broadcast(cand),
-        (F.col("lcp") >= F.col("rep_len_words"))
-        & (F.concat_ws(" ", F.slice("ka", 1, F.col("rep_len_words")))
-           == F.col("repeat_words")))
+        (F.col("pref") == F.col("repeat_words"))
+        | F.col("pref").startswith(F.concat(F.col("repeat_words"),
+                                            F.lit(" "))))
         .groupBy("repeat_words", "rep_len_words")
         .agg((F.count(F.lit(1)) + 1).cast("long").alias("n_occurrences"))
         .select("repeat_words",
@@ -2932,11 +2939,12 @@ FROM documents d LEFT JOIN best b USING (doc_id)
 _SFX_TOPK_SQL = f"""
 WITH {_sfx_base_sql()},
 rep AS (
-  SELECT lcp, ka FROM lcps WHERE lcp >= {_SFX_MIN}
+  SELECT lcp, array_to_string(list_slice(ka, 1, lcp), ' ') AS pref
+  FROM lcps WHERE lcp >= {_SFX_MIN}
 ),
 cand AS (
   SELECT DISTINCT CAST(lcp AS INT) AS rep_len_words,
-         array_to_string(list_slice(ka, 1, lcp), ' ') AS repeat_words
+         pref AS repeat_words
   FROM rep
   ORDER BY rep_len_words DESC, repeat_words
   LIMIT {_SFX_TOPK}
@@ -2945,9 +2953,8 @@ SELECT c.repeat_words,
        c.rep_len_words,
        CAST(count(*) + 1 AS BIGINT) AS n_occurrences
 FROM rep p JOIN cand c
-  ON p.lcp >= c.rep_len_words
- AND array_to_string(list_slice(p.ka, 1, c.rep_len_words), ' ')
-     = c.repeat_words
+  ON p.pref = c.repeat_words
+  OR starts_with(p.pref, c.repeat_words || ' ')
 GROUP BY 1, 2
 """
 
