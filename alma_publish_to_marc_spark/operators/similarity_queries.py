@@ -1660,3 +1660,106 @@ FROM per_label, majority
 
 QUERIES["ann_graph_label_vote"] = (_knn_classifier_eval,
                                    _KNN_CLS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Matryoshka (MRL) truncation: prefix-dim ANN + recall gate (round 10)
+# --------------------------------------------------------------------------
+MRL_DIM = 16
+
+
+def _mrl_sql_dot(a: str, b: str, dim: int) -> str:
+    """Dim-parametric left-fold dot (``_sql_dot`` is pinned to S.DIM)."""
+    return (f"list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1, {dim} + 1), i -> {a}[i] * {b}[i])), "
+            f"(acc, x) -> acc + x)")
+
+
+def _mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{K} in the TRUNCATED Matryoshka space: cosine over the
+    first {MRL_DIM} of {S.DIM} dims — the MRL deployment question
+    ("Matryoshka Representation Learning", Kusupati et al.): a
+    prefix-truncated index costs {MRL_DIM}/{S.DIM} of the FLOPs and
+    bytes, IF recall holds (gated by ``matryoshka_recall_eval``).
+
+    Determinism: the truncated cosine is the same left-fold expression
+    tree as the full-dim brute scan, over a prefix slice; rank ties
+    break by vec_id (CLAUDE.md rank rule).
+
+    Scale: identical profile to ``ann_cosine_topk`` — broadcast probe
+    panel × one corpus scan, one qid-keyed window; the fold is 4×
+    shorter per pair.
+    """
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.slice("embedding", 1, MRL_DIM)
+                   .alias("embedding")))
+    return S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K)
+
+
+_MRL_VEC = f"list_transform(embedding[1:{MRL_DIM}], x -> CAST(x AS DOUBLE))"
+
+_MRL_SQL = f"""
+WITH e AS (SELECT vec_id, {_MRL_VEC} AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e
+      WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+pairs AS (
+    SELECT q.qid, e.vec_id,
+           round({_mrl_sql_dot('q.qv', 'e.v', MRL_DIM)}
+                 / (sqrt({_mrl_sql_dot('q.qv', 'q.qv', MRL_DIM)})
+                    * sqrt({_mrl_sql_dot('e.v', 'e.v', MRL_DIM)})), 6)
+               AS cosine
+    FROM e JOIN q ON e.vec_id <> q.qid
+),
+ranked AS (
+    SELECT qid, vec_id AS neighbor_id, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM pairs
+)
+SELECT qid, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def _mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K} of the {MRL_DIM}-dim truncated index vs the exact
+    {S.DIM}-dim scan — the gate that prices the Matryoshka 4× cut,
+    same eval shape as sq/pq/ann recall gates (ground truth only for
+    the fixed probe panel, O(panel × corpus))."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K) \
+        .select("qid", "neighbor_id")
+    mrl = _mrl_topk(spark, sf_dir) \
+        .select("qid", F.col("neighbor_id").alias("mrl_id"))
+    joined = (exact
+              .join(mrl, (exact.qid == mrl.qid)
+                    & (exact.neighbor_id == mrl.mrl_id), "left")
+              .drop(mrl.qid))
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("mrl_id").isNotNull(), 1).otherwise(0))
+         .alias("mrl_hits"),
+        F.round(F.sum(F.when(F.col("mrl_id").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1)), 4).alias("mrl_recall"))
+
+
+_MRL_RECALL_SQL = f"""
+WITH exact AS (SELECT qid, neighbor_id FROM ({_BRUTE_SQL})),
+mrl AS (SELECT qid, neighbor_id AS mrl_id FROM ({_MRL_SQL})),
+joined AS (
+    SELECT e.qid, e.neighbor_id, m.mrl_id
+    FROM exact e
+    LEFT JOIN mrl m ON e.qid = m.qid AND e.neighbor_id = m.mrl_id
+)
+SELECT qid,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN mrl_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS mrl_hits,
+       round(sum(CASE WHEN mrl_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS mrl_recall
+FROM joined
+GROUP BY qid
+"""
+
+QUERIES["matryoshka_topk"] = (_mrl_topk, _MRL_SQL)
+QUERIES["matryoshka_recall_eval"] = (_mrl_recall, _MRL_RECALL_SQL)

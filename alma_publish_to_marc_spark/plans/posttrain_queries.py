@@ -42,6 +42,9 @@ serving side of an LLM pipeline runs at scale:
 - ``paged_attention_fragmentation`` — internal fragmentation per
   candidate KV page size vs contiguous reservation waste (round 10):
   the vLLM block-size sizing curve.
+- ``serving_queue_wait_curve``   — replica-count sizing from the
+  measured arrival rate and token-derived service time, M/D/1 wait
+  per candidate R (round 10).
 
 Reference scope: beyond-reference large-scale-pipeline surface (the
 reference ETL has no RL/serving analytics); no file:line parity
@@ -1103,3 +1106,89 @@ FROM agg
 
 QUERIES["paged_attention_fragmentation"] = (_paged_attention_fragmentation,
                                             _PAGED_FRAG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# serving_queue_wait_curve (round 10)
+# ---------------------------------------------------------------------------
+_QW_REPLICAS = (1, 2, 4, 8, 16)   # candidate replica counts
+_QW_US_PER_TOK = 5_000            # deterministic service: 5 ms per token
+
+
+def _serving_queue_wait_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-count sizing from MEASURED load: arrivals are the event
+    stream's empirical rate (N requests over the observed span), the
+    deterministic service time is the mean document token count at
+    {_QW_US_PER_TOK} µs/token, and each candidate replica count R is
+    priced with the M/D/1 queue under a random split: per-replica
+    utilization ρ = λ·s/R and mean wait W = ρ·s / 2(1−ρ) — half the
+    M/M/1 wait, the right model when generation length (not arrival
+    burstiness) dominates service variance. Saturated candidates
+    (ρ ≥ 1) report wait −1: the planner reads the first R whose wait
+    clears the latency SLO.
+
+    Determinism/exactness: span/count/token sums are exact int64; ρ
+    and W are single integer-floor quotients of exact products
+    (λ·s = N·s_us / T_us, all in µs — products ≤ 1e6 docs · 1e9 µs,
+    inside int64).
+
+    Scale: two 1-row aggregates (events span/count; documents token
+    mean) cross-joined onto {len(_QW_REPLICAS)} constant rows —
+    corpus-scan-bound, the aggregates are map-side-combinable.
+    """
+    reps = ", ".join(str(r) for r in _QW_REPLICAS)
+    arr = (load(spark, sf_dir, "events")
+           .select(F.expr("unix_micros(cast(ts as timestamp))").alias("us"))
+           .agg(F.count(F.lit(1)).alias("n_req"),
+                (F.max("us") - F.min("us")).alias("span_us"))
+           .where(F.col("span_us") > 0))
+    svc = (load(spark, sf_dir, "documents")
+           .select(F.expr("cast(size(filter(split(text, ' '),"
+                          " t -> t <> '')) as bigint)").alias("tok"))
+           .agg(F.sum("tok").alias("tok_sum"),
+                F.count(F.lit(1)).alias("n_docs"))
+           .select(F.expr(f"{_QW_US_PER_TOK} * tok_sum div n_docs")
+                   .alias("s_us")))
+    base = (arr.crossJoin(F.broadcast(svc))
+            .select("n_req", "span_us", "s_us",
+                    F.explode(F.expr(f"array({reps})")).alias("r")))
+    rho = "((1000000 * n_req * s_us) div (r * span_us))"
+    return base.select(
+        F.col("r").cast("int").alias("replicas"),
+        "n_req", "s_us",
+        F.expr(rho).alias("rho_e6"),
+        F.expr(f"CASE WHEN {rho} >= 1000000 THEN -1"
+               f" ELSE ({rho} * s_us) div (2 * (1000000 - {rho})) END")
+         .alias("wait_us"))
+
+
+_QW_SQL = f"""
+WITH arr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_req,
+         CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+  FROM events
+  HAVING CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) > 0
+),
+svc AS (
+  SELECT {_QW_US_PER_TOK} * CAST(sum(len(list_filter(
+             string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+         // CAST(count(*) AS BIGINT) AS s_us
+  FROM documents
+),
+base AS (
+  SELECT n_req, span_us, s_us, unnest([{", ".join(str(r) for r in _QW_REPLICAS)}]) AS r
+  FROM arr, svc
+)
+SELECT CAST(r AS INT) AS replicas,
+       n_req, s_us,
+       (1000000 * n_req * s_us) // (r * span_us) AS rho_e6,
+       CASE WHEN (1000000 * n_req * s_us) // (r * span_us) >= 1000000
+            THEN -1
+            ELSE ((1000000 * n_req * s_us) // (r * span_us)) * s_us
+                 // (2 * (1000000
+                          - (1000000 * n_req * s_us) // (r * span_us)))
+       END AS wait_us
+FROM base
+"""
+
+QUERIES["serving_queue_wait_curve"] = (_serving_queue_wait_curve, _QW_SQL)
