@@ -159,3 +159,52 @@ def test_paged_fragmentation_monotone_in_page_size(spark):
     # are a subset of multiples of P
     frag = [r["frag_tok"] for r in rows]
     assert frag == sorted(frag)
+
+
+def test_matryoshka_recall_is_a_valid_gate(spark):
+    from alma_publish_to_marc_spark.operators.similarity_queries import (
+        K,
+        _mrl_recall,
+        _mrl_topk,
+    )
+
+    topk = _mrl_topk(spark, SF).collect()
+    per_q: dict = {}
+    for r in topk:
+        per_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in per_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] \
+            == list(range(1, K + 1))
+        cos = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cos == sorted(cos, reverse=True)
+        assert all(-1.0 <= c <= 1.0 for c in cos)
+    rec = _mrl_recall(spark, SF).collect()
+    assert len(rec) == len(per_q) == 5
+    for r in rec:
+        assert r["n_exact"] == K
+        assert 0 <= r["mrl_hits"] <= K
+        assert abs(r["mrl_recall"] - r["mrl_hits"] / K) < 1e-9
+    # a 16-of-64-dim prefix must retain SOME signal: not every list empty
+    assert sum(r["mrl_hits"] for r in rec) > 0
+
+
+def test_queue_wait_curve_shape(spark):
+    from alma_publish_to_marc_spark.plans.posttrain_queries import (
+        _serving_queue_wait_curve,
+    )
+
+    rows = sorted(_serving_queue_wait_curve(spark, SF).collect(),
+                  key=lambda r: r["replicas"])
+    assert [r["replicas"] for r in rows] == [1, 2, 4, 8, 16]
+    # rho halves (floor) as replicas double; waits strictly improve
+    # while unsaturated; a saturated candidate reports -1
+    rhos = [r["rho_e6"] for r in rows]
+    assert rhos == sorted(rhos, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        assert abs(b["rho_e6"] - a["rho_e6"] // 2) <= 1
+        if a["wait_us"] != -1 and b["wait_us"] != -1:
+            assert b["wait_us"] <= a["wait_us"]
+        if a["wait_us"] == -1:
+            assert a["rho_e6"] >= 1_000_000
+    # the largest candidate must be unsaturated on this data
+    assert rows[-1]["wait_us"] >= 0
