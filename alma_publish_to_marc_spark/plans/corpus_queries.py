@@ -25,7 +25,9 @@ authoritative inventory). Landmarks by sub-family:
   ``effective_sample_size``, ``covariate_shift_weights``,
   ``empirical_bayes_shrinkage``, ``weighted_sample_es``,
   ``join_skew_diagnostics``, ``event_drift_monitor``,
-  ``greedy_coverage_selection``.
+  ``greedy_coverage_selection``, and the shuffle QA gate
+  ``shuffle_autocorrelation_audit`` (round 10 — same-source adjacency
+  vs the exact uniform-permutation expectation per shard).
 
 Scale notes are on each query; nothing collects to the driver in a hot
 path (greedy coverage's 1-row-per-round argmax is the sanctioned
@@ -2961,3 +2963,93 @@ GROUP BY 1, 2
 
 QUERIES["suffix_lcp_repeats"] = (suffix_lcp_repeats, _SFX_LCP_SQL)
 QUERIES["suffix_repeat_topk"] = (suffix_repeat_topk, _SFX_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# shuffle_autocorrelation_audit (round 10)
+# ---------------------------------------------------------------------------
+
+def shuffle_autocorrelation_audit(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """QA gate on ``training_order_shuffle``: within each training
+    shard, how often are ADJACENT documents from the same source,
+    against the exact expectation under a uniform random permutation
+    (E[same] = Σ_s n_s(n_s−1) / n per shard)? A seeded md5 shuffle
+    should land ratio ≈ 1; a broken shuffle (sorted input leaking
+    through, key collisions, source-correlated keys) shows up as
+    ratio ≫ 1 — the curriculum-contamination check a data loader runs
+    before training.
+
+    Determinism/exactness: adjacency counts and the expectation are
+    exact integers (e6 floors only at the final two divisions); the
+    within-shard order is the shuffle's own unique (key, doc_id) order.
+
+    Scale: inherits ``training_order_shuffle``'s shape — one hash
+    exchange on shard + within-shard sort; the audit adds a lag, one
+    (shard, source) aggregate and one shard aggregate. At 100 TB raise
+    the shard digit count with the shuffle itself so per-shard sorts
+    stay task-sized (same note as the shuffle).
+    """
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    order = training_order_shuffle(spark, sf_dir).join(src, "doc_id")
+    w = Window.partitionBy("shard").orderBy("position")
+    adj = (order
+           .withColumn("prev_src", F.lag("source").over(w))
+           .groupBy("shard")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("prev_src") == F.col("source"), 1)
+                      .otherwise(0)).cast("long").alias("same_pairs")))
+    per_src = (order.groupBy("shard", "source")
+               .agg(F.count(F.lit(1)).alias("ns"))
+               .groupBy("shard")
+               .agg(F.sum(F.col("ns") * (F.col("ns") - 1)).alias("ss")))
+    return (adj.join(per_src, "shard")
+            .select("shard", "n_docs", "same_pairs",
+                    F.expr("(1000000 * ss) div n_docs")
+                     .alias("expected_same_e6"),
+                    F.expr("CASE WHEN ss = 0 THEN -1"
+                           " ELSE (1000000 * same_pairs * n_docs) div ss"
+                           " END").alias("ratio_e6"))
+            )
+
+
+_SHUF_AUDIT_SQL = f"""
+WITH keyed AS (
+    SELECT d.doc_id, d.source,
+           md5(CAST(d.doc_id AS VARCHAR) || ':{SEED}') AS shuffle_key
+    FROM documents d
+),
+ordered AS (
+    SELECT doc_id, source,
+           substr(shuffle_key, 1, {N_SHARD_HEX}) AS shard,
+           row_number() OVER (
+               PARTITION BY substr(shuffle_key, 1, {N_SHARD_HEX})
+               ORDER BY shuffle_key, doc_id) AS position
+    FROM keyed
+),
+adj AS (
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN prev_src = source THEN 1 ELSE 0 END)
+                AS BIGINT) AS same_pairs
+    FROM (SELECT shard, source,
+                 lag(source) OVER (PARTITION BY shard
+                                   ORDER BY position) AS prev_src
+          FROM ordered)
+    GROUP BY shard
+),
+per_src AS (
+    SELECT shard, CAST(sum(ns * (ns - 1)) AS BIGINT) AS ss
+    FROM (SELECT shard, source, CAST(count(*) AS BIGINT) AS ns
+          FROM ordered GROUP BY 1, 2)
+    GROUP BY shard
+)
+SELECT a.shard, a.n_docs, a.same_pairs,
+       (1000000 * p.ss) // a.n_docs AS expected_same_e6,
+       CASE WHEN p.ss = 0 THEN -1
+            ELSE (1000000 * a.same_pairs * a.n_docs) // p.ss END
+           AS ratio_e6
+FROM adj a JOIN per_src p USING (shard)
+"""
+
+QUERIES["shuffle_autocorrelation_audit"] = (shuffle_autocorrelation_audit,
+                                            _SHUF_AUDIT_SQL)

@@ -13,8 +13,14 @@ lives in ``functions/text*.py`` and ``plans/corpus_queries.py``):
   trainer in ``plans/corpus_queries.bpe_train_merges``) to every
   document and report token counts before/after: the "tokenize the
   corpus with the learned vocabulary" pass that sizes a training run.
+- Objective/masking planners: ``t5_span_corruption``,
+  ``mlm_masking_plan``, ``fim_transform``.
+- Vocabulary analytics: ``vocab_ablation_curve``,
+  ``vocab_coverage_at_k``, and (round 10) ``nucleus_cutoff_profile`` —
+  the top-p cutoff table per context-frequency bucket under the
+  corpus bigram model.
 
-Both are pure Column-expression plans (whole-stage codegen, no UDFs)
+All are pure Column-expression plans (whole-stage codegen, no UDFs)
 with DuckDB oracles; scale notes on each query.
 """
 
@@ -1097,3 +1103,113 @@ GROUP BY k
 
 
 QUERIES["vocab_coverage_at_k"] = (vocab_coverage_at_k, _vck_sql())
+
+
+# --------------------------------------------------------------------------
+# nucleus_cutoff_profile (round 10)
+# --------------------------------------------------------------------------
+_NUC_P_NUM, _NUC_P_DEN = 9, 10   # nucleus mass p = 0.9, exact rational
+
+
+def nucleus_cutoff_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) sampling cutoff planning: under the corpus
+    bigram model, how many distinct next words does it take to cover
+    p = {_NUC_P_NUM}/{_NUC_P_DEN} of the continuation mass of each
+    context, profiled by the context's frequency (floor-log2 bucket)?
+    Rare contexts have flat continuation distributions (large k*,
+    sampler must keep many candidates); frequent ones are peaked —
+    the table a serving team reads top-k truncation limits from, and
+    the vocabulary-side sibling of ``speculative_draft_policy``.
+
+    Determinism/exactness: k* per context is the smallest rank with
+    {_NUC_P_DEN}·cum ≥ {_NUC_P_NUM}·total — pure integer counts, rank
+    order (count DESC, word ASC) unique per context; the ROWS
+    cumulative sum is an exact integer regardless of partitioning.
+
+    Scale: bigram counts are one keyed aggregate on md5(context)
+    (fixed-width shuffle key); the rank/cumsum window partitions BY
+    CONTEXT (alphabet-bounded rows per key, never corpus-wide); the
+    output is a ≤~20-row log2 histogram via one map-side-combinable
+    aggregate.
+    """
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                    .alias("w")))
+    toks = docs.select("doc_id", F.posexplode("w").alias("pos", "cur"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (toks.withColumn("nxt", F.lead("cur").over(wdoc))
+             .where(F.col("nxt").isNotNull())
+             .select(F.unhex(F.md5("cur")).alias("ck"), "nxt"))
+    cnt = pairs.groupBy("ck", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wr = (Window.partitionBy("ck")
+          .orderBy(F.desc("c"), F.asc("nxt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = cnt.select(
+        "ck", "c",
+        F.sum("c").over(wr).alias("cum"),
+        F.row_number().over(
+            Window.partitionBy("ck").orderBy(F.desc("c"), F.asc("nxt")))
+        .alias("rnk"),
+        F.sum("c").over(Window.partitionBy("ck")).alias("total"))
+    kstar = (ranked
+             .where(_NUC_P_DEN * F.col("cum")
+                    >= _NUC_P_NUM * F.col("total"))
+             .groupBy("ck")
+             .agg(F.min("rnk").alias("k_star"),
+                  F.min("total").alias("total")))
+    return (kstar
+            .groupBy(F.expr("length(bin(total)) - 1").cast("int")
+                     .alias("ctx_freq_log2"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_contexts"),
+                 F.sum("k_star").cast("long").alias("k_sum"),
+                 F.max("k_star").cast("int").alias("k_max"))
+            .select("ctx_freq_log2", "n_contexts",
+                    F.expr("k_sum div n_contexts").alias("k_mean_floor"),
+                    "k_max"))
+
+
+_NUC_SQL = rf"""
+WITH docs AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, t.i - 1 AS pos, w[t.i] AS cur
+    FROM docs, unnest(range(1, len(w) + 1)) AS t(i)
+),
+prs AS (
+    SELECT unhex(md5(cur)) AS ck,
+           lead(cur) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks
+),
+cnt AS (
+    SELECT ck, nxt, CAST(count(*) AS BIGINT) AS c
+    FROM prs WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+    SELECT ck, c,
+           CAST(sum(c) OVER (PARTITION BY ck ORDER BY c DESC, nxt ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           row_number() OVER (PARTITION BY ck
+                              ORDER BY c DESC, nxt ASC) AS rnk,
+           CAST(sum(c) OVER (PARTITION BY ck) AS BIGINT) AS total
+    FROM cnt
+),
+kstar AS (
+    SELECT ck, CAST(min(rnk) AS BIGINT) AS k_star, min(total) AS total
+    FROM ranked
+    WHERE {_NUC_P_DEN} * cum >= {_NUC_P_NUM} * total
+    GROUP BY ck
+)
+SELECT CAST(length(bin(total)) - 1 AS INT) AS ctx_freq_log2,
+       CAST(count(*) AS BIGINT) AS n_contexts,
+       CAST(sum(k_star) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS k_mean_floor,
+       CAST(max(k_star) AS INT) AS k_max
+FROM kstar
+GROUP BY 1
+"""
+
+QUERIES["nucleus_cutoff_profile"] = (nucleus_cutoff_profile, _NUC_SQL)
