@@ -63,16 +63,18 @@ _MODULES = (
 
 
 # Driver-sample pinning. Round-10 policy (VERDICT r9 "Next round" #1):
-# the first 28 slots PIN the keys where code is newer than any driver
+# the first 38 slots PIN the keys where code is newer than any driver
 # confirmation — the 22 queries ADDED in round 9 (posttrain_queries,
 # weighting_queries, theta forecast, modality mix, percolation sweep,
-# rich-club coefficient) plus the 6 pre-existing spatial keys whose
-# PLANS changed in round 9 (density-adaptive `_side_frame` grid,
-# integerized Weiszfeld). The remaining 22 slots continue the rotation
-# over never-driver-sampled keys in natural module order (union of
-# CORRECTNESS_r01..r09 = 276 driver-green; 282 of 558 keys remained
-# unsampled entering round 10). Keys are byte-stable; members are only
-# removed or rotated, never renamed.
+# rich-club coefficient), the 6 pre-existing spatial keys whose PLANS
+# changed in round 9 (density-adaptive `_side_frame` grid, integerized
+# Weiszfeld), and the 10 queries ADDED in round 10 (blocked suffix
+# ranking, speculative draft policy, KV planning, Matryoshka recall,
+# queue sizing, nucleus cutoff, shuffle QA). The remaining 12 slots
+# continue the rotation over never-driver-sampled keys in natural
+# module order (union of CORRECTNESS_r01..r09 = 276 driver-green; 282
+# of 558 pre-round-10 keys remained unsampled entering round 10). Keys
+# are byte-stable; members are only removed or rotated, never renamed.
 _SAMPLE_FIRST = (
     # --- round-9-NEW queries (code newer than any driver row) ---
     "grpo_group_advantage",
@@ -104,7 +106,18 @@ _SAMPLE_FIRST = (
     "spatial_hotspot_cells",
     "quadtree_tile_rollup",
     "geometric_median_weiszfeld",
-    # --- rotation: next 22 never-driver-sampled keys ---
+    # --- round-10-NEW queries (same fresh-confirmation logic) ---
+    "suffix_lcp_repeats",
+    "suffix_repeat_topk",
+    "speculative_draft_policy",
+    "kv_cache_memory_budget",
+    "paged_attention_fragmentation",
+    "matryoshka_topk",
+    "matryoshka_recall_eval",
+    "serving_queue_wait_curve",
+    "nucleus_cutoff_profile",
+    "shuffle_autocorrelation_audit",
+    # --- rotation: next 12 never-driver-sampled keys ---
     "pairwise_winrate_wilson",
     "annotator_agreement_kappa",
     "fleiss_kappa_items",
@@ -117,16 +130,6 @@ _SAMPLE_FIRST = (
     "zorder_layout_stats",
     "order_priority_checking",
     "local_supplier_volume",
-    "forecast_revenue_change",
-    "volume_shipping",
-    "promo_revenue_effect",
-    "national_market_share",
-    "product_type_profit",
-    "important_part_value",
-    "shipmode_priority",
-    "customer_distribution",
-    "min_cost_supplier",
-    "top_supplier_revenue",
 )
 
 
