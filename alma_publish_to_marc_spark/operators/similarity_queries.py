@@ -1725,7 +1725,15 @@ def _mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{K} of the {MRL_DIM}-dim truncated index vs the exact
     {S.DIM}-dim scan — the gate that prices the Matryoshka 4× cut,
     same eval shape as sq/pq/ann recall gates (ground truth only for
-    the fixed probe panel, O(panel × corpus))."""
+    the fixed probe panel, O(panel × corpus)).
+
+    Granularity note: ``matryoshka_recall_curve``
+    (operators/embedding_queries.py) sweeps the DIM axis and reports
+    one panel-aggregate recall per candidate dim — the sizing curve;
+    this query fixes the serving dim at {MRL_DIM} and reports
+    PER-QUERY recall (the deployment gate that catches a dim choice
+    whose aggregate looks fine while specific queries collapse), with
+    ``matryoshka_topk`` exposing the ranked lists themselves."""
     emb = load(spark, sf_dir, "embeddings")
     exact = S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K) \
         .select("qid", "neighbor_id")
