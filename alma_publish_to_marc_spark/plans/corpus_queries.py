@@ -2717,102 +2717,165 @@ QUERIES["token_stream_packing"] = (token_stream_packing, _PACKING_SQL)
 # datasets shape ("Deduplicating Training Data Makes Language Models
 # Better", suffix-array variant): rank every word suffix, compare each
 # to its sorted neighbor, and the max LCP over adjacent pairs IS the
-# longest repeated word sequence. Ranking is BLOCKED by the suffix's
-# first two words: any two suffixes with LCP >= 2 share the block, and
-# because the join separator chr(1) sorts below every text character,
-# suffixes sharing a 2-word prefix are contiguous in plain string
-# order — so within-block adjacency equals global-suffix-array
-# adjacency for every pair that matters. No global sort, no range
-# partitioning, no unpartitioned window.
+# longest repeated word sequence.
+#
+# Ranking is blocked by the suffix's prefix words, DEPTH-ADAPTIVELY:
+# level L groups on the first-L-word prefix (L = 2.._SFX_MAXL). A block
+# with more than _SFX_CAP suffixes is HOT: its rows escalate to level
+# L+1, and hotness itself is PROOF of an L-word repeat for every member
+# (>= 2 suffixes share the block's full prefix string), so escalated
+# rows carry an exact grant of min(L, words) — no information is lost.
+# Cold blocks sort locally (window keyed on the md5 of the prefix —
+# fixed-width shuffle key); because the join separator chr(1) sorts
+# below every text character, suffixes sharing an L-word prefix are
+# contiguous in plain string order, and any pair with LCP >= L lives
+# entirely inside one cold-or-deeper block — within-block adjacency
+# equals global-suffix-array adjacency for every pair that matters at
+# that level. The FINAL level sorts its hot blocks too (exactness for
+# repeats longer than _SFX_MAXL), which bounds residual skew to the
+# hottest (_SFX_MAXL)-word prefix; raise _SFX_MAXL at deployment to
+# push that tail down. No global sort, no range partitioning, no
+# unpartitioned window at any level.
 # ---------------------------------------------------------------------------
 _SFX_K = 24       # LCP cap in words (suffix key length shipped)
 _SFX_MIN = 2      # minimum repeat length reported (blocks guarantee >=2)
 _SFX_TOPK = 10    # corpus-wide report size
 _SFX_SEP = "\x01"
+# CAP is deliberately TINY here so every test scale factor exercises
+# the escalation path (sf0.1's dense synthetic vocabulary makes 900 of
+# 931 level-2 blocks hot); a production deployment sets CAP to a
+# task-sized row count (~1e5) so natural text almost never escalates
+# and the adaptive depth only fires on true stop-phrase prefixes.
+_SFX_CAP = 64     # max COLD block size; larger blocks escalate a level
+_SFX_MAXL = 5     # deepest prefix level (final level sorts hot blocks)
+
+# word-LCP of the row's key vs its lead/lag neighbour key (columns ka,
+# kb, m prepared by the level builder); array_position returns 0 on
+# no-match in BOTH engines (no mismatch within the compared prefix)
+_SFX_LCP_EXPR = (
+    "CASE WHEN nkey IS NULL THEN NULL ELSE ("
+    "  CASE WHEN array_position(transform(sequence(1, m),"
+    "            j -> element_at(ka, j) = element_at(kb, j)), false)"
+    "            = 0"
+    "       THEN m"
+    "       ELSE array_position(transform(sequence(1, m),"
+    "            j -> element_at(ka, j) = element_at(kb, j)), false)"
+    "            - 1 END) END")
 
 
-def _suffix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adjacent-suffix LCP frame: one row per suffix (doc_id, i) with
-    the word-LCP to its successor in blocked suffix order (NULL at
-    block ends) and the suffix's first-_SFX_K words as an array.
-
-    Scale: suffix count = corpus word count; each row ships one
-    <= _SFX_K-word string (~150 B) through ONE hash shuffle keyed on
-    the 16-byte md5 of the 2-word block prefix — the O(N·K) blocked
-    suffix-ranking cost profile, linear in corpus bytes. Block skew is
-    bounded by the 2-word prefix alphabet (a hot block is a single
-    repeated phrase; extending the block key to 3 words shards it
-    further at identical semantics — any pair with LCP >= 3 still
-    co-locates)."""
+def _suffix_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per word suffix: (doc_id, i, key) with key = the first
+    _SFX_K words from position i, chr(1)-joined. Suffix count = corpus
+    word count; each row is one <= ~150 B string — the O(N·K) blocked
+    suffix-ranking payload, linear in corpus bytes."""
     docs = (load(spark, sf_dir, "documents")
             .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
             .where(F.size("w") >= 2))
-    sfx = (docs.select(
+    return (docs.select(
         "doc_id", "w",
         F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"))
-        .select(
-            "doc_id", "i",
-            F.unhex(F.md5(F.concat_ws(
-                _SFX_SEP, F.element_at("w", F.col("i")),
-                F.element_at("w", F.col("i") + 1)))).alias("blk"),
-            F.concat_ws(_SFX_SEP,
-                        F.slice("w", F.col("i"), F.lit(_SFX_K)))
-             .alias("key")))
-    wb = Window.partitionBy("blk").orderBy("key", "doc_id", "i")
-    lcp = (
-        "CASE WHEN nkey IS NULL THEN NULL ELSE ("
-        "  CASE WHEN array_position(transform(sequence(1, m),"
-        "            j -> element_at(ka, j) = element_at(kb, j)), false)"
-        "            = 0"
-        "       THEN m"
-        "       ELSE array_position(transform(sequence(1, m),"
-        "            j -> element_at(ka, j) = element_at(kb, j)), false)"
-        "            - 1 END) END")
-    return (sfx
-            .withColumn("nkey", F.lead("key").over(wb))
-            .select(
-                "doc_id", "i", "blk", "key",
-                F.expr(f"split(key, '{_SFX_SEP}')").alias("ka"),
-                F.expr(f"split(nkey, '{_SFX_SEP}')").alias("kb"),
-                F.col("nkey"))
-            .withColumn("m", F.expr(
-                "CASE WHEN nkey IS NULL THEN 0"
-                " ELSE least(size(ka), size(kb)) END"))
-            .withColumn("lcp", F.expr(lcp).cast("int")))
+        .select("doc_id", "i",
+                F.concat_ws(_SFX_SEP,
+                            F.slice("w", F.col("i"), F.lit(_SFX_K)))
+                 .alias("key")))
+
+
+def _suffix_levels(spark: SparkSession,
+                   sf_dir: str) -> list:
+    """Depth-adaptive suffix ranking. Returns one FINALIZED frame per
+    level with columns (doc_id, i, key, ka, lcp, best):
+
+    - ``lcp``  — word-LCP to the sorted successor within the row's
+      cold block (NULL at block ends), for candidate extraction;
+    - ``best`` — the row's exact longest-repeat length: the larger of
+      its two neighbour LCPs and its hot-ancestry grant min(L-1, len).
+
+    Each level costs ONE hash shuffle (the count/sort/lead/lag windows
+    share the block-key partitioning); level-(L+1) input is only the
+    hot tail of level L, so work shrinks geometrically on natural text.
+    Every level's windowed frame and finalized frame PERSIST (tracked,
+    released via unpersist_cached): the chain is self-referential
+    (level L+1 branches off level L) and the finalized frames feed two
+    candidate branches each — unpersisted, the interpreted LCP folds
+    re-pay the whole chain per branch (CLAUDE.md multi-branch rule;
+    measured 5x at sf1).
+    """
+    out = []
+    part = _suffix_base(spark, sf_dir)
+    for lvl in range(2, _SFX_MAXL + 1):
+        ka = F.split("key", _SFX_SEP)
+        bl = F.unhex(F.md5(F.concat_ws(_SFX_SEP,
+                                       F.slice(ka, 1, lvl))))
+        cur = part.select("doc_id", "i", "key", bl.alias("bl"))
+        wcnt = Window.partitionBy("bl")
+        wsort = Window.partitionBy("bl").orderBy("key", "doc_id", "i")
+        cur = (cur
+               .withColumn("n", F.count(F.lit(1)).over(wcnt))
+               .withColumn("nkey", F.lead("key").over(wsort))
+               .withColumn("pkey", F.lag("key").over(wsort))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        _PERSISTED.append(cur)
+        is_final = lvl == _SFX_MAXL
+        fin = cur if is_final else cur.where(F.col("n") <= _SFX_CAP)
+        # successor LCP directly; predecessor LCP by re-running the
+        # same expression with the lagged key swapped in as "nkey"
+        fin = (fin
+               .withColumn("ka", F.split("key", _SFX_SEP))
+               .withColumn("kb", F.split("nkey", _SFX_SEP))
+               .withColumn("m", F.expr(
+                   "CASE WHEN nkey IS NULL THEN 0"
+                   " ELSE least(size(ka), size(kb)) END"))
+               .withColumn("lcp", F.expr(_SFX_LCP_EXPR).cast("int")))
+        prev = (fin
+                .withColumn("nkey", F.col("pkey"))
+                .withColumn("kb", F.split("pkey", _SFX_SEP))
+                .withColumn("m", F.expr(
+                    "CASE WHEN nkey IS NULL THEN 0"
+                    " ELSE least(size(ka), size(kb)) END"))
+                .select("doc_id", "i", "key", "ka", "lcp",
+                        F.expr(_SFX_LCP_EXPR).cast("int").alias("plcp")))
+        grant = (F.least(F.lit(lvl - 1), F.size("ka")) if lvl > 2
+                 else F.lit(0))
+        fin_frame = prev.select(
+            "doc_id", "i", "key", "ka", "lcp",
+            F.greatest(F.coalesce("lcp", F.lit(0)),
+                       F.coalesce("plcp", F.lit(0)),
+                       grant).cast("int").alias("best")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(fin_frame)
+        out.append(fin_frame)
+        if not is_final:
+            part = (cur.where(F.col("n") > _SFX_CAP)
+                    .select("doc_id", "i", "key"))
+    return out
 
 
 def suffix_lcp_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document longest repeated word sequence at SUFFIX
-    granularity (any length up to {_SFX_K} words, capped) — the exact
+    granularity (any length up to _SFX_K words, capped) — the exact
     sub-document dedup signal ``longest_dup_span`` approximates with
     fixed 8-grams: a doc whose longest repeat rivals its length is a
     wholesale copy; 8-gram methods cannot see repeats of 2-7 words and
     quantize everything else to 8-gram runs.
 
     A suffix's best repeat is the larger of its LCP with either sorted
-    neighbor (suffix-array property: the longest repeat containing a
-    suffix as a prefix is realized against an adjacent suffix), so
-    per-doc max(best) over its suffixes is exact, not approximate.
+    neighbor (suffix-array property) or its hot-block grant — exact at
+    every level (module banner) — so per-doc max(best) over suffixes
+    is exact, not approximate (property-tested against the quadratic
+    definition on adversarial corpora, tests/test_suffix_properties.py).
 
-    Scale: the _suffix_pairs shuffle (O(N·K) bytes, hash-keyed) plus
-    one lag within the already-sorted window, one doc-keyed aggregate,
-    and a doc-keyed left join back to the corpus spine.
+    Scale: one depth-adaptive blocked shuffle chain (per level: one
+    hash shuffle whose input is the previous level's hot tail), one
+    doc-keyed aggregate, one doc-keyed join back to the corpus spine.
     """
-    # lag of the pair-lcp over the SAME window gives the predecessor's
-    # LCP, i.e. this suffix's LCP with its PREVIOUS neighbor — both
-    # windows share one partitioning, so Catalyst fuses them into the
-    # single blk-keyed sort (one shuffle total)
-    wb = Window.partitionBy("blk").orderBy("key", "doc_id", "i")
-    pairs = (_suffix_pairs(spark, sf_dir)
-             .withColumn("prev_lcp", F.lag("lcp").over(wb)))
-    best = (pairs.select(
-        "doc_id",
-        F.greatest(F.coalesce("lcp", F.lit(0)),
-                   F.coalesce("prev_lcp", F.lit(0))).alias("b"))
-        .groupBy("doc_id").agg(F.max("b").alias("mx"))
-        .where(F.col("mx") >= _SFX_MIN)
-        .select("doc_id", F.col("mx").cast("int")
-                .alias("longest_rep_words")))
+    levels = _suffix_levels(spark, sf_dir)
+    per = levels[0].select("doc_id", "best")
+    for frame in levels[1:]:
+        per = per.unionByName(frame.select("doc_id", "best"))
+    best = (per.groupBy("doc_id").agg(F.max("best").alias("mx"))
+            .where(F.col("mx") >= _SFX_MIN)
+            .select("doc_id",
+                    F.col("mx").cast("int").alias("longest_rep_words")))
     base = load(spark, sf_dir, "documents").select("doc_id")
     return base.join(best, "doc_id", "left").select(
         "doc_id",
@@ -2821,115 +2884,146 @@ def suffix_lcp_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def suffix_repeat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide TOP-{_SFX_TOPK} longest repeated word sequences with
+    """Corpus-wide TOP-_SFX_TOPK longest repeated word sequences with
     occurrence counts — the dedup report the deduplicate-text-datasets
-    tooling prints before span removal. Candidates are the repeated
-    prefixes realized by adjacent suffix pairs; a sequence s of length
-    L occurs (#adjacent pairs with LCP >= L and first-L words = s) + 1
-    times, because all suffixes prefixed by s are CONTIGUOUS in blocked
-    suffix order (one run, run_len - 1 internal pairs).
+    tooling prints before span removal. Candidates come from the
+    adjacent-pair prefixes of every level's cold blocks PLUS every hot
+    block's prefix itself (hotness proves >= 2 occurrences — module
+    banner, surfaced per row as best > lcp); a sequence's occurrence
+    count is the number of suffixes it word-prefixes, counted with a
+    hash join on the candidate's 2-word block (every prefixed suffix
+    shares the candidate's first two words).
 
-    Scale: one blocked suffix shuffle, reduced IMMEDIATELY to
-    (lcp, own-prefix string) rows before the persist (no 24-word
-    arrays held — candidate selection and occurrence counting are two
-    plan branches over the persisted repeat tail); candidate selection
-    is orderBy+limit (TakeOrdered, no range partition); the occurrence
-    pass prunes pairs below the candidates' MINIMUM length (broadcast
-    1-row bound), then broadcast-nested-loop matches survivors with a
-    word-prefix startswith — a pair's own-LCP prefix contains every
-    shorter candidate prefix, so no per-candidate array slicing.
+    Scale: the depth-adaptive suffix chain; candidate selection is
+    orderBy+limit (TakeOrdered, no range partition); the occurrence
+    pass joins the base suffix scan against the broadcast
+    <= _SFX_TOPK-row candidate table on the 2-word block hash, then
+    checks one startswith — no per-candidate array slicing and no
+    nested loop over the corpus.
     """
-    pairs = (_suffix_pairs(spark, sf_dir)
-             .where(F.col("lcp") >= _SFX_MIN)
-             .select("lcp",
-                     F.concat_ws(" ", F.slice("ka", 1, F.col("lcp")))
-                      .alias("pref"))
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    _PERSISTED.append(pairs)
-    cand = (pairs.select(F.col("lcp").alias("rep_len_words"),
-                         F.col("pref").alias("repeat_words"))
+    levels = _suffix_levels(spark, sf_dir)
+    cands = None
+    for frame in levels:
+        pc = (frame.where(F.col("lcp") >= _SFX_MIN)
+              .select(F.col("lcp").alias("rl"),
+                      F.concat_ws(_SFX_SEP, F.slice("ka", 1, F.col("lcp")))
+                       .alias("seq")))
+        gc = (frame.where((F.col("best") > F.coalesce("lcp", F.lit(0)))
+                          & (F.col("best") >= _SFX_MIN))
+              .select(F.col("best").alias("rl"),
+                      F.concat_ws(_SFX_SEP,
+                                  F.slice("ka", 1, F.col("best")))
+                       .alias("seq")))
+        lv = pc.unionByName(gc)
+        cands = lv if cands is None else cands.unionByName(lv)
+    cand = (cands
             .distinct()
-            .orderBy(F.desc("rep_len_words"), "repeat_words")
-            .limit(_SFX_TOPK))
-    lmin = cand.agg(F.min("rep_len_words").alias("lmin"))
-    return (pairs.crossJoin(F.broadcast(lmin))
-            .where(F.col("lcp") >= F.col("lmin"))
-            .join(
-        F.broadcast(cand),
-        (F.col("pref") == F.col("repeat_words"))
-        | F.col("pref").startswith(F.concat(F.col("repeat_words"),
-                                            F.lit(" "))))
-        .groupBy("repeat_words", "rep_len_words")
-        .agg((F.count(F.lit(1)) + 1).cast("long").alias("n_occurrences"))
-        .select("repeat_words",
-                F.col("rep_len_words").cast("int").alias("rep_len_words"),
-                "n_occurrences"))
+            .orderBy(F.desc("rl"), "seq")
+            .limit(_SFX_TOPK)
+            .select("rl", "seq",
+                    F.unhex(F.md5(F.concat_ws(
+                        _SFX_SEP,
+                        F.slice(F.split("seq", _SFX_SEP), 1, 2))))
+                     .alias("cb")))
+    base = _suffix_base(spark, sf_dir).select(
+        "key",
+        F.unhex(F.md5(F.concat_ws(
+            _SFX_SEP, F.slice(F.split("key", _SFX_SEP), 1, 2))))
+         .alias("cb"))
+    return (base.join(F.broadcast(cand), "cb")
+            .where((F.col("key") == F.col("seq"))
+                   | F.col("key").startswith(
+                       F.concat(F.col("seq"), F.lit(_SFX_SEP))))
+            .groupBy("rl", "seq")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+            .select(F.translate("seq", _SFX_SEP, " ")
+                     .alias("repeat_words"),
+                    F.col("rl").cast("int").alias("rep_len_words"),
+                    "n_occurrences"))
 
 
-def _sfx_base_sql() -> str:
-    """Shared oracle CTE chain: blocked suffix ranking + adjacent LCP.
-    list_position finds the first mismatch position (NULL = no
-    mismatch within the compared prefix, i.e. LCP = m)."""
-    return rf"""
+def _sfx_pairlcp_sql(other: str) -> str:
+    """Word-LCP of key vs the OTHER key column (DuckDB list_position
+    returns 0 on no-match — 0/NULL both mean LCP = compared length)."""
+    m = (f"least(len(string_split(key, chr(1))),"
+         f" len(string_split({other}, chr(1))))")
+    pos = (f"list_position(list_transform(range(1, {m} + 1),"
+           f" j -> string_split(key, chr(1))[j]"
+           f" = string_split({other}, chr(1))[j]), false)")
+    return (f"CASE WHEN {other} IS NULL THEN NULL"
+            f" WHEN coalesce({pos}, 0) = 0 THEN CAST({m} AS INT)"
+            f" ELSE CAST({pos} - 1 AS INT) END")
+
+
+def _sfx_levels_sql() -> str:
+    """Oracle twin of :func:`_suffix_levels`: per-level CTE chain, hot
+    blocks escalate, final level sorts everything. Level block key is
+    the prefix STRING (the md5 in the Spark plan is only a fixed-width
+    shuffle key — identical grouping)."""
+    parts = [rf"""
 docs AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
   FROM documents
 ),
 sfx AS (
   SELECT doc_id, t.i,
-         unhex(md5(w[t.i] || chr(1) || w[t.i + 1])) AS blk,
          array_to_string(list_slice(w, t.i, t.i + {_SFX_K - 1}), chr(1))
              AS key
   FROM docs, unnest(range(1, len(w))) AS t(i)
   WHERE len(w) >= 2
 ),
-nbr AS (
-  SELECT doc_id, i, blk, key,
-         lead(key) OVER (PARTITION BY blk ORDER BY key, doc_id, i) AS nkey
-  FROM sfx
+part2 AS (SELECT doc_id, i, key FROM sfx)"""]
+    for lvl in range(2, _SFX_MAXL + 1):
+        is_final = lvl == _SFX_MAXL
+        cold = "" if is_final else f"WHERE n <= {_SFX_CAP}"
+        grant = (f"least({lvl - 1}, len(string_split(key, chr(1))))"
+                 if lvl > 2 else "0")
+        parts.append(f"""
+blk{lvl} AS (
+  SELECT doc_id, i, key,
+         array_to_string(list_slice(string_split(key, chr(1)), 1, {lvl}),
+                         chr(1)) AS bl
+  FROM part{lvl}
 ),
-split_keys AS (
-  SELECT doc_id, i, blk, key, nkey,
+win{lvl} AS MATERIALIZED (
+  SELECT doc_id, i, key, bl,
+         count(*) OVER (PARTITION BY bl) AS n,
+         lead(key) OVER (PARTITION BY bl
+                         ORDER BY key, doc_id, i) AS nkey,
+         lag(key)  OVER (PARTITION BY bl
+                         ORDER BY key, doc_id, i) AS pkey
+  FROM blk{lvl}
+),
+lcp{lvl} AS (
+  SELECT doc_id, i, key,
          string_split(key, chr(1)) AS ka,
-         string_split(nkey, chr(1)) AS kb
-  FROM nbr
+         {_sfx_pairlcp_sql('nkey')} AS lcp,
+         {_sfx_pairlcp_sql('pkey')} AS plcp
+  FROM win{lvl} {cold}
 ),
-mlen AS (
-  SELECT doc_id, i, blk, key, ka, kb,
-         CASE WHEN nkey IS NULL THEN 0
-              ELSE least(len(ka), len(kb)) END AS m,
-         nkey
-  FROM split_keys
-),
-pos AS (
-  SELECT doc_id, i, blk, key, ka, m, nkey,
-         list_position(list_transform(range(1, m + 1),
-                                      j -> ka[j] = kb[j]), false) AS fm
-  FROM mlen
-),
-lcps AS (
-  -- DuckDB list_position returns 0 (not NULL) on no-match: 0/NULL both
-  -- mean "no mismatch within the compared prefix", i.e. LCP = m
-  SELECT doc_id, i, blk, key, ka,
-         CASE WHEN nkey IS NULL THEN NULL
-              WHEN coalesce(fm, 0) = 0 THEN CAST(m AS INT)
-              ELSE CAST(fm - 1 AS INT) END AS lcp
-  FROM pos
-)"""
+fin{lvl} AS MATERIALIZED (
+  SELECT doc_id, i, key, ka, lcp,
+         CAST(greatest(coalesce(lcp, 0), coalesce(plcp, 0), {grant})
+              AS INT) AS best
+  FROM lcp{lvl}
+)""")
+        if not is_final:
+            parts.append(f"""
+part{lvl + 1} AS (
+  SELECT doc_id, i, key FROM win{lvl} WHERE n > {_SFX_CAP}
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, i, key, ka, lcp, best FROM fin{lvl}"
+        for lvl in range(2, _SFX_MAXL + 1))
+    parts.append(f"""
+finalized AS ({union})""")
+    return ",".join(parts)
 
 
 _SFX_LCP_SQL = f"""
-WITH {_sfx_base_sql()},
-lagged AS (
-  SELECT doc_id,
-         greatest(coalesce(lcp, 0),
-                  coalesce(lag(lcp) OVER (PARTITION BY blk
-                                          ORDER BY key, doc_id, i), 0))
-             AS b
-  FROM lcps
-),
+WITH {_sfx_levels_sql()},
 best AS (
-  SELECT doc_id, max(b) AS mx FROM lagged GROUP BY doc_id
+  SELECT doc_id, max(best) AS mx FROM finalized GROUP BY doc_id
 )
 SELECT d.doc_id,
        CAST(coalesce(CASE WHEN b.mx >= {_SFX_MIN} THEN b.mx END, 0) AS INT)
@@ -2939,24 +3033,37 @@ FROM documents d LEFT JOIN best b USING (doc_id)
 
 
 _SFX_TOPK_SQL = f"""
-WITH {_sfx_base_sql()},
-rep AS (
-  SELECT lcp, array_to_string(list_slice(ka, 1, lcp), ' ') AS pref
-  FROM lcps WHERE lcp >= {_SFX_MIN}
+WITH {_sfx_levels_sql()},
+cands AS (
+  SELECT CAST(lcp AS INT) AS rl,
+         array_to_string(list_slice(ka, 1, lcp), chr(1)) AS seq
+  FROM finalized WHERE lcp >= {_SFX_MIN}
+  UNION ALL
+  SELECT best AS rl,
+         array_to_string(list_slice(ka, 1, best), chr(1)) AS seq
+  FROM finalized WHERE best > coalesce(lcp, 0) AND best >= {_SFX_MIN}
 ),
 cand AS (
-  SELECT DISTINCT CAST(lcp AS INT) AS rep_len_words,
-         pref AS repeat_words
-  FROM rep
-  ORDER BY rep_len_words DESC, repeat_words
-  LIMIT {_SFX_TOPK}
+  SELECT DISTINCT rl, seq FROM cands
+  ORDER BY rl DESC, seq LIMIT {_SFX_TOPK}
+),
+cand_b AS (
+  SELECT rl, seq,
+         array_to_string(list_slice(string_split(seq, chr(1)), 1, 2),
+                         chr(1)) AS cb
+  FROM cand
+),
+base_b AS (
+  SELECT key,
+         array_to_string(list_slice(string_split(key, chr(1)), 1, 2),
+                         chr(1)) AS cb
+  FROM sfx
 )
-SELECT c.repeat_words,
-       c.rep_len_words,
-       CAST(count(*) + 1 AS BIGINT) AS n_occurrences
-FROM rep p JOIN cand c
-  ON p.pref = c.repeat_words
-  OR starts_with(p.pref, c.repeat_words || ' ')
+SELECT replace(c.seq, chr(1), ' ') AS repeat_words,
+       c.rl AS rep_len_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM base_b s JOIN cand_b c USING (cb)
+WHERE s.key = c.seq OR starts_with(s.key, c.seq || chr(1))
 GROUP BY 1, 2
 """
 
