@@ -106,7 +106,25 @@ HEADLINE = [
 # (load < 1, no co-tenant JVMs): probe floor 1.09-1.19s across three
 # sessions. The same probe read 1.5-2.8s minutes later at load-avg 12 —
 # the r9 phantom-regression signature the probe exists to divide out.
-_CALIBRATION_REF_SEC = 1.15
+# Re-recorded round 11 (2026-08-16) TOGETHER with BENCH_BASELINE.json
+# (the r10 verdict's task 1): same-day quiet-host floors measured
+# 0.826 s (inside the warmed baseline-recording session, load 0.25),
+# 0.968/1.038/1.188 s (standalone best-of-3 sessions). 0.95 is the
+# low-middle of that band: normalization (which only ever divides
+# timings DOWN, bench guard invariant) kicks in only on genuinely
+# slowed hosts, and a quiet session reads host_factor 0.87-1.25 —
+# under the 1.3x staleness warning below.
+_CALIBRATION_REF_SEC = 0.95
+# A host_factor beyond this means either a co-tenant or a STALE
+# _CALIBRATION_REF_SEC (r10 advice: a constant pinned to one machine's
+# floor silently dampens regressions on any persistently slower host).
+# Surfaced as calibration.warning in the JSON so drift is visible in
+# every artifact, not just to someone who remembers to re-measure.
+# Threshold sits just ABOVE the measured quiet-host band (probe floors
+# 0.83-1.25 s → factors 0.87-1.31 across five same-day quiet sessions,
+# r11) and just below the r9 contention signature (probes 1.5-2.8 s →
+# factors 1.6-2.9), so it separates real drift from probe variance.
+_HOST_FACTOR_WARN = 1.6
 _PROBE_ROWS = 8_000_000
 _PROBE_PARTS = 32
 
@@ -287,21 +305,76 @@ def main() -> None:
                      else "transient"][name] = verdicts["regressions"].pop(name)
 
     core = [n for n in HEADLINE[:CORE_16] if n in timings]
-    print(json.dumps({
+    calibration_block = {"probe_pre_sec": probe_pre,
+                         "probe_post_sec": probe_post,
+                         "ref_sec": _CALIBRATION_REF_SEC,
+                         "host_factor": host_factor,
+                         "ext_load_cores": ext_load}
+    if host_factor > _HOST_FACTOR_WARN:
+        calibration_block["warning"] = (
+            f"host_factor {host_factor} > {_HOST_FACTOR_WARN}: either a "
+            f"loaded host or a stale _CALIBRATION_REF_SEC — if this "
+            f"persists across quiet sessions, re-record the baseline "
+            f"(SPARK_GRAFT_RECORD_BASELINE=1)")
+        print(f"bench: WARNING {calibration_block['warning']}",
+              file=sys.stderr)
+    # Key order matters: the driver's BENCH_r{N}.json wrapper keeps
+    # only the LAST 2000 chars of stdout (r10's tail lost "queries" to
+    # front-truncation and parsed=null). The bulky diagnostic
+    # (calibration.ext_load_cores, ~1.1 KB) goes FIRST so truncation
+    # eats it; the flags and the per-key timings go LAST so the
+    # artifact always carries them.
+    payload = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
-        "core_16_sec": round(sum(timings[n] for n in core), 3),
+        "calibration": calibration_block,
         "streaming": streaming,
+        "core_16_sec": round(sum(timings[n] for n in core), 3),
         "sf": sf,
-        "calibration": {"probe_pre_sec": probe_pre,
-                        "probe_post_sec": probe_post,
-                        "ref_sec": _CALIBRATION_REF_SEC,
-                        "host_factor": host_factor,
-                        "ext_load_cores": ext_load},
         **verdicts,
-    }))
+        "queries": timings,
+    }
+    print(json.dumps(payload))
+    if os.environ.get("SPARK_GRAFT_RECORD_BASELINE"):
+        _record_baseline(payload)
+
+
+def _record_baseline(payload: dict) -> None:
+    """Persist this run's per-key timings as the guard's baseline
+    (BENCH_BASELINE.json). Refuses a contaminated run: recording a
+    co-tenant-inflated baseline would hide future regressions behind
+    the inflation, the exact r9→r10 failure the repo baseline exists
+    to end. Run on a quiet host (loadavg < 0.5, no flags)."""
+    cal = payload["calibration"]
+    flags = {k: v for k in ("regressions", "contended", "transient")
+             for v in [payload.get(k) or {}] if v}
+    # stricter than the drift warning: a baseline recorded on even a
+    # mildly slowed host bakes the inflation into every future compare
+    if flags or cal["host_factor"] > 1.1:
+        print(f"bench: NOT recording baseline — run not clean "
+              f"(flags={list(flags)}, host_factor="
+              f"{cal['host_factor']})", file=sys.stderr)
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = {
+        "recorded_date": time.strftime("%Y-%m-%d"),
+        "sf": payload["sf"],
+        "ref_sec": _CALIBRATION_REF_SEC,
+        "probe_floor_sec": min(cal["probe_pre_sec"],
+                               cal["probe_post_sec"]),
+        "note": ("Per-key quiet-host baseline for bench.py's "
+                 "regression guard. Re-record ONLY together with "
+                 "_CALIBRATION_REF_SEC on a load<0.5 host."),
+        "queries": payload["queries"],
+        "core_16_sec": payload["core_16_sec"],
+        "total_sec": payload["value"],
+        "streaming": payload["streaming"],
+    }
+    with open(os.path.join(here, "BENCH_BASELINE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("bench: baseline recorded to BENCH_BASELINE.json",
+          file=sys.stderr)
 
 
 def _bench_streaming_curation(spark) -> dict[str, float]:
@@ -351,11 +424,47 @@ _REGRESSION_FACTOR = 1.5
 _REGRESSION_MIN_DELTA_SEC = 0.5
 
 
+def _looks_like_timings(d, known: set[str]) -> bool:
+    """A recovered queries dict must be flat {name: number} and its
+    keys must be real registry/headline names — the tail-recovery
+    regex depends on json.dumps spacing surviving truncation, so an
+    unvalidated match could silently roll the baseline back to a
+    mangled fragment (r10 advice)."""
+    return (isinstance(d, dict) and d
+            and all(isinstance(v, (int, float)) for v in d.values())
+            and all(k in known for k in d))
+
+
 def _prev_timings(sf) -> dict[str, float]:
+    """Per-key baseline for the regression guard. Precedence:
+    1. BENCH_BASELINE.json — repo-owned, recorded deliberately on a
+       verified-quiet host together with _CALIBRATION_REF_SEC (r10
+       verdict tasks 1+6). This never depends on a driver wrapper's
+       truncated tail surviving.
+    2. Newest BENCH_r{N}.json whose parsed payload (or recovered
+       tail) carries a queries dict for this sf — fallback only.
+    Skipped/unparseable artifacts are logged to stderr so a silent
+    baseline rollback is visible (r10 advice)."""
     here = os.path.dirname(os.path.abspath(__file__))
+    known = set(HEADLINE)
+    base_fn = os.path.join(here, "BENCH_BASELINE.json")
+    try:
+        with open(base_fn) as f:
+            rec = json.load(f)
+        if rec.get("sf") == sf and _looks_like_timings(
+                rec.get("queries"), known):
+            return rec["queries"]
+        if os.path.exists(base_fn):
+            print(f"bench: BENCH_BASELINE.json present but unusable "
+                  f"for sf={sf}; falling back to BENCH_r*.json",
+                  file=sys.stderr)
+    except (OSError, ValueError) as e:
+        if os.path.exists(base_fn):
+            print(f"bench: BENCH_BASELINE.json unreadable ({e}); "
+                  f"falling back to BENCH_r*.json", file=sys.stderr)
     best: dict[str, float] | None = None
     best_n = -1
-    for fn in os.listdir(here):
+    for fn in sorted(os.listdir(here)):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
         if not m:
             continue
@@ -363,6 +472,7 @@ def _prev_timings(sf) -> dict[str, float]:
             with open(os.path.join(here, fn)) as f:
                 rec = json.load(f)
         except (OSError, ValueError):
+            print(f"bench: skipping unparseable {fn}", file=sys.stderr)
             continue
         parsed = rec.get("parsed") or rec
         if not isinstance(parsed, dict) or "queries" not in parsed:
@@ -374,11 +484,19 @@ def _prev_timings(sf) -> dict[str, float]:
             tail = rec.get("tail") if isinstance(rec, dict) else None
             qm = re.search(r'"queries": ({.*?})', tail or "")
             if not qm:
+                print(f"bench: skipping {fn} (no parsed payload, "
+                      f"tail unrecoverable)", file=sys.stderr)
                 continue
             try:
                 parsed = {"sf": float(rec.get("sf", "nan")),
                           "queries": json.loads(qm.group(1))}
             except ValueError:
+                print(f"bench: skipping {fn} (recovered tail not "
+                      f"JSON)", file=sys.stderr)
+                continue
+            if not _looks_like_timings(parsed["queries"], known):
+                print(f"bench: skipping {fn} (recovered keys not "
+                      f"registry names)", file=sys.stderr)
                 continue
         if parsed.get("sf") != sf or "queries" not in parsed:
             continue

@@ -75,3 +75,53 @@ def test_regressions_host_factor_divides_but_never_masks(monkeypatch):
                            ext_load={"q": 0.0})
     assert set(v["regressions"]) == {"q"}
     assert v["regressions"]["q"]["normalized_sec"] == 2.1
+
+def test_prev_timings_prefers_repo_baseline():
+    # BENCH_BASELINE.json (r11) is the guard's source of truth at its
+    # recorded sf; BENCH_r*.json wrappers are fallback only
+    import json
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_BASELINE.json")) as f:
+        base = json.load(f)
+    got = bench._prev_timings(base["sf"])
+    assert got == base["queries"]
+    assert base["ref_sec"] == bench._CALIBRATION_REF_SEC, (
+        "baseline and calibration ref must be re-recorded TOGETHER")
+
+
+def test_looks_like_timings_rejects_mangled_recovery():
+    known = {"item_info_flagship", "exact_dedup"}
+    assert bench._looks_like_timings(
+        {"item_info_flagship": 1.2, "exact_dedup": 0.5}, known)
+    # truncation artifacts: nested dicts, unknown keys, empties
+    assert not bench._looks_like_timings({"item_info_flagship": {}}, known)
+    assert not bench._looks_like_timings({"mangled_key": 1.0}, known)
+    assert not bench._looks_like_timings({}, known)
+    assert not bench._looks_like_timings(None, known)
+
+
+def test_record_baseline_refuses_dirty_run(tmp_path, monkeypatch, capsys):
+    import json
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    clean = {
+        "sf": 0.1, "value": 1.0, "core_16_sec": 1.0, "streaming": {},
+        "queries": {"q": 1.0},
+        "calibration": {"host_factor": 1.0, "probe_pre_sec": 1.0,
+                        "probe_post_sec": 1.0},
+        "regressions": {}, "contended": {}, "transient": {},
+    }
+    # flagged run -> refused
+    dirty = dict(clean, regressions={"q": {"factor": 2.0}})
+    bench._record_baseline(dirty)
+    assert not os.path.exists(tmp_path / "BENCH_BASELINE.json")
+    # slowed host -> refused (stricter than the 1.6x drift warning)
+    slowed = dict(clean, calibration=dict(clean["calibration"],
+                                          host_factor=1.3))
+    bench._record_baseline(slowed)
+    assert not os.path.exists(tmp_path / "BENCH_BASELINE.json")
+    # clean quiet run -> recorded with the CURRENT ref
+    bench._record_baseline(clean)
+    with open(tmp_path / "BENCH_BASELINE.json") as f:
+        rec = json.load(f)
+    assert rec["queries"] == {"q": 1.0}
+    assert rec["ref_sec"] == bench._CALIBRATION_REF_SEC
