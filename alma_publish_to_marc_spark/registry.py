@@ -62,74 +62,69 @@ _MODULES = (
 )
 
 
-# Driver-sample pinning. Round-10 policy (VERDICT r9 "Next round" #1):
-# the first 38 slots PIN the keys where code is newer than any driver
-# confirmation — the 22 queries ADDED in round 9 (posttrain_queries,
-# weighting_queries, theta forecast, modality mix, percolation sweep,
-# rich-club coefficient), the 6 pre-existing spatial keys whose PLANS
-# changed in round 9 (density-adaptive `_side_frame` grid, integerized
-# Weiszfeld), and the 10 queries ADDED in round 10 (blocked suffix
-# ranking, speculative draft policy, KV planning, Matryoshka recall,
-# queue sizing, nucleus cutoff, shuffle QA). The remaining 12 slots
+# Driver-sample pinning. Round-11 policy (VERDICT r10 "Next round" #3):
+# no re-pins are owed — every round-10 addition is already
+# driver-confirmed green (CORRECTNESS_r10 50/50) — so all 50 slots
 # continue the rotation over never-driver-sampled keys in natural
-# module order (union of CORRECTNESS_r01..r09 = 276 driver-green; 282
-# of 558 pre-round-10 keys remained unsampled entering round 10). Keys
-# are byte-stable; members are only removed or rotated, never renamed.
+# module order (union of CORRECTNESS_r01..r10 = 326 driver-green; 242
+# of 568 keys remained unsampled entering round 11; this pin set was
+# checked programmatically disjoint from that union). New round-11
+# queries are PREPENDED as they land (fresh code gets driver
+# confirmation first). Keys are byte-stable; members are only removed
+# or rotated, never renamed.
 _SAMPLE_FIRST = (
-    # --- round-9-NEW queries (code newer than any driver row) ---
-    "grpo_group_advantage",
-    "gae_advantage_fold",
-    "prompt_prefix_cache_stats",
-    "int8_quantization_error",
-    "moe_router_balance",
-    "checkpoint_interval_daly",
-    "context_window_waste",
-    "epsilon_greedy_replay",
-    "heaps_law_log2_fit",
-    "model_cascade_cost",
-    "raking_ipf_weights",
-    "kalman_filter_1d",
-    "jackknife_nation_means",
-    "covariate_balance_smd",
-    "skewness_kurtosis_profile",
-    "ltv_cohort_projection",
-    "median_polish_residuals",
-    "mean_excess_curve",
-    "theta_method_forecast",
-    "modality_mix_budget",
-    "percolation_radius_sweep",
-    "rich_club_coefficient",
-    # --- spatial keys whose plans changed in round 9 ---
-    "grid_neighbor_join",
-    "two_hop_reachability",
-    "boruvka_lightest_edges",
-    "spatial_hotspot_cells",
-    "quadtree_tile_rollup",
-    "geometric_median_weiszfeld",
-    # --- round-10-NEW queries (same fresh-confirmation logic) ---
-    "suffix_lcp_repeats",
-    "suffix_repeat_topk",
-    "speculative_draft_policy",
-    "kv_cache_memory_budget",
-    "paged_attention_fragmentation",
-    "matryoshka_topk",
-    "matryoshka_recall_eval",
-    "serving_queue_wait_curve",
-    "nucleus_cutoff_profile",
-    "shuffle_autocorrelation_audit",
-    # --- rotation: next 12 never-driver-sampled keys ---
-    "pairwise_winrate_wilson",
-    "annotator_agreement_kappa",
-    "fleiss_kappa_items",
-    "preference_length_bias",
-    "preference_transitivity_audit",
-    "annotator_position_bias",
-    "preference_qa_end2end",
-    "elo_rating_trajectory",
-    "bucketed_item_info_join",
-    "zorder_layout_stats",
-    "order_priority_checking",
-    "local_supplier_volume",
+    # --- rotation: next 50 never-driver-sampled keys (TPC-H analog
+    # --- family, then the time-series family, then behavioral) ---
+    "forecast_revenue_change",
+    "volume_shipping",
+    "promo_revenue_effect",
+    "national_market_share",
+    "product_type_profit",
+    "important_part_value",
+    "shipmode_priority",
+    "customer_distribution",
+    "min_cost_supplier",
+    "top_supplier_revenue",
+    "parts_supplier_relationship",
+    "small_quantity_revenue",
+    "large_volume_customer",
+    "discounted_revenue",
+    "potential_promotion",
+    "waiting_orders_supplier",
+    "global_sales_opportunity",
+    "acf_daily_events",
+    "crosscorr_event_types",
+    "holt_linear_forecast",
+    "theil_sen_trend",
+    "max_drawdown_curve",
+    "rolling_ols_slope",
+    "xmr_control_chart",
+    "dow_seasonality_strength",
+    "forecast_backtest_mase",
+    "timeseries_motif_discovery",
+    "binseg_changepoint",
+    "dtw_series_distance",
+    "slo_burn_rate_alerts",
+    "overdispersion_check",
+    "seasonal_decomposition",
+    "time_weighted_average",
+    "jackknife_block_variance",
+    "croston_forecast",
+    "mann_kendall_trend",
+    "spearman_daily_correlation",
+    "walk_forward_splits",
+    "holt_winters_additive",
+    "haar_wavelet_energy",
+    "needleman_wunsch_daily",
+    "pacf_durbin_levinson",
+    "forecast_model_bakeoff",
+    "retrieval_ranking_metrics",
+    "did_estimator",
+    "markov_next_event_eval",
+    "contrastive_pair_batches",
+    "behavior_alignment_score",
+    "trajectory_similarity_topk",
+    "cardinality_estimate_eval",
 )
 
 
