@@ -2751,16 +2751,21 @@ _SFX_MAXL = 5     # deepest prefix level (final level sorts hot blocks)
 
 # word-LCP of the row's key vs its lead/lag neighbour key (columns ka,
 # kb, m prepared by the level builder); array_position returns 0 on
-# no-match in BOTH engines (no mismatch within the compared prefix)
+# no-match in BOTH engines (no mismatch within the compared prefix).
+# The interpreted HOF fold (CLAUDE.md: aggregate/transform lambdas are
+# not codegen) is evaluated ONCE into a mismatch-position column `mp`,
+# then lcp derives from mp arithmetically — evaluating the fold inside
+# both the WHEN and the ELSE of one CASE doubled the per-row cost
+# across every level and both neighbour directions (r10 advice).
+# The nkey-NULL guard must stay on mp: m = 0 there and Spark's
+# sequence(1, 0) DESCENDS to [1, 0], making element_at(ka, 0) an error.
+_SFX_MP_EXPR = (
+    "CASE WHEN nkey IS NULL THEN NULL"
+    " ELSE array_position(transform(sequence(1, m),"
+    "      j -> element_at(ka, j) = element_at(kb, j)), false) END")
 _SFX_LCP_EXPR = (
-    "CASE WHEN nkey IS NULL THEN NULL ELSE ("
-    "  CASE WHEN array_position(transform(sequence(1, m),"
-    "            j -> element_at(ka, j) = element_at(kb, j)), false)"
-    "            = 0"
-    "       THEN m"
-    "       ELSE array_position(transform(sequence(1, m),"
-    "            j -> element_at(ka, j) = element_at(kb, j)), false)"
-    "            - 1 END) END")
+    "CASE WHEN nkey IS NULL THEN NULL"
+    " WHEN mp = 0 THEN m ELSE mp - 1 END")
 
 
 def _suffix_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2799,6 +2804,16 @@ def _suffix_levels(spark: SparkSession,
     candidate branches each — unpersisted, the interpreted LCP folds
     re-pay the whole chain per branch (CLAUDE.md multi-branch rule;
     measured 5x at sf1).
+
+    NOTE (r10 advice): each CALLER rebuilds and re-persists this chain
+    — ``suffix_lcp_repeats`` and ``suffix_repeat_topk`` in the same
+    driver/bench pass pay the multi-level shuffle chain twice (and the
+    topk query re-derives :func:`_suffix_base` for its occurrence
+    pass). This is deliberate: per-query ``unpersist_cached`` semantics
+    require every persist to die with its query, and cross-query
+    memoization would couple cache lifetimes across registry entries.
+    A deployment running both on one corpus should lift the chain into
+    a shared staged table (write levels once, read twice) instead.
     """
     out = []
     part = _suffix_base(spark, sf_dir)
@@ -2825,6 +2840,7 @@ def _suffix_levels(spark: SparkSession,
                .withColumn("m", F.expr(
                    "CASE WHEN nkey IS NULL THEN 0"
                    " ELSE least(size(ka), size(kb)) END"))
+               .withColumn("mp", F.expr(_SFX_MP_EXPR))
                .withColumn("lcp", F.expr(_SFX_LCP_EXPR).cast("int")))
         prev = (fin
                 .withColumn("nkey", F.col("pkey"))
@@ -2832,6 +2848,7 @@ def _suffix_levels(spark: SparkSession,
                 .withColumn("m", F.expr(
                     "CASE WHEN nkey IS NULL THEN 0"
                     " ELSE least(size(ka), size(kb)) END"))
+                .withColumn("mp", F.expr(_SFX_MP_EXPR))
                 .select("doc_id", "i", "key", "ka", "lcp",
                         F.expr(_SFX_LCP_EXPR).cast("int").alias("plcp")))
         grant = (F.least(F.lit(lvl - 1), F.size("ka")) if lvl > 2

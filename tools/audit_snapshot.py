@@ -57,6 +57,18 @@ EXTRA = (
     "pagerank_fixed_point",
     "geometric_median_weiszfeld",
     "raking_ipf_weights",
+    # round-10 plan family (VERDICT r10 item 2): the depth-adaptive
+    # suffix chain is the heaviest plan in the repo (multi-level
+    # escalation shuffles, no global sort / no RangePartitioning — the
+    # shape to freeze) and the serving/Matryoshka keys pin their
+    # broadcast-1-row-aggregate idiom.
+    "suffix_lcp_repeats",
+    "suffix_repeat_topk",
+    "speculative_draft_policy",
+    "matryoshka_topk",
+    "matryoshka_recall_eval",
+    "nucleus_cutoff_profile",
+    "shuffle_autocorrelation_audit",
 )
 
 
