@@ -3089,6 +3089,116 @@ QUERIES["suffix_lcp_repeats"] = (suffix_lcp_repeats, _SFX_LCP_SQL)
 QUERIES["suffix_repeat_topk"] = (suffix_repeat_topk, _SFX_TOPK_SQL)
 
 
+# Removal threshold: any word covered by a repeated sequence of at
+# least this many words is deleted. The deduplicate-text-datasets tool
+# uses 50 BPE tokens at web scale; 4 words keeps every test SF busy
+# (same deployment-knob status as _SFX_CAP). Must stay <= _SFX_K: the
+# detector's per-suffix `best` is capped at the shipped key length, so
+# a threshold beyond the cap would silently detect nothing.
+_SFX_RM_T = 4
+
+
+def suffix_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY-length duplicate-span REMOVAL driven by the suffix chain —
+    the removal pass of "Deduplicating Training Data Makes Language
+    Models Better" at suffix granularity. :func:`duplicate_span_removal`
+    deletes words covered by duplicated FIXED 8-grams (cannot see 4-7
+    word repeats and quantizes longer ones to 8-gram runs); this
+    deletes every word covered by a repeated sequence of >= _SFX_RM_T
+    words of ANY length, using the depth-adaptive ranker's exact
+    per-suffix `best`. Every copy of a repeat is removed (the
+    symmetric variant of the tool; keeping one canonical copy needs a
+    global occurrence tie-break and is a policy layer on top).
+
+    A suffix (doc_id, i) with best >= T proves the words [i, i+best-1]
+    appear elsewhere in the corpus, so the removal set is the union of
+    those intervals; coverage is evaluated per word against the doc's
+    interval list (bounded by words/doc), and `n_spans_removed` counts
+    the MERGED disjoint runs via covered(j) AND NOT covered(j-1).
+
+    Scale: the suffix-chain shuffles (hot-tail geometric shrink, no
+    global sort) + one doc-keyed interval aggregate + one doc-keyed
+    join back to the corpus spine. The per-word exists() is
+    O(words x intervals) with both factors document-local — a
+    production variant pre-merges intervals per doc for
+    O(words + intervals), same note as duplicate_span_removal.
+    """
+    levels = _suffix_levels(spark, sf_dir)
+    per = levels[0].select("doc_id", "i", "best")
+    for frame in levels[1:]:
+        per = per.unionByName(frame.select("doc_id", "i", "best"))
+    ivals = (per.where(F.col("best") >= _SFX_RM_T)
+             .groupBy("doc_id")
+             .agg(F.collect_list(
+                 F.struct(F.col("i").cast("int").alias("st"),
+                          (F.col("i") + F.col("best") - 1).cast("int")
+                          .alias("en"))).alias("ivals")))
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w")))
+    joined = (docs.join(ivals, "doc_id", "left")
+              .withColumn("ivals", F.coalesce(
+                  "ivals",
+                  F.array().cast("array<struct<st:int,en:int>>")))
+              .withColumn("cov", F.transform(
+                  F.sequence(F.lit(1), F.size("w")),
+                  lambda j: F.exists(
+                      "ivals",
+                      lambda v: (v["st"] <= j) & (j <= v["en"])))))
+    # j = 1 has no predecessor: greatest(j-1, 1) keeps element_at off
+    # index 0 (an error in Spark) — the j = 1 disjunct dominates, and
+    # the oracle uses the identical guard so both engines agree
+    runs = F.size(F.filter(
+        F.sequence(F.lit(1), F.size("w")),
+        lambda j: F.element_at(F.col("cov"), j)
+        & ((j == 1) | ~F.element_at(F.col("cov"),
+                                    F.greatest(j - 1, F.lit(1))))))
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_words"),
+        F.size(F.filter("cov", lambda c: c)).cast("int")
+         .alias("n_removed"),
+        runs.cast("int").alias("n_spans_removed"),
+        F.array_join(
+            F.filter("w", lambda t, j: ~F.element_at(
+                F.col("cov"), j + F.lit(1))), " ").alias("clean_text"))
+
+
+_SFX_RM_SQL = rf"""
+WITH {_sfx_levels_sql()},
+ivals AS (
+  SELECT doc_id,
+         list(struct_pack(st := i, en := i + best - 1)) AS ivals
+  FROM finalized WHERE best >= {_SFX_RM_T}
+  GROUP BY doc_id
+),
+joined AS (
+  SELECT d.doc_id,
+         regexp_split_to_array(trim(d.text), '\s+') AS w,
+         v.ivals AS ivals
+  FROM documents d LEFT JOIN ivals v USING (doc_id)
+),
+covd AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w) + 1), j ->
+             CASE WHEN ivals IS NULL THEN false
+                  ELSE len(list_filter(ivals,
+                           v -> v.st <= j AND j <= v.en)) > 0 END) AS cov
+  FROM joined
+)
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_words,
+       CAST(len(list_filter(cov, x -> x)) AS INT) AS n_removed,
+       CAST(len(list_filter(range(1, len(w) + 1),
+            j -> cov[j] AND (j = 1 OR NOT cov[greatest(j - 1, 1)])))
+           AS INT) AS n_spans_removed,
+       coalesce(array_to_string(
+           list_filter(w, (t, j) -> NOT cov[j]), ' '), '') AS clean_text
+FROM covd
+"""
+
+QUERIES["suffix_span_removal"] = (suffix_span_removal, _SFX_RM_SQL)
+
+
 # ---------------------------------------------------------------------------
 # shuffle_autocorrelation_audit (round 10)
 # ---------------------------------------------------------------------------

@@ -1015,6 +1015,130 @@ QUERIES["vocab_ablation_curve"] = (vocab_ablation_curve,
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer compression / fertility by domain bucket
+# ---------------------------------------------------------------------------
+def bpe_domain_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression report BY DOMAIN (``source``) with the
+    trained BPE vocabulary — the standard pre-training corpus table
+    next to Zipf/Heaps: chars per token (compression) and tokens per
+    whitespace word (fertility) per domain, plus the raw totals a
+    budget planner multiplies by cost-per-token. Complements
+    ``vocab_ablation_curve`` (corpus-wide, BY VOCAB SIZE) and
+    ``tokenizer_fertility_by_lang`` (by language, fixed subword rule):
+    this one slices the FULL trained vocab (BPE_K merges, the
+    bpe_train_merges list) across acquisition domains, where a
+    high-fertility domain signals the tokenizer under-serves it.
+
+    Determinism: encode expressions are bpe_encode_docs' verbatim;
+    counts are exact separator splits; ratios are integer e4 rationals
+    (CLAUDE.md: no engine-default double reductions).
+
+    Scale: the trainer is the sanctioned driver-paced loop (BPE_K
+    1-row argmax collects); the encode pass is ONE pretoken explode
+    scan reduced to |domains| rows map-side, the word count ONE
+    pruned (source, text) scan, joined broadcast on |domains| keys.
+    Both scans prune to two columns at the parquet reader.
+    """
+    from ..functions import text as T
+    from .corpus_queries import _BPE_SEP, _trained_merge_list, BPE_K
+
+    merges = _trained_merge_list(spark, sf_dir, BPE_K)
+    sep, sep2 = _BPE_SEP, _BPE_SEP * 2
+    docs = load(spark, sf_dir, "documents")
+    pretoks = (docs.select(
+        "source", F.explode(T.bpe_pretokens(F.col("text"))).alias("tok"))
+        .where(~F.col("tok").contains(sep)))
+    state = F.concat(F.lit(sep),
+                     F.array_join(F.split(F.col("tok"), ""), sep2),
+                     F.lit(sep))
+    for _rank, a, b, _merged, _cnt in merges:
+        state = F.replace(state,
+                          F.lit(f"{sep}{a}{sep2}{b}{sep}"),
+                          F.lit(f"{sep}{a}{b}{sep}"))
+    ntok = F.size(F.filter(F.split(state, sep), lambda s: s != ""))
+    tok_agg = (pretoks
+               .select("source", F.length("tok").alias("chars"),
+                       ntok.alias("nt"))
+               .groupBy("source")
+               .agg(F.sum("chars").cast("long").alias("total_chars"),
+                    F.sum("nt").cast("long").alias("total_tokens")))
+    word_agg = (docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("nw"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("nw").cast("long").alias("total_words")))
+    return (word_agg.join(F.broadcast(tok_agg), "source", "left")
+            .select(
+                "source", "n_docs", "total_words",
+                F.coalesce("total_tokens", F.lit(0)).cast("long")
+                 .alias("total_tokens"),
+                F.coalesce("total_chars", F.lit(0)).cast("long")
+                 .alias("total_chars"),
+                F.expr("(10000 * coalesce(total_chars, 0))"
+                       " div greatest(coalesce(total_tokens, 0), 1)")
+                 .alias("chars_per_token_e4"),
+                F.expr("(10000 * coalesce(total_tokens, 0))"
+                       " div greatest(total_words, 1)")
+                 .alias("tokens_per_word_e4")))
+
+
+def _bpe_domain_sql() -> str:
+    from ..functions import text as T
+    from .corpus_queries import _bpe_shared_ctes, BPE_K
+
+    ctes = _bpe_shared_ctes()
+    ctes.append(rf"""e0 AS (
+    SELECT source, tok,
+           chr(31) || array_to_string(string_split(tok, ''),
+                                      chr(31) || chr(31)) || chr(31) AS state
+    FROM (SELECT source,
+                 unnest(regexp_extract_all(lower(text),
+                        '{T.BPE_PRETOKEN_RE}')) AS tok
+          FROM documents)
+    WHERE tok NOT LIKE '%' || chr(31) || '%'
+)""")
+    for k in range(1, BPE_K + 1):
+        ctes.append(f"""e{k} AS (
+    SELECT e.source, e.tok,
+           replace(e.state,
+                   chr(31) || bb.a || chr(31) || chr(31) || bb.b || chr(31),
+                   chr(31) || bb.a || bb.b || chr(31)) AS state
+    FROM e{k - 1} e, b{k} bb
+)""")
+    return ("WITH " + ",\n".join(ctes) + rf""",
+tok_agg AS (
+    SELECT source,
+           CAST(sum(len(tok)) AS BIGINT) AS total_chars,
+           CAST(sum(len(list_filter(string_split(state, chr(31)),
+                                    s -> s <> ''))) AS BIGINT)
+               AS total_tokens
+    FROM e{BPE_K}
+    GROUP BY source
+),
+word_agg AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                AS BIGINT) AS total_words
+    FROM documents GROUP BY source
+)
+SELECT w.source, w.n_docs, w.total_words,
+       CAST(coalesce(t.total_tokens, 0) AS BIGINT) AS total_tokens,
+       CAST(coalesce(t.total_chars, 0) AS BIGINT) AS total_chars,
+       (10000 * CAST(coalesce(t.total_chars, 0) AS BIGINT))
+           // greatest(CAST(coalesce(t.total_tokens, 0) AS BIGINT), 1)
+           AS chars_per_token_e4,
+       (10000 * CAST(coalesce(t.total_tokens, 0) AS BIGINT))
+           // greatest(w.total_words, 1) AS tokens_per_word_e4
+FROM word_agg w LEFT JOIN tok_agg t USING (source)
+""")
+
+
+QUERIES["bpe_domain_compression"] = (bpe_domain_compression,
+                                     _bpe_domain_sql())
+
+
+# ---------------------------------------------------------------------------
 # vocab_coverage_at_k: token-occurrence share covered by the top-k vocab
 # ---------------------------------------------------------------------------
 VCK_KS = (10, 50, 100, 500)

@@ -73,6 +73,9 @@ _MODULES = (
 # confirmation first). Keys are byte-stable; members are only removed
 # or rotated, never renamed.
 _SAMPLE_FIRST = (
+    # --- round-11-NEW queries (code newer than any driver row) ---
+    "suffix_span_removal",
+    "bpe_domain_compression",
     # --- rotation: next 50 never-driver-sampled keys (TPC-H analog
     # --- family, then the time-series family, then behavioral) ---
     "forecast_revenue_change",

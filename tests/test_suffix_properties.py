@@ -104,3 +104,54 @@ def test_suffix_topk_counts_match_definition(spark, tmp_path_factory, docs):
         assert rows and max(r["rep_len_words"] for r in rows) == best
     else:
         assert not rows
+
+
+def _ref_removal(docs: list[list[str]], t: int, cap: int = 24):
+    """Quadratic reference for suffix_span_removal: word j is removed
+    iff covered by ANY corpus-repeated sequence of >= t words (every
+    copy removed). Exercises per-SUFFIX exactness of `best` — the lcp
+    test above only pins the per-doc MAX, but removal completeness
+    needs every suffix's repeat length right, not just the winner's."""
+    from collections import Counter
+
+    counts_by_len = {}
+    for ln in range(2, cap + 1):
+        c: Counter = Counter()
+        for w in docs:
+            for i in range(len(w) - ln + 1):
+                c[tuple(w[i:i + ln])] += 1
+        counts_by_len[ln] = c
+    res = []
+    for w in docs:
+        n = len(w)
+        cov = [False] * (n + 1)  # 1-based
+        for i in range(n):
+            best = 0
+            for ln in range(2, min(cap, n - i) + 1):
+                if counts_by_len[ln][tuple(w[i:i + ln])] >= 2:
+                    best = ln
+            if best >= t:
+                for j in range(i + 1, i + best + 1):
+                    cov[j] = True
+        kept = [w[j - 1] for j in range(1, n + 1) if not cov[j]]
+        runs = sum(1 for j in range(1, n + 1)
+                   if cov[j] and not cov[j - 1])
+        res.append((n, sum(cov[1:]), runs, " ".join(kept)))
+    return res
+
+
+@settings(max_examples=6, deadline=None)
+@given(_corpus)
+def test_suffix_span_removal_matches_definition(spark, tmp_path_factory,
+                                                docs):
+    from alma_publish_to_marc_spark.plans.corpus_queries import (
+        _SFX_RM_T,
+        suffix_span_removal,
+    )
+
+    sf_dir = _write_docs(str(tmp_path_factory.mktemp("sfxrm")), docs)
+    got = {r["doc_id"]: (r["n_words"], r["n_removed"],
+                         r["n_spans_removed"], r["clean_text"])
+           for r in suffix_span_removal(spark, sf_dir).collect()}
+    want = dict(enumerate(_ref_removal(docs, t=_SFX_RM_T)))
+    assert got == want, (docs, got, want)

@@ -69,6 +69,10 @@ EXTRA = (
     "matryoshka_recall_eval",
     "nucleus_cutoff_profile",
     "shuffle_autocorrelation_audit",
+    # round-11 additions (suffix-driven any-length span removal rides
+    # the same chain; the BPE domain report pins its broadcast join)
+    "suffix_span_removal",
+    "bpe_domain_compression",
 )
 
 
