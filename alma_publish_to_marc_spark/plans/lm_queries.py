@@ -1139,6 +1139,106 @@ QUERIES["bpe_domain_compression"] = (bpe_domain_compression,
 
 
 # ---------------------------------------------------------------------------
+# Watermark green-list detection (Kirchenbauer et al. 2023)
+# ---------------------------------------------------------------------------
+# gamma = 1/4 of the vocabulary is "green" at each position, keyed by a
+# hash of the PREVIOUS token (the soft-watermark seeding rule). The
+# detector flags a doc when the one-proportion z-score exceeds 4; with
+# gamma = 1/4, z^2 = (4G - T)^2 / (3T), so the flag is the pure integer
+# predicate 4G > T AND (4G - T)^2 > 48 T — no sqrt, no doubles.
+_WM_Z2_NUM = 48  # 16 (z>4 squared) x 3 (=16·gamma(1-gamma)/gamma^2... folded)
+
+
+def watermark_greenlist_detect(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-source watermark audit: the green-token fraction and the
+    count of documents whose green excess clears the z > 4 detection
+    bar — the screening pass a training-data pipeline runs to keep
+    (deliberately watermarked) synthetic model output OUT of a
+    pre-training corpus. Position i is green iff
+    md5('wm:' || w[i-1] || SEP || w[i]) lands in the bottom quarter of
+    the bucket space (seeded by the previous token, the soft-watermark
+    rule); unwatermarked text should sit at green_frac ~ 1/4 with a
+    z > 4 tail of ~3e-5 — a source whose rate is materially higher is
+    machine-generated with this key.
+
+    Determinism: greenness is a pure md5 predicate (bit-identical
+    engines); the flag is the integer predicate above; the fraction is
+    an integer e6 rational.
+
+    Scale: ONE documents scan; the per-position hash runs inside a
+    document-local HOF (no explode, no shuffle of token rows), then a
+    map-side-combinable |sources|-key aggregate. At 100 TB the hash
+    work is embarrassingly parallel and the shuffle is |sources| rows.
+    """
+    docs = (load(spark, sf_dir, "documents")
+            .select("source",
+                    F.split(F.trim("text"), r"\s+").alias("w")))
+    g = F.expr(
+        "size(filter(sequence(2, greatest(size(w), 2)),"
+        " i -> i <= size(w) AND"
+        " conv(substr(md5(concat('wm:', element_at(w, i - 1), chr(1),"
+        " element_at(w, i))), 1, 12), 16, 10) % 4 = 0))")
+    scored = docs.select(
+        "source",
+        (F.size("w") - 1).cast("long").alias("t"),
+        g.cast("long").alias("g"))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("t") >= 1, 1).otherwise(0))
+                  .cast("long").alias("n_scored"),
+                 F.sum(F.when(
+                     (F.col("t") >= 1) & (4 * F.col("g") > F.col("t"))
+                     & ((4 * F.col("g") - F.col("t"))
+                        * (4 * F.col("g") - F.col("t"))
+                        > _WM_Z2_NUM * F.col("t")), 1).otherwise(0))
+                  .cast("long").alias("n_flagged"),
+                 F.sum(F.when(F.col("t") >= 1, F.col("g")).otherwise(0))
+                  .cast("long").alias("green_tokens"),
+                 F.sum(F.when(F.col("t") >= 1, F.col("t")).otherwise(0))
+                  .cast("long").alias("scored_tokens"))
+            .select("source", "n_docs", "n_scored", "n_flagged",
+                    "green_tokens", "scored_tokens",
+                    F.expr("(1000000 * green_tokens)"
+                           " div greatest(scored_tokens, 1)")
+                     .alias("green_frac_e6")))
+
+
+_WM_SQL = rf"""
+WITH scored AS (
+  SELECT source,
+         CAST(len(w) - 1 AS BIGINT) AS t,
+         CAST(len(list_filter(range(2, greatest(len(w), 2) + 1),
+              i -> i <= len(w) AND
+                   CAST('0x' || substr(md5('wm:' || w[i - 1] || chr(1)
+                        || w[i]), 1, 12) AS BIGINT) % 4 = 0))
+              AS BIGINT) AS g
+  FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN t >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_scored,
+       CAST(sum(CASE WHEN t >= 1 AND 4 * g > t
+                     AND (4 * g - t) * (4 * g - t) > {_WM_Z2_NUM} * t
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN t >= 1 THEN g ELSE 0 END) AS BIGINT)
+           AS green_tokens,
+       CAST(sum(CASE WHEN t >= 1 THEN t ELSE 0 END) AS BIGINT)
+           AS scored_tokens,
+       (1000000 * CAST(sum(CASE WHEN t >= 1 THEN g ELSE 0 END) AS BIGINT))
+           // greatest(CAST(sum(CASE WHEN t >= 1 THEN t ELSE 0 END)
+                            AS BIGINT), 1) AS green_frac_e6
+FROM scored
+GROUP BY source
+"""
+
+QUERIES["watermark_greenlist_detect"] = (watermark_greenlist_detect,
+                                         _WM_SQL)
+
+
+# ---------------------------------------------------------------------------
 # vocab_coverage_at_k: token-occurrence share covered by the top-k vocab
 # ---------------------------------------------------------------------------
 VCK_KS = (10, 50, 100, 500)

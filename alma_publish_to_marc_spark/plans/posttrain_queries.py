@@ -1192,3 +1192,123 @@ FROM base
 """
 
 QUERIES["serving_queue_wait_curve"] = (_serving_queue_wait_curve, _QW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 3D-parallel training plan budget (Megatron/ZeRO arithmetic)
+# ---------------------------------------------------------------------------
+# Public formulas: pipeline bubble fraction (p-1)/(m+p-1) (Narayanan et
+# al., Megatron-LM 1F1B schedule); ring all-reduce volume per rank
+# 2·(dp-1)/dp x payload (Baidu ring); ZeRO stage memory tiers for
+# mixed-precision Adam at 16 bytes/param — fp16 weights 2 + fp16 grads
+# 2 + fp32 master/m/v 12 (Rajbhandari et al.): stage1 shards the 12,
+# stage2 also the grads, stage3 everything.
+_PP_GPUS = 256                    # cluster size
+_PP_PARAMS = 1_000_000_000        # model parameters
+_PP_SEQ_LEN = 2048                # packing length (tokens/sequence)
+_PP_GB_SEQ = 512                  # global batch (sequences/step)
+_PP_MICRO_SEQ = 2                 # microbatch (sequences)
+_PP_GRID = tuple((tp, pp) for tp in (1, 2, 4, 8) for pp in (1, 2, 4, 8))
+
+
+def _parallelism_plan_budget(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Parallelism-plan sizing table: for every (tensor, pipeline)
+    split of a {_PP_GPUS}-GPU cluster, the 1F1B pipeline bubble
+    fraction, per-GPU memory under ZeRO stages 0-3, the per-step ring
+    all-reduce volume, and the MEASURED epoch cost — steps/epoch from
+    the corpus's packed-sequence count and the bubble-adjusted
+    microbatch-slot total per epoch. The table a training-infra
+    planner reads tp/pp/dp and the ZeRO stage from before a run; the
+    corpus scan is what ties it to THIS dataset rather than a
+    spreadsheet.
+
+    Determinism: every column is integer arithmetic on exact token
+    counts (floors via div; constants precomputed Python-side — DuckDB
+    literal math is INT32, CLAUDE.md).
+
+    Scale: ONE documents scan to a 1-row token-count aggregate,
+    cross-joined (broadcast) with the {len(_PP_GRID)}-row constant
+    grid. The config grid never grows with data.
+    """
+    rows = []
+    for tp, pp in _PP_GRID:
+        dp = _PP_GPUS // (tp * pp)
+        m = _PP_GB_SEQ // (dp * _PP_MICRO_SEQ)
+        if dp < 1 or m < 1:
+            continue
+        shard = _PP_PARAMS // (tp * pp)
+        rows.append((tp, pp, dp, m,
+                     1_000_000 * (pp - 1) // (m + pp - 1),
+                     16 * shard,
+                     4 * shard + 12 * shard // dp,
+                     2 * shard + 14 * shard // dp,
+                     16 * shard // dp,
+                     2 * (dp - 1) * 2 * shard // dp))
+    grid = spark.createDataFrame(
+        rows, "tp int, pp int, dp int, microbatches int, bubble_e6 long,"
+        " mem_z0_bytes long, mem_z1_bytes long, mem_z2_bytes long,"
+        " mem_z3_bytes long, allreduce_bytes long")
+    toks = (load(spark, sf_dir, "documents")
+            .agg(F.sum(F.expr(
+                "cast(size(filter(split(text, ' '), t -> t <> ''))"
+                " as bigint)")).alias("total_tokens")))
+    return (grid.crossJoin(F.broadcast(toks))
+            .withColumn("n_sequences", F.expr(
+                f"(total_tokens + {_PP_SEQ_LEN - 1}) div {_PP_SEQ_LEN}"))
+            .withColumn("steps_per_epoch", F.expr(
+                f"(n_sequences + {_PP_GB_SEQ - 1}) div {_PP_GB_SEQ}"))
+            .select("tp", "pp", "dp", "microbatches", "bubble_e6",
+                    "mem_z0_bytes", "mem_z1_bytes", "mem_z2_bytes",
+                    "mem_z3_bytes", "allreduce_bytes",
+                    "n_sequences", "steps_per_epoch",
+                    F.expr("steps_per_epoch * (microbatches + pp - 1)")
+                     .cast("long").alias("pipe_slots_per_epoch")))
+
+
+def _pp_sql() -> str:
+    rows = []
+    for tp, pp in _PP_GRID:
+        dp = _PP_GPUS // (tp * pp)
+        m = _PP_GB_SEQ // (dp * _PP_MICRO_SEQ)
+        if dp < 1 or m < 1:
+            continue
+        shard = _PP_PARAMS // (tp * pp)
+        rows.append(f"({tp}, {pp}, {dp}, {m},"
+                    f" {1_000_000 * (pp - 1) // (m + pp - 1)},"
+                    f" {16 * shard}, {4 * shard + 12 * shard // dp},"
+                    f" {2 * shard + 14 * shard // dp},"
+                    f" {16 * shard // dp},"
+                    f" {2 * (dp - 1) * 2 * shard // dp})")
+    values = ", ".join(rows)
+    return f"""
+WITH grid (tp, pp, dp, microbatches, bubble_e6, mem_z0_bytes,
+           mem_z1_bytes, mem_z2_bytes, mem_z3_bytes, allreduce_bytes)
+    AS (VALUES {values}),
+toks AS (
+  SELECT CAST(sum(len(list_filter(string_split(text, ' '),
+                                  t -> t <> ''))) AS BIGINT)
+             AS total_tokens
+  FROM documents
+)
+SELECT CAST(tp AS INT) AS tp, CAST(pp AS INT) AS pp,
+       CAST(dp AS INT) AS dp,
+       CAST(microbatches AS INT) AS microbatches,
+       CAST(bubble_e6 AS BIGINT) AS bubble_e6,
+       CAST(mem_z0_bytes AS BIGINT) AS mem_z0_bytes,
+       CAST(mem_z1_bytes AS BIGINT) AS mem_z1_bytes,
+       CAST(mem_z2_bytes AS BIGINT) AS mem_z2_bytes,
+       CAST(mem_z3_bytes AS BIGINT) AS mem_z3_bytes,
+       CAST(allreduce_bytes AS BIGINT) AS allreduce_bytes,
+       (total_tokens + {_PP_SEQ_LEN - 1}) // {_PP_SEQ_LEN}
+           AS n_sequences,
+       ((total_tokens + {_PP_SEQ_LEN - 1}) // {_PP_SEQ_LEN}
+        + {_PP_GB_SEQ - 1}) // {_PP_GB_SEQ} AS steps_per_epoch,
+       (((total_tokens + {_PP_SEQ_LEN - 1}) // {_PP_SEQ_LEN}
+         + {_PP_GB_SEQ - 1}) // {_PP_GB_SEQ})
+           * (microbatches + pp - 1) AS pipe_slots_per_epoch
+FROM grid, toks
+"""
+
+
+QUERIES["parallelism_plan_budget"] = (_parallelism_plan_budget, _pp_sql())

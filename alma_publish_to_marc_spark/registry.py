@@ -76,6 +76,8 @@ _SAMPLE_FIRST = (
     # --- round-11-NEW queries (code newer than any driver row) ---
     "suffix_span_removal",
     "bpe_domain_compression",
+    "watermark_greenlist_detect",
+    "parallelism_plan_budget",
     # --- rotation: next 50 never-driver-sampled keys (TPC-H analog
     # --- family, then the time-series family, then behavioral) ---
     "forecast_revenue_change",

@@ -73,6 +73,8 @@ EXTRA = (
     # the same chain; the BPE domain report pins its broadcast join)
     "suffix_span_removal",
     "bpe_domain_compression",
+    "watermark_greenlist_detect",
+    "parallelism_plan_budget",
 )
 
 
