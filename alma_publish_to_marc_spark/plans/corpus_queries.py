@@ -3287,3 +3287,240 @@ FROM adj a JOIN per_src p USING (shard)
 
 QUERIES["shuffle_autocorrelation_audit"] = (shuffle_autocorrelation_audit,
                                             _SHUF_AUDIT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# doremi_mixture_reweight (round 11): DoReMi-shaped domain reweighting
+# ---------------------------------------------------------------------------
+# Multiplicative-weights (Hedge) over source domains with base 2 (the
+# learning rate is eta = ln 2, so every update is an exact integer
+# power of two): w_d(t) = 2^(payoff_d * t) / sum_e 2^(payoff_e * t).
+# The payoff is the domain's excess-loss RANK bucketed to 0..7 — the
+# DoReMi worst-case-excess ordering with a bounded exponent so the
+# whole trajectory stays in int64 (max exponent 7 * _DMW_ROUNDS = 35).
+_DMW_ROUNDS = 5        # hedge steps; rows emitted for t = 0.._DMW_ROUNDS
+_DMW_PAYOFF_BUCKETS = 8  # payoff in 0..7 (rank-bucketed excess loss)
+
+
+def doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shaped training-mixture reweighting: per source domain,
+    the multiplicative-weights (Hedge, base 2) sampling-weight
+    trajectory over ``_DMW_ROUNDS`` steps, where a domain's payoff is
+    its excess-loss rank (loss proxy: chars-per-word — a longer-word
+    domain is "harder" for a fixed tokenizer) bucketed to
+    0..{buckets-1}. Emits, per (domain, step): the payoff, the
+    normalized mixture weight (e6) and the token allocation a sampler
+    drawing a corpus-sized budget under that weight would give the
+    domain — the report a data-mixing run produces before locking
+    pre-training sampling rates (Xie et al. 2023, "DoReMi").
+
+    Determinism: weights are exact integer powers of two over an exact
+    integer rank; the only divisions are two floored integer divs.
+    Rank ties break on the source string.
+
+    Scale: ONE documents scan reduced map-side to |domains| rows;
+    everything after (rank window, step explode, per-step window sum)
+    runs on a <= |domains| * (rounds+1) frame — single-task size even
+    at 100 TB, where |domains| is thousands at most. The scan is the
+    whole cost; the shuffle is |domains| rows. int64 headroom: the
+    final allocation multiply needs corpus_words < 9.2e12; past that,
+    emit the allocation in e3 instead of multiplying by the e6 weight.
+    """
+    dom = (load(spark, sf_dir, "documents")
+           .select("source", F.trim("text").alias("t"))
+           .groupBy("source")
+           .agg(F.sum(F.length("t")).cast("long").alias("chars"),
+                F.sum(F.size(F.split(F.col("t"), r"\s+"))).cast("long")
+                 .alias("words"))
+           .select("source", "chars", "words",
+                   F.expr("(10000 * chars) div greatest(words, 1)")
+                    .alias("cpw_e4")))
+    ranked = dom.withColumn(
+        "rn", F.row_number().over(
+            Window.orderBy(F.col("cpw_e4").desc(), F.col("source"))))
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n_domains"),
+                     F.sum("words").cast("long").alias("corpus_words"))
+    steps = (ranked.crossJoin(F.broadcast(tot))
+             .withColumn("payoff",
+                         F.expr(f"((n_domains - rn) * "
+                                f"{_DMW_PAYOFF_BUCKETS}) div n_domains"))
+             .select("source", "cpw_e4", "payoff", "corpus_words",
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(_DMW_ROUNDS))).alias("t"))
+             .withColumn("wnum",
+                         F.expr("shiftleft(CAST(1 AS BIGINT),"
+                                " CAST(payoff * t AS INT))")))
+    tw = Window.partitionBy("t")
+    return (steps.withColumn("denom", F.sum("wnum").over(tw))
+            .withColumn("weight_e6", F.expr("(1000000 * wnum) div denom"))
+            .select("source", F.col("t").cast("long").alias("t"),
+                    F.col("payoff").cast("long").alias("payoff"),
+                    "cpw_e4", "weight_e6",
+                    F.expr("(corpus_words * weight_e6) div 1000000")
+                     .alias("tok_alloc")))
+
+
+_DMW_SQL = rf"""
+WITH dom AS (
+    SELECT source,
+           CAST(sum(len(trim(text))) AS BIGINT) AS chars,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                AS BIGINT) AS words
+    FROM documents GROUP BY source
+),
+cpw AS (
+    SELECT source, chars, words,
+           (10000 * chars) // greatest(words, 1) AS cpw_e4
+    FROM dom
+),
+ranked AS (
+    SELECT source, words, cpw_e4,
+           CAST(row_number() OVER (ORDER BY cpw_e4 DESC, source)
+                AS BIGINT) AS rn
+    FROM cpw
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_domains,
+           CAST(sum(words) AS BIGINT) AS corpus_words
+    FROM ranked
+),
+steps AS (
+    SELECT r.source, r.cpw_e4,
+           ((t.n_domains - r.rn) * {_DMW_PAYOFF_BUCKETS})
+               // t.n_domains AS payoff,
+           t.corpus_words, s.t
+    FROM ranked r, tot t, range(0, {_DMW_ROUNDS} + 1) s(t)
+),
+w AS (
+    SELECT source, t, payoff, cpw_e4, corpus_words,
+           (CAST(1 AS BIGINT) << CAST(payoff * t AS INT)) AS wnum
+    FROM steps
+),
+n AS (
+    SELECT source, CAST(t AS BIGINT) AS t,
+           CAST(payoff AS BIGINT) AS payoff, cpw_e4, corpus_words,
+           (1000000 * wnum)
+               // CAST(sum(wnum) OVER (PARTITION BY t) AS BIGINT)
+               AS weight_e6
+    FROM w
+)
+SELECT source, t, payoff, cpw_e4, weight_e6,
+       (corpus_words * weight_e6) // 1000000 AS tok_alloc
+FROM n
+"""
+
+QUERIES["doremi_mixture_reweight"] = (doremi_mixture_reweight, _DMW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# data_epoch_allocation (round 11): data-constrained epoch budgeting
+# ---------------------------------------------------------------------------
+# Muennighoff et al. 2023 ("Scaling Data-Constrained Language Models"):
+# repeating a domain's unique tokens for epoch e contributes a decayed
+# marginal value r^(e-1) * U with r < 1. With the rational decay
+# r = 3/5 every marginal gain is the exact integer
+# (10^4 * U * 3^(e-1)) div 5^(e-1), so the greedy allocation — take
+# (domain, epoch) cells in descending marginal value until the raw
+# token budget is spent — is bit-identical across engines.
+_DEA_MAX_EPOCHS = 6
+_DEA_BUDGET_MULT = 2   # raw-token budget = 2x the unique corpus
+# 3^(e-1) / 5^(e-1) as exact integer literals (e = 1.._DEA_MAX_EPOCHS)
+# — never CAST(pow(...)), whose double->int cast truncates on Spark
+# but rounds on DuckDB.
+_DEA_POW3 = ", ".join(f"CAST({3 ** i} AS BIGINT)"
+                      for i in range(_DEA_MAX_EPOCHS))
+_DEA_POW5 = ", ".join(f"CAST({5 ** i} AS BIGINT)"
+                      for i in range(_DEA_MAX_EPOCHS))
+
+
+def data_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training budget: given a raw-token budget of
+    ``_DEA_BUDGET_MULT``x the unique corpus, how many EPOCHS of each
+    source domain should the loader schedule when repeated data decays
+    in value by r = 3/5 per epoch? Greedy on exact-integer marginal
+    gains (optimal here — gains are non-increasing within a domain, so
+    the greedy prefix is the fractional-knapsack solution restricted
+    to whole epochs taken in order). Emits per domain: unique words,
+    epochs taken, raw tokens consumed, effective tokens gained (e4)
+    and the average value per raw token (e4) — the "is a 4th epoch of
+    Wikipedia worth it" table.
+
+    Determinism: every gain is a floored integer rational; the greedy
+    order (gain DESC, source, epoch) is a total order; the cumulative
+    cost uses an explicit ROWS frame.
+
+    Scale: ONE documents scan reduced map-side to |domains| rows; the
+    epoch grid is |domains| * {epochs} rows and the greedy cumsum is
+    one single-partition window over that tiny frame (thousands of
+    rows at most — domains, not documents). int64 headroom: gains
+    multiply U by 10^4 * 3^5; U < 3.8e12 holds to ~30 T words per
+    domain, past that drop the e4 scale on the gain column.
+    """
+    dom = (load(spark, sf_dir, "documents")
+           .groupBy("source")
+           .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+                 .cast("long").alias("u")))
+    tot = dom.agg(F.sum("u").cast("long").alias("corpus_words"))
+    cells = (dom.crossJoin(F.broadcast(tot))
+             .select("source", "u", "corpus_words",
+                     F.explode(F.sequence(
+                         F.lit(1), F.lit(_DEA_MAX_EPOCHS))).alias("e"))
+             .withColumn("gain_e4",
+                         F.expr(f"(10000 * u * element_at(array("
+                                f"{_DEA_POW3}), e)) div element_at("
+                                f"array({_DEA_POW5}), e)")))
+    gw = (Window.orderBy(F.col("gain_e4").desc(), "source", "e")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    taken = (cells.withColumn("cum_cost", F.sum("u").over(gw))
+             .withColumn("kept",
+                         (F.col("cum_cost")
+                          <= _DEA_BUDGET_MULT * F.col("corpus_words"))
+                         .cast("long")))
+    return (taken.groupBy("source")
+            .agg(F.max("u").alias("unique_words"),
+                 F.sum("kept").cast("long").alias("epochs_taken"),
+                 F.sum(F.col("kept") * F.col("u")).cast("long")
+                  .alias("raw_tokens_used"),
+                 F.sum(F.col("kept") * F.col("gain_e4")).cast("long")
+                  .alias("effective_tokens_e4"))
+            .withColumn("avg_value_e4",
+                        F.expr("effective_tokens_e4"
+                               " div greatest(raw_tokens_used, 1)")))
+
+
+_DEA_SQL = rf"""
+WITH dom AS (
+    SELECT source,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                AS BIGINT) AS u
+    FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(u) AS BIGINT) AS corpus_words FROM dom),
+cells AS (
+    SELECT d.source, d.u, t.corpus_words, s.e,
+           (10000 * d.u * ([{_DEA_POW3}])[s.e])
+               // ([{_DEA_POW5}])[s.e] AS gain_e4
+    FROM dom d, tot t, range(1, {_DEA_MAX_EPOCHS} + 1) s(e)
+),
+taken AS (
+    SELECT source, u, gain_e4,
+           CASE WHEN sum(u) OVER (ORDER BY gain_e4 DESC, source, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+                     <= {_DEA_BUDGET_MULT} * corpus_words
+                THEN 1 ELSE 0 END AS kept
+    FROM cells
+)
+SELECT source,
+       CAST(max(u) AS BIGINT) AS unique_words,
+       CAST(sum(kept) AS BIGINT) AS epochs_taken,
+       CAST(sum(kept * u) AS BIGINT) AS raw_tokens_used,
+       CAST(sum(kept * gain_e4) AS BIGINT) AS effective_tokens_e4,
+       CAST(sum(kept * gain_e4) AS BIGINT)
+           // greatest(CAST(sum(kept * u) AS BIGINT), 1)
+           AS avg_value_e4
+FROM taken
+GROUP BY source
+"""
+
+QUERIES["data_epoch_allocation"] = (data_epoch_allocation, _DEA_SQL)

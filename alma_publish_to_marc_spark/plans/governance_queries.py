@@ -591,3 +591,93 @@ FROM per_class
 
 QUERIES["recursive_l_diversity_audit"] = (recursive_l_diversity_audit,
                                           _RLD_SQL)
+
+
+# --------------------------------------------------------------------------
+# privacy_composition_budget (round 11): DP-SGD epsilon accounting
+# --------------------------------------------------------------------------
+# Basic vs advanced composition (Dwork & Roth 2014, Thm 3.20) of k
+# per-step (eps0, delta)-DP releases: eps_basic = k * eps0;
+# eps_adv = eps0 * sqrt(2 k ln(1/delta')) + k * eps0 * (e^eps0 - 1).
+# Every transcendental of a CONSTANT (ln(1/delta'), e^eps0 - 1) is
+# folded in Python and shipped to BOTH engines as the same repr()
+# decimal literal (correctly-rounded parse -> identical doubles); the
+# only data-dependent math is integer k entering +, *, sqrt — all
+# IEEE correctly-rounded, hence bit-identical across engines.
+import math as _math
+
+_PCB_LN_INV_DELTA = repr(_math.log(1e5))      # ln(1/delta'), delta'=1e-5
+_PCB_GRID = (0.01, 0.02, 0.05)                # per-step eps0 settings
+
+
+def privacy_composition_budget(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Privacy-budget accounting for per-event-type release pipelines:
+    treating each event of a type as one (eps0, 1e-5)-DP adaptive
+    release (a DP-SGD step, a per-query DP count), what total epsilon
+    has the pipeline spent under basic composition vs the
+    sqrt(k)-scaling advanced composition theorem, per candidate eps0?
+    The table a privacy review reads to decide whether a mechanism's
+    release cadence fits an epsilon budget — and from which step count
+    onward the advanced accountant is the one to cite
+    (``adv_saves_e6 > 0``).
+
+    Determinism: see module-header note — constants are folded in
+    Python once and parsed identically by both engines; per-row double
+    math is a fixed tree of correctly-rounded IEEE ops on exact
+    integer k, so the e6 floors agree bit-for-bit.
+
+    Scale: ONE events scan reduced map-side to |event_types| rows; the
+    eps0 grid explodes literal structs against that tiny frame. At
+    100 TB the scan dominates and the shuffle is |event_types| rows.
+    """
+    jobs = (load(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("steps")))
+    grid = F.explode(F.array(*[
+        F.struct(F.lit(e0).alias("eps0"),
+                 F.lit(_math.expm1(e0)).alias("em1"))
+        for e0 in _PCB_GRID])).alias("g")
+    adv = (f"g.eps0 * sqrt((2.0D * CAST(steps AS DOUBLE))"
+           f" * {_PCB_LN_INV_DELTA}D)"
+           f" + (CAST(steps AS DOUBLE) * g.eps0) * g.em1")
+    return (jobs.select("event_type", "steps", grid)
+            .select("event_type", "steps",
+                    F.expr("CAST(floor(1000000.0D * g.eps0) AS BIGINT)")
+                     .alias("eps0_e6"),
+                    F.expr("CAST(floor(1000000.0D * (CAST(steps AS"
+                           " DOUBLE) * g.eps0)) AS BIGINT)")
+                     .alias("eps_basic_e6"),
+                    F.expr(f"CAST(floor(1000000.0D * ({adv}))"
+                           f" AS BIGINT)").alias("eps_adv_e6"))
+            .withColumn("adv_saves_e6",
+                        F.col("eps_basic_e6") - F.col("eps_adv_e6")))
+
+
+def _pcb_sql() -> str:
+    rows = ", ".join(f"({e0!r}, {_math.expm1(e0)!r})"
+                     for e0 in _PCB_GRID)
+    adv = (f"g.eps0 * sqrt((2.0 * CAST(j.steps AS DOUBLE))"
+           f" * {_PCB_LN_INV_DELTA})"
+           f" + (CAST(j.steps AS DOUBLE) * g.eps0) * g.em1")
+    return f"""
+WITH jobs AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS steps
+    FROM events GROUP BY event_type
+),
+grid(eps0, em1) AS (VALUES {rows})
+SELECT j.event_type, j.steps,
+       CAST(floor(1000000.0 * g.eps0) AS BIGINT) AS eps0_e6,
+       CAST(floor(1000000.0 * (CAST(j.steps AS DOUBLE) * g.eps0))
+            AS BIGINT) AS eps_basic_e6,
+       CAST(floor(1000000.0 * ({adv})) AS BIGINT) AS eps_adv_e6,
+       CAST(floor(1000000.0 * (CAST(j.steps AS DOUBLE) * g.eps0))
+            AS BIGINT)
+           - CAST(floor(1000000.0 * ({adv})) AS BIGINT)
+           AS adv_saves_e6
+FROM jobs j, grid g
+"""
+
+
+QUERIES["privacy_composition_budget"] = (privacy_composition_budget,
+                                         _pcb_sql())

@@ -1437,3 +1437,108 @@ GROUP BY 1
 """
 
 QUERIES["nucleus_cutoff_profile"] = (nucleus_cutoff_profile, _NUC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# distinct_ngram_diversity (round 11): degeneration / mode-collapse audit
+# ---------------------------------------------------------------------------
+# distinct-n (Li et al. 2016): the fraction of n-gram OCCURRENCES that
+# are distinct TYPES, per source and n in 1..3. The standard screen for
+# sampling degeneracy in model-generated corpora — a source whose
+# distinct-2/distinct-3 collapses versus its peers is emitting repeated
+# phrases (greedy decoding loops, temperature too low) and should not
+# enter a pre-training mix unfiltered.
+_DNG_NS = (1, 2, 3)
+
+
+def distinct_ngram_diversity(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per (source, n): total n-gram occurrences, distinct n-gram
+    types, and distinct-n = types/occurrences (e6) — plus the same
+    ratio restricted to within-document repetition (types counted per
+    doc) so cross-doc boilerplate and within-doc loops are separable.
+
+    Determinism: counts are exact; grams shuffle as unhex(md5(...))
+    binary keys (fixed-width payload rule); the two ratios are floored
+    integer e6 divisions.
+
+    Scale: ONE documents scan; grams stay document-local arrays until
+    the per-(source, n) exact distinct — countDistinct shuffles on the
+    (source, n, hash) expand, the standard two-phase exact-distinct
+    plan. At 100 TB swap countDistinct for approx_count_distinct or an
+    HLL sketch merge (operators/sketches.py) if 1% error is tolerable;
+    the exact plan here is the oracle-checkable ground truth.
+    """
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.split(F.trim("text"), r"\s+").alias("w")))
+    grams = (docs.select(
+        "doc_id", "source",
+        F.explode(F.array(*[F.lit(n) for n in _DNG_NS])).alias("n"),
+        "w")
+        .select("doc_id", "source", "n", F.explode(F.expr(
+            "CASE WHEN size(w) >= n THEN transform("
+            "sequence(1, size(w) - n + 1),"
+            " i -> unhex(md5(array_join(slice(w, i, n), chr(31)))))"
+            " ELSE array() END")).alias("gh")))
+    per_doc = (grams.groupBy("source", "n", "doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("occ"),
+                    F.countDistinct("gh").cast("long").alias("typ")))
+    return (per_doc.groupBy("source", "n")
+            .agg(F.sum("occ").cast("long").alias("total_ngrams"),
+                 F.sum("typ").cast("long").alias("doc_distinct_sum"))
+            .join(grams.groupBy("source", "n")
+                  .agg(F.countDistinct("gh").cast("long")
+                       .alias("distinct_ngrams")), ["source", "n"])
+            .select("source", F.col("n").cast("long").alias("n"),
+                    "total_ngrams", "distinct_ngrams",
+                    F.expr("(1000000 * distinct_ngrams)"
+                           " div greatest(total_ngrams, 1)")
+                     .alias("distinct_frac_e6"),
+                    F.expr("(1000000 * doc_distinct_sum)"
+                           " div greatest(total_ngrams, 1)")
+                     .alias("within_doc_distinct_frac_e6")))
+
+
+_DNG_SQL = rf"""
+WITH grams AS (
+    SELECT doc_id, source, n,
+           unnest(CASE WHEN len(w) >= n THEN list_transform(
+                      range(1, len(w) - n + 2),
+                      i -> unhex(md5(array_to_string(w[i:i + n - 1],
+                                                     chr(31)))))
+                  ELSE [] END) AS gh
+    FROM (SELECT doc_id, source,
+                 regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+         (SELECT unnest([{", ".join(str(n) for n in _DNG_NS)}]) AS n)
+),
+per_doc AS (
+    SELECT source, n, doc_id,
+           CAST(count(*) AS BIGINT) AS occ,
+           CAST(count(DISTINCT gh) AS BIGINT) AS typ
+    FROM grams GROUP BY 1, 2, 3
+),
+per_src AS (
+    SELECT source, n,
+           CAST(sum(occ) AS BIGINT) AS total_ngrams,
+           CAST(sum(typ) AS BIGINT) AS doc_distinct_sum
+    FROM per_doc GROUP BY 1, 2
+),
+uniq AS (
+    SELECT source, n, CAST(count(DISTINCT gh) AS BIGINT)
+               AS distinct_ngrams
+    FROM grams GROUP BY 1, 2
+)
+SELECT s.source, CAST(s.n AS BIGINT) AS n, s.total_ngrams,
+       u.distinct_ngrams,
+       (1000000 * u.distinct_ngrams)
+           // greatest(s.total_ngrams, 1) AS distinct_frac_e6,
+       (1000000 * s.doc_distinct_sum)
+           // greatest(s.total_ngrams, 1)
+           AS within_doc_distinct_frac_e6
+FROM per_src s JOIN uniq u USING (source, n)
+"""
+
+QUERIES["distinct_ngram_diversity"] = (distinct_ngram_diversity,
+                                       _DNG_SQL)

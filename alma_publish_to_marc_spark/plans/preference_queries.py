@@ -990,3 +990,172 @@ FROM folded f,
 """
 
 QUERIES["elo_rating_trajectory"] = (elo_rating_trajectory, _ELO_SQL)
+
+
+# --------------------------------------------------------------------------
+# dawid_skene_label_model (round 11): EM label aggregation
+# --------------------------------------------------------------------------
+# Dawid & Skene 1979 via 2 unrolled EM rounds in e6 fixed point over
+# the same 3-annotator vote derivation as annotator_agreement_kappa.
+# Every M-step statistic is an exact integer sum; every E-step
+# posterior is a LEFT-FOLD of scaled integer multiplies
+# ((x * f) div 1e6 per annotator, applied in annotator order), so both
+# engines floor identically at every intermediate step. The identical
+# arithmetic is GENERATED for both engines from the same Python loop.
+_DS_ROUNDS = 2
+_DS_S = 1_000_000  # e6 fixed-point scale
+
+
+def dawid_skene_label_model(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Crowd-label aggregation the way an RLHF data pipeline actually
+    de-noises preference votes: Dawid-Skene EM over per-annotator
+    confusion parameters. Two unrolled EM rounds in e6 fixed point:
+    posteriors start at the majority fraction, each M-step re-estimates
+    annotator sensitivity (P(vote=1 | true=1)), specificity
+    (P(vote=0 | true=0)) and the class prior from posterior-weighted
+    counts, each E-step refolds the three votes through the current
+    parameters. Emits one row per annotator — sensitivity/specificity
+    after the final M-step, the final prior, and how many items the
+    model's final label FLIPS vs naive majority vote (the payoff of
+    modeling annotator quality at all).
+
+    Determinism: fixed-point integers end-to-end (module-header note);
+    the E-step multiply order is the fixed annotator order.
+
+    Scale: the vote frame never explodes (3 inline columns, the
+    kappa-family shape); each EM round is ONE 1-row aggregate
+    broadcast back — 2 rounds = 4 tiny shuffle-free scans over the
+    persisted? no: re-derived lineage per round, all map-side. At
+    100 TB: persist the flags frame once (|comparisons| rows) and the
+    rounds stay two scans each; parameters always drive as broadcast
+    1-row frames (the raking/weiszfeld idiom).
+    """
+    f = (_flags(spark, sf_dir)
+         .select("cmp_id", "p0", "p1", "p2")
+         .withColumn("q", F.expr(f"({_DS_S} * (p0 + p1 + p2)) div 3"))
+         .persist())
+    _PERSISTED.append(f)
+    for _ in range(_DS_ROUNDS):
+        aggs = [F.sum("q").cast("long").alias("sq"),
+                F.sum(F.expr(f"{_DS_S} - q")).cast("long").alias("s1q"),
+                F.count(F.lit(1)).cast("long").alias("n")]
+        for h in range(_N_ANNOTATORS):
+            aggs += [F.sum(F.expr(f"q * p{h}")).cast("long")
+                      .alias(f"sa{h}"),
+                     F.sum(F.expr(f"({_DS_S} - q) * (1 - p{h})"))
+                      .cast("long").alias(f"sb{h}")]
+        f = f.crossJoin(F.broadcast(f.agg(*aggs)))
+        for h in range(_N_ANNOTATORS):
+            f = (f.withColumn(f"al{h}", F.expr(
+                     f"({_DS_S} * sa{h}) div greatest(sq, 1)"))
+                  .withColumn(f"be{h}", F.expr(
+                     f"({_DS_S} * sb{h}) div greatest(s1q, 1)")))
+        f = (f.withColumn("pi", F.expr("sq div n"))
+              .withColumn("num0", F.col("pi"))
+              .withColumn("den0", F.expr(f"{_DS_S} - pi")))
+        for h in range(_N_ANNOTATORS):
+            f = (f.withColumn(f"num{h + 1}", F.expr(
+                     f"(num{h} * (CASE WHEN p{h} = 1 THEN al{h}"
+                     f" ELSE {_DS_S} - al{h} END)) div {_DS_S}"))
+                  .withColumn(f"den{h + 1}", F.expr(
+                     f"(den{h} * (CASE WHEN p{h} = 1 THEN"
+                     f" {_DS_S} - be{h} ELSE be{h} END)) div {_DS_S}")))
+        last = _N_ANNOTATORS
+        f = f.select("cmp_id", "p0", "p1", "p2", F.expr(
+            f"({_DS_S} * num{last})"
+            f" div greatest(num{last} + den{last}, 1)").alias("q"))
+    aggs = [F.sum("q").cast("long").alias("sq"),
+            F.sum(F.expr(f"{_DS_S} - q")).cast("long").alias("s1q"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr(
+                f"CASE WHEN (q >= {_DS_S // 2})"
+                f" != (p0 + p1 + p2 >= 2) THEN 1 ELSE 0 END"))
+             .cast("long").alias("n_flipped")]
+    for h in range(_N_ANNOTATORS):
+        aggs += [F.sum(F.expr(f"q * p{h}")).cast("long")
+                  .alias(f"sa{h}"),
+                 F.sum(F.expr(f"({_DS_S} - q) * (1 - p{h})"))
+                  .cast("long").alias(f"sb{h}")]
+    fin = f.agg(*aggs)
+    outs = F.explode(F.array(*[
+        F.struct(F.lit(h).cast("long").alias("annotator"),
+                 F.expr(f"({_DS_S} * sa{h}) div greatest(sq, 1)")
+                  .alias("alpha_e6"),
+                 F.expr(f"({_DS_S} * sb{h}) div greatest(s1q, 1)")
+                  .alias("beta_e6"))
+        for h in range(_N_ANNOTATORS)])).alias("o")
+    return (fin.select(outs, F.expr("sq div n").alias("pi_e6"),
+                       F.col("n").alias("n_items"), "n_flipped")
+            .select("o.annotator", "o.alpha_e6", "o.beta_e6",
+                    "pi_e6", "n_items", "n_flipped"))
+
+
+def _ds_sql() -> str:
+    S = _DS_S
+    ctes = [_DUCK_BASE.strip(), _DUCK_FLAGS.strip(),
+            f"q0 AS (SELECT cmp_id, p0, p1, p2,"
+            f" ({S} * (p0 + p1 + p2)) // 3 AS q FROM flags)"]
+    cur = "q0"
+    for r in range(_DS_ROUNDS):
+        sums = [f"CAST(sum(q) AS BIGINT) AS sq",
+                f"CAST(sum({S} - q) AS BIGINT) AS s1q",
+                f"CAST(count(*) AS BIGINT) AS n"]
+        for h in range(_N_ANNOTATORS):
+            sums += [f"CAST(sum(q * p{h}) AS BIGINT) AS sa{h}",
+                     f"CAST(sum(({S} - q) * (1 - p{h})) AS BIGINT)"
+                     f" AS sb{h}"]
+        ctes.append(f"m{r} AS MATERIALIZED (SELECT {', '.join(sums)}"
+                    f" FROM {cur})")
+        params = [f"({S} * m.sa{h}) // greatest(m.sq, 1) AS al{h},"
+                  f" ({S} * m.sb{h}) // greatest(m.s1q, 1) AS be{h}"
+                  for h in range(_N_ANNOTATORS)]
+        ctes.append(
+            f"p{r} AS (SELECT f.cmp_id, f.p0, f.p1, f.p2, f.q,"
+            f" {', '.join(params)}, m.sq // m.n AS pi"
+            f" FROM {cur} f, m{r} m)")
+        ctes.append(f"f{r}0 AS (SELECT *, pi AS num0, {S} - pi AS den0"
+                    f" FROM p{r})")
+        for h in range(_N_ANNOTATORS):
+            ctes.append(
+                f"f{r}{h + 1} AS (SELECT *,"
+                f" (num{h} * (CASE WHEN p{h} = 1 THEN al{h}"
+                f" ELSE {S} - al{h} END)) // {S} AS num{h + 1},"
+                f" (den{h} * (CASE WHEN p{h} = 1 THEN {S} - be{h}"
+                f" ELSE be{h} END)) // {S} AS den{h + 1}"
+                f" FROM f{r}{h})")
+        last = _N_ANNOTATORS
+        ctes.append(
+            f"q{r + 1} AS (SELECT cmp_id, p0, p1, p2,"
+            f" ({S} * num{last}) // greatest(num{last} + den{last}, 1)"
+            f" AS q FROM f{r}{last})")
+        cur = f"q{r + 1}"
+    sums = [f"CAST(sum(q) AS BIGINT) AS sq",
+            f"CAST(sum({S} - q) AS BIGINT) AS s1q",
+            f"CAST(count(*) AS BIGINT) AS n",
+            f"CAST(sum(CASE WHEN (q >= {S // 2})"
+            f" != (p0 + p1 + p2 >= 2) THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_flipped"]
+    for h in range(_N_ANNOTATORS):
+        sums += [f"CAST(sum(q * p{h}) AS BIGINT) AS sa{h}",
+                 f"CAST(sum(({S} - q) * (1 - p{h})) AS BIGINT)"
+                 f" AS sb{h}"]
+    ctes.append(f"fin AS MATERIALIZED (SELECT {', '.join(sums)}"
+                f" FROM {cur})")
+    alpha = " ".join(f"WHEN t.h = {h} THEN ({S} * sa{h})"
+                     f" // greatest(sq, 1)"
+                     for h in range(_N_ANNOTATORS))
+    beta = " ".join(f"WHEN t.h = {h} THEN ({S} * sb{h})"
+                    f" // greatest(s1q, 1)"
+                    for h in range(_N_ANNOTATORS))
+    vals = ", ".join(f"({h})" for h in range(_N_ANNOTATORS))
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT CAST(t.h AS BIGINT) AS annotator,\n"
+            f"       CASE {alpha} END AS alpha_e6,\n"
+            f"       CASE {beta} END AS beta_e6,\n"
+            f"       sq // n AS pi_e6, n AS n_items, n_flipped\n"
+            f"FROM fin, (VALUES {vals}) t(h)")
+
+
+QUERIES["dawid_skene_label_model"] = (dawid_skene_label_model,
+                                      _ds_sql())

@@ -78,8 +78,14 @@ _SAMPLE_FIRST = (
     "bpe_domain_compression",
     "watermark_greenlist_detect",
     "parallelism_plan_budget",
-    # --- rotation: next 50 never-driver-sampled keys (TPC-H analog
-    # --- family, then the time-series family, then behavioral) ---
+    "doremi_mixture_reweight",
+    "data_epoch_allocation",
+    "privacy_composition_budget",
+    "dawid_skene_label_model",
+    "distinct_ngram_diversity",
+    # --- rotation: next never-driver-sampled keys (TPC-H analog
+    # --- family, then the time-series family, then behavioral),
+    # --- trimmed to 41 so pins total exactly the driver's 50 ---
     "forecast_revenue_change",
     "volume_shipping",
     "promo_revenue_effect",
@@ -121,15 +127,6 @@ _SAMPLE_FIRST = (
     "holt_winters_additive",
     "haar_wavelet_energy",
     "needleman_wunsch_daily",
-    "pacf_durbin_levinson",
-    "forecast_model_bakeoff",
-    "retrieval_ranking_metrics",
-    "did_estimator",
-    "markov_next_event_eval",
-    "contrastive_pair_batches",
-    "behavior_alignment_score",
-    "trajectory_similarity_topk",
-    "cardinality_estimate_eval",
 )
 
 

@@ -45,6 +45,9 @@ KEYS = (
     "suffix_lcp_repeats",
     "suffix_repeat_topk",
     "speculative_draft_policy",
+    # round 11: the only new double surface — per-row IEEE tree off an
+    # exact integer k (partition-invariant by construction; pinned)
+    "privacy_composition_budget",
 )
 
 

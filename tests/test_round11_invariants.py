@@ -109,3 +109,126 @@ def test_bpe_domain_compression_totals(spark):
         # pretoken start at len(chars) and end >= 1 => chars/token >= 1
         assert r["chars_per_token_e4"] >= 10000
         assert r["total_tokens"] > 0
+
+
+def test_doremi_mixture_reweight_trajectory(spark):
+    from alma_publish_to_marc_spark.plans import corpus_queries as cq
+
+    rows = cq.doremi_mixture_reweight(spark, SF).collect()
+    by_t: dict = {}
+    for r in rows:
+        by_t.setdefault(r["t"], []).append(r)
+    n_dom = len(by_t[0])
+    assert sorted(by_t) == list(range(6))
+    for t, grp in by_t.items():
+        assert len(grp) == n_dom
+        s = sum(r["weight_e6"] for r in grp)
+        # floored shares: sum within |D| of exactly 1e6
+        assert 1_000_000 - n_dom <= s <= 1_000_000
+    # t=0 is uniform
+    for r in by_t[0]:
+        assert r["weight_e6"] == 1_000_000 // n_dom
+    # the max-payoff domain's weight is nondecreasing in t and ends
+    # strictly dominant (hedge concentrates on the worst excess loss)
+    top = max(by_t[0], key=lambda r: (r["payoff"], r["source"]))
+    traj = [next(r for r in by_t[t] if r["source"] == top["source"])
+            ["weight_e6"] for t in range(6)]
+    assert all(a <= b for a, b in zip(traj, traj[1:]))
+    # ... and strictly dominates every LOWER-payoff domain (bucketing
+    # can tie several domains at the top payoff — those end equal)
+    assert traj[-1] > max(r["weight_e6"] for r in by_t[5]
+                          if r["payoff"] < top["payoff"])
+    # payoffs are rank-bucketed into [0, 8)
+    assert all(0 <= r["payoff"] < 8 for r in rows)
+
+
+def test_data_epoch_allocation_budget(spark):
+    from alma_publish_to_marc_spark.plans import corpus_queries as cq
+
+    rows = cq.data_epoch_allocation(spark, SF).collect()
+    assert rows
+    corpus = sum(r["unique_words"] for r in rows)
+    spent = sum(r["raw_tokens_used"] for r in rows)
+    assert spent <= cq._DEA_BUDGET_MULT * corpus
+    for r in rows:
+        assert 0 <= r["epochs_taken"] <= cq._DEA_MAX_EPOCHS
+        assert r["raw_tokens_used"] == (r["epochs_taken"]
+                                        * r["unique_words"])
+        # effective value decays: total gain <= epochs * U * 1e4 and
+        # >= the first-epoch gain when any epoch was taken
+        if r["epochs_taken"] > 0:
+            assert r["effective_tokens_e4"] >= 10000 * r["unique_words"]
+            assert (r["effective_tokens_e4"]
+                    <= 10000 * r["raw_tokens_used"])
+            assert 0 < r["avg_value_e4"] <= 10000
+    # no epoch left on the table: the cheapest untaken epoch must not
+    # fit the remaining budget (greedy maximality) unless all taken
+    remaining = cq._DEA_BUDGET_MULT * corpus - spent
+    untaken_costs = [r["unique_words"] for r in rows
+                     if r["epochs_taken"] < cq._DEA_MAX_EPOCHS]
+    if untaken_costs:
+        assert min(untaken_costs) > remaining
+
+
+def test_privacy_composition_budget_theory(spark):
+    from alma_publish_to_marc_spark.plans import governance_queries as gq
+
+    rows = gq.privacy_composition_budget(spark, SF).collect()
+    assert len(rows) == len({r["event_type"] for r in rows}) * 3
+    by_eps: dict = {}
+    for r in rows:
+        assert r["eps_basic_e6"] == r["eps_adv_e6"] + r["adv_saves_e6"]
+        assert r["eps_adv_e6"] > 0 and r["eps_basic_e6"] > 0
+        # advanced composition wins once k > ~2 ln(1/delta)/(1-em1)^2
+        if r["steps"] > 100:
+            assert r["adv_saves_e6"] > 0, r
+        by_eps.setdefault(r["eps0_e6"], []).append(r)
+    assert sorted(by_eps) == [10000, 20000, 50000]
+    # monotone in k within a grid setting
+    for grp in by_eps.values():
+        grp = sorted(grp, key=lambda r: r["steps"])
+        for a, b in zip(grp, grp[1:]):
+            if a["steps"] < b["steps"]:
+                assert a["eps_basic_e6"] < b["eps_basic_e6"]
+                assert a["eps_adv_e6"] < b["eps_adv_e6"]
+
+
+def test_dawid_skene_parameters(spark):
+    from alma_publish_to_marc_spark.plans import preference_queries as pq
+
+    rows = pq.dawid_skene_label_model(spark, SF).collect()
+    assert len(rows) == pq._N_ANNOTATORS
+    n = rows[0]["n_items"]
+    assert n > 0
+    for r in rows:
+        assert 0 <= r["alpha_e6"] <= 1_000_000
+        assert 0 <= r["beta_e6"] <= 1_000_000
+        assert 0 <= r["pi_e6"] <= 1_000_000
+        assert 0 <= r["n_flipped"] <= n
+        # annotators here are majority-correlated noisy raters: the
+        # fitted confusion must be better than coin-flip on both axes
+        assert r["alpha_e6"] > 500_000
+        assert r["beta_e6"] > 500_000
+
+
+def test_distinct_ngram_diversity_bounds(spark):
+    from alma_publish_to_marc_spark.plans import lm_queries as lm
+
+    rows = lm.distinct_ngram_diversity(spark, SF).collect()
+    by_src: dict = {}
+    for r in rows:
+        assert 0 < r["distinct_ngrams"] <= r["total_ngrams"]
+        assert 0 < r["distinct_frac_e6"] <= 1_000_000
+        # per-doc type sums over-count global types
+        assert (r["within_doc_distinct_frac_e6"]
+                >= r["distinct_frac_e6"])
+        by_src.setdefault(r["source"], {})[r["n"]] = r
+    for grp in by_src.values():
+        assert sorted(grp) == [1, 2, 3]
+        # occurrence totals shrink by exactly docs-with->=n-words per
+        # n step; weaker monotone check keeps it schema-robust
+        assert (grp[1]["total_ngrams"] > grp[2]["total_ngrams"]
+                > grp[3]["total_ngrams"])
+        # longer grams are more distinct
+        assert (grp[1]["distinct_frac_e6"] <= grp[2]["distinct_frac_e6"]
+                <= grp[3]["distinct_frac_e6"])

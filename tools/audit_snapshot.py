@@ -75,6 +75,15 @@ EXTRA = (
     "bpe_domain_compression",
     "watermark_greenlist_detect",
     "parallelism_plan_budget",
+    # round-11 batch 2: mixture/epoch planning (tiny-frame window
+    # idiom), DP accounting (constant-folded grid), Dawid-Skene EM
+    # (broadcast 1-row M-step rounds), distinct-n (two-phase exact
+    # distinct)
+    "doremi_mixture_reweight",
+    "data_epoch_allocation",
+    "privacy_composition_budget",
+    "dawid_skene_label_model",
+    "distinct_ngram_diversity",
 )
 
 
