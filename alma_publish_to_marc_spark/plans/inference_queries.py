@@ -1810,3 +1810,189 @@ FROM calc
 """
 
 QUERIES["ab_power_sample_size"] = (_ab_power_sample_size, _PWR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# continuous_batching_replay (round 11): iteration-level scheduling
+# ---------------------------------------------------------------------------
+# Orca/vLLM-style continuous batching vs static batching, replayed over
+# the event stream as a deterministic integer B-server queue: each
+# request occupies one of _CB_SLOTS decode slots for its generation
+# length; continuous batching admits a request the moment any slot
+# frees, static batching waits for the whole previous batch and for all
+# B members to arrive. Both replays are LEFT FOLDS over the same
+# arrival-ordered request list with LIST accumulators (the verified-
+# safe fold shape in both engines — CLAUDE.md fold rules).
+_CB_SLOTS = 8          # decode slots (batch size B)
+_CB_ARR_STEP = 4       # arrival spacing in token-steps (rho ~ 1.02)
+_CB_LEN_MOD = 64       # generation length in 1.._CB_LEN_MOD steps
+
+
+def continuous_batching_replay(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Serving-capacity replay: per event_type stream, total and mean
+    queue wait (token-steps) under continuous batching vs static
+    batching at the same slot count, and the continuous-batching
+    speedup — the measurement behind "iteration-level scheduling cuts
+    TTFT by Nx" serving claims, computed exactly on the replayed
+    arrival order.
+
+    Model: request i of a stream arrives at step 4i, decodes for
+    1..64 steps (md5-derived). Continuous: earliest-free-slot admission
+    (the B slot-finish times ride in the fold accumulator; each step
+    replaces the min slot). Static: requests batch in arrival groups
+    of B; a batch starts at max(last member arrival, previous batch
+    finish) and holds all slots for its max member length.
+
+    Determinism: pure integer folds over rn-sorted lists; the
+    accumulator is a single flat BIGINT list (1-based: [0]=total wait,
+    rest = slot/batch state) — the verified-safe shape; min-slot ties
+    resolve to the first position in both engines (list_position /
+    array_position on the same list layout).
+
+    Scale: one events scan; per-stream requests collect to ONE row per
+    event_type for the fold — bounded by the per-stream request count,
+    the same contract as the repo's other sequential replays (elo,
+    token_bucket). At 100 TB shard streams by (event_type, day) and
+    chain day folds through the carry row, or cap the replay window;
+    the fold itself is O(n * B) with B = 8.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .select("event_type", "ts", "event_id")
+          .withColumn("rn", F.row_number().over(
+              Window.partitionBy("event_type")
+              .orderBy("ts", "event_id")))
+          .select("event_type", "rn",
+                  (F.col("rn") * _CB_ARR_STEP).cast("long").alias("arr"),
+                  F.expr("1 + CAST(conv(substr(md5(concat('cb:',"
+                         f" CAST(event_id AS STRING))), 1, 12), 16, 10)"
+                         f" AS BIGINT) % {_CB_LEN_MOD}").alias("len")))
+    B = _CB_SLOTS
+    reqs = (ev.groupBy("event_type")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                     "rn", "arr", "len"))).alias("xs"),
+                 F.count(F.lit(1)).cast("long").alias("n")))
+    # continuous: acc = [total_wait, slot_1..slot_B finish times]
+    cont = F.expr(f"""
+      element_at(aggregate(xs,
+        array_repeat(CAST(0 AS BIGINT), {B + 1}),
+        (acc, x) -> concat(
+          array(element_at(acc, 1)
+                + greatest(x.arr, array_min(slice(acc, 2, {B})))
+                - x.arr),
+          transform(sequence(1, {B}), i ->
+            CASE WHEN i = array_position(slice(acc, 2, {B}),
+                                         array_min(slice(acc, 2, {B})))
+                 THEN greatest(x.arr, array_min(slice(acc, 2, {B})))
+                      + x.len
+                 ELSE element_at(acc, i + 1) END))), 1)
+    """)
+    # static: batch rows (max_arr, sum_arr, n, max_len) in batch order;
+    # acc = [total_wait, prev_finish]
+    batches = (ev.withColumn("b", F.expr(f"(rn - 1) div {B}"))
+               .groupBy("event_type", "b")
+               .agg(F.max("arr").alias("ma"),
+                    F.sum("arr").alias("sa"),
+                    F.count(F.lit(1)).cast("long").alias("nb"),
+                    F.max("len").alias("ml"))
+               .groupBy("event_type")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                        "b", "ma", "sa", "nb", "ml"))).alias("bs")))
+    stat = F.expr("""
+      element_at(aggregate(bs,
+        array(CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        (acc, x) -> array(
+          element_at(acc, 1)
+          + x.nb * greatest(x.ma, element_at(acc, 2)) - x.sa,
+          greatest(x.ma, element_at(acc, 2)) + x.ml)), 1)
+    """)
+    return (reqs.withColumn("cont_total_wait", cont)
+            .join(batches.withColumn("static_total_wait", stat)
+                  .select("event_type", "static_total_wait"),
+                  "event_type")
+            .select("event_type", F.col("n").alias("n_requests"),
+                    "cont_total_wait", "static_total_wait",
+                    F.expr("(10000 * cont_total_wait) div n")
+                     .alias("cont_mean_wait_e4"),
+                    F.expr("(10000 * static_total_wait) div n")
+                     .alias("static_mean_wait_e4"),
+                    F.expr("(10000 * static_total_wait)"
+                           " div greatest(cont_total_wait, 1)")
+                     .alias("speedup_e4")))
+
+
+def _cb_sql() -> str:
+    B = _CB_SLOTS
+    zeros = ", ".join(["CAST(0 AS BIGINT)"] * (B + 1))
+    return rf"""
+WITH ev AS (
+    SELECT event_type,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS rn,
+           event_id
+    FROM events
+),
+req AS (
+    SELECT event_type, rn,
+           CAST(rn * {_CB_ARR_STEP} AS BIGINT) AS arr,
+           1 + CAST('0x' || substr(md5('cb:' ||
+               CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT)
+               % {_CB_LEN_MOD} AS len
+    FROM ev
+),
+streams AS (
+    SELECT event_type,
+           list_sort(list([rn, arr, len])) AS xs,
+           CAST(count(*) AS BIGINT) AS n
+    FROM req GROUP BY event_type
+),
+cont AS (
+    SELECT event_type, n,
+           list_reduce(
+             list_prepend([{zeros}],
+                          list_transform(xs, x -> [x[2], x[3]])),
+             (acc, e) -> list_prepend(
+               acc[1] + greatest(e[1], list_min(acc[2:])) - e[1],
+               list_transform(range(1, {B} + 1), i ->
+                 CASE WHEN i = list_position(acc[2:],
+                                             list_min(acc[2:]))
+                      THEN greatest(e[1], list_min(acc[2:])) + e[2]
+                      ELSE acc[i + 1] END)))[1] AS cont_total_wait
+    FROM streams
+),
+bat AS (
+    SELECT event_type, (rn - 1) // {B} AS b,
+           CAST(max(arr) AS BIGINT) AS ma,
+           CAST(sum(arr) AS BIGINT) AS sa,
+           CAST(count(*) AS BIGINT) AS nb,
+           CAST(max(len) AS BIGINT) AS ml
+    FROM req GROUP BY 1, 2
+),
+bstreams AS (
+    SELECT event_type,
+           list_sort(list([b, ma, sa, nb, ml])) AS bs
+    FROM bat GROUP BY event_type
+),
+stat AS (
+    SELECT event_type,
+           list_reduce(
+             list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                          list_transform(bs, x ->
+                              [x[2], x[3], x[4], x[5]])),
+             (acc, e) -> [
+               acc[1] + e[3] * greatest(e[1], acc[2]) - e[2],
+               greatest(e[1], acc[2]) + e[4]])[1] AS static_total_wait
+    FROM bstreams
+)
+SELECT c.event_type, c.n AS n_requests, c.cont_total_wait,
+       s.static_total_wait,
+       (10000 * c.cont_total_wait) // c.n AS cont_mean_wait_e4,
+       (10000 * s.static_total_wait) // c.n AS static_mean_wait_e4,
+       (10000 * s.static_total_wait)
+           // greatest(c.cont_total_wait, 1) AS speedup_e4
+FROM cont c JOIN stat s USING (event_type)
+"""
+
+
+QUERIES["continuous_batching_replay"] = (continuous_batching_replay,
+                                         _cb_sql())

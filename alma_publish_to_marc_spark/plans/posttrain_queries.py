@@ -1312,3 +1312,120 @@ FROM grid, toks
 
 
 QUERIES["parallelism_plan_budget"] = (_parallelism_plan_budget, _pp_sql())
+
+
+# ---------------------------------------------------------------------------
+# preemption_loss_replay (round 11): checkpoint cadence vs real failures
+# ---------------------------------------------------------------------------
+# The empirical companion to ``checkpoint_interval_daly``: Young/Daly
+# gives the OPTIMAL interval under a Poisson failure assumption; this
+# replays candidate checkpoint cadences against the ACTUAL failure
+# stream ('error' events as preemptions) and charges each cadence its
+# realized cost — work lost since the last checkpoint at every
+# preemption ((t - t0) mod C, pure integer arithmetic) plus the
+# checkpoint writes themselves.
+_PRE_GRID_MIN = (5, 15, 30, 60)      # candidate cadences, minutes
+_PRE_WRITE_US = 30_000_000           # checkpoint write cost: 30 s
+
+
+def preemption_loss_replay(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Per candidate checkpoint cadence C: the number of replayed
+    preemptions, total work lost (time since last checkpoint at each
+    'error' event), total checkpoint-write cost over the observed
+    horizon, the combined overhead, and a flag on the grid's argmin —
+    the table that validates (or overrides) the Young/Daly analytic
+    choice against what the cluster actually did.
+
+    Determinism: all integer microsecond arithmetic; (t - t0) is
+    nonnegative so ``%`` agrees across engines; the argmin ties break
+    toward the SHORTER cadence via the (overhead, C) struct-min rule.
+
+    Scale: one events scan filtered to the failure type (pushed
+    predicate), reduced map-side to per-cadence sums against a
+    broadcast 1-row t0/horizon aggregate; the grid is a 4-literal
+    explode. |grid| rows out. At 100 TB nothing changes shape — the
+    scan dominates.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type") == "error")
+          .select(F.expr("unix_micros(cast(ts as timestamp))")
+                  .alias("us")))
+    span = ev.agg(F.min("us").alias("t0"), F.max("us").alias("t1"),
+                  F.count(F.lit(1)).cast("long").alias("n_preempt"))
+    grid = F.explode(F.array(*[F.lit(m) for m in _PRE_GRID_MIN])
+                     ).alias("c_min")
+    per = (ev.crossJoin(F.broadcast(span))
+           .select(grid, "us", "t0", "t1", "n_preempt")
+           .withColumn("c_us", F.expr("CAST(c_min AS BIGINT)"
+                                      " * 60000000"))
+           .groupBy("c_min")
+           .agg(F.max("c_us").alias("c_us"),
+                F.max("t0").alias("t0"), F.max("t1").alias("t1"),
+                F.max("n_preempt").alias("n_preempt"),
+                F.sum(F.expr("(us - t0) % c_us")).cast("long")
+                 .alias("lost_work_us")))
+    out = (per.withColumn(
+               "ckpt_cost_us",
+               F.expr(f"((t1 - t0) div c_us) * "
+                      f"CAST({_PRE_WRITE_US} AS BIGINT)"))
+           .withColumn("total_overhead_us",
+                       F.expr("lost_work_us + ckpt_cost_us")))
+    best = (out.agg(F.min(F.struct("total_overhead_us", "c_min"))
+                    .alias("b"))
+            .select(F.col("b.c_min").alias("best_c")))
+    return (out.crossJoin(F.broadcast(best))
+            .select(F.col("c_min").cast("long").alias("cadence_min"),
+                    "n_preempt", "lost_work_us", "ckpt_cost_us",
+                    "total_overhead_us",
+                    (F.col("c_min") == F.col("best_c")).cast("long")
+                    .alias("is_grid_optimal")))
+
+
+def _pre_sql() -> str:
+    grid = ", ".join(f"({m})" for m in _PRE_GRID_MIN)
+    return f"""
+WITH ev AS (
+    SELECT CAST(epoch_us(ts) AS BIGINT) AS us
+    FROM events WHERE event_type = 'error'
+),
+span AS (
+    SELECT CAST(min(us) AS BIGINT) AS t0,
+           CAST(max(us) AS BIGINT) AS t1,
+           CAST(count(*) AS BIGINT) AS n_preempt
+    FROM ev
+),
+per AS (
+    SELECT g.c_min,
+           CAST(g.c_min AS BIGINT) * 60000000 AS c_us,
+           max(s.t0) AS t0, max(s.t1) AS t1,
+           max(s.n_preempt) AS n_preempt,
+           CAST(sum((e.us - s.t0)
+                    % (CAST(g.c_min AS BIGINT) * 60000000))
+                AS BIGINT) AS lost_work_us
+    FROM ev e, span s, (VALUES {grid}) g(c_min)
+    GROUP BY g.c_min
+),
+out_rows AS (
+    SELECT c_min, n_preempt, lost_work_us,
+           ((t1 - t0) // c_us) * CAST({_PRE_WRITE_US} AS BIGINT)
+               AS ckpt_cost_us,
+           lost_work_us
+               + ((t1 - t0) // c_us) * CAST({_PRE_WRITE_US} AS BIGINT)
+               AS total_overhead_us
+    FROM per
+),
+best AS (
+    SELECT min(struct_pack(o := total_overhead_us, c := c_min)) AS b
+    FROM out_rows
+)
+SELECT CAST(o.c_min AS BIGINT) AS cadence_min, o.n_preempt,
+       o.lost_work_us, o.ckpt_cost_us, o.total_overhead_us,
+       CAST(CASE WHEN o.c_min = (b.b).c THEN 1 ELSE 0 END AS BIGINT)
+           AS is_grid_optimal
+FROM out_rows o, best b
+"""
+
+
+QUERIES["preemption_loss_replay"] = (preemption_loss_replay,
+                                     _pre_sql())

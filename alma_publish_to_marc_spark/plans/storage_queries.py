@@ -854,3 +854,209 @@ GROUP BY 1
 
 QUERIES["partition_pruning_roundtrip"] = (partition_pruning_roundtrip,
                                           _PART_PRUNE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# lsm_compaction_replay (round 11): leveled vs tiered write amplification
+# ---------------------------------------------------------------------------
+# O'Neil LSM-tree cost model replayed against the actual daily ingest
+# curve: every day's row volume is one memtable flush; LEVELED merges a
+# level into the next (rewriting the destination) whenever it exceeds
+# its cap BASE * T^k; TIERED stacks up to T runs per level and merges
+# them down when full. Total bytes written / bytes ingested is the
+# write amplification a storage engineer compares before choosing a
+# compaction policy for an append-heavy event table.
+_LSM_T = 4            # size ratio / runs-per-level fanout
+_LSM_BASE = 400       # L1 cap in rows (memtable-sized)
+_LSM_LEVELS = 4       # L1..L4; L4 uncapped (bottom level)
+
+
+def lsm_compaction_replay(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Write-amplification replay of the events table's daily ingest
+    under leveled vs tiered compaction (one row per policy): total
+    rows ingested, total rows written (including every compaction
+    rewrite), write amplification (e4), number of flush days, and the
+    final per-level occupancy L1..L4.
+
+    Both policies are LEFT FOLDS over the same (day, stage) element
+    list — stage 0 applies the flush, stages 1..3 test-and-cascade one
+    level each, so the within-day cascade is sequenced by the element
+    order instead of nested assignments. Accumulators are single flat
+    BIGINT lists (leveled: [written, l1..l4]; tiered:
+    [written, bytes_k, runs_k x 4]) — the verified-safe fold shape.
+
+    Determinism: pure integers; day spine from integer epoch-day
+    arithmetic.
+
+    Scale: one events scan reduced map-side to |days| rows; the fold
+    runs over |days| * 4 elements in ONE row — calendar-bounded (the
+    kalman/day-spine contract), independent of row volume. At 100 TB
+    only the per-day aggregate grows; the replay stays a driver-sized
+    list.
+    """
+    days = (load(spark, sf_dir, "events")
+            .select(_day("ts").alias("d"))
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).cast("long").alias("f")))
+    cells = (days.select("d", "f", F.explode(F.sequence(
+                 F.lit(0), F.lit(_LSM_LEVELS - 1))).alias("stage"))
+             .groupBy()
+             .agg(F.sort_array(F.collect_list(F.struct(
+                      "d", F.col("stage").cast("long").alias("s"),
+                      "f"))).alias("xs"),
+                  F.sum(F.when(F.col("stage") == 0, F.col("f"))
+                        .otherwise(0)).cast("long").alias("ingested"),
+                  F.sum(F.when(F.col("stage") == 0, 1).otherwise(0))
+                   .cast("long").alias("n_days")))
+    caps = {k: _LSM_BASE * _LSM_T ** (k - 1)
+            for k in range(1, _LSM_LEVELS)}
+    lvl_step = " ".join(
+        f"WHEN x.s = {k} THEN CASE WHEN element_at(acc, {k + 1})"
+        f" > {caps[k]} THEN transform(sequence(1, {_LSM_LEVELS + 1}),"
+        f" i -> CASE WHEN i = 1 THEN element_at(acc, 1)"
+        f" + element_at(acc, {k + 1}) + element_at(acc, {k + 2})"
+        f" WHEN i = {k + 1} THEN CAST(0 AS BIGINT)"
+        f" WHEN i = {k + 2} THEN element_at(acc, {k + 1})"
+        f" + element_at(acc, {k + 2})"
+        f" ELSE element_at(acc, i) END)"
+        f" ELSE acc END"
+        for k in range(1, _LSM_LEVELS))
+    leveled = F.expr(f"""
+      aggregate(xs, array_repeat(CAST(0 AS BIGINT), {_LSM_LEVELS + 1}),
+        (acc, x) -> CASE WHEN x.s = 0 THEN
+            transform(sequence(1, {_LSM_LEVELS + 1}), i ->
+              CASE WHEN i = 1 THEN element_at(acc, 1) + x.f
+                   WHEN i = 2 THEN element_at(acc, 2) + x.f
+                   ELSE element_at(acc, i) END)
+          {lvl_step} ELSE acc END)
+    """)
+    # tiered acc layout (1-based): [written, b1, r1, b2, r2, b3, r3,
+    # b4, r4]
+    tier_step = " ".join(
+        f"WHEN x.s = {k} THEN CASE WHEN element_at(acc, {2 * k + 1})"
+        f" >= {_LSM_T} THEN transform(sequence(1, {2 * _LSM_LEVELS + 1}),"
+        f" i -> CASE WHEN i = 1 THEN element_at(acc, 1)"
+        f" + element_at(acc, {2 * k})"
+        f" WHEN i = {2 * k} THEN CAST(0 AS BIGINT)"
+        f" WHEN i = {2 * k + 1} THEN CAST(0 AS BIGINT)"
+        f" WHEN i = {2 * k + 2} THEN element_at(acc, {2 * k + 2})"
+        f" + element_at(acc, {2 * k})"
+        f" WHEN i = {2 * k + 3} THEN element_at(acc, {2 * k + 3}) + 1"
+        f" ELSE element_at(acc, i) END)"
+        f" ELSE acc END"
+        for k in range(1, _LSM_LEVELS))
+    tiered = F.expr(f"""
+      aggregate(xs,
+        array_repeat(CAST(0 AS BIGINT), {2 * _LSM_LEVELS + 1}),
+        (acc, x) -> CASE WHEN x.s = 0 THEN
+            transform(sequence(1, {2 * _LSM_LEVELS + 1}), i ->
+              CASE WHEN i = 1 THEN element_at(acc, 1) + x.f
+                   WHEN i = 2 THEN element_at(acc, 2) + x.f
+                   WHEN i = 3 THEN element_at(acc, 3) + 1
+                   ELSE element_at(acc, i) END)
+          {tier_step} ELSE acc END)
+    """)
+    base = (cells.withColumn("lv", leveled).withColumn("tr", tiered))
+    lv_levels = [f"element_at(lv, {k + 1}) AS l{k}"
+                 for k in range(1, _LSM_LEVELS + 1)]
+    tr_levels = [f"element_at(tr, {2 * k}) AS l{k}"
+                 for k in range(1, _LSM_LEVELS + 1)]
+    lv_row = base.selectExpr(
+        "'leveled' AS policy", "ingested", "n_days",
+        "element_at(lv, 1) AS total_written", *lv_levels)
+    tr_row = base.selectExpr(
+        "'tiered' AS policy", "ingested", "n_days",
+        "element_at(tr, 1) AS total_written", *tr_levels)
+    return (lv_row.unionByName(tr_row)
+            .withColumn("write_amp_e4",
+                        F.expr("(10000 * total_written)"
+                               " div greatest(ingested, 1)")))
+
+
+def _lsm_sql() -> str:
+    L, T = _LSM_LEVELS, _LSM_T
+    caps = {k: _LSM_BASE * T ** (k - 1) for k in range(1, L)}
+    lvl_step = " ".join(
+        f"WHEN e[1] = {k} THEN CASE WHEN acc[{k + 1}] > {caps[k]}"
+        f" THEN list_transform(range(1, {L + 1} + 1), i ->"
+        f" CASE WHEN i = 1 THEN acc[1] + acc[{k + 1}] + acc[{k + 2}]"
+        f" WHEN i = {k + 1} THEN CAST(0 AS BIGINT)"
+        f" WHEN i = {k + 2} THEN acc[{k + 1}] + acc[{k + 2}]"
+        f" ELSE acc[i] END)"
+        f" ELSE acc END"
+        for k in range(1, L))
+    tier_step = " ".join(
+        f"WHEN e[1] = {k} THEN CASE WHEN acc[{2 * k + 1}] >= {T}"
+        f" THEN list_transform(range(1, {2 * L + 1} + 1), i ->"
+        f" CASE WHEN i = 1 THEN acc[1] + acc[{2 * k}]"
+        f" WHEN i = {2 * k} THEN CAST(0 AS BIGINT)"
+        f" WHEN i = {2 * k + 1} THEN CAST(0 AS BIGINT)"
+        f" WHEN i = {2 * k + 2} THEN acc[{2 * k + 2}] + acc[{2 * k}]"
+        f" WHEN i = {2 * k + 3} THEN acc[{2 * k + 3}] + 1"
+        f" ELSE acc[i] END)"
+        f" ELSE acc END"
+        for k in range(1, L))
+    zeros_l = ", ".join(["CAST(0 AS BIGINT)"] * (L + 1))
+    zeros_t = ", ".join(["CAST(0 AS BIGINT)"] * (2 * L + 1))
+    lv_levels = ", ".join(f"lv[{k + 1}] AS l{k}"
+                          for k in range(1, L + 1))
+    tr_levels = ", ".join(f"tr[{2 * k}] AS l{k}"
+                          for k in range(1, L + 1))
+    return f"""
+WITH days AS (
+    SELECT {_sql_day('ts')} AS d, CAST(count(*) AS BIGINT) AS f
+    FROM events GROUP BY 1
+),
+cells AS (
+    SELECT d, CAST(s.stage AS BIGINT) AS s, f
+    FROM days, range(0, {L}) s(stage)
+),
+packed AS (
+    SELECT list_sort(list([d, s, f])) AS xs,
+           CAST(sum(CASE WHEN s = 0 THEN f ELSE 0 END) AS BIGINT)
+               AS ingested,
+           CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_days
+    FROM cells
+),
+folded AS (
+    SELECT ingested, n_days,
+           list_reduce(
+             list_prepend([{zeros_l}],
+                          list_transform(xs, x -> [x[2], x[3]])),
+             (acc, e) -> CASE WHEN e[1] = 0 THEN
+                 list_transform(range(1, {L + 1} + 1), i ->
+                   CASE WHEN i = 1 THEN acc[1] + e[2]
+                        WHEN i = 2 THEN acc[2] + e[2]
+                        ELSE acc[i] END)
+               {lvl_step} ELSE acc END) AS lv,
+           list_reduce(
+             list_prepend([{zeros_t}],
+                          list_transform(xs, x -> [x[2], x[3]])),
+             (acc, e) -> CASE WHEN e[1] = 0 THEN
+                 list_transform(range(1, {2 * L + 1} + 1), i ->
+                   CASE WHEN i = 1 THEN acc[1] + e[2]
+                        WHEN i = 2 THEN acc[2] + e[2]
+                        WHEN i = 3 THEN acc[3] + 1
+                        ELSE acc[i] END)
+               {tier_step} ELSE acc END) AS tr
+    FROM packed
+)
+SELECT policy, ingested, n_days, total_written,
+       l1, l2, l3, l4,
+       (10000 * total_written) // greatest(ingested, 1)
+           AS write_amp_e4
+FROM (
+    SELECT 'leveled' AS policy, ingested, n_days,
+           lv[1] AS total_written, {lv_levels}
+    FROM folded
+    UNION ALL
+    SELECT 'tiered' AS policy, ingested, n_days,
+           tr[1] AS total_written, {tr_levels}
+    FROM folded
+)
+"""
+
+
+QUERIES["lsm_compaction_replay"] = (lsm_compaction_replay, _lsm_sql())

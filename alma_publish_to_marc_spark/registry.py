@@ -83,9 +83,12 @@ _SAMPLE_FIRST = (
     "privacy_composition_budget",
     "dawid_skene_label_model",
     "distinct_ngram_diversity",
+    "continuous_batching_replay",
+    "lsm_compaction_replay",
+    "preemption_loss_replay",
     # --- rotation: next never-driver-sampled keys (TPC-H analog
     # --- family, then the time-series family, then behavioral),
-    # --- trimmed to 41 so pins total exactly the driver's 50 ---
+    # --- trimmed to 38 so pins total exactly the driver's 50 ---
     "forecast_revenue_change",
     "volume_shipping",
     "promo_revenue_effect",
@@ -124,9 +127,6 @@ _SAMPLE_FIRST = (
     "mann_kendall_trend",
     "spearman_daily_correlation",
     "walk_forward_splits",
-    "holt_winters_additive",
-    "haar_wavelet_energy",
-    "needleman_wunsch_daily",
 )
 
 

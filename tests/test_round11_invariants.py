@@ -232,3 +232,61 @@ def test_distinct_ngram_diversity_bounds(spark):
         # longer grams are more distinct
         assert (grp[1]["distinct_frac_e6"] <= grp[2]["distinct_frac_e6"]
                 <= grp[3]["distinct_frac_e6"])
+
+
+def test_continuous_batching_dominates_static(spark):
+    from alma_publish_to_marc_spark.plans import (
+        inference_queries as iq,
+    )
+
+    rows = iq.continuous_batching_replay(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_requests"] > 0
+        assert 0 <= r["cont_total_wait"]
+        # iteration-level admission is work-conserving; batch-of-B
+        # admission can only add wait (a request never starts earlier
+        # by waiting for batch-mates)
+        assert r["cont_total_wait"] <= r["static_total_wait"]
+        assert r["speedup_e4"] >= 10000
+        assert (r["cont_mean_wait_e4"]
+                == (10000 * r["cont_total_wait"]) // r["n_requests"])
+
+
+def test_lsm_replay_conservation(spark):
+    from alma_publish_to_marc_spark.plans import storage_queries as sq
+
+    rows = {r["policy"]: r
+            for r in sq.lsm_compaction_replay(spark, SF).collect()}
+    assert set(rows) == {"leveled", "tiered"}
+    for r in rows.values():
+        # compaction moves rows, never creates or drops them
+        assert (r["l1"] + r["l2"] + r["l3"] + r["l4"]
+                == r["ingested"])
+        # every ingested row is written at least once
+        assert r["total_written"] >= r["ingested"]
+        assert r["write_amp_e4"] >= 10000
+        assert r["n_days"] > 0
+    assert (rows["leveled"]["ingested"] == rows["tiered"]["ingested"])
+
+
+def test_preemption_replay_grid(spark):
+    from alma_publish_to_marc_spark.plans import (
+        posttrain_queries as pq,
+    )
+
+    rows = sorted(pq.preemption_loss_replay(spark, SF).collect(),
+                  key=lambda r: r["cadence_min"])
+    assert [r["cadence_min"] for r in rows] == [5, 15, 30, 60]
+    assert sum(r["is_grid_optimal"] for r in rows) == 1
+    n = rows[0]["n_preempt"]
+    for r in rows:
+        assert r["n_preempt"] == n
+        # lost work per preemption is bounded by the cadence
+        assert (0 <= r["lost_work_us"]
+                < n * r["cadence_min"] * 60_000_000)
+        assert (r["total_overhead_us"]
+                == r["lost_work_us"] + r["ckpt_cost_us"])
+    # checkpoint write cost decreases with longer cadence
+    costs = [r["ckpt_cost_us"] for r in rows]
+    assert all(a >= b for a, b in zip(costs, costs[1:]))

@@ -84,6 +84,11 @@ EXTRA = (
     "privacy_composition_budget",
     "dawid_skene_label_model",
     "distinct_ngram_diversity",
+    # round-11 batch 3: serving/storage/ops replays (single-row fold
+    # frames fed by map-side aggregates — the day-spine contract)
+    "continuous_batching_replay",
+    "lsm_compaction_replay",
+    "preemption_loss_replay",
 )
 
 
