@@ -496,6 +496,8 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling weight ``p_i^alpha / sum_j p_j^alpha`` (alpha = 0.5) plus
     the expected draw count per 10k sampled documents. This is the
     standard rebalancing rule for multi-source pretraining mixes.
+    (Static size-based rule; the LEARNED excess-loss trajectory is the
+    separate :func:`doremi_mixture_reweight`, round 11.)
 
     Scale: one aggregation to ~#sources rows, then a windowed normalize
     over that tiny frame — the window runs on a single partition of a
@@ -3303,8 +3305,10 @@ _DMW_PAYOFF_BUCKETS = 8  # payoff in 0..7 (rank-bucketed excess loss)
 
 
 def doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DoReMi-shaped training-mixture reweighting: per source domain,
-    the multiplicative-weights (Hedge, base 2) sampling-weight
+    """DoReMi-shaped training-mixture reweighting (the LEARNED
+    counterpart of the static size-temperature rule in
+    :func:`domain_mixture_weights`): per source domain, the
+    multiplicative-weights (Hedge, base 2) sampling-weight
     trajectory over ``_DMW_ROUNDS`` steps, where a domain's payoff is
     its excess-loss rank (loss proxy: chars-per-word — a longer-word
     domain is "harder" for a fixed tokenizer) bucketed to
