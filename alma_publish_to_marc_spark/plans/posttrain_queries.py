@@ -1429,3 +1429,212 @@ FROM out_rows o, best b
 
 QUERIES["preemption_loss_replay"] = (preemption_loss_replay,
                                      _pre_sql())
+
+
+# ---------------------------------------------------------------------------
+# compute_optimal_frontier (round 11): Chinchilla allocation vs supply
+# ---------------------------------------------------------------------------
+# Hoffmann et al. 2022: compute-optimally, params and tokens scale as
+# sqrt(C/6k) with D/N ~ k = 20 tokens/param. The UNCONSTRAINED N*/D*
+# per FLOP budget are pure constants (integer-sqrt'd in Python, shipped
+# as literals to both engines); the data enters through the MEASURED
+# effective token supply — unique corpus words times the r = 3/5
+# epoch-decay series from data_epoch_allocation — which clips D and
+# rebalances N at fixed compute (the data-constrained regime of
+# Muennighoff 2023).
+_COF_TPP = 20                       # tokens-per-parameter at optimum
+_COF_FLOPS_E15 = (10 ** 3, 10 ** 4, 10 ** 5, 10 ** 6, 10 ** 7)
+_COF_EPOCHS = 6                     # max epochs backing the supply
+# loss constants (Chinchilla eq. 10, alpha = beta = 0.5 variant)
+_COF_E0, _COF_A, _COF_B = "1.69", "406.4", "410.7"
+
+
+def _cof_rows() -> list[tuple[int, int, int, float]]:
+    import math as m
+
+    rows = []
+    for c in _COF_FLOPS_E15:
+        flops = c * 10 ** 15
+        n_opt = m.isqrt(flops // (6 * _COF_TPP))
+        rows.append((c, n_opt, _COF_TPP * n_opt, float(flops)))
+    return rows
+
+
+def compute_optimal_frontier(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per FLOP budget: the compute-optimal parameter/token split, the
+    corpus's measured effective token supply, whether the budget is
+    DATA-CONSTRAINED at that supply, the clipped token count and the
+    rebalanced parameter count at fixed compute, and the scaling-law
+    loss estimate — the one-page table a pre-training plan starts
+    from, with the "do we even have the tokens" column computed from
+    the actual corpus instead of assumed.
+
+    Determinism: unconstrained N*/D* are Python-isqrt integer
+    literals; supply is an exact integer rational (e4 floor); the
+    rebalance divides an EXACTLY-representable double FLOP literal by
+    6*d (< 2^53) — a fixed per-row IEEE tree, same floors both
+    engines; loss adds constant-literal A/sqrt, B/sqrt terms (sqrt is
+    correctly rounded IEEE — the privacy_composition_budget contract).
+
+    Scale: ONE documents scan reduced map-side to 1 row (total words),
+    broadcast against a 5-literal grid. Nothing about the shape
+    changes with corpus size.
+    """
+    supply = (load(spark, sf_dir, "documents")
+              .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+                   .cast("long").alias("u")))
+    # effective supply multiplier: sum_{i=0}^{E-1} (3/5)^i in e4
+    mult_e4 = sum(10 ** 4 * 3 ** i * 5 ** (_COF_EPOCHS - 1 - i)
+                  for i in range(_COF_EPOCHS)) // 5 ** (_COF_EPOCHS - 1)
+    grid = F.explode(F.array(*[
+        F.struct(F.lit(c).cast("long").alias("c_e15"),
+                 F.lit(n).cast("long").alias("n_opt"),
+                 F.lit(d).cast("long").alias("d_opt"),
+                 F.lit(cf).alias("c_flops"))
+        for c, n, d, cf in _cof_rows()])).alias("g")
+    return (supply.select(grid, "u")
+            .select("g.c_e15", "g.n_opt", "g.d_opt",
+                    F.expr(f"(u * {mult_e4}) div 10000")
+                     .alias("supply_tokens"),
+                    F.expr("CAST(g.d_opt > (u * %d) div 10000 AS LONG)"
+                           % mult_e4).alias("data_limited"),
+                    F.expr(f"least(g.d_opt, (u * {mult_e4})"
+                           f" div 10000)").alias("d_clip"),
+                    "g.c_flops")
+            .withColumn("n_adj",
+                        F.expr("CAST(floor(c_flops"
+                               " / (6.0D * CAST(d_clip AS DOUBLE)))"
+                               " AS BIGINT)"))
+            .withColumn("loss_e6",
+                        F.expr(f"CAST(floor(1000000.0D * ({_COF_E0}D"
+                               f" + {_COF_A}D / sqrt(CAST(n_adj AS"
+                               f" DOUBLE)) + {_COF_B}D /"
+                               f" sqrt(CAST(d_clip AS DOUBLE))))"
+                               f" AS BIGINT)"))
+            .select("c_e15", "n_opt", "d_opt", "supply_tokens",
+                    "data_limited", "d_clip", "n_adj", "loss_e6"))
+
+
+def _cof_sql() -> str:
+    mult_e4 = sum(10 ** 4 * 3 ** i * 5 ** (_COF_EPOCHS - 1 - i)
+                  for i in range(_COF_EPOCHS)) // 5 ** (_COF_EPOCHS - 1)
+    rows = ", ".join(f"({c}, {n}, {d}, {cf!r})"
+                     for c, n, d, cf in _cof_rows())
+    return f"""
+WITH supply AS (
+    SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                AS BIGINT) AS u
+    FROM documents
+),
+grid(c_e15, n_opt, d_opt, c_flops) AS (VALUES {rows})
+SELECT CAST(g.c_e15 AS BIGINT) AS c_e15,
+       CAST(g.n_opt AS BIGINT) AS n_opt,
+       CAST(g.d_opt AS BIGINT) AS d_opt,
+       (s.u * {mult_e4}) // 10000 AS supply_tokens,
+       CAST(CAST(g.d_opt AS BIGINT)
+            > (s.u * {mult_e4}) // 10000 AS BIGINT) AS data_limited,
+       least(CAST(g.d_opt AS BIGINT),
+             (s.u * {mult_e4}) // 10000) AS d_clip,
+       CAST(floor(g.c_flops
+                  / (6.0 * CAST(least(CAST(g.d_opt AS BIGINT),
+                        (s.u * {mult_e4}) // 10000) AS DOUBLE)))
+            AS BIGINT) AS n_adj,
+       CAST(floor(1000000.0 * ({_COF_E0}
+            + {_COF_A} / sqrt(CAST(CAST(floor(g.c_flops
+                  / (6.0 * CAST(least(CAST(g.d_opt AS BIGINT),
+                        (s.u * {mult_e4}) // 10000) AS DOUBLE)))
+                  AS BIGINT) AS DOUBLE))
+            + {_COF_B} / sqrt(CAST(least(CAST(g.d_opt AS BIGINT),
+                  (s.u * {mult_e4}) // 10000) AS DOUBLE))))
+            AS BIGINT) AS loss_e6
+FROM supply s, grid g
+"""
+
+
+QUERIES["compute_optimal_frontier"] = (compute_optimal_frontier,
+                                       _cof_sql())
+
+
+# ---------------------------------------------------------------------------
+# gradient_noise_scale_proxy (round 11): critical batch size table
+# ---------------------------------------------------------------------------
+# McCandlish et al. 2018: the critical batch size is the gradient
+# noise scale B_simple = tr(Sigma)/|G|^2. Proxied per event-type
+# "task" with the scalar cents reward as the per-example gradient:
+# B = Var(x)/Mean(x)^2 = (n*sumsq - sum^2)/sum^2 — an exact integer
+# rational emitted at e2 via the two-step long-division idiom. x is
+# the reward in integer DOLLARS (cents div 100): with cents the raw
+# moment n*sumsq already left int64 at sf1's magnitudes (measured —
+# ARITHMETIC_OVERFLOW), dollars buy 10^4 headroom on both moments.
+
+
+def gradient_noise_scale_proxy(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per event-type: the gradient-noise-scale proxy (critical batch
+    size, e2), its integer moments, and the recommended power-of-two
+    batch size (largest 2^k <= proxy, 0 when the proxy is < 1) — the
+    "how large a batch is worth running" table a training-efficiency
+    review reads next to the parallelism and queue-wait budgets.
+
+    Determinism: moments are exact integer DOLLAR sums (cents div
+    100 — floor in both engines); the e2 quotient uses floor division
+    twice (q * 100 + (rem * 100) div den), exact while s^2 * 100 and
+    n * ss stay in int64 — per-group |sum dollars| < 3e8 and
+    n * mean-square-dollars < 9e16, i.e. ~10^4 past sf1's measured
+    magnitudes; lift the unit again beyond that. The power-of-two
+    floor is an integer comparison chain (no log).
+
+    Scale: ONE events scan, map-side combinable to |event_types|
+    rows. Nothing else moves.
+    """
+    m = (load(spark, sf_dir, "events")
+         .select("event_type", F.expr(f"({_CENTS}) div 100").alias("x"))
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("x").cast("long").alias("s"),
+              F.sum(F.expr("x * x")).cast("long").alias("ss")))
+    num = "(n * ss - s * s)"
+    den = "greatest(s * s, 1)"
+    gns = (f"({num} div {den}) * 100"
+           f" + (({num} % {den}) * 100) div {den}")
+    pow2 = " ".join(
+        f"WHEN gns_e2 >= {100 * 2 ** k} THEN CAST({2 ** k} AS BIGINT)"
+        for k in range(20, -1, -1))
+    return (m.withColumn("gns_e2", F.expr(gns))
+            .select("event_type", "n", F.col("s").alias("sum_cents"),
+                    F.col("ss").alias("sumsq_cents"), "gns_e2",
+                    F.expr(f"CASE {pow2} ELSE CAST(0 AS BIGINT) END")
+                     .alias("batch_pow2")))
+
+
+def _gns_sql() -> str:
+    num = "(n * ss - s * s)"
+    den = "greatest(s * s, 1)"
+    gns = (f"({num} // {den}) * 100"
+           f" + (({num} % {den}) * 100) // {den}")
+    pow2 = " ".join(
+        f"WHEN gns_e2 >= {100 * 2 ** k} THEN CAST({2 ** k} AS BIGINT)"
+        for k in range(20, -1, -1))
+    return f"""
+WITH m AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS s,
+           CAST(sum(x * x) AS BIGINT) AS ss
+    FROM (SELECT event_type, ({_CENTS_DUCK}) // 100 AS x
+          FROM events)
+    GROUP BY event_type
+),
+g AS (
+    SELECT event_type, n, s AS sum_cents, ss AS sumsq_cents,
+           {gns} AS gns_e2
+    FROM m
+)
+SELECT event_type, n, sum_cents, sumsq_cents, gns_e2,
+       CASE {pow2} ELSE CAST(0 AS BIGINT) END AS batch_pow2
+FROM g
+"""
+
+
+QUERIES["gradient_noise_scale_proxy"] = (gradient_noise_scale_proxy,
+                                         _gns_sql())

@@ -86,9 +86,11 @@ _SAMPLE_FIRST = (
     "continuous_batching_replay",
     "lsm_compaction_replay",
     "preemption_loss_replay",
+    "compute_optimal_frontier",
+    "gradient_noise_scale_proxy",
     # --- rotation: next never-driver-sampled keys (TPC-H analog
     # --- family, then the time-series family, then behavioral),
-    # --- trimmed to 38 so pins total exactly the driver's 50 ---
+    # --- trimmed to 35 so pins total exactly the driver's 50 ---
     "forecast_revenue_change",
     "volume_shipping",
     "promo_revenue_effect",
@@ -125,8 +127,6 @@ _SAMPLE_FIRST = (
     "jackknife_block_variance",
     "croston_forecast",
     "mann_kendall_trend",
-    "spearman_daily_correlation",
-    "walk_forward_splits",
 )
 
 

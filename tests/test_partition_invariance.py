@@ -48,6 +48,8 @@ KEYS = (
     # round 11: the only new double surface — per-row IEEE tree off an
     # exact integer k (partition-invariant by construction; pinned)
     "privacy_composition_budget",
+    "compute_optimal_frontier",     # constant-literal sqrt tree off
+                                    # exact integer supply (round 11)
 )
 
 

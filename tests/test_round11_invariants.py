@@ -290,3 +290,54 @@ def test_preemption_replay_grid(spark):
     # checkpoint write cost decreases with longer cadence
     costs = [r["ckpt_cost_us"] for r in rows]
     assert all(a >= b for a, b in zip(costs, costs[1:]))
+
+
+def test_compute_optimal_frontier_regimes(spark):
+    from alma_publish_to_marc_spark.plans import (
+        posttrain_queries as pq,
+    )
+
+    rows = sorted(pq.compute_optimal_frontier(spark, SF).collect(),
+                  key=lambda r: r["c_e15"])
+    assert [r["c_e15"] for r in rows] == sorted(pq._COF_FLOPS_E15)
+    supply = rows[0]["supply_tokens"]
+    for r in rows:
+        assert r["supply_tokens"] == supply
+        assert r["d_opt"] == pq._COF_TPP * r["n_opt"]
+        assert r["d_clip"] == min(r["d_opt"], supply)
+        assert r["data_limited"] == (1 if r["d_opt"] > supply else 0)
+        # rebalance conserves compute to within one quotient step: the
+        # IEEE division is correctly ROUNDED, so floor(C/(6d)) can sit
+        # one above the exact integer floor when the true quotient is
+        # epsilon below an integer — deterministic in both engines,
+        # but the conservation check must allow that one step
+        assert (6 * (r["n_adj"] - 1) * r["d_clip"]
+                < r["c_e15"] * 10 ** 15)
+        assert (6 * r["n_adj"] * r["d_clip"]
+                <= r["c_e15"] * 10 ** 15 + 6 * r["d_clip"])
+        assert r["loss_e6"] > 1_690_000  # above the irreducible term
+    # unconstrained loss falls with compute; once data-limited it
+    # degrades vs the unconstrained trend but stays monotone non-
+    # increasing in C (more compute never hurts at fixed supply)
+    losses = [r["loss_e6"] for r in rows]
+    assert all(a >= b for a, b in zip(losses, losses[1:]))
+    # the largest budget must be data-limited on every test corpus
+    assert rows[-1]["data_limited"] == 1
+
+
+def test_gradient_noise_scale_moments(spark):
+    from alma_publish_to_marc_spark.plans import (
+        posttrain_queries as pq,
+    )
+
+    rows = pq.gradient_noise_scale_proxy(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # Cauchy-Schwarz: n * sumsq >= sum^2 => proxy nonnegative
+        assert (r["n"] * r["sumsq_cents"]
+                >= r["sum_cents"] * r["sum_cents"])
+        assert r["gns_e2"] >= 0
+        b = r["batch_pow2"]
+        assert b == 0 or (b & (b - 1)) == 0  # a power of two
+        if b:
+            assert 100 * b <= r["gns_e2"] < 100 * 2 * b or b == 2 ** 20

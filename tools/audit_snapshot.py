@@ -89,6 +89,8 @@ EXTRA = (
     "continuous_batching_replay",
     "lsm_compaction_replay",
     "preemption_loss_replay",
+    "compute_optimal_frontier",
+    "gradient_noise_scale_proxy",
 )
 
 
