@@ -90,7 +90,7 @@ _SAMPLE_FIRST = (
     "gradient_noise_scale_proxy",
     # --- rotation: next never-driver-sampled keys (TPC-H analog
     # --- family, then the time-series family, then behavioral),
-    # --- trimmed to 35 so pins total exactly the driver's 50 ---
+    # --- trimmed to 36 so pins total exactly the driver's 50 ---
     "forecast_revenue_change",
     "volume_shipping",
     "promo_revenue_effect",
