@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import fan_out, load
 from . import similarity as S
 from .similarity_queries import (
     _BRUTE_SQL,
@@ -425,7 +425,10 @@ def _gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition before the only shuffle. At 100 TB this is the
     textbook tree-reduction matmul — no driver state, no collect.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    # fan_out: the DIM(DIM+1)/2-cell expansion below is the whole cost
+    # of this query and fuses into the scan — a single-row-group input
+    # serializes it on one core (r11 profile: 4.4 s in 1 task).
+    emb = fan_out(load(spark, sf_dir, "embeddings"), "vec_id")
     e = emb.select(
         F.expr(f"transform(embedding, "
                f"x -> CAST(floor(CAST(x AS DOUBLE) * {GRAM_SCALE}) "

@@ -40,7 +40,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import fan_out, load
 
 NGRAM = 8  # words per span; 8 keeps the sf0.01 corpus (10-99 words/doc) honest
 
@@ -681,7 +681,11 @@ def corpus_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as T
     from ..functions import text_queries as TQ
 
-    docs = load(spark, sf_dir, "documents")
+    # fan_out: the scalar-scoring branch and the 8-gram explode branch
+    # are both scan-fused per-row-heavy work; a single-row-group input
+    # serializes each on one core (r11 profile: three single-task
+    # stages of 1-2 s each). The exchange is reused across branches.
+    docs = fan_out(load(spark, sf_dir, "documents"), "doc_id")
     scalars = docs.select(
         "doc_id",
         T.lang_id(F.col("text")).alias("lang_pred"),

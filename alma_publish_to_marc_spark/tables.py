@@ -62,6 +62,43 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Raise an under-parallelized input to the session's default
+    parallelism before per-row-heavy compute (interpreted HOF folds,
+    Arrow/mapInPandas stages, explode+hash pipelines).
+
+    The driver testdata arrives as ONE parquet file with ONE row group
+    per table, so every scan stage is a single task and scan-fused
+    per-row work serializes on one core of local[32] — the guide §2.5
+    "input skew: one unsplittable file → repartition immediately after
+    the read" case (profiled r11: the gram-matrix cell expansion ran
+    4.4 s in one task; the same work spread over 32 tasks runs ~0.3 s).
+
+    Scale discipline: this is a NO-OP whenever the upstream already
+    carries >= defaultParallelism partitions — at 100 TB a scan arrives
+    as thousands of row-group splits, so no payload ever reshuffles on
+    a real cluster; only few-file/few-row-group inputs fan out. Keyed
+    repartition (pass the frame's id column) keeps the exchange
+    deterministic hash partitioning; results are partition-count
+    invariant by the repo's determinism rules (CLAUDE.md) and gated by
+    tests/test_partition_invariance.py.
+
+    ``SPARK_GRAFT_FANOUT=off`` disables the rewrite so plan-contract
+    tests can pin the at-scale (no-extra-exchange) plan shape.
+    """
+    if os.environ.get("SPARK_GRAFT_FANOUT", "auto") == "off":
+        return df
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df  # streaming frames have no .rdd; batch sizing applies
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
