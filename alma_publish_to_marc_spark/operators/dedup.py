@@ -202,7 +202,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # without it the text is re-shingled and re-hashed per branch, 2×
     # the dominant cost)
     sigs, bands = _sigs_and_bands(df, id_col, text_col, n, max_tokens)
+    return lsh_pairs_from(sigs, bands, id_col, threshold)
 
+
+def lsh_pairs_from(sigs: DataFrame, bands: DataFrame, id_col: str,
+                   threshold: float) -> DataFrame:
+    """Banded-LSH pair generation + exact-Jaccard verification over
+    PRE-COMPUTED (sigs, bands) from :func:`_sigs_and_bands` — callers
+    that already hold the signature frames (streaming curate_batch
+    computes them for the corpus-index probe) reuse them here instead
+    of paying the shingling + signature folds a second time."""
     a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
     b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
     cand = (a.join(b, ["band_id", "band_key"])

@@ -2013,7 +2013,9 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    docs = load(spark, sf_dir, "documents").select(
+    # fan_out: the split+bigram explode+md5 incidence build fuses into
+    # the single-row-group scan (guide §2.5 input skew; no-op at scale).
+    docs = fan_out(load(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+")
         .alias("w"))
     idx = F.when(F.size("w") >= 2,
@@ -2034,8 +2036,12 @@ def greedy_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(1, COV_K + 1):
         cand = dt
         if picks:
+            # no .distinct() on the anti-join build side: left_anti is
+            # existence-only, so deduping `covered` first just paid an
+            # extra shuffle+aggregate per round (guide §2.4 — the r11
+            # profile showed one redundant exchange per greedy round)
             covered = (dt.where(F.col("doc_id").isin(picks))
-                       .select("k").distinct())
+                       .select("k"))
             cand = (dt.where(~F.col("doc_id").isin(picks))
                     .join(covered, "k", "left_anti"))
         top = (cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))

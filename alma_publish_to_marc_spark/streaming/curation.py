@@ -110,6 +110,17 @@ def _dup_vs_index(batch_sigs: DataFrame, batch_bands: DataFrame,
 
 _EMPTY_GRAMS = "gram_key binary, cnt long"
 
+# Frames persisted during one curate_batch pass, released in its
+# finally block (same contract as operators/dedup._PERSISTED).
+_BATCH_PERSISTED: list[DataFrame] = []
+
+
+def _release_batch_caches() -> int:
+    n = len(_BATCH_PERSISTED)
+    while _BATCH_PERSISTED:
+        _BATCH_PERSISTED.pop().unpersist()
+    return n
+
 
 def _span_clean_vs_index(batch_kept: DataFrame,
                          gram_index: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -122,11 +133,18 @@ def _span_clean_vs_index(batch_kept: DataFrame,
     gram keys and never reshuffles (same probe shape as the band
     index); the rewrite is the scan-fused array filter of
     ``plans/corpus_queries.duplicate_span_removal``."""
+    from pyspark import StorageLevel
+
     from ..plans.corpus_queries import NGRAM, span_keys
 
     docs = batch_kept.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
-    spans = span_keys(docs)
+    # persisted: the delta aggregate and the dup-start collection both
+    # consume the exploded span keys — unpersisted, each branch re-paid
+    # the split + 8-gram explode + md5 over the batch (released via
+    # curate_batch's finally -> _release_batch_caches)
+    spans = span_keys(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    _BATCH_PERSISTED.append(spans)
     deltas = spans.groupBy("gram_key").agg(F.count(F.lit(1)).alias("cnt"))
     idx_hits = (gram_index
                 .join(F.broadcast(deltas.select("gram_key")), "gram_key")
@@ -197,8 +215,12 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
     try:
         corpus_dups = _dup_vs_index(sigs, bands, index_bands, index_sigs,
                                     threshold)
-        batch_pairs = D.minhash_lsh_pairs(usable, "doc_id", "text",
-                                          n=5, threshold=threshold)
+        # reuse the sigs/bands computed above for the corpus-index
+        # probe — minhash_lsh_pairs(usable, ...) would re-shingle and
+        # re-fold the whole batch a second time (r11 profile: the
+        # signature build is the batch's dominant scan-fused cost)
+        batch_pairs = D.lsh_pairs_from(sigs, bands, "doc_id",
+                                       threshold=threshold)
         batch_dups = (batch_pairs
                       .join(corpus_dups.withColumnRenamed("new_id", "id_a"),
                             "id_a", "left_anti")
@@ -249,6 +271,7 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
     finally:
         if verdict is not None:
             verdict.unpersist()
+        _release_batch_caches()
         D.unpersist_cached()
 
 
