@@ -12,12 +12,13 @@ bit-exact across engines and cluster layouts:
   integers and IEEE double division is correctly rounded, so the floor
   is identical everywhere.
 
-Shapes at 100 TB: assignment is a broadcast join (centroid set is tiny
-by construction) followed by a WindowGroupLimit argmin — one shuffle by
-vec_id; the update is posexplode → groupBy (cell, dim), map-side
-combinable, 64·k cells after reduce. Each unrolled iteration is the
-same two-exchange pattern; a driver loop (like
-``graph_queries.connected_components``) would stage rounds to parquet.
+Shapes at 100 TB: centroids are driver-held tiny round state (k·DIM
+ints — the Weiszfeld/IPF idiom), so assignment is pure scan-fused
+per-row argmin over a LITERAL centroid array (zero shuffles — the
+former broadcast-join + per-vec_id window reshuffled the whole corpus
+every round); the update is ONE map-side-combinable groupBy(cell) with
+DIM component sums collected back to the driver (k rows). Each Lloyd
+round costs one corpus scan and one k-row exchange, nothing else.
 
 The DuckDB oracle unrolls the same two Lloyd iterations as CTEs — like
 the recursive-CTE components oracle, proof the iteration is genuinely
@@ -52,27 +53,64 @@ def _sq_dist(a, b):
                        F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _lit_cents(cents: list[tuple[int, list[int]]]):
+    """Literal array<struct<cent_id, cv>> column from driver-held
+    centroids (k x DIM small ints — the sanctioned tiny round state)."""
+    return F.array(*[
+        F.struct(
+            F.lit(int(cid)).cast("long").alias("cent_id"),
+            F.array(*[F.lit(int(x)).cast("long") for x in cv]).alias("cv"))
+        for cid, cv in cents])
+
+
+def _assign(vecs: DataFrame, cents: list[tuple[int, list[int]]],
+            with_dist: bool = False) -> DataFrame:
     """Nearest centroid per vector; ties break to the lowest cent_id.
-    Centroids broadcast; rank is WindowGroupLimit (map-side argmin)."""
-    scored = (vecs.join(F.broadcast(cents))
-              .withColumn("d", _sq_dist(F.col("v"), F.col("cv"))))
-    w = Window.partitionBy("vec_id").orderBy("d", "cent_id")
-    return (scored.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-            .select("vec_id", "v", F.col("cent_id").alias("cell")))
+
+    Centroids ride as a LITERAL array (driver-collected each round —
+    the Weiszfeld/IPF tiny-round-state idiom), so assignment is pure
+    scan-fused per-row compute: argmin = array_min over
+    struct(d, cent_id) (lexicographic struct order == the former
+    row_number ORDER BY d, cent_id — bit-identical tie-break). The
+    r9-r11 shape (broadcast join + per-vec_id window) reshuffled the
+    ENTIRE corpus by vec_id every Lloyd round at any scale — guide
+    §2.4: that exchange is not fundamental to the operation, so it is
+    gone, along with one AQE stage per round of driver latency."""
+    scored = F.transform(
+        _lit_cents(cents),
+        lambda c: F.struct(_sq_dist(F.col("v"), c["cv"]).alias("d"),
+                           c["cent_id"].alias("cent_id")))
+    best = F.array_min(scored)
+    cols = [F.col("vec_id"), F.col("v"),
+            best["cent_id"].alias("cell")]
+    if with_dist:
+        cols.append(best["d"].alias("d"))
+    return vecs.select(*cols)
 
 
-def _update(assigned: DataFrame) -> DataFrame:
-    """New centroid = element-wise floor-mean in quantized space."""
-    comp = assigned.select("cell", F.posexplode("v").alias("pos", "val"))
-    agg = (comp.groupBy("cell", "pos")
-           .agg(F.floor(F.sum("val") / F.count(F.lit(1))).cast("long")
-                .alias("cval")))
-    return (agg.groupBy(F.col("cell").alias("cent_id"))
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                lambda s: s["cval"]).alias("cv")))
+def _update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
+    """New centroids = element-wise floor-mean in quantized space,
+    collected to the driver (k x DIM ints). ONE map-side-combinable
+    exchange: groupBy(cell) with count + DIM component sums (all exact
+    int64), floor(sum/count) evaluated in SQL so the IEEE
+    double-division + floor is the identical expression the oracle
+    runs (never re-derived in Python)."""
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(DIM)]
+    cv = F.array(*[F.floor(F.col(f"s{i}") / F.col("n")).cast("long")
+                   for i in range(DIM)])
+    rows = (assigned.groupBy("cell").agg(*aggs)
+            .select(F.col("cell").alias("cent_id"), cv.alias("cv"))
+            .collect())
+    return sorted((r["cent_id"], list(r["cv"])) for r in rows)
+
+
+def _cents_df(spark, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Driver-held centroids as a (cent_id, cv) frame for consumers
+    that join or post-process them (ivf_topk, checksum reports)."""
+    return spark.createDataFrame(
+        [(int(cid), [int(x) for x in cv]) for cid, cv in cents],
+        "cent_id long, cv array<long>")
 
 
 # Persisted quantized-vector frames, releasable via unpersist_cached()
@@ -90,16 +128,20 @@ def unpersist_cached() -> int:
 
 
 def _refined_int_cents(emb: DataFrame, seed_ids: list[int],
-                       n_iters: int) -> tuple[DataFrame, DataFrame]:
-    """(vecs, cents) after n_iters Lloyd rounds, both in quantized
-    integer space; vecs is persisted (quantization is HOF compute over
-    every component and feeds n_iters+1 assignment passes)."""
+                       n_iters: int) -> tuple[DataFrame,
+                                              list[tuple[int, list[int]]]]:
+    """(vecs, cents) after n_iters Lloyd rounds: vecs persisted in
+    quantized integer space, cents as the driver-held (cent_id, cv)
+    list (k x DIM ints — tiny round state). The seed collect doubles
+    as the persist materialization, so later passes read the cache."""
     from pyspark import StorageLevel
 
     vecs = _quantized(emb).persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(vecs)
-    cents = (vecs.where(F.col("vec_id").isin(seed_ids))
-             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
+    seed_rows = (vecs.where(F.col("vec_id").isin(seed_ids))
+                 .select(F.col("vec_id").alias("cent_id"),
+                         F.col("v").alias("cv")).collect())
+    cents = sorted((r["cent_id"], list(r["cv"])) for r in seed_rows)
     for _ in range(n_iters):
         cents = _update(_assign(vecs, cents))
     return vecs, cents
@@ -113,7 +155,7 @@ def refined_centroids(emb: DataFrame, seed_ids: list[int] | None = None,
     correctly-rounded IEEE division, so both engines produce identical
     doubles)."""
     _, cents = _refined_int_cents(emb, seed_ids or SEED_IDS, n_iters)
-    return cents.select(
+    return _cents_df(emb.sparkSession, cents).select(
         "cent_id",
         F.transform("cv", lambda x: x.cast("double") / Q_SCALE).alias("cv"))
 
@@ -125,7 +167,7 @@ def kmeans_refine(emb: DataFrame, seed_ids: list[int],
     vecs, cents = _refined_int_cents(emb, seed_ids, n_iters)
     final = _assign(vecs, cents)
     sizes = final.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
-    checksum = cents.select(
+    checksum = _cents_df(emb.sparkSession, cents).select(
         F.col("cent_id").alias("cell"),
         F.aggregate(
             F.zip_with(F.col("cv"),
@@ -455,21 +497,16 @@ def _kmeans_coreset_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     arg-max to the lowest vec_id (struct-min on (−d, vec_id)); the
     share is an integer e6 div.
 
-    Scale: one broadcast-centroid assignment pass (the ``_assign``
-    shape — map-side WindowGroupLimit argmin, no corpus shuffle beyond
-    the per-vector window), one cell-keyed aggregate (≤ |cells| rows),
-    one 1-row global mass broadcast.
+    Scale: one scan-fused literal-centroid assignment pass (the
+    ``_assign`` shape — zero shuffles), one cell-keyed aggregate
+    (≤ |cells| rows), one 1-row global mass broadcast.
     """
     from ..tables import load
 
     emb = load(spark, sf_dir, "embeddings")
     vecs, cents = _refined_int_cents(emb, SEED_IDS, N_ITERS)
-    scored = (vecs.join(F.broadcast(cents))
-              .withColumn("d", _sq_dist(F.col("v"), F.col("cv"))))
-    w = Window.partitionBy("vec_id").orderBy("d", "cent_id")
-    assigned = (scored.withColumn("r", F.row_number().over(w))
-                .where(F.col("r") == 1)
-                .select("vec_id", F.col("cent_id").alias("cell"), "d"))
+    assigned = (_assign(vecs, cents, with_dist=True)
+                .select("vec_id", "cell", "d"))
     tot = F.broadcast(assigned.agg(F.sum("d").alias("tot_sens")))
     top = F.min(F.struct((-F.col("d")).alias("negd"),
                          F.col("vec_id").alias("v")))

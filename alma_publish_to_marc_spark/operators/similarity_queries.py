@@ -910,9 +910,10 @@ def _ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs_all, cents_full = CL._refined_int_cents(emb, CL.SEED_IDS,
                                                  CL.N_ITERS)
     vecs_base = vecs_all.where(F.col("vec_id") % INC_MOD != INC_REM)
-    cents_inc = (vecs_base.where(F.col("vec_id").isin(CL.SEED_IDS))
+    seed_rows = (vecs_base.where(F.col("vec_id").isin(CL.SEED_IDS))
                  .select(F.col("vec_id").alias("cent_id"),
-                         F.col("v").alias("cv")))
+                         F.col("v").alias("cv")).collect())
+    cents_inc = sorted((r["cent_id"], list(r["cv"])) for r in seed_rows)
     for _ in range(CL.N_ITERS):
         cents_inc = CL._update(CL._assign(vecs_base, cents_inc))
     is_new = F.col("vec_id") % INC_MOD == INC_REM
