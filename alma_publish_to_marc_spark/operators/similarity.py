@@ -481,26 +481,39 @@ def knn_graph(emb: DataFrame, id_col: str, vec_col: str,
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct())
-    cand = half.unionAll(half.select(F.col("id_b").alias("id_a"),
-                                     F.col("id_a").alias("id_b")))
     # norms precompute ONCE per vector and ride the candidate join:
     # cosine recomputing norm(a)·norm(b) per pair would redo 2·dim ops
     # on every one of the ~N·k·bands candidates (the dominant term).
     # round(dot/(na·nb), 6) is bit-identical to cosine() — same doubles.
     en = e.select(id_col, "v", norm(F.col("v")).alias("nm"))         .persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(en)
-    scored = (cand
-              .join(en.select(F.col(id_col).alias("id_a"),
-                              F.col("v").alias("va"),
-                              F.col("nm").alias("na")), "id_a")
-              .join(en.select(F.col(id_col).alias("id_b"),
-                              F.col("v").alias("vb"),
-                              F.col("nm").alias("nb")), "id_b")
-              .select(F.col("id_a").alias("src"),
-                      F.col("id_b").alias("dst"),
-                      F.round(dot(F.col("va"), F.col("vb"))
-                              / (F.col("na") * F.col("nb")), 6)
-                       .alias("cosine")))
+    # Score each UNORDERED pair once, then explode-mirror the scored
+    # edge (r11, guide §2.3/§3.3): the former mirror-then-score unioned
+    # the half-pair subtree and re-ran the vector joins AND the
+    # interpreted dot fold for the reverse direction — 2x the candidate
+    # join bytes and 2x the O(dim) folds for bit-identical values
+    # (IEEE multiply commutes; the fold order over dims is the same in
+    # either direction).
+    scored_half = (half
+                   .join(en.select(F.col(id_col).alias("id_a"),
+                                   F.col("v").alias("va"),
+                                   F.col("nm").alias("na")), "id_a")
+                   .join(en.select(F.col(id_col).alias("id_b"),
+                                   F.col("v").alias("vb"),
+                                   F.col("nm").alias("nb")), "id_b")
+                   .select("id_a", "id_b",
+                           F.round(dot(F.col("va"), F.col("vb"))
+                                   / (F.col("na") * F.col("nb")), 6)
+                            .alias("cosine")))
+    scored = (scored_half
+              .select(F.explode(F.array(
+                  F.struct(F.col("id_a").alias("src"),
+                           F.col("id_b").alias("dst")),
+                  F.struct(F.col("id_b").alias("src"),
+                           F.col("id_a").alias("dst")))).alias("e"),
+                  "cosine")
+              .select(F.col("e.src").alias("src"),
+                      F.col("e.dst").alias("dst"), "cosine"))
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
