@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import fan_out, load
 
 Q_SCALE = 1000
 DIM = 64
@@ -53,14 +53,17 @@ def _sq_dist(a, b):
                        F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
-def _lit_cents(cents: list[tuple[int, list[int]]]):
-    """Literal array<struct<cent_id, cv>> column from driver-held
-    centroids (k x DIM small ints — the sanctioned tiny round state)."""
-    return F.array(*[
-        F.struct(
-            F.lit(int(cid)).cast("long").alias("cent_id"),
-            F.array(*[F.lit(int(x)).cast("long") for x in cv]).alias("cv"))
-        for cid, cv in cents])
+def _lit_cents(cents: list[tuple[int, list[int]]]) -> str:
+    """Literal array<struct<cent_id, cv>> as ONE Spark-SQL expression
+    string from driver-held centroids (k x DIM small ints — the
+    sanctioned tiny round state). A string, not nested F.lit calls:
+    building k·DIM literals through the Python column API is ~3,000
+    py4j round trips (~4.4 s of pure driver time per _assign, measured
+    r11); one F.expr parse of the same tree is milliseconds."""
+    return "array(" + ", ".join(
+        f"named_struct('cent_id', {int(cid)}L, 'cv', array("
+        + ", ".join(f"{int(x)}L" for x in cv) + "))"
+        for cid, cv in cents) + ")"
 
 
 def _assign(vecs: DataFrame, cents: list[tuple[int, list[int]]],
@@ -75,12 +78,13 @@ def _assign(vecs: DataFrame, cents: list[tuple[int, list[int]]],
     r9-r11 shape (broadcast join + per-vec_id window) reshuffled the
     ENTIRE corpus by vec_id every Lloyd round at any scale — guide
     §2.4: that exchange is not fundamental to the operation, so it is
-    gone, along with one AQE stage per round of driver latency."""
-    scored = F.transform(
-        _lit_cents(cents),
-        lambda c: F.struct(_sq_dist(F.col("v"), c["cv"]).alias("d"),
-                           c["cent_id"].alias("cent_id")))
-    best = F.array_min(scored)
+    gone, along with one AQE stage per round of driver latency. The
+    whole expression is one F.expr parse (see _lit_cents)."""
+    best = F.expr(
+        "array_min(transform(" + _lit_cents(cents) + ", c -> "
+        "named_struct('d', aggregate(zip_with(v, c.cv, "
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x), 'cent_id', c.cent_id)))")
     cols = [F.col("vec_id"), F.col("v"),
             best["cent_id"].alias("cell")]
     if with_dist:
@@ -95,10 +99,13 @@ def _update(assigned: DataFrame) -> list[tuple[int, list[int]]]:
     int64), floor(sum/count) evaluated in SQL so the IEEE
     double-division + floor is the identical expression the oracle
     runs (never re-derived in Python)."""
-    aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(DIM)]
-    cv = F.array(*[F.floor(F.col(f"s{i}") / F.col("n")).cast("long")
-                   for i in range(DIM)])
+    # expr strings, not per-component Column calls: ~6 py4j round
+    # trips per dimension x DIM=64 adds ~1 s of driver time per round
+    # through the Python column API (same pathology as _lit_cents).
+    aggs = [F.expr("count(1) AS n")] + [
+        F.expr(f"sum(element_at(v, {i + 1})) AS s{i}") for i in range(DIM)]
+    cv = F.expr("array(" + ", ".join(
+        f"CAST(floor(s{i} / n) AS BIGINT)" for i in range(DIM)) + ")")
     rows = (assigned.groupBy("cell").agg(*aggs)
             .select(F.col("cell").alias("cent_id"), cv.alias("cv"))
             .collect())
@@ -136,7 +143,14 @@ def _refined_int_cents(emb: DataFrame, seed_ids: list[int],
     as the persist materialization, so later passes read the cache."""
     from pyspark import StorageLevel
 
-    vecs = _quantized(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    # fan_out BEFORE the persist: the driver testdata scan is one task
+    # (single row group), so without it every downstream _assign — an
+    # interpreted k x DIM HOF fold per row — serializes on one core of
+    # local[32] for every Lloyd round and final assignment (measured
+    # r11: ann_index_incremental 27.6 s one-task vs 3.3 s baseline).
+    # Guide §2.5 input-skew rule; no-op on >=defaultParallelism inputs.
+    vecs = fan_out(_quantized(emb), "vec_id").persist(
+        StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(vecs)
     seed_rows = (vecs.where(F.col("vec_id").isin(seed_ids))
                  .select(F.col("vec_id").alias("cent_id"),
