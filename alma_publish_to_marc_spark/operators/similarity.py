@@ -63,15 +63,28 @@ def cosine(a: Column, b: Column) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
-    """b-bit signature: bit j = [vec · H_j >= 0]."""
-    bucket = F.lit(0).cast("long")
+def _lsh_bucket_sql(vec_sql: str,
+                    planes: list[list[float]] | None = None) -> str:
+    """b-bit signature as ONE Spark-SQL expression string. Building the
+    same tree through the Python column API is ~600 py4j round trips
+    per band (8 planes x 64 F.lit literals + fold lambdas) — several
+    seconds of pure driver time per multi-band caller (measured r11:
+    6.8 s to CONSTRUCT knn_graph's 4-band sigs frame vs 2.9 s to run
+    it). `repr(double)D` literals parse to bit-identical doubles."""
+    terms = ["CAST(0 AS BIGINT)"]
     for j, plane in enumerate(planes if planes is not None else HYPERPLANES):
-        h = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(dot(vec, h) >= 0, F.lit(2 ** j).cast("long")) \
-               .otherwise(F.lit(0).cast("long"))
-        bucket = bucket + bit
-    return bucket
+        h = "array(" + ", ".join(f"{float(v)!r}D" for v in plane) + ")"
+        d = (f"aggregate(zip_with({vec_sql}, {h}, (x, y) -> x * y), "
+             f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+        terms.append(f"CASE WHEN {d} >= 0 THEN {2 ** j}L ELSE 0L END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_bucket(vec: str, planes: list[list[float]] | None = None) -> Column:
+    """b-bit signature: bit j = [vec · H_j >= 0]. ``vec`` is the column
+    name (or SQL fragment) of the array<double> vector — a string, so
+    the whole signature is one F.expr parse (see _lsh_bucket_sql)."""
+    return F.expr(_lsh_bucket_sql(vec, planes))
 
 
 def brute_force_topk(emb: DataFrame, id_col: str, vec_col: str,
@@ -143,7 +156,7 @@ def lsh_topk(emb: DataFrame, id_col: str, vec_col: str,
     a broadcast of |queries| × |ball| probe rows — the corpus never
     reshuffles."""
     e = (emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-         .withColumn("bucket", lsh_bucket(F.col("v"))))
+         .withColumn("bucket", lsh_bucket("v")))
     q = (e.where(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("qid"), F.col("v").alias("qv"),
                  F.explode(F.array(*[
@@ -416,10 +429,10 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     sigs = e.select(
         id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(band).alias("band"),
-                     lsh_bucket(F.col("v"), planes).alias("sig"))
-            for band, planes in enumerate(BAND_PLANES)])).alias("bs"),
+        F.expr("explode(array(" + ", ".join(
+            f"named_struct('band', {band}, 'sig', "
+            + _lsh_bucket_sql("v", planes) + ")"
+            for band, planes in enumerate(BAND_PLANES)) + "))").alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"),
              F.col("bs.sig").alias("sig"))
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
@@ -468,10 +481,10 @@ def knn_graph(emb: DataFrame, id_col: str, vec_col: str,
     # both (tracked in _PERSISTED for unpersist_cached())
     sigs = e.select(
         id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(band).alias("band"),
-                     lsh_bucket(F.col("v"), planes).alias("sig"))
-            for band, planes in enumerate(BAND_PLANES)])).alias("bs"),
+        F.expr("explode(array(" + ", ".join(
+            f"named_struct('band', {band}, 'sig', "
+            + _lsh_bucket_sql("v", planes) + ")"
+            for band, planes in enumerate(BAND_PLANES)) + "))").alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"),
              F.col("bs.sig").alias("sig"))         .persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(sigs)
