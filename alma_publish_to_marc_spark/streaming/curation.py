@@ -197,7 +197,13 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
     """
     from pyspark import StorageLevel
 
-    batch = batch.dropDuplicates(["doc_id"])
+    # persisted: the batch lineage (landing read + dedup SHUFFLE) feeds
+    # the audit materialization, the survivor check, and the shard
+    # write — unpersisted, each action re-paid the read + exchange
+    # (r11 profile; released via the finally -> _release_batch_caches)
+    batch = batch.dropDuplicates(["doc_id"]).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    _BATCH_PERSISTED.append(batch)
     scalars = batch.select(
         "doc_id", "text",
         T.lang_id(F.col("text")).alias("lang_pred"),
@@ -254,7 +260,10 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
 
         from ..plans.corpus_queries import write_training_shards
         survivors = batch.join(kept_ids, "doc_id")
-        if survivors.take(1):
+        # emptiness probe reads the PERSISTED verdict (1 cached scan),
+        # not the survivors join lineage (r11: the take re-paid the
+        # batch read + dedup exchange + join just to test non-empty)
+        if verdict.where("kept").take(1):
             gram_index = _read_state(
                 spark, os.path.join(state_dir, "gram_counts"), _EMPTY_GRAMS,
                 before_batch=batch_id)
