@@ -708,13 +708,20 @@ def corpus_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.explode(_shingles_from_words(F.col("w"))).alias("gram"))
           .select("doc_id", "is_bench",
                   F.unhex(F.md5("gram")).alias("gram_key")))
-    counts = sh.groupBy("gram_key").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.when(F.col("is_bench"), 1).otherwise(0)).alias("bench_cnt"),
-    )
+    # corpus-wide gram counts via count()/sum() OVER (PARTITION BY
+    # gram_key) on the single exploded frame — the same restructure the
+    # standalone span queries got in r06 (aggregate-then-join-back paid
+    # the split + explode + md5 of every corpus 8-gram TWICE: the two
+    # join inputs are different subtrees, so ReuseExchange cannot
+    # dedup them). One explode, one gram-key exchange, one less join.
+    wk = Window.partitionBy("gram_key")
+    annotated = sh.select(
+        "doc_id", "is_bench", "gram_key",
+        F.count(F.lit(1)).over(wk).alias("cnt"),
+        F.sum(F.when(F.col("is_bench"), 1).otherwise(0)).over(wk)
+         .alias("bench_cnt"))
     per_doc = (
-        sh.where(~F.col("is_bench"))
-        .join(counts, "gram_key")
+        annotated.where(~F.col("is_bench"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
