@@ -161,17 +161,22 @@ def _refined_int_cents(emb: DataFrame, seed_ids: list[int],
     return vecs, cents
 
 
+def dequant_cents(spark: SparkSession,
+                  cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Driver-held integer centroids de-quantized back to embedding
+    space (integer/Q_SCALE is a single correctly-rounded IEEE division,
+    so both engines produce identical doubles)."""
+    return _cents_df(spark, cents).select(
+        "cent_id",
+        F.transform("cv", lambda x: x.cast("double") / Q_SCALE).alias("cv"))
+
+
 def refined_centroids(emb: DataFrame, seed_ids: list[int] | None = None,
                       n_iters: int = N_ITERS) -> DataFrame:
     """The trained coarse quantizer for :func:`similarity.ivf_topk`:
-    (cent_id, cv: array<double>) after ``n_iters`` Lloyd rounds,
-    de-quantized back to embedding space (integer/Q_SCALE is a single
-    correctly-rounded IEEE division, so both engines produce identical
-    doubles)."""
+    (cent_id, cv: array<double>) after ``n_iters`` Lloyd rounds."""
     _, cents = _refined_int_cents(emb, seed_ids or SEED_IDS, n_iters)
-    return _cents_df(emb.sparkSession, cents).select(
-        "cent_id",
-        F.transform("cv", lambda x: x.cast("double") / Q_SCALE).alias("cv"))
+    return dequant_cents(emb.sparkSession, cents)
 
 
 def kmeans_refine(emb: DataFrame, seed_ids: list[int],

@@ -91,11 +91,20 @@ def brute_force_topk(emb: DataFrame, id_col: str, vec_col: str,
                      query_ids: list[int], k: int = 10) -> DataFrame:
     """Exact top-k neighbors for each query id. The query set is tiny →
     broadcast; ranking is one window shuffle over (qid)."""
-    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    # norms precompute ONCE per vector below the join (r11, guide §1.2
+    # per-task work): cosine() would re-run the interpreted norm folds
+    # for BOTH sides on every (query, candidate) pair — 3 O(dim) folds
+    # per pair instead of 1. round(dot/(nq·nv), 6) is bit-identical to
+    # cosine() (same fold expressions, same doubles).
+    e = (emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+         .withColumn("nv", norm(F.col("v"))))
     q = (e.where(F.col(id_col).isin(query_ids))
-         .select(F.col(id_col).alias("qid"), F.col("v").alias("qv")))
+         .select(F.col(id_col).alias("qid"), F.col("v").alias("qv"),
+                 F.col("nv").alias("nq")))
     pairs = (e.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
-             .withColumn("cosine", cosine(F.col("qv"), F.col("v"))))
+             .withColumn("cosine",
+                         F.round(dot(F.col("qv"), F.col("v"))
+                                 / (F.col("nq") * F.col("nv")), 6)))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -155,16 +164,22 @@ def lsh_topk(emb: DataFrame, id_col: str, vec_col: str,
     (~constant rows), so cost is explicit and the candidate join stays
     a broadcast of |queries| × |ball| probe rows — the corpus never
     reshuffles."""
+    # nv precomputed once per vector — see brute_force_topk (the
+    # candidate join would otherwise re-fold both norms per pair)
     e = (emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+         .withColumn("nv", norm(F.col("v")))
          .withColumn("bucket", lsh_bucket("v")))
     q = (e.where(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("qid"), F.col("v").alias("qv"),
+                 F.col("nv").alias("nq"),
                  F.explode(F.array(*[
                      F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
                      for m in probe_masks()])).alias("bucket")))
     pairs = (e.join(F.broadcast(q), "bucket")
              .where(F.col(id_col) != F.col("qid"))
-             .withColumn("cosine", cosine(F.col("qv"), F.col("v"))))
+             .withColumn("cosine",
+                         F.round(dot(F.col("qv"), F.col("v"))
+                                 / (F.col("nq") * F.col("nv")), 6)))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -189,7 +204,13 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
     uniform-random test vectors (``ann_recall_eval``), 2 Lloyd rounds
     lift mean recall@10 from 0.30 (seed cells) to 0.40 (refined cells)
     at the same nprobe=2 — see tests/test_similarity_recall.py."""
-    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    # norms precompute once per vector / per centroid (r11, guide §1.2):
+    # the assignment join evaluates |cents| cosines per vector and the
+    # cell probe one per candidate pair — cosine() re-folded both norms
+    # each time (3 interpreted O(dim) folds per pair instead of 1).
+    # round(dot/(na·nb), 6) is bit-identical to cosine().
+    e = (emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+         .withColumn("nv", norm(F.col("v"))))
     if centroids is None:
         if not centroid_ids:
             # isin(None/[]) matches nothing -> every query would return
@@ -198,20 +219,23 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
         centroids = (e.where(F.col(id_col).isin(centroid_ids))
                      .select(F.col(id_col).alias("cent_id"),
                              F.col("v").alias("cv")))
-    cents = centroids
+    cents = centroids.withColumn("ncv", norm(F.col("cv")))
     scored = (e.join(F.broadcast(cents))
-              .withColumn("cs", cosine(F.col("v"), F.col("cv"))))
+              .withColumn("cs", F.round(dot(F.col("v"), F.col("cv"))
+                                        / (F.col("nv") * F.col("ncv")), 6)))
     w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cent_id"))
     ranked = scored.withColumn("crank", F.row_number().over(w))
     cells = (ranked.where(F.col("crank") == 1)
-             .select(id_col, "v", F.col("cent_id").alias("cell")))
+             .select(id_col, "v", "nv", F.col("cent_id").alias("cell")))
     probes = (ranked.where(F.col("crank") <= nprobe)
               .where(F.col(id_col).isin(query_ids))
               .select(F.col(id_col).alias("qid"), F.col("v").alias("qv"),
-                      F.col("cent_id").alias("cell")))
+                      F.col("nv").alias("nq"), F.col("cent_id").alias("cell")))
     pairs = (cells.join(F.broadcast(probes), "cell")
              .where(F.col(id_col) != F.col("qid"))
-             .withColumn("cosine", cosine(F.col("qv"), F.col("v"))))
+             .withColumn("cosine",
+                         F.round(dot(F.col("qv"), F.col("v"))
+                                 / (F.col("nq") * F.col("nv")), 6)))
     wk = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
     return (pairs.withColumn("rank", F.row_number().over(wk))
             .where(F.col("rank") <= k)

@@ -882,6 +882,30 @@ QUERIES["mmr_diversified_topk"] = (_mmr, _mmr_sql())
 INC_MOD, INC_REM = 10, 5
 
 
+def _inc_full_cents(spark: SparkSession, sf_dir: str):
+    """(emb, vecs_all, cents_inc, cents_full): ONE quantization pass
+    over the corpus (persisted, tracked via clustering.unpersist_cached)
+    feeds both training chains — the incremental quantizer trains on
+    the pre-batch subset of the SAME cached frame (quantization is
+    per-row, so filtering the cached quantized corpus is bit-identical
+    to quantizing the filtered corpus). Shared by the census and the
+    recall query, which previously re-quantized and re-persisted the
+    corpus once per chain (r11, guide §5 persist-when-reused)."""
+    from . import clustering as CL
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs_all, cents_full = CL._refined_int_cents(emb, CL.SEED_IDS,
+                                                 CL.N_ITERS)
+    vecs_base = vecs_all.where(F.col("vec_id") % INC_MOD != INC_REM)
+    seed_rows = (vecs_base.where(F.col("vec_id").isin(CL.SEED_IDS))
+                 .select(F.col("vec_id").alias("cent_id"),
+                         F.col("v").alias("cv")).collect())
+    cents_inc = sorted((r["cent_id"], list(r["cv"])) for r in seed_rows)
+    for _ in range(CL.N_ITERS):
+        cents_inc = CL._update(CL._assign(vecs_base, cents_inc))
+    return emb, vecs_all, cents_inc, cents_full
+
+
 def _ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance — the retrieval twin of
     ``incremental_neardup``: a new document batch (vec_id % 10 == 5)
@@ -906,16 +930,7 @@ def _ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from . import clustering as CL
 
-    emb = load(spark, sf_dir, "embeddings")
-    vecs_all, cents_full = CL._refined_int_cents(emb, CL.SEED_IDS,
-                                                 CL.N_ITERS)
-    vecs_base = vecs_all.where(F.col("vec_id") % INC_MOD != INC_REM)
-    seed_rows = (vecs_base.where(F.col("vec_id").isin(CL.SEED_IDS))
-                 .select(F.col("vec_id").alias("cent_id"),
-                         F.col("v").alias("cv")).collect())
-    cents_inc = sorted((r["cent_id"], list(r["cv"])) for r in seed_rows)
-    for _ in range(CL.N_ITERS):
-        cents_inc = CL._update(CL._assign(vecs_base, cents_inc))
+    _, vecs_all, cents_inc, cents_full = _inc_full_cents(spark, sf_dir)
     is_new = F.col("vec_id") % INC_MOD == INC_REM
     a_inc = CL._assign(vecs_all, cents_inc)
     a_full = CL._assign(vecs_all, cents_full)
@@ -982,20 +997,20 @@ def _ann_inc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: same shape as ann_recall_eval — ground truth only for the
     fixed probe panel, so cost is O(panel × corpus) regardless of
-    index size; all per-qid joins touch ~k rows."""
-    from .clustering import refined_centroids
+    index size; all per-qid joins touch ~k rows. Both quantizers come
+    from ONE shared quantization pass (see _inc_full_cents)."""
+    from .clustering import dequant_cents
 
-    emb = load(spark, sf_dir, "embeddings")
-    base = emb.where(F.col("vec_id") % INC_MOD != INC_REM)
+    emb, _, cents_inc, cents_full = _inc_full_cents(spark, sf_dir)
     exact = S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K) \
         .select("qid", "neighbor_id")
     inc = S.ivf_topk(emb, "vec_id", "embedding", QUERY_IDS,
                      k=K, nprobe=NPROBE,
-                     centroids=refined_centroids(base)) \
+                     centroids=dequant_cents(spark, cents_inc)) \
         .select("qid", F.col("neighbor_id").alias("inc_id"))
     reb = S.ivf_topk(emb, "vec_id", "embedding", QUERY_IDS,
                      k=K, nprobe=NPROBE,
-                     centroids=refined_centroids(emb)) \
+                     centroids=dequant_cents(spark, cents_full)) \
         .select("qid", F.col("neighbor_id").alias("reb_id"))
     joined = (exact
               .join(inc, (exact.qid == inc.qid)
