@@ -167,10 +167,29 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                                 "containment_b_in_a") >= threshold)
 
 
-def signature_from_hashes(hashes: Column) -> Column:
+def _signature_sql(hashes_sql: str) -> str:
+    """The N_PERMS-slot minhash signature as ONE Spark-SQL expression
+    string (16 perms through the Python column API are ~200 py4j round
+    trips per call — the r11 lsh_bucket finding; one F.expr parse is
+    milliseconds). ``hashes_sql`` is the column name / SQL fragment of
+    the array<long> shingle hashes."""
+    mins = [
+        f"coalesce(array_min(transform({hashes_sql}, "
+        f"x -> ({PERM_A[j]}L * x + {PERM_B[j]}L) % {HASH_MOD}L)), "
+        f"{HASH_MOD}L)"
+        for j in range(N_PERMS)
+    ]
+    return "array(" + ", ".join(mins) + ")"
+
+
+def signature_from_hashes(hashes: Column | str) -> Column:
     """array<long> of N_PERMS minhash values from an array of shingle
     hashes; empty-shingle docs get HASH_MOD (sentinel larger than any
-    real hash) in every slot."""
+    real hash) in every slot. Pass the column NAME (preferred — one
+    expr parse); a Column operand takes the legacy per-perm build."""
+    if isinstance(hashes, str):
+        return F.expr(_signature_sql(hashes))
+
     def perm(a: int, b: int):
         return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_MOD)
 
@@ -242,18 +261,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", poly_hash(F.col("tok")))
+    # per-bit vote sums and the signature reassembly as expr strings —
+    # ~450 py4j round trips through the column API at bits=32 (the r11
+    # construction-cost finding); values unchanged (same int CASE sums)
     votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{i}")
+        F.expr(f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+               f" THEN 1 ELSE -1 END) AS v{i}")
         for i in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
-    sig = None
-    for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")) \
-               .otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig + bit
-    return agg.select(id_col, sig.alias("simhash"))
+    sig = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {2 ** i}L ELSE 0L END"
+        for i in range(bits))
+    return agg.select(id_col, F.expr(sig).alias("simhash"))
 
 
 SIMHASH_BANDS = 4                      # 4 bands x 8 bits over 32-bit sigs
@@ -337,21 +357,20 @@ def _sigs_and_bands(df: DataFrame, id_col: str, text_col: str,
     sigs = (df.select(
                 F.col(id_col),
                 shingle_hashes(F.col(text_col), n, max_tokens).alias("shingles"))
-            .withColumn("sig", signature_from_hashes(F.col("shingles")))
+            .withColumn("sig", signature_from_hashes("shingles"))
             .persist(StorageLevel.MEMORY_AND_DISK))
     _PERSISTED.append(sigs)
+    # band table as one expr parse (same construction economics as the
+    # signature above); concat_ws('_', bigint...) casts implicitly in
+    # both the column API and SQL — identical band keys
+    band_structs = ", ".join(
+        f"named_struct('band_id', {b}, 'band_key', concat_ws('_', "
+        + ", ".join(f"element_at(sig, {b * ROWS_PER_BAND + r + 1})"
+                    for r in range(ROWS_PER_BAND)) + "))"
+        for b in range(N_BANDS))
     bands = sigs.select(
         id_col,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws("_", *[
-                    F.element_at(F.col("sig"), b * ROWS_PER_BAND + r + 1)
-                    for r in range(ROWS_PER_BAND)
-                ]).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ])).alias("band"),
+        F.expr(f"explode(array({band_structs}))").alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
     return sigs, bands
 
