@@ -484,11 +484,12 @@ def knn_graph(emb: DataFrame, id_col: str, vec_col: str,
     Same multi-band LSH candidate generation as
     :func:`embedding_neardup_pairs` (and the same slim-join rule: only
     ``(id, band, sig)`` rides the self-join; vectors join back for
-    surviving candidates). Candidates are mirrored into both directions
-    before ranking, so each node ranks every neighbor it collided with
-    in any band; nodes whose buckets hold fewer than k collisions emit
-    fewer than k edges (the honest LSH contract — raise N_BANDS for
-    more recall, never a corpus cross join).
+    surviving candidates). Each unordered pair is scored ONCE and the
+    scored edge mirrored into both directions before ranking (r11), so
+    each node ranks every neighbor it collided with in any band; nodes
+    whose buckets hold fewer than k collisions emit fewer than k edges
+    (the honest LSH contract — raise N_BANDS for more recall, never a
+    corpus cross join).
 
     Scale: candidate count is Σ_buckets C(occupancy, 2) ≈ N·avg_bucket
     — linear in N for fixed bucket occupancy (size N_PLANES as
