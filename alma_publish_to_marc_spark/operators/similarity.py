@@ -204,11 +204,23 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
     uniform-random test vectors (``ann_recall_eval``), 2 Lloyd rounds
     lift mean recall@10 from 0.30 (seed cells) to 0.40 (refined cells)
     at the same nprobe=2 — see tests/test_similarity_recall.py."""
-    # norms precompute once per vector / per centroid (r11, guide §1.2):
-    # the assignment join evaluates |cents| cosines per vector and the
-    # cell probe one per candidate pair — cosine() re-folded both norms
-    # each time (3 interpreted O(dim) folds per pair instead of 1).
-    # round(dot/(na·nb), 6) is bit-identical to cosine().
+    # Scan-fused literal-centroid assignment (r11, guide §2.4): the
+    # former broadcast-join + per-vector row_number window shuffled the
+    # whole |cents|·N scored frame WITH its vector payloads just to
+    # argmax per vector. Centroids are driver-held (≤ k·DIM values —
+    # the kmeans tiny-round-state idiom), so the per-vector best cell
+    # and the panel's nprobe cells are per-row array expressions over
+    # centroid literals: zero exchanges until the bounded cell-probe
+    # join. Equivalence: cs = round(dot/(nv·ncv), 6) is the identical
+    # expression; argmin of struct(-cs, cent_id) == row_number ORDER BY
+    # cs DESC, cent_id ASC under Spark's total order (negation strictly
+    # reverses double ordering, incl. the ±0.0 pair; struct and sort
+    # comparators are the same SQLOrderingUtil); array_sort + slice
+    # 1..nprobe == crank <= nprobe for the same reason. ncv is computed
+    # in Python with the same left fold + sqrt the old norm() column
+    # ran — identical IEEE ops in identical order.
+    import math
+
     e = (emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
          .withColumn("nv", norm(F.col("v"))))
     if centroids is None:
@@ -219,18 +231,32 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
         centroids = (e.where(F.col(id_col).isin(centroid_ids))
                      .select(F.col(id_col).alias("cent_id"),
                              F.col("v").alias("cv")))
-    cents = centroids.withColumn("ncv", norm(F.col("cv")))
-    scored = (e.join(F.broadcast(cents))
-              .withColumn("cs", F.round(dot(F.col("v"), F.col("cv"))
-                                        / (F.col("nv") * F.col("ncv")), 6)))
-    w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cent_id"))
-    ranked = scored.withColumn("crank", F.row_number().over(w))
-    cells = (ranked.where(F.col("crank") == 1)
-             .select(id_col, "v", "nv", F.col("cent_id").alias("cell")))
-    probes = (ranked.where(F.col("crank") <= nprobe)
-              .where(F.col(id_col).isin(query_ids))
+    # driver-paced tiny collect: centroid frames are k rows by
+    # construction (seeds or trained quantizers already driver-held)
+    crows = sorted((int(r["cent_id"]), [float(x) for x in r["cv"]])
+                   for r in centroids.select("cent_id", "cv").collect())
+
+    def _ncv(cv: list[float]) -> float:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        return math.sqrt(acc)
+
+    scored_sql = "array(" + ", ".join(
+        "named_struct('negcs', -round(aggregate(zip_with(v, array("
+        + ", ".join(f"{x!r}D" for x in cv)
+        + "), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        f" / (nv * {_ncv(cv)!r}D), 6), 'cent_id', {cid}L)"
+        for cid, cv in crows) + ")"
+    cells = e.select(
+        id_col, "v", "nv",
+        F.expr(f"array_min({scored_sql}).cent_id").alias("cell"))
+    probes = (e.where(F.col(id_col).isin(query_ids))
               .select(F.col(id_col).alias("qid"), F.col("v").alias("qv"),
-                      F.col("nv").alias("nq"), F.col("cent_id").alias("cell")))
+                      F.col("nv").alias("nq"),
+                      F.expr(f"explode(slice(array_sort({scored_sql}), 1, "
+                             f"{int(nprobe)}))").alias("p"))
+              .select("qid", "qv", "nq", F.col("p.cent_id").alias("cell")))
     pairs = (cells.join(F.broadcast(probes), "cell")
              .where(F.col(id_col) != F.col("qid"))
              .withColumn("cosine",
