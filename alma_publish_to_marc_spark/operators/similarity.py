@@ -186,6 +186,43 @@ def lsh_topk(emb: DataFrame, id_col: str, vec_col: str,
             .select("qid", F.col(id_col).alias("neighbor_id"), "cosine", "rank"))
 
 
+def _cell_scored_sql(centroids: DataFrame) -> str:
+    """array<struct<negcs, cent_id>> of per-centroid cosine scores as
+    ONE Spark-SQL expression over the input row's ``v``/``nv`` columns,
+    with centroid vectors inlined as literals. Shared by ivf_topk and
+    semantic_dedup (r11, guide §2.4): the cell argmax becomes per-row
+    scan compute instead of a broadcast join + row_number window that
+    shuffled |cents|·N scored rows with their vector payloads.
+
+    Equivalence to the former window: cs stays the identical
+    round(dot/(nv·ncv), 6) expression; argmin of struct(-cs, cent_id)
+    == row_number ORDER BY cs DESC, cent_id ASC under Spark's total
+    order (negation strictly reverses double ordering, incl. the ±0.0
+    pair; struct and sort comparators are the same SQLOrderingUtil);
+    array_sort + slice 1..nprobe == crank <= nprobe likewise. ncv is
+    computed in Python with the same left fold + sqrt the old norm()
+    column ran — identical IEEE ops in identical order. The collect is
+    the driver-paced tiny-state idiom: centroid frames are k rows by
+    construction (seeds, or trained quantizers already driver-held)."""
+    import math
+
+    crows = sorted((int(r["cent_id"]), [float(x) for x in r["cv"]])
+                   for r in centroids.select("cent_id", "cv").collect())
+
+    def ncv(cv: list[float]) -> float:
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        return math.sqrt(acc)
+
+    return "array(" + ", ".join(
+        "named_struct('negcs', -round(aggregate(zip_with(v, array("
+        + ", ".join(f"{x!r}D" for x in cv)
+        + "), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        f" / (nv * {ncv(cv)!r}D), 6), 'cent_id', {cid}L)"
+        for cid, cv in crows) + ")"
+
+
 def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
              query_ids: list[int], centroid_ids: list[int] | None = None,
              k: int = 10, nprobe: int = 2,
@@ -204,23 +241,9 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
     uniform-random test vectors (``ann_recall_eval``), 2 Lloyd rounds
     lift mean recall@10 from 0.30 (seed cells) to 0.40 (refined cells)
     at the same nprobe=2 — see tests/test_similarity_recall.py."""
-    # Scan-fused literal-centroid assignment (r11, guide §2.4): the
-    # former broadcast-join + per-vector row_number window shuffled the
-    # whole |cents|·N scored frame WITH its vector payloads just to
-    # argmax per vector. Centroids are driver-held (≤ k·DIM values —
-    # the kmeans tiny-round-state idiom), so the per-vector best cell
-    # and the panel's nprobe cells are per-row array expressions over
-    # centroid literals: zero exchanges until the bounded cell-probe
-    # join. Equivalence: cs = round(dot/(nv·ncv), 6) is the identical
-    # expression; argmin of struct(-cs, cent_id) == row_number ORDER BY
-    # cs DESC, cent_id ASC under Spark's total order (negation strictly
-    # reverses double ordering, incl. the ±0.0 pair; struct and sort
-    # comparators are the same SQLOrderingUtil); array_sort + slice
-    # 1..nprobe == crank <= nprobe for the same reason. ncv is computed
-    # in Python with the same left fold + sqrt the old norm() column
-    # ran — identical IEEE ops in identical order.
-    import math
-
+    # Scan-fused literal-centroid assignment — see _cell_scored_sql for
+    # the shape and the bit-equivalence argument (guide §2.4): zero
+    # exchanges until the bounded cell-probe join.
     e = (emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
          .withColumn("nv", norm(F.col("v"))))
     if centroids is None:
@@ -231,23 +254,7 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
         centroids = (e.where(F.col(id_col).isin(centroid_ids))
                      .select(F.col(id_col).alias("cent_id"),
                              F.col("v").alias("cv")))
-    # driver-paced tiny collect: centroid frames are k rows by
-    # construction (seeds or trained quantizers already driver-held)
-    crows = sorted((int(r["cent_id"]), [float(x) for x in r["cv"]])
-                   for r in centroids.select("cent_id", "cv").collect())
-
-    def _ncv(cv: list[float]) -> float:
-        acc = 0.0
-        for x in cv:
-            acc += x * x
-        return math.sqrt(acc)
-
-    scored_sql = "array(" + ", ".join(
-        "named_struct('negcs', -round(aggregate(zip_with(v, array("
-        + ", ".join(f"{x!r}D" for x in cv)
-        + "), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        f" / (nv * {_ncv(cv)!r}D), 6), 'cent_id', {cid}L)"
-        for cid, cv in crows) + ")"
+    scored_sql = _cell_scored_sql(centroids)
     cells = e.select(
         id_col, "v", "nv",
         F.expr(f"array_min({scored_sql}).cent_id").alias("cell"))
@@ -422,7 +429,12 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
     evaluates the cosine inside the join, so nothing materializes
     beyond surviving pairs.
     """
-    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    # Scan-fused literal-centroid assignment + precomputed norms (r11):
+    # same rewrite and same bit-equivalence argument as ivf_topk (see
+    # _cell_scored_sql); the cell self-join folds ONE dot per pair
+    # instead of cosine()'s dot + two norms.
+    e = (emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+         .withColumn("nv", norm(F.col("v"))))
     if centroids is None:
         if not centroid_ids:
             raise ValueError(
@@ -430,19 +442,18 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
         centroids = (e.where(F.col(id_col).isin(centroid_ids))
                      .select(F.col(id_col).alias("cent_id"),
                              F.col("v").alias("cv")))
-    scored = (e.join(F.broadcast(centroids))
-              .withColumn("cs", cosine(F.col("v"), F.col("cv"))))
-    w = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cent_id"))
-    cells = (scored.withColumn("crank", F.row_number().over(w))
-             .where(F.col("crank") == 1)
-             .select(id_col, "v", F.col("cent_id").alias("cell")))
+    scored_sql = _cell_scored_sql(centroids)
+    cells = e.select(
+        id_col, "v", "nv",
+        F.expr(f"array_min({scored_sql}).cent_id").alias("cell"))
     a = cells.select(F.col(id_col).alias("id_a"),
-                     F.col("v").alias("va"), "cell")
+                     F.col("v").alias("va"), F.col("nv").alias("na"), "cell")
     b = cells.select(F.col(id_col).alias("id_b"),
-                     F.col("v").alias("vb"), "cell")
+                     F.col("v").alias("vb"), F.col("nv").alias("nb"), "cell")
     dup = (a.join(b, "cell")
            .where(F.col("id_b") < F.col("id_a"))
-           .where(cosine(F.col("va"), F.col("vb")) >= threshold)
+           .where(F.round(dot(F.col("va"), F.col("vb"))
+                          / (F.col("na") * F.col("nb")), 6) >= threshold)
            .groupBy("id_a").agg(F.min("id_b").alias("dup_of")))
     return (cells
             .join(dup, cells[id_col] == dup.id_a, "left")
