@@ -179,14 +179,23 @@ MRL_DIMS = (8, 16, 32, 64)
 
 
 def _prefix_topk(emb: DataFrame, d: int) -> DataFrame:
+    # Query-side norm precomputed ONCE on the broadcast panel (r11):
+    # saves the norm(qp) fold per pair for free (|panel| rows pay it).
+    # The CORPUS-side norm deliberately stays inline: hanging an
+    # interpreted-fold column on the stream side measured 15-25%
+    # SLOWER here (isolated quiet-host best-of-3, 1.83 → 2.20 s) —
+    # with |panel| = 5 the per-pair multiplicity is too low for the
+    # materialized projection pass to repay itself, unlike the dense
+    # products in embedding_decontamination / content_neardup_hashed.
     v = S.as_double(F.col("embedding"))
     e = emb.select("vec_id", F.slice(v, 1, d).alias("p"))
     q = (e.where(F.col("vec_id").isin(QUERY_IDS))
-         .select(F.col("vec_id").alias("qid"), F.col("p").alias("qp")))
+         .select(F.col("vec_id").alias("qid"), F.col("p").alias("qp"))
+         .withColumn("nq", S.norm(F.col("qp"))))
     pairs = (e.join(F.broadcast(q), e.vec_id != q.qid)
              .withColumn("cosine", F.round(
                  S.dot(F.col("p"), F.col("qp"))
-                 / (S.norm(F.col("p")) * S.norm(F.col("qp"))), 6)))
+                 / (S.norm(F.col("p")) * F.col("nq")), 6)))
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))

@@ -502,12 +502,21 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str,
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct())
+    # norms precompute ONCE per vector on each join-back side (the
+    # knn_graph rule): cosine() inside the candidate filter re-ran
+    # norm(va)·norm(vb) per pair — 2 extra O(dim) interpreted folds on
+    # every candidate, and candidates ≈ N·avg_bucket ≥ N at pinned
+    # occupancy. round(dot/(na·nb), 6) is bit-identical to cosine().
+    en = e.withColumn("nm", norm(F.col("v")))
     return (cand
-            .join(e.select(F.col(id_col).alias("id_a"),
-                           F.col("v").alias("va")), "id_a")
-            .join(e.select(F.col(id_col).alias("id_b"),
-                           F.col("v").alias("vb")), "id_b")
-            .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+            .join(en.select(F.col(id_col).alias("id_a"),
+                            F.col("v").alias("va"),
+                            F.col("nm").alias("na")), "id_a")
+            .join(en.select(F.col(id_col).alias("id_b"),
+                            F.col("v").alias("vb"),
+                            F.col("nm").alias("nb")), "id_b")
+            .withColumn("cosine", F.round(dot(F.col("va"), F.col("vb"))
+                                          / (F.col("na") * F.col("nb")), 6))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 

@@ -501,9 +501,15 @@ def _embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # norms precompute ONCE per side below the pair join (r11, guide
+    # §1.2 per-task work): cosine() would re-run BOTH interpreted norm
+    # folds on every (corpus, panel) pair — 3 O(dim) folds per pair on
+    # an N×(N/7) dense product instead of 1. round(dot/(nv·nb), 6) is
+    # bit-identical to cosine() (same fold expressions, same doubles).
     panel = (emb.where(F.col("vec_id") % 7 == 0)
              .select(F.col("vec_id").alias("bench_id"),
-                     S.as_double(F.col("embedding")).alias("bv")))
+                     S.as_double(F.col("embedding")).alias("bv"))
+             .withColumn("nb", S.norm(F.col("bv"))))
     off = F.broadcast(emb.agg((F.max("vec_id") + F.lit(1)).alias("_off")))
     planted = (emb.where((F.col("vec_id") % 7 == 0)
                          & (F.col("vec_id") % 3 == 0))
@@ -512,10 +518,13 @@ def _embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.transform("embedding", lambda x: x * F.lit(0.5))
                         .alias("embedding")))
     corpus = (emb.where(F.col("vec_id") % 7 != 0).unionByName(planted)
-              .select("vec_id", S.as_double(F.col("embedding")).alias("v")))
+              .select("vec_id", S.as_double(F.col("embedding")).alias("v"))
+              .withColumn("nv", S.norm(F.col("v"))))
     best = (corpus.join(F.broadcast(panel))
             .select("vec_id",
-                    F.struct(S.cosine(F.col("v"), F.col("bv")).alias("c"),
+                    F.struct(F.round(S.dot(F.col("v"), F.col("bv"))
+                                     / (F.col("nv") * F.col("nb")), 6)
+                              .alias("c"),
                              (-F.col("bench_id")).alias("nb")).alias("s"))
             .groupBy("vec_id")
             .agg(F.max("s").alias("m")))
@@ -796,12 +805,20 @@ def _mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = (load(spark, sf_dir, "embeddings")
          .select("vec_id", S.as_double(F.col("embedding")).alias("v")))
+    # query norm precomputed ONCE on the broadcast side (r11): cosine()
+    # re-ran the interpreted norm(qv) fold on every corpus row of the
+    # pool scan. norm(v) stays per row (each row scores once — a
+    # precompute would move, not remove, that fold). round(dot/(nq·n),6)
+    # is bit-identical to cosine() (same fold expressions, same doubles).
     q = (e.where(F.col("vec_id") == QUERY_IDS[0])
-         .select(F.col("v").alias("qv")))
+         .select(F.col("v").alias("qv"))
+         .withColumn("nq", S.norm(F.col("qv"))))
     cand = (e.crossJoin(F.broadcast(q))
             .where(F.col("vec_id") != QUERY_IDS[0])
             .select("vec_id", "v",
-                    S.cosine(F.col("qv"), F.col("v")).alias("rel"))
+                    F.round(S.dot(F.col("qv"), F.col("v"))
+                            / (F.col("nq") * S.norm(F.col("v"))), 6)
+                     .alias("rel"))
             .orderBy(F.desc("rel"), F.asc("vec_id")).limit(MMR_POOL)
             .persist())
     S._PERSISTED.append(cand)
@@ -1484,8 +1501,15 @@ def _graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (emb.select("vec_id", S.as_double(F.col("embedding")).alias("v"))
          .persist(StorageLevel.MEMORY_AND_DISK))
     S._PERSISTED.append(e)
+    # query norms precomputed ONCE on the tiny broadcast panel (r11):
+    # _score re-ran the interpreted norm(qv) fold per candidate row per
+    # round. norm(v) deliberately stays per candidate — hanging a norm
+    # column on the persisted CORPUS frame would pay O(N) folds against
+    # a search that only ever touches O(rounds·B·k) vectors (the whole
+    # point of the graph index). round(dot/(nq·n), 6) ≡ cosine().
     q = (e.where(F.col("vec_id").isin(QUERY_IDS))
-         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+         .withColumn("nq", S.norm(F.col("qv"))))
     und = (S.knn_graph(emb, "vec_id", "embedding", k=KNN_K)
            .select(F.least("src", "dst").alias("a"),
                    F.greatest("src", "dst").alias("b"))
@@ -1502,7 +1526,10 @@ def _graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (cand.join(e.withColumnRenamed("vec_id", "node"), "node")
                 .join(F.broadcast(q), "qid")
                 .where(F.col("node") != F.col("qid"))
-                .withColumn("cosine", S.cosine(F.col("qv"), F.col("v")))
+                .withColumn("cosine",
+                            F.round(S.dot(F.col("qv"), F.col("v"))
+                                    / (F.col("nq") * S.norm(F.col("v"))),
+                                    6))
                 .withColumn("rn", F.row_number().over(w))
                 .where(F.col("rn") <= _BEAM_B)
                 .select("qid", "node", "cosine"))
