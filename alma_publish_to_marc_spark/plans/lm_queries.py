@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
-from ..tables import load
+from ..tables import fan_out, load
 
 # Laplace add-one smoothing over the observed vocabulary: an unseen
 # continuation of word a scores 1 / (c(a) + V). Constant chosen over
@@ -1462,16 +1462,33 @@ def distinct_ngram_diversity(spark: SparkSession,
     binary keys (fixed-width payload rule); the two ratios are floored
     integer e6 divisions.
 
-    Scale: ONE documents scan; grams stay document-local arrays until
-    the per-(source, n) exact distinct — countDistinct shuffles on the
-    (source, n, hash) expand, the standard two-phase exact-distinct
-    plan. At 100 TB swap countDistinct for approx_count_distinct or an
-    HLL sketch merge (operators/sketches.py) if 1% error is tolerable;
-    the exact plan here is the oracle-checkable ground truth.
+    Scale: ONE documents scan and ONE linear aggregation chain — no
+    self-join, no second explode pass. Every statistic falls out of a
+    three-level shrinking rollup (each level strictly coarser than the
+    last, all map-side-combinable counts/sums):
+
+      (source, n, doc_id, gh)  occurrences per doc-local type
+      (source, n, gh)          occ_g = total occurrences of the type;
+                               docs_g = #docs containing it
+      (source, n)              total_ngrams     = sum(occ_g)
+                               distinct_ngrams  = count(rows)
+                               doc_distinct_sum = sum(docs_g)
+
+    because sum_docs(countDistinct(gh)) == #distinct (doc, gh) pairs
+    == sum_gh(#docs containing gh), and gh is never NULL (a doc too
+    short for n grams explodes to zero rows). The r11 shape ran the
+    scan+explode+md5 twice (per-doc branch + corpus-distinct branch,
+    two different subtrees joined at the end — guide §2.4) and paid
+    countDistinct expands; this is the same exact arithmetic in one
+    pass. At 100 TB swap the exact distinct for approx_count_distinct
+    or an HLL sketch merge (operators/sketches.py) if 1% error is
+    tolerable; the exact plan here is the oracle-checkable ground
+    truth.
     """
-    docs = (load(spark, sf_dir, "documents")
-            .select("doc_id", "source",
-                    F.split(F.trim("text"), r"\s+").alias("w")))
+    docs = fan_out(load(spark, sf_dir, "documents")
+                   .select("doc_id", "source", "text"), "doc_id") \
+        .select("doc_id", "source",
+                F.split(F.trim("text"), r"\s+").alias("w"))
     grams = (docs.select(
         "doc_id", "source",
         F.explode(F.array(*[F.lit(n) for n in _DNG_NS])).alias("n"),
@@ -1481,15 +1498,15 @@ def distinct_ngram_diversity(spark: SparkSession,
             "sequence(1, size(w) - n + 1),"
             " i -> unhex(md5(array_join(slice(w, i, n), chr(31)))))"
             " ELSE array() END")).alias("gh")))
-    per_doc = (grams.groupBy("source", "n", "doc_id")
-               .agg(F.count(F.lit(1)).cast("long").alias("occ"),
-                    F.countDistinct("gh").cast("long").alias("typ")))
-    return (per_doc.groupBy("source", "n")
-            .agg(F.sum("occ").cast("long").alias("total_ngrams"),
-                 F.sum("typ").cast("long").alias("doc_distinct_sum"))
-            .join(grams.groupBy("source", "n")
-                  .agg(F.countDistinct("gh").cast("long")
-                       .alias("distinct_ngrams")), ["source", "n"])
+    per_doc_type = (grams.groupBy("source", "n", "doc_id", "gh")
+                    .agg(F.count(F.lit(1)).alias("c")))
+    per_type = (per_doc_type.groupBy("source", "n", "gh")
+                .agg(F.sum("c").alias("occ_g"),
+                     F.count(F.lit(1)).alias("docs_g")))
+    return (per_type.groupBy("source", "n")
+            .agg(F.sum("occ_g").cast("long").alias("total_ngrams"),
+                 F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+                 F.sum("docs_g").cast("long").alias("doc_distinct_sum"))
             .select("source", F.col("n").cast("long").alias("n"),
                     "total_ngrams", "distinct_ngrams",
                     F.expr("(1000000 * distinct_ngrams)"

@@ -71,12 +71,30 @@ def _read_state(spark: SparkSession, path: str, schema: str,
     return df.drop("batch_id")
 
 
+# Target rows per state-table output file. State frames derive from
+# CACHED plans, and AQE does not re-coalesce cached-plan output
+# partitioning (canChangeCachedPlanOutputPartitioning=false), so an
+# uncoalesced write emits one near-empty file per cached partition —
+# 32 files/table/batch at local shuffle settings, and the per-batch
+# state dirs accrete them forever (guide §6 small-files: every later
+# batch re-lists and re-opens all of them). Sized so a file lands in
+# the 64-256 MB parquet band for these narrow rows; local batches get
+# exactly 1 file, 100 TB batches scale to rows/2M files.
+_STATE_ROWS_PER_FILE = 2_000_000
+
+
 def _write_state(df: DataFrame, state_dir: str, table: str,
-                 batch_id: int) -> None:
+                 batch_id: int, rows: int | None = None) -> None:
     """Idempotent per-batch state write: everything lands under the
     batch's own partition dir with overwrite, so an at-least-once
-    replay of the batch produces byte-identical state instead of
-    doubled appends."""
+    replay of the batch produces row-identical state instead of
+    doubled appends. ``rows`` (when the caller knows the frame's
+    cardinality) sizes the output to O(rows/_STATE_ROWS_PER_FILE)
+    files via coalesce — callers must only pass it once the frame's
+    cached ancestry is materialized, so the narrowed plan copies
+    cached partitions instead of serializing the original compute."""
+    if rows is not None:
+        df = df.coalesce(max(1, -(-rows // _STATE_ROWS_PER_FILE)))
     df.write.mode("overwrite").parquet(
         os.path.join(state_dir, table, f"batch_id={batch_id}"))
 
@@ -200,14 +218,18 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
     # persisted: the batch lineage (landing read + dedup SHUFFLE) feeds
     # the audit materialization, the survivor check, and the shard
     # write — unpersisted, each action re-paid the read + exchange
-    # (r11 profile; released via the finally -> _release_batch_caches)
-    batch = batch.dropDuplicates(["doc_id"]).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    _BATCH_PERSISTED.append(batch)
-    scalars = batch.select(
-        "doc_id", "text",
-        T.lang_id(F.col("text")).alias("lang_pred"),
-        T.quality_score(F.col("text")).alias("quality"))
+    # (r11 profile; released via the finally -> _release_batch_caches).
+    # The cache cut sits ABOVE the lang/quality scoring (r12): scalars
+    # feeds both the sigs/bands chain and the verdict, so caching the
+    # raw batch instead re-paid the full regex scoring pass once per
+    # consumer — caching the scored frame costs two extra small columns
+    # and computes lang_id + quality_score exactly once per batch.
+    scalars = (batch.dropDuplicates(["doc_id"])
+               .select("doc_id", "text",
+                       T.lang_id(F.col("text")).alias("lang_pred"),
+                       T.quality_score(F.col("text")).alias("quality"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    _BATCH_PERSISTED.append(scalars)
     usable = scalars.where(
         (F.col("lang_pred") != "und") & (F.col("quality") >= quality_min))
 
@@ -232,9 +254,9 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
                             "id_a", "left_anti")
                       .select(F.col("id_b").alias("new_id")).distinct())
 
-        # persisted: five downstream actions (audit/bands/sigs/take/
-        # shards) would otherwise each replay the scoring + LSH + index
-        # probe lineage
+        # persisted: five downstream actions (count-agg/audit/bands/
+        # sigs/shards) would otherwise each replay the scoring + LSH +
+        # index probe lineage
         verdict = (scalars
             .join(corpus_dups.withColumnRenamed("new_id", "doc_id")
                   .withColumn("_corpus_dup", F.lit(True)), "doc_id", "left")
@@ -249,21 +271,30 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
                  .otherwise(F.lit("kept")).alias("drop_reason"))
             .withColumn("kept", F.col("drop_reason") == "kept")
             .persist(StorageLevel.MEMORY_AND_DISK))
+        # ONE parallel aggregate materializes the verdict cache (and
+        # everything under it: dedup exchange, scoring, sigs, index
+        # probes) across all partitions BEFORE any coalesced write, and
+        # returns the two cardinalities the writes and the emptiness
+        # check need — the r11 shape paid the materialization inside
+        # the 32-task audit write and then a separate take(1) probe.
+        tot_kept = verdict.agg(
+            F.count(F.lit(1)).alias("tot"),
+            F.sum(F.col("kept").cast("long")).alias("kept")).first()
+        n_tot, n_kept = tot_kept["tot"], int(tot_kept["kept"] or 0)
         # audit first: committed even for batches with zero survivors
-        _write_state(verdict, state_dir, "audit", batch_id)
+        _write_state(verdict, state_dir, "audit", batch_id, rows=n_tot)
 
         kept_ids = verdict.where("kept").select("doc_id")
+        from ..operators.dedup import N_BANDS
         _write_state(bands.join(kept_ids, "doc_id"),
-                     state_dir, "index_bands", batch_id)
+                     state_dir, "index_bands", batch_id,
+                     rows=N_BANDS * n_kept)
         _write_state(sigs.select("doc_id", "shingles").join(kept_ids, "doc_id"),
-                     state_dir, "index_sigs", batch_id)
+                     state_dir, "index_sigs", batch_id, rows=n_kept)
 
         from ..plans.corpus_queries import write_training_shards
-        survivors = batch.join(kept_ids, "doc_id")
-        # emptiness probe reads the PERSISTED verdict (1 cached scan),
-        # not the survivors join lineage (r11: the take re-paid the
-        # batch read + dedup exchange + join just to test non-empty)
-        if verdict.where("kept").take(1):
+        survivors = scalars.select("doc_id", "text").join(kept_ids, "doc_id")
+        if n_kept:
             gram_index = _read_state(
                 spark, os.path.join(state_dir, "gram_counts"), _EMPTY_GRAMS,
                 before_batch=batch_id)
