@@ -487,6 +487,8 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     once per pair. At 100 TB this turns the heaviest exchange from
     vectors×bands into 20-byte id/sig rows, and AQE is free to
     broadcast the (small) candidate set into the vector joins."""
+    from pyspark import StorageLevel
+
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     sigs = e.select(
         id_col,
@@ -507,7 +509,13 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str,
     # norm(va)·norm(vb) per pair — 2 extra O(dim) interpreted folds on
     # every candidate, and candidates ≈ N·avg_bucket ≥ N at pinned
     # occupancy. round(dot/(na·nb), 6) is bit-identical to cosine().
-    en = e.withColumn("nm", norm(F.col("v")))
+    # en feeds BOTH join-back sides, so the interpreted norm fold is
+    # persisted once (N folds + cache write) instead of re-paid per
+    # side (2N folds) — the knn_graph persist convention; released via
+    # unpersist_cached.
+    en = e.withColumn("nm", norm(F.col("v"))) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(en)
     return (cand
             .join(en.select(F.col(id_col).alias("id_a"),
                             F.col("v").alias("va"),

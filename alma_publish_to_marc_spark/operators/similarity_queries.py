@@ -509,7 +509,7 @@ def _embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = (emb.where(F.col("vec_id") % 7 == 0)
              .select(F.col("vec_id").alias("bench_id"),
                      S.as_double(F.col("embedding")).alias("bv"))
-             .withColumn("nb", S.norm(F.col("bv"))))
+             .withColumn("bnorm", S.norm(F.col("bv"))))
     off = F.broadcast(emb.agg((F.max("vec_id") + F.lit(1)).alias("_off")))
     planted = (emb.where((F.col("vec_id") % 7 == 0)
                          & (F.col("vec_id") % 3 == 0))
@@ -523,7 +523,7 @@ def _embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = (corpus.join(F.broadcast(panel))
             .select("vec_id",
                     F.struct(F.round(S.dot(F.col("v"), F.col("bv"))
-                                     / (F.col("nv") * F.col("nb")), 6)
+                                     / (F.col("nv") * F.col("bnorm")), 6)
                               .alias("c"),
                              (-F.col("bench_id")).alias("nb")).alias("s"))
             .groupBy("vec_id")
