@@ -34,6 +34,19 @@ QUERIES: dict = {}
 _TOP_K = 3
 _MIN_PAIR = 2  # prune noise pairs (support >= 2 orders)
 
+# Persisted frames released via unpersist_cached() (the
+# operators/clustering.py contract; registry.release_caches finds the
+# hook by name).
+_PERSISTED: list = []
+
+
+def unpersist_cached() -> int:
+    """Release frames persisted by this module's queries."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
 
 def _item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 co-purchase neighbors per part, ranked by squared-cosine
@@ -43,14 +56,23 @@ def _item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 (c_ij ≤ 2^15 at driver scale → 1e6·c_ij² < 2^51; at larger
     corpora drop the 1e6 scale to 1e4 or rank on the raw rational via
     cross-multiplication)."""
+    from pyspark import StorageLevel
+
     # One explicit shuffle on l_orderkey serves THREE consumers: the
     # (order, part) dedup (partitioning on a key subset satisfies the
-    # distinct's clustering), and both sides of the per-order pair
-    # self-join (co-partitioned — no further exchange).
+    # distinct's clustering), the part-frequency aggregate, and both
+    # sides of the per-order pair self-join (co-partitioned — no
+    # further exchange). PERSISTED (r12): the three consumers are
+    # separate plan subtrees, so the unpersisted frame re-ran the
+    # lineitem scan + repartition + dedup once per reference — the r12
+    # before-plan shows SIX lineitem scans (the union mirror doubled
+    # every subtree under it on top). Released via unpersist_cached.
     baskets = (load(spark, sf_dir, "lineitem")
                .select("l_orderkey", "l_partkey")
                .repartition("l_orderkey")
-               .dropDuplicates(["l_orderkey", "l_partkey"]))
+               .dropDuplicates(["l_orderkey", "l_partkey"])
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(baskets)
     freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     a = baskets.select(F.col("l_orderkey").alias("ok"),
                        F.col("l_partkey").alias("i"))
@@ -59,8 +81,16 @@ def _item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (a.join(b, "ok").where(F.col("i") < F.col("j"))
              .groupBy("i", "j").agg(F.count(F.lit(1)).alias("c_ij"))
              .where(F.col("c_ij") >= _MIN_PAIR))
-    mirrored = pairs.unionAll(pairs.select(F.col("j").alias("i"),
-                                           F.col("i").alias("j"), "c_ij"))
+    # mirror by exploding each scored pair into its two directions —
+    # unionAll(pairs, pairs.swap) evaluated the whole pair-join subtree
+    # twice (two different subtrees; ReuseExchange can't dedup them —
+    # the knn_graph r11 score-once/mirror-after precedent). Same rows.
+    mirrored = (pairs.select(
+        F.explode(F.array(
+            F.struct(F.col("i"), F.col("j")),
+            F.struct(F.col("j").alias("i"), F.col("i").alias("j"))))
+        .alias("e"), "c_ij")
+        .select(F.col("e.i").alias("i"), F.col("e.j").alias("j"), "c_ij"))
     fi = freq.select(F.col("l_partkey").alias("i"), F.col("c").alias("c_i"))
     fj = freq.select(F.col("l_partkey").alias("j"), F.col("c").alias("c_j"))
     scored = (mirrored

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+import pytest
 
 from alma_publish_to_marc_spark.streaming import curation as CU
 
@@ -161,6 +162,7 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     assert texts == {doc}
 
 
+@pytest.mark.slow  # sf0.1 sweep; the sf0.001 idempotence gate above
 def test_batch_replay_idempotent_at_sf01(spark, tmp_path):
     """VERDICT r06 item 7: the OVERWRITE-partition idempotency claim,
     exercised at sf0.1 corpus scale (5000 real documents) instead of a
