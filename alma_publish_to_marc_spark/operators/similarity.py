@@ -498,6 +498,13 @@ def embedding_neardup_pairs(emb: DataFrame, id_col: str, vec_col: str,
             for band, planes in enumerate(BAND_PLANES)) + "))").alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"),
              F.col("bs.sig").alias("sig"))
+    # the signature build is N_BANDS x 8 interpreted zip_with/aggregate
+    # folds per vector and feeds BOTH self-join sides — persist so it
+    # runs once per vector, not twice (the knn_graph sigs convention;
+    # the cached band table is 3 narrow columns, 4 rows/vector).
+    # Released via unpersist_cached.
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(sigs)
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
     cand = (a.join(b, ["band", "sig"])
