@@ -341,3 +341,20 @@ def test_gradient_noise_scale_moments(spark):
         assert b == 0 or (b & (b - 1)) == 0  # a power of two
         if b:
             assert 100 * b <= r["gns_e2"] < 100 * 2 * b or b == 2 ** 20
+
+
+def test_suffix_chain_memo_shares_and_releases(spark):
+    """The r12 suffix-chain memo must (a) hand repeat callers the SAME
+    persisted chain within a session/sf_dir, and (b) die with
+    unpersist_cached() so per-key bench/parity runs stand alone."""
+    from alma_publish_to_marc_spark.plans import corpus_queries as CQ
+
+    CQ.unpersist_cached()
+    levels1, base1 = CQ._suffix_chain(spark, SF)
+    levels2, base2 = CQ._suffix_chain(spark, SF)
+    assert levels1 is levels2 and base1 is base2  # shared, not rebuilt
+    n = CQ.unpersist_cached()
+    assert n >= len(levels1)  # the chain's persists were tracked
+    levels3, _ = CQ._suffix_chain(spark, SF)
+    assert levels3 is not levels1  # memo cleared with the persists
+    CQ.unpersist_cached()
