@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import fan_out, load
 from .publish_split import split_publish
 
 _SUFFIX = "8651"
@@ -22,7 +22,17 @@ _LEADER = "00000nx  a22000001n 4500"
 
 
 def _synth_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load(spark, sf_dir, "customer")
+    # fan_out the NARROW driving scan (c_custkey, c_name — a few bytes
+    # per row) instead of letting publish_split_fast.split_rows
+    # round-robin the SYNTHESIZED frame: the nested control_fields/
+    # fields payload (every holding + item struct) is orders of
+    # magnitude wider, and repartitioning it also serialized the
+    # synthesis projection into the scan's single task on one-file
+    # inputs. With the exchange moved below the broadcast join, the
+    # payload is built in parallel and never reshuffled (split_rows'
+    # parallelism guard sees >= defaultParallelism and stays out).
+    # At scale this is the usual fan_out no-op (guide §2.3/§2.5).
+    customer = fan_out(load(spark, sf_dir, "customer"), "c_custkey")
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
 
