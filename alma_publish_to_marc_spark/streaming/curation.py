@@ -281,20 +281,30 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
             F.count(F.lit(1)).alias("tot"),
             F.sum(F.col("kept").cast("long")).alias("kept")).first()
         n_tot, n_kept = tot_kept["tot"], int(tot_kept["kept"] or 0)
-        # audit first: committed even for batches with zero survivors
-        _write_state(verdict, state_dir, "audit", batch_id, rows=n_tot)
 
         kept_ids = verdict.where("kept").select("doc_id")
         from ..operators.dedup import N_BANDS
-        _write_state(bands.join(kept_ids, "doc_id"),
-                     state_dir, "index_bands", batch_id,
-                     rows=N_BANDS * n_kept)
-        _write_state(sigs.select("doc_id", "shingles").join(kept_ids, "doc_id"),
-                     state_dir, "index_sigs", batch_id, rows=n_kept)
 
-        from ..plans.corpus_queries import write_training_shards
-        survivors = scalars.select("doc_id", "text").join(kept_ids, "doc_id")
-        if n_kept:
+        def _w_audit() -> None:
+            # committed even for batches with zero survivors
+            _write_state(verdict, state_dir, "audit", batch_id, rows=n_tot)
+
+        def _w_bands() -> None:
+            _write_state(bands.join(kept_ids, "doc_id"),
+                         state_dir, "index_bands", batch_id,
+                         rows=N_BANDS * n_kept)
+
+        def _w_sigs() -> None:
+            _write_state(
+                sigs.select("doc_id", "shingles").join(kept_ids, "doc_id"),
+                state_dir, "index_sigs", batch_id, rows=n_kept)
+
+        def _w_shards_and_grams() -> None:
+            if not n_kept:
+                return
+            from ..plans.corpus_queries import write_training_shards
+            survivors = scalars.select("doc_id", "text").join(
+                kept_ids, "doc_id")
             gram_index = _read_state(
                 spark, os.path.join(state_dir, "gram_counts"), _EMPTY_GRAMS,
                 before_batch=batch_id)
@@ -308,6 +318,22 @@ def curate_batch(spark: SparkSession, batch: DataFrame, state_dir: str,
                     "doc_id", F.col("clean_text").alias("text")), "doc_id"),
                 os.path.join(state_dir, "shards", f"batch_id={batch_id}"))
             _write_state(deltas, state_dir, "gram_counts", batch_id)
+
+        # The four write chains are independent actions over frames the
+        # counting aggregate above already materialized (verdict cache +
+        # the persisted sigs), so run them from a driver thread pool
+        # (guide §2.6): the three O(1)-task state writes back-fill cores
+        # while the heavy span-clean + shard chain runs, instead of each
+        # action paying its scheduling/commit latency serially. Replay
+        # safety is unchanged — every write still overwrites its own
+        # batch_id partition, so any subset committed by a crashed
+        # attempt is rewritten identically on retry; a failure in any
+        # chain re-raises here and fails the batch.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for fut in [pool.submit(w) for w in
+                        (_w_shards_and_grams, _w_audit, _w_bands, _w_sigs)]:
+                fut.result()
     finally:
         if verdict is not None:
             verdict.unpersist()
