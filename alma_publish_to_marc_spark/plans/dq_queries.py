@@ -56,16 +56,31 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     documents = load(spark, sf_dir, "documents")
 
+    # FK violation counts ride into their table's fused-aggregate branch
+    # below via a 1-row broadcast cross join: the FK check's n_rows IS
+    # the table aggregate's n_rows, so emitting it from the same branch
+    # removes a separate count(*) scan + aggregate job + union branch
+    # per FK rule (guide §2.4 — same output rows, two fewer passes).
+    o_orphans = (orders.select("o_custkey")
+                 .join(customer.select("c_custkey"),
+                       F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+                 .agg(F.count(F.lit(1)).alias("fk_orph")))
     o_agg = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
         F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("price_np"),
         F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("date_null"))
-    o_rows = _stack(o_agg, "orders", [
+    o_rows = _stack(o_agg.crossJoin(F.broadcast(o_orphans)), "orders", [
         ("pk_unique_o_orderkey", "pk_dup"),
         ("o_totalprice_positive", "price_np"),
-        ("o_orderdate_not_null", "date_null")])
+        ("o_orderdate_not_null", "date_null"),
+        ("fk_o_custkey_in_customer", "fk_orph")])
 
+    l_orphans = (lineitem.select("l_orderkey")
+                 .join(orders.select("o_orderkey"),
+                       F.col("l_orderkey") == F.col("o_orderkey"),
+                       "left_anti")
+                 .agg(F.count(F.lit(1)).alias("fk_orph")))
     l_agg = lineitem.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1))
@@ -73,10 +88,11 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when((F.col("l_discount") < 0)
                        | (F.col("l_discount") > 1), 1)).alias("disc_dom"),
         F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("qty_np"))
-    l_rows = _stack(l_agg, "lineitem", [
+    l_rows = _stack(l_agg.crossJoin(F.broadcast(l_orphans)), "lineitem", [
         ("pk_unique_l_orderkey_linenumber", "pk_dup"),
         ("l_discount_in_unit_interval", "disc_dom"),
-        ("l_quantity_positive", "qty_np")])
+        ("l_quantity_positive", "qty_np"),
+        ("fk_l_orderkey_in_orders", "fk_orph")])
 
     e_agg = events.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -97,31 +113,6 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("text_nonempty", "empty"),
         ("n_chars_matches_text", "nchars_drift")])
 
-    # FK integrity: anti-join counts (keyed; parent side fact-sized)
-    o_orphans = (orders.select("o_custkey")
-                 .join(customer.select("c_custkey"),
-                       F.col("o_custkey") == F.col("c_custkey"), "left_anti")
-                 .agg(F.count(F.lit(1)).alias("v")))
-    o_n = orders.agg(F.count(F.lit(1)).alias("n_rows"))
-    fk1 = (o_n.crossJoin(F.broadcast(o_orphans))
-           .select(F.lit("orders").alias("table_name"),
-                   F.lit("fk_o_custkey_in_customer").alias("check_name"),
-                   F.col("n_rows").cast("long").alias("n_rows"),
-                   F.col("v").cast("long").alias("n_violations"),
-                   (F.col("v") == 0).cast("int").alias("passed")))
-    l_orphans = (lineitem.select("l_orderkey")
-                 .join(orders.select("o_orderkey"),
-                       F.col("l_orderkey") == F.col("o_orderkey"),
-                       "left_anti")
-                 .agg(F.count(F.lit(1)).alias("v")))
-    l_n = lineitem.agg(F.count(F.lit(1)).alias("n_rows"))
-    fk2 = (l_n.crossJoin(F.broadcast(l_orphans))
-           .select(F.lit("lineitem").alias("table_name"),
-                   F.lit("fk_l_orderkey_in_orders").alias("check_name"),
-                   F.col("n_rows").cast("long").alias("n_rows"),
-                   F.col("v").cast("long").alias("n_violations"),
-                   (F.col("v") == 0).cast("int").alias("passed")))
-
     # cross-table ordering invariant: a lineitem never ships before its
     # order is placed
     ship = (lineitem.select("l_orderkey", "l_shipdate")
@@ -138,8 +129,7 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v") == 0).cast("int").alias("passed"))
 
     return (o_rows.unionByName(l_rows).unionByName(e_rows)
-            .unionByName(d_rows).unionByName(fk1).unionByName(fk2)
-            .unionByName(inv))
+            .unionByName(d_rows).unionByName(inv))
 
 
 def _dq_sql() -> str:
