@@ -907,19 +907,43 @@ def _inc_full_cents(spark: SparkSession, sf_dir: str):
     per-row, so filtering the cached quantized corpus is bit-identical
     to quantizing the filtered corpus). Shared by the census and the
     recall query, which previously re-quantized and re-persisted the
-    corpus once per chain (r11, guide §5 persist-when-reused)."""
+    corpus once per chain (r11, guide §5 persist-when-reused).
+
+    The two chains share ONE seed collect (every SEED_ID is
+    % INC_MOD == 0, so the base-subset filter passes the identical
+    rows — collecting them twice was a whole extra cached-scan job for
+    provably equal values) and then train CONCURRENTLY from two driver
+    threads (guide §2.6): each Lloyd round is a driver-paced collect
+    whose k-row aggregate leaves most cores idle, so the independent
+    chains' rounds back-fill each other instead of serializing 2x
+    N_ITERS round-trips."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
+
     from . import clustering as CL
 
     emb = load(spark, sf_dir, "embeddings")
-    vecs_all, cents_full = CL._refined_int_cents(emb, CL.SEED_IDS,
-                                                 CL.N_ITERS)
-    vecs_base = vecs_all.where(F.col("vec_id") % INC_MOD != INC_REM)
-    seed_rows = (vecs_base.where(F.col("vec_id").isin(CL.SEED_IDS))
+    vecs_all = CL.fan_out(CL._quantized(emb), "vec_id").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    CL._PERSISTED.append(vecs_all)
+    # the seed collect doubles as the persist materialization (the
+    # _refined_int_cents convention)
+    seed_rows = (vecs_all.where(F.col("vec_id").isin(CL.SEED_IDS))
                  .select(F.col("vec_id").alias("cent_id"),
                          F.col("v").alias("cv")).collect())
-    cents_inc = sorted((r["cent_id"], list(r["cv"])) for r in seed_rows)
-    for _ in range(CL.N_ITERS):
-        cents_inc = CL._update(CL._assign(vecs_base, cents_inc))
+    cents0 = sorted((r["cent_id"], list(r["cv"])) for r in seed_rows)
+    vecs_base = vecs_all.where(F.col("vec_id") % INC_MOD != INC_REM)
+
+    def _chain(vecs, cents):
+        for _ in range(CL.N_ITERS):
+            cents = CL._update(CL._assign(vecs, cents))
+        return cents
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_full = pool.submit(_chain, vecs_all, cents0)
+        f_inc = pool.submit(_chain, vecs_base, cents0)
+        cents_full, cents_inc = f_full.result(), f_inc.result()
     return emb, vecs_all, cents_inc, cents_full
 
 
