@@ -134,17 +134,28 @@ def _retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     pos = F.row_number().over(
         Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id"))
-    top = rel.withColumn("pos", pos).where(F.col("pos") <= _RANK_K)
-    per_q = (top.groupBy("qid").agg(
-        F.count(F.lit(1)).alias("n_ranked"),
-        F.sum((F.col("rel") >= 1).cast("long")).alias("hits10"),
-        F.sum(F.expr(f"(shiftleft(cast(1 as bigint), rel) - 1)"
-                     f" * ({_w_case('pos')})")).alias("dcg_e6"),
-        F.min(F.when(F.col("rel") >= 1, F.col("pos"))).alias("first_rel")))
-    ideal = (rel.groupBy("qid").agg(
+    # ONE groupBy over the window-annotated frame computes both the
+    # top-K metrics (pos <= K guards) and the ideal-ranking counts
+    # (all rows): the former per_q/ideal split aggregated the same
+    # subtree twice and joined the halves back on qid — an extra
+    # exchange plus a recompute ReuseExchange cannot always dedup
+    # (guide §2.4). The window's qid partitioning already satisfies
+    # this aggregation's clustering, so no new shuffle. Equivalent:
+    # top ⊆ rel means both halves grouped the identical qid set, so
+    # the inner join was a column concatenation.
+    in_top = F.col("pos") <= _RANK_K
+    per_q = (rel.withColumn("pos", pos).groupBy("qid").agg(
+        F.sum(in_top.cast("long")).alias("n_ranked"),
+        F.sum((in_top & (F.col("rel") >= 1)).cast("long")).alias("hits10"),
+        F.sum(F.when(in_top, F.expr(
+            f"(shiftleft(cast(1 as bigint), rel) - 1)"
+            f" * ({_w_case('pos')})")).otherwise(F.lit(0)))
+        .alias("dcg_e6"),
+        F.min(F.when(in_top & (F.col("rel") >= 1), F.col("pos")))
+        .alias("first_rel"),
         F.sum((F.col("rel") == 2).cast("long")).alias("n2"),
         F.sum((F.col("rel") == 1).cast("long")).alias("n1")))
-    return (per_q.join(ideal, "qid")
+    return (per_q
             .select("qid", "n_ranked", "hits10",
                     F.coalesce(F.expr("1000000 div first_rel"), F.lit(0))
                     .cast("long").alias("rr_e6"),
