@@ -38,6 +38,19 @@ from ..tables import fan_out, load
 # space (both engines compute (cb+1)/(cu+V) as a single BIGINT/BIGINT
 # double division — bit-identical inputs to ln()).
 
+# Frames persisted by queries in this module because they feed several
+# plan branches (the interpreted-fold/reused-frame convention of
+# operators/dedup.py); released via unpersist_cached, which
+# registry.release_caches discovers generically.
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_cached() -> int:
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
 
 def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram cross-entropy under a corpus-trained LM.
@@ -66,16 +79,32 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sensitive only below ~1e-12 relative, 8 decimal digits under
     the round(·, 4) contract.
     """
-    docs = load(spark, sf_dir, "documents") \
+    from pyspark import StorageLevel
+
+    # fan_out: the tokenize + explode + double-md5 passes below are the
+    # per-row-heavy work, and a single-file scan would run them in one
+    # task (guide §2.5; no-op on many-split inputs)
+    docs = fan_out(load(spark, sf_dir, "documents"), "doc_id") \
         .select("doc_id", tokens(F.lower(F.col("text"))).alias("w"))
 
+    # persisted: uni feeds the model's denominator join AND the
+    # vocabulary-size aggregate — unpersisted, the corpus token explode
+    # + hash + count ran once per branch (released via the module's
+    # unpersist_cached hook)
     uni = (docs.select(F.explode("w").alias("tok"))
            .groupBy(F.unhex(F.md5("tok")).alias("uk"))
-           .agg(F.count(F.lit(1)).alias("uc")))
+           .agg(F.count(F.lit(1)).alias("uc"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(uni)
     vstats = uni.agg(F.count(F.lit(1)).alias("v_size"))
 
     idx = F.when(F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)) \
            .otherwise(F.array().cast("array<int>"))
+    # persisted: pairs is both the model-training input (groupBy bk,uk)
+    # and the corpus-sized probe side of the score join — unpersisted,
+    # the bigram explode + two md5 hashes per pair ran twice (the two
+    # consumers hash-partition on different keys, so ReuseExchange
+    # cannot dedup them)
     pairs = (docs
              .select("doc_id", F.explode(F.transform(idx, lambda i: F.struct(
                  F.element_at(F.col("w"), i).alias("a"),
@@ -83,7 +112,9 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id",
                      F.unhex(F.md5("p.a")).alias("uk"),
                      F.unhex(F.md5(F.concat_ws("\x1f", "p.a", "p.b")))
-                      .alias("bk")))
+                      .alias("bk"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(pairs)
     # model build: bigram counts, then the vocab-sized denominator join
     # (uk is functionally dependent on bk, so it rides the groupBy key)
     model = (pairs.groupBy("bk", "uk")

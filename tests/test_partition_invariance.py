@@ -50,6 +50,9 @@ KEYS = (
     "privacy_composition_budget",
     "compute_optimal_frontier",     # constant-literal sqrt tree off
                                     # exact integer supply (round 11)
+    # round 12: per-doc ln() sum rounded at 4dp — partitioning changed
+    # by the fan_out + pairs/uni persists, so pin the invariance
+    "ngram_lm_perplexity",
 )
 
 
