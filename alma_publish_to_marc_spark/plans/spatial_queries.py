@@ -58,6 +58,18 @@ SP_R2 = SP_CELL * SP_CELL
 SP_OCC = 16             # target mean points-per-cell (density bound)
 SP_NBR_BUCKET = 8       # histogram bucket width for neighbor counts
 
+# Frames persisted because they feed several plan branches (the
+# operators/dedup.py convention); released via unpersist_cached, which
+# registry.release_caches discovers generically.
+_PERSISTED: list[DataFrame] = []
+
+
+def unpersist_cached() -> int:
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+    return n
+
 
 def _coord(seed: str, key: str) -> str:
     """Spark SQL for a deterministic coordinate in [0, side) — expects
@@ -139,14 +151,22 @@ def grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a cross join. Zero-neighbor points are kept via a left join
     of the point frame against its own directed counts.
     """
+    from pyspark import StorageLevel
+
     # fan_out: the 9-cell probe explode and both join inputs derive
     # from this frame; a single-row-group scan serializes the explode
     # + shuffle-write map side on one core (r11 profile: 2.6 s single-
     # task stage).
+    # persisted: three consumers (probe explode, build side, zero-
+    # neighbor left join) — unpersisted, each re-paid the events scan,
+    # the two per-row md5 coordinate derivations AND the side-frame
+    # count aggregate (released via the module's unpersist_cached).
     pts = fan_out(_points(spark, sf_dir), "event_id").select(
         "event_id", "x", "y",
         F.expr(f"x div {SP_CELL}").alias("cx"),
-        F.expr(f"y div {SP_CELL}").alias("cy"))
+        F.expr(f"y div {SP_CELL}").alias("cy")).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(pts)
     probe = pts.select(
         "event_id", "x", "y",
         F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))

@@ -31,7 +31,9 @@ from .conftest import SF_SMOKE
 # no-op contract there is "same count, not one more".
 _AT_SCALE = {
     "gram_matrix_blocked": (1, 1),
-    "grid_neighbor_join": (3, 4),
+    # r12: pts persisted (3 consumers) — scans 4 -> 2 (the cached
+    # points scan + the side-frame count scan), shuffles unchanged
+    "grid_neighbor_join": (3, 2),
     "corpus_curation_end2end": (3, 3),
     "ann_index_incremental": (2, 1),
     "kmeans_fixed_point": (1, 1),
