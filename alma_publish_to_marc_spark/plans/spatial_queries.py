@@ -105,6 +105,36 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "side"))
 
 
+def _pts_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED (event_id, x, y, cx, cy) point frame for the blocked
+    radius self-joins: every consumer (3×3 probe explode, join build
+    side, zero-neighbor/seed passes) otherwise re-paid the events scan,
+    the two per-row md5 coordinate derivations and the side-frame count
+    aggregate once per branch. fan_out spreads the derivation off the
+    single-row-group driver scan (r11 profile: 2.6 s single-task stage;
+    no-op on many-split inputs). Released via unpersist_cached."""
+    from pyspark import StorageLevel
+
+    pts = fan_out(_points(spark, sf_dir), "event_id").select(
+        "event_id", "x", "y",
+        F.expr(f"x div {SP_CELL}").alias("cx"),
+        F.expr(f"y div {SP_CELL}").alias("cy")).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(pts)
+    return pts
+
+
+def _probe_3x3(pts: DataFrame) -> DataFrame:
+    """The 9-cell probe explode every blocked radius join shares."""
+    return pts.select(
+        "event_id", "x", "y",
+        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))
+         .alias("cx"), "cy").select(
+        "event_id", "x", "y", "cx",
+        F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)]))
+         .alias("cy"))
+
+
 # DuckDB twin of _side_frame/_points. The 1-row side subquery is a
 # comma-join (executed once); shifts are parenthesized (shift binds
 # looser than * in SQL) and forced BIGINT (DuckDB literal math is INT32).
@@ -151,29 +181,8 @@ def grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a cross join. Zero-neighbor points are kept via a left join
     of the point frame against its own directed counts.
     """
-    from pyspark import StorageLevel
-
-    # fan_out: the 9-cell probe explode and both join inputs derive
-    # from this frame; a single-row-group scan serializes the explode
-    # + shuffle-write map side on one core (r11 profile: 2.6 s single-
-    # task stage).
-    # persisted: three consumers (probe explode, build side, zero-
-    # neighbor left join) — unpersisted, each re-paid the events scan,
-    # the two per-row md5 coordinate derivations AND the side-frame
-    # count aggregate (released via the module's unpersist_cached).
-    pts = fan_out(_points(spark, sf_dir), "event_id").select(
-        "event_id", "x", "y",
-        F.expr(f"x div {SP_CELL}").alias("cx"),
-        F.expr(f"y div {SP_CELL}").alias("cy")).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(pts)
-    probe = pts.select(
-        "event_id", "x", "y",
-        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))
-         .alias("cx"), "cy").select(
-        "event_id", "x", "y", "cx",
-        F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)]))
-         .alias("cy"))
+    pts = _pts_cells(spark, sf_dir)
+    probe = _probe_3x3(pts)
     a, b = probe.alias("a"), pts.alias("b")
     pairs = a.join(b, ["cx", "cy"]).where(
         (F.col("a.event_id") != F.col("b.event_id"))
@@ -433,17 +442,8 @@ def boruvka_lightest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct-min per node; the dedup is a groupBy on the normalized
     pair key.
     """
-    pts = _points(spark, sf_dir).select(
-        "event_id", "x", "y",
-        F.expr(f"x div {SP_CELL}").alias("cx"),
-        F.expr(f"y div {SP_CELL}").alias("cy"))
-    probe = pts.select(
-        "event_id", "x", "y",
-        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))
-         .alias("cx"), "cy").select(
-        "event_id", "x", "y", "cx",
-        F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)]))
-         .alias("cy"))
+    pts = _pts_cells(spark, sf_dir)
+    probe = _probe_3x3(pts)
     a, b = probe.alias("a"), pts.alias("b")
     w = ((F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
          + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y")))
@@ -524,18 +524,13 @@ def two_hop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier-at-a-time BFS shape — each hop is a join against the edge
     list keyed on the frontier.
     """
-    pts = _points(spark, sf_dir).select(
-        "event_id", "x", "y",
-        F.expr(f"x div {SP_CELL}").alias("cx"),
-        F.expr(f"y div {SP_CELL}").alias("cy"))
-    probe = pts.select(
-        "event_id", "x", "y",
-        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))
-         .alias("cx"), "cy").select(
-        "event_id", "x", "y", "cx",
-        F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)]))
-         .alias("cy"))
+    from pyspark import StorageLevel
+
+    pts = _pts_cells(spark, sf_dir)
+    probe = _probe_3x3(pts)
     a, b = probe.alias("a"), pts.alias("b")
+    # persisted: both hop joins probe the same edge list (the oracle
+    # marks its twin CTE MATERIALIZED for the same reason)
     edges = (a.join(b, ["cx", "cy"])
              .where((F.col("a.event_id") != F.col("b.event_id"))
                     & ((F.col("a.x") - F.col("b.x"))
@@ -543,12 +538,18 @@ def two_hop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
                        + (F.col("a.y") - F.col("b.y"))
                        * (F.col("a.y") - F.col("b.y")) <= SP_R2))
              .select(F.col("a.event_id").alias("u"),
-                     F.col("b.event_id").alias("v")))
+                     F.col("b.event_id").alias("v"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(edges)
     seeds = (pts.where(F.col("event_id") % HOP_SEED_MOD == 0)
              .select(F.col("event_id").alias("seed"))
              .orderBy("seed").limit(HOP_SEED_CAP))
+    # persisted: h1 feeds the hop-2 expansion, its own distinct count
+    # and the union (panel-bounded — |seeds|·deg rows)
     h1 = (edges.join(F.broadcast(seeds), edges.u == seeds.seed)
-          .select("seed", F.col("v").alias("n")))
+          .select("seed", F.col("v").alias("n"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(h1)
     h2 = (h1.join(edges, h1.n == edges.u)
           .where(F.col("v") != F.col("seed"))
           .select("seed", F.col("v").alias("n")))
@@ -644,7 +645,14 @@ def geometric_median_weiszfeld(spark: SparkSession,
     Scale: rounds × one map-side-combinable integer aggregate; no
     state beyond the 2-long center.
     """
-    pts = _points(spark, sf_dir).select("x", "y")
+    from pyspark import StorageLevel
+
+    # persisted: every Weiszfeld round re-aggregates the same point
+    # frame — unpersisted, each round re-paid the events scan + md5
+    # coordinate derivation (the oracle's twin CTE is MATERIALIZED)
+    pts = _points(spark, sf_dir).select("x", "y").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(pts)
     r0 = pts.agg(F.sum("x").alias("sx"), F.sum("y").alias("sy"),
                  F.count(F.lit(1)).alias("n")).collect()[0]
     n = int(r0["n"])
@@ -730,18 +738,13 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree table on each endpoint (two shuffles on node id) and one
     conditional aggregate emits all thresholds in a single pass.
     """
-    pts = _points(spark, sf_dir).select(
-        "event_id", "x", "y",
-        F.expr(f"x div {SP_CELL}").alias("cx"),
-        F.expr(f"y div {SP_CELL}").alias("cy"))
-    probe = pts.select(
-        "event_id", "x", "y",
-        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))
-         .alias("cx"), "cy").select(
-        "event_id", "x", "y", "cx",
-        F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)]))
-         .alias("cy"))
+    from pyspark import StorageLevel
+
+    pts = _pts_cells(spark, sf_dir)
+    probe = _probe_3x3(pts)
     a, b = probe.alias("a"), pts.alias("b")
+    # persisted: edges feeds the degree aggregate and the two-endpoint
+    # threshold join; deg feeds both endpoint joins and the node census
     edges = (a.join(b, ["cx", "cy"])
              .where((F.col("a.event_id") != F.col("b.event_id"))
                     & ((F.col("a.x") - F.col("b.x"))
@@ -749,8 +752,12 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                        + (F.col("a.y") - F.col("b.y"))
                        * (F.col("a.y") - F.col("b.y")) <= SP_R2))
              .select(F.col("a.event_id").alias("u"),
-                     F.col("b.event_id").alias("v")))
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+                     F.col("b.event_id").alias("v"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(edges)
+    deg = (edges.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(deg)
     ed = (edges.join(deg, "u")
           .join(deg.select(F.col("u").alias("v"),
                            F.col("du").alias("dv")), "v"))
@@ -837,17 +844,8 @@ def percolation_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees are one map-side-combinable conditional aggregate keyed on
     the point id; output is |_PC_R| rows.
     """
-    pts = _points(spark, sf_dir).select(
-        "event_id", "x", "y",
-        F.expr(f"x div {SP_CELL}").alias("cx"),
-        F.expr(f"y div {SP_CELL}").alias("cy"))
-    probe = pts.select(
-        "event_id", "x", "y",
-        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)]))
-         .alias("cx"), "cy").select(
-        "event_id", "x", "y", "cx",
-        F.explode(F.array(*[F.col("cy") + d for d in (-1, 0, 1)]))
-         .alias("cy"))
+    pts = _pts_cells(spark, sf_dir)
+    probe = _probe_3x3(pts)
     a, b = probe.alias("a"), pts.alias("b")
     dd = ((F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
           + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y")))
