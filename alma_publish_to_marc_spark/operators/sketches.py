@@ -70,7 +70,12 @@ def _tokens(docs: DataFrame) -> DataFrame:
     Unigrams would be trivial here: the driver corpus has a ~31-token
     vocabulary; 3-grams give a 10^4+ cardinality estimation regime."""
     from ..functions.text import word_shingles
-    return (docs.select(
+    from ..tables import fan_out
+
+    # fan_out: the shingle explode + md5 downstream is the per-row-
+    # heavy work and otherwise serializes on the single-row-group
+    # driver scan (guide §2.5; no-op on many-split inputs)
+    return (fan_out(docs, "doc_id").select(
                 F.explode(word_shingles(F.lower(F.col("text")), SHINGLE_N))
                  .alias("gram"))
             .where(F.col("gram") != ""))
@@ -105,14 +110,22 @@ def kmv_distinct(spark: SparkSession, sf_dir: str, k: int = KMV_K) -> DataFrame:
     (aggregate k-sets, union, re-truncate); the estimate itself is
     exact int64 math so both engines agree to the last digit.
     """
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
-    hashes = _tokens(docs).select(_h48(F.col("gram")).alias("h")).distinct()
+    # ONE tokenize pass + ONE corpus-wide distinct on the 16-byte md5
+    # key feeds both branches (persisted — vocab-sized): the 48-bit
+    # sketch hash is the first 6 md5 bytes, so distinct(h48(gram)) ==
+    # distinct(h48 over distinct md5s) — the former shape ran the
+    # shingle explode twice and shuffled the corpus once per branch.
+    dm = (_tokens(docs).select(F.unhex(F.md5("gram")).alias("mh"))
+          .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(dm)
+    hashes = (dm.select(F.conv(F.hex(F.substring("mh", 1, 6)), 16, 10)
+                        .cast("long").alias("h")).distinct())
     kth = (hashes.orderBy("h").limit(k)
            .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("n_kept")))
-    # exact branch groups on the 16-byte md5 key (CLAUDE.md shuffle-key
-    # rule) — the distinct exchange carries fixed-width bytes, not text
-    exact = _tokens(docs).agg(
-        F.countDistinct(F.unhex(F.md5("gram"))).alias("exact_distinct"))
+    exact = dm.agg(F.count(F.lit(1)).alias("exact_distinct"))
     # fewer than k distinct values → the sketch holds the whole set and
     # IS the exact answer (standard KMV small-cardinality case)
     est = F.expr(f"CASE WHEN n_kept < {k} THEN n_kept"
@@ -182,9 +195,12 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Replaces the old second tokenize+scan and global countDistinct,
     # and avoids the Expand doubling a mixed max+countDistinct
     # aggregate would pay.
-    dh = toks.select(md5c.alias("mh")).distinct()
-    b2 = F.conv(F.substring("mh", 1, 2), 16, 10).cast("long")
-    v2 = F.conv(F.substring("mh", 3, 12), 16, 10).cast("long")
+    # distinct on the 16-byte unhex key, not the 32-char hex string
+    # (CLAUDE.md shuffle-key rule — halves the distinct exchange);
+    # bucket = first byte, v = bytes 2-7, identical values
+    dh = toks.select(F.unhex(md5c).alias("mh")).distinct()
+    b2 = F.conv(F.hex(F.substring("mh", 1, 1)), 16, 10).cast("long")
+    v2 = F.conv(F.hex(F.substring("mh", 2, 6)), 16, 10).cast("long")
     rho2 = F.when(v2 == 0, F.lit(49).cast("long")) \
             .otherwise(F.lit(49) - F.length(F.bin(v2))).cast("long")
     regs = (dh.select(b2.alias("bucket"), rho2.alias("rho"))
@@ -262,13 +278,20 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for whatever candidate stream production probes (the
     sketch itself never stores terms).
     """
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
+    # persisted: tc feeds one sketch-cell branch per CMS row plus the
+    # exact top-N probe — unpersisted, the tokenize + term count ran
+    # once per branch (released via the module's unpersist_cached)
     tc = (_tokens(docs)
           .select(F.unhex(F.md5("gram")).alias("gk"), "gram")
           .groupBy("gk")
           .agg(F.count(F.lit(1)).alias("exact_count"),
                F.min("gram").alias("gram"))
-          .select("gram", "exact_count"))
+          .select("gram", "exact_count")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(tc)
     cells = None
     for row, salt in enumerate(CMS_SALTS):
         part = tc.select(
@@ -1519,13 +1542,19 @@ def countsketch_point_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered candidate set broadcast-joined against it. Everything
     is exact int64; no floats anywhere.
     """
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
+    # persisted: tc feeds one signed-cell branch per sketch row plus
+    # the exact top-N probe (the cms_heavy_hitters reasoning)
     tc = (_tokens(docs)
           .select(F.unhex(F.md5("gram")).alias("gk"), "gram")
           .groupBy("gk")
           .agg(F.count(F.lit(1)).alias("exact_count"),
                F.min("gram").alias("gram"))
-          .select("gram", "exact_count"))
+          .select("gram", "exact_count")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    _PERSISTED.append(tc)
     cells = None
     for row, salt in enumerate(CS_SALTS):
         part = tc.select(
