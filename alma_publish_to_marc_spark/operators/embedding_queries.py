@@ -221,9 +221,36 @@ def _mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     exact = S.brute_force_topk(emb, "vec_id", "embedding", QUERY_IDS, K) \
         .select("qid", "neighbor_id")
-    pref = _prefix_topk(emb, MRL_DIMS[0])
-    for d in MRL_DIMS[1:]:
-        pref = pref.unionByName(_prefix_topk(emb, d))
+    # ONE corpus scan + ONE broadcast pair join materializes all curve
+    # points (the "one scan materializing all prefixes at once" branch
+    # of the scale note): each level's cosine keeps the IDENTICAL
+    # per-slice left folds the per-level scans ran — the fold work is
+    # unchanged and bit-equal, only the 4x scan + join + per-level
+    # window machinery collapses. Query-side prefix norms precompute
+    # once on the broadcast panel (the r11 _prefix_topk convention; the
+    # corpus side stays inline per the multiplicity note there).
+    v = S.as_double(F.col("embedding"))
+    e = emb.select("vec_id", v.alias("p"))
+    q = (e.where(F.col("vec_id").isin(QUERY_IDS))
+         .select(F.col("vec_id").alias("qid"), F.col("p").alias("qp"),
+                 F.array(*[S.norm(F.slice(F.col("p"), 1, d))
+                           for d in MRL_DIMS]).alias("nqs")))
+    lv = F.array(*[
+        F.struct(
+            F.lit(d).alias("dim"),
+            F.round(S.dot(F.slice("p", 1, d), F.slice("qp", 1, d))
+                    / (S.norm(F.slice("p", 1, d))
+                       * F.element_at("nqs", i + 1)), 6).alias("cosine"))
+        for i, d in enumerate(MRL_DIMS)])
+    pairs = (e.join(F.broadcast(q), e.vec_id != q.qid)
+             .select("vec_id", "qid", F.explode(lv).alias("c"))
+             .select("vec_id", "qid", F.col("c.dim").alias("dim"),
+                     F.col("c.cosine").alias("cosine")))
+    w = Window.partitionBy("dim", "qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    pref = (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= K)
+            .select("dim", "qid", F.col("vec_id").alias("neighbor_id")))
     hits = (pref.join(F.broadcast(exact), ["qid", "neighbor_id"], "left_semi")
             .groupBy("dim").agg(F.count(F.lit(1)).alias("hits")))
     # the denominator rides a broadcast 1-row count (the equi-depth /
